@@ -1,0 +1,197 @@
+package graft.fuzzy
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Spark-native fuzzy join.
+  *
+  * Same observable semantics as the reference's `fuzzy_match_dfs`
+  * (matcher.py:661-722): for an ordered list of [[FuzzyMapping]]s, return
+  * every (left row, right row) pair whose per-mapping similarity meets each
+  * mapping's threshold, with the full payload of both sides plus one score
+  * column per mapping, in column order `left ++ right(renamed) ++ scores`.
+  *
+  * The execution design is Spark-first rather than a translation:
+  *
+  *  - row identity via `monotonically_increasing_id` + `localCheckpoint`
+  *    (the reference caches indexed frames to Arrow IPC, matcher.py:395-416;
+  *    checkpointing freezes the id assignment and cuts lineage);
+  *
+  *  - "score each distinct string pair exactly once" — the reference's key
+  *    algorithmic optimization — is realized RELATIONALLY: score the
+  *    distinct-value cartesian/LSH candidates, then hash-join the surviving
+  *    (value, value, score) pairs back to the row sides. The reference
+  *    instead aggregates row-id lists per value and double-explodes them
+  *    after scoring (process.py:59-111,150-155); that shape materializes a
+  *    per-value-pair cross product of id lists, which is quadratic in group
+  *    size and blows up on low-cardinality keys. Joins keep every
+  *    intermediate bounded by the true output size and scale horizontally;
+  *
+  *  - scoring runs as a codegen'd Catalyst expression inside the candidate
+  *    join, so the cartesian stream is filtered inside WholeStageCodegen and
+  *    never materialized;
+  *
+  *  - strategy selection (exact cross join vs MinHash-LSH candidates) from
+  *    the distinct-value cartesian estimate, constants preserved from
+  *    matcher.py:250,322;
+  *
+  *  - multi-pass fold where pass N's matches gate pass N+1's candidates
+  *    (matcher.py:507-577), each pass checkpointed because it is consumed
+  *    at least twice (next pass + final combine).
+  */
+object FuzzyMatcher {
+
+  private val LeftIdx = "__left_index"
+  private val RightIdx = "__right_index"
+
+  /** Full fuzzy join (the reference's `fuzzy_match_dfs`). Lazy result. */
+  def matchDfs(left: DataFrame, right: DataFrame, maps: Seq[FuzzyMapping],
+               opts: MatchOptions = MatchOptions.default): DataFrame = {
+    require(maps.nonEmpty, "at least one FuzzyMapping is required")
+    val plan = PreProcess.run(left, right, maps, runStats = opts.runPreprocess)
+    val outputOrder: Seq[String] =
+      plan.left.columns.toSeq ++ plan.right.columns.toSeq ++ plan.maps.map(_.resolvedOutputName)
+
+    val leftIdx = addIndexColumn(plan.left, LeftIdx)
+    val rightIdx = addIndexColumn(plan.right, RightIdx)
+
+    val matchFrames = performAllFuzzyMatches(leftIdx, rightIdx, plan.maps, opts)
+    val allMatches = combineMatches(matchFrames)
+
+    leftIdx.join(allMatches, LeftIdx)
+      .join(rightIdx, RightIdx)
+      .drop(LeftIdx, RightIdx)
+      .select(outputOrder.map(col): _*)
+  }
+
+  /** Inject a stable row id. Checkpointed immediately: like the reference's
+    * IPC cache (matcher.py:416) this freezes the id assignment so every
+    * downstream consumer sees the same values. `localCheckpoint` (not
+    * `persist`) is deliberate — it cuts lineage at the RDD level, so the
+    * many dependent intermediates of a multi-pass match never build a
+    * dependent-cache graph in CacheManager (whose rebuild path breaks when
+    * sequential queries share cached sub-plans). */
+  def addIndexColumn(df: DataFrame, name: String): DataFrame =
+    df.withColumn(name, monotonically_increasing_id())
+      .localCheckpoint()
+
+  /** Distinct non-null values of the match column (the unit of scoring). */
+  def distinctValues(df: DataFrame, valueCol: String): DataFrame =
+    df.where(col(valueCol).isNotNull).select(col(valueCol)).distinct()
+
+  /** Score candidate value pairs: lowercase both sides, keep pairs whose
+    * normalized distance is within the (truncated) reversed threshold, flip
+    * distance to similarity (calculate_fuzzy_score, process.py:8-56).
+    * Input and output are value-level: (leftVal, rightVal) -> + score `s`. */
+  def scoreValuePairs(candidates: DataFrame, leftCol: String, rightCol: String,
+                      algo: FuzzyAlgorithm, reversedThreshold: Double): DataFrame = {
+    val dist: Column = functions.fuzzy_dist(lower(col(leftCol)), lower(col(rightCol)), algo)
+    candidates
+      .withColumn("s", dist)
+      .where(col("s") <= reversedThreshold)
+      .withColumn("s", lit(1.0) - col("s"))
+  }
+
+  /** Candidate value pairs for a fresh pass: strategy pick by distinct-value
+    * cartesian estimate (cross_join_no_existing_fuzzy_results,
+    * matcher.py:241-340). */
+  def freshCandidates(leftIdxDf: DataFrame, rightIdxDf: DataFrame,
+                      leftCol: String, rightCol: String,
+                      opts: MatchOptions): DataFrame = {
+    // Checkpointed: each value frame is consumed twice (count + join).
+    var leftVals = distinctValues(leftIdxDf, leftCol).localCheckpoint()
+    var rightVals = distinctValues(rightIdxDf, rightCol).localCheckpoint()
+    var lCount = leftVals.count()
+    var rCount = rightVals.count()
+    var lCol = leftCol
+    var rCol = rightCol
+
+    // Larger side "left" (process_fuzzy_frames swap, process.py:104-108):
+    // for the LSH path this fixes which side the top-N cap applies to.
+    if (lCount < rCount) {
+      val (fv, fc, fn) = (leftVals, lCount, lCol)
+      leftVals = rightVals; lCount = rCount; lCol = rCol
+      rightVals = fv; rCount = fc; rCol = fn
+    }
+
+    val cartesian = lCount.toDouble * rCount.toDouble
+    if (cartesian > opts.hardCartesianCap)
+      throw new IllegalStateException(
+        s"The cartesian product of the two dataframes is too large to process: $cartesian")
+
+    val useApprox = opts.useApproxNearestNeighbor.getOrElse(cartesian > opts.crossOverForApprox)
+    if (useApprox) {
+      AnnJoin.candidates(leftVals, rightVals, lCol, rCol, opts)
+    } else {
+      // Exact cartesian of DISTINCT values. Broadcast the smaller value
+      // frame when it is clearly broadcastable so the big side never
+      // shuffles; otherwise leave the pick to Catalyst/AQE.
+      if (rCount <= opts.broadcastDistinctLimit) leftVals.crossJoin(broadcast(rightVals))
+      else leftVals.crossJoin(rightVals)
+    }
+  }
+
+  /** One pass (process_fuzzy_mapping, matcher.py:419-504). Returns the
+    * per-pass match frame `(score-as-output-name, leftIdx, rightIdx)`,
+    * one row per surviving row pair. */
+  def processFuzzyMapping(leftIdxDf: DataFrame, rightIdxDf: DataFrame,
+                          fuzzyMap: FuzzyMapping, existing: Option[DataFrame],
+                          opts: MatchOptions): DataFrame = {
+    val leftCol = fuzzyMap.leftCol
+    val rightCol = fuzzyMap.rightCol
+    val matched = existing match {
+      case Some(ex) =>
+        // Pass >= 2 (cross_join_filter_existing_fuzzy_results,
+        // matcher.py:188-238): attach values to the surviving pairs, score
+        // each DISTINCT value pair once, inner-join the scores back — the
+        // join both re-attaches scores and drops below-threshold pairs.
+        val pairs = ex.select(LeftIdx, RightIdx)
+          .join(leftIdxDf.select(col(LeftIdx), col(leftCol)), LeftIdx)
+          .join(rightIdxDf.select(col(RightIdx), col(rightCol)), RightIdx)
+        val distinctPairs = pairs.select(col(leftCol), col(rightCol)).distinct()
+        val scored = scoreValuePairs(distinctPairs, leftCol, rightCol,
+          fuzzyMap.fuzzyType, fuzzyMap.reversedThresholdScore)
+        pairs.join(scored, Seq(leftCol, rightCol))
+          .select(col("s"), col(LeftIdx), col(RightIdx))
+      case None =>
+        // Fresh pass: candidates over distinct values, score, then expand
+        // to row pairs by joining each side back on its value.
+        val candidates = freshCandidates(leftIdxDf, rightIdxDf, leftCol, rightCol, opts)
+        val scored = scoreValuePairs(candidates, leftCol, rightCol,
+          fuzzyMap.fuzzyType, fuzzyMap.reversedThresholdScore)
+        scored
+          .join(leftIdxDf.select(col(LeftIdx), col(leftCol)), Seq(leftCol))
+          .join(rightIdxDf.select(col(RightIdx), col(rightCol)), Seq(rightCol))
+          .select(col("s"), col(LeftIdx), col(RightIdx))
+    }
+    // No dropDuplicates needed (reference: .unique(), matcher.py:501-504):
+    // every shape above yields each (leftIdx, rightIdx) at most once —
+    // candidates are distinct value pairs and ids are unique per row.
+    // Checkpointed: consumed by the next pass, the combine AND the assembly.
+    matched
+      .withColumnRenamed("s", fuzzyMap.resolvedOutputName)
+      .localCheckpoint()
+  }
+
+  /** Fold over mappings; pass N's matches gate pass N+1
+    * (perform_all_fuzzy_matches, matcher.py:507-577). */
+  def performAllFuzzyMatches(leftIdxDf: DataFrame, rightIdxDf: DataFrame,
+                             maps: Seq[FuzzyMapping], opts: MatchOptions): Seq[DataFrame] = {
+    var existing: Option[DataFrame] = None
+    val out = Seq.newBuilder[DataFrame]
+    maps.foreach { m =>
+      val matched = processFuzzyMapping(leftIdxDf, rightIdxDf, m, existing, opts)
+      existing = Some(matched)
+      out += matched
+    }
+    out.result()
+  }
+
+  /** Inner-join every per-mapping frame on the index pair — final pairs
+    * satisfy ALL thresholds, one score column each (combine_matches,
+    * matcher.py:388-392). */
+  def combineMatches(frames: Seq[DataFrame]): DataFrame = {
+    val base = frames.last.select(LeftIdx, RightIdx)
+    frames.foldLeft(base)((acc, f) => acc.join(f, Seq(LeftIdx, RightIdx)))
+  }
+}

@@ -1,0 +1,250 @@
+package graft.fuzzy
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pure string-distance kernels.
+  *
+  * The reference delegates these to the polars-distance Rust plugin
+  * (`/root/reference/pl_fuzzy_frame_match/process.py:46-50`); here they are
+  * built from scratch in Scala so Catalyst expressions can call them from
+  * generated code (object methods get static forwarders, so
+  * `graft.fuzzy.Kernels.dist(...)` is directly callable from Janino-compiled
+  * whole-stage codegen).
+  *
+  * All `*Dist` methods return a NORMALIZED distance in [0,1] (0 = identical),
+  * matching the reference's `normalized=True` semantics (process.py:46-50):
+  *   - levenshtein / damerau_levenshtein / hamming: dist / max(len)
+  *   - indel: dist / (lenA + lenB)
+  *   - jaro / jaro_winkler: 1 - similarity
+  * Golden values verified against the reference tests
+  * (tests/test_pl_fuzzy_frame_match.py:360-362, tests/test_process.py:97).
+  */
+object Kernels {
+
+  /** Codegen dispatch entry: `id` is [[FuzzyAlgorithm.id]]. */
+  def dist(id: Int, a: UTF8String, b: UTF8String): Double = {
+    val sa = a.toString
+    val sb = b.toString
+    id match {
+      case 0 => levenshteinDist(sa, sb)
+      case 1 => jaroDist(sa, sb)
+      case 2 => jaroWinklerDist(sa, sb)
+      case 3 => hammingDist(sa, sb)
+      case 4 => damerauDist(sa, sb)
+      case 5 => indelDist(sa, sb)
+      case _ => throw new IllegalArgumentException(s"bad algorithm id $id")
+    }
+  }
+
+  // ---------------------------------------------------------------- levenshtein
+
+  /** Plain edit distance (insert/delete/substitute), two-row DP with
+    * common prefix/suffix stripping. */
+  def levenshtein(a: CharSequence, b: CharSequence): Int = {
+    var aStart = 0
+    var aEnd = a.length
+    var bStart = 0
+    var bEnd = b.length
+    while (aStart < aEnd && bStart < bEnd && a.charAt(aStart) == b.charAt(bStart)) {
+      aStart += 1; bStart += 1
+    }
+    while (aEnd > aStart && bEnd > bStart && a.charAt(aEnd - 1) == b.charAt(bEnd - 1)) {
+      aEnd -= 1; bEnd -= 1
+    }
+    val n = aEnd - aStart
+    val m = bEnd - bStart
+    if (n == 0) return m
+    if (m == 0) return n
+    val prev = new Array[Int](m + 1)
+    val cur = new Array[Int](m + 1)
+    var j = 0
+    while (j <= m) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= n) {
+      cur(0) = i
+      val ca = a.charAt(aStart + i - 1)
+      j = 1
+      while (j <= m) {
+        val cost = if (ca == b.charAt(bStart + j - 1)) 0 else 1
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, m + 1)
+      i += 1
+    }
+    prev(m)
+  }
+
+  def levenshteinDist(a: String, b: String): Double = {
+    val mx = math.max(a.length, b.length)
+    if (mx == 0) 0.0 else levenshtein(a, b).toDouble / mx
+  }
+
+  // ------------------------------------------------------- damerau-levenshtein
+
+  /** Unrestricted Damerau-Levenshtein (true transposition distance, matching
+    * DuckDB's `damerau_levenshtein` and rapidfuzz's DamerauLevenshtein). */
+  def damerau(a: String, b: String): Int = {
+    val n = a.length
+    val m = b.length
+    if (n == 0) return m
+    if (m == 0) return n
+    val inf = n + m
+    // d has an extra border row/col of `inf` for the transposition recurrence.
+    val d = Array.ofDim[Int](n + 2, m + 2)
+    d(0)(0) = inf
+    var i = 0
+    while (i <= n) { d(i + 1)(1) = i; d(i + 1)(0) = inf; i += 1 }
+    var j = 0
+    while (j <= m) { d(1)(j + 1) = j; d(0)(j + 1) = inf; j += 1 }
+    val da = new java.util.HashMap[Character, Integer]()
+    i = 1
+    while (i <= n) {
+      var db = 0
+      j = 1
+      while (j <= m) {
+        val i1 = Option(da.get(b.charAt(j - 1))).map(_.intValue).getOrElse(0)
+        val j1 = db
+        var cost = 1
+        if (a.charAt(i - 1) == b.charAt(j - 1)) { cost = 0; db = j }
+        val sub = d(i)(j) + cost
+        val ins = d(i + 1)(j) + 1
+        val del = d(i)(j + 1) + 1
+        val trans = d(i1)(j1) + (i - i1 - 1) + 1 + (j - j1 - 1)
+        d(i + 1)(j + 1) = math.min(math.min(sub, ins), math.min(del, trans))
+        j += 1
+      }
+      da.put(a.charAt(i - 1), i)
+      i += 1
+    }
+    d(n + 1)(m + 1)
+  }
+
+  def damerauDist(a: String, b: String): Double = {
+    val mx = math.max(a.length, b.length)
+    if (mx == 0) 0.0 else damerau(a, b).toDouble / mx
+  }
+
+  // ------------------------------------------------------------------ jaro
+
+  /** Jaro similarity (standard definition; two empty strings are similarity
+    * 1.0, one empty is 0.0). */
+  def jaroSim(a: String, b: String): Double = {
+    val n = a.length
+    val m = b.length
+    if (n == 0 && m == 0) return 1.0
+    if (n == 0 || m == 0) return 0.0
+    if (n == 1 && m == 1) return if (a.charAt(0) == b.charAt(0)) 1.0 else 0.0
+    val window = math.max(0, math.max(n, m) / 2 - 1)
+    val aMatched = new Array[Boolean](n)
+    val bMatched = new Array[Boolean](m)
+    var matches = 0
+    var i = 0
+    while (i < n) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(m - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!bMatched(j) && a.charAt(i) == b.charAt(j)) {
+          aMatched(i) = true
+          bMatched(j) = true
+          matches += 1
+          found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    // count transpositions between matched sequences
+    var transpositions = 0
+    var k = 0
+    i = 0
+    while (i < n) {
+      if (aMatched(i)) {
+        while (!bMatched(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) transpositions += 1
+        k += 1
+      }
+      i += 1
+    }
+    val mD = matches.toDouble
+    // `transpositions` counts mismatched flagged positions; half-pairs are
+    // FLOORED (integer /2) — the rapidfuzz/DuckDB convention. With odd
+    // mismatch counts (e.g. "…102" vs "…021") fractional halves would give
+    // a lower score than the oracle.
+    (mD / n + mD / m + (mD - transpositions / 2) / mD) / 3.0
+  }
+
+  def jaroDist(a: String, b: String): Double = 1.0 - jaroSim(a, b)
+
+  /** Jaro-Winkler with standard prefix weight 0.1, max prefix 4, and the
+    * common 0.7 boost threshold (matches rapidfuzz / DuckDB conventions;
+    * golden value 0.88 for "apple inc." vs "apple incorporated" verified
+    * against tests/test_pl_fuzzy_frame_match.py:360). */
+  def jaroWinklerSim(a: String, b: String): Double = {
+    val j = jaroSim(a, b)
+    if (j <= 0.7) return j
+    var prefix = 0
+    val maxPrefix = math.min(4, math.min(a.length, b.length))
+    while (prefix < maxPrefix && a.charAt(prefix) == b.charAt(prefix)) prefix += 1
+    j + prefix * 0.1 * (1.0 - j)
+  }
+
+  def jaroWinklerDist(a: String, b: String): Double = 1.0 - jaroWinklerSim(a, b)
+
+  // ---------------------------------------------------------------- hamming
+
+  /** Hamming distance with implicit padding: positions beyond the shorter
+    * string count as mismatches (rapidfuzz `pad=True` convention, so the
+    * reference's kernel sweep over unequal-length strings is well-defined;
+    * for equal lengths this equals classic Hamming). */
+  def hamming(a: String, b: String): Int = {
+    val shared = math.min(a.length, b.length)
+    var d = math.max(a.length, b.length) - shared
+    var i = 0
+    while (i < shared) {
+      if (a.charAt(i) != b.charAt(i)) d += 1
+      i += 1
+    }
+    d
+  }
+
+  def hammingDist(a: String, b: String): Double = {
+    val mx = math.max(a.length, b.length)
+    if (mx == 0) 0.0 else hamming(a, b).toDouble / mx
+  }
+
+  // ------------------------------------------------------------------ indel
+
+  /** Longest common subsequence length, two-row DP. */
+  def lcsLength(a: String, b: String): Int = {
+    val n = a.length
+    val m = b.length
+    if (n == 0 || m == 0) return 0
+    val prev = new Array[Int](m + 1)
+    val cur = new Array[Int](m + 1)
+    var i = 1
+    while (i <= n) {
+      val ca = a.charAt(i - 1)
+      var j = 1
+      while (j <= m) {
+        cur(j) = if (ca == b.charAt(j - 1)) prev(j - 1) + 1
+                 else math.max(prev(j), cur(j - 1))
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, m + 1)
+      i += 1
+    }
+    prev(m)
+  }
+
+  /** Insert/delete-only edit distance = lenA + lenB - 2*LCS, normalized by
+    * (lenA + lenB) (rapidfuzz Indel.normalized_distance convention). */
+  def indelDist(a: String, b: String): Double = {
+    val total = a.length + b.length
+    if (total == 0) 0.0
+    else (total - 2 * lcsLength(a, b)).toDouble / total
+  }
+}

@@ -1,0 +1,88 @@
+package graft.fuzzy
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{approx_count_distinct, col}
+
+/** Driver-side planning statistics + heuristics.
+  *
+  * Re-expresses the reference's `pre_process.py` pipeline on Spark:
+  * approx-distinct stats come from one `approx_count_distinct` scan per side
+  * (HLL, same sketch family the reference uses via `approx_n_unique`,
+  * pre_process.py:12-28), the uniqueness formula and the dedup heuristic use
+  * the reference's exact constants (pre_process.py:45,149).
+  */
+object PreProcess {
+
+  final case class Plan(left: DataFrame, right: DataFrame, maps: Seq[FuzzyMapping],
+                        leftLen: Long, rightLen: Long)
+
+  /** One scan per side computing approx distinct for every requested column. */
+  def approxUniqueness(df: DataFrame, cols: Seq[String]): Map[String, Long] = {
+    if (cols.isEmpty) return Map.empty
+    val distinctCols = cols.distinct
+    val row = df.select(distinctCols.map(c => approx_count_distinct(col(c)).as(c)): _*).head()
+    distinctCols.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
+  }
+
+  /** Combined uniqueness score — exact formula from pre_process.py:45,
+    * golden-tested against tests/test_pre_process.py:113-117. */
+  def calculateUniqueness(a: Double, b: Double): Double =
+    (math.pow(a + 0.5, 2) + math.pow(b + 0.5, 2)) / 2 - math.pow(0.5, 2) + 0.5 * math.abs(a - b)
+
+  def fillPercUnique(left: DataFrame, right: DataFrame, maps: Seq[FuzzyMapping],
+                     leftLen: Long, rightLen: Long): Seq[FuzzyMapping] = {
+    val leftStats = approxUniqueness(left, maps.map(_.leftCol))
+    val rightStats = approxUniqueness(right, maps.map(_.rightCol))
+    maps.map { m =>
+      val a = if (leftLen == 0) 0.0 else leftStats(m.leftCol).toDouble / leftLen
+      val b = if (rightLen == 0) 0.0 else rightStats(m.rightCol).toDouble / rightLen
+      m.copy(percUnique = calculateUniqueness(a, b))
+    }
+  }
+
+  /** Most selective mapping first (pre_process.py:106-119). Stable sort. */
+  def orderMaps(maps: Seq[FuzzyMapping]): Seq[FuzzyMapping] = maps.sortBy(-_.percUnique)
+
+  def uniquenessRate(maps: Seq[FuzzyMapping]): Double = maps.map(_.percUnique).sum
+
+  /** Dedup inputs iff the join keys are low-uniqueness AND the cartesian is
+    * big enough to hurt (constants from pre_process.py:149). */
+  def needsAggregation(rate: Double, cartesianSize: Double): Boolean =
+    rate < 1.2 && cartesianSize > 1_000_000L
+
+  def aggregateOutput(left: DataFrame, right: DataFrame, maps: Seq[FuzzyMapping]): (DataFrame, DataFrame) =
+    (left.dropDuplicates(maps.map(_.leftCol).distinct),
+     right.dropDuplicates(maps.map(_.rightCol).distinct))
+
+  /** Full preprocessing: stats -> order -> conditional dedup -> renames ->
+    * output names (pre_process.py:281-327). When `runStats` is false only
+    * the structurally required steps (rename + naming) run — the mid-level
+    * API semantics of the reference. */
+  def run(left: DataFrame, right: DataFrame, maps: Seq[FuzzyMapping],
+          runStats: Boolean = true): Plan = {
+    var l = left
+    var r = right
+    var ms = maps
+    var leftLen = -1L
+    var rightLen = -1L
+    if (runStats) {
+      leftLen = l.count()
+      rightLen = r.count()
+      if (leftLen > 0 && rightLen > 0) {
+        ms = fillPercUnique(l, r, ms, leftLen, rightLen)
+        ms = orderMaps(ms)
+        val rate = uniquenessRate(ms)
+        if (needsAggregation(rate, leftLen.toDouble * rightLen.toDouble)) {
+          val agg = aggregateOutput(l, r, ms)
+          l = agg._1
+          r = agg._2
+        }
+      }
+    }
+    val renames = NameUtils.renameRightColumns(l.columns.toSeq, r.columns.toSeq)
+    ms = NameUtils.renameMappingRightCols(ms, renames)
+    ms = NameUtils.setNamesInMappings(ms)
+    val rRenamed = renames.foldLeft(r) { case (df, (from, to)) => df.withColumnRenamed(from, to) }
+    Plan(l, rRenamed, ms, leftLen, rightLen)
+  }
+}

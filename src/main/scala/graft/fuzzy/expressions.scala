@@ -1,0 +1,70 @@
+package graft.fuzzy
+
+import org.apache.spark.sql.{Column, GraftSql, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Normalized string distance as a native Catalyst expression.
+  *
+  * The reference's hot loop is a vectorized Rust kernel over a candidate
+  * table (process.py:46-50). The Spark-idiomatic analog is a codegen'd
+  * expression so the cross-join -> score -> filter pipeline stays inside one
+  * WholeStageCodegen stage and the cartesian product is never materialized.
+  */
+case class FuzzyDistance(left: Expression, right: Expression, algo: FuzzyAlgorithm)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType.isInstanceOf[StringType] && right.dataType.isInstanceOf[StringType])
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string) arguments, " +
+          s"got (${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = s"${algo.name}_dist"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.dist(algo.id, a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.fuzzy.Kernels.dist(${algo.id}, $a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-level API for the six kernels + SQL registration. */
+object functions {
+
+  /** Normalized distance in [0,1] (0 = identical). */
+  def fuzzy_dist(left: Column, right: Column, algo: FuzzyAlgorithm): Column =
+    GraftSql.column(FuzzyDistance(GraftSql.expression(left), GraftSql.expression(right), algo))
+
+  /** Similarity in [0,1] (1 = identical) = 1 - distance. */
+  def fuzzy_sim(left: Column, right: Column, algo: FuzzyAlgorithm): Column =
+    org.apache.spark.sql.functions.lit(1.0) - fuzzy_dist(left, right, algo)
+
+  def levenshtein_dist(l: Column, r: Column): Column = fuzzy_dist(l, r, FuzzyAlgorithm.Levenshtein)
+  def jaro_dist(l: Column, r: Column): Column = fuzzy_dist(l, r, FuzzyAlgorithm.Jaro)
+  def jaro_winkler_dist(l: Column, r: Column): Column = fuzzy_dist(l, r, FuzzyAlgorithm.JaroWinkler)
+  def hamming_dist(l: Column, r: Column): Column = fuzzy_dist(l, r, FuzzyAlgorithm.Hamming)
+  def damerau_levenshtein_dist(l: Column, r: Column): Column = fuzzy_dist(l, r, FuzzyAlgorithm.DamerauLevenshtein)
+  def indel_dist(l: Column, r: Column): Column = fuzzy_dist(l, r, FuzzyAlgorithm.Indel)
+
+  /** Register `<algo>_dist` + `<algo>_sim` for every algorithm so fuzzy
+    * predicates are usable from `spark.sql(...)`. */
+  def registerAll(spark: SparkSession): Unit =
+    FuzzyAlgorithm.all.foreach { algo =>
+      GraftSql.registerFunction(spark, s"${algo.name}_dist",
+        exprs => FuzzyDistance(exprs(0), exprs(1), algo))
+      GraftSql.registerFunction(spark, s"${algo.name}_sim",
+        exprs => org.apache.spark.sql.catalyst.expressions.Subtract(
+          org.apache.spark.sql.catalyst.expressions.Literal(1.0),
+          FuzzyDistance(exprs(0), exprs(1), algo)))
+    }
+}

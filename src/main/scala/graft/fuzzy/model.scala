@@ -1,0 +1,104 @@
+package graft.fuzzy
+
+/** Fuzzy-join configuration model.
+  *
+  * Mirrors the semantics of the reference's config surface
+  * (`/root/reference/pl_fuzzy_frame_match/models.py:4-102`) re-expressed as
+  * idiomatic Scala case classes. No code is translated — only the observable
+  * contract (field defaults, threshold conversion quirk) is preserved.
+  */
+sealed trait FuzzyAlgorithm extends Serializable {
+  /** Stable id used for codegen dispatch in [[Kernels.dist]]. */
+  def id: Int
+  /** Reference algorithm name (models.py:4), used in score-column names. */
+  def name: String
+}
+
+object FuzzyAlgorithm {
+  case object Levenshtein        extends FuzzyAlgorithm { val id = 0; val name = "levenshtein" }
+  case object Jaro               extends FuzzyAlgorithm { val id = 1; val name = "jaro" }
+  case object JaroWinkler        extends FuzzyAlgorithm { val id = 2; val name = "jaro_winkler" }
+  case object Hamming            extends FuzzyAlgorithm { val id = 3; val name = "hamming" }
+  case object DamerauLevenshtein extends FuzzyAlgorithm { val id = 4; val name = "damerau_levenshtein" }
+  case object Indel              extends FuzzyAlgorithm { val id = 5; val name = "indel" }
+
+  val all: Seq[FuzzyAlgorithm] =
+    Seq(Levenshtein, Jaro, JaroWinkler, Hamming, DamerauLevenshtein, Indel)
+
+  def fromName(name: String): FuzzyAlgorithm =
+    all.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"Unknown fuzzy algorithm '$name'; expected one of ${all.map(_.name).mkString(", ")}"))
+}
+
+/** One column-pair mapping of a fuzzy join (reference models.py:15-102).
+  *
+  * @param thresholdScore similarity threshold on a 0-100 scale (default 80).
+  * @param percUnique combined uniqueness score filled in by preprocessing.
+  * @param outputColumnName score column name; when None a default of
+  *   `fuzzy_score_{left}_{right}` applies (models.py:87-89) unless
+  *   preprocessing overwrites it with `{left}_vs_{right}_{algo}`
+  *   (pre_process.py:326).
+  */
+final case class FuzzyMapping(
+    leftCol: String,
+    rightCol: String,
+    thresholdScore: Double = 80.0,
+    fuzzyType: FuzzyAlgorithm = FuzzyAlgorithm.Levenshtein,
+    percUnique: Double = 0.0,
+    outputColumnName: Option[String] = None,
+    valid: Boolean = true) {
+
+  /** similarity(0-100) -> normalized distance(0-1). The reference truncates
+    * the threshold to an int first (models.py:102: `((int(t)-100)*-1)/100`),
+    * so 80.5 behaves as 80 — replicated deliberately. */
+  def reversedThresholdScore: Double = ((thresholdScore.toInt - 100) * -1).toDouble / 100.0
+
+  /** Effective output name with the mid-level-API default applied. */
+  def resolvedOutputName: String =
+    outputColumnName.getOrElse(s"fuzzy_score_${leftCol}_${rightCol}")
+}
+
+object FuzzyMapping {
+  /** Reference allows right_col=None meaning "same as left" (models.py:81-82). */
+  def sameColumn(col: String,
+                 thresholdScore: Double = 80.0,
+                 fuzzyType: FuzzyAlgorithm = FuzzyAlgorithm.Levenshtein): FuzzyMapping =
+    FuzzyMapping(col, col, thresholdScore, fuzzyType)
+}
+
+/** Strategy/tuning knobs. Defaults mirror the reference's operative constants
+  * (matcher.py:250,286,322; top_n matcher.py:106).
+  *
+  * @param useApproxNearestNeighbor Some(true)=force LSH candidate join,
+  *   Some(false)=force exact cross join, None=auto by cartesian estimate.
+  * @param crossOverForApprox cartesian size (distinct-left × distinct-right)
+  *   above which auto mode switches to the approximate path.
+  * @param hardCartesianCap refuse to plan joins larger than this.
+  * @param runPreprocess run uniqueness stats / mapping reorder / conditional
+  *   input dedup (the reference's pre_process_for_fuzzy_matching). Disable
+  *   for the mid-level API semantics.
+  */
+final case class MatchOptions(
+    useApproxNearestNeighbor: Option[Boolean] = None,
+    topNForNewMatches: Int = 500,
+    crossOverForApprox: Double = 1e8,
+    hardCartesianCap: Double = 1e14,
+    runPreprocess: Boolean = true,
+    // LSH (approximate path) tuning — Spark-side design, no reference analog:
+    // the reference delegates to polars-simed (matcher.py:145-152); we use
+    // char-ngram MinHash LSH which scales horizontally on a cluster.
+    lshNgramSize: Int = 3,
+    lshNumHashTables: Int = 6,
+    lshJaccardDistanceThreshold: Double = 0.85,
+    lshFeatureDim: Int = 1 << 18,
+    // Broadcast the smaller value-level side of an exact cross join when it
+    // has at most this many distinct values (driver-side hint; AQE may still
+    // pick broadcast on its own).
+    broadcastDistinctLimit: Long = 200_000L)
+
+object MatchOptions {
+  val default: MatchOptions = MatchOptions()
+  /** Exact-path-only options (used by correctness tests/oracle queries). */
+  val exact: MatchOptions = MatchOptions(useApproxNearestNeighbor = Some(false))
+}

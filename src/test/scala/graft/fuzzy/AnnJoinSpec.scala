@@ -1,0 +1,58 @@
+package graft.fuzzy
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The LSH path has no row-identical oracle (different candidate generation
+  * than the reference's polars-simed); parity is recall-based against the
+  * exact path, mirroring SURVEY.md §5's port strategy.
+  */
+class AnnJoinSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def pairs(opts: MatchOptions): Set[(Long, Long)] = {
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val s = spark.read.parquet(s"$dir/supplier.parquet")
+    FuzzyMatcher.matchDfs(c, s,
+        Seq(FuzzyMapping("c_name", "s_name", 70.0, FuzzyAlgorithm.Levenshtein)), opts)
+      .select("c_custkey", "s_suppkey")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+  }
+
+  test("forced-ANN candidates recall >= 0.9 of the exact path") {
+    val exact = pairs(MatchOptions(useApproxNearestNeighbor = Some(false)))
+    val approx = pairs(MatchOptions(useApproxNearestNeighbor = Some(true)))
+    assert(exact.nonEmpty)
+    // every ANN result must also be an exact result (same final threshold)
+    assert((approx -- exact).isEmpty, "ANN produced pairs the exact path rejects")
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"ANN recall $recall below 0.9 (|exact|=${exact.size}, |ann|=${approx.size})")
+  }
+
+  test("auto mode picks exact below the crossover (result identical)") {
+    val auto = pairs(MatchOptions())  // cartesian 150x10 << 1e8
+    val exact = pairs(MatchOptions(useApproxNearestNeighbor = Some(false)))
+    assert(auto == exact)
+  }
+
+  test("hard cartesian cap refuses oversized joins") {
+    val err = intercept[IllegalStateException] {
+      pairs(MatchOptions(hardCartesianCap = 100.0, useApproxNearestNeighbor = Some(false)))
+    }
+    assert(err.getMessage.contains("too large"))
+  }
+
+  test("threshold int-truncation quirk: 70.9 behaves as 70") {
+    val a = pairs(MatchOptions(useApproxNearestNeighbor = Some(false)))
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val s = spark.read.parquet(s"$dir/supplier.parquet")
+    val b = FuzzyMatcher.matchDfs(c, s,
+        Seq(FuzzyMapping("c_name", "s_name", 70.9, FuzzyAlgorithm.Levenshtein)),
+        MatchOptions(useApproxNearestNeighbor = Some(false)))
+      .select("c_custkey", "s_suppkey").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+}

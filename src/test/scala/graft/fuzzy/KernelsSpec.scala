@@ -1,0 +1,106 @@
+package graft.fuzzy
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden float values are taken from the reference's own test suite
+  * (/root/reference/tests/test_pl_fuzzy_frame_match.py:360-362 and
+  * tests/test_process.py:97) — similarity = 1 - normalized distance.
+  */
+class KernelsSpec extends AnyFunSuite {
+
+  /** Deterministic random word pairs (seeded; no network dep on a
+    * scalatest-scalacheck bridge). */
+  private def forAllWordPairs(n: Int)(check: (String, String) => Unit): Unit = {
+    val rnd = new scala.util.Random(42)
+    def word(): String = {
+      val len = rnd.nextInt(13)
+      (0 until len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    }
+    (0 until n).foreach { _ => check(word(), word()) }
+  }
+
+  private val eps = 1e-12
+
+  private def levSim(a: String, b: String) = 1.0 - Kernels.levenshteinDist(a, b)
+  private def jwSim(a: String, b: String) = Kernels.jaroWinklerSim(a, b)
+
+  test("levenshtein golden values (reference e2e expectations)") {
+    assert(math.abs(levSim("tim cook", "timothy cook") - 0.6666666666666667) < eps)
+    assert(math.abs(levSim("satya ndella", "satya nadella") - 0.9230769230769231) < eps)
+    assert(math.abs(levSim("andy jessy", "andy jassy") - 0.9) < eps)
+    assert(math.abs(levSim("sundar pichai", "sundar pichai") - 1.0) < eps)
+    assert(math.abs(levSim("mark zukerberg", "mark zuckerberg") - 0.9333333333333333) < eps)
+    // tests/test_process.py:97 — "john" vs "johny"
+    assert(math.abs(levSim("john", "johny") - 0.8) < eps)
+  }
+
+  test("jaro_winkler golden values (reference e2e expectations)") {
+    assert(math.abs(jwSim("apple inc.", "apple incorporated") - 0.88) < eps)
+    assert(math.abs(jwSim("microsft", "microsoft corp") - 0.9142857142857143) < eps)
+    assert(math.abs(jwSim("amazon", "amazon.com inc") - 0.8857142857142858) < eps)
+    assert(math.abs(jwSim("gogle", "google llc") - 0.8666666666666667) < eps)
+    assert(math.abs(jwSim("facebok", "facebook inc") - 0.9166666666666667) < eps)
+  }
+
+  test("damerau handles transpositions (unrestricted variant)") {
+    assert(Kernels.damerau("ab", "ba") == 1)
+    assert(Kernels.damerau("abcdef", "abcdef") == 0)
+    // unrestricted: "ca" -> "abc" is 2 (delete a after transposing? no —
+    // classic unrestricted-DL example: OSA gives 3, true DL gives 2)
+    assert(Kernels.damerau("ca", "abc") == 2)
+    assert(Kernels.levenshtein("kitten", "sitting") == 3)
+    assert(Kernels.damerau("kitten", "sitting") == 3)
+  }
+
+  test("hamming with padding") {
+    assert(Kernels.hamming("karolin", "kathrin") == 3)
+    assert(Kernels.hamming("abc", "abcd") == 1)
+    assert(math.abs(Kernels.hammingDist("abc", "abcd") - 0.25) < eps)
+  }
+
+  test("indel = len1 + len2 - 2*LCS, normalized by sum") {
+    assert(Kernels.lcsLength("abcde", "ace") == 3)
+    // dist = (5 + 3 - 6) / 8 = 0.25
+    assert(math.abs(Kernels.indelDist("abcde", "ace") - 0.25) < eps)
+    assert(Kernels.indelDist("abc", "abc") == 0.0)
+  }
+
+  test("empty-string conventions") {
+    assert(Kernels.levenshteinDist("", "") == 0.0)
+    assert(Kernels.levenshteinDist("", "abc") == 1.0)
+    assert(Kernels.jaroSim("", "") == 1.0)
+    assert(Kernels.jaroSim("", "a") == 0.0)
+    assert(Kernels.hammingDist("", "") == 0.0)
+    assert(Kernels.indelDist("", "") == 0.0)
+    assert(Kernels.damerauDist("", "abc") == 1.0)
+  }
+
+  test("property: all distances bounded in [0,1], identity = 0, symmetric") {
+    forAllWordPairs(2000) { (a: String, b: String) =>
+      for (algo <- FuzzyAlgorithm.all) {
+        val d = Kernels.dist(algo.id,
+          org.apache.spark.unsafe.types.UTF8String.fromString(a),
+          org.apache.spark.unsafe.types.UTF8String.fromString(b))
+        val dRev = Kernels.dist(algo.id,
+          org.apache.spark.unsafe.types.UTF8String.fromString(b),
+          org.apache.spark.unsafe.types.UTF8String.fromString(a))
+        assert(d >= 0.0 && d <= 1.0, s"${algo.name}($a,$b)=$d out of range")
+        assert(math.abs(d - dRev) < eps, s"${algo.name} not symmetric on ($a,$b)")
+      }
+      val same = Kernels.dist(0,
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(a))
+      assert(same == 0.0)
+    }
+  }
+
+  test("property: damerau <= levenshtein <= indel distance counts") {
+    forAllWordPairs(2000) { (a: String, b: String) =>
+      val lev = Kernels.levenshtein(a, b)
+      val dam = Kernels.damerau(a, b)
+      val indel = a.length + b.length - 2 * Kernels.lcsLength(a, b)
+      assert(dam <= lev, s"damerau > levenshtein on ($a,$b)")
+      assert(lev <= indel, s"levenshtein > indel on ($a,$b)")
+    }
+  }
+}
