@@ -1,9 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, round => sround}
+import org.apache.spark.sql.functions.{col, encode, lit, round => sround}
 
 import graft.fuzzy.{FuzzyAlgorithm, FuzzyMapping, FuzzyMatcher, MatchOptions}
+import graft.pipeline.{AnnSearch, Dedup, Multimodal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -84,6 +85,96 @@ object SparkEntry {
         sround(col("c_name_vs_c_name_right_levenshtein"), 6).as("score_name"),
         sround(col("c_mktsegment_vs_c_mktsegment_right_jaro_winkler"), 6).as("score_seg"))
     }),
+    // ---- fuzzy self-dedup: matchDfs(df, df) minus identity pairs
+    "fuzzy_self_dedup" -> ((s, dir) => {
+      val res = FuzzyMatcher.matchDfs(
+        t(s, dir, "customer"), t(s, dir, "customer"),
+        Seq(FuzzyMapping("c_name", "c_name", 90.0, Levenshtein)))
+      res.where(col("c_custkey") < col("c_custkey_right"))
+        .select(col("c_custkey"), col("c_custkey_right"),
+          sround(col("c_name_vs_c_name_right_levenshtein"), 6).as("score"))
+    }),
+
+    // ---- deduplication suite over `documents`
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")),
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val p = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", 3, 0.5)
+      p.select(col("id_a"), col("id_b"), sround(col("jaccard"), 6).as("jaccard"))
+    }),
+    // LSH / sketch variants: no SQL analog -> rows-only check (recall vs the
+    // exact variants is asserted in the ScalaTest suites)
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      val p = Dedup.minhashLshPairs(t(s, dir, "documents"), "text", "doc_id",
+        shingleLen = 3, numBands = 16, rowsPerBand = 4, threshold = 0.4)
+      p.select(col("id_a"), col("id_b"), sround(col("est_jaccard"), 6).as("est_jaccard"))
+    }),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 8)),
+    "dedup_embedding_cosine" -> ((s, dir) => {
+      val p = Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), "embedding", "vec_id", 0.4)
+      p.select(col("id_a"), col("id_b"), sround(col("cosine"), 6).as("cosine"))
+    }),
+
+    // ---- similarity search over `embeddings`
+    "ann_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val res = AnnSearch.bruteForceTopK(emb.where(col("vec_id") < 10), emb,
+        "embedding", "vec_id", 10)
+      res.select(col("query_id"), col("corpus_id"),
+        sround(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+    }),
+    // LSH-bucketed variant (scale path): rows-only
+    "ann_cosine_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val res = AnnSearch.lshTopK(emb.where(col("vec_id") < 10), emb,
+        "embedding", "vec_id", 10, dim = 64, planes = 16, bands = 8)
+      res.select(col("query_id"), col("corpus_id"),
+        sround(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+    }),
+
+    // ---- text analysis over `documents`
+    "text_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.subwordCountEstimate(col("text")).cast("long").as("n_subwords"))),
+    "text_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        sround(TextAnalysis.qualityScore(col("text")), 6).as("quality"))),
+    "text_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))),
+    "text_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))),
+    // winnowing sketch: array output, no clean SQL analog -> rows-only
+    "text_winnow" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.winnowFingerprints(col("text")).as("sketch"))),
+
+    // ---- multimodal binary plumbing (documents' text bytes as payload)
+    "multimodal_meta" -> ((s, dir) =>
+      Multimodal.binaryMeta(
+        t(s, dir, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+        "payload").select(col("doc_id"), col("n_bytes"), col("magic_hex"))),
+    "multimodal_chunks" -> ((s, dir) =>
+      Multimodal.chunkBinary(
+        t(s, dir, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+        "payload", "doc_id", 128)
+        .select(col("doc_id"), col("chunk_index").cast("long").as("chunk_index"),
+          col("chunk_bytes").cast("long").as("chunk_bytes"))),
+    // stubbed decode via mapPartitions (batch boundary shape): rows-only
+    "multimodal_decode" -> ((s, dir) =>
+      Multimodal.decodeBatch(
+        t(s, dir, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+        "payload", "doc_id")
+        .select(col("id").as("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+          sround(col("feature"), 6).as("feature"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -121,5 +212,85 @@ object SparkEntry {
          FROM customer a CROSS JOIN customer b
          WHERE levenshtein(lower(a.c_name), lower(b.c_name)) / greatest(length(a.c_name), length(b.c_name)) <= 0.2
            AND 1.0 - jaro_winkler_similarity(lower(a.c_mktsegment), lower(b.c_mktsegment)) <= 0.2""",
+    "fuzzy_self_dedup" ->
+      """SELECT a.c_custkey AS c_custkey, b.c_custkey AS c_custkey_right,
+         round(1.0 - levenshtein(lower(a.c_name), lower(b.c_name)) / greatest(length(a.c_name), length(b.c_name)), 6) AS score
+         FROM customer a CROSS JOIN customer b
+         WHERE a.c_custkey < b.c_custkey
+           AND levenshtein(lower(a.c_name), lower(b.c_name)) / greatest(length(a.c_name), length(b.c_name)) <= 0.1""",
+    "dedup_exact" ->
+      """SELECT text, min(doc_id) AS keep_id, count(*) AS dup_count
+         FROM documents GROUP BY text""",
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+         s AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) END AS sh FROM t),
+         e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         sz AS (SELECT doc_id, len(sh) AS sz FROM s),
+         c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+               FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT id_a, id_b, round(common / (sa.sz + sb.sz - common), 6) AS jaccard
+         FROM c JOIN sz sa ON c.id_a = sa.doc_id JOIN sz sb ON c.id_b = sb.doc_id
+         WHERE common / (sa.sz + sb.sz - common) >= 0.5""",
+    "dedup_embedding_cosine" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""",
+    "ann_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         s AS (SELECT query_id, c.vec_id AS corpus_id,
+                      list_cosine_similarity(qv::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+               FROM q CROSS JOIN embeddings c WHERE c.vec_id != query_id),
+         r AS (SELECT query_id, corpus_id, cos,
+                      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+               FROM s)
+         SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 10""",
+    "text_stats" ->
+      """SELECT doc_id,
+         len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
+         len(list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'), t -> t != ''))
+           + length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_subwords
+         FROM documents""",
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+                CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS n_words,
+                CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS n_nonspace,
+                CAST(length(text) - length(regexp_replace(lower(text), '[a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio
+         FROM documents)
+         SELECT doc_id, round((
+           (CASE WHEN n_words >= 10 AND n_words <= 1000 THEN 1.0 WHEN n_words >= 3 THEN 0.5 ELSE 0.0 END)
+           + (CASE WHEN n_nonspace / n_words >= 3 AND n_nonspace / n_words <= 10 THEN 1.0 ELSE 0.5 END)
+           + alpha_ratio) / 3.0, 6) AS quality
+         FROM t""",
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+         h AS (SELECT doc_id,
+           len(list_filter(w, x -> list_contains(['the','and','of','to','in','is','that','it','for','with'], x))) AS h_en,
+           len(list_filter(w, x -> list_contains(['el','la','de','que','los','las','una','por','como','para'], x))) AS h_es,
+           len(list_filter(w, x -> list_contains(['le','les','des','est','dans','pour','qui','sur','pas','avec'], x))) AS h_fr,
+           len(list_filter(w, x -> list_contains(['der','die','und','das','ist','nicht','mit','ein','von','zu'], x))) AS h_de
+         FROM t)
+         SELECT doc_id, CASE
+           WHEN greatest(h_en, h_es, h_fr, h_de) = 0 THEN 'und'
+           WHEN h_en = greatest(h_en, h_es, h_fr, h_de) THEN 'en'
+           WHEN h_es = greatest(h_en, h_es, h_fr, h_de) THEN 'es'
+           WHEN h_fr = greatest(h_en, h_es, h_fr, h_de) THEN 'fr'
+           ELSE 'de' END AS lang_pred
+         FROM h""",
+    "text_fingerprint" ->
+      """SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fingerprint
+         FROM documents""",
+    "multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+         substring(upper(hex(encode(text))), 1, 8) AS magic_hex
+         FROM documents""",
+    "multimodal_chunks" ->
+      """WITH c AS (SELECT doc_id,
+           unnest(range(0, greatest(CAST(ceil(octet_length(encode(text))/128.0) AS BIGINT), 1))) AS chunk_index,
+           octet_length(encode(text)) AS nb
+         FROM documents)
+         SELECT doc_id, chunk_index, least(128, nb - chunk_index*128) AS chunk_bytes FROM c""",
   )
 }

@@ -1,0 +1,246 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * These extend the engine beyond the reference's fuzzy-join surface (the
+  * "north star" scope in BASELINE.json). Every operator is a pure DataFrame
+  * transform: shuffles are keyed (hash-partitioned), nothing collects to
+  * the driver, and the quadratic stages (pair generation) are always gated
+  * by a blocking key (exact shingle, LSH band bucket, or simhash chunk) so
+  * the full cartesian never materializes — the property that matters at
+  * 100 TB / 1000 executors.
+  */
+object Dedup {
+
+  // --------------------------------------------------------------- exact
+
+  /** Exact dedup: one surviving row id per distinct text (min id), plus the
+    * duplicate count. A single hash-aggregate shuffle on the text key. */
+  def exactDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Exact-dedup'd corpus: keeps the min-id row per distinct text. Returns
+    * the full original schema. At scale this is one shuffle keyed by a
+    * 128-bit text digest rather than the full text payload. */
+  def exactDedupRows(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keep = docs.groupBy(md5(col(textCol)).as("__digest"))
+      .agg(min(col(idCol)).as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // --------------------------------------------------- shingles / jaccard
+
+  /** Distinct lowercase word n-gram shingles per document:
+    * (idCol, "__shingle"), exploded. */
+  def wordShingles(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val tokens = split(lower(trim(col(textCol))), "\\s+")
+    val grams =
+      when(size(tokens) < n, array(concat_ws(" ", tokens)))
+        .otherwise(transform(sequence(lit(0), size(tokens) - lit(n)),
+          i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
+    docs.select(col(idCol), explode(array_distinct(grams)).as("__shingle"))
+  }
+
+  /** Exact n-gram Jaccard near-duplicate pairs (id_a < id_b, jaccard >=
+    * threshold). Pair generation is blocked on shared shingles: the
+    * self-join shuffles on the shingle key, so only documents sharing at
+    * least one shingle ever meet — no cartesian product. */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val sh = wordShingles(docs, textCol, idCol, n).localCheckpoint()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
+
+    val common = sh.as("a").join(sh.as("b"), col("a.__shingle") === col("b.__shingle"))
+      .where(col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("__common"))
+
+    common
+      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("__sz", "__sz_a"), "id_a")
+      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("__sz", "__sz_b"), "id_b")
+      .withColumn("jaccard",
+        col("__common") / (col("__sz_a") + col("__sz_b") - col("__common")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ------------------------------------------------------------- minhash
+
+  /** MinHash signature column: for each of k hash functions, the minimum
+    * seeded xxhash64 over the document's shingle set. Pure higher-order
+    * expressions — stays in codegen, no UDF. */
+  private def minhashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingles, s => xxhash64(s, i))))
+
+  /** MinHash-LSH near-duplicate candidate pairs.
+    *
+    * shingle -> k minhashes -> band into (numBands x rowsPerBand) -> bucket
+    * join on (band index, band hash) -> distinct pairs -> estimate jaccard
+    * as the fraction of agreeing signature positions -> threshold.
+    *
+    * This is the scale path for [[ngramJaccardPairs]]: candidate generation
+    * cost is bounded by bucket sizes (tunable via numBands/rowsPerBand)
+    * instead of shared-shingle frequency. Runs fully distributed; the only
+    * shuffles are the band-bucket join and the final dedup.
+    */
+  def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
+                      shingleLen: Int = 3, numBands: Int = 16, rowsPerBand: Int = 4,
+                      threshold: Double = 0.7): DataFrame = {
+    val k = numBands * rowsPerBand
+    val tokens = split(lower(trim(col(textCol))), "\\s+")
+    val grams =
+      when(size(tokens) < shingleLen, array(concat_ws(" ", tokens)))
+        .otherwise(transform(sequence(lit(0), size(tokens) - lit(shingleLen)),
+          i => concat_ws(" ", slice(tokens, i + 1, lit(shingleLen)))))
+
+    val signed = docs
+      .select(col(idCol), array_distinct(grams).as("__shingles"))
+      .where(size(col("__shingles")) > 0)
+      .withColumn("__sig", minhashSignature(col("__shingles"), k))
+      .select(col(idCol), col("__sig"))
+      .localCheckpoint()
+
+    // explode into one row per band: band hash = xxhash64 over the band's
+    // signature slice (rendered to a string key)
+    val banded = signed.select(
+      col(idCol), col("__sig"),
+      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+        b => xxhash64(concat_ws(",", slice(col("__sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand))), b))))
+      .withColumnRenamed("pos", "__band")
+      .withColumnRenamed("col", "__bucket")
+
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.__band") === col("b.__band") && col("a.__bucket") === col("b.__bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.__sig").as("__sig_a"), col("b.__sig").as("__sig_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    cand
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("__sig_a"), col("__sig_b"),
+          (x, y) => when(x === y, lit(1.0)).otherwise(lit(0.0))),
+          lit(0.0), (acc, v) => acc + v) / lit(k.toDouble))
+      .where(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  // ------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash of the token multiset, as pure expressions: for each
+    * bit position, sum +-1 over token hashes and take the sign bit. */
+  def simhash64(textCol: Column): Column = {
+    val tokens = split(lower(trim(textCol)), "\\s+")
+    val hashes = transform(tokens, t => xxhash64(t))
+    // bit b of the simhash = 1 iff sum over tokens of (bit b set ? +1 : -1) > 0
+    val bits = transform(sequence(lit(0), lit(63)), b =>
+      when(aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(call_function("shiftright", h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)) > 0, lit(1L))
+        .otherwise(lit(0L)))
+    aggregate(zip_with(bits, sequence(lit(0), lit(63)), (bit, pos) => call_function("shiftleft", bit, pos)),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** SimHash near-duplicate pairs with Hamming distance <= maxHamming.
+    *
+    * Blocking: split the 64-bit hash into (maxHamming + 1) chunks — by
+    * pigeonhole any pair within the Hamming budget agrees on at least one
+    * full chunk, so the join key (chunk index, chunk value) finds all of
+    * them without a cartesian. Verification is `bit_count(xor) <=
+    * maxHamming`, codegen'd. */
+  def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val chunkBits = 64 / chunks
+    val hashed = docs.select(col(idCol), simhash64(col(textCol)).as("__simhash"))
+      .localCheckpoint()
+
+    val chunked = hashed.select(
+      col(idCol), col("__simhash"),
+      posexplode(transform(sequence(lit(0), lit(chunks - 1)),
+        c => call_function("shiftright", col("__simhash"), c.cast("int") * chunkBits)
+          .bitwiseAND(lit((1L << chunkBits) - 1)))))
+      .withColumnRenamed("pos", "__chunk")
+      .withColumnRenamed("col", "__ckey")
+
+    chunked.as("a").join(chunked.as("b"),
+        col("a.__chunk") === col("b.__chunk") && col("a.__ckey") === col("b.__ckey") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        bit_count(col("a.__simhash").bitwiseXOR(col("b.__simhash"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .where(col("hamming") <= maxHamming)
+  }
+
+  // -------------------------------------------------------- embeddings
+
+  /** Dot product of two float-array columns as a double (element order
+    * preserved — matches an oracle computing the same left-to-right sum). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosineSimilarity(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Brute-force embedding near-duplicate pairs (cosine >= threshold,
+    * id_a < id_b). O(n^2) candidate space — correctness baseline and small
+    * corpora only; the scale path is [[cosineLshPairs]]. */
+  def embeddingCosinePairs(embeddings: DataFrame, vecCol: String, idCol: String,
+                           threshold: Double): DataFrame = {
+    val a = embeddings.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = embeddings.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.crossJoin(b)
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosineSimilarity(col("__va"), col("__vb")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Deterministic random hyperplanes for sign-LSH (driver-side seeded). */
+  private[pipeline] def hyperplanes(dim: Int, planes: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH (random hyperplane) near-duplicate pairs — the 100 TB path
+    * for [[embeddingCosinePairs]]: `planes` sign bits, banded like simhash,
+    * candidates verified with the exact cosine. Recall is tunable via
+    * bands; candidates per bucket stay bounded. */
+  def cosineLshPairs(embeddings: DataFrame, vecCol: String, idCol: String,
+                     threshold: Double, dim: Int, planes: Int = 16,
+                     bands: Int = 4, seed: Long = 42L): DataFrame = {
+    val hp = hyperplanes(dim, planes, seed)
+    val planeLits = hp.map(p => array(p.map(lit): _*))
+    // sign bit per plane, packed into one long
+    val bitsCol = planeLits.zipWithIndex.map { case (p, i) =>
+      when(dot(col(vecCol), p) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+    val hashed = embeddings.select(col(idCol), col(vecCol), bitsCol.as("__bits"))
+      .localCheckpoint()
+
+    val perBand = planes / bands
+    val chunked = hashed.select(
+      col(idCol), col(vecCol), col("__bits"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        c => call_function("shiftright", col("__bits"), c.cast("int") * perBand).bitwiseAND(lit((1L << perBand) - 1)))))
+      .withColumnRenamed("pos", "__band")
+      .withColumnRenamed("col", "__bkey")
+
+    chunked.as("a").join(chunked.as("b"),
+        col("a.__band") === col("b.__band") && col("a.__bkey") === col("b.__bkey") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col(s"a.$vecCol").as("__va"), col(s"b.$vecCol").as("__vb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", cosineSimilarity(col("__va"), col("__vb")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

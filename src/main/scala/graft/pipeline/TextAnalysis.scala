@@ -1,0 +1,102 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token counting,
+  * quality scoring, language identification, document fingerprinting.
+  *
+  * All pure `functions._` expressions — codegen'd, no UDFs, trivially
+  * SQL-mirrorable for the DuckDB oracle, and embarrassingly parallel (one
+  * narrow projection per document, no shuffles at all).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the trimmed, lowercased text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: alphanumeric runs + punctuation marks
+    * each count as one token (a cheap regex proxy for byte-pair tokenizers:
+    * words, numbers and each symbol separately). */
+  def subwordCountEstimate(text: Column): Column =
+    size(filter(split(lower(trim(text)), "[^a-z0-9]+"), t => t =!= "")) +
+      length(regexp_replace(text, "[a-zA-Z0-9\\s]", ""))
+
+  /** Quality components: character/word statistics used by typical corpus
+    * filters (length, mean word length, alpha ratio, punctuation density). */
+  def qualityComponents(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    df.withColumn("n_chars_m", length(t))
+      .withColumn("n_words", size(toks))
+      .withColumn("mean_word_len",
+        length(regexp_replace(t, "\\s", "")).cast("double") / size(toks))
+      .withColumn("alpha_ratio",
+        (length(t) - length(regexp_replace(lower(t), "[a-z]", ""))).cast("double") / length(t))
+      .withColumn("punct_ratio",
+        length(regexp_replace(t, "[^.,;:!?]", "")).cast("double") / length(t))
+  }
+
+  /** Composite quality score in [0,1]: word-count band + word-length band +
+    * alpha density (a simple, fully arithmetic heuristic — deterministic and
+    * oracle-mirrorable). */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nWords = size(toks).cast("double")
+    val meanLen = length(regexp_replace(text, "\\s", "")).cast("double") / nWords
+    val alphaRatio =
+      (length(text) - length(regexp_replace(lower(text), "[a-z]", ""))).cast("double") / length(text)
+    val wordBand = when(nWords >= 10 && nWords <= 1000, 1.0)
+      .when(nWords >= 3, 0.5).otherwise(0.0)
+    val lenBand = when(meanLen >= 3 && meanLen <= 10, 1.0).otherwise(0.5)
+    (wordBand + lenBand + alphaRatio) / lit(3.0)
+  }
+
+  /** Marker-word tables for the n-gram/stopword language heuristic. Small
+    * high-frequency function words per language. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "es" -> Seq("el", "la", "de", "que", "los", "las", "una", "por", "como", "para"),
+    "fr" -> Seq("le", "les", "des", "est", "dans", "pour", "qui", "sur", "pas", "avec"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "von", "zu"),
+  )
+
+  /** Language-ID heuristic: count marker-word hits per language over the
+    * whitespace tokens; predict the argmax, "und" (undetermined) when no
+    * marker hits at all. Ties break by table order (en, es, fr, de). */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val hits = langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isInCollection(markers)))
+    }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldRight(lit("und"): Column) { case ((lang, h), acc) =>
+      when(best > 0 && h === best, lit(lang)).otherwise(acc)
+    }
+  }
+  // NOTE: foldRight so that the FIRST language in table order wins ties —
+  // en > es > fr > de, deterministic.
+
+  /** Canonical content fingerprint: md5 of the sorted distinct token set.
+    * Invariant to word order and duplication — catches shuffled/near-exact
+    * copies that exact hashing misses. */
+  def fingerprintMd5(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Winnowing fingerprints (rolling-hash document sketch): hash every
+    * k-char window, then keep the minimum hash of each `window`-sized run
+    * (the MOSS/winnowing scheme). Distinct minima form the sketch. Pure
+    * higher-order expressions — no UDF, no shuffle. */
+  def winnowFingerprints(text: Column, k: Int = 5, window: Int = 4): Column = {
+    val t = lower(trim(text))
+    val nGrams = greatest(length(t) - lit(k - 1), lit(1))
+    val grams = transform(sequence(lit(1), nGrams), i => t.substr(i, lit(k)))
+    val gramHashes = transform(grams, g => xxhash64(g))
+    val nWindows = greatest(size(gramHashes) - lit(window - 1), lit(1))
+    array_distinct(transform(sequence(lit(1), nWindows),
+      w => array_min(slice(gramHashes, w, lit(window)))))
+  }
+}

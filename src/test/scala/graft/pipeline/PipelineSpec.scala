@@ -1,0 +1,206 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private val docsDir = "/root/testdata/sf0.001/documents.parquet"
+  private lazy val docs = spark.read.parquet(docsDir)
+
+  test("exact dedup keeps min id per distinct text") {
+    val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("doc_id", "text")
+    val res = Dedup.exactDedup(d, "text", "doc_id").collect()
+      .map(r => (r.getAs[String]("text"), r.getAs[Long]("keep_id"), r.getAs[Long]("dup_count"))).toSet
+    assert(res == Set(("a b c", 1L, 2L), ("x y z", 3L, 1L)))
+    assert(Dedup.exactDedupRows(d, "text", "doc_id").select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
+  test("word shingles: distinct n-grams, short docs collapse to one") {
+    val d = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+    val sh = Dedup.wordShingles(d, "text", "doc_id", 3).as[(Long, String)].collect().toSet
+    assert(sh == Set((1L, "a b c"), (1L, "b c d"), (2L, "a b")))
+  }
+
+  test("ngram jaccard pairs against hand-computed values") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),   // differs in last word
+      (3L, "completely different text with no overlap at all")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id", 3, 0.5).collect()
+    assert(pairs.length == 1)
+    val r = pairs.head
+    // 9 tokens -> 7 shingles each; 6 shared -> jaccard 6/8 = 0.75
+    assert(r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    assert(math.abs(r.getAs[Double]("jaccard") - 0.75) < 1e-12)
+  }
+
+  test("minhash LSH recall vs exact jaccard on real documents") {
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val approx = Dedup.minhashLshPairs(docs, "text", "doc_id",
+        shingleLen = 3, numBands = 16, rowsPerBand = 4, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "expected some near-dup pairs in testdata")
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"minhash recall $recall < 0.8 (|exact|=${exact.size}, |approx|=${approx.size})")
+  }
+
+  test("simhash: identical docs collide, hamming blocking finds near pairs") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy cat"),
+      (4L, "totally unrelated content zebra walrus xylophone")).toDF("doc_id", "text")
+    val hashes = d.select(col("doc_id"), Dedup.simhash64(col("text")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(hashes(1L) == hashes(2L))
+    val pairs = Dedup.simhashPairs(d, "text", "doc_id", maxHamming = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((3L, 1L)) ||
+      java.lang.Long.bitCount(hashes(1L) ^ hashes(3L)) > 16)
+  }
+
+  test("embedding cosine pairs: brute force matches LSH-verified pairs") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Dedup.embeddingCosinePairs(emb, "embedding", "vec_id", 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.cosineLshPairs(emb, "embedding", "vec_id", 0.35,
+        dim = 64, planes = 16, bands = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // LSH verifies with exact cosine -> subset; recall depends on banding
+    assert((lsh -- exact).isEmpty)
+    if (exact.nonEmpty) {
+      val recall = exact.intersect(lsh).size.toDouble / exact.size
+      assert(recall >= 0.7, s"cosine LSH recall $recall (|exact|=${exact.size})")
+    }
+  }
+}
+
+class AnnSearchSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("brute-force top-k is deterministic and correctly ranked") {
+    val queries = emb.where($"vec_id" < 5)
+    val res = AnnSearch.bruteForceTopK(queries, emb, "embedding", "vec_id", 10)
+    val rows = res.collect()
+    assert(rows.length == 5 * 10)
+    // per query: ranks 1..10, cosine non-increasing
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to 10))
+      val cosines = sorted.map(_.getAs[Double]("cosine")).toSeq
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH top-k finds a reasonable fraction of true neighbors") {
+    val queries = emb.where($"vec_id" < 20)
+    val exact = AnnSearch.bruteForceTopK(queries, emb, "embedding", "vec_id", 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val approx = AnnSearch.lshTopK(queries, emb, "embedding", "vec_id", 5,
+        dim = 64, planes = 16, bands = 8)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ANN search recall $recall")
+  }
+}
+
+class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  test("token counts") {
+    val d = Seq("one two three", "  padded   spaces  ", "single").toDF("text")
+    val counts = d.select(TextAnalysis.tokenCount($"text")).as[Int].collect().toSeq
+    assert(counts == Seq(3, 2, 1))
+  }
+
+  test("quality score bounded and sensible") {
+    val d = Seq(
+      "the quick brown fox jumps over the lazy dog and runs away fast",  // good
+      "x",                                                                // bad
+    ).toDF("text")
+    val scores = d.select(TextAnalysis.qualityScore($"text")).as[Double].collect()
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(0) > scores(1))
+  }
+
+  test("langId picks the language with most marker hits") {
+    val d = Seq(
+      "the cat and the dog in the house",
+      "el perro y la casa de la familia que vive",
+      "le chat est dans les maisons pour les amis",
+      "der hund und die katze ist nicht mit ein mann",
+      "zzz qqq www").toDF("text")
+    val langs = d.select(TextAnalysis.langId($"text")).as[String].collect().toSeq
+    assert(langs == Seq("en", "es", "fr", "de", "und"))
+  }
+
+  test("fingerprint invariant to word order and duplication") {
+    val d = Seq("b a c", "c b a", "a a b c c").toDF("text")
+    val fps = d.select(TextAnalysis.fingerprintMd5($"text")).as[String].collect()
+    assert(fps.distinct.length == 1)
+  }
+
+  test("winnow fingerprints: shared window minima for shared substrings") {
+    val d = Seq(
+      "abcdefghijklmnopqrstuvwxyz0123456789",
+      "abcdefghijklmnopqrstuvwxyz9876543210").toDF("text")
+    val fps = d.select(TextAnalysis.winnowFingerprints($"text")).as[Seq[Long]].collect()
+    assert(fps(0).toSet.intersect(fps(1).toSet).nonEmpty)
+    assert(fps(0).toSet != fps(1).toSet)
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val bin = Seq(
+    (1L, "hello world".getBytes("UTF-8")),
+    (2L, Array.fill[Byte](2500)(42)),
+    (3L, Array.emptyByteArray)).toDF("id", "payload")
+
+  test("binary metadata: byte length + magic header") {
+    val res = Multimodal.binaryMeta(bin, "payload")
+      .select("id", "n_bytes", "magic_hex").as[(Long, Int, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(res(1L) == ((11, "68656C6C")))
+    assert(res(2L) == ((2500, "2A2A2A2A")))
+  }
+
+  test("stubbed decode is deterministic and in range") {
+    val res = Multimodal.fakeDecodeMeta(bin, "payload")
+    val rows = res.select("id", "width", "height", "channels")
+      .as[(Long, Int, Int, Int)].collect()
+    rows.foreach { case (_, w, h, c) =>
+      assert(w >= 1 && w <= 1920); assert(h >= 1 && h <= 1080); assert(c >= 1 && c <= 3)
+    }
+    val again = Multimodal.fakeDecodeMeta(bin, "payload")
+      .select("id", "width", "height", "channels").as[(Long, Int, Int, Int)].collect()
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("binary chunking produces ceil(n/chunk) rows with exact byte split") {
+    val res = Multimodal.chunkBinary(bin, "payload", "id", 1024)
+      .groupBy($"id").agg(count(lit(1)).as("n"), sum($"chunk_bytes").as("bytes"))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(res(1L) == ((1L, 11L)))
+    assert(res(2L) == ((3L, 2500L)))   // 1024 + 1024 + 452
+  }
+
+  test("mapPartitions batch decode shape") {
+    val res = Multimodal.decodeBatch(bin, "payload", "id")
+    val rows = res.as[(Long, Int, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._2).toSeq == Seq(11, 2500, 0))
+    assert(rows.forall { case (_, _, f) => f >= 0.0 && f <= 1.0 })
+  }
+}
