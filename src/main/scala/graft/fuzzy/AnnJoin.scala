@@ -1,6 +1,5 @@
 package graft.fuzzy
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -9,67 +8,90 @@ import org.apache.spark.sql.functions._
   *
   * The reference shells out to polars-simed (`ps.join_sim`,
   * matcher.py:99-161): collect both sides to the driver, chunk the left side
-  * 10k rows at a time, and take the top-N most similar right values per left
+  * 10k rows at a time, take the top-N most similar right values per left
   * value. That design is single-node by construction. The Spark-native
-  * re-expression is MinHash-LSH over character n-gram sets:
+  * re-expression is banded MinHash LSH over character n-gram sets:
   *
-  *   value-level frame -> lowercase char n-grams -> binary HashingTF ->
-  *   MinHashLSH.approxSimilarityJoin (bucketed, distributed, no driver
-  *   collect) -> per-left-value top-N by true Jaccard distance.
+  *   distinct values -> char n-grams -> k=bands*rows minhashes (native
+  *   codegen'd expression) -> band keys -> bucket equi-join -> true
+  *   n-gram-Jaccard verify -> per-left-value top-N.
   *
-  * Everything stays a DataFrame: at 1000 executors the LSH join shuffles by
-  * hash bucket instead of building any cartesian product, and the top-N
-  * window is partitioned by left value (no global sort).
+  * Implemented directly on DataFrames (not spark.ml's MinHashLSH) for one
+  * load-bearing reason: BUCKET-SIZE CAPPING. On adversarial inputs where
+  * many values share most n-grams (e.g. a common 13-char prefix), every
+  * hash bucket contains nearly every value and an uncapped LSH join
+  * degenerates to a skewed cartesian product on a single reducer —
+  * measured as a >25-minute single-threaded stage at sf0.1. Buckets whose
+  * candidate count exceeds `lshMaxBucketPairs` are dropped (the standard
+  * web-scale LSH mitigation): a bucket that un-selective carries almost no
+  * signal, and the pairs it would contribute are mostly rejected by the
+  * final threshold anyway. The cap bounds per-bucket work, so the join
+  * scales horizontally no matter how degenerate the key distribution is.
   */
 object AnnJoin {
-
-  /** Char-ngram array column; strings shorter than n collapse to one gram so
-    * MinHash never sees an empty set. */
-  private def ngrams(c: org.apache.spark.sql.Column, n: Int) =
-    when(length(c) < n, array(c))
-      .otherwise(transform(sequence(lit(1), length(c) - lit(n - 1)), i => c.substr(i, lit(n))))
 
   /** Approximate candidate pairs between two distinct-value frames.
     *
     * @param leftValues  distinct left values (single column `leftCol`)
     * @param rightValues distinct right values (single column `rightCol`)
     * @return (leftCol, rightCol) pairs restricted to approximate neighbors —
-    *         same schema as an exact cross join of the inputs.
+    *         a subset of the exact cross join's schema.
     */
   def candidates(leftValues: DataFrame, rightValues: DataFrame,
                  leftCol: String, rightCol: String,
-                 opts: MatchOptions): DataFrame = {
+                 opts: MatchOptions, reversedThreshold: Double = 1.0): DataFrame = {
     val n = opts.lshNgramSize
+    val bands = opts.lshNumBands
+    val rows = opts.lshRowsPerBand
+    val k = bands * rows
 
-    val leftGrams = leftValues.withColumn("__grams", ngrams(lower(col(leftCol)), n))
-    val rightGrams = rightValues.withColumn("__grams", ngrams(lower(col(rightCol)), n))
+    def banded(df: DataFrame, vCol: String): DataFrame =
+      df.select(
+          col(vCol),
+          posexplode(
+            vectorFunctions.lsh_band_keys(
+              vectorFunctions.minhash_signature(
+                vectorFunctions.char_ngrams(lower(col(vCol)), n), k),
+              bands, rows)))
+        .withColumnRenamed("pos", "__band")
+        .withColumnRenamed("col", "__bkey")
 
-    val tf = new HashingTF()
-      .setInputCol("__grams").setOutputCol("__features")
-      .setNumFeatures(opts.lshFeatureDim).setBinary(true)
-    val leftFeat = tf.transform(leftGrams).drop("__grams")
-    val rightFeat = tf.transform(rightGrams).drop("__grams")
+    val lb = banded(leftValues, leftCol).localCheckpoint()
+    val rb = banded(rightValues, rightCol).localCheckpoint()
 
-    val lsh = new MinHashLSH()
-      .setInputCol("__features").setOutputCol("__hashes")
-      .setNumHashTables(opts.lshNumHashTables)
-      .setSeed(42L)
-    val model = lsh.fit(leftFeat)
+    // Bucket capping: drop (band, key) buckets whose left x right candidate
+    // count exceeds the cap — they are non-selective and would concentrate
+    // quadratic work on single reducers.
+    val allowed = lb.groupBy(col("__band"), col("__bkey")).agg(count(lit(1)).as("__lc"))
+      .join(rb.groupBy(col("__band"), col("__bkey")).agg(count(lit(1)).as("__rc")),
+        Seq("__band", "__bkey"))
+      .where(col("__lc") * col("__rc") <= opts.lshMaxBucketPairs)
+      .select(col("__band"), col("__bkey"))
 
-    val joined = model
-      .approxSimilarityJoin(leftFeat, rightFeat, opts.lshJaccardDistanceThreshold, "__jaccard_dist")
-      .select(
-        col(s"datasetA.$leftCol").as(leftCol),
-        col(s"datasetB.$rightCol").as(rightCol),
-        col("__jaccard_dist"))
-      // a pair can surface from several hash buckets — dedup before ranking
+    // Jaccard gate: a single edit changes at most `n` grams, so a pair
+    // within normalized edit distance f has gram-Jaccard distance at most
+    // ~2nf/(1 + nf) (long-string limit). Gate at 1.4x that bound (margin
+    // for end effects / short strings), capped by the configured ceiling —
+    // on selective mappings this cuts the candidate stream by orders of
+    // magnitude before the expensive shuffle stages.
+    val f = reversedThreshold
+    val adaptiveGate = math.min(
+      math.max(1.4 * (2.0 * n * f) / (1.0 + n * f), 0.25),
+      opts.lshJaccardDistanceThreshold)
+
+    // Verify BEFORE dedup: the jaccard kernel is cheap codegen'd compute on
+    // the (possibly duplicated) join stream, while dropDuplicates is a
+    // shuffle — filtering first shrinks the shuffle, not the other way.
+    val verified = lb.join(allowed, Seq("__band", "__bkey"))
+      .join(rb, Seq("__band", "__bkey"))
+      .select(col(leftCol), col(rightCol))
+      .withColumn("__jaccard_dist",
+        vectorFunctions.ngram_jaccard_dist(lower(col(leftCol)), lower(col(rightCol)), n))
+      .where(col("__jaccard_dist") <= adaptiveGate)
       .dropDuplicates(leftCol, rightCol)
 
-    // Reference keeps only top_n approximate neighbors per left item
-    // (matcher.py:106,150). Window partitioned by left value — distributed,
-    // no global ordering.
     val w = Window.partitionBy(col(leftCol)).orderBy(col("__jaccard_dist").asc, col(rightCol).asc)
-    joined
+    verified
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= opts.topNForNewMatches)
       .drop("__rn", "__jaccard_dist")

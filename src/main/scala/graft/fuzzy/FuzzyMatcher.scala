@@ -82,22 +82,36 @@ object FuzzyMatcher {
   /** Score candidate value pairs: lowercase both sides, keep pairs whose
     * normalized distance is within the (truncated) reversed threshold, flip
     * distance to similarity (calculate_fuzzy_score, process.py:8-56).
-    * Input and output are value-level: (leftVal, rightVal) -> + score `s`. */
+    * Input and output are value-level: (leftVal, rightVal) -> + score `s`.
+    *
+    * Performance shape: lowercasing happens in projections BEFORE the
+    * candidate join (once per distinct value, not once per pair), and the
+    * kernel is the thresholded [[BoundedFuzzyDistance]] — length-bound
+    * pruning plus a banded DP, exact for every surviving pair. */
   def scoreValuePairs(candidates: DataFrame, leftCol: String, rightCol: String,
                       algo: FuzzyAlgorithm, reversedThreshold: Double): DataFrame = {
-    val dist: Column = functions.fuzzy_dist(lower(col(leftCol)), lower(col(rightCol)), algo)
-    candidates
+    val ll = lowerName(leftCol)
+    val rl = lowerName(rightCol)
+    val withLower = candidates
+      .withColumn(ll, if (candidates.columns.contains(ll)) col(ll) else lower(col(leftCol)))
+      .withColumn(rl, if (candidates.columns.contains(rl)) col(rl) else lower(col(rightCol)))
+    val dist: Column =
+      functions.fuzzy_dist_bounded(col(ll), col(rl), algo, reversedThreshold)
+    withLower
       .withColumn("s", dist)
       .where(col("s") <= reversedThreshold)
       .withColumn("s", lit(1.0) - col("s"))
+      .drop(ll, rl)
   }
+
+  private def lowerName(c: String): String = s"__lower__$c"
 
   /** Candidate value pairs for a fresh pass: strategy pick by distinct-value
     * cartesian estimate (cross_join_no_existing_fuzzy_results,
     * matcher.py:241-340). */
   def freshCandidates(leftIdxDf: DataFrame, rightIdxDf: DataFrame,
                       leftCol: String, rightCol: String,
-                      opts: MatchOptions): DataFrame = {
+                      opts: MatchOptions, reversedThreshold: Double = 1.0): DataFrame = {
     // Checkpointed: each value frame is consumed twice (count + join).
     var leftVals = distinctValues(leftIdxDf, leftCol).localCheckpoint()
     var rightVals = distinctValues(rightIdxDf, rightCol).localCheckpoint()
@@ -121,13 +135,16 @@ object FuzzyMatcher {
 
     val useApprox = opts.useApproxNearestNeighbor.getOrElse(cartesian > opts.crossOverForApprox)
     if (useApprox) {
-      AnnJoin.candidates(leftVals, rightVals, lCol, rCol, opts)
+      AnnJoin.candidates(leftVals, rightVals, lCol, rCol, opts, reversedThreshold)
     } else {
-      // Exact cartesian of DISTINCT values. Broadcast the smaller value
-      // frame when it is clearly broadcastable so the big side never
-      // shuffles; otherwise leave the pick to Catalyst/AQE.
-      if (rCount <= opts.broadcastDistinctLimit) leftVals.crossJoin(broadcast(rightVals))
-      else leftVals.crossJoin(rightVals)
+      // Exact cartesian of DISTINCT values, each side pre-projected with
+      // its lowercased value (computed once per value, not per pair).
+      // Broadcast the smaller value frame when it is clearly broadcastable
+      // so the big side never shuffles; otherwise leave the pick to AQE.
+      val lProj = leftVals.withColumn(lowerName(lCol), lower(col(lCol)))
+      val rProj = rightVals.withColumn(lowerName(rCol), lower(col(rCol)))
+      if (rCount <= opts.broadcastDistinctLimit) lProj.crossJoin(broadcast(rProj))
+      else lProj.crossJoin(rProj)
     }
   }
 
@@ -156,7 +173,8 @@ object FuzzyMatcher {
       case None =>
         // Fresh pass: candidates over distinct values, score, then expand
         // to row pairs by joining each side back on its value.
-        val candidates = freshCandidates(leftIdxDf, rightIdxDf, leftCol, rightCol, opts)
+        val candidates = freshCandidates(leftIdxDf, rightIdxDf, leftCol, rightCol, opts,
+          fuzzyMap.reversedThresholdScore)
         val scored = scoreValuePairs(candidates, leftCol, rightCol,
           fuzzyMap.fuzzyType, fuzzyMap.reversedThresholdScore)
         scored

@@ -80,6 +80,105 @@ object Kernels {
     if (mx == 0) 0.0 else levenshtein(a, b).toDouble / mx
   }
 
+  /** Banded (Ukkonen-style) edit distance with cutoff: exact when the
+    * distance is <= k, returns k+1 otherwise. O((2k+1) * n) instead of
+    * O(n*m) — the right kernel under a similarity threshold, where most
+    * candidate pairs exceed the budget early. */
+  def levenshteinBounded(a: CharSequence, b: CharSequence, k: Int): Int = {
+    var aStart = 0
+    var aEnd = a.length
+    var bStart = 0
+    var bEnd = b.length
+    while (aStart < aEnd && bStart < bEnd && a.charAt(aStart) == b.charAt(bStart)) {
+      aStart += 1; bStart += 1
+    }
+    while (aEnd > aStart && bEnd > bStart && a.charAt(aEnd - 1) == b.charAt(bEnd - 1)) {
+      aEnd -= 1; bEnd -= 1
+    }
+    val n = aEnd - aStart
+    val m = bEnd - bStart
+    if (math.abs(n - m) > k) return k + 1
+    if (n == 0) return m
+    if (m == 0) return n
+    if (k >= math.max(n, m)) return levenshtein(a.subSequence(aStart, aEnd), b.subSequence(bStart, bEnd))
+    val inf = k + 1
+    val prev = new Array[Int](m + 1)
+    val cur = new Array[Int](m + 1)
+    java.util.Arrays.fill(prev, inf)
+    var j = 0
+    while (j <= math.min(m, k)) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(cur, inf)
+      val lo = math.max(1, i - k)
+      val hi = math.min(m, i + k)
+      if (lo == 1 && i <= k) cur(0) = i
+      var rowMin = cur(0)
+      val ca = a.charAt(aStart + i - 1)
+      j = lo
+      while (j <= hi) {
+        val cost = if (ca == b.charAt(bStart + j - 1)) 0 else 1
+        var v = prev(j - 1) + cost
+        val del = prev(j) + 1
+        if (del < v) v = del
+        val ins = cur(j - 1) + 1
+        if (ins < v) v = ins
+        if (v > inf) v = inf
+        cur(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (rowMin >= inf) return inf
+      System.arraycopy(cur, 0, prev, 0, m + 1)
+      i += 1
+    }
+    math.min(prev(m), inf)
+  }
+
+  /** Thresholded distance: exact normalized distance when it is <=
+    * `maxDist`, any value > maxDist otherwise (2.0). Semantically
+    * interchangeable with [[dist]] under a `<= maxDist` filter, but prunes
+    * with cheap length bounds and a banded DP. */
+  def distBounded(id: Int, a: UTF8String, b: UTF8String, maxDist: Double): Double = {
+    val sa = a.toString
+    val sb = b.toString
+    val la = sa.length
+    val lb = sb.length
+    val mx = math.max(la, lb)
+    val diff = math.abs(la - lb)
+    id match {
+      case 0 => // levenshtein: dist >= diff/mx
+        if (mx == 0) 0.0
+        else {
+          val k = (maxDist * mx).toInt
+          if (diff > k) 2.0
+          else {
+            val d = levenshteinBounded(sa, sb, k)
+            if (d > k) 2.0 else d.toDouble / mx
+          }
+        }
+      case 3 => // hamming (padded): dist >= diff/mx
+        if (mx == 0) 0.0
+        else if (diff > maxDist * mx) 2.0
+        else hammingDist(sa, sb)
+      case 4 => // damerau <= levenshtein shares the length bound
+        if (mx == 0) 0.0
+        else if (diff > maxDist * mx) 2.0
+        else damerauDist(sa, sb)
+      case 5 => // indel: dist >= diff/(la+lb)
+        if (la + lb == 0) 0.0
+        else if (diff > maxDist * (la + lb)) 2.0
+        else indelDist(sa, sb)
+      case 1 => // jaro: sim <= (min/max + 2) / 3 => dist >= (1 - min/max)/3
+        if (diff > 3.0 * maxDist * mx) 2.0 else jaroDist(sa, sb)
+      case 2 =>
+        // jaro-winkler: the prefix boost can recover up to 0.4 of the jaro
+        // gap (4 * 0.1), so dist >= 0.6 * (1 - jaroBound) = 0.2 * diff / mx
+        if (diff > 5.0 * maxDist * mx) 2.0 else jaroWinklerDist(sa, sb)
+      case _ => throw new IllegalArgumentException(s"bad algorithm id $id")
+    }
+  }
+
   // ------------------------------------------------------- damerau-levenshtein
 
   /** Unrestricted Damerau-Levenshtein (true transposition distance, matching

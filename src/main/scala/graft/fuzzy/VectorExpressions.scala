@@ -1,0 +1,137 @@
+package graft.fuzzy
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSql
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd expressions for the vector / sketch hot paths.
+  *
+  * Spark's higher-order functions (`transform`, `aggregate`, `zip_with`)
+  * evaluate their lambdas interpreted, one element at a time; at sf0.1 that
+  * made cosine top-k and MinHash ~20-100x slower than these tight loops.
+  * Each expression generates a single static call into [[VectorKernels]],
+  * keeping the surrounding plan inside WholeStageCodegen.
+  */
+case class FloatVectorCosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "fvec_cosine"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.fuzzy.VectorKernels.cosineF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class FloatVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "fvec_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.fuzzy.VectorKernels.dotF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.minhash(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.fuzzy.VectorKernels.minhash($c, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class SimHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.simhash(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.fuzzy.VectorKernels.simhash($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class WinnowSketch(child: Expression, k: Int, window: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_sketch"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.winnow(v.asInstanceOf[UTF8String], k, window)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.fuzzy.VectorKernels.winnow($c, $k, $window)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Sign-LSH bits against a fixed hyperplane matrix (flattened row-major). */
+case class SignLshBits(child: Expression, planes: Array[Double], dim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sign_lsh_bits"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.signBits(v.asInstanceOf[ArrayData], planes, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.fuzzy.VectorKernels.signBits($c, $ref, $dim)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.charNgrams(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.fuzzy.VectorKernels.charNgrams($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class LshBandKeys(child: Expression, bands: Int, rows: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_band_keys"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.bandKeys(v.asInstanceOf[ArrayData], bands, rows)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.fuzzy.VectorKernels.bandKeys($c, $bands, $rows)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class NgramJaccardDistance(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "ngram_jaccard_dist"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.ngramJaccardDist(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.fuzzy.VectorKernels.ngramJaccardDist($a, $b, $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Column-level API for the native vector/sketch expressions. */
+object vectorFunctions {
+  private def c(e: Expression): Column = GraftSql.column(e)
+  private def x(col: Column): Expression = GraftSql.expression(col)
+
+  def fvec_cosine(a: Column, b: Column): Column = c(FloatVectorCosine(x(a), x(b)))
+  def fvec_dot(a: Column, b: Column): Column = c(FloatVectorDot(x(a), x(b)))
+  def minhash_signature(shingles: Column, k: Int): Column = c(MinHashSignature(x(shingles), k))
+  def simhash64(tokens: Column): Column = c(SimHash(x(tokens)))
+  def winnow_sketch(text: Column, k: Int = 5, window: Int = 4): Column =
+    c(WinnowSketch(x(text), k, window))
+  def sign_lsh_bits(vec: Column, planes: Array[Double], dim: Int): Column =
+    c(SignLshBits(x(vec), planes, dim))
+  def char_ngrams(text: Column, n: Int): Column = c(CharNgrams(x(text), n))
+  def lsh_band_keys(sig: Column, bands: Int, rows: Int): Column =
+    c(LshBandKeys(x(sig), bands, rows))
+  def ngram_jaccard_dist(a: Column, b: Column, n: Int): Column =
+    c(NgramJaccardDistance(x(a), x(b), n))
+}

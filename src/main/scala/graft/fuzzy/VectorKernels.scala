@@ -1,0 +1,204 @@
+package graft.fuzzy
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop kernels for vector / sketch operators, callable from generated
+  * code (static forwarders). These replace `transform`/`aggregate`
+  * higher-order expressions on the hot paths: Spark evaluates HOF lambdas
+  * interpreted per element, which benchmarked ~20-100x slower than these
+  * loops at sf0.1.
+  */
+object VectorKernels {
+
+  /** Dot product of two float-array columns (double accumulation,
+    * left-to-right — same sum order as the DuckDB oracle). */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** xxhash64-style seeded hash of a UTF8String via Spark's own XXH64. */
+  @inline private def seededHash(s: UTF8String, seed: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      s, org.apache.spark.sql.types.StringType, seed)
+
+  /** MinHash signature: k minima of seeded hashes over a string array. */
+  def minhash(shingles: ArrayData, k: Int): ArrayData = {
+    val n = shingles.numElements()
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      var mn = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        if (!shingles.isNullAt(i)) {
+          val h = seededHash(shingles.getUTF8String(i), j)
+          if (h < mn) mn = h
+        }
+        i += 1
+      }
+      out(j) = mn
+      j += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** 64-bit SimHash over a string token array: per bit, sign of the sum of
+    * +-1 votes from each token's hash. */
+  def simhash(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = seededHash(tokens.getUTF8String(i), 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Winnowing sketch: hash every k-char gram of `text`, keep the min hash
+    * of each sliding window, distinct. Returns sorted minima. */
+  def winnow(text: UTF8String, k: Int, window: Int): ArrayData = {
+    val s = text.toString
+    val nGrams = math.max(s.length - k + 1, 1)
+    val hashes = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      hashes(i) = seededHash(UTF8String.fromString(s.substring(i, math.min(i + k, s.length))), 7L)
+      i += 1
+    }
+    val nWin = math.max(nGrams - window + 1, 1)
+    val out = new java.util.TreeSet[java.lang.Long]()
+    var w = 0
+    while (w < nWin) {
+      var mn = Long.MaxValue
+      var j = w
+      val end = math.min(w + window, nGrams)
+      while (j < end) {
+        if (hashes(j) < mn) mn = hashes(j)
+        j += 1
+      }
+      out.add(mn)
+      w += 1
+    }
+    val arr = new Array[Long](out.size())
+    val it = out.iterator()
+    var x = 0
+    while (it.hasNext) { arr(x) = it.next(); x += 1 }
+    ArrayData.toArrayData(arr)
+  }
+
+  /** Sign-LSH bits: pack sign(dot(v, plane_i)) into a long. `planes` is a
+    * flattened row-major (nPlanes x dim) matrix. */
+  def signBits(v: ArrayData, planes: Array[Double], dim: Int): Long = {
+    val nPlanes = planes.length / dim
+    val n = math.min(v.numElements(), dim)
+    var bits = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0.0
+      var i = 0
+      val off = p * dim
+      while (i < n) {
+        dot += v.getFloat(i).toDouble * planes(off + i)
+        i += 1
+      }
+      if (dot > 0) bits |= (1L << p)
+      p += 1
+    }
+    bits
+  }
+
+  /** Character n-grams of a string (duplicates kept; a string shorter than
+    * n collapses to itself, so the gram set is never empty). */
+  def charNgrams(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    if (str.length < n)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](UTF8String.fromString(str)))
+    else {
+      val cnt = str.length - n + 1
+      val out = new Array[Any](cnt)
+      var i = 0
+      while (i < cnt) {
+        out(i) = UTF8String.fromString(str.substring(i, i + n))
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  /** LSH band keys: one combined hash per band over `rows` consecutive
+    * signature entries (band index mixed in so bands never collide). */
+  def bandKeys(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 1125899906842597L ^ b
+      var r = 0
+      while (r < rows) {
+        val v = sig.getLong(b * rows + r)
+        h = h * 31 + v
+        h ^= (h >>> 27)
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** Normalized Jaccard DISTANCE between the char n-gram SETS of two
+    * strings, computed directly in one pass (no array materialization). */
+  def ngramJaccardDist(a: UTF8String, b: UTF8String, n: Int): Double = {
+    val sa = new java.util.HashSet[String]()
+    val sb = new java.util.HashSet[String]()
+    val as = a.toString
+    val bs = b.toString
+    if (as.length < n) sa.add(as)
+    else { var i = 0; while (i <= as.length - n) { sa.add(as.substring(i, i + n)); i += 1 } }
+    if (bs.length < n) sb.add(bs)
+    else { var i = 0; while (i <= bs.length - n) { sb.add(bs.substring(i, i + n)); i += 1 } }
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    val union = sa.size() + sb.size() - inter
+    if (union == 0) 0.0 else 1.0 - inter.toDouble / union
+  }
+}

@@ -38,6 +38,35 @@ case class FuzzyDistance(left: Expression, right: Expression, algo: FuzzyAlgorit
     copy(left = newLeft, right = newRight)
 }
 
+/** Thresholded variant used on the scoring hot path: returns the exact
+  * normalized distance when it is <= maxDist, and 2.0 otherwise — which is
+  * indistinguishable from [[FuzzyDistance]] under the matcher's
+  * `dist <= threshold` filter, but prunes with length bounds and a banded
+  * DP (Kernels.distBounded). */
+case class BoundedFuzzyDistance(left: Expression, right: Expression,
+                                algo: FuzzyAlgorithm, maxDist: Double)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType.isInstanceOf[StringType] && right.dataType.isInstanceOf[StringType])
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string) arguments")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = s"${algo.name}_dist_bounded"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.distBounded(algo.id, a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], maxDist)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.fuzzy.Kernels.distBounded(${algo.id}, $a, $b, $maxDist)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level API for the six kernels + SQL registration. */
 object functions {
 
@@ -48,6 +77,10 @@ object functions {
   /** Similarity in [0,1] (1 = identical) = 1 - distance. */
   def fuzzy_sim(left: Column, right: Column, algo: FuzzyAlgorithm): Column =
     org.apache.spark.sql.functions.lit(1.0) - fuzzy_dist(left, right, algo)
+
+  /** Thresholded distance for `<= maxDist` filters (see [[BoundedFuzzyDistance]]). */
+  def fuzzy_dist_bounded(left: Column, right: Column, algo: FuzzyAlgorithm, maxDist: Double): Column =
+    GraftSql.column(BoundedFuzzyDistance(GraftSql.expression(left), GraftSql.expression(right), algo, maxDist))
 
   def levenshtein_dist(l: Column, r: Column): Column = fuzzy_dist(l, r, FuzzyAlgorithm.Levenshtein)
   def jaro_dist(l: Column, r: Column): Column = fuzzy_dist(l, r, FuzzyAlgorithm.Jaro)

@@ -87,11 +87,14 @@ final case class MatchOptions(
     runPreprocess: Boolean = true,
     // LSH (approximate path) tuning — Spark-side design, no reference analog:
     // the reference delegates to polars-simed (matcher.py:145-152); we use
-    // char-ngram MinHash LSH which scales horizontally on a cluster.
+    // banded char-ngram MinHash which scales horizontally on a cluster.
     lshNgramSize: Int = 3,
-    lshNumHashTables: Int = 6,
+    lshNumBands: Int = 16,
+    lshRowsPerBand: Int = 2,
     lshJaccardDistanceThreshold: Double = 0.85,
-    lshFeatureDim: Int = 1 << 18,
+    // drop LSH buckets whose leftCount*rightCount exceeds this (skew guard;
+    // see AnnJoin scaladoc)
+    lshMaxBucketPairs: Long = 4_000_000L,
     // Broadcast the smaller value-level side of an exact cross join when it
     // has at most this many distinct values (driver-side hint; AQE may still
     // pick broadcast on its own).

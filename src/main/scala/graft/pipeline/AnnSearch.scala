@@ -40,11 +40,8 @@ object AnnSearch {
               vecCol: String, idCol: String, k: Int,
               dim: Int, planes: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
     val hp = Dedup.hyperplanes(dim, planes, seed)
-    val planeLits = hp.map(p => array(p.map(lit): _*))
     def bits(v: org.apache.spark.sql.Column) =
-      planeLits.zipWithIndex.map { case (p, i) =>
-        when(Dedup.dot(v, p) > 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce((a, b) => a.bitwiseOR(b))
+      graft.fuzzy.vectorFunctions.sign_lsh_bits(v, hp.flatten, dim)
 
     val perBand = planes / bands
     def banded(df: DataFrame, id: String, vec: String) =

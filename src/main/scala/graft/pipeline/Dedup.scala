@@ -71,11 +71,11 @@ object Dedup {
   // ------------------------------------------------------------- minhash
 
   /** MinHash signature column: for each of k hash functions, the minimum
-    * seeded xxhash64 over the document's shingle set. Pure higher-order
-    * expressions — stays in codegen, no UDF. */
+    * seeded hash over the document's shingle set. Native codegen'd
+    * expression ([[graft.fuzzy.MinHashSignature]]) — a tight loop instead
+    * of interpreted HOF lambdas. */
   private def minhashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingles, s => xxhash64(s, i))))
+    graft.fuzzy.vectorFunctions.minhash_signature(shingles, k)
 
   /** MinHash-LSH near-duplicate candidate pairs.
     *
@@ -132,19 +132,10 @@ object Dedup {
 
   // ------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash of the token multiset, as pure expressions: for each
-    * bit position, sum +-1 over token hashes and take the sign bit. */
-  def simhash64(textCol: Column): Column = {
-    val tokens = split(lower(trim(textCol)), "\\s+")
-    val hashes = transform(tokens, t => xxhash64(t))
-    // bit b of the simhash = 1 iff sum over tokens of (bit b set ? +1 : -1) > 0
-    val bits = transform(sequence(lit(0), lit(63)), b =>
-      when(aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(call_function("shiftright", h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)) > 0, lit(1L))
-        .otherwise(lit(0L)))
-    aggregate(zip_with(bits, sequence(lit(0), lit(63)), (bit, pos) => call_function("shiftleft", bit, pos)),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
-  }
+  /** 64-bit SimHash of the token multiset: per bit, the sign of the sum of
+    * +-1 votes from each token hash (native codegen'd expression). */
+  def simhash64(textCol: Column): Column =
+    graft.fuzzy.vectorFunctions.simhash64(split(lower(trim(textCol)), "\\s+"))
 
   /** SimHash near-duplicate pairs with Hamming distance <= maxHamming.
     *
@@ -179,14 +170,13 @@ object Dedup {
 
   // -------------------------------------------------------- embeddings
 
-  /** Dot product of two float-array columns as a double (element order
-    * preserved — matches an oracle computing the same left-to-right sum). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two FLOAT-array columns as a double (left-to-right
+    * accumulation — same sum order as the DuckDB oracle). Native codegen'd
+    * expression. */
+  def dot(a: Column, b: Column): Column = graft.fuzzy.vectorFunctions.fvec_dot(a, b)
 
   def cosineSimilarity(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    graft.fuzzy.vectorFunctions.fvec_cosine(a, b)
 
   /** Brute-force embedding near-duplicate pairs (cosine >= threshold,
     * id_a < id_b). O(n^2) candidate space — correctness baseline and small
@@ -216,11 +206,7 @@ object Dedup {
                      threshold: Double, dim: Int, planes: Int = 16,
                      bands: Int = 4, seed: Long = 42L): DataFrame = {
     val hp = hyperplanes(dim, planes, seed)
-    val planeLits = hp.map(p => array(p.map(lit): _*))
-    // sign bit per plane, packed into one long
-    val bitsCol = planeLits.zipWithIndex.map { case (p, i) =>
-      when(dot(col(vecCol), p) > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    val bitsCol = graft.fuzzy.vectorFunctions.sign_lsh_bits(col(vecCol), hp.flatten, dim)
 
     val hashed = embeddings.select(col(idCol), col(vecCol), bitsCol.as("__bits"))
       .localCheckpoint()

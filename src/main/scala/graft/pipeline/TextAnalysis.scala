@@ -90,13 +90,6 @@ object TextAnalysis {
     * k-char window, then keep the minimum hash of each `window`-sized run
     * (the MOSS/winnowing scheme). Distinct minima form the sketch. Pure
     * higher-order expressions — no UDF, no shuffle. */
-  def winnowFingerprints(text: Column, k: Int = 5, window: Int = 4): Column = {
-    val t = lower(trim(text))
-    val nGrams = greatest(length(t) - lit(k - 1), lit(1))
-    val grams = transform(sequence(lit(1), nGrams), i => t.substr(i, lit(k)))
-    val gramHashes = transform(grams, g => xxhash64(g))
-    val nWindows = greatest(size(gramHashes) - lit(window - 1), lit(1))
-    array_distinct(transform(sequence(lit(1), nWindows),
-      w => array_min(slice(gramHashes, w, lit(window)))))
-  }
+  def winnowFingerprints(text: Column, k: Int = 5, window: Int = 4): Column =
+    graft.fuzzy.vectorFunctions.winnow_sketch(lower(trim(text)), k, window)
 }

@@ -94,6 +94,27 @@ class KernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("property: bounded distance equals full distance under the threshold") {
+    forAllWordPairs(3000) { (a: String, b: String) =>
+      for (k <- Seq(0, 1, 2, 5)) {
+        val full = Kernels.levenshtein(a, b)
+        val bounded = Kernels.levenshteinBounded(a, b, k)
+        if (full <= k) assert(bounded == full, s"bounded($a,$b,$k)=$bounded, full=$full")
+        else assert(bounded == k + 1, s"bounded($a,$b,$k)=$bounded should be ${k + 1} (full=$full)")
+      }
+      for (algo <- FuzzyAlgorithm.all; maxDist <- Seq(0.1, 0.3, 0.8)) {
+        val ua = org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        val ub = org.apache.spark.unsafe.types.UTF8String.fromString(b)
+        val full = Kernels.dist(algo.id, ua, ub)
+        val bounded = Kernels.distBounded(algo.id, ua, ub, maxDist)
+        if (full <= maxDist) assert(math.abs(bounded - full) < eps,
+          s"${algo.name}($a,$b) bounded=$bounded full=$full maxDist=$maxDist")
+        else assert(bounded > maxDist,
+          s"${algo.name}($a,$b) bounded=$bounded should exceed $maxDist (full=$full)")
+      }
+    }
+  }
+
   test("property: damerau <= levenshtein <= indel distance counts") {
     forAllWordPairs(2000) { (a: String, b: String) =>
       val lev = Kernels.levenshtein(a, b)

@@ -171,10 +171,10 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
 
   test("binary metadata: byte length + magic header") {
     val res = Multimodal.binaryMeta(bin, "payload")
-      .select("id", "n_bytes", "magic_hex").as[(Long, Int, String)].collect()
+      .select("id", "n_bytes", "magic_hex").as[(Long, Long, String)].collect()
       .map(t => t._1 -> ((t._2, t._3))).toMap
-    assert(res(1L) == ((11, "68656C6C")))
-    assert(res(2L) == ((2500, "2A2A2A2A")))
+    assert(res(1L) == ((11L, "68656C6C")))
+    assert(res(2L) == ((2500L, "2A2A2A2A")))
   }
 
   test("stubbed decode is deterministic and in range") {
