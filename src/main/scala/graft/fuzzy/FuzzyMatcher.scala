@@ -56,7 +56,9 @@ object FuzzyMatcher {
     val rightIdx = addIndexColumn(plan.right, RightIdx)
 
     val matchFrames = performAllFuzzyMatches(leftIdx, rightIdx, plan.maps, opts)
-    val allMatches = combineMatches(matchFrames)
+    // single mapping: no combine join needed (matcher.py:642-647)
+    val allMatches =
+      if (matchFrames.size == 1) matchFrames.head else combineMatches(matchFrames)
 
     leftIdx.join(allMatches, LeftIdx)
       .join(rightIdx, RightIdx)

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference has no event-time streaming ("streaming" there means
+  * Polars' out-of-core batch engine, SURVEY.md §1.1); these operators are
+  * part of the north-star pipeline surface. All are source-agnostic: they
+  * accept either a batch or a streaming DataFrame of the same schema, so
+  * specs can validate streaming output against the batch equivalent.
+  */
+object EventStreams {
+
+  /** Sliding-window event aggregation with a watermark: late rows beyond
+    * `watermark` are dropped, state is bounded. */
+  def windowedCounts(events: DataFrame,
+                     windowLen: String = "1 hour",
+                     slide: String = "30 minutes",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Streaming exact dedup on event_id, state bounded by the watermark
+    * (the streaming analog of Dedup.exactDedupRows). */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  final case class SessionUpdate(user_id: Long, n_events: Long, total_value: Double)
+  // public: Catalyst's generated encoders instantiate this reflectively
+  final case class SessionState(n: Long, total: Double)
+
+  /** Per-user running session state via mapGroupsWithState — the custom
+    * stateful-operator shape (KeyValueGroupedDataset) for logic windows
+    * can't express. Emits one updated row per user per micro-batch. */
+  def sessionTotals(events: DataFrame): Dataset[SessionUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          val prev = state.getOption.getOrElse(SessionState(0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          rows.foreach { case (_, v) => n += 1; total += v }
+          state.update(SessionState(n, total))
+          SessionUpdate(userId, n, total)
+      }
+  }
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming operators validated against their batch equivalents: the same
+  * parquet drives a file-stream source (one file = one micro-batch) into a
+  * memory sink, then the results are compared with the batch computation.
+  */
+class EventStreamsSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private val eventsPath = "/root/testdata/sf0.001/events.parquet"
+
+  // ts is TIMESTAMP(NANOS) in the files -> read as long ns, convert to a
+  // proper timestamp column for event-time semantics
+  private def withTs(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+
+  // FileStreamSource requires a DIRECTORY; stage the single parquet file
+  private lazy val streamDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(eventsPath),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  private lazy val rawSchema = spark.read.parquet(eventsPath).schema
+  private lazy val batchEvents = withTs(spark.read.parquet(eventsPath))
+
+  private def streamingEvents = withTs(
+    spark.readStream.schema(rawSchema).parquet(streamDir))
+
+  test("windowed counts: streaming result equals batch result") {
+    val q = EventStreams.windowedCounts(streamingEvents)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("win_counts")
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    // Append mode only emits FINALIZED windows (watermark passed). With a
+    // single micro-batch, windows near the max event time stay open, so the
+    // streaming output must be a subset of the batch result — and closed
+    // windows must match exactly.
+    val streamed = spark.table("win_counts").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_start"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n_events"), math.round(r.getAs[Double]("total_value") * 1e6)))
+      .toSet
+    val batch = EventStreams.windowedCounts(batchEvents).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_start"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n_events"), math.round(r.getAs[Double]("total_value") * 1e6)))
+      .toSet
+    assert(streamed.nonEmpty, "no finalized windows emitted")
+    assert(streamed.subsetOf(batch),
+      s"streaming emitted rows absent from batch: ${(streamed -- batch).take(3)}")
+  }
+
+  test("streaming dedup drops duplicate event_ids") {
+    val q = EventStreams.dedupEvents(streamingEvents)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_events")
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val n = spark.table("dedup_events").count()
+    val distinct = batchEvents.select("event_id").distinct().count()
+    assert(n == distinct)
+  }
+
+  test("stateful session totals accumulate per user") {
+    val q = EventStreams.sessionTotals(streamingEvents)
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("sessions")
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("sessions")
+      .groupBy($"user_id").agg(max($"n_events").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = batchEvents.groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streamed == batch)
+  }
+}
