@@ -39,25 +39,67 @@ object AnnJoin {
     */
   def candidates(leftValues: DataFrame, rightValues: DataFrame,
                  leftCol: String, rightCol: String,
-                 opts: MatchOptions, reversedThreshold: Double = 1.0): DataFrame = {
+                 opts: MatchOptions, reversedThreshold: Double = 1.0,
+                 totalValues: Long = -1L): DataFrame = {
     val n = opts.lshNgramSize
     val bands = opts.lshNumBands
     val rows = opts.lshRowsPerBand
     val k = bands * rows
 
+    // IDF-style stop-gram removal: an n-gram present in more than
+    // `lshStopGramFraction` of ALL values (both sides) carries no blocking
+    // signal — e.g. a shared 13-char prefix puts every value in every
+    // bucket. Signatures are minhashed over the DISCRIMINATIVE grams only;
+    // a value whose grams are all stopped falls back to its full gram set.
+    // Relational end-to-end: gram doc-frequencies via one aggregation, the
+    // stop list applied with a join — no driver collection.
+    def gramsOf(df: DataFrame, vCol: String): DataFrame =
+      df.select(col(vCol).as("__v"),
+        explode(array_distinct(vectorFunctions.char_ngrams(lower(col(vCol)), n))).as("__g"))
+
+    val total =
+      if (totalValues > 0) totalValues
+      else leftValues.count() + rightValues.count()
+    val allGrams = gramsOf(leftValues, leftCol).unionByName(gramsOf(rightValues, rightCol))
+      .localCheckpoint()
+    val stopGrams = allGrams.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") > opts.lshStopGramFraction * total)
+      .select(col("__g"))
+
+    def keptGrams(df: DataFrame, vCol: String): DataFrame = {
+      val kept = gramsOf(df, vCol)
+        .join(stopGrams, Seq("__g"), "left_anti")
+        .groupBy(col("__v")).agg(collect_list(col("__g")).as("__grams"))
+        .withColumnRenamed("__v", vCol)
+      // Fall back to the FULL gram set when too few discriminative grams
+      // survive: tiny kept sets make MinHash high-variance, and asymmetric
+      // kept sets (one side stops grams the other keeps) destroy recall.
+      df.join(kept, Seq(vCol), "left")
+        .withColumn("__grams",
+          when(col("__grams").isNull || size(col("__grams")) < opts.lshMinKeptGrams,
+            vectorFunctions.char_ngrams(lower(col(vCol)), n))
+            .otherwise(col("__grams")))
+    }
+
+    // The lowered value rides along from here on: computed once per value,
+    // reused by the jaccard gate (per-pair lower() allocations dominated the
+    // gate cost) and by the downstream scorer.
     def banded(df: DataFrame, vCol: String): DataFrame =
-      df.select(
+      keptGrams(df, vCol).select(
           col(vCol),
+          lower(col(vCol)).as(FuzzyMatcher.lowerName(vCol)),
           posexplode(
             vectorFunctions.lsh_band_keys(
-              vectorFunctions.minhash_signature(
-                vectorFunctions.char_ngrams(lower(col(vCol)), n), k),
+              vectorFunctions.minhash_signature(col("__grams"), k),
               bands, rows)))
         .withColumnRenamed("pos", "__band")
         .withColumnRenamed("col", "__bkey")
 
     val lb = banded(leftValues, leftCol).localCheckpoint()
     val rb = banded(rightValues, rightCol).localCheckpoint()
+    val lLow = FuzzyMatcher.lowerName(leftCol)
+    val rLow = FuzzyMatcher.lowerName(rightCol)
 
     // Bucket capping: drop (band, key) buckets whose left x right candidate
     // count exceeds the cap — they are non-selective and would concentrate
@@ -84,9 +126,9 @@ object AnnJoin {
     // shuffle — filtering first shrinks the shuffle, not the other way.
     val verified = lb.join(allowed, Seq("__band", "__bkey"))
       .join(rb, Seq("__band", "__bkey"))
-      .select(col(leftCol), col(rightCol))
+      .select(col(leftCol), col(lLow), col(rightCol), col(rLow))
       .withColumn("__jaccard_dist",
-        vectorFunctions.ngram_jaccard_dist(lower(col(leftCol)), lower(col(rightCol)), n))
+        vectorFunctions.ngram_jaccard_dist(col(lLow), col(rLow), n))
       .where(col("__jaccard_dist") <= adaptiveGate)
       .dropDuplicates(leftCol, rightCol)
 

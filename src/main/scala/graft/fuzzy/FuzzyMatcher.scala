@@ -106,7 +106,7 @@ object FuzzyMatcher {
       .drop(ll, rl)
   }
 
-  private def lowerName(c: String): String = s"__lower__$c"
+  private[fuzzy] def lowerName(c: String): String = s"__lower__$c"
 
   /** Candidate value pairs for a fresh pass: strategy pick by distinct-value
     * cartesian estimate (cross_join_no_existing_fuzzy_results,
@@ -137,7 +137,7 @@ object FuzzyMatcher {
 
     val useApprox = opts.useApproxNearestNeighbor.getOrElse(cartesian > opts.crossOverForApprox)
     if (useApprox) {
-      AnnJoin.candidates(leftVals, rightVals, lCol, rCol, opts, reversedThreshold)
+      AnnJoin.candidates(leftVals, rightVals, lCol, rCol, opts, reversedThreshold, lCount + rCount)
     } else {
       // Exact cartesian of DISTINCT values, each side pre-projected with
       // its lowercased value (computed once per value, not per pair).

@@ -135,11 +135,83 @@ object Kernels {
     math.min(prev(m), inf)
   }
 
+  /** Banded levenshtein directly over ASCII bytes of UTF8Strings — no
+    * String allocation per pair (the scoring loop runs hundreds of millions
+    * of times per join at sf0.1). Caller must ensure both are pure ASCII. */
+  def levBoundedAscii(a: UTF8String, b: UTF8String, k: Int): Int = {
+    var aStart = 0
+    var aEnd = a.numBytes
+    var bStart = 0
+    var bEnd = b.numBytes
+    while (aStart < aEnd && bStart < bEnd && a.getByte(aStart) == b.getByte(bStart)) {
+      aStart += 1; bStart += 1
+    }
+    while (aEnd > aStart && bEnd > bStart && a.getByte(aEnd - 1) == b.getByte(bEnd - 1)) {
+      aEnd -= 1; bEnd -= 1
+    }
+    val n = aEnd - aStart
+    val m = bEnd - bStart
+    if (math.abs(n - m) > k) return k + 1
+    if (n == 0) return m
+    if (m == 0) return n
+    val inf = k + 1
+    val prev = new Array[Int](m + 1)
+    val cur = new Array[Int](m + 1)
+    java.util.Arrays.fill(prev, inf)
+    var j = 0
+    val kEff = math.min(k, math.max(n, m))
+    while (j <= math.min(m, kEff)) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(cur, inf)
+      val lo = math.max(1, i - kEff)
+      val hi = math.min(m, i + kEff)
+      if (lo == 1 && i <= kEff) cur(0) = i
+      var rowMin = if (lo == 1 && i <= kEff) i else inf
+      val ca = a.getByte(aStart + i - 1)
+      j = lo
+      while (j <= hi) {
+        val cost = if (ca == b.getByte(bStart + j - 1)) 0 else 1
+        var v = prev(j - 1) + cost
+        val del = prev(j) + 1
+        if (del < v) v = del
+        val ins = cur(j - 1) + 1
+        if (ins < v) v = ins
+        if (v > inf) v = inf
+        cur(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (rowMin >= inf) return inf
+      System.arraycopy(cur, 0, prev, 0, m + 1)
+      i += 1
+    }
+    math.min(prev(m), inf)
+  }
+
   /** Thresholded distance: exact normalized distance when it is <=
     * `maxDist`, any value > maxDist otherwise (2.0). Semantically
     * interchangeable with [[dist]] under a `<= maxDist` filter, but prunes
-    * with cheap length bounds and a banded DP. */
+    * with cheap length bounds and a banded DP. Levenshtein on pure-ASCII
+    * inputs takes an allocation-free byte path. */
   def distBounded(id: Int, a: UTF8String, b: UTF8String, maxDist: Double): Double = {
+    if (id == 0) {
+      val la = a.numBytes
+      val lb = b.numBytes
+      // ASCII iff byte count == char count (UTF8String.numChars is cheap)
+      if (a.numChars == la && b.numChars == lb) {
+        val mx = math.max(la, lb)
+        if (mx == 0) return 0.0
+        val k = (maxDist * mx).toInt
+        if (math.abs(la - lb) > k) return 2.0
+        val d = levBoundedAscii(a, b, k)
+        return if (d > k) 2.0 else d.toDouble / mx
+      }
+    }
+    distBoundedGeneric(id, a, b, maxDist)
+  }
+
+  private def distBoundedGeneric(id: Int, a: UTF8String, b: UTF8String, maxDist: Double): Double = {
     val sa = a.toString
     val sb = b.toString
     val la = sa.length

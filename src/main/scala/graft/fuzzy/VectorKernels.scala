@@ -184,21 +184,77 @@ object VectorKernels {
     ArrayData.toArrayData(out)
   }
 
+  /** Sorted distinct grams of an ASCII string, each n<=4 gram packed into
+    * one Int (bytes are the gram identity — no String allocation). */
+  private def gramIntsAscii(s: UTF8String, n: Int): Array[Int] = {
+    val len = s.numBytes
+    val cnt = if (len < n) 1 else len - n + 1
+    val out = new Array[Int](cnt)
+    if (len < n) {
+      var packed = 0
+      var i = 0
+      while (i < len) { packed = (packed << 8) | (s.getByte(i) & 0xff); i += 1 }
+      out(0) = packed
+    } else {
+      var i = 0
+      while (i < cnt) {
+        var packed = 0
+        var j = 0
+        while (j < n) { packed = (packed << 8) | (s.getByte(i + j) & 0xff); j += 1 }
+        out(i) = packed
+        i += 1
+      }
+      java.util.Arrays.sort(out)
+    }
+    out
+  }
+
+  /** Intersection size of two sorted arrays counting DISTINCT values. */
+  private def sortedDistinctIntersect(a: Array[Int], b: Array[Int]): (Int, Int, Int) = {
+    var i = 0; var j = 0
+    var inter = 0; var da = 0; var db = 0
+    while (i < a.length || j < b.length) {
+      if (i < a.length && (j >= b.length || a(i) < b(j))) {
+        da += 1
+        val v = a(i); while (i < a.length && a(i) == v) i += 1
+      } else if (j < b.length && (i >= a.length || b(j) < a(i))) {
+        db += 1
+        val v = b(j); while (j < b.length && b(j) == v) j += 1
+      } else {
+        da += 1; db += 1; inter += 1
+        val v = a(i)
+        while (i < a.length && a(i) == v) i += 1
+        while (j < b.length && b(j) == v) j += 1
+      }
+    }
+    (inter, da, db)
+  }
+
   /** Normalized Jaccard DISTANCE between the char n-gram SETS of two
-    * strings, computed directly in one pass (no array materialization). */
+    * strings. ASCII + n<=4 fast path packs grams into Ints (zero String
+    * allocation — this runs once per LSH candidate pair, tens of millions
+    * of times per join); generic path falls back to hashed grams. */
   def ngramJaccardDist(a: UTF8String, b: UTF8String, n: Int): Double = {
-    val sa = new java.util.HashSet[String]()
-    val sb = new java.util.HashSet[String]()
-    val as = a.toString
-    val bs = b.toString
-    if (as.length < n) sa.add(as)
-    else { var i = 0; while (i <= as.length - n) { sa.add(as.substring(i, i + n)); i += 1 } }
-    if (bs.length < n) sb.add(bs)
-    else { var i = 0; while (i <= bs.length - n) { sb.add(bs.substring(i, i + n)); i += 1 } }
-    var inter = 0
-    val it = sa.iterator()
-    while (it.hasNext) if (sb.contains(it.next())) inter += 1
-    val union = sa.size() + sb.size() - inter
-    if (union == 0) 0.0 else 1.0 - inter.toDouble / union
+    if (n <= 4 && a.numChars == a.numBytes && b.numChars == b.numBytes) {
+      val ga = gramIntsAscii(a, n)
+      val gb = gramIntsAscii(b, n)
+      val (inter, da, db) = sortedDistinctIntersect(ga, gb)
+      val union = da + db - inter
+      if (union == 0) 0.0 else 1.0 - inter.toDouble / union
+    } else {
+      val sa = new java.util.HashSet[String]()
+      val sb = new java.util.HashSet[String]()
+      val as = a.toString
+      val bs = b.toString
+      if (as.length < n) sa.add(as)
+      else { var i = 0; while (i <= as.length - n) { sa.add(as.substring(i, i + n)); i += 1 } }
+      if (bs.length < n) sb.add(bs)
+      else { var i = 0; while (i <= bs.length - n) { sb.add(bs.substring(i, i + n)); i += 1 } }
+      var inter = 0
+      val it = sa.iterator()
+      while (it.hasNext) if (sb.contains(it.next())) inter += 1
+      val union = sa.size() + sb.size() - inter
+      if (union == 0) 0.0 else 1.0 - inter.toDouble / union
+    }
   }
 }

@@ -95,6 +95,12 @@ final case class MatchOptions(
     // drop LSH buckets whose leftCount*rightCount exceeds this (skew guard;
     // see AnnJoin scaladoc)
     lshMaxBucketPairs: Long = 4_000_000L,
+    // n-grams present in more than this fraction of all values are excluded
+    // from MinHash signatures (IDF-style stop grams; see AnnJoin scaladoc)
+    lshStopGramFraction: Double = 0.25,
+    // below this many surviving grams a value reverts to its full gram set
+    // (tiny/asymmetric kept sets make MinHash recall collapse)
+    lshMinKeptGrams: Int = 8,
     // Broadcast the smaller value-level side of an exact cross join when it
     // has at most this many distinct values (driver-side hint; AQE may still
     // pick broadcast on its own).
