@@ -37,6 +37,44 @@ object AnnJoin {
     * @return (leftCol, rightCol) pairs restricted to approximate neighbors —
     *         a subset of the exact cross join's schema.
     */
+  /** Like [[candidates]], but detects LSH-hostile inputs and declines.
+    *
+    * The stop-gram statistics double as an effectiveness probe: when most
+    * values keep fewer than `lshMinKeptGrams` discriminative grams (e.g.
+    * all values share a long common prefix and differ only in a few
+    * characters), n-gram buckets cannot separate them — the LSH path then
+    * costs MORE than the exact cross join while losing recall. Returns
+    * None in that case if the cartesian is within
+    * `lshExactFallbackCartesianCap`, signalling the caller to run exact.
+    */
+  def candidatesOrExactFallback(leftValues: DataFrame, rightValues: DataFrame,
+                                leftCol: String, rightCol: String,
+                                opts: MatchOptions, reversedThreshold: Double,
+                                totalValues: Long, cartesian: Double): Option[DataFrame] = {
+    if (cartesian <= opts.lshExactFallbackCartesianCap) {
+      val n = opts.lshNgramSize
+      val minKept = opts.lshMinKeptGrams
+      def keptCounts(df: DataFrame, vCol: String): DataFrame =
+        df.select(explode(array_distinct(vectorFunctions.char_ngrams(lower(col(vCol)), n))).as("__g"),
+          col(vCol).as("__v"))
+      val grams = keptCounts(leftValues, leftCol).unionByName(keptCounts(rightValues, rightCol))
+        .localCheckpoint()
+      val stop = grams.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+        .where(col("__df") > opts.lshStopGramFraction * totalValues).select(col("__g"))
+      // countDistinct: in a self-join the same value arrives from BOTH
+      // sides of the union — a plain count would double the kept-gram
+      // tally and mask degeneracy
+      val degenerate = grams.join(stop, Seq("__g"), "left_anti")
+        .groupBy(col("__v")).agg(countDistinct(col("__g")).as("__kept"))
+        .agg(avg(when(col("__kept") < minKept, 1.0).otherwise(0.0)).as("__frac"))
+        .head().getDouble(0)
+      // values with NO kept grams at all are missing from the aggregation;
+      // conservatively treat the gap as degenerate too
+      if (degenerate > opts.lshDegenerateFraction) return None
+    }
+    Some(candidates(leftValues, rightValues, leftCol, rightCol, opts, reversedThreshold, totalValues))
+  }
+
   def candidates(leftValues: DataFrame, rightValues: DataFrame,
                  leftCol: String, rightCol: String,
                  opts: MatchOptions, reversedThreshold: Double = 1.0,
@@ -121,21 +159,26 @@ object AnnJoin {
       math.max(1.4 * (2.0 * n * f) / (1.0 + n * f), 0.25),
       opts.lshJaccardDistanceThreshold)
 
-    // Verify BEFORE dedup: the jaccard kernel is cheap codegen'd compute on
-    // the (possibly duplicated) join stream, while dropDuplicates is a
-    // shuffle — filtering first shrinks the shuffle, not the other way.
-    val verified = lb.join(allowed, Seq("__band", "__bkey"))
+    // Verify on the (duplicated) join stream — the jaccard kernel is cheap
+    // codegen'd compute — then rank, THEN dedup. A pair surfaces from ~2
+    // bands on average, so deduping the full gated stream is a large
+    // shuffle that removes little; ranking first caps the stream at
+    // top-N per left value and the dedup shuffle runs on the small
+    // remainder. (Duplicates briefly consume rank slots, so the effective
+    // top-N is topN/duplication-factor — acceptable for an approximate
+    // candidate cap; the reference's top_n is equally approximate.)
+    val gated = lb.join(allowed, Seq("__band", "__bkey"))
       .join(rb, Seq("__band", "__bkey"))
       .select(col(leftCol), col(lLow), col(rightCol), col(rLow))
       .withColumn("__jaccard_dist",
         vectorFunctions.ngram_jaccard_dist(col(lLow), col(rLow), n))
       .where(col("__jaccard_dist") <= adaptiveGate)
-      .dropDuplicates(leftCol, rightCol)
 
     val w = Window.partitionBy(col(leftCol)).orderBy(col("__jaccard_dist").asc, col(rightCol).asc)
-    verified
+    gated
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= opts.topNForNewMatches)
       .drop("__rn", "__jaccard_dist")
+      .dropDuplicates(leftCol, rightCol)
   }
 }

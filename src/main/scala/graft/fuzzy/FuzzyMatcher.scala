@@ -135,18 +135,24 @@ object FuzzyMatcher {
       throw new IllegalStateException(
         s"The cartesian product of the two dataframes is too large to process: $cartesian")
 
-    val useApprox = opts.useApproxNearestNeighbor.getOrElse(cartesian > opts.crossOverForApprox)
-    if (useApprox) {
-      AnnJoin.candidates(leftVals, rightVals, lCol, rCol, opts, reversedThreshold, lCount + rCount)
-    } else {
-      // Exact cartesian of DISTINCT values, each side pre-projected with
-      // its lowercased value (computed once per value, not per pair).
-      // Broadcast the smaller value frame when it is clearly broadcastable
-      // so the big side never shuffles; otherwise leave the pick to AQE.
+    // Exact cartesian of DISTINCT values, each side pre-projected with
+    // its lowercased value (computed once per value, not per pair).
+    // Broadcast the smaller value frame when it is clearly broadcastable
+    // so the big side never shuffles; otherwise leave the pick to AQE.
+    def exactCandidates(): DataFrame = {
       val lProj = leftVals.withColumn(lowerName(lCol), lower(col(lCol)))
       val rProj = rightVals.withColumn(lowerName(rCol), lower(col(rCol)))
       if (rCount <= opts.broadcastDistinctLimit) lProj.crossJoin(broadcast(rProj))
       else lProj.crossJoin(rProj)
+    }
+
+    val useApprox = opts.useApproxNearestNeighbor.getOrElse(cartesian > opts.crossOverForApprox)
+    if (useApprox) {
+      AnnJoin.candidatesOrExactFallback(leftVals, rightVals, lCol, rCol, opts,
+          reversedThreshold, lCount + rCount, cartesian)
+        .getOrElse(exactCandidates())
+    } else {
+      exactCandidates()
     }
   }
 

@@ -101,6 +101,11 @@ final case class MatchOptions(
     // below this many surviving grams a value reverts to its full gram set
     // (tiny/asymmetric kept sets make MinHash recall collapse)
     lshMinKeptGrams: Int = 8,
+    // auto mode: when more than this fraction of values lack discriminative
+    // grams, LSH cannot separate them -> fall back to the exact cross join
+    // as long as the cartesian stays under the fallback cap (0 disables)
+    lshDegenerateFraction: Double = 0.5,
+    lshExactFallbackCartesianCap: Double = 1e10,
     // Broadcast the smaller value-level side of an exact cross join when it
     // has at most this many distinct values (driver-side hint; AQE may still
     // pick broadcast on its own).

@@ -32,6 +32,15 @@ class AnnJoinSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.9, s"ANN recall $recall below 0.9 (|exact|=${exact.size}, |ann|=${approx.size})")
   }
 
+  test("pure LSH path (degenerate fallback disabled) still recalls >= 0.9") {
+    val exact = pairs(MatchOptions(useApproxNearestNeighbor = Some(false)))
+    val approx = pairs(MatchOptions(useApproxNearestNeighbor = Some(true),
+      lshExactFallbackCartesianCap = 0.0))
+    assert((approx -- exact).isEmpty)
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"pure LSH recall $recall (|exact|=${exact.size}, |ann|=${approx.size})")
+  }
+
   test("auto mode picks exact below the crossover (result identical)") {
     val auto = pairs(MatchOptions())  // cartesian 150x10 << 1e8
     val exact = pairs(MatchOptions(useApproxNearestNeighbor = Some(false)))
