@@ -115,6 +115,21 @@ class KernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("non-ASCII strings take the generic path and stay correct") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    // "café" vs "cafe": one substitution over 4 chars
+    assert(math.abs(Kernels.distBounded(0, u("café"), u("cafe"), 0.5) - 0.25) < eps)
+    assert(math.abs(Kernels.dist(0, u("café"), u("cafe")) - 0.25) < eps)
+    // mixed: ASCII vs non-ASCII
+    assert(math.abs(Kernels.distBounded(0, u("über"), u("uber"), 0.5) - 0.25) < eps)
+    // bounded prune still correct on multibyte
+    assert(Kernels.distBounded(0, u("日本語のテキスト"), u("x"), 0.1) > 0.1)
+    assert(Kernels.dist(0, u("日本語"), u("日本語")) == 0.0)
+    // jaccard kernel generic path (multibyte chars)
+    val d = VectorKernels.ngramJaccardDist(u("日本語のテキスト"), u("日本語のテキスト"), 3)
+    assert(d == 0.0)
+  }
+
   test("property: damerau <= levenshtein <= indel distance counts") {
     forAllWordPairs(2000) { (a: String, b: String) =>
       val lev = Kernels.levenshtein(a, b)
