@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, encode, lit, round => sround}
 
 import graft.fuzzy.{FuzzyAlgorithm, FuzzyMapping, FuzzyMatcher, MatchOptions}
-import graft.pipeline.{AnnSearch, Dedup, Multimodal, TextAnalysis}
+import graft.pipeline.{AnnSearch, Dedup, Multimodal, NearDupCluster, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -111,6 +111,13 @@ object SparkEntry {
     }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 8)),
+    // pair list -> connected components -> keep one representative/cluster
+    "dedup_near_cluster" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5)
+      NearDupCluster.dedupByPairs(docs, pairs, "doc_id", maxIterations = 20)
+        .select(col("doc_id"))
+    }),
     "dedup_embedding_cosine" -> ((s, dir) => {
       val p = Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), "embedding", "vec_id", 0.4)
       p.select(col("id_a"), col("id_b"), sround(col("cosine"), 6).as("cosine"))
@@ -232,6 +239,22 @@ object SparkEntry {
          SELECT id_a, id_b, round(common / (sa.sz + sb.sz - common), 6) AS jaccard
          FROM c JOIN sz sa ON c.id_a = sa.doc_id JOIN sz sb ON c.id_b = sb.doc_id
          WHERE common / (sa.sz + sb.sz - common) >= 0.5""",
+    "dedup_near_cluster" ->
+      """WITH RECURSIVE
+         t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+         s AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) END AS sh FROM t),
+         e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         sz AS (SELECT doc_id, len(sh) AS sz FROM s),
+         c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+               FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         p AS (SELECT id_a, id_b FROM c JOIN sz sa ON c.id_a = sa.doc_id JOIN sz sb ON c.id_b = sb.doc_id
+               WHERE common / (sa.sz + sb.sz - common) >= 0.5),
+         edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+         reach(a, b) AS (SELECT a, b FROM edges UNION SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+         comp AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a)
+         SELECT d.doc_id AS doc_id FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
+         WHERE comp.id IS NULL OR comp.comp = d.doc_id""",
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine

@@ -254,7 +254,9 @@ object Kernels {
   // ------------------------------------------------------- damerau-levenshtein
 
   /** Unrestricted Damerau-Levenshtein (true transposition distance, matching
-    * DuckDB's `damerau_levenshtein` and rapidfuzz's DamerauLevenshtein). */
+    * DuckDB's `damerau_levenshtein` and rapidfuzz's DamerauLevenshtein).
+    * Last-occurrence tracking is a direct char-indexed array for ASCII
+    * strings (no boxing/HashMap churn in the hot loop), HashMap otherwise. */
   def damerau(a: String, b: String): Int = {
     val n = a.length
     val m = b.length
@@ -268,25 +270,56 @@ object Kernels {
     while (i <= n) { d(i + 1)(1) = i; d(i + 1)(0) = inf; i += 1 }
     var j = 0
     while (j <= m) { d(1)(j + 1) = j; d(0)(j + 1) = inf; j += 1 }
-    val da = new java.util.HashMap[Character, Integer]()
-    i = 1
-    while (i <= n) {
-      var db = 0
-      j = 1
-      while (j <= m) {
-        val i1 = Option(da.get(b.charAt(j - 1))).map(_.intValue).getOrElse(0)
-        val j1 = db
-        var cost = 1
-        if (a.charAt(i - 1) == b.charAt(j - 1)) { cost = 0; db = j }
-        val sub = d(i)(j) + cost
-        val ins = d(i + 1)(j) + 1
-        val del = d(i)(j + 1) + 1
-        val trans = d(i1)(j1) + (i - i1 - 1) + 1 + (j - j1 - 1)
-        d(i + 1)(j + 1) = math.min(math.min(sub, ins), math.min(del, trans))
-        j += 1
+    // last-occurrence table: direct char-indexed array when the strings are
+    // ASCII (the common case — zero boxing), HashMap otherwise
+    var ascii = true
+    i = 0
+    while (ascii && i < n) { if (a.charAt(i) >= 128) ascii = false; i += 1 }
+    i = 0
+    while (ascii && i < m) { if (b.charAt(i) >= 128) ascii = false; i += 1 }
+    if (ascii) {
+      val da = new Array[Int](128)
+      i = 1
+      while (i <= n) {
+        var db = 0
+        j = 1
+        while (j <= m) {
+          val i1 = da(b.charAt(j - 1))
+          val j1 = db
+          var cost = 1
+          if (a.charAt(i - 1) == b.charAt(j - 1)) { cost = 0; db = j }
+          val sub = d(i)(j) + cost
+          val ins = d(i + 1)(j) + 1
+          val del = d(i)(j + 1) + 1
+          val trans = d(i1)(j1) + (i - i1 - 1) + 1 + (j - j1 - 1)
+          d(i + 1)(j + 1) = math.min(math.min(sub, ins), math.min(del, trans))
+          j += 1
+        }
+        da(a.charAt(i - 1)) = i
+        i += 1
       }
-      da.put(a.charAt(i - 1), i)
-      i += 1
+    } else {
+      val da = new java.util.HashMap[Character, Integer]()
+      i = 1
+      while (i <= n) {
+        var db = 0
+        j = 1
+        while (j <= m) {
+          val i1v = da.get(b.charAt(j - 1))
+          val i1 = if (i1v == null) 0 else i1v.intValue
+          val j1 = db
+          var cost = 1
+          if (a.charAt(i - 1) == b.charAt(j - 1)) { cost = 0; db = j }
+          val sub = d(i)(j) + cost
+          val ins = d(i + 1)(j) + 1
+          val del = d(i)(j + 1) + 1
+          val trans = d(i1)(j1) + (i - i1 - 1) + 1 + (j - j1 - 1)
+          d(i + 1)(j + 1) = math.min(math.min(sub, ins), math.min(del, trans))
+          j += 1
+        }
+        da.put(a.charAt(i - 1), i)
+        i += 1
+      }
     }
     d(n + 1)(m + 1)
   }

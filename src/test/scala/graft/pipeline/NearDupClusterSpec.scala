@@ -1,0 +1,48 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+class NearDupClusterSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  test("connected components: chains, cliques, singletons") {
+    // components: {1,2,3,4} (chain), {10,11} (pair), {20,21,22} (triangle)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val comps = NearDupCluster.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).map(comps) == Seq(1L, 1L, 1L, 1L))
+    assert(Seq(10L, 11L).map(comps) == Seq(10L, 10L))
+    assert(Seq(20L, 21L, 22L).map(comps) == Seq(20L, 20L, 20L))
+  }
+
+  test("long chain converges (O(diameter) iterations)") {
+    val chain = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("id_a", "id_b")
+    val comps = NearDupCluster.connectedComponents(chain, maxIterations = 50)
+      .as[(Long, Long)].collect().toMap
+    assert(comps.values.toSet == Set(0L))
+  }
+
+  test("dedupByPairs keeps min-id representative and untouched rows") {
+    val docs = Seq((1L, "a"), (2L, "a'"), (3L, "a''"), (5L, "solo")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = NearDupCluster.dedupByPairs(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 5L))
+  }
+
+  test("end-to-end: minhash pairs -> clusters -> deduplicated documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5)
+    val deduped = NearDupCluster.dedupByPairs(docs, pairs, "doc_id")
+    val n = docs.count()
+    val k = deduped.count()
+    assert(k < n, "expected some near-dup clusters in testdata")
+    // idempotent: running again on the deduped corpus removes nothing new
+    val pairs2 = Dedup.ngramJaccardPairs(deduped, "text", "doc_id", 3, 0.5)
+    val deduped2 = NearDupCluster.dedupByPairs(deduped, pairs2, "doc_id")
+    assert(deduped2.count() == k)
+  }
+}
