@@ -14,48 +14,55 @@ import org.apache.spark.sql.functions._
   * large corpus curation drops everything but one representative per
   * component).
   *
-  * Algorithm: iterative minimum-label propagation over the edge list —
-  * the standard large-graph connected-components-on-MapReduce approach.
-  * Each iteration is two hash joins + an aggregation, all shuffles keyed by
-  * vertex id; iterations needed = O(component diameter), with a
-  * configurable cap (near-dup clusters are dense, so diameters are small
-  * in practice). No driver-side union-find, no collected edges — scales
-  * to billions of edges.
+  * Algorithm: iterative minimum-label propagation with POINTER JUMPING —
+  * each round takes the min over (own label, neighbors' labels, label's
+  * label). The extra hop doubles propagation distance per round, so
+  * convergence needs O(log(diameter)) rounds; the default cap of 15 covers
+  * any component a curation job will meet. Every step is hash joins +
+  * aggregations keyed by vertex id — no driver-side union-find, no
+  * collected edges; ids keep their natural type (string ids work, ordered
+  * lexicographically).
   */
 object NearDupCluster {
 
-  /** (id, component) for every vertex appearing in `pairs`; the component
-    * label is the minimum id reachable within `maxIterations` hops. */
+  /** (id, comp) for every vertex appearing in `pairs`; `comp` is the
+    * minimum reachable id. Throws if the iteration cap is hit before
+    * convergence rather than silently returning split components. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-                          maxIterations: Int = 10): DataFrame = {
-    // undirected edge list, both directions
-    val edges = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
-      .unionByName(pairs.select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
+                          maxIterations: Int = 15): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .localCheckpoint()
 
-    // labels start as each vertex's own id
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
 
     var iteration = 0
-    var converged = false
+    var converged = labels.isEmpty
     while (iteration < maxIterations && !converged) {
-      // candidate label for each vertex: min of its own and its neighbors'
+      // min over neighbors' labels
       val viaNeighbors = edges
-        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("comp", "__nc"), Seq("dst"))
+        .join(labels.select(col("id").as("dst"), col("comp").as("__nc")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("__nc")).as("__minN"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
-        .withColumn("comp", least(col("comp"), coalesce(col("__minN"), col("comp"))))
-        .select(col("id"), col("comp"))
+      // pointer jumping: the label of my label
+      val viaLabel = labels.select(col("id").as("__lid"), col("comp").as("__lc"))
+      val next = labels
+        .join(viaNeighbors, Seq("id"), "left")
+        .join(viaLabel.select(col("__lid").as("comp"), col("__lc")), Seq("comp"), "left")
+        .select(col("id"), col("comp").as("__old"),
+          least(col("comp"), coalesce(col("__minN"), col("comp")),
+            coalesce(col("__lc"), col("comp"))).as("comp"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("comp", "__old"), Seq("id"))
-        .where(col("comp") =!= col("__old")).limit(1).count()
-      labels = next
-      converged = changed == 0
+      converged = next.where(col("comp") =!= col("__old")).isEmpty
+      labels = next.select(col("id"), col("comp"))
       iteration += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIterations iterations " +
+          "(raise maxIterations; diameter of the pair graph is unusually large)")
     labels
   }
 
@@ -63,10 +70,9 @@ object NearDupCluster {
     * members of near-dup clusters (representative = min id per component).
     * Rows not mentioned in `pairs` are untouched. */
   def dedupByPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
-                   maxIterations: Int = 10): DataFrame = {
+                   maxIterations: Int = 15): DataFrame = {
     val comps = connectedComponents(pairs, maxIterations = maxIterations)
-    val drop = comps.where(col("id") =!= col("comp"))
-      .select(col("id").cast("long").as(idCol))
+    val drop = comps.where(col("id") =!= col("comp")).select(col("id").as(idCol))
     docs.join(drop, Seq(idCol), "left_anti")
   }
 }

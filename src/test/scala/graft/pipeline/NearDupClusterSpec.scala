@@ -18,11 +18,25 @@ class NearDupClusterSpec extends AnyFunSuite with SparkSpec {
     assert(Seq(20L, 21L, 22L).map(comps) == Seq(20L, 20L, 20L))
   }
 
-  test("long chain converges (O(diameter) iterations)") {
-    val chain = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("id_a", "id_b")
-    val comps = NearDupCluster.connectedComponents(chain, maxIterations = 50)
+  test("long chain converges within the log bound (pointer jumping)") {
+    val chain = (0L until 200L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("id_a", "id_b")
+    val comps = NearDupCluster.connectedComponents(chain, maxIterations = 12)
       .as[(Long, Long)].collect().toMap
     assert(comps.values.toSet == Set(0L))
+  }
+
+  test("non-convergence raises instead of returning split components") {
+    val chain = (0L until 64L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      NearDupCluster.connectedComponents(chain, maxIterations = 2)
+    }
+  }
+
+  test("string ids cluster with natural ordering (no silent long cast)") {
+    val pairs = Seq(("doc-b", "doc-a"), ("doc-b", "doc-c")).toDF("id_a", "id_b")
+    val comps = NearDupCluster.connectedComponents(pairs)
+      .as[(String, String)].collect().toMap
+    assert(comps.values.toSet == Set("doc-a"))
   }
 
   test("dedupByPairs keeps min-id representative and untouched rows") {
