@@ -12,9 +12,9 @@ import org.apache.spark.sql.functions._
   * value. That design is single-node by construction. The Spark-native
   * re-expression is banded MinHash LSH over character n-gram sets:
   *
-  *   distinct values -> char n-grams -> k=bands*rows minhashes (native
-  *   codegen'd expression) -> band keys -> bucket equi-join -> true
-  *   n-gram-Jaccard verify -> per-left-value top-N.
+  *   distinct values -> char n-grams -> IDF stop-gram removal -> k minhashes
+  *   (native codegen'd expressions) -> band keys -> capped bucket equi-join
+  *   -> true n-gram-Jaccard verify -> per-left-value top-N.
   *
   * Implemented directly on DataFrames (not spark.ml's MinHashLSH) for one
   * load-bearing reason: BUCKET-SIZE CAPPING. On adversarial inputs where
@@ -23,96 +23,101 @@ import org.apache.spark.sql.functions._
   * degenerates to a skewed cartesian product on a single reducer —
   * measured as a >25-minute single-threaded stage at sf0.1. Buckets whose
   * candidate count exceeds `lshMaxBucketPairs` are dropped (the standard
-  * web-scale LSH mitigation): a bucket that un-selective carries almost no
-  * signal, and the pairs it would contribute are mostly rejected by the
-  * final threshold anyway. The cap bounds per-bucket work, so the join
-  * scales horizontally no matter how degenerate the key distribution is.
+  * web-scale LSH mitigation), bounding per-bucket work regardless of key
+  * distribution.
+  *
+  * The same gram statistics double as an LSH-effectiveness probe: when
+  * most values keep too few discriminative grams, bucket blocking cannot
+  * separate them and the LSH path costs more than the exact cross join
+  * while losing recall — [[candidatesOrExactFallback]] then returns None
+  * so the caller runs exact (if the cartesian permits).
   */
 object AnnJoin {
 
-  /** Approximate candidate pairs between two distinct-value frames.
-    *
-    * @param leftValues  distinct left values (single column `leftCol`)
-    * @param rightValues distinct right values (single column `rightCol`)
-    * @return (leftCol, rightCol) pairs restricted to approximate neighbors —
-    *         a subset of the exact cross join's schema.
-    */
-  /** Like [[candidates]], but detects LSH-hostile inputs and declines.
-    *
-    * The stop-gram statistics double as an effectiveness probe: when most
-    * values keep fewer than `lshMinKeptGrams` discriminative grams (e.g.
-    * all values share a long common prefix and differ only in a few
-    * characters), n-gram buckets cannot separate them — the LSH path then
-    * costs MORE than the exact cross join while losing recall. Returns
-    * None in that case if the cartesian is within
-    * `lshExactFallbackCartesianCap`, signalling the caller to run exact.
-    */
+  /** Candidate generation with degenerate-input detection. Returns None
+    * when the corpus is LSH-hostile and the cartesian is within
+    * `lshExactFallbackCartesianCap` — the caller should run the exact
+    * cross join instead. Gram statistics are computed once and shared by
+    * the probe and the join build. */
   def candidatesOrExactFallback(leftValues: DataFrame, rightValues: DataFrame,
                                 leftCol: String, rightCol: String,
                                 opts: MatchOptions, reversedThreshold: Double,
                                 totalValues: Long, cartesian: Double): Option[DataFrame] = {
-    if (cartesian <= opts.lshExactFallbackCartesianCap) {
-      val n = opts.lshNgramSize
-      val minKept = opts.lshMinKeptGrams
-      def keptCounts(df: DataFrame, vCol: String): DataFrame =
-        df.select(explode(array_distinct(vectorFunctions.char_ngrams(lower(col(vCol)), n))).as("__g"),
-          col(vCol).as("__v"))
-      val grams = keptCounts(leftValues, leftCol).unionByName(keptCounts(rightValues, rightCol))
-        .localCheckpoint()
-      val stop = grams.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
-        .where(col("__df") > opts.lshStopGramFraction * totalValues).select(col("__g"))
-      // countDistinct: in a self-join the same value arrives from BOTH
-      // sides of the union — a plain count would double the kept-gram
-      // tally and mask degeneracy
-      val degenerate = grams.join(stop, Seq("__g"), "left_anti")
-        .groupBy(col("__v")).agg(countDistinct(col("__g")).as("__kept"))
-        .agg(avg(when(col("__kept") < minKept, 1.0).otherwise(0.0)).as("__frac"))
-        .head().getDouble(0)
-      // values with NO kept grams at all are missing from the aggregation;
-      // conservatively treat the gap as degenerate too
-      if (degenerate > opts.lshDegenerateFraction) return None
+    val n = opts.lshNgramSize
+
+    def gramsOf(df: DataFrame, vCol: String): DataFrame =
+      df.select(col(vCol).as("__v"),
+        explode(array_distinct(vectorFunctions.char_ngrams(lower(col(vCol)), n))).as("__g"))
+
+    // IDF-style stop grams: an n-gram present in more than
+    // `lshStopGramFraction` of ALL values carries no blocking signal.
+    // Relational end-to-end — one aggregation, no driver collection.
+    val allGrams = gramsOf(leftValues, leftCol).unionByName(gramsOf(rightValues, rightCol))
+      .localCheckpoint()
+    val stopGrams = allGrams.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") > opts.lshStopGramFraction * totalValues)
+      .select(col("__g"))
+    // distinct (value -> kept-gram count); values whose grams are ALL
+    // stopped do not appear here and count as degenerate below
+    val keptCounts = allGrams.join(stopGrams, Seq("__g"), "left_anti")
+      .groupBy(col("__v")).agg(countDistinct(col("__g")).as("__kept"))
+      .localCheckpoint()
+
+    if (cartesian <= opts.lshExactFallbackCartesianCap && opts.lshExactFallbackCartesianCap > 0) {
+      val totalDistinct = allGrams.select(col("__v")).distinct().count()
+      val okValues = keptCounts.where(col("__kept") >= opts.lshMinKeptGrams).count()
+      // values missing from keptCounts (zero kept grams) are degenerate
+      val degenerateFraction =
+        if (totalDistinct == 0) 0.0 else 1.0 - okValues.toDouble / totalDistinct
+      if (degenerateFraction > opts.lshDegenerateFraction) return None
     }
-    Some(candidates(leftValues, rightValues, leftCol, rightCol, opts, reversedThreshold, totalValues))
+    Some(build(leftValues, rightValues, leftCol, rightCol, opts, reversedThreshold, stopGrams))
   }
 
+  /** Approximate candidate pairs between two distinct-value frames (no
+    * degeneracy probe — always builds the LSH join). */
   def candidates(leftValues: DataFrame, rightValues: DataFrame,
                  leftCol: String, rightCol: String,
                  opts: MatchOptions, reversedThreshold: Double = 1.0,
                  totalValues: Long = -1L): DataFrame = {
     val n = opts.lshNgramSize
-    val bands = opts.lshNumBands
-    val rows = opts.lshRowsPerBand
-    val k = bands * rows
-
-    // IDF-style stop-gram removal: an n-gram present in more than
-    // `lshStopGramFraction` of ALL values (both sides) carries no blocking
-    // signal — e.g. a shared 13-char prefix puts every value in every
-    // bucket. Signatures are minhashed over the DISCRIMINATIVE grams only;
-    // a value whose grams are all stopped falls back to its full gram set.
-    // Relational end-to-end: gram doc-frequencies via one aggregation, the
-    // stop list applied with a join — no driver collection.
-    def gramsOf(df: DataFrame, vCol: String): DataFrame =
-      df.select(col(vCol).as("__v"),
-        explode(array_distinct(vectorFunctions.char_ngrams(lower(col(vCol)), n))).as("__g"))
-
     val total =
       if (totalValues > 0) totalValues
       else leftValues.count() + rightValues.count()
+    def gramsOf(df: DataFrame, vCol: String): DataFrame =
+      df.select(col(vCol).as("__v"),
+        explode(array_distinct(vectorFunctions.char_ngrams(lower(col(vCol)), n))).as("__g"))
     val allGrams = gramsOf(leftValues, leftCol).unionByName(gramsOf(rightValues, rightCol))
       .localCheckpoint()
     val stopGrams = allGrams.groupBy(col("__g"))
       .agg(count(lit(1)).as("__df"))
       .where(col("__df") > opts.lshStopGramFraction * total)
       .select(col("__g"))
+    build(leftValues, rightValues, leftCol, rightCol, opts, reversedThreshold, stopGrams)
+  }
 
+  private def build(leftValues: DataFrame, rightValues: DataFrame,
+                    leftCol: String, rightCol: String,
+                    opts: MatchOptions, reversedThreshold: Double,
+                    stopGrams: DataFrame): DataFrame = {
+    val n = opts.lshNgramSize
+    val bands = opts.lshNumBands
+    val rows = opts.lshRowsPerBand
+    val k = bands * rows
+
+    def gramsOf(df: DataFrame, vCol: String): DataFrame =
+      df.select(col(vCol).as("__v"),
+        explode(array_distinct(vectorFunctions.char_ngrams(lower(col(vCol)), n))).as("__g"))
+
+    // Signatures are minhashed over the DISCRIMINATIVE grams; a value with
+    // too few surviving grams falls back to its full gram set (tiny or
+    // asymmetric kept sets make MinHash recall collapse).
     def keptGrams(df: DataFrame, vCol: String): DataFrame = {
       val kept = gramsOf(df, vCol)
         .join(stopGrams, Seq("__g"), "left_anti")
         .groupBy(col("__v")).agg(collect_list(col("__g")).as("__grams"))
         .withColumnRenamed("__v", vCol)
-      // Fall back to the FULL gram set when too few discriminative grams
-      // survive: tiny kept sets make MinHash high-variance, and asymmetric
-      // kept sets (one side stops grams the other keeps) destroy recall.
       df.join(kept, Seq(vCol), "left")
         .withColumn("__grams",
           when(col("__grams").isNull || size(col("__grams")) < opts.lshMinKeptGrams,
@@ -121,8 +126,8 @@ object AnnJoin {
     }
 
     // The lowered value rides along from here on: computed once per value,
-    // reused by the jaccard gate (per-pair lower() allocations dominated the
-    // gate cost) and by the downstream scorer.
+    // reused by the jaccard gate (per-pair lower() allocations dominated
+    // the gate cost) and by the downstream scorer.
     def banded(df: DataFrame, vCol: String): DataFrame =
       keptGrams(df, vCol).select(
           col(vCol),
@@ -151,22 +156,17 @@ object AnnJoin {
     // Jaccard gate: a single edit changes at most `n` grams, so a pair
     // within normalized edit distance f has gram-Jaccard distance at most
     // ~2nf/(1 + nf) (long-string limit). Gate at 1.4x that bound (margin
-    // for end effects / short strings), capped by the configured ceiling —
-    // on selective mappings this cuts the candidate stream by orders of
-    // magnitude before the expensive shuffle stages.
+    // for end effects / short strings), capped by the configured ceiling.
     val f = reversedThreshold
     val adaptiveGate = math.min(
       math.max(1.4 * (2.0 * n * f) / (1.0 + n * f), 0.25),
       opts.lshJaccardDistanceThreshold)
 
     // Verify on the (duplicated) join stream — the jaccard kernel is cheap
-    // codegen'd compute — then rank, THEN dedup. A pair surfaces from ~2
+    // codegen'd compute — then rank, THEN dedup: a pair surfaces from ~2
     // bands on average, so deduping the full gated stream is a large
-    // shuffle that removes little; ranking first caps the stream at
-    // top-N per left value and the dedup shuffle runs on the small
-    // remainder. (Duplicates briefly consume rank slots, so the effective
-    // top-N is topN/duplication-factor — acceptable for an approximate
-    // candidate cap; the reference's top_n is equally approximate.)
+    // shuffle that removes little; ranking first caps the stream at top-N
+    // per left value and the dedup runs on the small remainder.
     val gated = lb.join(allowed, Seq("__band", "__bkey"))
       .join(rb, Seq("__band", "__bkey"))
       .select(col(leftCol), col(lLow), col(rightCol), col(rLow))

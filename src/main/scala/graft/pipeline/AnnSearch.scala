@@ -38,7 +38,8 @@ object AnnSearch {
     * Bounded work per query even against a 100 TB corpus. */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               vecCol: String, idCol: String, k: Int,
-              dim: Int, planes: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
+              dim: Int, planes: Int = 16, bands: Int = 4, seed: Long = 42L,
+              maxBucketPairs: Long = 4_000_000L): DataFrame = {
     val hp = Dedup.hyperplanes(dim, planes, seed)
     def bits(v: org.apache.spark.sql.Column) =
       graft.fuzzy.vectorFunctions.sign_lsh_bits(v, hp.flatten, dim)
@@ -55,7 +56,16 @@ object AnnSearch {
     val qb = banded(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")), "query_id", "__qv")
     val cb = banded(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv")), "corpus_id", "__cv")
 
-    val cand = qb.join(cb, Seq("__band", "__bkey"))
+    // skew guard: drop degenerate buckets (same rationale as the fuzzy
+    // LSH join - an uncapped bucket join concentrates quadratic work on
+    // single reducers)
+    val allowed = qb.groupBy(col("__band"), col("__bkey")).agg(count(lit(1)).as("__qc"))
+      .join(cb.groupBy(col("__band"), col("__bkey")).agg(count(lit(1)).as("__cc")),
+        Seq("__band", "__bkey"))
+      .where(col("__qc") * col("__cc") <= maxBucketPairs)
+      .select(col("__band"), col("__bkey"))
+
+    val cand = qb.join(allowed, Seq("__band", "__bkey")).join(cb, Seq("__band", "__bkey"))
       .where(col("query_id") =!= col("corpus_id"))
       .dropDuplicates("query_id", "corpus_id")
       .withColumn("cosine", Dedup.cosineSimilarity(col("__qv"), col("__cv")))

@@ -204,7 +204,8 @@ object Dedup {
     * bands; candidates per bucket stay bounded. */
   def cosineLshPairs(embeddings: DataFrame, vecCol: String, idCol: String,
                      threshold: Double, dim: Int, planes: Int = 16,
-                     bands: Int = 4, seed: Long = 42L): DataFrame = {
+                     bands: Int = 4, seed: Long = 42L,
+                     maxBucketPairs: Long = 4_000_000L): DataFrame = {
     val hp = hyperplanes(dim, planes, seed)
     val bitsCol = graft.fuzzy.vectorFunctions.sign_lsh_bits(col(vecCol), hp.flatten, dim)
 
@@ -219,7 +220,13 @@ object Dedup {
       .withColumnRenamed("pos", "__band")
       .withColumnRenamed("col", "__bkey")
 
-    chunked.as("a").join(chunked.as("b"),
+    // skew guard: drop degenerate buckets before the self-join
+    val sizes = chunked.groupBy(col("__band"), col("__bkey")).agg(count(lit(1)).as("__n"))
+      .where(col("__n") * col("__n") <= maxBucketPairs)
+      .select(col("__band"), col("__bkey"))
+
+    chunked.join(sizes, Seq("__band", "__bkey")).as("a")
+      .join(chunked.join(sizes, Seq("__band", "__bkey")).as("b"),
         col("a.__band") === col("b.__band") && col("a.__bkey") === col("b.__bkey") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),

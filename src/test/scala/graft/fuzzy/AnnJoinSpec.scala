@@ -47,6 +47,23 @@ class AnnJoinSpec extends AnyFunSuite with SparkSpec {
     assert(auto == exact)
   }
 
+  test("forced ANN on tiny low-cardinality input does not crash (probe NPE regression)") {
+    import spark.implicits._
+    val left = Seq((1L, "aaa"), (2L, "aab"), (3L, "aba")).toDF("lid", "k")
+    val right = Seq((10L, "aaa"), (11L, "abb")).toDF("rid", "g")
+    // every gram is a stop-gram here; both with and without the exact
+    // fallback enabled this must return a result, not throw
+    for (cap <- Seq(1e10, 0.0)) {
+      val res = FuzzyMatcher.matchDfs(left, right,
+        Seq(FuzzyMapping("k", "g", 60.0, FuzzyAlgorithm.Levenshtein)),
+        MatchOptions(useApproxNearestNeighbor = Some(true), lshExactFallbackCartesianCap = cap))
+      // the identical value pair must match on any path; the pure-LSH path
+      // may legitimately miss non-identical 3-char neighbors (single-gram
+      // signatures only collide on equality)
+      assert(res.count() >= 1)
+    }
+  }
+
   test("hard cartesian cap refuses oversized joins") {
     val err = intercept[IllegalStateException] {
       pairs(MatchOptions(hardCartesianCap = 100.0, useApproxNearestNeighbor = Some(false)))
