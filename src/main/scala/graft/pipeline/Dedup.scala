@@ -90,7 +90,8 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
                       shingleLen: Int = 3, numBands: Int = 16, rowsPerBand: Int = 4,
-                      threshold: Double = 0.7): DataFrame = {
+                      threshold: Double = 0.7,
+                      maxBucketPairs: Long = 4_000_000L): DataFrame = {
     val k = numBands * rowsPerBand
     val tokens = split(lower(trim(col(textCol))), "\\s+")
     val grams =
@@ -114,7 +115,15 @@ object Dedup {
       .withColumnRenamed("pos", "__band")
       .withColumnRenamed("col", "__bucket")
 
-    val cand = banded.as("a").join(banded.as("b"),
+    // skew guard: a bucket of n docs contributes n^2/2 candidate pairs -
+    // cap it so degenerate buckets (boilerplate-heavy corpora) cannot
+    // concentrate quadratic work on single reducers
+    val allowed = banded.groupBy(col("__band"), col("__bucket")).agg(count(lit(1)).as("__n"))
+      .where(col("__n") * col("__n") <= maxBucketPairs)
+      .select(col("__band"), col("__bucket"))
+    val gatedBands = banded.join(allowed, Seq("__band", "__bucket"))
+
+    val cand = gatedBands.as("a").join(gatedBands.as("b"),
         col("a.__band") === col("b.__band") && col("a.__bucket") === col("b.__bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
@@ -145,7 +154,8 @@ object Dedup {
     * them without a cartesian. Verification is `bit_count(xor) <=
     * maxHamming`, codegen'd. */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   maxBucketPairs: Long = 4_000_000L): DataFrame = {
     val chunks = maxHamming + 1
     val chunkBits = 64 / chunks
     val hashed = docs.select(col(idCol), simhash64(col(textCol)).as("__simhash"))
@@ -159,7 +169,14 @@ object Dedup {
       .withColumnRenamed("pos", "__chunk")
       .withColumnRenamed("col", "__ckey")
 
-    chunked.as("a").join(chunked.as("b"),
+    // skew guard (mass-duplicate corpora put millions of docs in one
+    // chunk bucket; run exactDedup first when that is expected)
+    val allowed = chunked.groupBy(col("__chunk"), col("__ckey")).agg(count(lit(1)).as("__n"))
+      .where(col("__n") * col("__n") <= maxBucketPairs)
+      .select(col("__chunk"), col("__ckey"))
+    val gated = chunked.join(allowed, Seq("__chunk", "__ckey"))
+
+    gated.as("a").join(gated.as("b"),
         col("a.__chunk") === col("b.__chunk") && col("a.__ckey") === col("b.__ckey") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
