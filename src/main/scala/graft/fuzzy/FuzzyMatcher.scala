@@ -140,7 +140,17 @@ object FuzzyMatcher {
     // Broadcast the smaller value frame when it is clearly broadcastable
     // so the big side never shuffles; otherwise leave the pick to AQE.
     def exactCandidates(): DataFrame = {
-      val lProj = leftVals.withColumn(lowerName(lCol), lower(col(lCol)))
+      // The stream side sets the cross join's parallelism, and AQE happily
+      // coalesces a small distinct-value frame to ONE partition — which
+      // serializes the entire O(n*m) scoring loop onto a single core
+      // (measured: 225M pairs ran single-threaded). Spread the stream side
+      // across the cluster before fanning out.
+      val spark = leftVals.sparkSession
+      val parallelism = spark.sparkContext.defaultParallelism
+      val lSpread =
+        if (leftVals.rdd.getNumPartitions < parallelism) leftVals.repartition(parallelism)
+        else leftVals
+      val lProj = lSpread.withColumn(lowerName(lCol), lower(col(lCol)))
       val rProj = rightVals.withColumn(lowerName(rCol), lower(col(rCol)))
       if (rCount <= opts.broadcastDistinctLimit) lProj.crossJoin(broadcast(rProj))
       else lProj.crossJoin(rProj)
