@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.util.Partitioning.spread
+
 /** Approximate-nearest-neighbor search over an embedding column.
   *
   * Two tiers, mirroring the fuzzy matcher's exact/LSH split:
@@ -22,7 +24,8 @@ object AnnSearch {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      vecCol: String, idCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
+    // the corpus side drives the cross join's parallelism
+    val c = spread(corpus).select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("corpus_id"))
       .withColumn("cosine", Dedup.cosineSimilarity(col("__qv"), col("__cv")))

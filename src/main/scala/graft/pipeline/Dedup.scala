@@ -3,6 +3,8 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.util.Partitioning.spread
+
 /** Deduplication operators for large-scale training-data pipelines.
   *
   * These extend the engine beyond the reference's fuzzy-join surface (the
@@ -99,7 +101,7 @@ object Dedup {
         .otherwise(transform(sequence(lit(0), size(tokens) - lit(shingleLen)),
           i => concat_ws(" ", slice(tokens, i + 1, lit(shingleLen)))))
 
-    val signed = docs
+    val signed = spread(docs)
       .select(col(idCol), array_distinct(grams).as("__shingles"))
       .where(size(col("__shingles")) > 0)
       .withColumn("__sig", minhashSignature(col("__shingles"), k))
@@ -158,7 +160,7 @@ object Dedup {
                    maxBucketPairs: Long = 4_000_000L): DataFrame = {
     val chunks = maxHamming + 1
     val chunkBits = 64 / chunks
-    val hashed = docs.select(col(idCol), simhash64(col(textCol)).as("__simhash"))
+    val hashed = spread(docs).select(col(idCol), simhash64(col(textCol)).as("__simhash"))
       .localCheckpoint()
 
     val chunked = hashed.select(
@@ -200,7 +202,7 @@ object Dedup {
     * corpora only; the scale path is [[cosineLshPairs]]. */
   def embeddingCosinePairs(embeddings: DataFrame, vecCol: String, idCol: String,
                            threshold: Double): DataFrame = {
-    val a = embeddings.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val a = spread(embeddings).select(col(idCol).as("id_a"), col(vecCol).as("__va"))
     val b = embeddings.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
     a.crossJoin(b)
       .where(col("id_a") < col("id_b"))
@@ -226,7 +228,7 @@ object Dedup {
     val hp = hyperplanes(dim, planes, seed)
     val bitsCol = graft.fuzzy.vectorFunctions.sign_lsh_bits(col(vecCol), hp.flatten, dim)
 
-    val hashed = embeddings.select(col(idCol), col(vecCol), bitsCol.as("__bits"))
+    val hashed = spread(embeddings).select(col(idCol), col(vecCol), bitsCol.as("__bits"))
       .localCheckpoint()
 
     val perBand = planes / bands

@@ -58,8 +58,8 @@ object Multimodal {
   def decodeBatch(df: DataFrame, binCol: String, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val ds: Dataset[BinRow] = df.select(col(idCol).cast("long").as("id"),
-      col(binCol).as("payload")).as[BinRow]
+    val ds: Dataset[BinRow] = graft.util.Partitioning.spread(
+      df.select(col(idCol).cast("long").as("id"), col(binCol).as("payload"))).as[BinRow]
     ds.mapPartitions { it =>
       // a real implementation opens the codec/library handle HERE, once
       it.map { row =>
