@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, encode, lit, round => sround}
+import org.apache.spark.sql.functions.{col, encode, explode, lit, round => sround}
 
 import graft.fuzzy.{FuzzyAlgorithm, FuzzyMapping, FuzzyMatcher, MatchOptions}
 import graft.pipeline.{AnnSearch, Dedup, Multimodal, NearDupCluster, TextAnalysis}
@@ -158,11 +158,13 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"),
         TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))),
-    // winnowing sketch: array output, no clean SQL analog -> rows-only
+    // winnowing sketch: exploded to (doc_id, fingerprint) scalar rows so the
+    // driver can sort/hash them (an array column is unhashable pandas-side);
+    // the hash family is xxhash64 -> no SQL analog -> rows-only
     "text_winnow" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
-        TextAnalysis.winnowFingerprints(col("text")).as("sketch"))),
+        explode(TextAnalysis.winnowFingerprints(col("text"))).as("fp"))),
 
     // ---- multimodal binary plumbing (documents' text bytes as payload)
     "multimodal_meta" -> ((s, dir) =>
@@ -175,7 +177,8 @@ object SparkEntry {
         "payload", "doc_id", 128)
         .select(col("doc_id"), col("chunk_index").cast("long").as("chunk_index"),
           col("chunk_bytes").cast("long").as("chunk_bytes"))),
-    // stubbed decode via mapPartitions (batch boundary shape): rows-only
+    // stubbed decode via mapPartitions (batch boundary shape); the stub
+    // feature (mean byte / 255) is DuckDB-expressible -> oracled
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeBatch(
         t(s, dir, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
@@ -315,5 +318,15 @@ object SparkEntry {
            octet_length(encode(text)) AS nb
          FROM documents)
          SELECT doc_id, chunk_index, least(128, nb - chunk_index*128) AS chunk_bytes FROM c""",
+    // mean byte value / 255 over the UTF-8 payload — recomputed byte-exactly
+    // from the hex rendering (encoding-agnostic, unlike ord() over chars)
+    "multimodal_decode" ->
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+                octet_length(encode(text)) AS nb FROM documents)
+         SELECT doc_id, CAST(nb AS BIGINT) AS n_bytes,
+           round(CASE WHEN nb = 0 THEN 0.0 ELSE
+             list_sum(list_transform(range(0, nb),
+               i -> CAST('0x' || substring(hx, 2*i::INT+1, 2) AS INT)))::DOUBLE / nb / 255.0 END, 6) AS feature
+         FROM h""",
   )
 }

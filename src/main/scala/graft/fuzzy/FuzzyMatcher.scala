@@ -52,8 +52,8 @@ object FuzzyMatcher {
     val outputOrder: Seq[String] =
       plan.left.columns.toSeq ++ plan.right.columns.toSeq ++ plan.maps.map(_.resolvedOutputName)
 
-    val leftIdx = addIndexColumn(plan.left, LeftIdx)
-    val rightIdx = addIndexColumn(plan.right, RightIdx)
+    val leftIdx = addIndexColumn(plan.left, LeftIdx, opts.checkpoint)
+    val rightIdx = addIndexColumn(plan.right, RightIdx, opts.checkpoint)
 
     val matchFrames = performAllFuzzyMatches(leftIdx, rightIdx, plan.maps, opts)
     // single mapping: no combine join needed (matcher.py:642-647)
@@ -68,14 +68,16 @@ object FuzzyMatcher {
 
   /** Inject a stable row id. Checkpointed immediately: like the reference's
     * IPC cache (matcher.py:416) this freezes the id assignment so every
-    * downstream consumer sees the same values. `localCheckpoint` (not
+    * downstream consumer sees the same values. Checkpointing (not
     * `persist`) is deliberate — it cuts lineage at the RDD level, so the
     * many dependent intermediates of a multi-pass match never build a
     * dependent-cache graph in CacheManager (whose rebuild path breaks when
-    * sequential queries share cached sub-plans). */
-  def addIndexColumn(df: DataFrame, name: String): DataFrame =
-    df.withColumn(name, monotonically_increasing_id())
-      .localCheckpoint()
+    * sequential queries share cached sub-plans). The strategy picks local
+    * blocks (fast, no fault tolerance) vs a reliable checkpoint dir. */
+  def addIndexColumn(df: DataFrame, name: String,
+                     checkpoint: graft.util.CheckpointStrategy =
+                       graft.util.CheckpointStrategy.Local): DataFrame =
+    graft.util.Materialize(df.withColumn(name, monotonically_increasing_id()), checkpoint)
 
   /** Distinct non-null values of the match column (the unit of scoring). */
   def distinctValues(df: DataFrame, valueCol: String): DataFrame =
@@ -115,8 +117,8 @@ object FuzzyMatcher {
                       leftCol: String, rightCol: String,
                       opts: MatchOptions, reversedThreshold: Double = 1.0): DataFrame = {
     // Checkpointed: each value frame is consumed twice (count + join).
-    var leftVals = distinctValues(leftIdxDf, leftCol).localCheckpoint()
-    var rightVals = distinctValues(rightIdxDf, rightCol).localCheckpoint()
+    var leftVals = graft.util.Materialize(distinctValues(leftIdxDf, leftCol), opts.checkpoint)
+    var rightVals = graft.util.Materialize(distinctValues(rightIdxDf, rightCol), opts.checkpoint)
     var lCount = leftVals.count()
     var rCount = rightVals.count()
     var lCol = leftCol
@@ -148,7 +150,8 @@ object FuzzyMatcher {
       val spark = leftVals.sparkSession
       val parallelism = spark.sparkContext.defaultParallelism
       val lSpread =
-        if (leftVals.rdd.getNumPartitions < parallelism) leftVals.repartition(parallelism)
+        if (leftVals.queryExecution.toRdd.getNumPartitions < parallelism)
+          leftVals.repartition(parallelism)
         else leftVals
       val lProj = lSpread.withColumn(lowerName(lCol), lower(col(lCol)))
       val rProj = rightVals.withColumn(lowerName(rCol), lower(col(rCol)))
@@ -158,9 +161,16 @@ object FuzzyMatcher {
 
     val useApprox = opts.useApproxNearestNeighbor.getOrElse(cartesian > opts.crossOverForApprox)
     if (useApprox) {
-      AnnJoin.candidatesOrExactFallback(leftVals, rightVals, lCol, rCol, opts,
-          reversedThreshold, lCount + rCount, cartesian)
-        .getOrElse(exactCandidates())
+      // The degeneracy fallback applies to AUTO mode only: a user-forced LSH
+      // join (Some(true)) must never silently become an exact cross join of
+      // up to hardCartesianCap pairs.
+      if (opts.useApproxNearestNeighbor.contains(true))
+        AnnJoin.candidates(leftVals, rightVals, lCol, rCol, opts,
+          reversedThreshold, lCount + rCount)
+      else
+        AnnJoin.candidatesOrExactFallback(leftVals, rightVals, lCol, rCol, opts,
+            reversedThreshold, lCount + rCount, cartesian)
+          .getOrElse(exactCandidates())
     } else {
       exactCandidates()
     }
@@ -204,9 +214,9 @@ object FuzzyMatcher {
     // every shape above yields each (leftIdx, rightIdx) at most once —
     // candidates are distinct value pairs and ids are unique per row.
     // Checkpointed: consumed by the next pass, the combine AND the assembly.
-    matched
-      .withColumnRenamed("s", fuzzyMap.resolvedOutputName)
-      .localCheckpoint()
+    graft.util.Materialize(
+      matched.withColumnRenamed("s", fuzzyMap.resolvedOutputName),
+      opts.checkpoint)
   }
 
   /** Fold over mappings; pass N's matches gate pass N+1

@@ -235,12 +235,24 @@ object Kernels {
         else hammingDist(sa, sb)
       case 4 => // damerau <= levenshtein shares the length bound
         if (mx == 0) 0.0
-        else if (diff > maxDist * mx) 2.0
-        else damerauDist(sa, sb)
+        else {
+          val k = (maxDist * mx).toInt
+          if (diff > k) 2.0
+          else {
+            val d = damerauBounded(sa, sb, k)
+            if (d > k) 2.0 else d.toDouble / mx
+          }
+        }
       case 5 => // indel: dist >= diff/(la+lb)
         if (la + lb == 0) 0.0
-        else if (diff > maxDist * (la + lb)) 2.0
-        else indelDist(sa, sb)
+        else {
+          val k = (maxDist * (la + lb)).toInt
+          if (diff > k) 2.0
+          else {
+            val d = indelBounded(sa, sb, k)
+            if (d > k) 2.0 else d.toDouble / (la + lb)
+          }
+        }
       case 1 => // jaro: sim <= (min/max + 2) / 3 => dist >= (1 - min/max)/3
         if (diff > 3.0 * maxDist * mx) 2.0 else jaroDist(sa, sb)
       case 2 =>
@@ -327,6 +339,78 @@ object Kernels {
   def damerauDist(a: String, b: String): Double = {
     val mx = math.max(a.length, b.length)
     if (mx == 0) 0.0 else damerau(a, b).toDouble / mx
+  }
+
+  /** Banded unrestricted Damerau-Levenshtein with cutoff: exact when the
+    * distance is <= k, returns k+1 otherwise.
+    *
+    * Soundness of the band + early exit under transpositions: every DP
+    * transition only ADDS cost, so any path through a cell of value > k
+    * ends > k — out-of-band cells (true value >= |i-j| > k) may therefore
+    * be overestimated as `inf`. The transposition jump from (i1, j1) to
+    * (i+1, j+1) skips rows, but costs d(i1)(j1) + (i-i1-1) + 1 + (j-j1-1)
+    * >= d(r)(j1) + (i-r) + (j-j1) - 1 > k for any skipped row r whose
+    * in-band minimum exceeds k (reach (r, j1) from (i1, j1) by r-i1
+    * deletions), so the per-row early exit remains exact. */
+  def damerauBounded(a0: String, b0: String, k: Int): Int = {
+    // common prefix/suffix stripping (safe for unrestricted damerau — no
+    // cross-boundary transposition can beat matching equal chars for free)
+    var aStart = 0
+    var aEnd = a0.length
+    var bStart = 0
+    var bEnd = b0.length
+    while (aStart < aEnd && bStart < bEnd && a0.charAt(aStart) == b0.charAt(bStart)) {
+      aStart += 1; bStart += 1
+    }
+    while (aEnd > aStart && bEnd > bStart && a0.charAt(aEnd - 1) == b0.charAt(bEnd - 1)) {
+      aEnd -= 1; bEnd -= 1
+    }
+    val a = a0.substring(aStart, aEnd)
+    val b = b0.substring(bStart, bEnd)
+    val n = a.length
+    val m = b.length
+    if (math.abs(n - m) > k) return k + 1
+    if (n == 0) return m
+    if (m == 0) return n
+    if (k >= n + m) return damerau(a, b)
+    val inf = n + m
+    val d = Array.ofDim[Int](n + 2, m + 2)
+    var i = 0
+    while (i <= n + 1) { java.util.Arrays.fill(d(i), inf); i += 1 }
+    i = 0
+    while (i <= n) { d(i + 1)(1) = i; i += 1 }
+    var j = 0
+    while (j <= m) { d(1)(j + 1) = j; j += 1 }
+    val da = new java.util.HashMap[Character, Integer]()
+    i = 1
+    while (i <= n) {
+      var db = 0
+      val lo = math.max(1, i - k)
+      val hi = math.min(m, i + k)
+      var rowMin = inf
+      j = lo
+      while (j <= hi) {
+        val i1v = da.get(b.charAt(j - 1))
+        val i1 = if (i1v == null) 0 else i1v.intValue
+        val j1 = db
+        var cost = 1
+        if (a.charAt(i - 1) == b.charAt(j - 1)) { cost = 0; db = j }
+        val sub = d(i)(j) + cost
+        val ins = d(i + 1)(j) + 1
+        val del = d(i)(j + 1) + 1
+        val trans = d(i1)(j1) + (i - i1 - 1) + 1 + (j - j1 - 1)
+        var v = math.min(math.min(sub, ins), math.min(del, trans))
+        if (v > inf) v = inf
+        d(i + 1)(j + 1) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (rowMin > k) return k + 1
+      da.put(a.charAt(i - 1), i)
+      i += 1
+    }
+    val res = d(n + 1)(m + 1)
+    if (res > k) k + 1 else res
   }
 
   // ------------------------------------------------------------------ jaro
@@ -450,5 +534,61 @@ object Kernels {
     val total = a.length + b.length
     if (total == 0) 0.0
     else (total - 2 * lcsLength(a, b)).toDouble / total
+  }
+
+  /** Banded insert/delete-only edit distance with cutoff: exact when the
+    * distance is <= k, returns k+1 otherwise. Same Ukkonen band as
+    * [[levenshteinBounded]] (every cell satisfies d >= |i-j|), with the
+    * substitution transition removed — the diagonal move is free on equal
+    * chars only. O((2k+1) * n) per pair. */
+  def indelBounded(a: CharSequence, b: CharSequence, k: Int): Int = {
+    var aStart = 0
+    var aEnd = a.length
+    var bStart = 0
+    var bEnd = b.length
+    while (aStart < aEnd && bStart < bEnd && a.charAt(aStart) == b.charAt(bStart)) {
+      aStart += 1; bStart += 1
+    }
+    while (aEnd > aStart && bEnd > bStart && a.charAt(aEnd - 1) == b.charAt(bEnd - 1)) {
+      aEnd -= 1; bEnd -= 1
+    }
+    val n = aEnd - aStart
+    val m = bEnd - bStart
+    if (math.abs(n - m) > k) return k + 1
+    if (n == 0) return m
+    if (m == 0) return n
+    val inf = k + 1
+    val prev = new Array[Int](m + 1)
+    val cur = new Array[Int](m + 1)
+    java.util.Arrays.fill(prev, inf)
+    var j = 0
+    while (j <= math.min(m, k)) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(cur, inf)
+      val lo = math.max(1, i - k)
+      val hi = math.min(m, i + k)
+      if (lo == 1 && i <= k) cur(0) = i
+      var rowMin = cur(0)
+      val ca = a.charAt(aStart + i - 1)
+      j = lo
+      while (j <= hi) {
+        var v =
+          if (ca == b.charAt(bStart + j - 1)) prev(j - 1)
+          else inf
+        val del = prev(j) + 1
+        if (del < v) v = del
+        val ins = cur(j - 1) + 1
+        if (ins < v) v = ins
+        if (v > inf) v = inf
+        cur(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (rowMin >= inf) return inf
+      System.arraycopy(cur, 0, prev, 0, m + 1)
+      i += 1
+    }
+    math.min(prev(m), inf)
   }
 }

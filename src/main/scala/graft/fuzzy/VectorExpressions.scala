@@ -50,6 +50,20 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Fraction of agreeing positions between two MinHash signatures (the
+  * unbiased Jaccard estimator). */
+case class SignatureAgreement(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sig_agreement"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.sigAgreement(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.fuzzy.VectorKernels.sigAgreement($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 case class SimHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
@@ -124,6 +138,7 @@ object vectorFunctions {
   def fvec_cosine(a: Column, b: Column): Column = c(FloatVectorCosine(x(a), x(b)))
   def fvec_dot(a: Column, b: Column): Column = c(FloatVectorDot(x(a), x(b)))
   def minhash_signature(shingles: Column, k: Int): Column = c(MinHashSignature(x(shingles), k))
+  def sig_agreement(a: Column, b: Column): Column = c(SignatureAgreement(x(a), x(b)))
   def simhash64(tokens: Column): Column = c(SimHash(x(tokens)))
   def winnow_sketch(text: Column, k: Int = 5, window: Int = 4): Column =
     c(WinnowSketch(x(text), k, window))

@@ -106,10 +106,19 @@ final case class MatchOptions(
     // as long as the cartesian stays under the fallback cap (0 disables)
     lshDegenerateFraction: Double = 0.5,
     lshExactFallbackCartesianCap: Double = 1e10,
+    // the degeneracy probe estimates the fractions above from a uniform
+    // sample of at most this many values (corpus-wide stats would cost more
+    // than the exact join the probe is trying to avoid)
+    lshProbeSampleSize: Int = 10000,
     // Broadcast the smaller value-level side of an exact cross join when it
     // has at most this many distinct values (driver-side hint; AQE may still
     // pick broadcast on its own).
-    broadcastDistinctLimit: Long = 200_000L)
+    broadcastDistinctLimit: Long = 200_000L,
+    // Materialization barrier for multi-consumer intermediates. Local is
+    // fastest but dies with a lost executor; pass Reliable(dir) for
+    // fault-tolerant multi-pass jobs on a real cluster (the reference's
+    // caller-owned temp dir, matcher.py:580-658).
+    checkpoint: graft.util.CheckpointStrategy = graft.util.CheckpointStrategy.Local)
 
 object MatchOptions {
   val default: MatchOptions = MatchOptions()

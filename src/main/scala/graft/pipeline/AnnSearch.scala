@@ -19,8 +19,24 @@ import graft.util.Partitioning.spread
   */
 object AnnSearch {
 
+  /** Query-count ceiling for broadcasting the query side of the brute-force
+    * path: above this, a broadcast would OOM the driver/executors and the
+    * query x corpus product dwarfs an LSH probe — callers should use
+    * [[lshTopK]]. [[topK]] routes automatically. */
+  val BroadcastQueryLimit = 100_000L
+
+  /** Auto-routing top-k: brute-force (exact) while the query frame is small
+    * enough to broadcast, LSH probing beyond. `dim` is required for the LSH
+    * path's hyperplanes. */
+  def topK(queries: DataFrame, corpus: DataFrame,
+           vecCol: String, idCol: String, k: Int, dim: Int): DataFrame =
+    if (queries.limit((BroadcastQueryLimit + 1).toInt).count() <= BroadcastQueryLimit)
+      bruteForceTopK(queries, corpus, vecCol, idCol, k)
+    else lshTopK(queries, corpus, vecCol, idCol, k, dim)
+
   /** Exact top-k neighbors per query vector by cosine similarity.
-    * Deterministic: ties broken by corpus id. */
+    * Deterministic: ties broken by corpus id. The query side is broadcast —
+    * use [[topK]] or [[lshTopK]] when it may exceed [[BroadcastQueryLimit]]. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      vecCol: String, idCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
@@ -42,7 +58,9 @@ object AnnSearch {
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               vecCol: String, idCol: String, k: Int,
               dim: Int, planes: Int = 16, bands: Int = 4, seed: Long = 42L,
-              maxBucketPairs: Long = 4_000_000L): DataFrame = {
+              maxBucketPairs: Long = 4_000_000L,
+              checkpoint: graft.util.CheckpointStrategy =
+                graft.util.CheckpointStrategy.Local): DataFrame = {
     val hp = Dedup.hyperplanes(dim, planes, seed)
     def bits(v: org.apache.spark.sql.Column) =
       graft.fuzzy.vectorFunctions.sign_lsh_bits(v, hp.flatten, dim)
@@ -61,17 +79,23 @@ object AnnSearch {
 
     // skew guard: drop degenerate buckets (same rationale as the fuzzy
     // LSH join - an uncapped bucket join concentrates quadratic work on
-    // single reducers)
-    val allowed = qb.groupBy(col("__band"), col("__bkey")).agg(count(lit(1)).as("__qc"))
+    // single reducers); drops are counted and logged (CapMetrics)
+    val bucketStats = qb.groupBy(col("__band"), col("__bkey")).agg(count(lit(1)).as("__qc"))
       .join(cb.groupBy(col("__band"), col("__bkey")).agg(count(lit(1)).as("__cc")),
         Seq("__band", "__bkey"))
-      .where(col("__qc") * col("__cc") <= maxBucketPairs)
+    val overCap = col("__qc") * col("__cc") > maxBucketPairs
+    val allowed = graft.util.CapMetrics.accountBucketCap(bucketStats, "ann_lsh_topk",
+        overCap, col("__qc") * col("__cc"), checkpoint)
+      .where(!overCap)
       .select(col("__band"), col("__bkey"))
 
+    // exact cosine INSIDE the bucket join, project to scalars, then the
+    // pair-level dedup shuffles (ids, cosine) instead of two full vectors
     val cand = qb.join(allowed, Seq("__band", "__bkey")).join(cb, Seq("__band", "__bkey"))
       .where(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        Dedup.cosineSimilarity(col("__qv"), col("__cv")).as("cosine"))
       .dropDuplicates("query_id", "corpus_id")
-      .withColumn("cosine", Dedup.cosineSimilarity(col("__qv"), col("__cv")))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)

@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.util.{CapMetrics, CheckpointStrategy, Materialize}
 import graft.util.Partitioning.spread
 
 /** Deduplication operators for large-scale training-data pipelines.
@@ -52,8 +53,9 @@ object Dedup {
     * self-join shuffles on the shingle key, so only documents sharing at
     * least one shingle ever meet — no cartesian product. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-                        n: Int, threshold: Double): DataFrame = {
-    val sh = wordShingles(docs, textCol, idCol, n).localCheckpoint()
+                        n: Int, threshold: Double,
+                        checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val sh = Materialize(wordShingles(docs, textCol, idCol, n), checkpoint)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
 
     val common = sh.as("a").join(sh.as("b"), col("a.__shingle") === col("b.__shingle"))
@@ -93,7 +95,8 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
                       shingleLen: Int = 3, numBands: Int = 16, rowsPerBand: Int = 4,
                       threshold: Double = 0.7,
-                      maxBucketPairs: Long = 4_000_000L): DataFrame = {
+                      maxBucketPairs: Long = 4_000_000L,
+                      checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
     val k = numBands * rowsPerBand
     val tokens = split(lower(trim(col(textCol))), "\\s+")
     val grams =
@@ -101,12 +104,13 @@ object Dedup {
         .otherwise(transform(sequence(lit(0), size(tokens) - lit(shingleLen)),
           i => concat_ws(" ", slice(tokens, i + 1, lit(shingleLen)))))
 
-    val signed = spread(docs)
-      .select(col(idCol), array_distinct(grams).as("__shingles"))
-      .where(size(col("__shingles")) > 0)
-      .withColumn("__sig", minhashSignature(col("__shingles"), k))
-      .select(col(idCol), col("__sig"))
-      .localCheckpoint()
+    val signed = Materialize(
+      spread(docs)
+        .select(col(idCol), array_distinct(grams).as("__shingles"))
+        .where(size(col("__shingles")) > 0)
+        .withColumn("__sig", minhashSignature(col("__shingles"), k))
+        .select(col(idCol), col("__sig")),
+      checkpoint)
 
     // explode into one row per band: band hash = xxhash64 over the band's
     // signature slice (rendered to a string key)
@@ -119,26 +123,26 @@ object Dedup {
 
     // skew guard: a bucket of n docs contributes n^2/2 candidate pairs -
     // cap it so degenerate buckets (boilerplate-heavy corpora) cannot
-    // concentrate quadratic work on single reducers
-    val allowed = banded.groupBy(col("__band"), col("__bucket")).agg(count(lit(1)).as("__n"))
-      .where(col("__n") * col("__n") <= maxBucketPairs)
+    // concentrate quadratic work on single reducers. Drops are counted and
+    // logged (CapMetrics) so the recall trade is visible.
+    val bucketStats = banded.groupBy(col("__band"), col("__bucket")).agg(count(lit(1)).as("__n"))
+    val overCap = col("__n") * col("__n") > maxBucketPairs
+    val allowed = CapMetrics.accountBucketCap(bucketStats, "dedup_minhash",
+        overCap, col("__n") * col("__n"), checkpoint)
+      .where(!overCap)
       .select(col("__band"), col("__bucket"))
     val gatedBands = banded.join(allowed, Seq("__band", "__bucket"))
 
-    val cand = gatedBands.as("a").join(gatedBands.as("b"),
+    // Verify INSIDE the bucket join (codegen'd signature-agreement kernel),
+    // project down to (id, id, estimate), THEN dedup: the pair-level
+    // distinct shuffles 24 bytes/row instead of two 64-long signatures.
+    gatedBands.as("a").join(gatedBands.as("b"),
         col("a.__band") === col("b.__band") && col("a.__bucket") === col("b.__bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        col("a.__sig").as("__sig_a"), col("b.__sig").as("__sig_b"))
-      .dropDuplicates("id_a", "id_b")
-
-    cand
-      .withColumn("est_jaccard",
-        aggregate(zip_with(col("__sig_a"), col("__sig_b"),
-          (x, y) => when(x === y, lit(1.0)).otherwise(lit(0.0))),
-          lit(0.0), (acc, v) => acc + v) / lit(k.toDouble))
+        graft.fuzzy.vectorFunctions.sig_agreement(col("a.__sig"), col("b.__sig")).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   // ------------------------------------------------------------- simhash
@@ -157,11 +161,13 @@ object Dedup {
     * maxHamming`, codegen'd. */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3,
-                   maxBucketPairs: Long = 4_000_000L): DataFrame = {
+                   maxBucketPairs: Long = 4_000_000L,
+                   checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
     val chunks = maxHamming + 1
     val chunkBits = 64 / chunks
-    val hashed = spread(docs).select(col(idCol), simhash64(col(textCol)).as("__simhash"))
-      .localCheckpoint()
+    val hashed = Materialize(
+      spread(docs).select(col(idCol), simhash64(col(textCol)).as("__simhash")),
+      checkpoint)
 
     val chunked = hashed.select(
       col(idCol), col("__simhash"),
@@ -172,19 +178,25 @@ object Dedup {
       .withColumnRenamed("col", "__ckey")
 
     // skew guard (mass-duplicate corpora put millions of docs in one
-    // chunk bucket; run exactDedup first when that is expected)
-    val allowed = chunked.groupBy(col("__chunk"), col("__ckey")).agg(count(lit(1)).as("__n"))
-      .where(col("__n") * col("__n") <= maxBucketPairs)
+    // chunk bucket; run exactDedup first when that is expected); drops are
+    // counted and logged (CapMetrics)
+    val bucketStats = chunked.groupBy(col("__chunk"), col("__ckey")).agg(count(lit(1)).as("__n"))
+    val overCap = col("__n") * col("__n") > maxBucketPairs
+    val allowed = CapMetrics.accountBucketCap(bucketStats, "dedup_simhash",
+        overCap, col("__n") * col("__n"), checkpoint)
+      .where(!overCap)
       .select(col("__chunk"), col("__ckey"))
     val gated = chunked.join(allowed, Seq("__chunk", "__ckey"))
 
+    // verify (bit_count over xor, codegen'd) and filter BEFORE the
+    // pair-level dedup so the distinct shuffles only surviving pairs
     gated.as("a").join(gated.as("b"),
         col("a.__chunk") === col("b.__chunk") && col("a.__ckey") === col("b.__ckey") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         bit_count(col("a.__simhash").bitwiseXOR(col("b.__simhash"))).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
       .where(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   // -------------------------------------------------------- embeddings
@@ -224,12 +236,14 @@ object Dedup {
   def cosineLshPairs(embeddings: DataFrame, vecCol: String, idCol: String,
                      threshold: Double, dim: Int, planes: Int = 16,
                      bands: Int = 4, seed: Long = 42L,
-                     maxBucketPairs: Long = 4_000_000L): DataFrame = {
+                     maxBucketPairs: Long = 4_000_000L,
+                     checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
     val hp = hyperplanes(dim, planes, seed)
     val bitsCol = graft.fuzzy.vectorFunctions.sign_lsh_bits(col(vecCol), hp.flatten, dim)
 
-    val hashed = spread(embeddings).select(col(idCol), col(vecCol), bitsCol.as("__bits"))
-      .localCheckpoint()
+    val hashed = Materialize(
+      spread(embeddings).select(col(idCol), col(vecCol), bitsCol.as("__bits")),
+      checkpoint)
 
     val perBand = planes / bands
     val chunked = hashed.select(
@@ -239,20 +253,25 @@ object Dedup {
       .withColumnRenamed("pos", "__band")
       .withColumnRenamed("col", "__bkey")
 
-    // skew guard: drop degenerate buckets before the self-join
-    val sizes = chunked.groupBy(col("__band"), col("__bkey")).agg(count(lit(1)).as("__n"))
-      .where(col("__n") * col("__n") <= maxBucketPairs)
+    // skew guard: drop degenerate buckets before the self-join; drops are
+    // counted and logged (CapMetrics)
+    val bucketStats = chunked.groupBy(col("__band"), col("__bkey")).agg(count(lit(1)).as("__n"))
+    val overCap = col("__n") * col("__n") > maxBucketPairs
+    val sizes = CapMetrics.accountBucketCap(bucketStats, "dedup_cosine_lsh",
+        overCap, col("__n") * col("__n"), checkpoint)
+      .where(!overCap)
       .select(col("__band"), col("__bkey"))
 
+    // verify with the exact cosine INSIDE the bucket join, project down to
+    // (id, id, cosine), THEN dedup — the pair-level distinct shuffles 24
+    // bytes/row instead of two full float vectors
     chunked.join(sizes, Seq("__band", "__bkey")).as("a")
       .join(chunked.join(sizes, Seq("__band", "__bkey")).as("b"),
         col("a.__band") === col("b.__band") && col("a.__bkey") === col("b.__bkey") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        col(s"a.$vecCol").as("__va"), col(s"b.$vecCol").as("__vb"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", cosineSimilarity(col("__va"), col("__vb")))
+        cosineSimilarity(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cosine"))
       .where(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
+      .dropDuplicates("id_a", "id_b")
   }
 }

@@ -3,6 +3,8 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.util.{CheckpointStrategy, Materialize}
+
 /** Near-duplicate CLUSTERING: from a pair list (id_a, id_b) to connected
   * components, and from components to a deduplicated corpus (keep the
   * minimum id per cluster).
@@ -29,14 +31,16 @@ object NearDupCluster {
     * minimum reachable id. Throws if the iteration cap is hit before
     * convergence rather than silently returning split components. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-                          maxIterations: Int = 15): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .localCheckpoint()
+                          maxIterations: Int = 15,
+                          checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val edges = Materialize(
+      pairs.select(col(idA).as("src"), col(idB).as("dst"))
+        .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst"))),
+      checkpoint)
 
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint()
+    var labels = Materialize(
+      edges.select(col("src").as("id")).distinct().withColumn("comp", col("id")),
+      checkpoint)
 
     var iteration = 0
     var converged = labels.isEmpty
@@ -54,9 +58,9 @@ object NearDupCluster {
         .select(col("id"), col("comp").as("__old"),
           least(col("comp"), coalesce(col("__minN"), col("comp")),
             coalesce(col("__lc"), col("comp"))).as("comp"))
-        .localCheckpoint()
-      converged = next.where(col("comp") =!= col("__old")).isEmpty
-      labels = next.select(col("id"), col("comp"))
+      val checkpointed = Materialize(next, checkpoint)
+      converged = checkpointed.where(col("comp") =!= col("__old")).isEmpty
+      labels = checkpointed.select(col("id"), col("comp"))
       iteration += 1
     }
     if (!converged)
@@ -70,8 +74,9 @@ object NearDupCluster {
     * members of near-dup clusters (representative = min id per component).
     * Rows not mentioned in `pairs` are untouched. */
   def dedupByPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
-                   maxIterations: Int = 15): DataFrame = {
-    val comps = connectedComponents(pairs, maxIterations = maxIterations)
+                   maxIterations: Int = 15,
+                   checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val comps = connectedComponents(pairs, maxIterations = maxIterations, checkpoint = checkpoint)
     val drop = comps.where(col("id") =!= col("comp")).select(col("id").as(idCol))
     docs.join(drop, Seq(idCol), "left_anti")
   }

@@ -1,0 +1,61 @@
+package graft.util
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.slf4j.LoggerFactory
+
+/** Observability for LSH bucket-cap drops.
+  *
+  * Every LSH-style pair generator in the engine caps bucket sizes so a
+  * degenerate bucket cannot concentrate quadratic work on one reducer
+  * (see [[graft.fuzzy.AnnJoin]]). The cap trades recall for boundedness —
+  * and that trade must never be silent. [[accountBucketCap]] materializes
+  * the per-bucket statistics frame (tiny: one row per candidate bucket,
+  * already aggregated — the join needs it anyway), runs one cheap
+  * driver-side aggregate over it, and logs one line per capped stage:
+  *
+  *   [graft.cap] <stage>: dropped N of M buckets (~P candidate pairs)
+  *
+  * Synchronous by design: an earlier `Dataset.observe`-based version lost
+  * its metrics whenever AQE wrapped the CollectMetrics node inside a
+  * broadcast query stage, so tests (and operators) could not rely on the
+  * numbers arriving. Tests read the same numbers via [[lastMetrics]].
+  */
+object CapMetrics {
+  private val log = LoggerFactory.getLogger(getClass)
+
+  final case class CapStats(droppedBuckets: Long, totalBuckets: Long, droppedPairs: Long)
+
+  /** Last accounted stats per stage name, refreshed on every build that
+    * touches the stage. */
+  private val last = new ConcurrentHashMap[String, CapStats]()
+
+  def lastMetrics(stage: String): Option[CapStats] = Option(last.get(stage))
+
+  /** Materialize `bucketStats`, account + log what `overCap` will drop, and
+    * return the materialized frame for the caller to filter. `overCap` must
+    * be the same predicate the caller uses to FILTER the buckets; `pairs` is
+    * the candidate-pair count a bucket would have contributed. */
+  def accountBucketCap(bucketStats: DataFrame, stage: String,
+                       overCap: Column, pairs: Column,
+                       checkpoint: CheckpointStrategy): DataFrame = {
+    val stats = Materialize(bucketStats, checkpoint)
+    val row = stats.agg(
+      sum(when(overCap, 1L).otherwise(0L)).as("dropped_buckets"),
+      count(lit(1)).as("total_buckets"),
+      sum(when(overCap, pairs).otherwise(lit(0L))).cast("long").as("dropped_pairs")).head()
+    val s = CapStats(
+      if (row.isNullAt(0)) 0L else row.getLong(0),
+      if (row.isNullAt(1)) 0L else row.getLong(1),
+      if (row.isNullAt(2)) 0L else row.getLong(2))
+    last.put(stage, s)
+    if (s.droppedBuckets > 0)
+      log.warn(s"[graft.cap] $stage: dropped ${s.droppedBuckets} of ${s.totalBuckets} buckets " +
+        s"(~${s.droppedPairs} candidate pairs) — raise the bucket cap or dedup inputs first")
+    else
+      log.info(s"[graft.cap] $stage: no buckets dropped (total ${s.totalBuckets})")
+    stats
+  }
+}

@@ -14,6 +14,9 @@ import org.apache.spark.sql.DataFrame
 object Partitioning {
   def spread(df: DataFrame): DataFrame = {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism) else df
+    // toRdd reads the physical plan's partitioning without the extra
+    // row-conversion RDD that `df.rdd` would build
+    if (df.queryExecution.toRdd.getNumPartitions < parallelism) df.repartition(parallelism)
+    else df
   }
 }

@@ -58,6 +58,44 @@ class KernelsSpec extends AnyFunSuite {
     assert(math.abs(Kernels.hammingDist("abc", "abcd") - 0.25) < eps)
   }
 
+  test("damerauBounded == damerau under the cutoff (property)") {
+    forAllWordPairs(3000) { (a: String, b: String) =>
+      val full = Kernels.damerau(a, b)
+      for (k <- 0 to math.max(a.length, b.length) + 1) {
+        val bounded = Kernels.damerauBounded(a, b, k)
+        if (full <= k) assert(bounded == full, s"'$a' vs '$b' k=$k: $bounded != $full")
+        else assert(bounded == k + 1, s"'$a' vs '$b' k=$k: expected cutoff ${k + 1}, got $bounded")
+      }
+    }
+  }
+
+  test("indelBounded == indel under the cutoff (property)") {
+    forAllWordPairs(3000) { (a: String, b: String) =>
+      val full = a.length + b.length - 2 * Kernels.lcsLength(a, b)
+      for (k <- 0 to a.length + b.length + 1) {
+        val bounded = Kernels.indelBounded(a, b, k)
+        if (full <= k) assert(bounded == full, s"'$a' vs '$b' k=$k: $bounded != $full")
+        else assert(bounded == k + 1, s"'$a' vs '$b' k=$k: expected cutoff ${k + 1}, got $bounded")
+      }
+    }
+  }
+
+  test("distBounded (damerau/indel) matches dist under the threshold filter (property)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    forAllWordPairs(2000) { (a: String, b: String) =>
+      val ua = UTF8String.fromString(a)
+      val ub = UTF8String.fromString(b)
+      for (id <- Seq(4, 5); maxDist <- Seq(0.1, 0.3, 0.5)) {
+        val exact = Kernels.dist(id, ua, ub)
+        val bounded = Kernels.distBounded(id, ua, ub, maxDist)
+        if (exact <= maxDist)
+          assert(math.abs(bounded - exact) < eps, s"id=$id '$a' vs '$b' @$maxDist")
+        else
+          assert(bounded > maxDist, s"id=$id '$a' vs '$b' @$maxDist: $bounded should exceed")
+      }
+    }
+  }
+
   test("indel = len1 + len2 - 2*LCS, normalized by sum") {
     assert(Kernels.lcsLength("abcde", "ace") == 3)
     // dist = (5 + 3 - 6) / 8 = 0.25

@@ -1,0 +1,57 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.util.CapMetrics
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bucket-cap observability: capped stages must account for what they drop
+  * (the cap is a recall trade, never a silent one), and the simhash
+  * pigeonhole blocking must be COMPLETE when nothing is capped.
+  * Accounting is synchronous — metrics are recorded while the pair frame is
+  * being BUILT, no listener race to wait out.
+  */
+class CapMetricsSpec extends AnyFunSuite with SparkSpec {
+
+  test("minhash bucket cap drops are counted on a skewed fixture") {
+    import spark.implicits._
+    // 100 near-identical docs -> every band bucket holds ~50 docs; with a
+    // cap of 9 pairs (3x3) every bucket is dropped
+    val docs = (0 until 100).map(i =>
+      (i.toLong, "the same boilerplate text repeated across the corpus " + (i % 2))).toDF("doc_id", "text")
+    Dedup.minhashLshPairs(docs, "text", "doc_id",
+      shingleLen = 3, numBands = 4, rowsPerBand = 2, threshold = 0.1, maxBucketPairs = 9L)
+    val s = CapMetrics.lastMetrics("dedup_minhash")
+      .getOrElse(fail("no cap metrics recorded for dedup_minhash"))
+    assert(s.totalBuckets > 0)
+    assert(s.droppedBuckets > 0, "skewed fixture should trip the bucket cap")
+    assert(s.droppedPairs > 0, "dropped candidate-pair estimate should be positive")
+  }
+
+  test("simhash bucket cap drops are counted; uncapped blocking is complete") {
+    import spark.implicits._
+    val docs = (0 until 60).map { i =>
+      val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      (i.toLong, if (i % 3 == 0) base else s"$base word$i tail${i % 7}")
+    }.toDF("doc_id", "text")
+
+    // uncapped: pigeonhole blocking finds EVERY pair within the hamming
+    // budget — compare against the brute-force cross join on the same hashes
+    val viaLsh = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hashed = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+      Dedup.simhash64(org.apache.spark.sql.functions.col("text")).as("h"))
+    val brute = hashed.as("a").crossJoin(hashed.as("b"))
+      .where(org.apache.spark.sql.functions.expr("a.doc_id < b.doc_id AND bit_count(a.h ^ b.h) <= 8"))
+      .select("a.doc_id", "b.doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaLsh == brute, "uncapped simhash blocking must equal brute-force hamming pairs")
+    val uncapped = CapMetrics.lastMetrics("dedup_simhash")
+      .getOrElse(fail("no cap metrics recorded for dedup_simhash"))
+    assert(uncapped.droppedBuckets == 0)
+
+    // capped: drops must surface in the metrics
+    Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 8, maxBucketPairs = 4L)
+    val capped = CapMetrics.lastMetrics("dedup_simhash").get
+    assert(capped.totalBuckets > 0)
+    assert(capped.droppedBuckets > 0)
+  }
+}
