@@ -16,10 +16,10 @@ import graft.pipeline.{AnnSearch, Dedup}
   *   - exact_225m : 15k x 15k forced cross join   (baseline 40.82 s @150M)
   *   - auto_225m  : 15k x 15k auto (customer names are LSH-hostile — the
   *     sampled degeneracy probe must fall back to exact at ~exact cost)
-  *   - annf_300m  : 20k x 15k diverse document-derived strings with
+  *   - annf_3g    : ~102k x ~31k diverse document-derived strings with
   *     injected typos (the reference's ANN scenario recipe,
-  *     performance_test/generate_test_data.py:63-142) — auto engages the
-  *     LSH path here; the _exact twin measures the win
+  *     performance_test/generate_test_data.py:63-142) — a ~3.2e9 cartesian
+  *     where the forced-LSH path must beat the _exact twin
   * plus the pipeline operators' scale demos on documents/embeddings.
   *
   * Methodology: every query runs `Iterations` times after a warmup pass at
@@ -63,10 +63,26 @@ object Bench {
         s"substring($in, cast(pmod(xxhash64($in), length($in) - 4) + 2 as int) + 1, length($in)))"
     ).as(out)).distinct()
 
-  /** LSH tuning for the ANN-friendly rows: rows-per-band 4 (vs the default
-    * 2) — typo'd pairs sit at gram-jaccard ~0.85 where r=4 keeps ~100%
-    * band-collision recall while cutting random-pair collisions ~100x. */
-  private val annfOpts = MatchOptions(lshRowsPerBand = 4)
+  /** LSH tuning for the ANN-friendly rows: 12 bands x 5 rows. Typo'd pairs
+    * sit at gram-jaccard >= ~0.8 where P(>=1 band collision) = 1-(1-j^5)^12
+    * >= 0.99, while mid-jaccard topic pairs (~0.45, abundant among document
+    * substrings) collide ~3x less than at r=4 — band-join volume, not
+    * banding, dominates the LSH path's cost. */
+  private val annfOpts = MatchOptions(lshNumBands = 12, lshRowsPerBand = 5)
+
+  /** The annf value frames are FIXTURES (the reference pre-generates its
+    * perf corpora the same way, performance_test.py:58-86): built and
+    * checkpointed once per scale factor so the timed region measures the
+    * join operator, not test-data construction. */
+  private val annfCache =
+    scala.collection.mutable.Map.empty[String, (DataFrame, DataFrame)]
+  private def annfValues(s: SparkSession, sfDir: String): (DataFrame, DataFrame) =
+    annfCache.getOrElseUpdate(sfDir, {
+      val left = docValues(s, sfDir, 1 to 271 by 10, 30, "name").localCheckpoint()
+      val right = injectTypo(docValues(s, sfDir, 1 to 211 by 30, 30, "src"), "src", "name_t")
+        .localCheckpoint()
+      (left, right)
+    })
 
   def benchQueries(sfDir: String): Map[String, SparkSession => DataFrame] = Map(
     "fuzzy_exact_80m" -> (s => {
@@ -82,14 +98,17 @@ object Bench {
       val c = s.read.parquet(s"$sfDir/customer.parquet")
       lev90(c, c, "c_name", "c_name", MatchOptions())
     }),
-    "fuzzy_annf_300m_lsh" -> (s => {
-      val left = docValues(s, sfDir, Seq(1, 61, 121, 181), 30, "name")
-      val right = injectTypo(docValues(s, sfDir, Seq(1, 61, 121), 30, "src"), "src", "name_t")
-      lev90(left, right, "name", "name_t", annfOpts)
+    // ~102k x ~31k diverse values = ~3.2e9 pair cartesian at sf0.1 — the
+    // scale where candidate generation beats brute force. LSH is FORCED
+    // (Some(true)) so the row isolates the LSH path itself; the exact twin
+    // measures the win. Row counts must agree (full recall on typo'd pairs).
+    "fuzzy_annf_3g_lsh" -> (s => {
+      val (left, right) = annfValues(s, sfDir)
+      lev90(left, right, "name", "name_t",
+        annfOpts.copy(useApproxNearestNeighbor = Some(true)))
     }),
-    "fuzzy_annf_300m_exact" -> (s => {
-      val left = docValues(s, sfDir, Seq(1, 61, 121, 181), 30, "name")
-      val right = injectTypo(docValues(s, sfDir, Seq(1, 61, 121), 30, "src"), "src", "name_t")
+    "fuzzy_annf_3g_exact" -> (s => {
+      val (left, right) = annfValues(s, sfDir)
       lev90(left, right, "name", "name_t",
         annfOpts.copy(useApproxNearestNeighbor = Some(false)))
     }),

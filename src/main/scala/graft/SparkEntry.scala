@@ -102,15 +102,20 @@ object SparkEntry {
       val p = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", 3, 0.5)
       p.select(col("id_a"), col("id_b"), sround(col("jaccard"), 6).as("jaccard"))
     }),
-    // LSH / sketch variants: no SQL analog -> rows-only check (recall vs the
-    // exact variants is asserted in the ScalaTest suites)
+    // MinHash LSH candidates + exact shingle-jaccard verify: the candidate
+    // generation is sub-quadratic LSH, the verify makes the output ground
+    // truth -> oracled against the same SQL family as dedup_ngram_jaccard
     "dedup_minhash_lsh" -> ((s, dir) => {
-      val p = Dedup.minhashLshPairs(t(s, dir, "documents"), "text", "doc_id",
-        shingleLen = 3, numBands = 16, rowsPerBand = 4, threshold = 0.4)
-      p.select(col("id_a"), col("id_b"), sround(col("est_jaccard"), 6).as("est_jaccard"))
+      val p = Dedup.minhashLshVerifiedPairs(t(s, dir, "documents"), "text", "doc_id",
+        shingleLen = 3, numBands = 16, rowsPerBand = 4, threshold = 0.5)
+      p.select(col("id_a"), col("id_b"), sround(col("jaccard"), 6).as("jaccard"))
     }),
+    // MD5 token hash (useMd5): DuckDB recomputes the identical simhash
+    // bit-for-bit, so the pigeonhole-blocked pairs are fully oracled
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 8)),
+      Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 8,
+          useMd5 = true)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
     // pair list -> connected components -> keep one representative/cluster
     "dedup_near_cluster" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -158,13 +163,13 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"),
         TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))),
-    // winnowing sketch: exploded to (doc_id, fingerprint) scalar rows so the
-    // driver can sort/hash them (an array column is unhashable pandas-side);
-    // the hash family is xxhash64 -> no SQL analog -> rows-only
+    // winnowing sketch: exploded to (doc_id, fingerprint) scalar rows; the
+    // MD5 gram hash (useMd5) is recomputable in SQL, so the sketch is
+    // oracled bit-for-bit
     "text_winnow" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
-        explode(TextAnalysis.winnowFingerprints(col("text"))).as("fp"))),
+        explode(TextAnalysis.winnowFingerprints(col("text"), useMd5 = true)).as("fp"))),
 
     // ---- multimodal binary plumbing (documents' text bytes as payload)
     "multimodal_meta" -> ((s, dir) =>
@@ -242,6 +247,34 @@ object SparkEntry {
          SELECT id_a, id_b, round(common / (sa.sz + sb.sz - common), 6) AS jaccard
          FROM c JOIN sz sa ON c.id_a = sa.doc_id JOIN sz sb ON c.id_b = sb.doc_id
          WHERE common / (sa.sz + sb.sz - common) >= 0.5""",
+    // ground truth for the LSH-candidates + exact-verify pipeline: identical
+    // shingle construction, threshold 0.5 (recall of the candidate stage is
+    // ~1 for the high-jaccard near-dups this detects; the AnnJoin/Dedup
+    // specs assert the recall bound independently)
+    "dedup_minhash_lsh" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+         s AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) END AS sh FROM t),
+         e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         sz AS (SELECT doc_id, len(sh) AS sz FROM s),
+         c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+               FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT id_a, id_b, round(common / (sa.sz + sb.sz - common), 6) AS jaccard
+         FROM c JOIN sz sa ON c.id_a = sa.doc_id JOIN sz sb ON c.id_b = sb.doc_id
+         WHERE common / (sa.sz + sb.sz - common) >= 0.5""",
+    // MD5-token simhash recomputed bit-for-bit, then brute-force hamming
+    // pairs (the Spark side's pigeonhole blocking is exact when uncapped)
+    "dedup_simhash" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok FROM documents),
+         h AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 16))::UBIGINT AS th FROM t),
+         b AS (SELECT doc_id, bit, sum(CASE WHEN (th >> bit::INT) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+               FROM h, range(64) r(bit) GROUP BY doc_id, bit),
+         s AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN (1::UBIGINT << bit::INT) ELSE 0::UBIGINT END)::UBIGINT AS sh
+               FROM b GROUP BY doc_id)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sh, b.sh)) <= 8""",
     "dedup_near_cluster" ->
       """WITH RECURSIVE
          t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
@@ -318,6 +351,18 @@ object SparkEntry {
            octet_length(encode(text)) AS nb
          FROM documents)
          SELECT doc_id, chunk_index, least(128, nb - chunk_index*128) AS chunk_bytes FROM c""",
+    // MD5-gram winnowing sketch recomputed with list comprehensions: hash
+    // every 5-gram, min per 4-window, distinct
+    "text_winnow" ->
+      """WITH p AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+         g AS (SELECT doc_id,
+                 list_transform(range(0, greatest(length(t) - 5 + 1, 1)),
+                   i -> ('0x' || substring(md5(substring(t, i::INT + 1, 5)), 1, 15))::BIGINT) AS hs
+               FROM p)
+         SELECT doc_id,
+           unnest(list_distinct(list_transform(range(0, greatest(len(hs) - 4 + 1, 1)),
+             w -> list_min(hs[w::INT + 1 : w::INT + 4])))) AS fp
+         FROM g""",
     // mean byte value / 255 over the UTF-8 payload — recomputed byte-exactly
     // from the hex rendering (encoding-agnostic, unlike ord() over chars)
     "multimodal_decode" ->

@@ -102,60 +102,65 @@ object AnnJoin {
     def gramsOf(df: DataFrame, vCol: String): DataFrame =
       df.select(col(vCol).as("__v"),
         explode(array_distinct(vectorFunctions.char_ngrams(lower(col(vCol)), n))).as("__g"))
-    val allGrams = Materialize(
-      gramsOf(leftValues, leftCol).unionByName(gramsOf(rightValues, rightCol)),
-      opts.checkpoint)
-    val stopGrams = allGrams.groupBy(col("__g"))
-      .agg(count(lit(1)).as("__df"))
-      .where(col("__df") > opts.lshStopGramFraction * total)
-      .select(col("__g"))
+    // The stop grams are ESTIMATED from a uniform sample and COLLECTED to
+    // the driver: gram document frequencies are proportional under uniform
+    // sampling (same argument as the degeneracy probe), so "present in more
+    // than `lshStopGramFraction` of all values" is tested against the
+    // sample's expected size — a constant-cost step instead of a corpus
+    // scan. The set itself is bounded by avgGramsPerValue /
+    // lshStopGramFraction entries regardless of corpus size (~a hundred at
+    // the defaults even at 100 TB), so it ships to executors as a literal
+    // reference object and gram filtering becomes a narrow codegen
+    // projection instead of three shuffles a side.
+    val sampleFrac = math.min(1.0, opts.lshProbeSampleSize.toDouble / math.max(total, 1L))
+    val sampledValues =
+      leftValues.select(col(leftCol).as("__v"))
+        .unionByName(rightValues.select(col(rightCol).as("__v")))
+        .sample(withReplacement = false, sampleFrac, seed = 42L)
+    val stopGrams: Array[String] =
+      sampledValues
+        .select(explode(array_distinct(
+          vectorFunctions.char_ngrams(lower(col("__v")), n))).as("__g"))
+        .groupBy(col("__g"))
+        .agg(count(lit(1)).as("__df"))
+        .where(col("__df") > opts.lshStopGramFraction * (total * sampleFrac))
+        .select(col("__g"))
+        .collect().map(_.getString(0))
     build(leftValues, rightValues, leftCol, rightCol, opts, reversedThreshold, stopGrams)
   }
 
   private def build(leftValues: DataFrame, rightValues: DataFrame,
                     leftCol: String, rightCol: String,
                     opts: MatchOptions, reversedThreshold: Double,
-                    stopGrams: DataFrame): DataFrame = {
+                    stopGrams: Array[String]): DataFrame = {
     val n = opts.lshNgramSize
     val bands = opts.lshNumBands
     val rows = opts.lshRowsPerBand
     val k = bands * rows
 
-    def gramsOf(df: DataFrame, vCol: String): DataFrame =
-      df.select(col(vCol).as("__v"),
-        explode(array_distinct(vectorFunctions.char_ngrams(lower(col(vCol)), n))).as("__g"))
-
-    // Signatures are minhashed over the DISCRIMINATIVE grams; a value with
-    // too few surviving grams falls back to its full gram set (tiny or
-    // asymmetric kept sets make MinHash recall collapse).
-    def keptGrams(df: DataFrame, vCol: String): DataFrame = {
-      val kept = gramsOf(df, vCol)
-        .join(stopGrams, Seq("__g"), "left_anti")
-        .groupBy(col("__v")).agg(collect_list(col("__g")).as("__grams"))
-        .withColumnRenamed("__v", vCol)
-      df.join(kept, Seq(vCol), "left")
-        .withColumn("__grams",
-          when(col("__grams").isNull || size(col("__grams")) < opts.lshMinKeptGrams,
-            vectorFunctions.char_ngrams(lower(col(vCol)), n))
-            .otherwise(col("__grams")))
-    }
-
-    // The lowered value rides along from here on: computed once per value,
-    // reused by the jaccard gate (per-pair lower() allocations dominated
-    // the gate cost) and by the downstream scorer.
+    // One narrow projection per side: kept grams (discriminative grams with
+    // full-set fallback, the stop set inlined as a reference object) ->
+    // minhash signature -> band keys, all inside WholeStageCodegen. No
+    // shuffle and no materialization barrier — recomputing the projection
+    // for the bucket statistics is cheaper than checkpointing the exploded
+    // band rows. The lowered value rides along: computed once per value,
+    // reused by the jaccard gate and the downstream scorer.
     def banded(df: DataFrame, vCol: String): DataFrame =
-      keptGrams(df, vCol).select(
+      df.select(
           col(vCol),
           lower(col(vCol)).as(FuzzyMatcher.lowerName(vCol)),
           posexplode(
             vectorFunctions.lsh_band_keys(
-              vectorFunctions.minhash_signature(col("__grams"), k),
+              vectorFunctions.minhash_signature(
+                vectorFunctions.kept_grams(lower(col(vCol)), n, stopGrams,
+                  opts.lshMinKeptGrams),
+                k),
               bands, rows)))
         .withColumnRenamed("pos", "__band")
         .withColumnRenamed("col", "__bkey")
 
-    val lb = Materialize(banded(leftValues, leftCol), opts.checkpoint)
-    val rb = Materialize(banded(rightValues, rightCol), opts.checkpoint)
+    val lb = banded(leftValues, leftCol)
+    val rb = banded(rightValues, rightCol)
     val lLow = FuzzyMatcher.lowerName(leftCol)
     val rLow = FuzzyMatcher.lowerName(rightCol)
 
@@ -163,42 +168,95 @@ object AnnJoin {
     // count exceeds the cap — they are non-selective and would concentrate
     // quadratic work on single reducers. Drop counts are observed and
     // logged (CapMetrics), so capped recall loss is visible per stage.
-    val bucketStats = lb.groupBy(col("__band"), col("__bkey")).agg(count(lit(1)).as("__lc"))
-      .join(rb.groupBy(col("__band"), col("__bkey")).agg(count(lit(1)).as("__rc")),
-        Seq("__band", "__bkey"))
+    // Both sides' bucket sizes come from ONE union-aggregate (a single
+    // shuffle) rather than two aggregations joined on the bucket key.
+    val bucketStats = lb.select(col("__band"), col("__bkey"),
+        lit(1L).as("__l"), lit(0L).as("__r"))
+      .unionByName(rb.select(col("__band"), col("__bkey"),
+        lit(0L).as("__l"), lit(1L).as("__r")))
+      .groupBy(col("__band"), col("__bkey"))
+      .agg(sum(col("__l")).as("__lc"), sum(col("__r")).as("__rc"))
+      .where(col("__lc") > 0 && col("__rc") > 0)
     val overCap = col("__lc") * col("__rc") > opts.lshMaxBucketPairs
-    val allowed = CapMetrics.accountBucketCap(bucketStats, "fuzzy_lsh",
-        overCap, col("__lc") * col("__rc"), opts.checkpoint)
-      .where(!overCap)
-      .select(col("__band"), col("__bkey"))
+
+    // Bucket gating, two regimes:
+    //  - bucket count fits on the driver (the overwhelmingly common case —
+    //    bucket count is ~values x bands / mean bucket size): ONE collect,
+    //    driver-side drop accounting, and the allowed set becomes a
+    //    codegen'd sorted-array membership filter on the banded streams —
+    //    no checkpoint, no extra aggregate action, no join stage;
+    //  - larger: materialized stats + accounted frame join (scale path).
+    val MaxDriverBuckets = 2_000_000
+    val statsRows = bucketStats.limit(MaxDriverBuckets + 1).collect()
+    val gatePredicate: Either[DataFrame, Array[Long]] =
+      if (statsRows.length > MaxDriverBuckets) {
+        val (stats, _) = CapMetrics.accountBucketCapWithStats(bucketStats, "fuzzy_lsh",
+          overCap, col("__lc") * col("__rc"), opts.checkpoint)
+        Left(stats.where(!overCap).select(col("__band"), col("__bkey")))
+      } else {
+        var dropped = 0L
+        var droppedPairs = 0L
+        val keys = Array.newBuilder[Long]
+        statsRows.foreach { r =>
+          val band = r.getInt(0); val bkey = r.getLong(1)
+          val pairs = r.getLong(2) * r.getLong(3)
+          if (pairs > opts.lshMaxBucketPairs) { dropped += 1; droppedPairs += pairs }
+          else keys += bkey * 31L + band
+        }
+        CapMetrics.record("fuzzy_lsh",
+          CapMetrics.CapStats(dropped, statsRows.length.toLong, droppedPairs))
+        val sorted = keys.result()
+        java.util.Arrays.sort(sorted)
+        Right(sorted)
+      }
 
     // Jaccard gate: a single edit changes at most `n` grams, so a pair
     // within normalized edit distance f has gram-Jaccard distance at most
-    // ~2nf/(1 + nf) (long-string limit). Gate at 1.4x that bound (margin
-    // for end effects / short strings), capped by the configured ceiling.
+    // ~2nf/(1 + nf) (long-string limit; the exact worst case for length L
+    // is 2nfL/(L-n+1+nfL), ~8% above the limit at L=30). Gate at 1.15x the
+    // limit — enough margin for end effects while cutting the
+    // mid-similarity pairs that dominate candidate volume on topical text
+    // (a 1.4x margin admitted ~3x more candidates for zero extra recall).
+    // Capped by the configured ceiling.
     val f = reversedThreshold
     val adaptiveGate = math.min(
-      math.max(1.4 * (2.0 * n * f) / (1.0 + n * f), 0.25),
+      math.max(1.15 * (2.0 * n * f) / (1.0 + n * f), 0.25),
       opts.lshJaccardDistanceThreshold)
 
     // Verify on the (duplicated) join stream — the jaccard kernel is cheap
-    // codegen'd compute — then DEDUP, then rank: ranking the band-duplicated
-    // stream would let a pair surfacing from b bands eat b top-N slots and
-    // make the rank boundary nondeterministic. The gated stream is already
-    // small (the jaccard filter passed), so the pair-level dedup shuffle is
-    // bounded by ~2x the candidate set.
-    val gated = lb.join(allowed, Seq("__band", "__bkey"))
-      .join(rb, Seq("__band", "__bkey"))
+    // codegen'd compute — then dedup AND rank in ONE window pass: rows sort
+    // by (jaccard, right) within each left value, so band-duplicate pairs
+    // (identical jaccard AND right value) land adjacent and `lag` flags
+    // them; the running count of non-duplicates is exactly the rank over
+    // UNIQUE pairs. One shuffle replaces the dropDuplicates + row_number
+    // pair, the rank boundary is deterministic, and a pair surfacing from b
+    // bands cannot eat b top-N slots.
+    val joined = gatePredicate match {
+      case Right(sortedKeys) =>
+        val keep = (df: DataFrame) =>
+          df.where(vectorFunctions.bucket_allowed(col("__band"), col("__bkey"), sortedKeys))
+        keep(lb).join(keep(rb), Seq("__band", "__bkey"))
+      case Left(allowed) =>
+        lb.join(allowed, Seq("__band", "__bkey"))
+          .join(rb, Seq("__band", "__bkey"))
+    }
+    val gated = joined
       .select(col(leftCol), col(lLow), col(rightCol), col(rLow))
       .withColumn("__jaccard_dist",
         vectorFunctions.ngram_jaccard_dist(col(lLow), col(rLow), n))
       .where(col("__jaccard_dist") <= adaptiveGate)
-      .dropDuplicates(leftCol, rightCol)
 
     val w = Window.partitionBy(col(leftCol)).orderBy(col("__jaccard_dist").asc, col(rightCol).asc)
+    val isDup = coalesce(
+      col(rightCol) === lag(col(rightCol), 1).over(w) &&
+        col("__jaccard_dist") === lag(col("__jaccard_dist"), 1).over(w),
+      lit(false))
     gated
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= opts.topNForNewMatches)
-      .drop("__rn", "__jaccard_dist")
+      .withColumn("__dup", isDup)
+      .withColumn("__rnk",
+        sum(when(col("__dup"), 0L).otherwise(1L))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(!col("__dup") && col("__rnk") <= opts.topNForNewMatches)
+      .drop("__dup", "__rnk", "__jaccard_dist")
   }
 }

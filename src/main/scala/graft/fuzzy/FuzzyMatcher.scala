@@ -41,6 +41,8 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyMatcher {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private val LeftIdx = "__left_index"
   private val RightIdx = "__right_index"
 
@@ -65,6 +67,15 @@ object FuzzyMatcher {
       .drop(LeftIdx, RightIdx)
       .select(outputOrder.map(col): _*)
   }
+
+  /** Eager variant of [[matchDfs]] — the reference's `fuzzy_match_dfs`
+    * COLLECTS its result (matcher.py:717); the Spark analog materializes the
+    * join under the configured checkpoint strategy so every downstream
+    * consumer reuses the computed result instead of re-running the
+    * multi-pass plan. */
+  def matchDfsEager(left: DataFrame, right: DataFrame, maps: Seq[FuzzyMapping],
+                    opts: MatchOptions = MatchOptions.default): DataFrame =
+    graft.util.Materialize(matchDfs(left, right, maps, opts), opts.checkpoint)
 
   /** Inject a stable row id. Checkpointed immediately: like the reference's
     * IPC cache (matcher.py:416) this freezes the id assignment so every
@@ -160,18 +171,29 @@ object FuzzyMatcher {
     }
 
     val useApprox = opts.useApproxNearestNeighbor.getOrElse(cartesian > opts.crossOverForApprox)
+    val stats = f"$lCol x $rCol: $lCount x $rCount distinct values (cartesian $cartesian%.3g)"
     if (useApprox) {
       // The degeneracy fallback applies to AUTO mode only: a user-forced LSH
       // join (Some(true)) must never silently become an exact cross join of
       // up to hardCartesianCap pairs.
-      if (opts.useApproxNearestNeighbor.contains(true))
+      if (opts.useApproxNearestNeighbor.contains(true)) {
+        log.info(s"[graft.pass] $stats -> LSH candidates (user-forced)")
         AnnJoin.candidates(leftVals, rightVals, lCol, rCol, opts,
           reversedThreshold, lCount + rCount)
-      else
+      } else
         AnnJoin.candidatesOrExactFallback(leftVals, rightVals, lCol, rCol, opts,
-            reversedThreshold, lCount + rCount, cartesian)
-          .getOrElse(exactCandidates())
+            reversedThreshold, lCount + rCount, cartesian) match {
+          case Some(cands) =>
+            log.info(s"[graft.pass] $stats -> LSH candidates (auto)")
+            cands
+          case None =>
+            log.info(s"[graft.pass] $stats -> exact cross join " +
+              "(auto: corpus is LSH-hostile, cartesian within the fallback cap)")
+            exactCandidates()
+        }
     } else {
+      log.info(s"[graft.pass] $stats -> exact cross join" +
+        (if (opts.useApproxNearestNeighbor.isEmpty) " (auto: below crossover)" else " (user-forced)"))
       exactCandidates()
     }
   }
@@ -214,9 +236,16 @@ object FuzzyMatcher {
     // every shape above yields each (leftIdx, rightIdx) at most once —
     // candidates are distinct value pairs and ids are unique per row.
     // Checkpointed: consumed by the next pass, the combine AND the assembly.
-    graft.util.Materialize(
+    val out = graft.util.Materialize(
       matched.withColumnRenamed("s", fuzzyMap.resolvedOutputName),
       opts.checkpoint)
+    // counting the materialized barrier is a metadata-cheap job and gives
+    // the per-pass diagnostics the reference logs throughout matcher.py
+    log.info(s"[graft.pass] ${fuzzyMap.leftCol} -> ${fuzzyMap.rightCol} " +
+      s"(${fuzzyMap.fuzzyType.name}, threshold ${fuzzyMap.thresholdScore}, " +
+      s"pass=${if (existing.isDefined) "filter-existing" else "fresh"}): " +
+      s"${out.count()} surviving row pairs")
+    out
   }
 
   /** Fold over mappings; pass N's matches gate pass N+1

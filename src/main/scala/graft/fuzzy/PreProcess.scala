@@ -2,6 +2,7 @@ package graft.fuzzy
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.{approx_count_distinct, col}
+import org.slf4j.LoggerFactory
 
 /** Driver-side planning statistics + heuristics.
   *
@@ -13,8 +14,20 @@ import org.apache.spark.sql.functions.{approx_count_distinct, col}
   */
 object PreProcess {
 
+  private val log = LoggerFactory.getLogger(getClass)
+
   final case class Plan(left: DataFrame, right: DataFrame, maps: Seq[FuzzyMapping],
                         leftLen: Long, rightLen: Long)
+
+  /** Log the processing order of the mappings with their uniqueness scores
+    * (`report_on_order_of_fuzzy_maps`, pre_process.py:174-197): the most
+    * selective mapping runs first, and this makes that decision visible. */
+  def reportOnOrder(maps: Seq[FuzzyMapping]): Unit = {
+    log.info("Fuzzy mappings sorted by uniqueness")
+    maps.zipWithIndex.foreach { case (m, i) =>
+      log.info(s"$i. Fuzzy mapping: ${m.leftCol} -> ${m.rightCol} Uniqueness: ${m.percUnique}")
+    }
+  }
 
   /** One scan per side computing approx distinct for every requested column. */
   def approxUniqueness(df: DataFrame, cols: Seq[String]): Map[String, Long] = {
@@ -71,8 +84,12 @@ object PreProcess {
       if (leftLen > 0 && rightLen > 0) {
         ms = fillPercUnique(l, r, ms, leftLen, rightLen)
         ms = orderMaps(ms)
+        reportOnOrder(ms)
         val rate = uniquenessRate(ms)
-        if (needsAggregation(rate, leftLen.toDouble * rightLen.toDouble)) {
+        val cartesian = leftLen.toDouble * rightLen.toDouble
+        if (needsAggregation(rate, cartesian)) {
+          log.info(f"Low uniqueness rate ($rate%.3f) on a $cartesian%.3g cartesian — " +
+            "deduplicating both sides on the mapping columns before matching")
           val agg = aggregateOutput(l, r, ms)
           l = agg._1
           r = agg._2

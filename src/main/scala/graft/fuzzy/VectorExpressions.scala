@@ -2,7 +2,7 @@ package graft.fuzzy
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSql
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Predicate, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -64,24 +64,45 @@ case class SignatureAgreement(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-case class SimHash(child: Expression) extends UnaryExpression {
+case class SimHash(child: Expression, useMd5: Boolean = false) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
   override protected def nullSafeEval(v: Any): Any =
-    VectorKernels.simhash(v.asInstanceOf[ArrayData])
+    VectorKernels.simhash(v.asInstanceOf[ArrayData], useMd5)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.fuzzy.VectorKernels.simhash($c)")
+    defineCodeGen(ctx, ev, c => s"graft.fuzzy.VectorKernels.simhash($c, $useMd5)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-case class WinnowSketch(child: Expression, k: Int, window: Int) extends UnaryExpression {
+case class WinnowSketch(child: Expression, k: Int, window: Int,
+                        useMd5: Boolean = false) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "winnow_sketch"
   override protected def nullSafeEval(v: Any): Any =
-    VectorKernels.winnow(v.asInstanceOf[UTF8String], k, window)
+    VectorKernels.winnow(v.asInstanceOf[UTF8String], k, window, useMd5)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.fuzzy.VectorKernels.winnow($c, $k, $window)")
+    defineCodeGen(ctx, ev, c => s"graft.fuzzy.VectorKernels.winnow($c, $k, $window, $useMd5)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Membership of the (band, bucket-key) pair in a driver-collected allowed
+  * set, stored as a sorted long array probed by binary search — the
+  * broadcast-hash-join of bucket gating without the join stage. */
+case class BucketAllowed(band: Expression, bkey: Expression, sortedKeys: Array[Long])
+    extends BinaryExpression with Predicate {
+  override def left: Expression = band
+  override def right: Expression = bkey
+  override def prettyName: String = "bucket_allowed"
+  override protected def nullSafeEval(b: Any, k: Any): Any =
+    java.util.Arrays.binarySearch(sortedKeys,
+      k.asInstanceOf[Long] * 31L + b.asInstanceOf[Int]) >= 0
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sortedKeys", sortedKeys, "long[]")
+    defineCodeGen(ctx, ev, (b, k) =>
+      s"(java.util.Arrays.binarySearch($ref, ((long)$k) * 31L + $b) >= 0)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(band = l, bkey = r)
 }
 
 /** Sign-LSH bits against a fixed hyperplane matrix (flattened row-major). */
@@ -105,6 +126,30 @@ case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
     VectorKernels.charNgrams(v.asInstanceOf[UTF8String], n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.fuzzy.VectorKernels.charNgrams($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Distinct char n-grams minus a driver-collected stop-gram set, falling
+  * back to the full distinct gram set when fewer than `minKept` survive.
+  * The stop set is bounded by avgGramsPerValue / stopFraction entries
+  * regardless of corpus size (only grams present in more than that fraction
+  * of ALL values qualify), so shipping it as a literal reference object is
+  * the broadcast-hash-join of gram filtering — zero shuffles. */
+case class KeptGrams(child: Expression, n: Int, stops: Array[String], minKept: Int)
+    extends UnaryExpression {
+  @transient private lazy val stopSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](math.max(stops.length * 2, 16))
+    stops.foreach(g => s.add(UTF8String.fromString(g)))
+    s
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "kept_grams"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.keptGrams(v.asInstanceOf[UTF8String], n, stopSet, minKept)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopSet", stopSet, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.fuzzy.VectorKernels.keptGrams($c, $n, $ref, $minKept)")
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -139,12 +184,17 @@ object vectorFunctions {
   def fvec_dot(a: Column, b: Column): Column = c(FloatVectorDot(x(a), x(b)))
   def minhash_signature(shingles: Column, k: Int): Column = c(MinHashSignature(x(shingles), k))
   def sig_agreement(a: Column, b: Column): Column = c(SignatureAgreement(x(a), x(b)))
-  def simhash64(tokens: Column): Column = c(SimHash(x(tokens)))
-  def winnow_sketch(text: Column, k: Int = 5, window: Int = 4): Column =
-    c(WinnowSketch(x(text), k, window))
+  def simhash64(tokens: Column, useMd5: Boolean = false): Column = c(SimHash(x(tokens), useMd5))
+  def winnow_sketch(text: Column, k: Int = 5, window: Int = 4,
+                    useMd5: Boolean = false): Column =
+    c(WinnowSketch(x(text), k, window, useMd5))
   def sign_lsh_bits(vec: Column, planes: Array[Double], dim: Int): Column =
     c(SignLshBits(x(vec), planes, dim))
   def char_ngrams(text: Column, n: Int): Column = c(CharNgrams(x(text), n))
+  def kept_grams(text: Column, n: Int, stops: Array[String], minKept: Int): Column =
+    c(KeptGrams(x(text), n, stops, minKept))
+  def bucket_allowed(band: Column, bkey: Column, sortedKeys: Array[Long]): Column =
+    c(BucketAllowed(x(band), x(bkey), sortedKeys))
   def lsh_band_keys(sig: Column, bands: Int, rows: Int): Column =
     c(LshBandKeys(x(sig), bands, rows))
   def ngram_jaccard_dist(a: Column, b: Column, n: Int): Column =

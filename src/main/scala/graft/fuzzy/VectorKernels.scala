@@ -106,15 +106,40 @@ object VectorKernels {
     agree.toDouble / n
   }
 
+  // MD5-based hashes for ORACLE-CHECKABLE sketch variants: DuckDB computes
+  // the same value as ('0x' || substring(md5(s), 1, 15))::BIGINT (60-bit) /
+  // ('0x' || substring(md5(s), 1, 16))::UBIGINT (64-bit), so sketches built
+  // on them can be verified bit-for-bit by the SQL oracle. ~3-5x slower than
+  // xxhash64 — the xxhash variants stay the at-scale default.
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 MD5 bytes, big-endian (= first 16 hex chars as unsigned). */
+  def md5Hash64(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    ((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) | ((d(2) & 0xFFL) << 40) |
+      ((d(3) & 0xFFL) << 32) | ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+      ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
+  }
+
+  /** First 15 MD5 hex chars as a non-negative long (60 bits). */
+  def md5Hash60(s: UTF8String): Long = md5Hash64(s) >>> 4
+
   /** 64-bit SimHash over a string token array: per bit, sign of the sum of
-    * +-1 votes from each token's hash. */
-  def simhash(tokens: ArrayData): Long = {
+    * +-1 votes from each token's hash. `useMd5` picks the oracle-checkable
+    * MD5 token hash over the (faster) default xxhash64. */
+  def simhash(tokens: ArrayData, useMd5: Boolean): Long = {
     val votes = new Array[Int](64)
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        val h = seededHash(tokens.getUTF8String(i), 42L)
+        val t = tokens.getUTF8String(i)
+        val h = if (useMd5) md5Hash64(t) else seededHash(t, 42L)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -132,15 +157,19 @@ object VectorKernels {
     out
   }
 
+  def simhash(tokens: ArrayData): Long = simhash(tokens, useMd5 = false)
+
   /** Winnowing sketch: hash every k-char gram of `text`, keep the min hash
-    * of each sliding window, distinct. Returns sorted minima. */
-  def winnow(text: UTF8String, k: Int, window: Int): ArrayData = {
+    * of each sliding window, distinct. Returns sorted minima. `useMd5`
+    * picks the oracle-checkable 60-bit MD5 gram hash. */
+  def winnow(text: UTF8String, k: Int, window: Int, useMd5: Boolean): ArrayData = {
     val s = text.toString
     val nGrams = math.max(s.length - k + 1, 1)
     val hashes = new Array[Long](nGrams)
     var i = 0
     while (i < nGrams) {
-      hashes(i) = seededHash(UTF8String.fromString(s.substring(i, math.min(i + k, s.length))), 7L)
+      val gram = UTF8String.fromString(s.substring(i, math.min(i + k, s.length)))
+      hashes(i) = if (useMd5) md5Hash60(gram) else seededHash(gram, 7L)
       i += 1
     }
     val nWin = math.max(nGrams - window + 1, 1)
@@ -203,6 +232,35 @@ object VectorKernels {
     }
   }
 
+  /** DISTINCT character n-grams minus a stop set, with a fallback to the
+    * full distinct gram set when fewer than `minKept` survive (tiny or
+    * asymmetric kept sets make MinHash recall collapse). One call per VALUE
+    * — replaces an explode + anti-join + collect_list + join-back pipeline
+    * (three shuffles per side) with a narrow codegen projection. */
+  def keptGrams(s: UTF8String, n: Int, stops: java.util.HashSet[UTF8String],
+                minKept: Int): ArrayData = {
+    val all = new java.util.LinkedHashSet[UTF8String]()
+    val str = s.toString
+    if (str.length < n) all.add(UTF8String.fromString(str))
+    else {
+      var i = 0
+      while (i <= str.length - n) {
+        all.add(UTF8String.fromString(str.substring(i, i + n)))
+        i += 1
+      }
+    }
+    val kept = new java.util.ArrayList[AnyRef](all.size())
+    val it = all.iterator()
+    while (it.hasNext) {
+      val g = it.next()
+      if (!stops.contains(g)) kept.add(g)
+    }
+    val out =
+      if (kept.size() < minKept) all.toArray(new Array[AnyRef](all.size()))
+      else kept.toArray(new Array[AnyRef](kept.size()))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** LSH band keys: one combined hash per band over `rows` consecutive
     * signature entries (band index mixed in so bands never collide). */
   def bandKeys(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
@@ -223,61 +281,74 @@ object VectorKernels {
     ArrayData.toArrayData(out)
   }
 
-  /** Sorted distinct grams of an ASCII string, each n<=4 gram packed into
-    * one Int (bytes are the gram identity — no String allocation). */
-  private def gramIntsAscii(s: UTF8String, n: Int): Array[Int] = {
-    val len = s.numBytes
-    val cnt = if (len < n) 1 else len - n + 1
-    val out = new Array[Int](cnt)
-    if (len < n) {
-      var packed = 0
-      var i = 0
-      while (i < len) { packed = (packed << 8) | (s.getByte(i) & 0xff); i += 1 }
-      out(0) = packed
-    } else {
-      var i = 0
-      while (i < cnt) {
-        var packed = 0
-        var j = 0
-        while (j < n) { packed = (packed << 8) | (s.getByte(i + j) & 0xff); j += 1 }
-        out(i) = packed
-        i += 1
-      }
-      java.util.Arrays.sort(out)
-    }
-    out
+  // Scratch state for the per-pair jaccard gate: it runs once per LSH
+  // candidate pair (tens of millions of times per join), so per-call
+  // allocation, sorting, and even table-clearing measurably dominate. One
+  // generation-stamped open-addressing table per executor thread: an entry
+  // is valid only if it carries the current call's generation, so the table
+  // is never cleared between calls (it is wiped once per 2^23 calls when
+  // the generation counter wraps).
+  private final class GateTable {
+    val slots = new Array[Long](1024) // gen(23b) | flagB(1b) | flagA(1b) | key+1(33b)
+    var gen = 0L
   }
-
-  /** Intersection size of two sorted arrays counting DISTINCT values. */
-  private def sortedDistinctIntersect(a: Array[Int], b: Array[Int]): (Int, Int, Int) = {
-    var i = 0; var j = 0
-    var inter = 0; var da = 0; var db = 0
-    while (i < a.length || j < b.length) {
-      if (i < a.length && (j >= b.length || a(i) < b(j))) {
-        da += 1
-        val v = a(i); while (i < a.length && a(i) == v) i += 1
-      } else if (j < b.length && (i >= a.length || b(j) < a(i))) {
-        db += 1
-        val v = b(j); while (j < b.length && b(j) == v) j += 1
-      } else {
-        da += 1; db += 1; inter += 1
-        val v = a(i)
-        while (i < a.length && a(i) == v) i += 1
-        while (j < b.length && b(j) == v) j += 1
-      }
-    }
-    (inter, da, db)
+  private val gateScratch = new ThreadLocal[GateTable] {
+    override def initialValue(): GateTable = new GateTable
   }
+  private final val GateMask = 1023
+  private final val KeyBits = 33
+  private final val FlagA = 1L << KeyBits
+  private final val FlagB = 1L << (KeyBits + 1)
 
   /** Normalized Jaccard DISTANCE between the char n-gram SETS of two
-    * strings. ASCII + n<=4 fast path packs grams into Ints (zero String
-    * allocation — this runs once per LSH candidate pair, tens of millions
-    * of times per join); generic path falls back to hashed grams. */
+    * strings. ASCII + n<=4 fast path packs grams into Ints and counts
+    * distinct/intersection via a zero-clear hash table (no allocation, no
+    * sort); generic path falls back to string-gram hash sets. */
   def ngramJaccardDist(a: UTF8String, b: UTF8String, n: Int): Double = {
-    if (n <= 4 && a.numChars == a.numBytes && b.numChars == b.numBytes) {
-      val ga = gramIntsAscii(a, n)
-      val gb = gramIntsAscii(b, n)
-      val (inter, da, db) = sortedDistinctIntersect(ga, gb)
+    if (n <= 4 && a.numChars == a.numBytes && b.numChars == b.numBytes &&
+        a.numBytes <= 400 && b.numBytes <= 400) {
+      val t = gateScratch.get()
+      t.gen += 1
+      if (t.gen >= (1L << 23)) { java.util.Arrays.fill(t.slots, 0L); t.gen = 1 }
+      val genTag = t.gen << (KeyBits + 2)
+      val slots = t.slots
+      var da = 0; var db = 0; var inter = 0
+
+      @inline def grams(s: UTF8String, flag: Long, otherFlag: Long): Int = {
+        var added = 0
+        val len = s.numBytes
+        val cnt = if (len < n) 1 else len - n + 1
+        var i = 0
+        while (i < cnt) {
+          var packed = 0
+          var j = 0
+          val gn = if (len < n) len else n
+          while (j < gn) { packed = (packed << 8) | (s.getByte(i + j) & 0xff); j += 1 }
+          val key = (packed.toLong & 0xFFFFFFFFL) + 1L
+          var h = (packed * 0x9E3779B1) >>> 22 // fibonacci hash to 10 bits
+          var done = false
+          while (!done) {
+            val slot = slots(h & GateMask)
+            if ((slot >>> (KeyBits + 2)) != t.gen || slot == 0L) {
+              slots(h & GateMask) = genTag | flag | key
+              added += 1
+              done = true
+            } else if ((slot & ((1L << KeyBits) - 1)) == key) {
+              if ((slot & flag) == 0L) {
+                slots(h & GateMask) = slot | flag
+                added += 1
+                if ((slot & otherFlag) != 0L) inter += 1
+              }
+              done = true
+            } else h += 1
+          }
+          i += 1
+        }
+        added
+      }
+
+      da = grams(a, FlagA, FlagB)
+      db = grams(b, FlagB, FlagA)
       val union = da + db - inter
       if (union == 0) 0.0 else 1.0 - inter.toDouble / union
     } else {

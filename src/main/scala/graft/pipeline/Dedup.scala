@@ -145,12 +145,46 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** MinHash-LSH candidates verified with the EXACT word-shingle Jaccard:
+    * LSH generates candidate pairs (bucket collisions only — no signature
+    * estimate filter), then each candidate is scored against the true
+    * shingle sets and kept iff `jaccard >= threshold`. The production
+    * shape for near-dup mining: candidate generation is sub-quadratic, the
+    * exact verify touches only candidate pairs, and the output is
+    * ground-truth-checkable (unlike the signature estimate). May still
+    * MISS a pair whose signatures never collide in any band — recall is
+    * governed by (numBands, rowsPerBand) exactly as in
+    * [[minhashLshPairs]]. */
+  def minhashLshVerifiedPairs(docs: DataFrame, textCol: String, idCol: String,
+                              shingleLen: Int = 3, numBands: Int = 16, rowsPerBand: Int = 4,
+                              threshold: Double = 0.7,
+                              maxBucketPairs: Long = 4_000_000L,
+                              checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val cand = minhashLshPairs(docs, textCol, idCol, shingleLen, numBands, rowsPerBand,
+        threshold = 0.0, maxBucketPairs, checkpoint)
+      .select(col("id_a"), col("id_b"))
+    val sh = Materialize(wordShingles(docs, textCol, idCol, shingleLen), checkpoint)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
+    cand
+      .join(sh.select(col(idCol).as("id_a"), col("__shingle")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("__shingle")), Seq("id_b", "__shingle"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__common"))
+      .join(sizes.select(col(idCol).as("id_a"), col("__sz").as("__sza")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("__sz").as("__szb")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("__common") / (col("__sza") + col("__szb") - col("__common")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   // ------------------------------------------------------------- simhash
 
   /** 64-bit SimHash of the token multiset: per bit, the sign of the sum of
-    * +-1 votes from each token hash (native codegen'd expression). */
-  def simhash64(textCol: Column): Column =
-    graft.fuzzy.vectorFunctions.simhash64(split(lower(trim(textCol)), "\\s+"))
+    * +-1 votes from each token hash (native codegen'd expression). `useMd5`
+    * picks the MD5 token hash that a SQL oracle can recompute bit-for-bit
+    * (slower; the xxhash64 default is the at-scale path). */
+  def simhash64(textCol: Column, useMd5: Boolean = false): Column =
+    graft.fuzzy.vectorFunctions.simhash64(split(lower(trim(textCol)), "\\s+"), useMd5)
 
   /** SimHash near-duplicate pairs with Hamming distance <= maxHamming.
     *
@@ -162,11 +196,12 @@ object Dedup {
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3,
                    maxBucketPairs: Long = 4_000_000L,
-                   checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+                   checkpoint: CheckpointStrategy = CheckpointStrategy.Local,
+                   useMd5: Boolean = false): DataFrame = {
     val chunks = maxHamming + 1
     val chunkBits = 64 / chunks
     val hashed = Materialize(
-      spread(docs).select(col(idCol), simhash64(col(textCol)).as("__simhash")),
+      spread(docs).select(col(idCol), simhash64(col(textCol), useMd5).as("__simhash")),
       checkpoint)
 
     val chunked = hashed.select(

@@ -90,6 +90,7 @@ object TextAnalysis {
     * k-char window, then keep the minimum hash of each `window`-sized run
     * (the MOSS/winnowing scheme). Distinct minima form the sketch. Pure
     * higher-order expressions — no UDF, no shuffle. */
-  def winnowFingerprints(text: Column, k: Int = 5, window: Int = 4): Column =
-    graft.fuzzy.vectorFunctions.winnow_sketch(lower(trim(text)), k, window)
+  def winnowFingerprints(text: Column, k: Int = 5, window: Int = 4,
+                         useMd5: Boolean = false): Column =
+    graft.fuzzy.vectorFunctions.winnow_sketch(lower(trim(text)), k, window, useMd5)
 }

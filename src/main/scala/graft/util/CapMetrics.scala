@@ -34,13 +34,32 @@ object CapMetrics {
 
   def lastMetrics(stage: String): Option[CapStats] = Option(last.get(stage))
 
+  /** Record + log stats computed by the caller (driver-side accounting
+    * paths that already hold the bucket rows). */
+  def record(stage: String, s: CapStats): Unit = {
+    last.put(stage, s)
+    if (s.droppedBuckets > 0)
+      log.warn(s"[graft.cap] $stage: dropped ${s.droppedBuckets} of ${s.totalBuckets} buckets " +
+        s"(~${s.droppedPairs} candidate pairs) — raise the bucket cap or dedup inputs first")
+    else
+      log.info(s"[graft.cap] $stage: no buckets dropped (total ${s.totalBuckets})")
+  }
+
   /** Materialize `bucketStats`, account + log what `overCap` will drop, and
     * return the materialized frame for the caller to filter. `overCap` must
     * be the same predicate the caller uses to FILTER the buckets; `pairs` is
     * the candidate-pair count a bucket would have contributed. */
   def accountBucketCap(bucketStats: DataFrame, stage: String,
                        overCap: Column, pairs: Column,
-                       checkpoint: CheckpointStrategy): DataFrame = {
+                       checkpoint: CheckpointStrategy): DataFrame =
+    accountBucketCapWithStats(bucketStats, stage, overCap, pairs, checkpoint)._1
+
+  /** As [[accountBucketCap]], additionally returning the accounted numbers
+    * so callers can plan with them (e.g. broadcast the allowed-bucket list
+    * when the bucket count is known to be small). */
+  def accountBucketCapWithStats(bucketStats: DataFrame, stage: String,
+                                overCap: Column, pairs: Column,
+                                checkpoint: CheckpointStrategy): (DataFrame, CapStats) = {
     val stats = Materialize(bucketStats, checkpoint)
     val row = stats.agg(
       sum(when(overCap, 1L).otherwise(0L)).as("dropped_buckets"),
@@ -56,6 +75,6 @@ object CapMetrics {
         s"(~${s.droppedPairs} candidate pairs) — raise the bucket cap or dedup inputs first")
     else
       log.info(s"[graft.cap] $stage: no buckets dropped (total ${s.totalBuckets})")
-    stats
+    (stats, s)
   }
 }

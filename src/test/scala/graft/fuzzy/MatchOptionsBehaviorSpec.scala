@@ -35,6 +35,16 @@ class MatchOptionsBehaviorSpec extends AnyFunSuite with SparkSpec {
     assert(reliable == local)
   }
 
+  test("eager entry point returns the same rows as the lazy one") {
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val s = spark.read.parquet(s"$dir/supplier.parquet")
+    val maps = Seq(FuzzyMapping("c_name", "s_name", 70.0, FuzzyAlgorithm.Levenshtein))
+    val lazyRows = FuzzyMatcher.matchDfs(c, s, maps).collect().toSet
+    val eagerRows = FuzzyMatcher.matchDfsEager(c, s, maps).collect().toSet
+    assert(eagerRows == lazyRows)
+    assert(eagerRows.nonEmpty)
+  }
+
   test("Persist strategy yields identical single-pass results") {
     val c = spark.read.parquet(s"$dir/customer.parquet")
     val s = spark.read.parquet(s"$dir/supplier.parquet")
