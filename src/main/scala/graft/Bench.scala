@@ -117,6 +117,11 @@ object Bench {
         "text", "doc_id", shingleLen = 3, numBands = 16, rowsPerBand = 4, threshold = 0.4)),
     "dedup_exact_docs" -> (s =>
       Dedup.exactDedup(s.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id")),
+    "ann_ivf_embeddings" -> (s => {
+      val emb = s.read.parquet(s"$sfDir/embeddings.parquet")
+      AnnSearch.ivfTopK(emb, emb, "embedding", "vec_id", 10, dim = 64,
+        nCells = 32, nProbe = 4, iters = 3)
+    }),
     "ann_topk_embeddings" -> (s => {
       val emb = s.read.parquet(s"$sfDir/embeddings.parquet")
       AnnSearch.bruteForceTopK(emb.where(col("vec_id") < 100), emb, "embedding", "vec_id", 10)

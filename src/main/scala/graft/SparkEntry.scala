@@ -136,6 +136,17 @@ object SparkEntry {
       res.select(col("query_id"), col("corpus_id"),
         sround(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
     }),
+    // IVF (k-means coarse quantizer) variant: at nProbe = nCells the cell
+    // routing provably reproduces brute force, so the plumbing (trainer,
+    // assignment, probing, re-rank) is oracled exactly; recall at partial
+    // probe is spec-gated (IvfSpec)
+    "ann_cosine_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val res = AnnSearch.ivfTopK(emb.where(col("vec_id") < 10), emb,
+        "embedding", "vec_id", 10, dim = 64, nCells = 16, nProbe = 16, iters = 3)
+      res.select(col("query_id"), col("corpus_id"),
+        sround(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+    }),
     // LSH-bucketed variant (scale path): rows-only
     "ann_cosine_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -296,6 +307,16 @@ object SparkEntry {
          round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""",
+    // full-probe IVF == brute force by construction -> same ground truth
+    "ann_cosine_ivf" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         s AS (SELECT query_id, c.vec_id AS corpus_id,
+                      list_cosine_similarity(qv::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+               FROM q CROSS JOIN embeddings c WHERE c.vec_id != query_id),
+         r AS (SELECT query_id, corpus_id, cos,
+                      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+               FROM s)
+         SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 10""",
     "ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
          s AS (SELECT query_id, c.vec_id AS corpus_id,

@@ -105,6 +105,21 @@ case class BucketAllowed(band: Expression, bkey: Expression, sortedKeys: Array[L
     copy(band = l, bkey = r)
 }
 
+/** Indices of the nProbe nearest centroids (IVF coarse quantizer; the
+  * centroid matrix is flattened row-major and pre-normalized). */
+case class NearestCells(child: Expression, centroids: Array[Double], dim: Int, nProbe: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_cells"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.nearestCells(v.asInstanceOf[ArrayData], centroids, dim, nProbe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.fuzzy.VectorKernels.nearestCells($c, $ref, $dim, $nProbe)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Sign-LSH bits against a fixed hyperplane matrix (flattened row-major). */
 case class SignLshBits(child: Expression, planes: Array[Double], dim: Int)
     extends UnaryExpression {
@@ -195,6 +210,8 @@ object vectorFunctions {
     c(KeptGrams(x(text), n, stops, minKept))
   def bucket_allowed(band: Column, bkey: Column, sortedKeys: Array[Long]): Column =
     c(BucketAllowed(x(band), x(bkey), sortedKeys))
+  def nearest_cells(vec: Column, centroids: Array[Double], dim: Int, nProbe: Int): Column =
+    c(NearestCells(x(vec), centroids, dim, nProbe))
   def lsh_band_keys(sig: Column, bands: Int, rows: Int): Column =
     c(LshBandKeys(x(sig), bands, rows))
   def ngram_jaccard_dist(a: Column, b: Column, n: Int): Column =

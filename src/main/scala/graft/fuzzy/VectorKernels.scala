@@ -193,6 +193,42 @@ object VectorKernels {
     ArrayData.toArrayData(arr)
   }
 
+  /** Indices of the `nProbe` nearest centroids by cosine. `centroids` is a
+    * flattened row-major (k x dim) matrix, L2-NORMALIZED at build time so
+    * ranking by raw dot product equals ranking by cosine (the query's own
+    * norm is constant across centroids). Ties break to the lower index. */
+  def nearestCells(v: ArrayData, centroids: Array[Double], dim: Int, nProbe: Int): ArrayData = {
+    val kc = centroids.length / dim
+    val n = math.min(v.numElements(), dim)
+    val sims = new Array[Double](kc)
+    var c = 0
+    while (c < kc) {
+      var dot = 0.0
+      val off = c * dim
+      var i = 0
+      while (i < n) { dot += v.getFloat(i).toDouble * centroids(off + i); i += 1 }
+      sims(c) = dot
+      c += 1
+    }
+    val p = math.min(nProbe, kc)
+    val out = new Array[Int](p)
+    val taken = new Array[Boolean](kc)
+    var j = 0
+    while (j < p) {
+      var best = -1
+      var bs = Double.NegativeInfinity
+      c = 0
+      while (c < kc) {
+        if (!taken(c) && sims(c) > bs) { bs = sims(c); best = c }
+        c += 1
+      }
+      taken(best) = true
+      out(j) = best
+      j += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Sign-LSH bits: pack sign(dot(v, plane_i)) into a long. `planes` is a
     * flattened row-major (nPlanes x dim) matrix. */
   def signBits(v: ArrayData, planes: Array[Double], dim: Int): Long = {

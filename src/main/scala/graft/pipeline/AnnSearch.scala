@@ -52,6 +52,77 @@ object AnnSearch {
       .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
   }
 
+  /** Lloyd's k-means over an embedding column, expressed relationally:
+    * assignment is a codegen'd nearest-centroid projection, the update is
+    * one `posexplode` + per-(cell, dimension) average — one aggregate
+    * shuffle per iteration, centroids (k x dim doubles) live on the
+    * driver like [[Dedup.hyperplanes]]. Deterministic init: the k vectors
+    * with the smallest vector hash. Returns UN-normalized centroids. */
+  def kmeansFit(corpus: DataFrame, vecCol: String, dim: Int,
+                k: Int = 64, iters: Int = 4, seed: Long = 42L): Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = corpus
+      .select(col(vecCol)).withColumn("__h", xxhash64(col(vecCol), lit(seed)))
+      .orderBy(col("__h")).limit(k)
+      .collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(cents.nonEmpty, "k-means needs a non-empty corpus")
+    var it = 0
+    while (it < iters) {
+      val means = corpus
+        .select(element_at(
+            graft.fuzzy.vectorFunctions.nearest_cells(col(vecCol), normFlat(cents), dim, 1),
+            1).as("__cell"),
+          posexplode(col(vecCol)))
+        .groupBy(col("__cell"), col("pos"))
+        .agg(avg(col("col")).as("__m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        val cell = r.getInt(0)
+        if (cell < next.length && r.getInt(1) < dim) next(cell)(r.getInt(1)) = r.getDouble(2)
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  private def normFlat(cents: Array[Array[Double]]): Array[Double] =
+    cents.flatMap { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+
+  /** IVF (inverted-file) top-k: a k-means coarse quantizer partitions the
+    * corpus into cells; each query probes its `nProbe` nearest cells and
+    * re-ranks candidates with the exact cosine. The classic ANN scale path
+    * next to [[lshTopK]]: corpus-side work is one cell assignment, query
+    * cost is bounded by the probed cells' population. With
+    * `nProbe = nCells` the result is EXACTLY [[bruteForceTopK]] (every
+    * pair meets once — a corpus row lives in one cell), which is the
+    * oracle-checkable configuration; recall at small nProbe is spec-gated. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              vecCol: String, idCol: String, k: Int, dim: Int,
+              nCells: Int = 64, nProbe: Int = 8, iters: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    val flat = normFlat(kmeansFit(corpus, vecCol, dim, nCells, iters, seed))
+    val c = spread(corpus).select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"),
+      element_at(graft.fuzzy.vectorFunctions.nearest_cells(col(vecCol), flat, dim, 1), 1)
+        .as("__cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      explode(graft.fuzzy.vectorFunctions.nearest_cells(col(vecCol), flat, dim, nProbe))
+        .as("__cell"))
+    val scored = q.join(c, Seq("__cell"))
+      .where(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        Dedup.cosineSimilarity(col("__qv"), col("__cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
+  }
+
   /** Sign-LSH bucketed top-k: candidates = corpus vectors sharing at least
     * one of `bands` signature bands with the query; exact cosine re-rank.
     * Bounded work per query even against a 100 TB corpus. */
@@ -61,6 +132,10 @@ object AnnSearch {
               maxBucketPairs: Long = 4_000_000L,
               checkpoint: graft.util.CheckpointStrategy =
                 graft.util.CheckpointStrategy.Local): DataFrame = {
+    require(planes >= 1 && planes <= 64, s"planes must be in [1, 64] (got $planes)")
+    require(bands >= 1 && bands <= planes && planes / bands < 64,
+      s"bands must satisfy 1 <= bands <= planes and planes/bands < 64 " +
+        s"(got planes=$planes, bands=$bands)")
     val hp = Dedup.hyperplanes(dim, planes, seed)
     def bits(v: org.apache.spark.sql.Column) =
       graft.fuzzy.vectorFunctions.sign_lsh_bits(v, hp.flatten, dim)

@@ -198,6 +198,13 @@ object Dedup {
                    maxBucketPairs: Long = 4_000_000L,
                    checkpoint: CheckpointStrategy = CheckpointStrategy.Local,
                    useMd5: Boolean = false): DataFrame = {
+    // chunks > 64 would make chunkBits = 0 (empty join keys -> cartesian);
+    // pigeonhole needs maxHamming + 1 NON-EMPTY chunks. Remainder bits not
+    // covered by any chunk are harmless: completeness only needs the <=
+    // maxHamming differing bits spread over maxHamming + 1 disjoint chunks.
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming must be in [0, 31] (got $maxHamming) — 64-bit simhash " +
+        "pigeonhole blocking needs maxHamming + 1 chunks of >= 2 bits")
     val chunks = maxHamming + 1
     val chunkBits = 64 / chunks
     val hashed = Materialize(
@@ -273,6 +280,13 @@ object Dedup {
                      bands: Int = 4, seed: Long = 42L,
                      maxBucketPairs: Long = 4_000_000L,
                      checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    // perBand = 64 would wrap the band mask (1L << 64 == 1); perBand = 0
+    // would give empty band keys (everything collides). Bits beyond
+    // bands * perBand are simply unused (a recall trade, not a bug).
+    require(planes >= 1 && planes <= 64, s"planes must be in [1, 64] (got $planes)")
+    require(bands >= 1 && bands <= planes && planes / bands < 64,
+      s"bands must satisfy 1 <= bands <= planes and planes/bands < 64 " +
+        s"(got planes=$planes, bands=$bands)")
     val hp = hyperplanes(dim, planes, seed)
     val bitsCol = graft.fuzzy.vectorFunctions.sign_lsh_bits(col(vecCol), hp.flatten, dim)
 
