@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.util.{CapMetrics, Materialize}
+import graft.util.CapMetrics
 
 /** Approximate candidate generation for huge cartesian spaces.
   *
@@ -58,30 +58,30 @@ object AnnJoin {
     val n = opts.lshNgramSize
 
     if (cartesian <= opts.lshExactFallbackCartesianCap && opts.lshExactFallbackCartesianCap > 0) {
+      // ONE Spark action: collect the ≤`lshProbeSampleSize` sampled values
+      // (a few hundred KB) and run the whole probe — stop-gram estimation
+      // and per-value kept-gram counts — in plain Scala on the driver.
+      // Cluster-side aggregation would cost three jobs plus a barrier for
+      // work that is microseconds at this size.
       val frac = math.min(1.0, opts.lshProbeSampleSize.toDouble / math.max(totalValues, 1L))
-      val sampled = leftValues.select(col(leftCol).as("__v"))
+      val sampled: Array[String] = leftValues.select(col(leftCol).as("__v"))
         .unionByName(rightValues.select(col(rightCol).as("__v")))
         .sample(withReplacement = false, frac, seed = 42L)
-      // tiny (≤ ~10k values × ~20 grams); checkpointed because it feeds two
-      // aggregations plus a count
-      val sampleGrams = Materialize(
-        sampled.select(col("__v"),
-          explode(array_distinct(vectorFunctions.char_ngrams(lower(col("__v")), n))).as("__g")),
-        opts.checkpoint)
-      val nSample = sampleGrams.select(col("__v")).distinct().count()
+        .limit(2 * opts.lshProbeSampleSize)
+        .collect().map(_.getString(0)).filter(_ != null).map(_.toLowerCase)
+      val nSample = sampled.length
       if (nSample > 0) {
-        val sampleStop = sampleGrams.groupBy(col("__g"))
-          .agg(count(lit(1)).as("__df"))
-          .where(col("__df") > opts.lshStopGramFraction * nSample)
-          .select(col("__g"))
-        // sampled values whose kept-gram count clears the bar; values whose
-        // grams are ALL stopped vanish from the anti-join and count as
-        // degenerate
-        val okValues = sampleGrams.join(sampleStop, Seq("__g"), "left_anti")
-          .groupBy(col("__v")).agg(count(lit(1)).as("__kept"))
-          .where(col("__kept") >= opts.lshMinKeptGrams)
-          .count()
-        val degenerateFraction = 1.0 - okValues.toDouble / nSample
+        def gramsOf(v: String): Set[String] =
+          if (v.length < n) Set(v)
+          else (0 to v.length - n).map(i => v.substring(i, i + n)).toSet
+        val gramSets = sampled.map(gramsOf)
+        val docFreq = new java.util.HashMap[String, Int]()
+        gramSets.foreach(_.foreach(g => docFreq.merge(g, 1, Integer.sum)))
+        val stopBar = opts.lshStopGramFraction * nSample
+        val ok = gramSets.count { gs =>
+          gs.count(g => docFreq.get(g) <= stopBar) >= opts.lshMinKeptGrams
+        }
+        val degenerateFraction = 1.0 - ok.toDouble / nSample
         if (degenerateFraction > opts.lshDegenerateFraction) return None
       }
     }

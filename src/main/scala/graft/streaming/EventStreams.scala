@@ -35,6 +35,30 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join on user_id within a time bound: each click
+    * joins impressions of the SAME user at most `joinWindow` older.
+    * Watermarks on both sides bound the buffered state (Spark drops
+    * impression state older than watermark + joinWindow) — the canonical
+    * ad-attribution / action-cause join at 100 TB event volume. */
+  def impressionClickJoin(impressions: DataFrame, clicks: DataFrame,
+                          watermark: String = "1 hour",
+                          joinWindow: String = "30 minutes"): DataFrame = {
+    val imp = impressions
+      .select(col("event_id").as("imp_id"), col("ts").as("imp_ts"),
+        col("user_id").as("imp_user"))
+      .withWatermark("imp_ts", watermark)
+    val clk = clicks
+      .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+        col("user_id").as("click_user"))
+      .withWatermark("click_ts", watermark)
+    clk.join(imp,
+        col("imp_user") === col("click_user") &&
+          col("click_ts") >= col("imp_ts") &&
+          col("click_ts") <= col("imp_ts") + expr(s"INTERVAL $joinWindow"))
+      .select(col("click_user").as("user_id"), col("imp_id"), col("click_id"),
+        col("imp_ts"), col("click_ts"))
+  }
+
   final case class SessionUpdate(user_id: Long, n_events: Long, total_value: Double)
   // public: Catalyst's generated encoders instantiate this reflectively
   final case class SessionState(n: Long, total: Double)

@@ -1,0 +1,45 @@
+package graft.fuzzy
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape guards for the properties that matter at 100 TB: filters and
+  * projections must reach the parquet scan, the value-level cross join must
+  * broadcast its small side, and scoring must run inside WholeStageCodegen.
+  * These regress silently — a refactor that breaks pushdown still returns
+  * correct rows, just 100x slower on a real corpus.
+  */
+class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("parquet scan receives pushed filter and pruned schema") {
+    val plan = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where(col("vec_id") < 10).select("vec_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(vec_id,10)"),
+      s"vec_id filter not pushed to the scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<vec_id:bigint>"),
+      s"unused embedding column not pruned from the scan:\n$plan")
+  }
+
+  test("exact value scoring: broadcast cross join, kernel filter inside codegen") {
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val s = spark.read.parquet(s"$dir/supplier.parquet")
+    val cIdx = FuzzyMatcher.addIndexColumn(c, "__left_index")
+    val sIdx = FuzzyMatcher.addIndexColumn(s, "__right_index")
+    val cand = FuzzyMatcher.freshCandidates(cIdx, sIdx, "c_name", "s_name",
+      MatchOptions(useApproxNearestNeighbor = Some(false)), reversedThreshold = 0.3)
+    val scored = FuzzyMatcher.scoreValuePairs(cand, "c_name", "s_name",
+      FuzzyAlgorithm.Levenshtein, 0.3)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"small value side not broadcast in the exact cross join:\n$plan")
+    // the bounded kernel must be FUSED into the join condition — the
+    // cartesian stream is filtered as it is produced, never materialized
+    val joinLine = plan.linesIterator.find(_.contains("BroadcastNestedLoopJoin"))
+    assert(joinLine.exists(_.contains("dist_bounded")),
+      s"bounded kernel not fused into the join condition:\n$plan")
+  }
+}

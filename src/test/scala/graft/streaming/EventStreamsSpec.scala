@@ -69,6 +69,32 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(n == distinct)
   }
 
+  test("stream-stream impression-click join equals the batch range join") {
+    // split the event stream into two roles by event_type hash parity —
+    // deterministic, both sides time-ordered like real telemetry
+    def impressions(df: org.apache.spark.sql.DataFrame) =
+      df.where(pmod(xxhash64(col("event_type")), lit(2L)) === 0)
+    def clicks(df: org.apache.spark.sql.DataFrame) =
+      df.where(pmod(xxhash64(col("event_type")), lit(2L)) === 1)
+
+    val q = EventStreams.impressionClickJoin(
+        impressions(streamingEvents), clicks(streamingEvents))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("imp_click")
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val streamed = spark.table("imp_click").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = EventStreams.impressionClickJoin(
+        impressions(batchEvents), clicks(batchEvents)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // a single micro-batch buffers everything, so the inner join emits the
+    // complete batch answer
+    assert(batch.nonEmpty, "fixture produced no impression-click pairs")
+    assert(streamed == batch)
+  }
+
   test("stateful session totals accumulate per user") {
     val q = EventStreams.sessionTotals(streamingEvents)
       .writeStream.outputMode(OutputMode.Update)
