@@ -178,37 +178,8 @@ object AnnJoin {
       .agg(sum(col("__l")).as("__lc"), sum(col("__r")).as("__rc"))
       .where(col("__lc") > 0 && col("__rc") > 0)
     val overCap = col("__lc") * col("__rc") > opts.lshMaxBucketPairs
-
-    // Bucket gating, two regimes:
-    //  - bucket count fits on the driver (the overwhelmingly common case —
-    //    bucket count is ~values x bands / mean bucket size): ONE collect,
-    //    driver-side drop accounting, and the allowed set becomes a
-    //    codegen'd sorted-array membership filter on the banded streams —
-    //    no checkpoint, no extra aggregate action, no join stage;
-    //  - larger: materialized stats + accounted frame join (scale path).
-    val MaxDriverBuckets = 2_000_000
-    val statsRows = bucketStats.limit(MaxDriverBuckets + 1).collect()
-    val gatePredicate: Either[DataFrame, Array[Long]] =
-      if (statsRows.length > MaxDriverBuckets) {
-        val (stats, _) = CapMetrics.accountBucketCapWithStats(bucketStats, "fuzzy_lsh",
-          overCap, col("__lc") * col("__rc"), opts.checkpoint)
-        Left(stats.where(!overCap).select(col("__band"), col("__bkey")))
-      } else {
-        var dropped = 0L
-        var droppedPairs = 0L
-        val keys = Array.newBuilder[Long]
-        statsRows.foreach { r =>
-          val band = r.getInt(0); val bkey = r.getLong(1)
-          val pairs = r.getLong(2) * r.getLong(3)
-          if (pairs > opts.lshMaxBucketPairs) { dropped += 1; droppedPairs += pairs }
-          else keys += bkey * 31L + band
-        }
-        CapMetrics.record("fuzzy_lsh",
-          CapMetrics.CapStats(dropped, statsRows.length.toLong, droppedPairs))
-        val sorted = keys.result()
-        java.util.Arrays.sort(sorted)
-        Right(sorted)
-      }
+    val gatePredicate = CapMetrics.gate(bucketStats, "fuzzy_lsh", "__band", "__bkey",
+      overCap, col("__lc") * col("__rc"), opts.checkpoint)
 
     // Jaccard gate: a single edit changes at most `n` grams, so a pair
     // within normalized edit distance f has gram-Jaccard distance at most

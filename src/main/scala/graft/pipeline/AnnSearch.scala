@@ -154,19 +154,29 @@ object AnnSearch {
 
     // skew guard: drop degenerate buckets (same rationale as the fuzzy
     // LSH join - an uncapped bucket join concentrates quadratic work on
-    // single reducers); drops are counted and logged (CapMetrics)
-    val bucketStats = qb.groupBy(col("__band"), col("__bkey")).agg(count(lit(1)).as("__qc"))
-      .join(cb.groupBy(col("__band"), col("__bkey")).agg(count(lit(1)).as("__cc")),
-        Seq("__band", "__bkey"))
+    // single reducers); drops are counted and logged (CapMetrics.gate);
+    // small bucket lists gate via a codegen'd membership filter
+    val bucketStats = qb.select(col("__band"), col("__bkey"),
+        lit(1L).as("__q"), lit(0L).as("__c"))
+      .unionByName(cb.select(col("__band"), col("__bkey"),
+        lit(0L).as("__q"), lit(1L).as("__c")))
+      .groupBy(col("__band"), col("__bkey"))
+      .agg(sum(col("__q")).as("__qc"), sum(col("__c")).as("__cc"))
+      .where(col("__qc") > 0 && col("__cc") > 0)
     val overCap = col("__qc") * col("__cc") > maxBucketPairs
-    val allowed = graft.util.CapMetrics.accountBucketCap(bucketStats, "ann_lsh_topk",
-        overCap, col("__qc") * col("__cc"), checkpoint)
-      .where(!overCap)
-      .select(col("__band"), col("__bkey"))
+    val (qg, cg) = graft.util.CapMetrics.gate(bucketStats, "ann_lsh_topk",
+        "__band", "__bkey", overCap, col("__qc") * col("__cc"), checkpoint) match {
+      case Right(keys) =>
+        val keep = (df: DataFrame) => df.where(
+          graft.fuzzy.vectorFunctions.bucket_allowed(col("__band"), col("__bkey"), keys))
+        (keep(qb), keep(cb))
+      case Left(allowed) =>
+        (qb.join(allowed, Seq("__band", "__bkey")), cb)
+    }
 
     // exact cosine INSIDE the bucket join, project to scalars, then the
     // pair-level dedup shuffles (ids, cosine) instead of two full vectors
-    val cand = qb.join(allowed, Seq("__band", "__bkey")).join(cb, Seq("__band", "__bkey"))
+    val cand = qg.join(cg, Seq("__band", "__bkey"))
       .where(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         Dedup.cosineSimilarity(col("__qv"), col("__cv")).as("cosine"))

@@ -124,14 +124,16 @@ object Dedup {
     // skew guard: a bucket of n docs contributes n^2/2 candidate pairs -
     // cap it so degenerate buckets (boilerplate-heavy corpora) cannot
     // concentrate quadratic work on single reducers. Drops are counted and
-    // logged (CapMetrics) so the recall trade is visible.
+    // logged (CapMetrics.gate); small bucket lists gate via a codegen'd
+    // membership filter instead of a join.
     val bucketStats = banded.groupBy(col("__band"), col("__bucket")).agg(count(lit(1)).as("__n"))
     val overCap = col("__n") * col("__n") > maxBucketPairs
-    val allowed = CapMetrics.accountBucketCap(bucketStats, "dedup_minhash",
-        overCap, col("__n") * col("__n"), checkpoint)
-      .where(!overCap)
-      .select(col("__band"), col("__bucket"))
-    val gatedBands = banded.join(allowed, Seq("__band", "__bucket"))
+    val gatedBands = CapMetrics.gate(bucketStats, "dedup_minhash", "__band", "__bucket",
+        overCap, col("__n") * col("__n"), checkpoint) match {
+      case Right(keys) => banded.where(
+        graft.fuzzy.vectorFunctions.bucket_allowed(col("__band"), col("__bucket"), keys))
+      case Left(allowed) => banded.join(allowed, Seq("__band", "__bucket"))
+    }
 
     // Verify INSIDE the bucket join (codegen'd signature-agreement kernel),
     // project down to (id, id, estimate), THEN dedup: the pair-level
@@ -221,14 +223,15 @@ object Dedup {
 
     // skew guard (mass-duplicate corpora put millions of docs in one
     // chunk bucket; run exactDedup first when that is expected); drops are
-    // counted and logged (CapMetrics)
+    // counted and logged (CapMetrics.gate)
     val bucketStats = chunked.groupBy(col("__chunk"), col("__ckey")).agg(count(lit(1)).as("__n"))
     val overCap = col("__n") * col("__n") > maxBucketPairs
-    val allowed = CapMetrics.accountBucketCap(bucketStats, "dedup_simhash",
-        overCap, col("__n") * col("__n"), checkpoint)
-      .where(!overCap)
-      .select(col("__chunk"), col("__ckey"))
-    val gated = chunked.join(allowed, Seq("__chunk", "__ckey"))
+    val gated = CapMetrics.gate(bucketStats, "dedup_simhash", "__chunk", "__ckey",
+        overCap, col("__n") * col("__n"), checkpoint) match {
+      case Right(keys) => chunked.where(
+        graft.fuzzy.vectorFunctions.bucket_allowed(col("__chunk"), col("__ckey"), keys))
+      case Left(allowed) => chunked.join(allowed, Seq("__chunk", "__ckey"))
+    }
 
     // verify (bit_count over xor, codegen'd) and filter BEFORE the
     // pair-level dedup so the distinct shuffles only surviving pairs
@@ -303,19 +306,21 @@ object Dedup {
       .withColumnRenamed("col", "__bkey")
 
     // skew guard: drop degenerate buckets before the self-join; drops are
-    // counted and logged (CapMetrics)
+    // counted and logged (CapMetrics.gate)
     val bucketStats = chunked.groupBy(col("__band"), col("__bkey")).agg(count(lit(1)).as("__n"))
     val overCap = col("__n") * col("__n") > maxBucketPairs
-    val sizes = CapMetrics.accountBucketCap(bucketStats, "dedup_cosine_lsh",
-        overCap, col("__n") * col("__n"), checkpoint)
-      .where(!overCap)
-      .select(col("__band"), col("__bkey"))
+    val gated = CapMetrics.gate(bucketStats, "dedup_cosine_lsh", "__band", "__bkey",
+        overCap, col("__n") * col("__n"), checkpoint) match {
+      case Right(keys) => chunked.where(
+        graft.fuzzy.vectorFunctions.bucket_allowed(col("__band"), col("__bkey"), keys))
+      case Left(allowed) => chunked.join(allowed, Seq("__band", "__bkey"))
+    }
 
     // verify with the exact cosine INSIDE the bucket join, project down to
     // (id, id, cosine), THEN dedup — the pair-level distinct shuffles 24
     // bytes/row instead of two full float vectors
-    chunked.join(sizes, Seq("__band", "__bkey")).as("a")
-      .join(chunked.join(sizes, Seq("__band", "__bkey")).as("b"),
+    gated.as("a")
+      .join(gated.as("b"),
         col("a.__band") === col("b.__band") && col("a.__bkey") === col("b.__bkey") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),

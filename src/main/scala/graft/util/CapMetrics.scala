@@ -54,6 +54,41 @@ object CapMetrics {
                        checkpoint: CheckpointStrategy): DataFrame =
     accountBucketCapWithStats(bucketStats, stage, overCap, pairs, checkpoint)._1
 
+  /** Bucket gate with accounting, two regimes (shared by every LSH-style
+    * pair generator):
+    *  - bucket count fits on the driver (the overwhelmingly common case —
+    *    one row per candidate bucket): ONE collect, driver-side drop
+    *    accounting, and the allowed set returns as a sorted key array for a
+    *    codegen'd membership filter ([[graft.fuzzy.BucketAllowed]]) — no
+    *    checkpoint, no extra action, no join stage;
+    *  - larger: materialized stats + accounted frame to join (scale path).
+    *
+    * `bandCol` must be int-typed, `keyCol` long-typed; the driver-side key
+    * is `key * 31 + band`, matching the membership expression. */
+  def gate(bucketStats: DataFrame, stage: String, bandCol: String, keyCol: String,
+           overCap: Column, pairs: Column, checkpoint: CheckpointStrategy,
+           maxDriverBuckets: Int = 2_000_000): Either[DataFrame, Array[Long]] = {
+    val rows = bucketStats.select(col(bandCol).cast("int").as("__b"), col(keyCol).as("__k"),
+        overCap.as("__over"), pairs.cast("long").as("__p"))
+      .limit(maxDriverBuckets + 1).collect()
+    if (rows.length > maxDriverBuckets) {
+      val (stats, _) = accountBucketCapWithStats(bucketStats, stage, overCap, pairs, checkpoint)
+      Left(stats.where(!overCap).select(col(bandCol), col(keyCol)))
+    } else {
+      var dropped = 0L
+      var droppedPairs = 0L
+      val keys = Array.newBuilder[Long]
+      rows.foreach { r =>
+        if (r.getBoolean(2)) { dropped += 1; droppedPairs += r.getLong(3) }
+        else keys += r.getLong(1) * 31L + r.getInt(0)
+      }
+      record(stage, CapStats(dropped, rows.length.toLong, droppedPairs))
+      val sorted = keys.result()
+      java.util.Arrays.sort(sorted)
+      Right(sorted)
+    }
+  }
+
   /** As [[accountBucketCap]], additionally returning the accounted numbers
     * so callers can plan with them (e.g. broadcast the allowed-bucket list
     * when the bucket count is known to be small). */
