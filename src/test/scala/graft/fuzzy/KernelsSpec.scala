@@ -96,6 +96,27 @@ class KernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash signature agreement estimates jaccard (property, fixed seed)") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(7)
+    val universe = (0 until 400).map(i => s"tok$i")
+    var maxErr = 0.0
+    (0 until 50).foreach { _ =>
+      val a = universe.filter(_ => rnd.nextDouble() < 0.4).toSet
+      // b = a with ~30% perturbation
+      val b = a.filter(_ => rnd.nextDouble() > 0.3) ++
+        universe.filter(_ => rnd.nextDouble() < 0.1)
+      val trueJ = (a & b).size.toDouble / (a | b).size
+      def sig(s: Set[String]) = VectorKernels.minhash(
+        ArrayData.toArrayData(s.toArray.map(UTF8String.fromString): Array[Any]), 256)
+      val est = VectorKernels.sigAgreement(sig(a), sig(b))
+      maxErr = math.max(maxErr, math.abs(est - trueJ))
+    }
+    // k=256 lanes: se ~ sqrt(j(1-j)/k) <= 0.031; 5 sigma plus margin
+    assert(maxErr < 0.17, s"minhash estimator max error $maxErr over 50 set pairs")
+  }
+
   test("indel = len1 + len2 - 2*LCS, normalized by sum") {
     assert(Kernels.lcsLength("abcde", "ace") == 3)
     // dist = (5 + 3 - 6) / 8 = 0.25

@@ -57,6 +57,23 @@ class MatchOptionsBehaviorSpec extends AnyFunSuite with SparkSpec {
     assert(persisted == local)
   }
 
+  test("Reliable checkpoint strategy yields identical results through the LSH path") {
+    val tmp = Files.createTempDirectory("graft-ckpt-lsh").toString
+    def run(opts: MatchOptions): Set[(Long, Long)] = {
+      val c = spark.read.parquet(s"$dir/customer.parquet")
+      val s = spark.read.parquet(s"$dir/supplier.parquet")
+      FuzzyMatcher.matchDfs(c, s,
+          Seq(FuzzyMapping("c_name", "s_name", 70.0, FuzzyAlgorithm.Levenshtein)), opts)
+        .select("c_custkey", "s_suppkey")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val local = run(MatchOptions(useApproxNearestNeighbor = Some(true)))
+    val reliable = run(MatchOptions(useApproxNearestNeighbor = Some(true),
+      checkpoint = CheckpointStrategy.Reliable(tmp)))
+    assert(local.nonEmpty)
+    assert(reliable == local)
+  }
+
   test("forced ANN never routes to the exact cross join, even on degenerate data") {
     import spark.implicits._
     // shared 10-char prefix + low diversity: the degeneracy probe WOULD
