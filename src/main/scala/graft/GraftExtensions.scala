@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension entry point for the whole graft SQL surface.
+  *
+  * The reference exposes its kernels only through Python calls; on a shared
+  * Spark cluster the idiomatic delivery is `SparkSessionExtensions`, so
+  * that pure-SQL clients (Thrift server, Spark Connect, notebooks with no
+  * driver code) get every `<algo>_dist` / `<algo>_sim` kernel and
+  * sketch/vector function at session build time:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * Functions are injected into the session's FunctionRegistry (not temp
+  * functions), so they survive `SparkSession.newSession()` and need no
+  * per-session `registerAll` call. The builder lists are shared with the
+  * imperative `graft.fuzzy.functions.registerAll` /
+  * `graft.fuzzy.vectorFunctions.registerAll`, so both paths expose the
+  * identical surface.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
+    }
+}
+
+object GraftExtensions {
+  private[graft] def builders: Seq[(String, Seq[Expression] => Expression)] =
+    graft.fuzzy.functions.sqlBuilders ++ graft.fuzzy.vectorFunctions.sqlBuilders
+}

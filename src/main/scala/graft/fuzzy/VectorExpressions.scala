@@ -213,27 +213,34 @@ object vectorFunctions {
   def nearest_cells(vec: Column, centroids: Array[Double], dim: Int, nProbe: Int): Column =
     c(NearestCells(x(vec), centroids, dim, nProbe))
 
-  /** Register the sketch/vector expressions for `spark.sql(...)` users
-    * (counterpart of `graft.fuzzy.functions.registerAll` for the similarity
-    * kernels). Literal-int arguments are extracted at registration time. */
-  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+  /** `(name, builder)` pairs for the SQL surface — consumed by
+    * [[registerAll]] and by [[graft.GraftExtensions]]. Literal-int
+    * arguments are extracted at resolution time. */
+  private[graft] def sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = {
     def intLit(e: Expression, what: String): Int = e match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
       case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
     }
-    GraftSql.registerFunction(spark, "fvec_cosine", es => FloatVectorCosine(es(0), es(1)))
-    GraftSql.registerFunction(spark, "fvec_dot", es => FloatVectorDot(es(0), es(1)))
-    GraftSql.registerFunction(spark, "sig_agreement", es => SignatureAgreement(es(0), es(1)))
-    GraftSql.registerFunction(spark, "minhash_signature",
-      es => MinHashSignature(es(0), intLit(es(1), "k")))
-    GraftSql.registerFunction(spark, "simhash64", es => SimHash(es(0)))
-    GraftSql.registerFunction(spark, "winnow_sketch",
-      es => WinnowSketch(es(0), intLit(es(1), "k"), intLit(es(2), "window")))
-    GraftSql.registerFunction(spark, "char_ngrams",
-      es => CharNgrams(es(0), intLit(es(1), "n")))
-    GraftSql.registerFunction(spark, "ngram_jaccard_dist",
-      es => NgramJaccardDistance(es(0), es(1), intLit(es(2), "n")))
+    Seq[(String, Seq[Expression] => Expression)](
+      "fvec_cosine" -> (es => FloatVectorCosine(es(0), es(1))),
+      "fvec_dot" -> (es => FloatVectorDot(es(0), es(1))),
+      "sig_agreement" -> (es => SignatureAgreement(es(0), es(1))),
+      "minhash_signature" -> (es => MinHashSignature(es(0), intLit(es(1), "k"))),
+      "simhash64" -> (es => SimHash(es(0))),
+      "winnow_sketch" ->
+        (es => WinnowSketch(es(0), intLit(es(1), "k"), intLit(es(2), "window"))),
+      "char_ngrams" -> (es => CharNgrams(es(0), intLit(es(1), "n"))),
+      "ngram_jaccard_dist" ->
+        (es => NgramJaccardDistance(es(0), es(1), intLit(es(2), "n"))))
   }
+
+  /** Register the sketch/vector expressions for `spark.sql(...)` users
+    * (counterpart of `graft.fuzzy.functions.registerAll` for the similarity
+    * kernels). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    sqlBuilders.foreach { case (name, builder) =>
+      GraftSql.registerFunction(spark, name, builder)
+    }
   def lsh_band_keys(sig: Column, bands: Int, rows: Int): Column =
     c(LshBandKeys(x(sig), bands, rows))
   def ngram_jaccard_dist(a: Column, b: Column, n: Int): Column =

@@ -89,15 +89,24 @@ object functions {
   def damerau_levenshtein_dist(l: Column, r: Column): Column = fuzzy_dist(l, r, FuzzyAlgorithm.DamerauLevenshtein)
   def indel_dist(l: Column, r: Column): Column = fuzzy_dist(l, r, FuzzyAlgorithm.Indel)
 
+  /** `(name, builder)` pairs for the SQL surface — consumed by
+    * [[registerAll]] (temp functions on an existing session) and by
+    * [[graft.GraftExtensions]] (session-build-time injection). */
+  private[graft] def sqlBuilders: Seq[(String, Seq[Expression] => Expression)] =
+    FuzzyAlgorithm.all.flatMap { algo =>
+      Seq[(String, Seq[Expression] => Expression)](
+        s"${algo.name}_dist" ->
+          (exprs => FuzzyDistance(exprs(0), exprs(1), algo)),
+        s"${algo.name}_sim" ->
+          (exprs => org.apache.spark.sql.catalyst.expressions.Subtract(
+            org.apache.spark.sql.catalyst.expressions.Literal(1.0),
+            FuzzyDistance(exprs(0), exprs(1), algo))))
+    }
+
   /** Register `<algo>_dist` + `<algo>_sim` for every algorithm so fuzzy
     * predicates are usable from `spark.sql(...)`. */
   def registerAll(spark: SparkSession): Unit =
-    FuzzyAlgorithm.all.foreach { algo =>
-      GraftSql.registerFunction(spark, s"${algo.name}_dist",
-        exprs => FuzzyDistance(exprs(0), exprs(1), algo))
-      GraftSql.registerFunction(spark, s"${algo.name}_sim",
-        exprs => org.apache.spark.sql.catalyst.expressions.Subtract(
-          org.apache.spark.sql.catalyst.expressions.Literal(1.0),
-          FuzzyDistance(exprs(0), exprs(1), algo)))
+    sqlBuilders.foreach { case (name, builder) =>
+      GraftSql.registerFunction(spark, name, builder)
     }
 }

@@ -10,6 +10,9 @@ object SparkSpec {
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // exercise the production wiring: all graft SQL functions arrive via
+      // session extensions, exactly as a cluster user would enable them
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // events.parquet stores TIMESTAMP(NANOS); read as long + convert
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
