@@ -126,13 +126,14 @@ object AnnJoin {
         .where(col("__df") > opts.lshStopGramFraction * (total * sampleFrac))
         .select(col("__g"))
         .collect().map(_.getString(0))
-    build(leftValues, rightValues, leftCol, rightCol, opts, reversedThreshold, stopGrams)
+    build(leftValues, rightValues, leftCol, rightCol, opts, reversedThreshold,
+      stopGrams, total)
   }
 
   private def build(leftValues: DataFrame, rightValues: DataFrame,
                     leftCol: String, rightCol: String,
                     opts: MatchOptions, reversedThreshold: Double,
-                    stopGrams: Array[String]): DataFrame = {
+                    stopGrams: Array[String], totalValues: Long): DataFrame = {
     val n = opts.lshNgramSize
     val bands = opts.lshNumBands
     val rows = opts.lshRowsPerBand
@@ -143,12 +144,21 @@ object AnnJoin {
     // minhash signature -> band keys, all inside WholeStageCodegen. No
     // shuffle and no materialization barrier — recomputing the projection
     // for the bucket statistics is cheaper than checkpointing the exploded
-    // band rows. The lowered value rides along: computed once per value,
-    // reused by the jaccard gate and the downstream scorer.
-    def banded(df: DataFrame, vCol: String): DataFrame =
+    // band rows.
+    //
+    // The band rows carry an 8-byte value id (xxhash64 of the value), NOT
+    // the value string: each value explodes into `bands` rows and each
+    // collision duplicates the pair, so a string payload would multiply
+    // through the widest shuffles of the whole path (measured ~40% of
+    // LSH wall time at sf0.1). Strings re-attach by id AFTER the pair
+    // stream is deduplicated — from value frames that are `bands`x smaller
+    // than the band rows, broadcast when small. An id collision (~n^2/2^64)
+    // merges two values' candidate sets — at worst a topN/recall
+    // perturbation, never a wrong result: every candidate is re-scored
+    // exactly on the attached strings downstream.
+    def bandedIds(df: DataFrame, vCol: String, vidName: String): DataFrame =
       df.select(
-          col(vCol),
-          lower(col(vCol)).as(FuzzyMatcher.lowerName(vCol)),
+          xxhash64(col(vCol)).as(vidName),
           posexplode(
             vectorFunctions.lsh_band_keys(
               vectorFunctions.minhash_signature(
@@ -159,10 +169,23 @@ object AnnJoin {
         .withColumnRenamed("pos", "__band")
         .withColumnRenamed("col", "__bkey")
 
-    val lb = banded(leftValues, leftCol)
-    val rb = banded(rightValues, rightCol)
+    val lb = bandedIds(leftValues, leftCol, "__lvid")
+    val rb = bandedIds(rightValues, rightCol, "__rvid")
     val lLow = FuzzyMatcher.lowerName(leftCol)
     val rLow = FuzzyMatcher.lowerName(rightCol)
+
+    // Value-id -> (value, lowered value) maps for the re-attach joins.
+    // Broadcast while the combined value count is clearly broadcast-sized;
+    // beyond that the attach is an equi-join on the 8-byte id — shuffle
+    // volume = value frames + surviving pairs, still far below carrying
+    // strings through the band explosion.
+    val lMap = leftValues.select(xxhash64(col(leftCol)).as("__lvid"),
+      col(leftCol), lower(col(leftCol)).as(lLow))
+    val rMap = rightValues.select(xxhash64(col(rightCol)).as("__rvid"),
+      col(rightCol), lower(col(rightCol)).as(rLow))
+    val bcastMaps = totalValues > 0 && totalValues <= opts.broadcastDistinctLimit
+    def attach(pairs: DataFrame, m: DataFrame, key: String): DataFrame =
+      if (bcastMaps) pairs.join(broadcast(m), Seq(key)) else pairs.join(m, Seq(key))
 
     // Bucket capping: drop (band, key) buckets whose left x right candidate
     // count exceeds the cap — they are non-selective and would concentrate
@@ -194,14 +217,15 @@ object AnnJoin {
       math.max(1.15 * (2.0 * n * f) / (1.0 + n * f), 0.25),
       opts.lshJaccardDistanceThreshold)
 
-    // Verify on the (duplicated) join stream — the jaccard kernel is cheap
-    // codegen'd compute — then dedup AND rank in ONE window pass: rows sort
-    // by (jaccard, right) within each left value, so band-duplicate pairs
-    // (identical jaccard AND right value) land adjacent and `lag` flags
-    // them; the running count of non-duplicates is exactly the rank over
-    // UNIQUE pairs. One shuffle replaces the dropDuplicates + row_number
-    // pair, the rank boundary is deterministic, and a pair surfacing from b
-    // bands cannot eat b top-N slots.
+    // Candidate pipeline, narrow-payload end to end:
+    //   band equi-join on id rows (16 B/pair) -> dropDuplicates on the id
+    //   pair (band duplicates collapse BEFORE any per-pair compute, so the
+    //   jaccard kernel runs once per unique pair) -> attach strings ->
+    //   jaccard gate -> project back to (ids, jaccard) -> rank window over
+    //   24 B rows -> final string attach on the topN survivors only.
+    // Ranking on unique pairs keeps the topN boundary deterministic (ties
+    // break on (jaccard, right-value id)); a pair surfacing from b bands
+    // cannot eat b top-N slots.
     val joined = gatePredicate match {
       case Right(sortedKeys) =>
         val keep = (df: DataFrame) =>
@@ -211,23 +235,24 @@ object AnnJoin {
         lb.join(allowed, Seq("__band", "__bkey"))
           .join(rb, Seq("__band", "__bkey"))
     }
-    val gated = joined
-      .select(col(leftCol), col(lLow), col(rightCol), col(rLow))
+    val pairIds = joined
+      .select(col("__lvid"), col("__rvid"))
+      .dropDuplicates("__lvid", "__rvid")
+
+    val gated = attach(attach(pairIds, lMap, "__lvid"), rMap, "__rvid")
       .withColumn("__jaccard_dist",
         vectorFunctions.ngram_jaccard_dist(col(lLow), col(rLow), n))
       .where(col("__jaccard_dist") <= adaptiveGate)
+      .select(col("__lvid"), col("__rvid"), col("__jaccard_dist"))
 
-    val w = Window.partitionBy(col(leftCol)).orderBy(col("__jaccard_dist").asc, col(rightCol).asc)
-    val isDup = coalesce(
-      col(rightCol) === lag(col(rightCol), 1).over(w) &&
-        col("__jaccard_dist") === lag(col("__jaccard_dist"), 1).over(w),
-      lit(false))
-    gated
-      .withColumn("__dup", isDup)
-      .withColumn("__rnk",
-        sum(when(col("__dup"), 0L).otherwise(1L))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .where(!col("__dup") && col("__rnk") <= opts.topNForNewMatches)
-      .drop("__dup", "__rnk", "__jaccard_dist")
+    val w = Window.partitionBy(col("__lvid"))
+      .orderBy(col("__jaccard_dist").asc, col("__rvid").asc)
+    val ranked = gated
+      .withColumn("__rnk", row_number().over(w))
+      .where(col("__rnk") <= opts.topNForNewMatches)
+      .select(col("__lvid"), col("__rvid"))
+
+    attach(attach(ranked, lMap, "__lvid"), rMap, "__rvid")
+      .select(col(leftCol), col(lLow), col(rightCol), col(rLow))
   }
 }

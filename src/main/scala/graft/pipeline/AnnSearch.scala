@@ -140,17 +140,22 @@ object AnnSearch {
     def bits(v: org.apache.spark.sql.Column) =
       graft.fuzzy.vectorFunctions.sign_lsh_bits(v, hp.flatten, dim)
 
+    // Band rows carry only (id, band, bkey); vectors re-attach by id after
+    // pair dedup so they never multiply through the band explode/bucket join
+    // (same narrow-payload shape as AnnJoin/Dedup LSH stages).
     val perBand = planes / bands
     def banded(df: DataFrame, id: String, vec: String) =
-      df.select(col(id), col(vec), bits(col(vec)).as("__bits"))
-        .select(col(id), col(vec),
+      df.select(col(id), bits(col(vec)).as("__bits"))
+        .select(col(id),
           posexplode(transform(sequence(lit(0), lit(bands - 1)),
             c => call_function("shiftright", col("__bits"), c.cast("int") * perBand).bitwiseAND(lit((1L << perBand) - 1)))))
         .withColumnRenamed("pos", "__band")
         .withColumnRenamed("col", "__bkey")
 
-    val qb = banded(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")), "query_id", "__qv")
-    val cb = banded(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv")), "corpus_id", "__cv")
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
+    val qb = banded(qv, "query_id", "__qv")
+    val cb = banded(cv, "corpus_id", "__cv")
 
     // skew guard: drop degenerate buckets (same rationale as the fuzzy
     // LSH join - an uncapped bucket join concentrates quadratic work on
@@ -174,13 +179,17 @@ object AnnSearch {
         (qb.join(allowed, Seq("__band", "__bkey")), cb)
     }
 
-    // exact cosine INSIDE the bucket join, project to scalars, then the
-    // pair-level dedup shuffles (ids, cosine) instead of two full vectors
-    val cand = qg.join(cg, Seq("__band", "__bkey"))
+    // 16-byte id pairs through the bucket join and the dedup; the exact
+    // cosine runs once per unique pair after both vectors re-attach by id
+    val pairIds = qg.join(cg, Seq("__band", "__bkey"))
       .where(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"))
+      .dropDuplicates("query_id", "corpus_id")
+    val cand = pairIds
+      .join(qv, Seq("query_id"))
+      .join(cv, Seq("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         Dedup.cosineSimilarity(col("__qv"), col("__cv")).as("cosine"))
-      .dropDuplicates("query_id", "corpus_id")
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)

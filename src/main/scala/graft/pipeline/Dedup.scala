@@ -113,9 +113,14 @@ object Dedup {
       checkpoint)
 
     // explode into one row per band: band hash = xxhash64 over the band's
-    // signature slice (rendered to a string key)
+    // signature slice (rendered to a string key). Band rows carry ONLY
+    // (id, band, bucket) — the 64-long signature would otherwise ride the
+    // explode x numBands and the self-join shuffle; it re-attaches by id
+    // from the materialized `signed` frame after the pair stream is
+    // deduplicated, so the agreement kernel also runs once per UNIQUE pair
+    // instead of once per band duplicate.
     val banded = signed.select(
-      col(idCol), col("__sig"),
+      col(idCol),
       posexplode(transform(sequence(lit(0), lit(numBands - 1)),
         b => xxhash64(concat_ws(",", slice(col("__sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand))), b))))
       .withColumnRenamed("pos", "__band")
@@ -135,16 +140,19 @@ object Dedup {
       case Left(allowed) => banded.join(allowed, Seq("__band", "__bucket"))
     }
 
-    // Verify INSIDE the bucket join (codegen'd signature-agreement kernel),
-    // project down to (id, id, estimate), THEN dedup: the pair-level
-    // distinct shuffles 24 bytes/row instead of two 64-long signatures.
-    gatedBands.as("a").join(gatedBands.as("b"),
+    // Self-join on 16-byte id rows, dedup the pair ids, then re-attach both
+    // signatures and run the codegen'd agreement kernel once per unique pair.
+    val pairIds = gatedBands.as("a").join(gatedBands.as("b"),
         col("a.__band") === col("b.__band") && col("a.__bucket") === col("b.__bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        graft.fuzzy.vectorFunctions.sig_agreement(col("a.__sig"), col("b.__sig")).as("est_jaccard"))
-      .where(col("est_jaccard") >= threshold)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    pairIds
+      .join(signed.select(col(idCol).as("id_a"), col("__sig").as("__sig_a")), Seq("id_a"))
+      .join(signed.select(col(idCol).as("id_b"), col("__sig").as("__sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.fuzzy.vectorFunctions.sig_agreement(col("__sig_a"), col("__sig_b")).as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
   }
 
   /** MinHash-LSH candidates verified with the EXACT word-shingle Jaccard:
@@ -297,9 +305,13 @@ object Dedup {
       spread(embeddings).select(col(idCol), col(vecCol), bitsCol.as("__bits")),
       checkpoint)
 
+    // Band rows carry only (id, band, bkey) — the float vector re-attaches
+    // by id from the materialized `hashed` frame after pair dedup, so it
+    // never multiplies through the band explode/self-join and the cosine
+    // runs once per unique pair.
     val perBand = planes / bands
     val chunked = hashed.select(
-      col(idCol), col(vecCol), col("__bits"),
+      col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         c => call_function("shiftright", col("__bits"), c.cast("int") * perBand).bitwiseAND(lit((1L << perBand) - 1)))))
       .withColumnRenamed("pos", "__band")
@@ -316,16 +328,19 @@ object Dedup {
       case Left(allowed) => chunked.join(allowed, Seq("__band", "__bkey"))
     }
 
-    // verify with the exact cosine INSIDE the bucket join, project down to
-    // (id, id, cosine), THEN dedup — the pair-level distinct shuffles 24
-    // bytes/row instead of two full float vectors
-    gated.as("a")
+    // Self-join on id rows, dedup pair ids, re-attach both vectors by id,
+    // then the exact-cosine verify runs once per unique pair.
+    val pairIds = gated.as("a")
       .join(gated.as("b"),
         col("a.__band") === col("b.__band") && col("a.__bkey") === col("b.__bkey") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        cosineSimilarity(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cosine"))
-      .where(col("cosine") >= threshold)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    pairIds
+      .join(hashed.select(col(idCol).as("id_a"), col(vecCol).as("__va")), Seq("id_a"))
+      .join(hashed.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosineSimilarity(col("__va"), col("__vb")).as("cosine"))
+      .where(col("cosine") >= threshold)
   }
 }
