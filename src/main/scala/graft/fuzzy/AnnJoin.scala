@@ -169,8 +169,13 @@ object AnnJoin {
         .withColumnRenamed("pos", "__band")
         .withColumnRenamed("col", "__bkey")
 
-    val lb = bandedIds(leftValues, leftCol, "__lvid")
-    val rb = bandedIds(rightValues, rightCol, "__rvid")
+    // Materialized: consumed twice (bucket statistics + the bucket join).
+    // With string payloads this was a recompute-over-checkpoint call — the
+    // exploded band rows were too wide to store; at 24 bytes/row the
+    // checkpoint is bands x values x 24 B and saves a full second
+    // kept-grams + minhash pass over every value.
+    val lb = graft.util.Materialize(bandedIds(leftValues, leftCol, "__lvid"), opts.checkpoint)
+    val rb = graft.util.Materialize(bandedIds(rightValues, rightCol, "__rvid"), opts.checkpoint)
     val lLow = FuzzyMatcher.lowerName(leftCol)
     val rLow = FuzzyMatcher.lowerName(rightCol)
 

@@ -134,6 +134,19 @@ case class SignLshBits(child: Expression, planes: Array[Double], dim: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Distinct word n-gram shingles of a pre-lowered/trimmed text — the
+  * codegen'd replacement for the `split` + `transform(sequence, slice,
+  * concat_ws)` + `array_distinct` HOF pipeline (interpreted lambdas). */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.wordShingles(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.fuzzy.VectorKernels.wordShingles($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "char_ngrams"
@@ -206,6 +219,7 @@ object vectorFunctions {
   def sign_lsh_bits(vec: Column, planes: Array[Double], dim: Int): Column =
     c(SignLshBits(x(vec), planes, dim))
   def char_ngrams(text: Column, n: Int): Column = c(CharNgrams(x(text), n))
+  def word_shingles(text: Column, n: Int): Column = c(WordShingles(x(text), n))
   def kept_grams(text: Column, n: Int, stops: Array[String], minKept: Int): Column =
     c(KeptGrams(x(text), n, stops, minKept))
   def bucket_allowed(band: Column, bkey: Column, sortedKeys: Array[Long]): Column =
@@ -230,6 +244,7 @@ object vectorFunctions {
       "winnow_sketch" ->
         (es => WinnowSketch(es(0), intLit(es(1), "k"), intLit(es(2), "window"))),
       "char_ngrams" -> (es => CharNgrams(es(0), intLit(es(1), "n"))),
+      "word_shingles" -> (es => WordShingles(es(0), intLit(es(1), "n"))),
       "ngram_jaccard_dist" ->
         (es => NgramJaccardDistance(es(0), es(1), intLit(es(2), "n"))))
   }

@@ -268,6 +268,50 @@ object VectorKernels {
     }
   }
 
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** DISTINCT word n-gram shingles of a (pre-lowered, pre-trimmed) text.
+    * Token/edge semantics match `split(text, "\\s+")` with Spark's -1 limit
+    * (leading/trailing regex-boundary empties kept), then
+    * `when(size < n, concat_ws(" ", tokens)).otherwise(transform(...))` +
+    * `array_distinct` — the HOF construction this kernel replaces (HOF
+    * lambdas evaluate interpreted, element at a time; on document-length
+    * text the shingling dominated the whole minhash stage). */
+  def wordShingles(s: UTF8String, n: Int): ArrayData = {
+    val toks = wsPattern.split(s.toString, -1)
+    if (toks.length < n) {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i < toks.length) {
+        if (i > 0) sb.append(' ')
+        sb.append(toks(i))
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](UTF8String.fromString(sb.toString)))
+    } else {
+      val seen = new java.util.LinkedHashSet[String]()
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[Any](seen.size())
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
   /** DISTINCT character n-grams minus a stop set, with a fallback to the
     * full distinct gram set when fewer than `minKept` survive (tiny or
     * asymmetric kept sets make MinHash recall collapse). One call per VALUE

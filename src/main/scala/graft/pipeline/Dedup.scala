@@ -38,15 +38,15 @@ object Dedup {
   // --------------------------------------------------- shingles / jaccard
 
   /** Distinct lowercase word n-gram shingles per document:
-    * (idCol, "__shingle"), exploded. */
-  def wordShingles(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
-    val tokens = split(lower(trim(col(textCol))), "\\s+")
-    val grams =
-      when(size(tokens) < n, array(concat_ws(" ", tokens)))
-        .otherwise(transform(sequence(lit(0), size(tokens) - lit(n)),
-          i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
-    docs.select(col(idCol), explode(array_distinct(grams)).as("__shingle"))
-  }
+    * (idCol, "__shingle"), exploded. Native codegen'd kernel
+    * ([[graft.fuzzy.WordShingles]]) — the equivalent
+    * `transform(sequence, slice, concat_ws)` HOF pipeline evaluates its
+    * lambdas interpreted and dominated the minhash stage on document-length
+    * text. */
+  def wordShingles(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    docs.select(col(idCol),
+      explode(graft.fuzzy.vectorFunctions.word_shingles(lower(trim(col(textCol))), n))
+        .as("__shingle"))
 
   /** Exact n-gram Jaccard near-duplicate pairs (id_a < id_b, jaccard >=
     * threshold). Pair generation is blocked on shared shingles: the
@@ -98,15 +98,12 @@ object Dedup {
                       maxBucketPairs: Long = 4_000_000L,
                       checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
     val k = numBands * rowsPerBand
-    val tokens = split(lower(trim(col(textCol))), "\\s+")
-    val grams =
-      when(size(tokens) < shingleLen, array(concat_ws(" ", tokens)))
-        .otherwise(transform(sequence(lit(0), size(tokens) - lit(shingleLen)),
-          i => concat_ws(" ", slice(tokens, i + 1, lit(shingleLen)))))
+    val shingles =
+      graft.fuzzy.vectorFunctions.word_shingles(lower(trim(col(textCol))), shingleLen)
 
     val signed = Materialize(
       spread(docs)
-        .select(col(idCol), array_distinct(grams).as("__shingles"))
+        .select(col(idCol), shingles.as("__shingles"))
         .where(size(col("__shingles")) > 0)
         .withColumn("__sig", minhashSignature(col("__shingles"), k))
         .select(col(idCol), col("__sig")),

@@ -25,6 +25,23 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(sh == Set((1L, "a b c"), (1L, "b c d"), (2L, "a b")))
   }
 
+  test("native word_shingles kernel matches the HOF construction on real documents") {
+    // the kernel replaced split+transform+slice+concat_ws+array_distinct;
+    // token/edge semantics (regex-boundary empties, short-doc collapse,
+    // first-occurrence distinct order) must be byte-identical
+    val tokens = split(lower(trim(col("text"))), "\\s+")
+    val hof = array_distinct(
+      when(size(tokens) < 3, array(concat_ws(" ", tokens)))
+        .otherwise(transform(sequence(lit(0), size(tokens) - lit(3)),
+          i => concat_ws(" ", slice(tokens, i + 1, lit(3))))))
+    val edgy = Seq((9001L, "  a\tb \n c  a b c"), (9002L, "x"), (9003L, "Ä ß b c"))
+      .toDF("doc_id", "text")
+    val both = docs.select(col("doc_id"), col("text")).unionByName(edgy)
+      .select(col("doc_id"), hof.as("h"),
+        graft.fuzzy.vectorFunctions.word_shingles(lower(trim(col("text"))), 3).as("n"))
+    assert(both.where(not(col("h") === col("n"))).count() == 0)
+  }
+
   test("ngram jaccard pairs against hand-computed values") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
