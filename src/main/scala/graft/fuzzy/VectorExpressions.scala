@@ -134,6 +134,26 @@ case class SignLshBits(child: Expression, planes: Array[Double], dim: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Count of tokens present in a fixed word set (language-ID marker hits) —
+  * replaces `size(filter(toks, isInCollection))`, whose lambda evaluates
+  * interpreted per token. The set ships as a literal reference object. */
+case class MarkerHits(child: Expression, words: Array[String]) extends UnaryExpression {
+  @transient private lazy val wordSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](math.max(words.length * 2, 16))
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "marker_hits"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.markerHits(v.asInstanceOf[ArrayData], wordSet)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordSet", wordSet, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.fuzzy.VectorKernels.markerHits($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Distinct word n-gram shingles of a pre-lowered/trimmed text — the
   * codegen'd replacement for the `split` + `transform(sequence, slice,
   * concat_ws)` + `array_distinct` HOF pipeline (interpreted lambdas). */
@@ -220,6 +240,8 @@ object vectorFunctions {
     c(SignLshBits(x(vec), planes, dim))
   def char_ngrams(text: Column, n: Int): Column = c(CharNgrams(x(text), n))
   def word_shingles(text: Column, n: Int): Column = c(WordShingles(x(text), n))
+  def marker_hits(tokens: Column, words: Array[String]): Column =
+    c(MarkerHits(x(tokens), words))
   def kept_grams(text: Column, n: Int, stops: Array[String], minKept: Int): Column =
     c(KeptGrams(x(text), n, stops, minKept))
   def bucket_allowed(band: Column, bkey: Column, sortedKeys: Array[Long]): Column =

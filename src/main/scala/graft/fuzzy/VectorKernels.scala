@@ -270,6 +270,18 @@ object VectorKernels {
 
   private val wsPattern = java.util.regex.Pattern.compile("\\s+")
 
+  /** Count of tokens present in `words` (language-ID marker hits). */
+  def markerHits(toks: ArrayData, words: java.util.HashSet[UTF8String]): Int = {
+    var c = 0
+    var i = 0
+    val n = toks.numElements()
+    while (i < n) {
+      if (words.contains(toks.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** DISTINCT word n-gram shingles of a (pre-lowered, pre-trimmed) text.
     * Token/edge semantics match `split(text, "\\s+")` with Spark's -1 limit
     * (leading/trailing regex-boundary empties kept), then

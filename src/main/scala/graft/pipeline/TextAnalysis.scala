@@ -22,7 +22,9 @@ object TextAnalysis {
     * each count as one token (a cheap regex proxy for byte-pair tokenizers:
     * words, numbers and each symbol separately). */
   def subwordCountEstimate(text: Column): Column =
-    size(filter(split(lower(trim(text)), "[^a-z0-9]+"), t => t =!= "")) +
+    // array_remove instead of filter(_ =!= ""): same result, but a native
+    // collection expression rather than an interpreted per-element lambda
+    size(array_remove(split(lower(trim(text)), "[^a-z0-9]+"), "")) +
       length(regexp_replace(text, "[a-zA-Z0-9\\s]", ""))
 
   /** Quality components: character/word statistics used by typical corpus
@@ -70,7 +72,7 @@ object TextAnalysis {
   def langId(text: Column): Column = {
     val toks = tokens(text)
     val hits = langMarkers.map { case (lang, markers) =>
-      lang -> size(filter(toks, t => t.isInCollection(markers)))
+      lang -> graft.fuzzy.vectorFunctions.marker_hits(toks, markers.toArray)
     }
     val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
     hits.foldRight(lit("und"): Column) { case ((lang, h), acc) =>
