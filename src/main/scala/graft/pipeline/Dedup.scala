@@ -109,17 +109,18 @@ object Dedup {
         .select(col(idCol), col("__sig")),
       checkpoint)
 
-    // explode into one row per band: band hash = xxhash64 over the band's
-    // signature slice (rendered to a string key). Band rows carry ONLY
-    // (id, band, bucket) — the 64-long signature would otherwise ride the
-    // explode x numBands and the self-join shuffle; it re-attaches by id
-    // from the materialized `signed` frame after the pair stream is
-    // deduplicated, so the agreement kernel also runs once per UNIQUE pair
-    // instead of once per band duplicate.
+    // explode into one row per band: band hash over the band's signature
+    // slice (native kernel — the HOF slice + string-rendered xxhash ran
+    // interpreted per band per document). Band rows carry ONLY (id, band,
+    // bucket) — the 64-long signature would otherwise ride the explode x
+    // numBands and the self-join shuffle; it re-attaches by id from the
+    // materialized `signed` frame after the pair stream is deduplicated,
+    // so the agreement kernel also runs once per UNIQUE pair instead of
+    // once per band duplicate.
     val banded = signed.select(
       col(idCol),
-      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
-        b => xxhash64(concat_ws(",", slice(col("__sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand))), b))))
+      posexplode(graft.fuzzy.vectorFunctions.lsh_band_keys(
+        col("__sig"), numBands, rowsPerBand)))
       .withColumnRenamed("pos", "__band")
       .withColumnRenamed("col", "__bucket")
 
