@@ -24,6 +24,32 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
       s"unused embedding column not pruned from the scan:\n$plan")
   }
 
+  test("LSH candidates: id-keyed band join, payloads attached via broadcast") {
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val s = spark.read.parquet(s"$dir/supplier.parquet")
+    val lv = FuzzyMatcher.distinctValues(c, "c_name")
+    val rv = FuzzyMatcher.distinctValues(s, "s_name")
+    val cand = AnnJoin.candidates(lv, rv, "c_name", "s_name", MatchOptions(),
+      reversedThreshold = 0.3, totalValues = 250)
+    val plan = cand.queryExecution.executedPlan.toString
+    // small value frames -> the string re-attach joins must be broadcast,
+    // not a shuffle of the pair stream
+    assert(plan.contains("BroadcastHashJoin"),
+      s"value re-attach joins not broadcast for a broadcast-sized corpus:\n$plan")
+    // the materialized band rows must carry ONLY (id, band, bucket) — a
+    // value string there means the payload multiplies through the band
+    // explode and every bucket collision again
+    val bandScans = plan.linesIterator
+      .filter(l => l.contains("Scan ExistingRDD") && l.contains("__band")).toSeq
+    assert(bandScans.nonEmpty, s"materialized banded-id scans not found:\n$plan")
+    assert(bandScans.forall(l => !l.contains("c_name") && !l.contains("s_name")),
+      s"band rows carry the value string instead of the id:\n$plan")
+    // the jaccard gate must be fused into the attach join condition, so
+    // gated-out pairs never reach the rank window
+    assert(plan.contains("ngram_jaccard_dist"),
+      s"jaccard gate missing from the candidate plan:\n$plan")
+  }
+
   test("exact value scoring: broadcast cross join, kernel filter inside codegen") {
     val c = spark.read.parquet(s"$dir/customer.parquet")
     val s = spark.read.parquet(s"$dir/supplier.parquet")
