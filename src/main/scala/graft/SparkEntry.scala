@@ -174,6 +174,13 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"),
         TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))),
+    // Gopher-style repetition filters: duplicate-line / duplicate-token
+    // fractions per document
+    "text_repetition" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        sround(TextAnalysis.dupLineFraction(col("text")), 6).as("dup_line_frac"),
+        sround(TextAnalysis.dupTokenFraction(col("text")), 6).as("dup_token_frac"))),
     // winnowing sketch: exploded to (doc_id, fingerprint) scalar rows; the
     // MD5 gram hash (useMd5) is recomputable in SQL, so the sketch is
     // oracled bit-for-bit
@@ -362,6 +369,15 @@ object SparkEntry {
       """SELECT doc_id,
          md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fingerprint
          FROM documents""",
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id,
+                string_split(text, chr(10)) AS lines,
+                string_split_regex(trim(lower(text)), '\s+') AS toks
+         FROM documents)
+         SELECT doc_id,
+           round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines), 6) AS dup_line_frac,
+           round(CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS dup_token_frac
+         FROM t""",
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
          substring(upper(hex(encode(text))), 1, 8) AS magic_hex

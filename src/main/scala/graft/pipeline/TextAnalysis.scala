@@ -82,6 +82,20 @@ object TextAnalysis {
   // NOTE: foldRight so that the FIRST language in table order wins ties —
   // en > es > fr > de, deterministic.
 
+  /** Repetition statistics (the Gopher-style repetition filters): fraction
+    * of duplicate lines and of duplicate tokens within a document. High
+    * values flag boilerplate/templated/looping text for removal. Pure
+    * array arithmetic — one narrow projection, no shuffle, no lambdas. */
+  def dupLineFraction(text: Column): Column = {
+    val lines = split(text, "\n")
+    (size(lines) - size(array_distinct(lines))).cast("double") / size(lines)
+  }
+
+  def dupTokenFraction(text: Column): Column = {
+    val toks = tokens(text)
+    (size(toks) - size(array_distinct(toks))).cast("double") / size(toks)
+  }
+
   /** Canonical content fingerprint: md5 of the sorted distinct token set.
     * Invariant to word order and duplication — catches shuffled/near-exact
     * copies that exact hashing misses. */

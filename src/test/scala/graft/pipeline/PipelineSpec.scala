@@ -161,6 +161,20 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(langs == Seq("en", "es", "fr", "de", "und"))
   }
 
+  test("repetition fractions: duplicate lines and tokens") {
+    val d = Seq(
+      (1L, "a b\na b\nc d"),       // 3 lines, 1 dup; 6 tokens, 2 dup
+      (2L, "x y z"),               // no repetition
+      (3L, "w w w w")).toDF("doc_id", "text") // 1 line; 4 tokens, 3 dup
+    val res = d.select(col("doc_id"),
+        TextAnalysis.dupLineFraction(col("text")).as("l"),
+        TextAnalysis.dupTokenFraction(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(math.abs(res(1L)._1 - 1.0 / 3) < 1e-12 && math.abs(res(1L)._2 - 2.0 / 6) < 1e-12)
+    assert(res(2L) == ((0.0, 0.0)))
+    assert(res(3L)._1 == 0.0 && math.abs(res(3L)._2 - 0.75) < 1e-12)
+  }
+
   test("fingerprint invariant to word order and duplication") {
     val d = Seq("b a c", "c b a", "a a b c c").toDF("text")
     val fps = d.select(TextAnalysis.fingerprintMd5($"text")).as[String].collect()
