@@ -1,10 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, encode, explode, lit, round => sround}
+import org.apache.spark.sql.functions.{col, encode, explode, expr, lit, round => sround}
 
 import graft.fuzzy.{FuzzyAlgorithm, FuzzyMapping, FuzzyMatcher, MatchOptions}
-import graft.pipeline.{AnnSearch, Dedup, Multimodal, NearDupCluster, TextAnalysis}
+import graft.pipeline.{AnnSearch, Dedup, Multimodal, NearDupCluster, Sessionize, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -188,6 +188,23 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"),
         explode(TextAnalysis.winnowFingerprints(col("text"), useMd5 = true)).as("fp"))),
+
+    // ---- event sessionization (gap-based, 30-min) over `events`.
+    // Timestamps read as raw nanos (legacy.parquet.nanosAsLong) and kept as
+    // integer epoch-micros; the value sum is in integer cents — all
+    // arithmetic exact, so the DuckDB compare is bit-stable.
+    "events_sessionize" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("user_id"),
+        expr("ts div 1000").as("ts_us"),
+        col("event_id"),
+        expr("cast(round(value * 100) as long)").as("__cents"))
+      Sessionize.sessionStats(ev, "user_id", "ts_us", "event_id", "__cents",
+          gapMicros = 30L * 60 * 1000000)
+        .select(col("user_id"), col("session_idx"), col("n_events"),
+          col("session_start_us"), col("session_end_us"),
+          col("sum_value").as("sum_value_cents"))
+    }),
 
     // ---- multimodal binary plumbing (documents' text bytes as payload)
     "multimodal_meta" -> ((s, dir) =>
@@ -378,6 +395,21 @@ object SparkEntry {
            round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines), 6) AS dup_line_frac,
            round(CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS dup_token_frac
          FROM t""",
+    "events_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         b AS (SELECT user_id, ts_us, event_id, cents,
+                 CASE WHEN lag(ts_us) OVER w IS NULL
+                        OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         s AS (SELECT user_id, ts_us, cents,
+                 CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+               FROM b)
+         SELECT user_id, session_idx, count(*) AS n_events,
+           min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+           CAST(sum(cents) AS BIGINT) AS sum_value_cents
+         FROM s GROUP BY 1, 2""",
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
          substring(upper(hex(encode(text))), 1, 8) AS magic_hex

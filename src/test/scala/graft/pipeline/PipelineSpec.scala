@@ -161,6 +161,28 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(langs == Seq("en", "es", "fr", "de", "und"))
   }
 
+  test("sessionization: gap starts a new session, ties break on event id") {
+    val M = 60L * 1000000 // one minute in micros
+    val ev = Seq(
+      // user 1: events at 0, 10, 45, 50 min with a 30-min gap rule ->
+      // sessions {0,10} and {45,50}
+      (1L, 0 * M, 100L, 1.0), (1L, 10 * M, 101L, 2.0),
+      (1L, 45 * M, 102L, 4.0), (1L, 50 * M, 103L, 8.0),
+      // user 2: a single event; boundary case — exactly 30 min gap stays
+      // in the SAME session (break requires gap > threshold)
+      (2L, 0 * M, 200L, 1.0), (2L, 30 * M, 201L, 1.0))
+      .toDF("user_id", "ts_us", "event_id", "value")
+    val res = Sessionize.sessionStats(ev, "user_id", "ts_us", "event_id", "value",
+        gapMicros = 30 * M)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(res.size == 3)
+    assert(res((1L, 1L)) == ((2L, 0 * M, 10 * M, 3.0)))
+    assert(res((1L, 2L)) == ((2L, 45 * M, 50 * M, 12.0)))
+    assert(res((2L, 1L)) == ((2L, 0 * M, 30 * M, 2.0)))
+  }
+
   test("repetition fractions: duplicate lines and tokens") {
     val d = Seq(
       (1L, "a b\na b\nc d"),       // 3 lines, 1 dup; 6 tokens, 2 dup
