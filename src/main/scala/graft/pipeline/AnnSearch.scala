@@ -142,20 +142,30 @@ object AnnSearch {
 
     // Band rows carry only (id, band, bkey); vectors re-attach by id after
     // pair dedup so they never multiply through the band explode/bucket join
-    // (same narrow-payload shape as AnnJoin/Dedup LSH stages).
+    // (same narrow-payload shape as AnnJoin/Dedup LSH stages). The
+    // (id, vector, bits) frames are materialized under the checkpoint
+    // strategy: they feed the bucket statistics, the bucket join AND the
+    // re-attach, so an unmaterialized plan would rescan each input and
+    // recompute the hyperplane projection three times.
+    val qh = graft.util.Materialize(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+        .withColumn("__bits", bits(col("__qv"))), checkpoint)
+    val ch = graft.util.Materialize(
+      spread(corpus).select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
+        .withColumn("__bits", bits(col("__cv"))), checkpoint)
+
     val perBand = planes / bands
-    def banded(df: DataFrame, id: String, vec: String) =
-      df.select(col(id), bits(col(vec)).as("__bits"))
-        .select(col(id),
+    def banded(df: DataFrame, id: String) =
+      df.select(col(id),
           posexplode(transform(sequence(lit(0), lit(bands - 1)),
             c => call_function("shiftright", col("__bits"), c.cast("int") * perBand).bitwiseAND(lit((1L << perBand) - 1)))))
         .withColumnRenamed("pos", "__band")
         .withColumnRenamed("col", "__bkey")
 
-    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
-    val qb = banded(qv, "query_id", "__qv")
-    val cb = banded(cv, "corpus_id", "__cv")
+    val qv = qh.select(col("query_id"), col("__qv"))
+    val cv = ch.select(col("corpus_id"), col("__cv"))
+    val qb = banded(qh, "query_id")
+    val cb = banded(ch, "corpus_id")
 
     // skew guard: drop degenerate buckets (same rationale as the fuzzy
     // LSH join - an uncapped bucket join concentrates quadratic work on

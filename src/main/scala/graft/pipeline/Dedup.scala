@@ -97,6 +97,24 @@ object Dedup {
                       threshold: Double = 0.7,
                       maxBucketPairs: Long = 4_000_000L,
                       checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val (pairIds, signed) = minhashCandidatePairs(docs, textCol, idCol,
+      shingleLen, numBands, rowsPerBand, maxBucketPairs, checkpoint)
+    pairIds
+      .join(signed.select(col(idCol).as("id_a"), col("__sig").as("__sig_a")), Seq("id_a"))
+      .join(signed.select(col(idCol).as("id_b"), col("__sig").as("__sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.fuzzy.vectorFunctions.sig_agreement(col("__sig_a"), col("__sig_b")).as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+  }
+
+  /** Deduplicated LSH candidate id pairs + the materialized (id, signature)
+    * frame — the shared front end of [[minhashLshPairs]] (signature-estimate
+    * verify) and [[minhashLshVerifiedPairs]] (exact-shingle verify, which
+    * never needs the signatures again and so skips the re-attach joins). */
+  private def minhashCandidatePairs(docs: DataFrame, textCol: String, idCol: String,
+                      shingleLen: Int, numBands: Int, rowsPerBand: Int,
+                      maxBucketPairs: Long,
+                      checkpoint: CheckpointStrategy): (DataFrame, DataFrame) = {
     val k = numBands * rowsPerBand
     val shingles =
       graft.fuzzy.vectorFunctions.word_shingles(lower(trim(col(textCol))), shingleLen)
@@ -138,19 +156,14 @@ object Dedup {
       case Left(allowed) => banded.join(allowed, Seq("__band", "__bucket"))
     }
 
-    // Self-join on 16-byte id rows, dedup the pair ids, then re-attach both
-    // signatures and run the codegen'd agreement kernel once per unique pair.
+    // Self-join on 16-byte id rows, dedup the pair ids. Callers attach
+    // whatever payload their verify needs (signatures / shingles) by id.
     val pairIds = gatedBands.as("a").join(gatedBands.as("b"),
         col("a.__band") === col("b.__band") && col("a.__bucket") === col("b.__bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    pairIds
-      .join(signed.select(col(idCol).as("id_a"), col("__sig").as("__sig_a")), Seq("id_a"))
-      .join(signed.select(col(idCol).as("id_b"), col("__sig").as("__sig_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        graft.fuzzy.vectorFunctions.sig_agreement(col("__sig_a"), col("__sig_b")).as("est_jaccard"))
-      .where(col("est_jaccard") >= threshold)
+    (pairIds, signed)
   }
 
   /** MinHash-LSH candidates verified with the EXACT word-shingle Jaccard:
@@ -168,9 +181,8 @@ object Dedup {
                               threshold: Double = 0.7,
                               maxBucketPairs: Long = 4_000_000L,
                               checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
-    val cand = minhashLshPairs(docs, textCol, idCol, shingleLen, numBands, rowsPerBand,
-        threshold = 0.0, maxBucketPairs, checkpoint)
-      .select(col("id_a"), col("id_b"))
+    val (cand, _) = minhashCandidatePairs(docs, textCol, idCol,
+      shingleLen, numBands, rowsPerBand, maxBucketPairs, checkpoint)
     val sh = Materialize(wordShingles(docs, textCol, idCol, shingleLen), checkpoint)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
     cand

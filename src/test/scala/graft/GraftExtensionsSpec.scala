@@ -25,13 +25,12 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(row.getAs[Double]("dot") - 11.0) < 1e-12)
   }
 
-  test("injected and registerAll surfaces are identical") {
-    val injected = GraftExtensions.builders.map(_._1).toSet
-    val imperative =
-      (graft.fuzzy.functions.sqlBuilders ++
-        graft.fuzzy.vectorFunctions.sqlBuilders).map(_._1).toSet
-    assert(injected == imperative)
-    assert(injected.size ==
-      GraftExtensions.builders.size, "duplicate function names in the surface")
+  test("every builder-listed function resolves in a fresh session") {
+    val names = GraftExtensions.builders.map(_._1)
+    assert(names.size == names.toSet.size, "duplicate function names in the surface")
+    assert(names.size >= 20, s"suspiciously small SQL surface: $names")
+    val fresh = spark.newSession()
+    val missing = names.filterNot(n => fresh.catalog.functionExists(n))
+    assert(missing.isEmpty, s"functions not injected into a fresh session: $missing")
   }
 }
