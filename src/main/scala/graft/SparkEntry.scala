@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, encode, explode, expr, lit, round => sround}
+import org.apache.spark.sql.functions.{col, count, encode, explode, expr, get_json_object, lit, max, min, round => sround, sum}
 
 import graft.fuzzy.{FuzzyAlgorithm, FuzzyMapping, FuzzyMatcher, MatchOptions}
 import graft.pipeline.{AnnSearch, Dedup, Multimodal, NearDupCluster, Sessionize, TextAnalysis}
@@ -206,6 +206,18 @@ object SparkEntry {
           col("sum_value").as("sum_value_cents"))
     }),
 
+    // ---- semi-structured metadata: parse the JSON `props` column and
+    // aggregate an extracted field per event type (integer-exact compare)
+    "events_json_agg" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("__k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("__k")).as("sum_k"),
+          min(col("__k")).as("min_k"),
+          max(col("__k")).as("max_k"))),
+
     // ---- multimodal binary plumbing (documents' text bytes as payload)
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.binaryMeta(
@@ -395,6 +407,12 @@ object SparkEntry {
            round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines), 6) AS dup_line_frac,
            round(CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS dup_token_frac
          FROM t""",
+    "events_json_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+         CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+         min(CAST(props->>'k' AS BIGINT)) AS min_k,
+         max(CAST(props->>'k' AS BIGINT)) AS max_k
+         FROM events GROUP BY event_type""",
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
                 CAST(round(value * 100) AS BIGINT) AS cents FROM events),
