@@ -66,7 +66,8 @@ object SparkEntry {
       res.select(col("c_custkey"), col("c_custkey_right"),
         sround(col("c_name_vs_c_name_right_hamming"), 6).as("score"))
     }),
-    // indel has no DuckDB analog -> rows-only check
+    // indel has no native DuckDB analog; the oracle computes LCS with an
+    // anti-diagonal DP as a recursive CTE (indel = la + lb - 2*LCS)
     "fuzzy_join_indel" -> ((s, dir) => {
       val res = FuzzyMatcher.matchDfs(
         t(s, dir, "customer"), t(s, dir, "supplier"),
@@ -267,6 +268,33 @@ object SparkEntry {
          round(1.0 - hamming(lower(a.c_name), lower(b.c_name)) / greatest(length(a.c_name), length(b.c_name)), 6) AS score
          FROM customer a CROSS JOIN customer b
          WHERE hamming(lower(a.c_name), lower(b.c_name)) / greatest(length(a.c_name), length(b.c_name)) <= 0.2""",
+    // LCS via an anti-diagonal DP: diagonal d holds dp(i, j) for i + j = d;
+    // each cell needs only the previous two diagonals, so one recursion
+    // step computes a whole diagonal with independent list lambdas (the
+    // row-major DP would need an in-row prefix dependency). indel distance
+    // = la + lb - 2*LCS, normalized by (la + lb) like the kernel.
+    "fuzzy_join_indel" ->
+      """WITH p AS (SELECT c.c_custkey, s.s_suppkey, lower(c.c_name) AS a, lower(s.s_name) AS b,
+                length(c.c_name) AS la, length(s.s_name) AS lb
+              FROM customer c CROSS JOIN supplier s),
+         rec AS (
+           WITH RECURSIVE dp(c_custkey, s_suppkey, a, b, la, lb, d, prev2, prev1) AS (
+             SELECT c_custkey, s_suppkey, a, b, la, lb, 0,
+               list_transform(range(0, lb + 1), j -> 0),
+               list_transform(range(0, lb + 1), j -> 0)
+             FROM p
+             UNION ALL
+             SELECT c_custkey, s_suppkey, a, b, la, lb, d + 1, prev1,
+               list_transform(range(0, lb + 1), j ->
+                 CASE WHEN d + 1 - j BETWEEN 1 AND la AND j >= 1 THEN
+                   greatest(prev1[j + 1], prev1[j],
+                     prev2[j] + CASE WHEN substring(a, (d + 1 - j)::INT, 1) = substring(b, j::INT, 1) THEN 1 ELSE 0 END)
+                 ELSE 0 END)
+             FROM dp WHERE d < la + lb)
+           SELECT c_custkey, s_suppkey, la, lb, prev1[lb + 1] AS lcs FROM dp WHERE d = la + lb)
+         SELECT c_custkey, s_suppkey,
+           round(1.0 - (la + lb - 2.0*lcs) / (la + lb), 6) AS score
+         FROM rec WHERE (la + lb - 2.0*lcs) / (la + lb) <= 0.3""",
     "fuzzy_join_multi" ->
       """SELECT a.c_custkey AS c_custkey, b.c_custkey AS c_custkey_right,
          round(1.0 - levenshtein(lower(a.c_name), lower(b.c_name)) / greatest(length(a.c_name), length(b.c_name)), 6) AS score_name,
