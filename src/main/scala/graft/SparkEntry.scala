@@ -148,11 +148,14 @@ object SparkEntry {
       res.select(col("query_id"), col("corpus_id"),
         sround(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
     }),
-    // LSH-bucketed variant (scale path): rows-only
+    // LSH-bucketed variant (scale path). md5IntPlanes: integer-quantized
+    // hyperplanes/dots — exact order-independent arithmetic a SQL oracle
+    // recomputes bit-for-bit, so even the approximate path is fully oracled
     "ann_cosine_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val res = AnnSearch.lshTopK(emb.where(col("vec_id") < 10), emb,
-        "embedding", "vec_id", 10, dim = 64, planes = 16, bands = 8)
+        "embedding", "vec_id", 10, dim = 64, planes = 16, bands = 8,
+        md5IntPlanes = true)
       res.select(col("query_id"), col("corpus_id"),
         sround(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
     }),
@@ -389,6 +392,34 @@ object SparkEntry {
          r AS (SELECT query_id, corpus_id, cos,
                       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
                FROM s)
+         SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 10""",
+    // sign-LSH with md5-derived INTEGER planes and floor(v * 4096)
+    // quantization: every dot product is exact integer arithmetic, so the
+    // bucket assignment — and therefore the candidate set and the ranked
+    // top-k — reproduces bit-for-bit across engines
+    "ann_cosine_lsh" ->
+      """WITH pl AS (SELECT p, d,
+                (('0x' || substring(md5(p || '_' || d), 1, 15))::BIGINT % 2097152) - 1048576 AS comp
+              FROM range(16) tp(p), range(64) td(d)),
+         pv AS (SELECT p, list(comp ORDER BY d) AS pc FROM pl GROUP BY p),
+         qn AS (SELECT vec_id,
+                  list_transform(range(1, 65), i -> CAST(floor(embedding[i]::DOUBLE * 4096) AS BIGINT)) AS qv
+                FROM embeddings),
+         db AS (SELECT vec_id,
+                  CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65), i -> qv[i] * pc[i])) > 0
+                        THEN (1::BIGINT << p::INT) ELSE 0::BIGINT END) AS BIGINT) AS bits
+                FROM qn CROSS JOIN pv GROUP BY vec_id),
+         bd AS (SELECT vec_id, c AS band, (bits >> (2*c)::INT) & 3 AS bkey FROM db, range(8) rc(c)),
+         cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+                  FROM bd q JOIN bd c ON q.band = c.band AND q.bkey = c.bkey
+                  WHERE q.vec_id < 10 AND q.vec_id != c.vec_id),
+         sc AS (SELECT query_id, corpus_id,
+                  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+                FROM cand JOIN embeddings a ON cand.query_id = a.vec_id
+                          JOIN embeddings b ON cand.corpus_id = b.vec_id),
+         r AS (SELECT query_id, corpus_id, cos,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+               FROM sc)
          SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 10""",
     "text_stats" ->
       """SELECT doc_id,

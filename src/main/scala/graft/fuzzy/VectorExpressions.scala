@@ -120,6 +120,21 @@ case class NearestCells(child: Expression, centroids: Array[Double], dim: Int, n
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Sign-LSH bits with integer-quantized exact arithmetic (oracle-
+  * reproducible variant of [[SignLshBits]]; see VectorKernels.signBitsInt). */
+case class SignLshBitsInt(child: Expression, planes: Array[Long], dim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sign_lsh_bits_int"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.signBitsInt(v.asInstanceOf[ArrayData], planes, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.fuzzy.VectorKernels.signBitsInt($c, $ref, $dim)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Sign-LSH bits against a fixed hyperplane matrix (flattened row-major). */
 case class SignLshBits(child: Expression, planes: Array[Double], dim: Int)
     extends UnaryExpression {
@@ -238,6 +253,8 @@ object vectorFunctions {
     c(WinnowSketch(x(text), k, window, useMd5))
   def sign_lsh_bits(vec: Column, planes: Array[Double], dim: Int): Column =
     c(SignLshBits(x(vec), planes, dim))
+  def sign_lsh_bits_int(vec: Column, planes: Array[Long], dim: Int): Column =
+    c(SignLshBitsInt(x(vec), planes, dim))
   def char_ngrams(text: Column, n: Int): Column = c(CharNgrams(x(text), n))
   def word_shingles(text: Column, n: Int): Column = c(WordShingles(x(text), n))
   def marker_hits(tokens: Column, words: Array[String]): Column =

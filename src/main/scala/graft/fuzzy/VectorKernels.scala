@@ -231,6 +231,31 @@ object VectorKernels {
 
   /** Sign-LSH bits: pack sign(dot(v, plane_i)) into a long. `planes` is a
     * flattened row-major (nPlanes x dim) matrix. */
+  /** Sign-LSH bits with integer-quantized arithmetic: vectors quantize to
+    * floor(v * 4096) and plane components are integers, so every dot
+    * product is EXACT integer math — order-independent and reproducible
+    * bit-for-bit by a SQL oracle (float summation order is engine-defined;
+    * integer sums are not). Quantization noise only perturbs bucketing,
+    * never the exact-cosine re-rank. */
+  def signBitsInt(v: ArrayData, planes: Array[Long], dim: Int): Long = {
+    val nPlanes = planes.length / dim
+    val n = math.min(v.numElements(), dim)
+    var bits = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0L
+      var i = 0
+      val off = p * dim
+      while (i < n) {
+        dot += math.floor(v.getFloat(i).toDouble * 4096.0).toLong * planes(off + i)
+        i += 1
+      }
+      if (dot > 0) bits |= (1L << p)
+      p += 1
+    }
+    bits
+  }
+
   def signBits(v: ArrayData, planes: Array[Double], dim: Int): Long = {
     val nPlanes = planes.length / dim
     val n = math.min(v.numElements(), dim)

@@ -131,14 +131,22 @@ object AnnSearch {
               dim: Int, planes: Int = 16, bands: Int = 4, seed: Long = 42L,
               maxBucketPairs: Long = 4_000_000L,
               checkpoint: graft.util.CheckpointStrategy =
-                graft.util.CheckpointStrategy.Local): DataFrame = {
+                graft.util.CheckpointStrategy.Local,
+              md5IntPlanes: Boolean = false): DataFrame = {
     require(planes >= 1 && planes <= 64, s"planes must be in [1, 64] (got $planes)")
     require(bands >= 1 && bands <= planes && planes / bands < 64,
       s"bands must satisfy 1 <= bands <= planes and planes/bands < 64 " +
         s"(got planes=$planes, bands=$bands)")
-    val hp = Dedup.hyperplanes(dim, planes, seed)
+    // md5IntPlanes: integer-quantized planes/dots (exact, order-independent
+    // arithmetic) that a SQL oracle recomputes bit-for-bit — the seeded
+    // gaussian default stays the production path
     def bits(v: org.apache.spark.sql.Column) =
-      graft.fuzzy.vectorFunctions.sign_lsh_bits(v, hp.flatten, dim)
+      if (md5IntPlanes)
+        graft.fuzzy.vectorFunctions.sign_lsh_bits_int(v,
+          Dedup.hyperplanesMd5Int(dim, planes), dim)
+      else
+        graft.fuzzy.vectorFunctions.sign_lsh_bits(v,
+          Dedup.hyperplanes(dim, planes, seed).flatten, dim)
 
     // Band rows carry only (id, band, bkey); vectors re-attach by id after
     // pair dedup so they never multiply through the band explode/bucket join

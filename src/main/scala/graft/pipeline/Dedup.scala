@@ -292,6 +292,27 @@ object Dedup {
     Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Integer hyperplanes derived from MD5 — reproducible in SQL:
+    * component(p, d) = (('0x' || substring(md5(p || '_' || d), 1, 15))
+    * ::BIGINT % 2097152) - 1048576, i.e. uniform in [-2^20, 2^20).
+    * Flattened row-major (plane p at offset p * dim). */
+  private[graft] def hyperplanesMd5Int(dim: Int, planes: Int): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Long](planes * dim)
+    var p = 0
+    while (p < planes) {
+      var d = 0
+      while (d < dim) {
+        val hex = md.digest(s"${p}_$d".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.substring(0, 15)
+        out(p * dim + d) = (java.lang.Long.parseLong(hex, 16) % 2097152L) - 1048576L
+        d += 1
+      }
+      p += 1
+    }
+    out
+  }
+
   /** Sign-LSH (random hyperplane) near-duplicate pairs — the 100 TB path
     * for [[embeddingCosinePairs]]: `planes` sign bits, banded like simhash,
     * candidates verified with the exact cosine. Recall is tunable via
