@@ -128,6 +128,14 @@ object SparkEntry {
       val p = Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), "embedding", "vec_id", 0.4)
       p.select(col("id_a"), col("id_b"), sround(col("cosine"), 6).as("cosine"))
     }),
+    // sign-LSH near-dup pairs (the 100 TB path) with integer-quantized
+    // planes — candidate buckets reproduce exactly in SQL, so the
+    // approximate dedup path is fully oracled too
+    "dedup_cosine_lsh" -> ((s, dir) => {
+      val p = Dedup.cosineLshPairs(t(s, dir, "embeddings"), "embedding", "vec_id",
+        threshold = 0.4, dim = 64, planes = 16, bands = 4, md5IntPlanes = true)
+      p.select(col("id_a"), col("id_b"), sround(col("cosine"), 6).as("cosine"))
+    }),
 
     // ---- similarity search over `embeddings`
     "ann_cosine_topk" -> ((s, dir) => {
@@ -374,6 +382,29 @@ object SparkEntry {
          round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""",
+    // same integer-quantized bucketing as ann_cosine_lsh; bands = 4 of
+    // 4 bits (perBand = planes / bands = 4, mask 15)
+    "dedup_cosine_lsh" ->
+      """WITH pl AS (SELECT p, d,
+                (('0x' || substring(md5(p || '_' || d), 1, 15))::BIGINT % 2097152) - 1048576 AS comp
+              FROM range(16) tp(p), range(64) td(d)),
+         pv AS (SELECT p, list(comp ORDER BY d) AS pc FROM pl GROUP BY p),
+         qn AS (SELECT vec_id,
+                  list_transform(range(1, 65), i -> CAST(floor(embedding[i]::DOUBLE * 4096) AS BIGINT)) AS qv
+                FROM embeddings),
+         db AS (SELECT vec_id,
+                  CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65), i -> qv[i] * pc[i])) > 0
+                        THEN (1::BIGINT << p::INT) ELSE 0::BIGINT END) AS BIGINT) AS bits
+                FROM qn CROSS JOIN pv GROUP BY vec_id),
+         bd AS (SELECT vec_id, c AS band, (bits >> (4*c)::INT) & 15 AS bkey FROM db, range(4) rc(c)),
+         cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                  FROM bd a JOIN bd b ON a.band = b.band AND a.bkey = b.bkey
+                  WHERE a.vec_id < b.vec_id)
+         SELECT id_a, id_b,
+           round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) AS cosine
+         FROM cand JOIN embeddings x ON cand.id_a = x.vec_id
+                   JOIN embeddings y ON cand.id_b = y.vec_id
+         WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.4""",
     // full-probe IVF == brute force by construction -> same ground truth
     "ann_cosine_ivf" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

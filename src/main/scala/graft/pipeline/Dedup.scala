@@ -321,7 +321,8 @@ object Dedup {
                      threshold: Double, dim: Int, planes: Int = 16,
                      bands: Int = 4, seed: Long = 42L,
                      maxBucketPairs: Long = 4_000_000L,
-                     checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+                     checkpoint: CheckpointStrategy = CheckpointStrategy.Local,
+                     md5IntPlanes: Boolean = false): DataFrame = {
     // perBand = 64 would wrap the band mask (1L << 64 == 1); perBand = 0
     // would give empty band keys (everything collides). Bits beyond
     // bands * perBand are simply unused (a recall trade, not a bug).
@@ -329,8 +330,15 @@ object Dedup {
     require(bands >= 1 && bands <= planes && planes / bands < 64,
       s"bands must satisfy 1 <= bands <= planes and planes/bands < 64 " +
         s"(got planes=$planes, bands=$bands)")
-    val hp = hyperplanes(dim, planes, seed)
-    val bitsCol = graft.fuzzy.vectorFunctions.sign_lsh_bits(col(vecCol), hp.flatten, dim)
+    // md5IntPlanes: exact integer-quantized bucketing a SQL oracle can
+    // recompute bit-for-bit (see AnnSearch.lshTopK); gaussian is default
+    val bitsCol =
+      if (md5IntPlanes)
+        graft.fuzzy.vectorFunctions.sign_lsh_bits_int(col(vecCol),
+          hyperplanesMd5Int(dim, planes), dim)
+      else
+        graft.fuzzy.vectorFunctions.sign_lsh_bits(col(vecCol),
+          hyperplanes(dim, planes, seed).flatten, dim)
 
     val hashed = Materialize(
       spread(embeddings).select(col(idCol), col(vecCol), bitsCol.as("__bits")),
