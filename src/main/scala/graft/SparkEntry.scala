@@ -218,6 +218,33 @@ object SparkEntry {
           col("sum_value").as("sum_value_cents"))
     }),
 
+    // ---- streaming operators in batch mode (same code path the streams
+    // run; watermarks are no-ops on batch frames). Integer-micros window
+    // arithmetic and cent-valued sums keep the compare exact.
+    "events_windowed" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        org.apache.spark.sql.functions.timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("event_type"),
+        expr("cast(round(value * 100) as double)").as("value"))
+      graft.streaming.EventStreams.windowedCounts(ev)
+        .select(org.apache.spark.sql.functions.unix_micros(col("window_start")).as("window_start_us"),
+          org.apache.spark.sql.functions.unix_micros(col("window_end")).as("window_end_us"),
+          col("event_type"), col("n_events"),
+          col("total_value").cast("long").as("total_cents"))
+    }),
+    "events_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("event_id"),
+        org.apache.spark.sql.functions.timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("event_type"))
+      val res = graft.streaming.EventStreams.impressionClickJoin(
+        ev.where(col("event_type") === "view"),
+        ev.where(col("event_type") === "click"))
+      res.select(col("user_id"), col("imp_id"), col("click_id"),
+        org.apache.spark.sql.functions.unix_micros(col("imp_ts")).as("imp_ts_us"),
+        org.apache.spark.sql.functions.unix_micros(col("click_ts")).as("click_ts_us"))
+    }),
+
     // ---- semi-structured metadata: parse the JSON `props` column and
     // aggregate an extracted field per event type (integer-exact compare)
     "events_json_agg" -> ((s, dir) =>
@@ -497,6 +524,23 @@ object SparkEntry {
            round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines), 6) AS dup_line_frac,
            round(CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS dup_token_frac
          FROM t""",
+    // sliding windows: each event lands in window/slide = 2 windows with
+    // starts {t - t%slide, t - t%slide - slide} (both always satisfy
+    // start <= t < start + window); all arithmetic in integer micros
+    "events_windowed" ->
+      """WITH e AS (SELECT epoch_us(ts) - epoch_us(ts) % 1800000000 AS s0, event_type,
+                CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         w AS (SELECT s0 - c*1800000000 AS ws, event_type, cents FROM e, range(2) r(c))
+         SELECT ws AS window_start_us, ws + 3600000000 AS window_end_us, event_type,
+           count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS total_cents
+         FROM w GROUP BY 1, 2, 3""",
+    "events_attribution" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS tu, user_id, event_type FROM events)
+         SELECT c.user_id AS user_id, i.event_id AS imp_id, c.event_id AS click_id,
+           i.tu AS imp_ts_us, c.tu AS click_ts_us
+         FROM e c JOIN e i ON i.user_id = c.user_id
+           AND c.event_type = 'click' AND i.event_type = 'view'
+           AND c.tu >= i.tu AND c.tu <= i.tu + 1800000000""",
     "events_json_agg" ->
       """SELECT event_type, count(*) AS n_events,
          CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
