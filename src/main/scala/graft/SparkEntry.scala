@@ -17,6 +17,15 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark refuses without
+    * the legacy conf. Set it here (a runtime SQL conf) so the events
+    * queries are self-contained on ANY caller-built session, not only the
+    * in-repo mains. Timestamps then read as raw nano longs. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+  }
+
   import FuzzyAlgorithm._
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
@@ -131,9 +140,14 @@ object SparkEntry {
     // sign-LSH near-dup pairs (the 100 TB path) with integer-quantized
     // planes — candidate buckets reproduce exactly in SQL, so the
     // approximate dedup path is fully oracled too
+    // The bucket-cap skew gate is DISABLED here (Long.MaxValue): the SQL
+    // oracle joins all buckets unconditionally, so parity must not depend
+    // on no bucket happening to exceed the default cap at a larger scale
+    // factor. Production callers keep the default gate.
     "dedup_cosine_lsh" -> ((s, dir) => {
       val p = Dedup.cosineLshPairs(t(s, dir, "embeddings"), "embedding", "vec_id",
-        threshold = 0.4, dim = 64, planes = 16, bands = 4, md5IntPlanes = true)
+        threshold = 0.4, dim = 64, planes = 16, bands = 4,
+        maxBucketPairs = Long.MaxValue, md5IntPlanes = true)
       p.select(col("id_a"), col("id_b"), sround(col("cosine"), 6).as("cosine"))
     }),
 
@@ -163,6 +177,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val res = AnnSearch.lshTopK(emb.where(col("vec_id") < 10), emb,
         "embedding", "vec_id", 10, dim = 64, planes = 16, bands = 8,
+        maxBucketPairs = Long.MaxValue, // oracle has no cap gate; see dedup_cosine_lsh
         md5IntPlanes = true)
       res.select(col("query_id"), col("corpus_id"),
         sround(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
@@ -206,7 +221,7 @@ object SparkEntry {
     // integer epoch-micros; the value sum is in integer cents — all
     // arithmetic exact, so the DuckDB compare is bit-stable.
     "events_sessionize" -> ((s, dir) => {
-      val ev = t(s, dir, "events").select(
+      val ev = events(s, dir).select(
         col("user_id"),
         expr("ts div 1000").as("ts_us"),
         col("event_id"),
@@ -222,7 +237,7 @@ object SparkEntry {
     // run; watermarks are no-ops on batch frames). Integer-micros window
     // arithmetic and cent-valued sums keep the compare exact.
     "events_windowed" -> ((s, dir) => {
-      val ev = t(s, dir, "events").select(
+      val ev = events(s, dir).select(
         org.apache.spark.sql.functions.timestamp_micros(expr("ts div 1000")).as("ts"),
         col("event_type"),
         expr("cast(round(value * 100) as double)").as("value"))
@@ -233,7 +248,7 @@ object SparkEntry {
           col("total_value").cast("long").as("total_cents"))
     }),
     "events_attribution" -> ((s, dir) => {
-      val ev = t(s, dir, "events").select(
+      val ev = events(s, dir).select(
         col("event_id"),
         org.apache.spark.sql.functions.timestamp_micros(expr("ts div 1000")).as("ts"),
         col("user_id"), col("event_type"))
@@ -248,7 +263,7 @@ object SparkEntry {
     // ---- semi-structured metadata: parse the JSON `props` column and
     // aggregate an extracted field per event type (integer-exact compare)
     "events_json_agg" -> ((s, dir) =>
-      t(s, dir, "events")
+      events(s, dir)
         .select(col("event_type"),
           get_json_object(col("props"), "$.k").cast("long").as("__k"))
         .groupBy(col("event_type"))

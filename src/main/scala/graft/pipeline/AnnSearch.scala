@@ -139,14 +139,9 @@ object AnnSearch {
         s"(got planes=$planes, bands=$bands)")
     // md5IntPlanes: integer-quantized planes/dots (exact, order-independent
     // arithmetic) that a SQL oracle recomputes bit-for-bit — the seeded
-    // gaussian default stays the production path
+    // gaussian default stays the production path (one shared site: Dedup)
     def bits(v: org.apache.spark.sql.Column) =
-      if (md5IntPlanes)
-        graft.fuzzy.vectorFunctions.sign_lsh_bits_int(v,
-          Dedup.hyperplanesMd5Int(dim, planes), dim)
-      else
-        graft.fuzzy.vectorFunctions.sign_lsh_bits(v,
-          Dedup.hyperplanes(dim, planes, seed).flatten, dim)
+      Dedup.lshBitsCol(v, dim, planes, seed, md5IntPlanes)
 
     // Band rows carry only (id, band, bkey); vectors re-attach by id after
     // pair dedup so they never multiply through the band explode/bucket join

@@ -292,6 +292,18 @@ object Dedup {
     Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Sign-LSH bits column for a vector column — the ONE Scala site choosing
+    * between the production gaussian planes (seeded) and the
+    * oracle-reproducible md5-integer planes (exact integer dots; must stay
+    * in sync with the SQL oracles' plane derivation and floor(v*4096)
+    * quantization). Shared by [[cosineLshPairs]] and `AnnSearch.lshTopK`. */
+  private[pipeline] def lshBitsCol(vec: Column, dim: Int, planes: Int, seed: Long,
+                                   md5IntPlanes: Boolean): Column =
+    if (md5IntPlanes)
+      graft.fuzzy.vectorFunctions.sign_lsh_bits_int(vec, hyperplanesMd5Int(dim, planes), dim)
+    else
+      graft.fuzzy.vectorFunctions.sign_lsh_bits(vec, hyperplanes(dim, planes, seed).flatten, dim)
+
   /** Integer hyperplanes derived from MD5 — reproducible in SQL:
     * component(p, d) = (('0x' || substring(md5(p || '_' || d), 1, 15))
     * ::BIGINT % 2097152) - 1048576, i.e. uniform in [-2^20, 2^20).
@@ -331,14 +343,8 @@ object Dedup {
       s"bands must satisfy 1 <= bands <= planes and planes/bands < 64 " +
         s"(got planes=$planes, bands=$bands)")
     // md5IntPlanes: exact integer-quantized bucketing a SQL oracle can
-    // recompute bit-for-bit (see AnnSearch.lshTopK); gaussian is default
-    val bitsCol =
-      if (md5IntPlanes)
-        graft.fuzzy.vectorFunctions.sign_lsh_bits_int(col(vecCol),
-          hyperplanesMd5Int(dim, planes), dim)
-      else
-        graft.fuzzy.vectorFunctions.sign_lsh_bits(col(vecCol),
-          hyperplanes(dim, planes, seed).flatten, dim)
+    // recompute bit-for-bit; gaussian is default
+    val bitsCol = lshBitsCol(col(vecCol), dim, planes, seed, md5IntPlanes)
 
     val hashed = Materialize(
       spread(embeddings).select(col(idCol), col(vecCol), bitsCol.as("__bits")),

@@ -168,8 +168,9 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       // sessions {0,10} and {45,50}
       (1L, 0 * M, 100L, 1.0), (1L, 10 * M, 101L, 2.0),
       (1L, 45 * M, 102L, 4.0), (1L, 50 * M, 103L, 8.0),
-      // user 2: a single event; boundary case — exactly 30 min gap stays
-      // in the SAME session (break requires gap > threshold)
+      // user 2: two events exactly 30 min apart — the boundary case: an
+      // exactly-threshold gap stays in the SAME session (break requires
+      // gap > threshold)
       (2L, 0 * M, 200L, 1.0), (2L, 30 * M, 201L, 1.0))
       .toDF("user_id", "ts_us", "event_id", "value")
     val res = Sessionize.sessionStats(ev, "user_id", "ts_us", "event_id", "value",
