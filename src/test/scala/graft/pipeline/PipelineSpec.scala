@@ -42,6 +42,27 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(both.where(not(col("h") === col("n"))).count() == 0)
   }
 
+  test("word_shingles matches the HOF construction on randomized text (fuzz)") {
+    // adversarial alphabet: runs of mixed whitespace (regex-boundary empty
+    // tokens), unicode letters, punctuation, digits — every n the callers use
+    val rnd = new scala.util.Random(20260812L)
+    val alphabet = "ab YZ\t\näß.,0 "
+    def doc(): String =
+      (0 until rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val docs = (0 until 300).map(i => (i.toLong, doc())).toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val tokens = split(lower(trim(col("text"))), "\\s+")
+      val hof = array_distinct(
+        when(size(tokens) < n, array(concat_ws(" ", tokens)))
+          .otherwise(transform(sequence(lit(0), size(tokens) - lit(n)),
+            i => concat_ws(" ", slice(tokens, i + 1, lit(n))))))
+      val mismatches = docs.select(hof.as("h"),
+          graft.fuzzy.vectorFunctions.word_shingles(lower(trim(col("text"))), n).as("k"))
+        .where(not(col("h") === col("k"))).count()
+      assert(mismatches == 0, s"kernel diverges from HOF at n=$n")
+    }
+  }
+
   test("ngram jaccard pairs against hand-computed values") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
