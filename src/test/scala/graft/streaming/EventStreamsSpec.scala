@@ -18,7 +18,9 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
   // ts is TIMESTAMP(NANOS) in the files -> read as long ns, convert to a
   // proper timestamp column for event-time semantics
   private def withTs(df: org.apache.spark.sql.DataFrame) =
-    df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    // integer division: `/ 1000` would route through double and lose
+    // sub-ms precision at 2024-epoch nano magnitudes (~1.7e18 > 2^53)
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   // FileStreamSource requires a DIRECTORY; stage the single parquet file
   private lazy val streamDir: String = {
