@@ -20,7 +20,13 @@ object SparkEntry {
   /** events.parquet stores TIMESTAMP(NANOS), which Spark refuses without
     * the legacy conf. Set it here (a runtime SQL conf) so the events
     * queries are self-contained on ANY caller-built session, not only the
-    * in-repo mains. Timestamps then read as raw nano longs. */
+    * in-repo mains. Timestamps then read as raw nano longs.
+    *
+    * DOCUMENTED SIDE EFFECT: the conf stays set on the session — the
+    * returned frame is lazy and parquet schema conversion consults the
+    * conf through execution, so restoring it here would break the query
+    * it just enabled. Callers who later need TIMESTAMP(NANOS) columns
+    * read as timestamps must unset it themselves. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(s, dir, "events")

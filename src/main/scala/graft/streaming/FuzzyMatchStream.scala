@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.sql.Row
 
 import graft.fuzzy.{FuzzyMapping, FuzzyMatcher, MatchOptions}
@@ -17,22 +17,28 @@ import graft.fuzzy.{FuzzyMapping, FuzzyMatcher, MatchOptions}
   * is exactly what the batch API would produce for those rows — identical
   * semantics, per-batch exactly-once through the sink the caller provides.
   *
-  * The reference side should be pre-materialized by the caller (e.g.
-  * `matchDfsEager`'s checkpoint or a bucketed table) so per-batch cost is
-  * the match itself, not a rescan.
+  * Per-batch cost: the reference frame is materialized ONCE here (under
+  * `opts.checkpoint`), so each batch's reference scans hit checkpoint
+  * storage rather than the source; the matcher still re-derives its row
+  * index and value statistics per batch (they are defined jointly with
+  * the batch side). For large references prefer `runPreprocess = false`
+  * in `opts` and size micro-batches accordingly.
   */
 object FuzzyMatchStream {
 
   /** A `DataStreamWriter` running the fuzzy match per micro-batch and
-    * handing each batch's matched frame to `sink`. Caller starts it
-    * (`.start()`), picks the trigger/checkpoint options as usual. */
+    * handing each batch's matched frame to `sink`. The caller starts it
+    * (`.start()`) and chooses trigger / checkpoint options as with any
+    * streaming writer (e.g. `Trigger.AvailableNow()` for drain-and-stop,
+    * the default processing-time trigger for a continuous stream). */
   def matchWriter(stream: DataFrame, reference: DataFrame,
                   maps: Seq[FuzzyMapping],
                   opts: MatchOptions = MatchOptions.default)
-                 (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+                 (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val ref = graft.util.Materialize(reference, opts.checkpoint)
     stream.writeStream
-      .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) sink(FuzzyMatcher.matchDfs(batch, reference, maps, opts), batchId)
+        sink(FuzzyMatcher.matchDfs(batch, ref, maps, opts), batchId)
       }
+  }
 }

@@ -22,21 +22,24 @@ class FuzzyMatchStreamSpec extends AnyFunSuite with SparkSpec {
     val reference = spark.read.parquet(suppPath)
     val maps = Seq(FuzzyMapping("c_name", "s_name", 70.0, FuzzyAlgorithm.Levenshtein))
 
-    val got = scala.collection.mutable.Set.empty[(Long, Long)]
+    // multiset compare (sorted seq, not a set): a duplicate-emitting
+    // regression in the streaming path must fail this spec
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     val q = FuzzyMatchStream.matchWriter(stream, reference, maps) { (matched, _) =>
       got.synchronized {
         got ++= matched.select("c_custkey", "s_suppkey")
           .collect().map(r => (r.getLong(0), r.getLong(1)))
       }
-    }.option("checkpointLocation",
+    }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("fms_ckpt").toString)
       .start()
-    q.awaitTermination(120000L)
+    assert(q.awaitTermination(180000L), "streaming query did not drain in time")
 
     val expected = FuzzyMatcher.matchDfs(spark.read.parquet(custPath), reference, maps)
       .select("c_custkey", "s_suppkey")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     assert(expected.nonEmpty)
-    assert(got.toSet == expected)
+    assert(got.synchronized(got.toSeq.sorted) == expected)
   }
 }
