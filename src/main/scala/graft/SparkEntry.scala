@@ -114,28 +114,44 @@ object SparkEntry {
     // ---- deduplication suite over `documents`
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")),
+    // Hot-shingle gate disabled (Long.MaxValue): the exact SQL oracle joins
+    // every shared shingle unconditionally, so parity must not depend on no
+    // shingle exceeding the default document-frequency cap at a larger
+    // scale factor. Production callers keep the default gate.
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      val p = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", 3, 0.5)
+      val p = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", 3, 0.5,
+        maxShinglePairs = Long.MaxValue)
       p.select(col("id_a"), col("id_b"), sround(col("jaccard"), 6).as("jaccard"))
     }),
     // MinHash LSH candidates + exact shingle-jaccard verify: the candidate
     // generation is sub-quadratic LSH, the verify makes the output ground
-    // truth -> oracled against the same SQL family as dedup_ngram_jaccard
+    // truth -> oracled against the same SQL family as dedup_ngram_jaccard.
+    // Band shape 24x1 puts the threshold in the high-recall regime:
+    // P(miss a pair at jaccard = 0.5) = 0.5^24 ~ 6e-8, so parity with the
+    // uncapped exact oracle cannot hinge on the corpus lacking
+    // near-threshold pairs (16x4 had P(candidate) ~ 0.64 at j = 0.5).
+    // Cap disabled (Long.MaxValue) like every oracled LSH entry: the SQL
+    // joins all buckets unconditionally. Production callers keep defaults.
     "dedup_minhash_lsh" -> ((s, dir) => {
       val p = Dedup.minhashLshVerifiedPairs(t(s, dir, "documents"), "text", "doc_id",
-        shingleLen = 3, numBands = 16, rowsPerBand = 4, threshold = 0.5)
+        shingleLen = 3, numBands = 24, rowsPerBand = 1, threshold = 0.5,
+        maxBucketPairs = Long.MaxValue)
       p.select(col("id_a"), col("id_b"), sround(col("jaccard"), 6).as("jaccard"))
     }),
     // MD5 token hash (useMd5): DuckDB recomputes the identical simhash
-    // bit-for-bit, so the pigeonhole-blocked pairs are fully oracled
+    // bit-for-bit, so the pigeonhole-blocked pairs are fully oracled.
+    // Cap disabled (Long.MaxValue): the oracle joins all chunk buckets, so
+    // parity must not depend on no bucket exceeding the default cap at a
+    // larger scale factor (same convention as dedup_cosine_lsh).
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 8,
-          useMd5 = true)
+          maxBucketPairs = Long.MaxValue, useMd5 = true)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
     // pair list -> connected components -> keep one representative/cluster
     "dedup_near_cluster" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5)
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5,
+        maxShinglePairs = Long.MaxValue)
       NearDupCluster.dedupByPairs(docs, pairs, "doc_id", maxIterations = 20)
         .select(col("doc_id"))
     }),

@@ -87,7 +87,10 @@ case class WinnowSketch(child: Expression, k: Int, window: Int,
 
 /** Membership of the (band, bucket-key) pair in a driver-collected allowed
   * set, stored as a sorted long array probed by binary search — the
-  * broadcast-hash-join of bucket gating without the join stage. */
+  * broadcast-hash-join of bucket gating without the join stage. Key encoding
+  * `key * 131 + band` must match [[graft.util.CapMetrics.gate]]; 131 exceeds
+  * every validated band count (≤ 64) so distinct (band, key) pairs never
+  * collide. */
 case class BucketAllowed(band: Expression, bkey: Expression, sortedKeys: Array[Long])
     extends BinaryExpression with Predicate {
   override def left: Expression = band
@@ -95,11 +98,11 @@ case class BucketAllowed(band: Expression, bkey: Expression, sortedKeys: Array[L
   override def prettyName: String = "bucket_allowed"
   override protected def nullSafeEval(b: Any, k: Any): Any =
     java.util.Arrays.binarySearch(sortedKeys,
-      k.asInstanceOf[Long] * 31L + b.asInstanceOf[Int]) >= 0
+      k.asInstanceOf[Long] * 131L + b.asInstanceOf[Int]) >= 0
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("sortedKeys", sortedKeys, "long[]")
     defineCodeGen(ctx, ev, (b, k) =>
-      s"(java.util.Arrays.binarySearch($ref, ((long)$k) * 31L + $b) >= 0)")
+      s"(java.util.Arrays.binarySearch($ref, ((long)$k) * 131L + $b) >= 0)")
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(band = l, bkey = r)
@@ -182,6 +185,47 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Sorted DISTINCT xxhash64 set of the word n-gram shingles — the
+  * narrow-payload (8 B/shingle) form of [[WordShingles]]; pairs of sets
+  * compare in one merge pass via [[SortedIntersectCount]]. */
+case class HashedShingleSet(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_shingle_set"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.hashedShingleSet(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.fuzzy.VectorKernels.hashedShingleSet($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Intersection size of two SORTED distinct long arrays (one merge pass —
+  * the per-candidate-pair shingle-jaccard verify kernel). */
+case class SortedIntersectCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.fuzzy.VectorKernels.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Membership of a long key in a driver-collected sorted array (binary
+  * search) — the codegen'd NOT-IN filter for small hot-key stop sets
+  * (document-frequency-capped shingles). */
+case class LongIn(child: Expression, sortedKeys: Array[Long])
+    extends UnaryExpression with Predicate {
+  override def prettyName: String = "long_in"
+  override protected def nullSafeEval(k: Any): Any =
+    java.util.Arrays.binarySearch(sortedKeys, k.asInstanceOf[Long]) >= 0
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sortedKeys", sortedKeys, "long[]")
+    defineCodeGen(ctx, ev, k => s"(java.util.Arrays.binarySearch($ref, (long)$k) >= 0)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "char_ngrams"
@@ -257,6 +301,10 @@ object vectorFunctions {
     c(SignLshBitsInt(x(vec), planes, dim))
   def char_ngrams(text: Column, n: Int): Column = c(CharNgrams(x(text), n))
   def word_shingles(text: Column, n: Int): Column = c(WordShingles(x(text), n))
+  def hashed_shingle_set(text: Column, n: Int): Column = c(HashedShingleSet(x(text), n))
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    c(SortedIntersectCount(x(a), x(b)))
+  def long_in(key: Column, sortedKeys: Array[Long]): Column = c(LongIn(x(key), sortedKeys))
   def marker_hits(tokens: Column, words: Array[String]): Column =
     c(MarkerHits(x(tokens), words))
   def kept_grams(text: Column, n: Int, stops: Array[String], minKept: Int): Column =
@@ -284,6 +332,8 @@ object vectorFunctions {
         (es => WinnowSketch(es(0), intLit(es(1), "k"), intLit(es(2), "window"))),
       "char_ngrams" -> (es => CharNgrams(es(0), intLit(es(1), "n"))),
       "word_shingles" -> (es => WordShingles(es(0), intLit(es(1), "n"))),
+      "hashed_shingle_set" -> (es => HashedShingleSet(es(0), intLit(es(1), "n"))),
+      "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
       "ngram_jaccard_dist" ->
         (es => NgramJaccardDistance(es(0), es(1), intLit(es(2), "n"))))
   }

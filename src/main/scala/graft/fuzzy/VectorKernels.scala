@@ -222,6 +222,12 @@ object VectorKernels {
         if (!taken(c) && sims(c) > bs) { bs = sims(c); best = c }
         c += 1
       }
+      if (best < 0) {
+        // All remaining sims are NaN (query vector with NaN components):
+        // degrade to the lowest untaken index instead of crashing the job.
+        c = 0
+        while (best < 0 && c < kc) { if (!taken(c)) best = c; c += 1 }
+      }
       taken(best) = true
       out(j) = best
       j += 1
@@ -347,6 +353,50 @@ object VectorKernels {
       while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
       new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
     }
+  }
+
+  /** Sorted DISTINCT xxhash64 set of the word n-gram shingles of a
+    * (pre-lowered, pre-trimmed) text — the narrow-payload form of
+    * [[wordShingles]]: 8 bytes per shingle through every downstream
+    * shuffle/explode, and two sets compare in one merge pass
+    * ([[sortedIntersectCount]]) instead of a per-(id, shingle) join. Two
+    * distinct shingles hashing to the same 64-bit value merge (P ~ m²/2⁶⁵
+    * per document) — the same accepted trade as the engine's xxhash64
+    * value ids; a collision can only perturb one intersection count by 1. */
+  def hashedShingleSet(s: UTF8String, n: Int): ArrayData = {
+    val sh = wordShingles(s, n)
+    val m = sh.numElements()
+    val out = new Array[Long](m)
+    var i = 0
+    // seed 42 = Spark's own xxhash64() — keeps the set reproducible with
+    // built-ins (spec'd) and consistent with the engine's value ids
+    while (i < m) { out(i) = seededHash(sh.getUTF8String(i), 42L); i += 1 }
+    java.util.Arrays.sort(out)
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || out(w - 1) != out(i)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    ArrayData.toArrayData(if (w == m) out else java.util.Arrays.copyOf(out, w))
+  }
+
+  /** Size of the intersection of two SORTED distinct long arrays — one
+    * merge pass per candidate pair (the shingle-jaccard verify kernel). */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
   }
 
   /** DISTINCT character n-grams minus a stop set, with a fallback to the

@@ -48,28 +48,107 @@ object Dedup {
       explode(graft.fuzzy.vectorFunctions.word_shingles(lower(trim(col(textCol))), n))
         .as("__shingle"))
 
-  /** Exact n-gram Jaccard near-duplicate pairs (id_a < id_b, jaccard >=
-    * threshold). Pair generation is blocked on shared shingles: the
-    * self-join shuffles on the shingle key, so only documents sharing at
-    * least one shingle ever meet — no cartesian product. */
-  def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-                        n: Int, threshold: Double,
-                        checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
-    val sh = Materialize(wordShingles(docs, textCol, idCol, n), checkpoint)
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
+  /** Per-document sorted distinct shingle-hash sets: (idCol, __hset). One
+    * narrow codegen projection (8 B/shingle), materialized once — the
+    * shared verify frame for [[ngramJaccardPairs]] and
+    * [[minhashLshVerifiedPairs]]: candidate pairs re-attach the two sets BY
+    * ID and the intersection runs in one merge pass per pair, instead of a
+    * per-(id, shingle) join where a boilerplate-heavy document re-creates a
+    * hot key. */
+  private def shingleSets(docs: DataFrame, textCol: String, idCol: String, n: Int,
+                          checkpoint: CheckpointStrategy): DataFrame =
+    Materialize(
+      spread(docs).select(col(idCol),
+        graft.fuzzy.vectorFunctions.hashed_shingle_set(lower(trim(col(textCol))), n)
+          .as("__hset")),
+      checkpoint)
 
-    val common = sh.as("a").join(sh.as("b"), col("a.__shingle") === col("b.__shingle"))
-      .where(col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .agg(count(lit(1)).as("__common"))
-
-    common
-      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("__sz", "__sz_a"), "id_a")
-      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("__sz", "__sz_b"), "id_b")
+  /** Exact shingle-set jaccard for candidate `pairs` (id_a, id_b): both
+    * sets re-attach by id from the materialized `sets` frame, the
+    * intersection is a codegen'd merge pass once per pair, and only pairs
+    * at `jaccard >= threshold` survive. Jaccard is computed over the FULL
+    * sets, so any candidate the blocking stage surfaces gets its exact
+    * score regardless of what the blocking dropped. */
+  private def verifyJaccard(pairs: DataFrame, sets: DataFrame, idCol: String,
+                            threshold: Double): DataFrame =
+    pairs
+      .join(sets.select(col(idCol).as("id_a"), col("__hset").as("__ha")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("__hset").as("__hb")), Seq("id_b"))
+      .withColumn("__common",
+        graft.fuzzy.vectorFunctions.sorted_intersect_count(col("__ha"), col("__hb")))
       .withColumn("jaccard",
-        col("__common") / (col("__sz_a") + col("__sz_b") - col("__common")))
+        col("__common") / (size(col("__ha")) + size(col("__hb")) - col("__common")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** Document-frequency gate on exploded (id, __sh) shingle rows — the
+    * skew guard for shared-shingle blocking. A shingle appearing in n
+    * documents puts n·(n-1)/2 candidate pairs on ONE reducer key, so
+    * shingles whose pair contribution exceeds `maxShinglePairs` are dropped
+    * from PAIR GENERATION only (scores of surviving candidates stay exact —
+    * the verify uses full sets). Drops are counted and logged via
+    * [[CapMetrics]], mirroring every LSH bucket cap. `Long.MaxValue`
+    * disables the gate (and its extra aggregation pass) entirely.
+    *
+    * Common case (nothing hot): ONE map-side-combined aggregate action and
+    * no per-row filter. Hot shingles found: the hot set — bounded by
+    * totalShingleRows / maxDf — inlines as a sorted-array NOT-IN codegen
+    * filter when it fits on the driver, else a left_anti join (the
+    * dfStats recompute on that rare path is two cheap aggregates over the
+    * already-materialized sets frame). */
+  private def gateHotShingles(exploded: DataFrame, stage: String,
+                              maxShinglePairs: Long, maxDriverHot: Int): DataFrame = {
+    if (maxShinglePairs == Long.MaxValue) return exploded
+    // largest document frequency whose bucket stays within the pair budget:
+    // df * (df - 1) / 2 <= maxShinglePairs (computed driver-side — a
+    // df*(df-1) column expression would overflow long for extreme dfs)
+    val maxDf = ((1.0 + math.sqrt(1.0 + 8.0 * maxShinglePairs.toDouble)) / 2.0).toLong
+    val dfStats = exploded.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
+    val overCap = col("__df") > maxDf
+    val pairsEst = col("__df").cast("double") * (col("__df") - 1).cast("double") / 2.0
+    val row = dfStats.agg(
+      count(lit(1)).as("total"),
+      sum(when(overCap, 1L).otherwise(0L)).as("dropped"),
+      sum(when(overCap, pairsEst).otherwise(lit(0.0))).as("dropped_pairs")).head()
+    val total = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val dropped = if (row.isNullAt(1)) 0L else row.getLong(1)
+    val droppedPairs =
+      if (row.isNullAt(2)) 0L
+      else math.min(row.getDouble(2), Long.MaxValue.toDouble).toLong
+    CapMetrics.record(stage, CapMetrics.CapStats(dropped, total, droppedPairs))
+    if (dropped == 0L) exploded
+    else if (dropped <= maxDriverHot) {
+      val hot = dfStats.where(overCap).select(col("__sh")).collect().map(_.getLong(0))
+      java.util.Arrays.sort(hot)
+      exploded.where(!graft.fuzzy.vectorFunctions.long_in(col("__sh"), hot))
+    } else
+      exploded.join(dfStats.where(overCap).select(col("__sh")), Seq("__sh"), "left_anti")
+  }
+
+  /** Exact n-gram Jaccard near-duplicate pairs (id_a < id_b, jaccard >=
+    * threshold). Pair generation is blocked on shared shingles: the
+    * self-join shuffles on the 8-byte shingle-hash key, so only documents
+    * sharing at least one shingle ever meet — no cartesian product — and
+    * shingles hotter than `maxShinglePairs` are dropped from blocking
+    * (accounted, see [[gateHotShingles]]) so one boilerplate shingle shared
+    * by n documents cannot put n²/2 pairs on a single reducer. Surviving
+    * pairs are scored EXACTLY over their full shingle sets; recall is only
+    * lost for pairs whose every shared shingle is hot (route such corpora
+    * to [[minhashLshVerifiedPairs]] — same ground truth, capped buckets). */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+                        n: Int, threshold: Double,
+                        checkpoint: CheckpointStrategy = CheckpointStrategy.Local,
+                        maxShinglePairs: Long = 4_000_000L,
+                        maxDriverHotShingles: Int = 1_000_000): DataFrame = {
+    val sets = shingleSets(docs, textCol, idCol, n, checkpoint)
+    val exploded = sets.select(col(idCol), explode(col("__hset")).as("__sh"))
+    val gated = gateHotShingles(exploded, "dedup_ngram", maxShinglePairs,
+      maxDriverHotShingles)
+    val pairs = gated.as("a").join(gated.as("b"),
+        col("a.__sh") === col("b.__sh") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    verifyJaccard(pairs, sets, idCol, threshold)
   }
 
   // ------------------------------------------------------------- minhash
@@ -183,18 +262,11 @@ object Dedup {
                               checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
     val (cand, _) = minhashCandidatePairs(docs, textCol, idCol,
       shingleLen, numBands, rowsPerBand, maxBucketPairs, checkpoint)
-    val sh = Materialize(wordShingles(docs, textCol, idCol, shingleLen), checkpoint)
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
-    cand
-      .join(sh.select(col(idCol).as("id_a"), col("__shingle")), Seq("id_a"))
-      .join(sh.select(col(idCol).as("id_b"), col("__shingle")), Seq("id_b", "__shingle"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__common"))
-      .join(sizes.select(col(idCol).as("id_a"), col("__sz").as("__sza")), Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("__sz").as("__szb")), Seq("id_b"))
-      .withColumn("jaccard",
-        col("__common") / (col("__sza") + col("__szb") - col("__common")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    // exact verify via per-id shingle-hash SETS + one merge pass per pair:
+    // the earlier per-(id, shingle) join re-created a hot key for
+    // boilerplate-heavy documents appearing in many candidate pairs
+    verifyJaccard(cand, shingleSets(docs, textCol, idCol, shingleLen, checkpoint),
+      idCol, threshold)
   }
 
   // ------------------------------------------------------------- simhash

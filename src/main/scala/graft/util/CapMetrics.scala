@@ -64,7 +64,10 @@ object CapMetrics {
     *  - larger: materialized stats + accounted frame to join (scale path).
     *
     * `bandCol` must be int-typed, `keyCol` long-typed; the driver-side key
-    * is `key * 31 + band`, matching the membership expression. */
+    * is `key * 131 + band` (the multiplier must exceed every validated band
+    * count — currently ≤ 64 — or distinct (band, key) pairs collide and an
+    * over-cap bucket can slip past the gate), matching
+    * [[graft.fuzzy.BucketAllowed]] which MUST stay in sync. */
   def gate(bucketStats: DataFrame, stage: String, bandCol: String, keyCol: String,
            overCap: Column, pairs: Column, checkpoint: CheckpointStrategy,
            maxDriverBuckets: Int = 2_000_000): Either[DataFrame, Array[Long]] = {
@@ -80,7 +83,7 @@ object CapMetrics {
       val keys = Array.newBuilder[Long]
       rows.foreach { r =>
         if (r.getBoolean(2)) { dropped += 1; droppedPairs += r.getLong(3) }
-        else keys += r.getLong(1) * 31L + r.getInt(0)
+        else keys += r.getLong(1) * 131L + r.getInt(0)
       }
       record(stage, CapStats(dropped, rows.length.toLong, droppedPairs))
       val sorted = keys.result()

@@ -54,4 +54,26 @@ class CapMetricsSpec extends AnyFunSuite with SparkSpec {
     assert(capped.totalBuckets > 0)
     assert(capped.droppedBuckets > 0)
   }
+
+  test("gate key encoding distinguishes (band, key) pairs beyond band 31") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Regression: the old `key * 31 + band` encoding collided
+    // (key=0, band=31) with (key=1, band=0), letting an over-cap bucket
+    // slip past the codegen'd membership filter. The allowed bucket here is
+    // (band=31, key=0); the DROPPED one is (band=0, key=1) — under the old
+    // encoding both mapped to 31 and the dropped bucket was re-admitted.
+    val stats = Seq((31, 0L, 2L), (0, 1L, 1000L)).toDF("__band", "__bucket", "__n")
+    val gated = CapMetrics.gate(stats, "encoding_spec", "__band", "__bucket",
+      col("__n") * col("__n") > 100L, col("__n") * col("__n"),
+      graft.util.CheckpointStrategy.Local)
+    val keys = gated.toOption.getOrElse(fail("expected driver-side gate regime"))
+    val banded = Seq((31, 0L, "keep"), (0, 1L, "drop")).toDF("__band", "__bucket", "tag")
+    val kept = banded.where(graft.fuzzy.vectorFunctions.bucket_allowed(
+        col("__band"), col("__bucket"), keys))
+      .select("tag").collect().map(_.getString(0)).toSet
+    assert(kept == Set("keep"), s"gate admitted wrong buckets: $kept")
+    val s = CapMetrics.lastMetrics("encoding_spec").get
+    assert(s.droppedBuckets == 1 && s.totalBuckets == 2)
+  }
 }

@@ -41,4 +41,16 @@ class IvfSpec extends AnyFunSuite with SparkSpec {
     assert(r5 >= 0.7, s"IVF recall $r5 at nProbe=5 below 0.7")
     assert(r5 >= r2, s"recall not monotone in nProbe: $r2 -> $r5")
   }
+
+  test("nearestCells degrades gracefully on all-NaN query vectors") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val dim = 4
+    val centroids = Array.tabulate(3 * dim)(i => (i % dim + 1).toDouble)
+    // every dot product is NaN: must still emit nProbe distinct cells
+    // (lowest untaken indices) instead of ArrayIndexOutOfBoundsException
+    val nan = ArrayData.toArrayData(Array.fill(dim)(Float.NaN))
+    val cells = graft.fuzzy.VectorKernels.nearestCells(nan, centroids, dim, 2)
+    assert(cells.numElements() == 2)
+    assert(cells.toIntArray().toSet == Set(0, 1))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.SparkSpec
+import graft.util.CapMetrics
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -61,6 +62,60 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
         .where(not(col("h") === col("k"))).count()
       assert(mismatches == 0, s"kernel diverges from HOF at n=$n")
     }
+  }
+
+  test("hashed_shingle_set = sorted distinct xxhash64 of word_shingles") {
+    val viaBuiltins = sort_array(array_distinct(transform(
+      graft.fuzzy.vectorFunctions.word_shingles(lower(trim(col("text"))), 3),
+      s => xxhash64(s))))
+    val mismatches = docs.select(viaBuiltins.as("h"),
+        graft.fuzzy.vectorFunctions.hashed_shingle_set(lower(trim(col("text"))), 3).as("k"))
+      .where(not(col("h") === col("k"))).count()
+    assert(mismatches == 0)
+  }
+
+  test("sorted_intersect_count merges sorted sets correctly") {
+    val d = Seq(
+      (Array(1L, 3L, 5L, 9L), Array(2L, 3L, 5L, 10L), 2),
+      (Array(1L, 2L), Array(3L, 4L), 0),
+      (Array.empty[Long], Array(1L), 0),
+      (Array(7L), Array(7L), 1)).toDF("a", "b", "want")
+    val bad = d.where(
+      graft.fuzzy.vectorFunctions.sorted_intersect_count(col("a"), col("b")) =!= col("want"))
+    assert(bad.count() == 0)
+  }
+
+  test("hot-shingle df gate bounds a 10k-doc boilerplate shingle (drops logged)") {
+    // 10,000 docs all sharing one boilerplate trigram -> ungated, that one
+    // shingle key alone would emit ~5e7 pairs out of a single reducer. With
+    // the default budget the hot shingles are dropped from blocking
+    // (accounted), while a small clique sharing RARE shingles survives with
+    // its EXACT full-set jaccard.
+    val boiler = "all rights reserved"
+    // 20002 extends 20001 by one trailing token: 6 vs 7 distinct shingles,
+    // 6 common (incl. the hot boilerplate trigram) -> jaccard 6/7
+    val d = ((0 until 10000).map(i => (i.toLong, s"unique$i token$i $boiler")) ++
+      Seq((20001L, s"shared rare payload alpha beta $boiler"),
+          (20002L, s"shared rare payload alpha beta $boiler extracoda"))).toDF("doc_id", "text")
+    // budget 1000 pairs -> maxDf ~ 45; boilerplate shingles (df ~ 10k) drop
+    val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id", 3, 0.5,
+      maxShinglePairs = 1000L).collect()
+    val s = CapMetrics.lastMetrics("dedup_ngram")
+      .getOrElse(fail("no cap metrics recorded for dedup_ngram"))
+    assert(s.droppedBuckets > 0, "boilerplate shingle should trip the df cap")
+    assert(s.droppedPairs > 1_000_000L, "dropped-pair estimate should reflect the 10k-doc shingle")
+    // the rare-shingle pair survives, and its jaccard counts the FULL sets
+    // (including the dropped boilerplate shingles). Reference value: the
+    // ungated run restricted to just those two docs (their pairwise jaccard
+    // is independent of the rest of the corpus).
+    val ungated = Dedup.ngramJaccardPairs(d.where(col("doc_id") >= 20000L),
+      "text", "doc_id", 3, 0.5, maxShinglePairs = Long.MaxValue)
+      .where(col("id_a") === 20001L && col("id_b") === 20002L)
+      .select("jaccard").collect().map(_.getDouble(0))
+    val gatedPair = pairs.filter(r => r.getAs[Long]("id_a") == 20001L && r.getAs[Long]("id_b") == 20002L)
+    assert(gatedPair.length == 1, "rare-shingle clique must survive the gate")
+    assert(ungated.length == 1 && gatedPair.head.getAs[Double]("jaccard") == ungated.head,
+      "surviving pairs must keep their exact ungated jaccard")
   }
 
   test("ngram jaccard pairs against hand-computed values") {
