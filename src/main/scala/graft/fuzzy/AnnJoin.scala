@@ -130,10 +130,16 @@ object AnnJoin {
       stopGrams, total)
   }
 
-  private def build(leftValues: DataFrame, rightValues: DataFrame,
+  /** `valueId` is the narrow-payload id expression (xxhash64 in
+    * production). private[fuzzy] + pluggable so AnnJoinSpec can FORCE id
+    * collisions (naturally ~n²/2⁶⁵) and pin the documented degradation
+    * mode: candidate-set perturbation only, never corrupted output rows. */
+  private[fuzzy] def build(leftValues: DataFrame, rightValues: DataFrame,
                     leftCol: String, rightCol: String,
                     opts: MatchOptions, reversedThreshold: Double,
-                    stopGrams: Array[String], totalValues: Long): DataFrame = {
+                    stopGrams: Array[String], totalValues: Long,
+                    valueId: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                      c => xxhash64(c)): DataFrame = {
     val n = opts.lshNgramSize
     val bands = opts.lshNumBands
     val rows = opts.lshRowsPerBand
@@ -158,7 +164,7 @@ object AnnJoin {
     // exactly on the attached strings downstream.
     def bandedIds(df: DataFrame, vCol: String, vidName: String): DataFrame =
       df.select(
-          xxhash64(col(vCol)).as(vidName),
+          valueId(col(vCol)).as(vidName),
           posexplode(
             vectorFunctions.lsh_band_keys(
               vectorFunctions.minhash_signature(
@@ -184,9 +190,9 @@ object AnnJoin {
     // beyond that the attach is an equi-join on the 8-byte id — shuffle
     // volume = value frames + surviving pairs, still far below carrying
     // strings through the band explosion.
-    val lMap = leftValues.select(xxhash64(col(leftCol)).as("__lvid"),
+    val lMap = leftValues.select(valueId(col(leftCol)).as("__lvid"),
       col(leftCol), lower(col(leftCol)).as(lLow))
-    val rMap = rightValues.select(xxhash64(col(rightCol)).as("__rvid"),
+    val rMap = rightValues.select(valueId(col(rightCol)).as("__rvid"),
       col(rightCol), lower(col(rightCol)).as(rLow))
     val bcastMaps = totalValues > 0 && totalValues <= opts.broadcastDistinctLimit
     def attach(pairs: DataFrame, m: DataFrame, key: String): DataFrame =

@@ -27,12 +27,26 @@ object AnnSearch {
 
   /** Auto-routing top-k: brute-force (exact) while the query frame is small
     * enough to broadcast, LSH probing beyond. `dim` is required for the LSH
-    * path's hyperplanes. */
+    * path's hyperplanes.
+    *
+    * `queryCount`: pass the query-frame row count when the caller already
+    * knows it — routing then triggers NO Spark action. With `None` the
+    * router runs one bounded probe (`limit(cap + 1).count()`), which
+    * RECOMPUTES a lazy expensive upstream just to pick a branch —
+    * materialize the frame first, or pass the count. The hint is trusted;
+    * an understated count routes an over-limit frame to the broadcast
+    * path, risking executor OOM. */
   def topK(queries: DataFrame, corpus: DataFrame,
-           vecCol: String, idCol: String, k: Int, dim: Int): DataFrame =
-    if (queries.limit((BroadcastQueryLimit + 1).toInt).count() <= BroadcastQueryLimit)
-      bruteForceTopK(queries, corpus, vecCol, idCol, k)
+           vecCol: String, idCol: String, k: Int, dim: Int,
+           queryCount: Option[Long] = None): DataFrame = {
+    val small = queryCount match {
+      case Some(n) => n <= BroadcastQueryLimit
+      case None =>
+        queries.limit((BroadcastQueryLimit + 1).toInt).count() <= BroadcastQueryLimit
+    }
+    if (small) bruteForceTopK(queries, corpus, vecCol, idCol, k)
     else lshTopK(queries, corpus, vecCol, idCol, k, dim)
+  }
 
   /** Exact top-k neighbors per query vector by cosine similarity.
     * Deterministic: ties broken by corpus id. The query side is broadcast —

@@ -194,6 +194,28 @@ class AnnSearchSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("topK with a known query count routes without any Spark action") {
+    // a poisoned query frame: ANY action over it throws. Routing with the
+    // count hint must stay lazy (plan built, nothing evaluated); routing
+    // without the hint pays a probe action and blows up on this frame.
+    val poisoned = emb.where($"vec_id" < 5)
+      .where(assert_true(lit(false)).isNull)
+    val routed = AnnSearch.topK(poisoned, emb, "embedding", "vec_id", 5, dim = 64,
+      queryCount = Some(5L))
+    assert(routed.columns.toSeq == Seq("query_id", "corpus_id", "cosine", "rank"))
+    intercept[Exception] {
+      AnnSearch.topK(poisoned, emb, "embedding", "vec_id", 5, dim = 64)
+    }
+    // the hint routes correctly: small count -> brute-force results
+    val queries = emb.where($"vec_id" < 5)
+    val viaHint = AnnSearch.topK(queries, emb, "embedding", "vec_id", 5, dim = 64,
+        queryCount = Some(5L))
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val brute = AnnSearch.bruteForceTopK(queries, emb, "embedding", "vec_id", 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(viaHint == brute)
+  }
+
   test("LSH top-k finds a reasonable fraction of true neighbors") {
     val queries = emb.where($"vec_id" < 20)
     val exact = AnnSearch.bruteForceTopK(queries, emb, "embedding", "vec_id", 5)
