@@ -34,10 +34,13 @@ object Bench {
 
   /** Queries that ALWAYS get the full min-of-N even past the slow-query
     * cutoff: the exact twin is the denominator of the headline LSH-win
-    * ratio, so a single-shot sample (harness variance has measured +-40%)
-    * cannot back that claim. Anything else that runs once is annotated in
-    * the JSON output (`single_shot`). */
-  val AlwaysFullIterations: Set[String] = Set("fuzzy_annf_3g_exact")
+    * ratio, and the auto rows are the headline crossover claims — a
+    * single-shot sample (harness variance has measured +-40%, and one
+    * loaded r4 run put auto_225m at 31 s vs its 3.3 s steady state)
+    * cannot back those claims. Anything else that runs once is annotated
+    * in the JSON output (`single_shot`). */
+  val AlwaysFullIterations: Set[String] =
+    Set("fuzzy_annf_3g_exact", "fuzzy_auto_225m", "fuzzy_annf_3g_auto")
 
   /** Single levenshtein mapping like the baseline workload. Threshold 90 on
     * the 18-char synthetic names means "differ in at most one character" —

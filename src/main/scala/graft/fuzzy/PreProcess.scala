@@ -43,15 +43,24 @@ object PreProcess {
     (math.pow(a + 0.5, 2) + math.pow(b + 0.5, 2)) / 2 - math.pow(0.5, 2) + 0.5 * math.abs(a - b)
 
   def fillPercUnique(left: DataFrame, right: DataFrame, maps: Seq[FuzzyMapping],
-                     leftLen: Long, rightLen: Long): Seq[FuzzyMapping] = {
-    val leftStats = approxUniqueness(left, maps.map(_.leftCol))
-    val rightStats = approxUniqueness(right, maps.map(_.rightCol))
+                     leftLen: Long, rightLen: Long): Seq[FuzzyMapping] =
+    fillPercUniqueFromStats(
+      approxUniqueness(left, maps.map(_.leftCol)),
+      approxUniqueness(right, maps.map(_.rightCol)),
+      maps, leftLen, rightLen)
+
+  /** Stats-injection variant of [[fillPercUnique]]: both sides' approx
+    * distinct counts are supplied by the caller, so filling the mappings
+    * triggers NO Spark action. The stream-static path precomputes the
+    * static side's stats once and re-derives only the batch side's. */
+  def fillPercUniqueFromStats(leftStats: Map[String, Long], rightStats: Map[String, Long],
+                              maps: Seq[FuzzyMapping],
+                              leftLen: Long, rightLen: Long): Seq[FuzzyMapping] =
     maps.map { m =>
       val a = if (leftLen == 0) 0.0 else leftStats(m.leftCol).toDouble / leftLen
       val b = if (rightLen == 0) 0.0 else rightStats(m.rightCol).toDouble / rightLen
       m.copy(percUnique = calculateUniqueness(a, b))
     }
-  }
 
   /** Most selective mapping first (pre_process.py:106-119). Stable sort. */
   def orderMaps(maps: Seq[FuzzyMapping]): Seq[FuzzyMapping] = maps.sortBy(-_.percUnique)
@@ -96,9 +105,17 @@ object PreProcess {
         }
       }
     }
+    // Mid-level API semantics (runStats=false): the reference's constructor
+    // default `fuzzy_score_{left}_{right}` survives because
+    // set_name_in_fuzzy_mappings only runs inside preprocessing
+    // (models.py:87-89, pre_process.py:326). The fallback is resolved from
+    // the ORIGINAL column names, BEFORE the structural right-side renames —
+    // exactly when the reference's constructor runs.
+    if (!runStats)
+      ms = ms.map(m => m.copy(outputColumnName = Some(m.resolvedOutputName)))
     val renames = NameUtils.renameRightColumns(l.columns.toSeq, r.columns.toSeq)
     ms = NameUtils.renameMappingRightCols(ms, renames)
-    ms = NameUtils.setNamesInMappings(ms)
+    if (runStats) ms = NameUtils.setNamesInMappings(ms)
     val rRenamed = renames.foldLeft(r) { case (df, (from, to)) => df.withColumnRenamed(from, to) }
     Plan(l, rRenamed, ms, leftLen, rightLen)
   }

@@ -17,12 +17,12 @@ import graft.fuzzy.{FuzzyMapping, FuzzyMatcher, MatchOptions}
   * is exactly what the batch API would produce for those rows — identical
   * semantics, per-batch exactly-once through the sink the caller provides.
   *
-  * Per-batch cost: the reference frame is materialized ONCE here (under
-  * `opts.checkpoint`), so each batch's reference scans hit checkpoint
-  * storage rather than the source; the matcher still re-derives its row
-  * index and value statistics per batch (they are defined jointly with
-  * the batch side). For large references prefer `runPreprocess = false`
-  * in `opts` and size micro-batches accordingly.
+  * Per-batch cost is the batch side only: the reference side is a
+  * [[graft.fuzzy.FuzzyMatcher.PreparedRight]] built ONCE before the stream
+  * starts — renames, row-id assignment, materialization under
+  * `opts.checkpoint`, row count and per-column approx-distinct stats.
+  * Each micro-batch re-derives only the batch side's statistics and scans
+  * the reference exclusively through the materialized barrier.
   */
 object FuzzyMatchStream {
 
@@ -35,10 +35,10 @@ object FuzzyMatchStream {
                   maps: Seq[FuzzyMapping],
                   opts: MatchOptions = MatchOptions.default)
                  (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
-    val ref = graft.util.Materialize(reference, opts.checkpoint)
+    val prepared = FuzzyMatcher.prepareRight(stream.columns.toSeq, reference, maps, opts)
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        sink(FuzzyMatcher.matchDfs(batch, ref, maps, opts), batchId)
+        sink(FuzzyMatcher.matchDfsWithPreparedRight(batch, prepared), batchId)
       }
   }
 }

@@ -85,10 +85,25 @@ class FuzzyMatcherSpec extends AnyFunSuite with SparkSpec {
       Seq(FuzzyMapping("company_name", "organization", thresholdScore = 80.0,
         fuzzyType = FuzzyAlgorithm.JaroWinkler)),
       MatchOptions(runPreprocess = false))
-    // names are still assigned by NameUtils (vs-style) even without stats
-    assert(result.columns.contains("company_name_vs_organization_jaro_winkler"))
+    // without preprocessing the reference keeps the constructor default
+    // `fuzzy_score_{left}_{right}` (models.py:87-89) — the vs-style name is
+    // only assigned inside pre_process_for_fuzzy_matching (pre_process.py:326)
+    assert(result.columns.contains("fuzzy_score_company_name_organization"))
     // jw >= 0.80 keeps exactly the diagonal pairs
     assert(result.count() == 5)
+  }
+
+  test("explicit output name passes through when preprocessing off, is overwritten when on") {
+    val maps = Seq(FuzzyMapping("company_name", "organization", thresholdScore = 80.0,
+      fuzzyType = FuzzyAlgorithm.JaroWinkler, outputColumnName = Some("my_score")))
+    val without = FuzzyMatcher.matchDfs(leftDf, rightDf, maps,
+      MatchOptions(runPreprocess = false))
+    assert(without.columns.contains("my_score"))
+    // with preprocessing the reference unconditionally overwrites the name
+    // (set_name_in_fuzzy_mappings, output_column_name_utils.py:21-42)
+    val withPre = FuzzyMatcher.matchDfs(leftDf, rightDf, maps)
+    assert(withPre.columns.contains("company_name_vs_organization_jaro_winkler"))
+    assert(!withPre.columns.contains("my_score"))
   }
 
   test("multi-pass intersection is non-increasing (pass gates next pass)") {

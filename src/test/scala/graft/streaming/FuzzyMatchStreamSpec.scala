@@ -42,4 +42,64 @@ class FuzzyMatchStreamSpec extends AnyFunSuite with SparkSpec {
     assert(expected.nonEmpty)
     assert(got.synchronized(got.toSeq.sorted) == expected)
   }
+
+  test("prepared static side: identical result, no reference-source rescan per batch") {
+    import graft.fuzzy.MatchOptions
+    val customers = spark.read.parquet(custPath).limit(100)
+    val reference = spark.read.parquet(suppPath)
+    val maps = Seq(FuzzyMapping("c_name", "s_name", 70.0, FuzzyAlgorithm.Levenshtein))
+
+    val prepared = FuzzyMatcher.prepareRight(customers.columns.toSeq, reference, maps)
+    val preparedResult = FuzzyMatcher.matchDfsWithPreparedRight(customers, prepared)
+
+    // the per-batch plan must consume the reference exclusively through the
+    // materialization barrier — a FileScan of the supplier source in the
+    // executed plan means the static side is being re-read per batch
+    val plan = preparedResult.queryExecution.executedPlan.toString
+    assert(!plan.contains("supplier.parquet"),
+      "prepared-right plan rescans the reference parquet source")
+
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("c_custkey", "s_suppkey").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val expected = key(FuzzyMatcher.matchDfs(customers, reference, maps))
+    assert(expected.nonEmpty)
+    assert(key(preparedResult) == expected)
+    // schema parity includes the preprocessing-assigned score names
+    assert(preparedResult.columns.toSeq ==
+      FuzzyMatcher.matchDfs(customers, reference, maps).columns.toSeq)
+
+    // second call reuses the same preparation (a later micro-batch)
+    val batch2 = spark.read.parquet(custPath).limit(40)
+    assert(key(FuzzyMatcher.matchDfsWithPreparedRight(batch2, prepared)) ==
+      key(FuzzyMatcher.matchDfs(batch2, reference, maps)))
+  }
+
+  test("prepared static side: mid-level semantics (no preprocessing) keep fallback names") {
+    val customers = spark.read.parquet(custPath).limit(50)
+    val reference = spark.read.parquet(suppPath)
+    val maps = Seq(FuzzyMapping("c_name", "s_name", 70.0, FuzzyAlgorithm.Levenshtein))
+    val opts = graft.fuzzy.MatchOptions(runPreprocess = false)
+    val prepared = FuzzyMatcher.prepareRight(customers.columns.toSeq, reference, maps, opts)
+    val res = FuzzyMatcher.matchDfsWithPreparedRight(customers, prepared)
+    assert(res.columns.contains("fuzzy_score_c_name_s_name"))
+    val expected = FuzzyMatcher.matchDfs(customers, reference, maps, opts)
+    assert(res.columns.toSeq == expected.columns.toSeq)
+    assert(res.count() == expected.count())
+  }
+
+  test("prepared static side: aggregation heuristic dedups via the shared lazy variant") {
+    import spark.implicits._
+    // low-uniqueness columns on a >1e6 cartesian trigger needsAggregation
+    val left = (1 to 1200).map(i => (i, s"name_${i % 3}")).toDF("lid", "k")
+    val right = (1 to 1200).map(i => (i, s"name_${i % 3}")).toDF("rid", "g")
+    val maps = Seq(FuzzyMapping("k", "g", 90.0, FuzzyAlgorithm.Levenshtein))
+    val prepared = FuzzyMatcher.prepareRight(left.columns.toSeq, right, maps)
+    val res = FuzzyMatcher.matchDfsWithPreparedRight(left, prepared)
+    val expected = FuzzyMatcher.matchDfs(left, right, maps)
+    // both paths dedup both sides to the 3 distinct values -> 3x3 diagonal
+    assert(res.count() == expected.count())
+    assert(res.select("k", "g").collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq ==
+      expected.select("k", "g").collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq)
+  }
 }
