@@ -533,21 +533,9 @@ object SparkEntry {
            + (CASE WHEN n_nonspace / n_words >= 3 AND n_nonspace / n_words <= 10 THEN 1.0 ELSE 0.5 END)
            + alpha_ratio) / 3.0, 6) AS quality
          FROM t""",
-    "text_langid" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
-         h AS (SELECT doc_id,
-           len(list_filter(w, x -> list_contains(['the','and','of','to','in','is','that','it','for','with'], x))) AS h_en,
-           len(list_filter(w, x -> list_contains(['el','la','de','que','los','las','una','por','como','para'], x))) AS h_es,
-           len(list_filter(w, x -> list_contains(['le','les','des','est','dans','pour','qui','sur','pas','avec'], x))) AS h_fr,
-           len(list_filter(w, x -> list_contains(['der','die','und','das','ist','nicht','mit','ein','von','zu'], x))) AS h_de
-         FROM t)
-         SELECT doc_id, CASE
-           WHEN greatest(h_en, h_es, h_fr, h_de) = 0 THEN 'und'
-           WHEN h_en = greatest(h_en, h_es, h_fr, h_de) THEN 'en'
-           WHEN h_es = greatest(h_en, h_es, h_fr, h_de) THEN 'es'
-           WHEN h_fr = greatest(h_en, h_es, h_fr, h_de) THEN 'fr'
-           ELSE 'de' END AS lang_pred
-         FROM h""",
+    // generated from TextAnalysis.langMarkers — single source of truth for
+    // the 14-language marker tables, so oracle and implementation can't drift
+    "text_langid" -> TextAnalysis.langIdOracleSql,
     "text_fingerprint" ->
       """SELECT doc_id,
          md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fingerprint

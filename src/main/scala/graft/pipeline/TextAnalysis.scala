@@ -57,18 +57,32 @@ object TextAnalysis {
     (wordBand + lenBand + alphaRatio) / lit(3.0)
   }
 
-  /** Marker-word tables for the n-gram/stopword language heuristic. Small
-    * high-frequency function words per language. */
+  /** Marker-word tables for the n-gram/stopword language heuristic: small
+    * high-frequency function words per language, 14 languages. Shared
+    * function words across related languages (es/pt "que", da/no "det")
+    * are resolved by the hit COUNTS over the whole document, and exact
+    * ties deterministically by table order — so keep the most
+    * globally-common corpus languages earliest. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
     "es" -> Seq("el", "la", "de", "que", "los", "las", "una", "por", "como", "para"),
     "fr" -> Seq("le", "les", "des", "est", "dans", "pour", "qui", "sur", "pas", "avec"),
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "von", "zu"),
+    "it" -> Seq("il", "di", "che", "non", "per", "con", "del", "sono", "gli", "alla"),
+    "pt" -> Seq("não", "uma", "os", "em", "do", "da", "dos", "mais", "são", "como"),
+    "nl" -> Seq("het", "een", "van", "niet", "dat", "aan", "voor", "maar", "zijn", "ook"),
+    "sv" -> Seq("och", "att", "det", "som", "på", "är", "av", "för", "inte", "med"),
+    "da" -> Seq("og", "det", "at", "til", "er", "som", "på", "ikke", "jeg", "med"),
+    "no" -> Seq("og", "det", "er", "som", "på", "til", "ikke", "jeg", "han", "av"),
+    "pl" -> Seq("nie", "się", "jest", "czy", "ale", "jak", "tak", "przez", "jego", "tylko"),
+    "tr" -> Seq("bir", "ve", "bu", "için", "ile", "gibi", "daha", "çok", "ama", "kadar"),
+    "id" -> Seq("yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari", "akan"),
+    "ru" -> Seq("и", "в", "не", "на", "что", "это", "как", "его", "но", "по"),
   )
 
   /** Language-ID heuristic: count marker-word hits per language over the
     * whitespace tokens; predict the argmax, "und" (undetermined) when no
-    * marker hits at all. Ties break by table order (en, es, fr, de). */
+    * marker hits at all. Ties break by table order. */
   def langId(text: Column): Column = {
     val toks = tokens(text)
     val hits = langMarkers.map { case (lang, markers) =>
@@ -80,7 +94,28 @@ object TextAnalysis {
     }
   }
   // NOTE: foldRight so that the FIRST language in table order wins ties —
-  // en > es > fr > de, deterministic.
+  // deterministic argmax.
+
+  /** The DuckDB mirror of [[langId]], generated from [[langMarkers]] so the
+    * oracle can never drift from the implementation. */
+  def langIdOracleSql: String = {
+    val langs = langMarkers.map(_._1)
+    val hitCols = langMarkers.map { case (lang, ms) =>
+      val lst = ms.map(m => s"'$m'").mkString(",")
+      s"len(list_filter(w, x -> list_contains([$lst], x))) AS h_$lang"
+    }.mkString(",\n           ")
+    val best = langs.map("h_" + _).mkString("greatest(", ", ", ")")
+    val cases = langs.init.map(l => s"WHEN h_$l = $best THEN '$l'").mkString("\n           ")
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+         h AS (SELECT doc_id,
+           $hitCols
+         FROM t)
+         SELECT doc_id, CASE
+           WHEN $best = 0 THEN 'und'
+           $cases
+           ELSE '${langs.last}' END AS lang_pred
+         FROM h"""
+  }
 
   /** Repetition statistics (the Gopher-style repetition filters): fraction
     * of duplicate lines and of duplicate tokens within a document. High

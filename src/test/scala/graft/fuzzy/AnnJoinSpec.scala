@@ -64,6 +64,56 @@ class AnnJoinSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("forced value-id collisions only perturb candidates, never corrupt rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    // 60 left values, each with a 1-edit right twin; ids forced into a
+    // 4-value space (~15 distinct values share every id — vastly denser
+    // than the natural ~n^2/2^65 xxhash64 rate)
+    val left = (0 until 60).map(i => f"collide_left_$i%02d_val").toDF("k").distinct()
+    val right = (0 until 60).map(i => f"collide_left_$i%02d_vXl").toDF("g").distinct()
+    val opts = MatchOptions(lshNumBands = 8, lshRowsPerBand = 2)
+    val rt = 0.1 // threshold 90 on 19-char values: <= ~2 edits
+    def run(vid: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      AnnJoin.build(left, right, "k", "g", opts, rt, Array.empty, 120L, valueId = vid)
+    val normal = run(c => xxhash64(c))
+    val collided = run(c => pmod(xxhash64(c), lit(4)))
+
+    // 1) attach stays self-consistent: a row's lowered column belongs to ITS
+    //    value — collisions must never cross-wire payloads
+    val lLow = FuzzyMatcher.lowerName("k")
+    val rLow = FuzzyMatcher.lowerName("g")
+    collided.collect().foreach { r =>
+      assert(r.getAs[String](lLow) == r.getAs[String]("k").toLowerCase)
+      assert(r.getAs[String](rLow) == r.getAs[String]("g").toLowerCase)
+    }
+
+    // 2) merged ids can only UNION candidate sets (the documented
+    //    degradation): the collided candidate set contains the natural one
+    def cands(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "g").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(cands(normal).subsetOf(cands(collided)))
+
+    // 3) downstream exact re-score keeps only genuinely-close pairs: every
+    //    survivor re-verifies against the driver-side kernel, the collided
+    //    result is a superset of the natural one, and the 1-edit diagonal
+    //    is fully recalled
+    def finalPairs(c: org.apache.spark.sql.DataFrame) =
+      FuzzyMatcher.scoreValuePairs(c, "k", "g", FuzzyAlgorithm.Levenshtein, rt)
+        .select("k", "g").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val got = finalPairs(collided)
+    got.foreach { case (a, b) =>
+      val d = Kernels.levenshtein(a.toLowerCase, b.toLowerCase).toDouble /
+        math.max(a.length, b.length)
+      assert(d <= rt, s"collision leaked a non-matching pair ($a, $b): dist $d")
+    }
+    assert(finalPairs(normal).subsetOf(got))
+    (0 until 60).foreach { i =>
+      assert(got.contains((f"collide_left_$i%02d_val", f"collide_left_$i%02d_vXl")),
+        s"collision lost the 1-edit diagonal pair $i")
+    }
+  }
+
   test("hard cartesian cap refuses oversized joins") {
     val err = intercept[IllegalStateException] {
       pairs(MatchOptions(hardCartesianCap = 100.0, useApproxNearestNeighbor = Some(false)))

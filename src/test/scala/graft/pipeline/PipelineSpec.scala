@@ -248,15 +248,27 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(scores(0) > scores(1))
   }
 
-  test("langId picks the language with most marker hits") {
-    val d = Seq(
-      "the cat and the dog in the house",
-      "el perro y la casa de la familia que vive",
-      "le chat est dans les maisons pour les amis",
-      "der hund und die katze ist nicht mit ein mann",
-      "zzz qqq www").toDF("text")
+  test("langId picks the language with most marker hits (all 14 languages)") {
+    val samples = Seq(
+      "en" -> "the cat and the dog in the house",
+      "es" -> "el perro y la casa de la familia que vive",
+      "fr" -> "le chat est dans les maisons pour les amis",
+      "de" -> "der hund und die katze ist nicht mit ein mann",
+      "it" -> "il gatto che non dorme per la casa con del pane sono gli amici",
+      "pt" -> "não era uma casa em que os gatos do bairro são mais vistos como",
+      "nl" -> "het huis van een kat die niet weg wil maar ook voor dat raam",
+      "sv" -> "och huset som är på kullen att det inte var för stort med",
+      "da" -> "og huset er ikke til at se som jeg troede på med",
+      "no" -> "og han er ikke på huset som det var til jeg kom av",
+      "pl" -> "nie wiem czy to jest dobre ale tak się wydaje przez jego upor tylko jak",
+      "tr" -> "bir ev ve bu bahçe için ile gibi daha çok ama kadar",
+      "id" -> "yang rumah dan di kota itu dengan taman untuk kita tidak ini dari akan",
+      "ru" -> "и в доме не было никого на что это как его но по",
+      "und" -> "zzz qqq www")
+    val d = samples.map(_._2).toDF("text")
     val langs = d.select(TextAnalysis.langId($"text")).as[String].collect().toSeq
-    assert(langs == Seq("en", "es", "fr", "de", "und"))
+    assert(langs == samples.map(_._1),
+      s"got ${langs.mkString(",")} expected ${samples.map(_._1).mkString(",")}")
   }
 
   test("sessionization: gap starts a new session, ties break on event id") {
