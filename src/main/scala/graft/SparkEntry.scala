@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, count, encode, explode, expr, get_json_object, lit, max, min, round => sround, sum}
 
 import graft.fuzzy.{FuzzyAlgorithm, FuzzyMapping, FuzzyMatcher, MatchOptions}
-import graft.pipeline.{AnnSearch, Dedup, Multimodal, NearDupCluster, Sessionize, TextAnalysis}
+import graft.pipeline.{AnnSearch, Curation, Dedup, Multimodal, NearDupCluster, Sessionize, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -237,6 +237,29 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"),
         explode(TextAnalysis.winnowFingerprints(col("text"), useMd5 = true)).as("fp"))),
+
+    // ---- corpus curation: deterministic sampling / selection / vocab /
+    // packing (graft.pipeline.Curation). Sampling keys off md5 so the
+    // oracle reproduces the exact row set.
+    "curate_sample" -> ((s, dir) =>
+      Curation.hashSample(t(s, dir, "documents"), "doc_id", 0.25)
+        .select(col("doc_id"))),
+    "curate_stratified" -> ((s, dir) =>
+      Curation.stratifiedHashSample(t(s, dir, "documents"), "doc_id", "source",
+        Map("web" -> 0.1, "books" -> 1.0), defaultRate = 0.5)
+        .select(col("doc_id"), col("source"))),
+    "curate_topk_per_group" -> ((s, dir) =>
+      Curation.topKPerGroup(t(s, dir, "documents"), "source",
+        sround(TextAnalysis.qualityScore(col("text")), 6), 20, col("doc_id"))
+        .select(col("doc_id"), col("source"),
+          sround(TextAnalysis.qualityScore(col("text")), 6).as("quality"),
+          col("rank").cast("long").as("rank"))),
+    "curate_vocab" -> ((s, dir) =>
+      Curation.vocabulary(t(s, dir, "documents"), "text", minCount = 50L)),
+    "curate_pack" -> ((s, dir) =>
+      Curation.packSequences(t(s, dir, "documents"), "doc_id",
+        TextAnalysis.tokenCount(col("text")), budgetTokens = 2048L, numShards = 8)
+        .select(col("doc_id"), col("shard"), col("pack_off"), col("pack_id"))),
 
     // ---- event sessionization (gap-based, 30-min) over `events`.
     // Timestamps read as raw nanos (legacy.parquet.nanosAsLong) and kept as
@@ -609,6 +632,45 @@ object SparkEntry {
            unnest(list_distinct(list_transform(range(0, greatest(len(hs) - 4 + 1, 1)),
              w -> list_min(hs[w::INT + 1 : w::INT + 4])))) AS fp
          FROM g""",
+    // curation: md5-bucket sampling mirrors Curation.md5Bucket exactly
+    // (15 hex chars -> positive BIGINT -> % 1e6)
+    "curate_sample" ->
+      """SELECT doc_id FROM documents
+         WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 < 250000""",
+    "curate_stratified" ->
+      """SELECT doc_id, source FROM documents
+         WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 <
+           CASE source WHEN 'web' THEN 100000 WHEN 'books' THEN 1000000 ELSE 500000 END""",
+    "curate_topk_per_group" ->
+      """WITH t AS (SELECT doc_id, source, text,
+                CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS n_words,
+                CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS n_nonspace,
+                CAST(length(text) - length(regexp_replace(lower(text), '[a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio
+         FROM documents),
+         q AS (SELECT doc_id, source, round((
+           (CASE WHEN n_words >= 10 AND n_words <= 1000 THEN 1.0 WHEN n_words >= 3 THEN 0.5 ELSE 0.0 END)
+           + (CASE WHEN n_nonspace / n_words >= 3 AND n_nonspace / n_words <= 10 THEN 1.0 ELSE 0.5 END)
+           + alpha_ratio) / 3.0, 6) AS quality
+         FROM t),
+         r AS (SELECT doc_id, source, quality,
+                 row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rank
+               FROM q)
+         SELECT doc_id, source, quality, rank FROM r WHERE rank <= 20""",
+    "curate_vocab" ->
+      """SELECT token, count(*) AS freq
+         FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents)
+         WHERE length(token) > 0
+         GROUP BY token HAVING count(*) >= 50""",
+    "curate_pack" ->
+      """WITH t AS (SELECT doc_id,
+                ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 % 8 AS shard,
+                CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS tok
+         FROM documents),
+         o AS (SELECT doc_id, shard,
+                 CAST(COALESCE(SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pack_off
+               FROM t)
+         SELECT doc_id, shard, pack_off, shard * 2147483648 + pack_off // 2048 AS pack_id FROM o""",
     // mean byte value / 255 over the UTF-8 payload — recomputed byte-exactly
     // from the hex rendering (encoding-agnostic, unlike ord() over chars)
     "multimodal_decode" ->

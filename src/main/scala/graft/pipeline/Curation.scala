@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: deterministic
+  * sampling, per-group selection, vocabulary building, and sequence
+  * packing.
+  *
+  * Design rules shared by every operator here:
+  *  - determinism first: sampling keys off md5 of the row key, never RNG
+  *    state, so a 100 TB run is reproducible, resumable, and auditable
+  *    row-by-row (and mirrorable bit-for-bit by the DuckDB oracle);
+  *  - narrow where possible: the samplers are pure projections + filters
+  *    (no shuffle at all); the group operators shuffle exactly once on
+  *    their natural key;
+  *  - no global ordering: anything needing order (packing) is sharded
+  *    first so parallelism scales with the shard count, not 1.
+  */
+object Curation {
+
+  /** Deterministic bucket in [0, 1e6) from the md5 of the key's string
+    * rendering. Reproducible across engines: DuckDB computes the same
+    * value as `('0x' || substring(md5(key::VARCHAR), 1, 15))::BIGINT %
+    * 1000000` (15 hex chars = 60 bits, fits a signed 64-bit int;
+    * non-negative, so Spark's % and SQL's % agree). */
+  def md5Bucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long") % 1000000L
+
+  /** Keep a deterministic `fraction` of rows, selected by key hash — the
+    * same rows on every run and every engine. A pure filter: no shuffle,
+    * pushes down past column pruning like any predicate. */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1] (got $fraction)")
+    df.where(md5Bucket(col(keyCol)) < (fraction * 1e6).toLong)
+  }
+
+  /** Per-stratum deterministic sampling — the quota-mixing step of corpus
+    * assembly (e.g. downsample web text, keep all books). `rates` maps
+    * stratum value -> keep fraction; anything unlisted keeps
+    * `defaultRate`. Still a pure filter: the rate table compiles into a
+    * CASE expression (sorted for determinism), no join, no shuffle. */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, strataCol: String,
+                           rates: Map[String, Double],
+                           defaultRate: Double): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"rates must be in [0,1] (got $r)"))
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit((defaultRate * 1e6).toLong)) {
+      case (acc, (stratum, rate)) =>
+        when(col(strataCol) === stratum, lit((rate * 1e6).toLong)).otherwise(acc)
+    }
+    df.where(md5Bucket(col(keyCol)) < threshold)
+  }
+
+  /** Top `k` rows per group by `score` (descending), deterministic ties by
+    * `tie` (ascending) — "best N documents per language/domain". One
+    * shuffle on the group key; the rank filter cuts inside the window
+    * stage, so only k rows per group survive the exchange. */
+  def topKPerGroup(df: DataFrame, groupCol: String, score: Column, k: Int,
+                   tie: Column): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    val w = Window.partitionBy(col(groupCol)).orderBy(score.desc, tie.asc)
+    df.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Corpus vocabulary: whitespace tokens with document-wide frequency >=
+    * `minCount`. One hash-aggregate shuffle with map-side partial
+    * aggregation — the canonical scalable word count; empty tokens (blank
+    * documents) are dropped. */
+  def vocabulary(df: DataFrame, textCol: String, minCount: Long): DataFrame =
+    df.select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .where(col("freq") >= minCount)
+
+  /** Offset-based sequence packing: assign each document to a pack of
+    * ~`budgetTokens` tokens for training-batch assembly. Documents are
+    * sharded deterministically (md5 of the id), ordered by id within the
+    * shard, and a document starting at running offset `off` lands in pack
+    * `floor(off / budget)`; `pack_id = shard * 2^31 + packInShard` is
+    * globally unique.
+    *
+    * Semantics: contiguous fill without splitting documents, so a pack can
+    * exceed the budget by at most one document's overhang (the standard
+    * approximation when exact bin packing isn't worth a sequential scan).
+    * Scale: parallelism = `numShards` — each shard's window is an
+    * independent sort of corpus/numShards rows, so at 100 TB you raise
+    * `numShards` until a shard fits an executor (there is no global sort
+    * and no single-partition window anywhere). */
+  def packSequences(df: DataFrame, idCol: String, tokenCount: Column,
+                    budgetTokens: Long, numShards: Int): DataFrame = {
+    require(budgetTokens > 0 && numShards > 0,
+      s"budgetTokens and numShards must be positive (got $budgetTokens, $numShards)")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("shard", md5Bucket(col(idCol)) % numShards)
+      .withColumn("__tok", tokenCount.cast("long"))
+      .withColumn("pack_off", coalesce(sum(col("__tok")).over(w), lit(0L)))
+      .withColumn("pack_id",
+        col("shard") * lit(2147483648L) + floor(col("pack_off") / budgetTokens))
+      .drop("__tok")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("hashSample is deterministic, proportional, and nested across fractions") {
+    val s10 = Curation.hashSample(docs, "doc_id", 0.10).select("doc_id").as[Long].collect().toSet
+    val s25 = Curation.hashSample(docs, "doc_id", 0.25).select("doc_id").as[Long].collect().toSet
+    val total = docs.count().toDouble
+    // md5 buckets are uniform: expect fraction +- a loose binomial bound
+    assert(math.abs(s10.size / total - 0.10) < 0.06, s"10% sample kept ${s10.size} of $total")
+    assert(math.abs(s25.size / total - 0.25) < 0.08, s"25% sample kept ${s25.size} of $total")
+    // thresholded hash => smaller fractions are strict subsets (resumable
+    // down-sampling: shrinking the corpus never picks NEW documents)
+    assert(s10.subsetOf(s25))
+    // rerun is identical (no RNG state anywhere)
+    assert(Curation.hashSample(docs, "doc_id", 0.10).select("doc_id")
+      .as[Long].collect().toSet == s10)
+    // boundary fractions
+    assert(Curation.hashSample(docs, "doc_id", 0.0).count() == 0)
+    assert(Curation.hashSample(docs, "doc_id", 1.0).count() == total.toLong)
+  }
+
+  test("stratifiedHashSample applies per-stratum rates with a default") {
+    val sampled = Curation.stratifiedHashSample(docs, "doc_id", "source",
+      Map("books" -> 1.0, "web" -> 0.0), defaultRate = 0.5)
+    val bySource = sampled.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource.getOrElse("books", 0L) == totals.getOrElse("books", 0L),
+      "rate 1.0 must keep every row of its stratum")
+    assert(!bySource.contains("web"), "rate 0.0 must drop the whole stratum")
+    // individual strata are tiny at sf0.001 — test the default rate over
+    // their union, where the binomial bound is meaningful
+    val others = totals.keys.filterNot(Set("books", "web")).toSeq
+    val keptDefault = others.map(s => bySource.getOrElse(s, 0L)).sum.toDouble
+    val totalDefault = others.map(totals).sum.toDouble
+    assert(totalDefault > 0)
+    assert(math.abs(keptDefault / totalDefault - 0.5) < 0.1,
+      s"default-rate strata kept ${keptDefault / totalDefault}")
+  }
+
+  test("topKPerGroup keeps exactly k rows per group with deterministic ties") {
+    val df = Seq(
+      ("a", 1L, 0.9), ("a", 2L, 0.9), ("a", 3L, 0.5), ("a", 4L, 0.1),
+      ("b", 5L, 0.7), ("b", 6L, 0.8)).toDF("g", "id", "score")
+    val top = Curation.topKPerGroup(df, "g", col("score"), 2, col("id"))
+      .select("g", "id", "rank").collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // tie at 0.9 breaks on the smaller id; ranks are dense per group
+    assert(top.toSet == Set(("a", 1L, 1), ("a", 2L, 2), ("b", 6L, 1), ("b", 5L, 2)))
+  }
+
+  test("vocabulary counts tokens corpus-wide and applies minCount") {
+    val df = Seq("the cat the dog", "THE  cat", "", "bird").toDF("text")
+    val vocab = Curation.vocabulary(df, "text", minCount = 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab == Map("the" -> 3L, "cat" -> 2L))
+  }
+
+  test("packSequences: contiguous offsets per shard, bounded overhang, sharded window") {
+    val packed = Curation.packSequences(docs, "doc_id",
+        TextAnalysis.tokenCount(col("text")), budgetTokens = 512L, numShards = 4)
+      .withColumn("tok", TextAnalysis.tokenCount(col("text")).cast("long"))
+      .select("doc_id", "shard", "pack_off", "pack_id", "tok")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(packed.length == docs.count())
+    // window parallelism: documents actually spread over the shards
+    assert(packed.map(_._2).distinct.length == 4)
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      val byId = rows.sortBy(_._1)
+      // offsets are the exclusive running sum in id order
+      var expectedOff = 0L
+      byId.foreach { case (id, _, off, _, tok) =>
+        assert(off == expectedOff, s"doc $id offset $off != running sum $expectedOff")
+        expectedOff += tok
+      }
+      // a pack never exceeds budget + one document's overhang: every doc's
+      // START offset lies inside its pack's budget window
+      byId.foreach { case (id, shard, off, pack, _) =>
+        assert(pack == shard * 2147483648L + off / 512L, s"doc $id pack id mismatch")
+      }
+    }
+    // determinism across runs
+    val again = Curation.packSequences(docs, "doc_id",
+        TextAnalysis.tokenCount(col("text")), 512L, 4)
+      .select("doc_id", "pack_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == packed.map(p => (p._1, p._4)).toSet)
+  }
+}
