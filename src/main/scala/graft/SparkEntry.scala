@@ -256,6 +256,8 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))),
     "curate_vocab" -> ((s, dir) =>
       Curation.vocabulary(t(s, dir, "documents"), "text", minCount = 50L)),
+    "text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfIdf(t(s, dir, "documents"), "text", "doc_id", minDf = 50L)),
     "curate_pack" -> ((s, dir) =>
       Curation.packSequences(t(s, dir, "documents"), "doc_id",
         TextAnalysis.tokenCount(col("text")), budgetTokens = 2048L, numShards = 8)
@@ -661,6 +663,14 @@ object SparkEntry {
          FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents)
          WHERE length(token) > 0
          GROUP BY token HAVING count(*) >= 50""",
+    "text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok WHERE length(token) > 0 GROUP BY doc_id, token),
+         dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token HAVING count(*) >= 50),
+         n AS (SELECT count(*) AS n FROM documents)
+         SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+           round(tf.tf * (ln((n.n + 1.0) / (dfq.df + 1.0)) + 1.0), 6) AS tfidf
+         FROM tf JOIN dfq USING (token) CROSS JOIN n""",
     "curate_pack" ->
       """WITH t AS (SELECT doc_id,
                 ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 % 8 AS shard,

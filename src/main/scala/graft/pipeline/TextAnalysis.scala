@@ -131,6 +131,35 @@ object TextAnalysis {
     (size(toks) - size(array_distinct(toks))).cast("double") / size(toks)
   }
 
+  /** TF-IDF weights per (document, token) — the classic sparse text
+    * representation for retrieval/clustering stages of a data pipeline.
+    * `tf` is the in-document token count, `df` the number of documents
+    * containing the token (kept when >= `minDf`), and
+    * `tfidf = tf * (ln((N+1)/(df+1)) + 1)` (smoothed), rounded to 6
+    * decimals for cross-engine comparability.
+    *
+    * Shape: two hash aggregates (both with map-side partial aggregation)
+    * and one equi-join on the token — the document-frequency side is
+    * vocabulary-sized, so AQE broadcasts it in practice. `totalDocs`
+    * avoids a count job when the caller already knows N (same contract as
+    * `AnnSearch.topK`'s `queryCount`). */
+  def tfIdf(df: DataFrame, textCol: String, idCol: String, minDf: Long = 1L,
+            totalDocs: Option[Long] = None): DataFrame = {
+    val n = totalDocs.getOrElse(df.count())
+    val tf = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+    tf.join(docFreq, "token")
+      .withColumn("tfidf",
+        round(col("tf") * (log(lit(n + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("tfidf"))
+  }
+
   /** Canonical content fingerprint: md5 of the sorted distinct token set.
     * Invariant to word order and duplication — catches shuffled/near-exact
     * copies that exact hashing misses. */

@@ -271,6 +271,28 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       s"got ${langs.mkString(",")} expected ${samples.map(_._1).mkString(",")}")
   }
 
+  test("tfIdf computes smoothed weights with exact tf/df counts") {
+    val d = Seq(
+      (1L, "cat dog cat"),
+      (2L, "cat bird"),
+      (3L, "fish")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdf(d, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    def w(tf: Long, df: Long) =
+      BigDecimal(tf * (math.log(4.0 / (df + 1.0)) + 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got((1L, "cat")) == ((2L, 2L, w(2, 2))))
+    assert(got((2L, "cat")) == ((1L, 2L, w(1, 2))))
+    assert(got((1L, "dog")) == ((1L, 1L, w(1, 1))))
+    assert(got((3L, "fish")) == ((1L, 1L, w(1, 1))))
+    assert(got.size == 5)
+    // minDf drops rare tokens; totalDocs hint skips the count job
+    val filtered = TextAnalysis.tfIdf(d, "text", "doc_id", minDf = 2L, totalDocs = Some(3L))
+      .select("token").as[String].collect().toSet
+    assert(filtered == Set("cat"))
+  }
+
   test("sessionization: gap starts a new session, ties break on event id") {
     val M = 60L * 1000000 // one minute in micros
     val ev = Seq(
