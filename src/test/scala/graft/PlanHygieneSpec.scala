@@ -68,4 +68,31 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
     assert(joinLine.exists(_.contains("dist_bounded")),
       s"bounded kernel not fused into the join condition:\n$plan")
   }
+
+  test("hash sampling is a pure pushed-past-pruning filter: no shuffle anywhere") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.pipeline.Curation.hashSample(docs, "doc_id", 0.25)
+      .select(col("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"deterministic sampling must not shuffle:\n$plan")
+    // only the key column survives to the scan
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"text column not pruned from the sampled scan:\n$plan")
+  }
+
+  test("sequence packing: windows partition by shard, never a single global sort") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.pipeline.Curation.packSequences(docs, "doc_id",
+        graft.pipeline.TextAnalysis.tokenCount(col("text")), 2048L, 8)
+      .queryExecution.executedPlan.toString
+    // the cumulative-offset window must be keyed by the shard column —
+    // an empty partition spec is the classic single-task global window
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty, s"no window operator found:\n$plan")
+    assert(plan.contains("partitionBy") || plan.contains("hashpartitioning(shard"),
+      s"pack window not partitioned by shard:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"pack plan routes through a single partition:\n$plan")
+  }
 }
