@@ -118,8 +118,22 @@ object AnnSearch {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               vecCol: String, idCol: String, k: Int, dim: Int,
               nCells: Int = 64, nProbe: Int = 8, iters: Int = 4,
-              seed: Long = 42L): DataFrame = {
-    val flat = normFlat(kmeansFit(corpus, vecCol, dim, nCells, iters, seed))
+              seed: Long = 42L): DataFrame =
+    ivfTopKWithCentroids(queries, corpus, vecCol, idCol, k, dim,
+      normFlat(kmeansFit(corpus, vecCol, dim, nCells, iters, seed)), nProbe)
+
+  /** [[ivfTopK]] against an already-fitted quantizer — the fit-once /
+    * search-many shape of a production index: `kmeansFit` + [[normFlat]]
+    * run once per corpus version (driver-held k x dim doubles, shippable
+    * to any number of search jobs), and each search pays only the cell
+    * assignment + probed-cell re-rank. `centroids` is the flattened
+    * row-major NORMALIZED centroid array (`normFlat(kmeansFit(...))`). */
+  def ivfTopKWithCentroids(queries: DataFrame, corpus: DataFrame,
+                           vecCol: String, idCol: String, k: Int, dim: Int,
+                           centroids: Array[Double], nProbe: Int): DataFrame = {
+    require(centroids.nonEmpty && centroids.length % dim == 0,
+      s"centroids length ${centroids.length} must be a positive multiple of dim=$dim")
+    val flat = centroids
     val c = spread(corpus).select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"),
       element_at(graft.fuzzy.vectorFunctions.nearest_cells(col(vecCol), flat, dim, 1), 1)
         .as("__cell"))

@@ -42,6 +42,24 @@ class IvfSpec extends AnyFunSuite with SparkSpec {
     assert(r5 >= r2, s"recall not monotone in nProbe: $r2 -> $r5")
   }
 
+  test("fit-once centroids reused across searches match the fit-per-call path") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = AnnSearch.kmeansFit(emb, "embedding", dim = 64, k = 8, iters = 3)
+    val flat = cents.flatMap { v =>
+      val n = math.sqrt(v.map(x => x * x).sum); if (n == 0) v else v.map(_ / n)
+    }
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val q1 = emb.where(col("vec_id") < 20)
+    val q2 = emb.where(col("vec_id") >= 20 && col("vec_id") < 40)
+    // two searches against ONE fitted quantizer ≡ the fit-per-call results
+    assert(key(AnnSearch.ivfTopKWithCentroids(q1, emb, "embedding", "vec_id", 10, 64, flat, 8)) ==
+      key(AnnSearch.ivfTopK(q1, emb, "embedding", "vec_id", 10, 64, nCells = 8, nProbe = 8, iters = 3)))
+    assert(key(AnnSearch.ivfTopKWithCentroids(q2, emb, "embedding", "vec_id", 10, 64, flat, 8)) ==
+      key(AnnSearch.ivfTopK(q2, emb, "embedding", "vec_id", 10, 64, nCells = 8, nProbe = 8, iters = 3)))
+  }
+
   test("nearestCells degrades gracefully on all-NaN query vectors") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     val dim = 4
