@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, count, encode, explode, expr, get_json_object, lit, max, min, round => sround, sum}
 
 import graft.fuzzy.{FuzzyAlgorithm, FuzzyMapping, FuzzyMatcher, MatchOptions}
-import graft.pipeline.{AnnSearch, Curation, Dedup, Multimodal, NearDupCluster, Sessionize, TextAnalysis}
+import graft.pipeline.{AnnSearch, AsofJoin, Curation, Decontaminate, Dedup, Multimodal, NearDupCluster, Sessionize, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -338,6 +338,59 @@ object SparkEntry {
         "payload", "doc_id")
         .select(col("id").as("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
           sround(col("feature"), 6).as("feature"))),
+
+    // ---- as-of join over events: each click attaches the most recent
+    // view by the same user at or before the click. Views dedup to one
+    // row per (user, ts) first (max event_id) — the determinism contract.
+    "events_asof" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("event_type"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts_us").as("click_ts_us"))
+      val views = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("view_id"))
+        .withColumnRenamed("ts_us", "view_ts_us")
+      AsofJoin.backward(clicks, views, Seq("user_id"),
+        "click_ts_us", "view_ts_us", Seq("view_id", "view_ts_us"))
+        // left-join nulls -> -1 sentinels: float NaN/null renderings differ
+        // across engines, and the driver hash must stay value-stable
+        .select(col("user_id"), col("click_id"), col("click_ts_us"),
+          expr("coalesce(view_id, -1)").as("view_id"),
+          expr("coalesce(view_ts_us, -1)").as("view_ts_us"))
+    }),
+
+    // ---- benchmark decontamination: a 10% md5-bucket slice of documents
+    // plays the held-out eval set; flag the remaining 90% on any shared
+    // word 5-gram. Broadcast semi-join — no corpus shuffle on the gram.
+    "text_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evalSide = Curation.md5Bucket(col("doc_id")) < 100000L
+      Decontaminate.contaminated(
+        docs.where(!evalSide), docs.where(evalSide), "text", "doc_id", 5)
+        .select(col("doc_id"), col("n_hits"))
+    }),
+
+    // ---- PII redaction: the corpus has no contact strings, so each doc
+    // gets a deterministic doc_id-derived contact blurb appended (same
+    // concat in the oracle SQL) — the patterns then genuinely fire.
+    "text_redact" -> ((s, dir) => {
+      val withPii = t(s, dir, "documents").select(col("doc_id"),
+        expr("""concat(text, ' contact user', doc_id, '@example.com or http://site', doc_id,
+                '.example/a?b=1 from 10.0.', doc_id % 256, '.7')""").as("text"))
+      TextAnalysis.redactionCounts(withPii, "text")
+        .select(col("doc_id"),
+          org.apache.spark.sql.functions.md5(encode(TextAnalysis.redact(col("text")), "UTF-8"))
+            .as("redacted_md5"),
+          col("n_urls").cast("long").as("n_urls"),
+          col("n_emails").cast("long").as("n_emails"),
+          col("n_ips").cast("long").as("n_ips"))
+    }),
+
+    // ---- per-(lang, source) corpus profile with EXACT percentiles
+    "corpus_stats" -> ((s, dir) =>
+      Curation.corpusStats(t(s, dir, "documents"), Seq("lang", "source"), "n_chars")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -691,5 +744,54 @@ object SparkEntry {
              list_sum(list_transform(range(0, nb),
                i -> CAST('0x' || substring(hx, 2*i::INT+1, 2) AS INT)))::DOUBLE / nb / 255.0 END, 6) AS feature
          FROM h""",
+    // DuckDB's native ASOF LEFT JOIN is the ground truth for AsofJoin's
+    // union-window plan; views dedup to one row per (user, ts) in both
+    // engines so "the most recent view" is well-defined.
+    "events_asof" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tu, event_type FROM events),
+         v AS (SELECT user_id, tu AS view_ts_us, max(event_id) AS view_id
+               FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+         c AS (SELECT user_id, event_id AS click_id, tu AS click_ts_us
+               FROM e WHERE event_type = 'click')
+         SELECT c.user_id AS user_id, c.click_id AS click_id, c.click_ts_us AS click_ts_us,
+           coalesce(v.view_id, -1) AS view_id, coalesce(v.view_ts_us, -1) AS view_ts_us
+         FROM c ASOF LEFT JOIN v
+           ON c.user_id = v.user_id AND c.click_ts_us >= v.view_ts_us""",
+    // same shingle construction as the dedup_ngram family at n = 5; the
+    // md5 bucket split mirrors curate_sample's hash-sampling arithmetic
+    "text_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w,
+                ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS bkt
+              FROM documents),
+         s AS (SELECT doc_id, bkt, CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(w)-3), i -> array_to_string(w[i:i+4], ' '))) END AS sh FROM t),
+         e AS (SELECT doc_id, bkt, unnest(sh) AS g FROM s),
+         ev AS (SELECT DISTINCT g FROM e WHERE bkt < 100000)
+         SELECT e.doc_id AS doc_id, count(*) AS n_hits
+         FROM e JOIN ev USING (g) WHERE e.bkt >= 100000 GROUP BY 1""",
+    // literally the same pattern strings as TextAnalysis.redactionPatterns
+    // (Java-regex ∩ RE2 subset), applied in the same order; counts taken on
+    // the same partially-redacted stages the sequential replace sees
+    "text_redact" ->
+      """WITH p AS (SELECT doc_id, text || ' contact user' || doc_id || '@example.com or http://site' ||
+                doc_id || '.example/a?b=1 from 10.0.' || (doc_id % 256) || '.7' AS t0 FROM documents),
+         r1 AS (SELECT doc_id, t0, regexp_replace(t0, 'https?://[^\s]+', '<URL>', 'g') AS t1 FROM p),
+         r2 AS (SELECT doc_id, t0, t1,
+                 regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g') AS t2 FROM r1)
+         SELECT doc_id,
+           md5(regexp_replace(t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS redacted_md5,
+           len(regexp_extract_all(t0, 'https?://[^\s]+')) AS n_urls,
+           len(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS n_emails,
+           len(regexp_extract_all(t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips
+         FROM r2""",
+    // quantile_cont interpolates at p*(n-1) exactly like Spark's exact
+    // percentile, so the profile compares bit-for-bit after rounding
+    "corpus_stats" ->
+      """SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total,
+           round(avg(n_chars), 4) AS mean,
+           round(quantile_cont(n_chars, 0.5), 4) AS p50,
+           round(quantile_cont(n_chars, 0.9), 4) AS p90,
+           CAST(min(n_chars) AS BIGINT) AS min_v, CAST(max(n_chars) AS BIGINT) AS max_v
+         FROM documents GROUP BY 1, 2""",
   )
 }

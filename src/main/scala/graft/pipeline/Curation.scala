@@ -102,4 +102,29 @@ object Curation {
         col("shard") * lit(2147483648L) + floor(col("pack_off") / budgetTokens))
       .drop("__tok")
   }
+
+  /** Per-group corpus profile: row count, total and mean size, and EXACT
+    * p50/p90 of `numCol` — the summary a curation run publishes per
+    * (language, source) slice before and after each filter stage.
+    *
+    * Exact `percentile` (not `percentile_approx`): group cardinality here
+    * is languages × sources (tiny), while group SIZE is what grows with
+    * the corpus — and exact percentile is a single sort-based aggregation
+    * per group, the same shuffle the count/sum already pay. Both engines
+    * interpolate at `p * (n-1)`, so the oracle compares bit-for-bit after
+    * rounding. For high-cardinality grouping (per-domain over the whole
+    * web) switch to `percentile_approx`, which trades the per-group sort
+    * for a fixed-size sketch. */
+  def corpusStats(df: DataFrame, groupCols: Seq[String], numCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "corpusStats needs at least one group column")
+    val n = col(numCol)
+    df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n_docs"),
+      sum(n).cast("long").as("total"),
+      round(avg(n), 4).as("mean"),
+      round(expr(s"percentile($numCol, 0.5)"), 4).as("p50"),
+      round(expr(s"percentile($numCol, 0.9)"), 4).as("p90"),
+      min(n).cast("long").as("min_v"),
+      max(n).cast("long").as("max_v"))
+  }
 }

@@ -1,0 +1,52 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — flag training documents that share word
+  * n-grams with a held-out evaluation set, the standard pre-training
+  * hygiene step (an LLM scoring well on a benchmark it memorized verbatim
+  * is measurement error, so contaminated documents are dropped or
+  * redacted before training).
+  *
+  * Plan shape at 100 TB: the evaluation side is small by construction
+  * (benchmarks are MBs, the corpus is TBs), so its distinct n-gram set is
+  * BROADCAST and the whole operator is one map-side semi-join over the
+  * corpus scan plus one hash-aggregate on doc id — no corpus shuffle on
+  * the n-gram key at all. If an eval set ever outgrew the broadcast
+  * threshold Spark degrades to a shuffled join on `__shingle`, still
+  * keyed and skew-safe (shingles are near-unique at n ≥ 5).
+  *
+  * Shingles come from the same codegen'd [[graft.fuzzy.WordShingles]]
+  * kernel as the dedup family (distinct lowercase word n-grams; documents
+  * shorter than n collapse to one whole-text shingle), so one oracle SQL
+  * family covers both.
+  */
+object Decontaminate {
+
+  /** Distinct word n-grams of the evaluation frame: (`__shingle`). */
+  def evalGrams(eval: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    Dedup.wordShingles(eval, textCol, idCol, n).select(col("__shingle")).distinct()
+
+  /** Contaminated corpus documents: (idCol, n_hits) where `n_hits` is the
+    * number of DISTINCT eval n-grams the document contains (≥ 1). Callers
+    * typically anti-join the result against the corpus to drop, or gate on
+    * `n_hits` for a softer fraction-based policy. */
+  def contaminated(corpus: DataFrame, eval: DataFrame, textCol: String,
+                   idCol: String, n: Int): DataFrame = {
+    val grams = broadcast(evalGrams(eval, textCol, idCol, n))
+    Dedup.wordShingles(corpus, textCol, idCol, n)
+      .join(grams, Seq("__shingle"), "left_semi")
+      // shingles are distinct per document already (kernel contract), so a
+      // plain count IS the distinct-gram hit count
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** The clean corpus: every row of `corpus` sharing no word n-gram with
+    * `eval`. Same broadcast plan, anti-join at the end. */
+  def decontaminated(corpus: DataFrame, eval: DataFrame, textCol: String,
+                     idCol: String, n: Int): DataFrame =
+    corpus.join(contaminated(corpus, eval, textCol, idCol, n).select(col(idCol)),
+      Seq(idCol), "left_anti")
+}

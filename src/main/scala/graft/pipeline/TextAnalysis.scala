@@ -163,6 +163,41 @@ object TextAnalysis {
   /** Canonical content fingerprint: md5 of the sorted distinct token set.
     * Invariant to word order and duplication — catches shuffled/near-exact
     * copies that exact hashing misses. */
+  // ------------------------------------------------------------ redaction
+
+  /** PII-redaction patterns, ordered: URLs first (an email inside a URL
+    * must redact as part of the URL), then emails, then dotted-quad IPs.
+    * Every pattern stays inside the Java-regex ∩ RE2 common subset —
+    * character classes, bounded repetition, `\b` — so the DuckDB oracle
+    * applies literally the same strings with `regexp_replace(..., 'g')`. */
+  val redactionPatterns: Seq[(String, String)] = Seq(
+    "https?://[^\\s]+" -> "<URL>",
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+" -> "<EMAIL>",
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<IP>")
+
+  /** Redacted text: the patterns applied in table order, all occurrences.
+    * A pure narrow projection (codegen'd `RegExpReplace` chain) — the
+    * 100 TB plan is the parquet scan itself. */
+  def redact(text: Column): Column =
+    redactionPatterns.foldLeft(text) { case (acc, (pat, tag)) =>
+      regexp_replace(acc, pat, tag)
+    }
+
+  /** Per-pattern match counts (before redaction), same order; used for
+    * corpus PII telemetry and for filters like "drop documents with > k
+    * contact strings". */
+  def redactionCounts(df: DataFrame, textCol: String): DataFrame = {
+    // count each pattern on the PARTIALLY-redacted text, exactly as the
+    // sequential redaction sees it (an email inside a URL counts as URL)
+    val staged = redactionPatterns.inits.toSeq.reverse.map(ps =>
+      ps.foldLeft(col(textCol)) { case (acc, (pat, tag)) => regexp_replace(acc, pat, tag) })
+    df.withColumn("n_urls", regexp_count(staged(0), lit(redactionPatterns(0)._1)))
+      .withColumn("n_emails", regexp_count(staged(1), lit(redactionPatterns(1)._1)))
+      .withColumn("n_ips", regexp_count(staged(2), lit(redactionPatterns(2)._1)))
+  }
+
+  // ---------------------------------------------------------- fingerprint
+
   def fingerprintMd5(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
