@@ -93,4 +93,22 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       .select("doc_id", "pack_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again == packed.map(p => (p._1, p._4)).toSet)
   }
+
+  test("corpusStats: exact interpolated percentiles per group") {
+    import spark.implicits._
+    // group g has sizes 10,20,30,40 -> p50 = 25 (interpolated), p90 = 37
+    val df = Seq(("g", 10), ("g", 20), ("g", 30), ("g", 40), ("h", 7))
+      .toDF("grp", "n")
+    val rows = Curation.corpusStats(df, Seq("grp"), "n").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val g = rows("g")
+    assert(g.getLong(1) == 4L && g.getLong(2) == 100L)       // n_docs, total
+    assert(g.getDouble(3) == 25.0)                            // mean
+    assert(g.getDouble(4) == 25.0, s"p50 ${g.getDouble(4)}")  // (20+30)/2
+    assert(g.getDouble(5) == 37.0, s"p90 ${g.getDouble(5)}")  // 30 + 0.7*10
+    assert(g.getLong(6) == 10L && g.getLong(7) == 40L)        // min, max
+    val h = rows("h")
+    assert(h.getLong(1) == 1L && h.getDouble(4) == 7.0 && h.getDouble(5) == 7.0,
+      "a singleton group's percentiles are its value")
+  }
 }

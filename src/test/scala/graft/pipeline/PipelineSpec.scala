@@ -344,6 +344,29 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(fps(0).toSet.intersect(fps(1).toSet).nonEmpty)
     assert(fps(0).toSet != fps(1).toSet)
   }
+
+  test("PII redaction: sequential patterns, url swallows its email") {
+    val df = Seq(
+      (1L, "mail a@b.com or see http://x.io/u?e=c@d.com from 10.0.0.1 ok"),
+      (2L, "no pii here"),
+      (3L, "two mails a@b.org b@c.net and 999.1.1.1 is still ip-shaped")
+    ).toDF("id", "text")
+    val red = df.select($"id", TextAnalysis.redact($"text").as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(red(1L) == "mail <EMAIL> or see <URL> from <IP> ok",
+      s"got ${red(1L)}")
+    assert(red(2L) == "no pii here")
+    // dotted-quad pattern is shape-based (1-3 digits), not value-validated
+    assert(red(3L) == "two mails <EMAIL> <EMAIL> and <IP> is still ip-shaped")
+    val counts = TextAnalysis.redactionCounts(df, "text")
+      .select($"id", $"n_urls", $"n_emails", $"n_ips")
+      .as[(Long, Int, Int, Int)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // the email inside the url counts as part of the URL, not as an email
+    assert(counts(1L) == ((1, 1, 1)), s"got ${counts(1L)}")
+    assert(counts(2L) == ((0, 0, 0)))
+    assert(counts(3L) == ((0, 2, 1)))
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite with SparkSpec {
