@@ -391,6 +391,19 @@ object SparkEntry {
     // ---- per-(lang, source) corpus profile with EXACT percentiles
     "corpus_stats" -> ((s, dir) =>
       Curation.corpusStats(t(s, dir, "documents"), Seq("lang", "source"), "n_chars")),
+
+    // ---- incremental (nightly-ingest) dedup: a 10% md5-bucket slice
+    // plays today's batch against the 90% corpus. Hot-shingle gate
+    // disabled like every oracled shingle entry (the SQL joins all
+    // shared shingles); production callers keep the default.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val batchSide = Curation.md5Bucket(col("doc_id")) < 100000L
+      Dedup.incrementalDedup(docs.where(batchSide), docs.where(!batchSide),
+        "text", "doc_id", n = 3, threshold = 0.5, maxShinglePairs = Long.MaxValue)
+        .select(col("doc_id"), col("dup_kind"), col("match_id"),
+          sround(col("jaccard"), 6).as("jaccard"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -793,5 +806,35 @@ object SparkEntry {
            round(quantile_cont(n_chars, 0.9), 4) AS p90,
            CAST(min(n_chars) AS BIGINT) AS min_v, CAST(max(n_chars) AS BIGINT) AS max_v
          FROM documents GROUP BY 1, 2""",
+    // exact arm: corpus digests (min id per digest); near arm: the
+    // dedup_ngram_jaccard shingle family restricted to cross-side pairs,
+    // best match per batch doc (max jaccard, ties to smallest corpus id)
+    "dedup_incremental" ->
+      """WITH d AS (SELECT doc_id, text,
+                ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS bkt
+              FROM documents),
+         cd AS (SELECT md5(text) AS dg, min(doc_id) AS match_id FROM d WHERE bkt >= 100000 GROUP BY 1),
+         ex AS (SELECT b.doc_id AS doc_id, 'exact' AS dup_kind, cd.match_id AS match_id, 1.0 AS jaccard
+                FROM d b JOIN cd ON md5(b.text) = cd.dg WHERE b.bkt < 100000),
+         t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+         s AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) END AS sh FROM t),
+         e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         sz AS (SELECT doc_id, len(sh) AS sz FROM s),
+         c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+               FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         j AS (SELECT id_a, id_b, common / (sa.sz + sb.sz - common) AS jac
+               FROM c JOIN sz sa ON c.id_a = sa.doc_id JOIN sz sb ON c.id_b = sb.doc_id
+               WHERE common / (sa.sz + sb.sz - common) >= 0.5),
+         x AS (SELECT CASE WHEN da.bkt < 100000 THEN j.id_a ELSE j.id_b END AS doc_id,
+                 CASE WHEN da.bkt < 100000 THEN j.id_b ELSE j.id_a END AS match_id, j.jac
+               FROM j JOIN d da ON j.id_a = da.doc_id JOIN d db ON j.id_b = db.doc_id
+               WHERE (da.bkt < 100000) <> (db.bkt < 100000)),
+         nr AS (SELECT doc_id, 'near' AS dup_kind, match_id, jac AS jaccard FROM
+                 (SELECT x.*, row_number() OVER (PARTITION BY doc_id ORDER BY jac DESC, match_id) AS rk
+                  FROM x WHERE doc_id NOT IN (SELECT doc_id FROM ex)) WHERE rk = 1)
+         SELECT doc_id, dup_kind, match_id, round(jaccard, 6) AS jaccard FROM ex
+         UNION ALL
+         SELECT doc_id, dup_kind, match_id, round(jaccard, 6) AS jaccard FROM nr""",
   )
 }

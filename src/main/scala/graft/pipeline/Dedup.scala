@@ -151,6 +151,64 @@ object Dedup {
     verifyJaccard(pairs, sets, idCol, threshold)
   }
 
+  // --------------------------------------------------------- incremental
+
+  /** Incremental dedup: flag each `batch` document that duplicates the
+    * existing `corpus` — the nightly-ingest operator (dedupe today's crawl
+    * against the accumulated corpus; within-batch and within-corpus
+    * duplicates are a separate self-dedup concern and are NOT reported
+    * here). Ids must be disjoint across the two frames.
+    *
+    * Output (one row per duplicated batch doc):
+    * (idCol, dup_kind 'exact'|'near', match_id, jaccard). Exact matches
+    * (identical text) attach the min corpus id for their digest and take
+    * precedence; remaining docs report their best near match (max shingle
+    * jaccard >= `threshold`, ties to the smallest corpus id).
+    *
+    * Plan shape: the exact arm is one hash-agg over corpus digests plus
+    * one keyed join (16-byte md5 keys, never full text). The near arm
+    * reuses [[ngramJaccardPairs]] on the union — shared-shingle blocking,
+    * the hot-shingle df gate, and set-based exact verify all apply
+    * unchanged — then keeps only cross-side pairs. At scale, run the
+    * corpus side through a bucketed layout ([[graft.util.BucketedTables]])
+    * so repeated nightly runs never reshuffle the corpus digests. */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame, textCol: String,
+                       idCol: String, n: Int = 3, threshold: Double = 0.5,
+                       checkpoint: CheckpointStrategy = CheckpointStrategy.Local,
+                       maxShinglePairs: Long = 4_000_000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bd = batch.select(col(idCol), md5(col(textCol)).as("__digest"))
+    val cd = corpus.groupBy(md5(col(textCol)).as("__digest"))
+      .agg(min(col(idCol)).as("match_id"))
+    val exact = bd.join(cd, Seq("__digest"))
+      .select(col(idCol), lit("exact").as("dup_kind"), col("match_id"),
+        lit(1.0).as("jaccard"))
+
+    val union = batch.select(col(idCol), col(textCol))
+      .unionByName(corpus.select(col(idCol), col(textCol)))
+    val pairs = ngramJaccardPairs(union, textCol, idCol, n, threshold,
+      checkpoint, maxShinglePairs)
+    val aFlag = batch.select(col(idCol).as("id_a"), lit(true).as("__ab"))
+    val bFlag = batch.select(col(idCol).as("id_b"), lit(true).as("__bb"))
+    val oriented = pairs
+      .join(aFlag, Seq("id_a"), "left").join(bFlag, Seq("id_b"), "left")
+      .withColumn("__ab", coalesce(col("__ab"), lit(false)))
+      .withColumn("__bb", coalesce(col("__bb"), lit(false)))
+      .where(col("__ab") =!= col("__bb")) // exactly one end in the batch
+      .select(
+        when(col("__ab"), col("id_a")).otherwise(col("id_b")).as(idCol),
+        when(col("__ab"), col("id_b")).otherwise(col("id_a")).as("match_id"),
+        col("jaccard"))
+    val best = Window.partitionBy(col(idCol))
+      .orderBy(col("jaccard").desc, col("match_id"))
+    val near = oriented
+      .join(exact.select(col(idCol)), Seq(idCol), "left_anti")
+      .withColumn("__rk", row_number().over(best))
+      .where(col("__rk") === 1)
+      .select(col(idCol), lit("near").as("dup_kind"), col("match_id"), col("jaccard"))
+    exact.unionByName(near)
+  }
+
   // ------------------------------------------------------------- minhash
 
   /** MinHash signature column: for each of k hash functions, the minimum

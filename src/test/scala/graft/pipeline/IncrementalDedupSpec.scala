@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IncrementalDedupSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // corpus: 100-102; batch: 1-5
+  private def corpus = Seq(
+    (100L, "the quick brown fox jumps over the lazy dog"),
+    (101L, "completely different corpus content about query planning"),
+    (102L, "the quick brown fox jumps over the lazy dog")   // corpus-internal dup
+  ).toDF("doc_id", "text")
+
+  private def batch = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),     // exact dup of 100/102
+    (2L, "the quick brown fox jumps over the lazy cat"),     // near dup (j = 0.75)
+    (3L, "totally novel text that matches nothing at all"),  // clean
+    (4L, "completely different corpus content about query planning"), // exact of 101
+    (5L, "the quick brown fox jumps over the lazy cat")      // near dup, same as 2
+  ).toDF("doc_id", "text")
+
+  private def run() =
+    Dedup.incrementalDedup(batch, corpus, "text", "doc_id",
+      n = 3, threshold = 0.5, maxShinglePairs = Long.MaxValue)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getDouble(3)))).toMap
+
+  test("exact dups attach the min corpus id; near dups their best match") {
+    val m = run()
+    assert(m.keySet == Set(1L, 2L, 4L, 5L), s"got $m")
+    assert(m(1L) == (("exact", 100L, 1.0)), "exact match takes the MIN corpus id")
+    assert(m(4L) == (("exact", 101L, 1.0)))
+    // 9 tokens -> 7 shingles, 6 shared, union 8 -> 0.75; ties (100 vs 102
+    // have identical text, hence identical jaccard) break to the min id
+    assert(m(2L)._1 == "near" && m(2L)._2 == 100L && math.abs(m(2L)._3 - 0.75) < 1e-12)
+    assert(m(5L) == m(2L), "identical batch docs get identical verdicts")
+  }
+
+  test("clean batch docs are absent; within-side dups are not reported") {
+    val m = run()
+    assert(!m.contains(3L), "doc sharing nothing with the corpus is clean")
+    // batch docs 2 and 5 are identical to each other -> still only
+    // reported against the CORPUS, never against each other
+    assert(m.values.forall(v => v._2 >= 100L), "matches must be corpus ids")
+  }
+
+  test("one row per duplicated batch doc (near arm is deterministic top-1)") {
+    val out = Dedup.incrementalDedup(batch, corpus, "text", "doc_id",
+      n = 3, threshold = 0.5, maxShinglePairs = Long.MaxValue)
+    assert(out.groupBy("doc_id").count().where($"count" > 1).count() == 0)
+  }
+}
