@@ -62,6 +62,29 @@ class AsofJoinSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("forward picks the earliest right row at or after each left row") {
+    val m = AsofJoin.forward(trades, quotes, Seq("k"), "tts", "qts", Seq("quote_id"))
+      .select($"trade_id", $"quote_id").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(m(1L).contains(100L), "a trade before every quote takes the first")
+    assert(m(2L).contains(101L), "equal timestamps match inclusively")
+    assert(m(3L).contains(102L))
+    assert(m(4L).isEmpty, "a trade after the last quote matches nothing forward")
+    assert(m(5L).contains(200L))
+    assert(m(6L).isEmpty)
+  }
+
+  test("tolerance nulls matches beyond the bound, keeps the row") {
+    val m = AsofJoin.backward(trades, quotes, Seq("k"), "tts", "qts",
+        Seq("quote_id"), tolerance = Some(lit(5L)))
+      .select($"trade_id", $"quote_id").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(m.size == 6, "tolerance must not drop left rows")
+    assert(m(2L).contains(101L), "distance 0 is within tolerance")
+    assert(m(3L).contains(101L), "distance 5 is within tolerance (inclusive)")
+    assert(m(4L).isEmpty, "distance 69 exceeds tolerance")
+  }
+
   test("plan shape: one window over the union, no join operator anywhere") {
     val out = AsofJoin.backward(trades, quotes, Seq("k"), "tts", "qts", Seq("quote_id"))
     val plan = out.queryExecution.executedPlan.toString
