@@ -393,13 +393,19 @@ object SparkEntry {
       Curation.corpusStats(t(s, dir, "documents"), Seq("lang", "source"), "n_chars")),
 
     // ---- incremental (nightly-ingest) dedup: a 10% md5-bucket slice
-    // plays today's batch against the 90% corpus. Hot-shingle gate
-    // disabled like every oracled shingle entry (the SQL joins all
-    // shared shingles); production callers keep the default.
+    // plays today's batch; the corpus is the other 90% PLUS re-ingested
+    // copies of half the batch under offset ids (the synthetic corpus has
+    // no duplicate texts of its own, so this is what makes the exact arm
+    // fire in the gate, not just in specs). Hot-shingle gate disabled
+    // like every oracled shingle entry; production callers keep it.
     "dedup_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val batchSide = Curation.md5Bucket(col("doc_id")) < 100000L
-      Dedup.incrementalDedup(docs.where(batchSide), docs.where(!batchSide),
+      val bkt = Curation.md5Bucket(col("doc_id"))
+      val batch = docs.where(bkt < 100000L).select(col("doc_id"), col("text"))
+      val corpus = docs.where(bkt >= 100000L).select(col("doc_id"), col("text"))
+        .unionByName(docs.where(bkt < 50000L)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      Dedup.incrementalDedup(batch, corpus,
         "text", "doc_id", n = 3, threshold = 0.5, maxShinglePairs = Long.MaxValue)
         .select(col("doc_id"), col("dup_kind"), col("match_id"),
           sround(col("jaccard"), 6).as("jaccard"))
@@ -813,10 +819,14 @@ object SparkEntry {
       """WITH d AS (SELECT doc_id, text,
                 ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS bkt
               FROM documents),
-         cd AS (SELECT md5(text) AS dg, min(doc_id) AS match_id FROM d WHERE bkt >= 100000 GROUP BY 1),
+         ba AS (SELECT doc_id, text FROM d WHERE bkt < 100000),
+         co AS (SELECT doc_id, text FROM d WHERE bkt >= 100000
+                UNION ALL SELECT doc_id + 10000000, text FROM d WHERE bkt < 50000),
+         cd AS (SELECT md5(text) AS dg, min(doc_id) AS match_id FROM co GROUP BY 1),
          ex AS (SELECT b.doc_id AS doc_id, 'exact' AS dup_kind, cd.match_id AS match_id, 1.0 AS jaccard
-                FROM d b JOIN cd ON md5(b.text) = cd.dg WHERE b.bkt < 100000),
-         t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+                FROM ba b JOIN cd ON md5(b.text) = cd.dg),
+         u AS (SELECT * FROM ba UNION ALL SELECT * FROM co),
+         t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM u),
          s AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
                 ELSE list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) END AS sh FROM t),
          e AS (SELECT doc_id, unnest(sh) AS g FROM s),
@@ -826,10 +836,10 @@ object SparkEntry {
          j AS (SELECT id_a, id_b, common / (sa.sz + sb.sz - common) AS jac
                FROM c JOIN sz sa ON c.id_a = sa.doc_id JOIN sz sb ON c.id_b = sb.doc_id
                WHERE common / (sa.sz + sb.sz - common) >= 0.5),
-         x AS (SELECT CASE WHEN da.bkt < 100000 THEN j.id_a ELSE j.id_b END AS doc_id,
-                 CASE WHEN da.bkt < 100000 THEN j.id_b ELSE j.id_a END AS match_id, j.jac
-               FROM j JOIN d da ON j.id_a = da.doc_id JOIN d db ON j.id_b = db.doc_id
-               WHERE (da.bkt < 100000) <> (db.bkt < 100000)),
+         x AS (SELECT CASE WHEN j.id_a IN (SELECT doc_id FROM ba) THEN j.id_a ELSE j.id_b END AS doc_id,
+                 CASE WHEN j.id_a IN (SELECT doc_id FROM ba) THEN j.id_b ELSE j.id_a END AS match_id, j.jac
+               FROM j
+               WHERE (j.id_a IN (SELECT doc_id FROM ba)) <> (j.id_b IN (SELECT doc_id FROM ba))),
          nr AS (SELECT doc_id, 'near' AS dup_kind, match_id, jac AS jaccard FROM
                  (SELECT x.*, row_number() OVER (PARTITION BY doc_id ORDER BY jac DESC, match_id) AS rk
                   FROM x WHERE doc_id NOT IN (SELECT doc_id FROM ex)) WHERE rk = 1)

@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   *
   * Plan shape at 100 TB: the evaluation side is small by construction
   * (benchmarks are MBs, the corpus is TBs), so its distinct n-gram set is
-  * BROADCAST and the whole operator is one map-side semi-join over the
-  * corpus scan plus one hash-aggregate on doc id — no corpus shuffle on
-  * the n-gram key at all. If an eval set ever outgrew the broadcast
-  * threshold Spark degrades to a shuffled join on `__shingle`, still
-  * keyed and skew-safe (shingles are near-unique at n ≥ 5).
+  * BROADCAST by default and the whole operator is one map-side semi-join
+  * over the corpus scan plus one hash-aggregate on doc id — no corpus
+  * shuffle on the n-gram key at all. The broadcast is an explicit hint
+  * (planner size estimates over an exploded-distinct subtree are
+  * unreliable), so for an eval side too big for executor memory pass
+  * `broadcastEval = false` to let Catalyst plan a shuffled join on the
+  * gram key instead — still keyed and skew-safe (grams are near-unique
+  * at n ≥ 5).
   *
   * Shingles come from the same codegen'd [[graft.fuzzy.WordShingles]]
   * kernel as the dedup family (distinct lowercase word n-grams; documents
@@ -33,8 +36,10 @@ object Decontaminate {
     * typically anti-join the result against the corpus to drop, or gate on
     * `n_hits` for a softer fraction-based policy. */
   def contaminated(corpus: DataFrame, eval: DataFrame, textCol: String,
-                   idCol: String, n: Int): DataFrame = {
-    val grams = broadcast(evalGrams(eval, textCol, idCol, n))
+                   idCol: String, n: Int,
+                   broadcastEval: Boolean = true): DataFrame = {
+    val g = evalGrams(eval, textCol, idCol, n)
+    val grams = if (broadcastEval) broadcast(g) else g
     Dedup.wordShingles(corpus, textCol, idCol, n)
       .join(grams, Seq("__shingle"), "left_semi")
       // shingles are distinct per document already (kernel contract), so a
@@ -46,7 +51,9 @@ object Decontaminate {
   /** The clean corpus: every row of `corpus` sharing no word n-gram with
     * `eval`. Same broadcast plan, anti-join at the end. */
   def decontaminated(corpus: DataFrame, eval: DataFrame, textCol: String,
-                     idCol: String, n: Int): DataFrame =
-    corpus.join(contaminated(corpus, eval, textCol, idCol, n).select(col(idCol)),
+                     idCol: String, n: Int,
+                     broadcastEval: Boolean = true): DataFrame =
+    corpus.join(
+      contaminated(corpus, eval, textCol, idCol, n, broadcastEval).select(col(idCol)),
       Seq(idCol), "left_anti")
 }
