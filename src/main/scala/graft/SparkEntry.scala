@@ -410,6 +410,14 @@ object SparkEntry {
         .select(col("doc_id"), col("dup_kind"), col("match_id"),
           sround(col("jaccard"), 6).as("jaccard"))
     }),
+
+    // ---- winnow-overlap pairs: lifted-passage detection (docs sharing
+    // >= 50 winnow fingerprints). MD5 fingerprint hashing + no cap, like
+    // every oracled blocking entry; production keeps xxhash + the gate.
+    "dedup_winnow" -> ((s, dir) =>
+      Dedup.winnowOverlapPairs(t(s, dir, "documents"), "text", "doc_id",
+        k = 5, window = 4, minShared = 50L,
+        maxFingerprintPairs = Long.MaxValue, useMd5 = true)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -846,5 +854,19 @@ object SparkEntry {
          SELECT doc_id, dup_kind, match_id, round(jaccard, 6) AS jaccard FROM ex
          UNION ALL
          SELECT doc_id, dup_kind, match_id, round(jaccard, 6) AS jaccard FROM nr""",
+    // the text_winnow sketch construction, self-joined on the fingerprint
+    "dedup_winnow" ->
+      """WITH p AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+         g AS (SELECT doc_id,
+                 list_transform(range(0, greatest(length(t) - 5 + 1, 1)),
+                   i -> ('0x' || substring(md5(substring(t, i::INT + 1, 5)), 1, 15))::BIGINT) AS hs
+               FROM p),
+         f AS (SELECT doc_id,
+                 unnest(list_distinct(list_transform(range(0, greatest(len(hs) - 4 + 1, 1)),
+                   w -> list_min(hs[w::INT + 1 : w::INT + 4])))) AS fp
+               FROM g)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 50""",
   )
 }

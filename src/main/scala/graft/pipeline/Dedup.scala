@@ -151,6 +151,39 @@ object Dedup {
     verifyJaccard(pairs, sets, idCol, threshold)
   }
 
+  // ------------------------------------------------------------- winnow
+
+  /** Substring-overlap near-duplicate pairs via winnowing fingerprints
+    * (id_a < id_b, n_shared >= minShared): documents sharing at least
+    * `minShared` distinct window-minimum k-gram hashes
+    * ([[TextAnalysis.winnowFingerprints]] — the MOSS sketch). This catches
+    * LIFTED PASSAGES — a paragraph pasted into otherwise-different
+    * documents — which whole-document jaccard dilutes below any usable
+    * threshold and embedding cosine blurs entirely.
+    *
+    * Same plan family as [[ngramJaccardPairs]]: blocking self-join on the
+    * 8-byte fingerprint key, hot fingerprints dropped from pair
+    * generation by the df gate (`[graft.cap] dedup_winnow`), shared-count
+    * aggregation on the deduped pair key. The sketch is ~|doc|/window
+    * fingerprints, so the exploded frame is a window-factor smaller than
+    * the full k-gram set. */
+  def winnowOverlapPairs(docs: DataFrame, textCol: String, idCol: String,
+                         k: Int = 5, window: Int = 4, minShared: Long = 8L,
+                         maxFingerprintPairs: Long = 4_000_000L,
+                         maxDriverHotFingerprints: Int = 1_000_000,
+                         useMd5: Boolean = false): DataFrame = {
+    val exploded = spread(docs).select(col(idCol),
+      explode(TextAnalysis.winnowFingerprints(col(textCol), k, window, useMd5))
+        .as("__sh"))
+    val gated = gateHotShingles(exploded, "dedup_winnow", maxFingerprintPairs,
+      maxDriverHotFingerprints)
+    gated.as("a").join(gated.as("b"),
+        col("a.__sh") === col("b.__sh") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   // --------------------------------------------------------- incremental
 
   /** Incremental dedup: flag each `batch` document that duplicates the

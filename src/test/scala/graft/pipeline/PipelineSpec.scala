@@ -118,6 +118,24 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       "surviving pairs must keep their exact ungated jaccard")
   }
 
+  test("winnow overlap pairs catch a lifted passage whole-doc jaccard misses") {
+    val passage = "the five boxing wizards jump quickly over seventeen lazy dogs " * 4
+    val d = Seq(
+      (1L, s"totally original introduction about storage engines. $passage and an original ending about compaction."),
+      (2L, s"unrelated musings on garden soil quality. $passage closing remarks on winter mulch."),
+      (3L, "a document with no shared content at all, talking about sailing.")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlapPairs(d, "text", "doc_id", minShared = 8L,
+      maxFingerprintPairs = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet == Set((1L, 2L)), s"got $pairs")
+    assert(pairs((1L, 2L)) >= 8L)
+    // the same pair is invisible to whole-document trigram jaccard at 0.5
+    val jac = Dedup.ngramJaccardPairs(d, "text", "doc_id", 3, 0.5,
+      maxShinglePairs = Long.MaxValue).count()
+    assert(jac == 0L, "whole-doc jaccard should dilute the lifted passage below 0.5")
+  }
+
   test("ngram jaccard pairs against hand-computed values") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
