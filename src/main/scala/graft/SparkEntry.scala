@@ -418,6 +418,19 @@ object SparkEntry {
       Dedup.winnowOverlapPairs(t(s, dir, "documents"), "text", "doc_id",
         k = 5, window = 4, minShared = 50L,
         maxFingerprintPairs = Long.MaxValue, useMd5 = true)),
+
+    // ---- common-token quality ratio vs the corpus top-100 vocabulary
+    "text_common_ratio" -> ((s, dir) =>
+      TextAnalysis.commonTokenRatio(t(s, dir, "documents"), "text", "doc_id", 100)
+        .select(col("doc_id"), col("n_tokens"), col("n_common"),
+          sround(col("common_ratio"), 6).as("common_ratio"))),
+
+    // ---- per-label embedding centroids (exact quantized-sum arithmetic)
+    "embed_centroid" -> ((s, dir) =>
+      graft.pipeline.Embeddings.centroids(t(s, dir, "embeddings"),
+        Seq("label"), "embedding")
+        .select(col("label").cast("long").as("label"), col("dim"),
+          col("n_vectors"), sround(col("centroid"), 6).as("centroid"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -868,5 +881,26 @@ object SparkEntry {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
          FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 50""",
+    // top-100 boundary ties break on the token string in both engines;
+    // counts are exact ints so the ratio divides identically
+    "text_common_ratio" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents),
+         tok AS (SELECT doc_id, token FROM tk WHERE length(token) > 0),
+         v AS (SELECT token FROM (SELECT token, count(*) AS freq FROM tok GROUP BY 1)
+               ORDER BY freq DESC, token LIMIT 100)
+         SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(CASE WHEN token IN (SELECT token FROM v) THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+           round(CAST(sum(CASE WHEN token IN (SELECT token FROM v) THEN 1 ELSE 0 END) AS BIGINT)
+             / count(*), 6) AS common_ratio
+         FROM tok GROUP BY 1""",
+    // same integer quantization as the sign-LSH oracles: components round
+    // to the 1e-6 grid, sums are exact BIGINTs, division order matches
+    "embed_centroid" ->
+      """SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
+           count(*) AS n_vectors,
+           round(sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) / 1000000.0 / count(*), 6) AS centroid
+         FROM (SELECT label, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS i FROM embeddings)
+         GROUP BY 1, 2""",
   )
 }

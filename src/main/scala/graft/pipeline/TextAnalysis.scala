@@ -163,6 +163,33 @@ object TextAnalysis {
   /** Canonical content fingerprint: md5 of the sorted distinct token set.
     * Invariant to word order and duplication — catches shuffled/near-exact
     * copies that exact hashing misses. */
+  /** Fraction of each document's tokens found in the corpus-wide top-N
+    * vocabulary — the classic "common-word ratio" quality signal (a
+    * Gopher-style filter: real prose is mostly frequent function words;
+    * gibberish, code dumps and boilerplate are not).
+    *
+    * Two aggregations: the top-N vocabulary (corpus hash-agg, then a
+    * TakeOrdered of N rows — never a global sort of the corpus) broadcast
+    * into a map-side membership join over the exploded tokens, then one
+    * hash-agg back to documents. Counts are exact integers, so the ratio
+    * is bit-identical across engines. */
+  def commonTokenRatio(df: DataFrame, textCol: String, idCol: String,
+                       topN: Int): DataFrame = {
+    require(topN > 0, s"topN must be positive (got $topN)")
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .where(length(col("token")) > 0)
+    val vocabTop = broadcast(
+      Curation.vocabulary(df, textCol, minCount = 1L)
+        .orderBy(col("freq").desc, col("token"))
+        .limit(topN)
+        .select(col("token"), lit(1).as("__hit")))
+    toks.join(vocabTop, Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_common"))
+      .withColumn("common_ratio", col("n_common") / col("n_tokens"))
+  }
+
   // ------------------------------------------------------------ redaction
 
   /** PII-redaction patterns, ordered: URLs first (an email inside a URL

@@ -363,6 +363,30 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(fps(0).toSet != fps(1).toSet)
   }
 
+  test("common-token ratio against the top-N vocabulary") {
+    // corpus freqs: "the"x4, "cat"x3, "sat"x2, rest x1 -> top2 = {the, cat}
+    val d = Seq(
+      (1L, "the cat sat"),
+      (2L, "the the cat sat"),
+      (3L, "the cat dog elephant")).toDF("doc_id", "text")
+    val m = TextAnalysis.commonTokenRatio(d, "text", "doc_id", 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(m(1L) == ((3L, 2L, 2.0 / 3)))
+    assert(m(2L) == ((4L, 3L, 0.75)))
+    assert(m(3L) == ((4L, 2L, 0.5)))
+  }
+
+  test("embedding centroids: exact quantized means per group") {
+    val d = Seq(
+      (1L, Seq(1.0f, 0.0f), "a"),
+      (2L, Seq(0.0f, 1.0f), "a"),
+      (3L, Seq(0.5f, 0.5f), "b")).toDF("vec_id", "embedding", "label")
+    val rows = Embeddings.centroids(d, Seq("label"), "embedding")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows(("a", 1L)) == ((2L, 0.5)) && rows(("a", 2L)) == ((2L, 0.5)))
+    assert(rows(("b", 1L)) == ((1L, 0.5)) && rows(("b", 2L)) == ((1L, 0.5)))
+  }
+
   test("PII redaction: sequential patterns, url swallows its email") {
     val df = Seq(
       (1L, "mail a@b.com or see http://x.io/u?e=c@d.com from 10.0.0.1 ok"),
