@@ -431,6 +431,21 @@ object SparkEntry {
         Seq("label"), "embedding")
         .select(col("label").cast("long").as("label"), col("dim"),
           col("n_vectors"), sround(col("centroid"), 6).as("centroid"))),
+
+    // ---- NATIVE session_window sessionization in batch mode (the same
+    // code path the watermarked stream runs). Integer-exact like
+    // events_sessionize; native boundary semantics (merge iff diff < gap).
+    "events_session_window" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"),
+        org.apache.spark.sql.functions.timestamp_micros(expr("ts div 1000")).as("ts"),
+        expr("cast(round(value * 100) as long)").as("cents"))
+      graft.streaming.EventStreams.sessionWindowStats(ev, "user_id", "ts", "cents",
+          gap = "30 minutes")
+        .select(col("user_id"),
+          org.apache.spark.sql.functions.unix_micros(col("session_start")).as("session_start_us"),
+          org.apache.spark.sql.functions.unix_micros(col("session_end")).as("session_end_us"),
+          col("n_events"), col("sum_value").as("sum_value_cents"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -902,5 +917,22 @@ object SparkEntry {
          FROM (SELECT label, unnest(embedding) AS v,
                  generate_subscripts(embedding, 1) AS i FROM embeddings)
          GROUP BY 1, 2""",
+    // native session_window semantics: break at diff >= gap (an event at
+    // exactly last + gap starts a NEW session) — note >= vs
+    // events_sessionize's > (Sessionize merges on <=)
+    "events_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         b AS (SELECT user_id, ts_us, cents,
+                 CASE WHEN lag(ts_us) OVER w IS NULL
+                        OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+         s AS (SELECT user_id, ts_us, cents,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                   ROWS UNBOUNDED PRECEDING) AS sid
+               FROM b)
+         SELECT user_id, min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+           count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_value_cents
+         FROM s GROUP BY user_id, sid""",
   )
 }

@@ -29,6 +29,33 @@ object EventStreams {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Gap-based sessionization via the NATIVE `session_window` — the
+    * incremental streaming path for what [[graft.pipeline.Sessionize]]
+    * computes with batch windows: under a watermark, Spark maintains and
+    * merges open sessions as state and emits each session when it closes,
+    * so an unbounded stream sessionizes with bounded memory (the
+    * foreachBatch-free shape). Batch frames run the same code.
+    *
+    * Boundary semantics (native): an event MERGES into the open session
+    * iff `ts - last < gap` — an event at exactly `last + gap` starts a
+    * new session. (`Sessionize.sessionStats` merges on `<=`; the two
+    * agree everywhere except gaps of exactly `gap`.)
+    *
+    * Session bounds are reported as min/max EVENT times (the
+    * `session_window` struct's end is `last + gap`, a retention bound,
+    * not an event time). */
+  def sessionWindowStats(events: DataFrame, userCol: String, tsCol: String,
+                         valueCol: String, gap: String = "30 minutes",
+                         watermark: Option[String] = None): DataFrame = {
+    val base = watermark.map(w => events.withWatermark(tsCol, w)).getOrElse(events)
+    base.groupBy(col(userCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        sum(col(valueCol)).as("sum_value"))
+      .drop("session_window")
+  }
+
   /** Streaming exact dedup on event_id, state bounded by the watermark
     * (the streaming analog of Dedup.exactDedupRows). */
   def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =

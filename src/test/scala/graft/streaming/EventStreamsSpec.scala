@@ -110,4 +110,50 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(streamed == batch)
   }
+
+  test("native session_window: gap semantics incl. the exact-gap boundary") {
+    // user 1: events at 0s, 10s, then exactly +30min (boundary -> NEW
+    // session under native semantics), then +30min+1us (same session as
+    // the boundary event); user 2: one event
+    val gapUs = 30L * 60 * 1000000
+    val fixture = Seq(
+      (1L, 0L, 5L), (1L, 10000000L, 7L),
+      (1L, 10000000L + gapUs, 11L),
+      (1L, 10000000L + gapUs + 1L, 13L),
+      (2L, 42L, 17L)
+    ).toDF("user_id", "ts_us", "cents")
+      .withColumn("ts", timestamp_micros($"ts_us"))
+    val out = EventStreams.sessionWindowStats(fixture, "user_id", "ts", "cents")
+      .select($"user_id", unix_micros($"session_start"), unix_micros($"session_end"),
+        $"n_events", $"sum_value")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 0L, 10000000L, 2L, 12L),
+      (1L, 10000000L + gapUs, 10000000L + gapUs + 1L, 2L, 24L),
+      (2L, 42L, 42L, 1L, 17L)), s"got $out")
+  }
+
+  test("native session_window streaming run equals the batch run") {
+    def sessions(df: org.apache.spark.sql.DataFrame) =
+      EventStreams.sessionWindowStats(
+        df.withColumn("cents", expr("cast(round(value * 100) as long)")),
+        "user_id", "ts", "cents", watermark = Some("2 hours"))
+    val q = sessions(streamingEvents)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sess_win")
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // Append emits only sessions FINALIZED by the watermark; with one
+    // micro-batch, sessions near max event time stay open -> streamed is
+    // a subset of batch, and every emitted session must match exactly
+    val streamed = spark.table("sess_win")
+      .select($"user_id", $"sum_value", $"n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = sessions(batchEvents)
+      .select($"user_id", $"sum_value", $"n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty, "no finalized sessions emitted")
+    assert(streamed.subsetOf(batch),
+      s"streaming emitted sessions absent from batch: ${(streamed -- batch).take(3)}")
+  }
 }
