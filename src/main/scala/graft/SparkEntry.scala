@@ -432,6 +432,18 @@ object SparkEntry {
         .select(col("label").cast("long").as("label"), col("dim"),
           col("n_vectors"), sround(col("centroid"), 6).as("centroid"))),
 
+    // ---- exactly-N-per-group deterministic quota sampling
+    "curate_sample_n" -> ((s, dir) =>
+      Curation.hashSampleN(t(s, dir, "documents"), "doc_id", "source", 20)
+        .select(col("doc_id"), col("source"))),
+
+    // ---- overlapping token-window chunking (64-token chunks, 16 overlap)
+    "curate_chunks" -> ((s, dir) =>
+      Curation.chunkTokens(t(s, dir, "documents"), "text", "doc_id", 64, 16)
+        .select(col("doc_id"), col("chunk_index"), col("n_chunk_tokens"),
+          org.apache.spark.sql.functions.md5(encode(col("chunk_text"), "UTF-8"))
+            .as("chunk_md5"))),
+
     // ---- NATIVE session_window sessionization in batch mode (the same
     // code path the watermarked stream runs). Integer-exact like
     // events_sessionize; native boundary semantics (merge iff diff < gap).
@@ -917,6 +929,24 @@ object SparkEntry {
          FROM (SELECT label, unnest(embedding) AS v,
                  generate_subscripts(embedding, 1) AS i FROM embeddings)
          GROUP BY 1, 2""",
+    // deterministic quota: same md5-string ordering in both engines
+    "curate_sample_n" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source, row_number() OVER (PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents)
+         WHERE rk <= 20""",
+    // chunk starts every stride = 64-16 = 48 tokens; DuckDB list slices
+    // truncate at the end exactly like Spark's slice
+    "curate_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+         c AS (SELECT doc_id, unnest(list_transform(range(0, CAST(floor((len(w)-1)/48) AS INT) + 1),
+                 i -> struct_pack(idx := i, txt := array_to_string(w[(i*48+1)::INT : (i*48+64)::INT], ' ')))) AS ch
+               FROM t)
+         SELECT doc_id, CAST(ch.idx AS BIGINT) AS chunk_index,
+           CAST(len(string_split_regex(ch.txt, '\s+')) AS BIGINT) AS n_chunk_tokens,
+           md5(ch.txt) AS chunk_md5
+         FROM c""",
     // native session_window semantics: break at diff >= gap (an event at
     // exactly last + gap starts a NEW session) — note >= vs
     // events_sessionize's > (Sessionize merges on <=)

@@ -103,6 +103,44 @@ object Curation {
       .drop("__tok")
   }
 
+  /** EXACTLY `n` rows per group (fewer if the group is smaller), chosen
+    * deterministically by md5 of the key — the quota form of
+    * [[hashSample]] ("keep 10k docs per domain"), reproducible across
+    * runs and engines with no RNG state. One shuffle on the group key;
+    * the rank filter cuts inside the window stage (WindowGroupLimit), so
+    * only ~n rows per group survive to the output. */
+  def hashSampleN(df: DataFrame, keyCol: String, groupCol: String, n: Int): DataFrame = {
+    require(n > 0, s"n must be positive (got $n)")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= n)
+      .drop("__rk")
+  }
+
+  /** Split each document into overlapping token windows — the standard
+    * train-prep chunker (context-window-sized pieces, `overlap` tokens of
+    * continuity between neighbors). Chunks start every
+    * `chunkTokens - overlap` tokens; the last chunk may be short.
+    *
+    * One narrow codegen'd projection (split → slice per chunk) + explode:
+    * no shuffle at all, parallelism is the scan's. Returns (idCol,
+    * chunk_index, n_chunk_tokens, chunk_text). */
+  def chunkTokens(df: DataFrame, textCol: String, idCol: String,
+                  chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens (got $chunkTokens, $overlap)")
+    val stride = chunkTokens - overlap
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val nChunks = floor((size(toks) - 1) / stride) + 1
+    df.select(col(idCol), posexplode(transform(
+        sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(toks, i * stride + 1, lit(chunkTokens))))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_index"),
+        size(split(col("col"), "\\s+")).cast("long").as("n_chunk_tokens"),
+        col("col").as("chunk_text"))
+  }
+
   /** Per-group corpus profile: row count, total and mean size, and EXACT
     * p50/p90 of `numCol` — the summary a curation run publishes per
     * (language, source) slice before and after each filter stage.

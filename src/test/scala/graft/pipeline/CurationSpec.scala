@@ -94,6 +94,38 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(again == packed.map(p => (p._1, p._4)).toSet)
   }
 
+  test("hashSampleN keeps exactly n per group, deterministically") {
+    val sampled = Curation.hashSampleN(docs, "doc_id", "source", 5)
+    val counts = sampled.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (src, tot) =>
+      assert(counts(src) == math.min(5L, tot), s"$src: ${counts.get(src)} of $tot")
+    }
+    assert(sampled.columns.toSeq == docs.columns.toSeq, "full schema passes through")
+    val again = Curation.hashSampleN(docs, "doc_id", "source", 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == sampled.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("chunkTokens: overlapping windows cover the document exactly") {
+    val d = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "a b"))
+      .toDF("doc_id", "text")
+    // chunk 4, overlap 2 -> stride 2 -> starts 0,2,4,6,8 (5 chunks for 10)
+    val rows = Curation.chunkTokens(d, "text", "doc_id", 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(rows.count(_._1._1 == 1L) == 5)
+    assert(rows((1L, 0L)) == ((4L, "t1 t2 t3 t4")))
+    assert(rows((1L, 1L)) == ((4L, "t3 t4 t5 t6")))
+    assert(rows((1L, 4L)) == ((2L, "t9 t10")), "last chunk may be short")
+    // neighbors overlap by exactly `overlap` tokens
+    assert(rows((1L, 0L))._2.split(" ").takeRight(2).toSeq ==
+      rows((1L, 1L))._2.split(" ").take(2).toSeq)
+    assert(rows.count(_._1._1 == 2L) == 1 && rows((2L, 0L)) == ((2L, "a b")),
+      "short docs yield one chunk")
+  }
+
   test("corpusStats: exact interpolated percentiles per group") {
     import spark.implicits._
     // group g has sizes 10,20,30,40 -> p50 = 25 (interpolated), p90 = 37
