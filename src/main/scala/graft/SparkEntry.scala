@@ -444,6 +444,23 @@ object SparkEntry {
           org.apache.spark.sql.functions.md5(encode(col("chunk_text"), "UTF-8"))
             .as("chunk_md5"))),
 
+    // ---- ordered funnel: view -> click -> purchase, earliest-achievable
+    // step times, -1 sentinels for unreached steps
+    "events_funnel" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("event_type"))
+      graft.pipeline.Funnels.funnelSteps(ev, "user_id", "ts_us", "event_type",
+        Seq("view", "click", "purchase"))
+    }),
+
+    // ---- weekly cohort retention (7-day periods of raw epoch micros)
+    "events_retention" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"),
+        expr("ts div 1000").as("ts_us"))
+      graft.pipeline.Funnels.cohortRetention(ev, "user_id", "ts_us",
+        7L * 86400L * 1000000L)
+    }),
+
     // ---- NATIVE session_window sessionization in batch mode (the same
     // code path the watermarked stream runs). Integer-exact like
     // events_sessionize; native boundary semantics (merge iff diff < gap).
@@ -947,6 +964,25 @@ object SparkEntry {
            CAST(len(string_split_regex(ch.txt, '\s+')) AS BIGINT) AS n_chunk_tokens,
            md5(ch.txt) AS chunk_md5
          FROM c""",
+    // earliest-achievable funnel times: each step's min ts at or after
+    // the previous step's time; only funnel entrants (step 0) appear
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_type FROM events),
+         s0 AS (SELECT user_id, min(tu) AS t0 FROM e WHERE event_type = 'view' GROUP BY 1),
+         s1 AS (SELECT e.user_id, min(tu) AS t1 FROM e JOIN s0 USING (user_id)
+                WHERE event_type = 'click' AND tu >= t0 GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(tu) AS t2 FROM e JOIN s1 USING (user_id)
+                WHERE event_type = 'purchase' AND tu >= t1 GROUP BY 1)
+         SELECT s0.user_id AS user_id,
+           CAST(CASE WHEN t2 IS NOT NULL THEN 3 WHEN t1 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS steps_completed,
+           coalesce(t0, -1) AS t0, coalesce(t1, -1) AS t1, coalesce(t2, -1) AS t2
+         FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)""",
+    // integer floor-division cohorts: both engines bucket identically
+    "events_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS p FROM events),
+         f AS (SELECT user_id, min(p) AS cohort FROM e GROUP BY 1)
+         SELECT cohort, p - cohort AS period_offset, count(DISTINCT user_id) AS n_users
+         FROM e JOIN f USING (user_id) GROUP BY 1, 2""",
     // native session_window semantics: break at diff >= gap (an event at
     // exactly last + gap starts a NEW session) — note >= vs
     // events_sessionize's > (Sessionize merges on <=)

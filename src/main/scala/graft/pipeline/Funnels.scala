@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel and cohort-retention analytics over event frames —
+  * the aggregate product-analytics queries a telemetry pipeline serves
+  * alongside sessionization.
+  */
+object Funnels {
+
+  /** Ordered funnel progression per user: step i counts only if it
+    * happens AT OR AFTER the user's step i-1 time (earliest-achievable
+    * times, the standard funnel definition). Returns one row per user who
+    * entered the funnel (did step 0): (userCol, steps_completed,
+    * t_step_0 … t_step_{k-1}) with -1 for unreached steps.
+    *
+    * Plan: one filtered min-aggregate per step plus a keyed join per
+    * step — every shuffle is on the user key, nothing is ordered
+    * globally, no windows over whole-user event lists. Funnels of k
+    * steps cost k passes over the (pre-filtered) step events, not a
+    * per-user sort of all events. */
+  def funnelSteps(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val user = col(userCol)
+    val first = events.where(col(typeCol) === steps.head)
+      .groupBy(user).agg(min(col(tsCol)).as("t0"))
+    val full = steps.zipWithIndex.tail.foldLeft(first) { case (acc, (step, i)) =>
+      val prev = s"t${i - 1}"; val cur = s"t$i"
+      val stepEv = events.where(col(typeCol) === step)
+        .select(user, col(tsCol).as("__ts"))
+      val carried = (0 until i).map(j => col(s"t$j"))
+      acc.join(stepEv, Seq(userCol), "left")
+        .groupBy(user +: carried: _*)
+        .agg(min(when(col("__ts") >= col(prev), col("__ts"))).as(cur))
+    }
+    val ts = steps.indices.map(i => col(s"t$i"))
+    val completed = ts.tail.foldLeft(lit(1)) { case (acc, t) =>
+      acc + when(t.isNotNull, 1).otherwise(0)
+    }
+    // unreached steps are null from min-of-nothing; a later step can only
+    // be non-null if its predecessor was (the >= predicate guarantees it)
+    full.select(user +: completed.cast("long").as("steps_completed") +:
+      steps.indices.map(i => coalesce(col(s"t$i"), lit(-1L)).as(s"t$i")): _*)
+  }
+
+  /** Cohort retention: users bucketed by their first-activity period
+    * (integer `periodLengthMicros` buckets of the raw timestamp), counted
+    * distinct in every later period they appear. Returns (cohort,
+    * period_offset, n_users). Two keyed aggregations and one join on the
+    * user key — the exact-integer arithmetic makes the result
+    * engine-independent. */
+  def cohortRetention(events: DataFrame, userCol: String, tsMicrosCol: String,
+                      periodLengthMicros: Long): DataFrame = {
+    require(periodLengthMicros > 0, "period length must be positive")
+    // integer `div`, not `/` + cast: double division loses exactness at
+    // 2024-epoch micro magnitudes and could mis-bucket boundary events
+    val period = expr(s"$tsMicrosCol div $periodLengthMicros").as("__p")
+    val e = events.select(col(userCol), period)
+    val cohorts = e.groupBy(col(userCol)).agg(min(col("__p")).as("cohort"))
+    e.join(cohorts, Seq(userCol))
+      .groupBy(col("cohort"), (col("__p") - col("cohort")).as("period_offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+}

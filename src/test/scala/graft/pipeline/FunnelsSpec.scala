@@ -1,0 +1,47 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunnelsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, String)*) =
+    rows.toDF("user_id", "ts_us", "event_type")
+
+  test("funnel counts steps only in order (earliest-achievable times)") {
+    val events = ev(
+      // user 1: full ordered funnel
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      // user 2: click BEFORE the first view -> step 2 not reached
+      (2L, 10L, "click"), (2L, 20L, "view"),
+      // user 3: purchase before click -> steps_completed 2, not 3
+      (3L, 10L, "view"), (3L, 15L, "purchase"), (3L, 20L, "click"),
+      // user 4: never viewed -> not a funnel entrant at all
+      (4L, 10L, "click"), (4L, 20L, "purchase"),
+      // user 5: simultaneous view+click counts (inclusive >=)
+      (5L, 10L, "view"), (5L, 10L, "click"))
+    val m = Funnels.funnelSteps(events, "user_id", "ts_us", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(m.keySet == Set(1L, 2L, 3L, 5L), s"got $m")
+    assert(m(1L) == ((3L, 10L, 20L, 30L)))
+    assert(m(2L) == ((1L, 20L, -1L, -1L)), "pre-view click must not count")
+    assert(m(3L) == ((2L, 10L, 20L, -1L)), "pre-click purchase must not count")
+    assert(m(5L) == ((2L, 10L, 10L, -1L)), "equal timestamps are inclusive")
+  }
+
+  test("cohort retention buckets by first-activity period") {
+    val period = 100L
+    val events = Seq(
+      (1L, 10L), (1L, 110L), (1L, 310L),   // cohort 0, offsets 0,1,3
+      (2L, 120L), (2L, 130L),              // cohort 1, offset 0 (once)
+      (3L, 10L), (3L, 110L)                // cohort 0, offsets 0,1
+    ).toDF("user_id", "ts_us")
+    val m = Funnels.cohortRetention(events, "user_id", "ts_us", period)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m == Map((0L, 0L) -> 2L, (0L, 1L) -> 2L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L), s"got $m")
+  }
+}
