@@ -983,15 +983,15 @@ object SparkEntry {
          f AS (SELECT user_id, min(p) AS cohort FROM e GROUP BY 1)
          SELECT cohort, p - cohort AS period_offset, count(DISTINCT user_id) AS n_users
          FROM e JOIN f USING (user_id) GROUP BY 1, 2""",
-    // native session_window semantics: break at diff >= gap (an event at
-    // exactly last + gap starts a NEW session) — note >= vs
-    // events_sessionize's > (Sessionize merges on <=)
+    // native session_window semantics match Sessionize: merge at
+    // diff <= gap (the window is end-inclusive; spec-pinned), so the
+    // break condition is strict >
     "events_session_window" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
                 CAST(round(value * 100) AS BIGINT) AS cents FROM events),
          b AS (SELECT user_id, ts_us, cents,
                  CASE WHEN lag(ts_us) OVER w IS NULL
-                        OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+                        OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
          s AS (SELECT user_id, ts_us, cents,
                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us

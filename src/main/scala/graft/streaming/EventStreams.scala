@@ -36,10 +36,11 @@ object EventStreams {
     * so an unbounded stream sessionizes with bounded memory (the
     * foreachBatch-free shape). Batch frames run the same code.
     *
-    * Boundary semantics (native): an event MERGES into the open session
-    * iff `ts - last < gap` — an event at exactly `last + gap` starts a
-    * new session. (`Sessionize.sessionStats` merges on `<=`; the two
-    * agree everywhere except gaps of exactly `gap`.)
+    * Boundary semantics (native, pinned by spec fixture): an event MERGES
+    * into the open session iff `ts - last <= gap` — the session window
+    * `[start, last + gap]` is end-INCLUSIVE, so an event at exactly
+    * `last + gap` extends the session. Identical to
+    * `Sessionize.sessionStats`' `<=` merge rule.
     *
     * Session bounds are reported as min/max EVENT times (the
     * `session_window` struct's end is `last + gap`, a retention bound,

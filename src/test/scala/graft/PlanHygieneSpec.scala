@@ -95,4 +95,43 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("SinglePartition"),
       s"pack plan routes through a single partition:\n$plan")
   }
+
+  test("token chunking is a pure narrow projection: no shuffle at all") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.pipeline.Curation.chunkTokens(docs, "text", "doc_id", 64, 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"chunking must not shuffle (scan-parallel projection):\n$plan")
+  }
+
+  test("quota sampling cuts at the window stage (WindowGroupLimit)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.pipeline.Curation.hashSampleN(docs, "doc_id", "source", 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter not pushed into the window stage:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"quota window routes through a single partition:\n$plan")
+  }
+
+  test("common-token ratio: vocabulary joins as a broadcast membership test") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.pipeline.TextAnalysis.commonTokenRatio(docs, "text", "doc_id", 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"top-N vocabulary must broadcast, not shuffle the token stream:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-N vocabulary must plan as TakeOrdered, not a global sort:\n$plan")
+  }
+
+  test("funnel: every exchange is keyed on the user, no global sort") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_type"))
+    val plan = graft.pipeline.Funnels.funnelSteps(ev, "user_id", "ts_us",
+        "event_type", Seq("view", "click", "purchase"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition") && !plan.linesIterator
+        .exists(l => l.trim.startsWith("Sort ") && l.contains("global=true")),
+      s"funnel plan must stay keyed (no global sort / single partition):\n$plan")
+  }
 }

@@ -112,15 +112,17 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("native session_window: gap semantics incl. the exact-gap boundary") {
-    // user 1: events at 0s, 10s, then exactly +30min (boundary -> NEW
-    // session under native semantics), then +30min+1us (same session as
-    // the boundary event); user 2: one event
+    // user 1: events at 0s, 10s, then exactly +30min after the last (the
+    // session window is end-INCLUSIVE -> still the SAME session), then
+    // +30min+1us after that (also merges); user 2: a gap of 30min+1us
+    // genuinely breaks; user 3: one event
     val gapUs = 30L * 60 * 1000000
     val fixture = Seq(
       (1L, 0L, 5L), (1L, 10000000L, 7L),
-      (1L, 10000000L + gapUs, 11L),
-      (1L, 10000000L + gapUs + 1L, 13L),
-      (2L, 42L, 17L)
+      (1L, 10000000L + gapUs, 11L),          // exactly at last + gap: merges
+      (1L, 10000000L + 2 * gapUs + 1L, 13L), // gap + 1us after that: breaks
+      (2L, 0L, 19L), (2L, gapUs + 1L, 23L),  // strict break
+      (3L, 42L, 17L)
     ).toDF("user_id", "ts_us", "cents")
       .withColumn("ts", timestamp_micros($"ts_us"))
     val out = EventStreams.sessionWindowStats(fixture, "user_id", "ts", "cents")
@@ -128,9 +130,11 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
         $"n_events", $"sum_value")
       .as[(Long, Long, Long, Long, Long)].collect().toSet
     assert(out == Set(
-      (1L, 0L, 10000000L, 2L, 12L),
-      (1L, 10000000L + gapUs, 10000000L + gapUs + 1L, 2L, 24L),
-      (2L, 42L, 42L, 1L, 17L)), s"got $out")
+      (1L, 0L, 10000000L + gapUs, 3L, 23L),
+      (1L, 10000000L + 2 * gapUs + 1L, 10000000L + 2 * gapUs + 1L, 1L, 13L),
+      (2L, 0L, 0L, 1L, 19L),
+      (2L, gapUs + 1L, gapUs + 1L, 1L, 23L),
+      (3L, 42L, 42L, 1L, 17L)), s"got $out")
   }
 
   test("native session_window streaming run equals the batch run") {
