@@ -24,11 +24,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * identical surface.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
     }
+    // SQL clients write `levenshtein_dist(a, b) <= t`; the optimizer
+    // rewrites it to the banded early-exit kernel the matcher uses
+    ext.injectOptimizerRule(_ => graft.plans.BoundedDistanceRewrite)
+  }
 }
 
 object GraftExtensions {
