@@ -145,6 +145,32 @@ object Bench {
       val emb = s.read.parquet(s"$sfDir/embeddings.parquet")
       AnnSearch.bruteForceTopK(emb.where(col("vec_id") < 100), emb, "embedding", "vec_id", 10)
     }),
+    // round-5 pipeline operators at PRODUCTION defaults (caps on)
+    "dedup_incremental_docs" -> (s => {
+      val docs = s.read.parquet(s"$sfDir/documents.parquet")
+      val bkt = graft.pipeline.Curation.md5Bucket(col("doc_id"))
+      Dedup.incrementalDedup(docs.where(bkt < 100000L),
+        docs.where(bkt >= 100000L), "text", "doc_id")
+    }),
+    "decontaminate_docs" -> (s => {
+      val docs = s.read.parquet(s"$sfDir/documents.parquet")
+      val bkt = graft.pipeline.Curation.md5Bucket(col("doc_id"))
+      graft.pipeline.Decontaminate.contaminated(
+        docs.where(bkt >= 100000L), docs.where(bkt < 100000L), "text", "doc_id", 5)
+    }),
+    "asof_events" -> (s => {
+      val ev = s.read.parquet(s"$sfDir/events.parquet").select(col("event_id"),
+        col("user_id"), expr("ts div 1000").as("ts_us"), col("event_type"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts_us").as("click_ts_us"))
+      val views = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(org.apache.spark.sql.functions.max(col("event_id")).as("view_id"))
+        .withColumnRenamed("ts_us", "view_ts_us")
+      graft.pipeline.AsofJoin.backward(clicks, views, Seq("user_id"),
+        "click_ts_us", "view_ts_us", Seq("view_id", "view_ts_us"))
+    }),
   )
 
   def main(args: Array[String]): Unit = {

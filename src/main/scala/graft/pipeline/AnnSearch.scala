@@ -107,6 +107,37 @@ object AnnSearch {
       if (n == 0) v else v.map(_ / n)
     }
 
+  // ----------------------------------------------------- index lifecycle
+
+  /** Persist a fitted (normalized, flattened) centroid array as a tiny
+    * parquet dataset at `path` — one row per cell. Parquet rather than a
+    * driver-local file so the index lives wherever the data does (HDFS,
+    * S3) and any later job on any cluster can [[loadCentroids]] it: the
+    * fit-once / search-many lifecycle across JOBS, not just within one. */
+  def saveCentroids(spark: org.apache.spark.sql.SparkSession, path: String,
+                    centroids: Array[Double], dim: Int): Unit = {
+    require(centroids.nonEmpty && centroids.length % dim == 0,
+      s"centroids length ${centroids.length} must be a positive multiple of dim=$dim")
+    import spark.implicits._
+    centroids.grouped(dim).zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted quantizer: returns (flattened centroids, dim) ready
+    * for [[ivfTopKWithCentroids]]. */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                    path: String): (Array[Double], Int) = {
+    val rows = spark.read.parquet(path)
+      .orderBy(col("cell")).collect()
+    require(rows.nonEmpty, s"no centroids at $path")
+    val cents = rows.map(_.getSeq[Double](1).toArray)
+    val dim = cents.head.length
+    require(cents.forall(_.length == dim), s"ragged centroid rows at $path")
+    (cents.flatten, dim)
+  }
+
   /** IVF (inverted-file) top-k: a k-means coarse quantizer partitions the
     * corpus into cells; each query probes its `nProbe` nearest cells and
     * re-ranks candidates with the exact cosine. The classic ANN scale path

@@ -60,6 +60,26 @@ class IvfSpec extends AnyFunSuite with SparkSpec {
       key(AnnSearch.ivfTopK(q2, emb, "embedding", "vec_id", 10, 64, nCells = 8, nProbe = 8, iters = 3)))
   }
 
+  test("persisted quantizer round-trips and searches identically") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = AnnSearch.kmeansFit(emb, "embedding", dim = 64, k = 8, iters = 3)
+    val flat = cents.flatMap { v =>
+      val n = math.sqrt(v.map(x => x * x).sum); if (n == 0) v else v.map(_ / n)
+    }
+    val path = java.nio.file.Files.createTempDirectory("ivf_index")
+      .resolve("centroids").toString
+    AnnSearch.saveCentroids(spark, path, flat, 64)
+    val (loaded, dim) = AnnSearch.loadCentroids(spark, path)
+    assert(dim == 64)
+    assert(loaded.toSeq == flat.toSeq, "centroids must round-trip bit-exactly")
+    val q = emb.where(col("vec_id") < 20)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(key(AnnSearch.ivfTopKWithCentroids(q, emb, "embedding", "vec_id", 10, dim, loaded, 8)) ==
+      key(AnnSearch.ivfTopKWithCentroids(q, emb, "embedding", "vec_id", 10, 64, flat, 8)))
+  }
+
   test("nearestCells degrades gracefully on all-NaN query vectors") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     val dim = 4
