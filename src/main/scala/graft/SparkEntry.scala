@@ -425,6 +425,13 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("n_common"),
           sround(col("common_ratio"), 6).as("common_ratio"))),
 
+    // ---- unigram-LM quality score (quantized exact-sum log-probs)
+    "text_unigram_lp" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          sround(col("logprob"), 6).as("logprob"),
+          sround(col("avg_logprob"), 6).as("avg_logprob"))),
+
     // ---- per-label embedding centroids (exact quantized-sum arithmetic)
     "embed_centroid" -> ((s, dir) =>
       graft.pipeline.Embeddings.centroids(t(s, dir, "embeddings"),
@@ -937,6 +944,19 @@ object SparkEntry {
            round(CAST(sum(CASE WHEN token IN (SELECT token FROM v) THEN 1 ELSE 0 END) AS BIGINT)
              / count(*), 6) AS common_ratio
          FROM tok GROUP BY 1""",
+    // per-token ln quantized to the 1e-6 grid as BIGINT, summed exactly —
+    // the same order-independence trick as embed_centroid
+    "text_unigram_lp" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents),
+         tok AS (SELECT doc_id, token FROM tk WHERE length(token) > 0),
+         v AS (SELECT token, count(*) AS freq FROM tok GROUP BY 1),
+         tot AS (SELECT sum(freq) AS total FROM v),
+         lm AS (SELECT token, CAST(round(ln(freq / total) * 1000000) AS BIGINT) AS lp_q
+                FROM v CROSS JOIN tot)
+         SELECT doc_id, count(*) AS n_tokens,
+           round(sum(lp_q) / 1000000.0, 6) AS logprob,
+           round(sum(lp_q) / 1000000.0 / count(*), 6) AS avg_logprob
+         FROM tok JOIN lm USING (token) GROUP BY 1""",
     // same integer quantization as the sign-LSH oracles: components round
     // to the 1e-6 grid, sums are exact BIGINTs, division order matches
     "embed_centroid" ->

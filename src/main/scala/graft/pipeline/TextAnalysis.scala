@@ -190,6 +190,32 @@ object TextAnalysis {
       .withColumn("common_ratio", col("n_common") / col("n_tokens"))
   }
 
+  /** Per-document unigram log-probability under the corpus's own unigram
+    * LM — the statistical quality signal next to the heuristic filters
+    * (a document of rare/garbled tokens scores far below fluent prose;
+    * the standard cheap stand-in for model-based perplexity filtering).
+    *
+    * Every token's `ln(freq/total)` is quantized to the 1e-6 grid as a
+    * LONG, so the per-document sum is EXACT integer arithmetic —
+    * order-independent under any partitioning (a raw double sum is not),
+    * and bit-mirrorable by the oracle. The unigram table is corpus-built
+    * (no OOV by construction) and joins broadcast. */
+  def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .where(length(col("token")) > 0)
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val total = vocab.agg(sum(col("freq")).as("__total"))
+    val lm = broadcast(vocab.crossJoin(broadcast(total))
+      .select(col("token"),
+        round(log(col("freq") / col("__total")) * 1e6).cast("long").as("__lp_q")))
+    toks.join(lm, Seq("token"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__lp_q")).as("__sum_q"))
+      .select(col(idCol), col("n_tokens"),
+        (col("__sum_q") / 1e6).as("logprob"),
+        (col("__sum_q") / 1e6 / col("n_tokens")).as("avg_logprob"))
+  }
+
   // ------------------------------------------------------------ redaction
 
   /** PII-redaction patterns, ordered: URLs first (an email inside a URL

@@ -363,6 +363,19 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(fps(0).toSet != fps(1).toSet)
   }
 
+  test("unigram log-prob matches the hand-computed corpus LM") {
+    // freqs: a=3, b=1, c=1, total=5
+    val d = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val m = TextAnalysis.unigramLogProb(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val lpA = math.log(3.0 / 5); val lpRare = math.log(1.0 / 5)
+    assert(m(1L)._1 == 3L && math.abs(m(1L)._2 - (2 * lpA + lpRare)) < 3e-6)
+    assert(m(2L)._1 == 2L && math.abs(m(2L)._2 - (lpA + lpRare)) < 3e-6)
+    assert(math.abs(m(2L)._3 - (lpA + lpRare) / 2) < 3e-6)
+    // the garbled doc scores lower per token than the fluent one
+    assert(m(2L)._3 < m(1L)._3)
+  }
+
   test("common-token ratio against the top-N vocabulary") {
     // corpus freqs: "the"x4, "cat"x3, "sat"x2, rest x1 -> top2 = {the, cat}
     val d = Seq(
