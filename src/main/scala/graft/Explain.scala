@@ -17,7 +17,8 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq else Seq(
-      "fuzzy_join_levenshtein", "text_stats", "dedup_ngram_jaccard", "ann_cosine_topk")
+      "fuzzy_join_levenshtein", "text_stats", "dedup_ngram_jaccard", "ann_cosine_topk",
+      "events_asof", "text_decontaminate", "dedup_incremental", "curate_chunks")
     names.foreach { name =>
       println(s"\n================ $name ================")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
