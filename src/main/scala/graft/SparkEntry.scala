@@ -425,6 +425,30 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("n_common"),
           sround(col("common_ratio"), 6).as("common_ratio"))),
 
+    // ---- ingest normalization: control-strip + whitespace-collapse +
+    // lowercase, hashed for a narrow compare. The doc_id-derived tail
+    // (same concat in the oracle) plants controls/tabs/double spaces so
+    // the normalization genuinely fires on the clean synthetic corpus.
+    "text_clean" -> ((s, dir) => {
+      val dirty = t(s, dir, "documents").select(col("doc_id"),
+        expr("""concat(text, '\t tail  ', char(7), 'of doc ', doc_id, '  .')""").as("text"))
+      dirty.select(col("doc_id"),
+        org.apache.spark.sql.functions.md5(
+          encode(TextAnalysis.normalizeText(col("text")), "UTF-8")).as("clean_md5"),
+        org.apache.spark.sql.functions.length(TextAnalysis.normalizeText(col("text")))
+          .cast("long").as("clean_len"))
+    }),
+
+    // ---- contamination fraction: hits over the doc's distinct grams
+    "text_contamination_frac" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evalSide = Curation.md5Bucket(col("doc_id")) < 100000L
+      Decontaminate.contaminationStats(
+        docs.where(!evalSide), docs.where(evalSide), "text", "doc_id", 5)
+        .select(col("doc_id"), col("n_hits"), col("n_grams"),
+          sround(col("contaminated_frac"), 6).as("contaminated_frac"))
+    }),
+
     // ---- unigram-LM quality score (quantized exact-sum log-probs)
     "text_unigram_lp" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(t(s, dir, "documents"), "text", "doc_id")
@@ -944,6 +968,31 @@ object SparkEntry {
            round(CAST(sum(CASE WHEN token IN (SELECT token FROM v) THEN 1 ELSE 0 END) AS BIGINT)
              / count(*), 6) AS common_ratio
          FROM tok GROUP BY 1""",
+    // same normalization chain: control-strip, \s+ collapse, trim, lower.
+    // Controls are stripped BEFORE \s+ runs, so the Java-vs-RE2 \x0B
+    // difference in \s never matters.
+    "text_clean" ->
+      """WITH p AS (SELECT doc_id, text || chr(9) || ' tail  ' || chr(7) || 'of doc ' || doc_id || '  .' AS t0
+              FROM documents),
+         n AS (SELECT doc_id, lower(trim(regexp_replace(
+                 regexp_replace(t0, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                 '\s+', ' ', 'g'))) AS t1 FROM p)
+         SELECT doc_id, md5(t1) AS clean_md5, CAST(length(t1) AS BIGINT) AS clean_len FROM n""",
+    // decontamination family plus the per-doc distinct-gram denominator
+    "text_contamination_frac" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w,
+                ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS bkt
+              FROM documents),
+         s AS (SELECT doc_id, bkt, CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(w)-3), i -> array_to_string(w[i:i+4], ' '))) END AS sh FROM t),
+         e AS (SELECT doc_id, bkt, unnest(sh) AS g FROM s),
+         ev AS (SELECT DISTINCT g FROM e WHERE bkt < 100000),
+         hits AS (SELECT e.doc_id AS doc_id, count(*) AS n_hits
+                  FROM e JOIN ev USING (g) WHERE e.bkt >= 100000 GROUP BY 1),
+         sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_grams FROM s)
+         SELECT h.doc_id AS doc_id, h.n_hits AS n_hits, sz.n_grams AS n_grams,
+           round(h.n_hits / sz.n_grams, 6) AS contaminated_frac
+         FROM hits h JOIN sz USING (doc_id)""",
     // per-token ln quantized to the 1e-6 grid as BIGINT, summed exactly —
     // the same order-independence trick as embed_centroid
     "text_unigram_lp" ->

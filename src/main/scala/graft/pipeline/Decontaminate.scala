@@ -48,6 +48,21 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** [[contaminated]] plus the document's total distinct-gram count and
+    * the contaminated FRACTION — the gate for threshold policies ("drop
+    * when > 20% of the document overlaps the eval set" rather than
+    * drop-on-any-hit). Same broadcast plan plus one narrow per-doc gram
+    * count; the fraction divides exact integers. */
+  def contaminationStats(corpus: DataFrame, eval: DataFrame, textCol: String,
+                         idCol: String, n: Int,
+                         broadcastEval: Boolean = true): DataFrame = {
+    val sizes = Dedup.wordShingles(corpus, textCol, idCol, n)
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    contaminated(corpus, eval, textCol, idCol, n, broadcastEval)
+      .join(sizes, Seq(idCol))
+      .withColumn("contaminated_frac", col("n_hits") / col("n_grams"))
+  }
+
   /** The clean corpus: every row of `corpus` sharing no word n-gram with
     * `eval`. Same broadcast plan, anti-join at the end. */
   def decontaminated(corpus: DataFrame, eval: DataFrame, textCol: String,

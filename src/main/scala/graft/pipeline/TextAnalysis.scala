@@ -190,6 +190,17 @@ object TextAnalysis {
       .withColumn("common_ratio", col("n_common") / col("n_tokens"))
   }
 
+  /** Canonical text normalization for ingest: control characters strip,
+    * all whitespace runs collapse to single spaces, edges trim, and
+    * (optionally) lowercase — the projection every downstream tokenizer
+    * and hash assumes. Pure codegen regex chain in the Java-regex ∩ RE2
+    * common subset; the 100 TB plan is the scan itself. */
+  def normalizeText(text: Column, lowercase: Boolean = true): Column = {
+    val stripped = regexp_replace(text, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    val collapsed = trim(regexp_replace(stripped, "\\s+", " "))
+    if (lowercase) lower(collapsed) else collapsed
+  }
+
   /** Per-document unigram log-probability under the corpus's own unigram
     * LM — the statistical quality signal next to the heuristic filters
     * (a document of rare/garbled tokens scores far below fluent prose;

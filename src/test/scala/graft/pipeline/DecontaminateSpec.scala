@@ -43,6 +43,15 @@ class DecontaminateSpec extends AnyFunSuite with SparkSpec {
     assert(hits == Map(1L -> 1L))
   }
 
+  test("contamination stats report the fraction over the doc's grams") {
+    val stats = Decontaminate.contaminationStats(corpus, evalSet, "text", "id", 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 2: 11 tokens -> 7 distinct 5-grams, 6 of them eval-aligned
+    assert(stats(2L)._1 == 6L && stats(2L)._2 == 7L)
+    assert(math.abs(stats(2L)._3 - 6.0 / 7) < 1e-12)
+    assert(stats(1L) == ((1L, 5L, 0.2)))
+  }
+
   test("plan shape: the eval-gram side joins as a broadcast") {
     val plan = Decontaminate.contaminated(corpus, evalSet, "text", "id", 5)
       .queryExecution.executedPlan.toString

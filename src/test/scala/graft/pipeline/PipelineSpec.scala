@@ -363,6 +363,21 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(fps(0).toSet != fps(1).toSet)
   }
 
+  test("normalizeText strips controls, collapses whitespace, trims, lowers") {
+    val d = Seq(
+      (1L, "  Hello\t\tWorld\u0007 \n test  "),
+      (2L, "already clean"),
+      (3L, "\u0001\u0002")).toDF("id", "text")
+    val m = d.select($"id", TextAnalysis.normalizeText($"text").as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(m(1L) == "hello world test", s"got '${m(1L)}'")
+    assert(m(2L) == "already clean")
+    assert(m(3L) == "", "control-only text normalizes to empty")
+    val keepCase = d.where($"id" === 1L)
+      .select(TextAnalysis.normalizeText($"text", lowercase = false)).as[String].head()
+    assert(keepCase == "Hello World test")
+  }
+
   test("unigram log-prob matches the hand-computed corpus LM") {
     // freqs: a=3, b=1, c=1, total=5
     val d = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
