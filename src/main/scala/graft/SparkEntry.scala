@@ -484,6 +484,14 @@ object SparkEntry {
         Seq("view", "click", "purchase"))
     }),
 
+    // ---- event-type transition matrix (per-user consecutive pairs)
+    "events_transitions" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("event_type"), col("event_id"))
+      graft.pipeline.Funnels.transitionCounts(ev, "user_id", "ts_us",
+        "event_type", "event_id")
+    }),
+
     // ---- weekly cohort retention (7-day periods of raw epoch micros)
     "events_retention" -> ((s, dir) => {
       val ev = events(s, dir).select(col("user_id"),
@@ -1046,6 +1054,14 @@ object SparkEntry {
            CAST(CASE WHEN t2 IS NOT NULL THEN 3 WHEN t1 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS steps_completed,
            coalesce(t0, -1) AS t0, coalesce(t1, -1) AS t1, coalesce(t2, -1) AS t2
          FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)""",
+    // deterministic lead() ordering: (ts, event_id) in both engines
+    "events_transitions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_type, event_id FROM events),
+         n AS (SELECT event_type AS from_type,
+                 lead(event_type) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS to_type
+               FROM e)
+         SELECT from_type, to_type, count(*) AS n_transitions
+         FROM n WHERE to_type IS NOT NULL GROUP BY 1, 2""",
     // integer floor-division cohorts: both engines bucket identically
     "events_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS p FROM events),

@@ -45,6 +45,22 @@ object Funnels {
       steps.indices.map(i => coalesce(col(s"t$i"), lit(-1L)).as(s"t$i")): _*)
   }
 
+  /** Event-type transition counts — the Markov-chain view of user
+    * behavior ((from, to, count) for consecutive events per user). One
+    * shuffle on the user key + a per-partition sort for the lead window,
+    * then a hash-agg on the (tiny) type-pair key; ties at equal
+    * timestamps break on `tieCol` so the result is deterministic. */
+  def transitionCounts(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .where(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
   /** Cohort retention: users bucketed by their first-activity period
     * (integer `periodLengthMicros` buckets of the raw timestamp), counted
     * distinct in every later period they appear. Returns (cohort,

@@ -32,6 +32,18 @@ class FunnelsSpec extends AnyFunSuite with SparkSpec {
     assert(m(5L) == ((2L, 10L, 10L, -1L)), "equal timestamps are inclusive")
   }
 
+  test("transition counts pair consecutive events per user, deterministic ties") {
+    val events = Seq(
+      (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"), (1L, 30L, 3L, "view"),
+      // equal ts: order by event_id -> view(4) then click(5)
+      (2L, 10L, 4L, "view"), (2L, 10L, 5L, "click"),
+      (3L, 10L, 6L, "purchase")  // single event -> no transition
+    ).toDF("user_id", "ts_us", "event_id", "event_type")
+    val m = Funnels.transitionCounts(events, "user_id", "ts_us", "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m == Map(("view", "click") -> 2L, ("click", "view") -> 1L), s"got $m")
+  }
+
   test("cohort retention buckets by first-activity period") {
     val period = 100L
     val events = Seq(
