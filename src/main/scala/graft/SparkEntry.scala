@@ -463,6 +463,20 @@ object SparkEntry {
         .select(col("label").cast("long").as("label"), col("dim"),
           col("n_vectors"), sround(col("centroid"), 6).as("centroid"))),
 
+    // ---- end-to-end curation composition: deterministic 50% sample ->
+    // quality gate (rounded score, so the threshold compare is
+    // boundary-stable across engines) -> exact dedup keep-min-id ->
+    // token counts. One pipeline, zero driver actions.
+    "curate_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sampled = Curation.hashSample(docs, "doc_id", 0.5)
+      val qual = sampled.where(sround(TextAnalysis.qualityScore(col("text")), 6) >= 0.5)
+      Dedup.exactDedupRows(qual, "text", "doc_id")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          sround(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+    }),
+
     // ---- exactly-N-per-group deterministic quota sampling
     "curate_sample_n" -> ((s, dir) =>
       Curation.hashSampleN(t(s, dir, "documents"), "doc_id", "source", 20)
@@ -1023,6 +1037,27 @@ object SparkEntry {
          FROM (SELECT label, unnest(embedding) AS v,
                  generate_subscripts(embedding, 1) AS i FROM embeddings)
          GROUP BY 1, 2""",
+    // the composed pipeline: sample CTE -> quality CTE (same formula as
+    // curate_topk_per_group) -> min-id-per-digest keep -> token counts
+    "curate_pipeline" ->
+      """WITH sel AS (SELECT doc_id, text FROM documents
+              WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 < 500000),
+         t AS (SELECT doc_id, text,
+                CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS n_words,
+                CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS n_nonspace,
+                CAST(length(text) - length(regexp_replace(lower(text), '[a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio
+               FROM sel),
+         q AS (SELECT doc_id, text, round((
+                (CASE WHEN n_words >= 10 AND n_words <= 1000 THEN 1.0 WHEN n_words >= 3 THEN 0.5 ELSE 0.0 END)
+                + (CASE WHEN n_nonspace / n_words >= 3 AND n_nonspace / n_words <= 10 THEN 1.0 ELSE 0.5 END)
+                + alpha_ratio) / 3.0, 6) AS quality
+               FROM t),
+         g AS (SELECT doc_id, text, quality FROM q WHERE quality >= 0.5),
+         k AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(text))
+         SELECT g.doc_id AS doc_id,
+           CAST(len(string_split_regex(trim(lower(g.text)), '\s+')) AS BIGINT) AS n_tokens,
+           g.quality AS quality
+         FROM g JOIN k USING (doc_id)""",
     // deterministic quota: same md5-string ordering in both engines
     "curate_sample_n" ->
       """SELECT doc_id, source FROM (
