@@ -477,6 +477,10 @@ object SparkEntry {
           sround(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
     }),
 
+    // ---- BPE-step pair counts (occurrences, not distinct-per-doc)
+    "curate_bpe_pairs" -> ((s, dir) =>
+      Curation.bpePairCounts(t(s, dir, "documents"), "text", minCount = 25L)),
+
     // ---- exactly-N-per-group deterministic quota sampling
     "curate_sample_n" -> ((s, dir) =>
       Curation.hashSampleN(t(s, dir, "documents"), "doc_id", "source", 20)
@@ -1037,6 +1041,13 @@ object SparkEntry {
          FROM (SELECT label, unnest(embedding) AS v,
                  generate_subscripts(embedding, 1) AS i FROM embeddings)
          GROUP BY 1, 2""",
+    // range(1, len) is empty for len <= 1 in DuckDB, mirroring the Spark
+    // size guard; pairs count occurrences corpus-wide
+    "curate_bpe_pairs" ->
+      """WITH t AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+         p AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i::INT] || ' ' || w[i::INT + 1])) AS pair FROM t)
+         SELECT pair, count(*) AS freq FROM p WHERE length(pair) > 1
+         GROUP BY 1 HAVING count(*) >= 25""",
     // the composed pipeline: sample CTE -> quality CTE (same formula as
     // curate_topk_per_group) -> min-id-per-digest keep -> token counts
     "curate_pipeline" ->

@@ -103,6 +103,25 @@ object Curation {
       .drop("__tok")
   }
 
+  /** Corpus-wide adjacent-token-pair counts — the inner step of BPE/
+    * WordPiece tokenizer training (each merge round picks the most
+    * frequent pair; at 100 TB this count IS the distributed bottleneck).
+    * Counts OCCURRENCES (not distinct-per-doc): one narrow projection +
+    * explode + a single map-side-combined hash-agg, the same plan as
+    * [[vocabulary]]. */
+  def bpePairCounts(df: DataFrame, textCol: String, minCount: Long = 1L): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    // guard: Spark's sequence(1, 0) runs DESCENDING instead of empty
+    val pairs = when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+    df.select(explode(pairs).as("pair"))
+      .where(length(col("pair")) > 1) // both tokens non-empty
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("freq"))
+      .where(col("freq") >= minCount)
+  }
+
   /** EXACTLY `n` rows per group (fewer if the group is smaller), chosen
     * deterministically by md5 of the key — the quota form of
     * [[hashSample]] ("keep 10k docs per domain"), reproducible across

@@ -126,6 +126,16 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       "short docs yield one chunk")
   }
 
+  test("bpePairCounts counts adjacent-pair occurrences corpus-wide") {
+    val d = Seq("a b a b c", "a b", "solo", "").toDF("text")
+    val m = Curation.bpePairCounts(d, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "a b a b c": (a b)x2, (b a), (b c); "a b": (a b); singles/empty: none
+    assert(m == Map("a b" -> 3L, "b a" -> 1L, "b c" -> 1L), s"got $m")
+    assert(Curation.bpePairCounts(d, "text", minCount = 2L)
+      .collect().map(_.getString(0)).toSeq == Seq("a b"))
+  }
+
   test("corpusStats: exact interpolated percentiles per group") {
     import spark.implicits._
     // group g has sizes 10,20,30,40 -> p50 = 25 (interpolated), p90 = 37
