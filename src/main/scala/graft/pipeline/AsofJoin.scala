@@ -59,19 +59,48 @@ object AsofJoin {
     join(left, right, keys, leftTs, rightTs, payloadCols, tolerance,
       descending = true)
 
-  private def join(left: DataFrame, right: DataFrame, keys: Seq[String],
-                   leftTs: String, rightTs: String, payloadCols: Seq[String],
-                   tolerance: Option[Column], descending: Boolean): DataFrame = {
+  /** Nearest right row in EITHER direction (ties to the at-or-before
+    * side) — `merge_asof(direction='nearest')`. Same single shuffle; the
+    * ascending and descending scans are two sorts over one exchange. */
+  def nearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTs: String, rightTs: String, payloadCols: Seq[String],
+              tolerance: Option[Column] = None): DataFrame = {
+    val (unioned, leftCols) = buildUnion(left, right, keys, leftTs, rightTs, payloadCols)
+    val wB = windowOver(keys, descending = false)
+    val wF = windowOver(keys, descending = true)
+    val back = last(col(pay), ignoreNulls = true).over(wB)
+    val fwd = last(col(pay), ignoreNulls = true).over(wF)
+    val bDist = col(ts) - col(s"$payB.$rts")
+    val fDist = col(s"$payF.$rts") - col(ts)
+    val chosen =
+      when(col(payB).isNull, col(payF))
+        .when(col(payF).isNull, col(payB))
+        .when(bDist <= fDist, col(payB))
+        .otherwise(col(payF))
+    val matched = unioned
+      .withColumn(payB, back).withColumn(payF, fwd)
+      .where(col(side) === 1)
+      .withColumn(pay, chosen)
+    finish(matched, leftCols, payloadCols, tolerance,
+      dist = abs(col(ts) - col(s"$pay.$rts")))
+  }
+
+  private val ts = "__asof_ts"; private val side = "__asof_side"
+  private val pay = "__asof_pay"; private val lpay = "__asof_left"
+  private val rts = "__asof_rts"
+  private val payB = "__asof_pay_b"; private val payF = "__asof_pay_f"
+
+  /** Tag + union the two sides: one struct per side so a single window
+    * expression carries the whole payload (N last() calls would
+    * sort-and-scan the frame N times); the matched right timestamp rides
+    * along for the tolerance check. */
+  private def buildUnion(left: DataFrame, right: DataFrame, keys: Seq[String],
+                         leftTs: String, rightTs: String,
+                         payloadCols: Seq[String]): (DataFrame, Seq[String]) = {
     require(keys.nonEmpty, "asof join needs at least one key column")
     val clash = payloadCols.toSet.intersect(left.columns.toSet)
     require(clash.isEmpty, s"payload columns clash with left columns: $clash")
-    val ts = "__asof_ts"; val side = "__asof_side"
-    val pay = "__asof_pay"; val lpay = "__asof_left"; val rts = "__asof_rts"
     val leftCols = left.columns.toSeq
-
-    // one struct per side so a single window expression carries the whole
-    // payload (N last() calls would sort-and-scan the frame N times); the
-    // matched right timestamp rides along for the tolerance check
     val r0 = right.select(
       keys.map(col) ++ Seq(
         col(rightTs).as(ts), lit(0).as(side),
@@ -80,26 +109,39 @@ object AsofJoin {
       keys.map(col) ++ Seq(
         col(leftTs).as(ts), lit(1).as(side),
         struct(leftCols.map(col): _*).as(lpay)): _*)
+    (r0.withColumn(lpay, lit(null).cast(l0.schema(lpay).dataType))
+       .unionByName(l0.withColumn(pay, lit(null).cast(r0.schema(pay).dataType))),
+     leftCols)
+  }
 
-    val unioned =
-      r0.withColumn(lpay, lit(null).cast(l0.schema(lpay).dataType))
-        .unionByName(l0.withColumn(pay, lit(null).cast(r0.schema(pay).dataType)))
-
+  private def windowOver(keys: Seq[String], descending: Boolean) = {
     val order = if (descending) col(ts).desc else col(ts).asc
-    val w = Window.partitionBy(keys.map(col): _*)
+    Window.partitionBy(keys.map(col): _*)
       .orderBy(order, col(side))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = unioned
-      .withColumn(pay, last(col(pay), ignoreNulls = true).over(w))
-      .where(col(side) === 1)
+  }
+
+  private def finish(matched: DataFrame, leftCols: Seq[String],
+                     payloadCols: Seq[String], tolerance: Option[Column],
+                     dist: Column): DataFrame = {
     val within = tolerance match {
-      case Some(tol) =>
-        val dist =
-          if (descending) col(s"$pay.$rts") - col(ts) else col(ts) - col(s"$pay.$rts")
-        matched.withColumn(pay, when(dist <= tol, col(pay)))
+      case Some(tol) => matched.withColumn(pay, when(dist <= tol, col(pay)))
       case None => matched
     }
     within.select(leftCols.map(c => col(s"$lpay.$c").as(c)) ++
       payloadCols.map(c => col(s"$pay.$c").as(c)): _*)
+  }
+
+  private def join(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, rightTs: String, payloadCols: Seq[String],
+                   tolerance: Option[Column], descending: Boolean): DataFrame = {
+    val (unioned, leftCols) = buildUnion(left, right, keys, leftTs, rightTs, payloadCols)
+    val w = windowOver(keys, descending)
+    val matched = unioned
+      .withColumn(pay, last(col(pay), ignoreNulls = true).over(w))
+      .where(col(side) === 1)
+    val dist =
+      if (descending) col(s"$pay.$rts") - col(ts) else col(ts) - col(s"$pay.$rts")
+    finish(matched, leftCols, payloadCols, tolerance, dist)
   }
 }

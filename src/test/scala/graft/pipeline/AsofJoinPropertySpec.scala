@@ -36,7 +36,16 @@ class AsofJoinPropertySpec extends AnyFunSuite with SparkSpec {
       id -> (if (cands.isEmpty) None else Some(cands.minBy(_._2)._3))
     }.toMap
 
-  test("backward and forward equal the brute-force scan on random data") {
+  private def bruteNearest(left: Seq[(String, Long, Long)],
+                           right: Seq[(String, Long, Long)]) =
+    left.map { case (k, ts, id) =>
+      val cands = right.filter(_._1 == k)
+      id -> (if (cands.isEmpty) None
+             // ties at equal distance go to the at-or-before side
+             else Some(cands.minBy(c => (math.abs(c._2 - ts), if (c._2 <= ts) 0 else 1))._3))
+    }.toMap
+
+  test("backward, forward and nearest equal the brute-force scan on random data") {
     for (trial <- 1 to 5) {
       // tight tsRange forces equal-timestamp collisions on both sides
       val (l, r) = randomFrames(nLeft = 200, nRight = 150, nKeys = 7, tsRange = 40)
@@ -48,6 +57,9 @@ class AsofJoinPropertySpec extends AnyFunSuite with SparkSpec {
       val gotF = AsofJoin.forward(lDf, rDf, Seq("k"), "ts", "rts", Seq("rid"))
         .select($"lid", $"rid").as[(Long, Option[Long])].collect().toMap
       assert(gotF == bruteForward(l, r), s"forward diverged on trial $trial")
+      val gotN = AsofJoin.nearest(lDf, rDf, Seq("k"), "ts", "rts", Seq("rid"))
+        .select($"lid", $"rid").as[(Long, Option[Long])].collect().toMap
+      assert(gotN == bruteNearest(l, r), s"nearest diverged on trial $trial")
     }
   }
 
