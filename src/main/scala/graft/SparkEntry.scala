@@ -477,6 +477,25 @@ object SparkEntry {
           sround(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
     }),
 
+    // ---- relative statistical filter: keep docs at/above their
+    // language's median length (exact interpolated percentile)
+    "curate_above_median" -> ((s, dir) =>
+      Curation.aboveGroupPercentile(t(s, dir, "documents"), "lang", "n_chars", 0.5)
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
+
+    // ---- cross-modal cartography: documents joined to their embedding
+    // rows (aligned id spaces), profiled per (cluster label, language)
+    "embed_doc_map" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings").select(col("vec_id").as("doc_id"), col("label"))
+      d.join(e, Seq("doc_id"))
+        .groupBy(col("label").cast("long").as("label"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          sround(org.apache.spark.sql.functions.avg(
+            sround(TextAnalysis.qualityScore(col("text")), 6)), 6).as("avg_quality"))
+    }),
+
     // ---- BPE-step pair counts (occurrences, not distinct-per-doc)
     "curate_bpe_pairs" -> ((s, dir) =>
       Curation.bpePairCounts(t(s, dir, "documents"), "text", minCount = 25L)),
@@ -1041,6 +1060,29 @@ object SparkEntry {
          FROM (SELECT label, unnest(embedding) AS v,
                  generate_subscripts(embedding, 1) AS i FROM embeddings)
          GROUP BY 1, 2""",
+    // exact interpolated group median; >= on an exactly-representable
+    // threshold (integer or midpoint), so the boundary is engine-stable
+    "curate_above_median" ->
+      """WITH m AS (SELECT lang, quantile_cont(n_chars, 0.5) AS thr FROM documents GROUP BY 1)
+         SELECT doc_id, lang, n_chars FROM documents JOIN m USING (lang)
+         WHERE n_chars >= thr""",
+    // per-doc quality rounds to 6 BEFORE the avg in both engines; the
+    // final round-6 of the mean absorbs float summation-order noise
+    "embed_doc_map" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars, text,
+                CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS n_words,
+                CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS n_nonspace,
+                CAST(length(text) - length(regexp_replace(lower(text), '[a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio
+               FROM documents),
+         q AS (SELECT doc_id, lang, n_chars, round((
+                (CASE WHEN n_words >= 10 AND n_words <= 1000 THEN 1.0 WHEN n_words >= 3 THEN 0.5 ELSE 0.0 END)
+                + (CASE WHEN n_nonspace / n_words >= 3 AND n_nonspace / n_words <= 10 THEN 1.0 ELSE 0.5 END)
+                + alpha_ratio) / 3.0, 6) AS quality
+               FROM t)
+         SELECT CAST(e.label AS BIGINT) AS label, q.lang AS lang, count(*) AS n_docs,
+           CAST(sum(q.n_chars) AS BIGINT) AS sum_chars,
+           round(avg(q.quality), 6) AS avg_quality
+         FROM q JOIN embeddings e ON q.doc_id = e.vec_id GROUP BY 1, 2""",
     // range(1, len) is empty for len <= 1 in DuckDB, mirroring the Spark
     // size guard; pairs count occurrences corpus-wide
     "curate_bpe_pairs" ->

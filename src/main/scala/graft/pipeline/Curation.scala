@@ -160,6 +160,22 @@ object Curation {
         col("col").as("chunk_text"))
   }
 
+  /** Keep rows at or above their group's p-th percentile of `numCol` —
+    * relative statistical filtering ("drop the shortest half per
+    * language"), which adapts to each group's distribution where a
+    * global threshold over- or under-prunes small languages. The
+    * per-group EXACT percentile table is tiny (one row per group) and
+    * broadcast back; cost is the one groupBy shuffle. */
+  def aboveGroupPercentile(df: DataFrame, groupCol: String, numCol: String,
+                           p: Double): DataFrame = {
+    require(p >= 0.0 && p <= 1.0, s"p must be in [0,1] (got $p)")
+    val thr = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($numCol, $p)").as("__thr"))
+    df.join(broadcast(thr), Seq(groupCol))
+      .where(col(numCol) >= col("__thr"))
+      .drop("__thr")
+  }
+
   /** Per-group corpus profile: row count, total and mean size, and EXACT
     * p50/p90 of `numCol` — the summary a curation run publishes per
     * (language, source) slice before and after each filter stage.

@@ -126,6 +126,18 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       "short docs yield one chunk")
   }
 
+  test("aboveGroupPercentile keeps rows at/above each group's threshold") {
+    import spark.implicits._
+    // group g: 10,20,30,40 -> median 25 -> keeps 30,40; h: 7 -> keeps 7
+    val df = Seq(("g", 10), ("g", 20), ("g", 30), ("g", 40), ("h", 7))
+      .toDF("grp", "n")
+    val kept = Curation.aboveGroupPercentile(df, "grp", "n", 0.5)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(kept == Set(("g", 30), ("g", 40), ("h", 7)), s"got $kept")
+    assert(Curation.aboveGroupPercentile(df, "grp", "n", 0.0).count() == 5,
+      "p=0 keeps everything")
+  }
+
   test("bpePairCounts counts adjacent-pair occurrences corpus-wide") {
     val d = Seq("a b a b c", "a b", "solo", "").toDF("text")
     val m = Curation.bpePairCounts(d, "text")
