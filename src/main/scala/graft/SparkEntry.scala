@@ -419,6 +419,19 @@ object SparkEntry {
         k = 5, window = 4, minShared = 50L,
         maxFingerprintPairs = Long.MaxValue, useMd5 = true)),
 
+    // ---- winnow pairs -> connected components -> keep-one: the
+    // lifted-passage dedup pipeline end to end (pair generator and
+    // cluster resolver compose across families)
+    "dedup_winnow_cluster" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.winnowOverlapPairs(docs, "text", "doc_id",
+          k = 5, window = 4, minShared = 50L,
+          maxFingerprintPairs = Long.MaxValue, useMd5 = true)
+        .select(col("id_a"), col("id_b"))
+      NearDupCluster.dedupByPairs(docs, pairs, "doc_id", maxIterations = 20)
+        .select(col("doc_id"))
+    }),
+
     // ---- common-token quality ratio vs the corpus top-100 vocabulary
     "text_common_ratio" -> ((s, dir) =>
       TextAnalysis.commonTokenRatio(t(s, dir, "documents"), "text", "doc_id", 100)
@@ -987,6 +1000,27 @@ object SparkEntry {
          SELECT doc_id, dup_kind, match_id, round(jaccard, 6) AS jaccard FROM ex
          UNION ALL
          SELECT doc_id, dup_kind, match_id, round(jaccard, 6) AS jaccard FROM nr""",
+    // winnow-pair edges through the same recursive-reachability component
+    // resolution as dedup_near_cluster
+    "dedup_winnow_cluster" ->
+      """WITH RECURSIVE
+         pp AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+         g AS (SELECT doc_id,
+                 list_transform(range(0, greatest(length(t) - 5 + 1, 1)),
+                   i -> ('0x' || substring(md5(substring(t, i::INT + 1, 5)), 1, 15))::BIGINT) AS hs
+               FROM pp),
+         f AS (SELECT doc_id,
+                 unnest(list_distinct(list_transform(range(0, greatest(len(hs) - 4 + 1, 1)),
+                   w -> list_min(hs[w::INT + 1 : w::INT + 4])))) AS fp
+               FROM g),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+               GROUP BY 1, 2 HAVING count(*) >= 50),
+         edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+         reach(a, b) AS (SELECT a, b FROM edges UNION SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+         comp AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a)
+         SELECT d.doc_id AS doc_id FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
+         WHERE comp.id IS NULL OR comp.comp = d.doc_id""",
     // the text_winnow sketch construction, self-joined on the fingerprint
     "dedup_winnow" ->
       """WITH p AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
