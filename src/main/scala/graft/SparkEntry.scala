@@ -552,7 +552,8 @@ object SparkEntry {
 
     // ---- NATIVE session_window sessionization in batch mode (the same
     // code path the watermarked stream runs). Integer-exact like
-    // events_sessionize; native boundary semantics (merge iff diff < gap).
+    // events_sessionize; native boundary semantics (merge iff diff <= gap
+    // — the session window is end-inclusive, spec-pinned).
     "events_session_window" -> ((s, dir) => {
       val ev = events(s, dir).select(col("user_id"),
         org.apache.spark.sql.functions.timestamp_micros(expr("ts div 1000")).as("ts"),

@@ -33,7 +33,9 @@ object Curation {
     * pushes down past column pruning like any predicate. */
   def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1] (got $fraction)")
-    df.where(md5Bucket(col(keyCol)) < (fraction * 1e6).toLong)
+    // round, not truncate: 0.000249 * 1e6 = 248.99999... would truncate
+    // one bucket low and diverge from any engine that rounds the literal
+    df.where(md5Bucket(col(keyCol)) < math.round(fraction * 1e6))
   }
 
   /** Per-stratum deterministic sampling — the quota-mixing step of corpus
@@ -46,9 +48,9 @@ object Curation {
                            defaultRate: Double): DataFrame = {
     (rates.values.toSeq :+ defaultRate).foreach(r =>
       require(r >= 0.0 && r <= 1.0, s"rates must be in [0,1] (got $r)"))
-    val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit((defaultRate * 1e6).toLong)) {
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit(math.round(defaultRate * 1e6))) {
       case (acc, (stratum, rate)) =>
-        when(col(strataCol) === stratum, lit((rate * 1e6).toLong)).otherwise(acc)
+        when(col(strataCol) === stratum, lit(math.round(rate * 1e6))).otherwise(acc)
     }
     df.where(md5Bucket(col(keyCol)) < threshold)
   }
@@ -171,9 +173,12 @@ object Curation {
     require(p >= 0.0 && p <= 1.0, s"p must be in [0,1] (got $p)")
     val thr = df.groupBy(col(groupCol))
       .agg(expr(s"percentile($numCol, $p)").as("__thr"))
-    df.join(broadcast(thr), Seq(groupCol))
+      .withColumnRenamed(groupCol, "__grp")
+    // null-safe join: a NULL group is still a group (groupBy keeps it, an
+    // equi-join would silently delete its rows from the output)
+    df.join(broadcast(thr), col(groupCol) <=> col("__grp"))
       .where(col(numCol) >= col("__thr"))
-      .drop("__thr")
+      .drop("__grp", "__thr")
   }
 
   /** Per-group corpus profile: row count, total and mean size, and EXACT

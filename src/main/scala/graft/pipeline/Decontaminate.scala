@@ -56,11 +56,20 @@ object Decontaminate {
   def contaminationStats(corpus: DataFrame, eval: DataFrame, textCol: String,
                          idCol: String, n: Int,
                          broadcastEval: Boolean = true): DataFrame = {
-    val sizes = Dedup.wordShingles(corpus, textCol, idCol, n)
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
-    contaminated(corpus, eval, textCol, idCol, n, broadcastEval)
-      .join(sizes, Seq(idCol))
-      .withColumn("contaminated_frac", col("n_hits") / col("n_grams"))
+    // ONE corpus shingle pass: left-join the exploded grams to the
+    // broadcast eval set and count hits conditionally (the two-pass
+    // shape — contaminated() + a separate size aggregate — shingles the
+    // corpus twice for the same answer)
+    val g = evalGrams(eval, textCol, idCol, n).withColumn("__hit", lit(1))
+    val grams = if (broadcastEval) broadcast(g) else g
+    Dedup.wordShingles(corpus, textCol, idCol, n)
+      .join(grams, Seq("__shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hits"))
+      .where(col("n_hits") > 0)
+      .select(col(idCol), col("n_hits"), col("n_grams"),
+        (col("n_hits") / col("n_grams")).as("contaminated_frac"))
   }
 
   /** The clean corpus: every row of `corpus` sharing no word n-gram with

@@ -171,10 +171,15 @@ object Dedup {
                          k: Int = 5, window: Int = 4, minShared: Long = 8L,
                          maxFingerprintPairs: Long = 4_000_000L,
                          maxDriverHotFingerprints: Int = 1_000_000,
-                         useMd5: Boolean = false): DataFrame = {
-    val exploded = spread(docs).select(col(idCol),
-      explode(TextAnalysis.winnowFingerprints(col(textCol), k, window, useMd5))
-        .as("__sh"))
+                         useMd5: Boolean = false,
+                         checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    // materialize once: the df-gate aggregate and both self-join sides
+    // would otherwise each rebuild the k-gram + window-min sketch
+    val exploded = Materialize(
+      spread(docs).select(col(idCol),
+        explode(TextAnalysis.winnowFingerprints(col(textCol), k, window, useMd5))
+          .as("__sh")),
+      checkpoint)
     val gated = gateHotShingles(exploded, "dedup_winnow", maxFingerprintPairs,
       maxDriverHotFingerprints)
     gated.as("a").join(gated.as("b"),
@@ -213,9 +218,13 @@ object Dedup {
     val bd = batch.select(col(idCol), md5(col(textCol)).as("__digest"))
     val cd = corpus.groupBy(md5(col(textCol)).as("__digest"))
       .agg(min(col(idCol)).as("match_id"))
-    val exact = bd.join(cd, Seq("__digest"))
-      .select(col(idCol), lit("exact").as("dup_kind"), col("match_id"),
-        lit(1.0).as("jaccard"))
+    // materialized: consumed by both the output union and the near arm's
+    // anti-join — without the barrier each action re-digests the corpus
+    val exact = Materialize(
+      bd.join(cd, Seq("__digest"))
+        .select(col(idCol), lit("exact").as("dup_kind"), col("match_id"),
+          lit(1.0).as("jaccard")),
+      checkpoint)
 
     val union = batch.select(col(idCol), col(textCol))
       .unionByName(corpus.select(col(idCol), col(textCol)))

@@ -136,6 +136,13 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(kept == Set(("g", 30), ("g", 40), ("h", 7)), s"got $kept")
     assert(Curation.aboveGroupPercentile(df, "grp", "n", 0.0).count() == 5,
       "p=0 keeps everything")
+    // a NULL group is still a group: its rows filter against their own
+    // percentile instead of silently vanishing in the join
+    val withNull = Seq((Some("g"), 10), (None, 1), (None, 3))
+      .toDF("grp", "n")
+    val keptNull = Curation.aboveGroupPercentile(withNull, "grp", "n", 0.5)
+      .collect().map(r => (Option(r.getString(0)), r.getInt(1))).toSet
+    assert(keptNull == Set((Some("g"), 10), (None, 3)), s"got $keptNull")
   }
 
   test("bpePairCounts counts adjacent-pair occurrences corpus-wide") {
