@@ -155,6 +155,15 @@ object SparkEntry {
       NearDupCluster.dedupByPairs(docs, pairs, "doc_id", maxIterations = 20)
         .select(col("doc_id"))
     }),
+    // cosine pairs -> connected components -> keep-one: semantic near-dup
+    // dedup end to end (same resolver as the text families)
+    "dedup_cosine_cluster" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = Dedup.embeddingCosinePairs(emb, "embedding", "vec_id", 0.4)
+        .select(col("id_a"), col("id_b"))
+      NearDupCluster.dedupByPairs(emb, pairs, "vec_id", maxIterations = 20)
+        .select(col("vec_id"))
+    }),
     "dedup_embedding_cosine" -> ((s, dir) => {
       val p = Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), "embedding", "vec_id", 0.4)
       p.select(col("id_a"), col("id_b"), sround(col("cosine"), 6).as("cosine"))
@@ -693,6 +702,17 @@ object SparkEntry {
          comp AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a)
          SELECT d.doc_id AS doc_id FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
          WHERE comp.id IS NULL OR comp.comp = d.doc_id""",
+    // cosine-pair edges through the recursive component resolution
+    "dedup_cosine_cluster" ->
+      """WITH RECURSIVE
+         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+               WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4),
+         edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+         reach(a, b) AS (SELECT a, b FROM edges UNION SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+         comp AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a)
+         SELECT e.vec_id AS vec_id FROM embeddings e LEFT JOIN comp ON e.vec_id = comp.id
+         WHERE comp.id IS NULL OR comp.comp = e.vec_id""",
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
