@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, encode, explode, expr, get_json_object, lit, max, min, round => sround, sum}
+import org.apache.spark.sql.functions.{col, count, encode, explode, expr, get_json_object, lit, max, min, posexplode, round => sround, sum}
 
 import graft.fuzzy.{FuzzyAlgorithm, FuzzyMapping, FuzzyMatcher, MatchOptions}
 import graft.pipeline.{AnnSearch, AsofJoin, Curation, Decontaminate, Dedup, Multimodal, NearDupCluster, Sessionize, TextAnalysis}
@@ -189,6 +189,17 @@ object SparkEntry {
         "embedding", "vec_id", 10)
       res.select(col("query_id"), col("corpus_id"),
         sround(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+    }),
+    // int8-quantized variant: per-vector symmetric quantization (exact
+    // floor arithmetic) + integer dot products — the 4x-compressed corpus
+    // path, fully oracled because every step is exact integer or
+    // deterministic IEEE arithmetic
+    "ann_cosine_int8" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val res = AnnSearch.int8TopK(emb.where(col("vec_id") < 10), emb,
+        "embedding", "vec_id", 10)
+      res.select(col("query_id"), col("corpus_id"),
+        sround(col("qcosine"), 6).as("qcosine"), col("rank").cast("long").as("rank"))
     }),
     // IVF (k-means coarse quantizer) variant: at nProbe = nCells the cell
     // routing provably reproduces brute force, so the plumbing (trainer,
@@ -485,6 +496,16 @@ object SparkEntry {
         .select(col("label").cast("long").as("label"), col("dim"),
           col("n_vectors"), sround(col("centroid"), 6).as("centroid"))),
 
+    // ---- JL random projection (md5-int variant: exact BIGINT component
+    // sums both engines compute identically; gaussian is the production
+    // path — see RandomProjectSpec for the search composition)
+    "embed_rp" -> ((s, dir) =>
+      graft.pipeline.Embeddings.randomProjectMd5Int(
+          t(s, dir, "embeddings").where(col("vec_id") < 100), "embedding", 64, 8)
+        .select(col("vec_id"), posexplode(col("rpq")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("rp_dim"),
+          col("col").as("component"))),
+
     // ---- end-to-end curation composition: deterministic 50% sample ->
     // quality gate (rounded score, so the threshold compare is
     // boundary-stable across engines) -> exact dedup keep-min-id ->
@@ -760,6 +781,37 @@ object SparkEntry {
                       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
                FROM s)
          SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 10""",
+    // int8 quantization: q = floor(v * 127 / max|v|) — float->double
+    // widening is exact and floor avoids cross-engine round-tie rules; the
+    // quantized dots/norms are exact BIGINT arithmetic, and the final
+    // divide/sqrt are single correctly-rounded IEEE ops both engines
+    // reproduce bit-for-bit
+    "ann_cosine_int8" ->
+      """WITH z AS (SELECT vec_id, embedding,
+                list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+              FROM embeddings),
+         qz AS (SELECT vec_id,
+                  CASE WHEN ma > 0
+                       THEN list_transform(embedding,
+                              x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma) AS BIGINT))
+                       ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS q
+                FROM z),
+         n AS (SELECT vec_id, q,
+                 CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM qz),
+         qs AS (SELECT vec_id AS query_id, q AS qq, n2 AS qn FROM n
+                WHERE vec_id < 10 AND n2 > 0),
+         cs AS (SELECT vec_id AS corpus_id, q AS cq, n2 AS cn FROM n WHERE n2 > 0),
+         s AS (SELECT query_id, corpus_id,
+                      CAST(list_sum(list_transform(range(1, 65), i -> qq[i] * cq[i])) AS BIGINT) AS dot,
+                      qn, cn
+               FROM qs CROSS JOIN cs WHERE corpus_id != query_id),
+         r AS (SELECT query_id, corpus_id,
+                      CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS qc,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) DESC,
+                                 corpus_id) AS rank
+               FROM s)
+         SELECT query_id, corpus_id, round(qc, 6) AS qcosine, rank FROM r WHERE rank <= 10""",
     // sign-LSH with md5-derived INTEGER planes and floor(v * 4096)
     // quantization: every dot product is exact integer arithmetic, so the
     // bucket assignment — and therefore the candidate set and the ranked
@@ -1115,6 +1167,20 @@ object SparkEntry {
          FROM (SELECT label, unnest(embedding) AS v,
                  generate_subscripts(embedding, 1) AS i FROM embeddings)
          GROUP BY 1, 2""",
+    // md5-derived integer planes x floor(v*4096) quantized vectors: every
+    // projected component is an exact BIGINT dot product (same scheme as
+    // the sign-LSH oracles)
+    "embed_rp" ->
+      """WITH pl AS (SELECT p, d,
+                (('0x' || substring(md5(p || '_' || d), 1, 15))::BIGINT % 2097152) - 1048576 AS comp
+              FROM range(8) tp(p), range(64) td(d)),
+         pv AS (SELECT p, list(comp ORDER BY d) AS pc FROM pl GROUP BY p),
+         qn AS (SELECT vec_id,
+                  list_transform(range(1, 65), i -> CAST(floor(embedding[i]::DOUBLE * 4096) AS BIGINT)) AS qv
+                FROM embeddings WHERE vec_id < 100)
+         SELECT vec_id, p + 1 AS rp_dim,
+                CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * pc[i])) AS BIGINT) AS component
+         FROM qn CROSS JOIN pv""",
     // exact interpolated group median; >= on an exactly-representable
     // threshold (integer or midpoint), so the boundary is engine-stable
     "curate_above_median" ->

@@ -40,6 +40,31 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Symmetric per-vector int8 quantization (see VectorKernels.quantizeI8) —
+  * the 4x storage/shuffle compression step for corpus-scale ANN. */
+case class QuantizeInt8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def prettyName: String = "i8vec_quantize"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.quantizeI8(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.fuzzy.VectorKernels.quantizeI8($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Exact integer dot product of two int8-quantized vectors. */
+case class ByteVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "i8vec_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dotI8(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.fuzzy.VectorKernels.dotI8($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
@@ -119,6 +144,36 @@ case class NearestCells(child: Expression, centroids: Array[Double], dim: Int, n
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("centroids", centroids, "double[]")
     defineCodeGen(ctx, ev, c => s"graft.fuzzy.VectorKernels.nearestCells($c, $ref, $dim, $nProbe)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** JL random projection to `outDim` float components (planes flattened
+  * row-major, `outDim x dim`). */
+case class RandomProjectF(child: Expression, planes: Array[Double], dim: Int, outDim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "random_project"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.projectF(v.asInstanceOf[ArrayData], planes, dim, outDim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.fuzzy.VectorKernels.projectF($c, $ref, $dim, $outDim)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Exact-integer projection (quantized vector x integer planes) — the
+  * oracle-reproducible variant of [[RandomProjectF]]. */
+case class RandomProjectInt(child: Expression, planes: Array[Long], dim: Int, outDim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "random_project_int"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.projectQ(v.asInstanceOf[ArrayData], planes, dim, outDim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.fuzzy.VectorKernels.projectQ($c, $ref, $dim, $outDim)")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -289,12 +344,18 @@ object vectorFunctions {
 
   def fvec_cosine(a: Column, b: Column): Column = c(FloatVectorCosine(x(a), x(b)))
   def fvec_dot(a: Column, b: Column): Column = c(FloatVectorDot(x(a), x(b)))
+  def i8vec_quantize(v: Column): Column = c(QuantizeInt8(x(v)))
+  def i8vec_dot(a: Column, b: Column): Column = c(ByteVectorDot(x(a), x(b)))
   def minhash_signature(shingles: Column, k: Int): Column = c(MinHashSignature(x(shingles), k))
   def sig_agreement(a: Column, b: Column): Column = c(SignatureAgreement(x(a), x(b)))
   def simhash64(tokens: Column, useMd5: Boolean = false): Column = c(SimHash(x(tokens), useMd5))
   def winnow_sketch(text: Column, k: Int = 5, window: Int = 4,
                     useMd5: Boolean = false): Column =
     c(WinnowSketch(x(text), k, window, useMd5))
+  def random_project(vec: Column, planes: Array[Double], dim: Int, outDim: Int): Column =
+    c(RandomProjectF(x(vec), planes, dim, outDim))
+  def random_project_int(vec: Column, planes: Array[Long], dim: Int, outDim: Int): Column =
+    c(RandomProjectInt(x(vec), planes, dim, outDim))
   def sign_lsh_bits(vec: Column, planes: Array[Double], dim: Int): Column =
     c(SignLshBits(x(vec), planes, dim))
   def sign_lsh_bits_int(vec: Column, planes: Array[Long], dim: Int): Column =
@@ -325,6 +386,8 @@ object vectorFunctions {
     Seq[(String, Seq[Expression] => Expression)](
       "fvec_cosine" -> (es => FloatVectorCosine(es(0), es(1))),
       "fvec_dot" -> (es => FloatVectorDot(es(0), es(1))),
+      "i8vec_quantize" -> (es => QuantizeInt8(es(0))),
+      "i8vec_dot" -> (es => ByteVectorDot(es(0), es(1))),
       "sig_agreement" -> (es => SignatureAgreement(es(0), es(1))),
       "minhash_signature" -> (es => MinHashSignature(es(0), intLit(es(1), "k"))),
       "simhash64" -> (es => SimHash(es(0))),

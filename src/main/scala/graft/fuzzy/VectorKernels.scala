@@ -41,6 +41,93 @@ object VectorKernels {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Symmetric per-vector int8 quantization of a float vector:
+    * `q_i = floor(v_i * 127.0 / max_j |v_j|)`, all-zero when the vector is
+    * all-zero. 4x smaller than float32 — the memory/shuffle compression
+    * step for corpus-scale ANN — and every arithmetic step (float->double
+    * widening is exact, one multiply, one divide, floor) is an IEEE
+    * operation an oracle engine reproduces bit-for-bit, unlike a
+    * round-to-nearest scheme whose tie rule differs across engines. */
+  def quantizeI8(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    var ma = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(v.getFloat(i).toDouble)
+      if (x > ma) ma = x
+      i += 1
+    }
+    val out = new Array[Byte](n)
+    if (ma > 0.0) {
+      i = 0
+      while (i < n) {
+        out(i) = math.floor(v.getFloat(i).toDouble * 127.0 / ma).toByte
+        i += 1
+      }
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** Integer dot product of two int8-quantized vectors ([[quantizeI8]]) —
+    * exact LONG arithmetic, order-independent, oracle-reproducible. */
+  def dotI8(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += a.getByte(i).toLong * b.getByte(i).toLong
+      i += 1
+    }
+    s
+  }
+
+  /** Johnson-Lindenstrauss random projection of a float vector onto the
+    * first `outDim` rows of a flattened row-major plane matrix, scaled by
+    * `1/sqrt(outDim)` (the JL norm-preserving constant for unit-variance
+    * planes). Output is float — the projected corpus feeds the same
+    * float-array ANN operators at `outDim/dim` of the storage. */
+  def projectF(v: ArrayData, planes: Array[Double], dim: Int, outDim: Int): ArrayData = {
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Float](outDim)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    var p = 0
+    while (p < outDim) {
+      var s = 0.0
+      var d = 0
+      val off = p * dim
+      while (d < n) {
+        s += v.getFloat(d).toDouble * planes(off + d)
+        d += 1
+      }
+      out(p) = (s * scale).toFloat
+      p += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** Oracle-reproducible projection: the vector quantizes to
+    * `floor(v * 4096)` (exact IEEE floor on exactly-widened floats) and the
+    * planes are integers (md5-derived), so every component is an exact
+    * BIGINT sum any engine recomputes bit-for-bit. Same quantization grid
+    * as [[signBitsInt]]. */
+  def projectQ(v: ArrayData, planes: Array[Long], dim: Int, outDim: Int): ArrayData = {
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Long](outDim)
+    var p = 0
+    while (p < outDim) {
+      var s = 0L
+      var d = 0
+      val off = p * dim
+      while (d < n) {
+        s += math.floor(v.getFloat(d).toDouble * 4096.0).toLong * planes(off + d)
+        d += 1
+      }
+      out(p) = s
+      p += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** xxhash64-style seeded hash of a UTF8String via Spark's own XXH64. */
   @inline private def seededHash(s: UTF8String, seed: Long): Long =
     org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(

@@ -66,6 +66,42 @@ object AnnSearch {
       .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
   }
 
+  /** Exact top-k over int8-QUANTIZED vectors ([[Embeddings.quantizeInt8]]):
+    * both sides quantize to `floor(v_i * 127 / max|v|)` and rank by the
+    * quantized cosine `dot_q / sqrt(|q|^2 * |c|^2)` — every dot product is
+    * exact LONG arithmetic, so the result is bit-reproducible under any
+    * partitioning AND by an oracle engine (a float cosine is
+    * summation-order-dependent).
+    *
+    * Why it matters at 100 TB: the corpus side that flows through the scan,
+    * the broadcast and the window is 4x smaller than float32 (64 B vs 256 B
+    * per 64-dim vector), and the kernel is integer multiply-adds. Recall vs
+    * the float cosine is spec-gated (Int8AnnSpec); per-vector symmetric
+    * scaling cancels in the cosine, so the only error is the floor step.
+    * Zero vectors (quantized norm 0) have no defined angle and are excluded
+    * on both sides. Same broadcast-query shape as [[bruteForceTopK]] —
+    * route large query sets through [[lshTopK]] + int8 re-rank instead. */
+  def int8TopK(queries: DataFrame, corpus: DataFrame,
+               vecCol: String, idCol: String, k: Int): DataFrame = {
+    import graft.fuzzy.vectorFunctions.{i8vec_dot, i8vec_quantize}
+    def prep(df: DataFrame, idAs: String, q: String, n2: String) =
+      df.select(col(idCol).as(idAs), i8vec_quantize(col(vecCol)).as(q))
+        .withColumn(n2, i8vec_dot(col(q), col(q)))
+        .where(col(n2) > 0)
+    val q = prep(queries, "query_id", "__qq", "__qn")
+    val c = spread(prep(corpus, "corpus_id", "__cq", "__cn"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("corpus_id"))
+      .withColumn("qcosine",
+        i8vec_dot(col("__qq"), col("__cq")).cast("double")
+          / sqrt(col("__qn").cast("double") * col("__cn").cast("double")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("qcosine"), col("rank"))
+  }
+
   /** Lloyd's k-means over an embedding column, expressed relationally:
     * assignment is a codegen'd nearest-centroid projection, the update is
     * one `posexplode` + per-(cell, dimension) average — one aggregate

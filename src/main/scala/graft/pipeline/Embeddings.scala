@@ -22,6 +22,53 @@ object Embeddings {
     * Overflow headroom: |component| * quantScale * groupSize must stay
     * under 2^63 — at the default 1e6 scale that allows ~9e12 unit-norm
     * vectors per group. */
+  /** Symmetric per-vector int8 quantization: adds `qCol` (array<tinyint>,
+    * `floor(v_i * 127 / max|v|)`) and `scaleCol` (the dequantization factor
+    * `max|v| / 127`, so `v_i ~= q_i * scale` within one quantization step).
+    *
+    * This is the storage/shuffle compression step for corpus-scale vector
+    * search: 4x smaller than float32 at a bounded cosine error (see
+    * [[AnnSearch.int8TopK]] for searching the quantized corpus directly).
+    * A narrow codegen projection — no shuffle, no action; at 100 TB the
+    * quantized corpus is what you persist and the float source is what
+    * you archive. */
+  def quantizeInt8(df: DataFrame, vecCol: String,
+                   qCol: String = "qvec", scaleCol: String = "scale"): DataFrame =
+    df.withColumn(qCol, graft.fuzzy.vectorFunctions.i8vec_quantize(col(vecCol)))
+      .withColumn(scaleCol,
+        coalesce(array_max(transform(col(vecCol), x => abs(x.cast("double")))), lit(0.0))
+          / lit(127.0))
+
+  /** Johnson-Lindenstrauss random projection: adds `outCol` — the vector
+    * projected onto `outDim` seeded gaussian directions (scaled
+    * `1/sqrt(outDim)`), as floats.
+    *
+    * The dimensionality-reduction scale path for vector search: pairwise
+    * cosines are approximately preserved (JL), so search runs against an
+    * `outDim/dim`-sized corpus and only the surviving candidates re-rank
+    * against the full-dimension vectors (see RandomProjectSpec for the
+    * composition). The plane matrix is a driver-held `outDim x dim` array
+    * shipped as a literal — no shuffle, no fit step, reproducible from the
+    * seed alone. One narrow codegen projection. */
+  def randomProject(df: DataFrame, vecCol: String, dim: Int, outDim: Int,
+                    outCol: String = "rpvec", seed: Long = 42L): DataFrame = {
+    require(outDim >= 1 && outDim <= dim, s"outDim must be in [1, dim] (got $outDim, dim=$dim)")
+    df.withColumn(outCol, graft.fuzzy.vectorFunctions.random_project(
+      col(vecCol), Dedup.hyperplanes(dim, outDim, seed).flatten, dim, outDim))
+  }
+
+  /** Oracle-reproducible [[randomProject]] variant: `floor(v * 4096)`
+    * quantization x md5-derived INTEGER planes — every component is an
+    * exact BIGINT sum a SQL engine recomputes bit-for-bit (same scheme as
+    * the sign-LSH oracles). The seeded gaussian [[randomProject]] stays the
+    * production path. */
+  def randomProjectMd5Int(df: DataFrame, vecCol: String, dim: Int, outDim: Int,
+                          outCol: String = "rpq"): DataFrame = {
+    require(outDim >= 1 && outDim <= dim, s"outDim must be in [1, dim] (got $outDim, dim=$dim)")
+    df.withColumn(outCol, graft.fuzzy.vectorFunctions.random_project_int(
+      col(vecCol), Dedup.hyperplanesMd5Int(dim, outDim), dim, outDim))
+  }
+
   def centroids(df: DataFrame, groupCols: Seq[String], vecCol: String,
                 quantScale: Double = 1e6): DataFrame = {
     require(groupCols.nonEmpty, "centroids needs at least one group column")
