@@ -114,6 +114,10 @@ object SparkEntry {
     // ---- deduplication suite over `documents`
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")),
+    // sub-document (16-token chunk) exact dedup: keep-first per distinct
+    // chunk; dup_count > 1 rows are the corpus's repeated passages
+    "dedup_chunk_exact" -> ((s, dir) =>
+      Dedup.chunkDedup(t(s, dir, "documents"), "text", "doc_id", 16)),
     // Hot-shingle gate disabled (Long.MaxValue): the exact SQL oracle joins
     // every shared shingle unconditionally, so parity must not depend on no
     // shingle exceeding the default document-frequency cap at a larger
@@ -668,6 +672,19 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT text, min(doc_id) AS keep_id, count(*) AS dup_count
          FROM documents GROUP BY text""",
+    // same chunk construction as curate_chunks at stride = width = 16
+    // (non-overlapping); keep-first = arg-min over the packed
+    // (doc_id, chunk_index) long
+    "dedup_chunk_exact" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+         c AS (SELECT doc_id, unnest(list_transform(range(0, CAST(floor((len(w)-1)/16) AS INT) + 1),
+                 i -> struct_pack(idx := i, txt := array_to_string(w[(i*16+1)::INT : (i*16+16)::INT], ' ')))) AS ch
+               FROM t)
+         SELECT arg_min(doc_id, doc_id * 1000000 + ch.idx) AS doc_id,
+                CAST(arg_min(ch.idx, doc_id * 1000000 + ch.idx) AS BIGINT) AS chunk_index,
+                md5(ch.txt) AS chunk_md5,
+                count(*) AS dup_count
+         FROM c GROUP BY md5(ch.txt)""",
     "dedup_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
          s AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]

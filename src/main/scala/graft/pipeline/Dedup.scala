@@ -35,6 +35,35 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Sub-document (chunk-level) exact dedup — C4-style passage pruning.
+    * Documents split into NON-overlapping `chunkTokens`-token windows and
+    * ONE representative survives per distinct chunk text: the first
+    * occurrence in (id, chunk_index) order. Whole-document dedup misses a
+    * boilerplate passage pasted into otherwise-distinct documents; this
+    * catches it at chunk granularity.
+    *
+    * Scale shape: one narrow chunk projection (codegen; no shuffle), then
+    * ONE hash-agg shuffle keyed by the 128-bit chunk digest — the chunk
+    * TEXT never shuffles, and the arg-min rides a single packed long
+    * (map-side combine applies). Output is the surviving chunk stream
+    * (id, chunk_index, chunk_md5, dup_count); re-assembling pruned
+    * documents is a groupBy(id) + sort + concat away, and dup_count > 1
+    * rows are exactly the corpus's repeated passages.
+    *
+    * `maxChunksPerDoc` bounds the packing `id * maxChunksPerDoc + index`:
+    * ids must stay below 2^63 / maxChunksPerDoc (9.2e12 at the default
+    * 1e6 — validate upstream if ids are synthetic hashes). */
+  def chunkDedup(docs: DataFrame, textCol: String, idCol: String,
+                 chunkTokens: Int, maxChunksPerDoc: Long = 1_000_000L): DataFrame = {
+    val packed = col(idCol) * maxChunksPerDoc + col("chunk_index")
+    Curation.chunkTokens(docs, textCol, idCol, chunkTokens, overlap = 0)
+      .groupBy(md5(encode(col("chunk_text"), "UTF-8")).as("chunk_md5"))
+      .agg(min_by(col(idCol), packed).as(idCol),
+        min_by(col("chunk_index"), packed).as("chunk_index"),
+        count(lit(1)).as("dup_count"))
+      .select(col(idCol), col("chunk_index"), col("chunk_md5"), col("dup_count"))
+  }
+
   // --------------------------------------------------- shingles / jaccard
 
   /** Distinct lowercase word n-gram shingles per document:
