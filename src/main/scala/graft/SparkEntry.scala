@@ -416,6 +416,12 @@ object SparkEntry {
     "corpus_stats" -> ((s, dir) =>
       Curation.corpusStats(t(s, dir, "documents"), Seq("lang", "source"), "n_chars")),
 
+    // ---- hierarchical rollup: leaf + per-lang subtotal + grand total in
+    // ONE Expand + hash-agg pass (level = grouping_id bitmask)
+    "corpus_rollup" -> ((s, dir) =>
+      graft.pipeline.Olap.rollupProfile(t(s, dir, "documents"),
+        Seq("lang", "source"), "n_chars")),
+
     // ---- incremental (nightly-ingest) dedup: a 10% md5-bucket slice
     // plays today's batch; the corpus is the other 90% PLUS re-ingested
     // copies of half the batch under offset ids (the synthetic corpus has
@@ -566,6 +572,15 @@ object SparkEntry {
         expr("ts div 1000").as("ts_us"), col("event_type"))
       graft.pipeline.Funnels.funnelSteps(ev, "user_id", "ts_us", "event_type",
         Seq("view", "click", "purchase"))
+    }),
+
+    // ---- wide daily behavior matrix: one aggregate pass (explicit
+    // category list — no discovery job), empty cells 0
+    "events_pivot" -> ((s, dir) => {
+      val ev = events(s, dir).select(
+        expr("ts div 86400000000000").as("day"), col("event_type"))
+      graft.pipeline.Olap.pivotCounts(ev, "day", "event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
     }),
 
     // ---- event-type transition matrix (per-user consecutive pairs)
@@ -1056,6 +1071,14 @@ object SparkEntry {
            round(quantile_cont(n_chars, 0.9), 4) AS p90,
            CAST(min(n_chars) AS BIGINT) AS min_v, CAST(max(n_chars) AS BIGINT) AS max_v
          FROM documents GROUP BY 1, 2""",
+    // GROUPING bit order (first column = MSB) matches Spark grouping_id;
+    // subtotal NULLs relabel to 'ALL' in both engines
+    "corpus_rollup" ->
+      """SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
+           CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
+           CAST(GROUPING(lang, source) AS BIGINT) AS level,
+           count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_value
+         FROM documents GROUP BY ROLLUP (lang, source)""",
     // exact arm: corpus digests (min id per digest); near arm: the
     // dedup_ngram_jaccard shingle family restricted to cross-side pairs,
     // best match per batch doc (max jaccard, ties to smallest corpus id)
@@ -1281,6 +1304,16 @@ object SparkEntry {
            coalesce(t0, -1) AS t0, coalesce(t1, -1) AS t1, coalesce(t2, -1) AS t2
          FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)""",
     // deterministic lead() ordering: (ts, event_id) in both engines
+    // conditional aggregation = the pivot's wide layout; integer
+    // nano-floor-division days bucket identically in both engines
+    "events_pivot" ->
+      """SELECT epoch_ns(ts) // 86400000000000 AS day,
+           count(*) FILTER (WHERE event_type = 'click') AS n_click,
+           count(*) FILTER (WHERE event_type = 'error') AS n_error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+           count(*) FILTER (WHERE event_type = 'view') AS n_view
+         FROM events GROUP BY 1""",
     "events_transitions" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_type, event_id FROM events),
          n AS (SELECT event_type AS from_type,

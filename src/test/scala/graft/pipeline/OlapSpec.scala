@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Rollup / pivot wrappers ([[Olap]]): level semantics, totals
+  * consistency, and the single-pass plan shapes that make them the right
+  * call at scale.
+  */
+class OlapSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("rollup levels are consistent: leaves sum to subtotals to the total") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val r = Olap.rollupProfile(docs, Seq("lang", "source"), "n_chars")
+    val leaves = r.where(col("level") === 0)
+    val langTot = r.where(col("level") === 1)
+    val grand = r.where(col("level") === 3).collect()
+    assert(grand.length === 1 && grand.head.getAs[String]("lang") === "ALL")
+    assert(grand.head.getAs[Long]("n_rows") === docs.count())
+    // per-lang subtotals equal the sum of their leaves
+    val fromLeaves = leaves.groupBy(col("lang"))
+      .agg(sum(col("n_rows")).as("n"), sum(col("sum_value")).as("s"))
+      .collect().map(r0 => r0.getString(0) -> (r0.getLong(1), r0.getLong(2))).toMap
+    langTot.collect().foreach { row =>
+      val got = (row.getAs[Long]("n_rows"), row.getAs[Long]("sum_value"))
+      assert(fromLeaves(row.getAs[String]("lang")) === got)
+      assert(row.getAs[String]("source") === "ALL")
+    }
+  }
+
+  test("rollup plans as ONE Expand + aggregate, not a union of aggregates") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = Olap.rollupProfile(docs, Seq("lang", "source"), "n_chars")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"rollup lost its Expand encoding:\n$plan")
+    assert(!plan.contains("Union"), s"rollup degenerated to a union of aggregates:\n$plan")
+  }
+
+  test("pivot counts match the long-format groupBy, empty cells are 0") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = Olap.pivotCounts(docs, "source", "lang", Seq("en", "de", "zz_absent"))
+    val long = docs.where(col("lang").isin("en", "de"))
+      .groupBy("source", "lang").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    p.collect().foreach { row =>
+      val src = row.getString(0)
+      assert(row.getAs[Long]("n_en") === long.getOrElse((src, "en"), 0L))
+      assert(row.getAs[Long]("n_de") === long.getOrElse((src, "de"), 0L))
+      assert(row.getAs[Long]("n_zz_absent") === 0L)
+    }
+  }
+
+  test("explicit-list pivot is one shuffle (no category-discovery pass)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = Olap.pivotCounts(docs, "source", "lang", Seq("en", "de"))
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges === 1, s"pivot should shuffle exactly once, saw $exchanges:\n$plan")
+  }
+}
