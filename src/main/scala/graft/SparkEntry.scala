@@ -574,6 +574,14 @@ object SparkEntry {
         Seq("view", "click", "purchase"))
     }),
 
+    // ---- Morton z-values (the 2-D clustering sort key; exact bit
+    // arithmetic — see util.ZOrder for the layout writer)
+    "events_zvalue" -> ((s, dir) =>
+      events(s, dir).select(col("event_id"), col("user_id"),
+          expr("ts div 1000000000").as("tsec"))
+        .withColumn("zvalue",
+          graft.util.ZOrder.zValue(col("user_id"), col("tsec")))),
+
     // ---- wide daily behavior matrix: one aggregate pass (explicit
     // category list — no discovery job), empty cells 0
     "events_pivot" -> ((s, dir) => {
@@ -1304,6 +1312,14 @@ object SparkEntry {
            coalesce(t0, -1) AS t0, coalesce(t1, -1) AS t1, coalesce(t2, -1) AS t2
          FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)""",
     // deterministic lead() ordering: (ts, event_id) in both engines
+    // bit-interleave restated as a 31-term shift sum — exact integer
+    // arithmetic both engines compute identically
+    "events_zvalue" ->
+      """SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS tsec,
+           CAST(list_sum(list_transform(range(0, 31),
+             i -> (((user_id >> i::INT) & 1) << (2*i)::INT)
+                + ((((epoch_ns(ts) // 1000000000) >> i::INT) & 1) << (2*i+1)::INT))) AS BIGINT) AS zvalue
+         FROM events""",
     // conditional aggregation = the pivot's wide layout; integer
     // nano-floor-division days bucket identically in both engines
     "events_pivot" ->

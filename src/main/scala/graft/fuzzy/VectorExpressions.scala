@@ -148,6 +148,19 @@ case class NearestCells(child: Expression, centroids: Array[Double], dim: Int, n
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Morton z-value of two non-negative 31-bit keys (see
+  * VectorKernels.interleave31) — the two-dimensional clustering sort key. */
+case class ZValue(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "z_value"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.interleave31(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.fuzzy.VectorKernels.interleave31($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** JL random projection to `outDim` float components (planes flattened
   * row-major, `outDim x dim`). */
 case class RandomProjectF(child: Expression, planes: Array[Double], dim: Int, outDim: Int)
@@ -346,6 +359,7 @@ object vectorFunctions {
   def fvec_dot(a: Column, b: Column): Column = c(FloatVectorDot(x(a), x(b)))
   def i8vec_quantize(v: Column): Column = c(QuantizeInt8(x(v)))
   def i8vec_dot(a: Column, b: Column): Column = c(ByteVectorDot(x(a), x(b)))
+  def z_value(a: Column, b: Column): Column = c(ZValue(x(a), x(b)))
   def minhash_signature(shingles: Column, k: Int): Column = c(MinHashSignature(x(shingles), k))
   def sig_agreement(a: Column, b: Column): Column = c(SignatureAgreement(x(a), x(b)))
   def simhash64(tokens: Column, useMd5: Boolean = false): Column = c(SimHash(x(tokens), useMd5))
@@ -388,6 +402,7 @@ object vectorFunctions {
       "fvec_dot" -> (es => FloatVectorDot(es(0), es(1))),
       "i8vec_quantize" -> (es => QuantizeInt8(es(0))),
       "i8vec_dot" -> (es => ByteVectorDot(es(0), es(1))),
+      "z_value" -> (es => ZValue(es(0), es(1))),
       "sig_agreement" -> (es => SignatureAgreement(es(0), es(1))),
       "minhash_signature" -> (es => MinHashSignature(es(0), intLit(es(1), "k"))),
       "simhash64" -> (es => SimHash(es(0))),

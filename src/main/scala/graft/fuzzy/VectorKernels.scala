@@ -128,6 +128,25 @@ object VectorKernels {
     ArrayData.toArrayData(out)
   }
 
+  /** Morton z-value: interleaves the low 31 bits of two non-negative longs
+    * (`a` on even positions, `b` on odd) — the space-filling-curve sort key
+    * for two-dimensional data clustering. 31+31 bits keep the result in
+    * bit positions 0..61, so the z-value orders correctly as a SIGNED long
+    * in any engine. Bits above 31 are ignored (callers normalize). */
+  def interleave31(a: Long, b: Long): Long =
+    spread31(a) | (spread31(b) << 1)
+
+  /** Spreads the low 31 bits of x to even bit positions (Morton spread). */
+  @inline private def spread31(x0: Long): Long = {
+    var x = x0 & 0x7FFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
   /** xxhash64-style seeded hash of a UTF8String via Spark's own XXH64. */
   @inline private def seededHash(s: UTF8String, seed: Long): Long =
     org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
