@@ -574,6 +574,36 @@ object SparkEntry {
         Seq("view", "click", "purchase"))
     }),
 
+    // ---- per-language heavy hitters: token frequencies + deterministic
+    // top-5 window (the per-group variant of curate_vocab)
+    "text_top_tokens" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("lang"),
+          explode(org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.trim(
+              org.apache.spark.sql.functions.lower(col("text"))), "\\s+")).as("token"))
+        .where(org.apache.spark.sql.functions.length(col("token")) > 0)
+      val counts = toks.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
+      Curation.topKPerGroup(counts, "lang", col("n"), 5, col("token"))
+        .select(col("lang"), col("token"), col("n"), col("rank").cast("long").as("rank"))
+    }),
+
+    // ---- range anti-join: views with NO same-user purchase in the
+    // following hour (the unconverted-impression shape; one shuffle keyed
+    // by user, the range bound rides the join condition)
+    "events_unconverted" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val views = ev.where(col("event_type") === lit("view"))
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      val buys = ev.where(col("event_type") === lit("purchase"))
+        .select(col("user_id").as("b_user"), expr("ts div 1000").as("b_ts_us"))
+      views.join(buys,
+        col("user_id") === col("b_user") &&
+          col("b_ts_us") >= col("ts_us") &&
+          col("b_ts_us") <= col("ts_us") + lit(3600L * 1000000L),
+        "left_anti")
+    }),
+
     // ---- Morton z-values (the 2-D clustering sort key; exact bit
     // arithmetic — see util.ZOrder for the layout writer)
     "events_zvalue" -> ((s, dir) =>
@@ -1312,6 +1342,22 @@ object SparkEntry {
            coalesce(t0, -1) AS t0, coalesce(t1, -1) AS t1, coalesce(t2, -1) AS t2
          FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)""",
     // deterministic lead() ordering: (ts, event_id) in both engines
+    // same tokenization family as text_stats/curate_vocab; deterministic
+    // (count desc, token asc) rank
+    "text_top_tokens" ->
+      """WITH tk AS (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents),
+         tok AS (SELECT lang, token FROM tk WHERE length(token) > 0),
+         c AS (SELECT lang, token, count(*) AS n FROM tok GROUP BY 1, 2),
+         r AS (SELECT lang, token, n,
+                 row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rank FROM c)
+         SELECT lang, token, n, rank FROM r WHERE rank <= 5""",
+    // NOT EXISTS = the anti-join; integer-micros window arithmetic
+    "events_unconverted" ->
+      """WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'view'),
+         p AS (SELECT user_id, epoch_us(ts) AS b FROM events WHERE event_type = 'purchase')
+         SELECT event_id, user_id, ts_us FROM v
+         WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = v.user_id
+           AND p.b >= v.ts_us AND p.b <= v.ts_us + 3600000000)""",
     // bit-interleave restated as a 31-term shift sum — exact integer
     // arithmetic both engines compute identically
     "events_zvalue" ->
