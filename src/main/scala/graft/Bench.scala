@@ -145,6 +145,16 @@ object Bench {
       val emb = s.read.parquet(s"$sfDir/embeddings.parquet")
       AnnSearch.bruteForceTopK(emb.where(col("vec_id") < 100), emb, "embedding", "vec_id", 10)
     }),
+    // int8-quantized twin of ann_topk_embeddings: same plan shape over
+    // 4x-compressed vectors + integer dot kernels
+    "ann_int8_embeddings" -> (s => {
+      val emb = s.read.parquet(s"$sfDir/embeddings.parquet")
+      AnnSearch.int8TopK(emb.where(col("vec_id") < 100), emb, "embedding", "vec_id", 10)
+    }),
+    // sub-document exact dedup: chunk projection + one digest-keyed agg
+    "dedup_chunk_docs" -> (s =>
+      Dedup.chunkDedup(s.read.parquet(s"$sfDir/documents.parquet"),
+        "text", "doc_id", 16)),
     // round-5 pipeline operators at PRODUCTION defaults (caps on)
     "dedup_incremental_docs" -> (s => {
       val docs = s.read.parquet(s"$sfDir/documents.parquet")

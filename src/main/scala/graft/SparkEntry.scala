@@ -272,6 +272,16 @@ object SparkEntry {
       Curation.stratifiedHashSample(t(s, dir, "documents"), "doc_id", "source",
         Map("web" -> 0.1, "books" -> 1.0), defaultRate = 0.5)
         .select(col("doc_id"), col("source"))),
+    // deterministic 80/10/10 split assignment (pure projection, no RNG)
+    "curate_split" -> ((s, dir) =>
+      Curation.splitByHash(t(s, dir, "documents"), "doc_id",
+        Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1)))
+        .select(col("doc_id"), col("split"))),
+    // length-bucketed batch assignment (padding-bounded inference batches)
+    "curate_batches" -> ((s, dir) =>
+      Curation.lengthBucketBatches(t(s, dir, "documents"), "doc_id", "text", 32, 16)
+        .select(col("doc_id"), col("n_tokens"), col("length_bucket"),
+          col("batch_index"))),
     "curate_topk_per_group" -> ((s, dir) =>
       Curation.topKPerGroup(t(s, dir, "documents"), "source",
         sround(TextAnalysis.qualityScore(col("text")), 6), 20, col("doc_id"))
@@ -1012,6 +1022,24 @@ object SparkEntry {
       """SELECT doc_id, source FROM documents
          WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 <
            CASE source WHEN 'web' THEN 100000 WHEN 'books' THEN 1000000 ELSE 500000 END""",
+    // first label whose cumulative-weight bucket contains the row's hash
+    "curate_split" ->
+      """SELECT doc_id,
+           CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 < 800000 THEN 'train'
+                WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 < 900000 THEN 'valid'
+                ELSE 'test' END AS split
+         FROM documents""",
+    // same md5-ordered determinism as curate_sample_n; integer-exact
+    // floor division for bucket and batch index
+    "curate_batches" ->
+      """WITH t AS (SELECT doc_id,
+                CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+                ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS bkt
+              FROM documents),
+         b AS (SELECT doc_id, n_tokens, n_tokens // 32 AS length_bucket,
+                 row_number() OVER (PARTITION BY n_tokens // 32 ORDER BY bkt, doc_id) AS rn
+               FROM t)
+         SELECT doc_id, n_tokens, length_bucket, (rn - 1) // 16 AS batch_index FROM b""",
     "curate_topk_per_group" ->
       """WITH t AS (SELECT doc_id, source, text,
                 CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS n_words,

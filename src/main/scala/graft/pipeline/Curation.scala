@@ -55,6 +55,52 @@ object Curation {
     df.where(md5Bucket(col(keyCol)) < threshold)
   }
 
+  /** Deterministic weighted split assignment (train/valid/test): adds
+    * `splitCol` with the FIRST label whose cumulative weight bucket
+    * contains the row's md5 bucket. Same guarantees as [[hashSample]]:
+    * pure projection (no shuffle, no RNG), reproducible across runs and
+    * engines, and NESTED under weight changes the way hash sampling is —
+    * growing a split's weight only moves rows in from the next split's
+    * range, never reshuffles the whole assignment. */
+  def splitByHash(df: DataFrame, keyCol: String,
+                  splits: Seq[(String, Double)],
+                  splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "splitByHash needs at least one (label, weight)")
+    splits.foreach { case (_, w) => require(w >= 0.0, s"weights must be >= 0 (got $w)") }
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"weights must sum to 1 (got ${splits.map(_._2).sum})")
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val bucket = md5Bucket(col(keyCol))
+    val label = splits.zip(cum).dropRight(1).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), hi), acc) =>
+      when(bucket < math.round(hi * 1e6), lit(name)).otherwise(acc)
+    }
+    df.withColumn(splitCol, label)
+  }
+
+  /** Length-bucketed batch assignment for padded inference/training:
+    * documents group into buckets of similar token count
+    * (`bucketWidth`-token bands), and each bucket's rows batch in
+    * deterministic md5 order, `batchSize` per batch. Batching within a
+    * length band bounds padding waste: a batch pads to ITS OWN max
+    * length, so the pad fraction is < bucketWidth / bucketFloor rather
+    * than corpus-max / doc-length. Returns (row, length bucket, batch
+    * index, batch key). One shuffle on the bucket key; parallelism =
+    * bucket count x downstream batch partitioning, no global sort. */
+  def lengthBucketBatches(df: DataFrame, idCol: String, textCol: String,
+                          bucketWidth: Int, batchSize: Int): DataFrame = {
+    require(bucketWidth > 0 && batchSize > 0,
+      s"bucketWidth and batchSize must be positive (got $bucketWidth, $batchSize)")
+    val w = Window.partitionBy(col("length_bucket"))
+      .orderBy(md5Bucket(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      // floor of an exact small-int ratio — integer-division semantics in
+      // both engines (all values far below 2^53)
+      .withColumn("length_bucket", floor(col("n_tokens") / bucketWidth).cast("long"))
+      .withColumn("batch_index",
+        floor((row_number().over(w) - 1) / batchSize).cast("long"))
+  }
+
   /** Top `k` rows per group by `score` (descending), deterministic ties by
     * `tie` (ascending) — "best N documents per language/domain". One
     * shuffle on the group key; the rank filter cuts inside the window
