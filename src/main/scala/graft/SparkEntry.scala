@@ -118,6 +118,13 @@ object SparkEntry {
     // chunk; dup_count > 1 rows are the corpus's repeated passages
     "dedup_chunk_exact" -> ((s, dir) =>
       Dedup.chunkDedup(t(s, dir, "documents"), "text", "doc_id", 16)),
+    // the corpus-rewrite side: pruned documents re-assembled from their
+    // surviving chunks (md5 of the rebuilt text for hash stability)
+    "dedup_chunk_rebuild" -> ((s, dir) =>
+      Dedup.chunkDedupRebuild(t(s, dir, "documents"), "text", "doc_id", 16)
+        .select(col("doc_id"), col("n_total"), col("n_kept"),
+          org.apache.spark.sql.functions.md5(encode(col("text_rebuilt"), "UTF-8"))
+            .as("rebuilt_md5"))),
     // Hot-shingle gate disabled (Long.MaxValue): the exact SQL oracle joins
     // every shared shingle unconditionally, so parity must not depend on no
     // shingle exceeding the default document-frequency cap at a larger
@@ -1145,6 +1152,20 @@ object SparkEntry {
            CAST(GROUPING(lang, source) AS BIGINT) AS level,
            count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_value
          FROM documents GROUP BY ROLLUP (lang, source)""",
+    // keep-first as a window partition-min over the chunk digest; pruned
+    // docs re-assemble via list(ORDER BY idx)
+    "dedup_chunk_rebuild" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+         c AS (SELECT doc_id, CAST(floor((len(w)-1)/16) AS BIGINT) + 1 AS n_total,
+                 unnest(list_transform(range(0, CAST(floor((len(w)-1)/16) AS INT) + 1),
+                 i -> struct_pack(idx := i, txt := array_to_string(w[(i*16+1)::INT : (i*16+16)::INT], ' ')))) AS ch
+               FROM t),
+         k AS (SELECT doc_id, n_total, ch.idx AS idx, ch.txt AS txt,
+                 min(doc_id * 1000000 + ch.idx) OVER (PARTITION BY md5(ch.txt)) AS fst
+               FROM c)
+         SELECT doc_id, n_total, count(*) AS n_kept,
+           md5(array_to_string(list(txt ORDER BY idx), ' ')) AS rebuilt_md5
+         FROM k WHERE doc_id * 1000000 + idx = fst GROUP BY doc_id, n_total""",
     // exact arm: corpus digests (min id per digest); near arm: the
     // dedup_ngram_jaccard shingle family restricted to cross-side pairs,
     // best match per batch doc (max jaccard, ties to smallest corpus id)

@@ -64,6 +64,44 @@ object Dedup {
       .select(col(idCol), col("chunk_index"), col("chunk_md5"), col("dup_count"))
   }
 
+  /** The corpus-rewrite side of [[chunkDedup]]: every document keeps only
+    * the chunks for which IT is the keep-first owner, and the survivors
+    * re-assemble into the pruned document text (index order). Documents
+    * whose every chunk was claimed elsewhere drop out entirely — exact
+    * duplicates of an earlier document prune to nothing.
+    *
+    * Output: (id, n_total, n_kept, text_rebuilt). Plan: one chunk
+    * projection, ONE window shuffle on the chunk digest (keep-first as a
+    * partition-min, no agg+join round trip), one id-keyed re-assembly
+    * aggregate. n_total derives from the token count projection — the
+    * corpus is scanned once. */
+  def chunkDedupRebuild(docs: DataFrame, textCol: String, idCol: String,
+                        chunkTokens: Int,
+                        maxChunksPerDoc: Long = 1_000_000L): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive (got $chunkTokens)")
+    // same chunk construction as Curation.chunkTokens at overlap 0, with
+    // the per-doc chunk total carried through the explode (one scan)
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val nChunks = floor((size(toks) - 1) / chunkTokens) + 1
+    val chunks = docs
+      .select(col(idCol), nChunks.cast("long").as("n_total"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => concat_ws(" ", slice(toks, i * chunkTokens + 1, lit(chunkTokens))))))
+      .withColumnRenamed("pos", "chunk_index")
+      .withColumnRenamed("col", "chunk_text")
+    val packed = col(idCol) * maxChunksPerDoc + col("chunk_index")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(encode(col("chunk_text"), "UTF-8")))
+    chunks
+      .withColumn("__first", min(packed).over(w))
+      .where(packed === col("__first"))
+      .groupBy(col(idCol), col("n_total"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_index"), col("chunk_text")))),
+          s => s.getField("chunk_text")), " ").as("text_rebuilt"))
+  }
+
   // --------------------------------------------------- shingles / jaccard
 
   /** Distinct lowercase word n-gram shingles per document:

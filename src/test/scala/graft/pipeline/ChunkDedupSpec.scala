@@ -40,6 +40,33 @@ class ChunkDedupSpec extends AnyFunSuite with SparkSpec {
     assert(ordered.count() === docs.count())
   }
 
+  test("rebuild prunes claimed chunks and drops fully-duplicated documents") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d w x y z"),
+      (2L, "a b c d p q r s"),   // loses its first chunk to doc 1
+      (3L, "a b c d w x y z")    // exact duplicate of doc 1: vanishes
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedupRebuild(docs, "text", "doc_id", 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L) === ((2L, 2L, "a b c d w x y z")))
+    assert(out(2L) === ((2L, 1L, "p q r s")))
+  }
+
+  test("rebuild with no duplicates reproduces every document") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+    val out = Dedup.chunkDedupRebuild(docs, "text", "doc_id", 1_000_000)
+    // chunk width beyond any doc length -> one chunk per doc, no cross-doc
+    // duplicates in this slice -> rebuild is the identity (lowercased)
+    val bad = out.join(docs, Seq("doc_id"))
+      .where(col("text_rebuilt") =!= lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+      .count()
+    assert(bad === 0L)
+    assert(out.count() === 50L)
+  }
+
   test("whole-document dedup misses the shared passage chunk dedup catches") {
     import spark.implicits._
     val docs = Seq(
