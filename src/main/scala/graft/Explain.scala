@@ -18,7 +18,9 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "fuzzy_join_levenshtein", "text_stats", "dedup_ngram_jaccard", "ann_cosine_topk",
-      "events_asof", "text_decontaminate", "dedup_incremental", "curate_chunks")
+      "events_asof", "text_decontaminate", "dedup_incremental", "curate_chunks",
+      "ann_cosine_int8", "dedup_chunk_exact", "corpus_rollup", "events_pivot",
+      "curate_batches")
     names.foreach { name =>
       println(s"\n================ $name ================")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

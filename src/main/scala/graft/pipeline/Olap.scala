@@ -18,7 +18,11 @@ object Olap {
     * comparisons) never see NULLs; `level` is the grouping_id bitmask
     * (0 = leaf, bit set = that column rolled up, first column = MSB) which
     * also disambiguates a genuine `totalLabel` group value from a
-    * subtotal row. */
+    * subtotal row.
+    *
+    * Empty-input caveat: Spark's rollup emits NO rows for an empty frame
+    * (ANSI engines emit one grand-total row with count 0) — don't rely on
+    * the total row existing when a partition-day is empty. */
   def rollupProfile(df: DataFrame, groupCols: Seq[String], valueCol: String,
                     totalLabel: String = "ALL"): DataFrame = {
     require(groupCols.nonEmpty, "rollupProfile needs at least one group column")

@@ -1,0 +1,37 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hive-style date-partitioned parquet layout — the third leg of the
+  * physical-layout story next to [[BucketedTables]] (shuffle-free repeated
+  * joins) and [[ZOrder]] (2-D in-file clustering): coarse partition
+  * pruning by directory, so a date-bounded query never opens files outside
+  * its range (`PartitionFilters` on the scan, spec-asserted).
+  */
+object PartitionedTables {
+
+  /** Integer epoch-day from a raw nano timestamp column (deterministic
+    * integer floor division — no timezone dependence; the same arithmetic
+    * every query and engine reproduces). */
+  def epochDay(tsNanos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (tsNanos / lit(86_400_000_000_000L)).cast("long")
+
+  /** Writes `df` partitioned by the epoch-day of `tsNanosCol` (directory
+    * per day). Days arrive in few large files each because the frame is
+    * repartitioned on the partition column first — without that, every
+    * task writes a sliver into every day and a year of data becomes
+    * 365 x tasks tiny files (the classic small-file explosion). */
+  def writeDayPartitioned(df: DataFrame, path: String, tsNanosCol: String): Unit =
+    df.withColumn("event_day", epochDay(col(tsNanosCol)))
+      .repartition(col("event_day"))
+      .write.partitionBy("event_day").mode("overwrite").parquet(path)
+
+  /** Reads back a day range with directory-level pruning (the filter on
+    * the partition column resolves against directory names — pruned days
+    * are never listed, opened, or scanned). */
+  def readDayRange(spark: SparkSession, path: String,
+                   fromDay: Long, toDay: Long): DataFrame =
+    spark.read.parquet(path)
+      .where(col("event_day") >= fromDay && col("event_day") <= toDay)
+}

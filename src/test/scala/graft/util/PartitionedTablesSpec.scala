@@ -1,0 +1,50 @@
+package graft.util
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Date-partitioned layout ([[PartitionedTables]]): partition pruning must
+  * reach the scan (PartitionFilters) and pruned days must not be read.
+  */
+class PartitionedTablesSpec extends AnyFunSuite with SparkSpec {
+
+  test("day-partitioned write prunes directories on a date-range read") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val dir = s"/tmp/graft_daypart_${System.nanoTime()}"
+    PartitionedTables.writeDayPartitioned(ev, dir, "ts")
+
+    val days = ev.select(PartitionedTables.epochDay(col("ts")).as("d"))
+      .distinct().orderBy("d").collect().map(_.getLong(0))
+    assert(days.length > 3, s"fixture spans ${days.length} days; need > 3 for pruning")
+    val (from, to) = (days(1), days(1))
+
+    val q = PartitionedTables.readDayRange(spark, dir, from, to)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_day"),
+      s"partition filter not pushed to directory pruning:\n$plan")
+    // the scan's selected partition count must be 1 of N days
+    assert(plan.contains("(1)") || q.inputFiles.length < days.length,
+      s"expected a single day's files, got ${q.inputFiles.length} of ${days.length} days")
+
+    // correctness: the pruned read equals the filtered full read
+    val want = ev.where(PartitionedTables.epochDay(col("ts")) === from).count()
+    assert(q.count() === want && want > 0)
+  }
+
+  test("one file per day (no small-file explosion from parallel writers)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .repartition(8) // simulate many upstream tasks
+      .select(col("event_id"), col("ts"))
+    val dir = s"/tmp/graft_daypart2_${System.nanoTime()}"
+    PartitionedTables.writeDayPartitioned(ev, dir, "ts")
+    val out = spark.read.parquet(dir)
+    val nDays = out.select("event_day").distinct().count()
+    // repartition(col) before partitionBy => files ~= days, not days x tasks
+    assert(out.inputFiles.length <= nDays + 1,
+      s"${out.inputFiles.length} files for $nDays days — small-file explosion")
+  }
+}
