@@ -516,6 +516,13 @@ object SparkEntry {
           sround(col("logprob"), 6).as("logprob"),
           sround(col("avg_logprob"), 6).as("avg_logprob"))),
 
+    // ---- bigram-LM quality score (same quantized-exact-sum family)
+    "text_bigram_lp" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("n_bigrams"),
+          sround(col("logprob"), 6).as("logprob"),
+          sround(col("avg_logprob"), 6).as("avg_logprob"))),
+
     // ---- per-label embedding centroids (exact quantized-sum arithmetic)
     "embed_centroid" -> ((s, dir) =>
       graft.pipeline.Embeddings.centroids(t(s, dir, "embeddings"),
@@ -1285,6 +1292,22 @@ object SparkEntry {
            round(sum(lp_q) / 1000000.0, 6) AS logprob,
            round(sum(lp_q) / 1000000.0 / count(*), 6) AS avg_logprob
          FROM tok JOIN lm USING (token) GROUP BY 1""",
+    // MLE bigram: freq(w1 w2) / freq(w1-as-history); same 1e-6 quantized
+    // ln grid as the unigram score (ln parity between engines held)
+    "text_bigram_lp" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+         p AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2
+               FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                       i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS bg
+                     FROM t WHERE len(w) >= 2)),
+         f AS (SELECT w1, w2, count(*) AS fr FROM p GROUP BY 1, 2),
+         h AS (SELECT w1, count(*) AS hc FROM p GROUP BY 1),
+         lm AS (SELECT f.w1, f.w2, CAST(round(ln(fr / hc) * 1000000) AS BIGINT) AS lp_q
+                FROM f JOIN h ON f.w1 = h.w1)
+         SELECT doc_id, count(*) AS n_bigrams,
+           round(sum(lp_q) / 1000000.0, 6) AS logprob,
+           round(sum(lp_q) / 1000000.0 / count(*), 6) AS avg_logprob
+         FROM p JOIN lm ON p.w1 = lm.w1 AND p.w2 = lm.w2 GROUP BY 1""",
     // same integer quantization as the sign-LSH oracles: components round
     // to the 1e-6 grid, sums are exact BIGINTs, division order matches
     "embed_centroid" ->

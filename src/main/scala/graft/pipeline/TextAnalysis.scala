@@ -211,6 +211,41 @@ object TextAnalysis {
     * order-independent under any partitioning (a raw double sum is not),
     * and bit-mirrorable by the oracle. The unigram table is corpus-built
     * (no OOV by construction) and joins broadcast. */
+  /** Corpus-bigram LM document score — the n-gram step up from
+    * [[unigramLogProb]] toward the KenLM-style perplexity filters used in
+    * corpus curation: `sum over adjacent pairs of ln(freq(w1 w2) /
+    * freq(w1 as history))`, the MLE bigram model fit on the corpus
+    * itself. Self-scoring needs no smoothing (every scored bigram was
+    * observed); docs with fewer than two tokens have no bigrams and drop
+    * out. Log-probs quantize to the 1e-6 LONG grid like the unigram
+    * score, so per-doc sums are exact order-independent integer
+    * arithmetic. The bigram table broadcasts (fine while distinct
+    * bigrams fit an executor; swap the join to a shuffle join for
+    * open-vocabulary web corpora). */
+  def bigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    // guard: sequence(1, 0) is DESCENDING in Spark — short docs must map
+    // to an empty bigram list, not [1, 0]
+    val bigramIdx = when(size(t) >= 2, sequence(lit(1), size(t) - 1))
+      .otherwise(array().cast("array<int>"))
+    val pairs = df.select(col(idCol),
+        explode(transform(bigramIdx, i =>
+          struct(element_at(t, i.cast("int")).as("w1"),
+            element_at(t, (i + 1).cast("int")).as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("__w1"), col("bg.w2").as("__w2"))
+    val bgFreq = pairs.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__f"))
+    val histFreq = pairs.groupBy(col("__w1")).agg(count(lit(1)).as("__h"))
+    val lm = broadcast(bgFreq.join(histFreq, Seq("__w1"))
+      .select(col("__w1"), col("__w2"),
+        round(log(col("__f") / col("__h")) * 1e6).cast("long").as("__lp_q")))
+    pairs.join(lm, Seq("__w1", "__w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__lp_q")).as("__sum_q"))
+      .select(col(idCol), col("n_bigrams"),
+        (col("__sum_q") / 1e6).as("logprob"),
+        (col("__sum_q") / 1e6 / col("n_bigrams")).as("avg_logprob"))
+  }
+
   def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .where(length(col("token")) > 0)

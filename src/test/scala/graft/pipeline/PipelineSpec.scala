@@ -391,6 +391,21 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(m(2L)._3 < m(1L)._3)
   }
 
+  test("bigram log-prob matches the hand-computed corpus LM") {
+    // bigrams: (a b)x2, (b a)x1, (a c)x1; histories: a->3, b->1
+    val d = Seq((1L, "a b a c"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val m = TextAnalysis.bigramLogProb(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val lpAB = math.log(2.0 / 3); val lpBA = math.log(1.0)
+    val lpAC = math.log(1.0 / 3)
+    assert(m(1L)._1 == 3L && math.abs(m(1L)._2 - (lpAB + lpBA + lpAC)) < 3e-6)
+    assert(m(2L)._1 == 1L && math.abs(m(2L)._2 - lpAB) < 3e-6)
+    // single-token docs have no bigrams and drop out
+    assert(!m.contains(3L))
+    // the doc with the rare continuation scores lower per bigram
+    assert(m(1L)._3 < m(2L)._3)
+  }
+
   test("common-token ratio against the top-N vocabulary") {
     // corpus freqs: "the"x4, "cat"x3, "sat"x2, rest x1 -> top2 = {the, cat}
     val d = Seq(
