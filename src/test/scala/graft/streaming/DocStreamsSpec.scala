@@ -1,0 +1,59 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming chunk dedup ([[DocStreams.chunkDedupStream]]) against the
+  * batch chunk-dedup digests, across micro-batch boundaries.
+  */
+class DocStreamsSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  test("cross-micro-batch chunk dedup emits each distinct chunk once") {
+    val dir = java.nio.file.Files.createTempDirectory("docs_stream")
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:10:00")
+    // batch 1: docs 1-2 share "a b c d"; batch 2: doc 3 repeats it and
+    // adds a new chunk
+    Seq((1L, t0, "a b c d w x y z"), (2L, t0, "a b c d p q r s"))
+      .toDF("doc_id", "ts", "text")
+      .coalesce(1).write.parquet(dir.resolve("b1").toString)
+    Seq((3L, t1, "a b c d n e w c h u n k!"))
+      .toDF("doc_id", "ts", "text")
+      .coalesce(1).write.parquet(dir.resolve("b2").toString)
+    // stage as a flat dir of files; one file per trigger = two batches
+    val flat = java.nio.file.Files.createTempDirectory("docs_stream_flat")
+    Seq("b1", "b2").zipWithIndex.foreach { case (b, i) =>
+      val src = java.nio.file.Files.list(dir.resolve(b))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(src, flat.resolve(f"$i%02d.parquet"))
+    }
+
+    val schema = spark.read.parquet(flat.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(flat.toString)
+    val q = DocStreams.chunkDedupStream(stream, "text", "doc_id", "ts", 4)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("chunk_dedup_stream").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val out = spark.table("chunk_dedup_stream")
+      .select("doc_id", "chunk_text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // every distinct chunk exactly once
+    assert(out.map(_._2).toSeq.sorted ===
+      out.map(_._2).distinct.sorted)
+    val batchDigests = graft.pipeline.Dedup.chunkDedup(
+        spark.read.parquet(flat.toString), "text", "doc_id", 4)
+      .select("chunk_md5").collect().map(_.getString(0)).toSet
+    val streamDigests = spark.table("chunk_dedup_stream")
+      .select("chunk_md5").collect().map(_.getString(0)).toSet
+    assert(streamDigests === batchDigests)
+    // the shared passage was claimed in batch 1 — doc 3 contributes only
+    // its novel chunks
+    assert(out.filter(_._1 == 3L).forall(c => !c._2.startsWith("a b c d")))
+  }
+}
