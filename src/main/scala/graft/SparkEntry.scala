@@ -118,6 +118,12 @@ object SparkEntry {
     // chunk; dup_count > 1 rows are the corpus's repeated passages
     "dedup_chunk_exact" -> ((s, dir) =>
       Dedup.chunkDedup(t(s, dir, "documents"), "text", "doc_id", 16)),
+    // dataset-mixture overlap matrix: pairwise source shingle jaccard
+    // (fan-out bounded by sources^2, uncapped-safe at any corpus size)
+    "corpus_overlap" -> ((s, dir) =>
+      Dedup.groupOverlap(t(s, dir, "documents"), "text", "source", 3)
+        .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+          col("n_common"), sround(col("jaccard"), 6).as("jaccard"))),
     // the corpus-rewrite side: pruned documents re-assembled from their
     // surviving chunks (md5 of the rebuilt text for hash stability)
     "dedup_chunk_rebuild" -> ((s, dir) =>
@@ -1159,6 +1165,20 @@ object SparkEntry {
            CAST(GROUPING(lang, source) AS BIGINT) AS level,
            count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_value
          FROM documents GROUP BY ROLLUP (lang, source)""",
+    // same trigram-shingle family as dedup_ngram_jaccard, aggregated to
+    // (source, shingle) sets; hash-set == string-set intersection (the
+    // kernel's 64-bit shingle hashes are collision-free on this corpus)
+    "corpus_overlap" ->
+      """WITH t AS (SELECT source, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+         s AS (SELECT source, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) END AS sh FROM t),
+         e AS (SELECT DISTINCT g, sg FROM (SELECT source AS g, unnest(sh) AS sg FROM s)),
+         z AS (SELECT g, count(*) AS n FROM e GROUP BY 1),
+         c AS (SELECT a.g AS group_a, b.g AS group_b, count(*) AS n_common
+               FROM e a JOIN e b ON a.sg = b.sg AND a.g < b.g GROUP BY 1, 2)
+         SELECT group_a, group_b, za.n AS n_a, zb.n AS n_b, n_common,
+           round(n_common / (za.n + zb.n - n_common), 6) AS jaccard
+         FROM c JOIN z za ON c.group_a = za.g JOIN z zb ON c.group_b = zb.g""",
     // keep-first as a window partition-min over the chunk digest; pruned
     // docs re-assemble via list(ORDER BY idx)
     "dedup_chunk_rebuild" ->

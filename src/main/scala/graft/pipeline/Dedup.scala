@@ -102,6 +102,35 @@ object Dedup {
           s => s.getField("chunk_text")), " ").as("text_rebuilt"))
   }
 
+  /** Corpus-overlap matrix: shingle-set Jaccard between every pair of
+    * corpus groups (sources, dumps, dataset-mixture components) — the
+    * dataset-level dedup diagnostic ("how much of dump B is already in
+    * dump A") that decides which mixtures need document-level dedup at
+    * all.
+    *
+    * Scale shape: distinct (group, shingle-hash) pairs (one hash-agg),
+    * then a self-join on the 8-byte shingle hash. The per-shingle fan-out
+    * is bounded by groups^2 — NOT document count — so unlike document
+    * pair generation this join needs no frequency cap at any corpus
+    * size; the group-pair aggregate is at most groups^2/2 rows. */
+  def groupOverlap(docs: DataFrame, textCol: String, groupCol: String,
+                   shingleLen: Int): DataFrame = {
+    val sh = docs.select(col(groupCol).as("__g"),
+        explode(graft.fuzzy.vectorFunctions.hashed_shingle_set(
+          lower(trim(col(textCol))), shingleLen)).as("__sh"))
+      .distinct()
+    val sizes = sh.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.__sh") === col("b.__sh") && col("a.__g") < col("b.__g"))
+      .groupBy(col("a.__g").as("group_a"), col("b.__g").as("group_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("__g").as("group_a"), col("__n").as("n_a")), Seq("group_a"))
+      .join(sizes.select(col("__g").as("group_b"), col("__n").as("n_b")), Seq("group_b"))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"), col("n_common"),
+        (col("n_common") / (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+  }
+
   // --------------------------------------------------- shingles / jaccard
 
   /** Distinct lowercase word n-gram shingles per document:
