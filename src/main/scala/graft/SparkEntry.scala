@@ -218,6 +218,17 @@ object SparkEntry {
       res.select(col("query_id"), col("corpus_id"),
         sround(col("qcosine"), 6).as("qcosine"), col("rank").cast("long").as("rank"))
     }),
+    // IVF routing + int8 re-rank (the production compression combo): at
+    // nProbe = nCells this provably equals int8TopK, so it shares that
+    // query's exact-integer oracle
+    "ann_cosine_ivf_int8" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val res = AnnSearch.ivfTopK(emb.where(col("vec_id") < 10), emb,
+        "embedding", "vec_id", 10, dim = 64, nCells = 16, nProbe = 16, iters = 3,
+        int8Rerank = true)
+      res.select(col("query_id"), col("corpus_id"),
+        sround(col("qcosine"), 6).as("qcosine"), col("rank").cast("long").as("rank"))
+    }),
     // IVF (k-means coarse quantizer) variant: at nProbe = nCells the cell
     // routing provably reproduces brute force, so the plumbing (trainer,
     // assignment, probing, re-rank) is oracled exactly; recall at partial
@@ -881,6 +892,35 @@ object SparkEntry {
                       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
                FROM s)
          SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 10""",
+    // full-probe IVF + int8 re-rank provably equals the brute-force int8
+    // search (a corpus row lives in exactly one cell), so the same
+    // exact-integer SQL is its oracle
+    "ann_cosine_ivf_int8" ->
+      """WITH z AS (SELECT vec_id, embedding,
+                list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+              FROM embeddings),
+         qz AS (SELECT vec_id,
+                  CASE WHEN ma > 0
+                       THEN list_transform(embedding,
+                              x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma) AS BIGINT))
+                       ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS q
+                FROM z),
+         n AS (SELECT vec_id, q,
+                 CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM qz),
+         qs AS (SELECT vec_id AS query_id, q AS qq, n2 AS qn FROM n
+                WHERE vec_id < 10 AND n2 > 0),
+         cs AS (SELECT vec_id AS corpus_id, q AS cq, n2 AS cn FROM n WHERE n2 > 0),
+         s AS (SELECT query_id, corpus_id,
+                      CAST(list_sum(list_transform(range(1, 65), i -> qq[i] * cq[i])) AS BIGINT) AS dot,
+                      qn, cn
+               FROM qs CROSS JOIN cs WHERE corpus_id != query_id),
+         r AS (SELECT query_id, corpus_id,
+                      CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS qc,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) DESC,
+                                 corpus_id) AS rank
+               FROM s)
+         SELECT query_id, corpus_id, round(qc, 6) AS qcosine, rank FROM r WHERE rank <= 10""",
     // int8 quantization: q = floor(v * 127 / max|v|) — float->double
     // widening is exact and floor avoids cross-engine round-tie rules; the
     // quantized dots/norms are exact BIGINT arithmetic, and the final

@@ -185,9 +185,10 @@ object AnnSearch {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               vecCol: String, idCol: String, k: Int, dim: Int,
               nCells: Int = 64, nProbe: Int = 8, iters: Int = 4,
-              seed: Long = 42L): DataFrame =
+              seed: Long = 42L, int8Rerank: Boolean = false): DataFrame =
     ivfTopKWithCentroids(queries, corpus, vecCol, idCol, k, dim,
-      normFlat(kmeansFit(corpus, vecCol, dim, nCells, iters, seed)), nProbe)
+      normFlat(kmeansFit(corpus, vecCol, dim, nCells, iters, seed)), nProbe,
+      int8Rerank)
 
   /** [[ivfTopK]] against an already-fitted quantizer — the fit-once /
     * search-many shape of a production index: `kmeansFit` + [[normFlat]]
@@ -197,25 +198,58 @@ object AnnSearch {
     * row-major NORMALIZED centroid array (`normFlat(kmeansFit(...))`). */
   def ivfTopKWithCentroids(queries: DataFrame, corpus: DataFrame,
                            vecCol: String, idCol: String, k: Int, dim: Int,
-                           centroids: Array[Double], nProbe: Int): DataFrame = {
+                           centroids: Array[Double], nProbe: Int,
+                           int8Rerank: Boolean = false): DataFrame = {
     require(centroids.nonEmpty && centroids.length % dim == 0,
       s"centroids length ${centroids.length} must be a positive multiple of dim=$dim")
     val flat = centroids
-    val c = spread(corpus).select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"),
-      element_at(graft.fuzzy.vectorFunctions.nearest_cells(col(vecCol), flat, dim, 1), 1)
-        .as("__cell"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      explode(graft.fuzzy.vectorFunctions.nearest_cells(col(vecCol), flat, dim, nProbe))
-        .as("__cell"))
-    val scored = q.join(c, Seq("__cell"))
-      .where(col("query_id") =!= col("corpus_id"))
-      .select(col("query_id"), col("corpus_id"),
-        Dedup.cosineSimilarity(col("__qv"), col("__cv")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
+    if (!int8Rerank) {
+      val c = spread(corpus).select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"),
+        element_at(graft.fuzzy.vectorFunctions.nearest_cells(col(vecCol), flat, dim, 1), 1)
+          .as("__cell"))
+      val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        explode(graft.fuzzy.vectorFunctions.nearest_cells(col(vecCol), flat, dim, nProbe))
+          .as("__cell"))
+      val scored = q.join(c, Seq("__cell"))
+        .where(col("query_id") =!= col("corpus_id"))
+        .select(col("query_id"), col("corpus_id"),
+          Dedup.cosineSimilarity(col("__qv"), col("__cv")).as("cosine"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("corpus_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
+    } else {
+      // the production combo: float centroids route (cells are fit on
+      // floats), the cell-local re-rank runs on 4x-compressed int8
+      // vectors with exact integer dots — only the quantized corpus
+      // flows through the probe join. At nProbe = nCells this provably
+      // equals [[int8TopK]] (each pair meets once), the oracle-checkable
+      // configuration; zero-norm vectors are excluded like int8TopK.
+      import graft.fuzzy.vectorFunctions.{i8vec_dot, i8vec_quantize}
+      val c = spread(corpus).select(col(idCol).as("corpus_id"),
+          i8vec_quantize(col(vecCol)).as("__cq"),
+          element_at(graft.fuzzy.vectorFunctions.nearest_cells(col(vecCol), flat, dim, 1), 1)
+            .as("__cell"))
+        .withColumn("__cn", i8vec_dot(col("__cq"), col("__cq")))
+        .where(col("__cn") > 0)
+      val q = queries.select(col(idCol).as("query_id"),
+          i8vec_quantize(col(vecCol)).as("__qq"),
+          explode(graft.fuzzy.vectorFunctions.nearest_cells(col(vecCol), flat, dim, nProbe))
+            .as("__cell"))
+        .withColumn("__qn", i8vec_dot(col("__qq"), col("__qq")))
+        .where(col("__qn") > 0)
+      val scored = q.join(c, Seq("__cell"))
+        .where(col("query_id") =!= col("corpus_id"))
+        .select(col("query_id"), col("corpus_id"),
+          (i8vec_dot(col("__qq"), col("__cq")).cast("double")
+            / sqrt(col("__qn").cast("double") * col("__cn").cast("double"))).as("qcosine"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("qcosine").desc, col("corpus_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select(col("query_id"), col("corpus_id"), col("qcosine"), col("rank"))
+    }
   }
 
   /** Sign-LSH bucketed top-k: candidates = corpus vectors sharing at least

@@ -68,6 +68,31 @@ class Int8AnnSpec extends AnyFunSuite with SparkSpec {
     assert(maxErr < 0.05, s"max |qcos - cos| = $maxErr")
   }
 
+  test("full-probe IVF with int8 re-rank equals brute-force int8 search") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 20)
+    val brute = AnnSearch.int8TopK(queries, emb, "embedding", "vec_id", 10)
+      .select("query_id", "corpus_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ivf = AnnSearch.ivfTopK(queries, emb, "embedding", "vec_id", 10,
+        dim = 64, nCells = 8, nProbe = 8, iters = 3, int8Rerank = true)
+      .select("query_id", "corpus_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(brute.nonEmpty && ivf === brute)
+  }
+
+  test("partial-probe int8 IVF keeps recall vs its own full probe") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 20)
+    def at(nProbe: Int) = AnnSearch.ivfTopK(queries, emb, "embedding", "vec_id", 10,
+        dim = 64, nCells = 8, nProbe = nProbe, iters = 3, int8Rerank = true)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = at(8)
+    val part = at(4)
+    assert(part.intersect(full).size.toDouble / full.size >= 0.5)
+  }
+
   test("i8vec kernels are SQL-registered") {
     val one = spark.sql(
       """SELECT i8vec_dot(i8vec_quantize(array(CAST(1.0 AS FLOAT), CAST(-0.5 AS FLOAT))),
