@@ -41,8 +41,20 @@ case class FloatVectorDot(left: Expression, right: Expression)
 }
 
 /** Symmetric per-vector int8 quantization (see VectorKernels.quantizeI8) —
-  * the 4x storage/shuffle compression step for corpus-scale ANN. */
+  * the 4x storage/shuffle compression step for corpus-scale ANN.
+  * Input types are CHECKED at analysis (unlike the Column-API-only
+  * expressions in this file) because these are SQL-registered: an untyped
+  * array<double> literal would otherwise pass analysis and read garbage
+  * through getFloat. */
 case class QuantizeInt8(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"i8vec_quantize requires array<float>, got $other")
+    }
   override def dataType: DataType = ArrayType(ByteType, containsNull = false)
   override def prettyName: String = "i8vec_quantize"
   override protected def nullSafeEval(v: Any): Any =
@@ -55,6 +67,14 @@ case class QuantizeInt8(child: Expression) extends UnaryExpression {
 /** Exact integer dot product of two int8-quantized vectors. */
 case class ByteVectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ByteType, _), ArrayType(ByteType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"i8vec_dot requires two array<tinyint> inputs, got ($l, $r)")
+    }
   override def dataType: DataType = LongType
   override def prettyName: String = "i8vec_dot"
   override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -151,6 +171,17 @@ case class NearestCells(child: Expression, centroids: Array[Double], dim: Int, n
 /** Morton z-value of two non-negative 31-bit keys (see
   * VectorKernels.interleave31) — the two-dimensional clustering sort key. */
 case class ZValue(left: Expression, right: Expression) extends BinaryExpression {
+  // typed LONG-only: an INT argument would ClassCastException in
+  // interpreted eval while silently widening under codegen — reject it
+  // at analysis instead
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"z_value requires two BIGINT inputs, got ($l, $r)")
+    }
   override def dataType: DataType = LongType
   override def prettyName: String = "z_value"
   override protected def nullSafeEval(a: Any, b: Any): Any =

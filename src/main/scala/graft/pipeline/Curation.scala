@@ -194,19 +194,38 @@ object Curation {
     * no shuffle at all, parallelism is the scan's. Returns (idCol,
     * chunk_index, n_chunk_tokens, chunk_text). */
   def chunkTokens(df: DataFrame, textCol: String, idCol: String,
-                  chunkTokens: Int, overlap: Int): DataFrame = {
+                  chunkTokens: Int, overlap: Int): DataFrame =
+    chunkStream(df, textCol, Seq(col(idCol)), chunkTokens, overlap)
+      .select(col(idCol), col("chunk_index"),
+        size(split(col("chunk_text"), "\\s+")).cast("long").as("n_chunk_tokens"),
+        col("chunk_text"))
+
+  /** THE chunk construction, shared by every chunk operator (batch
+    * chunking, chunk dedup + rebuild, streaming chunk dedup) so their
+    * canonicalization (trim/lower/split) and slice semantics can never
+    * drift apart — digest parity between the batch and streaming dedup
+    * depends on byte-identical chunks. `passThrough` columns ride the
+    * explode; output adds (n_total, chunk_index, chunk_text). */
+  private[graft] def chunkStream(df: DataFrame, textCol: String,
+                                 passThrough: Seq[Column],
+                                 chunkTokens: Int, overlap: Int): DataFrame = {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
       s"need 0 <= overlap < chunkTokens (got $chunkTokens, $overlap)")
     val stride = chunkTokens - overlap
     val toks = split(lower(trim(col(textCol))), "\\s+")
     val nChunks = floor((size(toks) - 1) / stride) + 1
-    df.select(col(idCol), posexplode(transform(
-        sequence(lit(0), nChunks - 1),
-        i => concat_ws(" ", slice(toks, i * stride + 1, lit(chunkTokens))))))
-      .select(col(idCol), col("pos").cast("long").as("chunk_index"),
-        size(split(col("col"), "\\s+")).cast("long").as("n_chunk_tokens"),
-        col("col").as("chunk_text"))
+    df.select(passThrough ++ Seq(nChunks.cast("long").as("n_total"),
+        posexplode(transform(
+          sequence(lit(0), nChunks - 1),
+          i => concat_ws(" ", slice(toks, i * stride + 1, lit(chunkTokens)))))): _*)
+      .withColumn("chunk_index", col("pos").cast("long"))
+      .withColumnRenamed("col", "chunk_text")
+      .drop("pos")
   }
+
+  /** 128-bit digest of a chunk row's text — the shuffle/state key of the
+    * chunk-dedup family (one definition, same reason as [[chunkStream]]). */
+  private[graft] def chunkDigest: Column = md5(encode(col("chunk_text"), "UTF-8"))
 
   /** Keep rows at or above their group's p-th percentile of `numCol` —
     * relative statistical filtering ("drop the shortest half per

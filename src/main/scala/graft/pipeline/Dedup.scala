@@ -56,8 +56,8 @@ object Dedup {
   def chunkDedup(docs: DataFrame, textCol: String, idCol: String,
                  chunkTokens: Int, maxChunksPerDoc: Long = 1_000_000L): DataFrame = {
     val packed = col(idCol) * maxChunksPerDoc + col("chunk_index")
-    Curation.chunkTokens(docs, textCol, idCol, chunkTokens, overlap = 0)
-      .groupBy(md5(encode(col("chunk_text"), "UTF-8")).as("chunk_md5"))
+    Curation.chunkStream(docs, textCol, Seq(col(idCol)), chunkTokens, overlap = 0)
+      .groupBy(Curation.chunkDigest.as("chunk_md5"))
       .agg(min_by(col(idCol), packed).as(idCol),
         min_by(col("chunk_index"), packed).as("chunk_index"),
         count(lit(1)).as("dup_count"))
@@ -78,20 +78,11 @@ object Dedup {
   def chunkDedupRebuild(docs: DataFrame, textCol: String, idCol: String,
                         chunkTokens: Int,
                         maxChunksPerDoc: Long = 1_000_000L): DataFrame = {
-    require(chunkTokens > 0, s"chunkTokens must be positive (got $chunkTokens)")
-    // same chunk construction as Curation.chunkTokens at overlap 0, with
-    // the per-doc chunk total carried through the explode (one scan)
-    val toks = split(lower(trim(col(textCol))), "\\s+")
-    val nChunks = floor((size(toks) - 1) / chunkTokens) + 1
-    val chunks = docs
-      .select(col(idCol), nChunks.cast("long").as("n_total"),
-        posexplode(transform(sequence(lit(0), nChunks - 1),
-          i => concat_ws(" ", slice(toks, i * chunkTokens + 1, lit(chunkTokens))))))
-      .withColumnRenamed("pos", "chunk_index")
-      .withColumnRenamed("col", "chunk_text")
+    val chunks =
+      Curation.chunkStream(docs, textCol, Seq(col(idCol)), chunkTokens, overlap = 0)
     val packed = col(idCol) * maxChunksPerDoc + col("chunk_index")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(encode(col("chunk_text"), "UTF-8")))
+      .partitionBy(Curation.chunkDigest)
     chunks
       .withColumn("__first", min(packed).over(w))
       .where(packed === col("__first"))
@@ -114,11 +105,15 @@ object Dedup {
     * pair generation this join needs no frequency cap at any corpus
     * size; the group-pair aggregate is at most groups^2/2 rows. */
   def groupOverlap(docs: DataFrame, textCol: String, groupCol: String,
-                   shingleLen: Int): DataFrame = {
-    val sh = docs.select(col(groupCol).as("__g"),
+                   shingleLen: Int,
+                   checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    // the distinct (group, shingle) frame is the dominant cost (corpus
+    // scan + shingle explode + hash-agg) and feeds THREE consumers (the
+    // sizes aggregate and both self-join sides) — materialize it once
+    val sh = Materialize(docs.select(col(groupCol).as("__g"),
         explode(graft.fuzzy.vectorFunctions.hashed_shingle_set(
           lower(trim(col(textCol))), shingleLen)).as("__sh"))
-      .distinct()
+      .distinct(), checkpoint)
     val sizes = sh.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.__sh") === col("b.__sh") && col("a.__g") < col("b.__g"))

@@ -26,11 +26,19 @@ object Olap {
   def rollupProfile(df: DataFrame, groupCols: Seq[String], valueCol: String,
                     totalLabel: String = "ALL"): DataFrame = {
     require(groupCols.nonEmpty, "rollupProfile needs at least one group column")
+    // relabel on the GROUPING BIT, not on NULL-ness: a genuine NULL group
+    // value in the data must stay NULL on its leaf row (a coalesce would
+    // conflate it with the subtotal rows and diverge from ANSI GROUPING
+    // semantics / the DuckDB oracle)
+    def cell(n: String, i: Int) = {
+      val bit = shiftright(col("level"), groupCols.length - 1 - i).bitwiseAND(lit(1L))
+      when(bit === 1L, lit(totalLabel)).otherwise(col(n)).as(n)
+    }
     df.rollup(groupCols.map(col): _*)
       .agg(grouping_id().cast("long").as("level"),
         count(lit(1)).as("n_rows"),
         sum(col(valueCol)).cast("long").as("sum_value"))
-      .select(groupCols.map(n => coalesce(col(n), lit(totalLabel)).as(n)) ++
+      .select(groupCols.zipWithIndex.map { case (n, i) => cell(n, i) } ++
         Seq(col("level"), col("n_rows"), col("sum_value")): _*)
   }
 

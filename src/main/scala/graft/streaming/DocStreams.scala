@@ -22,16 +22,10 @@ object DocStreams {
   def chunkDedupStream(docs: DataFrame, textCol: String, idCol: String,
                        tsCol: String, chunkTokens: Int,
                        watermark: String = "2 hours"): DataFrame = {
-    require(chunkTokens > 0, s"chunkTokens must be positive (got $chunkTokens)")
-    val toks = split(lower(trim(col(textCol))), "\\s+")
-    val nChunks = floor((size(toks) - 1) / chunkTokens) + 1
-    docs
-      .select(col(idCol), col(tsCol),
-        posexplode(transform(sequence(lit(0), nChunks - 1),
-          i => concat_ws(" ", slice(toks, i * chunkTokens + 1, lit(chunkTokens))))))
-      .withColumnRenamed("pos", "chunk_index")
-      .withColumnRenamed("col", "chunk_text")
-      .withColumn("chunk_md5", md5(encode(col("chunk_text"), "UTF-8")))
+    graft.pipeline.Curation.chunkStream(docs, textCol,
+        Seq(col(idCol), col(tsCol)), chunkTokens, overlap = 0)
+      .drop("n_total")
+      .withColumn("chunk_md5", graft.pipeline.Curation.chunkDigest)
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("chunk_md5")
   }

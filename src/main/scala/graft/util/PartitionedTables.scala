@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   */
 object PartitionedTables {
 
-  /** Integer epoch-day from a raw nano timestamp column (deterministic
-    * integer floor division — no timezone dependence; the same arithmetic
-    * every query and engine reproduces). */
+  /** Integer epoch-day from a raw nano timestamp column — true INTEGRAL
+    * division (`div`), not `/`: Column `/` routes two longs through
+    * double, and 2026-era nano timestamps (~1.8e18) exceed double's 2^53
+    * exact range, so a timestamp within ~128 ns of midnight could round
+    * into the wrong day directory. No timezone dependence. */
   def epochDay(tsNanos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (tsNanos / lit(86_400_000_000_000L)).cast("long")
+    call_function("div", tsNanos, lit(86_400_000_000_000L))
 
   /** Writes `df` partitioned by the epoch-day of `tsNanosCol` (directory
     * per day). Days arrive in few large files each because the frame is

@@ -18,7 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
-  /** Morton z-value of two non-negative 31-bit keys (codegen'd kernel). */
+  /** Morton z-value of two non-negative 31-bit keys (codegen'd kernel).
+    * RAW interleave: bits above 31 are silently ignored, so 64-bit ids
+    * (snowflake-style) MUST go through [[gridKey]] (or any reduction to
+    * 31 bits) first or distinct keys will share z-values.
+    * [[writeClustered]] does this normalization itself. */
   def zValue(a: Column, b: Column): Column =
     graft.fuzzy.vectorFunctions.z_value(a, b)
 
@@ -37,7 +41,16 @@ object ZOrder {
                      numFiles: Int): (Long, Long, Long, Long) = {
     val b = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
-    require(!b.anyNull, s"z-order keys $colA/$colB must be non-null")
+    if (b.anyNull) {
+      // all-null min/max means an EMPTY frame (an empty partition-day
+      // must write an empty table, not abort); genuinely null keys in
+      // non-empty data still fail below via the negative check
+      if (df.isEmpty) {
+        df.write.mode("overwrite").parquet(path)
+        return (0L, 0L, 0L, 0L)
+      }
+      throw new IllegalArgumentException(s"z-order keys $colA/$colB must be non-null")
+    }
     val (minA, maxA, minB, maxB) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
     require(minA >= 0 && minB >= 0, s"z-order keys must be non-negative")
     df.withColumn("__z", zValue(gridKey(col(colA), minA, maxA),

@@ -39,6 +39,14 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
     assert(Olap.pivotCounts(docs, "source", "lang", Seq("en")).count() === 0L)
   }
 
+  test("z-order writer handles an empty frame (empty table, no throw)") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val dir = s"/tmp/graft_zorder_empty_${System.nanoTime()}"
+    val bounds = graft.util.ZOrder.writeClustered(empty, dir, "a", "b", 4)
+    assert(bounds === ((0L, 0L, 0L, 0L)))
+    assert(spark.read.parquet(dir).count() === 0L)
+  }
+
   test("int8 and projection search paths on empty sides") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     assert(AnnSearch.int8TopK(emptyVecs, emb, "embedding", "vec_id", 5).count() === 0L)

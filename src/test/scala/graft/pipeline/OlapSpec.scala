@@ -39,6 +39,21 @@ class OlapSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Union"), s"rollup degenerated to a union of aggregates:\n$plan")
   }
 
+  test("genuine NULL group values stay NULL on leaf rows (not relabeled ALL)") {
+    import spark.implicits._
+    val docs = Seq((Option("en"), "s1", 10L), (Option.empty[String], "s1", 20L))
+      .toDF("lang", "source", "n_chars")
+    val r = Olap.rollupProfile(docs, Seq("lang", "source"), "n_chars")
+    // the NULL-lang LEAF row keeps its NULL; only rolled-up cells say ALL
+    val leafNull = r.where(col("level") === 0 && col("lang").isNull).collect()
+    assert(leafNull.length === 1 && leafNull.head.getAs[Long]("sum_value") === 20L)
+    val grand = r.where(col("level") === 3).collect()
+    assert(grand.length === 1 && grand.head.getAs[String]("lang") === "ALL")
+    // the per-lang subtotal of the NULL lang is labeled by its level bit,
+    // distinguishable from a data value even though lang is NULL there
+    assert(r.where(col("level") === 1 && col("lang").isNull).count() === 1L)
+  }
+
   test("pivot counts match the long-format groupBy, empty cells are 0") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = Olap.pivotCounts(docs, "source", "lang", Seq("en", "de", "zz_absent"))

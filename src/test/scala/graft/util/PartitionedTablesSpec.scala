@@ -34,6 +34,18 @@ class PartitionedTablesSpec extends AnyFunSuite with SparkSpec {
     assert(q.count() === want && want > 0)
   }
 
+  test("epochDay is exact integral division at nano magnitudes beyond 2^53") {
+    import spark.implicits._
+    // one nano BEFORE midnight of day k: double arithmetic rounds the
+    // ~1.7e18 dividend (ulp 256 ns) onto midnight and buckets it into
+    // day k; integral div must yield k-1
+    val k = 19700L
+    val ts = k * 86_400_000_000_000L - 1L
+    val got = Seq(ts).toDF("ts")
+      .select(PartitionedTables.epochDay(col("ts")).as("d")).head().getLong(0)
+    assert(got === k - 1, s"epochDay($ts) = $got, want ${k - 1}")
+  }
+
   test("one file per day (no small-file explosion from parallel writers)") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
