@@ -118,6 +118,15 @@ object SparkEntry {
     // chunk; dup_count > 1 rows are the corpus's repeated passages
     "dedup_chunk_exact" -> ((s, dir) =>
       Dedup.chunkDedup(t(s, dir, "documents"), "text", "doc_id", 16)),
+    // nightly-ingest chunk dedup: batch keep-first + corpus-digest anti
+    // join (incrementalDedup's exact arm at chunk granularity)
+    "dedup_chunk_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bkt = Curation.md5Bucket(col("doc_id"))
+      Dedup.incrementalChunkDedup(docs.where(bkt < 100000L),
+        Dedup.chunkDigests(docs.where(bkt >= 100000L), "text", "doc_id", 16),
+        "text", "doc_id", 16)
+    }),
     // dataset-mixture overlap matrix: pairwise source shingle jaccard
     // (fan-out bounded by sources^2, uncapped-safe at any corpus size)
     "corpus_overlap" -> ((s, dir) =>
@@ -1205,6 +1214,22 @@ object SparkEntry {
            CAST(GROUPING(lang, source) AS BIGINT) AS level,
            count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_value
          FROM documents GROUP BY ROLLUP (lang, source)""",
+    // batch side: keep-first window over the digest; corpus side: the
+    // distinct digest set as a NOT IN
+    "dedup_chunk_incremental" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w,
+                ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS bkt
+              FROM documents),
+         c AS (SELECT doc_id, bkt, unnest(list_transform(range(0, CAST(floor((len(w)-1)/16) AS INT) + 1),
+                 i -> struct_pack(idx := i, txt := array_to_string(w[(i*16+1)::INT : (i*16+16)::INT], ' ')))) AS ch
+               FROM t),
+         b AS (SELECT doc_id, ch.idx AS idx, md5(ch.txt) AS d,
+                 min(doc_id * 1000000 + ch.idx) OVER (PARTITION BY md5(ch.txt)) AS fst
+               FROM c WHERE bkt < 100000),
+         k AS (SELECT doc_id, idx, d FROM b WHERE doc_id * 1000000 + idx = fst),
+         corp AS (SELECT DISTINCT md5(ch.txt) AS d FROM c WHERE bkt >= 100000)
+         SELECT doc_id, CAST(idx AS BIGINT) AS chunk_index, d AS chunk_md5
+         FROM k WHERE d NOT IN (SELECT d FROM corp)""",
     // same trigram-shingle family as dedup_ngram_jaccard, aggregated to
     // (source, shingle) sets; hash-set == string-set intersection (the
     // kernel's 64-bit shingle hashes are collision-free on this corpus)

@@ -126,6 +126,36 @@ object Dedup {
         (col("n_common") / (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
   }
 
+  /** Distinct chunk digests of a corpus — the persistent state of
+    * nightly chunk-level dedup (16 B/chunk; at scale this is the table
+    * you keep bucketed via [[graft.util.BucketedTables]] so nightly runs
+    * never reshuffle it). */
+  def chunkDigests(docs: DataFrame, textCol: String, idCol: String,
+                   chunkTokens: Int): DataFrame =
+    Curation.chunkStream(docs, textCol, Seq(col(idCol)), chunkTokens, overlap = 0)
+      .select(Curation.chunkDigest.as("chunk_md5"))
+      .distinct()
+
+  /** Nightly-ingest chunk dedup: a batch chunk survives iff it is the
+    * batch's keep-first occurrence of its digest AND the digest is absent
+    * from the corpus digest table — [[incrementalDedup]]'s exact arm at
+    * [[chunkDedup]]'s sub-document granularity. One window shuffle on the
+    * digest (in-batch keep-first) + one digest-keyed anti join; the
+    * corpus side contributes only 16-byte digests. */
+  def incrementalChunkDedup(batch: DataFrame, corpusDigests: DataFrame,
+                            textCol: String, idCol: String, chunkTokens: Int,
+                            maxChunksPerDoc: Long = 1_000_000L): DataFrame = {
+    val packed = col(idCol) * maxChunksPerDoc + col("chunk_index")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk_md5"))
+    Curation.chunkStream(batch, textCol, Seq(col(idCol)), chunkTokens, overlap = 0)
+      .withColumn("chunk_md5", Curation.chunkDigest)
+      .withColumn("__first", min(packed).over(w))
+      .where(packed === col("__first"))
+      .join(corpusDigests.select(col("chunk_md5")), Seq("chunk_md5"), "left_anti")
+      .select(col(idCol), col("chunk_index"), col("chunk_md5"))
+  }
+
   // --------------------------------------------------- shingles / jaccard
 
   /** Distinct lowercase word n-gram shingles per document:

@@ -67,6 +67,24 @@ class ChunkDedupSpec extends AnyFunSuite with SparkSpec {
     assert(out.count() === 50L)
   }
 
+  test("incremental chunk dedup: corpus-known and in-batch-duplicate chunks drop") {
+    import spark.implicits._
+    val corpus = Seq((100L, "k n o w n p a s s a g e!")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "k n o w fresh stuff here"),       // first chunk known to corpus
+      (2L, "x y z w fresh stuff here"),       // tail repeats doc 1's tail
+      (3L, "all new content entirely here")).toDF("doc_id", "text")
+    val out = Dedup.incrementalChunkDedup(batch,
+        Dedup.chunkDigests(corpus, "text", "doc_id", 4), "text", "doc_id", 4)
+      .select("doc_id", "chunk_index").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc1: "k n o w" claimed by corpus, "fresh stuff here" survives
+    // doc2: its tail chunk duplicates doc1's (in-batch keep-first: doc1
+    //       wins); its head chunk is new
+    // doc3: both chunks survive
+    assert(out === Set((1L, 1L), (2L, 0L), (3L, 0L), (3L, 1L)))
+  }
+
   test("whole-document dedup misses the shared passage chunk dedup catches") {
     import spark.implicits._
     val docs = Seq(
