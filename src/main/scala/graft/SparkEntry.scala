@@ -586,6 +586,25 @@ object SparkEntry {
       Curation.aboveGroupPercentile(t(s, dir, "documents"), "lang", "n_chars", 0.5)
         .select(col("doc_id"), col("lang"), col("n_chars"))),
 
+    // ---- quality-weighted sampling: each row keeps with probability =
+    // its own (rounded, boundary-stable) quality score
+    "curate_weighted_sample" -> ((s, dir) =>
+      Curation.weightedHashSample(t(s, dir, "documents"), "doc_id",
+          sround(TextAnalysis.qualityScore(col("text")), 6))
+        .select(col("doc_id"))),
+
+    // ---- per-language winsorized lengths (clamp to [p05, p95] exact
+    // interpolated percentiles; row count preserved)
+    "curate_winsorize" -> ((s, dir) =>
+      Curation.winsorize(t(s, dir, "documents"), "lang", "n_chars", 0.05, 0.95)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          sround(col("winsorized"), 4).as("winsorized"))),
+
+    // ---- per-language length histogram (10 fixed buckets over [0, 1000),
+    // edges clamp; exact integer bucketing)
+    "corpus_histogram" -> ((s, dir) =>
+      Curation.histogram(t(s, dir, "documents"), "lang", "n_chars", 10, 0.0, 1000.0)),
+
     // ---- cross-modal cartography: documents joined to their embedding
     // rows (aligned id spaces), profiled per (cluster label, language)
     "embed_doc_map" -> ((s, dir) => {
@@ -1422,6 +1441,36 @@ object SparkEntry {
       """WITH m AS (SELECT lang, quantile_cont(n_chars, 0.5) AS thr FROM documents GROUP BY 1)
          SELECT doc_id, lang, n_chars FROM documents JOIN m USING (lang)
          WHERE n_chars >= thr""",
+    // per-row keep probability = the rounded quality score; round(q*1e6)
+    // recovers the exact integer threshold both engines compare against
+    "curate_weighted_sample" ->
+      """WITH t AS (SELECT doc_id, text,
+                CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS n_words,
+                CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS n_nonspace,
+                CAST(length(text) - length(regexp_replace(lower(text), '[a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio
+              FROM documents),
+         q AS (SELECT doc_id, round((
+                (CASE WHEN n_words >= 10 AND n_words <= 1000 THEN 1.0 WHEN n_words >= 3 THEN 0.5 ELSE 0.0 END)
+                + (CASE WHEN n_nonspace / n_words >= 3 AND n_nonspace / n_words <= 10 THEN 1.0 ELSE 0.5 END)
+                + alpha_ratio) / 3.0, 6) AS quality
+               FROM t)
+         SELECT doc_id FROM q
+         WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+               < CAST(round(quality * 1000000) AS BIGINT)""",
+    // quantile_cont interpolates at p*(n-1) exactly like Spark percentile
+    "curate_winsorize" ->
+      """WITH m AS (SELECT lang, quantile_cont(n_chars, 0.05) AS lo,
+                quantile_cont(n_chars, 0.95) AS hi FROM documents GROUP BY 1)
+         SELECT doc_id, d.lang AS lang, n_chars,
+           round(least(greatest(CAST(n_chars AS DOUBLE), lo), hi), 4) AS winsorized
+         FROM documents d JOIN m ON d.lang = m.lang""",
+    // floor((x - lo) * n / (hi - lo)) with edge clamping — exact integer
+    // bucketing both engines reproduce
+    "corpus_histogram" ->
+      """SELECT lang,
+           CAST(least(greatest(floor((CAST(n_chars AS DOUBLE) - 0.0) * 10 / 1000.0), 0.0), 9.0) AS BIGINT) AS bucket,
+           count(*) AS n
+         FROM documents GROUP BY 1, 2""",
     // per-doc quality rounds to 6 BEFORE the avg in both engines; the
     // final round-6 of the mean absorbs float summation-order noise
     "embed_doc_map" ->

@@ -101,6 +101,46 @@ object Curation {
         floor((row_number().over(w) - 1) / batchSize).cast("long"))
   }
 
+  /** Quality-WEIGHTED deterministic sampling: each row keeps with its own
+    * probability `weightCol` (in [0, 1]) — the importance-sampling step of
+    * mixture curation ("keep high-quality docs more often"), still a pure
+    * md5-keyed filter: no RNG state, reproducible row-by-row, and a row's
+    * fate is monotone in its weight (raising a doc's quality can only
+    * keep it). */
+  def weightedHashSample(df: DataFrame, keyCol: String, weight: Column): DataFrame =
+    df.where(md5Bucket(col(keyCol)) < round(weight * 1e6).cast("long"))
+
+  /** Winsorize `numCol` within each group: values clamp to the group's
+    * [pLo, pHi] exact interpolated percentiles — per-group outlier
+    * trimming that keeps row count (unlike a filter). One tiny percentile
+    * aggregate broadcast back onto the rows. */
+  def winsorize(df: DataFrame, groupCol: String, numCol: String,
+                pLo: Double, pHi: Double,
+                outCol: String = "winsorized"): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"need 0 <= pLo < pHi <= 1 (got $pLo, $pHi)")
+    val pct = df.groupBy(col(groupCol)).agg(
+      percentile(col(numCol), lit(pLo)).as("__lo"),
+      percentile(col(numCol), lit(pHi)).as("__hi"))
+    df.join(broadcast(pct), Seq(groupCol))
+      .withColumn(outCol,
+        least(greatest(col(numCol).cast("double"), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
+  /** Fixed-range histogram of `numCol` per group: `nBuckets` equal-width
+    * buckets over [lo, hi), under/overflow clamped to the edge buckets —
+    * the distribution profile of corpusStats as exact integer bucketing
+    * (one hash-agg; floor arithmetic every engine reproduces). */
+  def histogram(df: DataFrame, groupCol: String, numCol: String,
+                nBuckets: Int, lo: Double, hi: Double): DataFrame = {
+    require(nBuckets > 0 && hi > lo, s"need nBuckets > 0 and hi > lo (got $nBuckets, $lo, $hi)")
+    val raw = floor((col(numCol).cast("double") - lit(lo)) * nBuckets / lit(hi - lo))
+    df.select(col(groupCol),
+        least(greatest(raw, lit(0.0)), lit((nBuckets - 1).toDouble)).cast("long").as("bucket"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Top `k` rows per group by `score` (descending), deterministic ties by
     * `tie` (ascending) — "best N documents per language/domain". One
     * shuffle on the group key; the rank filter cuts inside the window

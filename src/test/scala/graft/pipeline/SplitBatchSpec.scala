@@ -39,6 +39,43 @@ class SplitBatchSpec extends AnyFunSuite with SparkSpec {
     assert(lost === 0L)
   }
 
+  test("weighted sampling keeps ~weight fraction, monotone in weight") {
+    import spark.implicits._
+    val df = (0 until 4000).map(i => (i.toLong, if (i % 2 == 0) 0.9 else 0.1))
+      .toDF("id", "w")
+    val kept = Curation.weightedHashSample(df, "id", col("w"))
+    val hi = kept.where(col("w") === 0.9).count().toDouble / 2000
+    val lo = kept.where(col("w") === 0.1).count().toDouble / 2000
+    assert(hi > 0.85 && hi < 0.95, s"high-weight keep rate $hi")
+    assert(lo > 0.05 && lo < 0.15, s"low-weight keep rate $lo")
+    // monotone: every row kept at w stays kept at w' > w
+    val bumped = Curation.weightedHashSample(df.withColumn("w", col("w") + 0.05), "id", col("w"))
+    assert(kept.select("id").except(bumped.select("id")).count() === 0L)
+  }
+
+  test("winsorize clamps to group percentiles and preserves row count") {
+    import spark.implicits._
+    val df = ((1 to 99).map(i => ("a", i.toLong)) :+ (("a", 100000L)))
+      .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "g", "v")
+    val w = Curation.winsorize(df, "g", "v", 0.05, 0.95)
+    assert(w.count() === 100L)
+    val mx = w.agg(max(col("winsorized"))).head().getDouble(0)
+    // the outlier clamps to ~p95 of 1..100000-skewed data, far below 100000
+    assert(mx < 1000.0, s"outlier not clamped: $mx")
+    assert(w.where(col("winsorized") > col("v")).count() > 0, "low tail clamped up")
+  }
+
+  test("histogram buckets exactly and clamps edges") {
+    import spark.implicits._
+    val df = Seq(("a", -5L), ("a", 0L), ("a", 99L), ("a", 100L), ("a", 999L), ("a", 2000L))
+      .toDF("g", "v")
+    val h = Curation.histogram(df, "g", "v", 10, 0.0, 1000.0)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // -5 and 0 and 99 -> bucket 0; 100 -> 1; 999 -> 9; 2000 clamps -> 9
+    assert(h === Map(0L -> 3L, 1L -> 1L, 9L -> 2L))
+  }
+
   test("length-bucketed batches are full-sized and padding-bounded") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val b = Curation.lengthBucketBatches(docs, "doc_id", "text", 32, 16)
