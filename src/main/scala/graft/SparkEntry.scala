@@ -673,6 +673,31 @@ object SparkEntry {
         "left_anti")
     }),
 
+    // ---- per-user value anomaly z-scores, batch form: running
+    // mean/variance from EXACT integer window sums over preceding events
+    // (the window-function restatement of streaming.Anomaly's Welford
+    // fold; every division/sqrt is a deterministic IEEE op on the same
+    // integers in both engines)
+    "events_anomaly" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"),
+        expr("cast(round(value * 100) as long)").as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      ev.withColumn("n", count(lit(1)).over(w))
+        .withColumn("s", sum(col("c")).over(w))
+        .withColumn("q", sum(col("c") * col("c")).over(w))
+        .where(col("n") >= 10)
+        .withColumn("var",
+          (col("q").cast("double") - col("s").cast("double") * col("s").cast("double")
+            / col("n").cast("double")) / (col("n") - 1).cast("double"))
+        .where(col("var") > 0)
+        .select(col("event_id"), col("user_id"),
+          sround((col("c").cast("double") - col("s").cast("double") / col("n").cast("double"))
+            / org.apache.spark.sql.functions.sqrt(col("var")), 6).as("zscore"))
+    }),
+
     // ---- Morton z-values (the 2-D clustering sort key; exact bit
     // arithmetic — see util.ZOrder for the layout writer)
     "events_zvalue" -> ((s, dir) =>
@@ -1564,6 +1589,23 @@ object SparkEntry {
          SELECT event_id, user_id, ts_us FROM v
          WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = v.user_id
            AND p.b >= v.ts_us AND p.b <= v.ts_us + 3600000000)""",
+    // identical frame + identical double-expression shapes over exact
+    // integer window sums
+    "events_anomaly" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                CAST(round(value * 100) AS BIGINT) AS c FROM events),
+         win AS (SELECT event_id, user_id, c,
+                   count(*) OVER w AS n, sum(c) OVER w AS s, sum(c * c) OVER w AS q
+                 FROM e
+                 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         v AS (SELECT event_id, user_id, c, n, s,
+                 (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                   / CAST(n - 1 AS DOUBLE) AS var
+               FROM win WHERE n >= 10)
+         SELECT event_id, user_id,
+           round((CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / sqrt(var), 6) AS zscore
+         FROM v WHERE var > 0""",
     // bit-interleave restated as a 31-term shift sum — exact integer
     // arithmetic both engines compute identically
     "events_zvalue" ->
