@@ -181,6 +181,16 @@ object SparkEntry {
       NearDupCluster.dedupByPairs(docs, pairs, "doc_id", maxIterations = 20)
         .select(col("doc_id"))
     }),
+    // quality-aware keep rule: the representative is the LONGEST cluster
+    // member (exact integer score), ties to min id
+    "dedup_cluster_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5,
+        maxShinglePairs = Long.MaxValue)
+      NearDupCluster.dedupByPairsKeepBest(docs, pairs, "doc_id",
+          col("n_chars"), maxIterations = 20)
+        .select(col("doc_id"))
+    }),
     // cosine pairs -> connected components -> keep-one: semantic near-dup
     // dedup end to end (same resolver as the text families)
     "dedup_cosine_cluster" -> ((s, dir) => {
@@ -887,6 +897,27 @@ object SparkEntry {
          comp AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a)
          SELECT d.doc_id AS doc_id FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
          WHERE comp.id IS NULL OR comp.comp = d.doc_id""",
+    // same component resolution; representative = arg-max n_chars per
+    // component (ties to min id) instead of min id
+    "dedup_cluster_best" ->
+      """WITH RECURSIVE
+         t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+         s AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) END AS sh FROM t),
+         e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         sz AS (SELECT doc_id, len(sh) AS sz FROM s),
+         c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+               FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         p AS (SELECT id_a, id_b FROM c JOIN sz sa ON c.id_a = sa.doc_id JOIN sz sb ON c.id_b = sb.doc_id
+               WHERE common / (sa.sz + sb.sz - common) >= 0.5),
+         edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+         reach(a, b) AS (SELECT a, b FROM edges UNION SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+         comp AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+         j AS (SELECT comp.comp AS cmp, comp.id AS id, d.n_chars AS n_chars
+               FROM comp JOIN documents d ON comp.id = d.doc_id),
+         r AS (SELECT cmp, id, row_number() OVER (PARTITION BY cmp ORDER BY n_chars DESC, id) AS rk FROM j)
+         SELECT d.doc_id AS doc_id FROM documents d
+         WHERE d.doc_id NOT IN (SELECT id FROM r WHERE rk != 1)""",
     // cosine-pair edges through the recursive component resolution
     "dedup_cosine_cluster" ->
       """WITH RECURSIVE

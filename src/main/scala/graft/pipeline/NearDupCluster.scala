@@ -80,4 +80,25 @@ object NearDupCluster {
     val drop = comps.where(col("id") =!= col("comp")).select(col("id").as(idCol))
     docs.join(drop, Seq(idCol), "left_anti")
   }
+
+  /** [[dedupByPairs]] with a QUALITY-AWARE keep rule: the representative
+    * of each cluster is its highest-`score` member (ties to the smallest
+    * id) instead of the smallest id — "keep the best copy", the policy
+    * real corpus curation wants when near-duplicates differ in length or
+    * quality. One extra per-cluster window over the clustered ids only
+    * (clusters are a small fraction of the corpus); rows not mentioned in
+    * `pairs` are untouched. */
+  def dedupByPairsKeepBest(docs: DataFrame, pairs: DataFrame, idCol: String,
+                           score: org.apache.spark.sql.Column,
+                           maxIterations: Int = 15,
+                           checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val comps = connectedComponents(pairs, maxIterations = maxIterations, checkpoint = checkpoint)
+    val scored = comps.join(
+      docs.select(col(idCol).as("id"), score.as("__score")), Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("comp")).orderBy(col("__score").desc, col("id").asc)
+    val drop = scored.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") =!= 1).select(col("id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
 }

@@ -47,6 +47,17 @@ class NearDupClusterSpec extends AnyFunSuite with SparkSpec {
     assert(kept == Set(1L, 5L))
   }
 
+  test("dedupByPairsKeepBest keeps the highest-score member, ties to min id") {
+    val docs = Seq((1L, "a", 5L), (2L, "a'", 9L), (3L, "a''", 9L), (5L, "solo", 1L))
+      .toDF("doc_id", "text", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = NearDupCluster.dedupByPairsKeepBest(docs, pairs, "doc_id",
+        org.apache.spark.sql.functions.col("quality"))
+      .select("doc_id").as[Long].collect().toSet
+    // cluster {1,2,3}: 2 and 3 tie at 9 -> 2 wins; untouched 5 stays
+    assert(kept == Set(2L, 5L))
+  }
+
   test("end-to-end: minhash pairs -> clusters -> deduplicated documents") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5)
