@@ -118,13 +118,16 @@ object Curation {
                 pLo: Double, pHi: Double,
                 outCol: String = "winsorized"): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"need 0 <= pLo < pHi <= 1 (got $pLo, $pHi)")
-    val pct = df.groupBy(col(groupCol)).agg(
+    val pct = df.groupBy(col(groupCol).as("__grp")).agg(
       percentile(col(numCol), lit(pLo)).as("__lo"),
       percentile(col(numCol), lit(pHi)).as("__hi"))
-    df.join(broadcast(pct), Seq(groupCol))
+    // null-safe join like aboveGroupPercentile: a NULL group is still a
+    // group (an equi-join would silently delete its rows and break the
+    // row-count-preserving contract)
+    df.join(broadcast(pct), col(groupCol) <=> col("__grp"))
       .withColumn(outCol,
         least(greatest(col(numCol).cast("double"), col("__lo")), col("__hi")))
-      .drop("__lo", "__hi")
+      .drop("__grp", "__lo", "__hi")
   }
 
   /** Fixed-range histogram of `numCol` per group: `nBuckets` equal-width
@@ -135,7 +138,10 @@ object Curation {
                 nBuckets: Int, lo: Double, hi: Double): DataFrame = {
     require(nBuckets > 0 && hi > lo, s"need nBuckets > 0 and hi > lo (got $nBuckets, $lo, $hi)")
     val raw = floor((col(numCol).cast("double") - lit(lo)) * nBuckets / lit(hi - lo))
-    df.select(col(groupCol),
+    // NULL measurements are dropped explicitly: greatest/least SKIP null
+    // arguments, so an unfiltered NULL would silently tally as bucket 0
+    df.where(col(numCol).isNotNull)
+      .select(col(groupCol),
         least(greatest(raw, lit(0.0)), lit((nBuckets - 1).toDouble)).cast("long").as("bucket"))
       .groupBy(col(groupCol), col("bucket"))
       .agg(count(lit(1)).as("n"))

@@ -75,17 +75,26 @@ object Dedup {
     * partition-min, no agg+join round trip), one id-keyed re-assembly
     * aggregate. n_total derives from the token count projection — the
     * corpus is scanned once. */
-  def chunkDedupRebuild(docs: DataFrame, textCol: String, idCol: String,
-                        chunkTokens: Int,
-                        maxChunksPerDoc: Long = 1_000_000L): DataFrame = {
-    val chunks =
-      Curation.chunkStream(docs, textCol, Seq(col(idCol)), chunkTokens, overlap = 0)
+  /** THE in-batch keep-first rule of the chunk-dedup family, single-
+    * sourced like [[Curation.chunkStream]]/[[Curation.chunkDigest]]: keep
+    * each distinct chunk digest's minimum packed (id, index) occurrence —
+    * one window shuffle on the digest, no agg+join round trip. */
+  private def keepFirstChunks(chunks: DataFrame, idCol: String,
+                              maxChunksPerDoc: Long): DataFrame = {
     val packed = col(idCol) * maxChunksPerDoc + col("chunk_index")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(Curation.chunkDigest)
-    chunks
-      .withColumn("__first", min(packed).over(w))
+    chunks.withColumn("__first", min(packed).over(w))
       .where(packed === col("__first"))
+      .drop("__first")
+  }
+
+  def chunkDedupRebuild(docs: DataFrame, textCol: String, idCol: String,
+                        chunkTokens: Int,
+                        maxChunksPerDoc: Long = 1_000_000L): DataFrame = {
+    keepFirstChunks(
+        Curation.chunkStream(docs, textCol, Seq(col(idCol)), chunkTokens, overlap = 0),
+        idCol, maxChunksPerDoc)
       .groupBy(col(idCol), col("n_total"))
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(
@@ -144,17 +153,13 @@ object Dedup {
     * corpus side contributes only 16-byte digests. */
   def incrementalChunkDedup(batch: DataFrame, corpusDigests: DataFrame,
                             textCol: String, idCol: String, chunkTokens: Int,
-                            maxChunksPerDoc: Long = 1_000_000L): DataFrame = {
-    val packed = col(idCol) * maxChunksPerDoc + col("chunk_index")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("chunk_md5"))
-    Curation.chunkStream(batch, textCol, Seq(col(idCol)), chunkTokens, overlap = 0)
+                            maxChunksPerDoc: Long = 1_000_000L): DataFrame =
+    keepFirstChunks(
+        Curation.chunkStream(batch, textCol, Seq(col(idCol)), chunkTokens, overlap = 0),
+        idCol, maxChunksPerDoc)
       .withColumn("chunk_md5", Curation.chunkDigest)
-      .withColumn("__first", min(packed).over(w))
-      .where(packed === col("__first"))
       .join(corpusDigests.select(col("chunk_md5")), Seq("chunk_md5"), "left_anti")
       .select(col(idCol), col("chunk_index"), col("chunk_md5"))
-  }
 
   // --------------------------------------------------- shingles / jaccard
 

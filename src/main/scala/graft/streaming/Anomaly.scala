@@ -71,6 +71,13 @@ object Anomaly {
       .as[ValueEvent]
       .groupByKey(_.user_id)
       .transformWithState(new Processor(k, minN, ttl),
-        TimeMode.None(), OutputMode.Append(), Encoders.product[AnomalyFlag])
+        timeModeFor(ttl), OutputMode.Append(), Encoders.product[AnomalyFlag])
   }
+
+  /** A non-NONE state TTL is only legal under ProcessingTime time mode —
+    * Spark's StatefulProcessorHandle rejects a TTL'd state variable in
+    * TimeMode.None at getValueState. Selecting the mode from the config
+    * keeps the `ttl` parameter honest (it crashed every query before). */
+  private[streaming] def timeModeFor(ttl: TTLConfig): TimeMode =
+    if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
 }

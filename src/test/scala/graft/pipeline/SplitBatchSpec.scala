@@ -66,6 +66,23 @@ class SplitBatchSpec extends AnyFunSuite with SparkSpec {
     assert(w.where(col("winsorized") > col("v")).count() > 0, "low tail clamped up")
   }
 
+  test("winsorize keeps NULL-group rows (null-safe join)") {
+    import spark.implicits._
+    val df = Seq((1L, Option("a"), 10L), (2L, Option.empty[String], 99L),
+      (3L, Option.empty[String], 1L)).toDF("id", "g", "v")
+    val w = Curation.winsorize(df, "g", "v", 0.05, 0.95)
+    assert(w.count() === 3L, "NULL-group rows must survive winsorization")
+    assert(w.where(col("g").isNull).count() === 2L)
+  }
+
+  test("histogram drops NULL measurements instead of counting them in bucket 0") {
+    import spark.implicits._
+    val df = Seq(("a", Option(5L)), ("a", Option.empty[Long])).toDF("g", "v")
+    val h = Curation.histogram(df, "g", "v", 10, 0.0, 1000.0)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(h === Map(0L -> 1L))
+  }
+
   test("histogram buckets exactly and clamps edges") {
     import spark.implicits._
     val df = Seq(("a", -5L), ("a", 0L), ("a", 99L), ("a", 100L), ("a", 999L), ("a", 2000L))

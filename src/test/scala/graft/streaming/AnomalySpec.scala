@@ -68,6 +68,13 @@ class AnomalySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("a state TTL selects ProcessingTime mode (TimeMode.None rejects TTL'd state)") {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode}
+    assert(Anomaly.timeModeFor(TTLConfig.NONE) === TimeMode.None())
+    assert(Anomaly.timeModeFor(TTLConfig(java.time.Duration.ofHours(1)))
+      === TimeMode.ProcessingTime())
+  }
+
   test("streaming across micro-batches carries state and flags identically") { withRocksDb {
     val dir = java.nio.file.Files.createTempDirectory("anomaly_stream")
     val (early, late) = fixture.partition(_._3 < 200L)
@@ -79,7 +86,11 @@ class AnomalySpec extends AnyFunSuite with SparkSpec {
     Seq("b1", "b2").zipWithIndex.foreach { case (b, i) =>
       val src = java.nio.file.Files.list(dir.resolve(b))
         .filter(_.toString.endsWith(".parquet")).findFirst().get()
-      java.nio.file.Files.copy(src, flat.resolve(f"$i%02d.parquet"))
+      val dst = flat.resolve(f"$i%02d.parquet")
+      java.nio.file.Files.copy(src, dst)
+      // FileStreamSource orders by mtime with listing-order ties —
+      // back-to-back copies can tie at ms resolution; pin the order
+      dst.toFile.setLastModified(1000000L + i * 10000L)
     }
     val schema = spark.read.parquet(flat.toString).schema
     val stream = spark.readStream.schema(schema)

@@ -29,7 +29,11 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
     Seq("b1", "b2").zipWithIndex.foreach { case (b, i) =>
       val src = java.nio.file.Files.list(dir.resolve(b))
         .filter(_.toString.endsWith(".parquet")).findFirst().get()
-      java.nio.file.Files.copy(src, flat.resolve(f"$i%02d.parquet"))
+      val dst = flat.resolve(f"$i%02d.parquet")
+      java.nio.file.Files.copy(src, dst)
+      // FileStreamSource orders by mtime with listing-order ties —
+      // back-to-back copies can tie at ms resolution; pin the order
+      dst.toFile.setLastModified(1000000L + i * 10000L)
     }
 
     val schema = spark.read.parquet(flat.toString).schema
