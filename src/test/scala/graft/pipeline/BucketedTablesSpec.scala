@@ -10,6 +10,45 @@ import org.scalatest.funsuite.AnyFunSuite
   * returns correct rows, just with the full join shuffle back. */
 class BucketedTablesSpec extends AnyFunSuite with SparkSpec {
 
+  test("nightly chunk dedup against a bucketed digest table: corpus never reshuffles") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bkt = Curation.md5Bucket(col("doc_id"))
+    val corpus = docs.where(bkt >= 100000L)
+    val batch = docs.where(bkt < 100000L)
+    // persist the corpus digest state bucketed on the join key (the
+    // TUNING.md nightly-ingest recipe)
+    BucketedTables.writeBucketed(
+      Dedup.chunkDigests(corpus, "text", "doc_id", 16),
+      "bt_chunk_digests", buckets = 4, keys = Seq("chunk_md5"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = Dedup.incrementalChunkDedup(batch,
+        spark.table("bt_chunk_digests"), "text", "doc_id", 16)
+      val unbucketed = Dedup.incrementalChunkDedup(batch,
+        Dedup.chunkDigests(corpus, "text", "doc_id", 16), "text", "doc_id", 16)
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.toString.linesIterator
+          .count(l => l.contains("Exchange") && !l.contains("Reused"))
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"digest scan not bucket-aware:\n$plan")
+      // the bucketed digest side needs no Exchange; the unbucketed
+      // version must shuffle it (strictly more exchanges)
+      assert(exchanges(out) < exchanges(unbucketed),
+        s"bucketing saved no shuffle: ${exchanges(out)} vs ${exchanges(unbucketed)}\n$plan")
+      // correctness unchanged vs the unbucketed frame
+      val want = unbucketed.select("doc_id", "chunk_index").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = out.select("doc_id", "chunk_index").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want && got.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bt_chunk_digests")
+    }
+  }
+
   test("same-bucketed tables join exchange-free, values correct") {
     val c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
       .select(col("c_custkey"), col("c_name"))
