@@ -109,6 +109,17 @@ object Bench {
       val c = s.read.parquet(s"$sfDir/customer.parquet")
       lev90(c, c, "c_name", "c_name", MatchOptions())
     }),
+    // the MULTI-PASS fold at scale: the selective name mapping runs
+    // first, the low-cardinality segment mapping scores only the
+    // surviving pairs (cross_join_filter_existing path) — the reference's
+    // multi-criteria scenario that exercises per-pass filtering
+    "fuzzy_multi_225m" -> (s => {
+      val c = s.read.parquet(s"$sfDir/customer.parquet")
+      FuzzyMatcher.matchDfs(c, c, Seq(
+          FuzzyMapping("c_name", "c_name", 90.0, FuzzyAlgorithm.Levenshtein),
+          FuzzyMapping("c_mktsegment", "c_mktsegment", 80.0, FuzzyAlgorithm.JaroWinkler)),
+        MatchOptions(useApproxNearestNeighbor = Some(false)))
+    }),
     // ~102k x ~31k diverse values = ~3.2e9 pair cartesian at sf0.1 — the
     // scale where candidate generation beats brute force. LSH is FORCED
     // (Some(true)) so the row isolates the LSH path itself; the exact twin
