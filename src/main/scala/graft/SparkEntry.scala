@@ -286,6 +286,13 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred"))),
+    // prediction + confidence margin (best minus runner-up marker hits,
+    // 0 on ties) — the "classified, but barely" filter knob
+    "text_langid_margin" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        TextAnalysis.langIdMargin(col("text")).as("margin"))),
     "text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -1084,6 +1091,8 @@ object SparkEntry {
     // generated from TextAnalysis.langMarkers — single source of truth for
     // the 14-language marker tables, so oracle and implementation can't drift
     "text_langid" -> TextAnalysis.langIdOracleSql,
+    // generated from the same marker table as the implementation
+    "text_langid_margin" -> TextAnalysis.langIdMarginOracleSql,
     "text_fingerprint" ->
       """SELECT doc_id,
          md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fingerprint

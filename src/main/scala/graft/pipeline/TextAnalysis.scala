@@ -98,6 +98,48 @@ object TextAnalysis {
 
   /** The DuckDB mirror of [[langId]], generated from [[langMarkers]] so the
     * oracle can never drift from the implementation. */
+  /** Confidence margin of [[langId]]: best marker-hit count minus the
+    * runner-up's (0 when the top is tied or nothing matched) — the
+    * filter knob for "classified, but barely" documents. Exact integer
+    * arithmetic over the same marker table as langId. */
+  def langIdMargin(text: Column): Column = {
+    val toks = tokens(text)
+    val hs = langMarkers.map { case (_, ms) =>
+      graft.fuzzy.vectorFunctions.marker_hits(toks, ms.toArray)
+    }
+    val best = hs.reduce(greatest(_, _))
+    val nBest = hs.map(h => when(h === best, 1).otherwise(0)).reduce(_ + _)
+    val runnerUp = hs.map(h => when(h < best, h).otherwise(lit(0))).reduce(greatest(_, _))
+    when(nBest > 1, lit(0)).otherwise(best - runnerUp).cast("long")
+  }
+
+  /** DuckDB SQL for (doc_id, lang_pred, margin) GENERATED from the same
+    * marker table as the implementation (like [[langIdOracleSql]], the
+    * two cannot drift). */
+  def langIdMarginOracleSql: String = {
+    val langs = langMarkers.map(_._1)
+    val hitCols = langMarkers.map { case (lang, ms) =>
+      val lst = ms.map(m => s"'$m'").mkString(",")
+      s"len(list_filter(w, x -> list_contains([$lst], x))) AS h_$lang"
+    }.mkString(",\n           ")
+    val best = langs.map("h_" + _).mkString("greatest(", ", ", ")")
+    val cases = langs.init.map(l => s"WHEN h_$l = best THEN '$l'").mkString("\n           ")
+    val nBest = langs.map(l => s"(h_$l = best)::INT").mkString(" + ")
+    val runnerUp = langs.map(l => s"CASE WHEN h_$l < best THEN h_$l ELSE 0 END")
+      .mkString("greatest(", ", ", ")")
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+         h AS (SELECT doc_id,
+           $hitCols
+         FROM t),
+         b AS (SELECT doc_id, *, $best AS best FROM h)
+         SELECT doc_id, CASE
+           WHEN best = 0 THEN 'und'
+           $cases
+           ELSE '${langs.last}' END AS lang_pred,
+           CAST(CASE WHEN ($nBest) > 1 THEN 0 ELSE best - $runnerUp END AS BIGINT) AS margin
+         FROM b"""
+  }
+
   def langIdOracleSql: String = {
     val langs = langMarkers.map(_._1)
     val hitCols = langMarkers.map { case (lang, ms) =>

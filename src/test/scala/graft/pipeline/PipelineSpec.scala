@@ -391,6 +391,18 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(m(2L)._3 < m(1L)._3)
   }
 
+  test("langId margin: runner-up distance, zero on ties and no-match") {
+    val d = Seq(
+      (1L, "the and is the of"),       // strongly en
+      (2L, "the der el xyzzy"),        // 1-hit tie across languages
+      (3L, "zz qq xx")                 // no markers at all
+    ).toDF("doc_id", "text")
+    val m = d.select($"doc_id", TextAnalysis.langIdMargin($"text").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) > 0L)
+    assert(m(2L) === 0L && m(3L) === 0L)
+  }
+
   test("bigram log-prob matches the hand-computed corpus LM") {
     // bigrams: (a b)x2, (b a)x1, (a c)x1; histories: a->3, b->1
     val d = Seq((1L, "a b a c"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
