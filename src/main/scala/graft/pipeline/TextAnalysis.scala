@@ -131,7 +131,7 @@ object TextAnalysis {
          h AS (SELECT doc_id,
            $hitCols
          FROM t),
-         b AS (SELECT doc_id, *, $best AS best FROM h)
+         b AS (SELECT *, $best AS best FROM h)
          SELECT doc_id, CASE
            WHEN best = 0 THEN 'und'
            $cases
