@@ -1527,7 +1527,9 @@ object SparkEntry {
       """WITH m AS (SELECT lang, quantile_cont(n_chars, 0.05) AS lo,
                 quantile_cont(n_chars, 0.95) AS hi FROM documents GROUP BY 1)
          SELECT doc_id, d.lang AS lang, n_chars,
-           round(least(greatest(CAST(n_chars AS DOUBLE), lo), hi), 4) AS winsorized
+           CASE WHEN n_chars IS NOT NULL
+                THEN round(least(greatest(CAST(n_chars AS DOUBLE), lo), hi), 4)
+           END AS winsorized
          FROM documents d JOIN m ON d.lang = m.lang""",
     // floor((x - lo) * n / (hi - lo)) with edge clamping — exact integer
     // bucketing both engines reproduce

@@ -107,8 +107,13 @@ object Curation {
     * md5-keyed filter: no RNG state, reproducible row-by-row, and a row's
     * fate is monotone in its weight (raising a doc's quality can only
     * keep it). */
-  def weightedHashSample(df: DataFrame, keyCol: String, weight: Column): DataFrame =
-    df.where(md5Bucket(col(keyCol)) < round(weight * 1e6).cast("long"))
+  def weightedHashSample(df: DataFrame, keyCol: String, weight: Column): DataFrame = {
+    // clamp to [0, 1e6] so out-of-range weights behave as drop-all /
+    // keep-all instead of silently comparing against garbage; a NULL
+    // weight drops the row (NULL comparison is never-true) by contract
+    val thresh = least(greatest(round(weight * 1e6).cast("long"), lit(0L)), lit(1000000L))
+    df.where(md5Bucket(col(keyCol)) < thresh)
+  }
 
   /** Winsorize `numCol` within each group: values clamp to the group's
     * [pLo, pHi] exact interpolated percentiles — per-group outlier
@@ -125,8 +130,11 @@ object Curation {
     // group (an equi-join would silently delete its rows and break the
     // row-count-preserving contract)
     df.join(broadcast(pct), col(groupCol) <=> col("__grp"))
+      // greatest/least SKIP null arguments, so an unguarded NULL
+      // measurement would winsorize to __lo; NULL in stays NULL out
       .withColumn(outCol,
-        least(greatest(col(numCol).cast("double"), col("__lo")), col("__hi")))
+        when(col(numCol).isNotNull,
+          least(greatest(col(numCol).cast("double"), col("__lo")), col("__hi"))))
       .drop("__grp", "__lo", "__hi")
   }
 

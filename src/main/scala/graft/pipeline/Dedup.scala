@@ -44,22 +44,25 @@ object Dedup {
     *
     * Scale shape: one narrow chunk projection (codegen; no shuffle), then
     * ONE hash-agg shuffle keyed by the 128-bit chunk digest — the chunk
-    * TEXT never shuffles, and the arg-min rides a single packed long
+    * TEXT never shuffles, and the arg-min rides a two-long struct key
     * (map-side combine applies). Output is the surviving chunk stream
     * (id, chunk_index, chunk_md5, dup_count); re-assembling pruned
     * documents is a groupBy(id) + sort + concat away, and dup_count > 1
     * rows are exactly the corpus's repeated passages.
     *
-    * `maxChunksPerDoc` bounds the packing `id * maxChunksPerDoc + index`:
-    * ids must stay below 2^63 / maxChunksPerDoc (9.2e12 at the default
-    * 1e6 — validate upstream if ids are synthetic hashes). */
+    * The arg-min ordering key is `struct(id, chunk_index)` — structs
+    * compare lexicographically in Spark, which IS (id, index) order, and
+    * unlike the `id * maxChunks + index` packing trick it cannot
+    * overflow for any id (hash-derived 63-bit ids included).
+    * `maxChunksPerDoc` is retained in the signature for callers that
+    * relied on it but no longer affects correctness. */
   def chunkDedup(docs: DataFrame, textCol: String, idCol: String,
                  chunkTokens: Int, maxChunksPerDoc: Long = 1_000_000L): DataFrame = {
-    val packed = col(idCol) * maxChunksPerDoc + col("chunk_index")
+    val ord = struct(col(idCol), col("chunk_index"))
     Curation.chunkStream(docs, textCol, Seq(col(idCol)), chunkTokens, overlap = 0)
       .groupBy(Curation.chunkDigest.as("chunk_md5"))
-      .agg(min_by(col(idCol), packed).as(idCol),
-        min_by(col("chunk_index"), packed).as("chunk_index"),
+      .agg(min_by(col(idCol), ord).as(idCol),
+        min_by(col("chunk_index"), ord).as("chunk_index"),
         count(lit(1)).as("dup_count"))
       .select(col(idCol), col("chunk_index"), col("chunk_md5"), col("dup_count"))
   }
@@ -81,11 +84,13 @@ object Dedup {
     * one window shuffle on the digest, no agg+join round trip. */
   private def keepFirstChunks(chunks: DataFrame, idCol: String,
                               maxChunksPerDoc: Long): DataFrame = {
-    val packed = col(idCol) * maxChunksPerDoc + col("chunk_index")
+    // struct comparison = lexicographic (id, index) order; overflow-free
+    // for any id, unlike the previous id*maxChunks+index packing
+    val ord = struct(col(idCol), col("chunk_index"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(Curation.chunkDigest)
-    chunks.withColumn("__first", min(packed).over(w))
-      .where(packed === col("__first"))
+    chunks.withColumn("__first", min(ord).over(w))
+      .where(ord === col("__first"))
       .drop("__first")
   }
 

@@ -11,13 +11,22 @@ import org.apache.spark.sql.functions._
   */
 object PartitionedTables {
 
-  /** Integer epoch-day from a raw nano timestamp column — true INTEGRAL
-    * division (`div`), not `/`: Column `/` routes two longs through
-    * double, and 2026-era nano timestamps (~1.8e18) exceed double's 2^53
-    * exact range, so a timestamp within ~128 ns of midnight could round
-    * into the wrong day directory. No timezone dependence. */
-  def epochDay(tsNanos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    call_function("div", tsNanos, lit(86_400_000_000_000L))
+  /** Integer epoch-day from a raw nano timestamp column — true FLOOR
+    * division in long arithmetic. `div` alone is wrong twice over:
+    * Column `/` routes two longs through double (2026-era nano
+    * timestamps ~1.8e18 exceed double's 2^53 exact range, so a timestamp
+    * within ~128 ns of midnight could round into the wrong day), and
+    * `div` truncates toward zero while DuckDB's `//` floors — a pre-1970
+    * (negative) timestamp would bucket into the day AFTER its real one.
+    * The sign correction (subtract 1 when negative with a remainder)
+    * makes it floorDiv exactly; Spark's `%` takes the dividend's sign,
+    * so `ts % d =!= 0 && ts < 0` is precisely the truncate≠floor case.
+    * No timezone dependence. */
+  def epochDay(tsNanos: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val d = lit(86_400_000_000_000L)
+    val q = call_function("div", tsNanos, d)
+    when((tsNanos % d) =!= 0L && tsNanos < 0L, q - 1L).otherwise(q)
+  }
 
   /** Writes `df` partitioned by the epoch-day of `tsNanosCol` (directory
     * per day). Days arrive in few large files each because the frame is

@@ -40,17 +40,20 @@ object ZOrder {
   def writeClustered(df: DataFrame, path: String, colA: String, colB: String,
                      numFiles: Int): (Long, Long, Long, Long) = {
     val b = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
-      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
-    if (b.anyNull) {
-      // all-null min/max means an EMPTY frame (an empty partition-day
-      // must write an empty table, not abort); genuinely null keys in
-      // non-empty data still fail below via the negative check
-      if (df.isEmpty) {
-        df.write.mode("overwrite").parquet(path)
-        return (0L, 0L, 0L, 0L)
-      }
-      throw new IllegalArgumentException(s"z-order keys $colA/$colB must be non-null")
+      min(col(colB)).cast("long"), max(col(colB)).cast("long"),
+      count(lit(1)), count(col(colA)), count(col(colB))).head()
+    val (nRows, nA, nB) = (b.getLong(4), b.getLong(5), b.getLong(6))
+    if (nRows == 0L) {
+      // an empty partition-day must write an empty table, not abort
+      df.write.mode("overwrite").parquet(path)
+      return (0L, 0L, 0L, 0L)
     }
+    // min/max SKIP nulls, so partially-null keys would otherwise slip
+    // through with a NULL __z and silently land in a nulls-first range
+    // partition; count(col) vs count(*) catches every null, not just the
+    // all-null column case
+    require(nA == nRows && nB == nRows,
+      s"z-order keys must be non-null ($colA: ${nRows - nA} nulls, $colB: ${nRows - nB} nulls)")
     val (minA, maxA, minB, maxB) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
     require(minA >= 0 && minB >= 0, s"z-order keys must be non-negative")
     df.withColumn("__z", zValue(gridKey(col(colA), minA, maxA),

@@ -172,4 +172,24 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(h.getLong(1) == 1L && h.getDouble(4) == 7.0 && h.getDouble(5) == 7.0,
       "a singleton group's percentiles are its value")
   }
+
+  test("winsorize keeps NULL measurements NULL (no clamp-to-lo fabrication)") {
+    val df = Seq(("a", "g", Some(1.0)), ("b", "g", Some(10.0)),
+      ("c", "g", Some(100.0)), ("d", "g", None))
+      .toDF("id", "grp", "x")
+    val out = Curation.winsorize(df, "grp", "x", 0.25, 0.75)
+      .select("id", "winsorized").collect().map(r => r.getString(0) -> r.get(1)).toMap
+    assert(out("d") == null, s"NULL input winsorized to ${out("d")} — must stay NULL")
+    // non-null rows still clamp (row count preserved: d is present, just NULL)
+    assert(out.size == 4 && out("a") != null && out("c") != null)
+  }
+
+  test("weightedHashSample clamps out-of-range weights to drop-all/keep-all") {
+    val n = docs.count()
+    // weight > 1 degenerates to keep-all, negative to drop-all — not UB
+    assert(Curation.weightedHashSample(docs, "doc_id", lit(5.0)).count() == n)
+    assert(Curation.weightedHashSample(docs, "doc_id", lit(-3.0)).count() == 0)
+    // NULL weight drops the row by contract
+    assert(Curation.weightedHashSample(docs, "doc_id", lit(null).cast("double")).count() == 0)
+  }
 }

@@ -46,6 +46,17 @@ class PartitionedTablesSpec extends AnyFunSuite with SparkSpec {
     assert(got === k - 1, s"epochDay($ts) = $got, want ${k - 1}")
   }
 
+  test("epochDay floors (not truncates) pre-1970 negative timestamps") {
+    import spark.implicits._
+    val day = 86_400_000_000_000L
+    // 1 ns before epoch lives in day -1 (floor), not day 0 (truncate);
+    // exact negative-midnight stays on its own day; positive path unchanged
+    val got = Seq(-1L, -day, -day - 1L, 0L, day - 1L).toDF("ts")
+      .select(PartitionedTables.epochDay(col("ts")).as("d"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(-1L, -1L, -2L, 0L, 0L), s"floor-division mismatch: $got")
+  }
+
   test("one file per day (no small-file explosion from parallel writers)") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")

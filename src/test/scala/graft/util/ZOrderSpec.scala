@@ -70,4 +70,21 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     assert(zCover.toDouble < 0.5 * tCover,
       s"z-order covered $zCover file-probes vs time-sort $tCover; expected < half")
   }
+
+  test("partially-null keys are rejected, empty frames write empty tables") {
+    import spark.implicits._
+    // min/max skip nulls, so a partially-null key column used to slip
+    // through the all-null guard and get a NULL z-value silently
+    val partial = Seq((Some(1L), 5L), (None, 6L), (Some(3L), 7L))
+      .toDF("a", "b")
+    val dir = s"/tmp/graft_znull_${System.nanoTime()}"
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.writeClustered(partial, dir, "a", "b", 2)
+    }
+    assert(e.getMessage.contains("null"), e.getMessage)
+
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(ZOrder.writeClustered(empty, dir, "a", "b", 2) == (0L, 0L, 0L, 0L))
+    assert(spark.read.parquet(dir).count() == 0)
+  }
 }
