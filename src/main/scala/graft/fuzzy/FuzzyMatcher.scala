@@ -172,6 +172,26 @@ object FuzzyMatcher {
                     opts: MatchOptions = MatchOptions.default): DataFrame =
     graft.util.Materialize(matchDfs(left, right, maps, opts), opts.checkpoint)
 
+  /** Scoped barrier lifecycle — the reference's `fuzzy_match_temp_dir`
+    * context manager (matcher.py:725-750) restated for Spark: every
+    * materialization barrier taken inside `body` (pass checkpoints, index
+    * frames, the eager result) is released when `body` exits — local
+    * blocks unpersist, reliable checkpoint files delete. Consume the
+    * result inside the scope (write/collect), exactly as the reference
+    * requires you to copy results out of its temp dir before the context
+    * closes. See [[graft.util.MatchScope]]. */
+  def withMatchScope[A](body: => A): A =
+    graft.util.MatchScope.withMatchScope(body)
+
+  /** [[withMatchScope]] plus a managed temp checkpoint directory: hands
+    * `body` a [[graft.util.CheckpointStrategy.Reliable]] rooted in a fresh
+    * temp dir (put it in `MatchOptions.checkpoint`) and deletes the whole
+    * directory on exit — full `fuzzy_match_temp_dir` parity including the
+    * `shutil.rmtree` (matcher.py:725-750). */
+  def withTempMatchDir[A](parent: String = System.getProperty("java.io.tmpdir"))
+                         (body: graft.util.CheckpointStrategy.Reliable => A): A =
+    graft.util.MatchScope.withTempMatchDir(parent)(body)
+
   /** Inject a stable row id. Checkpointed immediately: like the reference's
     * IPC cache (matcher.py:416) this freezes the id assignment so every
     * downstream consumer sees the same values. Checkpointing (not
