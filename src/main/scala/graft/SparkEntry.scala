@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, encode, explode, expr, get_json_object, lit, max, min, posexplode, round => sround, sum}
+import org.apache.spark.sql.functions.{array, col, concat, count, encode, explode, expr, get_json_object, length, lit, max, min, posexplode, round => sround, substring, sum}
 
 import graft.fuzzy.{FuzzyAlgorithm, FuzzyMapping, FuzzyMatcher, MatchOptions}
 import graft.pipeline.{AnnSearch, AsofJoin, Curation, Decontaminate, Dedup, Multimodal, NearDupCluster, Sessionize, TextAnalysis}
@@ -109,6 +109,30 @@ object SparkEntry {
       res.where(col("c_custkey") < col("c_custkey_right"))
         .select(col("c_custkey"), col("c_custkey_right"),
           sround(col("c_name_vs_c_name_right_levenshtein"), 6).as("score"))
+    }),
+
+    // ---- oracle twin of the Bench `fuzzy_exact_1g4` row (BASELINE.md's
+    // 40K x 30K forced-exact workload): same corpus construction —
+    // 18-char document substrings, right side a fixed-position char
+    // deletion — at the verify scale factor, forced down the exact path
+    "fuzzy_join_bench1g" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def values(offsets: Seq[Int], out: String) = docs
+        .select(explode(array(offsets.map(lit): _*)).as("__off"), col("text"))
+        .where(length(col("text")) >= col("__off") + 18)
+        .select(expr(s"substring(text, __off, 18)").as(out))
+        .where(length(col(out)) === 18)
+        .distinct()
+      val left = values(1 to 91 by 10, "name")
+      val right = values(3 to 63 by 10, "src")
+        .select(concat(substring(col("src"), 1, 6), substring(col("src"), 8, 11))
+          .as("name_t"))
+        .distinct()
+      FuzzyMatcher.matchDfs(left, right,
+          Seq(FuzzyMapping("name", "name_t", 90.0, Levenshtein)),
+          MatchOptions(useApproxNearestNeighbor = Some(false)))
+        .select(col("name"), col("name_t"),
+          sround(col("name_vs_name_t_levenshtein"), 6).as("score"))
     }),
 
     // ---- deduplication suite over `documents`
@@ -773,6 +797,22 @@ object SparkEntry {
          round(1.0 - levenshtein(lower(c.c_name), lower(s.s_name)) / greatest(length(c.c_name), length(s.s_name)), 6) AS score
          FROM customer c CROSS JOIN supplier s
          WHERE levenshtein(lower(c.c_name), lower(s.s_name)) / greatest(length(c.c_name), length(s.s_name)) <= 0.3""",
+    // same substring + fixed-position-deletion corpus as the bench's
+    // 1.4e9-pair forced-exact row, at the verify scale factor
+    "fuzzy_join_bench1g" ->
+      """WITH lefts AS (
+           SELECT DISTINCT substring(text, off, 18) AS name
+           FROM documents, (SELECT unnest([1,11,21,31,41,51,61,71,81,91]) AS off)
+           WHERE length(text) >= off + 18 AND length(substring(text, off, 18)) = 18),
+         rights AS (
+           SELECT DISTINCT concat(substring(v, 1, 6), substring(v, 8)) AS name_t FROM (
+             SELECT DISTINCT substring(text, off, 18) AS v
+             FROM documents, (SELECT unnest([3,13,23,33,43,53,63]) AS off)
+             WHERE length(text) >= off + 18 AND length(substring(text, off, 18)) = 18))
+         SELECT name, name_t,
+           round(1.0 - levenshtein(lower(name), lower(name_t)) / greatest(length(name), length(name_t)), 6) AS score
+         FROM lefts CROSS JOIN rights
+         WHERE levenshtein(lower(name), lower(name_t)) / greatest(length(name), length(name_t)) <= 0.1""",
     "fuzzy_join_damerau" ->
       """SELECT c.c_custkey AS c_custkey, s.s_suppkey AS s_suppkey,
          round(1.0 - damerau_levenshtein(lower(c.c_name), lower(s.s_name)) / greatest(length(c.c_name), length(s.s_name)), 6) AS score

@@ -161,6 +161,19 @@ object AnnSearch {
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
+  /** The whole "build the index" job in one call: fit the coarse
+    * quantizer, normalize, persist at `path`, and return the flattened
+    * normalized centroids ready for [[ivfTopKWithCentroids]]. Run once
+    * per corpus version; every search job thereafter pays only
+    * [[loadCentroids]] + the probe join (the fit-once / search-many
+    * lifecycle the bench's headline IVF row measures). */
+  def fitIndex(corpus: DataFrame, vecCol: String, dim: Int, nCells: Int,
+               iters: Int, seed: Long, path: String): Array[Double] = {
+    val flat = normFlat(kmeansFit(corpus, vecCol, dim, nCells, iters, seed))
+    saveCentroids(corpus.sparkSession, path, flat, dim)
+    flat
+  }
+
   /** Load a persisted quantizer: returns (flattened centroids, dim) ready
     * for [[ivfTopKWithCentroids]]. */
   def loadCentroids(spark: org.apache.spark.sql.SparkSession,
