@@ -137,6 +137,18 @@ object Bench {
       val c2 = s.read.parquet(s"$sfDir/customer.parquet").where(col("c_custkey") < 8000)
       lev90(c, c2, "c_name", "c_name", MatchOptions(useApproxNearestNeighbor = Some(false)))
     }),
+    // the 80M row re-run with CheckpointStrategy.Reliable into a real
+    // directory: the fault-tolerant barrier a long multi-pass cluster job
+    // uses; the delta vs fuzzy_exact_80m IS the documented overhead of
+    // reliable checkpointing (TUNING.md)
+    "fuzzy_exact_80m_reliable" -> (s => {
+      val c = s.read.parquet(s"$sfDir/customer.parquet").where(col("c_custkey") < 10000)
+      val c2 = s.read.parquet(s"$sfDir/customer.parquet").where(col("c_custkey") < 8000)
+      lev90(c, c2, "c_name", "c_name",
+        MatchOptions(useApproxNearestNeighbor = Some(false),
+          checkpoint = graft.util.CheckpointStrategy.Reliable(
+            s"/tmp/graft_bench_reliable_ckpt")))
+    }),
     "fuzzy_exact_225m" -> (s => {
       val c = s.read.parquet(s"$sfDir/customer.parquet")
       lev90(c, c, "c_name", "c_name", MatchOptions(useApproxNearestNeighbor = Some(false)))

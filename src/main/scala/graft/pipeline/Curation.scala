@@ -266,12 +266,28 @@ object Curation {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
       s"need 0 <= overlap < chunkTokens (got $chunkTokens, $overlap)")
     val stride = chunkTokens - overlap
-    val toks = split(lower(trim(col(textCol))), "\\s+")
-    val nChunks = floor((size(toks) - 1) / stride) + 1
-    df.select(passThrough ++ Seq(nChunks.cast("long").as("n_total"),
+    // Tokenize ONCE per document into a materialized attribute. Writing
+    // `split(...)` directly inside the transform lambda inlines the regex
+    // split into the lambda body, re-splitting the FULL text once per
+    // chunk — O(doc_len * n_chunks): a 5 MB document took minutes in a
+    // single task. The token array is referenced more than once below
+    // (size + lambda), so CollapseProject keeps it a real attribute and
+    // the split runs once per row; chunk text bytes are unchanged
+    // (digest parity with the streaming dedup preserved).
+    val tokCol = "__graft_toks"
+    val base = df.select((passThrough :+
+      split(lower(trim(col(textCol))), "\\s+").as(tokCol)): _*)
+    val keep = base.columns.filter(_ != tokCol).map(col)
+    val nChunks = floor((size(col(tokCol)) - 1) / stride) + 1
+    // n_total is computed BEFORE the explode so the token array does not
+    // ride through the Generate output (it is pruned there instead of
+    // being copied into every chunk row)
+    val staged = base.select((keep :+ nChunks.cast("long").as("n_total")) :+ col(tokCol): _*)
+    staged.select(keep ++ Seq(col("n_total"),
         posexplode(transform(
-          sequence(lit(0), nChunks - 1),
-          i => concat_ws(" ", slice(toks, i * stride + 1, lit(chunkTokens)))))): _*)
+          sequence(lit(0L), col("n_total") - 1),
+          i => concat_ws(" ", slice(col(tokCol), (i * stride + 1).cast("int"),
+            lit(chunkTokens)))))): _*)
       .withColumn("chunk_index", col("pos").cast("long"))
       .withColumnRenamed("col", "chunk_text")
       .drop("pos")

@@ -110,6 +110,31 @@ class MaterializeSpec extends AnyFunSuite with SparkSpec {
       s"temp match dir $dirUsed survived the scope — reference deletes it on exit")
   }
 
+  test("full eager match under Reliable(dir) matches the Local-strategy result") {
+    import graft.fuzzy._
+    import spark.implicits._
+    val left = (1 to 300).map(i => s"acme corp $i").toDF("name")
+    val right = (1 to 200).map(i => s"acme corp ${i * 3}").toDF("company")
+    val maps = Seq(FuzzyMapping("name", "company", thresholdScore = 80.0))
+
+    val localRows = FuzzyMatcher.matchDfsEager(left, right, maps,
+      MatchOptions()).count()
+
+    var filesDuring = 0L
+    val reliableRows = MatchScope.withTempMatchDir() { strategy =>
+      val out = FuzzyMatcher.matchDfsEager(left, right, maps,
+        MatchOptions(checkpoint = strategy))
+      val n = out.count()
+      filesDuring = Files.walk(Path.of(strategy.dir))
+        .filter(Files.isRegularFile(_)).count()
+      n
+    }
+    assert(reliableRows == localRows && localRows > 0,
+      s"Reliable run returned $reliableRows rows, Local returned $localRows")
+    // every pass barrier + index frames + the eager result -> real files
+    assert(filesDuring > 0, "no checkpoint files written during the Reliable match")
+  }
+
   test("Reliable barriers reuse one checkpoint uuid dir instead of re-seeding per call") {
     import spark.implicits._
     val ckptDir = Files.createTempDirectory("graft_reuse_ckpt")
