@@ -46,7 +46,7 @@ object Bench {
     * the 18-char synthetic names means "differ in at most one character" —
     * ~0.4% match rate, comparable to the reference's typo'd-name corpora
     * (threshold 75 on this data degenerately matches EVERY pair). */
-  private def lev90(left: DataFrame, right: DataFrame, lc: String, rc: String,
+  private[graft] def lev90(left: DataFrame, right: DataFrame, lc: String, rc: String,
                     opts: MatchOptions): DataFrame =
     FuzzyMatcher.matchDfs(left, right,
       Seq(FuzzyMapping(lc, rc, 90.0, FuzzyAlgorithm.Levenshtein)), opts)
@@ -55,7 +55,7 @@ object Bench {
     * substring per (doc, offset). Document text is word-diverse (unlike the
     * shared-prefix customer names), so char-ngram LSH can block on it —
     * the reference's "generated names" ANN benchmark shape. */
-  private def docValues(s: SparkSession, sfDir: String, offsets: Seq[Int],
+  private[graft] def docValues(s: SparkSession, sfDir: String, offsets: Seq[Int],
                         width: Int, out: String): DataFrame =
     s.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), explode(array(offsets.map(lit): _*)).as("__off"),
@@ -79,7 +79,7 @@ object Bench {
     * >= 0.99, while mid-jaccard topic pairs (~0.45, abundant among document
     * substrings) collide ~3x less than at r=4 — band-join volume, not
     * banding, dominates the LSH path's cost. */
-  private val annfOpts = MatchOptions(lshNumBands = 12, lshRowsPerBand = 5)
+  private[graft] val annfOpts = MatchOptions(lshNumBands = 12, lshRowsPerBand = 5)
 
   /** The annf value frames are FIXTURES (the reference pre-generates its
     * perf corpora the same way, performance_test.py:58-86): built and

@@ -3,6 +3,7 @@ package graft.fuzzy
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.slf4j.LoggerFactory
 
 import graft.util.CapMetrics
 
@@ -85,49 +86,64 @@ object AnnJoin {
         if (degenerateFraction > opts.lshDegenerateFraction) return None
       }
     }
-    Some(candidates(leftValues, rightValues, leftCol, rightCol, opts,
-      reversedThreshold, totalValues))
+    // Second, RUNTIME degeneracy gate (auto mode only): the sampled probe
+    // cannot see MIXTURE degeneracy — K internally-degenerate sub-corpora
+    // (multiple crawls, cipher-distinct sources) dilute every global gram
+    // frequency below the stop bar while every bucket stays quadratic. The
+    // banded bucket statistics the cap aggregates anyway give the exact
+    // planned volume; if LSH is not actually pruning, fall back to exact.
+    val bailBudget =
+      if (cartesian <= opts.lshExactFallbackCartesianCap &&
+        opts.lshExactFallbackCartesianCap > 0 && opts.lshCandidateFractionForExact > 0)
+        Some(opts.lshCandidateFractionForExact * cartesian)
+      else None
+    val stopGrams = estimateStopGrams(leftValues, rightValues, leftCol, rightCol,
+      opts, totalValues)
+    buildOrBail(leftValues, rightValues, leftCol, rightCol, opts, reversedThreshold,
+      stopGrams, totalValues, bailVolume = bailBudget)
   }
 
   /** Approximate candidate pairs between two distinct-value frames (no
-    * degeneracy probe — always builds the LSH join). */
+    * degeneracy probe, no volume bail — a user-forced LSH join must never
+    * silently become an exact cross join). */
   def candidates(leftValues: DataFrame, rightValues: DataFrame,
                  leftCol: String, rightCol: String,
                  opts: MatchOptions, reversedThreshold: Double = 1.0,
                  totalValues: Long = -1L): DataFrame = {
-    val n = opts.lshNgramSize
     val total =
       if (totalValues > 0) totalValues
       else leftValues.count() + rightValues.count()
-    def gramsOf(df: DataFrame, vCol: String): DataFrame =
-      df.select(col(vCol).as("__v"),
-        explode(array_distinct(vectorFunctions.char_ngrams(lower(col(vCol)), n))).as("__g"))
-    // The stop grams are ESTIMATED from a uniform sample and COLLECTED to
-    // the driver: gram document frequencies are proportional under uniform
-    // sampling (same argument as the degeneracy probe), so "present in more
-    // than `lshStopGramFraction` of all values" is tested against the
-    // sample's expected size — a constant-cost step instead of a corpus
-    // scan. The set itself is bounded by avgGramsPerValue /
-    // lshStopGramFraction entries regardless of corpus size (~a hundred at
-    // the defaults even at 100 TB), so it ships to executors as a literal
-    // reference object and gram filtering becomes a narrow codegen
-    // projection instead of three shuffles a side.
-    val sampleFrac = math.min(1.0, opts.lshProbeSampleSize.toDouble / math.max(total, 1L))
-    val sampledValues =
-      leftValues.select(col(leftCol).as("__v"))
-        .unionByName(rightValues.select(col(rightCol).as("__v")))
-        .sample(withReplacement = false, sampleFrac, seed = 42L)
-    val stopGrams: Array[String] =
-      sampledValues
-        .select(explode(array_distinct(
-          vectorFunctions.char_ngrams(lower(col("__v")), n))).as("__g"))
-        .groupBy(col("__g"))
-        .agg(count(lit(1)).as("__df"))
-        .where(col("__df") > opts.lshStopGramFraction * (total * sampleFrac))
-        .select(col("__g"))
-        .collect().map(_.getString(0))
+    val stopGrams = estimateStopGrams(leftValues, rightValues, leftCol, rightCol,
+      opts, total)
     build(leftValues, rightValues, leftCol, rightCol, opts, reversedThreshold,
       stopGrams, total)
+  }
+
+  /** The stop grams are ESTIMATED from a uniform sample and COLLECTED to
+    * the driver: gram document frequencies are proportional under uniform
+    * sampling (same argument as the degeneracy probe), so "present in more
+    * than `lshStopGramFraction` of all values" is tested against the
+    * sample's expected size — a constant-cost step instead of a corpus
+    * scan. The set itself is bounded by avgGramsPerValue /
+    * lshStopGramFraction entries regardless of corpus size (~a hundred at
+    * the defaults even at 100 TB), so it ships to executors as a literal
+    * reference object and gram filtering becomes a narrow codegen
+    * projection instead of three shuffles a side. */
+  private def estimateStopGrams(leftValues: DataFrame, rightValues: DataFrame,
+                                leftCol: String, rightCol: String,
+                                opts: MatchOptions, total: Long): Array[String] = {
+    val n = opts.lshNgramSize
+    val sampleFrac = math.min(1.0, opts.lshProbeSampleSize.toDouble / math.max(total, 1L))
+    leftValues.select(col(leftCol).as("__v"))
+      .unionByName(rightValues.select(col(rightCol).as("__v")))
+      .sample(withReplacement = false, sampleFrac, seed = 42L)
+      .select(explode(array_distinct(
+        vectorFunctions.char_ngrams(lower(col("__v")), n))).as("__g"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") > opts.lshStopGramFraction * (total * sampleFrac))
+      .select(col("__g"))
+      .collect().map(_.getString(0))
   }
 
   /** `valueId` is the narrow-payload id expression (xxhash64 in
@@ -139,7 +155,18 @@ object AnnJoin {
                     opts: MatchOptions, reversedThreshold: Double,
                     stopGrams: Array[String], totalValues: Long,
                     valueId: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-                      c => xxhash64(c)): DataFrame = {
+                      c => xxhash64(c)): DataFrame =
+    buildOrBail(leftValues, rightValues, leftCol, rightCol, opts, reversedThreshold,
+      stopGrams, totalValues, bailVolume = None, valueId = valueId)
+      .getOrElse(throw new IllegalStateException("unreachable: bail disabled"))
+
+  private[fuzzy] def buildOrBail(leftValues: DataFrame, rightValues: DataFrame,
+                    leftCol: String, rightCol: String,
+                    opts: MatchOptions, reversedThreshold: Double,
+                    stopGrams: Array[String], totalValues: Long,
+                    bailVolume: Option[Double],
+                    valueId: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                      c => xxhash64(c)): Option[DataFrame] = {
     val n = opts.lshNgramSize
     val bands = opts.lshNumBands
     val rows = opts.lshRowsPerBand
@@ -215,6 +242,25 @@ object AnnJoin {
     val gatePredicate = CapMetrics.gate(bucketStats, "fuzzy_lsh", "__band", "__bkey",
       overCap, col("__lc") * col("__rc"), opts.checkpoint)
 
+    // Volume bail (auto mode): the gate just recorded this stage's exact
+    // planned volume (same thread, same stage name). kept + dropped is an
+    // upper bound on what the band join would feed downstream — if that is
+    // not a small fraction of the cartesian, blocking failed and the exact
+    // kernel scan is both cheaper per pair and lossless.
+    bailVolume match {
+      case Some(budget) =>
+        val planned = CapMetrics.lastMetrics("fuzzy_lsh")
+          .map(s => s.keptPairs + s.droppedPairs).getOrElse(0L)
+        if (planned > budget) {
+          LoggerFactory.getLogger(getClass).warn(
+            f"[graft.pass] LSH planned ~$planned%,d candidate pairs against a " +
+              f"budget of ${budget.toLong}%,d (lshCandidateFractionForExact) — " +
+              "blocking is not pruning this corpus; falling back to exact")
+          return None
+        }
+      case None =>
+    }
+
     // Jaccard gate: a single edit changes at most `n` grams, so a pair
     // within normalized edit distance f has gram-Jaccard distance at most
     // ~2nf/(1 + nf) (long-string limit; the exact worst case for length L
@@ -263,7 +309,7 @@ object AnnJoin {
       .where(col("__rnk") <= opts.topNForNewMatches)
       .select(col("__lvid"), col("__rvid"))
 
-    attach(attach(ranked, lMap, "__lvid"), rMap, "__rvid")
-      .select(col(leftCol), col(lLow), col(rightCol), col(rLow))
+    Some(attach(attach(ranked, lMap, "__lvid"), rMap, "__rvid")
+      .select(col(leftCol), col(lLow), col(rightCol), col(rLow)))
   }
 }

@@ -103,9 +103,28 @@ final case class MatchOptions(
     lshMinKeptGrams: Int = 8,
     // auto mode: when more than this fraction of values lack discriminative
     // grams, LSH cannot separate them -> fall back to the exact cross join
-    // as long as the cartesian stays under the fallback cap (0 disables)
+    // as long as the cartesian stays under the fallback cap (0 disables).
+    // Cap default is calibrated from the sf1.0 scale run: the bounded
+    // kernel scans ~1.1e8 pairs/s on ONE 32-core node (8e9 pairs in 70 s),
+    // so 1e11 is ~15 min single-node worst case — while LSH on a
+    // degenerate corpus at 2.25e10 pairs measured SLOWER than exact
+    // (380 s vs ~200 s) with only ~66% recall after bucket caps. On a
+    // degenerate corpus exact is better at any size a cluster can afford;
+    // this cap is the safety valve against accidental planet-scale joins,
+    // not a performance crossover. Lower it on small shared clusters.
     lshDegenerateFraction: Double = 0.5,
-    lshExactFallbackCartesianCap: Double = 1e10,
+    lshExactFallbackCartesianCap: Double = 1e11,
+    // auto mode, second (runtime) degeneracy gate: after banding, if the
+    // planned candidate volume (kept + capped bucket pairs, from the SAME
+    // stats frame the bucket cap already aggregates) exceeds this fraction
+    // of the cartesian, LSH is not pruning — the exact kernel scan is
+    // cheaper per pair AND lossless, so bail to it (cartesian permitting).
+    // Catches MIXTURE degeneracy the sampled probe cannot see: a corpus of
+    // K internally-degenerate sub-corpora (multiple crawls/sources) keeps
+    // every global gram frequency below the stop bar while every bucket is
+    // still quadratic — measured at sf1.0 as a 380 s / 66%-recall LSH run
+    // vs ~200 s exact on 2.25e10 pairs. 0 disables.
+    lshCandidateFractionForExact: Double = 0.2,
     // the degeneracy probe estimates the fractions above from a uniform
     // sample of at most this many values (corpus-wide stats would cost more
     // than the exact join the probe is trying to avoid)

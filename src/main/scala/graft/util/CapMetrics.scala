@@ -26,7 +26,12 @@ import org.slf4j.LoggerFactory
 object CapMetrics {
   private val log = LoggerFactory.getLogger(getClass)
 
-  final case class CapStats(droppedBuckets: Long, totalBuckets: Long, droppedPairs: Long)
+  /** `keptPairs` is the SUM over allowed buckets of their lc*rc candidate
+    * counts — an upper bound on unique surviving pairs (a pair colliding
+    * in b bands counts b times). Callers use kept + dropped as the LSH
+    * path's total planned volume (see AnnJoin's exact-fallback gate). */
+  final case class CapStats(droppedBuckets: Long, totalBuckets: Long,
+                            droppedPairs: Long, keptPairs: Long = 0L)
 
   /** Last accounted stats per stage name, refreshed on every build that
     * touches the stage. */
@@ -80,12 +85,13 @@ object CapMetrics {
     } else {
       var dropped = 0L
       var droppedPairs = 0L
+      var keptPairs = 0L
       val keys = Array.newBuilder[Long]
       rows.foreach { r =>
         if (r.getBoolean(2)) { dropped += 1; droppedPairs += r.getLong(3) }
-        else keys += r.getLong(1) * 131L + r.getInt(0)
+        else { keptPairs += r.getLong(3); keys += r.getLong(1) * 131L + r.getInt(0) }
       }
-      record(stage, CapStats(dropped, rows.length.toLong, droppedPairs))
+      record(stage, CapStats(dropped, rows.length.toLong, droppedPairs, keptPairs))
       val sorted = keys.result()
       java.util.Arrays.sort(sorted)
       Right(sorted)
@@ -102,11 +108,13 @@ object CapMetrics {
     val row = stats.agg(
       sum(when(overCap, 1L).otherwise(0L)).as("dropped_buckets"),
       count(lit(1)).as("total_buckets"),
-      sum(when(overCap, pairs).otherwise(lit(0L))).cast("long").as("dropped_pairs")).head()
+      sum(when(overCap, pairs).otherwise(lit(0L))).cast("long").as("dropped_pairs"),
+      sum(when(overCap, lit(0L)).otherwise(pairs)).cast("long").as("kept_pairs")).head()
     val s = CapStats(
       if (row.isNullAt(0)) 0L else row.getLong(0),
       if (row.isNullAt(1)) 0L else row.getLong(1),
-      if (row.isNullAt(2)) 0L else row.getLong(2))
+      if (row.isNullAt(2)) 0L else row.getLong(2),
+      if (row.isNullAt(3)) 0L else row.getLong(3))
     last.put(stage, s)
     if (s.droppedBuckets > 0)
       log.warn(s"[graft.cap] $stage: dropped ${s.droppedBuckets} of ${s.totalBuckets} buckets " +

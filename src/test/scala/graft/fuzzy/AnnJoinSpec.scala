@@ -121,6 +121,47 @@ class AnnJoinSpec extends AnyFunSuite with SparkSpec {
     assert(err.getMessage.contains("too large"))
   }
 
+  test("mixture degeneracy: runtime volume gate bails to exact where the probe cannot see") {
+    import spark.implicits._
+    // 6 sub-corpora, each internally degenerate (16-char shared prefix per
+    // sub-corpus, 3-digit suffix), prefixes disjoint across sub-corpora:
+    // every global gram frequency is ~1/6 < the 25% stop bar and every
+    // value keeps all its grams, so the SAMPLED probe sees a healthy
+    // corpus — but every bucket is still quadratic within its sub-corpus.
+    // This is the real shape of a multi-source crawl (sf1.0 finding).
+    // 16-char prefixes over DISJOINT 8-letter alphabets: each value keeps
+    // >= 8 distinct grams (a repeated single letter would collapse to one
+    // gram) and no gram crosses sub-corpora (a shared/rotated base would
+    // make prefix grams corpus-wide stop grams) — either way the sampled
+    // probe would rightly flag it and mask the gate under test
+    // (lowercase only: the probe lowercases values, so mixed-case
+    // alphabets would collide and create corpus-wide stop grams)
+    def prefix(r: Int): String = {
+      val chars = "abcdefghijklmnopqrstuvwxyz0123456789".slice(6 * r, 6 * r + 6)
+      chars * 3
+    }
+    val values = for (r <- 0 until 6; i <- 0 until 300)
+      yield f"${prefix(r)}$i%03d"
+    val left = values.toDF("v")
+    val right = values.toDF("w")
+    val cartesian = 1800.0 * 1800.0
+
+    // volume gate armed: must bail (None -> caller runs exact)
+    val bailed = AnnJoin.candidatesOrExactFallback(left, right, "v", "w",
+      MatchOptions(lshCandidateFractionForExact = 0.1), reversedThreshold = 0.1,
+      totalValues = 3600L, cartesian = cartesian)
+    assert(bailed.isEmpty,
+      "mixture-degenerate corpus must fall back to exact via the volume gate")
+
+    // gate disabled: the sampled probe alone does NOT catch the mixture
+    // (proving the bail above came from the runtime volume gate)
+    val builtAnyway = AnnJoin.candidatesOrExactFallback(left, right, "v", "w",
+      MatchOptions(lshCandidateFractionForExact = 0.0), reversedThreshold = 0.1,
+      totalValues = 3600L, cartesian = cartesian)
+    assert(builtAnyway.nonEmpty,
+      "with the volume gate disabled the probe should pass this corpus (the blind spot)")
+  }
+
   test("threshold int-truncation quirk: 70.9 behaves as 70") {
     val a = pairs(MatchOptions(useApproxNearestNeighbor = Some(false)))
     val c = spark.read.parquet(s"$dir/customer.parquet")
