@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{array, col, concat, count, encode, explode, expr, get_json_object, length, lit, max, min, posexplode, round => sround, substring, sum}
 
 import graft.fuzzy.{FuzzyAlgorithm, FuzzyMapping, FuzzyMatcher, MatchOptions}
-import graft.pipeline.{AnnSearch, AsofJoin, Curation, Decontaminate, Dedup, Multimodal, NearDupCluster, Sessionize, TextAnalysis}
+import graft.pipeline.{AnnSearch, AsofJoin, Curation, Decontaminate, Dedup, Multimodal, NearDupCluster, RangeJoin, Sessionize, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -467,6 +467,45 @@ object SparkEntry {
         .select(col("user_id"), col("click_id"), col("click_ts_us"),
           expr("coalesce(view_id, -1)").as("view_id"),
           expr("coalesce(view_ts_us, -1)").as("view_ts_us"))
+    }),
+
+    // ---- KEYLESS interval join: error events open 60 s global incident
+    // windows; every click inside any window attaches to it. Vanilla
+    // Spark plans this as BroadcastNestedLoopJoin (no equi-key); the
+    // binned RangeJoin makes it an ordinary shuffle join on the time tile
+    // (spec asserts no nested loop).
+    "events_range_join" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"),
+        expr("ts div 1000").as("tu"), col("event_type"))
+      val incidents = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"), col("tu").as("w_start"),
+          (col("tu") + 60000000L).as("w_end"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("tu"))
+      RangeJoin.pointInInterval(clicks, incidents, Seq.empty, "tu",
+          "w_start", "w_end", Seq("incident_id", "w_start"),
+          binWidth = 60000000L)
+        .select(col("click_id"), col("incident_id"),
+          (col("tu") - col("w_start")).as("delay_us"))
+    }),
+
+    // ---- keyed interval-overlap join at two time scales: each user's
+    // whole view-activity span (one multi-day interval) vs their per-day
+    // click spans — which click-days fall inside the viewing lifetime.
+    // Same tiling plan, both sides replicated into day bins, pair kept in
+    // the first shared bin only (no dedup shuffle).
+    "events_interval_overlap" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"),
+        expr("ts div 1000").as("tu"), col("event_type"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id"))
+        .agg(min(col("tu")).as("v0"), max(col("tu")).as("v1"))
+      val c = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id"), expr("tu div 86400000000").as("cd"))
+        .agg(min(col("tu")).as("c0"), max(col("tu")).as("c1"))
+      RangeJoin.intervalOverlap(v, c, Seq("user_id"), "v0", "v1", "c0", "c1",
+          Seq("cd"), binWidth = 86400000000L)
+        .select(col("user_id"), col("cd"))
     }),
 
     // ---- benchmark decontamination: a 10% md5-bucket slice of documents
@@ -1294,6 +1333,26 @@ object SparkEntry {
            coalesce(v.view_id, -1) AS view_id, coalesce(v.view_ts_us, -1) AS view_ts_us
          FROM c ASOF LEFT JOIN v
            ON c.user_id = v.user_id AND c.click_ts_us >= v.view_ts_us""",
+    // plain BETWEEN containment join — DuckDB's nested-loop is fine at
+    // oracle scale; the Spark side must reproduce it via time tiling
+    "events_range_join" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS tu, event_type FROM events),
+         i AS (SELECT event_id AS incident_id, tu AS w_start, tu + 60000000 AS w_end
+               FROM e WHERE event_type = 'error'),
+         c AS (SELECT event_id AS click_id, tu FROM e WHERE event_type = 'click')
+         SELECT c.click_id AS click_id, i.incident_id AS incident_id,
+           c.tu - i.w_start AS delay_us
+         FROM c JOIN i ON c.tu BETWEEN i.w_start AND i.w_end""",
+    // inclusive overlap predicate, whole view span vs per-day click spans;
+    // DuckDB // floors like Spark div on these non-negative micros
+    "events_interval_overlap" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_type FROM events),
+         v AS (SELECT user_id, min(tu) AS v0, max(tu) AS v1
+               FROM e WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT user_id, tu // 86400000000 AS cd, min(tu) AS c0, max(tu) AS c1
+               FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT v.user_id AS user_id, c.cd AS cd
+         FROM v JOIN c ON v.user_id = c.user_id AND v.v0 <= c.c1 AND c.c0 <= v.v1""",
     // same shingle construction as the dedup_ngram family at n = 5; the
     // md5 bucket split mirrors curate_sample's hash-sampling arithmetic
     "text_decontaminate" ->
