@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{array, col, concat, count, encode, explode, expr, get_json_object, length, lit, max, min, posexplode, round => sround, substring, sum}
 
 import graft.fuzzy.{FuzzyAlgorithm, FuzzyMapping, FuzzyMatcher, MatchOptions}
-import graft.pipeline.{AnnSearch, AsofJoin, Curation, Decontaminate, Dedup, Multimodal, NearDupCluster, RangeJoin, Sessionize, TextAnalysis}
+import graft.pipeline.{AnnSearch, AsofJoin, Curation, Decontaminate, Dedup, Multimodal, NearDupCluster, Profile, RangeJoin, Sessionize, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -468,6 +468,13 @@ object SparkEntry {
           expr("coalesce(view_id, -1)").as("view_id"),
           expr("coalesce(view_ts_us, -1)").as("view_ts_us"))
     }),
+
+    // ---- one-pass column census of documents: row/null/distinct counts
+    // and min/max per column, as rows. Exact multi-distinct (Expand plan);
+    // the approx variant is the wide-table path (spec-checked).
+    "profile_documents" -> ((s, dir) =>
+      Profile.columns(t(s, dir, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars"))),
 
     // ---- KEYLESS interval join: error events open 60 s global incident
     // windows; every click inside any window attaches to it. Vanilla
@@ -1333,6 +1340,15 @@ object SparkEntry {
            coalesce(v.view_id, -1) AS view_id, coalesce(v.view_ts_us, -1) AS view_ts_us
          FROM c ASOF LEFT JOIN v
            ON c.user_id = v.user_id AND c.click_ts_us >= v.view_ts_us""",
+    // one UNION ALL leg per profiled column; both engines count distinct
+    // non-null values and cast native-typed min/max to string afterwards
+    "profile_documents" ->
+      Seq("doc_id", "lang", "source", "n_chars").map(c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+            count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct,
+            coalesce(CAST(min($c) AS VARCHAR), '') AS min_s,
+            coalesce(CAST(max($c) AS VARCHAR), '') AS max_s FROM documents""")
+        .mkString(" UNION ALL "),
     // plain BETWEEN containment join — DuckDB's nested-loop is fine at
     // oracle scale; the Spark side must reproduce it via time tiling
     "events_range_join" ->

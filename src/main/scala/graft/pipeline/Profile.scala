@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-pass column profiling — the data-quality census every ingest step
+  * of a large pipeline runs before trusting a new corpus drop: row count,
+  * null count, distinct count, and min/max per column, as ROWS (one per
+  * column) so the profile of a 1000-column table is itself a queryable
+  * frame.
+  *
+  * Scale shape: ONE aggregate over the input — no per-column jobs, no
+  * driver loop. min/max aggregate in the column's native type and cast to
+  * string afterwards, so numeric comparison semantics are preserved and
+  * the output schema is uniform.
+  *
+  * Reference had nothing comparable; extension surface, same family as
+  * Curation.corpusStats.
+  */
+object Profile {
+
+  /** Exact profile of `cols`: one output row per column with
+    * (col_name, n_rows, n_nulls, n_distinct, min_s, max_s). `n_distinct`
+    * counts distinct NON-null values (SQL `COUNT(DISTINCT c)`). min/max
+    * of an all-null column surface as '' (sentinel — the driver-side
+    * result hash must not see engine-specific null renderings).
+    *
+    * Exact multi-distinct compiles to Spark's standard Expand plan
+    * (scan rows multiply by ~#cols+1 before the partial agg) — fine for
+    * a handful of columns; wide tables use [[columnsApprox]]. */
+  def columns(df: DataFrame, cols: Seq[String]): DataFrame =
+    profile(df, cols, c => count_distinct(col(c)))
+
+  /** The wide-table scale path: `approx_count_distinct` (HyperLogLog++,
+    * `rsd` relative error) instead of exact distinct — NO Expand, so a
+    * 1000-column profile still scans the corpus exactly once at 1x row
+    * volume. Same output schema; n_distinct is approximate (not oracle-
+    * comparable — spec-checked against the exact profile within rsd). */
+  def columnsApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame =
+    profile(df, cols, c => approx_count_distinct(col(c), rsd))
+
+  private def profile(df: DataFrame, cols: Seq[String],
+                      distinctAgg: String => Column): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in frame: $missing")
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        distinctAgg(c).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map { c =>
+        struct(lit(c).as("col_name"), col("__n").as("n_rows"),
+          (col("__n") - col(s"__nn_$c")).as("n_nulls"),
+          col(s"__nd_$c").as("n_distinct"),
+          coalesce(col(s"__min_$c"), lit("")).as("min_s"),
+          coalesce(col(s"__max_$c"), lit("")).as("max_s"))
+      }: _*)).as("p"))
+      .select(col("p.*"))
+  }
+}
