@@ -476,6 +476,13 @@ object SparkEntry {
       Profile.columns(t(s, dir, "documents"),
         Seq("doc_id", "lang", "source", "n_chars"))),
 
+    // ---- skew census: top-5 hottest values per column with counts —
+    // the pre-join salting/broadcast decision input. Ties cut by value
+    // ascending so top-k is deterministic in any engine.
+    "profile_heavy_hitters" -> ((s, dir) =>
+      Profile.heavyHitters(t(s, dir, "documents"),
+        Seq("lang", "source", "n_chars"), k = 5)),
+
     // ---- KEYLESS interval join: error events open 60 s global incident
     // windows; every click inside any window attaches to it. Vanilla
     // Spark plans this as BroadcastNestedLoopJoin (no equi-key); the
@@ -1349,6 +1356,20 @@ object SparkEntry {
             coalesce(CAST(min($c) AS VARCHAR), '') AS min_s,
             coalesce(CAST(max($c) AS VARCHAR), '') AS max_s FROM documents""")
         .mkString(" UNION ALL "),
+    // same explode -> count -> deterministic top-k window, one leg per
+    // column; NULL values excluded on both sides
+    "profile_heavy_hitters" ->
+      """WITH p AS (
+           SELECT 'lang' AS col_name, CAST(lang AS VARCHAR) AS value_s
+             FROM documents WHERE lang IS NOT NULL
+           UNION ALL SELECT 'source', CAST(source AS VARCHAR)
+             FROM documents WHERE source IS NOT NULL
+           UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR)
+             FROM documents WHERE n_chars IS NOT NULL),
+         c AS (SELECT col_name, value_s, count(*) AS n_rows FROM p GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER (PARTITION BY col_name
+                 ORDER BY n_rows DESC, value_s ASC) AS rk FROM c)
+         SELECT col_name, value_s, n_rows FROM r WHERE rk <= 5""",
     // plain BETWEEN containment join — DuckDB's nested-loop is fine at
     // oracle scale; the Spark side must reproduce it via time tiling
     "events_range_join" ->

@@ -39,6 +39,38 @@ object Profile {
   def columnsApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame =
     profile(df, cols, c => approx_count_distinct(col(c), rsd))
 
+  /** Top-`k` most frequent values per column — the skew census that
+    * decides salting/broadcast strategy before a 100 TB join: a key
+    * whose top value owns 10% of rows needs AQE skew handling or a salt;
+    * one whose top value owns 0.01% doesn't. Output one row per
+    * (column, hot value): (col_name, value_s, n_rows) — values cast to
+    * string for a uniform schema, NULLs excluded (they are counted by
+    * [[columns]]), ties broken by value ascending so top-k is
+    * deterministic in any engine.
+    *
+    * Scale shape: one (col_name, value) exploded projection (row volume
+    * x #cols, same factor the exact profile's Expand pays), ONE hash-agg
+    * shuffle with map-side combine, and a top-k window over the tiny
+    * (col, value) count frame. */
+  def heavyHitters(df: DataFrame, cols: Seq[String], k: Int): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in frame: $missing")
+    val pairs = df.select(explode(array(cols.map { c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("value_s"))
+      }: _*)).as("p"))
+      .select(col("p.*"))
+      .where(col("value_s").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("col_name"))
+      .orderBy(col("n_rows").desc, col("value_s").asc)
+    pairs.groupBy(col("col_name"), col("value_s"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   private def profile(df: DataFrame, cols: Seq[String],
                       distinctAgg: String => Column): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")

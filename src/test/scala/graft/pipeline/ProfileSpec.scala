@@ -42,6 +42,25 @@ class ProfileSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("heavy hitters: top-k per column, deterministic ties, nulls excluded") {
+    val d = Seq(
+      ("a", Some("x")), ("a", Some("x")), ("a", Some("y")),
+      ("b", Some("y")), ("b", None), ("c", Some("y"))
+    ).toDF("g", "v")
+    val out = Profile.heavyHitters(d, Seq("g", "v"), k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // g: a=3, b=2 (c=1 cut); v: y=3, x=2; the null v row never appears
+    assert(out === Set(("g", "a", 3L), ("g", "b", 2L),
+      ("v", "y", 3L), ("v", "x", 2L)))
+  }
+
+  test("heavy hitters: equal counts cut by value ascending (deterministic top-k)") {
+    val d = Seq("z", "w", "z", "w", "q", "q").toDF("v")
+    val out = Profile.heavyHitters(d, Seq("v"), k = 2)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(out === Set(("q", 2L), ("w", 2L))) // z loses the 3-way tie
+  }
+
   test("missing column and empty column list are rejected") {
     intercept[IllegalArgumentException](Profile.columns(df, Seq("nope")))
     intercept[IllegalArgumentException](Profile.columns(df, Seq.empty))
