@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions._
   * unreliable), so for an eval side too big for executor memory pass
   * `broadcastEval = false` to let Catalyst plan a shuffled join on the
   * gram key instead — still keyed and skew-safe (grams are near-unique
-  * at n ≥ 5).
+  * at n ≥ 5). Measured crossover (sf10 scale run): at ~5M distinct eval
+  * grams the shuffled path beat the forced broadcast 5.6 s vs 24.7 s —
+  * flip the flag somewhere below 10^6-10^7 eval grams.
   *
   * Shingles come from the same codegen'd [[graft.fuzzy.WordShingles]]
   * kernel as the dedup family (distinct lowercase word n-grams; documents

@@ -202,9 +202,14 @@ object Dedup {
     * score regardless of what the blocking dropped. */
   private def verifyJaccard(pairs: DataFrame, sets: DataFrame, idCol: String,
                             threshold: Double): DataFrame =
+    verifyJaccardSided(pairs, sets, sets, idCol, threshold)
+
+  private def verifyJaccardSided(pairs: DataFrame, setsA: DataFrame,
+                                 setsB: DataFrame, idCol: String,
+                                 threshold: Double): DataFrame =
     pairs
-      .join(sets.select(col(idCol).as("id_a"), col("__hset").as("__ha")), Seq("id_a"))
-      .join(sets.select(col(idCol).as("id_b"), col("__hset").as("__hb")), Seq("id_b"))
+      .join(setsA.select(col(idCol).as("id_a"), col("__hset").as("__ha")), Seq("id_a"))
+      .join(setsB.select(col(idCol).as("id_b"), col("__hset").as("__hb")), Seq("id_b"))
       .withColumn("__common",
         graft.fuzzy.vectorFunctions.sorted_intersect_count(col("__ha"), col("__hb")))
       .withColumn("jaccard",
@@ -282,6 +287,78 @@ object Dedup {
     verifyJaccard(pairs, sets, idCol, threshold)
   }
 
+  /** Exact n-gram Jaccard near-duplicate pairs ACROSS two frames —
+    * (id_a from `left`, id_b from `right`, jaccard >= threshold), id
+    * spaces disjoint by contract. The blocking join pairs left shingle
+    * rows only with RIGHT rows of the same shingle, so same-side pairs
+    * never exist: plan cost is sum over shingles of dfL*dfR, not
+    * (dfL+dfR)^2/2. For a 10% nightly batch against its corpus that
+    * deletes ~99% of the candidate volume the union-self-join plan
+    * scored and then discarded — the sf10 scale run measured
+    * [[incrementalDedup]] dropping 274.7 s -> see SCALE.md after this
+    * rewrite. Hot shingles cap on the CROSS pair product dfL*dfR
+    * (CapMetrics stage `dedup_ngram_cross`; drops cost recall only for
+    * pairs whose every shared shingle is hot, as in the self-join
+    * variant). */
+  def ngramJaccardCrossPairs(left: DataFrame, right: DataFrame,
+                             textCol: String, idCol: String,
+                             n: Int, threshold: Double,
+                             checkpoint: CheckpointStrategy = CheckpointStrategy.Local,
+                             maxShinglePairs: Long = 4_000_000L,
+                             maxDriverHotShingles: Int = 1_000_000): DataFrame = {
+    val setsL = shingleSets(left, textCol, idCol, n, checkpoint)
+    val setsR = shingleSets(right, textCol, idCol, n, checkpoint)
+    val eL = setsL.select(col(idCol), explode(col("__hset")).as("__sh"))
+    val eR = setsR.select(col(idCol), explode(col("__hset")).as("__sh"))
+    val (gL, gR) = gateHotShinglesCross(eL, eR, "dedup_ngram_cross",
+      maxShinglePairs, maxDriverHotShingles)
+    val pairs = gL.as("a").join(gR.as("b"), col("a.__sh") === col("b.__sh"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    verifyJaccardSided(pairs, setsL, setsR, idCol, threshold)
+  }
+
+  /** Cross-side sibling of [[gateHotShingles]]: a shingle shared by dfL
+    * left and dfR right docs contributes dfL*dfR candidate pairs on one
+    * reducer key, so shingles over the pair budget are dropped from pair
+    * generation on BOTH sides (scores of survivors stay exact). One
+    * joined df-stats aggregate; hot set inlines as a sorted-array NOT-IN
+    * codegen filter when it fits on the driver, else anti-joins. */
+  private def gateHotShinglesCross(eL: DataFrame, eR: DataFrame, stage: String,
+                                   maxShinglePairs: Long,
+                                   maxDriverHot: Int): (DataFrame, DataFrame) = {
+    if (maxShinglePairs == Long.MaxValue) return (eL, eR)
+    val dfL = eL.groupBy(col("__sh")).agg(count(lit(1)).as("__dfl"))
+    val dfR = eR.groupBy(col("__sh")).agg(count(lit(1)).as("__dfr"))
+    // inner join: a shingle on one side only makes no pairs (the blocking
+    // join skips it for free) and cannot be hot
+    val joint = dfL.join(dfR, Seq("__sh"))
+    val pairsEst = col("__dfl").cast("double") * col("__dfr").cast("double")
+    val overCap = pairsEst > maxShinglePairs.toDouble
+    val row = joint.agg(
+      count(lit(1)).as("total"),
+      sum(when(overCap, 1L).otherwise(0L)).as("dropped"),
+      sum(when(overCap, pairsEst).otherwise(lit(0.0))).as("dropped_pairs")).head()
+    val total = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val dropped = if (row.isNullAt(1)) 0L else row.getLong(1)
+    val droppedPairs =
+      if (row.isNullAt(2)) 0L
+      else math.min(row.getDouble(2), Long.MaxValue.toDouble).toLong
+    CapMetrics.record(stage, CapMetrics.CapStats(dropped, total, droppedPairs))
+    if (dropped == 0L) (eL, eR)
+    else if (dropped <= maxDriverHot) {
+      val hot = joint.where(overCap).select(col("__sh")).collect().map(_.getLong(0))
+      java.util.Arrays.sort(hot)
+      val keep = (e: DataFrame) =>
+        e.where(!graft.fuzzy.vectorFunctions.long_in(col("__sh"), hot))
+      (keep(eL), keep(eR))
+    } else {
+      val hotFrame = joint.where(overCap).select(col("__sh"))
+      (eL.join(hotFrame, Seq("__sh"), "left_anti"),
+        eR.join(hotFrame, Seq("__sh"), "left_anti"))
+    }
+  }
+
   // ------------------------------------------------------------- winnow
 
   /** Substring-overlap near-duplicate pairs via winnowing fingerprints
@@ -357,21 +434,14 @@ object Dedup {
           lit(1.0).as("jaccard")),
       checkpoint)
 
-    val union = batch.select(col(idCol), col(textCol))
-      .unionByName(corpus.select(col(idCol), col(textCol)))
-    val pairs = ngramJaccardPairs(union, textCol, idCol, n, threshold,
-      checkpoint, maxShinglePairs)
-    val aFlag = batch.select(col(idCol).as("id_a"), lit(true).as("__ab"))
-    val bFlag = batch.select(col(idCol).as("id_b"), lit(true).as("__bb"))
-    val oriented = pairs
-      .join(aFlag, Seq("id_a"), "left").join(bFlag, Seq("id_b"), "left")
-      .withColumn("__ab", coalesce(col("__ab"), lit(false)))
-      .withColumn("__bb", coalesce(col("__bb"), lit(false)))
-      .where(col("__ab") =!= col("__bb")) // exactly one end in the batch
-      .select(
-        when(col("__ab"), col("id_a")).otherwise(col("id_b")).as(idCol),
-        when(col("__ab"), col("id_b")).otherwise(col("id_a")).as("match_id"),
-        col("jaccard"))
+    // cross-side pair generation: only batch x corpus candidates ever
+    // exist, so the near arm's cost scales with the BATCH, not the
+    // corpus' internal pair volume (the union-self-join formulation
+    // generated, scored, and discarded every corpus x corpus pair — the
+    // sf10 scale run measured that as 39x growth at 10x data)
+    val oriented = ngramJaccardCrossPairs(batch, corpus, textCol, idCol,
+        n, threshold, checkpoint, maxShinglePairs)
+      .select(col("id_a").as(idCol), col("id_b").as("match_id"), col("jaccard"))
     val best = Window.partitionBy(col(idCol))
       .orderBy(col("jaccard").desc, col("match_id"))
     val near = oriented

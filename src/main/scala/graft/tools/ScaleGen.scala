@@ -27,21 +27,40 @@ object ScaleGen {
   private val Alphabet =
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
 
+  /** Affine cipher i -> (a*i + b) mod n per character class — a pure
+    * rotation (a = 1) only covers 26 distinct lowercase images, so
+    * replicas 26 apart would share IDENTICAL letter text (digit-free
+    * documents would exactly duplicate and corrupt every dedup row at
+    * 100 replicas). Cycling the multiplier through the units of the
+    * class size extends distinct lowercase ciphers to 12 x 26 = 312;
+    * r < 26 keeps a = 1, so corpora generated before this change are
+    * bit-identical. Cross-replica: same-multiplier pairs share zero
+    * letters, different-multiplier pairs agree on <= 2 of 26 — far
+    * below any fuzzy threshold or shingle collision. */
+  private def affine(s: String, a: Int, b: Int): String = {
+    val n = s.length
+    (0 until n).map(i => s((a * i + b) % n)).mkString
+  }
+
   private def rotated(r: Int): String = {
-    def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
-    rot("abcdefghijklmnopqrstuvwxyz", r) + rot("ABCDEFGHIJKLMNOPQRSTUVWXYZ", r) +
-      rot("0123456789", r)
+    val lmul = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    val dmul = Seq(1, 3, 7, 9)
+    affine("abcdefghijklmnopqrstuvwxyz", lmul((r / 26) % 12), r % 26) +
+      affine("ABCDEFGHIJKLMNOPQRSTUVWXYZ", lmul((r / 26) % 12), r % 26) +
+      affine("0123456789", dmul((r / 10) % 4), r % 10)
   }
 
   private def cipher(c: Column, r: Int): Column =
     if (r == 0) c else translate(c, Alphabet, rotated(r))
 
   /** Diagonal +-1 sign for dimension `i` of replica `r` — orthogonal, so
-    * within-replica cosine structure is exactly preserved. */
+    * within-replica cosine structure is exactly preserved. The pattern
+    * mixes r mod a prime > any replica count: a simple `(i + r*k) % 3`
+    * would repeat every 3 replicas and exactly duplicate vectors. */
   private def signFlip(vec: Column, r: Int): Column =
     if (r == 0) vec
     else transform(vec, (x, i) =>
-      x * when(((i * 31 + lit(r) * 17) % 3) === 0, lit(-1.0f)).otherwise(lit(1.0f)))
+      x * when((((i + 1) * (lit(r) + 1)) % 101 % 2) === 0, lit(-1.0f)).otherwise(lit(1.0f)))
 
   private def replicate(base: DataFrame, replicas: Int)(one: Int => DataFrame): DataFrame =
     (0 until replicas).map(one).reduce(_ unionAll _)
