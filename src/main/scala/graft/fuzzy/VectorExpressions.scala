@@ -419,6 +419,8 @@ object vectorFunctions {
     c(BucketAllowed(x(band), x(bkey), sortedKeys))
   def nearest_cells(vec: Column, centroids: Array[Double], dim: Int, nProbe: Int): Column =
     c(NearestCells(x(vec), centroids, dim, nProbe))
+  def topk_pairs(score: Column, id: Column, k: Int): Column =
+    c(BoundedTopK(x(score), x(id), k).toAggregateExpression())
 
   /** `(name, builder)` pairs for the SQL surface — consumed by
     * [[registerAll]] and by [[graft.GraftExtensions]]. Literal-int

@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.util.Partitioning.spread
@@ -24,6 +23,26 @@ object AnnSearch {
     * query x corpus product dwarfs an LSH probe — callers should use
     * [[lshTopK]]. [[topK]] routes automatically. */
   val BroadcastQueryLimit = 100_000L
+
+  /** Rank scored (query_id, corpus_id, score) candidates down to the top k
+    * per query via [[graft.fuzzy.BoundedTopK]] — a map-side-combining
+    * bounded-heap aggregate. Every ranking site in this file used to be a
+    * `Window.partitionBy(query_id)` + `row_number`, which shuffles AND
+    * sorts every scored candidate (the one measured super-linear plan at
+    * sf10: 146.6 s, 19× cost for ~10× work — SCALE.md); the aggregate's
+    * partial step caps shuffle volume at queries × mapPartitions × k
+    * fixed-size buffers instead. Emits (query_id, corpus_id, score, rank)
+    * with rank 1-based by (score desc, corpus_id asc) — identical rows to
+    * the window formulation (the comparator is a strict total order over
+    * the deduped pairs, so the result is partitioning-independent). */
+  private def rankTopK(scored: DataFrame, scoreName: String, k: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.fuzzy.vectorFunctions.topk_pairs(col(scoreName), col("corpus_id"), k)
+        .as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")))
+      .select(col("query_id"), col("col.id").as("corpus_id"),
+        col("col.score").as(scoreName), (col("pos") + 1).cast("int").as("rank"))
 
   /** Auto-routing top-k: brute-force (exact) while the query frame is small
     * enough to broadcast, LSH probing beyond. `dim` is required for the LSH
@@ -59,11 +78,7 @@ object AnnSearch {
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("corpus_id"))
       .withColumn("cosine", Dedup.cosineSimilarity(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
+    rankTopK(scored, "cosine", k)
   }
 
   /** Exact top-k over int8-QUANTIZED vectors ([[Embeddings.quantizeInt8]]):
@@ -95,11 +110,7 @@ object AnnSearch {
       .withColumn("qcosine",
         i8vec_dot(col("__qq"), col("__cq")).cast("double")
           / sqrt(col("__qn").cast("double") * col("__cn").cast("double")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("qcosine").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"), col("qcosine"), col("rank"))
+    rankTopK(scored, "qcosine", k)
   }
 
   /** Lloyd's k-means over an embedding column, expressed relationally:
@@ -227,11 +238,7 @@ object AnnSearch {
         .where(col("query_id") =!= col("corpus_id"))
         .select(col("query_id"), col("corpus_id"),
           Dedup.cosineSimilarity(col("__qv"), col("__cv")).as("cosine"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("corpus_id").asc)
-      scored.withColumn("rank", row_number().over(w))
-        .where(col("rank") <= k)
-        .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
+      rankTopK(scored, "cosine", k)
     } else {
       // the production combo: float centroids route (cells are fit on
       // floats), the cell-local re-rank runs on 4x-compressed int8
@@ -257,11 +264,7 @@ object AnnSearch {
         .select(col("query_id"), col("corpus_id"),
           (i8vec_dot(col("__qq"), col("__cq")).cast("double")
             / sqrt(col("__qn").cast("double") * col("__cn").cast("double"))).as("qcosine"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("qcosine").desc, col("corpus_id").asc)
-      scored.withColumn("rank", row_number().over(w))
-        .where(col("rank") <= k)
-        .select(col("query_id"), col("corpus_id"), col("qcosine"), col("rank"))
+      rankTopK(scored, "qcosine", k)
     }
   }
 
@@ -346,10 +349,6 @@ object AnnSearch {
       .select(col("query_id"), col("corpus_id"),
         Dedup.cosineSimilarity(col("__qv"), col("__cv")).as("cosine"))
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
-    cand.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
+    rankTopK(cand, "cosine", k)
   }
 }
