@@ -267,6 +267,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // BoundedTopK (ObjectHashAggregate) buffers are a fixed k*16 bytes;
+      // the default fallback-to-sort threshold of 128 groups per partition
+      // re-introduces the per-partition sort the aggregate avoids
+      // (measured at sf10: 56.0 s -> 24.5 s IVF search — SCALE.md)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       // events.parquet stores TIMESTAMP(NANOS); read as raw long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
