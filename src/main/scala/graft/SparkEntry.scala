@@ -578,6 +578,24 @@ object SparkEntry {
           sround(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // ---- the cross-side pair generator oracled DIRECTLY (the primitive
+    // under dedup_incremental's near arm, previously exercised only
+    // through that composition): same batch/corpus split and seeded
+    // cross-side copies, full (id_a, id_b, jaccard) pair set. Gate
+    // disabled like every oracled shingle entry; the gate's hot-on-one-
+    // side vs hot-on-both behavior is spec-pinned (CrossPairsSpec).
+    "dedup_cross_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bkt = Curation.md5Bucket(col("doc_id"))
+      val batch = docs.where(bkt < 100000L).select(col("doc_id"), col("text"))
+      val corpus = docs.where(bkt >= 100000L).select(col("doc_id"), col("text"))
+        .unionByName(docs.where(bkt < 50000L)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      Dedup.ngramJaccardCrossPairs(batch, corpus, "text", "doc_id", 3, 0.5,
+        maxShinglePairs = Long.MaxValue)
+        .select(col("id_a"), col("id_b"), sround(col("jaccard"), 6).as("jaccard"))
+    }),
+
     // ---- winnow-overlap pairs: lifted-passage detection (docs sharing
     // >= 50 winnow fingerprints). MD5 fingerprint hashing + no cap, like
     // every oracled blocking entry; production keeps xxhash + the gate.
@@ -1512,6 +1530,30 @@ object SparkEntry {
          SELECT doc_id, dup_kind, match_id, round(jaccard, 6) AS jaccard FROM ex
          UNION ALL
          SELECT doc_id, dup_kind, match_id, round(jaccard, 6) AS jaccard FROM nr""",
+    // the cross-side primitive: batch-x-corpus shingle join only (no
+    // same-side pairs), full pair set at jaccard >= 0.5
+    "dedup_cross_pairs" ->
+      """WITH d AS (SELECT doc_id, text,
+                ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS bkt
+              FROM documents),
+         ba AS (SELECT doc_id, text FROM d WHERE bkt < 100000),
+         co AS (SELECT doc_id, text FROM d WHERE bkt >= 100000
+                UNION ALL SELECT doc_id + 10000000, text FROM d WHERE bkt < 50000),
+         tb AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM ba),
+         tc AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM co),
+         sb AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) END AS sh FROM tb),
+         sc AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) END AS sh FROM tc),
+         eb AS (SELECT doc_id, unnest(sh) AS g FROM sb),
+         ec AS (SELECT doc_id, unnest(sh) AS g FROM sc),
+         zb AS (SELECT doc_id, len(sh) AS sz FROM sb),
+         zc AS (SELECT doc_id, len(sh) AS sz FROM sc),
+         c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+               FROM eb a JOIN ec b ON a.g = b.g GROUP BY 1, 2)
+         SELECT id_a, id_b, round(common / (za.sz + zx.sz - common), 6) AS jaccard
+         FROM c JOIN zb za ON c.id_a = za.doc_id JOIN zc zx ON c.id_b = zx.doc_id
+         WHERE common / (za.sz + zx.sz - common) >= 0.5""",
     // winnow-pair edges through the same recursive-reachability component
     // resolution as dedup_near_cluster
     "dedup_winnow_cluster" ->

@@ -239,23 +239,62 @@ object AnnJoin {
       .agg(sum(col("__l")).as("__lc"), sum(col("__r")).as("__rc"))
       .where(col("__lc") > 0 && col("__rc") > 0)
     val overCap = col("__lc") * col("__rc") > opts.lshMaxBucketPairs
-    val gatePredicate = CapMetrics.gate(bucketStats, "fuzzy_lsh", "__band", "__bkey",
-      overCap, col("__lc") * col("__rc"), opts.checkpoint)
+    val (gatePredicate, capStats) = CapMetrics.gateWithStats(bucketStats, "fuzzy_lsh",
+      "__band", "__bkey", overCap, col("__lc") * col("__rc"), opts.checkpoint)
 
-    // Volume bail (auto mode): the gate just recorded this stage's exact
-    // planned volume (same thread, same stage name). kept + dropped is an
-    // upper bound on what the band join would feed downstream — if that is
-    // not a small fraction of the cartesian, blocking failed and the exact
-    // kernel scan is both cheaper per pair and lossless.
+    // Volume bail (auto mode): plan on THIS gate call's returned stats —
+    // `lastMetrics("fuzzy_lsh")` is a global keyed by stage name, so under
+    // concurrent matches (MatchScope is per-thread by design) it may hold
+    // another join's numbers.
+    //
+    // kept + dropped sums lc*rc PER BAND, counting a surviving pair once
+    // per band it collides in — between 1x and `bands`x the unique-pair
+    // volume, and the factor is corpus-dependent (measured: ~5.8 of 16
+    // bands on a mixture-degenerate fixture, ~1-2 on healthy text). So:
+    //  - raw/bands > budget: even the most-overcounted reading is over
+    //    budget — bail immediately, no extra work;
+    //  - raw <= budget: within budget even if every collision is unique —
+    //    proceed with LSH, no extra work;
+    //  - in between: estimate the true multiplicity from a bounded sample
+    //    of left values (sampling whole values keeps pair multiplicity
+    //    intact) and bail on the estimated unique volume. One extra job,
+    //    capped at ~2M joined rows, paid only in the uncertain band.
+    // The capped band join as a function of the left banded frame, so the
+    // volume-bail estimator below can run it on a SAMPLE of left values
+    // before the real join runs on all of them.
+    val gatedJoin: DataFrame => DataFrame = lbIn => gatePredicate match {
+      case Right(sortedKeys) =>
+        val keep = (df: DataFrame) =>
+          df.where(vectorFunctions.bucket_allowed(col("__band"), col("__bkey"), sortedKeys))
+        keep(lbIn).join(keep(rb), Seq("__band", "__bkey"))
+      case Left(allowed) =>
+        lbIn.join(allowed, Seq("__band", "__bkey"))
+          .join(rb, Seq("__band", "__bkey"))
+    }
+
     bailVolume match {
       case Some(budget) =>
-        val planned = CapMetrics.lastMetrics("fuzzy_lsh")
-          .map(s => s.keptPairs + s.droppedPairs).getOrElse(0L)
-        if (planned > budget) {
+        val rawPlanned = (capStats.keptPairs + capStats.droppedPairs).toDouble
+        val uniquePlanned =
+          if (rawPlanned / bands > budget || rawPlanned <= budget) rawPlanned / bands
+          else {
+            val mod = math.max(1L, math.round(rawPlanned / 2e6))
+            val sample = gatedJoin(lb.where(pmod(col("__lvid"), lit(mod)) === 0))
+              .agg(count(lit(1)).cast("double").as("__raw"),
+                approx_count_distinct(struct(col("__lvid"), col("__rvid"))).cast("double")
+                  .as("__uniq")).head()
+            val (rawS, uniqS) = (sample.getDouble(0), sample.getDouble(1))
+            // empty/degenerate sample: fall back to the conservative raw
+            // count (bail rather than run an un-pruned LSH join)
+            if (rawS == 0 || uniqS == 0) rawPlanned
+            else rawPlanned * (uniqS / rawS)
+          }
+        if (uniquePlanned > budget) {
           LoggerFactory.getLogger(getClass).warn(
-            f"[graft.pass] LSH planned ~$planned%,d candidate pairs against a " +
-              f"budget of ${budget.toLong}%,d (lshCandidateFractionForExact) — " +
-              "blocking is not pruning this corpus; falling back to exact")
+            f"[graft.pass] LSH planned ~${uniquePlanned.toLong}%,d unique candidate " +
+              f"pairs (band-multiplicity adjusted from ${rawPlanned.toLong}%,d) " +
+              f"against a budget of ${budget.toLong}%,d (lshCandidateFractionForExact) " +
+              "— blocking is not pruning this corpus; falling back to exact")
           return None
         }
       case None =>
@@ -283,15 +322,7 @@ object AnnJoin {
     // Ranking on unique pairs keeps the topN boundary deterministic (ties
     // break on (jaccard, right-value id)); a pair surfacing from b bands
     // cannot eat b top-N slots.
-    val joined = gatePredicate match {
-      case Right(sortedKeys) =>
-        val keep = (df: DataFrame) =>
-          df.where(vectorFunctions.bucket_allowed(col("__band"), col("__bkey"), sortedKeys))
-        keep(lb).join(keep(rb), Seq("__band", "__bkey"))
-      case Left(allowed) =>
-        lb.join(allowed, Seq("__band", "__bkey"))
-          .join(rb, Seq("__band", "__bkey"))
-    }
+    val joined = gatedJoin(lb)
     val pairIds = joined
       .select(col("__lvid"), col("__rvid"))
       .dropDuplicates("__lvid", "__rvid")

@@ -123,7 +123,15 @@ final case class MatchOptions(
     // K internally-degenerate sub-corpora (multiple crawls/sources) keeps
     // every global gram frequency below the stop bar while every bucket is
     // still quadratic — measured at sf1.0 as a 380 s / 66%-recall LSH run
-    // vs ~200 s exact on 2.25e10 pairs. 0 disables.
+    // vs ~200 s exact on 2.25e10 pairs. The per-band bucket sums count a
+    // pair once per band it collides in (1x..lshNumBands x the unique
+    // volume, corpus-dependent — measured ~5.8 of 16 bands on a mixture-
+    // degenerate fixture, ~1-2 on healthy text), so the gate is two-
+    // threshold: clearly over budget even at full discount -> bail;
+    // clearly under at no discount -> proceed; in between, the true
+    // multiplicity is estimated from a bounded (~2M joined rows) sample
+    // of left values and the bail decision uses the estimated UNIQUE
+    // volume. 0 disables.
     lshCandidateFractionForExact: Double = 0.2,
     // the degeneracy probe estimates the fractions above from a uniform
     // sample of at most this many values (corpus-wide stats would cost more

@@ -412,10 +412,12 @@ object Dedup {
     * jaccard >= `threshold`, ties to the smallest corpus id).
     *
     * Plan shape: the exact arm is one hash-agg over corpus digests plus
-    * one keyed join (16-byte md5 keys, never full text). The near arm
-    * reuses [[ngramJaccardPairs]] on the union — shared-shingle blocking,
-    * the hot-shingle df gate, and set-based exact verify all apply
-    * unchanged — then keeps only cross-side pairs. At scale, run the
+    * one keyed join (16-byte md5 keys, never full text). The near arm is
+    * [[ngramJaccardCrossPairs]] — shared-shingle blocking that pairs batch
+    * shingle rows ONLY with corpus rows of the same shingle, so same-side
+    * pairs never exist (cost ∑ dfBatch·dfCorpus, not ∑ df²) and the
+    * hot-shingle gate caps the dfBatch·dfCorpus product per shingle
+    * (CapMetrics stage `dedup_ngram_cross`). At scale, run the
     * corpus side through a bucketed layout ([[graft.util.BucketedTables]])
     * so repeated nightly runs never reshuffle the corpus digests. */
   def incrementalDedup(batch: DataFrame, corpus: DataFrame, textCol: String,

@@ -37,6 +37,15 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** The tiling plans add internal working columns; caller frames must not
+    * already use those names (a silent collision would corrupt the join
+    * predicate). */
+  private def requireNoReserved(df: DataFrame, side: String, reserved: Seq[String]): Unit = {
+    val bad = df.columns.toSet.intersect(reserved.toSet)
+    require(bad.isEmpty,
+      s"$side columns clash with internal working names: ${bad.mkString(", ")}")
+  }
+
   /** True floor division for possibly-negative longs — Column `/` would
     * route through double (loses exactness past 2^53, nano timestamps
     * exceed that) and `div` truncates toward zero (pre-epoch timestamps
@@ -77,15 +86,22 @@ object RangeJoin {
       s"maxBinsPerInterval must be positive (got $maxBinsPerInterval)")
     val clash = payloadCols.toSet.intersect(points.columns.toSet)
     require(clash.isEmpty, s"payload columns clash with point columns: $clash")
+    requireNoReserved(points, "point", Seq("__bin", "__start", "__end"))
+    requireNoReserved(intervals, "interval", Seq("__bin", "__start", "__end"))
 
     val b0 = floorDiv(col(startCol), binWidth)
     val b1 = floorDiv(col(endCol), binWidth)
     val nBins = b1 - b0 + 1L
+    // Column-API error expression: interpolating raw caller column names
+    // into an expr() string breaks on names needing backticks
     val binsGuarded =
-      when(nBins > maxBinsPerInterval.toLong, expr(
-        s"raise_error(concat('interval spans ', ${endCol} - ${startCol} + 1, " +
-          s"' time units = more than $maxBinsPerInterval bins of $binWidth; " +
-          "widen binWidth or raise maxBinsPerInterval'))").cast("array<long>"))
+      when(nBins > maxBinsPerInterval.toLong,
+        raise_error(concat(
+          lit("interval spans "),
+          (col(endCol) - col(startCol) + lit(1L)).cast("string"),
+          lit(s" time units = more than $maxBinsPerInterval bins of " +
+            s"$binWidth; widen binWidth or raise maxBinsPerInterval")))
+          .cast("array<long>"))
         .otherwise(sequence(b0, b1))
     val tiled = intervals
       .where(col(startCol) <= col(endCol))
@@ -112,16 +128,19 @@ object RangeJoin {
     require(binWidth > 0, s"binWidth must be positive (got $binWidth)")
     val clash = payloadCols.toSet.intersect(left.columns.toSet)
     require(clash.isEmpty, s"payload columns clash with left columns: $clash")
+    val reserved = Seq("__bin", "__lb0", "__rb0", "__rs", "__re", "__pay")
+    requireNoReserved(left, "left", reserved)
+    requireNoReserved(right, "right", reserved)
 
     def tile(df: DataFrame, s: String, e: String, cols: Seq[Column],
              binName: String, firstName: String): DataFrame = {
       val b0 = floorDiv(col(s), binWidth)
       val b1 = floorDiv(col(e), binWidth)
       val guarded =
-        when(b1 - b0 + 1L > maxBinsPerInterval.toLong, expr(
-          s"raise_error('interval spans more than $maxBinsPerInterval bins " +
-            s"of $binWidth; widen binWidth or raise maxBinsPerInterval')")
-          .cast("array<long>"))
+        when(b1 - b0 + 1L > maxBinsPerInterval.toLong,
+          raise_error(lit(s"interval spans more than $maxBinsPerInterval bins " +
+            s"of $binWidth; widen binWidth or raise maxBinsPerInterval"))
+            .cast("array<long>"))
           .otherwise(sequence(b0, b1))
       df.where(col(s) <= col(e))
         .select(cols :+ b0.as(firstName) :+ explode(guarded).as(binName): _*)

@@ -32,9 +32,12 @@ object ScaleGen {
     * replicas 26 apart would share IDENTICAL letter text (digit-free
     * documents would exactly duplicate and corrupt every dedup row at
     * 100 replicas). Cycling the multiplier through the units of the
-    * class size extends distinct lowercase ciphers to 12 x 26 = 312;
-    * r < 26 keeps a = 1, so corpora generated before this change are
-    * bit-identical. Cross-replica: same-multiplier pairs share zero
+    * class size extends distinct lowercase ciphers to 12 x 26 = 312.
+    * LETTER ciphers keep a = 1 for r < 26, but the DIGIT multiplier
+    * cycles every 10 replicas (dmul switches to 3 at r = 10), so only
+    * replicas 0-9 are bit-identical to a pure-rotation generator —
+    * regenerate rather than mix fixtures across generator versions.
+    * Cross-replica: same-multiplier pairs share zero
     * letters, different-multiplier pairs agree on <= 2 of 26 — far
     * below any fuzzy threshold or shingle collision. */
   private def affine(s: String, a: Int, b: Int): String = {

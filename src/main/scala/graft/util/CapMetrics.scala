@@ -75,13 +75,24 @@ object CapMetrics {
     * [[graft.fuzzy.BucketAllowed]] which MUST stay in sync. */
   def gate(bucketStats: DataFrame, stage: String, bandCol: String, keyCol: String,
            overCap: Column, pairs: Column, checkpoint: CheckpointStrategy,
-           maxDriverBuckets: Int = 2_000_000): Either[DataFrame, Array[Long]] = {
+           maxDriverBuckets: Int = 2_000_000): Either[DataFrame, Array[Long]] =
+    gateWithStats(bucketStats, stage, bandCol, keyCol, overCap, pairs, checkpoint,
+      maxDriverBuckets)._1
+
+  /** As [[gate]], additionally returning the accounted [[CapStats]] so the
+    * caller can plan on ITS OWN numbers. Planning off `lastMetrics(stage)`
+    * instead is racy: concurrent matches on different driver threads (a
+    * supported pattern — MatchScope is per-thread) share the stage key, so
+    * one join's decision could read another join's volume. */
+  def gateWithStats(bucketStats: DataFrame, stage: String, bandCol: String, keyCol: String,
+           overCap: Column, pairs: Column, checkpoint: CheckpointStrategy,
+           maxDriverBuckets: Int = 2_000_000): (Either[DataFrame, Array[Long]], CapStats) = {
     val rows = bucketStats.select(col(bandCol).cast("int").as("__b"), col(keyCol).as("__k"),
         overCap.as("__over"), pairs.cast("long").as("__p"))
       .limit(maxDriverBuckets + 1).collect()
     if (rows.length > maxDriverBuckets) {
-      val (stats, _) = accountBucketCapWithStats(bucketStats, stage, overCap, pairs, checkpoint)
-      Left(stats.where(!overCap).select(col(bandCol), col(keyCol)))
+      val (stats, s) = accountBucketCapWithStats(bucketStats, stage, overCap, pairs, checkpoint)
+      (Left(stats.where(!overCap).select(col(bandCol), col(keyCol))), s)
     } else {
       var dropped = 0L
       var droppedPairs = 0L
@@ -91,10 +102,11 @@ object CapMetrics {
         if (r.getBoolean(2)) { dropped += 1; droppedPairs += r.getLong(3) }
         else { keptPairs += r.getLong(3); keys += r.getLong(1) * 131L + r.getInt(0) }
       }
-      record(stage, CapStats(dropped, rows.length.toLong, droppedPairs, keptPairs))
+      val s = CapStats(dropped, rows.length.toLong, droppedPairs, keptPairs)
+      record(stage, s)
       val sorted = keys.result()
       java.util.Arrays.sort(sorted)
-      Right(sorted)
+      (Right(sorted), s)
     }
   }
 

@@ -114,6 +114,18 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
       s"quota window routes through a single partition:\n$plan")
   }
 
+  test("heavy hitters cut at the window stage (WindowGroupLimit)") {
+    // the top-k window partitions by col_name — ONE partition per profiled
+    // column. At 100 TB a high-cardinality column funnels every distinct
+    // value through one reducer UNLESS Spark's WindowGroupLimit map-side
+    // cut fires (it does for row_number <= k on Spark 4); this pins it.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.pipeline.Profile.heavyHitters(docs, Seq("source", "lang"), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter not pushed into the window stage:\n$plan")
+  }
+
   test("common-token ratio: vocabulary joins as a broadcast membership test") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val plan = graft.pipeline.TextAnalysis.commonTokenRatio(docs, "text", "doc_id", 100)
