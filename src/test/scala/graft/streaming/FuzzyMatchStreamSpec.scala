@@ -75,6 +75,56 @@ class FuzzyMatchStreamSpec extends AnyFunSuite with SparkSpec {
       key(FuzzyMatcher.matchDfs(batch2, reference, maps)))
   }
 
+  test("per-batch barriers release at batch end; prepared side survives the stream") {
+    // foreachBatch runs on the stream-execution thread, where no caller
+    // MatchScope is active — matchWriter must scope each batch itself or
+    // an unbounded stream accumulates executor blocks without bound.
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("cust_stream_scope")
+    val src = spark.read.parquet(custPath).limit(120)
+    // two single-file batches with distinct mtimes (mtime ties make the
+    // file source's batch split nondeterministic)
+    src.where(org.apache.spark.sql.functions.col("c_custkey") % 2 === 0)
+      .coalesce(1).write.parquet(dir.resolve("b1").toString)
+    src.where(org.apache.spark.sql.functions.col("c_custkey") % 2 === 1)
+      .coalesce(1).write.parquet(dir.resolve("b2").toString)
+    java.nio.file.Files.walk(dir).forEach { p =>
+      if (p.toString.endsWith(".parquet") && p.toString.contains("/b2/"))
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 60000))
+    }
+    val schema = src.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*/")
+    val reference = spark.read.parquet(suppPath)
+    val maps = Seq(FuzzyMapping("c_name", "s_name", 70.0, FuzzyAlgorithm.Levenshtein))
+
+    val before = sc.getPersistentRDDs.keySet
+    val writer = FuzzyMatchStream.matchWriter(stream, reference, maps) { (matched, _) =>
+      matched.count(): Unit
+    }
+    // prepared-side barriers (row-id frame + pre-forced dedup variant)
+    // exist as soon as the writer is built, before any batch runs
+    val preparedRdds = sc.getPersistentRDDs.keySet -- before
+    assert(preparedRdds.nonEmpty, "prepareRight should materialize the static side")
+
+    val q = writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("fms_scope_ckpt").toString)
+      .start()
+    assert(q.awaitTermination(180000L), "streaming query did not drain in time")
+    // both files processed, in at least two micro-batches (maxFilesPerTrigger=1)
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      s"expected >= 2 data batches, got ${q.recentProgress.map(_.numInputRows).mkString(",")}")
+
+    val leaked = sc.getPersistentRDDs.keySet -- before -- preparedRdds
+    assert(leaked.isEmpty,
+      s"per-batch barriers survived the batch scope: RDDs $leaked")
+    // the shared prepared side must NOT have been released by a batch scope
+    assert((preparedRdds -- sc.getPersistentRDDs.keySet).isEmpty,
+      "a batch scope released the shared prepared-right barriers")
+  }
+
   test("prepared static side: mid-level semantics (no preprocessing) keep fallback names") {
     val customers = spark.read.parquet(custPath).limit(50)
     val reference = spark.read.parquet(suppPath)
