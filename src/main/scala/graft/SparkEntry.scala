@@ -446,6 +446,19 @@ object SparkEntry {
         "payload", "doc_id")
         .select(col("id").as("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
           sround(col("feature"), 6).as("feature"))),
+    // REAL image decode: one deterministic RGB PNG per doc (dimensions a
+    // pure function of doc_id), decoded by the JDK's actual PNG reader
+    // (javax.imageio) inside the mapPartitions batch boundary. The oracle
+    // recomputes the dimension formulas — a header mis-parse, channel
+    // mix-up, or encode/decode disagreement breaks the hash. Byte size is
+    // NOT oracled (PNG encoder output may vary across JVMs).
+    "multimodal_decode_png" -> ((s, dir) =>
+      Multimodal.decodeImageMeta(
+        Multimodal.encodePngDemo(t(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "payload", "doc_id")
+        .select(col("id").as("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"))),
 
     // ---- as-of join over events: each click attaches the most recent
     // view by the same user at or before the click. Views dedup to one
@@ -1352,6 +1365,12 @@ object SparkEntry {
              list_sum(list_transform(range(0, nb),
                i -> CAST('0x' || substring(hx, 2*i::INT+1, 2) AS INT)))::DOUBLE / nb / 255.0 END, 6) AS feature
          FROM h""",
+    // the PNG round trip: the real JDK decoder must report exactly the
+    // dimensions the fixture generator encoded (width = doc_id mod 13 + 1,
+    // height = doc_id mod 7 + 1, 3-channel RGB)
+    "multimodal_decode_png" ->
+      """SELECT doc_id, (doc_id % 13) + 1 AS width, (doc_id % 7) + 1 AS height,
+           CAST(3 AS BIGINT) AS channels FROM documents""",
     // DuckDB's native ASOF LEFT JOIN is the ground truth for AsofJoin's
     // union-window plan; views dedup to one row per (user, ts) in both
     // engines so "the most recent view" is well-defined.

@@ -7,10 +7,13 @@ import org.apache.spark.sql.functions._
   * with typed metadata.
   *
   * The Spark-side structure — schema, partitioning, batch boundaries — is
-  * real and tested; the actual media decode kernels are STUBBED with
-  * deterministic fakes (`fakeDecodeMeta`) because no image/audio libraries
-  * ship in this container. Swapping in a real decoder changes only the
-  * body of [[decodeBatch]], not the pipeline shape.
+  * real and tested. The IMAGE modality is decoded for real:
+  * [[decodeImageMeta]] runs `javax.imageio` (JDK-bundled PNG/JPEG/GIF/BMP
+  * readers) inside the per-partition batch boundary; [[encodePngDemo]] is
+  * its deterministic test-fixture counterpart. Audio/video kernels remain
+  * stubbed with deterministic fakes ([[fakeDecodeMeta]], [[decodeBatch]])
+  * — those libraries don't ship in this container; swapping one in changes
+  * only the body of [[decodeBatch]], not the pipeline shape.
   */
 object Multimodal {
 
@@ -71,5 +74,70 @@ object Multimodal {
         DecodedRow(row.id, bytes.length, feature)
       }
     }.toDF()
+  }
+
+  case class ImgRow(id: Long, payload: Array[Byte])
+  case class ImgMeta(id: Long, width: Int, height: Int, channels: Int, n_bytes: Long)
+
+  /** REAL image decode (`javax.imageio`, JDK-bundled readers — PNG, JPEG,
+    * GIF, BMP): header/raster metadata per payload, inside the same
+    * `mapPartitions` batch boundary as [[decodeBatch]]. Undecodable
+    * payloads yield the (-1, -1, 0) sentinel instead of nulls (the
+    * engine-wide no-nullable-output convention) — a corrupt image in a
+    * 100 TB crawl must not fail the whole stage.
+    *
+    * `ImageIO.setUseCache(false)` keeps the readers on heap arrays —
+    * the default disk-backed cache would write a temp file per row. */
+  def decodeImageMeta(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds: Dataset[ImgRow] = graft.util.Partitioning.spread(
+      df.select(col(idCol).cast("long").as("id"), col(binCol).as("payload"))).as[ImgRow]
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { row =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
+          catch { case _: java.io.IOException => null }
+        if (img == null) ImgMeta(row.id, -1, -1, 0, row.payload.length.toLong)
+        else ImgMeta(row.id, img.getWidth, img.getHeight,
+          img.getRaster.getNumBands, row.payload.length.toLong)
+      }
+    }.toDF()
+  }
+
+  /** Deterministic PNG fixture generator for [[decodeImageMeta]]: one real
+    * RGB PNG per row, dimensions derived from the id (width = id mod maxW
+    * + 1, height = id mod maxH + 1), pixels seeded by (id, x, y). Runs in
+    * the same per-partition boundary — this is the encode half of the
+    * round trip the `multimodal_decode_png` oracle checks (the oracle
+    * recomputes the dimension formulas; the decode itself is the real
+    * JDK PNG reader over real PNG bytes). */
+  def encodePngDemo(df: DataFrame, idCol: String,
+                    maxW: Int = 13, maxH: Int = 7): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ids = df.select(col(idCol).cast("long").as("id")).as[Long]
+    ids.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val w = (math.floorMod(id, maxW.toLong) + 1).toInt
+        val h = (math.floorMod(id, maxH.toLong) + 1).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, ((id * 31 + x * 7 + y * 131) & 0xffffff).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        ImgRow(id, bos.toByteArray)
+      }
+    }.toDF().withColumnRenamed("id", idCol)
   }
 }

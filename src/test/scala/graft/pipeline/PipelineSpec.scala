@@ -509,4 +509,30 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(rows.map(_._2).toSeq == Seq(11, 2500, 0))
     assert(rows.forall { case (_, _, f) => f >= 0.0 && f <= 1.0 })
   }
+
+  test("real PNG decode: round trip reports encoded dims; garbage gets sentinels") {
+    val ids = Seq(5L, 14L, 91L).toDF("doc_id")
+    val pngs = Multimodal.encodePngDemo(ids, "doc_id")
+    // magic bytes prove these are genuine PNG payloads, not fakes
+    val magic = Multimodal.binaryMeta(pngs, "payload")
+      .select($"magic_hex").as[String].collect()
+    assert(magic.forall(_ == "89504E47"), s"not PNG payloads: ${magic.toSeq}")
+
+    val meta = Multimodal.decodeImageMeta(pngs, "payload", "doc_id")
+      .as[(Long, Int, Int, Int, Long)].collect().map(t => t._1 -> t).toMap
+    for (id <- Seq(5L, 14L, 91L)) {
+      val (_, w, h, c, nb) = meta(id)
+      assert(w == (id % 13 + 1).toInt && h == (id % 7 + 1).toInt,
+        s"doc $id decoded ${w}x$h")
+      assert(c == 3, s"doc $id channels $c")
+      assert(nb > 8, "payload shorter than a PNG signature")
+    }
+
+    // an undecodable payload must sentinel, not throw or null
+    val garbage = Seq((7L, "not an image at all".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val g = Multimodal.decodeImageMeta(garbage, "payload", "doc_id")
+      .as[(Long, Int, Int, Int, Long)].head()
+    assert(g == ((7L, -1, -1, 0, 19L)))
+  }
 }
