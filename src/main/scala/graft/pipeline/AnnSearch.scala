@@ -35,7 +35,20 @@ object AnnSearch {
     * with rank 1-based by (score desc, corpus_id asc) — identical rows to
     * the window formulation (the comparator is a strict total order over
     * the deduped pairs, so the result is partitioning-independent). */
-  private def rankTopK(scored: DataFrame, scoreName: String, k: Int): DataFrame =
+  private def rankTopK(scored: DataFrame, scoreName: String, k: Int): DataFrame = {
+    // results are identical either way, but the sort-based fallback
+    // re-introduces the per-partition candidate sort this aggregate
+    // exists to avoid (sf10: 56.0 s vs 24.5 s — SCALE.md); surface the
+    // misconfiguration instead of silently running the slow plan
+    val fallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val threshold =
+      try scored.sparkSession.conf.get(fallbackKey, "128").toInt
+      catch { case _: NumberFormatException => 128 }
+    if (threshold <= 128)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"[graft.ann] $fallbackKey=$threshold: top-k aggregation will fall " +
+          "back to sort-based beyond that many queries per partition — raise " +
+          "it (BoundedTopK buffers are a fixed k*16 bytes; see TUNING.md)")
     scored
       .groupBy(col("query_id"))
       .agg(graft.fuzzy.vectorFunctions.topk_pairs(col(scoreName), col("corpus_id"), k)
@@ -43,6 +56,7 @@ object AnnSearch {
       .select(col("query_id"), posexplode(col("__tk")))
       .select(col("query_id"), col("col.id").as("corpus_id"),
         col("col.score").as(scoreName), (col("pos") + 1).cast("int").as("rank"))
+  }
 
   /** Auto-routing top-k: brute-force (exact) while the query frame is small
     * enough to broadcast, LSH probing beyond. `dim` is required for the LSH
