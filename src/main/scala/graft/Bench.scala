@@ -270,7 +270,13 @@ object Bench {
       // BoundedTopK (ObjectHashAggregate) buffers are a fixed k*16 bytes;
       // the default fallback-to-sort threshold of 128 groups per partition
       // re-introduces the per-partition sort the aggregate avoids
-      // (measured at sf10: 56.0 s -> 24.5 s IVF search — SCALE.md)
+      // (measured at sf10: 56.0 s -> 24.5 s IVF search — SCALE.md).
+      // Blast radius: this is session-global, so it also disables the
+      // sort-based memory safety valve for every OTHER ObjectHashAggregate
+      // in the bench (collect_list/collect_set have unbounded buffers).
+      // Safe here because no bench query collects unbounded lists per
+      // group; a production job mixing BoundedTopK with big collect_list
+      // aggregations should scope this conf per query (TUNING.md).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       // events.parquet stores TIMESTAMP(NANOS); read as raw long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

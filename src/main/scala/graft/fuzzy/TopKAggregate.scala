@@ -107,7 +107,12 @@ case class BoundedTopK(
   override def update(buf: TopKHeap, input: InternalRow): TopKHeap = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null) buf.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    // NaN is outside the heap's (score desc, id asc) total order — every
+    // `worse` comparison on it is false, so one NaN at the root would block
+    // all later inserts for the group. Null and NaN scores are both
+    // un-rankable: drop the row, never the group.
+    if (s != null && i != null && !s.asInstanceOf[Double].isNaN)
+      buf.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
     buf
   }
 

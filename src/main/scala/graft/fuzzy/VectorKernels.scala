@@ -24,6 +24,9 @@ object VectorKernels {
     s
   }
 
+  /** Cosine similarity; a zero-norm side yields 0.0 (not 0/0 = NaN) so the
+    * score stays inside the total order downstream rankers ([[TopKHeap]])
+    * rely on — crawl corpora do contain all-zero embeddings. */
   def cosineF(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
@@ -38,7 +41,8 @@ object VectorKernels {
       nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
   }
 
   /** Symmetric per-vector int8 quantization of a float vector:

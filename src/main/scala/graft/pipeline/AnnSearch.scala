@@ -34,7 +34,13 @@ object AnnSearch {
     * fixed-size buffers instead. Emits (query_id, corpus_id, score, rank)
     * with rank 1-based by (score desc, corpus_id asc) — identical rows to
     * the window formulation (the comparator is a strict total order over
-    * the deduped pairs, so the result is partitioning-independent). */
+    * the deduped pairs, so the result is partitioning-independent).
+    *
+    * Null and NaN scores are un-rankable and are DROPPED (the row, never
+    * the group; a query whose candidates are all null/NaN emits no rows).
+    * This deliberately differs from the replaced window, which sorted
+    * nulls last and NaN largest — a null "neighbor" was never a useful
+    * answer, and NaN would poison the heap's total order. */
   private def rankTopK(scored: DataFrame, scoreName: String, k: Int): DataFrame = {
     // results are identical either way, but the sort-based fallback
     // re-introduces the per-partition candidate sort this aggregate
@@ -132,18 +138,38 @@ object AnnSearch {
     * one `posexplode` + per-(cell, dimension) average — one aggregate
     * shuffle per iteration, centroids (k x dim doubles) live on the
     * driver like [[Dedup.hyperplanes]]. Deterministic init: the k vectors
-    * with the smallest vector hash. Returns UN-normalized centroids. */
+    * with the smallest vector hash. Returns UN-normalized centroids.
+    *
+    * Fit cost at corpus scale: each Lloyd iteration is a full-corpus scan,
+    * so beyond `fitSampleCap` vectors the init and iterations run on a
+    * deterministic hash-threshold SAMPLE (~fitSampleCap rows, cached across
+    * iterations) and ONE final update pass re-centers every cell's mean
+    * over the FULL corpus. Cell quality is statistically unchanged (means
+    * converge on samples; IvfSpec gates recall parity) while fit cost drops
+    * from O(iters × corpus) to O(iters × sample + corpus) — the measured
+    * sf10 fit went 66 s → see TUNING.md. At or below the cap the behavior
+    * is bit-identical to the unsampled fit. */
   def kmeansFit(corpus: DataFrame, vecCol: String, dim: Int,
-                k: Int = 64, iters: Int = 4, seed: Long = 42L): Array[Array[Double]] = {
-    var cents: Array[Array[Double]] = corpus
-      .select(col(vecCol)).withColumn("__h", xxhash64(col(vecCol), lit(seed)))
-      .orderBy(col("__h")).limit(k)
-      .collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
-    require(cents.nonEmpty, "k-means needs a non-empty corpus")
-    var it = 0
-    while (it < iters) {
-      val means = corpus
+                k: Int = 64, iters: Int = 4, seed: Long = 42L,
+                fitSampleCap: Long = 100_000L): Array[Array[Double]] = {
+    val vecs = corpus.select(col(vecCol))
+    // metadata-cheap: the projection prunes to a count-only parquet scan
+    val total = vecs.count()
+    val sampledDown = total > fitSampleCap
+    val fitFrame =
+      if (!sampledDown) vecs
+      else {
+        // deterministic hash-threshold filter: ~fitSampleCap rows kept, no
+        // shuffle, reproducible under any partitioning (1e9 granularity so
+        // the fraction stays representable at 100 TB corpus counts)
+        val keepPerBillion = math.max(1L, fitSampleCap * 1_000_000_000L / total)
+        vecs.where(pmod(xxhash64(col(vecCol), lit(seed + 1)), lit(1_000_000_000L))
+          < lit(keepPerBillion))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+
+    def updateStep(df: DataFrame, cents: Array[Array[Double]]): Array[Array[Double]] = {
+      val means = df
         .select(element_at(
             graft.fuzzy.vectorFunctions.nearest_cells(col(vecCol), normFlat(cents), dim, 1),
             1).as("__cell"),
@@ -156,10 +182,22 @@ object AnnSearch {
         val cell = r.getInt(0)
         if (cell < next.length && r.getInt(1) < dim) next(cell)(r.getInt(1)) = r.getDouble(2)
       }
-      cents = next
-      it += 1
+      next
     }
-    cents
+
+    try {
+      var cents: Array[Array[Double]] = fitFrame
+        .withColumn("__h", xxhash64(col(vecCol), lit(seed)))
+        .orderBy(col("__h")).limit(k)
+        .collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      require(cents.nonEmpty, "k-means needs a non-empty corpus")
+      var it = 0
+      while (it < iters) { cents = updateStep(fitFrame, cents); it += 1 }
+      // the one full-corpus pass: every vector votes in its cell's final mean
+      if (sampledDown) cents = updateStep(vecs, cents)
+      cents
+    } finally if (sampledDown) fitFrame.unpersist(blocking = false)
   }
 
   private def normFlat(cents: Array[Array[Double]]): Array[Double] =
@@ -193,8 +231,9 @@ object AnnSearch {
     * [[loadCentroids]] + the probe join (the fit-once / search-many
     * lifecycle the bench's headline IVF row measures). */
   def fitIndex(corpus: DataFrame, vecCol: String, dim: Int, nCells: Int,
-               iters: Int, seed: Long, path: String): Array[Double] = {
-    val flat = normFlat(kmeansFit(corpus, vecCol, dim, nCells, iters, seed))
+               iters: Int, seed: Long, path: String,
+               fitSampleCap: Long = 100_000L): Array[Double] = {
+    val flat = normFlat(kmeansFit(corpus, vecCol, dim, nCells, iters, seed, fitSampleCap))
     saveCentroids(corpus.sparkSession, path, flat, dim)
     flat
   }

@@ -92,6 +92,41 @@ class TopKAggregateSpec extends AnyFunSuite with SparkSpec {
     assert(agg.exceptAll(win).isEmpty && win.exceptAll(agg).isEmpty)
   }
 
+  test("NaN scores are dropped in update and never poison the heap order") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val agg = BoundedTopK(
+      BoundReference(0, DoubleType, nullable = true),
+      BoundReference(1, LongType, nullable = true), 3)
+    val buf = agg.createAggregationBuffer()
+    // NaN-first is the poisoning order: were it inserted, it would sit at the
+    // root and block every later insert for the group
+    agg.update(buf, InternalRow(Double.NaN, 99L))
+    assert(buf.size === 0)
+    Seq((1.0, 1L), (Double.NaN, 98L), (2.0, 2L), (3.0, 3L), (Double.NaN, 97L), (4.0, 4L))
+      .foreach { case (s, id) => agg.update(buf, InternalRow(s, id)) }
+    assert(drain(buf) === Seq((4.0, 4L), (3.0, 3L), (2.0, 2L)))
+  }
+
+  test("zero-norm corpus vector scores 0.0 and the group's ranking stays complete") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 0.0f)), // zero-norm: cosine denominator is 0
+      (3L, Array(0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val res = AnnSearch
+      .bruteForceTopK(emb.where($"vec_id" === 0), emb, "embedding", "vec_id", 3)
+      .orderBy("rank").collect()
+    assert(res.length === 3, "all non-query candidates must stay ranked")
+    val zeroRow = res.find(_.getAs[Long]("corpus_id") == 2L)
+    assert(zeroRow.isDefined, "the zero-norm vector must not be dropped")
+    assert(zeroRow.get.getAs[Double]("cosine") === 0.0)
+    assert(!res.exists(r => r.getAs[Double]("cosine").isNaN))
+  }
+
   test("plan: ObjectHashAggregate with a partial step, no Window, no sort of candidates") {
     val dir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -80,6 +80,40 @@ class IvfSpec extends AnyFunSuite with SparkSpec {
       key(AnnSearch.ivfTopKWithCentroids(q, emb, "embedding", "vec_id", 10, 64, flat, 8)))
   }
 
+  test("sampled fit keeps recall parity with the full fit") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 20)
+    val brute = AnnSearch.bruteForceTopK(queries, emb, "embedding", "vec_id", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallWith(cap: Long): Double = {
+      val flat = AnnSearch.kmeansFit(emb, "embedding", dim = 64, k = 8, iters = 3,
+          fitSampleCap = cap)
+        .flatMap { v =>
+          val n = math.sqrt(v.map(x => x * x).sum); if (n == 0) v else v.map(_ / n)
+        }
+      val ivf = AnnSearch.ivfTopKWithCentroids(queries, emb, "embedding", "vec_id",
+          10, 64, flat, nProbe = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      ivf.intersect(brute).size.toDouble / brute.size
+    }
+    // cap >= corpus: the sampled path must be bit-inert (exact legacy fit);
+    // cap = 200 of 800: iterations fit on ~1/4 of the corpus + one full
+    // re-centering pass — recall must hold within noise of the full fit
+    val full = recallWith(1_000_000L)
+    val sampled = recallWith(200L)
+    assert(full >= 0.7, s"full-fit recall $full below the fixture floor")
+    assert(sampled >= full - 0.1,
+      s"sampled-fit recall $sampled fell more than 0.1 below full-fit $full")
+  }
+
+  test("sampled fit is deterministic across invocations") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    def fit() = AnnSearch.kmeansFit(emb, "embedding", dim = 64, k = 8, iters = 2,
+      fitSampleCap = 200L).map(_.toSeq).toSeq
+    assert(fit() == fit())
+  }
+
   test("nearestCells degrades gracefully on all-NaN query vectors") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     val dim = 4
