@@ -460,6 +460,22 @@ object SparkEntry {
           col("height").cast("long").as("height"),
           col("channels").cast("long").as("channels"))),
 
+    // REAL audio decode: one deterministic 16-bit PCM WAV per doc (format
+    // parameters pure functions of doc_id), parsed by the JDK's actual WAV
+    // reader (javax.sound.sampled) inside the mapPartitions batch boundary.
+    // The oracle recomputes the parameter formulas — a header mis-parse or
+    // encode/decode disagreement breaks the hash. Byte size is NOT oracled
+    // (container header size is the writer's business).
+    "multimodal_decode_wav" -> ((s, dir) =>
+      Multimodal.decodeWavMeta(
+        Multimodal.encodeWavDemo(t(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "payload", "doc_id")
+        .select(col("id").as("doc_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("bits").cast("long").as("bits"),
+          col("frames").as("frames"))),
+
     // ---- as-of join over events: each click attaches the most recent
     // view by the same user at or before the click. Views dedup to one
     // row per (user, ts) first (max event_id) — the determinism contract.
@@ -1371,6 +1387,13 @@ object SparkEntry {
     "multimodal_decode_png" ->
       """SELECT doc_id, (doc_id % 13) + 1 AS width, (doc_id % 7) + 1 AS height,
            CAST(3 AS BIGINT) AS channels FROM documents""",
+    // the WAV round trip: the real JDK parser must report exactly the
+    // format the fixture generator encoded (rate = 8000 + doc_id mod 5 *
+    // 2000, channels = doc_id mod 2 + 1, 16-bit, frames = doc_id mod 50 + 1)
+    "multimodal_decode_wav" ->
+      """SELECT doc_id, 8000 + (doc_id % 5) * 2000 AS sample_rate,
+           (doc_id % 2) + 1 AS channels, CAST(16 AS BIGINT) AS bits,
+           (doc_id % 50) + 1 AS frames FROM documents""",
     // DuckDB's native ASOF LEFT JOIN is the ground truth for AsofJoin's
     // union-window plan; views dedup to one row per (user, ts) in both
     // engines so "the most recent view" is well-defined.

@@ -7,13 +7,14 @@ import org.apache.spark.sql.functions._
   * with typed metadata.
   *
   * The Spark-side structure — schema, partitioning, batch boundaries — is
-  * real and tested. The IMAGE modality is decoded for real:
-  * [[decodeImageMeta]] runs `javax.imageio` (JDK-bundled PNG/JPEG/GIF/BMP
-  * readers) inside the per-partition batch boundary; [[encodePngDemo]] is
-  * its deterministic test-fixture counterpart. Audio/video kernels remain
-  * stubbed with deterministic fakes ([[fakeDecodeMeta]], [[decodeBatch]])
-  * — those libraries don't ship in this container; swapping one in changes
-  * only the body of [[decodeBatch]], not the pipeline shape.
+  * real and tested. Two modalities are decoded for real with JDK-bundled
+  * parsers: IMAGE via `javax.imageio` ([[decodeImageMeta]], PNG/JPEG/GIF/
+  * BMP) and AUDIO via `javax.sound.sampled` ([[decodeWavMeta]], WAV/AIFF/
+  * AU headers); [[encodePngDemo]]/[[encodeWavDemo]] are their
+  * deterministic encode-half fixtures. VIDEO remains a deterministic fake
+  * ([[fakeDecodeMeta]], [[decodeBatch]]) — no codec ships in this
+  * container; swapping one in changes only the body of [[decodeBatch]],
+  * not the pipeline shape.
   */
 object Multimodal {
 
@@ -96,14 +97,91 @@ object Multimodal {
     ds.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { row =>
+        // NonFatal, not just IOException: imageio readers throw
+        // RuntimeExceptions (ArrayIndexOutOfBounds, NegativeArraySize,
+        // IllegalArgument) on malformed/truncated headers
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) ImgMeta(row.id, -1, -1, 0, row.payload.length.toLong)
         else ImgMeta(row.id, img.getWidth, img.getHeight,
           img.getRaster.getNumBands, row.payload.length.toLong)
       }
     }.toDF()
+  }
+
+  case class WavRow(id: Long, payload: Array[Byte])
+  case class WavMeta(id: Long, sample_rate: Int, channels: Int, bits: Int,
+                     frames: Long, n_bytes: Long)
+
+  /** REAL audio decode (`javax.sound.sampled`, JDK-bundled WAV/AIFF/AU
+    * parsers): container-header metadata — sample rate, channel count,
+    * sample size, frame count — per payload, inside the same
+    * `mapPartitions` batch boundary as [[decodeImageMeta]]. Undecodable
+    * payloads yield the (-1, 0, 0, -1) sentinel instead of nulls: a
+    * corrupt clip in a 100 TB crawl must not fail the stage (NonFatal —
+    * the javax parsers also throw RuntimeExceptions on truncated
+    * headers). Only the header is parsed; PCM data is not pulled through
+    * the decoder, so cost per row is O(1), not O(duration). */
+  def decodeWavMeta(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds: Dataset[WavRow] = graft.util.Partitioning.spread(
+      df.select(col(idCol).cast("long").as("id"), col(binCol).as("payload"))).as[WavRow]
+    ds.mapPartitions { it =>
+      it.map { row =>
+        val meta =
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(row.payload))
+            try {
+              val f = in.getFormat
+              WavMeta(row.id, f.getSampleRate.round, f.getChannels,
+                f.getSampleSizeInBits, in.getFrameLength, row.payload.length.toLong)
+            } finally in.close()
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              WavMeta(row.id, -1, 0, 0, -1L, row.payload.length.toLong)
+          }
+        meta
+      }
+    }.toDF()
+  }
+
+  /** Deterministic WAV fixture generator for [[decodeWavMeta]]: one real
+    * RIFF/WAVE container per row (16-bit signed PCM little-endian, written
+    * by the JDK's own `AudioSystem.write`), format parameters pure
+    * functions of the id — sample rate = 8000 + (id mod 5) * 2000,
+    * channels = (id mod 2) + 1, frames = (id mod 50) + 1 — and sample
+    * bytes seeded by (id, i). The encode half of the round trip the
+    * `multimodal_decode_wav` oracle checks: the oracle recomputes the
+    * parameter formulas, the decode is the real JDK WAV parser over real
+    * WAV bytes. */
+  def encodeWavDemo(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ids = df.select(col(idCol).cast("long").as("id")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val rate = (8000 + math.floorMod(id, 5L) * 2000).toInt
+        val channels = (math.floorMod(id, 2L) + 1).toInt
+        val frames = (math.floorMod(id, 50L) + 1).toInt
+        val fmt = new javax.sound.sampled.AudioFormat(
+          rate.toFloat, 16, channels, true /* signed */, false /* little-endian */)
+        val data = new Array[Byte](frames * channels * 2)
+        var i = 0
+        while (i < data.length) {
+          data(i) = ((id * 31 + i * 7) & 0xff).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        WavRow(id, bos.toByteArray)
+      }
+    }.toDF().withColumnRenamed("id", idCol)
   }
 
   /** Deterministic PNG fixture generator for [[decodeImageMeta]]: one real

@@ -535,4 +535,31 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Int, Int, Int, Long)].head()
     assert(g == ((7L, -1, -1, 0, 19L)))
   }
+
+  test("real WAV decode: round trip reports encoded format; garbage gets sentinels") {
+    val ids = Seq(5L, 14L, 91L).toDF("doc_id")
+    val wavs = Multimodal.encodeWavDemo(ids, "doc_id")
+    // RIFF magic proves these are genuine WAV containers, not fakes
+    val magic = Multimodal.binaryMeta(wavs, "payload")
+      .select($"magic_hex").as[String].collect()
+    assert(magic.forall(_ == "52494646"), s"not RIFF payloads: ${magic.toSeq}")
+
+    val meta = Multimodal.decodeWavMeta(wavs, "payload", "doc_id")
+      .as[(Long, Int, Int, Int, Long, Long)].collect().map(t => t._1 -> t).toMap
+    for (id <- Seq(5L, 14L, 91L)) {
+      val (_, rate, ch, bits, frames, nb) = meta(id)
+      assert(rate == (8000 + id % 5 * 2000).toInt, s"doc $id rate $rate")
+      assert(ch == (id % 2 + 1).toInt, s"doc $id channels $ch")
+      assert(bits == 16, s"doc $id bits $bits")
+      assert(frames == id % 50 + 1, s"doc $id frames $frames")
+      assert(nb > frames * ch * 2, "payload no bigger than its raw PCM data")
+    }
+
+    // an undecodable payload must sentinel, not throw or null
+    val garbage = Seq((7L, "definitely not audio".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val g = Multimodal.decodeWavMeta(garbage, "payload", "doc_id")
+      .as[(Long, Int, Int, Int, Long, Long)].head()
+    assert(g == ((7L, -1, 0, 0, -1L, 20L)))
+  }
 }
