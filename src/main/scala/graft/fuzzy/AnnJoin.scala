@@ -263,9 +263,12 @@ object AnnJoin {
     // volume-bail estimator below can run it on a SAMPLE of left values
     // before the real join runs on all of them.
     val gatedJoin: DataFrame => DataFrame = lbIn => gatePredicate match {
-      case Right(sortedKeys) =>
+      case Right(blockedKeys) =>
+        // keep rows whose bucket is NOT in the dropped set (O(drops) driver
+        // state — no join against the bucket list at any corpus size)
         val keep = (df: DataFrame) =>
-          df.where(vectorFunctions.bucket_allowed(col("__band"), col("__bkey"), sortedKeys))
+          if (blockedKeys.isEmpty) df
+          else df.where(!vectorFunctions.bucket_allowed(col("__band"), col("__bkey"), blockedKeys))
         keep(lbIn).join(keep(rb), Seq("__band", "__bkey"))
       case Left(allowed) =>
         lbIn.join(allowed, Seq("__band", "__bkey"))

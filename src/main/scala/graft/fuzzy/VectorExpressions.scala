@@ -130,12 +130,14 @@ case class WinnowSketch(child: Expression, k: Int, window: Int,
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** Membership of the (band, bucket-key) pair in a driver-collected allowed
-  * set, stored as a sorted long array probed by binary search — the
-  * broadcast-hash-join of bucket gating without the join stage. Key encoding
-  * `key * 131 + band` must match [[graft.util.CapMetrics.gate]]; 131 exceeds
-  * every validated band count (≤ 64) so distinct (band, key) pairs never
-  * collide. */
+/** Membership of the (band, bucket-key) pair in a driver-collected key set,
+  * stored as a sorted long array probed by binary search — the
+  * broadcast-hash-join of bucket gating without the join stage. Callers of
+  * [[graft.util.CapMetrics.gate]] negate it over the DROPPED keys (keep =
+  * not blocked), so driver state is O(drops) at any corpus size. Key
+  * encoding `key * 131 + band` must match [[graft.util.CapMetrics.gate]];
+  * 131 exceeds every validated band count (≤ 64) so distinct (band, key)
+  * pairs never collide. */
 case class BucketAllowed(band: Expression, bkey: Expression, sortedKeys: Array[Long])
     extends BinaryExpression with Predicate {
   override def left: Expression = band

@@ -382,9 +382,11 @@ object AnnSearch {
     val overCap = col("__qc") * col("__cc") > maxBucketPairs
     val (qg, cg) = graft.util.CapMetrics.gate(bucketStats, "ann_lsh_topk",
         "__band", "__bkey", overCap, col("__qc") * col("__cc"), checkpoint) match {
-      case Right(keys) =>
-        val keep = (df: DataFrame) => df.where(
-          graft.fuzzy.vectorFunctions.bucket_allowed(col("__band"), col("__bkey"), keys))
+      case Right(blocked) =>
+        val keep = (df: DataFrame) =>
+          if (blocked.isEmpty) df
+          else df.where(!graft.fuzzy.vectorFunctions.bucket_allowed(
+            col("__band"), col("__bkey"), blocked))
         (keep(qb), keep(cb))
       case Left(allowed) =>
         (qb.join(allowed, Seq("__band", "__bkey")), cb)

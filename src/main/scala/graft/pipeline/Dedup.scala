@@ -533,8 +533,10 @@ object Dedup {
     val overCap = col("__n") * col("__n") > maxBucketPairs
     val gatedBands = CapMetrics.gate(bucketStats, "dedup_minhash", "__band", "__bucket",
         overCap, col("__n") * col("__n"), checkpoint) match {
-      case Right(keys) => banded.where(
-        graft.fuzzy.vectorFunctions.bucket_allowed(col("__band"), col("__bucket"), keys))
+      case Right(blocked) =>
+        if (blocked.isEmpty) banded
+        else banded.where(!graft.fuzzy.vectorFunctions.bucket_allowed(
+          col("__band"), col("__bucket"), blocked))
       case Left(allowed) => banded.join(allowed, Seq("__band", "__bucket"))
     }
 
@@ -621,8 +623,10 @@ object Dedup {
     val overCap = col("__n") * col("__n") > maxBucketPairs
     val gated = CapMetrics.gate(bucketStats, "dedup_simhash", "__chunk", "__ckey",
         overCap, col("__n") * col("__n"), checkpoint) match {
-      case Right(keys) => chunked.where(
-        graft.fuzzy.vectorFunctions.bucket_allowed(col("__chunk"), col("__ckey"), keys))
+      case Right(blocked) =>
+        if (blocked.isEmpty) chunked
+        else chunked.where(!graft.fuzzy.vectorFunctions.bucket_allowed(
+          col("__chunk"), col("__ckey"), blocked))
       case Left(allowed) => chunked.join(allowed, Seq("__chunk", "__ckey"))
     }
 
@@ -743,8 +747,10 @@ object Dedup {
     val overCap = col("__n") * col("__n") > maxBucketPairs
     val gated = CapMetrics.gate(bucketStats, "dedup_cosine_lsh", "__band", "__bkey",
         overCap, col("__n") * col("__n"), checkpoint) match {
-      case Right(keys) => chunked.where(
-        graft.fuzzy.vectorFunctions.bucket_allowed(col("__band"), col("__bkey"), keys))
+      case Right(blocked) =>
+        if (blocked.isEmpty) chunked
+        else chunked.where(!graft.fuzzy.vectorFunctions.bucket_allowed(
+          col("__band"), col("__bkey"), blocked))
       case Left(allowed) => chunked.join(allowed, Seq("__band", "__bkey"))
     }
 

@@ -59,20 +59,32 @@ object CapMetrics {
                        checkpoint: CheckpointStrategy): DataFrame =
     accountBucketCapWithStats(bucketStats, stage, overCap, pairs, checkpoint)._1
 
-  /** Bucket gate with accounting, two regimes (shared by every LSH-style
-    * pair generator):
-    *  - bucket count fits on the driver (the overwhelmingly common case —
-    *    one row per candidate bucket): ONE collect, driver-side drop
-    *    accounting, and the allowed set returns as a sorted key array for a
-    *    codegen'd membership filter ([[graft.fuzzy.BucketAllowed]]) — no
-    *    checkpoint, no extra action, no join stage;
-    *  - larger: materialized stats + accounted frame to join (scale path).
+  /** Bucket gate with accounting, three regimes (shared by every LSH-style
+    * pair generator). `Right` carries the sorted DROPPED bucket keys — the
+    * caller keeps rows whose bucket is NOT in the set (via a negated
+    * codegen'd membership filter, [[graft.fuzzy.BucketAllowed]]); `Left`
+    * carries an allowed-buckets frame to equi-join against:
+    *  - bucket count fits on the driver (small corpora): ONE collect,
+    *    driver-side drop accounting — no checkpoint, no extra action;
+    *  - more buckets than that, but drops fit (THE scale regime: drops are
+    *    outliers by design, so a 100 TB corpus with billions of healthy
+    *    buckets still lands here): stats materialize cluster-side, one
+    *    4-scalar aggregate accounts the drops, and only the dropped keys
+    *    ship to the driver — driver state is O(drops), not O(buckets), and
+    *    the band frames never pay a join against the bucket list (measured
+    *    at sf10: the allowed-frame join made LSH candidate generation grow
+    *    18x at 10x values; the blocked-keys filter restored ~linear);
+    *  - more DROPPED buckets than the driver cap (pathological — the
+    *    volume-bail/exact-fallback territory): allowed-frame join.
     *
     * `bandCol` must be int-typed, `keyCol` long-typed; the driver-side key
     * is `key * 131 + band` (the multiplier must exceed every validated band
-    * count — currently ≤ 64 — or distinct (band, key) pairs collide and an
-    * over-cap bucket can slip past the gate), matching
-    * [[graft.fuzzy.BucketAllowed]] which MUST stay in sync. */
+    * count — currently ≤ 64 — or distinct (band, key) pairs collide and a
+    * healthy bucket could be dropped with an over-cap one), matching
+    * [[graft.fuzzy.BucketAllowed]] which MUST stay in sync. A 64-bit hash
+    * collision between a dropped and a kept bucket key drops the kept
+    * bucket too: a bounded recall perturbation (same class as the cap
+    * itself, ~drops x buckets / 2^64), never a wrong score. */
   def gate(bucketStats: DataFrame, stage: String, bandCol: String, keyCol: String,
            overCap: Column, pairs: Column, checkpoint: CheckpointStrategy,
            maxDriverBuckets: Int = 2_000_000): Either[DataFrame, Array[Long]] =
@@ -91,20 +103,33 @@ object CapMetrics {
         overCap.as("__over"), pairs.cast("long").as("__p"))
       .limit(maxDriverBuckets + 1).collect()
     if (rows.length > maxDriverBuckets) {
+      // Too many buckets to ship; account cluster-side, then ship only the
+      // dropped keys (the scale regime — see the scaladoc on [[gate]]).
       val (stats, s) = accountBucketCapWithStats(bucketStats, stage, overCap, pairs, checkpoint)
-      (Left(stats.where(!overCap).select(col(bandCol), col(keyCol))), s)
+      if (s.droppedBuckets <= maxDriverBuckets) {
+        // hash on the driver: key * 131 wraps on overflow by design, and
+        // Spark-side long arithmetic would throw under ANSI instead
+        val blocked = stats.where(overCap)
+          .select(col(bandCol).cast("int").as("__b"), col(keyCol).as("__k"))
+          .collect().map(r => r.getLong(1) * 131L + r.getInt(0))
+        java.util.Arrays.sort(blocked)
+        (Right(blocked), s)
+      } else
+        (Left(stats.where(!overCap).select(col(bandCol), col(keyCol))), s)
     } else {
       var dropped = 0L
       var droppedPairs = 0L
       var keptPairs = 0L
-      val keys = Array.newBuilder[Long]
+      val blocked = Array.newBuilder[Long]
       rows.foreach { r =>
-        if (r.getBoolean(2)) { dropped += 1; droppedPairs += r.getLong(3) }
-        else { keptPairs += r.getLong(3); keys += r.getLong(1) * 131L + r.getInt(0) }
+        if (r.getBoolean(2)) {
+          dropped += 1; droppedPairs += r.getLong(3)
+          blocked += r.getLong(1) * 131L + r.getInt(0)
+        } else keptPairs += r.getLong(3)
       }
       val s = CapStats(dropped, rows.length.toLong, droppedPairs, keptPairs)
       record(stage, s)
-      val sorted = keys.result()
+      val sorted = blocked.result()
       java.util.Arrays.sort(sorted)
       (Right(sorted), s)
     }

@@ -60,20 +60,51 @@ class CapMetricsSpec extends AnyFunSuite with SparkSpec {
     import org.apache.spark.sql.functions._
     // Regression: the old `key * 31 + band` encoding collided
     // (key=0, band=31) with (key=1, band=0), letting an over-cap bucket
-    // slip past the codegen'd membership filter. The allowed bucket here is
+    // slip past the codegen'd membership filter. The kept bucket here is
     // (band=31, key=0); the DROPPED one is (band=0, key=1) — under the old
-    // encoding both mapped to 31 and the dropped bucket was re-admitted.
+    // encoding both mapped to 31, making them indistinguishable in the
+    // blocked-key set.
     val stats = Seq((31, 0L, 2L), (0, 1L, 1000L)).toDF("__band", "__bucket", "__n")
     val gated = CapMetrics.gate(stats, "encoding_spec", "__band", "__bucket",
       col("__n") * col("__n") > 100L, col("__n") * col("__n"),
       graft.util.CheckpointStrategy.Local)
-    val keys = gated.toOption.getOrElse(fail("expected driver-side gate regime"))
+    val blocked = gated.toOption.getOrElse(fail("expected driver-side gate regime"))
     val banded = Seq((31, 0L, "keep"), (0, 1L, "drop")).toDF("__band", "__bucket", "tag")
-    val kept = banded.where(graft.fuzzy.vectorFunctions.bucket_allowed(
-        col("__band"), col("__bucket"), keys))
+    val kept = banded.where(!graft.fuzzy.vectorFunctions.bucket_allowed(
+        col("__band"), col("__bucket"), blocked))
       .select("tag").collect().map(_.getString(0)).toSet
     assert(kept == Set("keep"), s"gate admitted wrong buckets: $kept")
     val s = CapMetrics.lastMetrics("encoding_spec").get
     assert(s.droppedBuckets == 1 && s.totalBuckets == 2)
+  }
+
+  test("scale regime ships only dropped keys when buckets exceed the driver cap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 5 buckets against a driver cap of 2 forces cluster-side accounting;
+    // the single over-cap bucket still fits, so the gate must return the
+    // blocked-keys fast path (driver state O(drops)), NOT the
+    // allowed-frame join — that join made LSH candidate generation grow
+    // 18x at 10x values at sf10 (SCALE.md round 8).
+    val stats = Seq((0, 1L, 2L), (1, 2L, 2L), (2, 3L, 2L), (3, 4L, 2L), (0, 5L, 1000L))
+      .toDF("__band", "__bucket", "__n")
+    val (gate, s) = CapMetrics.gateWithStats(stats, "scale_regime_spec", "__band",
+      "__bucket", col("__n") * col("__n") > 100L, col("__n") * col("__n"),
+      graft.util.CheckpointStrategy.Local, maxDriverBuckets = 2)
+    val blocked = gate.toOption
+      .getOrElse(fail("expected blocked-keys regime, got the allowed-frame join"))
+    assert(blocked.toSeq == Seq(5L * 131L + 0),
+      s"blocked set should hold exactly the over-cap bucket key: ${blocked.toSeq}")
+    assert(s.droppedBuckets == 1 && s.totalBuckets == 5)
+    assert(s.droppedPairs == 1000L * 1000L && s.keptPairs == 16L)
+
+    // more DROPPED buckets than the cap: the join path remains the backstop
+    val allOver = Seq((0, 1L, 50L), (1, 2L, 50L), (2, 3L, 50L), (3, 4L, 50L))
+      .toDF("__band", "__bucket", "__n")
+    val (gate2, s2) = CapMetrics.gateWithStats(allOver, "scale_regime_spec", "__band",
+      "__bucket", col("__n") * col("__n") > 100L, col("__n") * col("__n"),
+      graft.util.CheckpointStrategy.Local, maxDriverBuckets = 2)
+    assert(gate2.isLeft, "with drops over the driver cap the gate must return a frame")
+    assert(s2.droppedBuckets == 4 && s2.keptPairs == 0L)
   }
 }
