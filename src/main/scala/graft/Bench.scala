@@ -246,7 +246,7 @@ object Bench {
         docs.where(bkt >= 100000L), docs.where(bkt < 100000L), "text", "doc_id", 5)
     }),
     "asof_events" -> (s => {
-      val ev = s.read.parquet(s"$sfDir/events.parquet").select(col("event_id"),
+      val ev = graft.util.EventTs.loadEvents(s, sfDir).select(col("event_id"),
         col("user_id"), expr("ts div 1000").as("ts_us"), col("event_type"))
       val clicks = ev.where(col("event_type") === "click")
         .select(col("user_id"), col("event_id").as("click_id"),

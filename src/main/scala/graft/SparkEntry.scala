@@ -17,20 +17,20 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark refuses without
-    * the legacy conf. Set it here (a runtime SQL conf) so the events
-    * queries are self-contained on ANY caller-built session, not only the
-    * in-repo mains. Timestamps then read as raw nano longs.
+  /** events.parquet's `ts` encoding varies across testdata generations
+    * (TIMESTAMP(NANOS)-as-long vs TIMESTAMP_NTZ micros); every events
+    * query here works on epoch-nano longs, so the shared loader
+    * ([[graft.util.EventTs]]) normalizes on read — self-contained on ANY
+    * caller-built session, not only the in-repo mains.
     *
-    * DOCUMENTED SIDE EFFECT: the conf stays set on the session — the
+    * DOCUMENTED SIDE EFFECT: the loader leaves
+    * `spark.sql.legacy.parquet.nanosAsLong=true` set on the session — the
     * returned frame is lazy and parquet schema conversion consults the
     * conf through execution, so restoring it here would break the query
     * it just enabled. Callers who later need TIMESTAMP(NANOS) columns
     * read as timestamps must unset it themselves. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-  }
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.util.EventTs.loadEvents(s, dir)
 
   import FuzzyAlgorithm._
 
@@ -295,6 +295,23 @@ object SparkEntry {
       res.select(col("query_id"), col("corpus_id"),
         sround(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
     }),
+    // radius (range) search: every neighbor at cosine >= tau, exact arm
+    "ann_radius" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val res = AnnSearch.bruteForceRadius(emb.where(col("vec_id") < 10), emb,
+        "embedding", "vec_id", 0.4)
+      res.select(col("query_id"), col("corpus_id"), sround(col("cosine"), 6).as("cosine"))
+    }),
+    // radius search on the LSH scale path — md5-integer planes so the
+    // bucket assignment (and the candidate set) reproduces in SQL; cap
+    // disabled like every oracled LSH entry (see dedup_cosine_lsh)
+    "ann_radius_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val res = AnnSearch.lshRadius(emb.where(col("vec_id") < 10), emb,
+        "embedding", "vec_id", 0.4, dim = 64, planes = 16, bands = 8,
+        maxBucketPairs = Long.MaxValue, md5IntPlanes = true)
+      res.select(col("query_id"), col("corpus_id"), sround(col("cosine"), 6).as("cosine"))
+    }),
 
     // ---- text analysis over `documents`
     "text_stats" -> ((s, dir) =>
@@ -342,6 +359,18 @@ object SparkEntry {
     "curate_sample" -> ((s, dir) =>
       Curation.hashSample(t(s, dir, "documents"), "doc_id", 0.25)
         .select(col("doc_id"))),
+    // deterministic global shuffle + shard assignment for training export
+    "curate_shard" -> ((s, dir) =>
+      Curation.shuffleShard(t(s, dir, "documents"), "doc_id", 8)
+        .select(col("doc_id"), col("shard"), col("shard_pos"))),
+    // corpus n-gram census: trigrams shared by >= 2 documents
+    "text_ngram_freq" -> ((s, dir) =>
+      Dedup.ngramFrequency(t(s, dir, "documents"), "text", "doc_id", 3, 2L)
+        .select(col("ngram"), col("doc_count"), col("first_doc"))),
+    // per-document boilerplate exposure against that census
+    "dedup_boilerplate" -> ((s, dir) =>
+      Dedup.boilerplateFlags(t(s, dir, "documents"), "text", "doc_id", 3, 2L)
+        .select(col("doc_id"), col("hot_ngrams"), col("boiler_frac"))),
     "curate_stratified" -> ((s, dir) =>
       Curation.stratifiedHashSample(t(s, dir, "documents"), "doc_id", "source",
         Map("web" -> 0.1, "books" -> 1.0), defaultRate = 0.5)
@@ -1211,6 +1240,65 @@ object SparkEntry {
                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
                FROM sc)
          SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 10""",
+    // radius search, exact arm: directed (query < 10) threshold pairs
+    "ann_radius" ->
+      """SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+         FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND a.vec_id != b.vec_id
+         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""",
+    // radius search on the LSH path: same md5-integer-plane bucket
+    // recomputation as ann_cosine_lsh, threshold filter instead of rank
+    "ann_radius_lsh" ->
+      """WITH pl AS (SELECT p, d,
+                (('0x' || substring(md5(p || '_' || d), 1, 15))::BIGINT % 2097152) - 1048576 AS comp
+              FROM range(16) tp(p), range(64) td(d)),
+         pv AS (SELECT p, list(comp ORDER BY d) AS pc FROM pl GROUP BY p),
+         qn AS (SELECT vec_id,
+                  list_transform(range(1, 65), i -> CAST(floor(embedding[i]::DOUBLE * 4096) AS BIGINT)) AS qv
+                FROM embeddings),
+         db AS (SELECT vec_id,
+                  CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65), i -> qv[i] * pc[i])) > 0
+                        THEN (1::BIGINT << p::INT) ELSE 0::BIGINT END) AS BIGINT) AS bits
+                FROM qn CROSS JOIN pv GROUP BY vec_id),
+         bd AS (SELECT vec_id, c AS band, (bits >> (2*c)::INT) & 3 AS bkey FROM db, range(8) rc(c)),
+         cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+                  FROM bd q JOIN bd c ON q.band = c.band AND q.bkey = c.bkey
+                  WHERE q.vec_id < 10 AND q.vec_id != c.vec_id)
+         SELECT query_id, corpus_id,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+         FROM cand JOIN embeddings a ON cand.query_id = a.vec_id
+                   JOIN embeddings b ON cand.corpus_id = b.vec_id
+         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""",
+    // deterministic shuffle-shard export: md5-keyed shard + in-shard rank
+    "curate_shard" ->
+      """WITH b AS (SELECT doc_id,
+                (('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000) % 8 AS shard,
+                md5(doc_id::VARCHAR) AS h
+              FROM documents)
+         SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS shard_pos
+         FROM b""",
+    // corpus trigram census (same shingle CTE family as dedup_ngram_jaccard)
+    "text_ngram_freq" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+         s AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) END AS sh FROM t),
+         e AS (SELECT doc_id, unnest(sh) AS g FROM s)
+         SELECT g AS ngram, count(*) AS doc_count, min(doc_id) AS first_doc
+         FROM e GROUP BY g HAVING count(*) >= 2""",
+    // per-document hot-trigram exposure against that census
+    "dedup_boilerplate" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+         s AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) END AS sh FROM t),
+         e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         hot AS (SELECT g FROM e GROUP BY g HAVING count(*) >= 2),
+         tot AS (SELECT doc_id, len(sh) AS total FROM s),
+         h AS (SELECT e.doc_id AS doc_id, count(*) AS hot_ngrams
+               FROM e JOIN hot ON e.g = hot.g GROUP BY e.doc_id)
+         SELECT h.doc_id AS doc_id, hot_ngrams,
+           round(hot_ngrams::DOUBLE / total, 6) AS boiler_frac
+         FROM h JOIN tot ON h.doc_id = tot.doc_id""",
     "text_stats" ->
       """SELECT doc_id,
          len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,

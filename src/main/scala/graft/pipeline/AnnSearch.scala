@@ -330,7 +330,58 @@ object AnnSearch {
               maxBucketPairs: Long = 4_000_000L,
               checkpoint: graft.util.CheckpointStrategy =
                 graft.util.CheckpointStrategy.Local,
-              md5IntPlanes: Boolean = false): DataFrame = {
+              md5IntPlanes: Boolean = false): DataFrame =
+    rankTopK(lshScoredCandidates(queries, corpus, vecCol, idCol, dim, planes,
+      bands, seed, maxBucketPairs, checkpoint, md5IntPlanes), "cosine", k)
+
+  /** Exact radius search: EVERY corpus neighbor with cosine >= `tau`, per
+    * query — the "all near-duplicates of these documents" / "everything
+    * semantically close to this eval set" query, where top-k's fixed
+    * cutoff either truncates dense neighborhoods or pads sparse ones.
+    * Same broadcast-query shape (and [[BroadcastQueryLimit]] caveat) as
+    * [[bruteForceTopK]]; output is a pure filter, so no ranking state at
+    * all — the scan stays in one codegen stage. Zero-norm vectors score
+    * 0.0 (never NaN — [[graft.fuzzy.VectorKernels.cosineF]]), so any
+    * positive `tau` excludes them deterministically. */
+  def bruteForceRadius(queries: DataFrame, corpus: DataFrame,
+                       vecCol: String, idCol: String, tau: Double): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = spread(corpus).select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
+    c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        Dedup.cosineSimilarity(col("__qv"), col("__cv")).as("cosine"))
+      .where(col("cosine") >= tau)
+  }
+
+  /** LSH-bucketed radius search: [[bruteForceRadius]]'s semantics on
+    * [[lshTopK]]'s scale path — banded sign-LSH candidates, exact cosine
+    * verify, `>= tau` filter. Recall follows the band collision curve
+    * exactly as for top-k (a >= tau neighbor missing every band is
+    * missed); for radius work the bands should be tuned so the collision
+    * probability at `tau` is near 1 (more/narrower bands than a top-k
+    * probe of the same corpus). */
+  def lshRadius(queries: DataFrame, corpus: DataFrame,
+                vecCol: String, idCol: String, tau: Double,
+                dim: Int, planes: Int = 16, bands: Int = 4, seed: Long = 42L,
+                maxBucketPairs: Long = 4_000_000L,
+                checkpoint: graft.util.CheckpointStrategy =
+                  graft.util.CheckpointStrategy.Local,
+                md5IntPlanes: Boolean = false): DataFrame =
+    lshScoredCandidates(queries, corpus, vecCol, idCol, dim, planes, bands,
+      seed, maxBucketPairs, checkpoint, md5IntPlanes)
+      .where(col("cosine") >= tau)
+
+  /** Shared LSH candidate stage: exact-cosine-scored unique
+    * (query_id, corpus_id, cosine) candidate rows from the banded bucket
+    * join — [[lshTopK]] ranks them, [[lshRadius]] range-filters them. */
+  private def lshScoredCandidates(
+      queries: DataFrame, corpus: DataFrame,
+      vecCol: String, idCol: String,
+      dim: Int, planes: Int, bands: Int, seed: Long,
+      maxBucketPairs: Long,
+      checkpoint: graft.util.CheckpointStrategy,
+      md5IntPlanes: Boolean): DataFrame = {
     require(planes >= 1 && planes <= 64, s"planes must be in [1, 64] (got $planes)")
     require(bands >= 1 && bands <= planes && planes / bands < 64,
       s"bands must satisfy 1 <= bands <= planes and planes/bands < 64 " +
@@ -398,12 +449,10 @@ object AnnSearch {
       .where(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"))
       .dropDuplicates("query_id", "corpus_id")
-    val cand = pairIds
+    pairIds
       .join(qv, Seq("query_id"))
       .join(cv, Seq("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         Dedup.cosineSimilarity(col("__qv"), col("__cv")).as("cosine"))
-
-    rankTopK(cand, "cosine", k)
   }
 }

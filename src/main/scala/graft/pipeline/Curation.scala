@@ -316,6 +316,30 @@ object Curation {
       .drop("__grp", "__thr")
   }
 
+  /** Deterministic global shuffle + shard assignment for training-data
+    * export: every row gets a `shard` in [0, numShards) and a contiguous
+    * 1-based `shard_pos` within its shard, ordered by the md5 of the key
+    * — the "shuffle the corpus, write N shard files, stream them in
+    * order" step at the end of every curation pipeline.
+    *
+    * Scale design: there is NO global sort and no single-reducer
+    * bottleneck. The shard is a pure md5 projection (uniform across
+    * shards by construction), and the position is a per-shard
+    * `row_number` — one shuffle on the shard key, parallelism =
+    * numShards. Each shard's sort buffers only corpus/numShards rows;
+    * size numShards so a shard fits an executor (at 100 TB and 10k
+    * shards that is 10 GB/shard — spill-safe). Reproducible across runs,
+    * engines and partitionings: the order key is
+    * (md5(key), key) — a total order, so `shard_pos` is unique even
+    * under md5 collisions. */
+  def shuffleShard(df: DataFrame, keyCol: String, numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be positive (got $numShards)")
+    val hex = md5(col(keyCol).cast("string"))
+    val w = Window.partitionBy(col("shard")).orderBy(hex.asc, col(keyCol).asc)
+    df.withColumn("shard", (md5Bucket(col(keyCol)) % numShards).cast("long"))
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+  }
+
   /** Per-group corpus profile: row count, total and mean size, and EXACT
     * p50/p90 of `numCol` — the summary a curation run publishes per
     * (language, source) slice before and after each filter stage.

@@ -179,6 +179,55 @@ object Dedup {
       explode(graft.fuzzy.vectorFunctions.word_shingles(lower(trim(col(textCol))), n))
         .as("__shingle"))
 
+  /** Corpus-wide n-gram census: for every distinct lowercase word n-gram
+    * that appears in at least `minDocs` DOCUMENTS, the document frequency
+    * and the smallest containing doc id. The discovery stage of
+    * exact-substring boilerplate removal (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better" — the bounded word-n-gram
+    * variant): repeated licence headers, navigation chrome and template
+    * sentences surface as high-`doc_count` rows.
+    *
+    * Scale design: shingles are distinct per document
+    * ([[wordShingles]]), so this is one hash-aggregate keyed by the
+    * n-gram — map-side partial counts absorb the per-document repetition
+    * and the shuffle carries one row per distinct (partition, n-gram).
+    * No pair generation anywhere; cost is linear in corpus tokens. */
+  def ngramFrequency(docs: DataFrame, textCol: String, idCol: String,
+                     n: Int, minDocs: Long = 2L): DataFrame =
+    wordShingles(docs, textCol, idCol, n)
+      .groupBy(col("__shingle"))
+      .agg(count(lit(1)).as("doc_count"), min(col(idCol)).as("first_doc"))
+      .where(col("doc_count") >= minDocs)
+      .select(col("__shingle").as("ngram"), col("doc_count"), col("first_doc"))
+
+  /** Per-document boilerplate exposure: how many of the document's
+    * distinct n-grams are "hot" (shared by >= `minDocs` documents,
+    * per [[ngramFrequency]]), plus the document's total distinct n-gram
+    * count — the flagging stage of exact-substring dedup. Downstream
+    * either drops documents whose `boiler_frac` exceeds a budget or
+    * routes them to span-level removal. Emits one row per document that
+    * contains at least one hot n-gram.
+    *
+    * Scale design: the hot set is the (small) output of a linear census,
+    * and re-attaching it is an equi-join on the n-gram key — with AQE the
+    * post-filter hot frame broadcasts when it fits. The shingle frame is
+    * computed twice (once for the census, once for the join); both are
+    * single scan+project passes, and a caller looping over several
+    * `minDocs` budgets should materialize `ngramFrequency` once instead. */
+  def boilerplateFlags(docs: DataFrame, textCol: String, idCol: String,
+                       n: Int, minDocs: Long = 2L): DataFrame = {
+    val sh = wordShingles(docs, textCol, idCol, n)
+    val hot = ngramFrequency(docs, textCol, idCol, n, minDocs)
+      .select(col("ngram").as("__shingle"))
+    sh.join(hot, Seq("__shingle"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("hot_ngrams"))
+      .join(sh.groupBy(col(idCol)).agg(count(lit(1)).as("total_ngrams")), Seq(idCol))
+      .select(col(idCol), col("hot_ngrams"),
+        round(col("hot_ngrams").cast("double") / col("total_ngrams"), 6)
+          .as("boiler_frac"))
+  }
+
   /** Per-document sorted distinct shingle-hash sets: (idCol, __hset). One
     * narrow codegen projection (8 B/shingle), materialized once — the
     * shared verify frame for [[ngramJaccardPairs]] and

@@ -137,7 +137,7 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("funnel: every exchange is keyed on the user, no global sort") {
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.util.EventTs.loadEvents(spark, dir)
       .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_type"))
     val plan = graft.pipeline.Funnels.funnelSteps(ev, "user_id", "ts_us",
         "event_type", Seq("view", "click", "purchase"))

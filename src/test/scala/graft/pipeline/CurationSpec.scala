@@ -184,6 +184,32 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(out.size == 4 && out("a") != null && out("c") != null)
   }
 
+  test("shuffleShard: balanced shards, contiguous positions, deterministic") {
+    val n = docs.count()
+    val out = Curation.shuffleShard(docs, "doc_id", 8)
+      .select($"doc_id".as[Long], $"shard".as[Long], $"shard_pos".as[Long])
+      .collect()
+    assert(out.length == n, "sharding must not add or drop rows")
+    val byShard = out.groupBy(_._2)
+    assert(byShard.keySet.subsetOf((0L until 8L).toSet))
+    // md5 uniformity: no shard more than 2x the fair share on this fixture
+    val fair = n.toDouble / 8
+    byShard.foreach { case (s, rows) =>
+      assert(rows.length < fair * 2, s"shard $s has ${rows.length} of $n rows")
+      // positions are exactly 1..count within the shard (no gaps, no dups)
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // deterministic: a rerun assigns every row identically
+    val again = Curation.shuffleShard(docs, "doc_id", 8)
+      .select($"doc_id".as[Long], $"shard".as[Long], $"shard_pos".as[Long])
+      .collect()
+    assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+    // single-shard degenerate case: a full 1..n global shuffle order
+    val one = Curation.shuffleShard(docs, "doc_id", 1)
+      .select($"shard_pos".as[Long]).collect().sorted.toSeq
+    assert(one == (1L to n).toSeq)
+  }
+
   test("weightedHashSample clamps out-of-range weights to drop-all/keep-all") {
     val n = docs.count()
     // weight > 1 degenerates to keep-all, negative to drop-all — not UB

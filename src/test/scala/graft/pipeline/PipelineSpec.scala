@@ -26,6 +26,31 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(sh == Set((1L, "a b c"), (1L, "b c d"), (2L, "a b")))
   }
 
+  test("ngramFrequency counts document frequency; boilerplateFlags exposure") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps"),   // "the quick brown" etc.
+      (2L, "the quick brown dog sits"),    // shares "the quick brown"
+      (3L, "completely different words here"),
+      (4L, "the quick brown fox runs")     // shares two trigrams with 1
+    ).toDF("doc_id", "text")
+    val freq = Dedup.ngramFrequency(d, "text", "doc_id", 3, 2L)
+      .as[(String, Long, Long)].collect().toSet
+    assert(freq == Set(("the quick brown", 3L, 1L), ("quick brown fox", 2L, 1L)))
+    val flags = Dedup.boilerplateFlags(d, "text", "doc_id", 3, 2L)
+      .select($"doc_id".as[Long], $"hot_ngrams".as[Long], $"boiler_frac".as[Double])
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 3 has no hot trigram -> absent; docs 1/4 carry both hot grams,
+    // doc 2 carries one; each doc has 3 distinct trigrams
+    assert(!flags.contains(3L))
+    assert(flags(1L) == ((2L, 0.666667)) && flags(4L) == ((2L, 0.666667)))
+    assert(flags(2L) == ((1L, 0.333333)))
+    // census with minDocs=1 degenerates to the full distinct-gram census:
+    // docs 1/2/4 have 3 trigrams, doc 3 (4 words) has 2; "the quick brown"
+    // appears 3x and "quick brown fox" 2x -> 11 instances, 8 distinct
+    val all = Dedup.ngramFrequency(d, "text", "doc_id", 3, 1L).count()
+    assert(all == 8, s"expected 8 distinct trigrams, got $all")
+  }
+
   test("native word_shingles kernel matches the HOF construction on real documents") {
     // the kernel replaced split+transform+slice+concat_ws+array_distinct;
     // token/edge semantics (regex-boundary empties, short-doc collapse,
@@ -243,6 +268,49 @@ class AnnSearchSpec extends AnyFunSuite with SparkSpec {
       .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"ANN search recall $recall")
+  }
+
+  test("radius search: every returned pair clears tau; LSH arm is a subset") {
+    val tau = 0.2
+    val queries = emb.where($"vec_id" < 20)
+    val exact = AnnSearch.bruteForceRadius(queries, emb, "embedding", "vec_id", tau)
+    val rows = exact.collect()
+    assert(rows.nonEmpty, "fixture should have some pairs above tau=0.2")
+    assert(rows.forall(_.getAs[Double]("cosine") >= tau))
+    // brute radius == brute top-k with unbounded k, filtered at tau
+    val viaTopK = AnnSearch.bruteForceTopK(queries, emb, "embedding", "vec_id",
+        k = emb.count().toInt)
+      .where($"cosine" >= tau)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val exactSet = rows.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    assert(exactSet == viaTopK, "radius must equal threshold-filtered exhaustive top-k")
+    // LSH arm: same scoring on the banded candidate set -> subset with recall
+    val approx = AnnSearch.lshRadius(queries, emb, "embedding", "vec_id", tau,
+        dim = 64, planes = 16, bands = 8)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(approx.subsetOf(exactSet),
+      "LSH radius must never emit a pair below tau or outside the exact set")
+    val recall = approx.size.toDouble / exactSet.size
+    assert(recall >= 0.5, s"LSH radius recall $recall")
+  }
+
+  test("radius search scores zero-norm vectors 0.0 — excluded by positive tau") {
+    val zero = Seq((9999L, Array.fill(64)(0.0f).toSeq)).toDF("vec_id", "embedding")
+    val corpus = emb.select($"vec_id", $"embedding").unionByName(zero)
+    // zero-norm cosine is defined as 0.0 (VectorKernels.cosineF), never
+    // NaN — so any positive tau excludes it deterministically...
+    val out = AnnSearch.bruteForceRadius(emb.where($"vec_id" < 5), corpus,
+      "embedding", "vec_id", 0.01)
+    assert(!out.where($"corpus_id" === 9999L).collect().exists(_ => true))
+    // ...and a zero/negative tau includes it with a well-defined score
+    val at0 = AnnSearch.bruteForceRadius(emb.where($"vec_id" < 5), corpus,
+      "embedding", "vec_id", 0.0).where($"corpus_id" === 9999L).collect()
+    assert(at0.length == 5 && at0.forall(_.getAs[Double]("cosine") == 0.0))
+    // zero-norm QUERY: all its scores are 0.0, present only at tau <= 0
+    assert(AnnSearch.bruteForceRadius(zero, emb, "embedding", "vec_id", 0.01).count() == 0)
+    assert(AnnSearch.bruteForceRadius(zero, emb, "embedding", "vec_id", 0.0)
+      .count() == emb.count())
   }
 }
 

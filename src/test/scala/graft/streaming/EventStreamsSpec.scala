@@ -15,12 +15,13 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
 
   private val eventsPath = "/root/testdata/sf0.001/events.parquet"
 
-  // ts is TIMESTAMP(NANOS) in the files -> read as long ns, convert to a
+  // normalize whatever the file stores to epoch nanos, then convert to a
   // proper timestamp column for event-time semantics
   private def withTs(df: org.apache.spark.sql.DataFrame) =
     // integer division: `/ 1000` would route through double and lose
     // sub-ms precision at 2024-epoch nano magnitudes (~1.7e18 > 2^53)
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.util.EventTs.normalizeTs(df)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   // FileStreamSource requires a DIRECTORY; stage the single parquet file
   private lazy val streamDir: String = {

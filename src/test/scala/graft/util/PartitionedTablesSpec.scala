@@ -10,8 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class PartitionedTablesSpec extends AnyFunSuite with SparkSpec {
 
   test("day-partitioned write prunes directories on a date-range read") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = graft.util.EventTs.loadEvents(spark, "/root/testdata/sf0.001")
       .select(col("event_id"), col("user_id"), col("ts"))
     val dir = s"/tmp/graft_daypart_${System.nanoTime()}"
     PartitionedTables.writeDayPartitioned(ev, dir, "ts")
@@ -58,8 +57,7 @@ class PartitionedTablesSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("one file per day (no small-file explosion from parallel writers)") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = graft.util.EventTs.loadEvents(spark, "/root/testdata/sf0.001")
       .repartition(8) // simulate many upstream tasks
       .select(col("event_id"), col("ts"))
     val dir = s"/tmp/graft_daypart2_${System.nanoTime()}"

@@ -33,8 +33,7 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("z-ordered layout skips files on the secondary key; primary sort cannot") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = graft.util.EventTs.loadEvents(spark, "/root/testdata/sf0.001")
       .withColumn("tsec", expr("ts div 1000000000"))
       .select(col("event_id"), col("user_id"), col("tsec"))
     val nFiles = 16
