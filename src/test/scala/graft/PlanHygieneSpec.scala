@@ -136,6 +136,29 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
       s"top-N vocabulary must plan as TakeOrdered, not a global sort:\n$plan")
   }
 
+  test("shuffleShard: one shard-keyed exchange, never a global sort") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.pipeline.Curation.shuffleShard(docs, "doc_id", 8)
+      .queryExecution.executedPlan.toString
+    // the in-shard position is a per-shard window: exchange on the shard
+    // key, partition-local sort — a global sort (or single partition)
+    // would serialize the whole corpus through one task
+    assert(plan.contains("hashpartitioning(shard"),
+      s"shuffleShard must exchange on the shard key:\n$plan")
+    assert(!plan.contains("SinglePartition") && !plan.linesIterator
+        .exists(l => l.trim.startsWith("Sort ") && l.contains("global=true")),
+      s"shuffleShard must not global-sort or single-partition:\n$plan")
+  }
+
+  test("boilerplateFlags: hot-gram joins stay equi-keyed, no cartesian") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.pipeline.Dedup.boilerplateFlags(docs, "text", "doc_id", 3, 2L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"boilerplate exposure must join on the n-gram/id keys only:\n$plan")
+  }
+
   test("funnel: every exchange is keyed on the user, no global sort") {
     val ev = graft.util.EventTs.loadEvents(spark, dir)
       .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_type"))
