@@ -334,6 +334,22 @@ object AnnSearch {
     rankTopK(lshScoredCandidates(queries, corpus, vecCol, idCol, dim, planes,
       bands, seed, maxBucketPairs, checkpoint, md5IntPlanes), "cosine", k)
 
+  /** Auto-routing radius search, mirroring [[topK]]: brute-force (exact)
+    * while the query frame is small enough to broadcast, LSH probing
+    * beyond. Same `queryCount` contract as [[topK]]: pass the known count
+    * to keep routing action-free; the hint is trusted. */
+  def radius(queries: DataFrame, corpus: DataFrame,
+             vecCol: String, idCol: String, tau: Double, dim: Int,
+             queryCount: Option[Long] = None): DataFrame = {
+    val small = queryCount match {
+      case Some(n) => n <= BroadcastQueryLimit
+      case None =>
+        queries.limit((BroadcastQueryLimit + 1).toInt).count() <= BroadcastQueryLimit
+    }
+    if (small) bruteForceRadius(queries, corpus, vecCol, idCol, tau)
+    else lshRadius(queries, corpus, vecCol, idCol, tau, dim)
+  }
+
   /** Exact radius search: EVERY corpus neighbor with cosine >= `tau`, per
     * query — the "all near-duplicates of these documents" / "everything
     * semantically close to this eval set" query, where top-k's fixed

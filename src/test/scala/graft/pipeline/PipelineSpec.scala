@@ -295,6 +295,25 @@ class AnnSearchSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.5, s"LSH radius recall $recall")
   }
 
+  test("radius auto-router stays lazy with a count hint, routes small to exact") {
+    val poisoned = emb.where($"vec_id" < 5)
+      .where(assert_true(lit(false)).isNull)
+    // hinted routing must not evaluate the frame
+    val routed = AnnSearch.radius(poisoned, emb, "embedding", "vec_id", 0.2,
+      dim = 64, queryCount = Some(5L))
+    assert(routed.columns.toSeq == Seq("query_id", "corpus_id", "cosine"))
+    intercept[Exception] {
+      AnnSearch.radius(poisoned, emb, "embedding", "vec_id", 0.2, dim = 64)
+    }
+    val queries = emb.where($"vec_id" < 20)
+    val viaHint = AnnSearch.radius(queries, emb, "embedding", "vec_id", 0.2,
+        dim = 64, queryCount = Some(20L))
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val brute = AnnSearch.bruteForceRadius(queries, emb, "embedding", "vec_id", 0.2)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(viaHint == brute)
+  }
+
   test("radius search scores zero-norm vectors 0.0 — excluded by positive tau") {
     val zero = Seq((9999L, Array.fill(64)(0.0f).toSeq)).toDF("vec_id", "embedding")
     val corpus = emb.select($"vec_id", $"embedding").unionByName(zero)
