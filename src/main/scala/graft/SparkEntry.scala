@@ -363,6 +363,11 @@ object SparkEntry {
     "curate_shard" -> ((s, dir) =>
       Curation.shuffleShard(t(s, dir, "documents"), "doc_id", 8)
         .select(col("doc_id"), col("shard"), col("shard_pos"))),
+    // weighted mixture interleave: src0 at 3x the rate of src1, per shard
+    "curate_interleave" -> ((s, dir) =>
+      Curation.interleaveShards(t(s, dir, "documents"), "doc_id", "source",
+        Map("src0" -> 3.0, "src1" -> 1.0), 4)
+        .select(col("doc_id"), col("shard"), col("interleave_pos"))),
     // corpus n-gram census: trigrams shared by >= 2 documents
     "text_ngram_freq" -> ((s, dir) =>
       Dedup.ngramFrequency(t(s, dir, "documents"), "text", "doc_id", 3, 2L)
@@ -1278,6 +1283,19 @@ object SparkEntry {
          SELECT doc_id, shard,
            row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS shard_pos
          FROM b""",
+    // stride-scheduled mixture interleave: seq/weight ordering per shard
+    "curate_interleave" ->
+      """WITH b AS (SELECT doc_id, source,
+                (('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000) % 4 AS shard,
+                md5(doc_id::VARCHAR) AS h
+              FROM documents WHERE source IN ('src0', 'src1')),
+         s AS (SELECT doc_id, source, shard, h,
+                 row_number() OVER (PARTITION BY shard, source ORDER BY h, doc_id) AS seq,
+                 CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 1.0 END AS w
+               FROM b)
+         SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY seq/w, source, h, doc_id) AS interleave_pos
+         FROM s""",
     // corpus trigram census (same shingle CTE family as dedup_ngram_jaccard)
     "text_ngram_freq" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),

@@ -340,6 +340,42 @@ object Curation {
       .withColumn("shard_pos", row_number().over(w).cast("long"))
   }
 
+  /** Deterministic weighted interleave for the final training order:
+    * rows from each source appear in every shard's stream at a rate
+    * proportional to `weights(source)` — the mixture SCHEDULE, where
+    * [[stratifiedHashSample]] is the mixture QUOTA. Classic stride
+    * scheduling: within (shard, source) rows take md5-ordered sequence
+    * numbers, each row's stride is `seq / weight`, and the shard's
+    * stream orders by stride — a source with twice the weight lands
+    * twice as often in any prefix. Sources absent from `weights` are
+    * EXCLUDED (the schedule mixes exactly what it was given).
+    *
+    * Scale design: same skeleton as [[shuffleShard]] — shard is a pure
+    * md5 projection, both windows partition by the shard (x source), so
+    * parallelism is numShards and no global sort exists. Deterministic
+    * across engines: stride is one IEEE division of exact small ints,
+    * ties break on (source, md5, key) — a total order. */
+  def interleaveShards(df: DataFrame, keyCol: String, sourceCol: String,
+                       weights: Map[String, Double], numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be positive (got $numShards)")
+    require(weights.nonEmpty, "interleaveShards needs at least one (source, weight)")
+    weights.foreach { case (s, w) =>
+      require(w > 0.0, s"weights must be > 0 (source $s got $w)") }
+    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(null).cast("double")) {
+      case (acc, (s, wt)) => when(col(sourceCol) === s, lit(wt)).otherwise(acc)
+    }
+    val hex = md5(col(keyCol).cast("string"))
+    val seqW = Window.partitionBy(col("shard"), col(sourceCol))
+      .orderBy(hex.asc, col(keyCol).asc)
+    val posW = Window.partitionBy(col("shard"))
+      .orderBy(col("__stride").asc, col(sourceCol).asc, hex.asc, col(keyCol).asc)
+    df.where(col(sourceCol).isin(weights.keySet.toSeq: _*))
+      .withColumn("shard", (md5Bucket(col(keyCol)) % numShards).cast("long"))
+      .withColumn("__stride", row_number().over(seqW).cast("double") / w)
+      .withColumn("interleave_pos", row_number().over(posW).cast("long"))
+      .drop("__stride")
+  }
+
   /** Per-group corpus profile: row count, total and mean size, and EXACT
     * p50/p90 of `numCol` — the summary a curation run publishes per
     * (language, source) slice before and after each filter stage.

@@ -210,6 +210,32 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(one == (1L to n).toSeq)
   }
 
+  test("interleaveShards mixes sources at their weight ratio in every prefix") {
+    // fixture: src0..src19 at 25 docs each; schedule src0 at 3x src1
+    val out = Curation.interleaveShards(docs, "doc_id", "source",
+        Map("src0" -> 3.0, "src1" -> 1.0), 2)
+      .select($"doc_id".as[Long], $"source".as[String], $"shard".as[Long],
+        $"interleave_pos".as[Long])
+      .collect()
+    // only the weighted sources appear
+    assert(out.map(_._2).toSet == Set("src0", "src1"))
+    assert(out.length == 50, "25 src0 + 25 src1 rows must all be scheduled")
+    out.groupBy(_._3).foreach { case (shard, rows) =>
+      // positions are contiguous 1..n within the shard
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq)
+      // exact stride pattern while both sources are live: every 4-prefix
+      // carries 3 src0 + 1 src1 (strides k/3 vs k interleave 3:1)
+      val prefix = rows.sortBy(_._4).take(8)
+      val n0 = prefix.count(_._2 == "src0")
+      assert(n0 >= 5 && n0 <= 7, s"shard $shard 8-prefix has $n0 src0 — want ~6 at 3:1")
+    }
+    // deterministic under re-evaluation
+    val again = Curation.interleaveShards(docs, "doc_id", "source",
+        Map("src0" -> 3.0, "src1" -> 1.0), 2)
+      .select($"doc_id".as[Long], $"interleave_pos".as[Long]).collect().toSet
+    assert(again == out.map(r => (r._1, r._4)).toSet)
+  }
+
   test("weightedHashSample clamps out-of-range weights to drop-all/keep-all") {
     val n = docs.count()
     // weight > 1 degenerates to keep-all, negative to drop-all — not UB
