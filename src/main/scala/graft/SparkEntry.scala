@@ -509,6 +509,15 @@ object SparkEntry {
           col("channels").cast("long").as("channels"),
           col("bits").cast("long").as("bits"),
           col("frames").as("frames"))),
+    // VIDEO container metadata: real RIFF/AVI chunk-walk over real
+    // container bytes (round-trip oracle like the PNG/WAV modalities)
+    "multimodal_decode_avi" -> ((s, dir) =>
+      Multimodal.decodeAviMeta(
+        Multimodal.encodeAviDemo(t(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "payload", "doc_id")
+        .select(col("id").as("doc_id"), col("usec_per_frame"),
+          col("total_frames"), col("width"), col("height"),
+          col("n_streams"), col("n_bytes"))),
 
     // ---- as-of join over events: each click attaches the most recent
     // view by the same user at or before the click. Views dedup to one
@@ -1500,6 +1509,17 @@ object SparkEntry {
       """SELECT doc_id, 8000 + (doc_id % 5) * 2000 AS sample_rate,
            (doc_id % 2) + 1 AS channels, CAST(16 AS BIGINT) AS bits,
            (doc_id % 50) + 1 AS frames FROM documents""",
+    // the avih fields are pure functions of the id (the container bytes
+    // are real; the walker must recover exactly these)
+    "multimodal_decode_avi" ->
+      """SELECT doc_id,
+           1000000 // ((doc_id % 5) + 10) AS usec_per_frame,
+           (doc_id % 60) + 1 AS total_frames,
+           (doc_id % 32) * 8 + 16 AS width,
+           (doc_id % 18) * 8 + 16 AS height,
+           CAST(1 AS BIGINT) AS n_streams,
+           CAST(88 AS BIGINT) AS n_bytes
+         FROM documents""",
     // DuckDB's native ASOF LEFT JOIN is the ground truth for AsofJoin's
     // union-window plan; views dedup to one row per (user, ts) in both
     // engines so "the most recent view" is well-defined.

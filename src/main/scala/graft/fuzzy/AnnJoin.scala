@@ -209,6 +209,24 @@ object AnnJoin {
     // kept-grams + minhash pass over every value.
     val lb = graft.util.Materialize(bandedIds(leftValues, leftCol, "__lvid"), opts.checkpoint)
     val rb = graft.util.Materialize(bandedIds(rightValues, rightCol, "__rvid"), opts.checkpoint)
+
+    // Shuffle-partition advisory (SCALE.md round-9 A/B): the band join and
+    // the pair distinct shuffle ~bands x values rows; partitions sized to
+    // the core count leave multi-million-row sort partitions at corpus
+    // scale (measured: 893 s -> 403 s candidate gen at sf10 purely from
+    // resizing). Advise rather than override — the session conf is the
+    // caller's contract with their cluster, and AQE coalesces an oversized
+    // setting back down while an undersized one self-corrects nothing.
+    val estBandRows = totalValues * bands
+    val shufParts =
+      try leftValues.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+      catch { case _: NumberFormatException => 200 }
+    if (shufParts > 0 && estBandRows / shufParts > 1_000_000L)
+      LoggerFactory.getLogger(getClass).warn(
+        s"[graft.lsh] ~$estBandRows band rows over $shufParts shuffle partitions " +
+          s"(~${estBandRows / shufParts} rows/partition) — raise " +
+          s"spark.sql.shuffle.partitions toward ${estBandRows / 250_000L} " +
+          "(target 250-500k band rows/partition; see TUNING.md)")
     val lLow = FuzzyMatcher.lowerName(leftCol)
     val rLow = FuzzyMatcher.lowerName(rightCol)
 

@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * parsers: IMAGE via `javax.imageio` ([[decodeImageMeta]], PNG/JPEG/GIF/
   * BMP) and AUDIO via `javax.sound.sampled` ([[decodeWavMeta]], WAV/AIFF/
   * AU headers); [[encodePngDemo]]/[[encodeWavDemo]] are their
-  * deterministic encode-half fixtures. VIDEO remains a deterministic fake
-  * ([[fakeDecodeMeta]], [[decodeBatch]]) — no codec ships in this
-  * container; swapping one in changes only the body of [[decodeBatch]],
-  * not the pipeline shape.
+  * deterministic encode-half fixtures. VIDEO container METADATA is decoded
+  * for real by a pure byte-level RIFF/AVI chunk walker ([[decodeAviMeta]] —
+  * the same header-only depth as the WAV path; no JDK codec exists for
+  * FRAME decode, so pixel-level work stays behind [[decodeBatch]]'s
+  * documented fake, whose body is the only thing a real codec swap
+  * changes).
   */
 object Multimodal {
 
@@ -180,6 +182,123 @@ object Multimodal {
         javax.sound.sampled.AudioSystem.write(ais,
           javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
         WavRow(id, bos.toByteArray)
+      }
+    }.toDF().withColumnRenamed("id", idCol)
+  }
+
+  case class AviRow(id: Long, payload: Array[Byte])
+  case class AviMeta(id: Long, usec_per_frame: Long, total_frames: Long,
+                     width: Long, height: Long, n_streams: Long, n_bytes: Long)
+
+  /** Real VIDEO container metadata: parse the RIFF/AVI `avih` main header
+    * (µs per frame, frame count, dimensions, stream count) with a pure
+    * byte-level chunk walker — RIFF is length-prefixed chunks, so header
+    * metadata needs no codec, exactly like the WAV path (WAV is RIFF
+    * too). Walks top-level chunks for `LIST/hdrl`, then its sub-chunks
+    * for `avih`; anything malformed (wrong magic, truncated, missing
+    * header) yields the all--1 sentinel row — a corrupt clip in a 100 TB
+    * crawl must not fail the stage. Header-only: O(1) per row regardless
+    * of clip size, and frame PIXEL decode (which would need a codec this
+    * container doesn't ship) stays behind [[decodeBatch]]. */
+  def decodeAviMeta(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds: Dataset[AviRow] = graft.util.Partitioning.spread(
+      df.select(col(idCol).cast("long").as("id"), col(binCol).as("payload"))).as[AviRow]
+    ds.mapPartitions { it =>
+      it.map { row =>
+        parseAviHeader(row.payload) match {
+          case Some((usec, frames, w, h, streams)) =>
+            AviMeta(row.id, usec, frames, w, h, streams, row.payload.length.toLong)
+          case None =>
+            AviMeta(row.id, -1L, -1L, -1L, -1L, -1L, row.payload.length.toLong)
+        }
+      }
+    }.toDF()
+  }
+
+  private def u32le(b: Array[Byte], off: Int): Long =
+    if (off < 0 || off + 4 > b.length) -1L
+    else (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def fourCC(b: Array[Byte], off: Int): String =
+    if (off < 0 || off + 4 > b.length) ""
+    else new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** (µsPerFrame, totalFrames, width, height, streams) from the first
+    * `avih` chunk inside `LIST/hdrl`, or None if the payload is not a
+    * well-formed AVI. Defensive on every length: chunk sizes are attacker
+    * data in a crawl. */
+  private[pipeline] def parseAviHeader(
+      b: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
+    if (b.length < 24 || fourCC(b, 0) != "RIFF" || fourCC(b, 8) != "AVI ") return None
+    val riffEnd = math.min(b.length.toLong, 8L + u32le(b, 4))
+    var off = 12L
+    while (off + 8 <= riffEnd) {
+      val id = fourCC(b, off.toInt)
+      val size = u32le(b, off.toInt + 4)
+      if (size < 0) return None
+      if (id == "LIST" && fourCC(b, off.toInt + 8) == "hdrl") {
+        val listEnd = math.min(riffEnd, off + 8 + size)
+        var sub = off + 12
+        while (sub + 8 <= listEnd) {
+          val sid = fourCC(b, sub.toInt)
+          val ssize = u32le(b, sub.toInt + 4)
+          if (ssize < 0) return None
+          if (sid == "avih" && ssize >= 40 && sub + 8 + 40 <= b.length) {
+            val p = sub.toInt + 8
+            return Some((u32le(b, p), u32le(b, p + 16),
+              u32le(b, p + 32), u32le(b, p + 36), u32le(b, p + 24)))
+          }
+          sub += 8 + ssize + (ssize & 1L) // RIFF chunks are word-aligned
+        }
+        return None
+      }
+      off += 8 + size + (size & 1L)
+    }
+    None
+  }
+
+  /** Deterministic AVI fixture generator for [[decodeAviMeta]]: one
+    * minimal well-formed RIFF/AVI container per row — RIFF(AVI ) >
+    * LIST(hdrl) > avih with the 14-field main header — parameters pure
+    * functions of the id: fps = (id mod 5) + 10 so µsPerFrame =
+    * 1000000 / fps, frames = (id mod 60) + 1, width = (id mod 32) * 8 +
+    * 16, height = (id mod 18) * 8 + 16, one stream. 88 bytes total, the
+    * encode half of the `multimodal_decode_avi` round-trip oracle (the
+    * oracle recomputes the parameter formulas; the decode is the real
+    * chunk walker over real container bytes). */
+  def encodeAviDemo(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ids = df.select(col(idCol).cast("long").as("id")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val fps = math.floorMod(id, 5L) + 10
+        val usec = 1000000L / fps
+        val frames = math.floorMod(id, 60L) + 1
+        val w = math.floorMod(id, 32L) * 8 + 16
+        val h = math.floorMod(id, 18L) * 8 + 16
+        val bb = java.nio.ByteBuffer.allocate(88)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(80) // 4 + 12 + 8 + 56
+          .put("AVI ".getBytes("US-ASCII"))
+        bb.put("LIST".getBytes("US-ASCII")).putInt(68) // 4 + 8 + 56
+          .put("hdrl".getBytes("US-ASCII"))
+        bb.put("avih".getBytes("US-ASCII")).putInt(56)
+        bb.putInt(usec.toInt)    // dwMicroSecPerFrame
+          .putInt(0)             // dwMaxBytesPerSec
+          .putInt(0)             // dwPaddingGranularity
+          .putInt(0)             // dwFlags
+          .putInt(frames.toInt)  // dwTotalFrames
+          .putInt(0)             // dwInitialFrames
+          .putInt(1)             // dwStreams
+          .putInt(0)             // dwSuggestedBufferSize
+          .putInt(w.toInt)       // dwWidth
+          .putInt(h.toInt)       // dwHeight
+          .putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
+        AviRow(id, bb.array())
       }
     }.toDF().withColumnRenamed("id", idCol)
   }

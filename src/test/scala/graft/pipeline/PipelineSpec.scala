@@ -649,4 +649,51 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Int, Int, Int, Long, Long)].head()
     assert(g == ((7L, -1, 0, 0, -1L, 20L)))
   }
+
+  test("real AVI header parse: round trip reports avih fields; junk sentinels") {
+    val ids = Seq(5L, 14L, 91L).toDF("doc_id")
+    val avis = Multimodal.encodeAviDemo(ids, "doc_id")
+    val magic = Multimodal.binaryMeta(avis, "payload")
+      .select($"magic_hex").as[String].collect()
+    assert(magic.forall(_ == "52494646"), s"not RIFF payloads: ${magic.toSeq}")
+
+    val meta = Multimodal.decodeAviMeta(avis, "payload", "doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    for (id <- Seq(5L, 14L, 91L)) {
+      val (_, usec, frames, w, h, streams, nb) = meta(id)
+      assert(usec == 1000000L / (id % 5 + 10), s"doc $id usec $usec")
+      assert(frames == id % 60 + 1, s"doc $id frames $frames")
+      assert(w == id % 32 * 8 + 16 && h == id % 18 * 8 + 16, s"doc $id ${w}x$h")
+      assert(streams == 1 && nb == 88L)
+    }
+
+    // the walker must skip unknown/odd-sized chunks (RIFF word alignment)
+    // before hdrl, not just parse the fixture's exact layout
+    val avi = avis.where($"doc_id" === 5L).select($"payload")
+      .as[Array[Byte]].head()
+    // odd-sized JUNK chunk (3 data bytes + 1 alignment pad) between
+    // "AVI " and LIST/hdrl
+    val junk = Array[Byte]('J', 'U', 'N', 'K', 3, 0, 0, 0, 1, 2, 3, 0)
+    val padded = java.nio.ByteBuffer.allocate(avi.length + junk.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    padded.put(avi, 0, 12).put(junk).put(avi, 12, avi.length - 12)
+    // fix up the outer size: RIFF content grew by the junk chunk
+    padded.putInt(4, avi.length - 8 + junk.length)
+    val parsed = Multimodal.parseAviHeader(padded.array())
+    // doc 5: fps = 5%5+10 = 10, frames = 6, 56x56, 1 stream
+    assert(parsed.contains((100000L, 6L, 56L, 56L, 1L)),
+      s"junk-chunk AVI parsed as $parsed")
+
+    // malformed payloads sentinel, never throw: wrong magic, truncated
+    val g = Multimodal.decodeAviMeta(
+        Seq((7L, "RIFFxxxxNOPE".getBytes("UTF-8"))).toDF("doc_id", "payload"),
+        "payload", "doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(g == ((7L, -1L, -1L, -1L, -1L, -1L, 12L)))
+    val trunc = Multimodal.decodeAviMeta(
+        Seq((8L, avi.take(30))).toDF("doc_id", "payload"), "payload", "doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(trunc._2 == -1L, s"truncated AVI must sentinel: $trunc")
+  }
 }
