@@ -47,6 +47,39 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(dir).count() === 0L)
   }
 
+  test("round-9 operators on empty and degenerate input") {
+    // sharding and interleave: empty in, empty out, schema intact
+    val sh = Curation.shuffleShard(emptyDocs, "doc_id", 8)
+    assert(sh.columns.contains("shard") && sh.columns.contains("shard_pos"))
+    assert(sh.count() === 0L)
+    val emptySrc = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    assert(Curation.interleaveShards(emptySrc, "doc_id", "source",
+      Map("web" -> 1.0), 4).count() === 0L)
+    // interleave where NO row matches the weighted sources: empty, no throw
+    val docs = Seq((1L, "t", "src0")).toDF("doc_id", "text", "source")
+    assert(Curation.interleaveShards(docs, "doc_id", "source",
+      Map("absent" -> 1.0), 4).count() === 0L)
+    // census: empty corpus and a corpus with nothing repeated
+    assert(Dedup.ngramFrequency(emptyDocs, "text", "doc_id", 3, 2L).count() === 0L)
+    assert(Dedup.boilerplateFlags(emptyDocs, "text", "doc_id", 3, 2L).count() === 0L)
+    val uniq = Seq((1L, "a b c d"), (2L, "x y z w")).toDF("doc_id", "text")
+    assert(Dedup.ngramFrequency(uniq, "text", "doc_id", 3, 2L).count() === 0L)
+    assert(Dedup.boilerplateFlags(uniq, "text", "doc_id", 3, 2L).count() === 0L)
+    // radius: empty query and empty corpus sides
+    val vec = Seq((1L, Seq.fill(64)(1.0f))).toDF("vec_id", "embedding")
+    assert(AnnSearch.bruteForceRadius(emptyVecs, vec, "embedding", "vec_id", 0.5)
+      .count() === 0L)
+    assert(AnnSearch.bruteForceRadius(vec, emptyVecs, "embedding", "vec_id", 0.5)
+      .count() === 0L)
+    assert(AnnSearch.lshRadius(vec, emptyVecs, "embedding", "vec_id", 0.5,
+      dim = 64).count() === 0L)
+    // AVI walker: empty payload sentinels
+    val g = Multimodal.decodeAviMeta(
+        Seq((1L, Array.empty[Byte])).toDF("doc_id", "payload"), "payload", "doc_id")
+      .select($"usec_per_frame".as[Long]).head()
+    assert(g === -1L)
+  }
+
   test("int8 and projection search paths on empty sides") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     assert(AnnSearch.int8TopK(emptyVecs, emb, "embedding", "vec_id", 5).count() === 0L)
