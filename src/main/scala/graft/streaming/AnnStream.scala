@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.pipeline.AnnSearch
+
+/** Stream-static similarity search: enrich a stream of embedding rows
+  * with their neighbors from a static corpus — the online face of
+  * [[graft.pipeline.AnnSearch]], for "route each incoming document to its
+  * nearest cluster / flag near-duplicates on arrival" ingest jobs.
+  *
+  * Shape: `foreachBatch`, like [[FuzzyMatchStream]] — the search is a
+  * batch algorithm (broadcast or LSH-bucketed candidate join + exact
+  * re-rank), so each micro-batch runs it in full against the unchanging
+  * corpus; per-batch output is exactly the batch API's answer for those
+  * rows. The corpus projection is materialized ONCE before the stream
+  * starts (`localCheckpoint`): micro-batches scan the checkpointed
+  * blocks, not the source parquet, and recompute none of the upstream
+  * plan. A micro-batch is naturally below [[AnnSearch.BroadcastQueryLimit]]
+  * at any sane trigger, so routing lands on the broadcast-exact arm
+  * without a probe action (the batch row count is known to the router
+  * only after an action — pass through `topK`/`radius`'s count probe on
+  * the tiny batch instead, which is one cheap job per trigger). */
+object AnnStream {
+
+  /** A `DataStreamWriter` emitting, per micro-batch, every corpus
+    * neighbor at cosine >= `tau` for each arriving vector
+    * ((query_id, corpus_id, cosine) rows to `sink`). The caller starts
+    * it and picks trigger/checkpoint options. */
+  def radiusWriter(stream: DataFrame, corpus: DataFrame,
+                   vecCol: String, idCol: String, tau: Double, dim: Int)
+                  (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val corpusPrepared = corpus.select(col(idCol), col(vecCol)).localCheckpoint()
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(AnnSearch.radius(batch, corpusPrepared, vecCol, idCol, tau, dim), batchId)
+    }
+  }
+
+  /** A `DataStreamWriter` emitting, per micro-batch, the exact cosine
+    * top-k corpus neighbors for each arriving vector
+    * ((query_id, corpus_id, cosine, rank) rows to `sink`). */
+  def topKWriter(stream: DataFrame, corpus: DataFrame,
+                 vecCol: String, idCol: String, k: Int, dim: Int)
+                (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val corpusPrepared = corpus.select(col(idCol), col(vecCol)).localCheckpoint()
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(AnnSearch.topK(batch, corpusPrepared, vecCol, idCol, k, dim), batchId)
+    }
+  }
+}

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stream-static ANN enrich ([[AnnStream]]) equals the batch operators,
+  * across micro-batch boundaries.
+  */
+class AnnStreamSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("streaming radius and top-k equal the batch answers over all batches") {
+    // stage query vectors as two single-file micro-batches
+    val queries = emb.where($"vec_id" < 10).select($"vec_id", $"embedding")
+    val flat = java.nio.file.Files.createTempDirectory("ann_stream")
+    Seq($"vec_id" < 5, $"vec_id" >= 5).zipWithIndex.foreach { case (p, i) =>
+      val part = java.nio.file.Files.createTempDirectory(s"ann_part$i")
+      queries.where(p).coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val src = java.nio.file.Files.list(part)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst = flat.resolve(f"$i%02d.parquet")
+      java.nio.file.Files.copy(src, dst)
+      dst.toFile.setLastModified(1000000L + i * 10000L) // pin batch order
+    }
+    val schema = queries.schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(flat.toString)
+
+    // collected-buffer sink: foreachBatch hands us each batch's frame
+    val radiusRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q1 = AnnStream.radiusWriter(stream, emb, "embedding", "vec_id", 0.2, 64) {
+      (out, _) =>
+        radiusRows.synchronized {
+          radiusRows ++= out.select("query_id", "corpus_id", "cosine")
+            .as[(Long, Long, Double)].collect()
+        }
+    }.start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    val batchRadius = graft.pipeline.AnnSearch
+      .bruteForceRadius(queries, emb, "embedding", "vec_id", 0.2)
+      .select("query_id", "corpus_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(radiusRows.toSet == batchRadius,
+      s"stream radius ${radiusRows.size} rows vs batch ${batchRadius.size}")
+    assert(batchRadius.nonEmpty, "fixture should produce pairs at tau=0.2")
+
+    val topkRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val q2 = AnnStream.topKWriter(stream, emb, "embedding", "vec_id", 5, 64) {
+      (out, _) =>
+        topkRows.synchronized {
+          topkRows ++= out.select("query_id", "corpus_id", "rank")
+            .as[(Long, Long, Int)].collect()
+        }
+    }.start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val batchTopK = graft.pipeline.AnnSearch
+      .bruteForceTopK(queries, emb, "embedding", "vec_id", 5)
+      .select("query_id", "corpus_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(topkRows.toSet == batchTopK,
+      s"stream top-k ${topkRows.size} rows vs batch ${batchTopK.size}")
+  }
+}
