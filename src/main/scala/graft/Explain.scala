@@ -20,7 +20,8 @@ object Explain {
       "fuzzy_join_levenshtein", "text_stats", "dedup_ngram_jaccard", "ann_cosine_topk",
       "events_asof", "text_decontaminate", "dedup_incremental", "curate_chunks",
       "ann_cosine_int8", "dedup_chunk_exact", "corpus_rollup", "events_pivot",
-      "curate_batches")
+      "curate_batches", "ann_radius_lsh", "curate_shard", "curate_interleave",
+      "text_ngram_freq", "dedup_boilerplate")
     names.foreach { name =>
       println(s"\n================ $name ================")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

@@ -376,6 +376,16 @@ object SparkEntry {
     "dedup_boilerplate" -> ((s, dir) =>
       Dedup.boilerplateFlags(t(s, dir, "documents"), "text", "doc_id", 3, 2L)
         .select(col("doc_id"), col("hot_ngrams"), col("boiler_frac"))),
+    // incremental shape: odd-id batch flagged against the even-id
+    // corpus's census, corpus never rescanned per batch
+    "dedup_boilerplate_inc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val census = Dedup.ngramFrequency(docs.where(col("doc_id") % 2 === 0),
+        "text", "doc_id", 3, 2L)
+      Dedup.boilerplateFlagsAgainst(docs.where(col("doc_id") % 2 === 1),
+          census, "text", "doc_id", 3)
+        .select(col("doc_id"), col("hot_ngrams"), col("boiler_frac"))
+    }),
     "curate_stratified" -> ((s, dir) =>
       Curation.stratifiedHashSample(t(s, dir, "documents"), "doc_id", "source",
         Map("web" -> 0.1, "books" -> 1.0), defaultRate = 0.5)
@@ -1323,6 +1333,25 @@ object SparkEntry {
          tot AS (SELECT doc_id, len(sh) AS total FROM s),
          h AS (SELECT e.doc_id AS doc_id, count(*) AS hot_ngrams
                FROM e JOIN hot ON e.g = hot.g GROUP BY e.doc_id)
+         SELECT h.doc_id AS doc_id, hot_ngrams,
+           round(hot_ngrams::DOUBLE / total, 6) AS boiler_frac
+         FROM h JOIN tot ON h.doc_id = tot.doc_id""",
+    // incremental variant: even-id corpus census, odd-id batch flagged
+    "dedup_boilerplate_inc" ->
+      """WITH tc AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+               FROM documents WHERE doc_id % 2 = 0),
+         sc AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) END AS sh FROM tc),
+         ec AS (SELECT doc_id, unnest(sh) AS g FROM sc),
+         hot AS (SELECT g FROM ec GROUP BY g HAVING count(*) >= 2),
+         tb AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+               FROM documents WHERE doc_id % 2 = 1),
+         sb AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) END AS sh FROM tb),
+         eb AS (SELECT doc_id, unnest(sh) AS g FROM sb),
+         tot AS (SELECT doc_id, len(sh) AS total FROM sb),
+         h AS (SELECT eb.doc_id AS doc_id, count(*) AS hot_ngrams
+               FROM eb JOIN hot ON eb.g = hot.g GROUP BY eb.doc_id)
          SELECT h.doc_id AS doc_id, hot_ngrams,
            round(hot_ngrams::DOUBLE / total, 6) AS boiler_frac
          FROM h JOIN tot ON h.doc_id = tot.doc_id""",

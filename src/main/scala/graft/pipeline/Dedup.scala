@@ -215,10 +215,20 @@ object Dedup {
     * single scan+project passes, and a caller looping over several
     * `minDocs` budgets should materialize `ngramFrequency` once instead. */
   def boilerplateFlags(docs: DataFrame, textCol: String, idCol: String,
-                       n: Int, minDocs: Long = 2L): DataFrame = {
+                       n: Int, minDocs: Long = 2L): DataFrame =
+    boilerplateFlagsAgainst(docs, ngramFrequency(docs, textCol, idCol, n, minDocs),
+      textCol, idCol, n)
+
+  /** [[boilerplateFlags]] against an EXISTING census — the nightly-ingest
+    * shape: the corpus's [[ngramFrequency]] output is computed once (or
+    * maintained incrementally) and each arriving batch is flagged against
+    * it without rescanning the corpus, exactly like [[incrementalDedup]]
+    * reuses [[chunkDigests]]. `census` needs only its `ngram` column;
+    * extra columns are ignored. */
+  def boilerplateFlagsAgainst(docs: DataFrame, census: DataFrame,
+                              textCol: String, idCol: String, n: Int): DataFrame = {
     val sh = wordShingles(docs, textCol, idCol, n)
-    val hot = ngramFrequency(docs, textCol, idCol, n, minDocs)
-      .select(col("ngram").as("__shingle"))
+    val hot = census.select(col("ngram").as("__shingle"))
     sh.join(hot, Seq("__shingle"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("hot_ngrams"))

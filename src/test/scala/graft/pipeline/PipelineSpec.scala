@@ -49,6 +49,13 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     // appears 3x and "quick brown fox" 2x -> 11 instances, 8 distinct
     val all = Dedup.ngramFrequency(d, "text", "doc_id", 3, 1L).count()
     assert(all == 8, s"expected 8 distinct trigrams, got $all")
+    // the census-reuse (incremental) shape is definitionally identical
+    // when handed the same census
+    val viaCensus = Dedup.boilerplateFlagsAgainst(d,
+        Dedup.ngramFrequency(d, "text", "doc_id", 3, 2L), "text", "doc_id", 3)
+      .select($"doc_id".as[Long], $"hot_ngrams".as[Long], $"boiler_frac".as[Double])
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(viaCensus == flags)
   }
 
   test("native word_shingles kernel matches the HOF construction on real documents") {
