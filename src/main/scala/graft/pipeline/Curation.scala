@@ -340,6 +340,23 @@ object Curation {
       .withColumn("shard_pos", row_number().over(w).cast("long"))
   }
 
+  /** Materialize [[shuffleShard]] as the final training-export layout:
+    * one parquet directory per shard (`shard=N/`), ONE file per shard,
+    * rows inside each file in `shard_pos` (md5-shuffle) order — so a
+    * trainer streams `shard=K` front-to-back and sees the deterministic
+    * global shuffle with zero read-time work. `repartition(col)` before
+    * `partitionBy` keeps parallel writers from splintering a shard
+    * across task files (same discipline as
+    * [[graft.util.PartitionedTables.writeDayPartitioned]]);
+    * `sortWithinPartitions` is a partition-local sort of corpus/numShards
+    * rows, never a global one. */
+  def writeShards(df: DataFrame, keyCol: String, numShards: Int,
+                  path: String): Unit =
+    shuffleShard(df, keyCol, numShards)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("shard_pos"))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+
   /** Deterministic weighted interleave for the final training order:
     * rows from each source appear in every shard's stream at a rate
     * proportional to `weights(source)` — the mixture SCHEDULE, where

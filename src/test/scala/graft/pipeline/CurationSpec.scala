@@ -210,6 +210,24 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(one == (1L to n).toSeq)
   }
 
+  test("writeShards: one file per shard, rows in shard_pos order on disk") {
+    val dir = s"/tmp/graft_shards_${System.nanoTime()}"
+    Curation.writeShards(docs, "doc_id", 4, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    // one file per shard directory — no small-file splinter
+    val files = back.inputFiles
+    assert(files.length == 4, s"expected 4 shard files, got ${files.length}")
+    // within each file, rows are physically in shard_pos order (a trainer
+    // reads the shuffle order with no sort): check via the file-level
+    // row order of a single shard's parquet
+    val shard0 = files.find(_.contains("shard=0")).get
+    val rows = spark.read.parquet(shard0).select("shard_pos")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == rows.sorted, "shard file not in shard_pos order")
+    assert(rows == (1L to rows.length).toSeq, "positions not contiguous from 1")
+  }
+
   test("interleaveShards mixes sources at their weight ratio in every prefix") {
     // fixture: src0..src19 at 25 docs each; schedule src0 at 3x src1
     val out = Curation.interleaveShards(docs, "doc_id", "source",
