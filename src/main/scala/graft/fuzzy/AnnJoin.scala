@@ -225,8 +225,8 @@ object AnnJoin {
       LoggerFactory.getLogger(getClass).warn(
         s"[graft.lsh] ~$estBandRows band rows over $shufParts shuffle partitions " +
           s"(~${estBandRows / shufParts} rows/partition) — raise " +
-          s"spark.sql.shuffle.partitions toward ${estBandRows / 250_000L} " +
-          "(target 250-500k band rows/partition; see TUNING.md)")
+          s"spark.sql.shuffle.partitions toward ${estBandRows / 125_000L} " +
+          "(target 125-250k band rows/partition; see TUNING.md)")
     val lLow = FuzzyMatcher.lowerName(leftCol)
     val rLow = FuzzyMatcher.lowerName(rightCol)
 

@@ -219,6 +219,25 @@ object Dedup {
     boilerplateFlagsAgainst(docs, ngramFrequency(docs, textCol, idCol, n, minDocs),
       textCol, idCol, n)
 
+  /** Merge two [[ngramFrequency]] censuses over DISJOINT document sets
+    * (last night's corpus census + tonight's batch census): document
+    * frequencies add, first_doc takes the minimum, and the `minDocs`
+    * threshold applies to the MERGED counts.
+    *
+    * Maintain the stored census UNTHRESHOLDED (`minDocs = 1`): a gram at
+    * doc_count 1 in each of two batches is a 2-document gram after the
+    * merge, so thresholding before merging silently loses exactly the
+    * cross-batch boilerplate this family exists to find. Threshold at
+    * read time (here, or in [[boilerplateFlagsAgainst]]'s census input).
+    * Cost: one hash-aggregate over the two census frames — corpus text
+    * is never rescanned. */
+  def mergeCensus(a: DataFrame, b: DataFrame, minDocs: Long = 1L): DataFrame =
+    a.select(col("ngram"), col("doc_count"), col("first_doc"))
+      .unionByName(b.select(col("ngram"), col("doc_count"), col("first_doc")))
+      .groupBy(col("ngram"))
+      .agg(sum(col("doc_count")).as("doc_count"), min(col("first_doc")).as("first_doc"))
+      .where(col("doc_count") >= minDocs)
+
   /** [[boilerplateFlags]] against an EXISTING census — the nightly-ingest
     * shape: the corpus's [[ngramFrequency]] output is computed once (or
     * maintained incrementally) and each arriving batch is flagged against

@@ -56,6 +56,15 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .select($"doc_id".as[Long], $"hot_ngrams".as[Long], $"boiler_frac".as[Double])
       .collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(viaCensus == flags)
+    // census maintenance: merging the UNTHRESHOLDED censuses of two
+    // disjoint halves equals the whole-corpus census at any threshold —
+    // including the cross-batch gram ("quick brown fox": once in docs
+    // 1-2's half, once in 3-4's) a pre-thresholded merge would lose
+    val half1 = Dedup.ngramFrequency(d.where($"doc_id" <= 2), "text", "doc_id", 3, 1L)
+    val half2 = Dedup.ngramFrequency(d.where($"doc_id" >= 3), "text", "doc_id", 3, 1L)
+    val merged = Dedup.mergeCensus(half1, half2, 2L)
+      .as[(String, Long, Long)].collect().toSet
+    assert(merged == freq)
   }
 
   test("native word_shingles kernel matches the HOF construction on real documents") {
