@@ -302,6 +302,19 @@ object SparkEntry {
         "embedding", "vec_id", 0.4)
       res.select(col("query_id"), col("corpus_id"), sround(col("cosine"), 6).as("cosine"))
     }),
+    // radius through the IVF quantizer at full probe == brute force by
+    // construction (every pair meets exactly once) — the oracle-checkable
+    // configuration, like ann_cosine_ivf
+    "ann_radius_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = AnnSearch.kmeansFit(emb, "embedding", dim = 64, k = 8, iters = 2)
+      val flat = cents.flatMap { v =>
+        val n = math.sqrt(v.map(x => x * x).sum); if (n == 0) v else v.map(_ / n)
+      }
+      val res = AnnSearch.ivfRadiusWithCentroids(emb.where(col("vec_id") < 10), emb,
+        "embedding", "vec_id", 0.4, dim = 64, flat, nProbe = 8)
+      res.select(col("query_id"), col("corpus_id"), sround(col("cosine"), 6).as("cosine"))
+    }),
     // radius search on the LSH scale path — md5-integer planes so the
     // bucket assignment (and the candidate set) reproduces in SQL; cap
     // disabled like every oracled LSH entry (see dedup_cosine_lsh)
@@ -1266,6 +1279,12 @@ object SparkEntry {
          SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 10""",
     // radius search, exact arm: directed (query < 10) threshold pairs
     "ann_radius" ->
+      """SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+         FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND a.vec_id != b.vec_id
+         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""",
+    // full-probe IVF radius == brute force by construction
+    "ann_radius_ivf" ->
       """SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
          round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
          FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND a.vec_id != b.vec_id

@@ -388,6 +388,33 @@ object AnnSearch {
       seed, maxBucketPairs, checkpoint, md5IntPlanes)
       .where(col("cosine") >= tau)
 
+  /** IVF radius search: [[bruteForceRadius]]'s semantics through the
+    * coarse quantizer — each query probes its `nProbe` nearest cells and
+    * keeps probed candidates at cosine >= `tau`. With `nProbe = nCells`
+    * this provably equals [[bruteForceRadius]] (every pair meets exactly
+    * once — a corpus row lives in one cell), the oracle-checkable
+    * configuration; at small `nProbe`, recall follows the same probed-cell
+    * geometry as [[ivfTopKWithCentroids]]. `centroids` is the flattened
+    * NORMALIZED array from `fitIndex`/`loadCentroids`. */
+  def ivfRadiusWithCentroids(queries: DataFrame, corpus: DataFrame,
+                             vecCol: String, idCol: String, tau: Double,
+                             dim: Int, centroids: Array[Double],
+                             nProbe: Int): DataFrame = {
+    require(centroids.nonEmpty && centroids.length % dim == 0,
+      s"centroids length ${centroids.length} must be a positive multiple of dim=$dim")
+    val c = spread(corpus).select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"),
+      element_at(graft.fuzzy.vectorFunctions.nearest_cells(col(vecCol), centroids, dim, 1), 1)
+        .as("__cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      explode(graft.fuzzy.vectorFunctions.nearest_cells(col(vecCol), centroids, dim, nProbe))
+        .as("__cell"))
+    q.join(c, Seq("__cell"))
+      .where(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        Dedup.cosineSimilarity(col("__qv"), col("__cv")).as("cosine"))
+      .where(col("cosine") >= tau)
+  }
+
   /** Shared LSH candidate stage: exact-cosine-scored unique
     * (query_id, corpus_id, cosine) candidate rows from the banded bucket
     * join — [[lshTopK]] ranks them, [[lshRadius]] range-filters them. */

@@ -330,6 +330,24 @@ class AnnSearchSpec extends AnyFunSuite with SparkSpec {
     assert(viaHint == brute)
   }
 
+  test("IVF radius at full probe equals brute radius; partial probe is a subset") {
+    val queries = emb.where($"vec_id" < 20)
+    val cents = AnnSearch.kmeansFit(emb, "embedding", dim = 64, k = 8, iters = 2)
+    val flat = cents.flatMap { v =>
+      val n = math.sqrt(v.map(x => x * x).sum); if (n == 0) v else v.map(_ / n)
+    }
+    val exact = AnnSearch.bruteForceRadius(queries, emb, "embedding", "vec_id", 0.2)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val full = AnnSearch.ivfRadiusWithCentroids(queries, emb, "embedding", "vec_id",
+        0.2, dim = 64, flat, nProbe = 8)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(full == exact, "nProbe = nCells must equal brute-force radius")
+    val partial = AnnSearch.ivfRadiusWithCentroids(queries, emb, "embedding", "vec_id",
+        0.2, dim = 64, flat, nProbe = 2)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(partial.subsetOf(exact))
+  }
+
   test("radius search scores zero-norm vectors 0.0 — excluded by positive tau") {
     val zero = Seq((9999L, Array.fill(64)(0.0f).toSeq)).toDF("vec_id", "embedding")
     val corpus = emb.select($"vec_id", $"embedding").unionByName(zero)
