@@ -295,6 +295,17 @@ object SparkEntry {
       res.select(col("query_id"), col("corpus_id"),
         sround(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
     }),
+    // binary (1-bit) quantization path: sign-bit signatures (one long per
+    // vector), Hamming candidate cut, exact float re-rank. The signature
+    // is a pure function of the component signs, so the candidate set —
+    // and therefore the whole partial-rerank search — reproduces in SQL
+    "ann_cosine_binary" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val res = AnnSearch.binaryTopK(emb.where(col("vec_id") < 10), emb,
+        "embedding", "vec_id", 10, rerank = 40)
+      res.select(col("query_id"), col("corpus_id"),
+        sround(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+    }),
     // radius (range) search: every neighbor at cosine >= tau, exact arm
     "ann_radius" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -625,6 +636,18 @@ object SparkEntry {
       val evalSide = Curation.md5Bucket(col("doc_id")) < 100000L
       Decontaminate.contaminated(
         docs.where(!evalSide), docs.where(evalSide), "text", "doc_id", 5)
+        .select(col("doc_id"), col("n_hits"))
+    }),
+    // bloom-prefiltered arm: identical semantics (the bloom only prunes,
+    // the exact semi-join decides), so it shares the exact oracle — run
+    // at a deliberately coarse fpp so false positives genuinely flow
+    // through the confirm join at this scale factor
+    "text_decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evalSide = Curation.md5Bucket(col("doc_id")) < 100000L
+      Decontaminate.contaminatedBloom(
+        docs.where(!evalSide), docs.where(evalSide), "text", "doc_id", 5,
+        fpp = 0.1)
         .select(col("doc_id"), col("n_hits"))
     }),
 
@@ -1277,6 +1300,30 @@ object SparkEntry {
                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
                FROM sc)
          SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 10""",
+    // binary quantization: the Hamming candidate cut is a pure function of
+    // the float sign pattern (bit j = v[j] > 0), so the top-`rerank`
+    // selection (ties: hamming asc, corpus_id asc) reproduces exactly; the
+    // survivors re-rank by float cosine like the brute-force oracle
+    "ann_cosine_binary" ->
+      """WITH h AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                CAST(list_sum(list_transform(range(1, 65),
+                  i -> CASE WHEN (q.embedding[i] > 0) <> (c.embedding[i] > 0)
+                       THEN 1 ELSE 0 END)) AS BIGINT) AS ham
+              FROM embeddings q CROSS JOIN embeddings c
+              WHERE q.vec_id < 10 AND q.vec_id != c.vec_id),
+         cand AS (SELECT query_id, corpus_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY ham ASC, corpus_id) AS hrank
+                  FROM h),
+         sc AS (SELECT query_id, corpus_id,
+                  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+                FROM cand JOIN embeddings a ON cand.query_id = a.vec_id
+                          JOIN embeddings b ON cand.corpus_id = b.vec_id
+                WHERE hrank <= 40),
+         r AS (SELECT query_id, corpus_id, cos,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+               FROM sc)
+         SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 10""",
     // radius search, exact arm: directed (query < 10) threshold pairs
     "ann_radius" ->
       """SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
@@ -1627,6 +1674,18 @@ object SparkEntry {
     // same shingle construction as the dedup_ngram family at n = 5; the
     // md5 bucket split mirrors curate_sample's hash-sampling arithmetic
     "text_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w,
+                ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS bkt
+              FROM documents),
+         s AS (SELECT doc_id, bkt, CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(w)-3), i -> array_to_string(w[i:i+4], ' '))) END AS sh FROM t),
+         e AS (SELECT doc_id, bkt, unnest(sh) AS g FROM s),
+         ev AS (SELECT DISTINCT g FROM e WHERE bkt < 100000)
+         SELECT e.doc_id AS doc_id, count(*) AS n_hits
+         FROM e JOIN ev USING (g) WHERE e.bkt >= 100000 GROUP BY 1""",
+    // the bloom arm is exact by construction (prefilter + exact confirm
+    // join), so its oracle is literally the exact-path SQL
+    "text_decontaminate_bloom" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w,
                 ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS bkt
               FROM documents),

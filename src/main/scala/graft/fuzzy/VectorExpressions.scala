@@ -239,6 +239,21 @@ case class SignLshBitsInt(child: Expression, planes: Array[Long], dim: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Binary (1-bit-per-dimension) quantization to a packed long: bit j set
+  * iff component j > 0 (see VectorKernels.signBits64). The 32x-compressed
+  * signature for Hamming-distance candidate scans — no plane matrix, so
+  * the signature (and any search built on it) is exactly reproducible by
+  * a SQL oracle from the raw float signs. */
+case class BinarySignBits(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sign_bits64"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.signBits64(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.fuzzy.VectorKernels.signBits64($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Sign-LSH bits against a fixed hyperplane matrix (flattened row-major). */
 case class SignLshBits(child: Expression, planes: Array[Double], dim: Int)
     extends UnaryExpression {
@@ -327,6 +342,35 @@ case class LongIn(child: Expression, sortedKeys: Array[Long])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Probabilistic membership of a string in a BROADCAST Bloom filter — the
+  * executor-memory-bounded form of [[LongIn]]/[[KeptGrams]]'s literal sets.
+  * A literal reference object reships with EVERY task binary; holding the
+  * `Broadcast` handle instead ships 8 bytes per task and the bits land on
+  * each executor exactly once (TorrentBroadcast), so the filter can be
+  * tens of MB (10^8 items at 1% fpp ≈ 120 MB of bits) where a literal
+  * array would bloat every task. One-sided error: may return true for an
+  * absent item (callers exact-confirm downstream), NEVER false for a
+  * present one. Bytes probed are the UTF-8 encoding — the same bytes
+  * `DataFrameStatFunctions.bloomFilter` inserts for a string column. */
+case class BloomMightContain(child: Expression,
+    bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+    extends UnaryExpression with Predicate {
+  @transient private lazy val bf = bloom.value
+  override def prettyName: String = "bloom_might_contain"
+  override protected def nullSafeEval(s: Any): Any =
+    bf.mightContainBinary(s.asInstanceOf[UTF8String].getBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bloomBc", bloom,
+      "org.apache.spark.broadcast.Broadcast")
+    // resolve the broadcast once per task, not once per row
+    val bfVar = ctx.addMutableState("org.apache.spark.util.sketch.BloomFilter",
+      "graftBloom",
+      v => s"$v = (org.apache.spark.util.sketch.BloomFilter) $bcRef.value();")
+    defineCodeGen(ctx, ev, c => s"$bfVar.mightContainBinary($c.getBytes())")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "char_ngrams"
@@ -403,6 +447,7 @@ object vectorFunctions {
     c(RandomProjectF(x(vec), planes, dim, outDim))
   def random_project_int(vec: Column, planes: Array[Long], dim: Int, outDim: Int): Column =
     c(RandomProjectInt(x(vec), planes, dim, outDim))
+  def sign_bits64(vec: Column): Column = c(BinarySignBits(x(vec)))
   def sign_lsh_bits(vec: Column, planes: Array[Double], dim: Int): Column =
     c(SignLshBits(x(vec), planes, dim))
   def sign_lsh_bits_int(vec: Column, planes: Array[Long], dim: Int): Column =
@@ -413,6 +458,9 @@ object vectorFunctions {
   def sorted_intersect_count(a: Column, b: Column): Column =
     c(SortedIntersectCount(x(a), x(b)))
   def long_in(key: Column, sortedKeys: Array[Long]): Column = c(LongIn(x(key), sortedKeys))
+  def bloom_might_contain(s: Column,
+      bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): Column =
+    c(BloomMightContain(x(s), bloom))
   def marker_hits(tokens: Column, words: Array[String]): Column =
     c(MarkerHits(x(tokens), words))
   def kept_grams(text: Column, n: Int, stops: Array[String], minKept: Int): Column =
@@ -441,6 +489,7 @@ object vectorFunctions {
       "sig_agreement" -> (es => SignatureAgreement(es(0), es(1))),
       "minhash_signature" -> (es => MinHashSignature(es(0), intLit(es(1), "k"))),
       "simhash64" -> (es => SimHash(es(0))),
+      "sign_bits64" -> (es => BinarySignBits(es(0))),
       "winnow_sketch" ->
         (es => WinnowSketch(es(0), intLit(es(1), "k"), intLit(es(2), "window"))),
       "char_ngrams" -> (es => CharNgrams(es(0), intLit(es(1), "n"))),

@@ -372,6 +372,24 @@ object VectorKernels {
     bits
   }
 
+  /** Binary (1-bit-per-dimension) quantization: bit j is set iff
+    * component j is strictly positive. Unlike [[signBits]] there is no
+    * hyperplane projection — the "planes" are the coordinate axes — so
+    * the signature is a pure, exactly-reproducible function of the sign
+    * pattern (a SQL oracle recomputes it from `v[j] > 0` comparisons).
+    * Dimensions beyond 64 are ignored (callers validate dim <= 64); a
+    * zero/negative vector packs to 0L, which is a valid signature. */
+  def signBits64(v: ArrayData): Long = {
+    val n = math.min(v.numElements(), 64)
+    var bits = 0L
+    var j = 0
+    while (j < n) {
+      if (v.getFloat(j) > 0f) bits |= (1L << j)
+      j += 1
+    }
+    bits
+  }
+
   def signBits(v: ArrayData, planes: Array[Double], dim: Int): Long = {
     val nPlanes = planes.length / dim
     val n = math.min(v.numElements(), dim)

@@ -133,6 +133,55 @@ object AnnSearch {
     rankTopK(scored, "qcosine", k)
   }
 
+  /** Binary-quantized top-k: each vector packs to ONE long (bit j set iff
+    * component j > 0 — [[graft.fuzzy.VectorKernels.signBits64]]), the
+    * candidate scan ranks corpus signatures by Hamming distance to the
+    * query signature (`bit_count(xor)` — codegen'd native integer ops on
+    * 8-byte payloads, a 32x compression over float32 at dim 64), and the
+    * top `rerank` Hamming candidates per query re-rank by exact float
+    * cosine down to k.
+    *
+    * Why it matters at 100 TB: the scan that touches every corpus row
+    * moves only (id, signature) = 16 bytes/vector and costs one XOR +
+    * POPCNT per comparison; the float vectors are fetched — by an
+    * equi-join on id against the candidate list, so only queries x rerank
+    * rows — for the final exact re-rank. Hamming distance on sign bits is
+    * a monotone proxy for angular distance (the sign pattern IS a 64-plane
+    * axis-aligned LSH), so recall vs exact brute force is spec-gated
+    * (BinaryAnnSpec); with `rerank` >= corpus size the result provably
+    * EQUALS [[bruteForceTopK]] (every pair survives the candidate cut) —
+    * the oracle-checkable configuration. Candidate ties break by
+    * (hamming asc, corpus_id asc); both stages rank via the bounded-heap
+    * aggregate, so no full sort anywhere. Requires dim <= 64 (one word);
+    * `rerank` must be >= k. */
+  def binaryTopK(queries: DataFrame, corpus: DataFrame,
+                 vecCol: String, idCol: String, k: Int,
+                 rerank: Int = 200): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    import graft.fuzzy.vectorFunctions.sign_bits64
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      sign_bits64(col(vecCol)).as("__qs"))
+    // narrow corpus side: the per-row scan never carries the float vector
+    val cs = spread(corpus).select(col(idCol).as("corpus_id"),
+      sign_bits64(col(vecCol)).as("__cs"))
+    val qs = q.select(col("query_id"), col("__qs"))
+    val ham = cs.crossJoin(broadcast(qs))
+      .where(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        negate(bit_count(col("__qs").bitwiseXOR(col("__cs"))).cast("double")).as("__nham"))
+    // stage 1: top-`rerank` by Hamming (score = -distance; ties -> min id)
+    val cand = rankTopK(ham, "__nham", rerank).select(col("query_id"), col("corpus_id"))
+    // stage 2: exact float re-rank — vectors re-attach by id, candidate
+    // list is small (queries x rerank) so it broadcasts against the corpus
+    val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
+    val scored = cv
+      .join(broadcast(cand), Seq("corpus_id"))
+      .join(broadcast(q.select(col("query_id"), col("__qv"))), Seq("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        Dedup.cosineSimilarity(col("__qv"), col("__cv")).as("cosine"))
+    rankTopK(scored, "cosine", k)
+  }
+
   /** Lloyd's k-means over an embedding column, expressed relationally:
     * assignment is a codegen'd nearest-centroid projection, the update is
     * one `posexplode` + per-(cell, dimension) average — one aggregate

