@@ -581,6 +581,14 @@ object SparkEntry {
     "profile_documents" -> ((s, dir) =>
       Profile.columns(t(s, dir, "documents"),
         Seq("doc_id", "lang", "source", "n_chars"))),
+    // exact interpolated quantiles (percentile == quantile_cont: index
+    // p*(n-1), linear between sorted neighbors); rounded to 6 to absorb
+    // engine float-summation differences in the interpolation arithmetic
+    "profile_quantiles" -> ((s, dir) =>
+      Profile.numericQuantiles(t(s, dir, "documents"),
+          Seq("n_chars", "doc_id"), Seq(0.25, 0.5, 0.9, 0.99))
+        .select(col("col_name"), sround(col("p"), 6).as("p"),
+          sround(col("q"), 6).as("q"))),
 
     // ---- skew census: top-5 hottest values per column with counts —
     // the pre-join salting/broadcast decision input. Ties cut by value
@@ -683,6 +691,24 @@ object SparkEntry {
     // no duplicate texts of its own, so this is what makes the exact arm
     // fire in the gate, not just in specs). Hot-shingle gate disabled
     // like every oracled shingle entry; production callers keep it.
+    // nightly MinHash against a STORED signature state (no corpus text
+    // rescan). 24x1 bands: candidate recall ~1 at jaccard >= 0.5 (same
+    // rationale as dedup_minhash_lsh), so the exact cross-side jaccard is
+    // the oracle; cap disabled like every oracled LSH entry
+    "dedup_minhash_inc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bkt = Curation.md5Bucket(col("doc_id"))
+      val batch = docs.where(bkt < 100000L).select(col("doc_id"), col("text"))
+      val corpus = docs.where(bkt >= 100000L).select(col("doc_id"), col("text"))
+        .unionByName(docs.where(bkt < 50000L)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      val state = Dedup.minhashState(corpus, "text", "doc_id",
+        shingleLen = 3, k = 24)
+      Dedup.minhashIncrementalPairs(batch, state, "text", "doc_id",
+          shingleLen = 3, numBands = 24, rowsPerBand = 1, threshold = 0.5,
+          maxBucketPairs = Long.MaxValue)
+        .select(col("id_a"), col("id_b"), sround(col("jaccard"), 6).as("jaccard"))
+    }),
     "dedup_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val bkt = Curation.md5Bucket(col("doc_id"))
@@ -1637,6 +1663,16 @@ object SparkEntry {
             coalesce(CAST(min($c) AS VARCHAR), '') AS min_s,
             coalesce(CAST(max($c) AS VARCHAR), '') AS max_s FROM documents""")
         .mkString(" UNION ALL "),
+    // quantile_cont matches Spark's exact percentile (same p*(n-1) linear
+    // interpolation); list-typed form so one aggregate serves all probs
+    "profile_quantiles" ->
+      """WITH a AS (SELECT quantile_cont(n_chars, [0.25, 0.5, 0.9, 0.99]) AS qc,
+                quantile_cont(doc_id, [0.25, 0.5, 0.9, 0.99]) AS qd
+              FROM documents),
+         b AS (SELECT i, ([0.25, 0.5, 0.9, 0.99])[i] AS p FROM range(1, 5) t(i))
+         SELECT 'n_chars' AS col_name, round(b.p, 6) AS p, round(a.qc[i], 6) AS q FROM a, b
+         UNION ALL
+         SELECT 'doc_id', round(b.p, 6), round(a.qd[i], 6) FROM a, b""",
     // same explode -> count -> deterministic top-k window, one leg per
     // column; NULL values excluded on both sides
     "profile_heavy_hitters" ->
@@ -1774,6 +1810,31 @@ object SparkEntry {
     // exact arm: corpus digests (min id per digest); near arm: the
     // dedup_ngram_jaccard shingle family restricted to cross-side pairs,
     // best match per batch doc (max jaccard, ties to smallest corpus id)
+    // exact cross-side shingle jaccard >= 0.5 over the same batch/corpus
+    // split (the 24x1-band candidate stage has ~full recall there, like
+    // dedup_minhash_lsh's oracle rationale)
+    "dedup_minhash_inc" ->
+      """WITH d AS (SELECT doc_id, text,
+                ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS bkt
+              FROM documents),
+         ba AS (SELECT doc_id, text FROM d WHERE bkt < 100000),
+         co AS (SELECT doc_id, text FROM d WHERE bkt >= 100000
+                UNION ALL SELECT doc_id + 10000000, text FROM d WHERE bkt < 50000),
+         ta AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM ba),
+         tc AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM co),
+         sa AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) END AS sh FROM ta),
+         sc AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) END AS sh FROM tc),
+         ea AS (SELECT doc_id, unnest(sh) AS g FROM sa),
+         ec AS (SELECT doc_id, unnest(sh) AS g FROM sc),
+         za AS (SELECT doc_id, len(sh) AS sz FROM sa),
+         zc AS (SELECT doc_id, len(sh) AS sz FROM sc),
+         c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+               FROM ea a JOIN ec b ON a.g = b.g GROUP BY 1, 2)
+         SELECT id_a, id_b, round(common / (x.sz + y.sz - common), 6) AS jaccard
+         FROM c JOIN za x ON c.id_a = x.doc_id JOIN zc y ON c.id_b = y.doc_id
+         WHERE common / (x.sz + y.sz - common) >= 0.5""",
     "dedup_incremental" ->
       """WITH d AS (SELECT doc_id, text,
                 ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS bkt

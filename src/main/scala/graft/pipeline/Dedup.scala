@@ -532,6 +532,91 @@ object Dedup {
     exact.unionByName(near)
   }
 
+  /** Stored MinHash dedup STATE of a corpus version — one row per
+    * document: (idCol, `__sig` array of k minhashes, `__hset` sorted
+    * distinct shingle hashes). This is the nightly near-dup INDEX:
+    * computed once per corpus version and persisted (ideally bucketed by
+    * idCol — [[graft.util.BucketedTables]]), it lets
+    * [[minhashIncrementalPairs]] flag a batch against the corpus WITHOUT
+    * rescanning corpus text — band keys derive from `__sig`, the exact
+    * verify reads `__hset`; the text column is not even an input to the
+    * nightly job. Append-only by construction (state(A ∪ B) = state(A) ∪
+    * state(B), disjoint ids), so each night appends the batch's own state
+    * after flagging — the same maintenance contract as [[chunkDigests]]
+    * and [[mergeCensus]]. Blank documents (no shingles) are excluded, as
+    * in every minhash path. */
+  def minhashState(docs: DataFrame, textCol: String, idCol: String,
+                   shingleLen: Int = 3, k: Int = 64): DataFrame = {
+    val lowered = lower(trim(col(textCol)))
+    spread(docs).select(col(idCol),
+        graft.fuzzy.vectorFunctions.word_shingles(lowered, shingleLen).as("__shingles"),
+        graft.fuzzy.vectorFunctions.hashed_shingle_set(lowered, shingleLen).as("__hset"))
+      .where(size(col("__shingles")) > 0)
+      .select(col(idCol), minhashSignature(col("__shingles"), k).as("__sig"),
+        col("__hset"))
+  }
+
+  /** Nightly MinHash near-dup flags: `batch` documents vs a STORED corpus
+    * [[minhashState]] — (id_a from batch, id_b from corpus, exact shingle
+    * jaccard >= threshold), ids disjoint by contract.
+    *
+    * Plan shape mirrors [[ngramJaccardCrossPairs]]'s cross-side rule on
+    * the banded-signature key: batch band rows join ONLY corpus band rows
+    * of the same (band, bucket), so same-side pairs never exist (cost
+    * ∑ dfBatch·dfCorpus per bucket, not ∑ df²) and the per-bucket cap
+    * gates the CROSS product with drop accounting (CapMetrics stage
+    * `dedup_minhash_inc`). Unlike the n-gram cross variant the corpus
+    * side's blocking cost is k band keys per document — independent of
+    * document length — and no corpus text is read at all. `k` must equal
+    * `numBands * rowsPerBand` in the stored state. */
+  def minhashIncrementalPairs(batch: DataFrame, corpusState: DataFrame,
+                              textCol: String, idCol: String,
+                              shingleLen: Int = 3,
+                              numBands: Int = 16, rowsPerBand: Int = 4,
+                              threshold: Double = 0.7,
+                              maxBucketPairs: Long = 4_000_000L,
+                              checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val k = numBands * rowsPerBand
+    // one pass over the batch text feeds banding AND verify
+    val bState = Materialize(minhashState(batch, textCol, idCol, shingleLen, k),
+      checkpoint)
+    def banded(st: DataFrame) = st.select(col(idCol),
+        posexplode(graft.fuzzy.vectorFunctions.lsh_band_keys(
+          col("__sig"), numBands, rowsPerBand)))
+      .withColumnRenamed("pos", "__band")
+      .withColumnRenamed("col", "__bucket")
+    val bb = banded(bState)
+    val cb = banded(corpusState)
+    // cross-side bucket stats: only buckets present on BOTH sides make
+    // pairs, and the cap applies to the cross product (same shape as the
+    // ANN LSH gate)
+    val stats = bb.select(col("__band"), col("__bucket"),
+        lit(1L).as("__q"), lit(0L).as("__c"))
+      .unionByName(cb.select(col("__band"), col("__bucket"),
+        lit(0L).as("__q"), lit(1L).as("__c")))
+      .groupBy(col("__band"), col("__bucket"))
+      .agg(sum(col("__q")).as("__qc"), sum(col("__c")).as("__cc"))
+      .where(col("__qc") > 0 && col("__cc") > 0)
+    val overCap = col("__qc") * col("__cc") > maxBucketPairs
+    val (gb, gc) = CapMetrics.gate(stats, "dedup_minhash_inc", "__band", "__bucket",
+        overCap, col("__qc") * col("__cc"), checkpoint) match {
+      case Right(blocked) =>
+        val keep = (df: DataFrame) =>
+          if (blocked.isEmpty) df
+          else df.where(!graft.fuzzy.vectorFunctions.bucket_allowed(
+            col("__band"), col("__bucket"), blocked))
+        (keep(bb), keep(cb))
+      case Left(allowed) => (bb.join(allowed, Seq("__band", "__bucket")), cb)
+    }
+    val pairs = gb.as("a").join(gc.as("b"),
+        col("a.__band") === col("b.__band") && col("a.__bucket") === col("b.__bucket"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    verifyJaccardSided(pairs,
+      bState.select(col(idCol), col("__hset")),
+      corpusState.select(col(idCol), col("__hset")), idCol, threshold)
+  }
+
   // ------------------------------------------------------------- minhash
 
   /** MinHash signature column: for each of k hash functions, the minimum

@@ -71,6 +71,54 @@ object Profile {
       .drop("__rk")
   }
 
+  /** Exact quantiles of numeric columns — the distribution census behind
+    * length-bucketing, winsorize bounds, and sequence-packing budgets:
+    * one output row per (column, probability) with (col_name, p, q),
+    * `q` the linearly-interpolated quantile (SQL `percentile` /
+    * `quantile_cont` semantics: index p*(n-1) into the sorted values,
+    * linear between neighbors — identical across engines). Nulls are
+    * ignored per column, like every SQL quantile.
+    *
+    * Scale shape: ONE aggregate over the input for ALL columns and ALL
+    * probabilities. Exact percentile buffers each column's value
+    * multiset (hash map of distinct value -> count) on the agg side —
+    * fine for bounded-cardinality numerics (lengths, counts, scores); a
+    * 100 TB high-cardinality column should use [[numericQuantilesApprox]],
+    * whose sketch is fixed-size at any cardinality. */
+  def numericQuantiles(df: DataFrame, cols: Seq[String],
+                       probs: Seq[Double]): DataFrame =
+    quantiles(df, cols, probs,
+      (c, ps) => percentile(col(c), array(ps.map(lit): _*)))
+
+  /** [[numericQuantiles]] on the `approx_percentile` sketch (bounded
+    * memory at ANY value cardinality; `accuracy` trades error for sketch
+    * size). Same output schema; values are approximate — spec-checked
+    * against the exact profile, not oracle-compared. */
+  def numericQuantilesApprox(df: DataFrame, cols: Seq[String],
+                             probs: Seq[Double],
+                             accuracy: Int = 10000): DataFrame =
+    quantiles(df, cols, probs,
+      (c, ps) => approx_percentile(col(c), array(ps.map(lit): _*), lit(accuracy))
+        .cast("array<double>"))
+
+  private def quantiles(df: DataFrame, cols: Seq[String], probs: Seq[Double],
+                        agg: (String, Seq[Double]) => Column): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      s"probabilities must be in [0, 1]: $probs")
+    require(cols.nonEmpty, "quantile profile needs at least one column")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in frame: $missing")
+    val aggs = cols.map(c => agg(c, probs).as(s"__q_$c"))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.flatMap { c =>
+        probs.zipWithIndex.map { case (p, i) =>
+          struct(lit(c).as("col_name"), lit(p).as("p"),
+            element_at(col(s"__q_$c"), i + 1).as("q"))
+        }
+      }: _*)).as("r"))
+      .select(col("r.*"))
+  }
+
   private def profile(df: DataFrame, cols: Seq[String],
                       distinctAgg: String => Column): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")

@@ -52,4 +52,44 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkSpec {
       n = 3, threshold = 0.5, maxShinglePairs = Long.MaxValue)
     assert(out.groupBy("doc_id").count().where($"count" > 1).count() == 0)
   }
+
+  test("minhash incremental equals exact cross pairs on stored state (no corpus text)") {
+    // 24x1 bands: a shared shingle collides with near-certainty, so the
+    // LSH candidate stage finds every >= 0.5 pair on this fixture and the
+    // exact cross-jaccard operator is the ground truth
+    val exact = Dedup.ngramJaccardCrossPairs(batch, corpus, "text", "doc_id",
+        n = 3, threshold = 0.5, maxShinglePairs = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val state = Dedup.minhashState(corpus, "text", "doc_id", shingleLen = 3, k = 24)
+      .select("doc_id", "__sig", "__hset") // corpus TEXT never enters below
+    val mh = Dedup.minhashIncrementalPairs(batch, state, "text", "doc_id",
+        shingleLen = 3, numBands = 24, rowsPerBand = 1, threshold = 0.5,
+        maxBucketPairs = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty && mh === exact)
+    // cross-side only: ids oriented batch -> corpus even though batch 2/5
+    // (and corpus 100/102) are internal duplicate pairs
+    assert(mh.forall { case (a, b, _) => a < 100L && b >= 100L })
+  }
+
+  test("minhash state is append-only: state(A union B) == state(A) union state(B)") {
+    val whole = Dedup.minhashState(corpus.unionByName(batch), "text", "doc_id",
+        shingleLen = 3, k = 8)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2))).toSet
+    val parts = Dedup.minhashState(corpus, "text", "doc_id", shingleLen = 3, k = 8)
+      .unionByName(Dedup.minhashState(batch, "text", "doc_id", shingleLen = 3, k = 8))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2))).toSet
+    assert(whole === parts)
+  }
+
+  test("minhash incremental: capped buckets only remove pairs, never invent them") {
+    val state = Dedup.minhashState(corpus, "text", "doc_id", shingleLen = 3, k = 24)
+    def at(cap: Long) = Dedup.minhashIncrementalPairs(batch, state, "text", "doc_id",
+        shingleLen = 3, numBands = 24, rowsPerBand = 1, threshold = 0.5,
+        maxBucketPairs = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = at(Long.MaxValue)
+    val capped = at(1L) // every multi-pair bucket over budget
+    assert(capped.subsetOf(full))
+  }
 }

@@ -66,6 +66,50 @@ class ProfileSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](Profile.columns(df, Seq.empty))
   }
 
+  test("exact quantiles: golden interpolated values on a known frame") {
+    // values 10, 20, 30, 40 (n=4): q(p) = value at index p*(n-1), linear
+    // between neighbors — p=0.5 -> 25.0, p=0.25 -> 17.5, p=0.99 -> 39.7
+    val d = Seq(10L, 30L, 20L, 40L).toDF("v")
+    val q = Profile.numericQuantiles(d, Seq("v"), Seq(0.0, 0.25, 0.5, 0.99, 1.0))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(q(0.0) === 10.0)
+    assert(q(0.25) === 17.5)
+    assert(q(0.5) === 25.0)
+    assert(math.abs(q(0.99) - 39.7) < 1e-9)
+    assert(q(1.0) === 40.0)
+  }
+
+  test("quantiles: multi-column single-aggregate layout and null handling") {
+    val d = Seq((1L, Some(100L)), (2L, None), (3L, Some(200L)))
+      .toDF("a", "b")
+    val out = Profile.numericQuantiles(d, Seq("a", "b"), Seq(0.5))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    // b's null is ignored: median of (100, 200) = 150
+    assert(out === Set(("a", 0.5, 2.0), ("b", 0.5, 150.0)))
+  }
+
+  test("approx quantiles track exact within the sketch accuracy") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val probs = Seq(0.25, 0.5, 0.9)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val exact = toMap(Profile.numericQuantiles(docs, Seq("n_chars"), probs))
+    val approx = toMap(Profile.numericQuantilesApprox(docs, Seq("n_chars"), probs))
+    for ((k, v) <- exact) {
+      val rel = math.abs(approx(k) - v) / math.max(v, 1.0)
+      assert(rel < 0.05, s"$k: approx ${approx(k)} vs exact $v")
+    }
+  }
+
+  test("quantiles reject bad probabilities and missing columns") {
+    intercept[IllegalArgumentException](
+      Profile.numericQuantiles(df, Seq("id"), Seq(1.5)))
+    intercept[IllegalArgumentException](
+      Profile.numericQuantiles(df, Seq("nope"), Seq(0.5)))
+    intercept[IllegalArgumentException](
+      Profile.numericQuantiles(df, Seq("id"), Seq.empty))
+  }
+
   test("exact plan uses one aggregate pass (Expand multi-distinct), approx has no Expand") {
     val dir = java.nio.file.Files.createTempDirectory("prof").toString
     df.write.mode("overwrite").parquet(dir)
