@@ -552,6 +552,27 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("usec_per_frame"),
           col("total_frames"), col("width"), col("height"),
           col("n_streams"), col("n_bytes"))),
+    // AUDIO at sample depth: the JDK decoder pulls the real PCM frames
+    // and reduces them to exact integer stats; the oracle recomputes the
+    // fixture's sample formula (bytes (id*31 + i*7) mod 256 read as
+    // little-endian signed 16-bit) — an endianness or sign mistake in the
+    // decode breaks the hash
+    "multimodal_audio_stats" -> ((s, dir) =>
+      Multimodal.decodeWavSamples(
+        Multimodal.encodeWavDemo(t(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "payload", "doc_id")
+        .select(col("id").as("doc_id"), col("n_samples"), col("sum_abs"),
+          col("peak"), col("sum_sq"))),
+    // VIDEO at pixel depth: raw-DIB frames sampled every 2nd, decoded
+    // honoring stride padding and bottom-up row order; top_row_sum pins
+    // the orientation (image row 0 = LAST stored row), n_pixels pins the
+    // stride strip (w·h, not stride·h)
+    "multimodal_frame_pixels" -> ((s, dir) =>
+      Multimodal.decodeAviFrames(
+        Multimodal.encodeAviFramesDemo(t(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "payload", "doc_id", every = 2)
+        .select(col("id").as("doc_id"), col("frame_index"), col("n_pixels"),
+          col("pix_sum"), col("pix_max"), col("top_row_sum"))),
 
     // ---- as-of join over events: each click attaches the most recent
     // view by the same user at or before the click. Views dedup to one
@@ -1641,6 +1662,41 @@ object SparkEntry {
            CAST(1 AS BIGINT) AS n_streams,
            CAST(88 AS BIGINT) AS n_bytes
          FROM documents""",
+    // PCM round trip: data byte i = (id*31 + i*7) mod 256, sample j =
+    // little-endian signed 16-bit from bytes (2j, 2j+1); the real decoder
+    // must reproduce these exact integer reductions
+    "multimodal_audio_stats" ->
+      """WITH p AS (SELECT doc_id,
+                ((doc_id % 50) + 1) * ((doc_id % 2) + 1) AS n FROM documents),
+         s AS (SELECT doc_id, n,
+                 list_transform(range(0, n), j ->
+                   CASE WHEN ((doc_id*31 + (2*j)*7) % 256) + 256 * ((doc_id*31 + (2*j+1)*7) % 256) >= 32768
+                        THEN ((doc_id*31 + (2*j)*7) % 256) + 256 * ((doc_id*31 + (2*j+1)*7) % 256) - 65536
+                        ELSE ((doc_id*31 + (2*j)*7) % 256) + 256 * ((doc_id*31 + (2*j+1)*7) % 256) END) AS sm
+               FROM p)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(sm, v -> abs(v))) AS BIGINT) AS sum_abs,
+           CAST(list_max(list_transform(sm, v -> abs(v))) AS BIGINT) AS peak,
+           CAST(list_sum(list_transform(sm, v -> v*v)) AS BIGINT) AS sum_sq
+         FROM s""",
+    // raw-frame round trip: pixel (x, y) of frame f = (id*31 + f*17 +
+    // y*131 + x*7) mod 256; frames sampled every 2nd; top_row_sum is the
+    // y = 0 row — bottom-up storage means the decoder must read the LAST
+    // stored row to get it
+    "multimodal_frame_pixels" ->
+      """WITH p AS (SELECT doc_id, (doc_id % 10) + 1 AS nf,
+                ((doc_id % 5) + 1) * 3 AS w, ((doc_id % 4) + 1) * 3 AS h FROM documents),
+         f AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS fi FROM p)
+         SELECT doc_id, fi AS frame_index, CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(list_sum(list_transform(range(0, h), y ->
+             list_sum(list_transform(range(0, w), x ->
+               (doc_id*31 + fi*17 + y*131 + x*7) % 256)))) AS BIGINT) AS pix_sum,
+           CAST(list_max(list_transform(range(0, h), y ->
+             list_max(list_transform(range(0, w), x ->
+               (doc_id*31 + fi*17 + y*131 + x*7) % 256)))) AS BIGINT) AS pix_max,
+           CAST(list_sum(list_transform(range(0, w), x ->
+             (doc_id*31 + fi*17 + x*7) % 256)) AS BIGINT) AS top_row_sum
+         FROM f WHERE fi % 2 = 0""",
     // DuckDB's native ASOF LEFT JOIN is the ground truth for AsofJoin's
     // union-window plan; views dedup to one row per (user, ts) in both
     // engines so "the most recent view" is well-defined.

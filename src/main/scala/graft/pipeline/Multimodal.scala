@@ -7,16 +7,22 @@ import org.apache.spark.sql.functions._
   * with typed metadata.
   *
   * The Spark-side structure — schema, partitioning, batch boundaries — is
-  * real and tested. Two modalities are decoded for real with JDK-bundled
-  * parsers: IMAGE via `javax.imageio` ([[decodeImageMeta]], PNG/JPEG/GIF/
-  * BMP) and AUDIO via `javax.sound.sampled` ([[decodeWavMeta]], WAV/AIFF/
-  * AU headers); [[encodePngDemo]]/[[encodeWavDemo]] are their
-  * deterministic encode-half fixtures. VIDEO container METADATA is decoded
-  * for real by a pure byte-level RIFF/AVI chunk walker ([[decodeAviMeta]] —
-  * the same header-only depth as the WAV path; no JDK codec exists for
-  * FRAME decode, so pixel-level work stays behind [[decodeBatch]]'s
-  * documented fake, whose body is the only thing a real codec swap
-  * changes).
+  * real and tested, and all three modalities decode REAL bytes with
+  * JDK-bundled (or pure byte-level) parsers at two depths:
+  *
+  *  - headers (O(1)/row): IMAGE via `javax.imageio` ([[decodeImageMeta]],
+  *    PNG/JPEG/GIF/BMP), AUDIO via `javax.sound.sampled`
+  *    ([[decodeWavMeta]]), VIDEO via the RIFF/AVI chunk walker
+  *    ([[decodeAviMeta]]);
+  *  - payload samples (O(duration)/row): AUDIO PCM frames through the JDK
+  *    decoder ([[decodeWavSamples]]) and VIDEO raw-DIB frame pixels
+  *    ([[decodeAviFrames]] — stride/bottom-up-aware, frame-sampled).
+  *
+  * [[encodePngDemo]]/[[encodeWavDemo]]/[[encodeAviDemo]]/
+  * [[encodeAviFramesDemo]] are the deterministic encode-half fixtures of
+  * each round-trip oracle. COMPRESSED video frames would need a codec no
+  * JDK ships — that single step stays behind [[decodeBatch]]'s documented
+  * fake, whose body is the only thing a codec swap changes.
   */
 object Multimodal {
 
@@ -186,6 +192,61 @@ object Multimodal {
     }.toDF().withColumnRenamed("id", idCol)
   }
 
+  case class WavStats(id: Long, n_samples: Long, sum_abs: Long, peak: Long,
+                      sum_sq: Long)
+
+  /** REAL audio SAMPLE decode: pull the PCM frames through the JDK decoder
+    * (`AudioInputStream.read`, not just the header) and reduce them to
+    * exact integer statistics — sample count, Σ|s|, max |s|, Σs² — the
+    * inputs to RMS/peak-level audio quality filters. 16-bit signed PCM
+    * only (the dominant crawl WAV layout); anything else — compressed,
+    * 8/24-bit, undecodable — yields the all--1 sentinel row instead of
+    * failing the stage. Integer outputs keep the whole decode bit-exact
+    * (no float summation order to disagree about), which is what lets a
+    * SQL oracle reproduce it. O(duration) per row by nature — this is the
+    * sample-level tier above the O(1) [[decodeWavMeta]] header scan; at
+    * 100 TB you run the header pass first and pull samples only for rows
+    * that survive format routing. */
+  def decodeWavSamples(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds: Dataset[WavRow] = graft.util.Partitioning.spread(
+      df.select(col(idCol).cast("long").as("id"), col(binCol).as("payload"))).as[WavRow]
+    ds.mapPartitions { it =>
+      it.map { row =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(row.payload))
+          try {
+            val f = in.getFormat
+            val enc = javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            if (f.getEncoding != enc || f.getSampleSizeInBits != 16 ||
+                in.getFrameLength < 0)
+              WavStats(row.id, -1L, -1L, -1L, -1L)
+            else {
+              val pcm = in.readAllBytes()
+              val big = f.isBigEndian
+              val n = pcm.length / 2
+              var j = 0; var sumAbs = 0L; var peak = 0L; var sumSq = 0L
+              while (j < n) {
+                val lo = pcm(2 * j + (if (big) 1 else 0)) & 0xff
+                val hi = pcm(2 * j + (if (big) 0 else 1)) & 0xff
+                val s = ((hi << 8) | lo).toShort.toInt
+                val a = math.abs(s.toLong)
+                sumAbs += a; if (a > peak) peak = a; sumSq += s.toLong * s
+                j += 1
+              }
+              WavStats(row.id, n.toLong, sumAbs, peak, sumSq)
+            }
+          } finally in.close()
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            WavStats(row.id, -1L, -1L, -1L, -1L)
+        }
+      }
+    }.toDF()
+  }
+
   case class AviRow(id: Long, payload: Array[Byte])
   case class AviMeta(id: Long, usec_per_frame: Long, total_frames: Long,
                      width: Long, height: Long, n_streams: Long, n_bytes: Long)
@@ -298,6 +359,230 @@ object Multimodal {
           .putInt(w.toInt)       // dwWidth
           .putInt(h.toInt)       // dwHeight
           .putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
+        AviRow(id, bb.array())
+      }
+    }.toDF().withColumnRenamed("id", idCol)
+  }
+
+  case class FrameStats(id: Long, frame_index: Long, n_pixels: Long,
+                        pix_sum: Long, pix_max: Long, top_row_sum: Long)
+
+  /** REAL video FRAME decode for uncompressed streams: walk `LIST/movi`
+    * for `00db` (raw DIB) chunks, sample every `every`-th frame, and
+    * decode each sampled frame's actual pixel bytes — honoring the DIB
+    * layout (4-byte-aligned row stride, bottom-up row order, 8-bit depth
+    * from the `strf` BITMAPINFOHEADER) — into exact integer statistics:
+    * pixel count, Σpixel, max pixel, and the sum of the TOP image row
+    * (which lives in the LAST stored row — a decoder that ignores
+    * bottom-up order or stride padding gets this wrong, which is exactly
+    * what the round-trip oracle checks). No codec is needed because the
+    * frames are uncompressed (`biCompression = 0`); compressed streams,
+    * non-8-bit depths, or malformed containers yield one all--1 sentinel
+    * row. Frame sampling bounds the per-row cost to O(frames/every ·
+    * w·h); at 100 TB the `every` knob is the compute dial. */
+  def decodeAviFrames(df: DataFrame, binCol: String, idCol: String,
+                      every: Int = 2): DataFrame = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds: Dataset[AviRow] = graft.util.Partitioning.spread(
+      df.select(col(idCol).cast("long").as("id"), col(binCol).as("payload"))).as[AviRow]
+    ds.mapPartitions { it =>
+      it.flatMap { row =>
+        val out = decodeRawFrames(row.payload, row.id, every)
+        if (out.isEmpty) Seq(FrameStats(row.id, -1L, -1L, -1L, -1L, -1L))
+        else out
+      }
+    }.toDF()
+  }
+
+  /** Per-frame pixel statistics from a raw-DIB AVI, or empty on anything
+    * malformed/compressed. Separated from the Dataset plumbing so specs
+    * can hit the byte-walker directly. */
+  private[pipeline] def decodeRawFrames(
+      b: Array[Byte], id: Long, every: Int): Seq[FrameStats] = {
+    val dims = parseAviHeader(b) match {
+      case Some((_, _, w, h, _)) if w > 0 && h > 0 && w * h <= Int.MaxValue =>
+        (w.toInt, h.toInt)
+      case _ => return Seq.empty
+    }
+    val (w, h) = dims
+    // strf (BITMAPINFOHEADER) must declare 8-bit uncompressed; find it
+    // inside LIST/hdrl > LIST/strl
+    if (!hasUncompressed8BitStrf(b)) return Seq.empty
+    val stride = (w + 3) & ~3
+    val frameBytes = stride * h
+    // locate LIST/movi among top-level chunks
+    val riffEnd = math.min(b.length.toLong, 8L + u32le(b, 4))
+    var off = 12L
+    var moviStart = -1L; var moviEnd = -1L
+    while (off + 8 <= riffEnd && moviStart < 0) {
+      val cid = fourCC(b, off.toInt)
+      val size = u32le(b, off.toInt + 4)
+      if (size < 0) return Seq.empty
+      if (cid == "LIST" && fourCC(b, off.toInt + 8) == "movi") {
+        moviStart = off + 12
+        moviEnd = math.min(riffEnd, off + 8 + size)
+      }
+      off += 8 + size + (size & 1L)
+    }
+    if (moviStart < 0) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[FrameStats]
+    var sub = moviStart
+    var frameIdx = 0L
+    while (sub + 8 <= moviEnd) {
+      val sid = fourCC(b, sub.toInt)
+      val ssize = u32le(b, sub.toInt + 4)
+      if (ssize < 0) return out.toSeq
+      if (sid == "00db" || sid == "00dc") {
+        if (frameIdx % every == 0) {
+          if (ssize != frameBytes || sub + 8 + ssize > b.length) return out.toSeq
+          val base = sub.toInt + 8
+          var pixSum = 0L; var pixMax = 0L; var topRowSum = 0L
+          var y = 0
+          while (y < h) {
+            // image row y (top-down) is stored row h-1-y (DIB bottom-up)
+            val rowOff = base + (h - 1 - y) * stride
+            var x = 0
+            while (x < w) {
+              val p = (b(rowOff + x) & 0xff).toLong
+              pixSum += p; if (p > pixMax) pixMax = p
+              if (y == 0) topRowSum += p
+              x += 1
+            }
+            y += 1
+          }
+          out += FrameStats(id, frameIdx, w.toLong * h, pixSum, pixMax, topRowSum)
+        }
+        frameIdx += 1
+      }
+      sub += 8 + ssize + (ssize & 1L)
+    }
+    out.toSeq
+  }
+
+  /** True iff the first `strf` under `LIST/hdrl > LIST/strl` declares an
+    * 8-bit uncompressed DIB (biBitCount = 8, biCompression = 0). */
+  private def hasUncompressed8BitStrf(b: Array[Byte]): Boolean = {
+    val riffEnd = math.min(b.length.toLong, 8L + u32le(b, 4))
+    var off = 12L
+    while (off + 8 <= riffEnd) {
+      val cid = fourCC(b, off.toInt)
+      val size = u32le(b, off.toInt + 4)
+      if (size < 0) return false
+      if (cid == "LIST" && fourCC(b, off.toInt + 8) == "hdrl") {
+        val listEnd = math.min(riffEnd, off + 8 + size)
+        var sub = off + 12
+        while (sub + 8 <= listEnd) {
+          val sid = fourCC(b, sub.toInt)
+          val ssize = u32le(b, sub.toInt + 4)
+          if (ssize < 0) return false
+          if (sid == "LIST" && fourCC(b, sub.toInt + 8) == "strl") {
+            val strlEnd = math.min(listEnd, sub + 8 + ssize)
+            var s2 = sub + 12
+            while (s2 + 8 <= strlEnd) {
+              val s2id = fourCC(b, s2.toInt)
+              val s2size = u32le(b, s2.toInt + 4)
+              if (s2size < 0) return false
+              if (s2id == "strf" && s2size >= 40 && s2 + 8 + 40 <= b.length) {
+                val p = s2.toInt + 8
+                // biBitCount at +14 (u16), biCompression at +16 (u32)
+                val bits = (b(p + 14) & 0xff) | ((b(p + 15) & 0xff) << 8)
+                return bits == 8 && u32le(b, p + 16) == 0L
+              }
+              s2 += 8 + s2size + (s2size & 1L)
+            }
+          }
+          sub += 8 + ssize + (ssize & 1L)
+        }
+        return false
+      }
+      off += 8 + size + (size & 1L)
+    }
+    false
+  }
+
+  /** Deterministic frame-bearing AVI fixture for [[decodeAviFrames]]: a
+    * fully-structured container — RIFF(AVI ) > LIST(hdrl){avih,
+    * LIST(strl){strh 'vids'/'DIB ', strf BITMAPINFOHEADER 8-bit
+    * uncompressed}} > LIST(movi){`00db` raw frames} — with parameters
+    * pure functions of the id: frames = (id mod 10) + 1, width =
+    * ((id mod 5) + 1) * 3, height = ((id mod 4) + 1) * 3 (widths
+    * deliberately NOT 4-aligned so row padding is exercised), and pixel
+    * (x, y) of frame f = (id*31 + f*17 + y*131 + x*7) mod 256, written
+    * bottom-up with zeroed stride padding like a real DIB. The encode
+    * half of the `multimodal_frame_pixels` round-trip oracle. */
+  def encodeAviFramesDemo(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ids = df.select(col(idCol).cast("long").as("id")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val nf = (math.floorMod(id, 10L) + 1).toInt
+        val w = ((math.floorMod(id, 5L) + 1) * 3).toInt
+        val h = ((math.floorMod(id, 4L) + 1) * 3).toInt
+        val stride = (w + 3) & ~3
+        val fsz = stride * h
+        val hdrlContent = 4 + (8 + 56) + (8 + (4 + (8 + 56) + (8 + 40)))
+        val moviContent = 4 + nf * (8 + fsz)
+        val total = 12 + (8 + hdrlContent) + (8 + moviContent)
+        val bb = java.nio.ByteBuffer.allocate(total)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(total - 8)
+          .put("AVI ".getBytes("US-ASCII"))
+        bb.put("LIST".getBytes("US-ASCII")).putInt(hdrlContent)
+          .put("hdrl".getBytes("US-ASCII"))
+        bb.put("avih".getBytes("US-ASCII")).putInt(56)
+        bb.putInt(100000)       // dwMicroSecPerFrame
+          .putInt(0).putInt(0).putInt(0)
+          .putInt(nf)           // dwTotalFrames
+          .putInt(0)
+          .putInt(1)            // dwStreams
+          .putInt(fsz)          // dwSuggestedBufferSize
+          .putInt(w).putInt(h)
+          .putInt(0).putInt(0).putInt(0).putInt(0)
+        bb.put("LIST".getBytes("US-ASCII")).putInt(4 + (8 + 56) + (8 + 40))
+          .put("strl".getBytes("US-ASCII"))
+        bb.put("strh".getBytes("US-ASCII")).putInt(56)
+        bb.put("vids".getBytes("US-ASCII")).put("DIB ".getBytes("US-ASCII"))
+          .putInt(0)            // dwFlags
+          .putShort(0).putShort(0) // wPriority, wLanguage
+          .putInt(0)            // dwInitialFrames
+          .putInt(1)            // dwScale
+          .putInt(10)           // dwRate (10 fps)
+          .putInt(0)            // dwStart
+          .putInt(nf)           // dwLength
+          .putInt(fsz)          // dwSuggestedBufferSize
+          .putInt(-1)           // dwQuality
+          .putInt(0)            // dwSampleSize
+          .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
+        bb.put("strf".getBytes("US-ASCII")).putInt(40)
+        bb.putInt(40)           // biSize
+          .putInt(w).putInt(h)  // biWidth, biHeight (positive = bottom-up)
+          .putShort(1)          // biPlanes
+          .putShort(8)          // biBitCount
+          .putInt(0)            // biCompression = BI_RGB
+          .putInt(fsz)          // biSizeImage
+          .putInt(0).putInt(0).putInt(0).putInt(0)
+        bb.put("LIST".getBytes("US-ASCII")).putInt(moviContent)
+          .put("movi".getBytes("US-ASCII"))
+        var f = 0
+        while (f < nf) {
+          bb.put("00db".getBytes("US-ASCII")).putInt(fsz)
+          var r = 0
+          while (r < h) {
+            val y = h - 1 - r // stored bottom-up
+            var x = 0
+            while (x < stride) {
+              val p = if (x < w) ((id * 31 + f * 17 + y * 131 + x * 7) & 0xff).toInt
+                      else 0
+              bb.put(p.toByte)
+              x += 1
+            }
+            r += 1
+          }
+          f += 1
+        }
         AviRow(id, bb.array())
       }
     }.toDF().withColumnRenamed("id", idCol)

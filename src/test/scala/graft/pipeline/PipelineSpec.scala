@@ -730,4 +730,66 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long, Long, Long, Long, Long, Long)].head()
     assert(trunc._2 == -1L, s"truncated AVI must sentinel: $trunc")
   }
+
+  test("PCM sample decode: exact integer stats match the fixture formula") {
+    val ids = Seq(5L, 14L, 91L).toDF("doc_id")
+    val wavs = Multimodal.encodeWavDemo(ids, "doc_id")
+    val stats = Multimodal.decodeWavSamples(wavs, "payload", "doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    for (id <- Seq(5L, 14L, 91L)) {
+      val n = ((id % 50) + 1) * ((id % 2) + 1)
+      val samples = (0L until n).map { j =>
+        val lo = (id * 31 + (2 * j) * 7) % 256
+        val hi = (id * 31 + (2 * j + 1) * 7) % 256
+        val u = lo + 256 * hi
+        if (u >= 32768) u - 65536 else u
+      }
+      val (_, ns, sa, pk, sq) = stats(id)
+      assert(ns == n, s"doc $id n_samples $ns != $n")
+      assert(sa == samples.map(math.abs).sum, s"doc $id sum_abs")
+      assert(pk == samples.map(math.abs).max, s"doc $id peak")
+      assert(sq == samples.map(v => v * v).sum, s"doc $id sum_sq")
+    }
+    // non-PCM16 / garbage payloads sentinel, never throw
+    val g = Multimodal.decodeWavSamples(
+        Seq((7L, "not audio".getBytes("UTF-8"))).toDF("doc_id", "payload"),
+        "payload", "doc_id")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(g == ((7L, -1L, -1L, -1L, -1L)))
+  }
+
+  test("raw-frame decode: sampling, stride strip, bottom-up orientation") {
+    val ids = Seq(5L, 14L, 91L).toDF("doc_id")
+    val avis = Multimodal.encodeAviFramesDemo(ids, "doc_id")
+    val rows = Multimodal.decodeAviFrames(avis, "payload", "doc_id", every = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    for (id <- Seq(5L, 14L, 91L)) {
+      val nf = (id % 10) + 1
+      val w = ((id % 5) + 1) * 3
+      val h = ((id % 4) + 1) * 3
+      val expectFrames = (0L until nf).filter(_ % 2 == 0)
+      assert(rows(id).map(_._2).toSeq == expectFrames, s"doc $id sampled frames")
+      for ((_, fi, np, ps, pm, trs) <- rows(id)) {
+        def pix(x: Long, y: Long) = (id * 31 + fi * 17 + y * 131 + x * 7) % 256
+        val all = for (y <- 0L until h; x <- 0L until w) yield pix(x, y)
+        assert(np == w * h, s"doc $id frame $fi n_pixels $np (stride not stripped?)")
+        assert(ps == all.sum, s"doc $id frame $fi pix_sum")
+        assert(pm == all.max, s"doc $id frame $fi pix_max")
+        assert(trs == (0L until w).map(pix(_, 0L)).sum,
+          s"doc $id frame $fi top_row_sum (bottom-up order mishandled?)")
+      }
+    }
+    // compressed / non-8-bit streams must sentinel (strf gate), as must junk
+    val g = Multimodal.decodeAviFrames(
+        Seq((7L, "RIFFxxxxNOPE".getBytes("UTF-8"))).toDF("doc_id", "payload"),
+        "payload", "doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(g == ((7L, -1L, -1L, -1L, -1L, -1L)))
+    // a header-only AVI (the meta fixture) has no strf/movi -> sentinel
+    val headerOnly = Multimodal.encodeAviDemo(Seq(5L).toDF("doc_id"), "doc_id")
+    val ho = Multimodal.decodeAviFrames(headerOnly, "payload", "doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(ho._2 == -1L, s"frame decode of a frameless AVI must sentinel: $ho")
+  }
 }
