@@ -826,6 +826,24 @@ object SparkEntry {
           sround(col("logprob"), 6).as("logprob"),
           sround(col("avg_logprob"), 6).as("avg_logprob"))),
 
+    // ---- CCNet-style head/middle/tail triage over the bigram-LM score:
+    // integer milli-grid average + histogram order statistics — zero
+    // floats anywhere near a bucket boundary
+    "text_ppl_buckets" -> ((s, dir) =>
+      TextAnalysis.pplBuckets(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("n_bigrams"), col("avg_lp_milli"),
+          col("bucket"))),
+
+    // ---- Gopher rule flags (published crawl-filter heuristics, all
+    // integer-count thresholds)
+    "text_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherFlags(t(s, dir, "documents"), "text", "doc_id")),
+
+    // ---- feature-hashed linear classifier: integer weight accumulation
+    // (exact), sigmoid squash (round-6)
+    "text_quality_lr" -> ((s, dir) =>
+      TextAnalysis.hashedLinearScore(t(s, dir, "documents"), "text", "doc_id")),
+
     // ---- per-label embedding centroids (exact quantized-sum arithmetic)
     "embed_centroid" -> ((s, dir) =>
       graft.pipeline.Embeddings.centroids(t(s, dir, "embeddings"),
@@ -2047,6 +2065,85 @@ object SparkEntry {
            round(sum(lp_q) / 1000000.0, 6) AS logprob,
            round(sum(lp_q) / 1000000.0 / count(*), 6) AS avg_logprob
          FROM p JOIN lm ON p.w1 = lm.w1 AND p.w2 = lm.w2 GROUP BY 1""",
+    // bigram sums from the text_bigram_lp LM, floored onto a milli grid
+    // by POSITIVE integer division (offset by 1e15), terciles as order
+    // statistics over the cumulative value histogram — all integer, so
+    // the bucket boundary cannot drift between engines
+    "text_ppl_buckets" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+         p AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2
+               FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                       i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS bg
+                     FROM t WHERE len(w) >= 2)),
+         f AS (SELECT w1, w2, count(*) AS fr FROM p GROUP BY 1, 2),
+         h AS (SELECT w1, count(*) AS hc FROM p GROUP BY 1),
+         lm AS (SELECT f.w1, f.w2, CAST(round(ln(fr / hc) * 1000000) AS BIGINT) AS lp_q
+                FROM f JOIN h ON f.w1 = h.w1),
+         s AS (SELECT doc_id, count(*) AS nb, sum(lp_q) AS sq
+               FROM p JOIN lm ON p.w1 = lm.w1 AND p.w2 = lm.w2 GROUP BY 1),
+         g AS (SELECT doc_id, nb,
+                 CAST((sq * 1000 + nb * 1000000000000000) // nb - 1000000000000000 AS BIGINT) AS avg_lp_milli
+               FROM s),
+         hist AS (SELECT avg_lp_milli, count(*) AS c FROM g GROUP BY 1),
+         cum AS (SELECT avg_lp_milli,
+                   sum(c) OVER (ORDER BY avg_lp_milli
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+                 FROM hist),
+         n AS (SELECT count(*) AS n FROM g),
+         qs AS (SELECT min(CASE WHEN cc * 3 >= n.n THEN avg_lp_milli END) AS q1,
+                       min(CASE WHEN cc * 3 >= n.n * 2 THEN avg_lp_milli END) AS q2
+                FROM cum CROSS JOIN n)
+         SELECT g.doc_id, CAST(g.nb AS BIGINT) AS n_bigrams, g.avg_lp_milli,
+           CASE WHEN g.avg_lp_milli <= qs.q1 THEN 'tail'
+                WHEN g.avg_lp_milli <= qs.q2 THEN 'middle'
+                ELSE 'head' END AS bucket
+         FROM g CROSS JOIN qs""",
+    // every rule is an integer-count comparison (10*sym <= n_words etc.)
+    // so the flags cannot drift on float division; lines split on \n,
+    // words on whitespace runs
+    "text_gopher_rules" ->
+      """WITH w AS (SELECT doc_id,
+                list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS words,
+                string_split(text, chr(10)) AS lines,
+                len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.'))
+                  + len(regexp_extract_all(text, '…')) AS sym
+              FROM documents),
+         c AS (SELECT doc_id, len(words) AS nw, len(lines) AS nl, sym,
+                 COALESCE(CAST(list_sum(list_transform(words, x -> len(x))) AS BIGINT), 0) AS chars,
+                 len(list_filter(lines, l -> regexp_matches(trim(l), '^[-•*]'))) AS bul,
+                 len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS ell,
+                 len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+                 len(list_intersect(list_distinct(list_transform(words, x -> lower(x))),
+                   ['the','be','to','of','and','that','have','with'])) AS sw
+               FROM w)
+         SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+           CAST(CASE WHEN nw >= 50 AND nw <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS r_word_count,
+           CAST(CASE WHEN chars >= nw * 3 AND chars <= nw * 10 THEN 1 ELSE 0 END AS BIGINT) AS r_mean_word_len,
+           CAST(CASE WHEN sym * 10 <= nw THEN 1 ELSE 0 END AS BIGINT) AS r_symbol_ratio,
+           CAST(CASE WHEN bul * 10 <= nl * 9 THEN 1 ELSE 0 END AS BIGINT) AS r_bullet_lines,
+           CAST(CASE WHEN ell * 10 <= nl * 3 THEN 1 ELSE 0 END AS BIGINT) AS r_ellipsis_lines,
+           CAST(CASE WHEN alpha * 5 >= nw * 4 THEN 1 ELSE 0 END AS BIGINT) AS r_alpha_words,
+           CAST(CASE WHEN sw >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stopwords,
+           CAST(CASE WHEN nw >= 50 AND nw <= 100000 AND chars >= nw * 3 AND chars <= nw * 10
+                      AND sym * 10 <= nw AND bul * 10 <= nl * 9 AND ell * 10 <= nl * 3
+                      AND alpha * 5 >= nw * 4 AND sw >= 2 THEN 1 ELSE 0 END AS BIGINT) AS pass
+         FROM c""",
+    // double md5 per token (slot = h(token) mod 2048, weight =
+    // h('w:'||slot) mapped to [-1000, 1000]); the weight SUM is exact
+    // BIGINT arithmetic, only the sigmoid is float (round-6)
+    "text_quality_lr" ->
+      """WITH tok AS (SELECT doc_id,
+                list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+              FROM documents),
+         s AS (SELECT doc_id, len(toks) AS n,
+                 COALESCE(CAST(list_sum(list_transform(toks, x ->
+                   ('0x' || substring(md5('w:' || CAST(('0x' || substring(md5(x), 1, 15))::BIGINT % 1000000 % 2048 AS VARCHAR)), 1, 15))::BIGINT % 1000000 % 2001 - 1000)) AS BIGINT), 0) AS wsum
+               FROM tok)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, wsum AS w_sum,
+           round(CASE WHEN n = 0 THEN 0.5
+                 ELSE 1.0 / (1.0 + exp(-wsum / (n * 1000.0))) END, 6) AS score,
+           CAST(CASE WHEN wsum > 0 THEN 1 ELSE 0 END AS BIGINT) AS label
+         FROM s""",
     // same integer quantization as the sign-LSH oracles: components round
     // to the 1e-6 grid, sums are exact BIGINTs, division order matches
     "embed_centroid" ->

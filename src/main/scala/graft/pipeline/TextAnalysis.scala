@@ -57,6 +57,85 @@ object TextAnalysis {
     (wordBand + lenBand + alphaRatio) / lit(3.0)
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    * Language Models", table A1 — the published crawl-filter heuristics),
+    * one 0/1 flag per rule plus the conjunction:
+    *
+    *  1. word count in [50, 100000]
+    *  2. mean word length in [3, 10]
+    *  3. symbol-to-word ratio (# or ellipsis) <= 0.1
+    *  4. <= 90% of lines start with a bullet
+    *  5. <= 30% of lines end with an ellipsis
+    *  6. >= 80% of words contain an alphabetic character
+    *  7. >= 2 distinct stop words from {the, be, to, of, and, that, have,
+    *     with}
+    *
+    * Every threshold compares INTEGER counts (`10*sym <= n_words`, not
+    * `sym/n_words <= 0.1`) so the flags are bit-exact across engines —
+    * no float division to disagree about. One codegen'd projection per
+    * document, no shuffle: at 100 TB this runs at scan speed next to the
+    * other text filters. */
+  def gopherFlags(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = filter(split(trim(t), "\\s+"), w => length(w) > 0)
+    val lines = split(t, "\n")
+    val nWords = size(words).cast("long")
+    val nLines = size(lines).cast("long")
+    val chars = coalesce(
+      aggregate(words, lit(0L), (a, w) => a + length(w).cast("long")), lit(0L))
+    val sym = (regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\.")) +
+      regexp_count(t, lit("…"))).cast("long")
+    val bullet = size(filter(lines, l => trim(l).rlike("^[-•*]"))).cast("long")
+    val ellipsis = size(filter(lines, l => rtrim(l).rlike("(\\.\\.\\.|…)$"))).cast("long")
+    val alpha = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
+    val stops = size(array_intersect(
+      array_distinct(transform(words, w => lower(w))),
+      array(Seq("the", "be", "to", "of", "and", "that", "have", "with").map(lit): _*)))
+    def flag(c: Column): Column = when(c, 1L).otherwise(0L)
+    val r1 = flag(nWords >= 50L && nWords <= 100000L)
+    val r2 = flag(chars >= nWords * 3L && chars <= nWords * 10L)
+    val r3 = flag(sym * 10L <= nWords)
+    val r4 = flag(bullet * 10L <= nLines * 9L)
+    val r5 = flag(ellipsis * 10L <= nLines * 3L)
+    val r6 = flag(alpha * 5L >= nWords * 4L)
+    val r7 = flag(stops >= 2)
+    df.select(col(idCol), nWords.as("n_words"),
+      r1.as("r_word_count"), r2.as("r_mean_word_len"), r3.as("r_symbol_ratio"),
+      r4.as("r_bullet_lines"), r5.as("r_ellipsis_lines"), r6.as("r_alpha_words"),
+      r7.as("r_stopwords"),
+      (r1 * r2 * r3 * r4 * r5 * r6 * r7).as("pass"))
+  }
+
+  /** Feature-hashed linear text classifier (the fastText/Vowpal "hashing
+    * trick" shape): each token hashes to one of `buckets` feature slots,
+    * each slot carries a fixed INTEGER weight in [-1000, 1000] derived
+    * from a second hash of the slot id, and the document scores
+    * sigmoid(Σ w / (1000 · n)). A production quality classifier swaps the
+    * hash-derived weights for trained ones — the plumbing (hash, lookup,
+    * accumulate, squash) is identical, and keeping the accumulation in
+    * integers makes the whole pipeline bit-exact across engines (float
+    * summation order never enters; only the final sigmoid is floating
+    * point, absorbed by round-6). One codegen'd projection, no shuffle,
+    * no weight table to broadcast — the "table" is arithmetic. */
+  def hashedLinearScore(df: DataFrame, textCol: String, idCol: String,
+                        buckets: Int = 2048): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"), w => length(w) > 0)
+    def md5Long(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long") % 1000000L
+    val wsum = coalesce(
+      aggregate(toks, lit(0L), (a, w) => {
+        val slot = md5Long(w) % buckets.toLong
+        a + (md5Long(concat(lit("w:"), slot.cast("string"))) % 2001L - 1000L)
+      }), lit(0L))
+    val n = size(toks).cast("long")
+    val score = when(n === 0L, 0.5).otherwise(
+      lit(1.0) / (lit(1.0) + exp(-wsum.cast("double") / (n.cast("double") * 1000.0))))
+    df.select(col(idCol), n.as("n_tokens"), wsum.as("w_sum"),
+      round(score, 6).as("score"),
+      when(wsum > 0L, 1L).otherwise(0L).as("label"))
+  }
+
   /** Marker-word tables for the n-gram/stopword language heuristic: small
     * high-frequency function words per language, 14 languages. Shared
     * function words across related languages (es/pt "que", da/no "det")
@@ -286,6 +365,53 @@ object TextAnalysis {
       .select(col(idCol), col("n_bigrams"),
         (col("__sum_q") / 1e6).as("logprob"),
         (col("__sum_q") / 1e6 / col("n_bigrams")).as("avg_logprob"))
+  }
+
+  /** CCNet-style perplexity bucketing: every document lands in the
+    * `head` / `middle` / `tail` third of the corpus's LM-score
+    * distribution (Wenzek et al. 2020 — the standard crawl triage where
+    * `head` trains, `middle` is held for mixing, `tail` is dropped or
+    * mined). Scored by [[bigramLogProb]]'s exact integer-quantized sum.
+    *
+    * Everything stays INTEGER so the bucket boundaries are bit-stable
+    * across engines: the per-bigram average is floored onto a milli grid
+    * via offset integer division (no float ratio), and the tercile
+    * thresholds are order statistics read off a VALUE HISTOGRAM — group
+    * by grid value, cumulative count, smallest value whose cumulative
+    * count reaches ceil(n/3) / ceil(2n/3). The histogram is the scale
+    * trick: its size is the number of DISTINCT grid values (bounded by
+    * the grid, not the corpus), so the "global sort" is a window over a
+    * tiny aggregate and the per-document pass is one broadcast-joined
+    * projection — no corpus-wide sort at 100 TB. Docs with < 2 tokens
+    * have no bigrams and drop out, like [[bigramLogProb]]. */
+  def pplBuckets(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // offset keeps the dividend positive so truncating `div` == floor in
+    // both engines; |sum_q*1000| stays far below 1e15 for any real doc
+    // (and `logprob * 1e6` recovers the quantized sum exactly — that is
+    // how bigramLogProb produced the column)
+    val scored = bigramLogProb(df, textCol, idCol)
+      .select(col(idCol), col("n_bigrams"),
+        round(col("logprob") * 1e6).cast("long").as("__sum_q"))
+      .withColumn("avg_lp_milli",
+        expr("((__sum_q * 1000 + n_bigrams * 1000000000000000) div n_bigrams)" +
+          " - 1000000000000000"))
+    val hist = scored.groupBy(col("avg_lp_milli")).agg(count(lit(1)).as("__c"))
+    // the window is over the HISTOGRAM (distinct grid values), not the
+    // corpus — the single-partition sort Spark warns about is deliberate
+    // and bounded
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("avg_lp_milli"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("__cum", sum(col("__c")).over(w))
+    val total = scored.agg(count(lit(1)).cast("long").as("__n"))
+    val qs = cum.crossJoin(broadcast(total)).agg(
+      min(when(col("__cum") * 3L >= col("__n"), col("avg_lp_milli"))).as("__q1"),
+      min(when(col("__cum") * 3L >= col("__n") * 2L, col("avg_lp_milli"))).as("__q2"))
+    scored.crossJoin(broadcast(qs))
+      .select(col(idCol), col("n_bigrams"), col("avg_lp_milli"),
+        when(col("avg_lp_milli") <= col("__q1"), "tail")
+          .when(col("avg_lp_milli") <= col("__q2"), "middle")
+          .otherwise("head").as("bucket"))
   }
 
   def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {

@@ -585,6 +585,81 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(counts(2L) == ((0, 0, 0)))
     assert(counts(3L) == ((0, 2, 1)))
   }
+
+  test("gopher flags: each rule fails on its own pathology, clean doc passes") {
+    val good = (1 to 60).map(i => if (i <= 8)
+      Seq("the", "be", "to", "of", "and", "that", "have", "with")(i - 1)
+      else "word").mkString(" ")
+    val docs = Seq(
+      1L -> good,                                   // passes all 7
+      2L -> "too short",                            // r_word_count
+      3L -> ((1 to 60).map(_ => "a").mkString(" ") + " the be"), // r_mean_word_len (mean < 3)
+      4L -> good.replaceAll("word", "wo#rd"),       // r_symbol_ratio (52 '#' / 60 words)
+      5L -> (1 to 10).map(_ => "- " + good).mkString("\n"), // r_bullet_lines (10/10 bulleted)
+      6L -> (1 to 10).map(_ => good + " ...").mkString("\n"), // r_ellipsis_lines
+      7L -> good.replaceAll("word", "1234"),        // r_alpha_words (only 8/60 alphabetic)
+      8L -> (1 to 60).map(_ => "word").mkString(" ") // r_stopwords (zero stop words)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherFlags(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def flags(id: Long): Seq[Long] = (2 to 8).map(got(id).getLong)
+    assert(got(1L).getAs[Long]("pass") == 1L, s"clean doc failed: ${got(1L)}")
+    val ruleIdx = Map(2L -> 0, 3L -> 1, 4L -> 2, 5L -> 3, 6L -> 4, 7L -> 5, 8L -> 6)
+    for ((id, idx) <- ruleIdx) {
+      assert(flags(id)(idx) == 0L, s"doc $id should fail rule $idx: ${flags(id)}")
+      assert(got(id).getAs[Long]("pass") == 0L, s"doc $id should fail overall")
+    }
+    // empty text: zero words, fails word count, never divides by zero
+    val empty = TextAnalysis.gopherFlags(Seq(9L -> "").toDF("doc_id", "text"),
+      "text", "doc_id").collect().head
+    assert(empty.getAs[Long]("n_words") == 0L && empty.getAs[Long]("pass") == 0L)
+  }
+
+  test("hashed linear classifier: exact integer sums, scale-by-repetition") {
+    val docs = Seq(1L -> "alpha", 2L -> "alpha alpha alpha", 3L -> "").toDF("doc_id", "text")
+    val got = TextAnalysis.hashedLinearScore(docs, "text", "doc_id")
+      .select($"doc_id", $"n_tokens", $"w_sum", $"score", $"label")
+      .as[(Long, Long, Long, Double, Long)].collect().map(t => t._1 -> t).toMap
+    // same token k times: w_sum scales by k, the per-token average (and
+    // so the score) is invariant
+    assert(got(2L)._3 == 3 * got(1L)._3, s"${got(1L)} vs ${got(2L)}")
+    assert(got(1L)._4 == got(2L)._4)
+    assert(got(1L)._4 > 0.0 && got(1L)._4 < 1.0)
+    assert(got(1L)._5 == (if (got(1L)._3 > 0) 1L else 0L))
+    // empty doc: neutral score, zero label, no NaN
+    assert(got(3L) == ((3L, 0L, 0L, 0.5, 0L)))
+    // the weight formula is the documented double-md5: recompute slot 1's
+    // weight by hand for the token "alpha"
+    def md5Long(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 15), 16) % 1000000L
+    }
+    val slot = md5Long("alpha") % 2048L
+    val w = md5Long("w:" + slot) % 2001L - 1000L
+    assert(got(1L)._3 == w, s"w_sum ${got(1L)._3} != hand-computed $w")
+  }
+
+  test("ppl buckets: tercile order respected, short docs drop, near-balanced") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextAnalysis.pplBuckets(docs, "text", "doc_id")
+      .select($"doc_id", $"n_bigrams", $"avg_lp_milli", $"bucket")
+      .as[(Long, Long, Long, String)].collect()
+    val byBucket = out.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"), s"${byBucket.keySet}")
+    // value ranges must be ordered: every tail <= every middle <= every head
+    assert(byBucket("tail").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("head").min)
+    // terciles: no bucket smaller than a quarter or larger than half
+    val n = out.length
+    for ((b, vs) <- byBucket)
+      assert(vs.length >= n / 4 && vs.length <= n / 2 + 1, s"$b has ${vs.length}/$n")
+    // docs with < 2 tokens have no bigrams and must be absent
+    val short = TextAnalysis.pplBuckets(
+      Seq(1L -> "one", 2L -> "two words here").toDF("doc_id", "text"), "text", "doc_id")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(short == Set(2L), s"got $short")
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite with SparkSpec {
