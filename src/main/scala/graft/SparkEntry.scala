@@ -306,6 +306,17 @@ object SparkEntry {
       res.select(col("query_id"), col("corpus_id"),
         sround(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
     }),
+    // product-quantization path (Jegou et al. ADC): md5-integer codebook
+    // + 4096-grid vectors make encode/LUT/ADC exact integer arithmetic,
+    // so even the approximate shortlist reproduces in SQL (the production
+    // k-means-codebook variant is spec-gated in PqSpec)
+    "ann_cosine_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val res = AnnSearch.pqTopKInt(emb.where(col("vec_id") < 10), emb,
+        "embedding", "vec_id", 10, dim = 64, m = 8, ksub = 16, rerank = 40)
+      res.select(col("query_id"), col("corpus_id"),
+        sround(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+    }),
     // radius (range) search: every neighbor at cosine >= tau, exact arm
     "ann_radius" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1385,6 +1396,46 @@ object SparkEntry {
                 FROM cand JOIN embeddings a ON cand.query_id = a.vec_id
                           JOIN embeddings b ON cand.corpus_id = b.vec_id
                 WHERE hrank <= 40),
+         r AS (SELECT query_id, corpus_id, cos,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+               FROM sc)
+         SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 10""",
+    // the full PQ pipeline in SQL: md5 codebook -> integer encode
+    // (argmin L2, ties smallest j) -> per-query LUT -> ADC sum ->
+    // shortlist (adc DESC, id ASC) -> exact cosine re-rank. Every step
+    // before the final cosine is BIGINT arithmetic.
+    "ann_cosine_pq" ->
+      """WITH cb AS (SELECT s, j, t,
+                ('0x' || substring(md5('pq_' || s || '_' || j || '_' || t), 1, 15))::BIGINT % 8193 - 4096 AS comp
+              FROM range(8) ts(s), range(16) tj(j), range(8) tt(t)),
+         cw AS (SELECT s, j, list(comp ORDER BY t) AS cv FROM cb GROUP BY s, j),
+         qv AS (SELECT vec_id,
+                  list_transform(range(1, 65), i -> CAST(floor(embedding[i]::DOUBLE * 4096) AS BIGINT)) AS q
+                FROM embeddings),
+         dist AS (SELECT v.vec_id, w.s, w.j,
+                    list_sum(list_transform(range(0, 8), t ->
+                      (q[CAST(w.s*8 + t + 1 AS INT)] - cv[CAST(t + 1 AS INT)])
+                      * (q[CAST(w.s*8 + t + 1 AS INT)] - cv[CAST(t + 1 AS INT)]))) AS d
+                  FROM qv v CROSS JOIN cw w),
+         codes AS (SELECT vec_id, s, j AS code FROM (
+                     SELECT vec_id, s, j,
+                       row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+                     FROM dist) WHERE rn = 1),
+         lut AS (SELECT v.vec_id AS query_id, w.s, w.j,
+                   CAST(list_sum(list_transform(range(0, 8), t ->
+                     q[CAST(w.s*8 + t + 1 AS INT)] * cv[CAST(t + 1 AS INT)])) AS BIGINT) AS dot
+                 FROM qv v CROSS JOIN cw w WHERE v.vec_id < 10),
+         adc AS (SELECT l.query_id, c.vec_id AS corpus_id, sum(l.dot) AS score
+                 FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.j
+                 WHERE c.vec_id != l.query_id GROUP BY 1, 2),
+         cand AS (SELECT query_id, corpus_id FROM (
+                    SELECT query_id, corpus_id,
+                      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS rn
+                    FROM adc) WHERE rn <= 40),
+         sc AS (SELECT cand.query_id, cand.corpus_id,
+                  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+                FROM cand JOIN embeddings a ON cand.query_id = a.vec_id
+                          JOIN embeddings b ON cand.corpus_id = b.vec_id),
          r AS (SELECT query_id, corpus_id, cos,
                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
                FROM sc)

@@ -427,6 +427,92 @@ case class NgramJaccardDistance(left: Expression, right: Expression, n: Int)
     copy(left = l, right = r)
 }
 
+/** Product-quantization encode (integer/oracle variant): m codeword
+  * indices from a flattened md5-integer codebook — see
+  * VectorKernels.pqEncodeInt. */
+case class PqEncodeInt(child: Expression, codebook: Array[Long], m: Int,
+                       ksub: Int, dim: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode_int"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.pqEncodeInt(v.asInstanceOf[ArrayData], codebook, m, ksub, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebook", codebook, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.fuzzy.VectorKernels.pqEncodeInt($c, $ref, $m, $ksub, $dim)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** PQ query lookup table (integer/oracle variant): m*ksub exact integer
+  * subvector-codeword dots, computed once per query row. */
+case class PqLutInt(child: Expression, codebook: Array[Long], m: Int,
+                    ksub: Int, dim: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_lut_int"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.pqLutInt(v.asInstanceOf[ArrayData], codebook, m, ksub, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebook", codebook, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.fuzzy.VectorKernels.pqLutInt($c, $ref, $m, $ksub, $dim)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** ADC score from (codes, lut): m array reads + adds per scored pair —
+  * the inner loop of PQ search, integer variant. */
+case class PqAdcInt(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_adc_int"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.pqAdcInt(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], ksub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.fuzzy.VectorKernels.pqAdcInt($a, $b, $ksub)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** PQ encode, float/production variant (k-means codebooks). */
+case class PqEncodeF(child: Expression, codebook: Array[Double], m: Int,
+                     ksub: Int, dim: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.pqEncodeF(v.asInstanceOf[ArrayData], codebook, m, ksub, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebook", codebook, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.fuzzy.VectorKernels.pqEncodeF($c, $ref, $m, $ksub, $dim)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** PQ query lookup table, float/production variant. */
+case class PqLutF(child: Expression, codebook: Array[Double], m: Int,
+                  ksub: Int, dim: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_lut"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.pqLutF(v.asInstanceOf[ArrayData], codebook, m, ksub, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebook", codebook, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.fuzzy.VectorKernels.pqLutF($c, $ref, $m, $ksub, $dim)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** ADC score, float/production variant. */
+case class PqAdcF(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.pqAdcF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], ksub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.fuzzy.VectorKernels.pqAdcF($a, $b, $ksub)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-level API for the native vector/sketch expressions. */
 object vectorFunctions {
   private def c(e: Expression): Column = GraftSql.column(e)
@@ -471,6 +557,18 @@ object vectorFunctions {
     c(NearestCells(x(vec), centroids, dim, nProbe))
   def topk_pairs(score: Column, id: Column, k: Int): Column =
     c(BoundedTopK(x(score), x(id), k).toAggregateExpression())
+  def pq_encode_int(vec: Column, codebook: Array[Long], m: Int, ksub: Int, dim: Int): Column =
+    c(PqEncodeInt(x(vec), codebook, m, ksub, dim))
+  def pq_lut_int(vec: Column, codebook: Array[Long], m: Int, ksub: Int, dim: Int): Column =
+    c(PqLutInt(x(vec), codebook, m, ksub, dim))
+  def pq_adc_int(codes: Column, lut: Column, ksub: Int): Column =
+    c(PqAdcInt(x(codes), x(lut), ksub))
+  def pq_encode(vec: Column, codebook: Array[Double], m: Int, ksub: Int, dim: Int): Column =
+    c(PqEncodeF(x(vec), codebook, m, ksub, dim))
+  def pq_lut(vec: Column, codebook: Array[Double], m: Int, ksub: Int, dim: Int): Column =
+    c(PqLutF(x(vec), codebook, m, ksub, dim))
+  def pq_adc(codes: Column, lut: Column, ksub: Int): Column =
+    c(PqAdcF(x(codes), x(lut), ksub))
 
   /** `(name, builder)` pairs for the SQL surface — consumed by
     * [[registerAll]] and by [[graft.GraftExtensions]]. Literal-int

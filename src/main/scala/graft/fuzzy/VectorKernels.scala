@@ -132,6 +132,165 @@ object VectorKernels {
     ArrayData.toArrayData(out)
   }
 
+  // ------------------------------------------------------ product quantization
+
+  /** Quantized component d of `v` on the exact-integer grid shared with
+    * [[projectQ]] and the SQL oracles: floor(v_d * 4096), 0 beyond the
+    * vector's length. */
+  @inline private def q4096(v: ArrayData, d: Int, n: Int): Long =
+    if (d < n) math.floor(v.getFloat(d).toDouble * 4096.0).toLong else 0L
+
+  /** PQ encode (integer/oracle variant): split the 4096-grid-quantized
+    * vector into `m` subvectors of `dim/m`, assign each to its nearest
+    * codeword (exact integer L2; ties -> smallest codeword index) from a
+    * flattened codebook laid out `[(s*ksub + j)*dsub + t]`. Output:
+    * `m` codeword indices — the whole-vector code is m bytes of state
+    * (dim/m-fold compression at ksub <= 256), and every arithmetic step
+    * is integer, so a SQL oracle reproduces the code exactly. */
+  def pqEncodeInt(v: ArrayData, codebook: Array[Long], m: Int, ksub: Int,
+                  dim: Int): ArrayData = {
+    val n = math.min(v.numElements(), dim)
+    val dsub = dim / m
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Long.MaxValue
+      var j = 0
+      while (j < ksub) {
+        var d = 0L
+        var t = 0
+        val voff = s * dsub
+        val coff = (s * ksub + j) * dsub
+        while (t < dsub) {
+          val diff = q4096(v, voff + t, n) - codebook(coff + t)
+          d += diff * diff
+          t += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** PQ query lookup table (integer/oracle variant): dot of each query
+    * subvector with each codeword — `m * ksub` exact integer entries,
+    * computed ONCE per query. Scoring a corpus code is then `m` array
+    * reads ([[pqAdcInt]]) instead of a `dim`-wide dot: the asymmetric
+    * distance computation (ADC) of Jegou et al. 2011. */
+  def pqLutInt(v: ArrayData, codebook: Array[Long], m: Int, ksub: Int,
+               dim: Int): ArrayData = {
+    val n = math.min(v.numElements(), dim)
+    val dsub = dim / m
+    val out = new Array[Long](m * ksub)
+    var s = 0
+    while (s < m) {
+      var j = 0
+      while (j < ksub) {
+        var acc = 0L
+        var t = 0
+        val voff = s * dsub
+        val coff = (s * ksub + j) * dsub
+        while (t < dsub) {
+          acc += q4096(v, voff + t, n) * codebook(coff + t)
+          t += 1
+        }
+        out(s * ksub + j) = acc
+        j += 1
+      }
+      s += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** ADC score: Σ_s lut[s*ksub + code_s] — `m` adds per (query, corpus)
+    * pair. Integer variant: exact, order-independent. */
+  def pqAdcInt(codes: ArrayData, lut: ArrayData, ksub: Int): Long = {
+    val m = codes.numElements()
+    var s = 0
+    var acc = 0L
+    while (s < m) {
+      acc += lut.getLong(s * ksub + codes.getInt(s))
+      s += 1
+    }
+    acc
+  }
+
+  /** PQ encode, float/production variant (k-means codebooks). Same layout
+    * and tie rule as [[pqEncodeInt]] (strict `<`, so ties keep the
+    * smallest index deterministically). */
+  def pqEncodeF(v: ArrayData, codebook: Array[Double], m: Int, ksub: Int,
+                dim: Int): ArrayData = {
+    val n = math.min(v.numElements(), dim)
+    val dsub = dim / m
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < ksub) {
+        var d = 0.0
+        var t = 0
+        val voff = s * dsub
+        val coff = (s * ksub + j) * dsub
+        while (t < dsub) {
+          val x = if (voff + t < n) v.getFloat(voff + t).toDouble else 0.0
+          val diff = x - codebook(coff + t)
+          d += diff * diff
+          t += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** PQ query lookup table, float/production variant. */
+  def pqLutF(v: ArrayData, codebook: Array[Double], m: Int, ksub: Int,
+             dim: Int): ArrayData = {
+    val n = math.min(v.numElements(), dim)
+    val dsub = dim / m
+    val out = new Array[Double](m * ksub)
+    var s = 0
+    while (s < m) {
+      var j = 0
+      while (j < ksub) {
+        var acc = 0.0
+        var t = 0
+        val voff = s * dsub
+        val coff = (s * ksub + j) * dsub
+        while (t < dsub) {
+          val x = if (voff + t < n) v.getFloat(voff + t).toDouble else 0.0
+          acc += x * codebook(coff + t)
+          t += 1
+        }
+        out(s * ksub + j) = acc
+        j += 1
+      }
+      s += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** ADC score, float/production variant. */
+  def pqAdcF(codes: ArrayData, lut: ArrayData, ksub: Int): Double = {
+    val m = codes.numElements()
+    var s = 0
+    var acc = 0.0
+    while (s < m) {
+      acc += lut.getDouble(s * ksub + codes.getInt(s))
+      s += 1
+    }
+    acc
+  }
+
   /** Morton z-value: interleaves the low 31 bits of two non-negative longs
     * (`a` on even positions, `b` on odd) — the space-filling-curve sort key
     * for two-dimensional data clustering. 31+31 bits keep the result in

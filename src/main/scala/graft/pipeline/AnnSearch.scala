@@ -182,6 +182,143 @@ object AnnSearch {
     rankTopK(scored, "cosine", k)
   }
 
+  /** Product-quantization top-k (Jegou et al. 2011, "Product Quantization
+    * for Nearest Neighbor Search") — the memory-scale tier below int8:
+    * every corpus vector compresses to `m` codeword indices (m bytes at
+    * ksub <= 256 — 32x over float32 at dim 64 / m 8), the scan ranks by
+    * asymmetric distance (per-query lookup table, `m` adds per pair), and
+    * the top `rerank` candidates re-rank by exact float cosine down to k.
+    *
+    * INTEGER/oracle variant: the codebook is md5-derived integer noise
+    * ([[pqCodebookMd5Int]]) and vectors quantize to the 4096 grid, so
+    * encode, LUT, ADC, and the shortlist are ALL exact integer arithmetic
+    * a SQL oracle recomputes bit-for-bit — the same trick as the md5
+    * LSH planes. Production swaps in k-means codebooks ([[pqTopK]] +
+    * [[pqFitCodebook]]) for real recall; the search plumbing is shared.
+    *
+    * Scale shape mirrors [[binaryTopK]]: the corpus-wide scan carries
+    * (id, m-int code) only, float vectors re-attach by equi-join for the
+    * bounded re-rank, and both ranking stages are the bounded-heap
+    * aggregate (no sort). */
+  def pqTopKInt(queries: DataFrame, corpus: DataFrame,
+                vecCol: String, idCol: String, k: Int, dim: Int,
+                m: Int = 8, ksub: Int = 16, rerank: Int = 40): DataFrame = {
+    import graft.fuzzy.vectorFunctions.{pq_adc_int, pq_encode_int, pq_lut_int}
+    require(dim % m == 0, s"dim ($dim) must be divisible by m ($m)")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val cb = pqCodebookMd5Int(dim, m, ksub)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      pq_lut_int(col(vecCol), cb, m, ksub, dim).as("__lut"))
+    val cs = spread(corpus).select(col(idCol).as("corpus_id"),
+      pq_encode_int(col(vecCol), cb, m, ksub, dim).as("__codes"))
+    pqSearch(q, cs, corpus, vecCol, idCol, k, rerank,
+      pq_adc_int(col("__codes"), col("__lut"), ksub).cast("double"))
+  }
+
+  /** PQ top-k, float/production variant: pass a k-means codebook from
+    * [[pqFitCodebook]] (fit once per corpus version, persisted like the
+    * IVF centroids). Recall vs exact is spec-gated (PqSpec); with
+    * `rerank` >= corpus size the result provably equals
+    * [[bruteForceTopK]]. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+             vecCol: String, idCol: String, k: Int, dim: Int,
+             codebook: Array[Double], m: Int = 8, ksub: Int = 16,
+             rerank: Int = 40): DataFrame = {
+    import graft.fuzzy.vectorFunctions.{pq_adc, pq_encode, pq_lut}
+    require(dim % m == 0, s"dim ($dim) must be divisible by m ($m)")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    require(codebook.length == m * ksub * (dim / m),
+      s"codebook length ${codebook.length} != m*ksub*dsub = ${m * ksub * (dim / m)}")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      pq_lut(col(vecCol), codebook, m, ksub, dim).as("__lut"))
+    val cs = spread(corpus).select(col(idCol).as("corpus_id"),
+      pq_encode(col(vecCol), codebook, m, ksub, dim).as("__codes"))
+    pqSearch(q, cs, corpus, vecCol, idCol, k, rerank,
+      pq_adc(col("__codes"), col("__lut"), ksub))
+  }
+
+  /** Shared PQ search tail: ADC scan over (id, code) rows -> bounded-heap
+    * shortlist (ties -> min corpus_id) -> exact cosine re-rank with
+    * vectors re-attached by id. */
+  private def pqSearch(q: DataFrame, cs: DataFrame, corpus: DataFrame,
+                       vecCol: String, idCol: String, k: Int, rerank: Int,
+                       adcScore: org.apache.spark.sql.Column): DataFrame = {
+    val adc = cs.crossJoin(broadcast(q.select(col("query_id"), col("__lut"))))
+      .where(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"), adcScore.as("__adc"))
+    val cand = rankTopK(adc, "__adc", rerank)
+      .select(col("query_id"), col("corpus_id"))
+    val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
+    val scored = cv
+      .join(broadcast(cand), Seq("corpus_id"))
+      .join(broadcast(q.select(col("query_id"), col("__qv"))), Seq("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        Dedup.cosineSimilarity(col("__qv"), col("__cv")).as("cosine"))
+    rankTopK(scored, "cosine", k)
+  }
+
+  /** Deterministic md5-integer PQ codebook (the oracle-reproducible
+    * stand-in for a trained one): component `[(s*ksub + j)*dsub + t]` =
+    * `('0x' || substring(md5('pq_' || s || '_' || j || '_' || t), 1, 15))
+    * ::BIGINT % 8193 - 4096` — uniform on the same ±4096 grid the
+    * vectors quantize to. */
+  private[pipeline] def pqCodebookMd5Int(dim: Int, m: Int, ksub: Int): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dsub = dim / m
+    val out = new Array[Long](m * ksub * dsub)
+    var s = 0
+    while (s < m) {
+      var j = 0
+      while (j < ksub) {
+        var t = 0
+        while (t < dsub) {
+          val hex = md.digest(s"pq_${s}_${j}_$t".getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString.substring(0, 15)
+          out((s * ksub + j) * dsub + t) =
+            java.lang.Long.parseLong(hex, 16) % 8193L - 4096L
+          t += 1
+        }
+        j += 1
+      }
+      s += 1
+    }
+    out
+  }
+
+  /** Fit a PQ codebook: per-subspace k-means over the sliced subvectors
+    * (reusing [[kmeansFit]]'s sampled fit, so cost is m × (iters × sample
+    * + corpus) — fit once per corpus version and persist, like the IVF
+    * quantizer). A subspace fit that returns fewer than `ksub` centroids
+    * (degenerate corpora) pads by repeating the last one: extra codewords
+    * are then never argmin-unique, which is harmless. Layout matches
+    * [[pqTopK]]: `[(s*ksub + j)*dsub + t]`. */
+  def pqFitCodebook(corpus: DataFrame, vecCol: String, dim: Int,
+                    m: Int = 8, ksub: Int = 16, iters: Int = 3,
+                    seed: Long = 42L,
+                    fitSampleCap: Long = 100_000L): Array[Double] = {
+    require(dim % m == 0, s"dim ($dim) must be divisible by m ($m)")
+    val dsub = dim / m
+    val out = new Array[Double](m * ksub * dsub)
+    var s = 0
+    while (s < m) {
+      val sub = corpus.select(
+        slice(col(vecCol), s * dsub + 1, dsub).as("__sub"))
+      val cents = kmeansFit(sub, "__sub", dsub, ksub, iters, seed + s, fitSampleCap)
+      var j = 0
+      while (j < ksub) {
+        val c = cents(math.min(j, cents.length - 1))
+        var t = 0
+        while (t < dsub) {
+          out((s * ksub + j) * dsub + t) = if (t < c.length) c(t) else 0.0
+          t += 1
+        }
+        j += 1
+      }
+      s += 1
+    }
+    out
+  }
+
   /** Lloyd's k-means over an embedding column, expressed relationally:
     * assignment is a codegen'd nearest-centroid projection, the update is
     * one `posexplode` + per-(cell, dimension) average — one aggregate

@@ -1,0 +1,102 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product-quantization search: kernel identities, the provable
+  * full-rerank-equals-brute-force configuration, and recall of the
+  * production k-means-codebook path. */
+class PqSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("pq kernels: encode is the L2 argmin, adc sums the coded LUT entries") {
+    import spark.implicits._
+    val dim = 8; val m = 2; val ksub = 4; val dsub = dim / m
+    val cb = AnnSearch.pqCodebookMd5Int(dim, m, ksub)
+    val vec = Seq(0.5f, -0.25f, 0.125f, 1.0f, -1.0f, 0.75f, 0.0f, -0.5f)
+    val df = Seq((1L, vec)).toDF("id", "v")
+    val row = df.select(
+      graft.fuzzy.vectorFunctions.pq_encode_int(col("v"), cb, m, ksub, dim).as("codes"),
+      graft.fuzzy.vectorFunctions.pq_lut_int(col("v"), cb, m, ksub, dim).as("lut"))
+      .head()
+    val codes = row.getSeq[Int](0)
+    val lut = row.getSeq[Long](1)
+    // hand-recompute on the same 4096 grid
+    val q = vec.map(x => math.floor(x.toDouble * 4096.0).toLong)
+    for (s <- 0 until m) {
+      val dists = (0 until ksub).map { j =>
+        (0 until dsub).map { t =>
+          val d = q(s * dsub + t) - cb((s * ksub + j) * dsub + t); d * d
+        }.sum
+      }
+      assert(codes(s) == dists.indexOf(dists.min),
+        s"subspace $s: code ${codes(s)}, dists $dists")
+      for (j <- 0 until ksub) {
+        val dot = (0 until dsub).map(t =>
+          q(s * dsub + t) * cb((s * ksub + j) * dsub + t)).sum
+        assert(lut(s * ksub + j) == dot, s"lut($s, $j)")
+      }
+    }
+    // adc = sum of the coded entries
+    val adc = df.select(graft.fuzzy.vectorFunctions.pq_adc_int(
+        graft.fuzzy.vectorFunctions.pq_encode_int(col("v"), cb, m, ksub, dim),
+        graft.fuzzy.vectorFunctions.pq_lut_int(col("v"), cb, m, ksub, dim),
+        ksub)).head().getLong(0)
+    assert(adc == (0 until m).map(s => lut(s * ksub + codes(s))).sum)
+  }
+
+  test("full rerank equals float brute force exactly (int and kmeans codebooks)") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 10)
+    val n = emb.count().toInt
+    val brute = AnnSearch.bruteForceTopK(queries, emb, "embedding", "vec_id", 10)
+      .select("query_id", "corpus_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val pqInt = AnnSearch.pqTopKInt(queries, emb, "embedding", "vec_id", 10,
+        dim = 64, m = 8, ksub = 16, rerank = n)
+      .select("query_id", "corpus_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(brute.nonEmpty && pqInt === brute)
+    val cb = AnnSearch.pqFitCodebook(emb, "embedding", dim = 64, m = 8,
+      ksub = 16, iters = 2)
+    val pqF = AnnSearch.pqTopK(queries, emb, "embedding", "vec_id", 10,
+        dim = 64, codebook = cb, m = 8, ksub = 16, rerank = n)
+      .select("query_id", "corpus_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pqF === brute)
+  }
+
+  test("kmeans codebook beats noise: production recall at bounded rerank") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 20)
+    val brute = AnnSearch.bruteForceTopK(queries, emb, "embedding", "vec_id", 10)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cb = AnnSearch.pqFitCodebook(emb, "embedding", dim = 64, m = 16,
+      ksub = 16, iters = 2)
+    val got = AnnSearch.pqTopK(queries, emb, "embedding", "vec_id", 10,
+        dim = 64, codebook = cb, m = 16, ksub = 16, rerank = 40)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"kmeans-PQ recall@10 = $recall")
+    // every returned pair must be a genuine cosine ranking within its
+    // shortlist: determinism across two runs
+    val again = AnnSearch.pqTopK(queries, emb, "embedding", "vec_id", 10,
+        dim = 64, codebook = cb, m = 16, ksub = 16, rerank = 40)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === again)
+  }
+
+  test("codes are m small ints — the 32x-at-dim-64 compression unit") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").limit(5)
+    val cb = AnnSearch.pqCodebookMd5Int(64, 8, 16)
+    val codes = emb.select(graft.fuzzy.vectorFunctions.pq_encode_int(
+        col("embedding"), cb, 8, 16, 64).as("c"))
+      .collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 8 && c.forall(j => j >= 0 && j < 16)))
+  }
+}
