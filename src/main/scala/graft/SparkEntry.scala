@@ -306,6 +306,26 @@ object SparkEntry {
       res.select(col("query_id"), col("corpus_id"),
         sround(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
     }),
+    // incremental IVF lifecycle: base postings assigned once, a new batch
+    // appended against the FROZEN quantizer (no old-corpus rescan), then
+    // queried at full probe — which provably equals brute force over the
+    // union, so the whole append path shares the exact-cosine oracle
+    "ann_ivf_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = AnnSearch.kmeansFit(emb.where(col("vec_id") >= 250), "embedding",
+        dim = 64, k = 8, iters = 2)
+      val flat = cents.flatMap { v =>
+        val n = math.sqrt(v.map(x => x * x).sum); if (n == 0) v else v.map(_ / n)
+      }
+      val base = AnnSearch.ivfPostings(emb.where(col("vec_id") >= 250),
+        "embedding", "vec_id", 64, flat)
+      val appended = AnnSearch.ivfAppendPostings(base,
+        emb.where(col("vec_id") < 250), "embedding", "vec_id", 64, flat)
+      val res = AnnSearch.ivfTopKFromPostings(emb.where(col("vec_id") < 10),
+        appended, "embedding", "vec_id", 10, dim = 64, flat, nProbe = 8)
+      res.select(col("query_id"), col("corpus_id"),
+        sround(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+    }),
     // product-quantization path (Jegou et al. ADC): md5-integer codebook
     // + 4096-grid vectors make encode/LUT/ADC exact integer arithmetic,
     // so even the approximate shortlist reproduces in SQL (the production
@@ -1399,6 +1419,19 @@ object SparkEntry {
          r AS (SELECT query_id, corpus_id, cos,
                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
                FROM sc)
+         SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 10""",
+    // base (>= 250) plus appended batch (< 250) covers the whole table,
+    // and full probe == brute force by construction — so the oracle is
+    // plain exhaustive cosine top-k over embeddings
+    "ann_ivf_append" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                WHERE vec_id < 10),
+         s AS (SELECT query_id, c.vec_id AS corpus_id,
+                 list_cosine_similarity(qv::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+               FROM q CROSS JOIN embeddings c WHERE c.vec_id != query_id),
+         r AS (SELECT query_id, corpus_id, cos,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+               FROM s)
          SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 10""",
     // the full PQ pipeline in SQL: md5 codebook -> integer encode
     // (argmin L2, ties smallest j) -> per-query LUT -> ADC sum ->

@@ -507,6 +507,48 @@ object AnnSearch {
     }
   }
 
+  /** Materialized IVF postings: (id, cell, vector) rows — the stored form
+    * of an IVF index. Assignment runs ONCE per corpus version; persist
+    * this frame (ideally bucketed/partitioned by `cell`) next to the
+    * centroids from [[saveCentroids]] and the nightly pipeline never
+    * re-assigns old rows. */
+  def ivfPostings(corpus: DataFrame, vecCol: String, idCol: String,
+                  dim: Int, centroids: Array[Double]): DataFrame =
+    spread(corpus).select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"),
+      element_at(graft.fuzzy.vectorFunctions.nearest_cells(col(vecCol), centroids, dim, 1), 1)
+        .as("__cell"))
+
+  /** Incremental index maintenance (the nightly shape, like
+    * [[Dedup.incrementalDedup]] for digests): assign ONLY the new batch
+    * to the EXISTING centroids and union it onto the stored postings —
+    * cost O(batch), zero old-corpus work, and the quantizer stays frozen
+    * so yesterday's cell routing (and any cached probe plans) remain
+    * valid. Re-fit on drift is a deliberate, separate event
+    * ([[fitIndex]] + full [[ivfPostings]] rebuild), not something an
+    * append should silently trigger. */
+  def ivfAppendPostings(postings: DataFrame, batch: DataFrame,
+                        vecCol: String, idCol: String,
+                        dim: Int, centroids: Array[Double]): DataFrame =
+    postings.unionByName(ivfPostings(batch, vecCol, idCol, dim, centroids))
+
+  /** Top-k against stored postings: probe-cell equi-join + exact cosine,
+    * the query half of the [[ivfPostings]]/[[ivfAppendPostings]]
+    * lifecycle. At nProbe = nCells this provably equals
+    * [[bruteForceTopK]] over the postings' vectors (every pair meets
+    * exactly once) — the oracle-checkable configuration. */
+  def ivfTopKFromPostings(queries: DataFrame, postings: DataFrame,
+                          vecCol: String, idCol: String, k: Int, dim: Int,
+                          centroids: Array[Double], nProbe: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      explode(graft.fuzzy.vectorFunctions.nearest_cells(col(vecCol), centroids, dim, nProbe))
+        .as("__cell"))
+    val scored = q.join(postings, Seq("__cell"))
+      .where(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        Dedup.cosineSimilarity(col("__qv"), col("__cv")).as("cosine"))
+    rankTopK(scored, "cosine", k)
+  }
+
   /** Sign-LSH bucketed top-k: candidates = corpus vectors sharing at least
     * one of `bands` signature bands with the query; exact cosine re-rank.
     * Bounded work per query even against a 100 TB corpus. */

@@ -114,6 +114,40 @@ class IvfSpec extends AnyFunSuite with SparkSpec {
     assert(fit() == fit())
   }
 
+  test("postings append against a frozen quantizer equals a from-scratch build") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = AnnSearch.kmeansFit(emb.where(col("vec_id") >= 250), "embedding",
+      dim = 64, k = 8, iters = 2)
+    val flat = cents.flatMap { v =>
+      val n = math.sqrt(v.map(x => x * x).sum); if (n == 0) v else v.map(_ / n)
+    }
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("corpus_id"), col("__cell")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val base = AnnSearch.ivfPostings(emb.where(col("vec_id") >= 250),
+      "embedding", "vec_id", 64, flat)
+    val appended = AnnSearch.ivfAppendPostings(base,
+      emb.where(col("vec_id") < 250), "embedding", "vec_id", 64, flat)
+    val scratch = AnnSearch.ivfPostings(emb, "embedding", "vec_id", 64, flat)
+    // frozen centroids: appending a batch must yield the identical cell
+    // assignment a full rebuild would — union order is the only difference
+    assert(cells(appended) == cells(scratch))
+    // and a partial-probe search from the appended postings equals the
+    // same search through the one-shot API with the same centroids
+    val viaPostings = AnnSearch.ivfTopKFromPostings(
+        emb.where(col("vec_id") < 5), appended, "embedding", "vec_id", 10,
+        dim = 64, flat, nProbe = 2)
+      .select("query_id", "corpus_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = AnnSearch.ivfTopKWithCentroids(
+        emb.where(col("vec_id") < 5), emb, "embedding", "vec_id", 10,
+        dim = 64, flat, nProbe = 2)
+      .select("query_id", "corpus_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaPostings.nonEmpty && viaPostings == direct)
+  }
+
   test("nearestCells degrades gracefully on all-NaN query vectors") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     val dim = 4
