@@ -326,6 +326,24 @@ object SparkEntry {
       res.select(col("query_id"), col("corpus_id"),
         sround(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
     }),
+    // IVF-PQ composition at the oracle-checkable configuration (full
+    // probe + full rerank == brute force): exercises cell routing, PQ
+    // encode, per-cell ADC, shortlist, and exact re-rank end-to-end;
+    // working-setting recall is PqSpec's business
+    "ann_cosine_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = AnnSearch.kmeansFit(emb, "embedding", dim = 64, k = 8, iters = 2)
+      val flat = cents.flatMap { v =>
+        val n = math.sqrt(v.map(x => x * x).sum); if (n == 0) v else v.map(_ / n)
+      }
+      val cb = AnnSearch.pqFitCodebook(emb, "embedding", dim = 64, m = 16,
+        ksub = 16, iters = 2)
+      val res = AnnSearch.ivfPqTopK(emb.where(col("vec_id") < 10), emb,
+        "embedding", "vec_id", 10, dim = 64, flat, nProbe = 8,
+        codebook = cb, m = 16, ksub = 16, rerank = 1000000)
+      res.select(col("query_id"), col("corpus_id"),
+        sround(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+    }),
     // product-quantization path (Jegou et al. ADC): md5-integer codebook
     // + 4096-grid vectors make encode/LUT/ADC exact integer arithmetic,
     // so even the approximate shortlist reproduces in SQL (the production
@@ -633,6 +651,35 @@ object SparkEntry {
     "profile_documents" -> ((s, dir) =>
       Profile.columns(t(s, dir, "documents"),
         Seq("doc_id", "lang", "source", "n_chars"))),
+    // ---- declarative expectation suite: every check folds into ONE
+    // aggregate scan (violations counted per check, report exploded from
+    // the single agg row). values_in deliberately excludes src5/src15 so
+    // a real violation count flows through the hash
+    "profile_expectations" -> ((s, dir) =>
+      Profile.expectations(t(s, dir, "documents"), Seq(
+        Profile.ExpectNotNull("text"),
+        Profile.ExpectUnique("doc_id"),
+        Profile.ExpectValuesIn("source",
+          (0 until 20).filter(i => i != 5 && i != 15).map(i => s"src$i")),
+        Profile.ExpectMinGe("n_chars", 1L),
+        Profile.ExpectMaxLe("n_chars", 400L),
+        Profile.ExpectRowCount(1L, 1000000000L),
+        Profile.ExpectRegex("lang", "^[a-z]{2}$")))),
+
+    // ---- ranking-quality eval: binary-signature search scored against
+    // the exact top-10 (recall@10 + MRR per query) — both searches and
+    // the metric arithmetic reproduce in SQL
+    "ann_eval_binary" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+      val truth = AnnSearch.bruteForceTopK(queries, emb, "embedding", "vec_id", 10)
+      val result = AnnSearch.binaryTopK(queries, emb, "embedding", "vec_id", 10,
+        rerank = 40)
+      AnnSearch.evalRanking(result, truth, 10)
+        .select(col("query_id"), col("n_hits"),
+          sround(col("recall"), 6).as("recall"), sround(col("mrr"), 6).as("mrr"))
+    }),
+
     // exact interpolated quantiles (percentile == quantile_cont: index
     // p*(n-1), linear between sorted neighbors); rounded to 6 to absorb
     // engine float-summation differences in the interpolation arithmetic
@@ -1433,6 +1480,18 @@ object SparkEntry {
                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
                FROM s)
          SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 10""",
+    // full probe + full rerank make IVF-PQ provably exhaustive, so the
+    // oracle is the same brute-force cosine top-k as ann_ivf_append
+    "ann_cosine_ivfpq" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                WHERE vec_id < 10),
+         s AS (SELECT query_id, c.vec_id AS corpus_id,
+                 list_cosine_similarity(qv::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+               FROM q CROSS JOIN embeddings c WHERE c.vec_id != query_id),
+         r AS (SELECT query_id, corpus_id, cos,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+               FROM s)
+         SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 10""",
     // the full PQ pipeline in SQL: md5 codebook -> integer encode
     // (argmin L2, ties smallest j) -> per-query LUT -> ADC sum ->
     // shortlist (adc DESC, id ASC) -> exact cosine re-rank. Every step
@@ -1821,6 +1880,79 @@ object SparkEntry {
             coalesce(CAST(min($c) AS VARCHAR), '') AS min_s,
             coalesce(CAST(max($c) AS VARCHAR), '') AS max_s FROM documents""")
         .mkString(" UNION ALL "),
+    // one UNION ALL leg per check, each an aggregate over documents with
+    // the same violation definition as the Scala suite
+    "profile_expectations" ->
+      """WITH v AS (
+           SELECT 'not_null' AS "check", 'text' AS col_name,
+             count(*) - count(text) AS viol FROM documents
+           UNION ALL
+           SELECT 'unique', 'doc_id', count(doc_id) - count(DISTINCT doc_id) FROM documents
+           UNION ALL
+           SELECT 'values_in', 'source',
+             COALESCE(sum(CASE WHEN source IS NOT NULL AND source NOT IN
+               ('src0','src1','src2','src3','src4','src6','src7','src8','src9',
+                'src10','src11','src12','src13','src14','src16','src17','src18','src19')
+               THEN 1 ELSE 0 END), 0) FROM documents
+           UNION ALL
+           SELECT 'min_ge', 'n_chars',
+             COALESCE(sum(CASE WHEN n_chars < 1 THEN 1 ELSE 0 END), 0) FROM documents
+           UNION ALL
+           SELECT 'max_le', 'n_chars',
+             COALESCE(sum(CASE WHEN n_chars > 400 THEN 1 ELSE 0 END), 0) FROM documents
+           UNION ALL
+           SELECT 'row_count', '',
+             CASE WHEN count(*) < 1 THEN 1 - count(*)
+                  WHEN count(*) > 1000000000 THEN count(*) - 1000000000
+                  ELSE 0 END FROM documents
+           UNION ALL
+           SELECT 'regex', 'lang',
+             COALESCE(sum(CASE WHEN lang IS NOT NULL
+               AND NOT regexp_matches(lang, '^[a-z]{2}$') THEN 1 ELSE 0 END), 0)
+           FROM documents)
+         SELECT "check", col_name,
+           CAST(CASE WHEN viol = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed,
+           CAST(viol AS BIGINT) AS violations FROM v""",
+    // truth = exhaustive cosine top-10, result = the binary-signature
+    // search (hamming shortlist 40 -> exact re-rank), metrics = exact
+    // rational arithmetic on hit counts and the best hit rank
+    "ann_eval_binary" ->
+      """WITH truth AS (
+           SELECT query_id, corpus_id FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                          c.vec_id) AS rank
+             FROM embeddings q CROSS JOIN embeddings c
+             WHERE q.vec_id < 10 AND q.vec_id != c.vec_id)
+           WHERE rank <= 10),
+         h AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> CASE WHEN (q.embedding[i] > 0) <> (c.embedding[i] > 0)
+                        THEN 1 ELSE 0 END)) AS BIGINT) AS ham
+               FROM embeddings q CROSS JOIN embeddings c
+               WHERE q.vec_id < 10 AND q.vec_id != c.vec_id),
+         cand AS (SELECT query_id, corpus_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY ham ASC, corpus_id) AS hrank FROM h),
+         sc AS (SELECT query_id, corpus_id,
+                  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+                FROM cand JOIN embeddings a ON cand.query_id = a.vec_id
+                          JOIN embeddings b ON cand.corpus_id = b.vec_id
+                WHERE hrank <= 40),
+         res AS (SELECT query_id, corpus_id, rank FROM (
+                   SELECT query_id, corpus_id,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+                   FROM sc) WHERE rank <= 10),
+         hits AS (SELECT r.query_id, count(*) AS n_hits, min(r.rank) AS best
+                  FROM res r JOIN truth t ON r.query_id = t.query_id
+                    AND r.corpus_id = t.corpus_id
+                  GROUP BY 1)
+         SELECT q.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(COALESCE(h.n_hits, 0) / 10.0, 6) AS recall,
+           round(COALESCE(1.0 / h.best, 0.0), 6) AS mrr
+         FROM (SELECT DISTINCT query_id FROM truth) q
+         LEFT JOIN hits h ON q.query_id = h.query_id""",
     // quantile_cont matches Spark's exact percentile (same p*(n-1) linear
     // interpolation); list-typed form so one aggregate serves all probs
     "profile_quantiles" ->

@@ -257,6 +257,50 @@ object AnnSearch {
     rankTopK(scored, "cosine", k)
   }
 
+  /** IVF-PQ (the FAISS production composition): coarse k-means cells
+    * bound WHICH corpus rows a query touches (nProbe of nCells), PQ codes
+    * bound the BYTES each touched row costs (m indices vs dim floats),
+    * and the top `rerank` ADC candidates re-rank by exact cosine. The
+    * corpus-side state per row is (id, cell, m-int code) — at dim 64 /
+    * m 16 that is ~1/8 of the float vector, and the probe join moves
+    * only probed cells of it. At nProbe = nCells AND rerank >= corpus
+    * size this provably equals [[bruteForceTopK]] (cell routing covers
+    * every pair once, the shortlist keeps everything) — the
+    * oracle-checkable configuration; recall at working settings is
+    * spec-gated (PqSpec). */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+                vecCol: String, idCol: String, k: Int, dim: Int,
+                centroids: Array[Double], nProbe: Int,
+                codebook: Array[Double], m: Int = 16, ksub: Int = 16,
+                rerank: Int = 40): DataFrame = {
+    import graft.fuzzy.vectorFunctions.{pq_adc, pq_encode, pq_lut}
+    require(dim % m == 0, s"dim ($dim) must be divisible by m ($m)")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      pq_lut(col(vecCol), codebook, m, ksub, dim).as("__lut"),
+      explode(graft.fuzzy.vectorFunctions.nearest_cells(col(vecCol), centroids, dim, nProbe))
+        .as("__cell"))
+    val cs = spread(corpus).select(col(idCol).as("corpus_id"),
+      pq_encode(col(vecCol), codebook, m, ksub, dim).as("__codes"),
+      element_at(graft.fuzzy.vectorFunctions.nearest_cells(col(vecCol), centroids, dim, 1), 1)
+        .as("__cell"))
+    val adc = q.select(col("query_id"), col("__lut"), col("__cell"))
+      .join(cs, Seq("__cell"))
+      .where(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        pq_adc(col("__codes"), col("__lut"), ksub).as("__adc"))
+    val cand = rankTopK(adc, "__adc", rerank)
+      .select(col("query_id"), col("corpus_id"))
+    val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
+    val scored = cv
+      .join(broadcast(cand), Seq("corpus_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        Dedup.cosineSimilarity(col("__qv"), col("__cv")).as("cosine"))
+    rankTopK(scored, "cosine", k)
+  }
+
   /** Deterministic md5-integer PQ codebook (the oracle-reproducible
     * stand-in for a trained one): component `[(s*ksub + j)*dsub + t]` =
     * `('0x' || substring(md5('pq_' || s || '_' || j || '_' || t), 1, 15))
@@ -547,6 +591,33 @@ object AnnSearch {
       .select(col("query_id"), col("corpus_id"),
         Dedup.cosineSimilarity(col("__qv"), col("__cv")).as("cosine"))
     rankTopK(scored, "cosine", k)
+  }
+
+  /** Ranking-quality evaluation of an approximate search against a
+    * ground-truth top-k — the recall/MRR report every ANN rollout gates
+    * on before swapping index configurations. Both inputs are
+    * (query_id, corpus_id, rank) frames (any of the topK operators'
+    * output). Per truth query: `n_hits` (truth pairs the result found),
+    * `recall` = n_hits / k, and `mrr` = 1 / (best result rank holding a
+    * truth pair), 0 when nothing was found. Queries present in truth but
+    * absent from the result report zeros rather than vanishing.
+    *
+    * Scale: one equi-join on (query, id) pairs + one aggregate — both
+    * sides are k rows per query, so this is tiny next to the searches
+    * it scores. */
+  def evalRanking(result: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    val hits = result.select(col("query_id"), col("corpus_id"), col("rank"))
+      .join(truth.select(col("query_id"), col("corpus_id")),
+        Seq("query_id", "corpus_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("__hits"), min(col("rank")).as("__best"))
+    truth.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("__hits"), lit(0L)).cast("long").as("n_hits"),
+        (coalesce(col("__hits"), lit(0L)).cast("double") / k).as("recall"),
+        coalesce(lit(1.0) / col("__best").cast("double"), lit(0.0)).as("mrr"))
   }
 
   /** Sign-LSH bucketed top-k: candidates = corpus vectors sharing at least

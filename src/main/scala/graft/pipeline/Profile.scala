@@ -85,6 +85,83 @@ object Profile {
     * fine for bounded-cardinality numerics (lengths, counts, scores); a
     * 100 TB high-cardinality column should use [[numericQuantilesApprox]],
     * whose sketch is fixed-size at any cardinality. */
+  /** A declarative data-quality check (deequ/Great-Expectations family):
+    * evaluated over the frame in ONE aggregate pass by [[expectations]]. */
+  sealed trait Expectation {
+    /** Stable check label in the report. */
+    def name: String
+    /** Column the check reads ('' for table-level checks). */
+    def column: String
+  }
+  /** No NULLs in `column`. */
+  case class ExpectNotNull(column: String) extends Expectation { val name = "not_null" }
+  /** `column` values are unique (nulls excluded, like SQL UNIQUE). */
+  case class ExpectUnique(column: String) extends Expectation { val name = "unique" }
+  /** Every non-null value of `column` (as string) is in `values`. */
+  case class ExpectValuesIn(column: String, values: Seq[String]) extends Expectation {
+    val name = "values_in"
+  }
+  /** min(column) >= lo (long-typed columns; vacuous on empty/all-null). */
+  case class ExpectMinGe(column: String, lo: Long) extends Expectation { val name = "min_ge" }
+  /** max(column) <= hi (long-typed columns; vacuous on empty/all-null). */
+  case class ExpectMaxLe(column: String, hi: Long) extends Expectation { val name = "max_le" }
+  /** Row count in [lo, hi]. */
+  case class ExpectRowCount(lo: Long, hi: Long) extends Expectation {
+    val name = "row_count"; val column = ""
+  }
+  /** Every non-null value of `column` matches `regex` (Java ∩ RE2 subset,
+    * same contract as the redaction patterns — keeps SQL oracles literal). */
+  case class ExpectRegex(column: String, regex: String) extends Expectation {
+    val name = "regex"
+  }
+
+  /** Evaluate a check suite in ONE scan: every expectation compiles to an
+    * aggregate expression over the same pass (violation counts, extremes,
+    * row count), and the single result row explodes to one report row per
+    * check — (check, col_name, passed, violations). At 100 TB this costs
+    * exactly one parquet scan regardless of suite size; there is no
+    * per-check job and no driver loop. `violations` is the check's
+    * witness count (out-of-range rows, duplicate surplus, regex misses);
+    * for row_count it is the distance to the nearest bound. Uniqueness
+    * uses exact count(DISTINCT) — the Expand-plan cost note on
+    * [[columns]] applies when several Unique checks stack. */
+  def expectations(df: DataFrame, checks: Seq[Expectation]): DataFrame = {
+    require(checks.nonEmpty, "empty expectation suite")
+    val aggs: Seq[Column] = count(lit(1)).as("__n") +: checks.zipWithIndex.map {
+      case (e, i) =>
+        val a = e match {
+          case ExpectNotNull(c) => count(lit(1)) - count(col(c))
+          case ExpectUnique(c) => count(col(c)) - count_distinct(col(c))
+          case ExpectValuesIn(c, vs) =>
+            sum(when(col(c).isNotNull &&
+              !col(c).cast("string").isin(vs: _*), 1L).otherwise(0L))
+          case ExpectMinGe(c, lo) =>
+            sum(when(col(c).isNotNull && col(c).cast("long") < lo, 1L).otherwise(0L))
+          case ExpectMaxLe(c, hi) =>
+            sum(when(col(c).isNotNull && col(c).cast("long") > hi, 1L).otherwise(0L))
+          case ExpectRowCount(_, _) => count(lit(1))
+          case ExpectRegex(c, re) =>
+            sum(when(col(c).isNotNull && !col(c).rlike(re), 1L).otherwise(0L))
+        }
+        coalesce(a.cast("long"), lit(0L)).as(s"__v$i")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val reports = checks.zipWithIndex.map { case (e, i) =>
+      val viol = e match {
+        case ExpectRowCount(lo, hi) =>
+          when(col(s"__v$i") < lo, lit(lo) - col(s"__v$i"))
+            .when(col(s"__v$i") > hi, col(s"__v$i") - lit(hi))
+            .otherwise(0L)
+        case _ => col(s"__v$i")
+      }
+      struct(lit(e.name).as("check"), lit(e.column).as("col_name"),
+        when(viol === 0L, 1L).otherwise(0L).as("passed"),
+        viol.cast("long").as("violations"))
+    }
+    one.select(explode(array(reports: _*)).as("r"))
+      .select(col("r.check"), col("r.col_name"), col("r.passed"), col("r.violations"))
+  }
+
   def numericQuantiles(df: DataFrame, cols: Seq[String],
                        probs: Seq[Double]): DataFrame =
     quantiles(df, cols, probs,

@@ -91,6 +91,33 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     assert(got === again)
   }
 
+  test("ivf-pq at working settings: partial probe + bounded rerank recall") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 20)
+    val cents = AnnSearch.kmeansFit(emb, "embedding", dim = 64, k = 8, iters = 2)
+    val flat = cents.flatMap { v =>
+      val n = math.sqrt(v.map(x => x * x).sum); if (n == 0) v else v.map(_ / n)
+    }
+    val cb = AnnSearch.pqFitCodebook(emb, "embedding", dim = 64, m = 16,
+      ksub = 16, iters = 2)
+    val brute = AnnSearch.bruteForceTopK(queries, emb, "embedding", "vec_id", 10)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = AnnSearch.ivfPqTopK(queries, emb, "embedding", "vec_id", 10,
+        dim = 64, flat, nProbe = 4, codebook = cb, m = 16, ksub = 16, rerank = 40)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"ivf-pq recall@10 = $recall at nProbe 4/8, rerank 40")
+    // full probe + full rerank must equal brute force exactly
+    val n = emb.count().toInt
+    val exact = AnnSearch.ivfPqTopK(queries, emb, "embedding", "vec_id", 10,
+        dim = 64, flat, nProbe = 8, codebook = cb, m = 16, ksub = 16, rerank = n)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == brute)
+  }
+
   test("codes are m small ints — the 32x-at-dim-64 compression unit") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet").limit(5)
     val cb = AnnSearch.pqCodebookMd5Int(64, 8, 16)

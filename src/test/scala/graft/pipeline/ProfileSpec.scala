@@ -124,4 +124,58 @@ class ProfileSpec extends AnyFunSuite with SparkSpec {
     for (p <- Seq(exactPlan, approxPlan))
       assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") <= 1, p)
   }
+
+  test("expectations: each check counts its own violations, one scan for the suite") {
+    import spark.implicits._
+    import Profile._
+    val frame = Seq[(java.lang.Long, String, String)](
+      (1L, "aa", "x"), (2L, "bb", null), (2L, "cc", "y"),
+      (3L, "dd", "zzz"), (null, "ee", "x"))
+      .toDF("id", "code", "val")
+    val got = expectations(frame, Seq(
+      ExpectNotNull("id"),          // 1 null
+      ExpectNotNull("code"),        // 0
+      ExpectUnique("id"),           // 4 non-null, 3 distinct -> 1
+      ExpectValuesIn("val", Seq("x", "y")), // "zzz" -> 1 (null ignored)
+      ExpectMinGe("id", 2L),        // id 1 -> 1
+      ExpectMaxLe("id", 2L),        // id 3 -> 1
+      ExpectRowCount(10L, 20L),     // 5 rows -> distance 5
+      ExpectRegex("code", "^[a-z]{2}$"))) // all match -> 0
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got(("not_null", "id")) == ((0L, 1L)))
+    assert(got(("not_null", "code")) == ((1L, 0L)))
+    assert(got(("unique", "id")) == ((0L, 1L)))
+    assert(got(("values_in", "val")) == ((0L, 1L)))
+    assert(got(("min_ge", "id")) == ((0L, 1L)))
+    assert(got(("max_le", "id")) == ((0L, 1L)))
+    assert(got(("row_count", "")) == ((0L, 5L)))
+    assert(got(("regex", "code")) == ((1L, 0L)))
+
+    // suite cost = ONE scan regardless of check count
+    val dir = java.nio.file.Files.createTempDirectory("expect").toString
+    frame.write.mode("overwrite").parquet(dir)
+    val plan = expectations(spark.read.parquet(dir), Seq(
+      ExpectNotNull("id"), ExpectRegex("code", "^[a-z]+$"),
+      ExpectRowCount(1L, 100L))).queryExecution.executedPlan.toString
+    assert(plan.sliding("Scan parquet".length).count(_ == "Scan parquet") == 1, plan)
+  }
+
+  test("evalRanking: recall and MRR from hand-built rankings, zero-hit query kept") {
+    import spark.implicits._
+    val truth = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1), (2L, 21L, 2),
+      (3L, 30L, 1), (3L, 31L, 2)).toDF("query_id", "corpus_id", "rank")
+    val result = Seq(
+      (1L, 10L, 1), (1L, 11L, 2),   // both found, best rank 1
+      (2L, 99L, 1), (2L, 21L, 2),   // one found at rank 2
+      (3L, 98L, 1), (3L, 97L, 2)).toDF("query_id", "corpus_id", "rank") // none
+    val got = AnnSearch.evalRanking(result, truth, 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, 1.0, 1.0)))
+    assert(got(2L) == ((1L, 0.5, 0.5)))
+    assert(got(3L) == ((0L, 0.0, 0.0)))
+  }
 }
