@@ -228,6 +228,14 @@ object Bench {
       val emb = s.read.parquet(s"$sfDir/embeddings.parquet")
       AnnSearch.int8TopK(emb.where(col("vec_id") < 100), emb, "embedding", "vec_id", 10)
     }),
+    // PQ ADC twin of the same search: corpus scan carries m=16 code ints
+    // per row (vs 64 floats), scoring is 16 LUT adds per pair + bounded
+    // re-rank; md5 codebook so the row times pure search (no fit)
+    "ann_pq_embeddings" -> (s => {
+      val emb = s.read.parquet(s"$sfDir/embeddings.parquet")
+      AnnSearch.pqTopKInt(emb.where(col("vec_id") < 100), emb, "embedding",
+        "vec_id", 10, dim = 64, m = 16, ksub = 16, rerank = 40)
+    }),
     // sub-document exact dedup: chunk projection + one digest-keyed agg
     "dedup_chunk_docs" -> (s =>
       Dedup.chunkDedup(s.read.parquet(s"$sfDir/documents.parquet"),

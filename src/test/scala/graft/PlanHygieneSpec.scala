@@ -126,6 +126,28 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
       s"rank filter not pushed into the window stage:\n$plan")
   }
 
+  test("PQ search: heap-aggregated ranking (no Window), codes-only ADC scan") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val plan = graft.pipeline.AnnSearch.pqTopKInt(
+        emb.where(col("vec_id") < 5), emb, "embedding", "vec_id", 5,
+        dim = 64, m = 8, ksub = 16, rerank = 20)
+      .queryExecution.executedPlan.toString
+    // both ranking stages are the bounded-heap aggregate, never a
+    // sort-the-world window
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("topk_pairs"),
+      s"PQ ranking lost the bounded-heap aggregate:\n$plan")
+    assert(!plan.linesIterator.exists(l => l.trim.startsWith("Window")),
+      s"PQ plan re-introduced a Window:\n$plan")
+    // the corpus-wide ADC stage must scan (id, codes) only: the float
+    // vector re-attaches later by id, so pq_encode_int must appear but
+    // the broadcast side must carry the LUT, not raw embeddings of the
+    // whole corpus
+    assert(plan.contains("pq_encode_int") && plan.contains("pq_lut_int"),
+      s"PQ kernels not in the plan:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"query LUTs not broadcast:\n$plan")
+  }
+
   test("common-token ratio: vocabulary joins as a broadcast membership test") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val plan = graft.pipeline.TextAnalysis.commonTokenRatio(docs, "text", "doc_id", 100)
