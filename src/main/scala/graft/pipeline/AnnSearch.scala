@@ -64,6 +64,20 @@ object AnnSearch {
         col("col.score").as(scoreName), (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Materialize a derived corpus frame (quantized codes, signatures)
+    * behind a NARROW exchange before it streams into a broadcast
+    * nested-loop join. Without this, the derivation expression sits in
+    * the same (non-codegen) stage as the join and its evaluation is
+    * deferred to first USE — which is inside the per-build-row loop, so
+    * an encode that should run once per corpus ROW runs once per PAIR
+    * (measured at sf10: the PQ ADC scan went 29.9 s -> 1.9 s from this
+    * one barrier; see PqDiag). The shuffled payload is the narrow
+    * derived row (tens of bytes), so the exchange is cheap at any scale
+    * — and it is exactly the "build the index state once" step a stored
+    * index materializes anyway. */
+  private def materializeNarrow(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
   /** Auto-routing top-k: brute-force (exact) while the query frame is small
     * enough to broadcast, LSH probing beyond. `dim` is required for the LSH
     * path's hyperplanes.
@@ -124,7 +138,9 @@ object AnnSearch {
         .withColumn(n2, i8vec_dot(col(q), col(q)))
         .where(col(n2) > 0)
     val q = prep(queries, "query_id", "__qq", "__qn")
-    val c = spread(prep(corpus, "corpus_id", "__cq", "__cn"))
+    // narrow exchange: quantization must evaluate once per corpus row,
+    // not once per pair inside the join loop (see materializeNarrow)
+    val c = materializeNarrow(spread(prep(corpus, "corpus_id", "__cq", "__cn")))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("corpus_id"))
       .withColumn("qcosine",
@@ -161,9 +177,10 @@ object AnnSearch {
     import graft.fuzzy.vectorFunctions.sign_bits64
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       sign_bits64(col(vecCol)).as("__qs"))
-    // narrow corpus side: the per-row scan never carries the float vector
-    val cs = spread(corpus).select(col(idCol).as("corpus_id"),
-      sign_bits64(col(vecCol)).as("__cs"))
+    // narrow corpus side: the per-row scan never carries the float vector;
+    // the exchange materializes signatures once per row (materializeNarrow)
+    val cs = materializeNarrow(spread(corpus).select(col(idCol).as("corpus_id"),
+      sign_bits64(col(vecCol)).as("__cs")))
     val qs = q.select(col("query_id"), col("__qs"))
     val ham = cs.crossJoin(broadcast(qs))
       .where(col("query_id") =!= col("corpus_id"))
@@ -209,8 +226,8 @@ object AnnSearch {
     val cb = pqCodebookMd5Int(dim, m, ksub)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       pq_lut_int(col(vecCol), cb, m, ksub, dim).as("__lut"))
-    val cs = spread(corpus).select(col(idCol).as("corpus_id"),
-      pq_encode_int(col(vecCol), cb, m, ksub, dim).as("__codes"))
+    val cs = materializeNarrow(spread(corpus).select(col(idCol).as("corpus_id"),
+      pq_encode_int(col(vecCol), cb, m, ksub, dim).as("__codes")))
     pqSearch(q, cs, corpus, vecCol, idCol, k, rerank,
       pq_adc_int(col("__codes"), col("__lut"), ksub).cast("double"))
   }
@@ -231,8 +248,8 @@ object AnnSearch {
       s"codebook length ${codebook.length} != m*ksub*dsub = ${m * ksub * (dim / m)}")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       pq_lut(col(vecCol), codebook, m, ksub, dim).as("__lut"))
-    val cs = spread(corpus).select(col(idCol).as("corpus_id"),
-      pq_encode(col(vecCol), codebook, m, ksub, dim).as("__codes"))
+    val cs = materializeNarrow(spread(corpus).select(col(idCol).as("corpus_id"),
+      pq_encode(col(vecCol), codebook, m, ksub, dim).as("__codes")))
     pqSearch(q, cs, corpus, vecCol, idCol, k, rerank,
       pq_adc(col("__codes"), col("__lut"), ksub))
   }
@@ -306,7 +323,7 @@ object AnnSearch {
     * `('0x' || substring(md5('pq_' || s || '_' || j || '_' || t), 1, 15))
     * ::BIGINT % 8193 - 4096` — uniform on the same ±4096 grid the
     * vectors quantize to. */
-  private[pipeline] def pqCodebookMd5Int(dim: Int, m: Int, ksub: Int): Array[Long] = {
+  private[graft] def pqCodebookMd5Int(dim: Int, m: Int, ksub: Int): Array[Long] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val dsub = dim / m
     val out = new Array[Long](m * ksub * dsub)
