@@ -432,7 +432,7 @@ case class NgramJaccardDistance(left: Expression, right: Expression, n: Int)
   * VectorKernels.pqEncodeInt. */
 case class PqEncodeInt(child: Expression, codebook: Array[Long], m: Int,
                        ksub: Int, dim: Int) extends UnaryExpression {
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def dataType: DataType = BinaryType
   override def prettyName: String = "pq_encode_int"
   override protected def nullSafeEval(v: Any): Any =
     VectorKernels.pqEncodeInt(v.asInstanceOf[ArrayData], codebook, m, ksub, dim)
@@ -465,7 +465,7 @@ case class PqAdcInt(left: Expression, right: Expression, ksub: Int)
   override def dataType: DataType = LongType
   override def prettyName: String = "pq_adc_int"
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorKernels.pqAdcInt(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], ksub)
+    VectorKernels.pqAdcInt(a.asInstanceOf[Array[Byte]], b.asInstanceOf[ArrayData], ksub)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.fuzzy.VectorKernels.pqAdcInt($a, $b, $ksub)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -475,7 +475,7 @@ case class PqAdcInt(left: Expression, right: Expression, ksub: Int)
 /** PQ encode, float/production variant (k-means codebooks). */
 case class PqEncodeF(child: Expression, codebook: Array[Double], m: Int,
                      ksub: Int, dim: Int) extends UnaryExpression {
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def dataType: DataType = BinaryType
   override def prettyName: String = "pq_encode"
   override protected def nullSafeEval(v: Any): Any =
     VectorKernels.pqEncodeF(v.asInstanceOf[ArrayData], codebook, m, ksub, dim)
@@ -506,7 +506,7 @@ case class PqAdcF(left: Expression, right: Expression, ksub: Int)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "pq_adc"
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorKernels.pqAdcF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], ksub)
+    VectorKernels.pqAdcF(a.asInstanceOf[Array[Byte]], b.asInstanceOf[ArrayData], ksub)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.fuzzy.VectorKernels.pqAdcF($a, $b, $ksub)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

@@ -144,14 +144,15 @@ object VectorKernels {
     * vector into `m` subvectors of `dim/m`, assign each to its nearest
     * codeword (exact integer L2; ties -> smallest codeword index) from a
     * flattened codebook laid out `[(s*ksub + j)*dsub + t]`. Output:
-    * `m` codeword indices — the whole-vector code is m bytes of state
-    * (dim/m-fold compression at ksub <= 256), and every arithmetic step
-    * is integer, so a SQL oracle reproduces the code exactly. */
+    * `m` codeword indices packed as BYTES (ksub <= 256) — the
+    * whole-vector code is literally m bytes of shuffle/broadcast state,
+    * and every arithmetic step is integer, so a SQL oracle reproduces
+    * the code exactly. */
   def pqEncodeInt(v: ArrayData, codebook: Array[Long], m: Int, ksub: Int,
-                  dim: Int): ArrayData = {
+                  dim: Int): Array[Byte] = {
     val n = math.min(v.numElements(), dim)
     val dsub = dim / m
-    val out = new Array[Int](m)
+    val out = new Array[Byte](m)
     var s = 0
     while (s < m) {
       var best = 0
@@ -170,10 +171,10 @@ object VectorKernels {
         if (d < bestD) { bestD = d; best = j }
         j += 1
       }
-      out(s) = best
+      out(s) = best.toByte
       s += 1
     }
-    ArrayData.toArrayData(out)
+    out
   }
 
   /** PQ query lookup table (integer/oracle variant): dot of each query
@@ -208,12 +209,12 @@ object VectorKernels {
 
   /** ADC score: Σ_s lut[s*ksub + code_s] — `m` adds per (query, corpus)
     * pair. Integer variant: exact, order-independent. */
-  def pqAdcInt(codes: ArrayData, lut: ArrayData, ksub: Int): Long = {
-    val m = codes.numElements()
+  def pqAdcInt(codes: Array[Byte], lut: ArrayData, ksub: Int): Long = {
+    val m = codes.length
     var s = 0
     var acc = 0L
     while (s < m) {
-      acc += lut.getLong(s * ksub + codes.getInt(s))
+      acc += lut.getLong(s * ksub + (codes(s) & 0xff))
       s += 1
     }
     acc
@@ -223,10 +224,10 @@ object VectorKernels {
     * and tie rule as [[pqEncodeInt]] (strict `<`, so ties keep the
     * smallest index deterministically). */
   def pqEncodeF(v: ArrayData, codebook: Array[Double], m: Int, ksub: Int,
-                dim: Int): ArrayData = {
+                dim: Int): Array[Byte] = {
     val n = math.min(v.numElements(), dim)
     val dsub = dim / m
-    val out = new Array[Int](m)
+    val out = new Array[Byte](m)
     var s = 0
     while (s < m) {
       var best = 0
@@ -246,10 +247,10 @@ object VectorKernels {
         if (d < bestD) { bestD = d; best = j }
         j += 1
       }
-      out(s) = best
+      out(s) = best.toByte
       s += 1
     }
-    ArrayData.toArrayData(out)
+    out
   }
 
   /** PQ query lookup table, float/production variant. */
@@ -280,12 +281,12 @@ object VectorKernels {
   }
 
   /** ADC score, float/production variant. */
-  def pqAdcF(codes: ArrayData, lut: ArrayData, ksub: Int): Double = {
-    val m = codes.numElements()
+  def pqAdcF(codes: Array[Byte], lut: ArrayData, ksub: Int): Double = {
+    val m = codes.length
     var s = 0
     var acc = 0.0
     while (s < m) {
-      acc += lut.getDouble(s * ksub + codes.getInt(s))
+      acc += lut.getDouble(s * ksub + (codes(s) & 0xff))
       s += 1
     }
     acc

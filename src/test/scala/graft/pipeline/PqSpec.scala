@@ -21,7 +21,7 @@ class PqSpec extends AnyFunSuite with SparkSpec {
       graft.fuzzy.vectorFunctions.pq_encode_int(col("v"), cb, m, ksub, dim).as("codes"),
       graft.fuzzy.vectorFunctions.pq_lut_int(col("v"), cb, m, ksub, dim).as("lut"))
       .head()
-    val codes = row.getSeq[Int](0)
+    val codes = row.getAs[Array[Byte]](0).map(_ & 0xff)
     val lut = row.getSeq[Long](1)
     // hand-recompute on the same 4096 grid
     val q = vec.map(x => math.floor(x.toDouble * 4096.0).toLong)
@@ -118,12 +118,12 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     assert(exact == brute)
   }
 
-  test("codes are m small ints — the 32x-at-dim-64 compression unit") {
+  test("codes are m BYTES — the 32x-at-dim-64 compression unit") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet").limit(5)
     val cb = AnnSearch.pqCodebookMd5Int(64, 8, 16)
     val codes = emb.select(graft.fuzzy.vectorFunctions.pq_encode_int(
         col("embedding"), cb, 8, 16, 64).as("c"))
-      .collect().map(_.getSeq[Int](0))
+      .collect().map(_.getAs[Array[Byte]](0).map(_ & 0xff))
     assert(codes.forall(c => c.length == 8 && c.forall(j => j >= 0 && j < 16)))
   }
 }
