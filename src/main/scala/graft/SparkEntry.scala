@@ -14,6 +14,14 @@ import graft.pipeline.{AnnSearch, AsofJoin, Curation, Decontaminate, Dedup, Mult
   */
 object SparkEntry {
 
+  /** Fixed demo merge table for `text_bpe_apply` (ranks = position):
+    * common-English pairs, NOT learned — a fixed table is what lets the
+    * SQL oracle replay the merge loop; the learned path is
+    * `TextAnalysis.bpeLearn` (spec-gated, data-dependent by nature). */
+  val DemoBpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r", "a" -> "n",
+    "r" -> "e", "o" -> "n", "e" -> "n", "o" -> "r", "in" -> "g")
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -921,6 +929,14 @@ object SparkEntry {
     // (exact), sigmoid squash (round-6)
     "text_quality_lr" -> ((s, dir) =>
       TextAnalysis.hashedLinearScore(t(s, dir, "documents"), "text", "doc_id")),
+
+    // ---- REAL greedy BPE apply (native kernel) over a fixed merge
+    // table, counted as a subword vocabulary. The encode runs once per
+    // DISTINCT word (tokenizer cache, expressed relationally); the
+    // oracle replays the merge loop with a recursive CTE
+    "text_bpe_apply" -> ((s, dir) =>
+      TextAnalysis.bpeVocab(t(s, dir, "documents"), "text",
+        SparkEntry.DemoBpeMerges, minCount = 200L)),
 
     // ---- per-label embedding centroids (exact quantized-sum arithmetic)
     "embed_centroid" -> ((s, dir) =>
@@ -2281,6 +2297,45 @@ object SparkEntry {
            round(sum(lp_q) / 1000000.0, 6) AS logprob,
            round(sum(lp_q) / 1000000.0 / count(*), 6) AS avg_logprob
          FROM p JOIN lm ON p.w1 = lm.w1 AND p.w2 = lm.w2 GROUP BY 1""",
+    // the merge loop replayed with a RECURSIVE CTE: each iteration
+    // merges the LEFTMOST occurrence of the LOWEST-rank adjacent pair
+    // (min over rank*1000 + position — positions < 1000 by word length)
+    // until no pair is in the table; per DISTINCT word, weighted back by
+    // word frequency. A rank mis-order or off-by-one in the kernel's
+    // scan breaks the hash.
+    "text_bpe_apply" ->
+      """WITH RECURSIVE
+         wc AS (SELECT w, count(*) AS c FROM (
+                  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+                  FROM documents)
+                WHERE length(w) > 0 GROUP BY 1),
+         t(w, toks, it) AS (
+           SELECT w, list_transform(range(1, length(w) + 1), i -> w[i::INT:i::INT]), 0
+           FROM wc
+           UNION ALL
+           SELECT w,
+             toks[1:(best % 1000)::INT - 1]
+               || [toks[(best % 1000)::INT] || toks[(best % 1000)::INT + 1]]
+               || toks[(best % 1000)::INT + 2:],
+             it + 1
+           FROM (
+             SELECT w, toks, it,
+               list_min(list_filter(list_transform(range(1, len(toks)),
+                 i -> CASE WHEN len((MAP {'t h':0,'th e':1,'i n':2,'e r':3,'a n':4,
+                                         'r e':5,'o n':6,'e n':7,'o r':8,'in g':9}
+                                   )[toks[i::INT] || ' ' || toks[i::INT + 1]]) > 0
+                           THEN (MAP {'t h':0,'th e':1,'i n':2,'e r':3,'a n':4,
+                                      'r e':5,'o n':6,'e n':7,'o r':8,'in g':9}
+                                )[toks[i::INT] || ' ' || toks[i::INT + 1]][1] * 1000 + i
+                      END),
+                 x -> x IS NOT NULL)) AS best
+             FROM t) s
+           WHERE best IS NOT NULL),
+         fin AS (SELECT w, arg_max(toks, it) AS toks FROM t GROUP BY w),
+         tok AS (SELECT unnest(f.toks) AS token, wc.c
+                 FROM fin f JOIN wc ON f.w = wc.w)
+         SELECT token, CAST(sum(c) AS BIGINT) AS n
+         FROM tok GROUP BY 1 HAVING sum(c) >= 200""",
     // bigram sums from the text_bigram_lp LM, floored onto a milli grid
     // by POSITIVE integer division (offset by 1e15), terciles as order
     // statistics over the cumulative value histogram — all integer, so

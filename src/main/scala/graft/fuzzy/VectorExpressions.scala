@@ -513,6 +513,30 @@ case class PqAdcF(left: Expression, right: Expression, ksub: Int)
     copy(left = l, right = r)
 }
 
+/** Greedy BPE tokenization of a word against a fixed merge table
+  * (see VectorKernels.bpeTokens). The merge table ships as one reference
+  * object per plan — the "load the tokenizer once" step — and the apply
+  * runs inside codegen like every other kernel here. */
+case class BpeTokens(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  private val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      m.putIfAbsent(a + " " + b, Integer.valueOf(i))
+    }
+    m
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_tokens"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.bpeTokens(v.asInstanceOf[UTF8String], ranks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ranks", ranks, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c => s"graft.fuzzy.VectorKernels.bpeTokens($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-level API for the native vector/sketch expressions. */
 object vectorFunctions {
   private def c(e: Expression): Column = GraftSql.column(e)
@@ -557,6 +581,8 @@ object vectorFunctions {
     c(NearestCells(x(vec), centroids, dim, nProbe))
   def topk_pairs(score: Column, id: Column, k: Int): Column =
     c(BoundedTopK(x(score), x(id), k).toAggregateExpression())
+  def bpe_tokens(word: Column, merges: Seq[(String, String)]): Column =
+    c(BpeTokens(x(word), merges))
   def pq_encode_int(vec: Column, codebook: Array[Long], m: Int, ksub: Int, dim: Int): Column =
     c(PqEncodeInt(x(vec), codebook, m, ksub, dim))
   def pq_lut_int(vec: Column, codebook: Array[Long], m: Int, ksub: Int, dim: Int): Column =

@@ -132,6 +132,50 @@ object VectorKernels {
     ArrayData.toArrayData(out)
   }
 
+  // ------------------------------------------------------ BPE tokenizer
+
+  /** Greedy BPE encode of ONE word: start from single characters and
+    * repeatedly merge the LEFTMOST occurrence of the LOWEST-rank adjacent
+    * pair present in `ranks` until no adjacent pair is mergeable — the
+    * standard Sennrich/GPT-2 apply rule (merging one occurrence at a time
+    * and re-scanning is equivalent to the merge-all-occurrences-per-step
+    * formulation: a merge never creates a pair of lower rank than itself
+    * out of scan order). `ranks` maps "a b" -> rank. Characters are
+    * Unicode code points. O(len² · merges) worst case on a single word —
+    * words are short; the corpus-scale cost is linear in total tokens. */
+  def bpeTokens(word: UTF8String, ranks: java.util.HashMap[String, Integer]): ArrayData = {
+    val s = word.toString
+    if (s.isEmpty) return ArrayData.toArrayData(Array.empty[UTF8String])
+    val toks = new java.util.ArrayList[String]()
+    var ci = 0
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      val n = Character.charCount(cp)
+      toks.add(s.substring(ci, ci + n))
+      ci += n
+    }
+    var done = false
+    while (!done && toks.size > 1) {
+      var bestRank = Int.MaxValue
+      var bestI = -1
+      var i = 0
+      while (i < toks.size - 1) {
+        val r = ranks.get(toks.get(i) + " " + toks.get(i + 1))
+        if (r != null && r < bestRank) { bestRank = r; bestI = i }
+        i += 1
+      }
+      if (bestI < 0) done = true
+      else {
+        toks.set(bestI, toks.get(bestI) + toks.get(bestI + 1))
+        toks.remove(bestI + 1)
+      }
+    }
+    val out = new Array[UTF8String](toks.size)
+    var j = 0
+    while (j < out.length) { out(j) = UTF8String.fromString(toks.get(j)); j += 1 }
+    ArrayData.toArrayData(out)
+  }
+
   // ------------------------------------------------------ product quantization
 
   /** Quantized component d of `v` on the exact-integer grid shared with

@@ -136,6 +136,78 @@ object TextAnalysis {
       when(wsum > 0L, 1L).otherwise(0L).as("label"))
   }
 
+  // ------------------------------------------------------------ BPE tokenizer
+
+  /** Learn a BPE merge table (Sennrich et al. 2016) from the corpus's
+    * word-frequency profile — DRIVER-side on a bounded vocabulary, which
+    * is how production tokenizers are actually trained: the learner
+    * needs the word-frequency table (tiny after the top-`maxWords`
+    * cut), not the corpus. One distributed pass builds that table; the
+    * merge loop then runs locally and deterministically (ties break by
+    * pair lexicographically), so the learned table is reproducible for
+    * any corpus version. Stops early when the best pair occurs fewer
+    * than 2 times. Apply is the distributed half —
+    * [[graft.fuzzy.vectorFunctions.bpe_tokens]] / [[bpeVocab]]. */
+  def bpeLearn(df: DataFrame, textCol: String, numMerges: Int,
+               maxWords: Int = 50000): Seq[(String, String)] = {
+    require(numMerges > 0 && maxWords > 0, "numMerges and maxWords must be positive")
+    val wordFreq = df.select(explode(tokens(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxWords)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // word -> token list, weighted by corpus frequency
+    val words = wordFreq.map { case (w, c) =>
+      (scala.collection.mutable.ArrayBuffer.from(
+        w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))), c)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var continue = true
+    while (continue && merges.size < numMerges) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((toks, c) <- words; i <- 0 until toks.size - 1)
+        pairCounts.updateWith((toks(i), toks(i + 1)))(v => Some(v.getOrElse(0L) + c))
+      if (pairCounts.isEmpty) continue = false
+      else {
+        val (best, cnt) = pairCounts.minBy { case ((a, b), c) => (-c, a, b) }
+        if (cnt < 2) continue = false
+        else {
+          merges += best
+          val joined = best._1 + best._2
+          for ((toks, _) <- words) {
+            var i = 0
+            while (i < toks.size - 1) {
+              if (toks(i) == best._1 && toks(i + 1) == best._2) {
+                toks(i) = joined; toks.remove(i + 1)
+              } else i += 1
+            }
+          }
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Distributed BPE apply + subword vocabulary: tokenize every word
+    * instance against `merges` and count each subword over the corpus.
+    * The encode runs ONCE PER DISTINCT WORD (the classic tokenizer
+    * cache, expressed relationally: distinct + count, encode the
+    * distinct frame, weight the explode by the count) — at 100 TB the
+    * expensive kernel touches the vocabulary, not the token stream.
+    * `minCount` bounds the output like [[tfIdf]]'s df cut. */
+  def bpeVocab(df: DataFrame, textCol: String,
+               merges: Seq[(String, String)], minCount: Long = 1L): DataFrame = {
+    val words = df.select(explode(tokens(col(textCol))).as("__w"))
+      .where(length(col("__w")) > 0)
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    words
+      .select(explode(graft.fuzzy.vectorFunctions.bpe_tokens(col("__w"), merges))
+        .as("token"), col("__c"))
+      .groupBy(col("token")).agg(sum(col("__c")).cast("long").as("n"))
+      .where(col("n") >= minCount)
+  }
+
   /** Marker-word tables for the n-gram/stopword language heuristic: small
     * high-frequency function words per language, 14 languages. Shared
     * function words across related languages (es/pt "que", da/no "det")
