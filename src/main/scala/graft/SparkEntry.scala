@@ -476,6 +476,18 @@ object SparkEntry {
       Curation.splitByHash(t(s, dir, "documents"), "doc_id",
         Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1)))
         .select(col("doc_id"), col("split"))),
+    // content-defined chunking: boundaries after hash-divisible tokens,
+    // edit-stable (no downstream boundary shifts) — the dedup-friendly
+    // alternative to fixed windows
+    "curate_cdc_chunks" -> ((s, dir) =>
+      Curation.cdcChunkDocs(t(s, dir, "documents"), "text", "doc_id", 16)),
+    // LEAKAGE-SAFE split: duplicate docs hash by their GROUP key (min id
+    // per text digest) so copies can never straddle train/test — the
+    // split column to use when eval integrity matters
+    "curate_split_leakfree" -> ((s, dir) =>
+      Curation.splitByDupGroup(t(s, dir, "documents"), "text", "doc_id",
+        Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1)))
+        .select(col("doc_id"), col("split"))),
     // length-bucketed batch assignment (padding-bounded inference batches)
     "curate_batches" -> ((s, dir) =>
       Curation.lengthBucketBatches(t(s, dir, "documents"), "doc_id", "text", 32, 16)
@@ -1758,6 +1770,38 @@ object SparkEntry {
          FROM documents""",
     // same md5-ordered determinism as curate_sample_n; integer-exact
     // floor division for bucket and batch index
+    // chunk id of token i = count of boundary tokens before i (window
+    // prefix sum); chunks reassemble in token order and digest — an
+    // off-by-one in the boundary rule (after vs before the divisible
+    // token) breaks every digest
+    "curate_cdc_chunks" ->
+      """WITH tok AS (SELECT doc_id, tok, i,
+                CASE WHEN ('0x' || substring(md5(tok), 1, 15))::BIGINT % 1000000 % 16 = 0
+                     THEN 1 ELSE 0 END AS b
+              FROM (SELECT doc_id, unnest(toks) AS tok,
+                      generate_subscripts(toks, 1) AS i
+                    FROM (SELECT doc_id,
+                            list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              x -> len(x) > 0) AS toks
+                          FROM documents))),
+         cid AS (SELECT doc_id, tok, i,
+                   COALESCE(sum(b) OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+                 FROM tok)
+         SELECT doc_id, CAST(c AS BIGINT) AS chunk_index,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_md5
+         FROM cid GROUP BY doc_id, c""",
+    // group key = min doc_id over the text digest class; the split hash
+    // runs on the GROUP key, so duplicate rows agree by construction
+    "curate_split_leakfree" ->
+      """WITH g AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS grp
+              FROM documents)
+         SELECT doc_id,
+           CASE WHEN ('0x' || substring(md5(CAST(grp AS VARCHAR)), 1, 15))::BIGINT % 1000000 < 800000 THEN 'train'
+                WHEN ('0x' || substring(md5(CAST(grp AS VARCHAR)), 1, 15))::BIGINT % 1000000 < 900000 THEN 'valid'
+                ELSE 'test' END AS split
+         FROM g""",
     "curate_batches" ->
       """WITH t AS (SELECT doc_id,
                 CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,

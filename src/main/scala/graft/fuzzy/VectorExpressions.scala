@@ -537,6 +537,18 @@ case class BpeTokens(child: Expression, merges: Seq[(String, String)])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Content-defined chunk texts from a token array (see
+  * VectorKernels.cdcChunks). */
+case class CdcChunks(child: Expression, avg: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.cdcChunks(v.asInstanceOf[ArrayData], avg)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.fuzzy.VectorKernels.cdcChunks($c, $avg)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-level API for the native vector/sketch expressions. */
 object vectorFunctions {
   private def c(e: Expression): Column = GraftSql.column(e)
@@ -583,6 +595,7 @@ object vectorFunctions {
     c(BoundedTopK(x(score), x(id), k).toAggregateExpression())
   def bpe_tokens(word: Column, merges: Seq[(String, String)]): Column =
     c(BpeTokens(x(word), merges))
+  def cdc_chunks(tokens: Column, avg: Int): Column = c(CdcChunks(x(tokens), avg))
   def pq_encode_int(vec: Column, codebook: Array[Long], m: Int, ksub: Int, dim: Int): Column =
     c(PqEncodeInt(x(vec), codebook, m, ksub, dim))
   def pq_lut_int(vec: Column, codebook: Array[Long], m: Int, ksub: Int, dim: Int): Column =

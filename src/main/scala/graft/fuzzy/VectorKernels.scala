@@ -176,6 +176,42 @@ object VectorKernels {
     ArrayData.toArrayData(out)
   }
 
+  // ------------------------------------------------ content-defined chunking
+
+  /** Content-defined chunk texts from a token array: a chunk boundary
+    * falls AFTER every token whose md5-bucket (15-hex-digit prefix as a
+    * long, mod 1e6 — the engine-wide [[graft.pipeline.Curation]] hash
+    * grid) is divisible by `avg`, giving ~`avg`-token chunks whose
+    * boundaries depend on CONTENT, not position — inserting a paragraph
+    * shifts every fixed-window chunk after it, but shifts NO
+    * content-defined boundary downstream of the edit, which is what
+    * keeps chunk-level dedup stable under edits (the CDC idea of LBFS /
+    * restic, on whitespace tokens). Tokens join with single spaces. */
+  def cdcChunks(toks: ArrayData, avg: Int): ArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new java.util.ArrayList[UTF8String]()
+    val sb = new java.lang.StringBuilder()
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i).toString
+      if (sb.length() > 0) sb.append(' ')
+      sb.append(t)
+      md.reset()
+      val hex = md.digest(t.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      if (java.lang.Long.parseLong(hex, 16) % 1000000L % avg == 0L) {
+        out.add(UTF8String.fromString(sb.toString)); sb.setLength(0)
+      }
+      i += 1
+    }
+    if (sb.length() > 0) out.add(UTF8String.fromString(sb.toString))
+    val arr = new Array[UTF8String](out.size)
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+    ArrayData.toArrayData(arr)
+  }
+
   // ------------------------------------------------------ product quantization
 
   /** Quantized component d of `v` on the exact-integer grid shared with

@@ -78,6 +78,36 @@ object Curation {
     df.withColumn(splitCol, label)
   }
 
+  /** LEAKAGE-SAFE split: all rows of a duplicate group land in the SAME
+    * split, so a near-copy of a training document can never sit in the
+    * eval set ([[splitByHash]] on the raw id happily splits duplicate
+    * pairs across train/test — the classic contamination bug this
+    * operator exists to prevent). The group key is the EXACT-duplicate
+    * class here (min id per md5(text) digest — one hash-agg + one
+    * digest-keyed join-back, both 16-byte keys, scale-safe); for
+    * NEAR-duplicate safety feed [[assignSplitByGroup]] a cluster frame
+    * from [[NearDupCluster]] instead — same split rule, any grouping. */
+  def splitByDupGroup(df: DataFrame, textCol: String, idCol: String,
+                      splits: Seq[(String, Double)],
+                      splitCol: String = "split"): DataFrame = {
+    val groups = df.groupBy(md5(col(textCol)).as("__digest"))
+      .agg(min(col(idCol)).as("__grp"))
+    assignSplitByGroup(
+      df.withColumn("__digest", md5(col(textCol)))
+        .join(groups, Seq("__digest")).drop("__digest"),
+      "__grp", splits, splitCol).drop("__grp")
+  }
+
+  /** Split assignment keyed on an arbitrary GROUP column (cluster id,
+    * domain, source shard): the whole group hashes to one split. The
+    * composable half of [[splitByDupGroup]] — pair it with
+    * [[NearDupCluster.keepOne]]'s cluster ids for near-dup-safe splits,
+    * or a domain column for domain-held-out evals. */
+  def assignSplitByGroup(df: DataFrame, groupCol: String,
+                         splits: Seq[(String, Double)],
+                         splitCol: String = "split"): DataFrame =
+    splitByHash(df, groupCol, splits, splitCol)
+
   /** Length-bucketed batch assignment for padded inference/training:
     * documents group into buckets of similar token count
     * (`bucketWidth`-token bands), and each bucket's rows batch in
@@ -296,6 +326,27 @@ object Curation {
   /** 128-bit digest of a chunk row's text — the shuffle/state key of the
     * chunk-dedup family (one definition, same reason as [[chunkStream]]). */
   private[graft] def chunkDigest: Column = md5(encode(col("chunk_text"), "UTF-8"))
+
+  /** Content-defined chunking (CDC): boundaries fall after tokens whose
+    * hash is divisible by `avgTokens` ([[graft.fuzzy.VectorKernels
+    * .cdcChunks]]), so an edit shifts NO chunk boundary downstream of
+    * itself — where the fixed-window [[chunkStream]] re-cuts every
+    * chunk after an insertion, CDC keeps them byte-identical, which is
+    * what makes chunk-digest dedup ([[graft.pipeline.Dedup.chunkDedup]])
+    * stable across document versions. One narrow projection + one
+    * explode; expected chunk length ~`avgTokens` tokens. Emits
+    * (id, chunk_index, n_tokens, chunk_md5) — digests, not text, like
+    * the incremental-dedup state tables. */
+  def cdcChunkDocs(df: DataFrame, textCol: String, idCol: String,
+                   avgTokens: Int): DataFrame = {
+    require(avgTokens > 0, s"avgTokens must be positive (got $avgTokens)")
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
+    df.select(col(idCol),
+        posexplode(graft.fuzzy.vectorFunctions.cdc_chunks(toks, avgTokens)))
+      .select(col(idCol), col("pos").cast("long").as("chunk_index"),
+        size(split(col("col"), " ")).cast("long").as("n_tokens"),
+        md5(encode(col("col"), "UTF-8")).as("chunk_md5"))
+  }
 
   /** Keep rows at or above their group's p-th percentile of `numCol` —
     * relative statistical filtering ("drop the shortest half per

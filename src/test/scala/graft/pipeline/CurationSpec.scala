@@ -262,4 +262,51 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     // NULL weight drops the row by contract
     assert(Curation.weightedHashSample(docs, "doc_id", lit(null).cast("double")).count() == 0)
   }
+
+  test("leakage-safe split: duplicate texts always share a split") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "same text"), (2L, "same text"), (3L, "same text"),
+      (4L, "other"), (5L, "third thing")).toDF("doc_id", "text")
+    val got = Curation.splitByDupGroup(d, "text", "doc_id",
+        Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1)))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(Set(got(1L), got(2L), got(3L)).size == 1,
+      s"duplicates split apart: $got")
+    // the group variant follows an arbitrary cluster column the same way
+    val clustered = d.withColumn("cluster", when($"doc_id" <= 3, 100L).otherwise($"doc_id"))
+    val byGroup = Curation.assignSplitByGroup(clustered, "cluster",
+        Seq(("train", 0.5), ("test", 0.5)))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(Set(byGroup(1L), byGroup(2L), byGroup(3L)).size == 1)
+  }
+
+  test("CDC chunks: boundaries do not shift downstream of an edit") {
+    import spark.implicits._
+    val base = (1 to 400).map(i => s"tok${i % 97}w${i}").mkString(" ")
+    val edited = "inserted preamble goes here " + base
+    val d = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val chunks = Curation.cdcChunkDocs(d, "text", "doc_id", 16)
+      .select($"doc_id", $"chunk_index", $"chunk_md5")
+      .as[(Long, Long, String)].collect()
+    val c1 = chunks.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    val c2 = chunks.filter(_._1 == 2L).sortBy(_._2).map(_._3)
+    assert(c1.length > 5, s"fixture produced only ${c1.length} chunks")
+    // every chunk after the first boundary downstream of the edit is
+    // byte-identical: the edited doc's tail chunks == the base's tail
+    val shared = c1.toSet & c2.toSet
+    assert(shared.size >= c1.length - 2,
+      s"CDC stability broken: only ${shared.size} of ${c1.length} chunks survived an edit")
+    // fixed windows would share (almost) nothing under a 4-token shift
+    val fixedShared = {
+      val f = Dedup.chunkDedup(d, "text", "doc_id", 16)
+        .select($"doc_id", $"chunk_md5").as[(Long, String)].collect()
+      f.filter(_._1 == 1L).map(_._2).toSet & f.filter(_._1 == 2L).map(_._2).toSet
+    }
+    assert(fixedShared.size < shared.size,
+      s"fixed windows shared $fixedShared vs CDC ${shared.size} — invariance claim hollow")
+    // empty text: zero chunks, no crash
+    assert(Curation.cdcChunkDocs(Seq((9L, "")).toDF("doc_id", "text"),
+      "text", "doc_id", 16).count() == 0L)
+  }
 }
