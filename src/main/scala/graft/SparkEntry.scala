@@ -621,6 +621,17 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("usec_per_frame"),
           col("total_frames"), col("width"), col("height"),
           col("n_streams"), col("n_bytes"))),
+    // IMAGE at pixel depth: the full raster through the real JDK
+    // decoder, reduced to exact integer channel sums + max luma; the
+    // oracle recomputes the fixture's pixel formula ((id*31 + x*7 +
+    // y*131) mod 2^24 split into channels) — a channel-order or raster
+    // mis-read breaks the hash
+    "multimodal_image_stats" -> ((s, dir) =>
+      Multimodal.decodeImagePixels(
+        Multimodal.encodePngDemo(t(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "payload", "doc_id")
+        .select(col("id").as("doc_id"), col("n_pixels"), col("sum_r"),
+          col("sum_g"), col("sum_b"), col("max_luma"))),
     // AUDIO at sample depth: the JDK decoder pulls the real PCM frames
     // and reduces them to exact integer stats; the oracle recomputes the
     // fixture's sample formula (bytes (id*31 + i*7) mod 256 read as
@@ -1883,6 +1894,21 @@ object SparkEntry {
            CAST(1 AS BIGINT) AS n_streams,
            CAST(88 AS BIGINT) AS n_bytes
          FROM documents""",
+    // raster round trip: pixel (x, y) = (id*31 + x*7 + y*131) mod 2^24,
+    // channels split arithmetically (r = v//65536, g = v//256 mod 256,
+    // b = v mod 256), luma integer-approximated per ITU-R 601
+    "multimodal_image_stats" ->
+      """WITH px AS (SELECT doc_id, (doc_id % 13) + 1 AS w, (doc_id % 7) + 1 AS h
+              FROM documents),
+         fx AS (SELECT doc_id, h, unnest(range(0, w)) AS x FROM px),
+         fy AS (SELECT doc_id, x, unnest(range(0, h)) AS y FROM fx),
+         v AS (SELECT doc_id, (doc_id*31 + x*7 + y*131) % 16777216 AS v FROM fy)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pixels,
+           CAST(sum(v // 65536) AS BIGINT) AS sum_r,
+           CAST(sum((v // 256) % 256) AS BIGINT) AS sum_g,
+           CAST(sum(v % 256) AS BIGINT) AS sum_b,
+           CAST(max((299 * (v // 65536) + 587 * ((v // 256) % 256) + 114 * (v % 256)) // 1000) AS BIGINT) AS max_luma
+         FROM v GROUP BY 1""",
     // PCM round trip: data byte i = (id*31 + i*7) mod 256, sample j =
     // little-endian signed 16-bit from bytes (2j, 2j+1); the real decoder
     // must reproduce these exact integer reductions

@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   *    PNG/JPEG/GIF/BMP), AUDIO via `javax.sound.sampled`
   *    ([[decodeWavMeta]]), VIDEO via the RIFF/AVI chunk walker
   *    ([[decodeAviMeta]]);
-  *  - payload samples (O(duration)/row): AUDIO PCM frames through the JDK
-  *    decoder ([[decodeWavSamples]]) and VIDEO raw-DIB frame pixels
+  *  - payload samples (O(payload)/row): IMAGE rasters through the JDK
+  *    decoder ([[decodeImagePixels]] — channel sums + max luma), AUDIO
+  *    PCM frames ([[decodeWavSamples]]), and VIDEO raw-DIB frame pixels
   *    ([[decodeAviFrames]] — stride/bottom-up-aware, frame-sampled).
   *
   * [[encodePngDemo]]/[[encodeWavDemo]]/[[encodeAviDemo]]/
@@ -242,6 +243,53 @@ object Multimodal {
         } catch {
           case scala.util.control.NonFatal(_) =>
             WavStats(row.id, -1L, -1L, -1L, -1L)
+        }
+      }
+    }.toDF()
+  }
+
+  case class ImgStats(id: Long, n_pixels: Long, sum_r: Long, sum_g: Long,
+                      sum_b: Long, max_luma: Long)
+
+  /** REAL image PIXEL decode: pull the full raster through the JDK
+    * decoder (`BufferedImage.getRGB`, not just the header) and reduce it
+    * to exact integer statistics — pixel count, per-channel sums, max
+    * luma (the integer ITU-R 601 approximation `(299R + 587G + 114B) /
+    * 1000` in integer arithmetic) — the inputs to brightness/solid-color
+    * image quality filters. Completes the sample-depth tier for the
+    * image modality next to [[decodeWavSamples]] (audio) and
+    * [[decodeAviFrames]] (video). Undecodable payloads sentinel with
+    * all--1. O(pixels) per row — run the O(1) [[decodeImageMeta]] header
+    * pass first at crawl scale and pull rasters only for survivors. */
+  def decodeImagePixels(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds: Dataset[ImgRow] = graft.util.Partitioning.spread(
+      df.select(col(idCol).cast("long").as("id"), col(binCol).as("payload"))).as[ImgRow]
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { row =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) ImgStats(row.id, -1L, -1L, -1L, -1L, -1L)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L; var ml = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+              sr += r; sg += g; sb += b
+              val luma = (299L * r + 587L * g + 114L * b) / 1000L
+              if (luma > ml) ml = luma
+              x += 1
+            }
+            y += 1
+          }
+          ImgStats(row.id, w.toLong * h, sr, sg, sb, ml)
         }
       }
     }.toDF()

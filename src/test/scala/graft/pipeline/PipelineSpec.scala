@@ -806,6 +806,30 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(trunc._2 == -1L, s"truncated AVI must sentinel: $trunc")
   }
 
+  test("image pixel decode: channel sums match the fixture formula; garbage sentinels") {
+    val ids = Seq(5L, 14L, 91L).toDF("doc_id")
+    val pngs = Multimodal.encodePngDemo(ids, "doc_id")
+    val stats = Multimodal.decodeImagePixels(pngs, "payload", "doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    for (id <- Seq(5L, 14L, 91L)) {
+      val w = (id % 13 + 1).toInt; val h = (id % 7 + 1).toInt
+      val vs = for (y <- 0 until h; x <- 0 until w)
+        yield ((id * 31 + x * 7 + y * 131) & 0xffffff)
+      val (_, np, sr, sg, sb, ml) = stats(id)
+      assert(np == w.toLong * h)
+      assert(sr == vs.map(v => v >> 16).sum, s"doc $id sum_r")
+      assert(sg == vs.map(v => (v >> 8) & 0xff).sum, s"doc $id sum_g")
+      assert(sb == vs.map(v => v & 0xff).sum, s"doc $id sum_b")
+      assert(ml == vs.map(v => (299L * (v >> 16) + 587L * ((v >> 8) & 0xff)
+        + 114L * (v & 0xff)) / 1000L).max, s"doc $id max_luma")
+    }
+    val g = Multimodal.decodeImagePixels(
+        Seq((7L, "not an image".getBytes("UTF-8"))).toDF("doc_id", "payload"),
+        "payload", "doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(g == ((7L, -1L, -1L, -1L, -1L, -1L)))
+  }
+
   test("PCM sample decode: exact integer stats match the fixture formula") {
     val ids = Seq(5L, 14L, 91L).toDF("doc_id")
     val wavs = Multimodal.encodeWavDemo(ids, "doc_id")
