@@ -334,6 +334,21 @@ object SparkEntry {
       res.select(col("query_id"), col("corpus_id"),
         sround(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
     }),
+    // k-NN label propagation: majority label among exact top-10
+    // neighbors, ties by most votes then smallest label
+    "ann_knn_label" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      AnnSearch.knnLabel(emb.where(col("vec_id") < 50), emb,
+        "embedding", "vec_id", "label", 10)
+    }),
+    // nearest-centroid assignment on the exact integer grid: per-label
+    // centroids (quantized-sum arithmetic) floored to the 4096 grid,
+    // argmin integer L2 via the PQ encode kernel at m = 1 — the whole
+    // classifier reproduces in SQL
+    "ann_centroid_label" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      AnnSearch.nearestCentroidLabel(emb, "embedding", "vec_id", "label", 64)
+    }),
     // IVF-PQ composition at the oracle-checkable configuration (full
     // probe + full rerank == brute force): exercises cell routing, PQ
     // encode, per-cell ADC, shortlist, and exact re-rank end-to-end;
@@ -675,6 +690,10 @@ object SparkEntry {
           expr("coalesce(view_id, -1)").as("view_id"),
           expr("coalesce(view_ts_us, -1)").as("view_ts_us"))
     }),
+
+    // ---- one-row corpus-duplication health report (doc + chunk tiers)
+    "corpus_dup_stats" -> ((s, dir) =>
+      Dedup.duplicationStats(t(s, dir, "documents"), "text", "doc_id", 16)),
 
     // ---- one-pass column census of documents: row/null/distinct counts
     // and min/max per column, as rows. Exact multi-distinct (Expand plan);
@@ -1506,6 +1525,63 @@ object SparkEntry {
                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
                FROM sc)
          SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 10""",
+    // exact top-10 by cosine, labels joined, majority with (votes desc,
+    // label asc) tie-break — the full label-propagation pipeline in SQL
+    "ann_knn_label" ->
+      """WITH nn AS (SELECT query_id, corpus_id FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                          c.vec_id) AS rank
+             FROM embeddings q CROSS JOIN embeddings c
+             WHERE q.vec_id < 50 AND q.vec_id != c.vec_id)
+           WHERE rank <= 10),
+         v AS (SELECT nn.query_id, CAST(e.label AS BIGINT) AS label,
+                 count(*) AS votes
+               FROM nn JOIN embeddings e ON nn.corpus_id = e.vec_id
+               GROUP BY 1, 2),
+         r AS (SELECT query_id, label, votes,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY votes DESC, label) AS rn FROM v)
+         SELECT query_id, label AS label_pred, CAST(votes AS BIGINT) AS votes
+         FROM r WHERE rn = 1""",
+    // centroids via the exact quantized-sum arithmetic (embed_centroid),
+    // floored onto the 4096 grid; per-vector integer L2 argmin with
+    // (distance, label) tie-break — bit-identical to the PQ encode kernel
+    "ann_centroid_label" ->
+      """WITH cs AS (SELECT CAST(label AS BIGINT) AS label, i AS dim,
+                sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) / 1000000.0 / count(*) AS centroid
+              FROM (SELECT label, unnest(embedding) AS v,
+                      generate_subscripts(embedding, 1) AS i FROM embeddings)
+              GROUP BY 1, 2),
+         cq AS (SELECT label, dim, CAST(floor(centroid * 4096) AS BIGINT) AS c FROM cs),
+         qv AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                  CAST(floor(unnest(embedding)::DOUBLE * 4096) AS BIGINT) AS v
+                FROM embeddings),
+         d AS (SELECT qv.vec_id, cq.label,
+                 sum((qv.v - cq.c) * (qv.v - cq.c)) AS dist
+               FROM qv JOIN cq ON qv.dim = cq.dim GROUP BY 1, 2),
+         r AS (SELECT vec_id, label,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, label) AS rn
+               FROM d)
+         SELECT vec_id, label AS label_pred FROM r WHERE rn = 1""",
+    // chunk construction mirrors dedup_chunk_exact; exact counts at the
+    // doc and chunk tiers
+    "corpus_dup_stats" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+         c AS (SELECT doc_id, unnest(list_transform(range(0, CAST(floor((len(w)-1)/16) AS INT) + 1),
+                 i -> struct_pack(idx := i, txt := array_to_string(w[(i*16+1)::INT : (i*16+16)::INT], ' ')))) AS ch
+               FROM t),
+         cc AS (SELECT md5(ch.txt) AS d, count(*) AS cnt FROM c GROUP BY 1),
+         ds AS (SELECT count(*) AS n_docs,
+                  count(DISTINCT md5(text)) AS n_distinct_texts FROM documents)
+         SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_distinct_texts AS BIGINT) AS n_distinct_texts,
+           CAST(n_docs - n_distinct_texts AS BIGINT) AS dup_doc_rows,
+           (SELECT CAST(sum(cnt) AS BIGINT) FROM cc) AS n_chunk_instances,
+           (SELECT CAST(count(*) AS BIGINT) FROM cc) AS n_distinct_chunks,
+           (SELECT CAST(COALESCE(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END), 0) AS BIGINT) FROM cc) AS dup_chunk_instances
+         FROM ds""",
     // base (>= 250) plus appended batch (< 250) covers the whole table,
     // and full probe == brute force by construction — so the oracle is
     // plain exhaustive cosine top-k over embeddings

@@ -610,6 +610,63 @@ object AnnSearch {
     rankTopK(scored, "cosine", k)
   }
 
+  /** k-NN label propagation: classify each query vector by the MAJORITY
+    * label among its exact top-k cosine neighbors (ties -> most votes,
+    * then smallest label) — the semantic-labeling shape used to extend
+    * a small labeled seed set over an unlabeled corpus. Composes
+    * [[bruteForceTopK]] (swap in any topK operator for scale) with a
+    * broadcast label join and one tiny per-query aggregate; emits
+    * (query_id, label_pred, votes). */
+  def knnLabel(queries: DataFrame, corpus: DataFrame,
+               vecCol: String, idCol: String, labelCol: String,
+               k: Int): DataFrame = {
+    val nn = bruteForceTopK(queries, corpus, vecCol, idCol, k)
+    val labels = corpus.select(col(idCol).as("corpus_id"),
+      col(labelCol).cast("long").as("__label"))
+    val votes = nn.join(broadcast(labels), Seq("corpus_id"))
+      .groupBy(col("query_id"), col("__label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("__label"))
+    votes.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("query_id"), col("__label").as("label_pred"),
+        col("votes").cast("long").as("votes"))
+  }
+
+  /** Nearest-centroid (Rocchio) label assignment: per-label centroids on
+    * the exact quantized-sum grid ([[Embeddings.centroids]]), each then
+    * quantized to the engine-wide 4096 integer grid, and every vector
+    * assigned by EXACT INTEGER L2 argmin — which is literally
+    * [[graft.fuzzy.VectorKernels.pqEncodeInt]] with one subspace and
+    * `ksub` = #labels, so the assignment (ties -> smallest label index)
+    * is bit-reproducible by a SQL oracle. The centroid table is tiny
+    * (labels × dim) and rides the plan as a literal; the corpus never
+    * shuffles. Returns (id, label_pred). */
+  def nearestCentroidLabel(df: DataFrame, vecCol: String, idCol: String,
+                           labelCol: String, dim: Int): DataFrame = {
+    import graft.fuzzy.vectorFunctions.pq_encode_int
+    val cents = Embeddings.centroids(df, Seq(labelCol), vecCol)
+      .select(col(labelCol).cast("long").as("__l"), col("dim"), col("centroid"))
+      .collect()
+    val labels = cents.map(_.getLong(0)).distinct.sorted
+    val byLabel = cents.groupBy(_.getLong(0))
+    val flat = new Array[Long](labels.length * dim)
+    labels.zipWithIndex.foreach { case (l, li) =>
+      byLabel(l).foreach { r =>
+        val d = r.getLong(1).toInt - 1
+        if (d < dim) flat(li * dim + d) =
+          math.floor(r.getDouble(2) * 4096.0).toLong
+      }
+    }
+    // codes are BINARY (one byte at m = 1): first byte = label index
+    val codes = pq_encode_int(col(vecCol), flat, 1, labels.length, dim)
+    val idx = conv(hex(substring(codes, 1, 1)), 16, 10).cast("int")
+    val labelLit = array(labels.map(lit): _*)
+    df.select(col(idCol), element_at(labelLit, idx + 1).as("label_pred"))
+  }
+
   /** Ranking-quality evaluation of an approximate search against a
     * ground-truth top-k — the recall/MRR report every ANN rollout gates
     * on before swapping index configurations. Both inputs are

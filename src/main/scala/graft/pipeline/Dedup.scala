@@ -67,6 +67,34 @@ object Dedup {
       .select(col(idCol), col("chunk_index"), col("chunk_md5"), col("dup_count"))
   }
 
+  /** One-row corpus-duplication health report — the numbers a data lead
+    * reads before deciding whether a crawl drop needs dedup at all:
+    * document-level (rows vs distinct texts) and chunk-level (instances
+    * vs distinct digests, and how many instances belong to a digest
+    * seen more than once — boilerplate exposure). Two hash-aggregates
+    * over digests; text never shuffles. Exact counts, so the report is
+    * oracle-comparable. */
+  def duplicationStats(docs: DataFrame, textCol: String, idCol: String,
+                       chunkTokens: Int = 16): DataFrame = {
+    val docStats = docs.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      count_distinct(md5(col(textCol))).cast("long").as("n_distinct_texts"))
+    val chunkCounts = Curation
+      .chunkStream(docs, textCol, Seq(col(idCol)), chunkTokens, overlap = 0)
+      .groupBy(Curation.chunkDigest.as("__d"))
+      .agg(count(lit(1)).as("__c"))
+    val chunkStats = chunkCounts.agg(
+      sum(col("__c")).cast("long").as("n_chunk_instances"),
+      count(lit(1)).cast("long").as("n_distinct_chunks"),
+      sum(when(col("__c") > 1L, col("__c")).otherwise(0L))
+        .cast("long").as("dup_chunk_instances"))
+    docStats.crossJoin(chunkStats)
+      .withColumn("dup_doc_rows", col("n_docs") - col("n_distinct_texts"))
+      .select(col("n_docs"), col("n_distinct_texts"), col("dup_doc_rows"),
+        col("n_chunk_instances"), col("n_distinct_chunks"),
+        col("dup_chunk_instances"))
+  }
+
   /** The corpus-rewrite side of [[chunkDedup]]: every document keeps only
     * the chunks for which IT is the keep-first owner, and the survivors
     * re-assemble into the pruned document text (index order). Documents

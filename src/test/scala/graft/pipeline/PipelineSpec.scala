@@ -26,6 +26,26 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(sh == Set((1L, "a b c"), (1L, "b c d"), (2L, "a b")))
   }
 
+  test("duplicationStats: doc and chunk tiers from a hand-built corpus") {
+    val text16 = (1 to 16).map(i => s"w$i").mkString(" ")
+    val other16 = (1 to 16).map(i => s"x$i").mkString(" ")
+    val d = Seq(
+      (1L, text16),                       // chunk A
+      (2L, text16),                       // exact dup of 1 (chunk A again)
+      (3L, other16),                      // unique chunk B
+      (4L, text16 + " " + other16)        // chunks A and B again
+    ).toDF("doc_id", "text")
+    val r = Dedup.duplicationStats(d, "text", "doc_id", 16).head()
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("n_distinct_texts") == 3L)
+    assert(r.getAs[Long]("dup_doc_rows") == 1L)
+    // chunk instances: 1 + 1 + 1 + 2 = 5; distinct digests: A, B = 2;
+    // both digests repeat, so every instance is in a duplicated class
+    assert(r.getAs[Long]("n_chunk_instances") == 5L)
+    assert(r.getAs[Long]("n_distinct_chunks") == 2L)
+    assert(r.getAs[Long]("dup_chunk_instances") == 5L)
+  }
+
   test("ngramFrequency counts document frequency; boilerplateFlags exposure") {
     val d = Seq(
       (1L, "the quick brown fox jumps"),   // "the quick brown" etc.

@@ -118,6 +118,38 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     assert(exact == brute)
   }
 
+  test("label assignment: knn and nearest-centroid recover separable clusters") {
+    import spark.implicits._
+    val dim = 8
+    // three tight clusters around orthogonal axes, slight per-row jitter
+    def cluster(label: Int, axis: Int, n: Int, base: Long) =
+      (0 until n).map { i =>
+        val v = Array.fill(dim)(0.01f * ((i + label) % 3))
+        v(axis) = 1.0f
+        (base + i, v.toSeq, label)
+      }
+    val rows = cluster(0, 0, 8, 0L) ++ cluster(1, 3, 8, 100L) ++
+      cluster(2, 6, 8, 200L)
+    val emb = rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val truth = rows.map(r => r._1 -> r._3.toLong).toMap
+    val knn = AnnSearch.knnLabel(emb, emb, "embedding", "vec_id", "label", 5)
+      .select($"query_id", $"label_pred").as[(Long, Long)].collect().toMap
+    assert(knn.size == rows.size)
+    assert(knn.forall { case (id, p) => truth(id) == p },
+      s"knn mislabeled: ${knn.filter { case (id, p) => truth(id) != p }}")
+    val cent = AnnSearch.nearestCentroidLabel(emb, "embedding", "vec_id",
+        "label", dim)
+      .select($"vec_id", $"label_pred").as[(Long, Long)].collect().toMap
+    assert(cent.forall { case (id, p) => truth(id) == p },
+      s"centroid mislabeled: ${cent.filter { case (id, p) => truth(id) != p }}")
+    // deterministic across runs
+    val again = AnnSearch.nearestCentroidLabel(emb, "embedding", "vec_id",
+        "label", dim)
+      .select($"vec_id", $"label_pred").as[(Long, Long)].collect().toMap
+    assert(cent == again)
+  }
+
   test("codes are m BYTES — the 32x-at-dim-64 compression unit") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet").limit(5)
     val cb = AnnSearch.pqCodebookMd5Int(64, 8, 16)
