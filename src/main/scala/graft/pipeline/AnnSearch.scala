@@ -619,13 +619,22 @@ object AnnSearch {
     * (query_id, label_pred, votes). */
   def knnLabel(queries: DataFrame, corpus: DataFrame,
                vecCol: String, idCol: String, labelCol: String,
-               k: Int): DataFrame = {
-    val nn = bruteForceTopK(queries, corpus, vecCol, idCol, k)
-    val labels = corpus.select(col(idCol).as("corpus_id"),
-      col(labelCol).cast("long").as("__label"))
-    val votes = nn.join(broadcast(labels), Seq("corpus_id"))
+               k: Int): DataFrame =
+    knnLabelFrom(bruteForceTopK(queries, corpus, vecCol, idCol, k),
+      corpus.select(col(idCol).as("corpus_id"),
+        col(labelCol).cast("long").as("__label")))
+
+  /** The vote half of [[knnLabel]], decomposed so ANY neighbor frame
+    * plugs in — [[lshTopK]]/[[ivfPqTopK]] output at corpus scale, or a
+    * persisted neighbor table. `nn` needs (query_id, corpus_id);
+    * `labels` needs (corpus_id, __label). */
+  def knnLabelFrom(nn: DataFrame, labels: DataFrame): DataFrame = {
+    val votes = nn.select(col("query_id"), col("corpus_id"))
+      .join(broadcast(labels), Seq("corpus_id"))
       .groupBy(col("query_id"), col("__label"))
       .agg(count(lit(1)).as("votes"))
+    // the window runs over (queries x labels) vote rows — tiny relative
+    // to the search that produced nn
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("votes").desc, col("__label"))

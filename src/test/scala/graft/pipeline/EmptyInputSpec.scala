@@ -89,4 +89,34 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
     val zeroDim = Seq((1L, Seq.empty[Float])).toDF("vec_id", "embedding")
     assert(AnnSearch.int8TopK(zeroDim, zeroDim, "embedding", "vec_id", 5).count() === 0L)
   }
+
+  test("round-10 operators on empty and degenerate input") {
+    // text filters: empty frame and empty text
+    assert(TextAnalysis.gopherFlags(emptyDocs, "text", "doc_id").count() === 0L)
+    assert(TextAnalysis.hashedLinearScore(emptyDocs, "text", "doc_id").count() === 0L)
+    assert(TextAnalysis.pplBuckets(emptyDocs, "text", "doc_id").count() === 0L)
+    assert(TextAnalysis.bpeVocab(emptyDocs, "text",
+      Seq("t" -> "h")).count() === 0L)
+    assert(Curation.cdcChunkDocs(emptyDocs, "text", "doc_id", 16).count() === 0L)
+    assert(Curation.splitByDupGroup(emptyDocs, "text", "doc_id",
+      Seq(("train", 1.0))).count() === 0L)
+    assert(Dedup.duplicationStats(emptyDocs, "text", "doc_id", 16)
+      .head().getAs[Long]("n_docs") === 0L)
+    // PQ search on empty sides
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assert(AnnSearch.pqTopKInt(emptyVecs, emb, "embedding", "vec_id", 5,
+      dim = 64).count() === 0L)
+    assert(AnnSearch.pqTopKInt(emb.limit(3), emptyVecs, "embedding", "vec_id", 5,
+      dim = 64).count() === 0L)
+    // expectations on an empty frame: checks still report (row_count
+    // catches the emptiness; others count zero violations)
+    val rep = Profile.expectations(emptyDocs,
+        Seq(Profile.ExpectNotNull("text"), Profile.ExpectRowCount(1L, 10L)))
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(rep("not_null") == ((1L, 0L)))
+    assert(rep("row_count") == ((0L, 1L)))
+    // labeling on empty query side
+    assert(AnnSearch.knnLabel(emptyVecs, emb.withColumn("label", lit(1)),
+      "embedding", "vec_id", "label", 5).count() === 0L)
+  }
 }
