@@ -1154,6 +1154,23 @@ object SparkEntry {
         "event_type", "event_id")
     }),
 
+    // ---- top 3-step behavior paths (user-time order, two leads, tiny
+    // ranked aggregate)
+    "events_trigrams" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("event_type"), col("event_id"))
+      graft.pipeline.Funnels.pathTrigrams(ev, "user_id", "ts_us",
+        "event_type", "event_id", 25)
+    }),
+
+    // ---- deterministic token-budget sampling: md5 order within md5
+    // shards, per-shard running total — budget respected to ± one doc
+    // per shard, no global sort
+    "curate_token_budget" -> ((s, dir) =>
+      Curation.sampleToTokenBudget(t(s, dir, "documents"), "text", "doc_id",
+        budgetTokens = 16000L, shards = 8)
+        .select(col("doc_id"), col("token_budget_shard"))),
+
     // ---- weekly cohort retention (7-day periods of raw epoch micros)
     "events_retention" -> ((s, dir) => {
       val ev = events(s, dir).select(col("user_id"),
@@ -2757,6 +2774,36 @@ object SparkEntry {
                FROM e)
          SELECT from_type, to_type, count(*) AS n_transitions
          FROM n WHERE to_type IS NOT NULL GROUP BY 1, 2""",
+    // two leads over the same (user, time, id) order; top 25 by
+    // (count desc, path asc) — fully deterministic
+    "events_trigrams" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_type, event_id FROM events),
+         n AS (SELECT event_type AS step1,
+                 lead(event_type, 1) OVER w AS step2,
+                 lead(event_type, 2) OVER w AS step3
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)),
+         c AS (SELECT step1, step2, step3, count(*) AS n_paths
+               FROM n WHERE step3 IS NOT NULL GROUP BY 1, 2, 3),
+         r AS (SELECT step1, step2, step3, n_paths,
+                 row_number() OVER (ORDER BY n_paths DESC, step1, step2, step3) AS rn
+               FROM c)
+         SELECT step1, step2, step3, CAST(n_paths AS BIGINT) AS n_paths
+         FROM r WHERE rn <= 25""",
+    // md5 shard + md5 in-shard order, running token total BEFORE each
+    // row under the per-shard budget (16000/8 = 2000 tokens)
+    "curate_token_budget" ->
+      """WITH d AS (SELECT doc_id,
+                ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 % 8 AS shard,
+                md5('tb:' || CAST(doc_id AS VARCHAR)) AS ord,
+                CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                  x -> len(x) > 0)) AS BIGINT) AS n
+              FROM documents),
+         c AS (SELECT doc_id, shard,
+                 COALESCE(sum(n) OVER (PARTITION BY shard ORDER BY ord, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+               FROM d)
+         SELECT doc_id, CAST(shard AS BIGINT) AS token_budget_shard
+         FROM c WHERE before < 2000""",
     // integer floor-division cohorts: both engines bucket identically
     "events_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS p FROM events),

@@ -327,6 +327,36 @@ object Curation {
     * chunk-dedup family (one definition, same reason as [[chunkStream]]). */
   private[graft] def chunkDigest: Column = md5(encode(col("chunk_text"), "UTF-8"))
 
+  /** Deterministic sampling to a TOKEN budget ("train on ~N tokens"):
+    * documents take a stable md5 order and accumulate until the budget
+    * is reached — but the order and the running sum live WITHIN md5
+    * shards, each owning `budget / shards` tokens, so the plan is one
+    * shard-keyed exchange plus per-shard windows (the [[shuffleShard]]
+    * scale shape) and never a corpus-wide sort. A row is kept while its
+    * shard's running total BEFORE it is under the shard budget, so
+    * shards overshoot by at most one document — the budget is
+    * approximate by ±(shards × max doc tokens), which is the price of
+    * not sorting the world; tighten with more shards only if documents
+    * are small. Deterministic for a fixed corpus and budget. */
+  def sampleToTokenBudget(df: DataFrame, textCol: String, idCol: String,
+                          budgetTokens: Long, shards: Int = 64): DataFrame = {
+    require(budgetTokens > 0 && shards > 0, "budget and shards must be positive")
+    val perShard = math.max(1L, budgetTokens / shards)
+    val toks = size(filter(split(lower(trim(col(textCol))), "\\s+"),
+      t => length(t) > 0)).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__shard"))
+      .orderBy(col("__ord"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("__shard", md5Bucket(col(idCol)) % shards)
+      .withColumn("__ord", md5(concat(lit("tb:"), col(idCol).cast("string"))))
+      .withColumn("__n", toks)
+      .withColumn("__before", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .where(col("__before") < perShard)
+      .drop("__ord", "__n", "__before")
+      .withColumnRenamed("__shard", "token_budget_shard")
+  }
+
   /** Content-defined chunking (CDC): boundaries fall after tokens whose
     * hash is divisible by `avgTokens` ([[graft.fuzzy.VectorKernels
     * .cdcChunks]]), so an edit shifts NO chunk boundary downstream of

@@ -61,6 +61,34 @@ object Funnels {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** Top behavior paths: the most common 3-step event-type sequences
+    * over per-user time order — the n-gram step up from
+    * [[transitionCounts]]' Markov matrix, the "what do users actually do
+    * around a purchase" query. One user-keyed window (two `lead`s share
+    * it) over the event stream, one hash-agg, then a deterministic
+    * top-k cut by (count desc, path asc) — the ranking window runs over
+    * the AGGREGATED path table (at most |event types|³ rows), so its
+    * single-partition sort is bounded by the type alphabet, never the
+    * event volume. */
+  def pathTrigrams(events: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String, tieCol: String, topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive (got $topK)")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val counts = events
+      .withColumn("__t2", lead(col(typeCol), 1).over(w))
+      .withColumn("__t3", lead(col(typeCol), 2).over(w))
+      .where(col("__t3").isNotNull)
+      .groupBy(col(typeCol).as("step1"), col("__t2").as("step2"),
+        col("__t3").as("step3"))
+      .agg(count(lit(1)).as("n_paths"))
+    val rank = Window.orderBy(col("n_paths").desc,
+      col("step1"), col("step2"), col("step3"))
+    counts.withColumn("__rn", row_number().over(rank))
+      .where(col("__rn") <= topK)
+      .drop("__rn")
+  }
+
   /** Cohort retention: users bucketed by their first-activity period
     * (integer `periodLengthMicros` buckets of the raw timestamp), counted
     * distinct in every later period they appear. Returns (cohort,

@@ -281,6 +281,36 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(Set(byGroup(1L), byGroup(2L), byGroup(3L)).size == 1)
   }
 
+  test("token-budget sampling: per-shard overshoot bounded by one document") {
+    import spark.implicits._
+    val d = (1 to 200).map(i => (i.toLong, (1 to (i % 20 + 5)).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val perShard = 100L // budget 400 over 4 shards
+    val out = Curation.sampleToTokenBudget(d, "text", "doc_id", 400L, shards = 4)
+    val kept = out.select($"doc_id", $"token_budget_shard").as[(Long, Long)].collect()
+    assert(kept.nonEmpty && kept.length < 200, s"kept ${kept.length} of 200")
+    // recompute per-shard token totals of the kept docs
+    val tokens = d.select($"doc_id",
+        size(split(trim(lower($"text")), "\\s+")).cast("long")).as[(Long, Long)]
+      .collect().toMap
+    val maxDoc = tokens.values.max
+    for ((shard, docs) <- kept.groupBy(_._2)) {
+      val total = docs.map(t => tokens(t._1)).sum
+      assert(total < perShard + maxDoc,
+        s"shard $shard overshot: $total vs $perShard (+ max $maxDoc)")
+      // the budget was actually used: stopping earlier would undershoot
+      assert(total >= perShard || docs.length == kept.count(_._2 == shard),
+        s"shard $shard stopped early at $total")
+    }
+    // determinism
+    val again = Curation.sampleToTokenBudget(d, "text", "doc_id", 400L, shards = 4)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again == kept.map(_._1).toSet)
+    // budget >= corpus keeps everything
+    assert(Curation.sampleToTokenBudget(d, "text", "doc_id", 1000000L, shards = 4)
+      .count() == 200L)
+  }
+
   test("CDC chunks: boundaries do not shift downstream of an edit") {
     import spark.implicits._
     val base = (1 to 400).map(i => s"tok${i % 97}w${i}").mkString(" ")

@@ -56,4 +56,21 @@ class FunnelsSpec extends AnyFunSuite with SparkSpec {
     assert(m == Map((0L, 0L) -> 2L, (0L, 1L) -> 2L, (0L, 3L) -> 1L,
       (1L, 0L) -> 1L), s"got $m")
   }
+
+  test("path trigrams: per-user order, no cross-user paths, top-k tie-break") {
+    import spark.implicits._
+    // user 1: a b c d -> (a,b,c), (b,c,d); user 2: a b c -> (a,b,c)
+    val ev = Seq(
+      (1L, 10L, "a", 1L), (1L, 20L, "b", 2L), (1L, 30L, "c", 3L), (1L, 40L, "d", 4L),
+      (2L, 10L, "a", 5L), (2L, 20L, "b", 6L), (2L, 30L, "c", 7L)
+    ).toDF("user_id", "ts_us", "event_type", "event_id")
+    val got = Funnels.pathTrigrams(ev, "user_id", "ts_us", "event_type",
+        "event_id", 10)
+      .as[(String, String, String, Long)].collect().toSet
+    assert(got == Set(("a", "b", "c", 2L), ("b", "c", "d", 1L)), s"got $got")
+    // top-1 keeps the most common; ties break by path ascending
+    val top1 = Funnels.pathTrigrams(ev, "user_id", "ts_us", "event_type",
+        "event_id", 1).as[(String, String, String, Long)].collect().toSeq
+    assert(top1 == Seq(("a", "b", "c", 2L)))
+  }
 }
