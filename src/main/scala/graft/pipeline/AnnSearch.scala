@@ -592,6 +592,20 @@ object AnnSearch {
                         dim: Int, centroids: Array[Double]): DataFrame =
     postings.unionByName(ivfPostings(batch, vecCol, idCol, dim, centroids))
 
+  /** Persist postings CELL-PARTITIONED (`.../cell=N/` parquet dirs): a
+    * probe that touches nProbe cells then reads ONLY those directories —
+    * partition pruning does the index lookup at the storage layer, which
+    * is the on-disk shape of an inverted file. [[loadPostings]] restores
+    * the (corpus_id, __cv, __cell) contract; PqSpec asserts the probe
+    * filter actually prunes (PartitionFilters on the scan). */
+  def savePostings(postings: DataFrame, path: String): Unit =
+    postings.withColumnRenamed("__cell", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  def loadPostings(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("corpus_id"), col("__cv"), col("cell").cast("int").as("__cell"))
+
   /** Top-k against stored postings: probe-cell equi-join + exact cosine,
     * the query half of the [[ivfPostings]]/[[ivfAppendPostings]]
     * lifecycle. At nProbe = nCells this provably equals

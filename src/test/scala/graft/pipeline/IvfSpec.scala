@@ -148,6 +148,45 @@ class IvfSpec extends AnyFunSuite with SparkSpec {
     assert(viaPostings.nonEmpty && viaPostings == direct)
   }
 
+  test("persisted postings: cell partitioning prunes the probe scan") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = AnnSearch.kmeansFit(emb, "embedding", dim = 64, k = 8, iters = 2)
+    val flat = cents.flatMap { v =>
+      val n = math.sqrt(v.map(x => x * x).sum); if (n == 0) v else v.map(_ / n)
+    }
+    val path = java.nio.file.Files.createTempDirectory("postings").toString
+    AnnSearch.savePostings(
+      AnnSearch.ivfPostings(emb, "embedding", "vec_id", 64, flat), path)
+    val loaded = AnnSearch.loadPostings(spark, path)
+    // round trip preserves the assignment
+    val orig = AnnSearch.ivfPostings(emb, "embedding", "vec_id", 64, flat)
+      .select(col("corpus_id"), col("__cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val back = loaded.select(col("corpus_id"), col("__cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(back == orig)
+    // a probe that filters cells must PRUNE partitions at the scan — the
+    // storage layer does the inverted-file lookup
+    val probe = loaded.where(col("__cell").isin(1, 3))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      (plan.contains("cell#") || plan.contains("cast(cell")),
+      s"probe filter did not reach partition pruning:\n$plan")
+    // and the search through loaded postings equals the in-memory one
+    val q = emb.where(col("vec_id") < 5)
+    val a = AnnSearch.ivfTopKFromPostings(q, loaded, "embedding", "vec_id",
+        10, 64, flat, nProbe = 2)
+      .select("query_id", "corpus_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val b = AnnSearch.ivfTopKFromPostings(q,
+        AnnSearch.ivfPostings(emb, "embedding", "vec_id", 64, flat),
+        "embedding", "vec_id", 10, 64, flat, nProbe = 2)
+      .select("query_id", "corpus_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(a.nonEmpty && a == b)
+  }
+
   test("nearestCells degrades gracefully on all-NaN query vectors") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     val dim = 4
