@@ -634,7 +634,20 @@ object vectorFunctions {
       "hashed_shingle_set" -> (es => HashedShingleSet(es(0), intLit(es(1), "n"))),
       "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
       "ngram_jaccard_dist" ->
-        (es => NgramJaccardDistance(es(0), es(1), intLit(es(2), "n"))))
+        (es => NgramJaccardDistance(es(0), es(1), intLit(es(2), "n"))),
+      "cdc_chunks" -> (es => CdcChunks(es(0), intLit(es(1), "avg"))),
+      // merges as 'a b' rank-ordered string literals after the word:
+      // bpe_tokens(word, 't h', 'th e', ...)
+      "bpe_tokens" -> (es => BpeTokens(es(0), es.drop(1).map {
+        case org.apache.spark.sql.catalyst.expressions.Literal(s: UTF8String, StringType) =>
+          s.toString.split(" ", 2) match {
+            case Array(a, b) => (a, b)
+            case _ => throw new IllegalArgumentException(
+              s"merge must be 'left right', got '$s'")
+          }
+        case other => throw new IllegalArgumentException(
+          s"merges must be string literals, got $other")
+      })))
   }
 
   /** Register the sketch/vector expressions for `spark.sql(...)` users

@@ -58,6 +58,18 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(bad == 0L, s"$bad words failed reconstruction")
   }
 
+  test("bpe_tokens and cdc_chunks are SQL-registered") {
+    val toks = spark.sql(
+      "SELECT bpe_tokens('the', 't h', 'th e') AS t")
+      .head().getSeq[String](0)
+    assert(toks == Seq("the"))
+    val chunks = spark.sql(
+      "SELECT cdc_chunks(array('a', 'b', 'c'), 1) AS c")
+      .head().getSeq[String](0)
+    // avg = 1: every token's hash is divisible by 1 -> one chunk each
+    assert(chunks == Seq("a", "b", "c"))
+  }
+
   test("bpeVocab: weighted by word frequency, distinct-word encode") {
     import spark.implicits._
     val docs = Seq((1L, "the the thin"), (2L, "the")).toDF("doc_id", "text")
