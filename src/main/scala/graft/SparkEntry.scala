@@ -1011,6 +1011,29 @@ object SparkEntry {
           sround(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
     }),
 
+    // ---- the FULL training-set build, one lazy plan: deterministic 50%
+    // sample -> quality gate -> exact dedup -> 80% train split -> token
+    // budget (8k over 8 shards) -> sequence packing. Every stage is an
+    // individually-oracled operator; this query oracles their
+    // COMPOSITION (stage-boundary bugs — wrong column scoping, filters
+    // applied to the wrong side — break the hash even when each stage
+    // passes alone)
+    "curate_training_set" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sampled = Curation.hashSample(docs, "doc_id", 0.5)
+      val qual = sampled.where(sround(TextAnalysis.qualityScore(col("text")), 6) >= 0.5)
+      val deduped = Dedup.exactDedupRows(qual, "text", "doc_id")
+      val train = Curation.splitByHash(deduped, "doc_id",
+          Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1)))
+        .where(col("split") === "train")
+      val budgeted = Curation.sampleToTokenBudget(train, "text", "doc_id",
+        budgetTokens = 8000L, shards = 8)
+      Curation.packSequences(budgeted, "doc_id",
+          TextAnalysis.tokenCount(col("text")), budgetTokens = 2048L, numShards = 8)
+        .select(col("doc_id"), col("token_budget_shard"), col("shard"),
+          col("pack_off"), col("pack_id"))
+    }),
+
     // ---- relative statistical filter: keep docs at/above their
     // language's median length (exact interpolated percentile)
     "curate_above_median" -> ((s, dir) =>
@@ -2601,6 +2624,49 @@ object SparkEntry {
          SELECT vec_id, p + 1 AS rp_dim,
                 CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * pc[i])) AS BIGINT) AS component
          FROM qn CROSS JOIN pv""",
+    // the whole chain in CTEs, each stage the same SQL its standalone
+    // oracle uses: sample -> quality -> dedup -> train bucket -> token
+    // budget -> pack
+    "curate_training_set" ->
+      """WITH sel AS (SELECT doc_id, text FROM documents
+              WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 < 500000),
+         t AS (SELECT doc_id, text,
+                CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS n_words,
+                CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS n_nonspace,
+                CAST(length(text) - length(regexp_replace(lower(text), '[a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio
+               FROM sel),
+         q AS (SELECT doc_id, text, round((
+                (CASE WHEN n_words >= 10 AND n_words <= 1000 THEN 1.0 WHEN n_words >= 3 THEN 0.5 ELSE 0.0 END)
+                + (CASE WHEN n_nonspace / n_words >= 3 AND n_nonspace / n_words <= 10 THEN 1.0 ELSE 0.5 END)
+                + alpha_ratio) / 3.0, 6) AS quality
+               FROM t),
+         g AS (SELECT doc_id, text FROM q WHERE quality >= 0.5),
+         k AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(text)),
+         dd AS (SELECT g.doc_id, g.text FROM g JOIN k USING (doc_id)),
+         sp AS (SELECT doc_id, text FROM dd
+                WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 < 800000),
+         tb0 AS (SELECT doc_id, text,
+                  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 % 8 AS tshard,
+                  md5('tb:' || CAST(doc_id AS VARCHAR)) AS ord,
+                  CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                    x -> len(x) > 0)) AS BIGINT) AS nf
+                 FROM sp),
+         tb AS (SELECT doc_id, text, tshard FROM (
+                  SELECT doc_id, text, tshard,
+                    COALESCE(sum(nf) OVER (PARTITION BY tshard ORDER BY ord, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+                  FROM tb0) WHERE before < 1000),
+         pk0 AS (SELECT doc_id, tshard,
+                  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 % 8 AS shard,
+                  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS tok
+                 FROM tb),
+         pk AS (SELECT doc_id, tshard, shard,
+                  CAST(COALESCE(SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pack_off
+                FROM pk0)
+         SELECT doc_id, CAST(tshard AS BIGINT) AS token_budget_shard, shard,
+           pack_off, shard * 2147483648 + pack_off // 2048 AS pack_id
+         FROM pk""",
     // exact interpolated group median; >= on an exactly-representable
     // threshold (integer or midpoint), so the boundary is engine-stable
     "curate_above_median" ->
