@@ -415,7 +415,8 @@ object TextAnalysis {
     * arithmetic. The bigram table broadcasts (fine while distinct
     * bigrams fit an executor; swap the join to a shuffle join for
     * open-vocabulary web corpora). */
-  def bigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def bigramLogProb(df: DataFrame, textCol: String, idCol: String,
+                    broadcastLm: Boolean = true): DataFrame = {
     val t = tokens(col(textCol))
     // guard: sequence(1, 0) is DESCENDING in Spark — short docs must map
     // to an empty bigram list, not [1, 0]
@@ -428,9 +429,14 @@ object TextAnalysis {
       .select(col(idCol), col("bg.w1").as("__w1"), col("bg.w2").as("__w2"))
     val bgFreq = pairs.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__f"))
     val histFreq = pairs.groupBy(col("__w1")).agg(count(lit(1)).as("__h"))
-    val lm = broadcast(bgFreq.join(histFreq, Seq("__w1"))
+    // broadcastLm = false is the open-vocabulary escape hatch: the LM
+    // grows with DISTINCT bigrams, and past ~1e6 of them the broadcast
+    // build dominates (measured 12x at 100x docs — SCALE.md round-10);
+    // the shuffle join keys both sides on the bigram instead
+    val lmPlain = bgFreq.join(histFreq, Seq("__w1"))
       .select(col("__w1"), col("__w2"),
-        round(log(col("__f") / col("__h")) * 1e6).cast("long").as("__lp_q")))
+        round(log(col("__f") / col("__h")) * 1e6).cast("long").as("__lp_q"))
+    val lm = if (broadcastLm) broadcast(lmPlain) else lmPlain
     pairs.join(lm, Seq("__w1", "__w2"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("__lp_q")).as("__sum_q"))
@@ -461,12 +467,17 @@ object TextAnalysis {
     // both engines; |sum_q*1000| stays far below 1e15 for any real doc
     // (and `logprob * 1e6` recovers the quantized sum exactly — that is
     // how bigramLogProb produced the column)
+    // localCheckpoint: `scored` feeds the histogram, the total count AND
+    // the final join — left lazy, the whole bigram-LM build re-runs once
+    // per consumer (measured 153.8 s vs ~55 s for one LM pass at sf10;
+    // SCALE.md round-10)
     val scored = bigramLogProb(df, textCol, idCol)
       .select(col(idCol), col("n_bigrams"),
         round(col("logprob") * 1e6).cast("long").as("__sum_q"))
       .withColumn("avg_lp_milli",
         expr("((__sum_q * 1000 + n_bigrams * 1000000000000000) div n_bigrams)" +
           " - 1000000000000000"))
+      .localCheckpoint()
     val hist = scored.groupBy(col("avg_lp_milli")).agg(count(lit(1)).as("__c"))
     // the window is over the HISTOGRAM (distinct grid values), not the
     // corpus — the single-partition sort Spark warns about is deliberate
