@@ -422,11 +422,16 @@ object TextAnalysis {
     // to an empty bigram list, not [1, 0]
     val bigramIdx = when(size(t) >= 2, sequence(lit(1), size(t) - 1))
       .otherwise(array().cast("array<int>"))
+    // localCheckpoint: `pairs` feeds the bigram table, the history table
+    // AND the final scoring join — left lazy, the tokenize+explode runs
+    // three times (the same multi-consumer trap pplBuckets had one
+    // level up; SCALE.md round-10)
     val pairs = df.select(col(idCol),
         explode(transform(bigramIdx, i =>
           struct(element_at(t, i.cast("int")).as("w1"),
             element_at(t, (i + 1).cast("int")).as("w2")))).as("bg"))
       .select(col(idCol), col("bg.w1").as("__w1"), col("bg.w2").as("__w2"))
+      .localCheckpoint()
     val bgFreq = pairs.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__f"))
     val histFreq = pairs.groupBy(col("__w1")).agg(count(lit(1)).as("__h"))
     // broadcastLm = false is the open-vocabulary escape hatch: the LM
@@ -498,8 +503,10 @@ object TextAnalysis {
   }
 
   def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // localCheckpoint: `toks` feeds the vocabulary AND the scoring join
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .where(length(col("token")) > 0)
+      .localCheckpoint()
     val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
     val total = vocab.agg(sum(col("freq")).as("__total"))
     val lm = broadcast(vocab.crossJoin(broadcast(total))
