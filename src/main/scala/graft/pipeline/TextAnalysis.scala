@@ -339,11 +339,14 @@ object TextAnalysis {
   def tfIdf(df: DataFrame, textCol: String, idCol: String, minDf: Long = 1L,
             totalDocs: Option[Long] = None): DataFrame = {
     val n = totalDocs.getOrElse(df.count())
+    // localCheckpoint: `tf` feeds the doc-frequency table AND the final
+    // join — the multi-consumer re-execution trap (SCALE.md round-10)
     val tf = df
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .where(length(col("token")) > 0)
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val docFreq = tf.groupBy(col("token"))
       .agg(count(lit(1)).as("df"))
       .where(col("df") >= minDf)
