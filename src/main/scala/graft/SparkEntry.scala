@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{array, col, concat, count, encode, explode, expr, get_json_object, length, lit, max, min, posexplode, round => sround, substring, sum}
+import org.apache.spark.sql.functions.{array, col, concat, concat_ws, count, encode, explode, expr, get_json_object, length, lit, lower, max, min, posexplode, round => sround, slice, split, substring, sum, trim}
 
 import graft.fuzzy.{FuzzyAlgorithm, FuzzyMapping, FuzzyMatcher, MatchOptions}
 import graft.pipeline.{AnnSearch, AsofJoin, Curation, Decontaminate, Dedup, Multimodal, NearDupCluster, Profile, RangeJoin, Sessionize, TextAnalysis}
@@ -180,6 +180,15 @@ object SparkEntry {
       val p = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", 3, 0.5,
         maxShinglePairs = Long.MaxValue)
       p.select(col("id_a"), col("id_b"), sround(col("jaccard"), 6).as("jaccard"))
+    }),
+    // containment = common / min(|A|,|B|): the subset/quote-inclusion
+    // signal jaccard misses (a doc fully embedded in a larger one scores
+    // 1.0 here, ~|A|/|B| there). Gate disabled like every oracled pair
+    // family; production callers keep the default cap.
+    "dedup_containment" -> ((s, dir) => {
+      val p = Dedup.containmentPairs(t(s, dir, "documents"), "text", "doc_id", 3, 0.6,
+        maxShinglePairs = Long.MaxValue)
+      p.select(col("id_a"), col("id_b"), sround(col("containment"), 6).as("containment"))
     }),
     // MinHash LSH candidates + exact shingle-jaccard verify: the candidate
     // generation is sub-quadratic LSH, the verify makes the output ground
@@ -954,6 +963,18 @@ object SparkEntry {
           sround(col("logprob"), 6).as("logprob"),
           sround(col("avg_logprob"), 6).as("avg_logprob"))),
 
+    // ---- Okapi BM25 top-k lexical retrieval (quantized-exact-sum family,
+    // BoundedTopK ranking). Queries = every 50th document's first 5 tokens.
+    "text_bm25" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qs = docs.where(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(split(trim(lower(col("text"))), "\\s+"), 1, 5)).as("qtext"))
+      TextAnalysis.bm25TopK(docs, "text", "doc_id", qs, "qtext", "query_id", k = 10)
+        .select(col("query_id"), col("doc_id"),
+          sround(col("score"), 6).as("score"), col("rank"))
+    }),
+
     // ---- CCNet-style head/middle/tail triage over the bigram-LM score:
     // integer milli-grid average + histogram order statistics — zero
     // floats anywhere near a bucket boundary
@@ -1330,6 +1351,19 @@ object SparkEntry {
          SELECT id_a, id_b, round(common / (sa.sz + sb.sz - common), 6) AS jaccard
          FROM c JOIN sz sa ON c.id_a = sa.doc_id JOIN sz sb ON c.id_b = sb.doc_id
          WHERE common / (sa.sz + sb.sz - common) >= 0.5""",
+    // identical shingle family; score divides by the SMALLER set instead of
+    // the union, so subset inclusions surface at high thresholds
+    "dedup_containment" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+         s AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) END AS sh FROM t),
+         e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         sz AS (SELECT doc_id, len(sh) AS sz FROM s),
+         c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+               FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT id_a, id_b, round(common / least(sa.sz, sb.sz), 6) AS containment
+         FROM c JOIN sz sa ON c.id_a = sa.doc_id JOIN sz sb ON c.id_b = sb.doc_id
+         WHERE common / least(sa.sz, sb.sz) >= 0.6""",
     // ground truth for the LSH-candidates + exact-verify pipeline: identical
     // shingle construction, threshold 0.5 (recall of the candidate stage is
     // ~1 for the high-jaccard near-dups this detects; the AnnJoin/Dedup
@@ -2467,6 +2501,34 @@ object SparkEntry {
            round(sum(lp_q) / 1000000.0, 6) AS logprob,
            round(sum(lp_q) / 1000000.0 / count(*), 6) AS avg_logprob
          FROM tok JOIN lm USING (token) GROUP BY 1""",
+    // BM25 replayed exactly: per-term contribution on the 1e-6 ln grid
+    // (the quantized-exact-sum family), dl/avgdl as (dl*N)/Σdl from exact
+    // integers, rank = row_number over (micro score desc, doc_id asc) —
+    // the same total order as the BoundedTopK heap
+    "text_bm25" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+         tok AS (SELECT doc_id, unnest(w) AS tk FROM t),
+         tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok WHERE length(tk) > 0 GROUP BY 1, 2),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         st AS (SELECT count(*) AS nd, sum(dl) AS tt FROM dl),
+         df AS (SELECT tk, count(*) AS df FROM tf GROUP BY 1),
+         q AS (SELECT doc_id AS query_id, unnest(list_distinct(w[1:5])) AS qtk FROM t WHERE doc_id % 50 = 0),
+         sc AS (SELECT q.query_id, tf.doc_id,
+                  CAST(round(ln((nd - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                    * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * ((CAST(dl.dl AS DOUBLE) * CAST(st.nd AS DOUBLE)) / CAST(st.tt AS DOUBLE))))
+                    * 1000000.0) AS BIGINT) AS c
+                FROM q JOIN tf ON q.qtk = tf.tk
+                  JOIN dl ON tf.doc_id = dl.doc_id
+                  JOIN df ON tf.tk = df.tk
+                  CROSS JOIN st
+                WHERE length(q.qtk) > 0),
+         agg AS (SELECT query_id, doc_id, sum(c) AS sq FROM sc GROUP BY 1, 2),
+         rk AS (SELECT query_id, doc_id, sq,
+                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sq DESC, doc_id) AS INT) AS rank
+                FROM agg)
+         SELECT query_id, doc_id, round(sq / 1000000.0, 6) AS score, rank
+         FROM rk WHERE rank <= 10""",
     // MLE bigram: freq(w1 w2) / freq(w1-as-history); same 1e-6 quantized
     // ln grid as the unigram score (ln parity between engines held)
     "text_bigram_lp" ->

@@ -313,15 +313,28 @@ object Dedup {
   private def verifyJaccardSided(pairs: DataFrame, setsA: DataFrame,
                                  setsB: DataFrame, idCol: String,
                                  threshold: Double): DataFrame =
+    verifyScoredSided(pairs, setsA, setsB, idCol, "jaccard",
+      (common, sa, sb) => common / (sa + sb - common), threshold)
+
+  /** Shared verify shape: re-attach both full shingle sets by id, count the
+    * intersection with one codegen'd merge pass, derive the score from
+    * (common, |A|, |B|) and threshold it. Factored so jaccard and
+    * containment share the identical join/intersect plan. */
+  private def verifyScoredSided(pairs: DataFrame, setsA: DataFrame,
+                                setsB: DataFrame, idCol: String,
+                                scoreName: String,
+                                score: (Column, Column, Column) => Column,
+                                threshold: Double): DataFrame =
     pairs
       .join(setsA.select(col(idCol).as("id_a"), col("__hset").as("__ha")), Seq("id_a"))
       .join(setsB.select(col(idCol).as("id_b"), col("__hset").as("__hb")), Seq("id_b"))
       .withColumn("__common",
         graft.fuzzy.vectorFunctions.sorted_intersect_count(col("__ha"), col("__hb")))
-      .withColumn("jaccard",
-        col("__common") / (size(col("__ha")) + size(col("__hb")) - col("__common")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .withColumn(scoreName,
+        score(col("__common"), size(col("__ha")).cast("double"),
+          size(col("__hb")).cast("double")))
+      .where(col(scoreName) >= threshold)
+      .select(col("id_a"), col("id_b"), col(scoreName))
 
   /** Document-frequency gate on exploded (id, __sh) shingle rows — the
     * skew guard for shared-shingle blocking. A shingle appearing in n
@@ -391,6 +404,42 @@ object Dedup {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     verifyJaccard(pairs, sets, idCol, threshold)
+  }
+
+  /** Exact n-gram CONTAINMENT near-duplicate pairs (id_a < id_b,
+    * containment >= threshold), where containment = |A∩B| / min(|A|, |B|)
+    * — the asymmetric-overlap signal jaccard structurally misses: a short
+    * document quoted verbatim inside a much larger one scores 1.0 here
+    * while its jaccard is ≈ |A|/|B| (arbitrarily small), so a
+    * jaccard-thresholded dedup never pairs them. This is the standard
+    * quote/subset-inclusion detector for crawl corpora (nested page
+    * scrapes, quoted e-mail chains, article + article-with-commentary).
+    *
+    * Plan shape is identical to [[ngramJaccardPairs]]: shared-shingle
+    * blocking join on the 8-byte shingle-hash key (no cartesian), hot
+    * shingles over `maxShinglePairs` dropped from pair generation with
+    * CapMetrics accounting (stage `dedup_containment`), and survivors
+    * scored EXACTLY over their full shingle sets. Recall caveat is also
+    * identical — plus one containment-specific note: a tiny doc whose few
+    * shingles are ALL boilerplate-hot has every blocking path gated; such
+    * corpora should lower the shingle length or route through
+    * [[minhashLshVerifiedPairs]]-style banding before the containment
+    * verify. */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+                       n: Int, threshold: Double,
+                       checkpoint: CheckpointStrategy = CheckpointStrategy.Local,
+                       maxShinglePairs: Long = 4_000_000L,
+                       maxDriverHotShingles: Int = 1_000_000): DataFrame = {
+    val sets = shingleSets(docs, textCol, idCol, n, checkpoint)
+    val exploded = sets.select(col(idCol), explode(col("__hset")).as("__sh"))
+    val gated = gateHotShingles(exploded, "dedup_containment", maxShinglePairs,
+      maxDriverHotShingles)
+    val pairs = gated.as("a").join(gated.as("b"),
+        col("a.__sh") === col("b.__sh") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    verifyScoredSided(pairs, sets, sets, idCol, "containment",
+      (common, sa, sb) => common / least(sa, sb), threshold)
   }
 
   /** Exact n-gram Jaccard near-duplicate pairs ACROSS two frames —

@@ -356,6 +356,74 @@ object TextAnalysis {
       .select(col(idCol), col("token"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Okapi BM25 top-k sparse retrieval: for each `queries` row, the `k`
+    * best `corpus` documents by the classic BM25 score
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))` with the
+    * Robertson idf `ln(1 + (N − df + ½)/(df + ½))` (always positive) —
+    * the lexical-retrieval baseline next to the dense [[AnnSearch]] paths,
+    * and the standard first stage of retrieval-augmented pipelines.
+    *
+    * Cross-engine determinism follows the LM family's quantized-exact-sum
+    * recipe: each per-term contribution lands on the integer micro grid
+    * (`round(x·1e6)` as long) BEFORE the per-document sum, so the score is
+    * an order-independent integer sum, and ranking runs through the same
+    * [[graft.fuzzy.BoundedTopK]] heap as every ANN path (map-side partial
+    * aggregation; shuffle capped at queries × partitions × k) with ties
+    * broken (score desc, doc id asc). `dl/avgdl` is computed per row as
+    * `(dl · N) / Σdl` from exact integers — no pre-divided float constant.
+    *
+    * Plan shape: one postings build (token explode + hash-agg, checkpointed
+    * — it feeds document length, document frequency AND the scoring join),
+    * two corpus-sized hash-aggs, then an equi-join of the query terms
+    * against the postings on the token key. Query sets are usually tiny →
+    * AQE broadcasts them and the postings never shuffle on the token key.
+    * Skew guard for web-scale corpora: `maxDf` drops terms whose postings
+    * list exceeds the cap from SCORING (a stopword in a query would drag a
+    * corpus-sized postings list through the join; dropping df ≈ N terms
+    * loses almost no ranking signal since their idf ≈ 0). Default keeps
+    * every term — the oracled configuration. */
+  def bm25TopK(corpus: DataFrame, textCol: String, idCol: String,
+               queries: DataFrame, queryTextCol: String, queryIdCol: String,
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+               maxDf: Long = Long.MaxValue): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    val tf = corpus
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl")).localCheckpoint()
+    val statsRow = dl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+    val nDocs = statsRow.getLong(0)
+    // empty corpus: no scored rows exist, the constant only has to be finite
+    val totTok = math.max(statsRow.getLong(1), 1L)
+    val docFreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+    val qt = queries.select(col(queryIdCol).as("query_id"),
+        explode(array_distinct(tokens(col(queryTextCol)))).as("token"))
+      .where(length(col("token")) > 0)
+    val idf = log((lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val lenNorm = lit(1.0) - lit(b) +
+      lit(b) * (col("dl").cast("double") * lit(nDocs.toDouble) / lit(totTok.toDouble))
+    val contrib = idf * (col("tf") * lit(k1 + 1.0)) / (col("tf") + lit(k1) * lenNorm)
+    val scored = qt
+      .join(tf, Seq("token"))
+      .join(dl, Seq(idCol))
+      .join(docFreq, Seq("token"))
+      .select(col("query_id"), col(idCol),
+        round(contrib * lit(1e6)).cast("long").as("__c"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("__c")).as("__sum_q"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.fuzzy.vectorFunctions.topk_pairs(
+        col("__sum_q").cast("double"), col(idCol), k).as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")))
+      .select(col("query_id"), col("col.id").as(idCol),
+        (col("col.score") / 1e6).as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Canonical content fingerprint: md5 of the sorted distinct token set.
     * Invariant to word order and duplication — catches shuffled/near-exact
     * copies that exact hashing misses. */

@@ -210,6 +210,34 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(r.getAs[Double]("jaccard") - 0.75) < 1e-12)
   }
 
+  test("containment pairs surface a quoted subset jaccard misses") {
+    val big = (1 to 40).map(i => s"w$i").mkString(" ")       // 38 trigrams
+    val quote = (10 to 16).map(i => s"w$i").mkString(" ")    // 5 trigrams, all in big
+    val d = Seq(
+      (1L, big),
+      (2L, quote),
+      (3L, "entirely unrelated words about sailing boats here")).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(d, "text", "doc_id", 3, 0.9).collect()
+    assert(pairs.length == 1)
+    val r = pairs.head
+    assert(r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    // every quote shingle is in big -> common = min -> containment exactly 1.0
+    assert(r.getAs[Double]("containment") == 1.0)
+    // the same pair is invisible to jaccard even at 0.5: 5/38 ~ 0.13
+    assert(Dedup.ngramJaccardPairs(d, "text", "doc_id", 3, 0.5).count() == 0L)
+  }
+
+  test("containment equals jaccard when the sets are identical") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val c = Dedup.containmentPairs(d, "text", "doc_id", 3, 0.5).collect()
+    val j = Dedup.ngramJaccardPairs(d, "text", "doc_id", 3, 0.5).collect()
+    assert(c.length == 1 && j.length == 1)
+    assert(c.head.getAs[Double]("containment") == 1.0)
+    assert(j.head.getAs[Double]("jaccard") == 1.0)
+  }
+
   test("minhash LSH recall vs exact jaccard on real documents") {
     val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
@@ -450,6 +478,49 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     val filtered = TextAnalysis.tfIdf(d, "text", "doc_id", minDf = 2L, totalDocs = Some(3L))
       .select("token").as[String].collect().toSet
     assert(filtered == Set("cat"))
+  }
+
+  test("bm25TopK against hand-computed scores") {
+    val corpus = Seq(
+      (1L, "cat dog cat"),        // tf(cat)=2, dl=3
+      (2L, "cat bird"),           // tf(cat)=1, dl=2
+      (3L, "fish fish fish")).toDF("doc_id", "text")   // N=3, sum(dl)=8
+    val qs = Seq((100L, "cat"), (200L, "fish zebra")).toDF("query_id", "qtext")
+    val got = TextAnalysis.bm25TopK(corpus, "text", "doc_id", qs, "qtext", "query_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // the operator's exact arithmetic: per-term contribution quantized to
+    // the 1e-6 grid before the sum
+    def contrib(tf: Long, df: Long, dl: Long): Double = {
+      val idf = math.log((3L - df + 0.5) / (df + 0.5) + 1.0)
+      val lenNorm = 1.0 - 0.75 + 0.75 * (dl.toDouble * 3.0 / 8.0)
+      math.round(idf * (tf * 2.2) / (tf + 1.2 * lenNorm) * 1e6) / 1e6
+    }
+    // doc 1 outranks doc 2 on "cat" (higher tf); "zebra" is out of
+    // vocabulary and contributes nothing
+    assert(got == Set(
+      (100L, 1L, contrib(2, 2, 3), 1),
+      (100L, 2L, contrib(1, 2, 2), 2),
+      (200L, 3L, contrib(3, 1, 3), 1)))
+    // empty corpus: no rows, no crash
+    assert(TextAnalysis.bm25TopK(corpus.limit(0), "text", "doc_id",
+      qs, "qtext", "query_id").count() == 0L)
+  }
+
+  test("bm25TopK ties break by doc id; maxDf gates stopword postings") {
+    val twin = Seq((10L, "same words here"), (11L, "same words here"),
+      (12L, "unrelated stuff entirely")).toDF("doc_id", "text")
+    val q = Seq((1L, "same")).toDF("query_id", "qtext")
+    val ranked = TextAnalysis.bm25TopK(twin, "text", "doc_id", q, "qtext", "query_id", k = 5)
+      .orderBy(col("rank")).collect().map(r => (r.getLong(1), r.getInt(3))).toSeq
+    assert(ranked == Seq((10L, 1), (11L, 2)), s"got $ranked")
+
+    val corpus = Seq((1L, "the cat"), (2L, "the dog"), (3L, "the fish")).toDF("doc_id", "text")
+    val qs = Seq((1L, "the cat")).toDF("query_id", "qtext")
+    val res = TextAnalysis.bm25TopK(corpus, "text", "doc_id", qs, "qtext", "query_id",
+        k = 5, maxDf = 2L)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toSeq
+    // "the" (df 3) is gated out of scoring; only "cat" scores -> doc 1 alone
+    assert(res == Seq((1L, 1)), s"got $res")
   }
 
   test("sessionization: gap starts a new session, ties break on event id") {
