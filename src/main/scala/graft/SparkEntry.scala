@@ -464,6 +464,11 @@ object SparkEntry {
     "curate_sample" -> ((s, dir) =>
       Curation.hashSample(t(s, dir, "documents"), "doc_id", 0.25)
         .select(col("doc_id"))),
+    // exact-N deterministic sample: smallest 200 md5 order keys via the
+    // BoundedTopK heap (executor-side merge, never a driver TakeOrdered)
+    "curate_sample_exact" -> ((s, dir) =>
+      Curation.sampleExactN(t(s, dir, "documents"), "doc_id", 200)
+        .select(col("doc_id"), col("sample_rank"))),
     // deterministic global shuffle + shard assignment for training export
     "curate_shard" -> ((s, dir) =>
       Curation.shuffleShard(t(s, dir, "documents"), "doc_id", 8)
@@ -1918,6 +1923,16 @@ object SparkEntry {
     "curate_sample" ->
       """SELECT doc_id FROM documents
          WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 < 250000""",
+    // 52-bit md5 prefix order (exact in a double), ties by id — the same
+    // total order the BoundedTopK heap keeps
+    "curate_sample_exact" ->
+      """WITH k AS (SELECT doc_id,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS key
+           FROM documents),
+         top AS (SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY key, doc_id) AS INT) AS sample_rank
+           FROM k ORDER BY key, doc_id LIMIT 200)
+         SELECT doc_id, sample_rank FROM top""",
     "curate_stratified" ->
       """SELECT doc_id, source FROM documents
          WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 <

@@ -38,6 +38,36 @@ object Curation {
     df.where(md5Bucket(col(keyCol)) < math.round(fraction * 1e6))
   }
 
+  /** EXACT-n deterministic global sample: the n rows with the smallest
+    * md5 order key (52-bit prefix, ties by id) — [[hashSample]] with an
+    * exact row count instead of an expected fraction. Selection runs
+    * through the [[graft.fuzzy.BoundedTopK]] heap aggregate: each
+    * partition's partial keeps at most n (key, id) entries, so the final
+    * merge sees n × partitions FIXED-SIZE entries on one executor
+    * reducer — unlike `orderBy(key).limit(n)`, whose TakeOrdered merge
+    * happens on the DRIVER (n rows per partition collected there: the
+    * difference between drawing 10⁶ ids from a 100 TB corpus and a
+    * driver OOM). Sampled rows re-attach by an id equi-join (AQE
+    * broadcasts the n-row side). Sized for n up to ~10⁶; for
+    * corpus-fraction-scale samples use [[hashSample]] — a pure filter
+    * with no aggregate at all. Requires a long-castable unique id. Emits
+    * the original row plus `sample_rank` (1-based md5 order). */
+  def sampleExactN(df: DataFrame, idCol: String, n: Int): DataFrame = {
+    require(n > 0, s"n must be positive (got $n)")
+    // 13 hex chars = 52 bits: exact in the heap's double score (negated
+    // for ascending order), so the order reproduces in any engine
+    val key = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val picked = df
+      .select(col(idCol), (-key.cast("double")).as("__negkey"))
+      .groupBy(lit(1).as("__g"))
+      .agg(graft.fuzzy.vectorFunctions.topk_pairs(col("__negkey"), col(idCol), n)
+        .as("__tk"))
+      .select(posexplode(col("__tk")))
+      .select(col("col.id").as(idCol), (col("pos") + 1).cast("int").as("sample_rank"))
+    df.join(picked, Seq(idCol))
+  }
+
   /** Per-stratum deterministic sampling — the quota-mixing step of corpus
     * assembly (e.g. downsample web text, keep all books). `rates` maps
     * stratum value -> keep fraction; anything unlisted keeps

@@ -27,6 +27,28 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(Curation.hashSample(docs, "doc_id", 1.0).count() == total.toLong)
   }
 
+  test("sampleExactN: exact count, md5-smallest order, deterministic") {
+    val d = (1L to 300L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val got = Curation.sampleExactN(d, "doc_id", 50)
+      .orderBy(col("sample_rank")).select("doc_id").as[Long].collect().toSeq
+    assert(got.size == 50)
+    // reference: the same 52-bit key ordered by (key, id) with a sort
+    val ref = d.select(col("doc_id"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+          .cast("long").as("k"))
+      .orderBy(col("k"), col("doc_id")).limit(50)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == ref)
+    // rerun identical; n >= corpus keeps every row (ranked)
+    val rerun = Curation.sampleExactN(d, "doc_id", 50)
+      .orderBy(col("sample_rank")).select("doc_id").as[Long].collect().toSeq
+    assert(rerun == got)
+    assert(Curation.sampleExactN(d, "doc_id", 500).count() == 300L)
+    // original columns survive the re-attach join
+    assert(Curation.sampleExactN(d, "doc_id", 5).columns.toSet ==
+      Set("doc_id", "text", "sample_rank"))
+  }
+
   test("stratifiedHashSample applies per-stratum rates with a default") {
     val sampled = Curation.stratifiedHashSample(docs, "doc_id", "source",
       Map("books" -> 1.0, "web" -> 0.0), defaultRate = 0.5)
