@@ -236,6 +236,17 @@ object Bench {
       AnnSearch.pqTopKInt(emb.where(col("vec_id") < 100), emb, "embedding",
         "vec_id", 10, dim = 64, m = 16, ksub = 16, rerank = 40)
     }),
+    // BM25 lexical retrieval: every 20th document's first 5 tokens as the
+    // query set against the full corpus — postings build + token join +
+    // BoundedTopK ranking (the sparse twin of the ANN search rows)
+    "text_bm25_docs" -> (s => {
+      val docs = s.read.parquet(s"$sfDir/documents.parquet")
+      val qs = docs.where(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("query_id"),
+          expr("concat_ws(' ', slice(split(trim(lower(text)), '\\\\s+'), 1, 5))").as("qtext"))
+      graft.pipeline.TextAnalysis.bm25TopK(docs, "text", "doc_id",
+        qs, "qtext", "query_id", k = 10)
+    }),
     // sub-document exact dedup: chunk projection + one digest-keyed agg
     "dedup_chunk_docs" -> (s =>
       Dedup.chunkDedup(s.read.parquet(s"$sfDir/documents.parquet"),

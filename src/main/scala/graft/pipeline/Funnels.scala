@@ -92,19 +92,30 @@ object Funnels {
   /** Cohort retention: users bucketed by their first-activity period
     * (integer `periodLengthMicros` buckets of the raw timestamp), counted
     * distinct in every later period they appear. Returns (cohort,
-    * period_offset, n_users). Two keyed aggregations and one join on the
-    * user key — the exact-integer arithmetic makes the result
-    * engine-independent. */
+    * period_offset, n_users).
+    *
+    * ONE user-keyed shuffle: the per-user aggregate collects
+    * (min period, distinct-period set) with map-side partial merges, the
+    * explode emits each user AT MOST ONCE per (cohort, offset) cell — so
+    * the final count is a plain map-side-combined `count`, not a
+    * `countDistinct` whose dedup re-shuffles every event row. (The
+    * previous join + countDistinct formulation measured 7.7× at 10×
+    * events — two user shuffles plus a distinct over the joined stream;
+    * this shape re-measured 2.6×, see SCALE.md.) Per-user state is
+    * bounded by the CALENDAR (distinct periods a user can appear in —
+    * ~520 for ten years of weekly buckets), not by event volume. The
+    * exact-integer `div` bucketing keeps results engine-independent. */
   def cohortRetention(events: DataFrame, userCol: String, tsMicrosCol: String,
                       periodLengthMicros: Long): DataFrame = {
     require(periodLengthMicros > 0, "period length must be positive")
     // integer `div`, not `/` + cast: double division loses exactness at
     // 2024-epoch micro magnitudes and could mis-bucket boundary events
     val period = expr(s"$tsMicrosCol div $periodLengthMicros").as("__p")
-    val e = events.select(col(userCol), period)
-    val cohorts = e.groupBy(col(userCol)).agg(min(col("__p")).as("cohort"))
-    e.join(cohorts, Seq(userCol))
+    events.select(col(userCol), period)
+      .groupBy(col(userCol))
+      .agg(min(col("__p")).as("cohort"), collect_set(col("__p")).as("__ps"))
+      .select(col("cohort"), explode(col("__ps")).as("__p"))
       .groupBy(col("cohort"), (col("__p") - col("cohort")).as("period_offset"))
-      .agg(countDistinct(col(userCol)).as("n_users"))
+      .agg(count(lit(1)).as("n_users"))
   }
 }

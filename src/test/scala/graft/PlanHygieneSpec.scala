@@ -148,6 +148,34 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
       s"query LUTs not broadcast:\n$plan")
   }
 
+  test("BM25: heap-aggregated ranking, no Window, no global sort") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val qs = docs.where(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("query_id"),
+        expr("concat_ws(' ', slice(split(trim(lower(text)), '\\\\s+'), 1, 5))").as("qtext"))
+    val plan = graft.pipeline.TextAnalysis.bm25TopK(docs, "text", "doc_id",
+        qs, "qtext", "query_id", k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("topk_pairs"),
+      s"BM25 ranking lost the bounded-heap aggregate:\n$plan")
+    assert(!plan.linesIterator.exists(l => l.trim.startsWith("Window")),
+      s"BM25 re-introduced a Window ranking:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"BM25 scoring must stay equi-keyed:\n$plan")
+  }
+
+  test("sampleExactN: heap aggregate, never a driver-side TakeOrdered") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.pipeline.Curation.sampleExactN(docs, "doc_id", 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("topk_pairs"),
+      s"sampleExactN lost the bounded-heap aggregate:\n$plan")
+    assert(!plan.contains("TakeOrderedAndProject"),
+      s"selection fell back to a driver-merged TakeOrdered:\n$plan")
+    assert(!plan.linesIterator.exists(l => l.trim.startsWith("Sort ")),
+      s"selection planned a sort:\n$plan")
+  }
+
   test("common-token ratio: vocabulary joins as a broadcast membership test") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val plan = graft.pipeline.TextAnalysis.commonTokenRatio(docs, "text", "doc_id", 100)
