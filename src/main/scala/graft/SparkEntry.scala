@@ -214,6 +214,19 @@ object SparkEntry {
       Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 8,
           maxBucketPairs = Long.MaxValue, useMd5 = true)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
+    // dedup-config rollout gate: micro P/R/F1 of the cheap simhash
+    // detector against the exact-jaccard ground truth — both pair
+    // pipelines are themselves oracled entries, so this oracles the EVAL
+    // arithmetic on a real, non-trivial confusion
+    "dedup_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pred = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 8,
+        maxBucketPairs = Long.MaxValue, useMd5 = true)
+        .select(col("id_a"), col("id_b"))
+      val truth = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5,
+        maxShinglePairs = Long.MaxValue).select(col("id_a"), col("id_b"))
+      Dedup.evalPairs(pred, truth)
+    }),
     // pair list -> connected components -> keep one representative/cluster
     "dedup_near_cluster" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1397,6 +1410,38 @@ object SparkEntry {
            CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
          FROM s a JOIN s b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.sh, b.sh)) <= 8""",
+    // predicted = the simhash CTE family, truth = the jaccard family
+    // (both individually oracled above); the eval row checks the exact
+    // integer counts and the three rounded micro ratios
+    "dedup_eval" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+         s AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) END AS sh FROM t),
+         e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         sz AS (SELECT doc_id, len(sh) AS sz FROM s),
+         c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+               FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         truth AS (SELECT id_a, id_b
+               FROM c JOIN sz sa ON c.id_a = sa.doc_id JOIN sz sb ON c.id_b = sb.doc_id
+               WHERE common / (sa.sz + sb.sz - common) >= 0.5),
+         tk AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok FROM documents),
+         h AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 16))::UBIGINT AS th FROM tk),
+         bt AS (SELECT doc_id, bit, sum(CASE WHEN (th >> bit::INT) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+               FROM h, range(64) r(bit) GROUP BY doc_id, bit),
+         sg AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN (1::UBIGINT << bit::INT) ELSE 0::UBIGINT END)::UBIGINT AS sh
+               FROM bt GROUP BY doc_id),
+         pred AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+               WHERE bit_count(xor(a.sh, b.sh)) <= 8),
+         st AS (SELECT (SELECT count(*) FROM pred) AS n_pred,
+                       (SELECT count(*) FROM truth) AS n_truth,
+                       (SELECT count(*) FROM pred p JOIN truth tr
+                          ON p.id_a = tr.id_a AND p.id_b = tr.id_b) AS n_hit)
+         SELECT n_pred, n_truth, n_hit,
+           CASE WHEN n_pred > 0 THEN round(n_hit / n_pred, 6) ELSE 0.0 END AS precision,
+           CASE WHEN n_truth > 0 THEN round(n_hit / n_truth, 6) ELSE 0.0 END AS recall,
+           CASE WHEN n_pred + n_truth > 0 THEN round(2.0 * n_hit / (n_pred + n_truth), 6) ELSE 0.0 END AS f1
+         FROM st""",
     "dedup_near_cluster" ->
       """WITH RECURSIVE
          t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),

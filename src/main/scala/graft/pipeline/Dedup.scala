@@ -95,6 +95,47 @@ object Dedup {
         col("dup_chunk_instances"))
   }
 
+  /** Pair-set evaluation for dedup-config rollouts — the gate
+    * [[AnnSearch.evalRanking]] is for index configs: micro
+    * precision/recall/F1 of PREDICTED near-dup pairs against a ground
+    * truth (e.g. a cheap detector vs the exact verified family, or a new
+    * band shape vs the old one on a golden slice). Both inputs are
+    * (idACol, idBCol) frames; pairs normalize to unordered form
+    * (min, max), self-pairs drop, duplicates collapse — so orientation
+    * and multiplicity conventions of the two sources can differ freely.
+    *
+    * One row: (n_pred, n_truth, n_hit, precision, recall, f1). Counts
+    * are exact integers; the three ratios are single rounded divisions
+    * of those integers (f1 = 2·hit/(pred+truth) — the micro identity,
+    * so no compounding float error), 0.0 sentinels when a denominator
+    * is empty (never null/NaN). Both normalized pair sets are
+    * localCheckpointed: each feeds its own count AND the intersection
+    * join, and the upstream pair pipelines (LSH, shingle blocking) are
+    * far too expensive to re-execute per consumer. */
+  def evalPairs(predicted: DataFrame, truth: DataFrame,
+                idACol: String = "id_a", idBCol: String = "id_b"): DataFrame = {
+    def norm(df: DataFrame) = df.select(
+        least(col(idACol), col(idBCol)).as("id_a"),
+        greatest(col(idACol), col(idBCol)).as("id_b"))
+      .where(col("id_a") =!= col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .localCheckpoint()
+    val p = norm(predicted)
+    val t = norm(truth)
+    val hits = p.join(t, Seq("id_a", "id_b"))
+    p.agg(count(lit(1)).as("n_pred"))
+      .crossJoin(t.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_pred"), col("n_truth"), col("n_hit"),
+        when(col("n_pred") > 0, round(col("n_hit") / col("n_pred"), 6))
+          .otherwise(0.0).as("precision"),
+        when(col("n_truth") > 0, round(col("n_hit") / col("n_truth"), 6))
+          .otherwise(0.0).as("recall"),
+        when(col("n_pred") + col("n_truth") > 0,
+          round(lit(2.0) * col("n_hit") / (col("n_pred") + col("n_truth")), 6))
+          .otherwise(0.0).as("f1"))
+  }
+
   /** The corpus-rewrite side of [[chunkDedup]]: every document keeps only
     * the chunks for which IT is the keep-first owner, and the survivors
     * re-assemble into the pruned document text (index order). Documents

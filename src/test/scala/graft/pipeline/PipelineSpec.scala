@@ -210,6 +210,23 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(r.getAs[Double]("jaccard") - 0.75) < 1e-12)
   }
 
+  test("evalPairs: micro P/R/F1 on a hand-built confusion; sentinels on empty") {
+    // normalizes to {(1,2),(3,4),(5,6)}: reversed + duplicate collapse,
+    // self-pair drops
+    val pred = Seq((1L, 2L), (3L, 4L), (6L, 5L), (5L, 6L), (7L, 7L)).toDF("id_a", "id_b")
+    val truth = Seq((2L, 1L), (5L, 6L), (8L, 9L)).toDF("id_a", "id_b")
+    val r = Dedup.evalPairs(pred, truth).head()
+    assert(r.getAs[Long]("n_pred") == 3L && r.getAs[Long]("n_truth") == 3L
+      && r.getAs[Long]("n_hit") == 2L)
+    assert(r.getAs[Double]("precision") == 0.666667)
+    assert(r.getAs[Double]("recall") == 0.666667)
+    assert(r.getAs[Double]("f1") == 0.666667)
+    // empty predicted: exact zeros, never null/NaN
+    val r2 = Dedup.evalPairs(pred.limit(0), truth).head()
+    assert(r2.getAs[Long]("n_pred") == 0L && r2.getAs[Double]("precision") == 0.0
+      && r2.getAs[Double]("recall") == 0.0 && r2.getAs[Double]("f1") == 0.0)
+  }
+
   test("containment pairs surface a quoted subset jaccard misses") {
     val big = (1 to 40).map(i => s"w$i").mkString(" ")       // 38 trigrams
     val quote = (10 to 16).map(i => s"w$i").mkString(" ")    // 5 trigrams, all in big
