@@ -385,43 +385,101 @@ object TextAnalysis {
   def bm25TopK(corpus: DataFrame, textCol: String, idCol: String,
                queries: DataFrame, queryTextCol: String, queryIdCol: String,
                k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
-               maxDf: Long = Long.MaxValue): DataFrame = {
-    require(k > 0, s"k must be positive (got $k)")
+               maxDf: Long = Long.MaxValue): DataFrame =
+    bm25TopKWithIndex(bm25Index(corpus, textCol, idCol, k1, b, maxDf),
+      queries, queryTextCol, queryIdCol, k)
+
+  /** The materialized BM25 index: one denormalized postings frame
+    * (idCol, token, tf, dl, df) plus the two corpus scalars the score
+    * needs. Build once per corpus version with [[bm25Index]], search any
+    * number of query batches with [[bm25TopKWithIndex]] (one token
+    * equi-join + heap ranking per batch — no corpus re-aggregation), or
+    * persist/reload via [[saveBm25Index]]/[[loadBm25Index]] — the same
+    * fit-once/search-many lifecycle as the IVF postings. */
+  final case class Bm25Index(postings: DataFrame, idCol: String,
+                             nDocs: Long, totalTokens: Long,
+                             k1: Double, b: Double)
+
+  /** Build the [[Bm25Index]] for a corpus: postings = token counts per
+    * (doc, token) joined with document length and document frequency,
+    * materialized behind ONE `localCheckpoint` (the tf frame feeds three
+    * aggregations and is checkpointed too — the multi-consumer
+    * re-execution trap). `maxDf` drops stopword-sized postings lists at
+    * BUILD time, so no query can drag them through the join. */
+  def bm25Index(corpus: DataFrame, textCol: String, idCol: String,
+                k1: Double = 1.2, b: Double = 0.75,
+                maxDf: Long = Long.MaxValue): Bm25Index = {
     val tf = corpus
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .where(length(col("token")) > 0)
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint()
-    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl")).localCheckpoint()
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val statsRow = dl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
     val nDocs = statsRow.getLong(0)
     // empty corpus: no scored rows exist, the constant only has to be finite
     val totTok = math.max(statsRow.getLong(1), 1L)
     val docFreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
+    val postings = tf.join(dl, Seq(idCol)).join(docFreq, Seq("token"))
+      .localCheckpoint()
+    Bm25Index(postings, idCol, nDocs, totTok, k1, b)
+  }
+
+  /** Rank `k` documents per query against a prebuilt [[Bm25Index]]: the
+    * query terms equi-join the postings on the token key (tiny query
+    * sets broadcast under AQE — the postings never shuffle), each
+    * per-term contribution lands on the 1e-6 integer grid before the
+    * per-document sum, and ranking runs through the BoundedTopK heap.
+    * Identical arithmetic to [[bm25TopK]] — this IS its search half. */
+  def bm25TopKWithIndex(ix: Bm25Index, queries: DataFrame,
+                        queryTextCol: String, queryIdCol: String,
+                        k: Int = 10): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
     val qt = queries.select(col(queryIdCol).as("query_id"),
         explode(array_distinct(tokens(col(queryTextCol)))).as("token"))
       .where(length(col("token")) > 0)
-    val idf = log((lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
-    val lenNorm = lit(1.0) - lit(b) +
-      lit(b) * (col("dl").cast("double") * lit(nDocs.toDouble) / lit(totTok.toDouble))
-    val contrib = idf * (col("tf") * lit(k1 + 1.0)) / (col("tf") + lit(k1) * lenNorm)
+    val idf = log((lit(ix.nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val lenNorm = lit(1.0) - lit(ix.b) +
+      lit(ix.b) * (col("dl").cast("double") * lit(ix.nDocs.toDouble) / lit(ix.totalTokens.toDouble))
+    val contrib = idf * (col("tf") * lit(ix.k1 + 1.0)) / (col("tf") + lit(ix.k1) * lenNorm)
     val scored = qt
-      .join(tf, Seq("token"))
-      .join(dl, Seq(idCol))
-      .join(docFreq, Seq("token"))
-      .select(col("query_id"), col(idCol),
+      .join(ix.postings, Seq("token"))
+      .select(col("query_id"), col(ix.idCol),
         round(contrib * lit(1e6)).cast("long").as("__c"))
-      .groupBy(col("query_id"), col(idCol))
+      .groupBy(col("query_id"), col(ix.idCol))
       .agg(sum(col("__c")).as("__sum_q"))
     scored.groupBy(col("query_id"))
       .agg(graft.fuzzy.vectorFunctions.topk_pairs(
-        col("__sum_q").cast("double"), col(idCol), k).as("__tk"))
+        col("__sum_q").cast("double"), col(ix.idCol), k).as("__tk"))
       .select(col("query_id"), posexplode(col("__tk")))
-      .select(col("query_id"), col("col.id").as(idCol),
+      .select(col("query_id"), col("col.id").as(ix.idCol),
         (col("col.score") / 1e6).as("score"),
         (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Persist a [[Bm25Index]]: postings as parquet under `path`/postings,
+    * the scalars (and the id column name) as a one-row parquet under
+    * `path`/meta — the stored-index form a nightly search job loads
+    * instead of re-aggregating the corpus. */
+  def saveBm25Index(ix: Bm25Index, path: String): Unit = {
+    ix.postings.write.mode("overwrite").parquet(s"$path/postings")
+    val spark = ix.postings.sparkSession
+    import spark.implicits._
+    Seq((ix.idCol, ix.nDocs, ix.totalTokens, ix.k1, ix.b))
+      .toDF("id_col", "n_docs", "total_tokens", "k1", "b")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a persisted [[Bm25Index]]. The postings read is a plain scan —
+    * at cluster scale the parquet lives on shared storage and every
+    * search job prunes to (token, id, tf, dl, df). */
+  def loadBm25Index(spark: org.apache.spark.sql.SparkSession, path: String): Bm25Index = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    Bm25Index(spark.read.parquet(s"$path/postings"),
+      m.getAs[String]("id_col"), m.getAs[Long]("n_docs"),
+      m.getAs[Long]("total_tokens"), m.getAs[Double]("k1"), m.getAs[Double]("b"))
   }
 
   /** Canonical content fingerprint: md5 of the sorted distinct token set.
