@@ -728,6 +728,11 @@ object SparkEntry {
     "profile_documents" -> ((s, dir) =>
       Profile.columns(t(s, dir, "documents"),
         Seq("doc_id", "lang", "source", "n_chars"))),
+    // Pearson matrix from exact quantized integer sums (one agg pass);
+    // cents grid on the TPC-H money/ratio columns
+    "profile_correlations" -> ((s, dir) =>
+      Profile.correlations(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"), scale = 100L)),
     // ---- declarative expectation suite: every check folds into ONE
     // aggregate scan (violations counted per check, report exploded from
     // the single agg row). values_in deliberately excludes src5/src15 so
@@ -2176,6 +2181,39 @@ object SparkEntry {
             coalesce(CAST(min($c) AS VARCHAR), '') AS min_s,
             coalesce(CAST(max($c) AS VARCHAR), '') AS max_s FROM documents""")
         .mkString(" UNION ALL "),
+    // Pearson from the same exact integer sums (HUGEINT side), final
+    // formula on doubles cast from those integers — identical rounding
+    "profile_correlations" ->
+      """WITH q AS (SELECT CAST(round(l_quantity * 100) AS BIGINT) AS qa,
+                    CAST(round(l_extendedprice * 100) AS BIGINT) AS qb,
+                    CAST(round(l_discount * 100) AS BIGINT) AS qc
+             FROM lineitem
+             WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+               AND l_discount IS NOT NULL),
+         agg AS (SELECT count(*)::HUGEINT AS n,
+                  sum(qa)::HUGEINT AS sa, sum(qa*qa)::HUGEINT AS ssa,
+                  sum(qb)::HUGEINT AS sb, sum(qb*qb)::HUGEINT AS ssb,
+                  sum(qc)::HUGEINT AS sc, sum(qc*qc)::HUGEINT AS ssc,
+                  sum(qa*qb)::HUGEINT AS sab, sum(qa*qc)::HUGEINT AS sac,
+                  sum(qb*qc)::HUGEINT AS sbc
+                 FROM q)
+         SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, CAST(n AS BIGINT) AS n,
+           CASE WHEN CAST(n*ssa - sa*sa AS DOUBLE) > 0 AND CAST(n*ssb - sb*sb AS DOUBLE) > 0
+             THEN round(CAST(n*sab - sa*sb AS DOUBLE)
+               / sqrt(CAST(n*ssa - sa*sa AS DOUBLE) * CAST(n*ssb - sb*sb AS DOUBLE)), 6)
+             ELSE 0.0 END AS corr FROM agg
+         UNION ALL
+         SELECT 'l_quantity', 'l_discount', CAST(n AS BIGINT),
+           CASE WHEN CAST(n*ssa - sa*sa AS DOUBLE) > 0 AND CAST(n*ssc - sc*sc AS DOUBLE) > 0
+             THEN round(CAST(n*sac - sa*sc AS DOUBLE)
+               / sqrt(CAST(n*ssa - sa*sa AS DOUBLE) * CAST(n*ssc - sc*sc AS DOUBLE)), 6)
+             ELSE 0.0 END FROM agg
+         UNION ALL
+         SELECT 'l_extendedprice', 'l_discount', CAST(n AS BIGINT),
+           CASE WHEN CAST(n*ssb - sb*sb AS DOUBLE) > 0 AND CAST(n*ssc - sc*sc AS DOUBLE) > 0
+             THEN round(CAST(n*sbc - sb*sc AS DOUBLE)
+               / sqrt(CAST(n*ssb - sb*sb AS DOUBLE) * CAST(n*ssc - sc*sc AS DOUBLE)), 6)
+             ELSE 0.0 END FROM agg""",
     // one UNION ALL leg per check, each an aggregate over documents with
     // the same violation definition as the Scala suite
     "profile_expectations" ->

@@ -19,6 +19,63 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Pairwise Pearson correlation matrix over numeric columns — the
+    * deequ-style profiling step after [[columns]] (is quality score
+    * correlated with length? does value drift with time-of-day?).
+    *
+    * Cross-engine exactness follows the quantized-exact-sum recipe: each
+    * column lands on an integer grid first (`round(x·scale)` as long, so
+    * e.g. scale=100 profiles money/ratio columns in cents), and the ONE
+    * aggregate pass accumulates n, Σx, Σx², Σxy as exact wide-decimal
+    * integers — order-independent under any partitioning, unlike naive
+    * double sums (order-dependent past 2⁵³). The final Pearson formula
+    * `corr = (n·Σxy − ΣxΣy) / √((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))` runs
+    * once per pair on doubles cast FROM those exact integers (identical
+    * rounding in any engine), rounded to 6 decimals. Zero-variance pairs
+    * emit the 0.0 sentinel, never null/NaN. Contract: quantized
+    * magnitudes must keep n·Σ(xq·yq) below 10³⁸ (wide-decimal range) and
+    * each per-row product below 2⁶³ — satisfied by any |xq| ≤ 3·10⁹ at
+    * any row count a real cluster sees.
+    *
+    * Output: one row per unordered pair in `cols` order —
+    * (col_a, col_b, n, corr). Null rows: rows where ANY profiled column
+    * is null are excluded from every pair (single listwise-complete
+    * pass; pairwise-complete would need per-pair counts — run twice with
+    * different `cols` if that matters). */
+  def correlations(df: DataFrame, cols: Seq[String],
+                   scale: Long = 100L): DataFrame = {
+    require(cols.size >= 2, s"need at least two columns (got ${cols.size})")
+    require(scale > 0, s"scale must be positive (got $scale)")
+    val base = df
+      .where(cols.map(col(_).isNotNull).reduce(_ && _))
+      .select(cols.map(c => round(col(c) * scale).cast("long").as(s"__q_$c")): _*)
+    val dec = "decimal(38,0)"
+    val sumAggs = cols.flatMap { c =>
+      Seq(sum(col(s"__q_$c").cast(dec)).as(s"__s_$c"),
+        sum((col(s"__q_$c") * col(s"__q_$c")).cast(dec)).as(s"__ss_$c"))
+    }
+    val pairNames = for {
+      (a, ai) <- cols.zipWithIndex; (b, bi) <- cols.zipWithIndex if ai < bi
+    } yield (a, b)
+    val prodAggs = pairNames.map { case (a, b) =>
+      sum((col(s"__q_$a") * col(s"__q_$b")).cast(dec)).as(s"__sp_${a}_$b")
+    }
+    val aggs = (count(lit(1)).cast(dec).as("__n") +: (sumAggs ++ prodAggs))
+    val aggRow = base.agg(aggs.head, aggs.tail: _*)
+    val pairStructs = pairNames.map { case (a, b) =>
+      val n = col("__n")
+      val cov = (n * col(s"__sp_${a}_$b") - col(s"__s_$a") * col(s"__s_$b"))
+        .cast("double")
+      val vx = (n * col(s"__ss_$a") - col(s"__s_$a") * col(s"__s_$a")).cast("double")
+      val vy = (n * col(s"__ss_$b") - col(s"__s_$b") * col(s"__s_$b")).cast("double")
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col("__n").cast("long").as("n"),
+        when(vx > 0.0 && vy > 0.0, round(cov / sqrt(vx * vy), 6))
+          .otherwise(0.0).as("corr"))
+    }
+    aggRow.select(explode(array(pairStructs: _*)).as("__p")).select(col("__p.*"))
+  }
+
   /** Exact profile of `cols`: one output row per column with
     * (col_name, n_rows, n_nulls, n_distinct, min_s, max_s). `n_distinct`
     * counts distinct NON-null values (SQL `COUNT(DISTINCT c)`). min/max

@@ -18,6 +18,28 @@ class ProfileSpec extends AnyFunSuite with SparkSpec {
     out.collect().map(r => r.getString(0) ->
       ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
 
+  test("correlations: exact-sum Pearson with sentinel on zero variance") {
+    val d = (1 to 100).map(i => (i.toDouble, 2.0 * i, 101.0 - i, 7.0))
+      .toDF("x", "y", "z", "c")
+    val m = Profile.correlations(d, Seq("x", "y", "z", "c"), scale = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(m.size == 6)
+    assert(m(("x", "y")) == ((100L, 1.0)))    // perfectly correlated
+    assert(m(("x", "z")) == ((100L, -1.0)))   // perfectly anti-correlated
+    assert(m(("x", "c")) == ((100L, 0.0)))    // constant column -> sentinel
+    assert(m(("y", "z"))._2 == -1.0)
+    // null rows excluded listwise
+    val withNull = d.unionByName(Seq((Double.NaN, 1.0, 1.0, 7.0)).toDF("x", "y", "z", "c")
+      .select(org.apache.spark.sql.functions.lit(null).cast("double").as("x"),
+        org.apache.spark.sql.functions.col("y"),
+        org.apache.spark.sql.functions.col("z"),
+        org.apache.spark.sql.functions.col("c")))
+    val m2 = Profile.correlations(withNull, Seq("x", "y"), scale = 1L)
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).head
+    assert(m2 == ((100L, 1.0)))
+  }
+
   test("exact profile: counts, nulls, distinct, min/max per column in one frame") {
     val m = byCol(Profile.columns(df, Seq("id", "s", "x")))
     assert(m("id") === ((5L, 1L, 3L, "1", "3")))
