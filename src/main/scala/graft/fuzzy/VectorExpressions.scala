@@ -636,6 +636,9 @@ object vectorFunctions {
       "ngram_jaccard_dist" ->
         (es => NgramJaccardDistance(es(0), es(1), intLit(es(2), "n"))),
       "cdc_chunks" -> (es => CdcChunks(es(0), intLit(es(1), "avg"))),
+      // aggregate: the analyzer wraps a raw AggregateFunction builder the
+      // same way it does Spark's own sum/min builders
+      "topk_pairs" -> (es => BoundedTopK(es(0), es(1), intLit(es(2), "k"))),
       // merges as 'a b' rank-ordered string literals after the word:
       // bpe_tokens(word, 't h', 'th e', ...)
       "bpe_tokens" -> (es => BpeTokens(es(0), es.drop(1).map {

@@ -25,6 +25,22 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(row.getAs[Double]("dot") - 11.0) < 1e-12)
   }
 
+  test("topk_pairs aggregates in pure SQL with the documented total order") {
+    val fresh = spark.newSession()
+    import fresh.implicits._
+    Seq((1L, 10L, 0.5), (1L, 11L, 0.9), (1L, 12L, 0.9), (1L, 13L, 0.1),
+        (2L, 20L, 0.3))
+      .toDF("g", "id", "score").createOrReplaceTempView("tk_in")
+    val rows = fresh.sql(
+      """SELECT g, p.id AS id, p.score AS score
+         FROM (SELECT g, topk_pairs(score, id, 2) AS tk FROM tk_in GROUP BY g),
+              LATERAL posexplode(tk) AS t(pos, p)
+         ORDER BY g, pos""").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // score desc, id asc on the 0.9 tie; group 2 keeps its single row
+    assert(rows == Seq((1L, 11L, 0.9), (1L, 12L, 0.9), (2L, 20L, 0.3)), s"got $rows")
+  }
+
   test("every builder-listed function resolves in a fresh session") {
     val names = GraftExtensions.builders.map(_._1)
     assert(names.size == names.toSet.size, "duplicate function names in the surface")
