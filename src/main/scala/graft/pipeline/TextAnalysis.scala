@@ -385,9 +385,21 @@ object TextAnalysis {
   def bm25TopK(corpus: DataFrame, textCol: String, idCol: String,
                queries: DataFrame, queryTextCol: String, queryIdCol: String,
                k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
-               maxDf: Long = Long.MaxValue): DataFrame =
-    bm25TopKWithIndex(bm25Index(corpus, textCol, idCol, k1, b, maxDf),
-      queries, queryTextCol, queryIdCol, k)
+               maxDf: Long = Long.MaxValue): DataFrame = {
+    // One-shot plan: the query terms join tf FIRST, so document length
+    // and document frequency attach only to the (tiny) matched subset —
+    // joining a denormalized whole-corpus postings frame instead measured
+    // +25% at sf10 for a 250-query batch. The index path amortizes that
+    // denormalization across many searches; this path never should.
+    require(k > 0, s"k must be positive (got $k)")
+    val (tf, dl, docFreq, nDocs, totTok) =
+      bm25Corpus(corpus, textCol, idCol, maxDf)
+    val scored = bm25QueryTerms(queries, queryTextCol, queryIdCol)
+      .join(tf, Seq("token"))
+      .join(dl, Seq(idCol))
+      .join(docFreq, Seq("token"))
+    bm25Rank(scored, idCol, nDocs, totTok, k1, b, k)
+  }
 
   /** The materialized BM25 index: one denormalized postings frame
     * (idCol, token, tf, dl, df) plus the two corpus scalars the score
@@ -401,30 +413,80 @@ object TextAnalysis {
                              k1: Double, b: Double)
 
   /** Build the [[Bm25Index]] for a corpus: postings = token counts per
-    * (doc, token) joined with document length and document frequency,
-    * materialized behind ONE `localCheckpoint` (the tf frame feeds three
-    * aggregations and is checkpointed too — the multi-consumer
-    * re-execution trap). `maxDf` drops stopword-sized postings lists at
-    * BUILD time, so no query can drag them through the join. */
+    * (doc, token) joined with document length and document frequency.
+    * The tf frame feeds three aggregations and is always checkpointed
+    * (the multi-consumer re-execution trap); the joined postings frame
+    * is checkpointed only when `materialize` is set — right when the
+    * index serves MANY searches (streams, repeated batches, save/load),
+    * wasted when it serves one (a corpus-sized materialization for a
+    * single consumer — measured as the difference between the one-shot
+    * `bm25TopK` and an eagerly built index at sf10). `maxDf` drops
+    * stopword-sized postings lists at BUILD time, so no query can drag
+    * them through the join. */
   def bm25Index(corpus: DataFrame, textCol: String, idCol: String,
                 k1: Double = 1.2, b: Double = 0.75,
-                maxDf: Long = Long.MaxValue): Bm25Index = {
+                maxDf: Long = Long.MaxValue,
+                materialize: Boolean = true): Bm25Index = {
+    val (tf, dl, docFreq, nDocs, totTok) =
+      bm25Corpus(corpus, textCol, idCol, maxDf)
+    val joined = tf.join(dl, Seq(idCol)).join(docFreq, Seq("token"))
+    val postings = if (materialize) joined.localCheckpoint() else joined
+    Bm25Index(postings, idCol, nDocs, totTok, k1, b)
+  }
+
+  /** Shared corpus half of the BM25 family: the checkpointed tf frame
+    * (it feeds three aggregations — the multi-consumer trap), document
+    * length, `maxDf`-gated document frequency, and the two exact corpus
+    * scalars. */
+  private def bm25Corpus(corpus: DataFrame, textCol: String, idCol: String,
+                         maxDf: Long): (DataFrame, DataFrame, DataFrame, Long, Long) = {
     val tf = corpus
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .where(length(col("token")) > 0)
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint()
-    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    // dl has two consumers (the scalar stats and the scoring join) and
+    // sits on top of a corpus-sized aggregation — checkpoint, or the
+    // tf pass runs twice
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl")).localCheckpoint()
     val statsRow = dl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
     val nDocs = statsRow.getLong(0)
     // empty corpus: no scored rows exist, the constant only has to be finite
     val totTok = math.max(statsRow.getLong(1), 1L)
     val docFreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
-    val postings = tf.join(dl, Seq(idCol)).join(docFreq, Seq("token"))
-      .localCheckpoint()
-    Bm25Index(postings, idCol, nDocs, totTok, k1, b)
+    (tf, dl, docFreq, nDocs, totTok)
+  }
+
+  /** Query terms: one row per (query id, distinct non-empty token). */
+  private def bm25QueryTerms(queries: DataFrame, queryTextCol: String,
+                             queryIdCol: String): DataFrame =
+    queries.select(col(queryIdCol).as("query_id"),
+        explode(array_distinct(tokens(col(queryTextCol)))).as("token"))
+      .where(length(col("token")) > 0)
+
+  /** Shared scoring + ranking half: quantized per-term contribution,
+    * integer per-document sum, BoundedTopK ranking. `scored` must carry
+    * (query_id, idCol, tf, dl, df). */
+  private def bm25Rank(scored: DataFrame, idCol: String, nDocs: Long,
+                       totTok: Long, k1: Double, b: Double, k: Int): DataFrame = {
+    val idf = log((lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val lenNorm = lit(1.0) - lit(b) +
+      lit(b) * (col("dl").cast("double") * lit(nDocs.toDouble) / lit(totTok.toDouble))
+    val contrib = idf * (col("tf") * lit(k1 + 1.0)) / (col("tf") + lit(k1) * lenNorm)
+    scored
+      .select(col("query_id"), col(idCol),
+        round(contrib * lit(1e6)).cast("long").as("__c"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("__c")).as("__sum_q"))
+      .groupBy(col("query_id"))
+      .agg(graft.fuzzy.vectorFunctions.topk_pairs(
+        col("__sum_q").cast("double"), col(idCol), k).as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")))
+      .select(col("query_id"), col("col.id").as(idCol),
+        (col("col.score") / 1e6).as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** Rank `k` documents per query against a prebuilt [[Bm25Index]]: the
@@ -437,26 +499,9 @@ object TextAnalysis {
                         queryTextCol: String, queryIdCol: String,
                         k: Int = 10): DataFrame = {
     require(k > 0, s"k must be positive (got $k)")
-    val qt = queries.select(col(queryIdCol).as("query_id"),
-        explode(array_distinct(tokens(col(queryTextCol)))).as("token"))
-      .where(length(col("token")) > 0)
-    val idf = log((lit(ix.nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
-    val lenNorm = lit(1.0) - lit(ix.b) +
-      lit(ix.b) * (col("dl").cast("double") * lit(ix.nDocs.toDouble) / lit(ix.totalTokens.toDouble))
-    val contrib = idf * (col("tf") * lit(ix.k1 + 1.0)) / (col("tf") + lit(ix.k1) * lenNorm)
-    val scored = qt
+    val scored = bm25QueryTerms(queries, queryTextCol, queryIdCol)
       .join(ix.postings, Seq("token"))
-      .select(col("query_id"), col(ix.idCol),
-        round(contrib * lit(1e6)).cast("long").as("__c"))
-      .groupBy(col("query_id"), col(ix.idCol))
-      .agg(sum(col("__c")).as("__sum_q"))
-    scored.groupBy(col("query_id"))
-      .agg(graft.fuzzy.vectorFunctions.topk_pairs(
-        col("__sum_q").cast("double"), col(ix.idCol), k).as("__tk"))
-      .select(col("query_id"), posexplode(col("__tk")))
-      .select(col("query_id"), col("col.id").as(ix.idCol),
-        (col("col.score") / 1e6).as("score"),
-        (col("pos") + 1).cast("int").as("rank"))
+    bm25Rank(scored, ix.idCol, ix.nDocs, ix.totalTokens, ix.k1, ix.b, k)
   }
 
   /** Persist a [[Bm25Index]]: postings as parquet under `path`/postings,
