@@ -29,4 +29,36 @@ object DocStreams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("chunk_md5")
   }
+
+  /** Streaming NEAR-dup flagging against a stored corpus state — the
+    * online face of [[graft.pipeline.Dedup.minhashIncrementalPairs]]
+    * (flag arriving documents that near-duplicate the existing corpus,
+    * on ingest). Each micro-batch runs the cross-side banded join + exact
+    * shingle-jaccard verify against the UNCHANGING
+    * [[graft.pipeline.Dedup.minhashState]] frame, which is materialized
+    * once before the stream starts (`localCheckpoint` — micro-batches
+    * scan the checkpointed blocks, nothing upstream re-executes). Batch
+    * ids live in the stream's id space; corpus ids in the state's —
+    * disjoint by the same contract as the batch operator. The sink
+    * receives (id_a = arriving doc, id_b = corpus doc, jaccard) rows.
+    *
+    * State growth across batches is the caller's policy (append each
+    * accepted batch's [[graft.pipeline.Dedup.minhashState]] to storage
+    * and restart the stream on the new snapshot, the same nightly cycle
+    * the batch operator documents) — a stream cannot mutate its own
+    * static side mid-flight. */
+  def nearDupWriter(docs: DataFrame, corpusState: DataFrame,
+                    textCol: String, idCol: String,
+                    shingleLen: Int = 3, numBands: Int = 16,
+                    rowsPerBand: Int = 4, threshold: Double = 0.7,
+                    maxBucketPairs: Long = 4_000_000L)
+                   (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val statePrepared = corpusState.localCheckpoint()
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.pipeline.Dedup.minhashIncrementalPairs(batch, statePrepared,
+        textCol, idCol, shingleLen, numBands, rowsPerBand, threshold,
+        maxBucketPairs), batchId)
+    }
+  }
 }

@@ -60,4 +60,50 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
     // its novel chunks
     assert(out.filter(_._1 == 3L).forall(c => !c._2.startsWith("a b c d")))
   }
+
+  test("streaming near-dup flags arriving docs against the corpus state") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away"
+    val corpus = Seq(
+      (100L, base),
+      (101L, "completely unrelated text about sailing ships at dawn today"))
+      .toDF("doc_id", "text")
+    val state = graft.pipeline.Dedup.minhashState(corpus, "text", "doc_id")
+      .localCheckpoint()
+    // batch 1: one near-dup (one word changed); batch 2: one exact copy,
+    // one novel doc
+    val b1 = Seq((1L, base.replace("lazy", "sleepy"))).toDF("doc_id", "text")
+    val b2 = Seq((2L, base), (3L, "nothing in common with anything here at all"))
+      .toDF("doc_id", "text")
+    val flat = java.nio.file.Files.createTempDirectory("neardup_stream")
+    Seq(b1, b2).zipWithIndex.foreach { case (df, i) =>
+      val part = java.nio.file.Files.createTempDirectory(s"nd_part$i")
+      df.coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val src = java.nio.file.Files.list(part)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst = flat.resolve(f"$i%02d.parquet")
+      java.nio.file.Files.copy(src, dst)
+      dst.toFile.setLastModified(1000000L + i * 10000L)
+    }
+    val schema = b1.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(flat.toString)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = DocStreams.nearDupWriter(stream, state, "text", "doc_id",
+        threshold = 0.5) { (out, _) =>
+      rows.synchronized {
+        rows ++= out.select("id_a", "id_b", "jaccard")
+          .as[(Long, Long, Double)].collect()
+      }
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+
+    val batch = graft.pipeline.Dedup.minhashIncrementalPairs(
+        b1.unionByName(b2), state, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(rows.toSet == batch,
+      s"stream ${rows.toSet} vs batch $batch")
+    // the near-dup and the exact copy are flagged against corpus doc 100
+    assert(batch.map(p => (p._1, p._2)) == Set((1L, 100L), (2L, 100L)), s"got $batch")
+  }
 }
