@@ -351,7 +351,26 @@ object Bench {
     // slow-query cutoff — their numbers are 1-shot-by-budget, not min-of-N
     val singleShot = results.collect { case (k, _, sm) if sm.size == 1 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$ss,"iterations":$Iterations,"single_shot":$singleShot,"sf":"$sfDir"}""")
+    val cal = calibration(spark)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$ss,"iterations":$Iterations,"single_shot":$singleShot,"calibration":$cal,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Fixed-work host-throughput probe: min-of-3 of a deterministic
+    * CPU-bound codegen job (2e9 xxhash64 max, no I/O, no shuffle).
+    * Emitted in the bench JSON so cross-round totals can be read
+    * against the box's throughput THAT day — this host drifts 2-3.5×
+    * between measurement windows with no local load (SCALE.md
+    * methodology note); a round-over-round "regression" that tracks
+    * the calibration row is the machine, not the code. */
+  def calibration(spark: SparkSession): String = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      // max, not sum: an ANSI-mode long sum of 2e9 hashes overflows
+      spark.range(2_000_000_000L)
+        .select(max(org.apache.spark.sql.functions.xxhash64(col("id")))).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    f"${Seq(once(), once(), once()).min}%.3f"
   }
 }

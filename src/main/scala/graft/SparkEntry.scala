@@ -482,6 +482,11 @@ object SparkEntry {
     "curate_sample_exact" -> ((s, dir) =>
       Curation.sampleExactN(t(s, dir, "documents"), "doc_id", 200)
         .select(col("doc_id"), col("sample_rank"))),
+    // soft dedup: every copy kept at 1/n weight (duplicated content
+    // contributes once in expectation; provenance survives)
+    "curate_dup_weights" -> ((s, dir) =>
+      Curation.dupWeights(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("n_copies"), col("weight"))),
     // deterministic global shuffle + shard assignment for training export
     "curate_shard" -> ((s, dir) =>
       Curation.shuffleShard(t(s, dir, "documents"), "doc_id", 8)
@@ -1973,6 +1978,10 @@ object SparkEntry {
     "curate_sample" ->
       """SELECT doc_id FROM documents
          WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 < 250000""",
+    "curate_dup_weights" ->
+      """WITH c AS (SELECT md5(text) AS d, count(*) AS n FROM documents GROUP BY 1)
+         SELECT doc_id, n AS n_copies, round(1.0 / n, 6) AS weight
+         FROM documents JOIN c ON md5(text) = c.d""",
     // 52-bit md5 prefix order (exact in a double), ties by id — the same
     // total order the BoundedTopK heap keeps
     "curate_sample_exact" ->

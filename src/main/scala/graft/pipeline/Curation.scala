@@ -128,6 +128,32 @@ object Curation {
       "__grp", splits, splitCol).drop("__grp")
   }
 
+  /** SOFT dedup: every row kept, weighted 1/n by its exact-duplicate
+    * class size — duplicated CONTENT contributes once in expectation
+    * under weighted sampling/loss, while provenance, ordering, and
+    * per-copy metadata survive (the alternative to [[graft.pipeline.Dedup
+    * .exactDedupRows]]'s hard drop when copies carry signal — e.g.
+    * duplication frequency as a quality prior). Adds (n_copies, weight
+    * = round(1/n, 6)). Plan: one 16-byte-digest hash-agg + one digest
+    * join-back — the [[splitByDupGroup]] shape, scale-safe. For
+    * NEAR-duplicate weighting feed [[weightsByGroup]] a cluster frame
+    * from [[NearDupCluster]] instead. */
+  def dupWeights(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val counts = docs.groupBy(md5(col(textCol)).as("__digest"))
+      .agg(count(lit(1)).as("n_copies"))
+    docs.withColumn("__digest", md5(col(textCol)))
+      .join(counts, Seq("__digest")).drop("__digest")
+      .withColumn("weight", round(lit(1.0) / col("n_copies"), 6))
+  }
+
+  /** [[dupWeights]] keyed on an arbitrary GROUP column (near-dup cluster
+    * id, domain, source): every member of a group weighs 1/|group|. */
+  def weightsByGroup(df: DataFrame, groupCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_copies"))
+    df.join(counts, Seq(groupCol))
+      .withColumn("weight", round(lit(1.0) / col("n_copies"), 6))
+  }
+
   /** Split assignment keyed on an arbitrary GROUP column (cluster id,
     * domain, source shard): the whole group hashes to one split. The
     * composable half of [[splitByDupGroup]] — pair it with

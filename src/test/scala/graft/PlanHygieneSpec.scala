@@ -176,6 +176,19 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
       s"selection planned a sort:\n$plan")
   }
 
+  test("correlations: every pair from ONE aggregate scan, no joins") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val plan = graft.pipeline.Profile.correlations(li,
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"correlation matrix must profile in one scan, saw $scans:\n$plan")
+    assert(!plan.contains("Join"), s"no joins belong in a one-pass profile:\n$plan")
+    // the sums must reach the scan pruned to just the profiled columns
+    assert(plan.contains("l_quantity") && !plan.contains("l_orderkey"),
+      s"scan not pruned to profiled columns:\n$plan")
+  }
+
   test("common-token ratio: vocabulary joins as a broadcast membership test") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val plan = graft.pipeline.TextAnalysis.commonTokenRatio(docs, "text", "doc_id", 100)

@@ -49,6 +49,21 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       Set("doc_id", "text", "sample_rank"))
   }
 
+  test("dupWeights: 1/n per exact-dup class; weightsByGroup per cluster") {
+    val d = Seq((1L, "same text"), (2L, "same text"), (3L, "unique here"))
+      .toDF("doc_id", "text")
+    val w = Curation.dupWeights(d, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_copies"), r.getAs[Double]("weight")))).toMap
+    assert(w(1L) == ((2L, 0.5)) && w(2L) == ((2L, 0.5)) && w(3L) == ((1L, 1.0)))
+    // total weight = number of distinct texts
+    assert(math.abs(w.values.map(_._2).sum - 2.0) < 1e-9)
+    val g = Seq((1L, 7L), (2L, 7L), (3L, 7L), (4L, 9L)).toDF("id", "cluster")
+    val gw = Curation.weightsByGroup(g, "cluster")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("weight")).toMap
+    assert(gw(1L) == 0.333333 && gw(4L) == 1.0)
+  }
+
   test("stratifiedHashSample applies per-stratum rates with a default") {
     val sampled = Curation.stratifiedHashSample(docs, "doc_id", "source",
       Map("books" -> 1.0, "web" -> 0.0), defaultRate = 0.5)
