@@ -870,6 +870,11 @@ object SparkEntry {
     "corpus_rollup" -> ((s, dir) =>
       graft.pipeline.Olap.rollupProfile(t(s, dir, "documents"),
         Seq("lang", "source"), "n_chars")),
+    // full cube (every subset of the group columns) in the same
+    // one-Expand-one-shuffle plan
+    "corpus_cube" -> ((s, dir) =>
+      graft.pipeline.Olap.cubeProfile(t(s, dir, "documents"),
+        Seq("lang", "source"), "n_chars")),
 
     // ---- incremental (nightly-ingest) dedup: a 10% md5-bucket slice
     // plays today's batch; the corpus is the other 90% PLUS re-ingested
@@ -2396,6 +2401,12 @@ object SparkEntry {
            CAST(GROUPING(lang, source) AS BIGINT) AS level,
            count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_value
          FROM documents GROUP BY ROLLUP (lang, source)""",
+    "corpus_cube" ->
+      """SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
+           CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
+           CAST(GROUPING(lang, source) AS BIGINT) AS level,
+           count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_value
+         FROM documents GROUP BY CUBE (lang, source)""",
     // batch side: keep-first window over the digest; corpus side: the
     // distinct digest set as a NOT IN
     "dedup_chunk_incremental" ->

@@ -42,6 +42,26 @@ object Olap {
         Seq(col("level"), col("n_rows"), col("sum_value")): _*)
   }
 
+  /** [[rollupProfile]] over EVERY subset of `groupCols` (the full cube:
+    * 2^k grouping sets), same one-Expand-one-shuffle plan — Spark's
+    * Expand multiplies the scan by 2^k before the map-side combine, so
+    * this is for small k (≤ ~4; the scan cost is 2^k× rollup's k+1×).
+    * Same NULL-vs-subtotal relabeling and `level` bitmask contract. */
+  def cubeProfile(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  totalLabel: String = "ALL"): DataFrame = {
+    require(groupCols.nonEmpty, "cubeProfile needs at least one group column")
+    def cell(n: String, i: Int) = {
+      val bit = shiftright(col("level"), groupCols.length - 1 - i).bitwiseAND(lit(1L))
+      when(bit === 1L, lit(totalLabel)).otherwise(col(n)).as(n)
+    }
+    df.cube(groupCols.map(col): _*)
+      .agg(grouping_id().cast("long").as("level"),
+        count(lit(1)).as("n_rows"),
+        sum(col(valueCol)).cast("long").as("sum_value"))
+      .select(groupCols.zipWithIndex.map { case (n, i) => cell(n, i) } ++
+        Seq(col("level"), col("n_rows"), col("sum_value")): _*)
+  }
+
   /** Per-key occurrence counts of `catCol`, pivoted wide with an EXPLICIT
     * category list, planned as conditional aggregation (`count(when(cat =
     * v)))` per category) rather than Spark's `pivot`: the built-in plans

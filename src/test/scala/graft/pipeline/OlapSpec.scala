@@ -31,6 +31,33 @@ class OlapSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("cube adds the source-only subtotals rollup lacks; one Expand pass") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val c = Olap.cubeProfile(docs, Seq("lang", "source"), "n_chars")
+    val r = Olap.rollupProfile(docs, Seq("lang", "source"), "n_chars")
+    // cube ⊇ rollup: levels 0 (leaf), 1 (lang subtotal), 3 (grand) match
+    for (lvl <- Seq(0L, 1L, 3L)) {
+      val cs = c.where(col("level") === lvl).collect()
+        .map(x => (x.getString(0), x.getString(1), x.getLong(3), x.getLong(4))).toSet
+      val rs = r.where(col("level") === lvl).collect()
+        .map(x => (x.getString(0), x.getString(1), x.getLong(3), x.getLong(4))).toSet
+      assert(cs === rs, s"level $lvl differs between cube and rollup")
+    }
+    // level 2 = source subtotals (lang rolled up) — cube-only, and they
+    // must sum leaves per source
+    val bySource = c.where(col("level") === 0).groupBy(col("source"))
+      .agg(sum(col("n_rows")).as("n")).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    val lvl2 = c.where(col("level") === 2).collect()
+    assert(lvl2.nonEmpty && r.where(col("level") === 2).count() === 0)
+    lvl2.foreach { row =>
+      assert(row.getAs[String]("lang") === "ALL")
+      assert(bySource(row.getAs[String]("source")) === row.getAs[Long]("n_rows"))
+    }
+    val plan = c.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand") && !plan.contains("Union"))
+  }
+
   test("rollup plans as ONE Expand + aggregate, not a union of aggregates") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val plan = Olap.rollupProfile(docs, Seq("lang", "source"), "n_chars")
