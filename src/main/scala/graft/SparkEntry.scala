@@ -962,6 +962,14 @@ object SparkEntry {
     // lowercase, hashed for a narrow compare. The doc_id-derived tail
     // (same concat in the oracle) plants controls/tabs/double spaces so
     // the normalization genuinely fires on the clean synthetic corpus.
+    // markup strip over synthetic tag-wrapped text (built identically in
+    // the oracle): tags, five entities in decode order, double-escapes
+    "text_strip_markup" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.stripMarkup(concat(
+          lit("<p class=\"x\">"), col("text"),
+          lit("</p> &amp;gt; <b>bold</b> &lt;tag&gt; a&#39;b &quot;q&quot;")))
+          .as("clean"))),
     "text_clean" -> ((s, dir) => {
       val dirty = t(s, dir, "documents").select(col("doc_id"),
         expr("""concat(text, '\t tail  ', char(7), 'of doc ', doc_id, '  .')""").as("text"))
@@ -2584,6 +2592,16 @@ object SparkEntry {
     // same normalization chain: control-strip, \s+ collapse, trim, lower.
     // Controls are stripped BEFORE \s+ runs, so the Java-vs-RE2 \x0B
     // difference in \s never matters.
+    // same synthetic wrap; tags -> space, entities via global literal
+    // replace in the identical decode order, amp last
+    "text_strip_markup" ->
+      """SELECT doc_id, trim(regexp_replace(
+           replace(replace(replace(replace(replace(
+             regexp_replace('<p class="x">' || text || '</p> &amp;gt; <b>bold</b> &lt;tag&gt; a&#39;b &quot;q&quot;',
+               '<[^>]*>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+           '\s+', ' ', 'g')) AS clean
+         FROM documents""",
     "text_clean" ->
       """WITH p AS (SELECT doc_id, text || chr(9) || ' tail  ' || chr(7) || 'of doc ' || doc_id || '  .' AS t0
               FROM documents),

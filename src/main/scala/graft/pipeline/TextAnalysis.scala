@@ -557,6 +557,26 @@ object TextAnalysis {
       .withColumn("common_ratio", col("n_common") / col("n_tokens"))
   }
 
+  /** Markup strip for crawl ingest: drop `<...>` tags (replaced by a
+    * space so `</p><p>` never glues words), decode the five predefined
+    * HTML entities (`&lt; &gt; &quot; &#39;` first, `&amp;` LAST — so
+    * a double-escaped `&amp;lt;` correctly yields the literal text
+    * `&lt;`, decoded exactly once), collapse whitespace, trim. A pure
+    * codegen regex/replace chain in the Java-regex ∩ RE2 common subset
+    * like [[normalizeText]] — the scan IS the plan at 100 TB. Not an
+    * HTML parser: script/style BODIES survive (tag-soup crawls need a
+    * real extractor upstream); this is the cheap in-engine cleanup for
+    * mostly-text payloads. */
+  def stripMarkup(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]*>", " ")
+    val lt = regexp_replace(noTags, "&lt;", "<")
+    val gt = regexp_replace(lt, "&gt;", ">")
+    val quot = regexp_replace(gt, "&quot;", "\"")
+    val apos = regexp_replace(quot, "&#39;", "'")
+    val amp = regexp_replace(apos, "&amp;", "&")
+    trim(regexp_replace(amp, "\\s+", " "))
+  }
+
   /** Canonical text normalization for ingest: control characters strip,
     * all whitespace runs collapse to single spaces, edges trim, and
     * (optionally) lowercase — the projection every downstream tokenizer

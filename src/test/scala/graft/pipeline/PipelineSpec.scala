@@ -497,6 +497,22 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(filtered == Set("cat"))
   }
 
+  test("stripMarkup: tags, entity decode order, glue prevention") {
+    val d = Seq(
+      "<p>Hello</p><p>World</p>",                  // adjacent tags must not glue
+      "a &amp;lt; b &lt; c",                       // double-escape decodes ONCE
+      "x &quot;q&quot; &#39;a&#39; &gt; y",
+      "plain text stays put",
+      "<div class=\"a b\" data-x='1'>inner</div>").toDF("text")
+    val out = d.select(TextAnalysis.stripMarkup($"text")).as[String].collect().toSeq
+    assert(out == Seq(
+      "Hello World",
+      "a &lt; b < c",
+      "x \"q\" 'a' > y",
+      "plain text stays put",
+      "inner"), s"got $out")
+  }
+
   test("bm25TopK against hand-computed scores") {
     val corpus = Seq(
       (1L, "cat dog cat"),        // tf(cat)=2, dl=3
