@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{array, col, concat, concat_ws, count, encode, explode, expr, get_json_object, length, lit, lower, max, min, posexplode, round => sround, slice, split, substring, sum, trim}
 
 import graft.fuzzy.{FuzzyAlgorithm, FuzzyMapping, FuzzyMatcher, MatchOptions}
-import graft.pipeline.{AnnSearch, AsofJoin, Curation, Decontaminate, Dedup, Multimodal, NearDupCluster, Profile, RangeJoin, Sessionize, TextAnalysis}
+import graft.pipeline.{AnnSearch, AsofJoin, Curation, Decontaminate, Dedup, Multimodal, NearDupCluster, Profile, QualityModel, RangeJoin, Sessionize, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1003,6 +1003,21 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bigrams"),
           sround(col("logprob"), 6).as("logprob"),
           sround(col("avg_logprob"), 6).as("avg_logprob"))),
+
+    // ---- learned quality classifier lifecycle: L-BFGS fit on a seed
+    // labeled by a deterministic rule, then the MLlib-free codegen apply.
+    // Deliberately NO oracleSql (an iterative fit is not SQL-expressible;
+    // the driver records the rows-only check) — correctness is spec-gated:
+    // QualityModelSpec pins tf_slot == HashingTF.indexOf term-by-term and
+    // SQL-apply == reference probabilities to 1e-9.
+    "text_quality_fit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val seed = docs.where(col("doc_id") % 5 === 0)
+        .select(col("text"), (col("n_chars") > 200).cast("int").as("label"))
+      val m = QualityModel.fitHashedClassifier(seed, "text", "label", slots = 256)
+      QualityModel.applyHashedModel(docs, "text", "doc_id", m)
+        .select(col("doc_id"), sround(col("quality_prob"), 4).as("quality_prob"))
+    }),
 
     // ---- Okapi BM25 top-k lexical retrieval (quantized-exact-sum family,
     // BoundedTopK ranking). Queries = every 50th document's first 5 tokens.

@@ -119,6 +119,20 @@ case class SimHash(child: Expression, useMd5: Boolean = false) extends UnaryExpr
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** See [[VectorKernels.tfSlot]]: the HashingTF featurization as a codegen
+  * scalar — the seam that lets an MLlib-fitted hashed model score a
+  * 100 TB corpus MLlib-free ([[graft.pipeline.QualityModel]]). */
+case class TfSlot(child: Expression, slots: Int) extends UnaryExpression {
+  require(slots > 0, s"tf_slot needs slots > 0 (got $slots)")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "tf_slot"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.tfSlot(v.asInstanceOf[UTF8String], slots)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.fuzzy.VectorKernels.tfSlot($c, $slots)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class WinnowSketch(child: Expression, k: Int, window: Int,
                         useMd5: Boolean = false) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -593,6 +607,7 @@ object vectorFunctions {
     c(NearestCells(x(vec), centroids, dim, nProbe))
   def topk_pairs(score: Column, id: Column, k: Int): Column =
     c(BoundedTopK(x(score), x(id), k).toAggregateExpression())
+  def tf_slot(term: Column, slots: Int): Column = c(TfSlot(x(term), slots))
   def bpe_tokens(word: Column, merges: Seq[(String, String)]): Column =
     c(BpeTokens(x(word), merges))
   def cdc_chunks(tokens: Column, avg: Int): Column = c(CdcChunks(x(tokens), avg))
@@ -639,6 +654,7 @@ object vectorFunctions {
       // aggregate: the analyzer wraps a raw AggregateFunction builder the
       // same way it does Spark's own sum/min builders
       "topk_pairs" -> (es => BoundedTopK(es(0), es(1), intLit(es(2), "k"))),
+      "tf_slot" -> (es => TfSlot(es(0), intLit(es(1), "slots"))),
       // merges as 'a b' rank-ordered string literals after the word:
       // bpe_tokens(word, 't h', 'th e', ...)
       "bpe_tokens" -> (es => BpeTokens(es(0), es.drop(1).map {

@@ -509,6 +509,21 @@ object VectorKernels {
 
   def simhash(tokens: ArrayData): Long = simhash(tokens, useMd5 = false)
 
+  /** HashingTF-compatible feature slot: `nonNegativeMod(murmur3_x86_32.
+    * hashUnsafeBytes2(utf8 bytes, seed 42), slots)` — bit-identical to
+    * `org.apache.spark.ml.feature.HashingTF.indexOf` (Spark 3+), so a
+    * model FIT on HashingTF features can be APPLIED by a pure codegen
+    * scan with no MLlib anywhere in the plan. The SQL `hash()` function
+    * does NOT match: it keeps the pre-3.0 `hashUnsafeBytes` whose
+    * trailing-byte sign-extension bug HashingTF's "2" variant fixed —
+    * the two agree only on empty input (spec-pinned divergence). */
+  def tfSlot(term: UTF8String, slots: Int): Int = {
+    val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes2(
+      term.getBaseObject, term.getBaseOffset, term.numBytes, 42)
+    val m = h % slots
+    if (m < 0) m + slots else m
+  }
+
   /** Winnowing sketch: hash every k-char gram of `text`, keep the min hash
     * of each sliding window, distinct. Returns sorted minima. `useMd5`
     * picks the oracle-checkable 60-bit MD5 gram hash. */

@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fit/apply seam of the learned quality classifier ([[QualityModel]]):
+  * the SQL apply must reproduce the MLlib featurization and probabilities
+  * exactly, or the deployed scorer silently diverges from the model that
+  * was validated.
+  */
+class QualityModelSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  test("tf_slot equals HashingTF's indexing, term by term") {
+    val terms = Seq("the", "quick", "brown", "fox", "überraschung", "日本語",
+      "x", "", "a b", "123", "&amp;")
+    val slots = 1024
+    val tf = new org.apache.spark.ml.feature.HashingTF().setNumFeatures(slots)
+    val expected = terms.map(t => tf.indexOf(t))
+    val got = terms.toDF("t")
+      .select(graft.fuzzy.vectorFunctions.tf_slot(col("t"), slots))
+      .as[Int].collect().toSeq
+    assert(got == expected,
+      s"tf_slot diverged from HashingTF: $got vs $expected")
+    // and the SQL hash() function does NOT match (pre-3.0 hash variant) —
+    // the divergence that makes tf_slot necessary; they agree only on ""
+    val sqlHash = terms.toDF("t")
+      .select(pmod(hash(col("t")), lit(slots)).cast("int")).as[Int].collect().toSeq
+    assert(sqlHash != expected, "SQL hash() unexpectedly matches HashingTF " +
+      "— tf_slot may be redundant now")
+  }
+
+  test("fit separates a labeled corpus; SQL apply matches MLlib probabilities") {
+    val spamWords = "buy cheap pills now click here winner prize"
+    val hamWords = "the committee reviewed quarterly results and approved the plan"
+    val labeled = ((1 to 40).map(i => (s"$spamWords extra$i", 0.0)) ++
+      (1 to 40).map(i => (s"$hamWords extra$i", 1.0))).toDF("text", "label")
+    val m = QualityModel.fitHashedClassifier(labeled, "text", "label",
+      slots = 256, maxIter = 30, regParam = 0.001)
+    assert(m.weights.length == 256)
+
+    val test = Seq(
+      (1L, "buy cheap pills click prize"),
+      (2L, "committee reviewed the plan and approved results"),
+      (3L, s"$spamWords unseen99"),
+      (4L, s"$hamWords unseen99")).toDF("doc_id", "text")
+    val probs = QualityModel.applyHashedModel(test, "text", "doc_id", m)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(probs(1L) < 0.2 && probs(3L) < 0.2, s"spam not low: $probs")
+    assert(probs(2L) > 0.8 && probs(4L) > 0.8, s"ham not high: $probs")
+
+    // probability parity with an independent driver-side evaluation of
+    // the fitted weights under HashingTF's own indexing
+    val tf = new org.apache.spark.ml.feature.HashingTF().setNumFeatures(256)
+    def refProb(text: String): Double = {
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val dot = toks.groupBy(t => tf.indexOf(t))
+        .map { case (s, ts) => m.weights(s) * ts.length }.sum
+      1.0 / (1.0 + math.exp(-(dot + m.intercept)))
+    }
+    val texts = test.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    probs.foreach { case (id, p) =>
+      assert(math.abs(p - refProb(texts(id))) < 1e-9,
+        s"doc $id: SQL apply $p vs reference ${refProb(texts(id))}")
+    }
+  }
+}
