@@ -119,4 +119,37 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
     assert(AnnSearch.knnLabel(emptyVecs, emb.withColumn("label", lit(1)),
       "embedding", "vec_id", "label", 5).count() === 0L)
   }
+
+  test("round-8-continuation operators on empty and degenerate input") {
+    // pair families and the eval gate
+    assert(Dedup.containmentPairs(emptyDocs, "text", "doc_id", 3, 0.5).count() === 0L)
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val ev = Dedup.evalPairs(emptyPairs, emptyPairs).head()
+    assert(ev.getAs[Long]("n_pred") === 0L && ev.getAs[Double]("f1") === 0.0)
+    // retrieval: empty corpus and empty query side
+    val q = Seq((1L, "anything")).toDF("query_id", "qtext")
+    assert(TextAnalysis.bm25TopK(emptyDocs, "text", "doc_id",
+      q, "qtext", "query_id").count() === 0L)
+    assert(TextAnalysis.bm25TopK(Seq((1L, "some words")).toDF("doc_id", "text"),
+      "text", "doc_id", q.limit(0), "qtext", "query_id").count() === 0L)
+    // sampling/weights on empty input
+    assert(Curation.sampleExactN(emptyDocs, "doc_id", 5).count() === 0L)
+    assert(Curation.dupWeights(emptyDocs, "text", "doc_id").count() === 0L)
+    // correlation matrix on an empty frame: pairs emitted with sentinels
+    val ecorr = Profile.correlations(
+        Seq.empty[(Double, Double)].toDF("x", "y"), Seq("x", "y")).head()
+    assert(ecorr.getAs[Long]("n") === 0L && ecorr.getAs[Double]("corr") === 0.0)
+    // cube mirrors rollup's empty-input behavior (no rows, pinned)
+    val docs3 = Seq.empty[(String, String, Long)].toDF("lang", "source", "n_chars")
+    assert(Olap.cubeProfile(docs3, Seq("lang", "source"), "n_chars").count() === 0L)
+    // markup strip: null stays null, empty stays empty
+    val sm = Seq[Option[String]](None, Some(""), Some("<a>"))
+      .toDF("text").select(TextAnalysis.stripMarkup(col("text"))).collect()
+    assert(sm(0).isNullAt(0) && sm(1).getString(0) === "" && sm(2).getString(0) === "")
+    // learned-classifier apply on an empty corpus (fit needs labels;
+    // apply must tolerate nothing to score)
+    val m = QualityModel.HashedModel(Array.fill(8)(0.0), 0.0, 8)
+    assert(QualityModel.applyHashedModel(emptyDocs, "text", "doc_id", m)
+      .count() === 0L)
+  }
 }
