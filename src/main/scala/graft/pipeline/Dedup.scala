@@ -437,7 +437,11 @@ object Dedup {
                         maxShinglePairs: Long = 4_000_000L,
                         maxDriverHotShingles: Int = 1_000_000): DataFrame = {
     val sets = shingleSets(docs, textCol, idCol, n, checkpoint)
-    val exploded = sets.select(col(idCol), explode(col("__hset")).as("__sh"))
+    // the exploded (id, shingle) rows feed the gate's df census AND both
+    // sides of the blocking self-join — three computes of a corpus-sized
+    // explode if left lazy (the multi-consumer trap; A/B in SCALE.md)
+    val exploded = Materialize(
+      sets.select(col(idCol), explode(col("__hset")).as("__sh")), checkpoint)
     val gated = gateHotShingles(exploded, "dedup_ngram", maxShinglePairs,
       maxDriverHotShingles)
     val pairs = gated.as("a").join(gated.as("b"),
@@ -472,7 +476,9 @@ object Dedup {
                        maxShinglePairs: Long = 4_000_000L,
                        maxDriverHotShingles: Int = 1_000_000): DataFrame = {
     val sets = shingleSets(docs, textCol, idCol, n, checkpoint)
-    val exploded = sets.select(col(idCol), explode(col("__hset")).as("__sh"))
+    // same multi-consumer materialization as ngramJaccardPairs
+    val exploded = Materialize(
+      sets.select(col(idCol), explode(col("__hset")).as("__sh")), checkpoint)
     val gated = gateHotShingles(exploded, "dedup_containment", maxShinglePairs,
       maxDriverHotShingles)
     val pairs = gated.as("a").join(gated.as("b"),
