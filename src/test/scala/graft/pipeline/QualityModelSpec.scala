@@ -32,6 +32,17 @@ class QualityModelSpec extends AnyFunSuite with SparkSpec {
       "— tf_slot may be redundant now")
   }
 
+  test("tf_slot matches HashingTF on 500 seeded-random unicode terms") {
+    val rnd = new scala.util.Random(7)
+    val terms = (1 to 500).map(_ => rnd.nextString(rnd.nextInt(12)))
+    val tf = new org.apache.spark.ml.feature.HashingTF().setNumFeatures(4096)
+    val expected = terms.map(t => tf.indexOf(t))
+    val got = terms.toDF("t")
+      .select(graft.fuzzy.vectorFunctions.tf_slot(col("t"), 4096))
+      .as[Int].collect().toSeq
+    assert(got == expected)
+  }
+
   test("fit separates a labeled corpus; SQL apply matches MLlib probabilities") {
     val spamWords = "buy cheap pills now click here winner prize"
     val hamWords = "the committee reviewed quarterly results and approved the plan"
