@@ -514,6 +514,11 @@ object SparkEntry {
           census, "text", "doc_id", 3)
         .select(col("doc_id"), col("hot_ngrams"), col("boiler_frac"))
     }),
+    // Lee-et-al duplicated-span REMOVAL: the rewrite stage on top of the
+    // census — non-first occurrences of duplicated 5-word windows are cut
+    // from the text, overlaps merged through the covered-position set
+    "dedup_span_rewrite" -> ((s, dir) =>
+      Dedup.spanRewrite(t(s, dir, "documents"), "text", "doc_id", 5, 2L)),
     "curate_stratified" -> ((s, dir) =>
       Curation.stratifiedHashSample(t(s, dir, "documents"), "doc_id", "source",
         Map("web" -> 0.1, "books" -> 1.0), defaultRate = 0.5)
@@ -1887,6 +1892,31 @@ object SparkEntry {
          SELECT h.doc_id AS doc_id, hot_ngrams,
            round(hot_ngrams::DOUBLE / total, 6) AS boiler_frac
          FROM h JOIN tot ON h.doc_id = tot.doc_id""",
+    // full replay of the span rewrite: window census over 5-word lowercase
+    // grams, rank occurrences by (doc, pos), cut everything but rank 1,
+    // merge covered positions, rebuild the surviving words in order
+    "dedup_span_rewrite" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), w -> w != '') AS ws
+               FROM documents),
+         u AS (SELECT doc_id, unnest(range(1, greatest(len(ws)-5+2, 1))) AS i, ws FROM d),
+         occ AS (SELECT doc_id, i-1 AS pos, lower(array_to_string(ws[i:i+4], ' ')) AS gram FROM u),
+         mk AS (SELECT doc_id, pos,
+                 row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+                 count(*) OVER (PARTITION BY gram) AS c
+                FROM occ),
+         rem AS (SELECT doc_id, pos FROM mk WHERE c >= 2 AND rn > 1),
+         cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos+5)) AS cp FROM rem),
+         w AS (SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1)-1 AS pos FROM d),
+         kept AS (SELECT w.doc_id, w.pos, w.word FROM w
+                  LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.pos = cov.cp
+                  WHERE cov.doc_id IS NULL),
+         reb AS (SELECT doc_id, array_to_string(list(word ORDER BY pos), ' ') AS text_clean
+                 FROM kept GROUP BY doc_id),
+         cnt AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+         SELECT d.doc_id AS doc_id, coalesce(reb.text_clean, '') AS text_clean,
+                coalesce(cnt.n_removed, 0) AS n_removed
+         FROM d LEFT JOIN reb ON d.doc_id = reb.doc_id
+         LEFT JOIN cnt ON d.doc_id = cnt.doc_id""",
     // incremental variant: even-id corpus census, odd-id batch flagged
     "dedup_boilerplate_inc" ->
       """WITH tc AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w

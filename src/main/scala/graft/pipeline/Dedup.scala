@@ -326,6 +326,88 @@ object Dedup {
           .as("boiler_frac"))
   }
 
+  /** Exact duplicated-span REMOVAL — the rewrite stage of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"
+    * (arXiv:2107.06499), in its bounded word-n-gram form: every occurrence
+    * of a `spanLen`-word window whose lowercase form appears at least
+    * `minCount` times in the corpus (occurrence count, so a passage pasted
+    * twice into ONE document is also cut) is removed from the text EXCEPT
+    * the globally-first occurrence — smallest `(docId, position)` — and
+    * overlapping duplicated windows merge into one removed span through the
+    * covered-position set. [[ngramFrequency]]/[[boilerplateFlags]] are the
+    * discovery/flagging stages of this family; this operator actually
+    * produces the cleaned corpus.
+    *
+    * Output: one row per input document, `(idCol, text_clean, n_removed)`.
+    * `text_clean` joins the surviving words with single spaces (whitespace
+    * is canonicalized; the match key is the lowercase window but surviving
+    * words keep their original case), `n_removed` counts removed word
+    * positions. Documents shorter than `spanLen` words pass through
+    * (modulo whitespace collapse); empty documents yield `''`. Like the
+    * reference method this is single-pass: words made adjacent by a cut
+    * are NOT re-examined for new duplicate windows.
+    *
+    * Scale design: gram building is a per-row projection over the split
+    * word array (`transform` over a window index sequence — the word
+    * stream is never exploded), so the only corpus-sized shuffles are
+    * (1) the gram census hash-aggregate (map-side partial counts) and
+    * (2) the occurrence↔census equi-join on the gram key that locates
+    * non-first occurrences — census rows exist only for grams with
+    * `count >= minCount`, so on real corpora the census side is orders of
+    * magnitude smaller than the corpus and AQE turns the join into a
+    * broadcast. The rebuild is NOT a token shuffle: removed window starts
+    * collapse to a per-document covered-position array (bounded by
+    * document length), which joins back BY ID and drives one
+    * index-filtered `transform` projection per document. */
+  def spanRewrite(docs: DataFrame, textCol: String, idCol: String,
+                  spanLen: Int, minCount: Long = 2L,
+                  checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    require(spanLen >= 1, s"spanRewrite needs spanLen >= 1 (got $spanLen)")
+    require(minCount >= 2L, s"spanRewrite needs minCount >= 2 (got $minCount)")
+    // (id, ws): split once; multi-consumer (gram pass + rebuild), so the
+    // barrier stops the text from being re-split per consumer
+    val words = Materialize(
+      spread(docs).select(col(idCol),
+        filter(split(trim(col(textCol)), "\\s+"), w => w =!= "").as("__ws")),
+      checkpoint)
+
+    // (id, pos, gram): window starts 0..len-spanLen, built inside one
+    // projection — guard the sequence: Spark's sequence(0, negative) counts
+    // DOWN, so short docs must yield an empty gram array, not [0, -1, ...]
+    val grams = words.select(col(idCol),
+      posexplode(
+        when(size(col("__ws")) < spanLen, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0), size(col("__ws")) - spanLen),
+            i => lower(concat_ws(" ", slice(col("__ws"), i + 1, lit(spanLen))))))))
+      .toDF(idCol, "__pos", "__gram")
+
+    // first = smallest (doc, pos) occurrence; struct min IS that
+    // lexicographic order
+    val census = grams.groupBy(col("__gram"))
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col(idCol).as("d"), col("__pos").as("p"))).as("__first"))
+      .where(col("__c") >= minCount)
+      .select(col("__gram"), col("__first"))
+
+    // covered word positions per doc, as one bounded array (positions are
+    // ints; a doc's array is at most its word count)
+    val covered = grams.join(census, Seq("__gram"))
+      .where(!(col(idCol) === col("__first.d") && col("__pos") === col("__first.p")))
+      .select(col(idCol), explode(sequence(col("__pos"), col("__pos") + (spanLen - 1))).as("__cp"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("__cp")).as("__cov"))
+
+    words.join(covered, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__cov").isNull, concat_ws(" ", col("__ws")))
+          .otherwise(concat_ws(" ",
+            filter(col("__ws"), (_, i) => !array_contains(col("__cov"), i))))
+          .as("text_clean"),
+        when(col("__cov").isNull, lit(0L))
+          .otherwise(size(col("__cov")).cast("long")).as("n_removed"))
+  }
+
   /** Per-document sorted distinct shingle-hash sets: (idCol, __hset). One
     * narrow codegen projection (8 B/shingle), materialized once — the
     * shared verify frame for [[ngramJaccardPairs]] and

@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Dedup.spanRewrite]] — the Lee-et-al duplicated-span removal rewrite.
+  * The invariants under test: the globally-first occurrence (smallest
+  * (doc, pos)) survives, every other occurrence is cut, overlapping
+  * duplicated windows merge through the covered-position set, matching is
+  * case-insensitive while surviving words keep their case, and the output
+  * canonicalizes whitespace without inventing or reordering words.
+  */
+class SpanRewriteSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private def run(docs: Seq[(Long, String)], spanLen: Int,
+                  minCount: Long = 2L): Map[Long, (String, Long)] =
+    Dedup.spanRewrite(docs.toDF("doc_id", "text"), "text", "doc_id", spanLen, minCount)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text_clean"), r.getAs[Long]("n_removed")))
+      .toMap
+
+  test("first occurrence survives, later copies are cut, overlaps merge") {
+    // the 4-word passage spans two overlapping 3-grams; their covered
+    // positions must merge into one clean cut
+    val res = run(Seq(
+      (1L, "intro alpha beta gamma delta end"),
+      (2L, "start alpha beta gamma delta tail"),
+      (3L, "ALPHA BETA GAMMA DELTA solo")), spanLen = 3)
+    assert(res(1L) == ("intro alpha beta gamma delta end", 0L))
+    assert(res(2L) == ("start tail", 4L))
+    // case-insensitive match; doc 1 is the (doc, pos) minimum even though
+    // doc 3's copy starts at position 0
+    assert(res(3L) == ("solo", 4L))
+  }
+
+  test("a passage repeated within ONE document loses its second copy") {
+    val res = run(Seq((7L, "alpha beta gamma filler alpha beta gamma")), spanLen = 3)
+    assert(res(7L) == ("alpha beta gamma filler", 3L))
+  }
+
+  test("short, empty and ragged-whitespace docs pass through canonicalized") {
+    val res = run(Seq(
+      (1L, "too short"),
+      (2L, ""),
+      (3L, "  spaced \t out\n doc  ")), spanLen = 3)
+    assert(res(1L) == ("too short", 0L))
+    assert(res(2L) == ("", 0L))
+    assert(res(3L) == ("spaced out doc", 0L))
+  }
+
+  test("minCount gates the census: 2 copies survive minCount=3, 3 do not") {
+    val two = Seq((1L, "p q r s"), (2L, "p q r s"))
+    val resTwo = run(two, spanLen = 4, minCount = 3L)
+    assert(resTwo(1L) == ("p q r s", 0L) && resTwo(2L) == ("p q r s", 0L))
+    val three = two :+ (3L, "p q r s")
+    val resThree = run(three, spanLen = 4, minCount = 3L)
+    assert(resThree(1L) == ("p q r s", 0L))
+    assert(resThree(2L) == ("", 4L) && resThree(3L) == ("", 4L))
+  }
+
+  test("matches an in-memory reference on a collision-heavy random corpus") {
+    val L = 3
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docs = (0L until 40L).map { id =>
+      val n = rnd.nextInt(13)
+      id -> Vector.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+
+    val words = docs.map { case (id, t) =>
+      id -> t.trim.split("\\s+").filter(_.nonEmpty).toVector
+    }
+    val occ = for {
+      (id, ws) <- words
+      p <- 0 to ws.length - L
+      if ws.length >= L
+    } yield (id, p, ws.slice(p, p + L).map(_.toLowerCase).mkString(" "))
+    val removed = occ.groupBy(_._3).values.filter(_.size >= 2)
+      .flatMap(_.sortBy(o => (o._1, o._2)).tail)
+    val covByDoc = removed.groupBy(_._1).map { case (id, rs) =>
+      id -> rs.flatMap(r => r._2 until r._2 + L).toSet
+    }
+    val expected = words.map { case (id, ws) =>
+      val cov = covByDoc.getOrElse(id, Set.empty[Int])
+      id -> (ws.zipWithIndex.collect { case (w, i) if !cov(i) => w }.mkString(" "),
+        cov.size.toLong)
+    }.toMap
+
+    assert(run(docs, L) == expected)
+  }
+}
