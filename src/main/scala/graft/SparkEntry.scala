@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{array, col, concat, concat_ws, count, encode, explode, expr, get_json_object, length, lit, lower, max, min, posexplode, round => sround, slice, split, substring, sum, trim}
+import org.apache.spark.sql.functions.{array, col, concat, concat_ws, count, encode, explode, expr, get_json_object, length, lit, lower, max, min, posexplode, round => sround, slice, split, substring, sum, trim, when}
 
 import graft.fuzzy.{FuzzyAlgorithm, FuzzyMapping, FuzzyMatcher, MatchOptions}
 import graft.pipeline.{AnnSearch, AsofJoin, Curation, Decontaminate, Dedup, Multimodal, NearDupCluster, Profile, QualityModel, RangeJoin, Sessionize, TextAnalysis}
@@ -1169,6 +1169,30 @@ object SparkEntry {
         .select(col("doc_id"), col("chunk_index"), col("n_chunk_tokens"),
           org.apache.spark.sql.functions.md5(encode(col("chunk_text"), "UTF-8"))
             .as("chunk_md5"))),
+
+    // ---- corpus version diff: status per id between two snapshots,
+    // judged on (id, digest) rows — the payload never crosses the join
+    "corpus_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val oldV = d.where(col("doc_id") % 10 =!= 0)
+      val newV = d.where(col("doc_id") % 11 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [v2]")))
+            .otherwise(col("text")).as("text"),
+          col("source"))
+      Curation.corpusDiff(oldV, newV, "doc_id", Seq("text", "source"))
+    }),
+
+    // ---- right-to-be-forgotten cascade audit: per-artifact delete /
+    // remain counts + the orphan check (must be 0 on a consistent cascade)
+    "curate_forget" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val chunks = Curation.chunkTokens(d, "text", "doc_id", 40, 0)
+      val emb = t(s, dir, "embeddings").select(col("vec_id").as("doc_id"))
+      val forget = d.where(col("doc_id") % 13 === 0).select("doc_id")
+      Curation.forgetAudit(d, "doc_id", forget,
+        Seq(("chunks", chunks, "doc_id"), ("embeddings", emb, "doc_id")))
+    }),
 
     // ---- ordered funnel: view -> click -> purchase, earliest-achievable
     // step times, -1 sentinels for unreached steps
@@ -3011,6 +3035,43 @@ object SparkEntry {
            CAST(len(string_split_regex(ch.txt, '\s+')) AS BIGINT) AS n_chunk_tokens,
            md5(ch.txt) AS chunk_md5
          FROM c""",
+    // digest-judged snapshot diff; chr(1) is the column separator on both
+    // engines (concat_ws skips nulls identically)
+    "corpus_diff" ->
+      """WITH o AS (SELECT doc_id, md5(concat_ws(chr(1), text, source)) AS od
+               FROM documents WHERE doc_id % 10 != 0),
+         n AS (SELECT doc_id, md5(concat_ws(chr(1),
+                 CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]' ELSE text END, source)) AS nd
+               FROM documents WHERE doc_id % 11 != 3)
+         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN od = nd THEN 'unchanged' ELSE 'changed' END AS status
+         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""",
+    // cascade audit: chunk multiplicity = floor((len-1)/40)+1 (stride 40,
+    // overlap 0 — same tokenization as the chunk operators); orphans are
+    // structurally 0 because both artifacts key off the parent id
+    "curate_forget" ->
+      """WITH w AS (SELECT doc_id, len(string_split_regex(trim(lower(text)), '\s+')) AS nw,
+                (doc_id % 13 = 0) AS fg FROM documents),
+         ch AS (SELECT doc_id, CAST(floor((nw-1)/40) AS BIGINT) + 1 AS n_chunks, fg FROM w),
+         em AS (SELECT vec_id % 13 = 0 AS fg FROM embeddings)
+         SELECT '__parent__' AS artifact, count(*) AS total,
+                CAST(sum(CASE WHEN fg THEN 1 ELSE 0 END) AS BIGINT) AS forgotten,
+                CAST(count(*) - sum(CASE WHEN fg THEN 1 ELSE 0 END) AS BIGINT) AS remaining,
+                CAST(0 AS BIGINT) AS orphans
+         FROM w
+         UNION ALL
+         SELECT 'chunks', CAST(sum(n_chunks) AS BIGINT),
+                CAST(sum(CASE WHEN fg THEN n_chunks ELSE 0 END) AS BIGINT),
+                CAST(sum(n_chunks) - sum(CASE WHEN fg THEN n_chunks ELSE 0 END) AS BIGINT),
+                CAST(0 AS BIGINT)
+         FROM ch
+         UNION ALL
+         SELECT 'embeddings', count(*), CAST(sum(CASE WHEN fg THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(count(*) - sum(CASE WHEN fg THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(0 AS BIGINT)
+         FROM em""",
     // earliest-achievable funnel times: each step's min ts at or after
     // the previous step's time; only funnel entrants (step 0) appear
     "events_funnel" ->

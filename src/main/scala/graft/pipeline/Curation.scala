@@ -554,4 +554,92 @@ object Curation {
       min(n).cast("long").as("min_v"),
       max(n).cast("long").as("max_v"))
   }
+
+  /** Row-level diff between two corpus versions (the nightly question
+    * "what changed since the last snapshot?"): one row per id present in
+    * either side with `status` ∈ added / removed / changed / unchanged,
+    * judged by an md5 digest over `payloadCols` (concat_ws on a U+0001
+    * separator so adjacent columns cannot alias; both engines skip nulls
+    * identically).
+    *
+    * Scale design: each side reduces to `(id, 16-byte digest)` BEFORE the
+    * join, so the payload never crosses an exchange and the full outer
+    * join shuffles two narrow frames on the id key — the layout
+    * [[graft.util.BucketedTables]] makes exchange-free when both
+    * snapshots are bucketed by id. Text comparison is digest equality:
+    * constant-width regardless of document size. */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                 payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "corpusDiff needs at least one payload column")
+    def digested(df: DataFrame, name: String): DataFrame =
+      df.select(col(idCol),
+        md5(concat_ws("\u0001", payloadCols.map(col): _*)).as(name))
+    digested(oldDf, "__od").join(digested(newDf, "__nd"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__od").isNull, lit("added"))
+          .when(col("__nd").isNull, lit("removed"))
+          .when(col("__od") === col("__nd"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
+  /** Right-to-be-forgotten cascade audit: given a parent corpus, a forget
+    * list of parent ids, and the derived artifacts that reference parents
+    * by foreign key (chunk tables, embedding tables, index postings…),
+    * reports per artifact how many rows the cascade deletes and how many
+    * remain — plus `orphans`, the remaining child rows whose parent no
+    * longer exists after the delete (MUST be 0 when the forget list and
+    * the cascade are consistent; a nonzero row is the audit catching an
+    * artifact that was not rebuilt). Row-level deletion itself is
+    * [[forget]]; this is the audit frame a compliance job persists.
+    *
+    * Scale: per artifact one LEFT SEMI membership probe against the forget
+    * list (broadcast — forget lists are bounded) aggregated to exact
+    * counts, and for the orphan check one left anti join of the remaining
+    * children against remaining parents on the id key. Nothing wide ever
+    * shuffles. */
+  def forgetAudit(parent: DataFrame, idCol: String, forgetIds: DataFrame,
+                  children: Seq[(String, DataFrame, String)]): DataFrame = {
+    val spark = parent.sparkSession
+    import spark.implicits._
+    val fids = broadcast(forgetIds.select(col(idCol)).distinct())
+    val keptParents = parent.join(fids, Seq(idCol), "left_anti")
+      .select(col(idCol)).distinct()
+
+    def audit(name: String, df: DataFrame, fk: String,
+              checkOrphans: Boolean): DataFrame = {
+      val flagged = df.select(col(fk).as(idCol))
+        .join(fids.withColumn("__forget", lit(1)), Seq(idCol), "left")
+      val counts = flagged.agg(
+        count(lit(1)).as("total"),
+        sum(when(col("__forget").isNotNull, 1L).otherwise(0L)).as("forgotten"))
+      val orphans =
+        if (!checkOrphans) counts.withColumn("__orphans", lit(0L))
+        else {
+          val o = df.select(col(fk).as(idCol))
+            .join(fids, Seq(idCol), "left_anti")
+            .join(keptParents, Seq(idCol), "left_anti")
+            .agg(count(lit(1)).as("__orphans"))
+          counts.crossJoin(broadcast(o))
+        }
+      orphans.select(lit(name).as("artifact"), col("total"),
+        col("forgotten"), (col("total") - col("forgotten")).as("remaining"),
+        col("__orphans").as("orphans"))
+    }
+
+    val parentAudit = audit("__parent__", parent, idCol, checkOrphans = false)
+    children.foldLeft(parentAudit) { case (acc, (name, df, fk)) =>
+      acc.unionByName(audit(name, df, fk, checkOrphans = true))
+    }
+  }
+
+  /** The cascade itself: parent and every child with forget-listed parents
+    * removed, as left anti joins on the (broadcast) forget list. */
+  def forget(parent: DataFrame, idCol: String, forgetIds: DataFrame,
+             children: Seq[(String, DataFrame, String)]): (DataFrame, Seq[(String, DataFrame)]) = {
+    val fids = broadcast(forgetIds.select(col(idCol)).distinct())
+    (parent.join(fids, Seq(idCol), "left_anti"),
+      children.map { case (name, df, fk) =>
+        name -> df.join(fids.withColumnRenamed(idCol, fk), Seq(fk), "left_anti")
+      })
+  }
 }

@@ -1,0 +1,57 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Curation.corpusDiff]] + [[Curation.forgetAudit]]/[[Curation.forget]] —
+  * the snapshot-diff and delete-cascade surface of a nightly corpus
+  * pipeline. */
+class VersioningSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  test("corpusDiff labels added / removed / changed / unchanged by digest") {
+    val oldV = Seq((1L, "same", "s1"), (2L, "was", "s1"), (3L, "gone", "s2"))
+      .toDF("id", "text", "source")
+    val newV = Seq((1L, "same", "s1"), (2L, "now", "s1"), (4L, "new", "s3"))
+      .toDF("id", "text", "source")
+    val res = Curation.corpusDiff(oldV, newV, "id", Seq("text", "source"))
+      .as[(Long, String)].collect().toMap
+    assert(res == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
+  test("corpusDiff: the separator keeps adjacent columns from aliasing") {
+    val oldV = Seq((1L, "ab", "c")).toDF("id", "a", "b")
+    val newV = Seq((1L, "a", "bc")).toDF("id", "a", "b")
+    val res = Curation.corpusDiff(oldV, newV, "id", Seq("a", "b"))
+      .as[(Long, String)].collect().toMap
+    assert(res(1L) == "changed")
+  }
+
+  test("forgetAudit counts the cascade and catches orphaned children") {
+    val parent = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val forget = Seq(2L, 4L).toDF("id")
+    // child rows: two per surviving parent 1, one per forgotten parent 2,
+    // and one ORPHAN referencing parent 9 that never existed
+    val child = Seq(1L, 1L, 2L, 9L).toDF("pid")
+    val res = Curation.forgetAudit(parent, "id", forget,
+      Seq(("child", child, "pid")))
+      .collect()
+      .map(r => r.getAs[String]("artifact") ->
+        (r.getAs[Long]("total"), r.getAs[Long]("forgotten"),
+          r.getAs[Long]("remaining"), r.getAs[Long]("orphans")))
+      .toMap
+    assert(res("__parent__") == (4L, 2L, 2L, 0L))
+    assert(res("child") == (4L, 1L, 3L, 1L))
+  }
+
+  test("forget removes forgotten parents and their children, nothing else") {
+    val parent = Seq((1L, "keep"), (2L, "drop")).toDF("id", "text")
+    val forget = Seq(2L).toDF("id")
+    val child = Seq((1L, 10L), (2L, 20L), (2L, 21L)).toDF("pid", "row")
+    val (p, cs) = Curation.forget(parent, "id", forget, Seq(("c", child, "pid")))
+    assert(p.as[(Long, String)].collect().toSeq == Seq((1L, "keep")))
+    assert(cs.head._2.select("pid", "row").as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L)))
+  }
+}
