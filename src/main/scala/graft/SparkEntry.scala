@@ -356,6 +356,31 @@ object SparkEntry {
       res.select(col("query_id"), col("corpus_id"),
         sround(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
     }),
+    // metadata-filtered exact search: predicate pushed into the corpus
+    // scan BEFORE scoring — pre-filter semantics, no recall loss
+    "ann_cosine_filtered" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val res = AnnSearch.filteredTopK(emb.where(col("vec_id") < 10), emb,
+        "embedding", "vec_id", 10, col("label") % 3 === 1)
+      res.select(col("query_id"), col("corpus_id"),
+        sround(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+    }),
+    // filtered search against a STORED index (predicate at search time,
+    // index built unfiltered); full probe => provably equals the filtered
+    // brute force, so the same SQL oracles the whole semi-join path
+    "ann_filtered_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = AnnSearch.kmeansFit(emb, "embedding", dim = 64, k = 8, iters = 2)
+      val flat = cents.flatMap { v =>
+        val n = math.sqrt(v.map(x => x * x).sum); if (n == 0) v else v.map(_ / n)
+      }
+      val posts = AnnSearch.ivfPostings(emb, "embedding", "vec_id", 64, flat)
+      val res = AnnSearch.ivfTopKFromPostingsFiltered(emb.where(col("vec_id") < 10),
+        posts, "embedding", "vec_id", 10, dim = 64, flat, nProbe = 8,
+        emb.where(col("label") % 3 === 1).select(col("vec_id")))
+      res.select(col("query_id"), col("corpus_id"),
+        sround(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+    }),
     // k-NN label propagation: majority label among exact top-10
     // neighbors, ties by most votes then smallest label
     "ann_knn_label" -> ((s, dir) => {
@@ -1591,6 +1616,28 @@ object SparkEntry {
          s AS (SELECT query_id, c.vec_id AS corpus_id,
                       list_cosine_similarity(qv::DOUBLE[], c.embedding::DOUBLE[]) AS cos
                FROM q CROSS JOIN embeddings c WHERE c.vec_id != query_id),
+         r AS (SELECT query_id, corpus_id, cos,
+                      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+               FROM s)
+         SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 10""",
+    // both filtered variants reduce to the same exact filtered brute
+    // force (pre-filter is exact; the IVF run probes all cells)
+    "ann_cosine_filtered" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         s AS (SELECT query_id, c.vec_id AS corpus_id,
+                      list_cosine_similarity(qv::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+               FROM q CROSS JOIN embeddings c
+               WHERE c.vec_id != query_id AND c.label % 3 = 1),
+         r AS (SELECT query_id, corpus_id, cos,
+                      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+               FROM s)
+         SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 10""",
+    "ann_filtered_ivf" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         s AS (SELECT query_id, c.vec_id AS corpus_id,
+                      list_cosine_similarity(qv::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+               FROM q CROSS JOIN embeddings c
+               WHERE c.vec_id != query_id AND c.label % 3 = 1),
          r AS (SELECT query_id, corpus_id, cos,
                       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
                FROM s)

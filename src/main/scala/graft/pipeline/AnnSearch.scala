@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.util.Partitioning.spread
@@ -631,6 +631,43 @@ object AnnSearch {
     * [[bruteForceTopK]] (swap in any topK operator for scale) with a
     * broadcast label join and one tiny per-query aggregate; emits
     * (query_id, label_pred, votes). */
+  /** Metadata-filtered exact top-k ("find the k nearest documents WHERE
+    * lang = 'en' AND license = permissive"): the predicate is applied to
+    * the corpus BEFORE any scoring, so Catalyst pushes it into the corpus
+    * scan (partition pruning / PushedFilters when the corpus is stored
+    * partitioned or sorted by the filter columns) and the cross join,
+    * the kernel evaluations and the heap ranking all see only surviving
+    * rows. Exact by construction: pre-filtering a brute-force search
+    * cannot lose results, unlike post-filtering an ANN candidate list.
+    * A query whose entire neighborhood fails the predicate simply
+    * returns fewer than k rows. */
+  def filteredTopK(queries: DataFrame, corpus: DataFrame,
+                   vecCol: String, idCol: String, k: Int,
+                   corpusPredicate: Column): DataFrame =
+    bruteForceTopK(queries, corpus.where(corpusPredicate), vecCol, idCol, k)
+
+  /** Filtered search against a STORED IVF index (the production shape:
+    * the index is built once over the full corpus, the predicate changes
+    * per request, so it cannot be baked into the postings): probe nProbe
+    * cells, drop candidates not in `allowedIds` (left semi join — compute
+    * it from the metadata predicate; it broadcasts when the selection is
+    * small), then rank. The filter runs BEFORE the k-cut, so the k
+    * survivors are the true filtered top-k OF THE PROBED CELLS — overall
+    * recall is plain IVF probe recall, not additionally degraded by the
+    * filter. For highly selective predicates raise nProbe (the classic
+    * filtered-ANN trade: a cell may contain no allowed rows); at
+    * nProbe = nCells this provably equals [[filteredTopK]] over the
+    * postings' vectors — the oracle-checkable configuration. */
+  def ivfTopKFromPostingsFiltered(queries: DataFrame, postings: DataFrame,
+                                  vecCol: String, idCol: String, k: Int, dim: Int,
+                                  centroids: Array[Double], nProbe: Int,
+                                  allowedIds: DataFrame): DataFrame = {
+    val allowed = allowedIds.select(col(allowedIds.columns.head).as("corpus_id"))
+    ivfTopKFromPostings(queries,
+      postings.join(allowed, Seq("corpus_id"), "left_semi"),
+      vecCol, idCol, k, dim, centroids, nProbe)
+  }
+
   def knnLabel(queries: DataFrame, corpus: DataFrame,
                vecCol: String, idCol: String, labelCol: String,
                k: Int): DataFrame =

@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Metadata-filtered vector search: [[AnnSearch.filteredTopK]] (exact
+  * pre-filter) and [[AnnSearch.ivfTopKFromPostingsFiltered]] (search-time
+  * semi-join against a stored, unfiltered index). */
+class FilteredAnnSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("pre-filter is exact: equals brute force restricted to allowed rows") {
+    val queries = emb.where(col("vec_id") < 5)
+    val got = AnnSearch.filteredTopK(queries, emb, "embedding", "vec_id", 5,
+      col("label") % 2 === 0)
+      .select("query_id", "corpus_id", "rank").as[(Long, Long, Int)]
+      .collect().toSet
+    val expected = AnnSearch.bruteForceTopK(queries,
+      emb.where(col("label") % 2 === 0), "embedding", "vec_id", 5)
+      .select("query_id", "corpus_id", "rank").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("a predicate that empties the corpus returns no rows, not an error") {
+    val res = AnnSearch.filteredTopK(emb.where(col("vec_id") < 3), emb,
+      "embedding", "vec_id", 5, col("label") === -1)
+    assert(res.count() == 0)
+  }
+
+  test("full-probe filtered IVF equals the exact filtered search") {
+    val cents = AnnSearch.kmeansFit(emb, "embedding", dim = 64, k = 4, iters = 2)
+    val flat = cents.flatMap { v =>
+      val n = math.sqrt(v.map(x => x * x).sum); if (n == 0) v else v.map(_ / n)
+    }
+    val posts = AnnSearch.ivfPostings(emb, "embedding", "vec_id", 64, flat)
+    val allowed = emb.where(col("label") % 2 === 0).select("vec_id")
+    val ivf = AnnSearch.ivfTopKFromPostingsFiltered(emb.where(col("vec_id") < 5),
+      posts, "embedding", "vec_id", 5, 64, flat, nProbe = 4, allowed)
+      .select("query_id", "corpus_id", "rank").as[(Long, Long, Int)]
+      .collect().toSet
+    val exact = AnnSearch.filteredTopK(emb.where(col("vec_id") < 5), emb,
+      "embedding", "vec_id", 5, col("label") % 2 === 0)
+      .select("query_id", "corpus_id", "rank").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(ivf == exact && ivf.nonEmpty)
+  }
+
+  test("partial-probe filtered recall: results are a subset of the exact " +
+    "filtered ranking's candidate pool and never violate the predicate") {
+    val cents = AnnSearch.kmeansFit(emb, "embedding", dim = 64, k = 4, iters = 2)
+    val flat = cents.flatMap { v =>
+      val n = math.sqrt(v.map(x => x * x).sum); if (n == 0) v else v.map(_ / n)
+    }
+    val posts = AnnSearch.ivfPostings(emb, "embedding", "vec_id", 64, flat)
+    val allowedDf = emb.where(col("label") % 2 === 0).select("vec_id")
+    val allowed = allowedDf.as[Long].collect().toSet
+    val got = AnnSearch.ivfTopKFromPostingsFiltered(emb.where(col("vec_id") < 5),
+      posts, "embedding", "vec_id", 5, 64, flat, nProbe = 1, allowedDf)
+      .select("corpus_id").as[Long].collect()
+    assert(got.forall(allowed.contains))
+  }
+}
