@@ -544,6 +544,16 @@ object SparkEntry {
     // from the text, overlaps merged through the covered-position set
     "dedup_span_rewrite" -> ((s, dir) =>
       Dedup.spanRewrite(t(s, dir, "documents"), "text", "doc_id", 5, 2L)),
+    // nightly shape: odd-id batch rewritten against the even-id corpus's
+    // stored census — every batch occurrence of a corpus window is cut,
+    // the corpus is never rescanned per batch
+    "dedup_span_inc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val census = Dedup.ngramFrequency(docs.where(col("doc_id") % 2 === 0),
+        "text", "doc_id", 5, 1L)
+      Dedup.spanRewriteAgainst(docs.where(col("doc_id") % 2 === 1), census,
+        "text", "doc_id", 5)
+    }),
     "curate_stratified" -> ((s, dir) =>
       Curation.stratifiedHashSample(t(s, dir, "documents"), "doc_id", "source",
         Map("web" -> 0.1, "books" -> 1.0), defaultRate = 0.5)
@@ -1976,6 +1986,32 @@ object SparkEntry {
                  count(*) OVER (PARTITION BY gram) AS c
                 FROM occ),
          rem AS (SELECT doc_id, pos FROM mk WHERE c >= 2 AND rn > 1),
+         cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos+5)) AS cp FROM rem),
+         w AS (SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1)-1 AS pos FROM d),
+         kept AS (SELECT w.doc_id, w.pos, w.word FROM w
+                  LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.pos = cov.cp
+                  WHERE cov.doc_id IS NULL),
+         reb AS (SELECT doc_id, array_to_string(list(word ORDER BY pos), ' ') AS text_clean
+                 FROM kept GROUP BY doc_id),
+         cnt AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+         SELECT d.doc_id AS doc_id, coalesce(reb.text_clean, '') AS text_clean,
+                coalesce(cnt.n_removed, 0) AS n_removed
+         FROM d LEFT JOIN reb ON d.doc_id = reb.doc_id
+         LEFT JOIN cnt ON d.doc_id = cnt.doc_id""",
+    // incremental span rewrite: census grams = the corpus's distinct
+    // 5-word windows (plus harmless short-doc collapses that can never
+    // match a 5-word batch window); every matching batch occurrence is cut
+    "dedup_span_inc" ->
+      """WITH cd AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+               FROM documents WHERE doc_id % 2 = 0),
+         cg AS (SELECT DISTINCT unnest(CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(w)-3), i -> array_to_string(w[i:i+4], ' '))) END) AS gram
+               FROM cd),
+         d AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS ws
+               FROM documents WHERE doc_id % 2 = 1),
+         u AS (SELECT doc_id, unnest(range(1, greatest(len(ws)-5+2, 1))) AS i, ws FROM d),
+         occ AS (SELECT doc_id, i-1 AS pos, lower(array_to_string(ws[i:i+4], ' ')) AS gram FROM u),
+         rem AS (SELECT occ.doc_id, occ.pos FROM occ JOIN cg ON occ.gram = cg.gram),
          cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos+5)) AS cp FROM rem),
          w AS (SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1)-1 AS pos FROM d),
          kept AS (SELECT w.doc_id, w.pos, w.word FROM w

@@ -364,23 +364,8 @@ object Dedup {
                   checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
     require(spanLen >= 1, s"spanRewrite needs spanLen >= 1 (got $spanLen)")
     require(minCount >= 2L, s"spanRewrite needs minCount >= 2 (got $minCount)")
-    // (id, ws): split once; multi-consumer (gram pass + rebuild), so the
-    // barrier stops the text from being re-split per consumer
-    val words = Materialize(
-      spread(docs).select(col(idCol),
-        filter(split(trim(col(textCol)), "\\s+"), w => w =!= "").as("__ws")),
-      checkpoint)
-
-    // (id, pos, gram): window starts 0..len-spanLen, built inside one
-    // projection — guard the sequence: Spark's sequence(0, negative) counts
-    // DOWN, so short docs must yield an empty gram array, not [0, -1, ...]
-    val grams = words.select(col(idCol),
-      posexplode(
-        when(size(col("__ws")) < spanLen, array().cast("array<string>"))
-          .otherwise(transform(
-            sequence(lit(0), size(col("__ws")) - spanLen),
-            i => lower(concat_ws(" ", slice(col("__ws"), i + 1, lit(spanLen))))))))
-      .toDF(idCol, "__pos", "__gram")
+    val words = spanWords(docs, textCol, idCol, checkpoint)
+    val grams = spanGrams(words, idCol, spanLen)
 
     // first = smallest (doc, pos) occurrence; struct min IS that
     // lexicographic order
@@ -390,14 +375,64 @@ object Dedup {
       .where(col("__c") >= minCount)
       .select(col("__gram"), col("__first"))
 
-    // covered word positions per doc, as one bounded array (positions are
-    // ints; a doc's array is at most its word count)
-    val covered = grams.join(census, Seq("__gram"))
+    val removed = grams.join(census, Seq("__gram"))
       .where(!(col(idCol) === col("__first.d") && col("__pos") === col("__first.p")))
+    spanRebuild(words, idCol, removed, spanLen)
+  }
+
+  /** The nightly-ingest form of [[spanRewrite]] (same batch/corpus split
+    * as [[boilerplateFlagsAgainst]] and [[incrementalDedup]]): cut from
+    * the BATCH every occurrence of a window whose lowercase form exists
+    * in an already-ingested corpus's census — the corpus keeps its copy,
+    * so, unlike the full rewrite, no first-occurrence ranking is needed
+    * and the corpus is never rescanned per batch. `census` is
+    * [[ngramFrequency]] output (built once per corpus version with
+    * `n = spanLen`, `minDocs = 1`, then persisted); only its `ngram`
+    * column is read, and the census's short-document collapsed shingles
+    * can never match a full `spanLen`-word batch window, so they are
+    * harmless in the membership probe. Within-batch duplication is out of
+    * scope here — run the batch through [[spanRewrite]] first (or after)
+    * when the batch can self-duplicate. */
+  def spanRewriteAgainst(batch: DataFrame, census: DataFrame,
+                         textCol: String, idCol: String, spanLen: Int,
+                         checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    require(spanLen >= 1, s"spanRewriteAgainst needs spanLen >= 1 (got $spanLen)")
+    val words = spanWords(batch, textCol, idCol, checkpoint)
+    val removed = spanGrams(words, idCol, spanLen)
+      .join(census.select(col("ngram").as("__gram")), Seq("__gram"))
+    spanRebuild(words, idCol, removed, spanLen)
+  }
+
+  // (id, ws): split once; multi-consumer (gram pass + rebuild), so the
+  // barrier stops the text from being re-split per consumer
+  private def spanWords(docs: DataFrame, textCol: String, idCol: String,
+                        checkpoint: CheckpointStrategy): DataFrame =
+    Materialize(
+      spread(docs).select(col(idCol),
+        filter(split(trim(col(textCol)), "\\s+"), w => w =!= "").as("__ws")),
+      checkpoint)
+
+  // (id, pos, gram): window starts 0..len-spanLen, built inside one
+  // projection — guard the sequence: Spark's sequence(0, negative) counts
+  // DOWN, so short docs must yield an empty gram array, not [0, -1, ...]
+  private def spanGrams(words: DataFrame, idCol: String, spanLen: Int): DataFrame =
+    words.select(col(idCol),
+      posexplode(
+        when(size(col("__ws")) < spanLen, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0), size(col("__ws")) - spanLen),
+            i => lower(concat_ws(" ", slice(col("__ws"), i + 1, lit(spanLen))))))))
+      .toDF(idCol, "__pos", "__gram")
+
+  // collapse removed window starts (id, __pos) to one bounded
+  // covered-position array per doc, then cut in a single index-filtered
+  // projection — the rebuild never shuffles tokens
+  private def spanRebuild(words: DataFrame, idCol: String,
+                          removed: DataFrame, spanLen: Int): DataFrame = {
+    val covered = removed
       .select(col(idCol), explode(sequence(col("__pos"), col("__pos") + (spanLen - 1))).as("__cp"))
       .groupBy(col(idCol))
       .agg(collect_set(col("__cp")).as("__cov"))
-
     words.join(covered, Seq(idCol), "left")
       .select(col(idCol),
         when(col("__cov").isNull, concat_ws(" ", col("__ws")))

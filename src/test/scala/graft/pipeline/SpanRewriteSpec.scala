@@ -61,6 +61,26 @@ class SpanRewriteSpec extends AnyFunSuite with SparkSpec {
     assert(resThree(2L) == ("", 4L) && resThree(3L) == ("", 4L))
   }
 
+  test("incremental form cuts every batch occurrence of a corpus window " +
+    "and never ranks within the batch") {
+    val corpus = Seq((0L, "alpha beta gamma delta end")).toDF("doc_id", "text")
+    val census = Dedup.ngramFrequency(corpus, "text", "doc_id", 3, 1L)
+    val batch = Seq(
+      // both overlapping corpus 3-grams present twice — ALL cut (no
+      // first-occurrence survivor inside the batch)
+      (1L, "x alpha beta gamma delta y alpha beta gamma delta"),
+      (2L, "fresh words entirely"),
+      (3L, "al pha")).toDF("doc_id", "text")
+    val res = Dedup.spanRewriteAgainst(batch, census, "text", "doc_id", 3)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text_clean"), r.getAs[Long]("n_removed")))
+      .toMap
+    assert(res(1L) == ("x y", 8L))
+    assert(res(2L) == ("fresh words entirely", 0L))
+    assert(res(3L) == ("al pha", 0L))
+  }
+
   test("matches an in-memory reference on a collision-heavy random corpus") {
     val L = 3
     val rnd = new scala.util.Random(11)
