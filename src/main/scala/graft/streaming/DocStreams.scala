@@ -61,4 +61,26 @@ object DocStreams {
         maxBucketPairs), batchId)
     }
   }
+
+  /** Streaming duplicated-span removal on ingest — the online face of
+    * [[graft.pipeline.Dedup.spanRewriteAgainst]]: every micro-batch is
+    * rewritten against the UNCHANGING stored corpus census
+    * ([[graft.pipeline.Dedup.ngramFrequency]] with `n = spanLen`,
+    * `minDocs = 1`), so an arriving document sheds every passage the
+    * corpus already contains before it reaches the sink. The census is
+    * materialized once before the stream starts (`localCheckpoint`);
+    * refreshing it is the caller's nightly cycle, same contract as
+    * [[nearDupWriter]]. Within-batch duplication is not examined —
+    * micro-batches are small and the nightly full
+    * [[graft.pipeline.Dedup.spanRewrite]] sweep owns that case. */
+  def spanRewriteWriter(docs: DataFrame, census: DataFrame,
+                        textCol: String, idCol: String, spanLen: Int)
+                       (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val censusPrepared = census.select(col("ngram")).localCheckpoint()
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.pipeline.Dedup.spanRewriteAgainst(batch, censusPrepared,
+        textCol, idCol, spanLen), batchId)
+    }
+  }
 }

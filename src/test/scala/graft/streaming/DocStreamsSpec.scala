@@ -106,4 +106,42 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
     // the near-dup and the exact copy are flagged against corpus doc 100
     assert(batch.map(p => (p._1, p._2)) == Set((1L, 100L), (2L, 100L)), s"got $batch")
   }
+
+  test("streaming span rewrite cuts corpus passages from arriving docs, " +
+    "micro-batch split invisible") {
+    val corpus = Seq((100L, "alpha beta gamma delta end")).toDF("doc_id", "text")
+    val census = graft.pipeline.Dedup.ngramFrequency(corpus, "text", "doc_id", 3, 1L)
+    val b1 = Seq((1L, "x alpha beta gamma delta y")).toDF("doc_id", "text")
+    val b2 = Seq((2L, "fresh words entirely"),
+      (3L, "alpha beta gamma again")).toDF("doc_id", "text")
+    val flat = java.nio.file.Files.createTempDirectory("span_stream")
+    Seq(b1, b2).zipWithIndex.foreach { case (df, i) =>
+      val part = java.nio.file.Files.createTempDirectory(s"sp_part$i")
+      df.coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val src = java.nio.file.Files.list(part)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst = flat.resolve(f"$i%02d.parquet")
+      java.nio.file.Files.copy(src, dst)
+      dst.toFile.setLastModified(1000000L + i * 10000L)
+    }
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(flat.toString)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val q = DocStreams.spanRewriteWriter(stream, census, "text", "doc_id", 3) {
+      (out, _) =>
+        rows.synchronized {
+          rows ++= out.select("doc_id", "text_clean", "n_removed")
+            .as[(Long, String, Long)].collect()
+        }
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+
+    val batch = graft.pipeline.Dedup.spanRewriteAgainst(
+        b1.unionByName(b2), census, "text", "doc_id", 3)
+      .select("doc_id", "text_clean", "n_removed")
+      .as[(Long, String, Long)].collect().toSet
+    assert(rows.toSet == batch, s"stream ${rows.toSet} vs batch $batch")
+    assert(batch == Set((1L, "x y", 4L), (2L, "fresh words entirely", 0L),
+      (3L, "again", 3L)), s"got $batch")
+  }
 }
