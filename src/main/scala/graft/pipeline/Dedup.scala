@@ -350,15 +350,19 @@ object Dedup {
     * Scale design: gram building is a per-row projection over the split
     * word array (`transform` over a window index sequence — the word
     * stream is never exploded), so the only corpus-sized shuffles are
-    * (1) the gram census hash-aggregate (map-side partial counts) and
-    * (2) the occurrence↔census equi-join on the gram key that locates
-    * non-first occurrences — census rows exist only for grams with
-    * `count >= minCount`, so on real corpora the census side is orders of
-    * magnitude smaller than the corpus and AQE turns the join into a
-    * broadcast. The rebuild is NOT a token shuffle: removed window starts
-    * collapse to a per-document covered-position array (bounded by
-    * document length), which joins back BY ID and drives one
-    * index-filtered `transform` projection per document. */
+    * (1) the gram census aggregate — a SortAggregate, because
+    * `min(struct(doc, pos))` needs an ordered buffer, but still with
+    * map-side partial combine, so the exchange carries one row per
+    * distinct (partition, gram) and the per-partition sort is the only
+    * cost over a hash-agg — and (2) the occurrence↔census equi-join on
+    * the gram key that locates non-first occurrences — census rows exist
+    * only for grams with `count >= minCount`, so on real corpora the
+    * census side is orders of magnitude smaller than the corpus and AQE
+    * turns the join into a broadcast (verified in the sf0.01-sf10 plans).
+    * The rebuild is NOT a token shuffle: removed window starts collapse
+    * to a per-document covered-position array (bounded by document
+    * length), which joins back BY ID — broadcast in the measured plans —
+    * and drives one index-filtered `transform` projection per document. */
   def spanRewrite(docs: DataFrame, textCol: String, idCol: String,
                   spanLen: Int, minCount: Long = 2L,
                   checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
