@@ -588,9 +588,12 @@ object Dedup {
     * scored EXACTLY over their full shingle sets. Recall caveat is also
     * identical — plus one containment-specific note: a tiny doc whose few
     * shingles are ALL boilerplate-hot has every blocking path gated; such
-    * corpora should lower the shingle length or route through
-    * [[minhashLshVerifiedPairs]]-style banding before the containment
-    * verify. */
+    * corpora should lower the shingle length (more, rarer shingles per
+    * doc). Minhash-banded candidates are NOT the escape hatch here: band
+    * collision probability is governed by jaccard, and the asymmetric
+    * pairs this operator exists for have jaccard ≈ |A|/|B| — exactly the
+    * pairs banding misses. Shared-shingle blocking IS the containment
+    * scale path. */
   def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
                        n: Int, threshold: Double,
                        checkpoint: CheckpointStrategy = CheckpointStrategy.Local,

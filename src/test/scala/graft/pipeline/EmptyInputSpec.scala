@@ -152,4 +152,30 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
     assert(QualityModel.applyHashedModel(emptyDocs, "text", "doc_id", m)
       .count() === 0L)
   }
+
+  test("span / diff / forget / filtered-search on empty and degenerate input") {
+    // span rewrite: empty corpus, and a census built from an empty corpus
+    assert(Dedup.spanRewrite(emptyDocs, "text", "doc_id", 3).count() === 0L)
+    val emptyCensus = Dedup.ngramFrequency(emptyDocs, "text", "doc_id", 3, 1L)
+    val batch = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val r = Dedup.spanRewriteAgainst(batch, emptyCensus, "text", "doc_id", 3)
+      .head()
+    assert(r.getAs[String]("text_clean") === "a b c d" &&
+      r.getAs[Long]("n_removed") === 0L)
+    // snapshot diff: both sides empty, one side empty
+    assert(Curation.corpusDiff(emptyDocs, emptyDocs, "doc_id", Seq("text"))
+      .count() === 0L)
+    val only = Curation.corpusDiff(emptyDocs, batch, "doc_id", Seq("text"))
+      .collect()
+    assert(only.length === 1 && only.head.getAs[String]("status") === "added")
+    // forget cascade: empty forget list leaves everything; empty parent
+    val keepAll = Curation.forgetAudit(batch, "doc_id",
+      emptyDocs.select("doc_id"), Seq(("c", batch, "doc_id"))).collect()
+    assert(keepAll.forall(r2 => r2.getAs[Long]("forgotten") === 0L &&
+      r2.getAs[Long]("orphans") === 0L))
+    // filtered search: empty query side
+    val vecs = Seq((1L, Seq(1.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    assert(AnnSearch.filteredTopK(vecs.limit(0), vecs, "embedding", "vec_id",
+      3, col("label") >= 0).count() === 0L)
+  }
 }
