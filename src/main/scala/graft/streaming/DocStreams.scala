@@ -56,9 +56,17 @@ object DocStreams {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val statePrepared = corpusState.localCheckpoint()
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      sink(graft.pipeline.Dedup.minhashIncrementalPairs(batch, statePrepared,
-        textCol, idCol, shingleLen, numBands, rowsPerBand, threshold,
-        maxBucketPairs), batchId)
+      // per-batch MatchScope: minhashIncrementalPairs barriers the batch's
+      // minhash state (Materialize); without a scope on the
+      // stream-execution thread those blocks would accumulate for the app
+      // lifetime on an unbounded stream — the FuzzyMatchStream leak, same
+      // fix. statePrepared is checkpointed on the CALLER thread above and
+      // survives across batches.
+      graft.util.MatchScope.withMatchScope {
+        sink(graft.pipeline.Dedup.minhashIncrementalPairs(batch, statePrepared,
+          textCol, idCol, shingleLen, numBands, rowsPerBand, threshold,
+          maxBucketPairs), batchId)
+      }
     }
   }
 
@@ -79,8 +87,16 @@ object DocStreams {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val censusPrepared = census.select(col("ngram")).localCheckpoint()
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      sink(graft.pipeline.Dedup.spanRewriteAgainst(batch, censusPrepared,
-        textCol, idCol, spanLen), batchId)
+      // per-batch MatchScope: spanRewriteAgainst barriers its words frame
+      // (Materialize/localCheckpoint); without a scope on the
+      // stream-execution thread every micro-batch's blocks would live for
+      // the app lifetime — the FuzzyMatchStream leak, same fix. The census
+      // checkpoint above is taken on the CALLER thread, outside any
+      // per-batch scope, so it survives across batches.
+      graft.util.MatchScope.withMatchScope {
+        sink(graft.pipeline.Dedup.spanRewriteAgainst(batch, censusPrepared,
+          textCol, idCol, spanLen), batchId)
+      }
     }
   }
 }

@@ -88,14 +88,22 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(flat.toString)
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-    val q = DocStreams.nearDupWriter(stream, state, "text", "doc_id",
+    // the writer's own static-state checkpoint happens at construction;
+    // count AFTER it so the assertion sees only per-batch barriers
+    val writer = DocStreams.nearDupWriter(stream, state, "text", "doc_id",
         threshold = 0.5) { (out, _) =>
       rows.synchronized {
         rows ++= out.select("id_a", "id_b", "jaccard")
           .as[(Long, Long, Double)].collect()
       }
-    }.start()
+    }
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.size
+    val q = writer.start()
     try q.processAllAvailable() finally q.stop()
+    // per-batch barriers must release with their micro-batch scope — an
+    // unbounded stream may not accumulate executor blocks
+    assert(spark.sparkContext.getPersistentRDDs.size <= rddsBefore,
+      "micro-batch barriers leaked past their scope")
 
     val batch = graft.pipeline.Dedup.minhashIncrementalPairs(
         b1.unionByName(b2), state, "text", "doc_id", threshold = 0.5)
@@ -127,14 +135,18 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
     val stream = spark.readStream.schema(b1.schema)
       .option("maxFilesPerTrigger", "1").parquet(flat.toString)
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
-    val q = DocStreams.spanRewriteWriter(stream, census, "text", "doc_id", 3) {
+    val writer = DocStreams.spanRewriteWriter(stream, census, "text", "doc_id", 3) {
       (out, _) =>
         rows.synchronized {
           rows ++= out.select("doc_id", "text_clean", "n_removed")
             .as[(Long, String, Long)].collect()
         }
-    }.start()
+    }
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.size
+    val q = writer.start()
     try q.processAllAvailable() finally q.stop()
+    assert(spark.sparkContext.getPersistentRDDs.size <= rddsBefore,
+      "per-batch words barriers leaked past their scope")
 
     val batch = graft.pipeline.Dedup.spanRewriteAgainst(
         b1.unionByName(b2), census, "text", "doc_id", 3)
