@@ -365,11 +365,12 @@ object Dedup {
     * and drives one index-filtered `transform` projection per document. */
   def spanRewrite(docs: DataFrame, textCol: String, idCol: String,
                   spanLen: Int, minCount: Long = 2L,
-                  checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+                  checkpoint: CheckpointStrategy = CheckpointStrategy.Local,
+                  hashGrams: Boolean = false): DataFrame = {
     require(spanLen >= 1, s"spanRewrite needs spanLen >= 1 (got $spanLen)")
     require(minCount >= 2L, s"spanRewrite needs minCount >= 2 (got $minCount)")
     val words = spanWords(docs, textCol, idCol, checkpoint)
-    val grams = spanGrams(words, idCol, spanLen)
+    val grams = spanGrams(words, idCol, spanLen, hashGrams)
 
     // first = smallest (doc, pos) occurrence; struct min IS that
     // lexicographic order
@@ -399,11 +400,15 @@ object Dedup {
     * when the batch can self-duplicate. */
   def spanRewriteAgainst(batch: DataFrame, census: DataFrame,
                          textCol: String, idCol: String, spanLen: Int,
-                         checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+                         checkpoint: CheckpointStrategy = CheckpointStrategy.Local,
+                         hashGrams: Boolean = false): DataFrame = {
     require(spanLen >= 1, s"spanRewriteAgainst needs spanLen >= 1 (got $spanLen)")
     val words = spanWords(batch, textCol, idCol, checkpoint)
-    val removed = spanGrams(words, idCol, spanLen)
-      .join(census.select(col("ngram").as("__gram")), Seq("__gram"))
+    val censusGrams =
+      if (hashGrams) census.select(xxhash64(col("ngram")).as("__gram"))
+      else census.select(col("ngram").as("__gram"))
+    val removed = spanGrams(words, idCol, spanLen, hashGrams)
+      .join(censusGrams, Seq("__gram"))
     spanRebuild(words, idCol, removed, spanLen)
   }
 
@@ -418,15 +423,26 @@ object Dedup {
 
   // (id, pos, gram): window starts 0..len-spanLen, built inside one
   // projection — guard the sequence: Spark's sequence(0, negative) counts
-  // DOWN, so short docs must yield an empty gram array, not [0, -1, ...]
-  private def spanGrams(words: DataFrame, idCol: String, spanLen: Int): DataFrame =
+  // DOWN, so short docs must yield an empty gram array, not [0, -1, ...].
+  // `hashGrams` replaces the gram text with its 64-bit xxhash INSIDE the
+  // projection, so the census exchange and the occurrence join carry
+  // 8-byte keys instead of spanLen-word strings — the 100 TB shuffle
+  // diet, at a ~n²/2⁶⁵ false-merge probability per distinct-gram pair
+  // (Lee et al. hash their substrings the same way). The oracled queries
+  // keep string keys; SpanRewriteSpec pins hash/string agreement.
+  private def spanGrams(words: DataFrame, idCol: String, spanLen: Int,
+                        hashGrams: Boolean = false): DataFrame = {
+    val gram = (i: Column) =>
+      lower(concat_ws(" ", slice(col("__ws"), i + 1, lit(spanLen))))
+    val key = if (hashGrams) (i: Column) => xxhash64(gram(i)) else gram
     words.select(col(idCol),
       posexplode(
-        when(size(col("__ws")) < spanLen, array().cast("array<string>"))
+        when(size(col("__ws")) < spanLen,
+          array().cast(if (hashGrams) "array<bigint>" else "array<string>"))
           .otherwise(transform(
-            sequence(lit(0), size(col("__ws")) - spanLen),
-            i => lower(concat_ws(" ", slice(col("__ws"), i + 1, lit(spanLen))))))))
+            sequence(lit(0), size(col("__ws")) - spanLen), key))))
       .toDF(idCol, "__pos", "__gram")
+  }
 
   // collapse removed window starts (id, __pos) to one bounded
   // covered-position array per doc, then cut in a single index-filtered

@@ -110,5 +110,30 @@ class SpanRewriteSpec extends AnyFunSuite with SparkSpec {
     }.toMap
 
     assert(run(docs, L) == expected)
+
+    // the 8-byte-fingerprint shuffle diet must be output-identical on a
+    // corpus with heavy genuine gram collisions
+    val hashed = Dedup.spanRewrite(docs.toDF("doc_id", "text"), "text",
+        "doc_id", L, 2L, hashGrams = true)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text_clean"), r.getAs[Long]("n_removed")))
+      .toMap
+    assert(hashed == expected)
+  }
+
+  test("hashed incremental form agrees with the string-keyed one") {
+    val corpus = Seq((0L, "alpha beta gamma delta end")).toDF("doc_id", "text")
+    val census = Dedup.ngramFrequency(corpus, "text", "doc_id", 3, 1L)
+    val batch = Seq((1L, "x alpha beta gamma delta y"),
+      (2L, "fresh words entirely")).toDF("doc_id", "text")
+    def collect(hash: Boolean) =
+      Dedup.spanRewriteAgainst(batch, census, "text", "doc_id", 3,
+          hashGrams = hash)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("text_clean"), r.getAs[Long]("n_removed")))
+        .toMap
+    assert(collect(hash = true) == collect(hash = false))
   }
 }
