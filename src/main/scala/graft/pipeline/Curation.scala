@@ -560,7 +560,11 @@ object Curation {
     * either side with `status` ∈ added / removed / changed / unchanged,
     * judged by an md5 digest over `payloadCols` (concat_ws on a U+0001
     * separator so adjacent columns cannot alias; both engines skip nulls
-    * identically).
+    * identically). Two caveats a caller with adversarial payloads should
+    * know: a value CONTAINING U+0001 can still alias across the column
+    * boundary, and a null column is indistinguishable from an absent one
+    * (concat_ws skips both) — pre-escape or add a presence column if
+    * either matters for the corpus at hand.
     *
     * Scale design: each side reduces to `(id, 16-byte digest)` BEFORE the
     * join, so the payload never crosses an exchange and the full outer
@@ -599,8 +603,6 @@ object Curation {
     * shuffles. */
   def forgetAudit(parent: DataFrame, idCol: String, forgetIds: DataFrame,
                   children: Seq[(String, DataFrame, String)]): DataFrame = {
-    val spark = parent.sparkSession
-    import spark.implicits._
     val fids = broadcast(forgetIds.select(col(idCol)).distinct())
     val keptParents = parent.join(fids, Seq(idCol), "left_anti")
       .select(col(idCol)).distinct()
