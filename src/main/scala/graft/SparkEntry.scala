@@ -773,6 +773,13 @@ object SparkEntry {
     "profile_documents" -> ((s, dir) =>
       Profile.columns(t(s, dir, "documents"),
         Seq("doc_id", "lang", "source", "n_chars"))),
+    // column-stats drift between two snapshots (rows answered by
+    // corpus_diff; this answers "did the shape move")
+    "profile_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Profile.drift(d.where(col("doc_id") % 10 =!= 0),
+        d.where(col("doc_id") % 11 =!= 3), Seq("doc_id", "lang", "n_chars"))
+    }),
     // Pearson matrix from exact quantized integer sums (one agg pass);
     // cents grid on the TPC-H money/ratio columns
     "profile_correlations" -> ((s, dir) =>
@@ -2354,6 +2361,25 @@ object SparkEntry {
             count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct,
             coalesce(CAST(min($c) AS VARCHAR), '') AS min_s,
             coalesce(CAST(max($c) AS VARCHAR), '') AS max_s FROM documents""")
+        .mkString(" UNION ALL "),
+    // two sub-profiles per column, cross-joined (each is one row)
+    "profile_drift" ->
+      Seq("doc_id", "lang", "n_chars").map(c =>
+        s"""SELECT '$c' AS col_name,
+            o.n_rows AS n_rows_old, o.n_nulls AS n_nulls_old,
+            o.n_distinct AS n_distinct_old, o.min_s AS min_old, o.max_s AS max_old,
+            n.n_rows AS n_rows_new, n.n_nulls AS n_nulls_new,
+            n.n_distinct AS n_distinct_new, n.min_s AS min_new, n.max_s AS max_new
+            FROM (SELECT count(*) AS n_rows, count(*) - count($c) AS n_nulls,
+                   count(DISTINCT $c) AS n_distinct,
+                   coalesce(CAST(min($c) AS VARCHAR), '') AS min_s,
+                   coalesce(CAST(max($c) AS VARCHAR), '') AS max_s
+                  FROM documents WHERE doc_id % 10 != 0) o
+            CROSS JOIN (SELECT count(*) AS n_rows, count(*) - count($c) AS n_nulls,
+                   count(DISTINCT $c) AS n_distinct,
+                   coalesce(CAST(min($c) AS VARCHAR), '') AS min_s,
+                   coalesce(CAST(max($c) AS VARCHAR), '') AS max_s
+                  FROM documents WHERE doc_id % 11 != 3) n""")
         .mkString(" UNION ALL "),
     // Pearson from the same exact integer sums (HUGEINT side), final
     // formula on doubles cast from those integers — identical rounding

@@ -88,6 +88,27 @@ object Profile {
   def columns(df: DataFrame, cols: Seq[String]): DataFrame =
     profile(df, cols, c => count_distinct(col(c)))
 
+  /** Column-stats drift between two corpus snapshots — the nightly
+    * monitoring twin of [[graft.pipeline.Curation.corpusDiff]] (that one
+    * answers "which rows changed", this one "did the data's SHAPE move"):
+    * one row per profiled column with both sides' row/null/distinct
+    * counts and min/max, so a collapsed null rate, a cardinality cliff or
+    * a runaway max surfaces as a number a policy can threshold. Pure
+    * compose of two [[columns]] profiles joined on col_name — each side
+    * is one aggregate scan; the join is #cols rows. Policy (what counts
+    * as drift) stays with the caller: this emits the evidence, not the
+    * verdict. */
+  def drift(oldDf: DataFrame, newDf: DataFrame, cols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, suffix: String) =
+      columns(df, cols).select(col("col_name"),
+        col("n_rows").as(s"n_rows_$suffix"),
+        col("n_nulls").as(s"n_nulls_$suffix"),
+        col("n_distinct").as(s"n_distinct_$suffix"),
+        col("min_s").as(s"min_$suffix"),
+        col("max_s").as(s"max_$suffix"))
+    side(oldDf, "old").join(side(newDf, "new"), Seq("col_name"))
+  }
+
   /** The wide-table scale path: `approx_count_distinct` (HyperLogLog++,
     * `rsd` relative error) instead of exact distinct — NO Expand, so a
     * 1000-column profile still scans the corpus exactly once at 1x row

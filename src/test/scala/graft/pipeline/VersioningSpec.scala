@@ -45,6 +45,22 @@ class VersioningSpec extends AnyFunSuite with SparkSpec {
     assert(res("child") == (4L, 1L, 3L, 1L))
   }
 
+  test("drift pairs both snapshots' column stats; a vanished column of " +
+    "values shows as the numbers moving") {
+    val oldV = Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "en", 30L))
+      .toDF("id", "lang", "n")
+    val newV = Seq((1L, "en", 10L), (2L, null.asInstanceOf[String], 20L))
+      .toDF("id", "lang", "n")
+    val res = Profile.drift(oldV, newV, Seq("lang", "n")).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    val lang = res("lang")
+    assert(lang.getAs[Long]("n_rows_old") == 3L && lang.getAs[Long]("n_rows_new") == 2L)
+    assert(lang.getAs[Long]("n_nulls_old") == 0L && lang.getAs[Long]("n_nulls_new") == 1L)
+    assert(lang.getAs[Long]("n_distinct_old") == 2L && lang.getAs[Long]("n_distinct_new") == 1L)
+    val n = res("n")
+    assert(n.getAs[String]("max_old") == "30" && n.getAs[String]("max_new") == "20")
+  }
+
   test("forget removes forgotten parents and their children, nothing else") {
     val parent = Seq((1L, "keep"), (2L, "drop")).toDF("id", "text")
     val forget = Seq(2L).toDF("id")
