@@ -344,9 +344,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val cents = AnnSearch.kmeansFit(emb.where(col("vec_id") >= 250), "embedding",
         dim = 64, k = 8, iters = 2)
-      val flat = cents.flatMap { v =>
-        val n = math.sqrt(v.map(x => x * x).sum); if (n == 0) v else v.map(_ / n)
-      }
+      val flat = AnnSearch.normalizeCentroids(cents)
       val base = AnnSearch.ivfPostings(emb.where(col("vec_id") >= 250),
         "embedding", "vec_id", 64, flat)
       val appended = AnnSearch.ivfAppendPostings(base,
@@ -371,9 +369,7 @@ object SparkEntry {
     "ann_filtered_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val cents = AnnSearch.kmeansFit(emb, "embedding", dim = 64, k = 8, iters = 2)
-      val flat = cents.flatMap { v =>
-        val n = math.sqrt(v.map(x => x * x).sum); if (n == 0) v else v.map(_ / n)
-      }
+      val flat = AnnSearch.normalizeCentroids(cents)
       val posts = AnnSearch.ivfPostings(emb, "embedding", "vec_id", 64, flat)
       val res = AnnSearch.ivfTopKFromPostingsFiltered(emb.where(col("vec_id") < 10),
         posts, "embedding", "vec_id", 10, dim = 64, flat, nProbe = 8,
@@ -403,9 +399,7 @@ object SparkEntry {
     "ann_cosine_ivfpq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val cents = AnnSearch.kmeansFit(emb, "embedding", dim = 64, k = 8, iters = 2)
-      val flat = cents.flatMap { v =>
-        val n = math.sqrt(v.map(x => x * x).sum); if (n == 0) v else v.map(_ / n)
-      }
+      val flat = AnnSearch.normalizeCentroids(cents)
       val cb = AnnSearch.pqFitCodebook(emb, "embedding", dim = 64, m = 16,
         ksub = 16, iters = 2)
       val res = AnnSearch.ivfPqTopK(emb.where(col("vec_id") < 10), emb,
@@ -438,9 +432,7 @@ object SparkEntry {
     "ann_radius_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val cents = AnnSearch.kmeansFit(emb, "embedding", dim = 64, k = 8, iters = 2)
-      val flat = cents.flatMap { v =>
-        val n = math.sqrt(v.map(x => x * x).sum); if (n == 0) v else v.map(_ / n)
-      }
+      val flat = AnnSearch.normalizeCentroids(cents)
       val res = AnnSearch.ivfRadiusWithCentroids(emb.where(col("vec_id") < 10), emb,
         "embedding", "vec_id", 0.4, dim = 64, flat, nProbe = 8)
       res.select(col("query_id"), col("corpus_id"), sround(col("cosine"), 6).as("cosine"))
@@ -1369,6 +1361,20 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  // one definition for both filtered-search entries: the exact pre-filter
+  // and the full-probe stored-index run provably produce the same rows,
+  // and sharing the string keeps the two oracles from silently diverging
+  private val filteredAnnOracle =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+       s AS (SELECT query_id, c.vec_id AS corpus_id,
+                    list_cosine_similarity(qv::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+             FROM q CROSS JOIN embeddings c
+             WHERE c.vec_id != query_id AND c.label % 3 = 1),
+       r AS (SELECT query_id, corpus_id, cos,
+                    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+             FROM s)
+       SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 10"""
+
   def oracleSql: Map[String, String] = Map(
     "fuzzy_join_levenshtein" ->
       """SELECT c.c_custkey AS c_custkey, s.s_suppkey AS s_suppkey,
@@ -1639,26 +1645,8 @@ object SparkEntry {
          SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 10""",
     // both filtered variants reduce to the same exact filtered brute
     // force (pre-filter is exact; the IVF run probes all cells)
-    "ann_cosine_filtered" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-         s AS (SELECT query_id, c.vec_id AS corpus_id,
-                      list_cosine_similarity(qv::DOUBLE[], c.embedding::DOUBLE[]) AS cos
-               FROM q CROSS JOIN embeddings c
-               WHERE c.vec_id != query_id AND c.label % 3 = 1),
-         r AS (SELECT query_id, corpus_id, cos,
-                      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
-               FROM s)
-         SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 10""",
-    "ann_filtered_ivf" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-         s AS (SELECT query_id, c.vec_id AS corpus_id,
-                      list_cosine_similarity(qv::DOUBLE[], c.embedding::DOUBLE[]) AS cos
-               FROM q CROSS JOIN embeddings c
-               WHERE c.vec_id != query_id AND c.label % 3 = 1),
-         r AS (SELECT query_id, corpus_id, cos,
-                      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
-               FROM s)
-         SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 10""",
+    "ann_cosine_filtered" -> filteredAnnOracle,
+    "ann_filtered_ivf" -> filteredAnnOracle,
     "ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
          s AS (SELECT query_id, c.vec_id AS corpus_id,

@@ -453,6 +453,12 @@ object AnnSearch {
       if (n == 0) v else v.map(_ / n)
     }
 
+  /** Public face of the centroid normalize-and-flatten step ([[kmeansFit]]
+    * output → the flat array every `WithCentroids`/`FromPostings` API
+    * takes). Zero-norm cells pass through unscaled. */
+  def normalizeCentroids(cents: Array[Array[Double]]): Array[Double] =
+    normFlat(cents)
+
   // ----------------------------------------------------- index lifecycle
 
   /** Persist a fitted (normalized, flattened) centroid array as a tiny
@@ -624,13 +630,6 @@ object AnnSearch {
     rankTopK(scored, "cosine", k)
   }
 
-  /** k-NN label propagation: classify each query vector by the MAJORITY
-    * label among its exact top-k cosine neighbors (ties -> most votes,
-    * then smallest label) — the semantic-labeling shape used to extend
-    * a small labeled seed set over an unlabeled corpus. Composes
-    * [[bruteForceTopK]] (swap in any topK operator for scale) with a
-    * broadcast label join and one tiny per-query aggregate; emits
-    * (query_id, label_pred, votes). */
   /** Metadata-filtered exact top-k ("find the k nearest documents WHERE
     * lang = 'en' AND license = permissive"): the predicate is applied to
     * the corpus BEFORE any scoring, so Catalyst pushes it into the corpus
@@ -662,12 +661,24 @@ object AnnSearch {
                                   vecCol: String, idCol: String, k: Int, dim: Int,
                                   centroids: Array[Double], nProbe: Int,
                                   allowedIds: DataFrame): DataFrame = {
+    require(allowedIds.columns.length == 1,
+      "allowedIds must be a single-column id frame (got " +
+        s"${allowedIds.columns.mkString(", ")}) — select the id column " +
+        "explicitly so a metadata frame's first column is never " +
+        "silently treated as the id")
     val allowed = allowedIds.select(col(allowedIds.columns.head).as("corpus_id"))
     ivfTopKFromPostings(queries,
       postings.join(allowed, Seq("corpus_id"), "left_semi"),
       vecCol, idCol, k, dim, centroids, nProbe)
   }
 
+  /** k-NN label propagation: classify each query vector by the MAJORITY
+    * label among its exact top-k cosine neighbors (ties -> most votes,
+    * then smallest label) — the semantic-labeling shape used to extend
+    * a small labeled seed set over an unlabeled corpus. Composes
+    * [[bruteForceTopK]] (swap in any topK operator for scale) with a
+    * broadcast label join and one tiny per-query aggregate; emits
+    * (query_id, label_pred, votes). */
   def knnLabel(queries: DataFrame, corpus: DataFrame,
                vecCol: String, idCol: String, labelCol: String,
                k: Int): DataFrame =

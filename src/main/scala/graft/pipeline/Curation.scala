@@ -611,9 +611,12 @@ object Curation {
               checkOrphans: Boolean): DataFrame = {
       val flagged = df.select(col(fk).as(idCol))
         .join(fids.withColumn("__forget", lit(1)), Seq(idCol), "left")
+      // coalesce: sum over an EMPTY artifact is null, and total - null
+      // would poison the remaining column of the persisted audit
       val counts = flagged.agg(
         count(lit(1)).as("total"),
-        sum(when(col("__forget").isNotNull, 1L).otherwise(0L)).as("forgotten"))
+        coalesce(sum(when(col("__forget").isNotNull, 1L).otherwise(0L)), lit(0L))
+          .as("forgotten"))
       val orphans =
         if (!checkOrphans) counts.withColumn("__orphans", lit(0L))
         else {

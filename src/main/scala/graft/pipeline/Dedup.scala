@@ -445,8 +445,13 @@ object Dedup {
   }
 
   // collapse removed window starts (id, __pos) to one bounded
-  // covered-position array per doc, then cut in a single index-filtered
-  // projection — the rebuild never shuffles tokens
+  // covered-position array per doc, then cut in a single projection — the
+  // rebuild never shuffles tokens. Kept positions come from array_except
+  // (hash-set lookup, O(len + |cov|)) rather than a per-word
+  // array_contains scan, which would be O(len * |cov|) — quadratic on
+  // exactly the mostly-boilerplate long documents this operator targets.
+  // __kept is computed in its own select so it is a real attribute
+  // (referenced twice below; inlining would evaluate it per reference).
   private def spanRebuild(words: DataFrame, idCol: String,
                           removed: DataFrame, spanLen: Int): DataFrame = {
     val covered = removed
@@ -454,10 +459,15 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(collect_set(col("__cp")).as("__cov"))
     words.join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("__ws"), col("__cov"),
+        when(col("__cov").isNull, null)
+          .otherwise(array_except(
+            sequence(lit(0), size(col("__ws")) - 1), col("__cov")))
+          .as("__kept"))
       .select(col(idCol),
         when(col("__cov").isNull, concat_ws(" ", col("__ws")))
           .otherwise(concat_ws(" ",
-            filter(col("__ws"), (_, i) => !array_contains(col("__cov"), i))))
+            transform(col("__kept"), p => element_at(col("__ws"), p + 1))))
           .as("text_clean"),
         when(col("__cov").isNull, lit(0L))
           .otherwise(size(col("__cov")).cast("long")).as("n_removed"))

@@ -46,7 +46,13 @@ object DocStreams {
     * accepted batch's [[graft.pipeline.Dedup.minhashState]] to storage
     * and restart the stream on the new snapshot, the same nightly cycle
     * the batch operator documents) — a stream cannot mutate its own
-    * static side mid-flight. */
+    * static side mid-flight.
+    *
+    * Sink contract: the sink MUST consume its frame (write/collect)
+    * before returning — each micro-batch's barriers live in a per-batch
+    * [[graft.util.MatchScope]] and are released when the sink returns, so
+    * a deferred action on a stashed frame would read unpersisted
+    * blocks. */
   def nearDupWriter(docs: DataFrame, corpusState: DataFrame,
                     textCol: String, idCol: String,
                     shingleLen: Int = 3, numBands: Int = 16,
@@ -80,7 +86,9 @@ object DocStreams {
     * refreshing it is the caller's nightly cycle, same contract as
     * [[nearDupWriter]]. Within-batch duplication is not examined —
     * micro-batches are small and the nightly full
-    * [[graft.pipeline.Dedup.spanRewrite]] sweep owns that case. */
+    * [[graft.pipeline.Dedup.spanRewrite]] sweep owns that case. Same
+    * sink contract as [[nearDupWriter]]: consume the frame inside the
+    * callback — its barriers are released when the sink returns. */
   def spanRewriteWriter(docs: DataFrame, census: DataFrame,
                         textCol: String, idCol: String, spanLen: Int)
                        (sink: (DataFrame, Long) => Unit)

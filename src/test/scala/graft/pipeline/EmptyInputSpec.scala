@@ -173,6 +173,15 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
       emptyDocs.select("doc_id"), Seq(("c", batch, "doc_id"))).collect()
     assert(keepAll.forall(r2 => r2.getAs[Long]("forgotten") === 0L &&
       r2.getAs[Long]("orphans") === 0L))
+    // an EMPTY artifact must audit as all-zero longs, never null (sum
+    // over zero rows is null without the coalesce)
+    val emptyChild = Curation.forgetAudit(batch, "doc_id",
+        batch.select("doc_id"), Seq(("c", emptyDocs.select("doc_id"), "doc_id")))
+      .collect().map(r2 => r2.getAs[String]("artifact") -> r2).toMap
+    val ec = emptyChild("c")
+    assert(!ec.isNullAt(ec.fieldIndex("forgotten")) &&
+      ec.getAs[Long]("total") === 0L && ec.getAs[Long]("forgotten") === 0L &&
+      ec.getAs[Long]("remaining") === 0L && ec.getAs[Long]("orphans") === 0L)
     // filtered search: empty query side
     val vecs = Seq((1L, Seq(1.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
     assert(AnnSearch.filteredTopK(vecs.limit(0), vecs, "embedding", "vec_id",

@@ -35,9 +35,7 @@ class FilteredAnnSpec extends AnyFunSuite with SparkSpec {
 
   test("full-probe filtered IVF equals the exact filtered search") {
     val cents = AnnSearch.kmeansFit(emb, "embedding", dim = 64, k = 4, iters = 2)
-    val flat = cents.flatMap { v =>
-      val n = math.sqrt(v.map(x => x * x).sum); if (n == 0) v else v.map(_ / n)
-    }
+    val flat = AnnSearch.normalizeCentroids(cents)
     val posts = AnnSearch.ivfPostings(emb, "embedding", "vec_id", 64, flat)
     val allowed = emb.where(col("label") % 2 === 0).select("vec_id")
     val ivf = AnnSearch.ivfTopKFromPostingsFiltered(emb.where(col("vec_id") < 5),
@@ -54,9 +52,7 @@ class FilteredAnnSpec extends AnyFunSuite with SparkSpec {
   test("partial-probe filtered recall: results are a subset of the exact " +
     "filtered ranking's candidate pool and never violate the predicate") {
     val cents = AnnSearch.kmeansFit(emb, "embedding", dim = 64, k = 4, iters = 2)
-    val flat = cents.flatMap { v =>
-      val n = math.sqrt(v.map(x => x * x).sum); if (n == 0) v else v.map(_ / n)
-    }
+    val flat = AnnSearch.normalizeCentroids(cents)
     val posts = AnnSearch.ivfPostings(emb, "embedding", "vec_id", 64, flat)
     val allowedDf = emb.where(col("label") % 2 === 0).select("vec_id")
     val allowed = allowedDf.as[Long].collect().toSet

@@ -46,9 +46,7 @@ class IvfSpec extends AnyFunSuite with SparkSpec {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val cents = AnnSearch.kmeansFit(emb, "embedding", dim = 64, k = 8, iters = 3)
-    val flat = cents.flatMap { v =>
-      val n = math.sqrt(v.map(x => x * x).sum); if (n == 0) v else v.map(_ / n)
-    }
+    val flat = AnnSearch.normalizeCentroids(cents)
     def key(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     val q1 = emb.where(col("vec_id") < 20)
@@ -64,9 +62,7 @@ class IvfSpec extends AnyFunSuite with SparkSpec {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val cents = AnnSearch.kmeansFit(emb, "embedding", dim = 64, k = 8, iters = 3)
-    val flat = cents.flatMap { v =>
-      val n = math.sqrt(v.map(x => x * x).sum); if (n == 0) v else v.map(_ / n)
-    }
+    val flat = AnnSearch.normalizeCentroids(cents)
     val path = java.nio.file.Files.createTempDirectory("ivf_index")
       .resolve("centroids").toString
     AnnSearch.saveCentroids(spark, path, flat, 64)
@@ -119,9 +115,7 @@ class IvfSpec extends AnyFunSuite with SparkSpec {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val cents = AnnSearch.kmeansFit(emb.where(col("vec_id") >= 250), "embedding",
       dim = 64, k = 8, iters = 2)
-    val flat = cents.flatMap { v =>
-      val n = math.sqrt(v.map(x => x * x).sum); if (n == 0) v else v.map(_ / n)
-    }
+    val flat = AnnSearch.normalizeCentroids(cents)
     def cells(df: org.apache.spark.sql.DataFrame) =
       df.select(col("corpus_id"), col("__cell")).collect()
         .map(r => r.getLong(0) -> r.getInt(1)).toMap
@@ -152,9 +146,7 @@ class IvfSpec extends AnyFunSuite with SparkSpec {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val cents = AnnSearch.kmeansFit(emb, "embedding", dim = 64, k = 8, iters = 2)
-    val flat = cents.flatMap { v =>
-      val n = math.sqrt(v.map(x => x * x).sum); if (n == 0) v else v.map(_ / n)
-    }
+    val flat = AnnSearch.normalizeCentroids(cents)
     val path = java.nio.file.Files.createTempDirectory("postings").toString
     AnnSearch.savePostings(
       AnnSearch.ivfPostings(emb, "embedding", "vec_id", 64, flat), path)
