@@ -996,6 +996,12 @@ object SparkEntry {
       TextAnalysis.commonTokenRatio(t(s, dir, "documents"), "text", "doc_id", 100)
         .select(col("doc_id"), col("n_tokens"), col("n_common"),
           sround(col("common_ratio"), 6).as("common_ratio"))),
+    // tokenizer/vocab QA: odd docs scored against the even docs' vocab
+    "text_oov" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val vocab = Curation.vocabulary(d.where(col("doc_id") % 2 === 0), "text", 2L)
+      TextAnalysis.oovRate(d.where(col("doc_id") % 2 === 1), "text", "doc_id", vocab)
+    }),
 
     // ---- ingest normalization: control-strip + whitespace-collapse +
     // lowercase, hashed for a narrow compare. The doc_id-derived tail
@@ -2745,6 +2751,22 @@ object SparkEntry {
          GROUP BY 1, 2 HAVING count(*) >= 50""",
     // top-100 boundary ties break on the token string in both engines;
     // counts are exact ints so the ratio divides identically
+    "text_oov" ->
+      """WITH vt AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+               FROM documents WHERE doc_id % 2 = 0),
+         v AS (SELECT token FROM vt WHERE length(token) > 0
+               GROUP BY token HAVING count(*) >= 2),
+         tk AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+               FROM documents WHERE doc_id % 2 = 1),
+         tok AS (SELECT doc_id, token FROM tk WHERE length(token) > 0),
+         c AS (SELECT tok.doc_id, count(*) AS n_tokens,
+                      CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+               FROM tok LEFT JOIN v ON tok.token = v.token GROUP BY 1)
+         SELECT d.doc_id AS doc_id, coalesce(c.n_tokens, 0) AS n_tokens,
+                coalesce(c.n_oov, 0) AS n_oov,
+                round(coalesce(c.n_oov / c.n_tokens, 0), 6) AS oov_frac
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+         LEFT JOIN c ON d.doc_id = c.doc_id""",
     "text_common_ratio" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents),
          tok AS (SELECT doc_id, token FROM tk WHERE length(token) > 0),

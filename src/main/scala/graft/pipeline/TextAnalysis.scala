@@ -557,6 +557,35 @@ object TextAnalysis {
       .withColumn("common_ratio", col("n_common") / col("n_tokens"))
   }
 
+  /** Per-document out-of-vocabulary rate against a reference vocabulary
+    * — tokenizer/vocab QA before a training run (a corpus whose OOV
+    * fraction jumps between snapshots is mis-tokenized, mis-languaged or
+    * mis-scraped; gate on this next to [[graft.pipeline.Profile.drift]]).
+    * `vocab` is any frame with a `token` column
+    * ([[graft.pipeline.Curation.vocabulary]] output, or a fixed
+    * tokenizer's vocab loaded from parquet). Emits (idCol, n_tokens,
+    * n_oov, oov_frac); documents with zero tokens emit 0/0/0.0, never
+    * null/NaN. One token explode + a broadcast membership join + one
+    * per-doc aggregate — the [[commonTokenRatio]] plan shape with the
+    * hit test inverted. */
+  def oovRate(df: DataFrame, textCol: String, idCol: String,
+              vocab: DataFrame): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .where(length(col("token")) > 0)
+    val known = broadcast(vocab.select(col("token")).distinct()
+      .withColumn("__hit", lit(1)))
+    val counted = toks.join(known, Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_oov"))
+    df.select(col(idCol)).join(counted, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        round(coalesce(col("n_oov") / col("n_tokens"), lit(0.0)), 6)
+          .as("oov_frac"))
+  }
+
   /** Markup strip for crawl ingest: drop `<...>` tags (replaced by a
     * space so `</p><p>` never glues words), decode the five predefined
     * HTML entities (`&lt; &gt; &quot; &#39;` first, `&amp;` LAST — so

@@ -61,6 +61,23 @@ class VersioningSpec extends AnyFunSuite with SparkSpec {
     assert(n.getAs[String]("max_old") == "30" && n.getAs[String]("max_new") == "20")
   }
 
+  test("oovRate: unknown tokens counted, empty docs emit zeros not nulls") {
+    import org.apache.spark.sql.functions.col
+    val vocab = Seq("the", "cat").toDF("token")
+    val docs = Seq((1L, "the cat sat"), (2L, ""), (3L, "THE the"))
+      .toDF("doc_id", "text")
+    val res = TextAnalysis.oovRate(docs, "text", "doc_id", vocab)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Double]("oov_frac")))
+      .toMap
+    assert(res(1L) == (3L, 1L, 0.333333)) // "sat" is OOV
+    assert(res(2L) == (0L, 0L, 0.0))      // empty doc: zeros, never null
+    assert(res(3L) == (2L, 0L, 0.0))      // tokenization lowercases
+    assert(!res.values.exists(_._3.isNaN))
+  }
+
   test("forget removes forgotten parents and their children, nothing else") {
     val parent = Seq((1L, "keep"), (2L, "drop")).toDF("id", "text")
     val forget = Seq(2L).toDF("id")
