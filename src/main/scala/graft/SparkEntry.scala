@@ -546,6 +546,31 @@ object SparkEntry {
       Dedup.spanRewriteAgainst(docs.where(col("doc_id") % 2 === 1), census,
         "text", "doc_id", 5)
     }),
+    // ---- the composed nightly-ingest path, oracled ACROSS stage seams:
+    // batch docs are span-rewritten against the corpus census, then
+    // exact-deduped against the corpus's canonicalized text digests, then
+    // in-batch deduped (min id per digest), then length-gated. Catches
+    // canonicalization drift between the rewrite and the digest stages
+    // that no per-stage oracle sees.
+    "nightly_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") % 2 === 0)
+      val batch = docs.where(col("doc_id") % 2 === 1)
+      val census = Dedup.ngramFrequency(corpus, "text", "doc_id", 5, 1L)
+      val rewritten = Dedup.spanRewriteAgainst(batch, census, "text", "doc_id", 5)
+        .withColumn("__d", org.apache.spark.sql.functions.md5(col("text_clean")))
+      // corpus digests over the SAME canonicalization the rewrite emits
+      val corpusD = corpus.select(org.apache.spark.sql.functions.md5(
+          concat_ws(" ", org.apache.spark.sql.functions.filter(
+            split(trim(col("text")), "\\s+"), w => w =!= ""))).as("__d"))
+        .distinct()
+      val fresh = rewritten.join(corpusD, Seq("__d"), "left_anti")
+      val keep = fresh.groupBy(col("__d")).agg(min(col("doc_id")).as("doc_id"))
+      fresh.join(keep, Seq("__d", "doc_id"))
+        .where(length(col("text_clean")) > 0 &&
+          org.apache.spark.sql.functions.size(split(col("text_clean"), " ")) >= 10)
+        .select(col("doc_id"), col("__d").as("text_md5"), col("n_removed"))
+    }),
     "curate_stratified" -> ((s, dir) =>
       Curation.stratifiedHashSample(t(s, dir, "documents"), "doc_id", "source",
         Map("web" -> 0.1, "books" -> 1.0), defaultRate = 0.5)
@@ -2025,6 +2050,42 @@ object SparkEntry {
                 coalesce(cnt.n_removed, 0) AS n_removed
          FROM d LEFT JOIN reb ON d.doc_id = reb.doc_id
          LEFT JOIN cnt ON d.doc_id = cnt.doc_id""",
+    // the composed nightly path: span-inc chain, then corpus-digest
+    // anti-join, in-batch min-id dedup, and the length gate
+    "nightly_ingest" ->
+      """WITH cd0 AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+               FROM documents WHERE doc_id % 2 = 0),
+         cg AS (SELECT DISTINCT unnest(CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(w)-3), i -> array_to_string(w[i:i+4], ' '))) END) AS gram
+               FROM cd0),
+         d AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS ws
+               FROM documents WHERE doc_id % 2 = 1),
+         u AS (SELECT doc_id, unnest(range(1, greatest(len(ws)-5+2, 1))) AS i, ws FROM d),
+         occ AS (SELECT doc_id, i-1 AS pos, lower(array_to_string(ws[i:i+4], ' ')) AS gram FROM u),
+         rem AS (SELECT occ.doc_id, occ.pos FROM occ JOIN cg ON occ.gram = cg.gram),
+         cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos+5)) AS cp FROM rem),
+         w AS (SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1)-1 AS pos FROM d),
+         kept AS (SELECT w.doc_id, w.pos, w.word FROM w
+                  LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.pos = cov.cp
+                  WHERE cov.doc_id IS NULL),
+         reb AS (SELECT doc_id, array_to_string(list(word ORDER BY pos), ' ') AS text_clean
+                 FROM kept GROUP BY doc_id),
+         cnt AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id),
+         rw AS (SELECT d.doc_id AS doc_id, coalesce(reb.text_clean, '') AS text_clean,
+                coalesce(cnt.n_removed, 0) AS n_removed
+                FROM d LEFT JOIN reb ON d.doc_id = reb.doc_id
+                LEFT JOIN cnt ON d.doc_id = cnt.doc_id),
+         cdg AS (SELECT DISTINCT md5(array_to_string(
+                   list_filter(string_split_regex(trim(text), '\s+'), x -> x != ''), ' ')) AS dgst
+                 FROM documents WHERE doc_id % 2 = 0),
+         wd AS (SELECT doc_id, text_clean, n_removed, md5(text_clean) AS dgst FROM rw),
+         fresh AS (SELECT wd.* FROM wd LEFT JOIN cdg ON wd.dgst = cdg.dgst
+                   WHERE cdg.dgst IS NULL),
+         keep AS (SELECT dgst, min(doc_id) AS doc_id FROM fresh GROUP BY 1)
+         SELECT f.doc_id AS doc_id, f.dgst AS text_md5, f.n_removed
+         FROM fresh f JOIN keep k ON f.dgst = k.dgst AND f.doc_id = k.doc_id
+         WHERE length(f.text_clean) > 0
+           AND len(string_split(f.text_clean, ' ')) >= 10""",
     // incremental variant: even-id corpus census, odd-id batch flagged
     "dedup_boilerplate_inc" ->
       """WITH tc AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
