@@ -3229,13 +3229,20 @@ object SparkEntry {
                 WHEN od = nd THEN 'unchanged' ELSE 'changed' END AS status
          FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""",
     // cascade audit: chunk multiplicity = floor((len-1)/40)+1 (stride 40,
-    // overlap 0 — same tokenization as the chunk operators); orphans are
-    // structurally 0 because both artifacts key off the parent id
+    // overlap 0 — same tokenization as the chunk operators). Chunk
+    // orphans are structurally 0 (chunks derive from documents rows);
+    // embeddings orphans are COMPUTED — vec_id is an independent id space
+    // renamed to doc_id, so rows without a surviving parent must be
+    // counted, not assumed away on a fixture coincidence
     "curate_forget" ->
       """WITH w AS (SELECT doc_id, len(string_split_regex(trim(lower(text)), '\s+')) AS nw,
                 (doc_id % 13 = 0) AS fg FROM documents),
          ch AS (SELECT doc_id, CAST(floor((nw-1)/40) AS BIGINT) + 1 AS n_chunks, fg FROM w),
-         em AS (SELECT vec_id % 13 = 0 AS fg FROM embeddings)
+         em AS (SELECT vec_id, vec_id % 13 = 0 AS fg FROM embeddings),
+         keptp AS (SELECT doc_id FROM documents WHERE doc_id % 13 != 0),
+         eorph AS (SELECT CAST(count(*) AS BIGINT) AS c FROM em
+                   LEFT JOIN keptp ON em.vec_id = keptp.doc_id
+                   WHERE NOT em.fg AND keptp.doc_id IS NULL)
          SELECT '__parent__' AS artifact, count(*) AS total,
                 CAST(sum(CASE WHEN fg THEN 1 ELSE 0 END) AS BIGINT) AS forgotten,
                 CAST(count(*) - sum(CASE WHEN fg THEN 1 ELSE 0 END) AS BIGINT) AS remaining,
@@ -3250,7 +3257,7 @@ object SparkEntry {
          UNION ALL
          SELECT 'embeddings', count(*), CAST(sum(CASE WHEN fg THEN 1 ELSE 0 END) AS BIGINT),
                 CAST(count(*) - sum(CASE WHEN fg THEN 1 ELSE 0 END) AS BIGINT),
-                CAST(0 AS BIGINT)
+                (SELECT c FROM eorph)
          FROM em""",
     // earliest-achievable funnel times: each step's min ts at or after
     // the previous step's time; only funnel entrants (step 0) appear

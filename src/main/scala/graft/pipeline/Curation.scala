@@ -564,7 +564,11 @@ object Curation {
     * know: a value CONTAINING U+0001 can still alias across the column
     * boundary, and a null column is indistinguishable from an absent one
     * (concat_ws skips both) — pre-escape or add a presence column if
-    * either matters for the corpus at hand.
+    * either matters for the corpus at hand. `idCol` is assumed unique
+    * per snapshot (the corpus contract everywhere in this library); a
+    * duplicated id fans out the full outer join into multiple, possibly
+    * conflicting, status rows for that id — dedup first if the snapshot
+    * may be dirty.
     *
     * Scale design: each side reduces to `(id, 16-byte digest)` BEFORE the
     * join, so the payload never crosses an exchange and the full outer

@@ -449,9 +449,8 @@ object Dedup {
   // rebuild never shuffles tokens. Kept positions come from array_except
   // (hash-set lookup, O(len + |cov|)) rather than a per-word
   // array_contains scan, which would be O(len * |cov|) — quadratic on
-  // exactly the mostly-boilerplate long documents this operator targets.
-  // __kept is computed in its own select so it is a real attribute
-  // (referenced twice below; inlining would evaluate it per reference).
+  // exactly the mostly-boilerplate long documents this operator targets
+  // (the swap measured 3x on sf10 span_inc; SCALE.md).
   private def spanRebuild(words: DataFrame, idCol: String,
                           removed: DataFrame, spanLen: Int): DataFrame = {
     val covered = removed
@@ -459,15 +458,12 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(collect_set(col("__cp")).as("__cov"))
     words.join(covered, Seq(idCol), "left")
-      .select(col(idCol), col("__ws"), col("__cov"),
-        when(col("__cov").isNull, null)
-          .otherwise(array_except(
-            sequence(lit(0), size(col("__ws")) - 1), col("__cov")))
-          .as("__kept"))
       .select(col(idCol),
         when(col("__cov").isNull, concat_ws(" ", col("__ws")))
           .otherwise(concat_ws(" ",
-            transform(col("__kept"), p => element_at(col("__ws"), p + 1))))
+            transform(
+              array_except(sequence(lit(0), size(col("__ws")) - 1), col("__cov")),
+              p => element_at(col("__ws"), p + 1))))
           .as("text_clean"),
         when(col("__cov").isNull, lit(0L))
           .otherwise(size(col("__cov")).cast("long")).as("n_removed"))

@@ -563,7 +563,10 @@ object TextAnalysis {
     * mis-scraped; gate on this next to [[graft.pipeline.Profile.drift]]).
     * `vocab` is any frame with a `token` column
     * ([[graft.pipeline.Curation.vocabulary]] output, or a fixed
-    * tokenizer's vocab loaded from parquet). Emits (idCol, n_tokens,
+    * tokenizer's vocab loaded from parquet) — entries are lowercased
+    * here, since document tokens are lowercase by [[tokens]]'
+    * canonicalization (a cased vocab would otherwise silently inflate
+    * the OOV rate). Emits (idCol, n_tokens,
     * n_oov, oov_frac); documents with zero tokens emit 0/0/0.0, never
     * null/NaN. One token explode + a broadcast membership join + one
     * per-doc aggregate — the [[commonTokenRatio]] plan shape with the
@@ -572,8 +575,8 @@ object TextAnalysis {
               vocab: DataFrame): DataFrame = {
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .where(length(col("token")) > 0)
-    val known = broadcast(vocab.select(col("token")).distinct()
-      .withColumn("__hit", lit(1)))
+    val known = broadcast(vocab.select(lower(col("token")).as("token"))
+      .distinct().withColumn("__hit", lit(1)))
     val counted = toks.join(known, Seq("token"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),

@@ -76,6 +76,12 @@ class VersioningSpec extends AnyFunSuite with SparkSpec {
     assert(res(2L) == (0L, 0L, 0.0))      // empty doc: zeros, never null
     assert(res(3L) == (2L, 0L, 0.0))      // tokenization lowercases
     assert(!res.values.exists(_._3.isNaN))
+    // a CASED vocab (a fixed tokenizer's file) must not inflate OOV —
+    // entries are lowercased to match the token canonicalization
+    val cased = TextAnalysis.oovRate(docs.where(col("doc_id") === 3L),
+        "text", "doc_id", Seq("THE").toDF("token"))
+      .head()
+    assert(cased.getAs[Long]("n_oov") == 0L)
   }
 
   test("forget removes forgotten parents and their children, nothing else") {
