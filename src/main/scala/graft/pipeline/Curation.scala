@@ -642,7 +642,18 @@ object Curation {
   }
 
   /** The cascade itself: parent and every child with forget-listed parents
-    * removed, as left anti joins on the (broadcast) forget list. */
+    * removed, as left anti joins on the (broadcast) forget list.
+    *
+    * Artifact classes — what an anti-join can and cannot clean:
+    * ROW-KEYED artifacts (chunk tables, embedding rows, minhash state,
+    * IVF postings) carry one row per parent and are fully cleaned here.
+    * AGGREGATE artifacts bake cross-document statistics into their rows
+    * and need a REBUILD from the kept corpus instead: a BM25 index row
+    * holds df and the corpus dl/N, an n-gram census holds doc_count and
+    * first_doc — anti-joining their rows by id (or not at all) leaves
+    * statistics that still count the forgotten documents. The audit
+    * cannot see that staleness; schedule index/census rebuilds with the
+    * forget batch. */
   def forget(parent: DataFrame, idCol: String, forgetIds: DataFrame,
              children: Seq[(String, DataFrame, String)]): (DataFrame, Seq[(String, DataFrame)]) = {
     val fids = broadcast(forgetIds.select(col(idCol)).distinct())
