@@ -377,6 +377,15 @@ object SparkEntry {
       res.select(col("query_id"), col("corpus_id"),
         sround(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
     }),
+    // hard-negative mining: most-similar corpus rows with a DIFFERENT
+    // label, inequality applied before the k-cut
+    "ann_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val res = AnnSearch.hardNegatives(emb.where(col("vec_id") < 10), emb,
+        "embedding", "vec_id", "label", 5)
+      res.select(col("query_id"), col("corpus_id"),
+        sround(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+    }),
     // k-NN label propagation: majority label among exact top-10
     // neighbors, ties by most votes then smallest label
     "ann_knn_label" -> ((s, dir) => {
@@ -1674,6 +1683,17 @@ object SparkEntry {
                       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
                FROM s)
          SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 10""",
+    "ann_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+               FROM embeddings WHERE vec_id < 10),
+         s AS (SELECT query_id, c.vec_id AS corpus_id,
+                      list_cosine_similarity(qv::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+               FROM q CROSS JOIN embeddings c
+               WHERE c.vec_id != query_id AND c.label != ql),
+         r AS (SELECT query_id, corpus_id, cos,
+                      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+               FROM s)
+         SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 5""",
     // both filtered variants reduce to the same exact filtered brute
     // force (pre-filter is exact; the IVF run probes all cells)
     "ann_cosine_filtered" -> filteredAnnOracle,

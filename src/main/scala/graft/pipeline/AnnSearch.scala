@@ -672,6 +672,30 @@ object AnnSearch {
       vecCol, idCol, k, dim, centroids, nProbe)
   }
 
+  /** Hard-negative mining for contrastive / embedding-model training:
+    * for each anchor, the k most cosine-similar corpus rows whose label
+    * DIFFERS from the anchor's — the "confusable but wrong" examples a
+    * triplet or InfoNCE loss learns most from (random negatives are
+    * trivially separable; these are not). Label inequality is applied
+    * BEFORE the k-cut (the [[filteredTopK]] argument: post-filtering a
+    * ranked list loses negatives), by scoring against the full corpus
+    * and filtering on the joined label pair — one broadcast of the
+    * (id, label) frame on top of [[bruteForceTopK]]'s plan; swap the
+    * scorer for [[lshTopK]]-style candidates at corpus scale. Emits
+    * (query_id, corpus_id, cosine, rank) with rank 1-based per anchor. */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame,
+                    vecCol: String, idCol: String, labelCol: String,
+                    k: Int): DataFrame = {
+    val q = anchors.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      col(labelCol).as("__ql"))
+    val c = spread(corpus).select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"),
+      col(labelCol).as("__cl"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("corpus_id") && col("__ql") =!= col("__cl"))
+      .withColumn("cosine", Dedup.cosineSimilarity(col("__qv"), col("__cv")))
+    rankTopK(scored, "cosine", k)
+  }
+
   /** k-NN label propagation: classify each query vector by the MAJORITY
     * label among its exact top-k cosine neighbors (ties -> most votes,
     * then smallest label) — the semantic-labeling shape used to extend

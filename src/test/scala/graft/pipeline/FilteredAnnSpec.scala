@@ -49,6 +49,26 @@ class FilteredAnnSpec extends AnyFunSuite with SparkSpec {
     assert(ivf == exact && ivf.nonEmpty)
   }
 
+  test("hard negatives: same-label rows never appear; equal to filtering " +
+    "the per-anchor predicate") {
+    val anchors = emb.where(col("vec_id") < 5)
+    val got = AnnSearch.hardNegatives(anchors, emb, "embedding", "vec_id",
+      "label", 5)
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = got.select("query_id", "corpus_id").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (q, c) => labels(q) != labels(c) })
+    // per-anchor equivalence with an explicitly filtered exact search
+    val a0 = anchors.where(col("vec_id") === 0).head()
+    val l0 = a0.getAs[Int]("label")
+    val expect = AnnSearch.filteredTopK(anchors.where(col("vec_id") === 0), emb,
+      "embedding", "vec_id", 5, col("label") =!= l0)
+      .select("corpus_id").as[Long].collect().toSet
+    val got0 = rows.collect { case (0L, c) => c }.toSet
+    assert(got0 == expect)
+  }
+
   test("partial-probe filtered recall: results are a subset of the exact " +
     "filtered ranking's candidate pool and never violate the predicate") {
     val cents = AnnSearch.kmeansFit(emb, "embedding", dim = 64, k = 4, iters = 2)
