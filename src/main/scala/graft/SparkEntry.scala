@@ -1146,6 +1146,16 @@ object SparkEntry {
     // ---- JL random projection (md5-int variant: exact BIGINT component
     // sums both engines compute identically; gaussian is the production
     // path — see RandomProjectSpec for the search composition)
+    // PCA fit is an MLlib eigendecomposition — not SQL-expressible, so
+    // this entry is rows-only (like text_quality_fit); orthonormality,
+    // variance ordering and the recall composition are spec-gated
+    "embed_pca" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val planes = graft.pipeline.Embeddings.pcaFit(emb, "embedding", 64, 8)
+      graft.pipeline.Embeddings.projectWith(emb, "embedding", planes, 64, 8)
+        .select(col("vec_id"),
+          org.apache.spark.sql.functions.size(col("pvec")).cast("long").as("out_dim"))
+    }),
     "embed_rp" -> ((s, dir) =>
       graft.pipeline.Embeddings.randomProjectMd5Int(
           t(s, dir, "embeddings").where(col("vec_id") < 100), "embedding", 64, 8)

@@ -69,6 +69,44 @@ object Embeddings {
       col(vecCol), Dedup.hyperplanesMd5Int(dim, outDim), dim, outDim))
   }
 
+  /** Data-aware PCA directions — the fitted complement of
+    * [[randomProject]]'s data-oblivious JL planes: fit once per corpus
+    * version (MLlib `PCA` over the embedding column, the same
+    * fit-on-MLlib / apply-in-engine seam as
+    * [[graft.pipeline.QualityModel]]), ship the `outDim x dim`
+    * principal-direction matrix as a driver-held flat array, and project
+    * with the SAME codegen kernel JL uses ([[projectWith]]). For search,
+    * compose exactly like RandomProjectSpec's JL pipeline: candidate
+    * search in `outDim`, exact re-rank in full dimension — PCA directions
+    * capture more variance per kept dimension than random ones, so recall
+    * at fixed `outDim` is at least JL's on real (anisotropic) corpora.
+    * Fit cost is one corpus pass (Gramian aggregate) + a `dim x dim`
+    * driver eigendecomposition; sample the frame first if even one pass
+    * is too dear. */
+  def pcaFit(df: DataFrame, vecCol: String, dim: Int, outDim: Int): Array[Double] = {
+    require(outDim >= 1 && outDim <= dim, s"outDim must be in [1, dim] (got $outDim, dim=$dim)")
+    val vecs = df.select(org.apache.spark.ml.functions.array_to_vector(
+      col(vecCol).cast("array<double>")).as("__v"))
+    val model = new org.apache.spark.ml.feature.PCA()
+      .setK(outDim).setInputCol("__v").setOutputCol("__p").fit(vecs)
+    val pc = model.pc // dim x outDim, column-major; column j = direction j
+    require(pc.numRows == dim,
+      s"PCA saw ${pc.numRows}-dim vectors, expected $dim")
+    (0 until outDim).flatMap(j => pc.values.slice(j * dim, (j + 1) * dim)).toArray
+  }
+
+  /** Project onto ANY flat row-major `outDim x dim` direction matrix —
+    * [[pcaFit]] output, stored planes loaded from parquet, or
+    * [[Dedup.hyperplanes]]. The one codegen projection kernel shared
+    * with [[randomProject]] (which bakes in seeded gaussian planes). */
+  def projectWith(df: DataFrame, vecCol: String, planes: Array[Double],
+                  dim: Int, outDim: Int, outCol: String = "pvec"): DataFrame = {
+    require(planes.length == dim * outDim,
+      s"planes length ${planes.length} != dim*outDim = ${dim * outDim}")
+    df.withColumn(outCol, graft.fuzzy.vectorFunctions.random_project(
+      col(vecCol), planes, dim, outDim))
+  }
+
   def centroids(df: DataFrame, groupCols: Seq[String], vecCol: String,
                 quantScale: Double = 1e6): DataFrame = {
     require(groupCols.nonEmpty, "centroids needs at least one group column")

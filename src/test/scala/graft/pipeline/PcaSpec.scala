@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Embeddings.pcaFit]]/[[Embeddings.projectWith]] — the data-aware
+  * compression path next to JL ([[Embeddings.randomProject]]): fitted
+  * directions must be orthonormal, and the project-search-rerank
+  * composition must keep recall against the full-dimension ground truth.
+  */
+class PcaSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private val dim = 64
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("fitted directions are orthonormal") {
+    val k = 8
+    val planes = Embeddings.pcaFit(emb, "embedding", dim, k)
+    assert(planes.length == k * dim)
+    for (i <- 0 until k; j <- i until k) {
+      val dot = (0 until dim).map(d => planes(i * dim + d) * planes(j * dim + d)).sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-6, s"direction pair ($i,$j) dot=$dot")
+    }
+  }
+
+  test("PCA-space candidate search + full-dim re-rank keeps recall") {
+    val k = 16
+    val planes = Embeddings.pcaFit(emb, "embedding", dim, k)
+    val projected = Embeddings.projectWith(emb, "embedding", planes, dim, k)
+      .select(col("vec_id"), col("pvec"))
+    val queries = projected.where(col("vec_id") < 20)
+
+    // candidates in 16-dim PCA space (over-fetch 4x), exact re-rank at 64
+    val cand = AnnSearch.bruteForceTopK(queries, projected, "pvec", "vec_id", 40)
+      .select(col("query_id"), col("corpus_id"))
+    val full = emb.select(col("vec_id"), col("embedding"))
+    val rescored = cand
+      .join(full.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("embedding", "__qf"), Seq("query_id"))
+      .join(full.withColumnRenamed("vec_id", "corpus_id")
+        .withColumnRenamed("embedding", "__cf"), Seq("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        Dedup.cosineSimilarity(col("__qf"), col("__cf")).as("cosine"))
+    val reranked = rescored.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))))
+      .where(col("rank") <= 10)
+      .select(col("query_id"), col("corpus_id")).as[(Long, Long)].collect().toSet
+
+    val truth = AnnSearch.bruteForceTopK(emb.where(col("vec_id") < 20), emb,
+        "embedding", "vec_id", 10)
+      .select(col("query_id"), col("corpus_id")).as[(Long, Long)].collect().toSet
+
+    val recall = (reranked & truth).size.toDouble / truth.size
+    assert(recall >= 0.6, s"recall@10 via 16-dim PCA candidates = $recall")
+  }
+
+  test("projectWith validates the plane shape") {
+    intercept[IllegalArgumentException] {
+      Embeddings.projectWith(emb, "embedding", Array(1.0, 2.0), dim, 8)
+    }
+  }
+}
