@@ -377,6 +377,12 @@ object SparkEntry {
       res.select(col("query_id"), col("corpus_id"),
         sround(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
     }),
+    // label-noise sweep: rows whose neighborhood out-votes their own label
+    "ann_label_noise" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      AnnSearch.labelNoise(emb.where(col("vec_id") < 100), "embedding",
+        "vec_id", "label", 10)
+    }),
     // hard-negative mining: most-similar corpus rows with a DIFFERENT
     // label, inequality applied before the k-cut
     "ann_hard_negatives" -> ((s, dir) => {
@@ -1831,6 +1837,27 @@ object SparkEntry {
          SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 10""",
     // exact top-10 by cosine, labels joined, majority with (votes desc,
     // label asc) tie-break — the full label-propagation pipeline in SQL
+    // self-kNN vote within the filtered subset, keep only disagreements
+    "ann_label_noise" ->
+      """WITH nn AS (SELECT query_id, corpus_id FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                          c.vec_id) AS rank
+             FROM embeddings q CROSS JOIN embeddings c
+             WHERE q.vec_id < 100 AND c.vec_id < 100 AND q.vec_id != c.vec_id)
+           WHERE rank <= 10),
+         v AS (SELECT nn.query_id, CAST(e.label AS BIGINT) AS label,
+                 count(*) AS votes
+               FROM nn JOIN embeddings e ON nn.corpus_id = e.vec_id
+               GROUP BY 1, 2),
+         r AS (SELECT query_id, label, votes,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY votes DESC, label) AS rn FROM v)
+         SELECT r.query_id AS vec_id, CAST(e.label AS BIGINT) AS label,
+                r.label AS label_pred, CAST(r.votes AS BIGINT) AS votes
+         FROM r JOIN embeddings e ON r.query_id = e.vec_id
+         WHERE rn = 1 AND r.label != e.label""",
     "ann_knn_label" ->
       """WITH nn AS (SELECT query_id, corpus_id FROM (
              SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,

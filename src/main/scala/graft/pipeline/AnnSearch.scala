@@ -730,6 +730,25 @@ object AnnSearch {
         col("votes").cast("long").as("votes"))
   }
 
+  /** Label-noise candidates (confident-learning's k-NN form): rows whose
+    * k nearest neighbors vote for a DIFFERENT label than their own — the
+    * dataset-QA sweep that surfaces mislabeled examples before a
+    * training run. Composes [[knnLabel]] (self-search, own row excluded
+    * by the standard query!=corpus guard) with the row's actual label;
+    * emits only the disagreements: (idCol, label, label_pred, votes) —
+    * `votes` is the winning (disagreeing) label's neighbor count, so
+    * callers triage by vote strength. Exact-search shape; swap LSH/IVF
+    * candidates in via [[knnLabelFrom]] at corpus scale. */
+  def labelNoise(df: DataFrame, vecCol: String, idCol: String,
+                 labelCol: String, k: Int): DataFrame = {
+    val pred = knnLabel(df, df, vecCol, idCol, labelCol, k)
+    pred.join(df.select(col(idCol).as("query_id"),
+        col(labelCol).cast("long").as("label")), Seq("query_id"))
+      .where(col("label") =!= col("label_pred"))
+      .select(col("query_id").as(idCol), col("label"), col("label_pred"),
+        col("votes"))
+  }
+
   /** Nearest-centroid (Rocchio) label assignment: per-label centroids on
     * the exact quantized-sum grid ([[Embeddings.centroids]]), each then
     * quantized to the engine-wide 4096 integer grid, and every vector

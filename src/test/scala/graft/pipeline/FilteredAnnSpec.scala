@@ -69,6 +69,21 @@ class FilteredAnnSpec extends AnyFunSuite with SparkSpec {
     assert(got0 == expect)
   }
 
+  test("labelNoise flags exactly the planted mislabel in a clean corpus") {
+    // two tight, well-separated clusters; row 5 sits in cluster A but
+    // carries cluster B's label
+    def v(x: Double, y: Double) = Seq.tabulate(4)(i => if (i == 0) x.toFloat
+      else if (i == 1) y.toFloat else 0.0f)
+    val rows = Seq(
+      (0L, v(1.0, 0.00), 0), (1L, v(1.0, 0.01), 0), (2L, v(1.0, -0.01), 0),
+      (3L, v(0.0, 1.00), 1), (4L, v(0.01, 1.0), 1), (5L, v(1.0, 0.02), 1))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val noisy = AnnSearch.labelNoise(df, "embedding", "vec_id", "label", 3)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("label"),
+        r.getAs[Long]("label_pred")))
+    assert(noisy.toSeq == Seq((5L, 1L, 0L)), s"got ${noisy.toSeq}")
+  }
+
   test("partial-probe filtered recall: results are a subset of the exact " +
     "filtered ranking's candidate pool and never violate the predicate") {
     val cents = AnnSearch.kmeansFit(emb, "embedding", dim = 64, k = 4, iters = 2)
