@@ -122,6 +122,19 @@ class SpanRewriteSpec extends AnyFunSuite with SparkSpec {
     assert(hashed == expected)
   }
 
+  test("plan shape: the rebuild never sort-merge-joins the token stream") {
+    // the words frame must meet the covered arrays through a broadcast
+    // (covered is per-doc bounded), and nothing may explode tokens for
+    // the rebuild — the plan claims in the scaladoc and SCALE.md
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Dedup.spanRewrite(src, "text", "doc_id", 5, 2L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // exactly the census aggregate's exchanges; a token-level rebuild
+    // shuffle would add an Exchange keyed by doc over exploded words
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("hashed incremental form agrees with the string-keyed one") {
     val corpus = Seq((0L, "alpha beta gamma delta end")).toDF("doc_id", "text")
     val census = Dedup.ngramFrequency(corpus, "text", "doc_id", 3, 1L)
