@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
 import graft.pipeline.Profile
+import graft.util.{CheckpointStrategy, Materialize, MatchScope}
 
 /** Streaming data-quality monitoring: run a [[Profile.expectations]]
   * check suite on every micro-batch of an ingest stream — the online
@@ -53,9 +54,17 @@ object ExpectationsStream {
             (sink: (DataFrame, Long) => Unit): (DataStreamWriter[Row], Monitor) = {
     val monitor = new Monitor(checks)
     val w = stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val report = Profile.expectations(batch, checks).localCheckpoint()
-      monitor.update(report.collect())
-      sink(report, batchId)
+      // per-batch MatchScope + Materialize (NOT a raw localCheckpoint,
+      // which would never register for release): the report barrier is
+      // tiny, but an unbounded stream may not accumulate one block per
+      // micro-batch. Same consume-inside-the-callback sink contract as
+      // the DocStreams writers.
+      MatchScope.withMatchScope {
+        val report = Materialize(Profile.expectations(batch, checks),
+          CheckpointStrategy.Local)
+        monitor.update(report.collect())
+        sink(report, batchId)
+      }
     }
     (w, monitor)
   }

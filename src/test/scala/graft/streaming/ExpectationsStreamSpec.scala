@@ -41,9 +41,14 @@ class ExpectationsStreamSpec extends AnyFunSuite with SparkSpec {
           .toMap
       }
     }
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.size
     val q = w.start()
     try q.processAllAvailable() finally q.stop()
 
+    // per-batch report barriers release with their scope — a monitoring
+    // stream may not leak one block per micro-batch
+    assert(spark.sparkContext.getPersistentRDDs.size <= rddsBefore,
+      "per-batch report barriers leaked")
     assert(monitor.batchCount == 2L)
     // each batch's report equals the batch operator run on that chunk
     for ((df, id) <- Seq(b0 -> 0L, b1 -> 1L)) {
