@@ -119,7 +119,7 @@ object Dedup {
         greatest(col(idACol), col(idBCol)).as("id_b"))
       .where(col("id_a") =!= col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .localCheckpoint()
+      .transform(d => Materialize(d, CheckpointStrategy.Local))
     val p = norm(predicted)
     val t = norm(truth)
     val hits = p.join(t, Seq("id_a", "id_b"))

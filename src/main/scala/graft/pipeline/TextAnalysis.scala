@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  // scope-aware barrier for the multi-consumer frames below: identical to
+  // localCheckpoint, but registers with an active MatchScope so a
+  // long-running driver can release blocks per call (raw localCheckpoint
+  // lives until app exit). Consumers must act within the caller's scope.
+  private def mat(df: DataFrame): DataFrame =
+    graft.util.Materialize(df, graft.util.CheckpointStrategy.Local)
+
   /** Whitespace tokens of the trimmed, lowercased text. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
@@ -346,7 +353,7 @@ object TextAnalysis {
       .where(length(col("token")) > 0)
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .transform(mat)
     val docFreq = tf.groupBy(col("token"))
       .agg(count(lit(1)).as("df"))
       .where(col("df") >= minDf)
@@ -430,6 +437,10 @@ object TextAnalysis {
     val (tf, dl, docFreq, nDocs, totTok) =
       bm25Corpus(corpus, textCol, idCol, maxDf)
     val joined = tf.join(dl, Seq(idCol)).join(docFreq, Seq("token"))
+    // deliberately a RAW localCheckpoint, NOT Materialize: a stored index
+    // outlives any MatchScope (a stream searches it across micro-batches
+    // long after the building scope closed) — app-lifetime blocks are the
+    // contract here, like the stream writers' prepared statics
     val postings = if (materialize) joined.localCheckpoint() else joined
     Bm25Index(postings, idCol, nDocs, totTok, k1, b)
   }
@@ -445,11 +456,11 @@ object TextAnalysis {
       .where(length(col("token")) > 0)
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .transform(mat)
     // dl has two consumers (the scalar stats and the scoring join) and
     // sits on top of a corpus-sized aggregation — checkpoint, or the
     // tf pass runs twice
-    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl")).localCheckpoint()
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl")).transform(mat)
     val statsRow = dl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
     val nDocs = statsRow.getLong(0)
     // empty corpus: no scored rows exist, the constant only has to be finite
@@ -657,7 +668,7 @@ object TextAnalysis {
           struct(element_at(t, i.cast("int")).as("w1"),
             element_at(t, (i + 1).cast("int")).as("w2")))).as("bg"))
       .select(col(idCol), col("bg.w1").as("__w1"), col("bg.w2").as("__w2"))
-      .localCheckpoint()
+      .transform(mat)
     val bgFreq = pairs.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__f"))
     val histFreq = pairs.groupBy(col("__w1")).agg(count(lit(1)).as("__h"))
     // broadcastLm = false is the open-vocabulary escape hatch: the LM
@@ -708,7 +719,7 @@ object TextAnalysis {
       .withColumn("avg_lp_milli",
         expr("((__sum_q * 1000 + n_bigrams * 1000000000000000) div n_bigrams)" +
           " - 1000000000000000"))
-      .localCheckpoint()
+      .transform(mat)
     val hist = scored.groupBy(col("avg_lp_milli")).agg(count(lit(1)).as("__c"))
     // the window is over the HISTOGRAM (distinct grid values), not the
     // corpus — the single-partition sort Spark warns about is deliberate
@@ -732,7 +743,7 @@ object TextAnalysis {
     // localCheckpoint: `toks` feeds the vocabulary AND the scoring join
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .where(length(col("token")) > 0)
-      .localCheckpoint()
+      .transform(mat)
     val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
     val total = vocab.agg(sum(col("freq")).as("__total"))
     val lm = broadcast(vocab.crossJoin(broadcast(total))
