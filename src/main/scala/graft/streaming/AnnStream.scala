@@ -49,4 +49,26 @@ object AnnStream {
       sink(AnnSearch.topK(batch, corpusPrepared, vecCol, idCol, k, dim), batchId)
     }
   }
+
+  /** The stored-index form of [[topKWriter]] — search arriving vectors
+    * against PERSISTED IVF postings + a frozen quantizer
+    * ([[graft.pipeline.AnnSearch.ivfPostings]]/`loadPostings` +
+    * `loadCentroids`), so each micro-batch pays only cell assignment and
+    * the probed-cell re-rank, never a full-corpus scan — the
+    * fit-once/search-forever production shape at corpus scale (the
+    * brute-force writer's per-batch cost grows with the corpus; this
+    * one's grows with nProbe cell populations). The postings frame is
+    * checkpointed once on the caller thread; refreshing the index
+    * (append or refit) is the caller's nightly cycle, same contract as
+    * the other stream-static writers. */
+  def ivfTopKWriter(stream: DataFrame, postings: DataFrame,
+                    vecCol: String, idCol: String, k: Int, dim: Int,
+                    centroids: Array[Double], nProbe: Int)
+                   (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val postingsPrepared = postings.localCheckpoint()
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(AnnSearch.ivfTopKFromPostings(batch, postingsPrepared,
+        vecCol, idCol, k, dim, centroids, nProbe), batchId)
+    }
+  }
 }

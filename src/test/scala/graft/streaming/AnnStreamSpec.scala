@@ -65,5 +65,24 @@ class AnnStreamSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     assert(topkRows.toSet == batchTopK,
       s"stream top-k ${topkRows.size} rows vs batch ${batchTopK.size}")
+
+    // stored-index writer: full probe of persisted postings equals the
+    // same exact answer, across the same micro-batch boundaries
+    val cents = graft.pipeline.AnnSearch.kmeansFit(emb, "embedding",
+      dim = 64, k = 4, iters = 2)
+    val flatC = graft.pipeline.AnnSearch.normalizeCentroids(cents)
+    val posts = graft.pipeline.AnnSearch.ivfPostings(emb, "embedding",
+      "vec_id", 64, flatC)
+    val ivfRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val q3 = AnnStream.ivfTopKWriter(stream, posts, "embedding", "vec_id",
+        5, 64, flatC, nProbe = 4) { (out, _) =>
+      ivfRows.synchronized {
+        ivfRows ++= out.select("query_id", "corpus_id", "rank")
+          .as[(Long, Long, Int)].collect()
+      }
+    }.start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(ivfRows.toSet == batchTopK,
+      s"stream ivf ${ivfRows.size} rows vs batch ${batchTopK.size}")
   }
 }
