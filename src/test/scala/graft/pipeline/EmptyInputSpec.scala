@@ -186,5 +186,19 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
     val vecs = Seq((1L, Seq(1.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
     assert(AnnSearch.filteredTopK(vecs.limit(0), vecs, "embedding", "vec_id",
       3, col("label") >= 0).count() === 0L)
+    // mining/QA ops: empty inputs yield empty frames, not errors
+    assert(AnnSearch.hardNegatives(vecs.limit(0), vecs, "embedding",
+      "vec_id", "label", 3).count() === 0L)
+    assert(AnnSearch.labelNoise(vecs.limit(0), "embedding", "vec_id",
+      "label", 3).count() === 0L)
+    // a single-label corpus has no possible negatives or disagreements
+    assert(AnnSearch.hardNegatives(vecs, vecs, "embedding", "vec_id",
+      "label", 3).count() === 0L)
+    // drift on two empty snapshots still emits one all-zero row per column
+    val dr = Profile.drift(emptyDocs, emptyDocs, Seq("text")).head()
+    assert(dr.getAs[Long]("n_rows_old") === 0L && dr.getAs[String]("min_old") === "")
+    // OOV against an empty vocab: every token is OOV, zero-doc frame is empty
+    assert(TextAnalysis.oovRate(emptyDocs, "text", "doc_id",
+      emptyDocs.select(col("text").as("token"))).count() === 0L)
   }
 }
