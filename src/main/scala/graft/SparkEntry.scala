@@ -1148,6 +1148,16 @@ object SparkEntry {
         Seq("label"), "embedding")
         .select(col("label").cast("long").as("label"), col("dim"),
           col("n_vectors"), sround(col("centroid"), 6).as("centroid"))),
+    // per-label prototype movement between two membership snapshots —
+    // exact integer arithmetic end to end (quantized deltas, long squares)
+    "embed_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.pipeline.Embeddings.centroidDrift(
+          e.where(col("vec_id") % 10 =!= 0), e.where(col("vec_id") % 7 =!= 2),
+          Seq("label"), "embedding")
+        .select(col("label").cast("long").as("label"), col("n_old"),
+          col("n_new"), col("l2_move"))
+    }),
 
     // ---- JL random projection (md5-int variant: exact BIGINT component
     // sums both engines compute identically; gaussian is the production
@@ -3114,6 +3124,28 @@ object SparkEntry {
          FROM (SELECT label, unnest(embedding) AS v,
                  generate_subscripts(embedding, 1) AS i FROM embeddings)
          GROUP BY 1, 2""",
+    // same quantized-exact centroid arithmetic on both sides, delta
+    // re-quantized to the grid, squared sum in exact integers
+    "embed_drift" ->
+      """WITH o AS (SELECT label, i AS dim, count(*) AS n_old,
+               sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) / 1000000.0 / count(*) AS co
+             FROM (SELECT label, unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS i
+                   FROM embeddings WHERE vec_id % 10 != 0)
+             GROUP BY 1, 2),
+         n AS (SELECT label, i AS dim, count(*) AS n_new,
+               sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) / 1000000.0 / count(*) AS cn
+             FROM (SELECT label, unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS i
+                   FROM embeddings WHERE vec_id % 7 != 2)
+             GROUP BY 1, 2),
+         j AS (SELECT o.label, o.n_old, n.n_new,
+                 CAST(round((cn - co) * 1000000) AS BIGINT) AS dq
+               FROM o JOIN n ON o.label = n.label AND o.dim = n.dim)
+         SELECT CAST(label AS BIGINT) AS label, max(n_old) AS n_old,
+                max(n_new) AS n_new,
+                round(sqrt(CAST(sum(dq * dq) AS DOUBLE)) / 1000000.0, 6) AS l2_move
+         FROM j GROUP BY 1""",
     // md5-derived integer planes x floor(v*4096) quantized vectors: every
     // projected component is an exact BIGINT dot product (same scheme as
     // the sign-LSH oracles)

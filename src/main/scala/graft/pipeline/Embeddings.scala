@@ -107,6 +107,35 @@ object Embeddings {
       col(vecCol), planes, dim, outDim))
   }
 
+  /** Embedding-space drift between two snapshots: per group, the L2
+    * distance its [[centroids]] moved — the monitoring twin of
+    * [[graft.pipeline.Profile.drift]] for the vector side ("did
+    * re-embedding / re-sampling move the class prototypes"). Exact and
+    * engine-mirrorable end to end: both centroids ride the quantized
+    * integer sums, the per-dimension delta re-quantizes to the same grid,
+    * and the squared sum is exact LONG arithmetic — no float summation
+    * order anywhere (a naive sqrt(sum((a-b)^2)) over double deltas is
+    * partition-order dependent). Groups present in only one snapshot are
+    * dropped (inner join) — [[graft.pipeline.Profile.drift]] on the group
+    * column is the tool for appear/disappear. Overflow headroom: |delta|
+    * × quantScale must stay under ~3e9 per dimension (fine for any
+    * normalized embedding at the 1e6 default). */
+  def centroidDrift(oldDf: DataFrame, newDf: DataFrame, groupCols: Seq[String],
+                    vecCol: String, quantScale: Double = 1e6): DataFrame = {
+    val key = groupCols :+ "dim"
+    val o = centroids(oldDf, groupCols, vecCol, quantScale)
+      .withColumnRenamed("centroid", "__co").withColumnRenamed("n_vectors", "n_old")
+    val n = centroids(newDf, groupCols, vecCol, quantScale)
+      .withColumnRenamed("centroid", "__cn").withColumnRenamed("n_vectors", "n_new")
+    o.join(n, key)
+      .withColumn("__dq", round((col("__cn") - col("__co")) * quantScale).cast("long"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(max(col("n_old")).as("n_old"), max(col("n_new")).as("n_new"),
+        sum(col("__dq") * col("__dq")).as("__ss"))
+      .select(groupCols.map(col) ++ Seq(col("n_old"), col("n_new"),
+        round(sqrt(col("__ss").cast("double")) / quantScale, 6).as("l2_move")): _*)
+  }
+
   def centroids(df: DataFrame, groupCols: Seq[String], vecCol: String,
                 quantScale: Double = 1e6): DataFrame = {
     require(groupCols.nonEmpty, "centroids needs at least one group column")

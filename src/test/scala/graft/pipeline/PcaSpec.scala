@@ -60,6 +60,26 @@ class PcaSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.6, s"recall@10 via 16-dim PCA candidates = $recall")
   }
 
+  test("centroidDrift: identical snapshots move 0, a shifted group moves " +
+    "by exactly the shift") {
+    val a = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.2f), 0),
+      (3L, Seq(0.0f, 1.0f), 1)).toDF("vec_id", "embedding", "label")
+    val same = Embeddings.centroidDrift(a, a, Seq("label"), "embedding")
+      .collect().map(r => r.getAs[Int]("label") -> r.getAs[Double]("l2_move")).toMap
+    assert(same == Map(0 -> 0.0, 1 -> 0.0))
+    // shift label-1's single vector by (0.3, -0.4): centroid moves 0.5
+    val b = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.2f), 0),
+      (3L, Seq(0.3f, 0.6f), 1)).toDF("vec_id", "embedding", "label")
+    val moved = Embeddings.centroidDrift(a, b, Seq("label"), "embedding")
+      .collect().map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_old"), r.getAs[Long]("n_new"), r.getAs[Double]("l2_move")))
+      .toMap
+    assert(moved(0) == (2L, 2L, 0.0))
+    assert(moved(1) == (1L, 1L, 0.5))
+  }
+
   test("projectWith validates the plane shape") {
     intercept[IllegalArgumentException] {
       Embeddings.projectWith(emb, "embedding", Array(1.0, 2.0), dim, 8)
