@@ -41,14 +41,17 @@ class SpanRewriteSpec extends AnyFunSuite with SparkSpec {
     assert(res(7L) == ("alpha beta gamma filler", 3L))
   }
 
-  test("short, empty and ragged-whitespace docs pass through canonicalized") {
+  test("short, empty, null and ragged-whitespace docs pass through canonicalized") {
     val res = run(Seq(
       (1L, "too short"),
       (2L, ""),
-      (3L, "  spaced \t out\n doc  ")), spanLen = 3)
+      (3L, "  spaced \t out\n doc  "),
+      (4L, null.asInstanceOf[String])), spanLen = 3)
     assert(res(1L) == ("too short", 0L))
     assert(res(2L) == ("", 0L))
     assert(res(3L) == ("spaced out doc", 0L))
+    // a NULL text row survives as an empty clean text, never null/dropped
+    assert(res(4L) == ("", 0L))
   }
 
   test("minCount gates the census: 2 copies survive minCount=3, 3 do not") {
