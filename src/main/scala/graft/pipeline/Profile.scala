@@ -98,15 +98,23 @@ object Profile {
     * is one aggregate scan; the join is #cols rows. Policy (what counts
     * as drift) stays with the caller: this emits the evidence, not the
     * verdict. */
-  def drift(oldDf: DataFrame, newDf: DataFrame, cols: Seq[String]): DataFrame = {
-    def side(df: DataFrame, suffix: String) =
-      columns(df, cols).select(col("col_name"),
+  def drift(oldDf: DataFrame, newDf: DataFrame, cols: Seq[String]): DataFrame =
+    driftFromProfiles(columns(oldDf, cols), columns(newDf, cols))
+
+  /** [[drift]] over ALREADY-PROFILED sides ([[columns]] output) — the
+    * stored-baseline form: profile the reference corpus once, persist the
+    * tiny frame, and compare any number of later snapshots (or arriving
+    * micro-batches — [[graft.streaming.ProfileStream]]) against it
+    * without rescanning the reference. */
+  def driftFromProfiles(oldProfile: DataFrame, newProfile: DataFrame): DataFrame = {
+    def side(p: DataFrame, suffix: String) =
+      p.select(col("col_name"),
         col("n_rows").as(s"n_rows_$suffix"),
         col("n_nulls").as(s"n_nulls_$suffix"),
         col("n_distinct").as(s"n_distinct_$suffix"),
         col("min_s").as(s"min_$suffix"),
         col("max_s").as(s"max_$suffix"))
-    side(oldDf, "old").join(side(newDf, "new"), Seq("col_name"))
+    side(oldProfile, "old").join(side(newProfile, "new"), Seq("col_name"))
   }
 
   /** The wide-table scale path: `approx_count_distinct` (HyperLogLog++,
