@@ -551,6 +551,9 @@ object SparkEntry {
     // from the text, overlaps merged through the covered-position set
     "dedup_span_rewrite" -> ((s, dir) =>
       Dedup.spanRewrite(t(s, dir, "documents"), "text", "doc_id", 5, 2L)),
+    // triage evidence: both docs' 3-gram sets side by side
+    "dedup_explain_pair" -> ((s, dir) =>
+      Dedup.explainPair(t(s, dir, "documents"), "text", "doc_id", 0L, 1L, 3)),
     // nightly shape: odd-id batch rewritten against the even-id corpus's
     // stored census — every batch occurrence of a corpus window is cut,
     // the corpus is never rescanned per batch
@@ -2066,6 +2069,16 @@ object SparkEntry {
          SELECT h.doc_id AS doc_id, hot_ngrams,
            round(hot_ngrams::DOUBLE / total, 6) AS boiler_frac
          FROM h JOIN tot ON h.doc_id = tot.doc_id""",
+    "dedup_explain_pair" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+               FROM documents WHERE doc_id IN (0, 1)),
+         s AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) END AS sh FROM t),
+         e AS (SELECT doc_id, unnest(sh) AS g FROM s)
+         SELECT g AS ngram,
+           CAST(max(CASE WHEN doc_id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS in_a,
+           CAST(max(CASE WHEN doc_id = 1 THEN 1 ELSE 0 END) AS BIGINT) AS in_b
+         FROM e GROUP BY 1""",
     // full replay of the span rewrite: window census over 5-word lowercase
     // grams, rank occurrences by (doc, pos), cut everything but rank 1,
     // merge covered positions, rebuild the surviving words in order

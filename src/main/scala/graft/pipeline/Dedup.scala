@@ -326,6 +326,20 @@ object Dedup {
           .as("boiler_frac"))
   }
 
+  /** Near-dup pair EVIDENCE for human triage: the two documents' word
+    * n-gram sets merged side by side — one row per distinct shingle with
+    * 0/1 membership flags, so "why did the dedup pair these?" is
+    * answerable by reading the `in_a AND in_b` rows (and the jaccard /
+    * containment denominators are the flag sums). Readable text shingles,
+    * deliberately NOT the 8-byte hashes the pair generators block on.
+    * Tiny by construction (two documents); runs anywhere, any scale. */
+  def explainPair(docs: DataFrame, textCol: String, idCol: String,
+                  idA: Long, idB: Long, n: Int): DataFrame =
+    wordShingles(docs.where(col(idCol).isin(idA, idB)), textCol, idCol, n)
+      .groupBy(col("__shingle").as("ngram"))
+      .agg(max(when(col(idCol) === idA, 1L).otherwise(0L)).as("in_a"),
+        max(when(col(idCol) === idB, 1L).otherwise(0L)).as("in_b"))
+
   /** Exact duplicated-span REMOVAL — the rewrite stage of Lee et al.,
     * "Deduplicating Training Data Makes Language Models Better"
     * (arXiv:2107.06499), in its bounded word-n-gram form: every occurrence

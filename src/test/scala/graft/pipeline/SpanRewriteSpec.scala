@@ -125,6 +125,22 @@ class SpanRewriteSpec extends AnyFunSuite with SparkSpec {
     assert(hashed == expected)
   }
 
+  test("explainPair: membership flags reconstruct jaccard's numerator " +
+    "and denominators") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val docs = Seq((1L, "a b c d"), (2L, "b c d e")).toDF("doc_id", "text")
+    val ev = Dedup.explainPair(docs, "text", "doc_id", 1L, 2L, 3)
+    val rows = ev.collect().map(r => r.getAs[String]("ngram") ->
+      (r.getAs[Long]("in_a"), r.getAs[Long]("in_b"))).toMap
+    assert(rows == Map(
+      "a b c" -> (1L, 0L), "b c d" -> (1L, 1L),
+      "c d e" -> (0L, 1L)))
+    val agg = ev.agg(sum(col("in_a") * col("in_b")), sum(col("in_a")),
+      sum(col("in_b"))).head()
+    // jaccard 1/3, containment 1/2 — straight from the evidence frame
+    assert((agg.getLong(0), agg.getLong(1), agg.getLong(2)) == ((1L, 2L, 2L)))
+  }
+
   test("plan shape: the rebuild never sort-merge-joins the token stream") {
     // the words frame must meet the covered arrays through a broadcast
     // (covered is per-doc bounded), and nothing may explode tokens for
