@@ -1159,7 +1159,7 @@ object SparkEntry {
           e.where(col("vec_id") % 10 =!= 0), e.where(col("vec_id") % 7 =!= 2),
           Seq("label"), "embedding")
         .select(col("label").cast("long").as("label"), col("n_old"),
-          col("n_new"), col("l2_move"))
+          col("n_new"), col("n_dims"), col("l2_move"))
     }),
 
     // ---- JL random projection (md5-int variant: exact BIGINT component
@@ -3156,7 +3156,7 @@ object SparkEntry {
                  CAST(round((cn - co) * 1000000) AS BIGINT) AS dq
                FROM o JOIN n ON o.label = n.label AND o.dim = n.dim)
          SELECT CAST(label AS BIGINT) AS label, max(n_old) AS n_old,
-                max(n_new) AS n_new,
+                max(n_new) AS n_new, count(*) AS n_dims,
                 round(sqrt(CAST(sum(dq * dq) AS DOUBLE)) / 1000000.0, 6) AS l2_move
          FROM j GROUP BY 1""",
     // md5-derived integer planes x floor(v*4096) quantized vectors: every

@@ -679,8 +679,10 @@ object AnnSearch {
     * trivially separable; these are not). Label inequality is applied
     * BEFORE the k-cut (the [[filteredTopK]] argument: post-filtering a
     * ranked list loses negatives), by scoring against the full corpus
-    * and filtering on the joined label pair — one broadcast of the
-    * (id, label) frame on top of [[bruteForceTopK]]'s plan; swap the
+    * and filtering on the joined label pair. The broadcast side is the
+    * FULL anchor frame — vectors and labels, so size anchor sets by the
+    * vector payload (dim × 4 B each), the same
+    * [[BroadcastQueryLimit]]-class bound as [[bruteForceTopK]]; swap the
     * scorer for [[lshTopK]]-style candidates at corpus scale. Emits
     * (query_id, corpus_id, cosine, rank) with rank 1-based per anchor. */
   def hardNegatives(anchors: DataFrame, corpus: DataFrame,

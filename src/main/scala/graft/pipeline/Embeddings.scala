@@ -117,9 +117,15 @@ object Embeddings {
     * order anywhere (a naive sqrt(sum((a-b)^2)) over double deltas is
     * partition-order dependent). Groups present in only one snapshot are
     * dropped (inner join) — [[graft.pipeline.Profile.drift]] on the group
-    * column is the tool for appear/disappear. Overflow headroom: |delta|
-    * × quantScale must stay under ~3e9 per dimension (fine for any
-    * normalized embedding at the 1e6 default). */
+    * column is the tool for appear/disappear, and the emitted `n_dims`
+    * (dimensions actually compared) is the honesty check for a
+    * DIMENSIONALITY mismatch between snapshots: re-embedding at a
+    * different dim makes the join silently compare only the overlap, so
+    * gate on `n_dims == expected dim` before trusting `l2_move`.
+    * Overflow headroom: |delta| × quantScale must stay under
+    * sqrt(2⁶³ / dim) per dimension (~3.8e8 at dim 64 — a long sum of
+    * dim squared deltas, not one square), far above any normalized
+    * embedding at the 1e6 default. */
   def centroidDrift(oldDf: DataFrame, newDf: DataFrame, groupCols: Seq[String],
                     vecCol: String, quantScale: Double = 1e6): DataFrame = {
     val key = groupCols :+ "dim"
@@ -131,8 +137,9 @@ object Embeddings {
       .withColumn("__dq", round((col("__cn") - col("__co")) * quantScale).cast("long"))
       .groupBy(groupCols.map(col): _*)
       .agg(max(col("n_old")).as("n_old"), max(col("n_new")).as("n_new"),
+        count(lit(1)).as("n_dims"),
         sum(col("__dq") * col("__dq")).as("__ss"))
-      .select(groupCols.map(col) ++ Seq(col("n_old"), col("n_new"),
+      .select(groupCols.map(col) ++ Seq(col("n_old"), col("n_new"), col("n_dims"),
         round(sqrt(col("__ss").cast("double")) / quantScale, 6).as("l2_move")): _*)
   }
 

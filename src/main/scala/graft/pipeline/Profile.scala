@@ -105,7 +105,11 @@ object Profile {
     * stored-baseline form: profile the reference corpus once, persist the
     * tiny frame, and compare any number of later snapshots (or arriving
     * micro-batches — [[graft.streaming.ProfileStream]]) against it
-    * without rescanning the reference. */
+    * without rescanning the reference. The join is FULL OUTER: a column
+    * profiled on only one side still gets a report row, with the missing
+    * side's counts at the -1 sentinel and min/max at '' — a monitoring
+    * report that silently dropped a one-sided column would look healthy
+    * while not monitoring it at all. */
   def driftFromProfiles(oldProfile: DataFrame, newProfile: DataFrame): DataFrame = {
     def side(p: DataFrame, suffix: String) =
       p.select(col("col_name"),
@@ -114,7 +118,13 @@ object Profile {
         col("n_distinct").as(s"n_distinct_$suffix"),
         col("min_s").as(s"min_$suffix"),
         col("max_s").as(s"max_$suffix"))
-    side(oldProfile, "old").join(side(newProfile, "new"), Seq("col_name"))
+    val joined = side(oldProfile, "old")
+      .join(side(newProfile, "new"), Seq("col_name"), "full_outer")
+    val sentinels = Seq("n_rows", "n_nulls", "n_distinct").flatMap(m =>
+      Seq(s"${m}_old", s"${m}_new").map(c => coalesce(col(c), lit(-1L)).as(c))) ++
+      Seq("min_old", "min_new", "max_old", "max_new").map(c =>
+        coalesce(col(c), lit("")).as(c))
+    joined.select(col("col_name") +: sentinels: _*)
   }
 
   /** The wide-table scale path: `approx_count_distinct` (HyperLogLog++,

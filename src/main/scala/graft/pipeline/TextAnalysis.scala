@@ -434,13 +434,16 @@ object TextAnalysis {
                 k1: Double = 1.2, b: Double = 0.75,
                 maxDf: Long = Long.MaxValue,
                 materialize: Boolean = true): Bm25Index = {
+    // RAW localCheckpoint barriers throughout the index build, NOT the
+    // scope-aware mat: a stored index outlives any MatchScope (a stream
+    // searches it across micro-batches long after the building scope
+    // closed), and that must hold for the intermediate tf/dl too when
+    // materialize = false leaves the postings lazy over them —
+    // app-lifetime blocks are the contract, like the stream writers'
+    // prepared statics
     val (tf, dl, docFreq, nDocs, totTok) =
-      bm25Corpus(corpus, textCol, idCol, maxDf)
+      bm25Corpus(corpus, textCol, idCol, maxDf, barrier = _.localCheckpoint())
     val joined = tf.join(dl, Seq(idCol)).join(docFreq, Seq("token"))
-    // deliberately a RAW localCheckpoint, NOT Materialize: a stored index
-    // outlives any MatchScope (a stream searches it across micro-batches
-    // long after the building scope closed) — app-lifetime blocks are the
-    // contract here, like the stream writers' prepared statics
     val postings = if (materialize) joined.localCheckpoint() else joined
     Bm25Index(postings, idCol, nDocs, totTok, k1, b)
   }
@@ -448,19 +451,25 @@ object TextAnalysis {
   /** Shared corpus half of the BM25 family: the checkpointed tf frame
     * (it feeds three aggregations — the multi-consumer trap), document
     * length, `maxDf`-gated document frequency, and the two exact corpus
-    * scalars. */
+    * scalars. `barrier` picks the checkpoint lifetime: the one-shot
+    * search uses the scope-aware [[mat]]; the INDEX build passes a raw
+    * `localCheckpoint` so the returned postings' lineage survives the
+    * building scope even with `materialize = false` (a lazy index over
+    * scope-released tf/dl barriers would die at scope close). */
   private def bm25Corpus(corpus: DataFrame, textCol: String, idCol: String,
-                         maxDf: Long): (DataFrame, DataFrame, DataFrame, Long, Long) = {
+                         maxDf: Long,
+                         barrier: DataFrame => DataFrame = mat)
+      : (DataFrame, DataFrame, DataFrame, Long, Long) = {
     val tf = corpus
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .where(length(col("token")) > 0)
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
-      .transform(mat)
+      .transform(barrier)
     // dl has two consumers (the scalar stats and the scoring join) and
     // sits on top of a corpus-sized aggregation — checkpoint, or the
     // tf pass runs twice
-    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl")).transform(mat)
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl")).transform(barrier)
     val statsRow = dl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
     val nDocs = statsRow.getLong(0)
     // empty corpus: no scored rows exist, the constant only has to be finite

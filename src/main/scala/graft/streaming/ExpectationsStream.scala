@@ -49,7 +49,14 @@ object ExpectationsStream {
   /** A `DataStreamWriter` running `checks` on each micro-batch:
     * `sink(report, batchId)` receives the per-batch
     * (check, col_name, passed, violations) frame; the returned
-    * [[Monitor]] (second element) tracks cumulative counts. */
+    * [[Monitor]] (second element) tracks cumulative counts.
+    *
+    * Sink contract (same as the DocStreams writers): consume the report
+    * inside the callback — its barrier lives in a per-batch MatchScope
+    * and is released when the sink returns, so a stashed frame read
+    * after the trigger would hit unpersisted blocks. (Earlier versions
+    * leaked the barrier for the app lifetime, which incidentally kept
+    * deferred reads alive — that was the leak, not a contract.) */
   def writer(stream: DataFrame, checks: Seq[Profile.Expectation])
             (sink: (DataFrame, Long) => Unit): (DataStreamWriter[Row], Monitor) = {
     val monitor = new Monitor(checks)

@@ -74,10 +74,17 @@ class PcaSpec extends AnyFunSuite with SparkSpec {
       (3L, Seq(0.3f, 0.6f), 1)).toDF("vec_id", "embedding", "label")
     val moved = Embeddings.centroidDrift(a, b, Seq("label"), "embedding")
       .collect().map(r => r.getAs[Int]("label") ->
-        (r.getAs[Long]("n_old"), r.getAs[Long]("n_new"), r.getAs[Double]("l2_move")))
+        (r.getAs[Long]("n_old"), r.getAs[Long]("n_new"),
+          r.getAs[Long]("n_dims"), r.getAs[Double]("l2_move")))
       .toMap
-    assert(moved(0) == (2L, 2L, 0.0))
-    assert(moved(1) == (1L, 1L, 0.5))
+    assert(moved(0) == (2L, 2L, 2L, 0.0))
+    assert(moved(1) == (1L, 1L, 2L, 0.5))
+    // dimensionality mismatch between snapshots: n_dims exposes that only
+    // the overlap was compared (the caller's gate before trusting l2_move)
+    val short = Seq((3L, Seq(0.0f), 1)).toDF("vec_id", "embedding", "label")
+    val mixed = Embeddings.centroidDrift(a, short, Seq("label"), "embedding")
+      .collect().map(r => r.getAs[Int]("label") -> r.getAs[Long]("n_dims")).toMap
+    assert(mixed == Map(1 -> 1L))
   }
 
   test("projectWith validates the plane shape") {

@@ -61,6 +61,19 @@ class VersioningSpec extends AnyFunSuite with SparkSpec {
     assert(n.getAs[String]("max_old") == "30" && n.getAs[String]("max_new") == "20")
   }
 
+  test("driftFromProfiles keeps one-sided columns with sentinels instead " +
+    "of silently dropping them from the report") {
+    val oldP = Profile.columns(Seq((1L, "x")).toDF("id", "a"), Seq("id", "a"))
+    val newP = Profile.columns(Seq((1L, "y")).toDF("id", "b"), Seq("id", "b"))
+    val res = Profile.driftFromProfiles(oldP, newP).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(res.keySet == Set("id", "a", "b"))
+    assert(res("a").getAs[Long]("n_rows_new") == -1L &&
+      res("a").getAs[String]("max_new") == "")
+    assert(res("b").getAs[Long]("n_rows_old") == -1L &&
+      res("b").getAs[Long]("n_rows_new") == 1L)
+  }
+
   test("oovRate: unknown tokens counted, empty docs emit zeros not nulls") {
     import org.apache.spark.sql.functions.col
     val vocab = Seq("the", "cat").toDF("token")
