@@ -1119,6 +1119,22 @@ object SparkEntry {
           sround(col("score"), 6).as("score"), col("rank"))
     }),
 
+    // decremental forget on the stored index: build on the full corpus,
+    // forget doc_id % 13 == 0, search — must equal a kept-corpus rebuild,
+    // which is what the oracle computes
+    "text_bm25_forget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qs = docs.where(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(split(trim(lower(col("text"))), "\\s+"), 1, 5)).as("qtext"))
+      val ix = TextAnalysis.bm25Forget(
+        TextAnalysis.bm25Index(docs, "text", "doc_id"),
+        docs.where(col("doc_id") % 13 === 0).select("doc_id"))
+      TextAnalysis.bm25TopKWithIndex(ix, qs, "qtext", "query_id", k = 10)
+        .select(col("query_id"), col("doc_id"),
+          sround(col("score"), 6).as("score"), col("rank"))
+    }),
+
     // ---- CCNet-style head/middle/tail triage over the bigram-LM score:
     // integer milli-grid average + histogram order statistics — zero
     // floats anywhere near a bucket boundary
@@ -2978,6 +2994,34 @@ object SparkEntry {
          st AS (SELECT count(*) AS nd, sum(dl) AS tt FROM dl),
          df AS (SELECT tk, count(*) AS df FROM tf GROUP BY 1),
          q AS (SELECT doc_id AS query_id, unnest(list_distinct(w[1:5])) AS qtk FROM t WHERE doc_id % 50 = 0),
+         sc AS (SELECT q.query_id, tf.doc_id,
+                  CAST(round(ln((nd - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                    * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * ((CAST(dl.dl AS DOUBLE) * CAST(st.nd AS DOUBLE)) / CAST(st.tt AS DOUBLE))))
+                    * 1000000.0) AS BIGINT) AS c
+                FROM q JOIN tf ON q.qtk = tf.tk
+                  JOIN dl ON tf.doc_id = dl.doc_id
+                  JOIN df ON tf.tk = df.tk
+                  CROSS JOIN st
+                WHERE length(q.qtk) > 0),
+         agg AS (SELECT query_id, doc_id, sum(c) AS sq FROM sc GROUP BY 1, 2),
+         rk AS (SELECT query_id, doc_id, sq,
+                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sq DESC, doc_id) AS INT) AS rank
+                FROM agg)
+         SELECT query_id, doc_id, round(sq / 1000000.0, 6) AS score, rank
+         FROM rk WHERE rank <= 10""",
+    // the oracle IS the kept-corpus rebuild: decremental maintenance must
+    // be indistinguishable from it (queries keep the full query set —
+    // forgotten docs may still ask, they just can't be found)
+    "text_bm25_forget" ->
+      """WITH t0 AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+         t AS (SELECT * FROM t0 WHERE doc_id % 13 != 0),
+         tok AS (SELECT doc_id, unnest(w) AS tk FROM t),
+         tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok WHERE length(tk) > 0 GROUP BY 1, 2),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         st AS (SELECT count(*) AS nd, sum(dl) AS tt FROM dl),
+         df AS (SELECT tk, count(*) AS df FROM tf GROUP BY 1),
+         q AS (SELECT doc_id AS query_id, unnest(list_distinct(w[1:5])) AS qtk FROM t0 WHERE doc_id % 50 = 0),
          sc AS (SELECT q.query_id, tf.doc_id,
                   CAST(round(ln((nd - df.df + 0.5) / (df.df + 0.5) + 1.0)
                     * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))

@@ -479,6 +479,47 @@ object TextAnalysis {
     (tf, dl, docFreq, nDocs, totTok)
   }
 
+  /** Exact DECREMENTAL index maintenance under a forget list — the one
+    * aggregate artifact where the right-to-be-forgotten cascade
+    * ([[graft.pipeline.Curation.forget]]) does NOT force a corpus
+    * rebuild: every statistic a deleted document contributed to the
+    * index is recoverable from its own deleted rows. Per-token df
+    * decrements by the count of that token's deleted rows ((token, id)
+    * is unique, so row count IS doc count); nDocs/totalTokens decrement
+    * by the deleted documents' count and dl sum. Cost is O(deleted
+    * postings) + one pass over the kept rows — the corpus text is never
+    * touched.
+    *
+    * Exactness caveat: equals a fresh [[bm25Index]] build on the kept
+    * corpus EXCEPT when a `maxDf` gate was used at build time AND a
+    * forgotten document's every token was gated out — such a document
+    * has no postings rows to announce its dl/N contribution, leaving
+    * nDocs/totalTokens residually high by that document. With the
+    * default ungated build the result is exactly the rebuild (spec-
+    * asserted, scores and all). Also note df is corrected only for
+    * surviving rows; a token whose every posting was forgotten simply
+    * has no rows left, which is the correct end state. */
+  def bm25Forget(ix: Bm25Index, forgetIds: DataFrame): Bm25Index = {
+    val fids = broadcast(forgetIds.select(col(ix.idCol)).distinct())
+    // consumed fully inside this call (the count action below + the kept
+    // frame's eager checkpoint), so the scope-aware barrier is right
+    val deleted = ix.postings.join(fids, Seq(ix.idCol), "left_semi")
+      .transform(mat)
+    val delPerToken = deleted.groupBy(col("token"))
+      .agg(count(lit(1)).as("__ddf"))
+    val kept = ix.postings.join(fids, Seq(ix.idCol), "left_anti")
+      .join(delPerToken, Seq("token"), "left")
+      .withColumn("df", col("df") - coalesce(col("__ddf"), lit(0L)))
+      .drop("__ddf")
+      // raw checkpoint: same app-lifetime stored-index contract as
+      // bm25Index's build barriers
+      .localCheckpoint()
+    val remRow = deleted.select(col(ix.idCol), col("dl")).distinct()
+      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+    Bm25Index(kept, ix.idCol, ix.nDocs - remRow.getLong(0),
+      math.max(ix.totalTokens - remRow.getLong(1), 1L), ix.k1, ix.b)
+  }
+
   /** Query terms: one row per (query id, distinct non-empty token). */
   private def bm25QueryTerms(queries: DataFrame, queryTextCol: String,
                              queryIdCol: String): DataFrame =

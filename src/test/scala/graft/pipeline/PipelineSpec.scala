@@ -556,6 +556,35 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(res == Seq((1L, 1)), s"got $res")
   }
 
+  test("bm25Forget equals a fresh index built on the kept corpus") {
+    val corpus = Seq(
+      (1L, "cat dog cat"), (2L, "cat bird"), (3L, "fish fish fish"),
+      (4L, "dog dog bird"), (5L, "cat fish dog")).toDF("doc_id", "text")
+    val forget = Seq(2L, 5L).toDF("doc_id")
+    val qs = Seq((1L, "cat dog"), (2L, "fish bird")).toDF("query_id", "qtext")
+
+    val decremented = TextAnalysis.bm25Forget(
+      TextAnalysis.bm25Index(corpus, "text", "doc_id"), forget)
+    val rebuilt = TextAnalysis.bm25Index(
+      corpus.where(!col("doc_id").isin(2L, 5L)), "text", "doc_id")
+
+    // the scalars the score depends on must decrement exactly
+    assert(decremented.nDocs == rebuilt.nDocs &&
+      decremented.totalTokens == rebuilt.totalTokens)
+    // postings agree row-for-row, corrected df included
+    val dp = decremented.postings.select("doc_id", "token", "tf", "dl", "df")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    val rp = rebuilt.postings.select("doc_id", "token", "tf", "dl", "df")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(dp == rp, s"postings diverge: ${dp.diff(rp)} / ${rp.diff(dp)}")
+    // and so do search results, scores and all
+    def results(ix: TextAnalysis.Bm25Index) =
+      TextAnalysis.bm25TopKWithIndex(ix, qs, "qtext", "query_id", k = 5)
+        .select("query_id", "doc_id", "score", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    assert(results(decremented) == results(rebuilt))
+  }
+
   test("sessionization: gap starts a new session, ties break on event id") {
     val M = 60L * 1000000 // one minute in micros
     val ev = Seq(
