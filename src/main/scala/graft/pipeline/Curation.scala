@@ -653,7 +653,9 @@ object Curation {
     * first_doc — anti-joining their rows by id (or not at all) leaves
     * statistics that still count the forgotten documents. The audit
     * cannot see that staleness; schedule index/census rebuilds with the
-    * forget batch. */
+    * forget batch. Exception: the BM25 index decrements EXACTLY from its
+    * own deleted rows — [[graft.pipeline.TextAnalysis.bm25Forget]] — so
+    * route it there instead of rebuilding. */
   def forget(parent: DataFrame, idCol: String, forgetIds: DataFrame,
              children: Seq[(String, DataFrame, String)]): (DataFrame, Seq[(String, DataFrame)]) = {
     val fids = broadcast(forgetIds.select(col(idCol)).distinct())

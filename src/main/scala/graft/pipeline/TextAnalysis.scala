@@ -486,9 +486,19 @@ object TextAnalysis {
     * index is recoverable from its own deleted rows. Per-token df
     * decrements by the count of that token's deleted rows ((token, id)
     * is unique, so row count IS doc count); nDocs/totalTokens decrement
-    * by the deleted documents' count and dl sum. Cost is O(deleted
-    * postings) + one pass over the kept rows — the corpus text is never
-    * touched.
+    * by the deleted documents' count and dl sum.
+    *
+    * What this buys — and costs: the corpus TEXT is never touched, so a
+    * compliance forget works on the stored index alone (the original
+    * documents may themselves already be deleted). The correction
+    * compute is O(deleted postings), but `materialize = true` (the
+    * stored-index default) re-checkpoints the KEPT rows — O(kept) — and
+    * at sf10 that materialization (29.9 s over 10.7M postings) exceeded
+    * a fresh kept-corpus build (~21 s): when the corpus text is still
+    * on hand and tokenization is not the bottleneck, rebuild instead;
+    * when it is gone, or the index is much smaller than the text, this
+    * is the only — and an exact — option. `materialize = false` returns
+    * the lazily corrected index for a one-shot search.
     *
     * Exactness caveat: equals a fresh [[bm25Index]] build on the kept
     * corpus EXCEPT when a `maxDf` gate was used at build time AND a
@@ -499,21 +509,24 @@ object TextAnalysis {
     * asserted, scores and all). Also note df is corrected only for
     * surviving rows; a token whose every posting was forgotten simply
     * has no rows left, which is the correct end state. */
-  def bm25Forget(ix: Bm25Index, forgetIds: DataFrame): Bm25Index = {
+  def bm25Forget(ix: Bm25Index, forgetIds: DataFrame,
+                 materialize: Boolean = true): Bm25Index = {
     val fids = broadcast(forgetIds.select(col(ix.idCol)).distinct())
-    // consumed fully inside this call (the count action below + the kept
-    // frame's eager checkpoint), so the scope-aware barrier is right
+    // deleted must survive past this call when the kept frame stays lazy
+    // (it feeds the correction join) — raw checkpoint, the stored-index
+    // lifetime contract; it is a small frame (the forget list's rows)
     val deleted = ix.postings.join(fids, Seq(ix.idCol), "left_semi")
-      .transform(mat)
+      .localCheckpoint()
     val delPerToken = deleted.groupBy(col("token"))
       .agg(count(lit(1)).as("__ddf"))
-    val kept = ix.postings.join(fids, Seq(ix.idCol), "left_anti")
+    val keptLazy = ix.postings.join(fids, Seq(ix.idCol), "left_anti")
       .join(delPerToken, Seq("token"), "left")
       .withColumn("df", col("df") - coalesce(col("__ddf"), lit(0L)))
       .drop("__ddf")
-      // raw checkpoint: same app-lifetime stored-index contract as
-      // bm25Index's build barriers
-      .localCheckpoint()
+    // raw checkpoint: same app-lifetime stored-index contract as
+    // bm25Index's build barriers. This is the O(kept) cost — skip it
+    // (materialize = false) for a one-shot search over the correction.
+    val kept = if (materialize) keptLazy.localCheckpoint() else keptLazy
     val remRow = deleted.select(col(ix.idCol), col("dl")).distinct()
       .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
     Bm25Index(kept, ix.idCol, ix.nDocs - remRow.getLong(0),
