@@ -426,6 +426,55 @@ object Dedup {
     spanRebuild(words, idCol, removed, spanLen)
   }
 
+  /** C4-style LINE-level dedup rewrite: every occurrence of a line whose
+    * trimmed-lowercase form appears at least `minCount` times in the
+    * corpus is cut EXCEPT the globally-first (smallest (doc, position)),
+    * and surviving lines keep their ORIGINAL bytes and order — unlike
+    * the word-window [[spanRewrite]], nothing is re-tokenized or
+    * whitespace-canonicalized, so diff-friendliness against the source
+    * text is preserved. Blank/whitespace-only lines are never match
+    * keys (every boilerplate corpus repeats them; cutting them would
+    * glue paragraphs). Output (idCol, text_clean, n_removed — removed
+    * LINE count). On a corpus whose "lines" are derived token chunks
+    * this collapses into [[chunkDedupRebuild]]'s semantics; this
+    * operator exists for NATURAL newline structure (crawl text,
+    * licence headers, navigation chrome). Same shuffle shape as the
+    * span family: one census aggregate + one occurrence↔census join,
+    * rebuild via bounded per-doc position sets — no line-level shuffle
+    * for the rebuild. Spec-gated (the driver corpus is single-line, so
+    * there is no honest oracle query for it). */
+  def lineDedupRewrite(docs: DataFrame, textCol: String, idCol: String,
+                       minCount: Long = 2L,
+                       checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    require(minCount >= 2L, s"lineDedupRewrite needs minCount >= 2 (got $minCount)")
+    val lines = Materialize(
+      spread(docs).select(col(idCol), split(col(textCol), "\n").as("__ls")),
+      checkpoint)
+    val occ = lines.select(col(idCol), posexplode(col("__ls")))
+      .toDF(idCol, "__pos", "__line")
+      .withColumn("__key", lower(trim(col("__line"))))
+      .where(col("__key") =!= "")
+    val census = occ.groupBy(col("__key"))
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col(idCol).as("d"), col("__pos").as("p"))).as("__first"))
+      .where(col("__c") >= minCount)
+      .select(col("__key"), col("__first"))
+    val covered = occ.join(census, Seq("__key"))
+      .where(!(col(idCol) === col("__first.d") && col("__pos") === col("__first.p")))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("__pos")).as("__cov"))
+    lines.join(covered, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__cov").isNull, concat_ws("\n", col("__ls")))
+          .otherwise(concat_ws("\n",
+            transform(
+              array_except(sequence(lit(0), size(col("__ls")) - 1), col("__cov")),
+              p => element_at(col("__ls"), p + 1))))
+          .as("text_clean"),
+        when(col("__cov").isNull, lit(0L))
+          .otherwise(size(col("__cov")).cast("long")).as("n_removed"))
+  }
+
   // (id, ws): split once; multi-consumer (gram pass + rebuild), so the
   // barrier stops the text from being re-split per consumer
   private def spanWords(docs: DataFrame, textCol: String, idCol: String,

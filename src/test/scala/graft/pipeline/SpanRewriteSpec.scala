@@ -125,6 +125,24 @@ class SpanRewriteSpec extends AnyFunSuite with SparkSpec {
     assert(hashed == expected)
   }
 
+  test("lineDedupRewrite: first line survives with original bytes, blanks " +
+    "are never keys, case-insensitive match") {
+    val docs = Seq(
+      (1L, "Keep Me\n\nSHARED FOOTER  \nunique one"),
+      (2L, "other stuff\nshared footer\n\nmore here"),
+      (3L, "shared footer")).toDF("doc_id", "text")
+    val res = Dedup.lineDedupRewrite(docs, "text", "doc_id")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text_clean"), r.getAs[Long]("n_removed")))
+      .toMap
+    // doc 1 holds the first occurrence — ORIGINAL bytes (trailing spaces,
+    // case) survive; its blank line is untouched
+    assert(res(1L) == ("Keep Me\n\nSHARED FOOTER  \nunique one", 0L))
+    assert(res(2L) == ("other stuff\n\nmore here", 1L))
+    assert(res(3L) == ("", 1L))
+  }
+
   test("explainPair: membership flags reconstruct jaccard's numerator " +
     "and denominators") {
     import org.apache.spark.sql.functions.{col, sum}
