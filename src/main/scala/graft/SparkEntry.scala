@@ -1152,6 +1152,20 @@ object SparkEntry {
     // (exact), sigmoid squash (round-6)
     "text_quality_lr" -> ((s, dir) =>
       TextAnalysis.hashedLinearScore(t(s, dir, "documents"), "text", "doc_id")),
+    // learned MULTICLASS langid (fastText shape: multinomial LR over
+    // hashed char-3-gram counts). Rows-only like text_quality_fit — the
+    // fit is an MLlib optimization, not SQL-expressible; separability,
+    // MLlib-probability parity and empty-text handling are spec-gated
+    // (QualityModelSpec). The driver corpus's lang column is synthetic
+    // noise w.r.t. its text, so this entry exercises the plumbing, not
+    // linguistics.
+    "text_langid_lr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = QualityModel.fitLangId(docs.where(col("doc_id") % 2 === 0),
+        "text", "lang", slots = 512, maxIter = 20)
+      QualityModel.applyLangId(docs.where(col("doc_id") % 2 === 1),
+        "text", "doc_id", m)
+    }),
 
     // ---- REAL greedy BPE apply (native kernel) over a fixed merge
     // table, counted as a subword vocabulary. The encode runs once per

@@ -53,6 +53,94 @@ object QualityModel {
     HashedModel(model.coefficients.toArray, model.intercept, slots)
   }
 
+  /** Learned MULTICLASS language-id (the fastText shape proper:
+    * multinomial logistic regression over hashed character-n-gram
+    * counts), same fit-on-MLlib / apply-in-codegen seam as
+    * [[HashedModel]]. `labels` is sorted, and class index order is
+    * pinned to it on both sides. */
+  final case class LangIdModel(weights: Array[Array[Double]],
+                               intercepts: Array[Double],
+                               labels: Array[String],
+                               slots: Int, ngramLen: Int) {
+    require(weights.length == labels.length &&
+      intercepts.length == labels.length &&
+      weights.forall(_.length == slots),
+      "LangIdModel shape mismatch")
+  }
+
+  /** Fit on (textCol, langCol): char n-grams of the lowercased trimmed
+    * text → HashingTF counts → multinomial LR. The featurization column
+    * is graft's own `char_ngrams` kernel so fit and apply consume the
+    * IDENTICAL n-gram stream (the same drift-proof seam as the binary
+    * classifier; tf_slot ↔ HashingTF parity is spec-pinned). */
+  def fitLangId(labeled: DataFrame, textCol: String, langCol: String,
+                slots: Int = 2048, ngramLen: Int = 3, maxIter: Int = 50,
+                regParam: Double = 0.01): LangIdModel = {
+    require(slots > 0 && ngramLen > 0, "slots and ngramLen must be positive")
+    val labels = labeled.select(col(langCol)).where(col(langCol).isNotNull)
+      .distinct().collect().map(_.getString(0)).sorted
+    require(labels.length >= 2, s"need >= 2 languages (got ${labels.toSeq})")
+    val labelIx = labels.tail.zipWithIndex.foldLeft(
+      when(col(langCol) === labels.head, 0.0)) { case (acc, (l, i)) =>
+      acc.when(col(langCol) === l, (i + 1).toDouble)
+    }
+    val feats = labeled.where(col(langCol).isNotNull)
+      .select(labelIx.as("label"),
+        graft.fuzzy.vectorFunctions.char_ngrams(
+          lower(trim(col(textCol))), ngramLen).as("toks"))
+    val tf = new org.apache.spark.ml.feature.HashingTF()
+      .setInputCol("toks").setOutputCol("features").setNumFeatures(slots)
+    val lr = new org.apache.spark.ml.classification.LogisticRegression()
+      .setFamily("multinomial").setMaxIter(maxIter).setRegParam(regParam)
+    val model = lr.fit(tf.transform(feats))
+    val cm = model.coefficientMatrix // numClasses x slots
+    val w = Array.tabulate(labels.length)(c =>
+      Array.tabulate(slots)(s => cm(c, s)))
+    LangIdModel(w, model.interceptVector.toArray, labels, slots, ngramLen)
+  }
+
+  /** Classify a corpus with a fitted [[LangIdModel]], MLlib-free: one
+    * n-gram explode → tf_slot → per-(doc, slot) counts, then k linear
+    * scores in ONE aggregate (each class's weight vector rides as a
+    * literal) and a softmax/argmax projection. Ties break toward the
+    * lexicographically-smaller language. Emits
+    * (idCol, lang_pred, lang_prob — softmax of the winning class,
+    * rounded to 6). Empty text hashes its single empty n-gram — the
+    * char_ngrams short-string collapse — identically at fit and apply
+    * time, and a document with no slot rows at all (left-join miss)
+    * falls back to the all-intercepts prediction; either way the output
+    * is never null. */
+  def applyLangId(df: DataFrame, textCol: String, idCol: String,
+                  m: LangIdModel): DataFrame = {
+    val k = m.labels.length
+    val dots = df
+      .select(col(idCol), explode(graft.fuzzy.vectorFunctions.char_ngrams(
+        lower(trim(col(textCol))), m.ngramLen)).as("token"))
+      .select(col(idCol),
+        graft.fuzzy.vectorFunctions.tf_slot(col("token"), m.slots).as("__slot"))
+      .groupBy(col(idCol), col("__slot")).agg(count(lit(1)).as("__cnt"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(element_at(lit(m.weights(0)), col("__slot").cast("int") + 1)
+          * col("__cnt")).as("__d0"),
+        (1 until k).map(c =>
+          sum(element_at(lit(m.weights(c)), col("__slot").cast("int") + 1)
+            * col("__cnt")).as(s"__d$c")): _*)
+    val scored = df.select(col(idCol)).join(dots, Seq(idCol), "left")
+      .select(col(idCol) +: (0 until k).map(c =>
+        (coalesce(col(s"__d$c"), lit(0.0)) + lit(m.intercepts(c))).as(s"__s$c")): _*)
+    val maxScore = greatest((0 until k).map(c => col(s"__s$c")): _*)
+    // stable argmax: the FIRST class attaining the max wins, and labels
+    // are sorted, so ties go to the lexicographically-smaller language
+    val predIx = (k - 1 to 0 by -1).foldLeft(lit(-1)) { case (acc, c) =>
+      when(col(s"__s$c") === maxScore, c).otherwise(acc)
+    }
+    val expSum = (0 until k).map(c => exp(col(s"__s$c") - maxScore)).reduce(_ + _)
+    scored.select(col(idCol),
+      element_at(lit(m.labels), predIx + 1).as("lang_pred"),
+      round(lit(1.0) / expSum, 6).as("lang_prob"))
+  }
+
   /** Score a corpus with a fitted model, MLlib-free: slot =
     * `tf_slot(token, slots)` (the codegen HashingTF featurization — see
     * the object doc), per-slot term counts, dot product against the

@@ -43,6 +43,55 @@ class QualityModelSpec extends AnyFunSuite with SparkSpec {
     assert(got == expected)
   }
 
+  test("multiclass langid: fit separates three character distributions; " +
+    "apply matches MLlib's winning probability; empty text never nulls") {
+    val rnd = new scala.util.Random(5)
+    def doc(alpha: String): String =
+      Seq.fill(12)(Seq.fill(3 + rnd.nextInt(4))(alpha(rnd.nextInt(alpha.length)))
+        .mkString).mkString(" ")
+    val rows = (0 until 90).map { i =>
+      val lang = Seq("aa", "bb", "cc")(i % 3)
+      val alpha = Map("aa" -> "aeiou", "bb" -> "kptrs", "cc" -> "xwzvq")(lang)
+      (i.toLong, doc(alpha), lang)
+    }
+    val df = rows.toDF("doc_id", "text", "lang")
+    val m = QualityModel.fitLangId(df, "text", "lang", slots = 512, ngramLen = 3)
+    assert(m.labels.toSeq == Seq("aa", "bb", "cc"))
+
+    val pred = QualityModel.applyLangId(df, "text", "doc_id", m)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("lang_pred"), r.getAs[Double]("lang_prob"))).toMap
+    val truth = rows.map(r => r._1 -> r._3).toMap
+    val acc = rows.count(r => pred(r._1)._1 == truth(r._1)).toDouble / rows.size
+    assert(acc == 1.0, s"accuracy $acc")
+
+    // probability parity with MLlib's own multinomial transform
+    val feats = df.select(col("doc_id"),
+      graft.fuzzy.vectorFunctions.char_ngrams(lower(trim(col("text"))), 3).as("toks"))
+    val tf = new org.apache.spark.ml.feature.HashingTF()
+      .setInputCol("toks").setOutputCol("features").setNumFeatures(512)
+    val lr = new org.apache.spark.ml.classification.LogisticRegression()
+      .setFamily("multinomial").setMaxIter(50).setRegParam(0.01)
+    val labelIx = when(col("lang") === "aa", 0.0)
+      .when(col("lang") === "bb", 1.0).otherwise(2.0)
+    val mllib = lr.fit(tf.transform(
+      df.select(labelIx.as("label"),
+        graft.fuzzy.vectorFunctions.char_ngrams(lower(trim(col("text"))), 3).as("toks"))))
+    val probs = mllib.transform(tf.transform(feats))
+      .select(col("doc_id"), col("probability")).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[org.apache.spark.ml.linalg.Vector](1).toArray.max).toMap
+    rows.foreach { r =>
+      assert(math.abs(pred(r._1)._2 - probs(r._1)) < 1e-6,
+        s"doc ${r._1}: ${pred(r._1)._2} vs ${probs(r._1)}")
+    }
+
+    // empty text: all-intercepts prediction, never null
+    val empty = QualityModel.applyLangId(
+      Seq((99L, "")).toDF("doc_id", "text"), "text", "doc_id", m).head()
+    assert(!empty.isNullAt(1) && !empty.getAs[Double]("lang_prob").isNaN)
+  }
+
   test("fit separates a labeled corpus; SQL apply matches MLlib probabilities") {
     val spamWords = "buy cheap pills now click here winner prize"
     val hamWords = "the committee reviewed quarterly results and approved the plan"
