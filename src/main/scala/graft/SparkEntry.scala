@@ -1164,7 +1164,11 @@ object SparkEntry {
       val m = QualityModel.fitLangId(docs.where(col("doc_id") % 2 === 0),
         "text", "lang", slots = 512, maxIter = 20)
       QualityModel.applyLangId(docs.where(col("doc_id") % 2 === 1),
-        "text", "doc_id", m)
+          "text", "doc_id", m)
+        // 4dp like text_quality_fit: iterative-fit probabilities can
+        // wobble across hosts/partitionings at finer precision
+        .select(col("doc_id"), col("lang_pred"),
+          sround(col("lang_prob"), 4).as("lang_prob"))
     }),
 
     // ---- REAL greedy BPE apply (native kernel) over a fixed merge

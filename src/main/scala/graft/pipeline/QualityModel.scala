@@ -84,7 +84,10 @@ object QualityModel {
       when(col(langCol) === labels.head, 0.0)) { case (acc, (l, i)) =>
       acc.when(col(langCol) === l, (i + 1).toDouble)
     }
-    val feats = labeled.where(col(langCol).isNotNull)
+    // null-TEXT seed rows are dropped too: char_ngrams(null) is null and
+    // HashingTF would NPE on it deep inside MLlib
+    val feats = labeled
+      .where(col(langCol).isNotNull && col(textCol).isNotNull)
       .select(labelIx.as("label"),
         graft.fuzzy.vectorFunctions.char_ngrams(
           lower(trim(col(textCol))), ngramLen).as("toks"))
@@ -104,17 +107,22 @@ object QualityModel {
     * scores in ONE aggregate (each class's weight vector rides as a
     * literal) and a softmax/argmax projection. Ties break toward the
     * lexicographically-smaller language. Emits
-    * (idCol, lang_pred, lang_prob — softmax of the winning class,
-    * rounded to 6). Empty text hashes its single empty n-gram — the
-    * char_ngrams short-string collapse — identically at fit and apply
-    * time, and a document with no slot rows at all (left-join miss)
-    * falls back to the all-intercepts prediction; either way the output
-    * is never null. */
+    * (idCol, lang_pred, lang_prob — softmax of the winning class, FULL
+    * precision; round at the consumer). Empty text hashes its single
+    * empty n-gram — the char_ngrams short-string collapse — identically
+    * at fit and apply time; NULL text rides `explode_outer` to a
+    * null-token row whose per-class sums null out and fall to the
+    * all-intercepts prediction. Either way the output is never null,
+    * and the corpus is scanned exactly once. */
   def applyLangId(df: DataFrame, textCol: String, idCol: String,
                   m: LangIdModel): DataFrame = {
     val k = m.labels.length
+    // explode_outer: a null-text doc keeps one null-token row, whose
+    // per-class sums come out null and fall to the intercepts below —
+    // the no-token fallback WITHOUT a second corpus scan + join (the
+    // module doc's one-scan contract)
     val dots = df
-      .select(col(idCol), explode(graft.fuzzy.vectorFunctions.char_ngrams(
+      .select(col(idCol), explode_outer(graft.fuzzy.vectorFunctions.char_ngrams(
         lower(trim(col(textCol))), m.ngramLen)).as("token"))
       .select(col(idCol),
         graft.fuzzy.vectorFunctions.tf_slot(col("token"), m.slots).as("__slot"))
@@ -126,7 +134,7 @@ object QualityModel {
         (1 until k).map(c =>
           sum(element_at(lit(m.weights(c)), col("__slot").cast("int") + 1)
             * col("__cnt")).as(s"__d$c")): _*)
-    val scored = df.select(col(idCol)).join(dots, Seq(idCol), "left")
+    val scored = dots
       .select(col(idCol) +: (0 until k).map(c =>
         (coalesce(col(s"__d$c"), lit(0.0)) + lit(m.intercepts(c))).as(s"__s$c")): _*)
     val maxScore = greatest((0 until k).map(c => col(s"__s$c")): _*)
@@ -136,9 +144,10 @@ object QualityModel {
       when(col(s"__s$c") === maxScore, c).otherwise(acc)
     }
     val expSum = (0 until k).map(c => exp(col(s"__s$c") - maxScore)).reduce(_ + _)
+    // full precision like applyHashedModel — callers/entries round
     scored.select(col(idCol),
       element_at(lit(m.labels), predIx + 1).as("lang_pred"),
-      round(lit(1.0) / expSum, 6).as("lang_prob"))
+      (lit(1.0) / expSum).as("lang_prob"))
   }
 
   /** Score a corpus with a fitted model, MLlib-free: slot =

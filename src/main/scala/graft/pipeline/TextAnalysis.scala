@@ -501,14 +501,18 @@ object TextAnalysis {
     * the lazily corrected index for a one-shot search.
     *
     * Exactness caveat: equals a fresh [[bm25Index]] build on the kept
-    * corpus EXCEPT when a `maxDf` gate was used at build time AND a
-    * forgotten document's every token was gated out — such a document
-    * has no postings rows to announce its dl/N contribution, leaving
-    * nDocs/totalTokens residually high by that document. With the
-    * default ungated build the result is exactly the rebuild (spec-
-    * asserted, scores and all). Also note df is corrected only for
-    * surviving rows; a token whose every posting was forgotten simply
-    * has no rows left, which is the correct end state. */
+    * corpus ONLY for an ungated build (the default; spec-asserted,
+    * scores and all). A `maxDf` gate at build time breaks the
+    * equivalence in two ways: (1) a forgotten document whose every
+    * token was gated has no postings rows to announce its dl/N
+    * contribution, leaving nDocs/totalTokens residually high; (2)
+    * gated-token RESURRECTION — a token whose df sat just above the
+    * gate can fall back under it once forgetters leave, so a rebuild
+    * re-admits its postings while the decrement has no rows to restore.
+    * Gated indexes must rebuild on forget (TUNING.md). Also note df is
+    * corrected only for surviving rows; a token whose every posting was
+    * forgotten simply has no rows left, which is the correct end
+    * state. */
   def bm25Forget(ix: Bm25Index, forgetIds: DataFrame,
                  materialize: Boolean = true): Bm25Index = {
     val fids = broadcast(forgetIds.select(col(ix.idCol)).distinct())

@@ -86,10 +86,18 @@ class QualityModelSpec extends AnyFunSuite with SparkSpec {
         s"doc ${r._1}: ${pred(r._1)._2} vs ${probs(r._1)}")
     }
 
-    // empty text: all-intercepts prediction, never null
-    val empty = QualityModel.applyLangId(
-      Seq((99L, "")).toDF("doc_id", "text"), "text", "doc_id", m).head()
-    assert(!empty.isNullAt(1) && !empty.getAs[Double]("lang_prob").isNaN)
+    // empty AND null text: one-scan fallback, never null output
+    val edge = QualityModel.applyLangId(
+      Seq((99L, ""), (100L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"), "text", "doc_id", m)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!edge(99L).isNullAt(1) && !edge(99L).getAs[Double]("lang_prob").isNaN)
+    assert(!edge(100L).isNullAt(1) && !edge(100L).getAs[Double]("lang_prob").isNaN)
+    // null-text seed rows are dropped by the fit, not NPE'd in MLlib
+    val mNull = QualityModel.fitLangId(
+      (rows :+ ((990L, null.asInstanceOf[String], "aa"))).toDF("doc_id", "text", "lang"),
+      "text", "lang", slots = 512, ngramLen = 3, maxIter = 5)
+    assert(mNull.labels.toSeq == Seq("aa", "bb", "cc"))
   }
 
   test("fit separates a labeled corpus; SQL apply matches MLlib probabilities") {
