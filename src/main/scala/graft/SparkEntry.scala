@@ -1092,20 +1092,19 @@ object SparkEntry {
           sround(col("logprob"), 6).as("logprob"),
           sround(col("avg_logprob"), 6).as("avg_logprob"))),
 
-    // ---- learned quality classifier lifecycle: L-BFGS fit on a seed
-    // labeled by a deterministic rule, then the MLlib-free codegen apply.
-    // Deliberately NO oracleSql (an iterative fit is not SQL-expressible;
-    // the driver records the rows-only check) — correctness is spec-gated:
-    // QualityModelSpec pins tf_slot == HashingTF.indexOf term-by-term and
-    // SQL-apply == reference probabilities to 1e-9.
-    "text_quality_fit" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val seed = docs.where(col("doc_id") % 5 === 0)
-        .select(col("text"), (col("n_chars") > 200).cast("int").as("label"))
-      val m = QualityModel.fitHashedClassifier(seed, "text", "label", slots = 256)
-      QualityModel.applyHashedModel(docs, "text", "doc_id", m)
-        .select(col("doc_id"), sround(col("quality_prob"), 4).as("quality_prob"))
-    }),
+    // ---- learned quality classifier, exported APPLY half: a real
+    // L-BFGS fit pinned as 1e-6-grid integer constants (DemoModels,
+    // provenance in its scaladoc), applied by a pure codegen scan whose
+    // dot products are exact BIGINT sums. FULLY DuckDB-oracled — the
+    // oracle replays HashingTF's murmur3_x86_32 featurization in a
+    // recursive CTE (ModelExport.tfSlotCtes) and the identical integer
+    // dot + sigmoid. The fit LIFECYCLE on live corpora stays spec-gated
+    // (QualityModelSpec: L-BFGS is not SQL-expressible).
+    "text_quality_apply" -> ((s, dir) =>
+      graft.pipeline.ModelExport.applyQuantized(
+          t(s, dir, "documents"), "text", "doc_id",
+          graft.pipeline.DemoModels.Quality)
+        .select(col("doc_id"), sround(col("quality_prob"), 6).as("quality_prob"))),
 
     // ---- Okapi BM25 top-k lexical retrieval (quantized-exact-sum family,
     // BoundedTopK ranking). Queries = every 50th document's first 5 tokens.
@@ -1153,23 +1152,18 @@ object SparkEntry {
     "text_quality_lr" -> ((s, dir) =>
       TextAnalysis.hashedLinearScore(t(s, dir, "documents"), "text", "doc_id")),
     // learned MULTICLASS langid (fastText shape: multinomial LR over
-    // hashed char-3-gram counts). Rows-only like text_quality_fit — the
-    // fit is an MLlib optimization, not SQL-expressible; separability,
-    // MLlib-probability parity and empty-text handling are spec-gated
-    // (QualityModelSpec). The driver corpus's lang column is synthetic
-    // noise w.r.t. its text, so this entry exercises the plumbing, not
-    // linguistics.
-    "text_langid_lr" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val m = QualityModel.fitLangId(docs.where(col("doc_id") % 2 === 0),
-        "text", "lang", slots = 512, maxIter = 20)
-      QualityModel.applyLangId(docs.where(col("doc_id") % 2 === 1),
-          "text", "doc_id", m)
-        // 4dp like text_quality_fit: iterative-fit probabilities can
-        // wobble across hosts/partitionings at finer precision
+    // hashed char-3-gram counts), exported APPLY half: the pinned
+    // DemoModels.LangId fit (5 classes, char-3-grams) scored with exact
+    // BIGINT per-class dots and an INTEGER argmax (bit-stable
+    // prediction; only the softmax probability is floating point).
+    // DuckDB-oracled end to end like text_quality_apply; the fit stays
+    // spec-gated (QualityModelSpec).
+    "text_langid_apply" -> ((s, dir) =>
+      graft.pipeline.ModelExport.applyLangIdQuantized(
+          t(s, dir, "documents"), "text", "doc_id",
+          graft.pipeline.DemoModels.LangId)
         .select(col("doc_id"), col("lang_pred"),
-          sround(col("lang_prob"), 4).as("lang_prob"))
-    }),
+          sround(col("lang_prob"), 6).as("lang_prob"))),
 
     // ---- REAL greedy BPE apply (native kernel) over a fixed merge
     // table, counted as a subword vocabulary. The encode runs once per
@@ -1200,7 +1194,10 @@ object SparkEntry {
     // sums both engines compute identically; gaussian is the production
     // path — see RandomProjectSpec for the search composition)
     // PCA fit is an MLlib eigendecomposition — not SQL-expressible, so
-    // this entry is rows-only (like text_quality_fit); orthonormality,
+    // this entry is rows-only (the one remaining no-oracle query —
+    // the learned-classifier applies are now DuckDB-oracled via
+    // ModelExport, but a PCA eigendecomposition has no SQL replay);
+    // orthonormality,
     // variance ordering and the recall composition are spec-gated
     "embed_pca" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -2241,6 +2238,14 @@ object SparkEntry {
     "text_langid" -> TextAnalysis.langIdOracleSql,
     // generated from the same marker table as the implementation
     "text_langid_margin" -> TextAnalysis.langIdMarginOracleSql,
+    // generated from the SAME pinned DemoModels constants the Spark
+    // queries consume — weights, murmur3 featurization (recursive-CTE
+    // replay of HashingTF's hashUnsafeBytes2), integer dots, sigmoid/
+    // softmax shape all single-sourced in ModelExport
+    "text_quality_apply" -> graft.pipeline.ModelExport.qualityApplyOracleSql(
+      "documents", "text", "doc_id", graft.pipeline.DemoModels.Quality),
+    "text_langid_apply" -> graft.pipeline.ModelExport.langIdApplyOracleSql(
+      "documents", "text", "doc_id", graft.pipeline.DemoModels.LangId),
     "text_fingerprint" ->
       """SELECT doc_id,
          md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fingerprint

@@ -40,11 +40,14 @@ object QualityModel {
                           maxIter: Int = 50,
                           regParam: Double = 0.01): HashedModel = {
     require(slots > 0, s"slots must be positive (got $slots)")
-    // empty-token filter mirrors applyHashedModel's `length > 0` guard —
-    // the featurizations must stay bit-identical
-    val toks = labeled.select(col(labelCol).cast("double").as("label"),
-      filter(TextAnalysis.tokens(col(textCol)),
-        t => length(t) > 0).as("toks"))
+    // null-text/label seed rows are dropped (HashingTF NPEs on a null
+    // token array deep inside MLlib); empty-token filter mirrors
+    // applyHashedModel — the featurizations must stay bit-identical
+    val toks = labeled
+      .where(col(labelCol).isNotNull && col(textCol).isNotNull)
+      .select(col(labelCol).cast("double").as("label"),
+        filter(TextAnalysis.tokens(col(textCol)),
+          t => length(t) > 0).as("toks"))
     val tf = new org.apache.spark.ml.feature.HashingTF()
       .setInputCol("toks").setOutputCol("features").setNumFeatures(slots)
     val lr = new org.apache.spark.ml.classification.LogisticRegression()
@@ -77,17 +80,22 @@ object QualityModel {
                 slots: Int = 2048, ngramLen: Int = 3, maxIter: Int = 50,
                 regParam: Double = 0.01): LangIdModel = {
     require(slots > 0 && ngramLen > 0, "slots and ngramLen must be positive")
-    val labels = labeled.select(col(langCol)).where(col(langCol).isNotNull)
+    // null-TEXT seed rows are dropped along with null-lang ones
+    // (char_ngrams(null) is null and HashingTF would NPE on it deep
+    // inside MLlib) — and `labels` MUST come from this same filtered
+    // frame: a language whose every seed row has null text would
+    // otherwise stay in `labels` with zero training rows, making MLlib's
+    // inferred class count smaller than labels.length and misaligning
+    // the coefficientMatrix copy below
+    val seed = labeled.where(col(langCol).isNotNull && col(textCol).isNotNull)
+    val labels = seed.select(col(langCol))
       .distinct().collect().map(_.getString(0)).sorted
     require(labels.length >= 2, s"need >= 2 languages (got ${labels.toSeq})")
     val labelIx = labels.tail.zipWithIndex.foldLeft(
       when(col(langCol) === labels.head, 0.0)) { case (acc, (l, i)) =>
       acc.when(col(langCol) === l, (i + 1).toDouble)
     }
-    // null-TEXT seed rows are dropped too: char_ngrams(null) is null and
-    // HashingTF would NPE on it deep inside MLlib
-    val feats = labeled
-      .where(col(langCol).isNotNull && col(textCol).isNotNull)
+    val feats = seed
       .select(labelIx.as("label"),
         graft.fuzzy.vectorFunctions.char_ngrams(
           lower(trim(col(textCol))), ngramLen).as("toks"))
@@ -96,6 +104,9 @@ object QualityModel {
     val lr = new org.apache.spark.ml.classification.LogisticRegression()
       .setFamily("multinomial").setMaxIter(maxIter).setRegParam(regParam)
     val model = lr.fit(tf.transform(feats))
+    require(model.numClasses == labels.length,
+      s"MLlib inferred ${model.numClasses} classes for ${labels.length} " +
+        "labels — seed frame and label set diverged")
     val cm = model.coefficientMatrix // numClasses x slots
     val w = Array.tabulate(labels.length)(c =>
       Array.tabulate(slots)(s => cm(c, s)))
@@ -156,13 +167,24 @@ object QualityModel {
     * broadcast weight literal, sigmoid last. Emits (id, quality_prob).
     * One token hash-agg + one id hash-agg, both map-side combined; the
     * weights travel as a `slots`-double literal in the plan, exactly
-    * like the IVF centroid arrays. */
+    * like the IVF centroid arrays.
+    *
+    * One row per input document, ALWAYS: a doc with no non-empty tokens
+    * (empty, whitespace-only, or NULL text) rides `explode_outer` to a
+    * single null-token row whose dot product nulls out and coalesces to
+    * 0.0 — it scores `sigmoid(intercept)`, exactly what the fitted model
+    * assigns a zero feature vector. Same contract (and same one-scan
+    * mechanism) as [[applyLangId]]; silently omitting those rows would
+    * change downstream join cardinalities on a crawl corpus. */
   def applyHashedModel(df: DataFrame, textCol: String, idCol: String,
                        m: HashedModel): DataFrame = {
     require(m.weights.length == m.slots,
       s"model has ${m.weights.length} weights for ${m.slots} slots")
-    df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
-      .where(length(col("token")) > 0)
+    // element-wise empty-token filter BEFORE the explode (bit-identical
+    // to the fit's featurization); explode_outer keeps empty arrays as
+    // one null-token row instead of dropping the doc
+    df.select(col(idCol), explode_outer(
+        filter(TextAnalysis.tokens(col(textCol)), t => length(t) > 0)).as("token"))
       .select(col(idCol),
         graft.fuzzy.vectorFunctions.tf_slot(col("token"), m.slots).as("__slot"))
       .groupBy(col(idCol), col("__slot")).agg(count(lit(1)).as("__cnt"))
@@ -170,7 +192,8 @@ object QualityModel {
       .groupBy(col(idCol))
       .agg(sum(col("__w") * col("__cnt")).as("__dot"))
       .select(col(idCol),
-        (lit(1.0) / (lit(1.0) + exp(-(col("__dot") + lit(m.intercept)))))
+        (lit(1.0) / (lit(1.0) +
+          exp(-(coalesce(col("__dot"), lit(0.0)) + lit(m.intercept)))))
           .as("quality_prob"))
   }
 }

@@ -93,9 +93,15 @@ class QualityModelSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
     assert(!edge(99L).isNullAt(1) && !edge(99L).getAs[Double]("lang_prob").isNaN)
     assert(!edge(100L).isNullAt(1) && !edge(100L).getAs[Double]("lang_prob").isNaN)
-    // null-text seed rows are dropped by the fit, not NPE'd in MLlib
+    // null-text seed rows are dropped by the fit, not NPE'd in MLlib —
+    // and a language whose EVERY seed row has null text drops out of
+    // `labels` entirely (it has zero training rows; keeping it would
+    // misalign MLlib's class count with the label array)
     val mNull = QualityModel.fitLangId(
-      (rows :+ ((990L, null.asInstanceOf[String], "aa"))).toDF("doc_id", "text", "lang"),
+      (rows :+ ((990L, null.asInstanceOf[String], "aa"))
+        :+ ((991L, null.asInstanceOf[String], "zz"))
+        :+ ((992L, null.asInstanceOf[String], "zz")))
+        .toDF("doc_id", "text", "lang"),
       "text", "lang", slots = 512, ngramLen = 3, maxIter = 5)
     assert(mNull.labels.toSeq == Seq("aa", "bb", "cc"))
   }
@@ -133,5 +139,29 @@ class QualityModelSpec extends AnyFunSuite with SparkSpec {
       assert(math.abs(p - refProb(texts(id))) < 1e-9,
         s"doc $id: SQL apply $p vs reference ${refProb(texts(id))}")
     }
+
+    // one row per doc, ALWAYS: empty, whitespace-only, and null text all
+    // score sigmoid(intercept) — the fitted model's zero-vector output —
+    // instead of vanishing from the frame (applyLangId's contract)
+    val edge = QualityModel.applyHashedModel(
+      Seq((10L, ""), (11L, "   "), (12L, null.asInstanceOf[String]),
+        (13L, "committee plan")).toDF("doc_id", "text"),
+      "text", "doc_id", m)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(edge.keySet == Set(10L, 11L, 12L, 13L),
+      s"missing docs: ${edge.keySet}")
+    val interceptProb = 1.0 / (1.0 + math.exp(-m.intercept))
+    Seq(10L, 11L, 12L).foreach { id =>
+      assert(math.abs(edge(id) - interceptProb) < 1e-12,
+        s"doc $id: ${edge(id)} vs intercept-only $interceptProb")
+    }
+    assert(math.abs(edge(13L) - refProb("committee plan")) < 1e-9)
+
+    // null-text seed rows are dropped by the fit, not NPE'd in MLlib
+    val mNull = QualityModel.fitHashedClassifier(
+      (labeled.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq :+
+        ((null.asInstanceOf[String], 1.0))).toDF("text", "label"),
+      "text", "label", slots = 256, maxIter = 5)
+    assert(mNull.weights.length == 256)
   }
 }
