@@ -50,7 +50,9 @@ object Curation {
     * driver OOM). Sampled rows re-attach by an id equi-join (AQE
     * broadcasts the n-row side). Sized for n up to ~10⁶; for
     * corpus-fraction-scale samples use [[hashSample]] — a pure filter
-    * with no aggregate at all. Requires a long-castable unique id. Emits
+    * with no aggregate at all. Requires a long-castable unique id (the
+    * cast happens here — BoundedTopK type-checks its id child as exactly
+    * LongType, so an INT id column would otherwise fail analysis). Emits
     * the original row plus `sample_rank` (1-based md5 order). */
   def sampleExactN(df: DataFrame, idCol: String, n: Int): DataFrame = {
     require(n > 0, s"n must be positive (got $n)")
@@ -59,7 +61,7 @@ object Curation {
     val key = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
       .cast("long")
     val picked = df
-      .select(col(idCol), (-key.cast("double")).as("__negkey"))
+      .select(col(idCol).cast("long").as(idCol), (-key.cast("double")).as("__negkey"))
       .groupBy(lit(1).as("__g"))
       .agg(graft.fuzzy.vectorFunctions.topk_pairs(col("__negkey"), col(idCol), n)
         .as("__tk"))
@@ -120,10 +122,15 @@ object Curation {
   def splitByDupGroup(df: DataFrame, textCol: String, idCol: String,
                       splits: Seq[(String, Double)],
                       splitCol: String = "split"): DataFrame = {
-    val groups = df.groupBy(md5(col(textCol)).as("__digest"))
+    // NULL text digests to a sentinel, not NULL: the groupBy side keeps
+    // a null group but a non-null-safe equi-join would silently DROP
+    // those rows from the join-back. All null-text rows form one
+    // duplicate class (same convention as [[dupWeights]]).
+    val digest = coalesce(md5(col(textCol)), lit("__null_text__"))
+    val groups = df.groupBy(digest.as("__digest"))
       .agg(min(col(idCol)).as("__grp"))
     assignSplitByGroup(
-      df.withColumn("__digest", md5(col(textCol)))
+      df.withColumn("__digest", digest)
         .join(groups, Seq("__digest")).drop("__digest"),
       "__grp", splits, splitCol).drop("__grp")
   }
@@ -139,18 +146,26 @@ object Curation {
     * NEAR-duplicate weighting feed [[weightsByGroup]] a cluster frame
     * from [[NearDupCluster]] instead. */
   def dupWeights(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val counts = docs.groupBy(md5(col(textCol)).as("__digest"))
+    // sentinel digest for NULL text — "every row kept" must include
+    // null-text rows, which a non-null-safe join on md5(text) (NULL)
+    // would silently drop; they form one duplicate class together
+    val digest = coalesce(md5(col(textCol)), lit("__null_text__"))
+    val counts = docs.groupBy(digest.as("__digest"))
       .agg(count(lit(1)).as("n_copies"))
-    docs.withColumn("__digest", md5(col(textCol)))
+    docs.withColumn("__digest", digest)
       .join(counts, Seq("__digest")).drop("__digest")
       .withColumn("weight", round(lit(1.0) / col("n_copies"), 6))
   }
 
   /** [[dupWeights]] keyed on an arbitrary GROUP column (near-dup cluster
-    * id, domain, source): every member of a group weighs 1/|group|. */
+    * id, domain, source): every member of a group weighs 1/|group|.
+    * NULL-group rows form one group of their own (null-safe join-back —
+    * a plain equi-join would silently drop them while the groupBy side
+    * counted them). */
   def weightsByGroup(df: DataFrame, groupCol: String): DataFrame = {
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_copies"))
-    df.join(counts, Seq(groupCol))
+      .withColumnRenamed(groupCol, "__grpkey")
+    df.join(counts, col(groupCol) <=> col("__grpkey")).drop("__grpkey")
       .withColumn("weight", round(lit(1.0) / col("n_copies"), 6))
   }
 

@@ -64,6 +64,42 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(gw(1L) == 0.333333 && gw(4L) == 1.0)
   }
 
+  test("dupWeights/weightsByGroup/splitByDupGroup keep NULL-key rows " +
+    "(one class of their own) instead of dropping them at the join-back") {
+    val d = Seq((1L, "same"), (2L, "same"), (3L, null.asInstanceOf[String]),
+      (4L, null.asInstanceOf[String]), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val w = Curation.dupWeights(d, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_copies"), r.getAs[Double]("weight")))).toMap
+    assert(w.keySet == Set(1L, 2L, 3L, 4L, 5L), s"rows dropped: ${w.keySet}")
+    assert(w(3L) == ((3L, 0.333333)) && w(4L) == w(3L) && w(5L) == w(3L))
+
+    val g = Seq((1L, java.lang.Long.valueOf(7L)),
+      (2L, null.asInstanceOf[java.lang.Long]),
+      (3L, null.asInstanceOf[java.lang.Long])).toDF("id", "cluster")
+    val gw = Curation.weightsByGroup(g, "cluster")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("weight")).toMap
+    assert(gw.keySet == Set(1L, 2L, 3L) && gw(1L) == 1.0 && gw(2L) == 0.5)
+
+    val sp = Curation.splitByDupGroup(d, "text", "doc_id",
+      Seq(("train", 0.8), ("eval", 0.2)))
+    assert(sp.count() == 5L, "splitByDupGroup dropped null-text rows")
+    // all null-text rows share one group -> identical split
+    assert(sp.where(col("text").isNull).select("split").distinct().count() == 1L)
+  }
+
+  test("sampleExactN accepts an INT id column (casts to long for the heap)") {
+    val d = (1 to 100).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val got = Curation.sampleExactN(d, "doc_id", 10)
+    assert(got.count() == 10L)
+    // same picks as the long-id frame (md5 of the string form is equal)
+    val asLong = Curation.sampleExactN(
+      (1L to 100L).map(i => (i, s"doc$i")).toDF("doc_id", "text"), "doc_id", 10)
+    assert(got.select("doc_id").as[Long].collect().toSet ==
+      asLong.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("stratifiedHashSample applies per-stratum rates with a default") {
     val sampled = Curation.stratifiedHashSample(docs, "doc_id", "source",
       Map("books" -> 1.0, "web" -> 0.0), defaultRate = 0.5)
