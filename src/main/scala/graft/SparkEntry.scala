@@ -551,6 +551,23 @@ object SparkEntry {
     // from the text, overlaps merged through the covered-position set
     "dedup_span_rewrite" -> ((s, dir) =>
       Dedup.spanRewrite(t(s, dir, "documents"), "text", "doc_id", 5, 2L)),
+    // C4-style LINE dedup rewrite on a synthesized multi-line corpus
+    // (the driver corpus is single-line, which would make this oracle
+    // vacuous): each doc becomes 4 deterministic lines — two shared
+    // boilerplate templates keyed off doc_id mod 7/3 plus two text
+    // segments — then non-first occurrences of each (case-folded) line
+    // are cut, original line bytes preserved. The oracle rebuilds the
+    // same fixture and replays census -> first-occurrence rank -> cut
+    "dedup_line_rewrite" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val multi = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("header "), (col("doc_id") % 7).cast("string")),
+          concat_ws(" ", slice(toks, 1, 5)),
+          concat(lit("footer "), (col("doc_id") % 3).cast("string")),
+          concat_ws(" ", slice(toks, 6, 5))).as("text"))
+      Dedup.lineDedupRewrite(multi, "text", "doc_id")
+    }),
     // triage evidence: both docs' 3-gram sets side by side
     "dedup_explain_pair" -> ((s, dir) =>
       Dedup.explainPair(t(s, dir, "documents"), "text", "doc_id", 0L, 1L, 3)),
@@ -2135,6 +2152,38 @@ object SparkEntry {
                 coalesce(cnt.n_removed, 0) AS n_removed
          FROM d LEFT JOIN reb ON d.doc_id = reb.doc_id
          LEFT JOIN cnt ON d.doc_id = cnt.doc_id""",
+    // full replay of the C4 line-dedup rewrite over the same synthesized
+    // 4-line fixture the Spark query builds (header/segment/footer/
+    // segment, templates keyed off doc_id): case-folded line census,
+    // rank occurrences by (doc, pos), cut everything but rank 1, rebuild
+    // the surviving ORIGINAL lines in order
+    "dedup_line_rewrite" ->
+      """WITH base AS (SELECT doc_id,
+               ['header ' || CAST(doc_id % 7 AS VARCHAR),
+                array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1, 5), ' '),
+                'footer ' || CAST(doc_id % 3 AS VARCHAR),
+                array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 6, 10), ' ')] AS ls
+             FROM documents),
+         alll AS (SELECT doc_id, unnest(ls) AS line,
+                         generate_subscripts(ls, 1) - 1 AS pos FROM base),
+         occ AS (SELECT doc_id, pos, line, lower(trim(line)) AS key
+                 FROM alll WHERE lower(trim(line)) <> ''),
+         mk AS (SELECT doc_id, pos,
+                 row_number() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rn,
+                 count(*) OVER (PARTITION BY key) AS c
+                FROM occ),
+         rem AS (SELECT doc_id, pos FROM mk WHERE c >= 2 AND rn > 1),
+         keep AS (SELECT a.doc_id, a.pos, a.line FROM alll a
+                  LEFT JOIN rem r ON a.doc_id = r.doc_id AND a.pos = r.pos
+                  WHERE r.pos IS NULL),
+         agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean
+                 FROM keep GROUP BY doc_id),
+         cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+                 FROM rem GROUP BY doc_id)
+         SELECT b.doc_id, coalesce(a.text_clean, '') AS text_clean,
+                coalesce(c.n_removed, 0) AS n_removed
+         FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+         LEFT JOIN cnt c ON b.doc_id = c.doc_id""",
     // incremental span rewrite: census grams = the corpus's distinct
     // 5-word windows (plus harmless short-doc collapses that can never
     // match a 5-word batch window); every matching batch occurrence is cut

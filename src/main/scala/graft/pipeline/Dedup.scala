@@ -441,8 +441,9 @@ object Dedup {
     * licence headers, navigation chrome). Same shuffle shape as the
     * span family: one census aggregate + one occurrence↔census join,
     * rebuild via bounded per-doc position sets — no line-level shuffle
-    * for the rebuild. Spec-gated (the driver corpus is single-line, so
-    * there is no honest oracle query for it). */
+    * for the rebuild. DuckDB-oracled via `dedup_line_rewrite`, which
+    * synthesizes a deterministic 4-line-per-doc fixture (the driver
+    * corpus is single-line) and replays the census/rank/cut in SQL. */
   def lineDedupRewrite(docs: DataFrame, textCol: String, idCol: String,
                        minCount: Long = 2L,
                        checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
