@@ -279,6 +279,38 @@ object Bench {
     }),
   )
 
+  /** Rows whose ranking runs through the BoundedTopK heap aggregate
+    * (ObjectHashAggregate with fixed k*16-byte buffers): the default
+    * fallback-to-sort threshold of 128 groups per partition would
+    * re-introduce the per-partition sort the aggregate exists to avoid
+    * (measured at sf10: 56.0 s -> 24.5 s IVF search — SCALE.md). The
+    * conf is scoped PER QUERY via set/restore around each sample —
+    * exactly the TUNING.md recipe — so the session default (and its
+    * sort-based memory safety valve for unbounded collect_list/
+    * collect_set buffers) is back in force for every other row. */
+  private val HeapAggQueries = Set("ann_ivf_embeddings",
+    "ann_ivf_fit_embeddings", "ann_topk_embeddings", "ann_int8_embeddings",
+    "ann_pq_embeddings", "text_bm25_docs")
+  private val FallbackConf =
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+
+  /** Run `body` with the ObjectHashAggregate fallback threshold raised
+    * (only when `scoped`), restoring the previous session value —
+    * set-or-unset — afterwards. */
+  private def withHeapAggConf[T](spark: SparkSession, scoped: Boolean)
+                                (body: => T): T = {
+    if (!scoped) body
+    else {
+      val prev = spark.conf.getOption(FallbackConf)
+      spark.conf.set(FallbackConf, "4194304")
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set(FallbackConf, v)
+        case None => spark.conf.unset(FallbackConf)
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -286,17 +318,6 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // BoundedTopK (ObjectHashAggregate) buffers are a fixed k*16 bytes;
-      // the default fallback-to-sort threshold of 128 groups per partition
-      // re-introduces the per-partition sort the aggregate avoids
-      // (measured at sf10: 56.0 s -> 24.5 s IVF search — SCALE.md).
-      // Blast radius: this is session-global, so it also disables the
-      // sort-based memory safety valve for every OTHER ObjectHashAggregate
-      // in the bench (collect_list/collect_set have unbounded buffers).
-      // Safe here because no bench query collects unbounded lists per
-      // group; a production job mixing BoundedTopK with big collect_list
-      // aggregations should scope this conf per query (TUNING.md).
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       // events.parquet stores TIMESTAMP(NANOS); read as raw long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -309,8 +330,10 @@ object Bench {
     val warmOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     benchQueries("/root/testdata/sf0.001").toSeq.sortBy(_._1)
       .filter { case (name, _) => warmOnly.forall(_.contains(name)) }
-      .foreach { case (_, fn) =>
-        try fn(spark).count() catch { case _: Throwable => }
+      .foreach { case (name, fn) =>
+        try withHeapAggConf(spark, HeapAggQueries.contains(name)) {
+          fn(spark).count()
+        } catch { case _: Throwable => }
       }
 
     // dev filter: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run (the
@@ -322,7 +345,9 @@ object Bench {
       var rows = -1L
       def once(): Double = {
         val t0 = System.nanoTime()
-        rows = try fn(spark).count() catch {
+        rows = try withHeapAggConf(spark, HeapAggQueries.contains(name)) {
+          fn(spark).count()
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             -1L
