@@ -1,0 +1,108 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.TextAnalysis
+import graft.streaming.RetrievalStream
+
+/** Micro-batch latency probe for the stream-static retrieval path
+  * (VERDICT round 8 task 7): drive a file stream of query batches
+  * against a STORED BM25 index over a scale corpus and report per-batch
+  * latency — the number the spec-gated stream==batch tests never
+  * measure. The index is built (and saved/reloaded, exercising the
+  * stored-index lifecycle) ONCE before the stream starts; each
+  * micro-batch then pays exactly the search half: query-term join
+  * against the postings + BoundedTopK ranking.
+  *
+  * Emits one JSON line: corpus size, index build seconds, then
+  * per-batch wall seconds from inside the sink AND Spark's own
+  * triggerExecution durations (progress events) — the sink time is the
+  * work, the trigger time adds the micro-batch bookkeeping.
+  *
+  * Usage: SPARK_GRAFT_SCALE_DIR=/tmp/graft_sf1 runMain
+  * graft.tools.StreamLatency [nBatches] [queriesPerBatch]
+  */
+object StreamLatency {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_sf1")
+    val nBatches = args.headOption.map(_.toInt).getOrElse(5)
+    val perBatch = args.lift(1).map(_.toInt).getOrElse(1000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nDocs = docs.count()
+
+    // stored-index lifecycle: build once, save, reload — the stream
+    // consumes the RELOADED index exactly as a long-running service would
+    // optional stopword-postings gate (SPARK_GRAFT_BM25_MAXDF): per-batch
+    // cost is queries x avg postings-list length, and ungated common
+    // tokens make every query touch most of the corpus — the gate is the
+    // latency knob at scale
+    val maxDf = sys.env.get("SPARK_GRAFT_BM25_MAXDF").map(_.toLong)
+      .getOrElse(Long.MaxValue)
+    val ixPath = s"/tmp/graft_bm25_stream_ix_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val t0 = System.nanoTime()
+    TextAnalysis.saveBm25Index(
+      TextAnalysis.bm25Index(docs, "text", "doc_id", maxDf = maxDf), ixPath)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    val ix = TextAnalysis.loadBm25Index(spark, ixPath)
+
+    // deterministic query batches: first-5-token queries from a doc
+    // sample, one parquet file per micro-batch, mtimes pinned for order
+    val queries = docs
+      .where(col("doc_id") % (nDocs / (nBatches.toLong * perBatch)).max(1L) === 0)
+      .limit(nBatches * perBatch)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(trim(lower(col("text"))), "\\s+"), 1, 5)).as("qtext"))
+      .withColumn("__b", pmod(col("query_id"), lit(nBatches)))
+    val flat = java.nio.file.Files.createTempDirectory("bm25_lat")
+    (0 until nBatches).foreach { i =>
+      val part = java.nio.file.Files.createTempDirectory(s"bm25_lat$i")
+      queries.where(col("__b") === i).drop("__b")
+        .coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val src = java.nio.file.Files.list(part)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst = flat.resolve(f"$i%02d.parquet")
+      java.nio.file.Files.copy(src, dst)
+      dst.toFile.setLastModified(1000000L + i * 10000L)
+    }
+    val stream = spark.readStream.schema(queries.drop("__b").schema)
+      .option("maxFilesPerTrigger", "1").parquet(flat.toString)
+
+    val sinkSec = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Long)]
+    val q = RetrievalStream.bm25Writer(stream, ix, "qtext", "query_id", 10) {
+      (out, batchId) =>
+        val b0 = System.nanoTime()
+        val n = out.count()
+        sinkSec.synchronized {
+          sinkSec += ((batchId, (System.nanoTime() - b0) / 1e9, n))
+        }
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+
+    val trigger = q.recentProgress.toSeq
+      .filter(_.numInputRows > 0)
+      .map(p => f"${p.durationMs.get("triggerExecution").toDouble / 1e3}%.3f")
+    val sink = sinkSec.sortBy(_._1)
+      .map { case (_, s, _) => f"$s%.3f" }
+    val rows = sinkSec.sortBy(_._1).map(_._3)
+    println(s"""{"metric":"stream_bm25_latency","sf":"$sfDir","n_docs":$nDocs,""" +
+      s""""max_df":${if (maxDf == Long.MaxValue) "null" else maxDf},""" +
+      s""""index_build_sec":${f"$buildSec%.3f"},"batches":$nBatches,""" +
+      s""""queries_per_batch":$perBatch,""" +
+      s""""sink_sec":[${sink.mkString(",")}],""" +
+      s""""trigger_sec":[${trigger.mkString(",")}],""" +
+      s""""result_rows":[${rows.mkString(",")}]}""")
+    spark.stop()
+  }
+}
