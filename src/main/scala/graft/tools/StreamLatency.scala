@@ -59,12 +59,16 @@ object StreamLatency {
 
     // deterministic query batches: first-5-token queries from a doc
     // sample, one parquet file per micro-batch, mtimes pinned for order
+    val stride = (nDocs / (nBatches.toLong * perBatch)).max(1L)
     val queries = docs
-      .where(col("doc_id") % (nDocs / (nBatches.toLong * perBatch)).max(1L) === 0)
+      .where(col("doc_id") % stride === 0)
       .limit(nBatches * perBatch)
       .select(col("doc_id").as("query_id"),
         concat_ws(" ", slice(split(trim(lower(col("text"))), "\\s+"), 1, 5)).as("qtext"))
-      .withColumn("__b", pmod(col("query_id"), lit(nBatches)))
+      // batch by the query's ORDINAL among the sampled stride, not the raw
+      // id (sampled ids are all ≡ 0 mod stride, which would alias every
+      // query into batch 0 whenever nBatches divides stride)
+      .withColumn("__b", pmod(floor(col("query_id") / lit(stride)), lit(nBatches)))
     val flat = java.nio.file.Files.createTempDirectory("bm25_lat")
     (0 until nBatches).foreach { i =>
       val part = java.nio.file.Files.createTempDirectory(s"bm25_lat$i")
