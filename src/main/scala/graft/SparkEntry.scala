@@ -792,6 +792,19 @@ object SparkEntry {
         "payload", "doc_id", every = 2)
         .select(col("id").as("doc_id"), col("frame_index"), col("n_pixels"),
           col("pix_sum"), col("pix_max"), col("top_row_sum"))),
+    // ---- COMPRESSED-frame video decode (MJPEG-in-AVI): every sampled
+    // 00dc chunk runs through the JDK's real JPEG codec; the oracle
+    // checks the STRUCTURAL half (sampled index + DECODED dimensions —
+    // matching w/h proves each frame actually decoded, since they come
+    // from the JPEG raster, not the container header). Pixel fidelity is
+    // spec-gated (JPEG is lossy — no analytic replay exists; MjpegSpec
+    // pins uniform-frame round trips within 3 gray levels).
+    "multimodal_mjpeg_frames" -> ((s, dir) =>
+      Multimodal.decodeMjpegFrames(
+        Multimodal.encodeMjpegAviDemo(t(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "payload", "doc_id", every = 2)
+        .select(col("id").as("doc_id"), col("frame_index"), col("width"),
+          col("height"), col("n_pixels"))),
 
     // ---- as-of join over events: each click attaches the most recent
     // view by the same user at or before the click. Views dedup to one
@@ -2562,6 +2575,16 @@ object SparkEntry {
                (doc_id*31 + fi*17 + y*131 + x*7) % 256)))) AS BIGINT) AS pix_max,
            CAST(list_sum(list_transform(range(0, w), x ->
              (doc_id*31 + fi*17 + x*7) % 256)) AS BIGINT) AS top_row_sum
+         FROM f WHERE fi % 2 = 0""",
+    // structural replay of the MJPEG fixture formulas — frame count /
+    // sampling / dimensions; width & height in the Spark output come from
+    // the DECODED JPEG raster, so equality here certifies the codec ran
+    "multimodal_mjpeg_frames" ->
+      """WITH p AS (SELECT doc_id, (doc_id % 6) + 1 AS nf,
+                ((doc_id % 5) + 1) * 16 AS w, ((doc_id % 4) + 1) * 16 AS h FROM documents),
+         f AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS fi FROM p)
+         SELECT doc_id, fi AS frame_index, CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height, CAST(w * h AS BIGINT) AS n_pixels
          FROM f WHERE fi % 2 = 0""",
     // DuckDB's native ASOF LEFT JOIN is the ground truth for AsofJoin's
     // union-window plan; views dedup to one row per (user, ts) in both

@@ -20,10 +20,14 @@ import org.apache.spark.sql.functions._
   *    ([[decodeAviFrames]] — stride/bottom-up-aware, frame-sampled).
   *
   * [[encodePngDemo]]/[[encodeWavDemo]]/[[encodeAviDemo]]/
-  * [[encodeAviFramesDemo]] are the deterministic encode-half fixtures of
-  * each round-trip oracle. COMPRESSED video frames would need a codec no
-  * JDK ships — that single step stays behind [[decodeBatch]]'s documented
-  * fake, whose body is the only thing a codec swap changes.
+  * [[encodeAviFramesDemo]]/[[encodeMjpegAviDemo]] are the deterministic
+  * encode-half fixtures of each round-trip oracle. COMPRESSED frames are
+  * real too where the JDK ships the codec: [[decodeMjpegFrames]] decodes
+  * MJPEG-in-AVI (JPEG per frame via `javax.imageio`) — structurally
+  * oracled (sampled index, decoded dimensions), pixel fidelity spec-gated
+  * because JPEG is lossy. Inter-frame codecs the JDK lacks (H.264 et al)
+  * stay behind [[decodeBatch]]'s documented fake, whose body is the only
+  * thing a codec swap changes.
   */
 object Multimodal {
 
@@ -630,6 +634,247 @@ object Multimodal {
             r += 1
           }
           f += 1
+        }
+        AviRow(id, bb.array())
+      }
+    }.toDF().withColumnRenamed("id", idCol)
+  }
+
+  case class MjpegFrame(id: Long, frame_index: Long, width: Long,
+                        height: Long, n_pixels: Long, luma_sum: Long)
+
+  /** True iff the first `strf` under `LIST/hdrl > LIST/strl` declares
+    * MJPEG (biCompression = 'MJPG'). Mirrors
+    * [[hasUncompressed8BitStrf]]'s walk. */
+  private def hasMjpegStrf(b: Array[Byte]): Boolean = {
+    val riffEnd = math.min(b.length.toLong, 8L + u32le(b, 4))
+    var off = 12L
+    while (off + 8 <= riffEnd) {
+      val cid = fourCC(b, off.toInt)
+      val size = u32le(b, off.toInt + 4)
+      if (size < 0) return false
+      if (cid == "LIST" && fourCC(b, off.toInt + 8) == "hdrl") {
+        val listEnd = math.min(riffEnd, off + 8 + size)
+        var sub = off + 12
+        while (sub + 8 <= listEnd) {
+          val sid = fourCC(b, sub.toInt)
+          val ssize = u32le(b, sub.toInt + 4)
+          if (ssize < 0) return false
+          if (sid == "LIST" && fourCC(b, sub.toInt + 8) == "strl") {
+            val strlEnd = math.min(listEnd, sub + 8 + ssize)
+            var s2 = sub + 12
+            while (s2 + 8 <= strlEnd) {
+              val s2id = fourCC(b, s2.toInt)
+              val s2size = u32le(b, s2.toInt + 4)
+              if (s2size < 0) return false
+              if (s2id == "strf" && s2size >= 40 && s2 + 8 + 40 <= b.length)
+                // biCompression at +16: 'MJPG' little-endian
+                return u32le(b, s2.toInt + 8 + 16) == 0x47504A4DL
+              s2 += 8 + s2size + (s2size & 1L)
+            }
+          }
+          sub += 8 + ssize + (ssize & 1L)
+        }
+        return false
+      }
+      off += 8 + size + (size & 1L)
+    }
+    false
+  }
+
+  /** REAL compressed-frame video decode for MJPEG streams: walk
+    * `LIST/movi` for `00dc` chunks, sample every `every`-th frame, and
+    * decode each sampled frame's JPEG bytes with the JDK's own codec
+    * (`javax.imageio` — initialized per partition, the
+    * [[decodeBatch]]-documented boundary). Emits the DECODED dimensions
+    * (not the container header's — a frame that fails JPEG decode can't
+    * fake them), pixel count, and the exact integer luminance sum of the
+    * decoded raster. Anything non-MJPEG, malformed, or undecodable
+    * yields one all--1 sentinel row (the no-nullable-output convention).
+    *
+    * Oracle split: structure (sampled frame index, width, height,
+    * n_pixels) is DuckDB-checkable against the
+    * [[encodeMjpegAviDemo]] formulas — matching dimensions prove every
+    * sampled frame really went through the JPEG decoder; `luma_sum` is
+    * spec-gated (JPEG is lossy, so no analytic replay exists —
+    * MjpegSpec pins fidelity on uniform frames instead). Frame sampling
+    * bounds per-row cost exactly like [[decodeAviFrames]]. */
+  def decodeMjpegFrames(df: DataFrame, binCol: String, idCol: String,
+                        every: Int = 2): DataFrame = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds: Dataset[AviRow] = graft.util.Partitioning.spread(
+      df.select(col(idCol).cast("long").as("id"), col(binCol).as("payload"))).as[AviRow]
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { row =>
+        val out = decodeMjpegChunks(row.payload, row.id, every)
+        if (out.isEmpty) Seq(MjpegFrame(row.id, -1L, -1L, -1L, -1L, -1L))
+        else out
+      }
+    }.toDF()
+  }
+
+  /** Per-frame decoded stats from an MJPEG AVI, or empty on anything
+    * malformed/non-MJPEG. Separated from the Dataset plumbing so specs
+    * can hit the byte-walker directly. */
+  private[pipeline] def decodeMjpegChunks(
+      b: Array[Byte], id: Long, every: Int): Seq[MjpegFrame] = {
+    if (b.length < 12 || fourCC(b, 0) != "RIFF" || fourCC(b, 8) != "AVI ")
+      return Seq.empty
+    if (!hasMjpegStrf(b)) return Seq.empty
+    val riffEnd = math.min(b.length.toLong, 8L + u32le(b, 4))
+    var off = 12L
+    var moviStart = -1L; var moviEnd = -1L
+    while (off + 8 <= riffEnd && moviStart < 0) {
+      val cid = fourCC(b, off.toInt)
+      val size = u32le(b, off.toInt + 4)
+      if (size < 0) return Seq.empty
+      if (cid == "LIST" && fourCC(b, off.toInt + 8) == "movi") {
+        moviStart = off + 12
+        moviEnd = math.min(riffEnd, off + 8 + size)
+      }
+      off += 8 + size + (size & 1L)
+    }
+    if (moviStart < 0) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[MjpegFrame]
+    var sub = moviStart
+    var frameIdx = 0L
+    while (sub + 8 <= moviEnd) {
+      val sid = fourCC(b, sub.toInt)
+      val ssize = u32le(b, sub.toInt + 4)
+      if (ssize < 0) return out.toSeq
+      if (sid == "00dc" || sid == "00db") {
+        if (frameIdx % every == 0) {
+          if (sub + 8 + ssize > b.length) return out.toSeq
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+              b, sub.toInt + 8, ssize.toInt))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) return out.toSeq
+          val w = img.getWidth; val h = img.getHeight
+          var lumaSum = 0L
+          val raster = img.getRaster
+          if (raster.getNumBands == 1) {
+            // grayscale JPEG: RAW raster samples — getRGB would route the
+            // linear-gray ColorSpace through sRGB color management and
+            // gamma-shift every value (~205 reads back as ~232)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                lumaSum += raster.getSample(x, y, 0).toLong
+                x += 1
+              }
+              y += 1
+            }
+          } else {
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff
+                val bl = rgb & 0xff
+                lumaSum += (299L * r + 587L * g + 114L * bl) / 1000L
+                x += 1
+              }
+              y += 1
+            }
+          }
+          out += MjpegFrame(id, frameIdx, w.toLong, h.toLong,
+            w.toLong * h, lumaSum)
+        }
+        frameIdx += 1
+      }
+      sub += 8 + ssize + (ssize & 1L)
+    }
+    out.toSeq
+  }
+
+  /** Deterministic MJPEG-in-AVI fixture for [[decodeMjpegFrames]]: the
+    * same fully-structured container as [[encodeAviFramesDemo]] but with
+    * `strh 'vids'/'MJPG'`, `strf biCompression = 'MJPG'` (biBitCount 24,
+    * the MJPEG convention), and each `00dc` chunk a REAL JPEG — a
+    * uniform-gray frame of level (id*37 + f*29) mod 200 + 20 encoded by
+    * the JDK's own writer. Parameters are pure functions of the id:
+    * frames = (id mod 6) + 1, width = ((id mod 5) + 1) * 16, height =
+    * ((id mod 4) + 1) * 16 (whole JPEG MCU blocks, so the lossy
+    * round-trip on a uniform frame stays within a couple of gray
+    * levels — what MjpegSpec pins). Structure is oracle-checkable; the
+    * JPEG byte lengths are codec-dependent and deliberately absent from
+    * the oracled columns. */
+  def encodeMjpegAviDemo(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ids = df.select(col(idCol).cast("long").as("id")).as[Long]
+    ids.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val nf = (math.floorMod(id, 6L) + 1).toInt
+        val w = ((math.floorMod(id, 5L) + 1) * 16).toInt
+        val h = ((math.floorMod(id, 4L) + 1) * 16).toInt
+        val jpegs = (0 until nf).map { f =>
+          val g = (math.floorMod(id * 37 + f * 29, 200L) + 20).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val gfx = img.createGraphics()
+          gfx.setColor(new java.awt.Color(g, g, g))
+          gfx.fillRect(0, 0, w, h)
+          gfx.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpeg", bos)
+          bos.toByteArray
+        }
+        val hdrlContent = 4 + (8 + 56) + (8 + (4 + (8 + 56) + (8 + 40)))
+        val moviContent = 4 +
+          jpegs.map(j => 8 + j.length + (j.length & 1)).sum
+        val total = 12 + (8 + hdrlContent) + (8 + moviContent)
+        val bb = java.nio.ByteBuffer.allocate(total)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(total - 8)
+          .put("AVI ".getBytes("US-ASCII"))
+        bb.put("LIST".getBytes("US-ASCII")).putInt(hdrlContent)
+          .put("hdrl".getBytes("US-ASCII"))
+        bb.put("avih".getBytes("US-ASCII")).putInt(56)
+        bb.putInt(100000)       // dwMicroSecPerFrame
+          .putInt(0).putInt(0).putInt(0)
+          .putInt(nf)           // dwTotalFrames
+          .putInt(0)
+          .putInt(1)            // dwStreams
+          .putInt(jpegs.map(_.length).max) // dwSuggestedBufferSize
+          .putInt(w).putInt(h)
+          .putInt(0).putInt(0).putInt(0).putInt(0)
+        bb.put("LIST".getBytes("US-ASCII")).putInt(4 + (8 + 56) + (8 + 40))
+          .put("strl".getBytes("US-ASCII"))
+        bb.put("strh".getBytes("US-ASCII")).putInt(56)
+        bb.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+          .putInt(0)            // dwFlags
+          .putShort(0).putShort(0) // wPriority, wLanguage
+          .putInt(0)            // dwInitialFrames
+          .putInt(1)            // dwScale
+          .putInt(10)           // dwRate (10 fps)
+          .putInt(0)            // dwStart
+          .putInt(nf)           // dwLength
+          .putInt(jpegs.map(_.length).max) // dwSuggestedBufferSize
+          .putInt(-1)           // dwQuality
+          .putInt(0)            // dwSampleSize
+          .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
+        bb.put("strf".getBytes("US-ASCII")).putInt(40)
+        bb.putInt(40)           // biSize
+          .putInt(w).putInt(h)  // biWidth, biHeight
+          .putShort(1)          // biPlanes
+          .putShort(24)         // biBitCount (MJPEG convention)
+          .put("MJPG".getBytes("US-ASCII")) // biCompression
+          .putInt(0)            // biSizeImage (codec-dependent; 0 legal)
+          .putInt(0).putInt(0).putInt(0).putInt(0)
+        bb.put("LIST".getBytes("US-ASCII")).putInt(moviContent)
+          .put("movi".getBytes("US-ASCII"))
+        jpegs.foreach { j =>
+          bb.put("00dc".getBytes("US-ASCII")).putInt(j.length)
+          bb.put(j)
+          if ((j.length & 1) == 1) bb.put(0.toByte) // RIFF word alignment
         }
         AviRow(id, bb.array())
       }

@@ -1044,4 +1044,46 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long, Long, Long, Long, Long)].head()
     assert(ho._2 == -1L, s"frame decode of a frameless AVI must sentinel: $ho")
   }
+
+  test("MJPEG frame decode: real JDK JPEG codec per sampled frame, " +
+    "decoded dims + lossy-fidelity bound; codec gates both ways") {
+    val ids = Seq(5L, 14L, 91L).toDF("doc_id")
+    val avis = Multimodal.encodeMjpegAviDemo(ids, "doc_id")
+    val rows = Multimodal.decodeMjpegFrames(avis, "payload", "doc_id", every = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    for (id <- Seq(5L, 14L, 91L)) {
+      val nf = (id % 6) + 1
+      val w = ((id % 5) + 1) * 16
+      val h = ((id % 4) + 1) * 16
+      val expectFrames = (0L until nf).filter(_ % 2 == 0)
+      assert(rows(id).map(_._2).toSeq == expectFrames, s"doc $id sampled frames")
+      for ((_, fi, dw, dh, np, luma) <- rows(id)) {
+        // dimensions come from the DECODED JPEG, not the container header
+        assert(dw == w && dh == h && np == w * h,
+          s"doc $id frame $fi decoded dims ${(dw, dh, np)}")
+        // uniform-gray frame: JPEG's lossy round trip must stay within a
+        // couple of gray levels of the encoded level
+        val g = (id * 37 + fi * 29) % 200 + 20
+        val mean = luma.toDouble / np
+        assert(math.abs(mean - g) <= 3.0,
+          s"doc $id frame $fi decoded mean $mean vs encoded gray $g")
+      }
+    }
+    // the raw-DIB decoder must reject MJPEG (biCompression != 0) and the
+    // MJPEG decoder must reject raw-DIB (biCompression != 'MJPG')
+    val rawOnMjpeg = Multimodal.decodeAviFrames(avis, "payload", "doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rawOnMjpeg.forall(_._2 == -1L), "raw decoder must sentinel on MJPEG")
+    val dib = Multimodal.encodeAviFramesDemo(ids, "doc_id")
+    val mjpegOnRaw = Multimodal.decodeMjpegFrames(dib, "payload", "doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(mjpegOnRaw.forall(_._2 == -1L), "MJPEG decoder must sentinel on raw DIB")
+    // junk bytes sentinel too
+    val junk = Multimodal.decodeMjpegFrames(
+        Seq((7L, "RIFFxxxxNOPE".getBytes("UTF-8"))).toDF("doc_id", "payload"),
+        "payload", "doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(junk == ((7L, -1L, -1L, -1L, -1L, -1L)))
+  }
 }
