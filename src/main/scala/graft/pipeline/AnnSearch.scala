@@ -149,6 +149,53 @@ object AnnSearch {
     rankTopK(scored, "qcosine", k)
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings"):
+    * for every src vector, the tgt candidate maximizing
+    * `margin(x, y) = cos(x, y) / ((avgNN_k(x) + avgNN_k(y)) / 2)` —
+    * the RATIO margin that discounts hubness (a y that is everyone's
+    * neighbor scores a high penalty and stops winning every x). The
+    * standard mining step for parallel-corpus extraction from two
+    * monolingual embedding spaces.
+    *
+    * Arithmetic contract: cosines come from the exact-integer int8
+    * kernel ([[int8TopK]] — bit-identical across engines), and the
+    * penalty averages run over cosines SNAPPED TO THE 1e-6 GRID as
+    * BIGINT sums — order-independent, so the margin (one double
+    * expression over five integers) and its argmax reproduce exactly
+    * in the DuckDB oracle; ties break to the smaller tgt id.
+    *
+    * Shape: two [[int8TopK]] passes (src→tgt and tgt→src), two
+    * id-keyed penalty aggregates (k-bounded integer sums), the margin
+    * join, and a k=1 [[rankTopK]] heap. At 100 TB swap the brute int8
+    * passes for [[ivfTopK]]/[[lshTopK]] — the margin layer is
+    * retrieval-agnostic. */
+  def bitextMarginMine(src: DataFrame, tgt: DataFrame, vecCol: String,
+                       idCol: String, k: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val grid = lit(1e6)
+    val fwd = int8TopK(src, tgt, vecCol, idCol, k)
+      .withColumn("__qc", round(col("qcosine") * grid).cast("long"))
+      .transform(materializeNarrow) // feeds penalties, the margin join AND the re-attach
+    val bwd = int8TopK(tgt, src, vecCol, idCol, k)
+      .withColumn("__qc", round(col("qcosine") * grid).cast("long"))
+    val penX = fwd.groupBy(col("query_id"))
+      .agg(sum(col("__qc")).as("__px"), count(lit(1)).as("__nx"))
+    val penY = bwd.groupBy(col("query_id"))
+      .agg(sum(col("__qc")).as("__py"), count(lit(1)).as("__ny"))
+      .withColumnRenamed("query_id", "corpus_id")
+    val m = fwd.join(penX, Seq("query_id")).join(penY, Seq("corpus_id"))
+      .withColumn("margin", col("__qc").cast("double") /
+        ((col("__px").cast("double") / col("__nx") +
+          col("__py").cast("double") / col("__ny")) / lit(2.0)))
+    rankTopK(m.select(col("query_id"), col("corpus_id"), col("margin")),
+        "margin", 1)
+      .join(fwd.select(col("query_id"), col("corpus_id"), col("qcosine")),
+        Seq("query_id", "corpus_id"))
+      .select(col("query_id").as("src_id"), col("corpus_id").as("tgt_id"),
+        col("margin"), col("qcosine"))
+  }
+
   /** Binary-quantized top-k: each vector packs to ONE long (bit j set iff
     * component j > 0 — [[graft.fuzzy.VectorKernels.signBits64]]), the
     * candidate scan ranks corpus signatures by Hamming distance to the

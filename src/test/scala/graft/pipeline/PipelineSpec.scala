@@ -304,6 +304,39 @@ class AnnSearchSpec extends AnyFunSuite with SparkSpec {
 
   private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
+  test("bitext margin mining: the ratio margin discounts hubness — a " +
+    "dedicated partner beats a globally-popular hub with higher raw cosine") {
+    // src s1, s2 orthogonal; tgt: hub h with cos ~0.69 to BOTH srcs,
+    // partners p1, p2 with cos ~0.65 to their own src only. Raw cosine
+    // ranks the hub first for every src; the margin must not.
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),        // s1 (src: even ids)
+      (2L, Array(0f, 1f, 0f, 0f)),        // s2
+      (1L, Array(0.6f, 0.6f, 0.2f, 0f)),  // h  (tgt: odd ids)
+      (3L, Array(0.65f, 0f, 0.76f, 0f)),  // p1
+      (5L, Array(0f, 0.65f, 0f, 0.76f)))  // p2
+      .toDF("vec_id", "embedding")
+    val mined = AnnSearch.bitextMarginMine(
+        rows.where($"vec_id" % 2 === 0), rows.where($"vec_id" % 2 === 1),
+        "embedding", "vec_id", k = 2)
+      .collect().map(r => r.getAs[Long]("src_id") ->
+        ((r.getAs[Long]("tgt_id"), r.getAs[Double]("margin"),
+          r.getAs[Double]("qcosine")))).toMap
+    assert(mined.keySet == Set(0L, 2L), "one mined pair per src")
+    assert(mined(0L)._1 == 3L, s"s1 must mine p1, got ${mined(0L)}")
+    assert(mined(2L)._1 == 5L, s"s2 must mine p2, got ${mined(2L)}")
+    // the hub really does have the higher raw cosine — the margin, not
+    // the cosine, made the pick
+    val fwd = AnnSearch.int8TopK(rows.where($"vec_id" % 2 === 0),
+        rows.where($"vec_id" % 2 === 1), "embedding", "vec_id", 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("corpus_id")).toMap
+    assert(fwd(0L) == 1L && fwd(2L) == 1L,
+      s"fixture broken: hub should top raw cosine for both srcs, got $fwd")
+    mined.values.foreach { case (_, margin, qc) =>
+      assert(margin > 1.0 && qc > 0.5, s"implausible margin/cos: $margin/$qc")
+    }
+  }
+
   test("brute-force top-k is deterministic and correctly ranked") {
     val queries = emb.where($"vec_id" < 5)
     val res = AnnSearch.bruteForceTopK(queries, emb, "embedding", "vec_id", 10)
