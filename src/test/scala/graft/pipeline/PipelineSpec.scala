@@ -1119,4 +1119,38 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long, Long, Long, Long, Long)].head()
     assert(junk == ((7L, -1L, -1L, -1L, -1L, -1L)))
   }
+
+  test("container walkers survive adversarial bytes: seeded mutations of " +
+    "valid AVIs and pure noise always sentinel or degrade, never throw") {
+    // a corrupt payload in a 100 TB crawl must not fail the stage — the
+    // chunk-size fields are attacker-controlled ints, so every indexing
+    // path gets fuzzed: valid containers with 1-8 mutated bytes
+    // (lengths, fourCCs, JPEG internals alike) plus unstructured noise
+    val rnd = new scala.util.Random(17)
+    val valid = (Multimodal.encodeMjpegAviDemo(Seq(3L, 10L).toDF("doc_id"), "doc_id")
+        .collect().map(_.getAs[Array[Byte]]("payload")) ++
+      Multimodal.encodeAviFramesDemo(Seq(3L, 10L).toDF("doc_id"), "doc_id")
+        .collect().map(_.getAs[Array[Byte]]("payload"))).toSeq
+    val mutated = (1 to 300).map { i =>
+      val base = valid(i % valid.size).clone()
+      (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+        base(rnd.nextInt(base.length)) = rnd.nextInt(256).toByte
+      }
+      (i.toLong, base)
+    }
+    val noise = (301 to 400).map { i =>
+      val b = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(b)
+      (i.toLong, b)
+    }
+    val payloads = (mutated ++ noise).toDF("doc_id", "payload")
+    // throws (index-out-of-bounds, negative allocation, codec crashes)
+    // would fail these actions; sentinels and partial output are both fine
+    assert(Multimodal.decodeMjpegFrames(payloads, "payload", "doc_id").count() >= 400L)
+    assert(Multimodal.decodeAviFrames(payloads, "payload", "doc_id").count() >= 400L)
+    assert(Multimodal.decodeAviMeta(payloads, "payload", "doc_id").count() == 400L)
+    assert(Multimodal.decodeImageMeta(payloads, "payload", "doc_id").count() == 400L)
+    assert(Multimodal.decodeWavMeta(payloads, "payload", "doc_id").count() == 400L)
+    assert(Multimodal.decodeWavSamples(payloads, "payload", "doc_id").count() >= 400L)
+  }
 }
