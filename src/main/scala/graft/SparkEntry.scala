@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{array, col, concat, concat_ws, count, encode, explode, expr, get_json_object, length, lit, lower, max, min, posexplode, round => sround, slice, split, substring, sum, trim, when}
+import org.apache.spark.sql.functions.{array, coalesce, col, concat, concat_ws, count, encode, explode, expr, get_json_object, length, lit, lower, max, min, posexplode, round => sround, slice, split, substring, sum, trim, when}
 
 import graft.fuzzy.{FuzzyAlgorithm, FuzzyMapping, FuzzyMatcher, MatchOptions}
 import graft.pipeline.{AnnSearch, AsofJoin, Curation, Decontaminate, Dedup, Multimodal, NearDupCluster, Profile, QualityModel, RangeJoin, Sessionize, TextAnalysis}
@@ -573,7 +573,11 @@ object SparkEntry {
     // are cut, original line bytes preserved. The oracle rebuilds the
     // same fixture and replays census -> first-occurrence rank -> cut
     "dedup_line_rewrite" -> ((s, dir) => {
-      val toks = split(trim(col("text")), "\\s+")
+      // coalesce: a NULL-text doc must yield EMPTY segment lines in both
+      // engines (Spark's concat_ws would keep '' lines while the oracle's
+      // string_agg silently drops NULL ones — symmetric coalesce removes
+      // the divergence before it exists)
+      val toks = split(trim(coalesce(col("text"), lit(""))), "\\s+")
       val multi = t(s, dir, "documents").select(col("doc_id"),
         concat_ws("\n",
           concat(lit("header "), (col("doc_id") % 7).cast("string")),
@@ -1906,7 +1910,8 @@ object SparkEntry {
          py AS (SELECT tid, sum(qci) AS pys, count(*) AS ny FROM bk GROUP BY tid),
          m AS (SELECT f.sid, f.tid, f.qc,
                  CAST(f.qci AS DOUBLE) /
-                   ((CAST(pxs AS DOUBLE) / nx + CAST(pys AS DOUBLE) / ny) / 2.0) AS margin
+                   greatest((CAST(pxs AS DOUBLE) / nx + CAST(pys AS DOUBLE) / ny) / 2.0,
+                            1.0) AS margin
                FROM fk f JOIN px USING (sid) JOIN py USING (tid)),
          best AS (SELECT sid, tid, margin, qc,
                     row_number() OVER (PARTITION BY sid ORDER BY margin DESC, tid) AS rn
@@ -2230,9 +2235,9 @@ object SparkEntry {
     "dedup_line_rewrite" ->
       """WITH base AS (SELECT doc_id,
                ['header ' || CAST(doc_id % 7 AS VARCHAR),
-                array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1, 5), ' '),
+                array_to_string(list_slice(string_split_regex(trim(coalesce(text, '')), '\s+'), 1, 5), ' '),
                 'footer ' || CAST(doc_id % 3 AS VARCHAR),
-                array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 6, 10), ' ')] AS ls
+                array_to_string(list_slice(string_split_regex(trim(coalesce(text, '')), '\s+'), 6, 10), ' ')] AS ls
              FROM documents),
          alll AS (SELECT doc_id, unnest(ls) AS line,
                          generate_subscripts(ls, 1) - 1 AS pos FROM base),

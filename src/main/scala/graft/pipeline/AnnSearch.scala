@@ -131,7 +131,8 @@ object AnnSearch {
     * on both sides. Same broadcast-query shape as [[bruteForceTopK]] —
     * route large query sets through [[lshTopK]] + int8 re-rank instead. */
   def int8TopK(queries: DataFrame, corpus: DataFrame,
-               vecCol: String, idCol: String, k: Int): DataFrame = {
+               vecCol: String, idCol: String, k: Int,
+               excludeSelf: Boolean = true): DataFrame = {
     import graft.fuzzy.vectorFunctions.{i8vec_dot, i8vec_quantize}
     def prep(df: DataFrame, idAs: String, q: String, n2: String) =
       df.select(col(idCol).as(idAs), i8vec_quantize(col(vecCol)).as(q))
@@ -141,8 +142,14 @@ object AnnSearch {
     // narrow exchange: quantization must evaluate once per corpus row,
     // not once per pair inside the join loop (see materializeNarrow)
     val c = materializeNarrow(spread(prep(corpus, "corpus_id", "__cq", "__cn")))
-    val scored = c.crossJoin(broadcast(q))
-      .where(col("query_id") =!= col("corpus_id"))
+    // excludeSelf drops the (i, i) pair — right for self-search over ONE
+    // corpus, wrong for cross-corpus search where equal ids are distinct
+    // rows (bitext mining passes false: two monolingual corpora that both
+    // number their rows 0..N must be able to pair i with i)
+    val paired = c.crossJoin(broadcast(q))
+    val scored = (if (excludeSelf)
+        paired.where(col("query_id") =!= col("corpus_id"))
+      else paired)
       .withColumn("qcosine",
         i8vec_dot(col("__qq"), col("__cq")).cast("double")
           / sqrt(col("__qn").cast("double") * col("__cn").cast("double")))
@@ -174,20 +181,27 @@ object AnnSearch {
                        idCol: String, k: Int = 4): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
     val grid = lit(1e6)
-    val fwd = int8TopK(src, tgt, vecCol, idCol, k)
+    // excludeSelf = false: src and tgt are DIFFERENT corpora, so equal
+    // ids are distinct rows and (i, i) is often the true translation pair
+    val fwd = int8TopK(src, tgt, vecCol, idCol, k, excludeSelf = false)
       .withColumn("__qc", round(col("qcosine") * grid).cast("long"))
       .transform(materializeNarrow) // feeds penalties, the margin join AND the re-attach
-    val bwd = int8TopK(tgt, src, vecCol, idCol, k)
+    val bwd = int8TopK(tgt, src, vecCol, idCol, k, excludeSelf = false)
       .withColumn("__qc", round(col("qcosine") * grid).cast("long"))
     val penX = fwd.groupBy(col("query_id"))
       .agg(sum(col("__qc")).as("__px"), count(lit(1)).as("__nx"))
     val penY = bwd.groupBy(col("query_id"))
       .agg(sum(col("__qc")).as("__py"), count(lit(1)).as("__ny"))
       .withColumnRenamed("query_id", "corpus_id")
+    // denominator floored at +1 micro-unit: a zero/negative mean penalty
+    // (all neighbors orthogonal or anti-aligned) would null the division
+    // (rankTopK then silently DROPS the src) or invert the ranking; the
+    // floor is the continuous penalty→0+ limit of the ratio margin, and
+    // for any normal corpus (penalties >> 1e-6) it changes nothing
     val m = fwd.join(penX, Seq("query_id")).join(penY, Seq("corpus_id"))
       .withColumn("margin", col("__qc").cast("double") /
-        ((col("__px").cast("double") / col("__nx") +
-          col("__py").cast("double") / col("__ny")) / lit(2.0)))
+        greatest((col("__px").cast("double") / col("__nx") +
+          col("__py").cast("double") / col("__ny")) / lit(2.0), lit(1.0)))
     rankTopK(m.select(col("query_id"), col("corpus_id"), col("margin")),
         "margin", 1)
       .join(fwd.select(col("query_id"), col("corpus_id"), col("qcosine")),

@@ -51,6 +51,10 @@ object ModelExport {
       interceptsMicro.length == labels.length &&
       weightsMicro.forall(_.length == slots), "QuantizedLangIdModel shape")
     require(labels.sorted.sameElements(labels), "labels must be sorted")
+    // mirrors fitLangId's guard: a 1-class "classifier" is meaningless,
+    // and the apply plan's greatest() needs >= 2 score columns anyway —
+    // fail at construction with a clear message, not at analysis time
+    require(labels.length >= 2, s"need >= 2 labels (got ${labels.toSeq})")
   }
 
   private val Grid = 1000000L
@@ -217,7 +221,16 @@ object ModelExport {
     * `list_transform(generate_series(...))` (with the short-string
     * collapse to the whole string), murmur slots, k BIGINT dots as
     * columns, integer argmax with first-class-wins tie-break, softmax
-    * with the denominator terms in class order. */
+    * with the denominator terms in class order.
+    *
+    * Exactness boundary: the murmur3 HASH of any given token is
+    * bit-exact for arbitrary UTF-8 (tfSlotCtes hashes bytes), but the
+    * n-gram WINDOWING differs for supplementary-plane text — Spark's
+    * `charNgrams` slides over Java UTF-16 code units while DuckDB's
+    * `substr`/`length` count code points, so an astral character (emoji
+    * etc.) windows differently. This is the repo-wide char-gram oracle
+    * convention (the winnow/fingerprint oracles share it); the driver
+    * corpus is BMP-only, where the two coincide. */
   def langIdApplyOracleSql(table: String, textCol: String, idCol: String,
                            m: QuantizedLangIdModel, dp: Int = 6): String = {
     val k = m.labels.length

@@ -513,45 +513,53 @@ object Multimodal {
     out.toSeq
   }
 
-  /** True iff the first `strf` under `LIST/hdrl > LIST/strl` declares an
-    * 8-bit uncompressed DIB (biBitCount = 8, biCompression = 0). */
-  private def hasUncompressed8BitStrf(b: Array[Byte]): Boolean = {
+  /** Payload offset of the first `strf` (BITMAPINFOHEADER, >= 40 bytes)
+    * under `LIST/hdrl > LIST/strl`, or -1 when absent/malformed. ONE
+    * copy of the hostile-input offset walk — both codec predicates
+    * consume it, so a bounds-check fix can never apply to one and not
+    * the other. */
+  private def firstStrfOffset(b: Array[Byte]): Int = {
     val riffEnd = math.min(b.length.toLong, 8L + u32le(b, 4))
     var off = 12L
     while (off + 8 <= riffEnd) {
       val cid = fourCC(b, off.toInt)
       val size = u32le(b, off.toInt + 4)
-      if (size < 0) return false
+      if (size < 0) return -1
       if (cid == "LIST" && fourCC(b, off.toInt + 8) == "hdrl") {
         val listEnd = math.min(riffEnd, off + 8 + size)
         var sub = off + 12
         while (sub + 8 <= listEnd) {
           val sid = fourCC(b, sub.toInt)
           val ssize = u32le(b, sub.toInt + 4)
-          if (ssize < 0) return false
+          if (ssize < 0) return -1
           if (sid == "LIST" && fourCC(b, sub.toInt + 8) == "strl") {
             val strlEnd = math.min(listEnd, sub + 8 + ssize)
             var s2 = sub + 12
             while (s2 + 8 <= strlEnd) {
               val s2id = fourCC(b, s2.toInt)
               val s2size = u32le(b, s2.toInt + 4)
-              if (s2size < 0) return false
-              if (s2id == "strf" && s2size >= 40 && s2 + 8 + 40 <= b.length) {
-                val p = s2.toInt + 8
-                // biBitCount at +14 (u16), biCompression at +16 (u32)
-                val bits = (b(p + 14) & 0xff) | ((b(p + 15) & 0xff) << 8)
-                return bits == 8 && u32le(b, p + 16) == 0L
-              }
+              if (s2size < 0) return -1
+              if (s2id == "strf" && s2size >= 40 && s2 + 8 + 40 <= b.length)
+                return s2.toInt + 8
               s2 += 8 + s2size + (s2size & 1L)
             }
           }
           sub += 8 + ssize + (ssize & 1L)
         }
-        return false
+        return -1
       }
       off += 8 + size + (size & 1L)
     }
-    false
+    -1
+  }
+
+  /** True iff the first `strf` under `LIST/hdrl > LIST/strl` declares an
+    * 8-bit uncompressed DIB (biBitCount = 8, biCompression = 0). */
+  private def hasUncompressed8BitStrf(b: Array[Byte]): Boolean = {
+    val p = firstStrfOffset(b)
+    // biBitCount at +14 (u16), biCompression at +16 (u32)
+    p >= 0 && (((b(p + 14) & 0xff) | ((b(p + 15) & 0xff) << 8)) == 8) &&
+      u32le(b, p + 16) == 0L
   }
 
   /** Deterministic frame-bearing AVI fixture for [[decodeAviFrames]]: a
@@ -644,42 +652,11 @@ object Multimodal {
                         height: Long, n_pixels: Long, luma_sum: Long)
 
   /** True iff the first `strf` under `LIST/hdrl > LIST/strl` declares
-    * MJPEG (biCompression = 'MJPG'). Mirrors
-    * [[hasUncompressed8BitStrf]]'s walk. */
+    * MJPEG (biCompression = 'MJPG' little-endian). Shares
+    * [[firstStrfOffset]]'s walk with [[hasUncompressed8BitStrf]]. */
   private def hasMjpegStrf(b: Array[Byte]): Boolean = {
-    val riffEnd = math.min(b.length.toLong, 8L + u32le(b, 4))
-    var off = 12L
-    while (off + 8 <= riffEnd) {
-      val cid = fourCC(b, off.toInt)
-      val size = u32le(b, off.toInt + 4)
-      if (size < 0) return false
-      if (cid == "LIST" && fourCC(b, off.toInt + 8) == "hdrl") {
-        val listEnd = math.min(riffEnd, off + 8 + size)
-        var sub = off + 12
-        while (sub + 8 <= listEnd) {
-          val sid = fourCC(b, sub.toInt)
-          val ssize = u32le(b, sub.toInt + 4)
-          if (ssize < 0) return false
-          if (sid == "LIST" && fourCC(b, sub.toInt + 8) == "strl") {
-            val strlEnd = math.min(listEnd, sub + 8 + ssize)
-            var s2 = sub + 12
-            while (s2 + 8 <= strlEnd) {
-              val s2id = fourCC(b, s2.toInt)
-              val s2size = u32le(b, s2.toInt + 4)
-              if (s2size < 0) return false
-              if (s2id == "strf" && s2size >= 40 && s2 + 8 + 40 <= b.length)
-                // biCompression at +16: 'MJPG' little-endian
-                return u32le(b, s2.toInt + 8 + 16) == 0x47504A4DL
-              s2 += 8 + s2size + (s2size & 1L)
-            }
-          }
-          sub += 8 + ssize + (ssize & 1L)
-        }
-        return false
-      }
-      off += 8 + size + (size & 1L)
-    }
-    false
+    val p = firstStrfOffset(b)
+    p >= 0 && u32le(b, p + 16) == 0x47504A4DL
   }
 
   /** REAL compressed-frame video decode for MJPEG streams: walk

@@ -337,6 +337,32 @@ class AnnSearchSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("bitext margin mining: overlapping id spaces pair (i, i); " +
+    "degenerate all-non-positive penalties floor instead of nulling") {
+    // src and tgt are DIFFERENT corpora that both number rows 0..n — the
+    // self-pair filter of single-corpus search must NOT apply, or the
+    // true translation (i, i) becomes unminable
+    val src = Seq((0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val tgt = Seq((0L, Array(0.95f, 0f, 0.31f, 0f)), (1L, Array(0f, 0.95f, 0f, 0.31f)))
+      .toDF("vec_id", "embedding")
+    val mined = AnnSearch.bitextMarginMine(src, tgt, "embedding", "vec_id", k = 2)
+      .collect().map(r => r.getAs[Long]("src_id") -> r.getAs[Long]("tgt_id")).toMap
+    assert(mined == Map(0L -> 0L, 1L -> 1L), s"equal-id pairs unminable: $mined")
+
+    // all tgt neighbors orthogonal or anti-aligned: mean penalties <= 0,
+    // which would null the ratio (and rankTopK silently DROPS null
+    // scores) — the micro-unit floor keeps one finite row per src
+    val s2 = Seq((0L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val t2 = Seq((10L, Array(0f, 1f, 0f, 0f)), (11L, Array(-1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val deg = AnnSearch.bitextMarginMine(s2, t2, "embedding", "vec_id", k = 2)
+      .collect()
+    assert(deg.length == 1, s"degenerate src dropped: ${deg.toSeq}")
+    val m = deg(0).getAs[Double]("margin")
+    assert(!m.isNaN && !m.isInfinite, s"margin not finite: $m")
+  }
+
   test("brute-force top-k is deterministic and correctly ranked") {
     val queries = emb.where($"vec_id" < 5)
     val res = AnnSearch.bruteForceTopK(queries, emb, "embedding", "vec_id", 10)
