@@ -134,6 +134,50 @@ object ModelExport {
   }
 
   // ------------------------------------------------------------------
+  // Stored-model lifecycle (the serving artifact, like the stored BM25
+  // index): quantized models persist as one-row parquet — integer
+  // weights round-trip exactly, so a loaded model scores bit-identically
+  // to the one that was saved, on any engine that reads parquet.
+  // ------------------------------------------------------------------
+
+  def save(m: QuantizedLinearModel, path: String,
+           spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    Seq((m.weightsMicro.toSeq, m.interceptMicro, m.slots))
+      .toDF("weights_micro", "intercept_micro", "slots")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadLinear(spark: org.apache.spark.sql.SparkSession,
+                 path: String): QuantizedLinearModel = {
+    val r = spark.read.parquet(path).head()
+    // collection.Seq: Row.getAs hands back mutable ArraySeq wrappers
+    QuantizedLinearModel(
+      r.getAs[scala.collection.Seq[Long]]("weights_micro").toArray,
+      r.getAs[Long]("intercept_micro"), r.getAs[Int]("slots"))
+  }
+
+  def save(m: QuantizedLangIdModel, path: String,
+           spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    Seq((m.weightsMicro.map(_.toSeq).toSeq, m.interceptsMicro.toSeq,
+        m.labels.toSeq, m.slots, m.ngramLen))
+      .toDF("weights_micro", "intercepts_micro", "labels", "slots", "ngram_len")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadLangId(spark: org.apache.spark.sql.SparkSession,
+                 path: String): QuantizedLangIdModel = {
+    val r = spark.read.parquet(path).head()
+    QuantizedLangIdModel(
+      r.getAs[scala.collection.Seq[scala.collection.Seq[Long]]]("weights_micro")
+        .map(_.toArray).toArray,
+      r.getAs[scala.collection.Seq[Long]]("intercepts_micro").toArray,
+      r.getAs[scala.collection.Seq[String]]("labels").toArray,
+      r.getAs[Int]("slots"), r.getAs[Int]("ngram_len"))
+  }
+
+  // ------------------------------------------------------------------
   // DuckDB oracle generation
   // ------------------------------------------------------------------
 

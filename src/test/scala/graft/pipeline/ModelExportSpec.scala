@@ -75,6 +75,29 @@ class ModelExportSpec extends AnyFunSuite with SparkSpec {
     assert(!edge(90L)._2.isNaN)
   }
 
+  test("stored quantized models round-trip exactly through parquet and " +
+    "apply bit-identically") {
+    val dir = java.nio.file.Files.createTempDirectory("qmodel").toString
+    ModelExport.save(DemoModels.Quality, s"$dir/q", spark)
+    val q = ModelExport.loadLinear(spark, s"$dir/q")
+    assert(q.weightsMicro.sameElements(DemoModels.Quality.weightsMicro) &&
+      q.interceptMicro == DemoModels.Quality.interceptMicro &&
+      q.slots == DemoModels.Quality.slots)
+    ModelExport.save(DemoModels.LangId, s"$dir/l", spark)
+    val l = ModelExport.loadLangId(spark, s"$dir/l")
+    assert(l.labels.sameElements(DemoModels.LangId.labels) &&
+      l.slots == DemoModels.LangId.slots && l.ngramLen == DemoModels.LangId.ngramLen &&
+      l.interceptsMicro.sameElements(DemoModels.LangId.interceptsMicro) &&
+      (l.weightsMicro, DemoModels.LangId.weightsMicro).zipped.forall(_.sameElements(_)))
+
+    val docs = Seq((1L, "good committee text"), (2L, "!!! $$$")).toDF("doc_id", "text")
+    val a = ModelExport.applyQuantized(docs, "text", "doc_id", DemoModels.Quality)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val b = ModelExport.applyQuantized(docs, "text", "doc_id", q)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(a == b, "loaded model must score bit-identically")
+  }
+
   test("demo models are well-formed and the oracle SQL embeds their " +
     "exact constants") {
     val q = DemoModels.Quality
