@@ -178,15 +178,43 @@ object AnnSearch {
     * passes for [[ivfTopK]]/[[lshTopK]] — the margin layer is
     * retrieval-agnostic. */
   def bitextMarginMine(src: DataFrame, tgt: DataFrame, vecCol: String,
-                       idCol: String, k: Int = 4): DataFrame = {
-    require(k >= 1, s"k must be >= 1 (got $k)")
-    val grid = lit(1e6)
+                       idCol: String, k: Int = 4): DataFrame =
     // excludeSelf = false: src and tgt are DIFFERENT corpora, so equal
     // ids are distinct rows and (i, i) is often the true translation pair
-    val fwd = int8TopK(src, tgt, vecCol, idCol, k, excludeSelf = false)
+    bitextMarginMineWith(src, tgt, k)((q, c, kk) =>
+      int8TopK(q, c, vecCol, idCol, kk, excludeSelf = false))
+
+  /** [[bitextMarginMine]] with IVF-routed retrieval — the corpus-scale
+    * arm: each direction's kNN probes nProbe cells instead of scanning
+    * all pairs, with the cell-local re-rank on int8 exact dots. Recall
+    * of the underlying kNN (and thus of the mined pairs) is the IVF
+    * recall (spec/SCALE-measured); a production pipeline pre-fits the
+    * quantizers once per corpus version ([[fitIndex]]) rather than
+    * per mine. Note: ivfTopK keeps its same-id pair exclusion, so give
+    * the two corpora disjoint id spaces under this arm (the brute arm
+    * has no such constraint). */
+  def bitextMarginMineIvf(src: DataFrame, tgt: DataFrame, vecCol: String,
+                          idCol: String, k: Int, dim: Int,
+                          nCells: Int = 64, nProbe: Int = 8): DataFrame =
+    bitextMarginMineWith(src, tgt, k)((q, c, kk) =>
+      ivfTopK(q, c, vecCol, idCol, kk, dim, nCells, nProbe,
+        int8Rerank = true))
+
+  /** The margin layer over a caller-supplied retrieval stage:
+    * `retrieve(queries, corpus, k)` must emit
+    * (query_id, corpus_id, qcosine) rows — the layer is
+    * retrieval-agnostic by construction (brute int8, IVF, LSH, a stored
+    * index — anything with those columns). */
+  def bitextMarginMineWith(src: DataFrame, tgt: DataFrame, k: Int)
+      (retrieve: (DataFrame, DataFrame, Int) => DataFrame): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val grid = lit(1e6)
+    val fwd = retrieve(src, tgt, k)
+      .select(col("query_id"), col("corpus_id"), col("qcosine"))
       .withColumn("__qc", round(col("qcosine") * grid).cast("long"))
       .transform(materializeNarrow) // feeds penalties, the margin join AND the re-attach
-    val bwd = int8TopK(tgt, src, vecCol, idCol, k, excludeSelf = false)
+    val bwd = retrieve(tgt, src, k)
+      .select(col("query_id"), col("corpus_id"), col("qcosine"))
       .withColumn("__qc", round(col("qcosine") * grid).cast("long"))
     val penX = fwd.groupBy(col("query_id"))
       .agg(sum(col("__qc")).as("__px"), count(lit(1)).as("__nx"))
