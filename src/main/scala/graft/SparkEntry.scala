@@ -810,6 +810,18 @@ object SparkEntry {
         "payload", "doc_id", every = 2)
         .select(col("id").as("doc_id"), col("frame_index"), col("n_pixels"),
           col("pix_sum"), col("pix_max"), col("top_row_sum"))),
+    // ---- COMPRESSED-audio decode (G.711 µ-law/A-law WAV): the codec is
+    // exact integer arithmetic, so unlike JPEG the oracle replays the
+    // ENTIRE decompression — payload bytes, both CCITT expansion
+    // formulas, and the sample statistics. Even ids are µ-law, odd
+    // A-law; G711Spec pins all 256 codes of each law against the JDK's
+    // own converters.
+    "multimodal_g711_decode" -> ((s, dir) =>
+      Multimodal.decodeG711Samples(
+        Multimodal.encodeG711Demo(t(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "payload", "doc_id")
+        .select(col("id").as("doc_id"), col("codec"), col("n_samples"),
+          col("sum_abs"), col("peak"), col("sum_sq"))),
     // ---- COMPRESSED-frame video decode (MJPEG-in-AVI): every sampled
     // 00dc chunk runs through the JDK's real JPEG codec; the oracle
     // checks the STRUCTURAL half (sampled index + DECODED dimensions —
@@ -2638,6 +2650,33 @@ object SparkEntry {
            CAST(list_sum(list_transform(range(0, w), x ->
              (doc_id*31 + fi*17 + x*7) % 256)) AS BIGINT) AS top_row_sum
          FROM f WHERE fi % 2 = 0""",
+    // FULL decompression replay: fixture bytes from the id formula, both
+    // CCITT G.711 expansions as integer expressions, exact stats
+    "multimodal_g711_decode" ->
+      """WITH p AS (SELECT doc_id, (doc_id % 50) + 1 AS ns, doc_id % 2 AS lawsel FROM documents),
+         s AS (SELECT doc_id, ns, lawsel, unnest(range(0, ns)) AS i FROM p),
+         b AS (SELECT doc_id, ns, lawsel, (doc_id * 13 + i * 11) % 256 AS code FROM s),
+         e AS (SELECT doc_id, ns, lawsel,
+                 CASE WHEN lawsel = 0 THEN
+                   -- mu-law: complement, mantissa<<3 + bias, << exponent, signed around bias
+                   CASE WHEN xor(code, 255) >= 128
+                        THEN 132 - ((((xor(code, 255) % 16) * 8) + 132) << ((xor(code, 255) // 16) % 8))
+                        ELSE ((((xor(code, 255) % 16) * 8) + 132) << ((xor(code, 255) // 16) % 8)) - 132 END
+                 ELSE
+                   -- A-law: xor 0x55, segment-wise expansion
+                   CASE WHEN xor(code, 85) >= 128 THEN 1 ELSE -1 END *
+                   (CASE (xor(code, 85) // 16) % 8
+                      WHEN 0 THEN (xor(code, 85) % 16) * 16 + 8
+                      WHEN 1 THEN (xor(code, 85) % 16) * 16 + 264
+                      ELSE ((xor(code, 85) % 16) * 16 + 264) << ((xor(code, 85) // 16) % 8 - 1) END)
+                 END AS v
+               FROM b)
+         SELECT doc_id, CASE WHEN lawsel = 0 THEN 'ulaw' ELSE 'alaw' END AS codec,
+           CAST(ns AS BIGINT) AS n_samples,
+           CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+           CAST(max(abs(v)) AS BIGINT) AS peak,
+           CAST(sum(v * v) AS BIGINT) AS sum_sq
+         FROM e GROUP BY doc_id, lawsel, ns""",
     // structural replay of the MJPEG fixture formulas — frame count /
     // sampling / dimensions; width & height in the Spark output come from
     // the DECODED JPEG raster, so equality here certifies the codec ran

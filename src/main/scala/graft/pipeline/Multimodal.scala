@@ -648,6 +648,130 @@ object Multimodal {
     }.toDF().withColumnRenamed("id", idCol)
   }
 
+  private def u16le(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  /** G.711 µ-law expansion (CCITT reference formula): one compressed
+    * byte → one 14-bit-range linear sample. Pure integer arithmetic —
+    * the whole codec is oracle-replayable, and G711Spec pins all 256
+    * codes against the JDK's own ULAW converter. */
+  private[pipeline] def ulawExpand(code: Int): Int = {
+    val u = (~code) & 0xff
+    var t = ((u & 0x0f) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** G.711 A-law expansion (CCITT reference formula), 13-bit range. */
+  private[pipeline] def alawExpand(code: Int): Int = {
+    val a = code ^ 0x55
+    var t = (a & 0x0f) << 4
+    val seg = (a & 0x70) >> 4
+    if (seg == 0) t += 8
+    else if (seg == 1) t += 0x108
+    else { t += 0x108; t <<= seg - 1 }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** (formatCode, dataOffset, dataLen) of a canonical RIFF/WAVE payload,
+    * or None when malformed — the manual walk the G.711 path needs
+    * (format codes 6/7 are what `javax.sound`'s PCM-centric front door
+    * routes through converters; decoding them ourselves keeps the math
+    * bit-exact and SQL-replayable). */
+  private def parseWavChunks(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 12 || fourCC(b, 0) != "RIFF" || fourCC(b, 8) != "WAVE")
+      return None
+    val riffEnd = math.min(b.length.toLong, 8L + u32le(b, 4))
+    var off = 12L
+    var fmt = -1
+    var dataOff = -1L; var dataLen = -1L
+    while (off + 8 <= riffEnd) {
+      val cid = fourCC(b, off.toInt)
+      val size = u32le(b, off.toInt + 4)
+      if (size < 0) return None
+      if (cid == "fmt " && size >= 16 && off + 8 + 16 <= b.length)
+        fmt = u16le(b, off.toInt + 8)
+      else if (cid == "data" && dataOff < 0) {
+        dataOff = off + 8
+        dataLen = math.min(size, b.length - dataOff)
+      }
+      off += 8 + size + (size & 1L)
+    }
+    if (fmt < 0 || dataOff < 0) None
+    else Some((fmt, dataOff.toInt, dataLen.toInt))
+  }
+
+  case class G711Stats(id: Long, codec: String, n_samples: Long,
+                       sum_abs: Long, peak: Long, sum_sq: Long)
+
+  /** REAL compressed-AUDIO decode: G.711 µ-law (WAV format code 7) and
+    * A-law (code 6) payloads expand through the exact CCITT integer
+    * formulas to linear samples, reduced to the same exact statistics
+    * as [[decodeWavSamples]] — and because the codec IS integer
+    * arithmetic, the DuckDB oracle replays the entire decompression,
+    * which no lossy-float codec (JPEG) allows. Anything non-G.711 or
+    * malformed yields the ("none", -1...) sentinel row. */
+  def decodeG711Samples(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds: Dataset[WavRow] = graft.util.Partitioning.spread(
+      df.select(col(idCol).cast("long").as("id"), col(binCol).as("payload"))).as[WavRow]
+    ds.mapPartitions { it =>
+      it.map { row =>
+        parseWavChunks(row.payload) match {
+          case Some((fmt, off, len)) if (fmt == 6 || fmt == 7) && len >= 0 =>
+            val expand: Int => Int = if (fmt == 7) ulawExpand else alawExpand
+            var i = 0; var sumAbs = 0L; var peak = 0L; var sumSq = 0L
+            while (i < len) {
+              val s = expand(row.payload(off + i) & 0xff)
+              val a = math.abs(s.toLong)
+              sumAbs += a; if (a > peak) peak = a; sumSq += s.toLong * s
+              i += 1
+            }
+            G711Stats(row.id, if (fmt == 7) "ulaw" else "alaw",
+              len.toLong, sumAbs, peak, sumSq)
+          case _ => G711Stats(row.id, "none", -1L, -1L, -1L, -1L)
+        }
+      }
+    }.toDF()
+  }
+
+  /** Deterministic G.711 WAV fixture: even ids µ-law (format 7), odd
+    * A-law (format 6); mono 8 kHz, (id mod 50) + 1 samples, byte i =
+    * (id*13 + i*11) mod 256 — every field a pure function of the id so
+    * the oracle rebuilds payload AND expansion analytically. */
+  def encodeG711Demo(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ids = df.select(col(idCol).cast("long").as("id")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val fmt = if (math.floorMod(id, 2L) == 0L) 7 else 6
+        val n = (math.floorMod(id, 50L) + 1).toInt
+        val total = 12 + (8 + 16) + (8 + n + (n & 1))
+        val bb = java.nio.ByteBuffer.allocate(total)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(total - 8)
+          .put("WAVE".getBytes("US-ASCII"))
+        bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(fmt.toShort)   // wFormatTag: 7 = µ-law, 6 = A-law
+          .putShort(1)             // mono
+          .putInt(8000)            // nSamplesPerSec
+          .putInt(8000)            // nAvgBytesPerSec (1 byte/sample)
+          .putShort(1)             // nBlockAlign
+          .putShort(8)             // wBitsPerSample
+        bb.put("data".getBytes("US-ASCII")).putInt(n)
+        var i = 0
+        while (i < n) {
+          bb.put(((id * 13 + i * 11) & 0xff).toByte)
+          i += 1
+        }
+        if ((n & 1) == 1) bb.put(0.toByte) // RIFF word alignment
+        WavRow(id, bb.array())
+      }
+    }.toDF().withColumnRenamed("id", idCol)
+  }
+
   case class MjpegFrame(id: Long, frame_index: Long, width: Long,
                         height: Long, n_pixels: Long, luma_sum: Long)
 

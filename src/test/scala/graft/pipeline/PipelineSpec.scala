@@ -1146,6 +1146,58 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(junk == ((7L, -1L, -1L, -1L, -1L, -1L)))
   }
 
+  test("G.711 expansion matches the JDK's own ULAW/ALAW converters on " +
+    "all 256 codes; decode round-trips the fixture; non-G711 sentinels") {
+    // independent ground truth: javax.sound's converter expands each
+    // one-byte code to a 16-bit little-endian PCM sample
+    def jdkExpand(enc: javax.sound.sampled.AudioFormat.Encoding,
+                  code: Int): Int = {
+      val src = new javax.sound.sampled.AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false)
+      val dst = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(Array(code.toByte)), src, 1L)
+      val out = javax.sound.sampled.AudioSystem.getAudioInputStream(dst, in)
+      val b = out.readAllBytes()
+      ((b(1) << 8) | (b(0) & 0xff)).toShort.toInt
+    }
+    (0 until 256).foreach { c =>
+      val ju = jdkExpand(javax.sound.sampled.AudioFormat.Encoding.ULAW, c)
+      val ja = jdkExpand(javax.sound.sampled.AudioFormat.Encoding.ALAW, c)
+      // the JDK table is the CCITT sample scaled by... it should be
+      // identical to the reference formula; pin exact equality
+      assert(Multimodal.ulawExpand(c) == ju, s"ulaw($c): ${Multimodal.ulawExpand(c)} vs JDK $ju")
+      assert(Multimodal.alawExpand(c) == ja, s"alaw($c): ${Multimodal.alawExpand(c)} vs JDK $ja")
+    }
+
+    val ids = Seq(4L, 7L, 100L).toDF("doc_id")
+    val decoded = Multimodal.decodeG711Samples(
+        Multimodal.encodeG711Demo(ids, "doc_id"), "payload", "doc_id")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("codec"), r.getAs[Long]("n_samples"),
+          r.getAs[Long]("sum_abs"), r.getAs[Long]("peak"),
+          r.getAs[Long]("sum_sq")))).toMap
+    for (id <- Seq(4L, 7L, 100L)) {
+      val fmt7 = id % 2 == 0
+      val n = (id % 50) + 1
+      val samples = (0L until n).map { i =>
+        val code = ((id * 13 + i * 11) % 256).toInt
+        if (fmt7) Multimodal.ulawExpand(code) else Multimodal.alawExpand(code)
+      }
+      val expect = (if (fmt7) "ulaw" else "alaw", n,
+        samples.map(s => math.abs(s.toLong)).sum,
+        samples.map(s => math.abs(s.toLong)).max,
+        samples.map(s => s.toLong * s).sum)
+      assert(decoded(id) == expect, s"doc $id: ${decoded(id)} vs $expect")
+    }
+    // a PCM WAV is NOT G.711 -> sentinel (and vice versa is already
+    // pinned: decodeWavSamples sentinels on non-PCM)
+    val pcm = Multimodal.decodeG711Samples(
+        Multimodal.encodeWavDemo(Seq(5L).toDF("doc_id"), "doc_id"),
+        "payload", "doc_id")
+      .collect().head
+    assert(pcm.getAs[String]("codec") == "none" && pcm.getAs[Long]("n_samples") == -1L)
+  }
+
   test("container walkers survive adversarial bytes: seeded mutations of " +
     "valid AVIs and pure noise always sentinel or degrade, never throw") {
     // a corrupt payload in a 100 TB crawl must not fail the stage — the
