@@ -810,6 +810,16 @@ object SparkEntry {
         "payload", "doc_id", every = 2)
         .select(col("id").as("doc_id"), col("frame_index"), col("n_pixels"),
           col("pix_sum"), col("pix_max"), col("top_row_sum"))),
+    // ---- real image RESIZE (area-average ÷2 thumbnail over the PNG
+    // fixture): every resized pixel is integer arithmetic over decoded
+    // bytes, so the oracle replays the whole downscale — block sums,
+    // integer-division means, resized-raster statistics
+    "multimodal_resize" -> ((s, dir) =>
+      Multimodal.resizeImageStats(
+        Multimodal.encodePngDemo(t(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "payload", "doc_id", factor = 2)
+        .select(col("id").as("doc_id"), col("out_w"), col("out_h"),
+          col("sum_r"), col("sum_g"), col("sum_b"), col("max_luma"))),
     // ---- COMPRESSED-audio decode (G.711 µ-law/A-law WAV): the codec is
     // exact integer arithmetic, so unlike JPEG the oracle replays the
     // ENTIRE decompression — payload bytes, both CCITT expansion
@@ -2650,6 +2660,33 @@ object SparkEntry {
            CAST(list_sum(list_transform(range(0, w), x ->
              (doc_id*31 + fi*17 + x*7) % 256)) AS BIGINT) AS top_row_sum
          FROM f WHERE fi % 2 = 0""",
+    // FULL resize replay: the ÷2 area-average from the PNG fixture
+    // formula — 4-pixel block sums, integer-division channel means,
+    // resized-raster stats; empty results (source < factor) keep their
+    // zero-dims row via the left join
+    "multimodal_resize" ->
+      """WITH px AS (SELECT doc_id, (doc_id % 13) + 1 AS w, (doc_id % 7) + 1 AS h FROM documents),
+         d AS (SELECT doc_id, w // 2 AS ow, h // 2 AS oh FROM px),
+         gx AS (SELECT doc_id, oh, unnest(range(0, ow)) AS xx FROM d),
+         gy AS (SELECT doc_id, xx, unnest(range(0, oh)) AS yy FROM gx),
+         v AS (SELECT doc_id, xx, yy,
+                 (doc_id*31 + (2*xx + o.dx)*7 + (2*yy + o.dy)*131) % 16777216 AS v
+               FROM gy CROSS JOIN (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) AS o(dx, dy)),
+         blk AS (SELECT doc_id, xx, yy,
+                   sum(v // 65536) AS br,
+                   sum((v // 256) % 256) AS bg,
+                   sum(v % 256) AS bb
+                 FROM v GROUP BY doc_id, xx, yy),
+         m AS (SELECT doc_id, br // 4 AS mr, bg // 4 AS mg, bb // 4 AS mb FROM blk),
+         agg AS (SELECT doc_id, sum(mr) AS sr, sum(mg) AS sg, sum(mb) AS sb,
+                   max((299*mr + 587*mg + 114*mb) // 1000) AS ml
+                 FROM m GROUP BY doc_id)
+         SELECT d.doc_id, CAST(ow AS BIGINT) AS out_w, CAST(oh AS BIGINT) AS out_h,
+           CAST(coalesce(sr, 0) AS BIGINT) AS sum_r,
+           CAST(coalesce(sg, 0) AS BIGINT) AS sum_g,
+           CAST(coalesce(sb, 0) AS BIGINT) AS sum_b,
+           CAST(coalesce(ml, 0) AS BIGINT) AS max_luma
+         FROM d LEFT JOIN agg USING (doc_id)""",
     // FULL decompression replay: fixture bytes from the id formula, both
     // CCITT G.711 expansions as integer expressions, exact stats
     "multimodal_g711_decode" ->

@@ -701,6 +701,69 @@ object Multimodal {
     else Some((fmt, dataOff.toInt, dataLen.toInt))
   }
 
+  case class ResizeStats(id: Long, out_w: Long, out_h: Long, sum_r: Long,
+                         sum_g: Long, sum_b: Long, max_luma: Long)
+
+  /** REAL image RESIZE (the thumbnail/feature-extraction step of a
+    * multimodal pipeline): integer-factor AREA-AVERAGE downscale —
+    * target pixel (X, Y) = the per-channel mean (integer division) of
+    * the factor×factor source block — reduced to exact integer
+    * statistics over the RESIZED raster. Area averaging over full
+    * blocks only (out dims = floor(w/f), floor(h/f); edge remainders
+    * drop, documented), so every output value is integer arithmetic
+    * over decoded bytes and the oracle can replay the whole resize
+    * from the fixture formula. A zero-dimension result (source smaller
+    * than the factor) emits (0, 0) dims with zero sums; undecodable
+    * payloads sentinel with all--1. O(pixels) per row like
+    * [[decodeImagePixels]] — header-route first at crawl scale. */
+  def resizeImageStats(df: DataFrame, binCol: String, idCol: String,
+                       factor: Int): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1 (got $factor)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds: Dataset[ImgRow] = graft.util.Partitioning.spread(
+      df.select(col(idCol).cast("long").as("id"), col(binCol).as("payload"))).as[ImgRow]
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { row =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) ResizeStats(row.id, -1L, -1L, -1L, -1L, -1L, -1L)
+        else {
+          val ow = img.getWidth / factor; val oh = img.getHeight / factor
+          var sr = 0L; var sg = 0L; var sb = 0L; var ml = 0L
+          var yy = 0
+          while (yy < oh) {
+            var xx = 0
+            while (xx < ow) {
+              var br = 0L; var bg = 0L; var bb = 0L
+              var dy = 0
+              while (dy < factor) {
+                var dx = 0
+                while (dx < factor) {
+                  val rgb = img.getRGB(xx * factor + dx, yy * factor + dy)
+                  br += (rgb >> 16) & 0xff; bg += (rgb >> 8) & 0xff; bb += rgb & 0xff
+                  dx += 1
+                }
+                dy += 1
+              }
+              val area = factor.toLong * factor
+              val mr = br / area; val mg = bg / area; val mb = bb / area
+              sr += mr; sg += mg; sb += mb
+              val luma = (299L * mr + 587L * mg + 114L * mb) / 1000L
+              if (luma > ml) ml = luma
+              xx += 1
+            }
+            yy += 1
+          }
+          ResizeStats(row.id, ow.toLong, oh.toLong, sr, sg, sb,
+            if (ow == 0 || oh == 0) 0L else ml)
+        }
+      }
+    }.toDF()
+  }
+
   case class G711Stats(id: Long, codec: String, n_samples: Long,
                        sum_abs: Long, peak: Long, sum_sq: Long)
 

@@ -1146,6 +1146,35 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(junk == ((7L, -1L, -1L, -1L, -1L, -1L)))
   }
 
+  test("area-average resize: block means over full blocks only, " +
+    "zero-dim results for sub-factor sources, sentinel on junk") {
+    // id 1 -> 2x2 PNG (w = 1%13+1 = 2, h = 1%7+1 = 2): one output pixel,
+    // channel mean = sum of the 4 fixture pixels / 4 (integer division)
+    val one = Multimodal.resizeImageStats(
+        Multimodal.encodePngDemo(Seq(1L).toDF("doc_id"), "doc_id"),
+        "payload", "doc_id", factor = 2).collect().head
+    def ch(v: Long, shift: Int): Long = (v >> shift) & 0xff
+    val vs = for (y <- 0 to 1; x <- 0 to 1) yield (1L * 31 + x * 7 + y * 131) & 0xffffff
+    val (mr, mg, mb) = (vs.map(ch(_, 16)).sum / 4, vs.map(ch(_, 8)).sum / 4,
+      vs.map(ch(_, 0)).sum / 4)
+    assert(one.getAs[Long]("out_w") == 1 && one.getAs[Long]("out_h") == 1)
+    assert(one.getAs[Long]("sum_r") == mr && one.getAs[Long]("sum_g") == mg &&
+      one.getAs[Long]("sum_b") == mb)
+    assert(one.getAs[Long]("max_luma") == (299 * mr + 587 * mg + 114 * mb) / 1000)
+
+    // id 0 -> 1x1 source: smaller than the factor -> (0, 0) dims, zero sums
+    val z = Multimodal.resizeImageStats(
+        Multimodal.encodePngDemo(Seq(0L).toDF("doc_id"), "doc_id"),
+        "payload", "doc_id", factor = 2).collect().head
+    assert(z.getAs[Long]("out_w") == 0 && z.getAs[Long]("out_h") == 0 &&
+      z.getAs[Long]("sum_r") == 0 && z.getAs[Long]("max_luma") == 0)
+
+    val junk = Multimodal.resizeImageStats(
+        Seq((7L, "notapng".getBytes("UTF-8"))).toDF("doc_id", "payload"),
+        "payload", "doc_id", factor = 2).collect().head
+    assert(junk.getAs[Long]("out_w") == -1L && junk.getAs[Long]("max_luma") == -1L)
+  }
+
   test("G.711 expansion matches the JDK's own ULAW/ALAW converters on " +
     "all 256 codes; decode round-trips the fixture; non-G711 sentinels") {
     // independent ground truth: javax.sound's converter expands each
