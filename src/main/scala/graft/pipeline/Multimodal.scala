@@ -782,7 +782,7 @@ object Multimodal {
     ds.mapPartitions { it =>
       it.map { row =>
         parseWavChunks(row.payload) match {
-          case Some((fmt, off, len)) if (fmt == 6 || fmt == 7) && len >= 0 =>
+          case Some((fmt, off, len)) if fmt == 6 || fmt == 7 =>
             val expand: Int => Int = if (fmt == 7) ulawExpand else alawExpand
             var i = 0; var sumAbs = 0L; var peak = 0L; var sumSq = 0L
             while (i < len) {

@@ -42,9 +42,13 @@ object BitextRecall {
       .select(col("src_id"), col("tgt_brute"), col("tgt_ivf"), col("margin"))
       .localCheckpoint()
     val total = j.count()
+    require(total > 0, s"no mined pairs at all in $sfDir — empty or " +
+      "zero-norm embeddings fixture")
     val agree = j.where(col("tgt_brute") === col("tgt_ivf")).count()
+    // coalesce: at nProbe >= cells the arms agree everywhere and the
+    // disagreement avg is null — 0.0 is the honest "nothing disagreed"
     val meanDisagreeMargin = j.where(!(col("tgt_brute") <=> col("tgt_ivf")))
-      .agg(avg(col("margin"))).head().getDouble(0)
+      .agg(coalesce(avg(col("margin")), lit(0.0))).head().getDouble(0)
     // mining keeps only above-threshold margins (the Artetxe filter) —
     // agreement over the KEPT pairs is the operative recall; near-tie
     // disagreements below the bar never ship
