@@ -832,6 +832,16 @@ object SparkEntry {
         "payload", "doc_id")
         .select(col("id").as("doc_id"), col("codec"), col("n_samples"),
           col("sum_abs"), col("peak"), col("sum_sq"))),
+    // ---- STATEFUL compressed-audio decode (IMA/DVI ADPCM, WAV format
+    // 0x11): each nibble updates a (predictor, step index) state
+    // machine; the oracle replays the full state machine as a recursive
+    // CTE generated from the SAME table constants as the decoder
+    "multimodal_adpcm_decode" -> ((s, dir) =>
+      Multimodal.decodeImaAdpcmSamples(
+        Multimodal.encodeImaAdpcmDemo(t(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "payload", "doc_id")
+        .select(col("id").as("doc_id"), col("codec"), col("n_samples"),
+          col("sum_abs"), col("peak"), col("sum_sq"))),
     // ---- COMPRESSED-frame video decode (MJPEG-in-AVI): every sampled
     // 00dc chunk runs through the JDK's real JPEG codec; the oracle
     // checks the STRUCTURAL half (sampled index + DECODED dimensions —
@@ -2687,6 +2697,10 @@ object SparkEntry {
            CAST(coalesce(sb, 0) AS BIGINT) AS sum_b,
            CAST(coalesce(ml, 0) AS BIGINT) AS max_luma
          FROM d LEFT JOIN agg USING (doc_id)""",
+    // FULL stateful-decompression replay, generated from the decoder's
+    // own table constants (Multimodal.imaAdpcmOracleSql)
+    "multimodal_adpcm_decode" ->
+      Multimodal.imaAdpcmOracleSql("documents", "doc_id"),
     // FULL decompression replay: fixture bytes from the id formula, both
     // CCITT G.711 expansions as integer expressions, exact stats
     "multimodal_g711_decode" ->

@@ -835,6 +835,204 @@ object Multimodal {
     }.toDF().withColumnRenamed("id", idCol)
   }
 
+  /** IMA/DVI ADPCM quantizer tables (the published reference constants;
+    * single source for BOTH the Scala decoder and the generated DuckDB
+    * oracle, so the two can never drift). */
+  private[pipeline] val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private[pipeline] val ImaIndexTable: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA ADPCM nibble step: (pred, index) -> (pred', index'). The
+    * published algorithm verbatim — diff = step/8 (+step/4 if bit0)
+    * (+step/2 if bit1) (+step if bit2), sign from bit3, both state
+    * variables clamped. */
+  private[pipeline] def imaStep(pred: Int, index: Int, nibble: Int): (Int, Int) = {
+    val step = ImaStepTable(index)
+    var diff = step >> 3
+    if ((nibble & 1) != 0) diff += step >> 2
+    if ((nibble & 2) != 0) diff += step >> 1
+    if ((nibble & 4) != 0) diff += step
+    val p0 = if ((nibble & 8) != 0) pred - diff else pred + diff
+    val p = math.max(-32768, math.min(32767, p0))
+    val ix = math.max(0, math.min(88, index + ImaIndexTable(nibble & 7)))
+    (p, ix)
+  }
+
+  /** REAL STATEFUL compressed-audio decode: IMA/DVI ADPCM (WAV format
+    * code 0x11, mono 4-bit) — each nibble updates a (predictor, step
+    * index) state machine, so unlike the memoryless G.711 expansion the
+    * decode order IS the codec. Blocks decode independently (each block
+    * header re-seeds the state: s16 predictor + step index + reserved,
+    * then two samples per data byte, low nibble first), which is what
+    * makes the format splittable at block boundaries on a cluster.
+    * Emits the same exact integer stats as [[decodeG711Samples]]; the
+    * header predictor counts as each block's first sample. Non-ADPCM or
+    * malformed payloads (bad magic, step index > 88) sentinel. The
+    * DuckDB oracle replays the full state machine as a recursive CTE
+    * generated from the SAME table constants ([[imaAdpcmOracleSql]]). */
+  def decodeImaAdpcmSamples(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds: Dataset[WavRow] = graft.util.Partitioning.spread(
+      df.select(col(idCol).cast("long").as("id"), col(binCol).as("payload"))).as[WavRow]
+    ds.mapPartitions { it =>
+      it.map { row =>
+        val b = row.payload
+        parseWavChunks(b) match {
+          case Some((fmt, off, len)) if fmt == 0x11 =>
+            // blockAlign from the fmt chunk is required to walk blocks;
+            // re-locate fmt for it (parseWavChunks keeps its contract small)
+            val ba = wavBlockAlign(b)
+            if (ba < 5) G711Stats(row.id, "none", -1L, -1L, -1L, -1L)
+            else {
+              var o = off
+              val end = off + len
+              var n = 0L; var sumAbs = 0L; var peak = 0L; var sumSq = 0L
+              var bad = false
+              def add(s: Int): Unit = {
+                val a = math.abs(s.toLong)
+                n += 1; sumAbs += a; if (a > peak) peak = a
+                sumSq += s.toLong * s
+              }
+              while (!bad && o + 4 <= end) {
+                var pred = ((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)).toShort.toInt
+                var idx = b(o + 2) & 0xff
+                if (idx > 88) bad = true
+                else {
+                  add(pred)
+                  val dataEnd = math.min(o + ba, end)
+                  var i = o + 4
+                  while (i < dataEnd) {
+                    val byte = b(i) & 0xff
+                    val (p1, ix1) = imaStep(pred, idx, byte & 0x0f)
+                    add(p1)
+                    val (p2, ix2) = imaStep(p1, ix1, byte >> 4)
+                    add(p2)
+                    pred = p2; idx = ix2
+                    i += 1
+                  }
+                  o += ba
+                }
+              }
+              if (bad || n == 0) G711Stats(row.id, "none", -1L, -1L, -1L, -1L)
+              else G711Stats(row.id, "ima_adpcm", n, sumAbs, peak, sumSq)
+            }
+          case _ => G711Stats(row.id, "none", -1L, -1L, -1L, -1L)
+        }
+      }
+    }.toDF()
+  }
+
+  /** nBlockAlign from the first fmt chunk, or -1. */
+  private def wavBlockAlign(b: Array[Byte]): Int = {
+    if (b.length < 12 || fourCC(b, 0) != "RIFF" || fourCC(b, 8) != "WAVE")
+      return -1
+    val riffEnd = math.min(b.length.toLong, 8L + u32le(b, 4))
+    var off = 12L
+    while (off + 8 <= riffEnd) {
+      val cid = fourCC(b, off.toInt)
+      val size = u32le(b, off.toInt + 4)
+      if (size < 0) return -1
+      if (cid == "fmt " && size >= 16 && off + 8 + 16 <= b.length)
+        return u16le(b, off.toInt + 8 + 12)
+      off += 8 + size + (size & 1L)
+    }
+    -1
+  }
+
+  /** Deterministic single-block IMA ADPCM fixture: mono 8 kHz, format
+    * 0x11, blockAlign = 4 + nbytes where nbytes = (id mod 40) + 1,
+    * header predictor = ((id*97) mod 2048) - 1024, header step index =
+    * id mod 89 (the full table range, so the high-step clamp paths get
+    * exercised), data byte i = (id*7 + i*3) mod 256. Every field a pure
+    * function of the id — the oracle rebuilds payload AND the state
+    * machine analytically. */
+  def encodeImaAdpcmDemo(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ids = df.select(col(idCol).cast("long").as("id")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val nb = (math.floorMod(id, 40L) + 1).toInt
+        val ba = 4 + nb
+        val pred = (math.floorMod(id * 97, 2048L) - 1024).toInt
+        val idx = math.floorMod(id, 89L).toInt
+        val dataLen = ba
+        val total = 12 + (8 + 20) + (8 + dataLen + (dataLen & 1))
+        val bb = java.nio.ByteBuffer.allocate(total)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(total - 8)
+          .put("WAVE".getBytes("US-ASCII"))
+        bb.put("fmt ".getBytes("US-ASCII")).putInt(20)
+          .putShort(0x11)          // wFormatTag: IMA ADPCM
+          .putShort(1)             // mono
+          .putInt(8000)
+          .putInt(4000)            // approx byte rate (uninterpreted here)
+          .putShort(ba.toShort)    // nBlockAlign
+          .putShort(4)             // wBitsPerSample
+          .putShort(2)             // cbSize
+          .putShort((1 + 2 * nb).toShort) // wSamplesPerBlock
+        bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+        bb.putShort(pred.toShort).put(idx.toByte).put(0.toByte)
+        var i = 0
+        while (i < nb) {
+          bb.put(((id * 7 + i * 3) & 0xff).toByte)
+          i += 1
+        }
+        if ((dataLen & 1) == 1) bb.put(0.toByte)
+        WavRow(id, bb.array())
+      }
+    }.toDF().withColumnRenamed("id", idCol)
+  }
+
+  /** DuckDB replay of [[decodeImaAdpcmSamples]] over the
+    * [[encodeImaAdpcmDemo]] fixture: the full nibble state machine as a
+    * recursive CTE — step/index tables ride as list literals generated
+    * from the SAME Scala constants, diff assembled from the published
+    * shift formula, both clamps as greatest/least — then the exact
+    * sample statistics. */
+  def imaAdpcmOracleSql(table: String, idCol: String): String = {
+    val steps = ImaStepTable.mkString("[", ", ", "]")
+    val ixs = ImaIndexTable.mkString("[", ", ", "]")
+    s"""WITH RECURSIVE
+       |p AS (SELECT $idCol AS id, ($idCol % 40) + 1 AS nb,
+       |             (($idCol * 97) % 2048) - 1024 AS pred0, $idCol % 89 AS idx0
+       |      FROM $table),
+       |rec(id, nb, k, pred, idx) AS (
+       |  SELECT id, nb, -1, pred0, idx0 FROM p
+       |  UNION ALL
+       |  SELECT id, nb, k + 1,
+       |    greatest(-32768, least(32767,
+       |      CASE WHEN nib >= 8 THEN pred - diff ELSE pred + diff END)),
+       |    greatest(0, least(88, idx + list_extract($ixs, (nib % 8) + 1)))
+       |  FROM (
+       |    SELECT id, nb, k, pred, idx, nib,
+       |      (stp // 8) + CASE WHEN nib % 2 = 1 THEN stp // 4 ELSE 0 END
+       |        + CASE WHEN (nib // 2) % 2 = 1 THEN stp // 2 ELSE 0 END
+       |        + CASE WHEN (nib // 4) % 2 = 1 THEN stp ELSE 0 END AS diff
+       |    FROM (
+       |      SELECT id, nb, k, pred, idx,
+       |        CASE WHEN (k + 1) % 2 = 0 THEN bt % 16 ELSE bt // 16 END AS nib,
+       |        list_extract($steps, idx + 1) AS stp
+       |      FROM (
+       |        SELECT id, nb, k, pred, idx,
+       |          (id * 7 + ((k + 1) // 2) * 3) % 256 AS bt
+       |        FROM rec WHERE k + 1 <= 2 * nb - 1))))
+       |SELECT id AS $idCol, 'ima_adpcm' AS codec,
+       |  CAST(count(*) AS BIGINT) AS n_samples,
+       |  CAST(sum(abs(pred)) AS BIGINT) AS sum_abs,
+       |  CAST(max(abs(pred)) AS BIGINT) AS peak,
+       |  CAST(sum(pred * pred) AS BIGINT) AS sum_sq
+       |FROM rec GROUP BY id""".stripMargin
+  }
+
   case class MjpegFrame(id: Long, frame_index: Long, width: Long,
                         height: Long, n_pixels: Long, luma_sum: Long)
 

@@ -1227,6 +1227,77 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(pcm.getAs[String]("codec") == "none" && pcm.getAs[Long]("n_samples") == -1L)
   }
 
+  test("IMA ADPCM: hand-computed nibble steps, clamp engagement, " +
+    "per-block state reseed, and malformed sentinels") {
+    // published-algorithm spot values from state (pred=0, index=0, step=7):
+    // nibble 0x0 -> diff = 7>>3 = 0, pred stays 0, index -1 -> clamps to 0
+    assert(Multimodal.imaStep(0, 0, 0x0) == ((0, 0)))
+    // nibble 0x7 -> diff = 0 + 1 + 3 + 7 = 11, pred 11, index +8
+    assert(Multimodal.imaStep(0, 0, 0x7) == ((11, 8)))
+    // sign bit subtracts: nibble 0xF from (0, 0) -> pred -11
+    assert(Multimodal.imaStep(0, 0, 0xF) == ((-11, 8)))
+    // top-of-table clamp: step 32767, nibble 0x7 from pred 0 ->
+    // diff = 4095 + 8191 + 16383 + 32767 = 61436 -> clamps to 32767;
+    // index 88 + 8 clamps to 88
+    assert(Multimodal.imaStep(0, 88, 0x7) == ((32767, 88)))
+
+    val decoded = Multimodal.decodeImaAdpcmSamples(
+        Multimodal.encodeImaAdpcmDemo(Seq(3L, 88L, 1000L).toDF("doc_id"), "doc_id"),
+        "payload", "doc_id")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("codec"), r.getAs[Long]("n_samples")))).toMap
+    for (id <- Seq(3L, 88L, 1000L)) {
+      val nb = (id % 40) + 1
+      assert(decoded(id) == (("ima_adpcm", 1 + 2 * nb)),
+        s"doc $id: ${decoded(id)}")
+    }
+
+    // two-block payload: the second block header RESEEDS the state (the
+    // splittability contract) — decode equals two independent blocks
+    def block(pred: Int, idx: Int, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putShort(pred.toShort).put(idx.toByte).put(0.toByte).put(data)
+      bb.array()
+    }
+    def wav(ba: Int, blocks: Array[Byte]*): Array[Byte] = {
+      val data = blocks.flatten.toArray
+      val total = 12 + (8 + 16) + (8 + data.length)
+      val bb = java.nio.ByteBuffer.allocate(total)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(total - 8)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(0x11).putShort(1).putInt(8000).putInt(4000)
+        .putShort(ba.toShort).putShort(4)
+      bb.put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+      bb.array()
+    }
+    val b1 = block(100, 5, Array(0x70.toByte, 0x21.toByte))
+    val b2 = block(-200, 30, Array(0x0F.toByte, 0x93.toByte))
+    val two = Multimodal.decodeImaAdpcmSamples(
+        Seq((1L, wav(6, b1, b2))).toDF("doc_id", "payload"),
+        "payload", "doc_id").collect().head
+    val each = Seq((1L, wav(6, b1)), (2L, wav(6, b2)))
+      .toDF("doc_id", "payload")
+    val parts = Multimodal.decodeImaAdpcmSamples(each, "payload", "doc_id")
+      .collect().map(r => (r.getAs[Long]("n_samples"), r.getAs[Long]("sum_abs"),
+        r.getAs[Long]("sum_sq")))
+    assert(two.getAs[Long]("n_samples") == parts.map(_._1).sum)
+    assert(two.getAs[Long]("sum_abs") == parts.map(_._2).sum)
+    assert(two.getAs[Long]("sum_sq") == parts.map(_._3).sum)
+
+    // malformed: step index > 88 and a PCM WAV both sentinel
+    val badIdx = Multimodal.decodeImaAdpcmSamples(
+        Seq((9L, wav(6, block(0, 90, Array(0x11.toByte, 0x22.toByte)))))
+          .toDF("doc_id", "payload"), "payload", "doc_id").collect().head
+    assert(badIdx.getAs[String]("codec") == "none")
+    val pcm = Multimodal.decodeImaAdpcmSamples(
+        Multimodal.encodeWavDemo(Seq(5L).toDF("doc_id"), "doc_id"),
+        "payload", "doc_id").collect().head
+    assert(pcm.getAs[String]("codec") == "none")
+  }
+
   test("container walkers survive adversarial bytes: seeded mutations of " +
     "valid AVIs and pure noise always sentinel or degrade, never throw") {
     // a corrupt payload in a 100 TB crawl must not fail the stage — the
@@ -1259,5 +1330,8 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(Multimodal.decodeImageMeta(payloads, "payload", "doc_id").count() == 400L)
     assert(Multimodal.decodeWavMeta(payloads, "payload", "doc_id").count() == 400L)
     assert(Multimodal.decodeWavSamples(payloads, "payload", "doc_id").count() >= 400L)
+    assert(Multimodal.decodeG711Samples(payloads, "payload", "doc_id").count() == 400L)
+    assert(Multimodal.decodeImaAdpcmSamples(payloads, "payload", "doc_id").count() == 400L)
+    assert(Multimodal.resizeImageStats(payloads, "payload", "doc_id", 2).count() == 400L)
   }
 }
