@@ -22,6 +22,14 @@ object SparkEntry {
     "t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r", "a" -> "n",
     "r" -> "e", "o" -> "n", "e" -> "n", "o" -> "r", "in" -> "g")
 
+  /** Fixed demo blocklist for `text_blocklist` (phrases over the driver
+    * corpus's vocabulary so hits are non-vacuous; a production list —
+    * C4's badwords file, a policy blocklist — drops in the same way).
+    * Single-sourced into the query AND the generated oracle. */
+  val DemoBlockPhrases: Seq[String] = Seq(
+    "hash join", "stream", "window merge", "small table",
+    "group agg stream", "spark")
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -1226,6 +1234,12 @@ object SparkEntry {
     // integer-count thresholds)
     "text_gopher_rules" -> ((s, dir) =>
       TextAnalysis.gopherFlags(t(s, dir, "documents"), "text", "doc_id")),
+    // ---- C4-style blocklist gate over multi-word phrases: word-n-gram
+    // membership against a broadcast phrase set, one codegen projection;
+    // the oracle is GENERATED from the same DemoBlockPhrases list
+    "text_blocklist" -> ((s, dir) =>
+      TextAnalysis.blocklistFlags(t(s, dir, "documents"), "text", "doc_id",
+        SparkEntry.DemoBlockPhrases)),
 
     // ---- feature-hashed linear classifier: integer weight accumulation
     // (exact), sigmoid squash (round-6)
@@ -3373,6 +3387,9 @@ object SparkEntry {
                 WHEN g.avg_lp_milli <= qs.q2 THEN 'middle'
                 ELSE 'head' END AS bucket
          FROM g CROSS JOIN qs""",
+    // generated from the same phrase list as the implementation
+    "text_blocklist" -> TextAnalysis.blocklistOracleSql(
+      "documents", "text", "doc_id", SparkEntry.DemoBlockPhrases),
     // every rule is an integer-count comparison (10*sym <= n_words etc.)
     // so the flags cannot drift on float division; lines split on \n,
     // words on whitespace runs

@@ -317,6 +317,65 @@ object TextAnalysis {
          FROM h"""
   }
 
+  /** C4-style blocklist filter (the published "bad words" crawl gate,
+    * generalized to multi-word phrases): flag documents containing any
+    * phrase from `phrases`, with exact occurrence accounting. Phrases
+    * normalize to lowercased single-spaced word sequences; a document
+    * matches when any of its word n-grams (n = 1..longest phrase)
+    * equals a phrase — so "free money now" matches as a contiguous
+    * 3-gram, never across reorderings.
+    *
+    * Emits (id, n_blocked_hits — gram OCCURRENCES in the list,
+    * n_blocked_phrases — DISTINCT phrases present, blocked 0/1). One
+    * projection, no explode, no shuffle: the n-gram arrays build inside
+    * codegen and membership runs through the broadcast-HashSet
+    * `marker_hits` kernel (the langid shape) — a thousands-entry
+    * blocklist rides the closure like the marker tables do. */
+  def blocklistFlags(df: DataFrame, textCol: String, idCol: String,
+                     phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "blocklistFlags needs at least one phrase")
+    val norm = phrases.map(_.trim.toLowerCase.split("\\s+").mkString(" "))
+      .filter(_.nonEmpty).distinct.sorted
+    val maxLen = norm.map(_.count(_ == ' ') + 1).max
+    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+    val grams = (1 to maxLen).map { n =>
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    }.reduce(concat(_, _))
+    df.select(col(idCol),
+        graft.fuzzy.vectorFunctions.marker_hits(grams, norm.toArray)
+          .cast("long").as("n_blocked_hits"),
+        graft.fuzzy.vectorFunctions.marker_hits(array_distinct(grams), norm.toArray)
+          .cast("long").as("n_blocked_phrases"))
+      .withColumn("blocked", (col("n_blocked_hits") > 0).cast("int"))
+  }
+
+  /** DuckDB replay of [[blocklistFlags]], GENERATED from the same phrase
+    * list (single source — implementation and oracle cannot drift). */
+  def blocklistOracleSql(table: String, textCol: String, idCol: String,
+                         phrases: Seq[String]): String = {
+    val norm = phrases.map(_.trim.toLowerCase.split("\\s+").mkString(" "))
+      .filter(_.nonEmpty).distinct.sorted
+    val maxLen = norm.map(_.count(_ == ' ') + 1).max
+    val lst = norm.map(p => s"'$p'").mkString("[", ", ", "]")
+    val gramParts = (1 to maxLen).map { n =>
+      s"""CASE WHEN len(toks) < $n THEN []
+         |      ELSE list_transform(range(0, len(toks) - ${n - 1}),
+         |             i -> array_to_string(list_slice(toks, i + 1, i + $n), ' ')) END"""
+        .stripMargin
+    }.mkString(" || ")
+    s"""WITH t AS (SELECT $idCol AS id,
+       |  list_filter(string_split_regex(trim(lower($textCol)), '\\s+'),
+       |              x -> length(x) > 0) AS toks FROM $table),
+       |g AS (SELECT id, $gramParts AS grams FROM t)
+       |SELECT id AS $idCol,
+       |  CAST(len(list_filter(grams, x -> list_contains($lst, x))) AS BIGINT) AS n_blocked_hits,
+       |  CAST(len(list_filter(list_distinct(grams), x -> list_contains($lst, x))) AS BIGINT) AS n_blocked_phrases,
+       |  CAST(len(list_filter(grams, x -> list_contains($lst, x))) > 0 AS INT) AS blocked
+       |FROM g""".stripMargin
+  }
+
   /** Repetition statistics (the Gopher-style repetition filters): fraction
     * of duplicate lines and of duplicate tokens within a document. High
     * values flag boilerplate/templated/looping text for removal. Pure

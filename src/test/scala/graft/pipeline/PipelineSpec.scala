@@ -495,6 +495,27 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
 
   import spark.implicits._
 
+  test("blocklist: multi-word phrases match contiguously only, " +
+    "normalization folds case/spacing, counts are exact") {
+    val docs = Seq(
+      (1L, "buy GOLD now and win"),          // "buy gold now" as a 3-gram
+      (2L, "gold buy now"),                  // reordered -> NO phrase match
+      (3L, "spam spam spam"),                // 3 occurrences of 1 phrase
+      (4L, "clean text entirely"),           // nothing
+      (5L, "Buy   Gold   Now")               // case+spacing normalize
+    ).toDF("doc_id", "text")
+    val phrases = Seq("Buy  Gold Now", "spam", "win")
+    val got = TextAnalysis.blocklistFlags(docs, "text", "doc_id", phrases)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_blocked_hits"), r.getAs[Long]("n_blocked_phrases"),
+          r.getAs[Int]("blocked")))).toMap
+    assert(got(1L) == ((2L, 2L, 1)), s"doc 1: ${got(1L)}") // phrase + "win"
+    assert(got(2L) == ((0L, 0L, 0)), s"doc 2 (reordered): ${got(2L)}")
+    assert(got(3L) == ((3L, 1L, 1)), s"doc 3 (occurrences vs distinct): ${got(3L)}")
+    assert(got(4L) == ((0L, 0L, 0)))
+    assert(got(5L) == ((1L, 1L, 1)), s"doc 5 (normalization): ${got(5L)}")
+  }
+
   test("token counts") {
     val d = Seq("one two three", "  padded   spaces  ", "single").toDF("text")
     val counts = d.select(TextAnalysis.tokenCount($"text")).as[Int].collect().toSeq
