@@ -70,6 +70,42 @@ object Curation {
     df.join(picked, Seq(idCol))
   }
 
+  /** Temperature (α) resampling across strata — the multilingual
+    * rebalancing step of XLM-R-style corpus assembly: with stratum
+    * shares p_s, the keep rate is `(p_s / p_min)^(α-1)` — the RAREST
+    * stratum keeps everything and dominant strata downsample toward the
+    * flattened α-distribution (α = 1 keeps all; α → 0 equalizes).
+    * Rates snap to the 1e-6 md5-bucket grid (round-6) so the filter is
+    * the same deterministic pure-filter shape as [[hashSample]].
+    *
+    * One count aggregate over the stratum column (tiny — collected to
+    * the driver like every rate table here), then a CASE-expression
+    * filter: no join, no shuffle, scan-speed at 100 TB. Returns the
+    * kept rows plus the applied `keep_rate`. NULL strata are their own
+    * stratum (groupBy keeps them; the CASE's null branch applies
+    * their rate). */
+  def temperatureSample(df: DataFrame, keyCol: String, strataCol: String,
+                        alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1] (got $alpha)")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => Option(r.get(0)).map(_.toString) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "temperatureSample needs a non-empty frame")
+    val minN = counts.values.min.toDouble
+    val rates = counts.map { case (s, n) =>
+      s -> BigDecimal(math.pow(n / minN, alpha - 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val rate = rates.foldLeft(lit(Double.NaN)) { case (acc, (s, r)) =>
+      s match {
+        case Some(v) => when(col(strataCol) === v, r).otherwise(acc)
+        case None => when(col(strataCol).isNull, r).otherwise(acc)
+      }
+    }
+    df.withColumn("keep_rate", rate)
+      .where(md5Bucket(col(keyCol)) <
+        (col("keep_rate") * 1e6 + lit(0.5)).cast("long"))
+  }
+
   /** Per-stratum deterministic sampling — the quota-mixing step of corpus
     * assembly (e.g. downsample web text, keep all books). `rates` maps
     * stratum value -> keep fraction; anything unlisted keeps

@@ -89,6 +89,28 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(sp.where(col("text").isNull).select("split").distinct().count() == 1L)
   }
 
+  test("temperatureSample: rarest stratum keeps all, alpha=1 keeps " +
+    "everything, null strata sample at their own rate") {
+    val d = ((1 to 800).map(i => (i.toLong, "en")) ++
+      (801 to 1000).map(i => (i.toLong, "fr")) ++
+      (1001 to 1050).map(i => (i.toLong, null.asInstanceOf[String])))
+      .toDF("doc_id", "lang")
+    val s = Curation.temperatureSample(d, "doc_id", "lang", 0.5)
+    val rates = s.groupBy("lang").agg(
+        org.apache.spark.sql.functions.max("keep_rate").as("r"),
+        count(lit(1)).as("kept"))
+      .collect().map(r => Option(r.getString(0)) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    // rarest stratum (the 50 nulls) keeps everything at rate 1.0
+    assert(rates(None)._1 == 1.0 && rates(None)._2 == 50L, s"$rates")
+    // en: (800/50)^-0.5 = 0.25 exactly
+    assert(math.abs(rates(Some("en"))._1 - 0.25) < 1e-9)
+    assert(math.abs(rates(Some("fr"))._1 - 0.5) < 1e-9)
+    // expected kept ~ rate * n (md5 buckets are uniform; generous bounds)
+    assert(rates(Some("en"))._2 > 120 && rates(Some("en"))._2 < 280, s"$rates")
+    // alpha = 1: every rate is 1, every row survives
+    assert(Curation.temperatureSample(d, "doc_id", "lang", 1.0).count() == 1050L)
+  }
+
   test("sampleExactN accepts an INT id column (casts to long for the heap)") {
     val d = (1 to 100).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val got = Curation.sampleExactN(d, "doc_id", 10)
