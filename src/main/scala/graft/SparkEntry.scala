@@ -30,6 +30,10 @@ object SparkEntry {
     "hash join", "stream", "window merge", "small table",
     "group agg stream", "spark")
 
+  /** Shared α for `curate_temperature_sample` — query and generated
+    * oracle both read it, so the exponent cannot drift. */
+  val DemoTemperatureAlpha: Double = 0.5
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -546,7 +550,8 @@ object SparkEntry {
     // the flattened α-distribution — rates snap to the 1e-6 md5 grid so
     // the filter is the same pure-filter shape as every sampler here
     "curate_temperature_sample" -> ((s, dir) =>
-      Curation.temperatureSample(t(s, dir, "documents"), "doc_id", "lang", 0.5)
+      Curation.temperatureSample(t(s, dir, "documents"), "doc_id", "lang",
+        SparkEntry.DemoTemperatureAlpha)
         .select(col("doc_id"), col("lang"),
           sround(col("keep_rate"), 6).as("keep_rate"))),
     // deterministic global shuffle + shard assignment for training export
@@ -2520,17 +2525,10 @@ object SparkEntry {
       """SELECT doc_id, source FROM documents
          WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 <
            CASE source WHEN 'web' THEN 100000 WHEN 'books' THEN 1000000 ELSE 500000 END""",
-    // temperature rates recomputed in SQL: per-language shares, rate =
-    // round((n/n_min)^(alpha-1), 6), then the same md5-grid filter
-    "curate_temperature_sample" ->
-      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
-         mn AS (SELECT min(n) AS mn FROM c),
-         r AS (SELECT lang, round(pow(CAST(n AS DOUBLE) / mn, -0.5), 6) AS rate
-               FROM c CROSS JOIN mn)
-         SELECT d.doc_id, d.lang, r.rate AS keep_rate
-         FROM documents d JOIN r ON d.lang = r.lang
-         WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 <
-               CAST(round(r.rate * 1000000) AS BIGINT)""",
+    // generated from the query's own alpha (single source, like the
+    // blocklist/ADPCM oracles) with a null-safe stratum join
+    "curate_temperature_sample" -> Curation.temperatureOracleSql(
+      "documents", "doc_id", "lang", SparkEntry.DemoTemperatureAlpha),
     // first label whose cumulative-weight bucket contains the row's hash
     "curate_split" ->
       """SELECT doc_id,

@@ -190,15 +190,15 @@ object AnnSearch {
     * of the underlying kNN (and thus of the mined pairs) is the IVF
     * recall (spec/SCALE-measured); a production pipeline pre-fits the
     * quantizers once per corpus version ([[fitIndex]]) rather than
-    * per mine. Note: ivfTopK keeps its same-id pair exclusion, so give
-    * the two corpora disjoint id spaces under this arm (the brute arm
-    * has no such constraint). */
+    * per mine. Cross-corpus semantics match the brute arm: equal ids
+    * are distinct rows and (i, i) is minable (excludeSelf = false
+    * plumbed through the IVF path). */
   def bitextMarginMineIvf(src: DataFrame, tgt: DataFrame, vecCol: String,
                           idCol: String, k: Int, dim: Int,
                           nCells: Int = 64, nProbe: Int = 8): DataFrame =
     bitextMarginMineWith(src, tgt, k)((q, c, kk) =>
       ivfTopK(q, c, vecCol, idCol, kk, dim, nCells, nProbe,
-        int8Rerank = true))
+        int8Rerank = true, excludeSelf = false))
 
   /** The margin layer over a caller-supplied retrieval stage:
     * `retrieve(queries, corpus, k)` must emit
@@ -604,10 +604,11 @@ object AnnSearch {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               vecCol: String, idCol: String, k: Int, dim: Int,
               nCells: Int = 64, nProbe: Int = 8, iters: Int = 4,
-              seed: Long = 42L, int8Rerank: Boolean = false): DataFrame =
+              seed: Long = 42L, int8Rerank: Boolean = false,
+              excludeSelf: Boolean = true): DataFrame =
     ivfTopKWithCentroids(queries, corpus, vecCol, idCol, k, dim,
       normFlat(kmeansFit(corpus, vecCol, dim, nCells, iters, seed)), nProbe,
-      int8Rerank)
+      int8Rerank, excludeSelf)
 
   /** [[ivfTopK]] against an already-fitted quantizer — the fit-once /
     * search-many shape of a production index: `kmeansFit` + [[normFlat]]
@@ -618,10 +619,16 @@ object AnnSearch {
   def ivfTopKWithCentroids(queries: DataFrame, corpus: DataFrame,
                            vecCol: String, idCol: String, k: Int, dim: Int,
                            centroids: Array[Double], nProbe: Int,
-                           int8Rerank: Boolean = false): DataFrame = {
+                           int8Rerank: Boolean = false,
+                           excludeSelf: Boolean = true): DataFrame = {
     require(centroids.nonEmpty && centroids.length % dim == 0,
       s"centroids length ${centroids.length} must be a positive multiple of dim=$dim")
     val flat = centroids
+    // same contract as int8TopK's knob: self-pair exclusion is right for
+    // self-search over ONE corpus, wrong for cross-corpus search where
+    // equal ids are distinct rows (bitext mining passes false)
+    def dropSelf(df: DataFrame): DataFrame =
+      if (excludeSelf) df.where(col("query_id") =!= col("corpus_id")) else df
     if (!int8Rerank) {
       val c = spread(corpus).select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"),
         element_at(graft.fuzzy.vectorFunctions.nearest_cells(col(vecCol), flat, dim, 1), 1)
@@ -629,8 +636,7 @@ object AnnSearch {
       val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
         explode(graft.fuzzy.vectorFunctions.nearest_cells(col(vecCol), flat, dim, nProbe))
           .as("__cell"))
-      val scored = q.join(c, Seq("__cell"))
-        .where(col("query_id") =!= col("corpus_id"))
+      val scored = dropSelf(q.join(c, Seq("__cell")))
         .select(col("query_id"), col("corpus_id"),
           Dedup.cosineSimilarity(col("__qv"), col("__cv")).as("cosine"))
       rankTopK(scored, "cosine", k)
@@ -654,8 +660,7 @@ object AnnSearch {
             .as("__cell"))
         .withColumn("__qn", i8vec_dot(col("__qq"), col("__qq")))
         .where(col("__qn") > 0)
-      val scored = q.join(c, Seq("__cell"))
-        .where(col("query_id") =!= col("corpus_id"))
+      val scored = dropSelf(q.join(c, Seq("__cell")))
         .select(col("query_id"), col("corpus_id"),
           (i8vec_dot(col("__qq"), col("__cq")).cast("double")
             / sqrt(col("__qn").cast("double") * col("__cn").cast("double"))).as("qcosine"))

@@ -106,6 +106,24 @@ object Curation {
         (col("keep_rate") * 1e6 + lit(0.5)).cast("long"))
   }
 
+  /** DuckDB replay of [[temperatureSample]], GENERATED from the same
+    * alpha (single source — the exponent cannot drift from the query):
+    * per-stratum shares, rate = round((n/n_min)^(alpha-1), 6), the same
+    * md5-grid filter. The rate join is null-safe (`IS NOT DISTINCT
+    * FROM`) because NULL strata are their own stratum on the
+    * implementation side too. */
+  def temperatureOracleSql(table: String, keyCol: String, strataCol: String,
+                           alpha: Double): String = {
+    s"""WITH c AS (SELECT $strataCol, count(*) AS n FROM $table GROUP BY $strataCol),
+       |mn AS (SELECT min(n) AS mn FROM c),
+       |r AS (SELECT $strataCol, round(pow(CAST(n AS DOUBLE) / mn, ${alpha - 1.0}), 6) AS rate
+       |      FROM c CROSS JOIN mn)
+       |SELECT d.$keyCol, d.$strataCol, r.rate AS keep_rate
+       |FROM $table d JOIN r ON d.$strataCol IS NOT DISTINCT FROM r.$strataCol
+       |WHERE ('0x' || substring(md5(CAST(d.$keyCol AS VARCHAR)), 1, 15))::BIGINT % 1000000 <
+       |      CAST(round(r.rate * 1000000) AS BIGINT)""".stripMargin
+  }
+
   /** Per-stratum deterministic sampling — the quota-mixing step of corpus
     * assembly (e.g. downsample web text, keep all books). `rates` maps
     * stratum value -> keep fraction; anything unlisted keeps

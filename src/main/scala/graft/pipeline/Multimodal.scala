@@ -689,7 +689,10 @@ object Multimodal {
       val cid = fourCC(b, off.toInt)
       val size = u32le(b, off.toInt + 4)
       if (size < 0) return None
-      if (cid == "fmt " && size >= 16 && off + 8 + 16 <= b.length)
+      // FIRST fmt wins — must agree with [[wavBlockAlign]]'s pick, or a
+      // duplicated-fmt payload would decode with the format tag from one
+      // chunk and the block stride from another
+      if (cid == "fmt " && size >= 16 && off + 8 + 16 <= b.length && fmt < 0)
         fmt = u16le(b, off.toInt + 8)
       else if (cid == "data" && dataOff < 0) {
         dataOff = off + 8

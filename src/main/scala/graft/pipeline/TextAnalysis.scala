@@ -333,12 +333,10 @@ object TextAnalysis {
     * blocklist rides the closure like the marker tables do. */
   def blocklistFlags(df: DataFrame, textCol: String, idCol: String,
                      phrases: Seq[String]): DataFrame = {
-    require(phrases.nonEmpty, "blocklistFlags needs at least one phrase")
-    val norm = phrases.map(_.trim.toLowerCase.split("\\s+").mkString(" "))
-      .filter(_.nonEmpty).distinct.sorted
-    val maxLen = norm.map(_.count(_ == ' ') + 1).max
+    val norm = normalizePhrases(phrases)
+    val lens = phraseLengths(norm)
     val toks = filter(tokens(col(textCol)), t => length(t) > 0)
-    val grams = (1 to maxLen).map { n =>
+    val grams = lens.map { n =>
       when(size(toks) < n, array().cast("array<string>"))
         .otherwise(transform(sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
@@ -351,15 +349,31 @@ object TextAnalysis {
       .withColumn("blocked", (col("n_blocked_hits") > 0).cast("int"))
   }
 
+  /** ONE normalization pipeline for blocklist phrases, shared by
+    * implementation and generated oracle (the drift seam a duplicated
+    * copy would open). */
+  private def normalizePhrases(phrases: Seq[String]): Seq[String] = {
+    require(phrases.nonEmpty, "blocklist needs at least one phrase")
+    val norm = phrases.map(_.trim.toLowerCase.split("\\s+").mkString(" "))
+      .filter(_.nonEmpty).distinct.sorted
+    require(norm.nonEmpty, "blocklist phrases were all empty after trim")
+    norm
+  }
+
+  /** The DISTINCT phrase word-lengths — grams are built only for these
+    * (a {1, 4}-length list never constructs 2- or 3-gram arrays). */
+  private def phraseLengths(norm: Seq[String]): Seq[Int] =
+    norm.map(_.count(_ == ' ') + 1).distinct.sorted
+
   /** DuckDB replay of [[blocklistFlags]], GENERATED from the same phrase
     * list (single source — implementation and oracle cannot drift). */
   def blocklistOracleSql(table: String, textCol: String, idCol: String,
                          phrases: Seq[String]): String = {
-    val norm = phrases.map(_.trim.toLowerCase.split("\\s+").mkString(" "))
-      .filter(_.nonEmpty).distinct.sorted
-    val maxLen = norm.map(_.count(_ == ' ') + 1).max
-    val lst = norm.map(p => s"'$p'").mkString("[", ", ", "]")
-    val gramParts = (1 to maxLen).map { n =>
+    val norm = normalizePhrases(phrases)
+    // SQL string-literal escaping: real blocklists contain apostrophes
+    val lst = norm.map(p => s"'${p.replace("'", "''")}'")
+      .mkString("[", ", ", "]")
+    val gramParts = phraseLengths(norm).map { n =>
       s"""CASE WHEN len(toks) < $n THEN []
          |      ELSE list_transform(range(0, len(toks) - ${n - 1}),
          |             i -> array_to_string(list_slice(toks, i + 1, i + $n), ' ')) END"""

@@ -361,6 +361,20 @@ class AnnSearchSpec extends AnyFunSuite with SparkSpec {
     assert(deg.length == 1, s"degenerate src dropped: ${deg.toSeq}")
     val m = deg(0).getAs[Double]("margin")
     assert(!m.isNaN && !m.isInfinite, s"margin not finite: $m")
+
+    // the IVF arm shares the cross-corpus contract: (i, i) minable too
+    // (nProbe = nCells = exhaustive, so routing can't hide a miss)
+    val srcN = (0L until 8L).map(i =>
+      (i, Array.tabulate(4)(d => if (d == (i % 4).toInt) 1f else 0.05f * i)))
+      .toDF("vec_id", "embedding")
+    val tgtN = (0L until 8L).map(i =>
+      (i, Array.tabulate(4)(d => if (d == (i % 4).toInt) 0.9f else 0.05f * i)))
+      .toDF("vec_id", "embedding")
+    val ivfMined = AnnSearch.bitextMarginMineIvf(srcN, tgtN, "embedding",
+        "vec_id", k = 2, dim = 4, nCells = 2, nProbe = 2)
+      .collect().map(r => r.getAs[Long]("src_id") -> r.getAs[Long]("tgt_id"))
+    assert(ivfMined.exists { case (s, t) => s == t },
+      s"IVF arm can't mine any equal-id pair: ${ivfMined.toSeq}")
   }
 
   test("brute-force top-k is deterministic and correctly ranked") {
@@ -514,6 +528,11 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(got(3L) == ((3L, 1L, 1)), s"doc 3 (occurrences vs distinct): ${got(3L)}")
     assert(got(4L) == ((0L, 0L, 0)))
     assert(got(5L) == ((1L, 1L, 1)), s"doc 5 (normalization): ${got(5L)}")
+
+    // apostrophes in phrases must escape into valid SQL literals
+    val sql = TextAnalysis.blocklistOracleSql("documents", "text", "doc_id",
+      Seq("o'brien's list", "plain"))
+    assert(sql.contains("'o''brien''s list'"), s"unescaped quote in:\n$sql")
   }
 
   test("token counts") {
@@ -1313,6 +1332,30 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
         Seq((9L, wav(6, block(0, 90, Array(0x11.toByte, 0x22.toByte)))))
           .toDF("doc_id", "payload"), "payload", "doc_id").collect().head
     assert(badIdx.getAs[String]("codec") == "none")
+    // duplicated fmt chunks: the FIRST fmt wins for BOTH the format tag
+    // and the block stride — a PCM-first payload sentinels even when a
+    // second fmt claims ADPCM (format/stride can never come from
+    // different chunks)
+    val dupFmt = {
+      val data = block(0, 5, Array(0x12.toByte))
+      val total = 12 + (8 + 16) * 2 + (8 + data.length)
+      val bb = java.nio.ByteBuffer.allocate(total)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(total - 8)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)            // PCM fmt first
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(0x11).putShort(1).putInt(8000).putInt(4000)
+        .putShort(5).putShort(4)             // ADPCM fmt second (ignored)
+      bb.put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+      bb.array()
+    }
+    val df2 = Multimodal.decodeImaAdpcmSamples(
+        Seq((11L, dupFmt)).toDF("doc_id", "payload"), "payload", "doc_id")
+      .collect().head
+    assert(df2.getAs[String]("codec") == "none", s"dup-fmt: $df2")
     val pcm = Multimodal.decodeImaAdpcmSamples(
         Multimodal.encodeWavDemo(Seq(5L).toDF("doc_id"), "doc_id"),
         "payload", "doc_id").collect().head
