@@ -554,6 +554,20 @@ object SparkEntry {
         SparkEntry.DemoTemperatureAlpha)
         .select(col("doc_id"), col("lang"),
           sround(col("keep_rate"), 6).as("keep_rate"))),
+    // ---- composed clean-mix: blocklist gate THEN temperature resampling
+    // over the survivors — the rates derive from the FILTERED corpus
+    // (the seam a per-stage oracle never sees: filter-then-rate, not
+    // rate-then-filter). Oracled as the same composition in SQL.
+    "curate_clean_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clean = TextAnalysis.blocklistFlags(docs, "text", "doc_id",
+          SparkEntry.DemoBlockPhrases)
+        .where(col("blocked") === 0).select("doc_id")
+      Curation.temperatureSample(docs.join(clean, Seq("doc_id")),
+          "doc_id", "lang", SparkEntry.DemoTemperatureAlpha)
+        .select(col("doc_id"), col("lang"),
+          sround(col("keep_rate"), 6).as("keep_rate"))
+    }),
     // deterministic global shuffle + shard assignment for training export
     "curate_shard" -> ((s, dir) =>
       Curation.shuffleShard(t(s, dir, "documents"), "doc_id", 8)
@@ -2529,6 +2543,15 @@ object SparkEntry {
     // blocklist/ADPCM oracles) with a null-safe stratum join
     "curate_temperature_sample" -> Curation.temperatureOracleSql(
       "documents", "doc_id", "lang", SparkEntry.DemoTemperatureAlpha),
+    // COMPOSED oracle: the temperature generator consumes the blocklist
+    // generator's survivors as a subquery — both stages single-sourced
+    // with their implementations, composed exactly as the query composes
+    "curate_clean_mix" -> Curation.temperatureOracleSql(
+      s"""(SELECT d.doc_id, d.lang FROM documents d
+          JOIN (${TextAnalysis.blocklistOracleSql(
+        "documents", "text", "doc_id", SparkEntry.DemoBlockPhrases)}) b
+          ON d.doc_id = b.doc_id WHERE b.blocked = 0)""",
+      "doc_id", "lang", SparkEntry.DemoTemperatureAlpha),
     // first label whose cumulative-weight bucket contains the row's hash
     "curate_split" ->
       """SELECT doc_id,
