@@ -12,6 +12,45 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
 
   import spark.implicits._
 
+  test("stateless text gates are stream-native: blocklistFlags runs " +
+    "unchanged on a streaming frame and equals the batch answer") {
+    // no writer, no foreachBatch, no state: a pure-projection gate
+    // (blocklist, gopher flags, quality components) applies to a
+    // readStream frame exactly as written — the contract that lets
+    // ingest filters run inline in any streaming pipeline
+    val flat = java.nio.file.Files.createTempDirectory("blk_stream")
+    Seq(Seq((1L, "clean prose here"), (2L, "buy gold now thing")),
+        Seq((3L, "spam spam"), (4L, "also fine")))
+      .zipWithIndex.foreach { case (rows, i) =>
+        val part = java.nio.file.Files.createTempDirectory(s"blk_b$i")
+        rows.toDF("doc_id", "text").coalesce(1)
+          .write.mode("overwrite").parquet(part.toString)
+        val src = java.nio.file.Files.list(part)
+          .filter(_.toString.endsWith(".parquet")).findFirst().get()
+        val dst = flat.resolve(f"$i%02d.parquet")
+        java.nio.file.Files.copy(src, dst)
+        dst.toFile.setLastModified(1000000L + i * 10000L)
+      }
+    val schema = spark.read.parquet(flat.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(flat.toString)
+    val phrases = Seq("buy gold now", "spam")
+    val q = graft.pipeline.TextAnalysis.blocklistFlags(
+        stream, "text", "doc_id", phrases)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("blk_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("blk_stream")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_blocked_hits"),
+        r.getAs[Int]("blocked"))).toSet
+    val batch = graft.pipeline.TextAnalysis.blocklistFlags(
+        spark.read.parquet(flat.toString), "text", "doc_id", phrases)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_blocked_hits"),
+        r.getAs[Int]("blocked"))).toSet
+    assert(got == batch && got.size == 4, s"stream $got vs batch $batch")
+    assert(got.contains((2L, 1L, 1)) && got.contains((3L, 2L, 1)))
+  }
+
   test("cross-micro-batch chunk dedup emits each distinct chunk once") {
     val dir = java.nio.file.Files.createTempDirectory("docs_stream")
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
