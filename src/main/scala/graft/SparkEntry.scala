@@ -563,7 +563,13 @@ object SparkEntry {
       val clean = TextAnalysis.blocklistFlags(docs, "text", "doc_id",
           SparkEntry.DemoBlockPhrases)
         .where(col("blocked") === 0).select("doc_id")
-      Curation.temperatureSample(docs.join(clean, Seq("doc_id")),
+      // materialized: temperatureSample consumes its input TWICE (the
+      // stratum-count collect, then the output job) — without the
+      // barrier the n-gram blocklist scan and join re-execute in full
+      // (the repo's multi-consumer re-execution trap)
+      val cleanDocs = graft.util.Materialize(docs.join(clean, Seq("doc_id")),
+        graft.util.CheckpointStrategy.Local)
+      Curation.temperatureSample(cleanDocs,
           "doc_id", "lang", SparkEntry.DemoTemperatureAlpha)
         .select(col("doc_id"), col("lang"),
           sround(col("keep_rate"), 6).as("keep_rate"))

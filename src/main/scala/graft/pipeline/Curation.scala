@@ -114,15 +114,18 @@ object Curation {
     * implementation side too. */
   def temperatureOracleSql(table: String, keyCol: String, strataCol: String,
                            alpha: Double): String = {
-    // every $table reference is aliased, so `table` may be a plain name
-    // OR a parenthesized subquery — which is how the composed
-    // curate_clean_mix oracle feeds the blocklist-filtered corpus in
-    s"""WITH c AS (SELECT $strataCol, count(*) AS n FROM $table AS t0 GROUP BY $strataCol),
+    // `table` may be a plain name OR a parenthesized subquery (how the
+    // composed curate_clean_mix oracle feeds the blocklist-filtered
+    // corpus in); it is bound ONCE in a leading CTE so a subquery's
+    // text — and its evaluation — doesn't duplicate across the two
+    // consumers
+    s"""WITH src AS (SELECT * FROM $table AS s0),
+       |c AS (SELECT $strataCol, count(*) AS n FROM src GROUP BY $strataCol),
        |mn AS (SELECT min(n) AS mn FROM c),
        |r AS (SELECT $strataCol, round(pow(CAST(n AS DOUBLE) / mn, ${alpha - 1.0}), 6) AS rate
        |      FROM c CROSS JOIN mn)
        |SELECT d.$keyCol, d.$strataCol, r.rate AS keep_rate
-       |FROM $table AS d JOIN r ON d.$strataCol IS NOT DISTINCT FROM r.$strataCol
+       |FROM src AS d JOIN r ON d.$strataCol IS NOT DISTINCT FROM r.$strataCol
        |WHERE ('0x' || substring(md5(CAST(d.$keyCol AS VARCHAR)), 1, 15))::BIGINT % 1000000 <
        |      CAST(round(r.rate * 1000000) AS BIGINT)""".stripMargin
   }

@@ -12,25 +12,38 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
 
   import spark.implicits._
 
+  /** ONE copy of the micro-batch staging idiom: write each frame as a
+    * single parquet file into a flat dir with PINNED mtimes
+    * (FileStreamSource orders by mtime with listing-order ties —
+    * back-to-back copies can tie at ms resolution) so
+    * `maxFilesPerTrigger=1` yields exactly one micro-batch per frame,
+    * in order. */
+  private def stageMicroBatches(
+      batches: Seq[org.apache.spark.sql.DataFrame]): java.nio.file.Path = {
+    val flat = java.nio.file.Files.createTempDirectory("stream_batches")
+    batches.zipWithIndex.foreach { case (df, i) =>
+      val part = java.nio.file.Files.createTempDirectory(s"stream_b$i")
+      df.coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val listing = java.nio.file.Files.list(part)
+      val src =
+        try listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
+        finally listing.close()
+      val dst = flat.resolve(f"$i%02d.parquet")
+      java.nio.file.Files.copy(src, dst)
+      dst.toFile.setLastModified(1000000L + i * 10000L)
+    }
+    flat
+  }
+
   test("stateless text gates are stream-native: blocklistFlags runs " +
     "unchanged on a streaming frame and equals the batch answer") {
     // no writer, no foreachBatch, no state: a pure-projection gate
     // (blocklist, gopher flags, quality components) applies to a
     // readStream frame exactly as written — the contract that lets
     // ingest filters run inline in any streaming pipeline
-    val flat = java.nio.file.Files.createTempDirectory("blk_stream")
-    Seq(Seq((1L, "clean prose here"), (2L, "buy gold now thing")),
-        Seq((3L, "spam spam"), (4L, "also fine")))
-      .zipWithIndex.foreach { case (rows, i) =>
-        val part = java.nio.file.Files.createTempDirectory(s"blk_b$i")
-        rows.toDF("doc_id", "text").coalesce(1)
-          .write.mode("overwrite").parquet(part.toString)
-        val src = java.nio.file.Files.list(part)
-          .filter(_.toString.endsWith(".parquet")).findFirst().get()
-        val dst = flat.resolve(f"$i%02d.parquet")
-        java.nio.file.Files.copy(src, dst)
-        dst.toFile.setLastModified(1000000L + i * 10000L)
-      }
+    val flat = stageMicroBatches(Seq(
+      Seq((1L, "clean prose here"), (2L, "buy gold now thing")).toDF("doc_id", "text"),
+      Seq((3L, "spam spam"), (4L, "also fine")).toDF("doc_id", "text")))
     val schema = spark.read.parquet(flat.toString).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(flat.toString)
@@ -52,28 +65,15 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("cross-micro-batch chunk dedup emits each distinct chunk once") {
-    val dir = java.nio.file.Files.createTempDirectory("docs_stream")
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:10:00")
     // batch 1: docs 1-2 share "a b c d"; batch 2: doc 3 repeats it and
     // adds a new chunk
-    Seq((1L, t0, "a b c d w x y z"), (2L, t0, "a b c d p q r s"))
-      .toDF("doc_id", "ts", "text")
-      .coalesce(1).write.parquet(dir.resolve("b1").toString)
-    Seq((3L, t1, "a b c d n e w c h u n k!"))
-      .toDF("doc_id", "ts", "text")
-      .coalesce(1).write.parquet(dir.resolve("b2").toString)
-    // stage as a flat dir of files; one file per trigger = two batches
-    val flat = java.nio.file.Files.createTempDirectory("docs_stream_flat")
-    Seq("b1", "b2").zipWithIndex.foreach { case (b, i) =>
-      val src = java.nio.file.Files.list(dir.resolve(b))
-        .filter(_.toString.endsWith(".parquet")).findFirst().get()
-      val dst = flat.resolve(f"$i%02d.parquet")
-      java.nio.file.Files.copy(src, dst)
-      // FileStreamSource orders by mtime with listing-order ties —
-      // back-to-back copies can tie at ms resolution; pin the order
-      dst.toFile.setLastModified(1000000L + i * 10000L)
-    }
+    val flat = stageMicroBatches(Seq(
+      Seq((1L, t0, "a b c d w x y z"), (2L, t0, "a b c d p q r s"))
+        .toDF("doc_id", "ts", "text"),
+      Seq((3L, t1, "a b c d n e w c h u n k!"))
+        .toDF("doc_id", "ts", "text")))
 
     val schema = spark.read.parquet(flat.toString).schema
     val stream = spark.readStream.schema(schema)
@@ -113,16 +113,7 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
     val b1 = Seq((1L, base.replace("lazy", "sleepy"))).toDF("doc_id", "text")
     val b2 = Seq((2L, base), (3L, "nothing in common with anything here at all"))
       .toDF("doc_id", "text")
-    val flat = java.nio.file.Files.createTempDirectory("neardup_stream")
-    Seq(b1, b2).zipWithIndex.foreach { case (df, i) =>
-      val part = java.nio.file.Files.createTempDirectory(s"nd_part$i")
-      df.coalesce(1).write.mode("overwrite").parquet(part.toString)
-      val src = java.nio.file.Files.list(part)
-        .filter(_.toString.endsWith(".parquet")).findFirst().get()
-      val dst = flat.resolve(f"$i%02d.parquet")
-      java.nio.file.Files.copy(src, dst)
-      dst.toFile.setLastModified(1000000L + i * 10000L)
-    }
+    val flat = stageMicroBatches(Seq(b1, b2))
     val schema = b1.schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(flat.toString)
@@ -161,16 +152,7 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
     val b1 = Seq((1L, "x alpha beta gamma delta y")).toDF("doc_id", "text")
     val b2 = Seq((2L, "fresh words entirely"),
       (3L, "alpha beta gamma again")).toDF("doc_id", "text")
-    val flat = java.nio.file.Files.createTempDirectory("span_stream")
-    Seq(b1, b2).zipWithIndex.foreach { case (df, i) =>
-      val part = java.nio.file.Files.createTempDirectory(s"sp_part$i")
-      df.coalesce(1).write.mode("overwrite").parquet(part.toString)
-      val src = java.nio.file.Files.list(part)
-        .filter(_.toString.endsWith(".parquet")).findFirst().get()
-      val dst = flat.resolve(f"$i%02d.parquet")
-      java.nio.file.Files.copy(src, dst)
-      dst.toFile.setLastModified(1000000L + i * 10000L)
-    }
+    val flat = stageMicroBatches(Seq(b1, b2))
     val stream = spark.readStream.schema(b1.schema)
       .option("maxFilesPerTrigger", "1").parquet(flat.toString)
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
