@@ -851,6 +851,21 @@ object SparkEntry {
         "payload", "doc_id", every = 2)
         .select(col("id").as("doc_id"), col("frame_index"), col("n_pixels"),
           col("pix_sum"), col("pix_max"), col("top_row_sum"))),
+    // ---- perceptual image hash (dHash) over a larger PNG fixture: the
+    // raw-byte image near-dup primitive — 9×8 luminance grid, 64
+    // adjacent-mean comparison bits (cross-multiplied, division-free).
+    // Hash emitted as fixed-width hex so signed-vs-unsigned 64-bit
+    // representations never differ across engines; images smaller than
+    // the grid sentinel with n_pixels = -1 (both paths exercised: the
+    // fixture spans 1..24 × 1..20)
+    "multimodal_dhash" -> ((s, dir) =>
+      Multimodal.imageDHash(
+        Multimodal.encodePngDemo(t(s, dir, "documents").select(col("doc_id")),
+          "doc_id", maxW = 24, maxH = 20),
+        "payload", "doc_id")
+        .select(col("id").as("doc_id"),
+          expr("lpad(hex(dhash), 16, '0')").as("dhash_hex"),
+          col("n_pixels"))),
     // ---- real image RESIZE (area-average ÷2 thumbnail over the PNG
     // fixture): every resized pixel is integer arithmetic over decoded
     // bytes, so the oracle replays the whole downscale — block sums,
@@ -2730,6 +2745,39 @@ object SparkEntry {
            CAST(list_sum(list_transform(range(0, w), x ->
              (doc_id*31 + fi*17 + x*7) % 256)) AS BIGINT) AS top_row_sum
          FROM f WHERE fi % 2 = 0""",
+    // FULL dHash replay from the PNG fixture formulas: per-pixel integer
+    // luma, pixel→cell assignment (least(x*9//w, 8) — the same
+    // floor-division rule as the decoder), per-cell sums/counts,
+    // cross-multiplied adjacent-mean bits, UBIGINT hash, fixed-width hex
+    "multimodal_dhash" ->
+      """WITH p AS (SELECT doc_id, (doc_id % 24) + 1 AS w, (doc_id % 20) + 1 AS h FROM documents),
+         v AS (SELECT * FROM p WHERE w >= 9 AND h >= 8),
+         px AS (SELECT doc_id, w, h, x.x, y.y FROM v,
+                LATERAL (SELECT unnest(range(0, w)) AS x) x,
+                LATERAL (SELECT unnest(range(0, h)) AS y) y),
+         lum AS (SELECT doc_id, w, h,
+                   least((x * 9) // w, 8) AS c, least((y * 8) // h, 7) AS r,
+                   (299 * (((doc_id*31 + x*7 + y*131) % 16777216) // 65536)
+                    + 587 * ((((doc_id*31 + x*7 + y*131) % 16777216) // 256) % 256)
+                    + 114 * (((doc_id*31 + x*7 + y*131) % 16777216) % 256)) // 1000 AS l
+                 FROM px),
+         cells AS (SELECT doc_id, r, c, sum(l) AS s, count(*) AS n
+                   FROM lum GROUP BY doc_id, r, c),
+         bits AS (SELECT a.doc_id, (a.r * 8 + a.c) AS k,
+                    CASE WHEN a.s * b.n < b.s * a.n THEN 1 ELSE 0 END AS bit
+                  FROM cells a JOIN cells b
+                    ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1),
+         hsh AS (SELECT doc_id,
+                   sum(CASE WHEN bit = 1 THEN (1::UBIGINT << k::INT)
+                       ELSE 0::UBIGINT END)::UBIGINT AS dh
+                 FROM bits GROUP BY doc_id),
+         ok AS (SELECT v.doc_id, lpad(hex(coalesce(dh, 0::UBIGINT)), 16, '0') AS dhash_hex,
+                  CAST(v.w * v.h AS BIGINT) AS n_pixels
+                FROM v LEFT JOIN hsh ON v.doc_id = hsh.doc_id)
+         SELECT doc_id, dhash_hex, n_pixels FROM ok
+         UNION ALL
+         SELECT doc_id, '0000000000000000' AS dhash_hex, CAST(-1 AS BIGINT) AS n_pixels
+         FROM p WHERE w < 9 OR h < 8""",
     // FULL resize replay: the ÷2 area-average from the PNG fixture
     // formula — 4-pixel block sums, integer-division channel means,
     // resized-raster stats; empty results (source < factor) keep their

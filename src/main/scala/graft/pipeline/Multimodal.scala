@@ -767,6 +767,69 @@ object Multimodal {
     }.toDF()
   }
 
+  case class DHashStats(id: Long, dhash: Long, n_pixels: Long)
+
+  /** Perceptual image hash (difference hash / dHash): decode, reduce to
+    * a 9×8 grid of integer luminance block sums (block boundaries
+    * `floor(c·w/9)` / `floor(r·h/8)` — exact integers any engine
+    * reproduces), then 64 bits, bit r·8+c set iff block mean (r, c) <
+    * block mean (r, c+1) — compared CROSS-MULTIPLIED
+    * (`sumA·cntB < sumB·cntA`) so unequal block sizes never pass
+    * through a rounded division. The raw-byte image near-dup primitive:
+    * hamming distance between dhashes survives re-encode/resize/light
+    * edits, and the pair generation reuses the 64-bit simhash blocking
+    * machinery unchanged ([[Dedup.simhashPairs]] shape). Images smaller
+    * than the grid (w < 9 or h < 8) or undecodable sentinel with
+    * n_pixels = -1. Everything after the codec is integer arithmetic,
+    * so the oracle replays grid, comparisons and hash exactly. */
+  def imageDHash(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds: Dataset[ImgRow] = graft.util.Partitioning.spread(
+      df.select(col(idCol).cast("long").as("id"), col(binCol).as("payload"))).as[ImgRow]
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { row =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null || img.getWidth < 9 || img.getHeight < 8)
+          DHashStats(row.id, 0L, -1L)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val sums = Array.ofDim[Long](8, 9)
+          val cnts = Array.ofDim[Long](8, 9)
+          var y = 0
+          while (y < h) {
+            val r = math.min(y * 8 / h, 7)
+            var x = 0
+            while (x < w) {
+              val c = math.min(x * 9 / w, 8)
+              val rgb = img.getRGB(x, y)
+              val luma = (299L * ((rgb >> 16) & 0xff) +
+                587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)) / 1000L
+              sums(r)(c) += luma; cnts(r)(c) += 1
+              x += 1
+            }
+            y += 1
+          }
+          var hash = 0L
+          var r = 0
+          while (r < 8) {
+            var c = 0
+            while (c < 8) {
+              if (sums(r)(c) * cnts(r)(c + 1) < sums(r)(c + 1) * cnts(r)(c))
+                hash |= 1L << (r * 8 + c)
+              c += 1
+            }
+            r += 1
+          }
+          DHashStats(row.id, hash, w.toLong * h)
+        }
+      }
+    }.toDF()
+  }
+
   case class G711Stats(id: Long, codec: String, n_samples: Long,
                        sum_abs: Long, peak: Long, sum_sq: Long)
 

@@ -1267,6 +1267,59 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(pcm.getAs[String]("codec") == "none" && pcm.getAs[Long]("n_samples") == -1L)
   }
 
+  test("dHash: gradient/flat invariants, grid sentinel, and the " +
+    "perceptual property — the hash survives lossy JPEG re-encoding") {
+    def png(f: java.awt.image.BufferedImage => Unit, w: Int = 36, h: Int = 32): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      f(img)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def fill(img: java.awt.image.BufferedImage)(g: (Int, Int) => Int): Unit =
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val v = g(x, y); img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+    // strictly increasing left->right: every adjacent-mean bit set = -1L
+    val grad = png(fill(_)((x, _) => 40 + x * 5))
+    // flat: no bit set = 0
+    val flat = png(fill(_)((_, _) => 128))
+    val rows = Multimodal.imageDHash(
+        Seq((1L, grad), (2L, flat), (3L, "junk".getBytes("UTF-8")))
+          .toDF("doc_id", "payload"), "payload", "doc_id")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("dhash"), r.getAs[Long]("n_pixels")))).toMap
+    assert(rows(1L) == ((-1L, 36L * 32)), s"gradient: ${rows(1L)}")
+    assert(rows(2L) == ((0L, 36L * 32)), s"flat: ${rows(2L)}")
+    assert(rows(3L) == ((0L, -1L)), s"junk sentinel: ${rows(3L)}")
+    // smaller than the 9x8 grid -> sentinel
+    val tiny = Multimodal.imageDHash(
+        Seq((4L, png(fill(_)((x, y) => (x * 7 + y * 13) % 256), 8, 8)))
+          .toDF("doc_id", "payload"), "payload", "doc_id").collect().head
+    assert(tiny.getAs[Long]("n_pixels") == -1L)
+
+    // perceptual: a textured image re-encoded as LOSSY JPEG keeps a
+    // close hash (hamming <= 8 of 64) while a different image is far
+    val texture = png(fill(_)((x, y) => ((x * 37 + y * 11) % 200) + 20))
+    val other = png(fill(_)((x, y) => ((x * 5 + (31 - y) * 29) % 200) + 20))
+    val jpegOfTexture = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(texture))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", bos)
+      bos.toByteArray
+    }
+    val h = Multimodal.imageDHash(
+        Seq((10L, texture), (11L, jpegOfTexture), (12L, other))
+          .toDF("doc_id", "payload"), "payload", "doc_id")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("dhash")).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(10L), h(11L)) <= 8,
+      s"lossy re-encode moved the hash ${hamming(h(10L), h(11L))} bits")
+    assert(hamming(h(10L), h(12L)) > 16,
+      s"different images implausibly close: ${hamming(h(10L), h(12L))}")
+  }
+
   test("IMA ADPCM: hand-computed nibble steps, clamp engagement, " +
     "per-block state reseed, and malformed sentinels") {
     // published-algorithm spot values from state (pred=0, index=0, step=7):
