@@ -1335,19 +1335,21 @@ object SparkEntry {
     // ---- JL random projection (md5-int variant: exact BIGINT component
     // sums both engines compute identically; gaussian is the production
     // path — see RandomProjectSpec for the search composition)
-    // PCA fit is an MLlib eigendecomposition — not SQL-expressible, so
-    // this entry is rows-only (the one remaining no-oracle query —
-    // the learned-classifier applies are now DuckDB-oracled via
-    // ModelExport, but a PCA eigendecomposition has no SQL replay);
-    // orthonormality,
-    // variance ordering and the recall composition are spec-gated
-    "embed_pca" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val planes = graft.pipeline.Embeddings.pcaFit(emb, "embedding", 64, 8)
-      graft.pipeline.Embeddings.projectWith(emb, "embedding", planes, 64, 8)
-        .select(col("vec_id"),
-          org.apache.spark.sql.functions.size(col("pvec")).cast("long").as("out_dim"))
-    }),
+    // ---- PCA, exported APPLY half: the fit (MLlib eigendecomposition)
+    // is not SQL-expressible and stays spec-gated (PcaSpec:
+    // orthonormality, variance capture, recall composition); the
+    // projection onto the PINNED fitted directions
+    // (DemoModels.PcaDirections, 1e-6 grid, provenance in
+    // FitPcaDirections) is exact BIGINT arithmetic — floor(v*4096)
+    // vectors x micro-grid directions — fully DuckDB-oracled like the
+    // classifier applies. Same split as text_quality_apply.
+    "embed_pca_apply" -> ((s, dir) =>
+      graft.pipeline.Embeddings.projectQuantized(
+          t(s, dir, "embeddings"), "embedding",
+          graft.pipeline.DemoModels.PcaDirections, 64, 8)
+        .select(col("vec_id"), posexplode(col("pvecq")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("pc_dim"),
+          col("col").as("component"))),
     "embed_rp" -> ((s, dir) =>
       graft.pipeline.Embeddings.randomProjectMd5Int(
           t(s, dir, "embeddings").where(col("vec_id") < 100), "embedding", 64, 8)
@@ -3561,6 +3563,13 @@ object SparkEntry {
                 max(n_new) AS n_new, count(*) AS n_dims,
                 round(sqrt(CAST(sum(dq * dq) AS DOUBLE)) / 1000000.0, 6) AS l2_move
          FROM j GROUP BY 1""",
+    // the pinned fitted directions ride the SQL as literal rows —
+    // generated from the SAME DemoModels constants the Spark plan
+    // consumes, so impl and oracle cannot drift (the DemoModels recipe
+    // applied to the PCA apply half)
+    "embed_pca_apply" -> graft.pipeline.Embeddings.projectQuantizedOracleSql(
+      "embeddings", "vec_id", "embedding",
+      graft.pipeline.DemoModels.PcaDirections, 64, 8),
     // md5-derived integer planes x floor(v*4096) quantized vectors: every
     // projected component is an exact BIGINT dot product (same scheme as
     // the sign-LSH oracles)

@@ -107,6 +107,77 @@ object Embeddings {
       col(vecCol), planes, dim, outDim))
   }
 
+  /** Snap fitted directions onto the 1e-6 integer grid — the same
+    * export seam [[ModelExport.quantize]] uses for the learned
+    * classifiers: quantization error <= 5e-7 per component (far below
+    * fit noise), in exchange for a projection any engine replays
+    * bit-for-bit as BIGINT arithmetic. Each direction's sign is
+    * canonicalized first (largest-|component| positive) because an
+    * eigendecomposition's sign is arbitrary — re-fitting on another
+    * host may flip it, and pinned constants must not depend on which
+    * flip this fit happened to return. */
+  def quantizeDirections(planes: Array[Double], dim: Int, outDim: Int,
+                         gridScale: Long = 1000000L): Array[Long] = {
+    require(planes.length == dim * outDim,
+      s"planes length ${planes.length} != dim*outDim = ${dim * outDim}")
+    val out = new Array[Long](planes.length)
+    var p = 0
+    while (p < outDim) {
+      val off = p * dim
+      var big = 0; var d = 1
+      while (d < dim) {
+        if (math.abs(planes(off + d)) > math.abs(planes(off + big))) big = d
+        d += 1
+      }
+      val sign = if (planes(off + big) < 0) -1.0 else 1.0
+      d = 0
+      while (d < dim) {
+        out(off + d) = math.round(planes(off + d) * sign * gridScale)
+        d += 1
+      }
+      p += 1
+    }
+    out
+  }
+
+  /** Exact-integer projection onto micro-grid directions (the apply
+    * half of the PCA export): component p = Σ_d floor(v_d·4096)·P[p,d],
+    * a BIGINT sum both engines compute identically — the [[randomProjectMd5Int]]
+    * arithmetic with FITTED directions instead of md5 planes. The
+    * production float path stays [[projectWith]]; this is the
+    * oracle-reproducible twin (see [[projectQuantizedOracleSql]]). */
+  def projectQuantized(df: DataFrame, vecCol: String, planesMicro: Array[Long],
+                       dim: Int, outDim: Int, outCol: String = "pvecq"): DataFrame = {
+    require(planesMicro.length == dim * outDim,
+      s"planes length ${planesMicro.length} != dim*outDim = ${dim * outDim}")
+    df.withColumn(outCol, graft.fuzzy.vectorFunctions.random_project_int(
+      col(vecCol), planesMicro, dim, outDim))
+  }
+
+  /** DuckDB replay of [[projectQuantized]] — the direction matrix rides
+    * the SQL as literal rows (single-sourced from the same pinned
+    * constants the Spark plan consumes, so impl and oracle cannot
+    * drift), the vector quantizes to floor(v·4096), and every output
+    * component is one exact BIGINT list_sum. Output shape: one row per
+    * (id, 1-based output dim, component). */
+  def projectQuantizedOracleSql(table: String, idCol: String, vecCol: String,
+                                planesMicro: Array[Long], dim: Int, outDim: Int,
+                                outDimName: String = "pc_dim"): String = {
+    require(planesMicro.length == dim * outDim,
+      s"planes length ${planesMicro.length} != dim*outDim = ${dim * outDim}")
+    val rows = (0 until outDim).map { p =>
+      s"(${p.toLong}, [${planesMicro.slice(p * dim, (p + 1) * dim).mkString("::BIGINT, ")}::BIGINT])"
+    }.mkString(",\n                ")
+    s"""WITH pv(p, pc) AS (VALUES
+                $rows),
+         qn AS (SELECT $idCol,
+                  list_transform(range(1, ${dim + 1}), i -> CAST(floor($vecCol[i]::DOUBLE * 4096) AS BIGINT)) AS qv
+                FROM $table)
+         SELECT $idCol, p + 1 AS $outDimName,
+                CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> qv[i] * pc[i])) AS BIGINT) AS component
+         FROM qn CROSS JOIN pv"""
+  }
+
   /** Embedding-space drift between two snapshots: per group, the L2
     * distance its [[centroids]] moved — the monitoring twin of
     * [[graft.pipeline.Profile.drift]] for the vector side ("did

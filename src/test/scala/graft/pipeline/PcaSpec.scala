@@ -92,4 +92,54 @@ class PcaSpec extends AnyFunSuite with SparkSpec {
       Embeddings.projectWith(emb, "embedding", Array(1.0, 2.0), dim, 8)
     }
   }
+
+  test("quantizeDirections: 1e-6 grid, sign canonicalized to the " +
+    "largest-|component|") {
+    // direction 0 already canonical; direction 1's largest |component|
+    // is negative, so the whole direction flips
+    val planes = Array(0.5, -0.25, 0.1, -0.9, 0.3, 0.0)
+    val q = Embeddings.quantizeDirections(planes, 3, 2)
+    assert(q.toSeq == Seq(500000L, -250000L, 100000L, 900000L, -300000L, 0L))
+  }
+
+  test("projectQuantized: exact integer dot (floor(v*4096) x micro plane)") {
+    val df = Seq((1L, Seq(0.5f, -0.25f))).toDF("vec_id", "v")
+    // floor(0.5*4096)=2048, floor(-0.25*4096)=-1024
+    val out = Embeddings.projectQuantized(df, "v", Array(1000000L, -2000000L), 2, 1)
+      .select(col("pvecq")).as[Seq[Long]].head()
+    assert(out == Seq(2048L * 1000000L + (-1024L) * (-2000000L)))
+  }
+
+  test("pinned DemoModels.PcaDirections dequantize to near-orthonormal " +
+    "directions (a REAL fit, not filler)") {
+    val k = 8
+    val p = DemoModels.PcaDirections.map(_ / 1e6)
+    assert(p.length == k * dim)
+    for (i <- 0 until k; j <- i until k) {
+      val dot = (0 until dim).map(d => p(i * dim + d) * p(j * dim + d)).sum
+      val expect = if (i == j) 1.0 else 0.0
+      // grid error: 64 components x ~5e-7 each — 1e-3 is generous
+      assert(math.abs(dot - expect) < 1e-3, s"pinned pair ($i,$j) dot=$dot")
+    }
+  }
+
+  test("pinned directions are eigen-ORDERED on their fit corpus: captured " +
+    "variance strictly decreases (a property filler constants cannot have)") {
+    // the fit corpus (sf0.01) — by construction of an eigendecomposition
+    // the sample variance along direction p strictly exceeds that along
+    // p+1, and the 1e-6 grid perturbs each direction far less than any
+    // eigenvalue gap; near-isotropic synthetic embeddings make a recall
+    // bar meaningless at k=8, but ordering is exact on the fit data
+    val fitCorpus = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val p = DemoModels.PcaDirections.map(_ / 1e6)
+    val projected = Embeddings.projectWith(fitCorpus, "embedding", p, dim, 8)
+    val vars = projected
+      .select((0 until 8).map(i => var_samp(col("pvec")(i)).as(s"v$i")): _*)
+      .head()
+    val vs = (0 until 8).map(i => vars.getDouble(i))
+    (0 until 7).foreach { i =>
+      assert(vs(i) > vs(i + 1),
+        s"variance not decreasing at $i: ${vs.mkString(", ")}")
+    }
+  }
 }
