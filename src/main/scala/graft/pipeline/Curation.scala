@@ -83,12 +83,28 @@ object Curation {
     * filter: no join, no shuffle, scan-speed at 100 TB. Returns the
     * kept rows plus the applied `keep_rate`. NULL strata are their own
     * stratum (groupBy keeps them; the CASE's null branch applies
-    * their rate). */
+    * their rate).
+    *
+    * The driver-side rate table is CARDINALITY-GUARDED: the collect is
+    * bounded at `maxStrata + 1` rows and fails fast past the cap — a
+    * user pointing this at a high-cardinality column (a doc id, a URL)
+    * would otherwise OOM the driver and compile a pathological CASE
+    * chain. Intended strata (language, source) are dozens of values;
+    * for genuinely many strata, compute the rate table as a frame and
+    * broadcast-join it on the stratum column instead. */
   def temperatureSample(df: DataFrame, keyCol: String, strataCol: String,
-                        alpha: Double): DataFrame = {
+                        alpha: Double, maxStrata: Int = 1000): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1] (got $alpha)")
-    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => Option(r.get(0)).map(_.toString) -> r.getLong(1)).toMap
+    require(maxStrata >= 1, s"maxStrata must be >= 1 (got $maxStrata)")
+    val rows = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .limit(maxStrata + 1).collect()
+    require(rows.length <= maxStrata,
+      s"temperatureSample: over $maxStrata distinct values in stratum " +
+        s"column '$strataCol' — a driver-side rate table is for " +
+        "low-cardinality strata (language, source). For high-cardinality " +
+        "strata compute the per-stratum rates as a DataFrame and " +
+        "broadcast-join them on the stratum column instead.")
+    val counts = rows.map(r => Option(r.get(0)).map(_.toString) -> r.getLong(1)).toMap
     require(counts.nonEmpty, "temperatureSample needs a non-empty frame")
     val minN = counts.values.min.toDouble
     val rates = counts.map { case (s, n) =>
@@ -134,10 +150,18 @@ object Curation {
     * assembly (e.g. downsample web text, keep all books). `rates` maps
     * stratum value -> keep fraction; anything unlisted keeps
     * `defaultRate`. Still a pure filter: the rate table compiles into a
-    * CASE expression (sorted for determinism), no join, no shuffle. */
+    * CASE expression (sorted for determinism), no join, no shuffle.
+    * Same cardinality guard as [[temperatureSample]]: a rate map is a
+    * QUOTA table (dozens of entries) — past 1000 entries the CASE chain
+    * is pathological, so fail fast and name the broadcast-join path. */
   def stratifiedHashSample(df: DataFrame, keyCol: String, strataCol: String,
                            rates: Map[String, Double],
                            defaultRate: Double): DataFrame = {
+    require(rates.size <= 1000,
+      s"stratifiedHashSample: ${rates.size} rate entries — a CASE-compiled " +
+        "rate table is for low-cardinality strata (<= 1000). For " +
+        "high-cardinality strata put the rates in a DataFrame and " +
+        "broadcast-join them on the stratum column instead.")
     (rates.values.toSeq :+ defaultRate).foreach(r =>
       require(r >= 0.0 && r <= 1.0, s"rates must be in [0,1] (got $r)"))
     val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit(math.round(defaultRate * 1e6))) {

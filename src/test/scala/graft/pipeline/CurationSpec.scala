@@ -111,6 +111,29 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(Curation.temperatureSample(d, "doc_id", "lang", 1.0).count() == 1050L)
   }
 
+  test("temperatureSample fails fast on a high-cardinality stratum column " +
+    "with a message naming the broadcast-join alternative") {
+    // a doc-id-as-stratum mistake: 50 distinct values against a cap of 10
+    val d = (1 to 50).map(i => (i.toLong, s"s$i")).toDF("doc_id", "src")
+    val e = intercept[IllegalArgumentException] {
+      Curation.temperatureSample(d, "doc_id", "src", 0.5, maxStrata = 10)
+    }
+    assert(e.getMessage.contains("over 10 distinct values"), e.getMessage)
+    assert(e.getMessage.contains("broadcast-join"), e.getMessage)
+    // at the cap it still works (bounded collect, not a behavior change)
+    assert(Curation.temperatureSample(d.where(col("doc_id") <= 10),
+      "doc_id", "src", 1.0, maxStrata = 10).count() == 10L)
+  }
+
+  test("stratifiedHashSample rejects a pathological rate map") {
+    val d = (1 to 5).map(i => (i.toLong, s"s$i")).toDF("doc_id", "src")
+    val big = (1 to 1001).map(i => s"s$i" -> 0.5).toMap
+    val e = intercept[IllegalArgumentException] {
+      Curation.stratifiedHashSample(d, "doc_id", "src", big, 1.0)
+    }
+    assert(e.getMessage.contains("broadcast-join"), e.getMessage)
+  }
+
   test("sampleExactN accepts an INT id column (casts to long for the heap)") {
     val d = (1 to 100).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val got = Curation.sampleExactN(d, "doc_id", 10)
