@@ -25,7 +25,13 @@ import graft.pipeline.{AnnSearch, Dedup}
   * Methodology: every query runs `Iterations` times after a warmup pass at
   * sf0.001; the reported number is the MIN (run-to-run variance at sf0.1 on
   * this machine is +-40%, so single-shot numbers cannot support any
-  * optimization claim). All samples are emitted alongside.
+  * optimization claim). All samples are emitted alongside, each paired
+  * 1:1 with an interleaved [[probeOnce]] calibration reading
+  * (`"calibrations"` in the JSON) — r8 proved the single end-of-run
+  * probe misses transient mid-run contention, so every sample carries
+  * the host throughput of its own window and a cross-round swing is
+  * attributable from the BENCH JSON alone (sample elevated AND probe
+  * elevated ⇒ host; sample elevated, probe healthy ⇒ code).
   */
 object Bench {
 
@@ -339,11 +345,23 @@ object Bench {
     // dev filter: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run (the
     // driver never sets it, so round numbers always cover every row)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // JIT the interleaved probe itself so query 1's probe isn't
+    // measuring codegen compilation
+    probeOnce(spark); probeOnce(spark)
+
     val results = benchQueries(sfDir).toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       var rows = -1L
+      val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
+      // interleaved calibration: ONE probe immediately before EVERY
+      // sample, emitted 1:1 with the samples — r8 proved a single
+      // end-of-run probe misses transient mid-run contention (its
+      // healthy 0.289 sat beside five 3-5x-elevated rows), so each
+      // sample carries the host throughput of ITS OWN window and a
+      // swing is attributable from the BENCH JSON alone
       def once(): Double = {
+        probes += probeOnce(spark)
         val t0 = System.nanoTime()
         rows = try withHeapAggConf(spark, HeapAggQueries.contains(name)) {
           fn(spark).count()
@@ -364,21 +382,45 @@ object Bench {
         else first +: (2 to Iterations).map(_ => once())
       val best = samples.min
       System.err.println(
-        f"[bench] $name%-24s min $best%8.2f s  rows=$rows  samples=${samples.map(v => f"$v%.2f").mkString("[", ",", "]")}")
-      (name, best, samples)
+        f"[bench] $name%-24s min $best%8.2f s  rows=$rows  samples=${samples.map(v => f"$v%.2f").mkString("[", ",", "]")}  probes=${probes.map(v => f"$v%.3f").mkString("[", ",", "]")}")
+      (name, best, samples, probes.toSeq)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val ss = results.map { case (k, _, sm) =>
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val ss = results.map { case (k, _, sm, _) =>
       "\"" + k + "\":" + sm.map(v => f"$v%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val cals = results.map { case (k, _, _, pr) =>
+      "\"" + k + "\":" + pr.map(v => f"$v%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // queries that ran once because their first sample exceeded the
     // slow-query cutoff — their numbers are 1-shot-by-budget, not min-of-N
-    val singleShot = results.collect { case (k, _, sm) if sm.size == 1 => "\"" + k + "\"" }
+    val singleShot = results.collect { case (k, _, sm, _) if sm.size == 1 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val cal = calibration(spark)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$ss,"iterations":$Iterations,"single_shot":$singleShot,"calibration":$cal,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$ss,"calibrations":$cals,"probe_healthy_sec":$ProbeHealthySec,"iterations":$Iterations,"single_shot":$singleShot,"calibration":$cal,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Reference cost of one [[probeOnce]] on this host when healthy
+    * (measured unloaded at local[32]: 0.11-0.15 s, dominated by ~60 ms
+    * of fixed job-scheduling overhead on top of the ~64 ms hash work);
+    * emitted in the JSON so a reader can ratio each probe against it
+    * without external context. Contention shows as 2x+, so the
+    * 0.11-0.15 healthy band is comfortably below any real signal. */
+  val ProbeHealthySec = 0.13
+
+  /** ONE-SHOT fixed-work throughput probe (xxhash64 max over 5e8 ids,
+    * ~[[ProbeHealthySec]] on a healthy host — 4x lighter than a
+    * [[calibration]] rep): interleaved before every bench sample.
+    * One shot, not min-of-N, deliberately: the probe's job is to
+    * measure the contention of its OWN instant, and taking a min would
+    * smooth away exactly the transient it exists to catch. */
+  def probeOnce(spark: SparkSession, n: Long = 500_000_000L): Double = {
+    val t0 = System.nanoTime()
+    spark.range(n)
+      .select(max(org.apache.spark.sql.functions.xxhash64(col("id")))).head()
+    (System.nanoTime() - t0) / 1e9
   }
 
   /** Fixed-work host-throughput probe: min-of-3 of a deterministic
