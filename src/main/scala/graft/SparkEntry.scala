@@ -1254,6 +1254,26 @@ object SparkEntry {
           sround(col("score"), 6).as("score"), col("rank"))
     }),
 
+    // the TOKEN-BUCKETED stored-index lifecycle end-to-end: build, save
+    // under bucket=pmod(xxhash64(token),64)/ partitions, reload, search
+    // with the partition-pruned scan (bm25TopKStored) — storage layout
+    // must be invisible to the ranking, so the oracle is the SAME SQL as
+    // text_bm25 (pruning-correctness is also spec-asserted:
+    // PartitionFilters + strict bucket subset, RetrievalStreamSpec)
+    "text_bm25_stored" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qs = docs.where(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(split(trim(lower(col("text"))), "\\s+"), 1, 5)).as("qtext"))
+      val path = java.nio.file.Files.createTempDirectory("graft_bm25_stored").toString
+      TextAnalysis.saveBm25Index(
+        TextAnalysis.bm25Index(docs, "text", "doc_id"), path)
+      val six = TextAnalysis.loadBm25StoredIndex(s, path)
+      TextAnalysis.bm25TopKStored(six, qs, "qtext", "query_id", k = 10)
+        .select(col("query_id"), col("doc_id"),
+          sround(col("score"), 6).as("score"), col("rank"))
+    }),
+
     // decremental forget on the stored index: build on the full corpus,
     // forget doc_id % 13 == 0, search — must equal a kept-corpus rebuild,
     // which is what the oracle computes
@@ -3344,6 +3364,32 @@ object SparkEntry {
     // integers, rank = row_number over (micro score desc, doc_id asc) —
     // the same total order as the BoundedTopK heap
     "text_bm25" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+         tok AS (SELECT doc_id, unnest(w) AS tk FROM t),
+         tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok WHERE length(tk) > 0 GROUP BY 1, 2),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         st AS (SELECT count(*) AS nd, sum(dl) AS tt FROM dl),
+         df AS (SELECT tk, count(*) AS df FROM tf GROUP BY 1),
+         q AS (SELECT doc_id AS query_id, unnest(list_distinct(w[1:5])) AS qtk FROM t WHERE doc_id % 50 = 0),
+         sc AS (SELECT q.query_id, tf.doc_id,
+                  CAST(round(ln((nd - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                    * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * ((CAST(dl.dl AS DOUBLE) * CAST(st.nd AS DOUBLE)) / CAST(st.tt AS DOUBLE))))
+                    * 1000000.0) AS BIGINT) AS c
+                FROM q JOIN tf ON q.qtk = tf.tk
+                  JOIN dl ON tf.doc_id = dl.doc_id
+                  JOIN df ON tf.tk = df.tk
+                  CROSS JOIN st
+                WHERE length(q.qtk) > 0),
+         agg AS (SELECT query_id, doc_id, sum(c) AS sq FROM sc GROUP BY 1, 2),
+         rk AS (SELECT query_id, doc_id, sq,
+                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sq DESC, doc_id) AS INT) AS rank
+                FROM agg)
+         SELECT query_id, doc_id, round(sq / 1000000.0, 6) AS score, rank
+         FROM rk WHERE rank <= 10""",
+    // storage layout must be invisible to the ranking: the bucketed
+    // stored path shares text_bm25's oracle verbatim
+    "text_bm25_stored" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
          tok AS (SELECT doc_id, unnest(w) AS tk FROM t),
          tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok WHERE length(tk) > 0 GROUP BY 1, 2),

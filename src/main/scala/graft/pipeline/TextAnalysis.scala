@@ -655,27 +655,96 @@ object TextAnalysis {
     bm25Rank(scored, ix.idCol, ix.nDocs, ix.totalTokens, ix.k1, ix.b, k)
   }
 
-  /** Persist a [[Bm25Index]]: postings as parquet under `path`/postings,
-    * the scalars (and the id column name) as a one-row parquet under
-    * `path`/meta — the stored-index form a nightly search job loads
-    * instead of re-aggregating the corpus. */
-  def saveBm25Index(ix: Bm25Index, path: String): Unit = {
-    ix.postings.write.mode("overwrite").parquet(s"$path/postings")
+  /** Persist a [[Bm25Index]] TOKEN-BUCKETED: postings land under
+    * `path`/postings/bucket=N/ with `bucket = pmod(xxhash64(token),
+    * nBuckets)` — the [[AnnSearch.savePostings]] recipe (cell-partitioned
+    * IVF postings) applied to the lexical index. A search batch touches
+    * only its query terms' buckets, so partition pruning does the index
+    * lookup at the storage layer instead of scanning every postings row
+    * (the measured ~2.5 s per-batch floor of the flat store at the 500k-doc
+    * tier — SCALE.md). The scalars (id column, corpus stats, k1/b, and
+    * the bucket count the search side must reuse) go to `path`/meta.
+    *
+    * Bucket-count sizing: pruning removes (nBuckets − touched)/nBuckets
+    * of the scan, so more buckets prune harder — until per-bucket files
+    * drop under a parquet row group. 64 buckets ≈ 1.6% of the corpus per
+    * query term at the default; a 100 TB postings store wants 1-4k. */
+  def saveBm25Index(ix: Bm25Index, path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1 (got $nBuckets)")
+    ix.postings
+      .withColumn("bucket", pmod(xxhash64(col("token")), lit(nBuckets.toLong)))
+      // one shuffle task per bucket -> ONE file per bucket directory:
+      // without it every write task spills a sliver into every bucket
+      // (up to tasks x nBuckets small files — measured 5x slower to
+      // write and a per-read listing tax at nBuckets = 1024)
+      .repartition(nBuckets, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
     val spark = ix.postings.sparkSession
     import spark.implicits._
-    Seq((ix.idCol, ix.nDocs, ix.totalTokens, ix.k1, ix.b))
-      .toDF("id_col", "n_docs", "total_tokens", "k1", "b")
+    Seq((ix.idCol, ix.nDocs, ix.totalTokens, ix.k1, ix.b, nBuckets))
+      .toDF("id_col", "n_docs", "total_tokens", "k1", "b", "n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** Load a persisted [[Bm25Index]]. The postings read is a plain scan —
-    * at cluster scale the parquet lives on shared storage and every
-    * search job prunes to (token, id, tf, dl, df). */
+  /** Load a persisted [[Bm25Index]] as a full in-memory-plan index: the
+    * postings read spans every bucket (the `bucket` partition column is
+    * dropped to restore the postings contract) — the right form for
+    * [[bm25Forget]] or any whole-index maintenance pass. For SEARCH,
+    * prefer [[bm25TopKStored]] via [[loadBm25StoredIndex]], which prunes
+    * the scan to the query terms' buckets. */
   def loadBm25Index(spark: org.apache.spark.sql.SparkSession, path: String): Bm25Index = {
     val m = spark.read.parquet(s"$path/meta").head()
-    Bm25Index(spark.read.parquet(s"$path/postings"),
+    Bm25Index(spark.read.parquet(s"$path/postings").drop("bucket"),
       m.getAs[String]("id_col"), m.getAs[Long]("n_docs"),
       m.getAs[Long]("total_tokens"), m.getAs[Double]("k1"), m.getAs[Double]("b"))
+  }
+
+  /** Handle to a token-bucketed on-disk index: the meta scalars plus ONE
+    * bucket-columned postings frame opened at load — its cached file
+    * listing (InMemoryFileIndex) is what every search batch prunes
+    * against, so per-batch cost is the touched buckets' data, not a
+    * re-listing of nBuckets directories (measured: a per-batch
+    * `spark.read` re-list cost ~2 s at nBuckets = 1024 and erased the
+    * pruning win). */
+  final case class Bm25StoredIndex(postings: DataFrame, path: String,
+                                   idCol: String, nDocs: Long,
+                                   totalTokens: Long, k1: Double, b: Double,
+                                   nBuckets: Int)
+
+  def loadBm25StoredIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Bm25StoredIndex = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    Bm25StoredIndex(spark.read.parquet(s"$path/postings"), path,
+      m.getAs[String]("id_col"), m.getAs[Long]("n_docs"),
+      m.getAs[Long]("total_tokens"), m.getAs[Double]("k1"),
+      m.getAs[Double]("b"), m.getAs[Int]("n_buckets"))
+  }
+
+  /** Search a token-bucketed stored index with a PRUNED postings scan:
+    * the batch's distinct token buckets (a bounded driver collect — at
+    * most min(#distinct query terms, nBuckets) values, both small by
+    * construction) become a static `bucket IN (...)` partition filter on
+    * the loaded postings frame, so only the touched `bucket=N/`
+    * directories are scanned (PartitionFilters on the scan —
+    * spec-asserted like the IVF postings). Arithmetic is identical to
+    * [[bm25TopKWithIndex]]; only the scan shrinks. Pruning is a no-op
+    * when the batch's term set covers every bucket (a 1000-query batch
+    * at any realistic nBuckets) — the latency win is the SMALL-batch
+    * regime, where the flat store's full postings scan dominated
+    * (SCALE.md, round-10 tier table). */
+  def bm25TopKStored(six: Bm25StoredIndex, queries: DataFrame,
+                     queryTextCol: String, queryIdCol: String,
+                     k: Int = 10): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    val terms = bm25QueryTerms(queries, queryTextCol, queryIdCol)
+    val buckets = terms
+      .select(pmod(xxhash64(col("token")), lit(six.nBuckets.toLong)).as("bucket"))
+      .distinct().collect().map(_.getLong(0))
+    val postings = six.postings
+      .where(col("bucket").isin(buckets.map(b => b: Any): _*))
+      .drop("bucket")
+    val scored = terms.join(postings, Seq("token"))
+    bm25Rank(scored, six.idCol, six.nDocs, six.totalTokens, six.k1, six.b, k)
   }
 
   /** Canonical content fingerprint: md5 of the sorted distinct token set.

@@ -30,4 +30,18 @@ object RetrievalStream {
       sink(TextAnalysis.bm25TopKWithIndex(index, batch, queryTextCol,
         queryIdCol, k), batchId)
     }
+
+  /** [[bm25Writer]] against a TOKEN-BUCKETED stored index
+    * ([[TextAnalysis.Bm25StoredIndex]]): each micro-batch opens its own
+    * partition-pruned postings scan over the batch's query-term buckets
+    * — per-batch cost tracks the touched buckets' postings, not the
+    * corpus (the scale path for big stored indexes; same arithmetic,
+    * same per-batch == batch-API guarantee). */
+  def bm25StoredWriter(stream: DataFrame, index: TextAnalysis.Bm25StoredIndex,
+                       queryTextCol: String, queryIdCol: String, k: Int)
+                      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(TextAnalysis.bm25TopKStored(index, batch, queryTextCol,
+        queryIdCol, k), batchId)
+    }
 }

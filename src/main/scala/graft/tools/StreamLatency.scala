@@ -50,12 +50,25 @@ object StreamLatency {
     // latency knob at scale
     val maxDf = sys.env.get("SPARK_GRAFT_BM25_MAXDF").map(_.toLong)
       .getOrElse(Long.MaxValue)
+    // SPARK_GRAFT_BM25_MODE=full scans the whole stored postings per
+    // batch (the r9 baseline); the default "pruned" searches through
+    // bm25TopKStored, whose bucket partition filter prunes the scan to
+    // the batch's query-term buckets — the two arms of the
+    // token-bucketing A/B (SCALE.md)
+    val mode = sys.env.getOrElse("SPARK_GRAFT_BM25_MODE", "pruned")
+    // bucket count for the stored index (SPARK_GRAFT_BM25_BUCKETS):
+    // pruning keeps ~(batch's distinct terms)/nBuckets of the scan, so
+    // SMALL batches want many buckets — a 10-query batch (~50 terms)
+    // against 1024 buckets reads ~5% of the store; a 1000-query batch
+    // (~5k terms) covers every bucket at any realistic count and prunes
+    // nothing (its cost tracks Σ df either way)
+    val nBuckets = sys.env.get("SPARK_GRAFT_BM25_BUCKETS").map(_.toInt).getOrElse(64)
     val ixPath = s"/tmp/graft_bm25_stream_ix_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
     val t0 = System.nanoTime()
     TextAnalysis.saveBm25Index(
-      TextAnalysis.bm25Index(docs, "text", "doc_id", maxDf = maxDf), ixPath)
+      TextAnalysis.bm25Index(docs, "text", "doc_id", maxDf = maxDf), ixPath,
+      nBuckets = nBuckets)
     val buildSec = (System.nanoTime() - t0) / 1e9
-    val ix = TextAnalysis.loadBm25Index(spark, ixPath)
 
     // deterministic query batches: first-5-token queries from a doc
     // sample, one parquet file per micro-batch, mtimes pinned for order
@@ -65,10 +78,16 @@ object StreamLatency {
       .limit(nBatches * perBatch)
       .select(col("doc_id").as("query_id"),
         concat_ws(" ", slice(split(trim(lower(col("text"))), "\\s+"), 1, 5)).as("qtext"))
-      // batch by the query's ORDINAL among the sampled stride, not the raw
-      // id (sampled ids are all ≡ 0 mod stride, which would alias every
-      // query into batch 0 whenever nBatches divides stride)
-      .withColumn("__b", pmod(floor(col("query_id") / lit(stride)), lit(nBatches)))
+      // batch by the query's ORDINAL rank, round-robin: raw-id arithmetic
+      // aliases on BOTH testdata shapes (sampled ids ≡ 0 mod stride when
+      // nBatches divides stride; cipher-corpus ids are replica-offset
+      // multiples whose stride quotients are all ≡ 0 mod nBatches) — the
+      // ordinal can't alias. Small frame, the single-partition window is
+      // harmless here.
+      .withColumn("__b", pmod(
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("query_id")) - 1,
+        lit(nBatches)))
     val flat = java.nio.file.Files.createTempDirectory("bm25_lat")
     (0 until nBatches).foreach { i =>
       val part = java.nio.file.Files.createTempDirectory(s"bm25_lat$i")
@@ -84,14 +103,23 @@ object StreamLatency {
       .option("maxFilesPerTrigger", "1").parquet(flat.toString)
 
     val sinkSec = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Long)]
-    val q = RetrievalStream.bm25Writer(stream, ix, "qtext", "query_id", 10) {
+    val record: (org.apache.spark.sql.DataFrame, Long) => Unit = {
       (out, batchId) =>
         val b0 = System.nanoTime()
         val n = out.count()
         sinkSec.synchronized {
           sinkSec += ((batchId, (System.nanoTime() - b0) / 1e9, n))
         }
-    }.start()
+        ()
+    }
+    val writer =
+      if (mode == "full")
+        RetrievalStream.bm25Writer(stream,
+          TextAnalysis.loadBm25Index(spark, ixPath), "qtext", "query_id", 10)(record)
+      else
+        RetrievalStream.bm25StoredWriter(stream,
+          TextAnalysis.loadBm25StoredIndex(spark, ixPath), "qtext", "query_id", 10)(record)
+    val q = writer.start()
     try q.processAllAvailable() finally q.stop()
 
     val trigger = q.recentProgress.toSeq
@@ -101,6 +129,7 @@ object StreamLatency {
       .map { case (_, s, _) => f"$s%.3f" }
     val rows = sinkSec.sortBy(_._1).map(_._3)
     println(s"""{"metric":"stream_bm25_latency","sf":"$sfDir","n_docs":$nDocs,""" +
+      s""""mode":"$mode","n_buckets":$nBuckets,""" +
       s""""max_df":${if (maxDf == Long.MaxValue) "null" else maxDf},""" +
       s""""index_build_sec":${f"$buildSec%.3f"},"batches":$nBatches,""" +
       s""""queries_per_batch":$perBatch,""" +
