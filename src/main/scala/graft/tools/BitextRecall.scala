@@ -36,10 +36,12 @@ object BitextRecall {
       .localCheckpoint()
     val ivf = AnnSearch.bitextMarginMineIvf(src, tgt, "embedding", "vec_id", 4,
         dim = 64, nCells = cells, nProbe = nProbe)
-      .select(col("src_id"), col("tgt_id").as("tgt_ivf"))
+      .select(col("src_id"), col("tgt_id").as("tgt_ivf"),
+        col("margin").as("margin_ivf"))
       .localCheckpoint()
     val j = brute.join(ivf, Seq("src_id"), "outer")
-      .select(col("src_id"), col("tgt_brute"), col("tgt_ivf"), col("margin"))
+      .select(col("src_id"), col("tgt_brute"), col("tgt_ivf"), col("margin"),
+        col("margin_ivf"))
       .localCheckpoint()
     val total = j.count()
     require(total > 0, s"no mined pairs at all in $sfDir — empty or " +
@@ -59,9 +61,28 @@ object BitextRecall {
       f""""thr_$thr%.2f":{"kept":$kn,"agree_frac":${
         if (kn == 0) 0.0 else ka.toDouble / kn}%.4f}"""
     }.mkString(",")
+    // pair-LEVEL precision/recall of the SHIPPED artifact (VERDICT r9
+    // task 7): each arm keeps its own (src, tgt) pairs whose OWN margin
+    // clears the Artetxe bar — precision = |ivf ∩ brute| / |ivf|,
+    // recall = |ivf ∩ brute| / |brute|. This prices the end metric (the
+    // mined pair list), not just the retrieval argmax: an IVF pair can
+    // clear the bar on an overestimated margin (its own kNN saw fewer
+    // competitors), which agreement-over-brute-kept rows never counts.
+    val pairPr = Seq(1.0, 1.05, 1.1, 1.2).map { thr =>
+      val bKept = j.where(col("margin") >= thr && col("tgt_brute").isNotNull)
+      val iKept = j.where(col("margin_ivf") >= thr && col("tgt_ivf").isNotNull)
+      val nB = bKept.count()
+      val nI = iKept.count()
+      val hit = j.where(col("margin") >= thr && col("margin_ivf") >= thr &&
+        col("tgt_brute") === col("tgt_ivf")).count()
+      f""""thr_$thr%.2f":{"brute_pairs":$nB,"ivf_pairs":$nI,""" +
+        f""""precision":${if (nI == 0) 0.0 else hit.toDouble / nI}%.4f,""" +
+        f""""recall":${if (nB == 0) 0.0 else hit.toDouble / nB}%.4f}"""
+    }.mkString(",")
     println(s"""{"metric":"bitext_ivf_agreement","sf":"$sfDir","srcs":$total,""" +
       f""""agree":$agree,"agree_frac":${agree.toDouble / total}%.4f,""" +
-      f""""mean_margin_of_disagreements":$meanDisagreeMargin%.4f,$bands}""")
+      f""""mean_margin_of_disagreements":$meanDisagreeMargin%.4f,$bands,""" +
+      s""""pair_pr":{$pairPr}}""")
     spark.stop()
   }
 }
