@@ -773,14 +773,25 @@ object SparkEntry {
         "payload", "doc_id", 128)
         .select(col("doc_id"), col("chunk_index").cast("long").as("chunk_index"),
           col("chunk_bytes").cast("long").as("chunk_bytes"))),
-    // stubbed decode via mapPartitions (batch boundary shape); the stub
-    // feature (mean byte / 255) is DuckDB-expressible -> oracled
-    "multimodal_decode" -> ((s, dir) =>
-      Multimodal.decodeBatch(
-        t(s, dir, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+    // REAL inter-frame video decode (GDV1 — this library's open minimal
+    // delta format, spec in Multimodal): a deterministic 8x8 4-frame
+    // clip per doc, decoded with true cross-frame block state (skip ops
+    // copy the previous frame, transitively). Exact integer per-frame
+    // pixel sums + op counts; the oracle recomputes the generator
+    // formulas AND the canonical encoder rules (skip iff unchanged,
+    // solid iff uniform), so a mis-parse, a dropped skip-chain, or a
+    // payload-offset bug breaks the hash. The decoder alone is pinned
+    // byte-level in PipelineSpec (hand-assembled payloads). Replaces the
+    // retired decodeBatch stub — no stand-in decode remains.
+    "multimodal_video_delta" -> ((s, dir) =>
+      Multimodal.decodeGdvFrames(
+        Multimodal.encodeGdvDemo(t(s, dir, "documents").select(col("doc_id")), "doc_id"),
         "payload", "doc_id")
-        .select(col("id").as("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
-          sround(col("feature"), 6).as("feature"))),
+        .select(col("id").as("doc_id"),
+          col("frame_index").cast("long").as("frame_index"), col("luma_sum"),
+          col("n_skip").cast("long").as("n_skip"),
+          col("n_solid").cast("long").as("n_solid"),
+          col("n_literal").cast("long").as("n_literal"))),
     // REAL image decode: one deterministic RGB PNG per doc (dimensions a
     // pure function of doc_id), decoded by the JDK's actual PNG reader
     // (javax.imageio) inside the mapPartitions batch boundary. The oracle
@@ -2683,16 +2694,38 @@ object SparkEntry {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pack_off
                FROM t)
          SELECT doc_id, shard, pack_off, shard * 2147483648 + pack_off // 2048 AS pack_id FROM o""",
-    // mean byte value / 255 over the UTF-8 payload — recomputed byte-exactly
-    // from the hex rendering (encoding-agnostic, unlike ord() over chars)
-    "multimodal_decode" ->
-      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
-                octet_length(encode(text)) AS nb FROM documents)
-         SELECT doc_id, CAST(nb AS BIGINT) AS n_bytes,
-           round(CASE WHEN nb = 0 THEN 0.0 ELSE
-             list_sum(list_transform(range(0, nb),
-               i -> CAST('0x' || substring(hx, 2*i::INT+1, 2) AS INT)))::DOUBLE / nb / 255.0 END, 6) AS feature
-         FROM h""",
+    // GDV1 round trip: generator pixel formulas + the canonical encoder
+    // rules (skip iff identical to the previous frame, else solid iff
+    // uniform, else literal), recomputed from scratch — the codec is
+    // lossless, so decoded per-frame sums must equal the formula sums
+    // and the op counts must equal the rules' verdicts
+    "multimodal_video_delta" ->
+      """WITH px AS (
+           SELECT d.doc_id, f.f, b.b, p.p,
+             CASE CAST((d.doc_id + b.b) % 3 AS INT)
+               WHEN 0 THEN (d.doc_id*31 + b.b*17 + p.p) % 256
+               WHEN 1 THEN (d.doc_id*13 + b.b*7 + f.f*41) % 256
+               ELSE (d.doc_id*7 + b.b*29 + f.f*53 + p.p*3) % 256 END AS v
+           FROM documents d, range(4) f(f), range(4) b(b), range(16) p(p)),
+         blk AS (SELECT doc_id, f, b, sum(v) AS bsum,
+                  CASE WHEN min(v) = max(v) THEN 1 ELSE 0 END AS uni
+                 FROM px GROUP BY 1, 2, 3),
+         chg AS (SELECT a.doc_id, a.f, a.b,
+                  max(CASE WHEN a.v != pr.v THEN 1 ELSE 0 END) AS changed
+                 FROM px a JOIN px pr ON a.doc_id = pr.doc_id AND a.b = pr.b
+                   AND a.p = pr.p AND pr.f = a.f - 1
+                 GROUP BY 1, 2, 3),
+         ops AS (SELECT k.doc_id, k.f, k.b, k.bsum,
+                  CASE WHEN k.f > 0 AND c.changed = 0 THEN 0
+                       WHEN k.uni = 1 THEN 1 ELSE 2 END AS op
+                 FROM blk k LEFT JOIN chg c
+                   ON k.doc_id = c.doc_id AND k.f = c.f AND k.b = c.b)
+         SELECT doc_id, CAST(f AS BIGINT) AS frame_index,
+           CAST(sum(bsum) AS BIGINT) AS luma_sum,
+           CAST(sum(CASE WHEN op = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_skip,
+           CAST(sum(CASE WHEN op = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_solid,
+           CAST(sum(CASE WHEN op = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_literal
+         FROM ops GROUP BY 1, 2""",
     // the PNG round trip: the real JDK decoder must report exactly the
     // dimensions the fixture generator encoded (width = doc_id mod 13 + 1,
     // height = doc_id mod 7 + 1, 3-channel RGB)

@@ -25,9 +25,13 @@ import org.apache.spark.sql.functions._
   * real too where the JDK ships the codec: [[decodeMjpegFrames]] decodes
   * MJPEG-in-AVI (JPEG per frame via `javax.imageio`) — structurally
   * oracled (sampled index, decoded dimensions), pixel fidelity spec-gated
-  * because JPEG is lossy. Inter-frame codecs the JDK lacks (H.264 et al)
-  * stay behind [[decodeBatch]]'s documented fake, whose body is the only
-  * thing a codec swap changes.
+  * because JPEG is lossy. INTER-FRAME decode is real as of round 10:
+  * [[decodeGdvFrames]] decodes GDV1 (this library's open minimal delta
+  * format — spec at its definition), with true cross-frame block state.
+  * Foreign inter-frame codecs (H.264 et al) have no pure-JVM decoder
+  * here by design: their payloads fail [[decodeGdvFrames]]'s validation
+  * and get the all--1 sentinel row, the same corrupt-payload contract
+  * every decoder in this file follows — no stand-in decode remains.
   */
 object Multimodal {
 
@@ -36,17 +40,6 @@ object Multimodal {
   def binaryMeta(df: DataFrame, binCol: String): DataFrame =
     df.withColumn("n_bytes", octet_length(col(binCol)).cast("long"))
       .withColumn("magic_hex", substring(upper(hex(col(binCol))), 1, 8))
-
-  /** STUB decode: deterministic pseudo-metadata derived from the bytes
-    * (stands in for image width/height/channel extraction). Pure
-    * expressions so the "decode" runs inside codegen like a real native
-    * kernel would. */
-  def fakeDecodeMeta(df: DataFrame, binCol: String): DataFrame = {
-    val h = xxhash64(col(binCol))
-    df.withColumn("width", (abs(h) % 1920 + 1).cast("int"))
-      .withColumn("height", (abs(shiftright(h, 16)) % 1080 + 1).cast("int"))
-      .withColumn("channels", (abs(shiftright(h, 32)) % 3 + 1).cast("int"))
-  }
 
   /** Fixed-size chunking of a binary payload (frame/sample extraction
     * shape): one output row per `chunkSize`-byte slice, with its index.
@@ -66,36 +59,13 @@ object Multimodal {
   // top-level visibility required: Catalyst's generated projections
   // instantiate these reflectively
   case class BinRow(id: Long, payload: Array[Byte])
-  case class DecodedRow(id: Long, n_bytes: Int, feature: Double)
-
-  /** Batch-decode boundary: the `mapPartitions` shape a Pandas-UDF /
-    * native-library decoder needs — per-partition iterator, library handle
-    * initialized once per partition (not per row), rows processed in
-    * batches. The decode body is a deterministic stub. */
-  def decodeBatch(df: DataFrame, binCol: String, idCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val ds: Dataset[BinRow] = graft.util.Partitioning.spread(
-      df.select(col(idCol).cast("long").as("id"), col(binCol).as("payload"))).as[BinRow]
-    ds.mapPartitions { it =>
-      // a real implementation opens the codec/library handle HERE, once
-      it.map { row =>
-        val bytes = row.payload
-        // STUB: stand-in for a decoded feature (e.g. mean luminance)
-        val feature =
-          if (bytes.isEmpty) 0.0
-          else bytes.iterator.map(b => (b & 0xff).toDouble).sum / bytes.length / 255.0
-        DecodedRow(row.id, bytes.length, feature)
-      }
-    }.toDF()
-  }
 
   case class ImgRow(id: Long, payload: Array[Byte])
   case class ImgMeta(id: Long, width: Int, height: Int, channels: Int, n_bytes: Long)
 
   /** REAL image decode (`javax.imageio`, JDK-bundled readers — PNG, JPEG,
     * GIF, BMP): header/raster metadata per payload, inside the same
-    * `mapPartitions` batch boundary as [[decodeBatch]]. Undecodable
+    * `mapPartitions` batch boundary as [[decodeGdvFrames]]. Undecodable
     * payloads yield the (-1, -1, 0) sentinel instead of nulls (the
     * engine-wide no-nullable-output convention) — a corrupt image in a
     * 100 TB crawl must not fail the whole stage.
@@ -311,8 +281,8 @@ object Multimodal {
     * for `avih`; anything malformed (wrong magic, truncated, missing
     * header) yields the all--1 sentinel row — a corrupt clip in a 100 TB
     * crawl must not fail the stage. Header-only: O(1) per row regardless
-    * of clip size, and frame PIXEL decode (which would need a codec this
-    * container doesn't ship) stays behind [[decodeBatch]]. */
+    * of clip size; frame PIXEL decode is [[decodeAviFrames]] /
+    * [[decodeMjpegFrames]] / [[decodeGdvFrames]] per codec. */
   def decodeAviMeta(df: DataFrame, binCol: String, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -1114,7 +1084,7 @@ object Multimodal {
     * `LIST/movi` for `00dc` chunks, sample every `every`-th frame, and
     * decode each sampled frame's JPEG bytes with the JDK's own codec
     * (`javax.imageio` — initialized per partition, the
-    * [[decodeBatch]]-documented boundary). Emits the DECODED dimensions
+    * [[decodeGdvFrames]]-shared boundary). Emits the DECODED dimensions
     * (not the container header's — a frame that fails JPEG decode can't
     * fake them), pixel count, and the exact integer luminance sum of the
     * decoded raster. Anything non-MJPEG, malformed, or undecodable
@@ -1340,6 +1310,181 @@ object Multimodal {
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", bos)
         ImgRow(id, bos.toByteArray)
+      }
+    }.toDF().withColumnRenamed("id", idCol)
+  }
+
+  // --------------------------------------- GDV1 inter-frame delta video
+
+  /* GDV1 — an open, deliberately minimal INTER-FRAME video format
+   * defined by this library, closing the last decode stand-in: the JDK
+   * ships no inter-frame codec (H.264/VP9 are out of scope for a pure
+   * JVM), so rather than fake one, the format below has real inter-frame
+   * semantics (blocks reference the previous frame, transitively across
+   * skip chains) while every byte is specified here:
+   *
+   *   magic 'G''D''V''1'
+   *   u16le width, u16le height      (each a positive multiple of 4)
+   *   u16le nFrames                  (>= 1)
+   *   u32le frameOffset[nFrames]     (absolute offset of each frame
+   *                                   record — the random-access index,
+   *                                   like a container's idx1)
+   *   per frame: nBlocks op bytes (blocks row-major, 4x4 gray8 pixels;
+   *     op 0 = SKIP: copy this block from the previous frame (frame 0's
+   *       implicit previous frame is all-zero),
+   *     op 1 = SOLID, op 2 = LITERAL),
+   *   then one byte per SOLID block (in block order),
+   *   then 16 row-major bytes per LITERAL block (in block order).
+   *
+   * Payload offsets inside a frame are therefore pure prefix sums over
+   * the op table — the layout is deliberately replayable by a SQL engine
+   * without recursion, unlike a rate-adaptive bitstream (the ADPCM
+   * oracle needed a recursive CTE; GDV1 was DESIGNED not to). */
+
+  case class GdvFrameRow(id: Long, frame_index: Int, luma_sum: Long,
+                         n_skip: Int, n_solid: Int, n_literal: Int)
+
+  /** Decode a GDV1 clip to per-frame integer statistics: luma_sum (the
+    * exact Σ of the decoded frame's pixels — integer, so the oracle
+    * compare has no float anywhere) plus the op counts. True inter-frame
+    * state: the frame buffer persists across frames and a skip chain
+    * carries frame-0 content arbitrarily far. Malformed payloads (bad
+    * magic, non-multiple-of-4 dims, truncated op table or payloads,
+    * offsets out of range) yield the single all--1 sentinel row — the
+    * crawl-scale contract every decoder here follows. Runs behind the
+    * same `mapPartitions` boundary as the JDK codecs. */
+  def decodeGdvFrames(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds: Dataset[BinRow] = graft.util.Partitioning.spread(
+      df.select(col(idCol).cast("long").as("id"), col(binCol).as("payload"))).as[BinRow]
+    ds.mapPartitions { it =>
+      it.flatMap { row =>
+        val b = row.payload
+        def sentinel = Seq(GdvFrameRow(row.id, -1, -1L, -1, -1, -1))
+        if (b.length < 10 || b(0) != 'G' || b(1) != 'D' || b(2) != 'V' || b(3) != '1')
+          sentinel
+        else {
+          val w = u16le(b, 4); val h = u16le(b, 6); val nFrames = u16le(b, 8)
+          if (w <= 0 || h <= 0 || w % 4 != 0 || h % 4 != 0 || nFrames < 1 ||
+              b.length < 10 + 4 * nFrames) sentinel
+          else {
+            val bw = w / 4; val bh = h / 4; val nBlocks = bw * bh
+            val buf = new Array[Byte](w * h) // implicit all-zero frame -1
+            val out = scala.collection.mutable.ArrayBuffer.empty[GdvFrameRow]
+            var f = 0
+            var ok = true
+            while (f < nFrames && ok) {
+              val off = u32le(b, 10 + 4 * f)
+              if (off < 0 || off + nBlocks > b.length) ok = false
+              else {
+                val ops = java.util.Arrays.copyOfRange(b, off.toInt, off.toInt + nBlocks)
+                if (ops.exists(o => o < 0 || o > 2)) ok = false
+                else {
+                  val nSolid = ops.count(_ == 1)
+                  val nLit = ops.count(_ == 2)
+                  val solidBase = off.toInt + nBlocks
+                  val litBase = solidBase + nSolid
+                  if (litBase + 16 * nLit > b.length) ok = false
+                  else {
+                    var si = 0; var li = 0; var blk = 0
+                    while (blk < nBlocks) {
+                      val by = blk / bw; val bx = blk % bw
+                      ops(blk) match {
+                        case 0 => // skip: buffer already holds prev content
+                        case 1 =>
+                          val v = b(solidBase + si); si += 1
+                          var py = 0
+                          while (py < 4) {
+                            var px = 0
+                            while (px < 4) {
+                              buf((by * 4 + py) * w + bx * 4 + px) = v; px += 1
+                            }
+                            py += 1
+                          }
+                        case 2 =>
+                          var py = 0
+                          while (py < 4) {
+                            var px = 0
+                            while (px < 4) {
+                              buf((by * 4 + py) * w + bx * 4 + px) =
+                                b(litBase + 16 * li + py * 4 + px)
+                              px += 1
+                            }
+                            py += 1
+                          }
+                          li += 1
+                      }
+                      blk += 1
+                    }
+                    var s = 0L; var i = 0
+                    while (i < buf.length) { s += (buf(i) & 0xff); i += 1 }
+                    out += GdvFrameRow(row.id, f, s, nBlocks - nSolid - nLit,
+                      nSolid, nLit)
+                  }
+                }
+              }
+              f += 1
+            }
+            if (!ok) sentinel else out.toSeq
+          }
+        }
+      }
+    }.toDF()
+  }
+
+  /** Deterministic GDV1 fixture: one 8x8, 4-frame clip per id whose
+    * pixels follow SQL-expressible formulas chosen so every op occurs —
+    * per block `b` (row-major 0..3), mode = (id + b) % 3:
+    * STATIC (mode 0, literal at frame 0 then a 3-hop skip chain):
+    * pixel = (id·31 + b·17 + p) % 256; SOLID-CYCLE (mode 1, a solid op
+    * every frame): (id·13 + b·7 + f·41) % 256; NOISY (mode 2, a literal
+    * every frame): (id·7 + b·29 + f·53 + p·3) % 256, with p = py·4+px.
+    * The encoder applies the canonical rules — skip iff identical to the
+    * previous frame, else solid iff uniform, else literal — so the
+    * decoded per-frame sums and op counts are pure functions of these
+    * formulas, which is exactly what the DuckDB oracle recomputes (the
+    * round-trip oracle pattern of [[encodePngDemo]]; the decoder alone
+    * is additionally pinned byte-level in PipelineSpec). */
+  def encodeGdvDemo(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val W = 8; val H = 8; val NF = 4
+    val bw = W / 4; val nBlocks = (W / 4) * (H / 4)
+    val ids = df.select(col(idCol).cast("long").as("id")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        def pix(f: Int, blk: Int, p: Int): Int =
+          (math.floorMod(id + blk, 3L).toInt match {
+            case 0 => math.floorMod(id * 31 + blk * 17 + p, 256L)
+            case 1 => math.floorMod(id * 13 + blk * 7 + f * 41L, 256L)
+            case _ => math.floorMod(id * 7 + blk * 29 + f * 53L + p * 3, 256L)
+          }).toInt
+        val frames = (0 until NF).map { f =>
+          (0 until nBlocks).map { blk =>
+            val cur = (0 until 16).map(p => pix(f, blk, p))
+            val same = f > 0 && (0 until 16).forall(p => pix(f - 1, blk, p) == cur(p))
+            if (same) (0.toByte, Array.empty[Byte])
+            else if (cur.forall(_ == cur.head)) (1.toByte, Array(cur.head.toByte))
+            else (2.toByte, cur.map(_.toByte).toArray)
+          }
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+        bos.write('G'); bos.write('D'); bos.write('V'); bos.write('1')
+        w16(W); w16(H); w16(NF)
+        // frame offsets: header 10 + 4*NF, then cumulative record sizes
+        var off = 10 + 4 * NF
+        frames.foreach { blocks =>
+          (0 until 4).foreach(i => bos.write((off >> (8 * i)) & 0xff))
+          off += nBlocks + blocks.map(_._2.length).sum
+        }
+        frames.foreach { blocks =>
+          blocks.foreach { case (op, _) => bos.write(op) }
+          blocks.foreach { case (op, pay) => if (op == 1) bos.write(pay) }
+          blocks.foreach { case (op, pay) => if (op == 2) bos.write(pay) }
+        }
+        BinRow(id, bos.toByteArray)
       }
     }.toDF().withColumnRenamed("id", idCol)
   }

@@ -931,16 +931,110 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(res(2L) == ((2500L, "2A2A2A2A")))
   }
 
-  test("stubbed decode is deterministic and in range") {
-    val res = Multimodal.fakeDecodeMeta(bin, "payload")
-    val rows = res.select("id", "width", "height", "channels")
-      .as[(Long, Int, Int, Int)].collect()
-    rows.foreach { case (_, w, h, c) =>
-      assert(w >= 1 && w <= 1920); assert(h >= 1 && h <= 1080); assert(c >= 1 && c <= 3)
+  // hand-assembled GDV1 payload: 4x4 (one block), 3 frames —
+  // literal(0..15), skip, solid(7). Pins the DECODER alone, byte-level
+  // (the round-trip tests below can't catch an encoder/decoder bug pair).
+  private def gdvHandcrafted: Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = (0 until 4).foreach(i => bos.write((v >> (8 * i)) & 0xff))
+    bos.write('G'); bos.write('D'); bos.write('V'); bos.write('1')
+    w16(4); w16(4); w16(3)
+    val base = 10 + 12
+    w32(base); w32(base + 17); w32(base + 18)  // lit: 1+16, skip: 1, solid: 1+1
+    bos.write(2); (0 until 16).foreach(bos.write)      // frame 0: literal 0..15
+    bos.write(0)                                        // frame 1: skip
+    bos.write(1); bos.write(7)                          // frame 2: solid 7
+    bos.toByteArray
+  }
+
+  test("GDV1 decoder, byte-level: literal / skip-carries-state / solid") {
+    val df = Seq((9L, gdvHandcrafted)).toDF("id", "payload")
+    val rows = Multimodal.decodeGdvFrames(df, "payload", "id")
+      .select("frame_index", "luma_sum", "n_skip", "n_solid", "n_literal")
+      .as[(Int, Long, Int, Int, Int)].collect().sortBy(_._1)
+    // frame 0: sum 0+..+15 = 120; frame 1 SKIP must carry frame 0's
+    // content (inter-frame state, not a re-zeroed buffer); frame 2: 16*7
+    assert(rows.toSeq == Seq((0, 120L, 0, 0, 1), (1, 120L, 1, 0, 0),
+      (2, 112L, 0, 1, 0)), rows.toSeq.toString)
+  }
+
+  test("GDV1: a multi-hop skip chain carries frame-0 content to the end") {
+    // 4x4, 4 frames: literal then three skips
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = (0 until 4).foreach(i => bos.write((v >> (8 * i)) & 0xff))
+    bos.write('G'); bos.write('D'); bos.write('V'); bos.write('1')
+    w16(4); w16(4); w16(4)
+    val base = 10 + 16
+    w32(base); w32(base + 17); w32(base + 18); w32(base + 19)
+    bos.write(2); (10 until 26).foreach(bos.write)
+    bos.write(0); bos.write(0); bos.write(0)
+    val df = Seq((1L, bos.toByteArray)).toDF("id", "payload")
+    val sums = Multimodal.decodeGdvFrames(df, "payload", "id")
+      .select("frame_index", "luma_sum").as[(Int, Long)].collect().sortBy(_._1)
+    val expect = (10 until 26).sum.toLong
+    assert(sums.toSeq == (0 until 4).map(f => (f, expect)), sums.toSeq.toString)
+  }
+
+  test("GDV1: frame-0 skip reads the implicit zero frame; malformed " +
+    "payloads sentinel") {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = (0 until 4).foreach(i => bos.write((v >> (8 * i)) & 0xff))
+    bos.write('G'); bos.write('D'); bos.write('V'); bos.write('1')
+    w16(4); w16(4); w16(1); w32(14)
+    bos.write(0) // frame 0: skip -> all zeros by definition
+    val zero = Multimodal.decodeGdvFrames(
+        Seq((1L, bos.toByteArray)).toDF("id", "payload"), "payload", "id")
+      .select("frame_index", "luma_sum").as[(Int, Long)].collect().toSeq
+    assert(zero == Seq((0, 0L)), zero.toString)
+    // malformed: wrong magic, truncated ops, bad dims, offset past end,
+    // truncated literal payload — each a single all--1 sentinel row
+    val good = gdvHandcrafted
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    val truncated = good.take(good.length - 5)
+    val badDims = good.clone(); badDims(4) = 3  // width 3: not mult of 4
+    val badOff = good.clone(); badOff(10) = 200.toByte
+    val bad = Seq((1L, badMagic), (2L, truncated), (3L, badDims),
+      (4L, badOff), (5L, "AVI nonsense".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val rows = Multimodal.decodeGdvFrames(bad, "payload", "id")
+      .select("id", "frame_index", "luma_sum", "n_skip", "n_solid", "n_literal")
+      .as[(Long, Int, Long, Int, Int, Int)].collect()
+    assert(rows.length == 5 &&
+      rows.forall(r => r._2 == -1 && r._3 == -1L && r._4 == -1 && r._5 == -1 && r._6 == -1),
+      rows.toSeq.toString)
+  }
+
+  test("GDV1 round trip: the demo fixture decodes to the generator's " +
+    "exact sums and op counts, all three ops exercised") {
+    val ids = Seq(0L, 1L, 2L, 17L, 100L).toDF("doc_id")
+    val rows = Multimodal.decodeGdvFrames(
+        Multimodal.encodeGdvDemo(ids, "doc_id"), "payload", "doc_id")
+      .select("id", "frame_index", "luma_sum", "n_skip", "n_solid", "n_literal")
+      .as[(Long, Int, Long, Int, Int, Int)].collect()
+    assert(rows.length == 5 * 4)
+    def pix(id: Long, f: Int, blk: Int, p: Int): Long =
+      math.floorMod(id + blk, 3L) match {
+        case 0 => math.floorMod(id * 31 + blk * 17 + p, 256L)
+        case 1 => math.floorMod(id * 13 + blk * 7 + f * 41L, 256L)
+        case _ => math.floorMod(id * 7 + blk * 29 + f * 53L + p * 3, 256L)
+      }
+    rows.foreach { case (id, f, sum, nSkip, nSolid, nLit) =>
+      val expect = (0 until 4).map(b => (0 until 16).map(p => pix(id, f, b, p)).sum).sum
+      assert(sum == expect, s"id=$id f=$f: $sum != $expect")
+      // encoder rules on the formulas: mode 0 skips after frame 0,
+      // mode 1 is solid every frame, mode 2 literal every frame
+      val modes = (0 until 4).map(b => math.floorMod(id + b, 3L))
+      val eSkip = if (f == 0) 0 else modes.count(_ == 0)
+      val eSolid = modes.count(_ == 1)
+      val eLit = if (f == 0) modes.count(_ != 1) else modes.count(_ == 2)
+      assert((nSkip, nSolid, nLit) == ((eSkip, eSolid, eLit)),
+        s"id=$id f=$f ops ($nSkip,$nSolid,$nLit) != ($eSkip,$eSolid,$eLit)")
     }
-    val again = Multimodal.fakeDecodeMeta(bin, "payload")
-      .select("id", "width", "height", "channels").as[(Long, Int, Int, Int)].collect()
-    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // every op occurs somewhere in the fixture
+    assert(rows.exists(_._4 > 0) && rows.exists(_._5 > 0) && rows.exists(_._6 > 0))
   }
 
   test("binary chunking produces ceil(n/chunk) rows with exact byte split") {
@@ -951,12 +1045,6 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(res(2L) == ((3L, 2500L)))   // 1024 + 1024 + 452
   }
 
-  test("mapPartitions batch decode shape") {
-    val res = Multimodal.decodeBatch(bin, "payload", "id")
-    val rows = res.as[(Long, Int, Double)].collect().sortBy(_._1)
-    assert(rows.map(_._2).toSeq == Seq(11, 2500, 0))
-    assert(rows.forall { case (_, _, f) => f >= 0.0 && f <= 1.0 })
-  }
 
   test("real PNG decode: round trip reports encoded dims; garbage gets sentinels") {
     val ids = Seq(5L, 14L, 91L).toDF("doc_id")
