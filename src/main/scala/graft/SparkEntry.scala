@@ -328,6 +328,20 @@ object SparkEntry {
           sround(col("margin"), 6).as("margin"),
           sround(col("qcosine"), 6).as("qcosine"))
     }),
+    // union-rerank IVF arm (the margin-inflation mitigation, SCALE.md
+    // round 10) at nProbe = nCells: exact probes + union top-k collapse
+    // to the exact kNN lists, so the whole path provably equals the
+    // brute arm and shares its oracle; partial-probe P/R gain is
+    // measured in tools.BitextRecall
+    "embed_bitext_margin_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      AnnSearch.bitextMarginMineIvfRerank(emb.where(col("vec_id") % 2 === 0),
+          emb.where(col("vec_id") % 2 === 1), "embedding", "vec_id", k = 4,
+          dim = 64, nCells = 8, nProbe = 8)
+        .select(col("src_id"), col("tgt_id"),
+          sround(col("margin"), 6).as("margin"),
+          sround(col("qcosine"), 6).as("qcosine"))
+    }),
     // IVF (k-means coarse quantizer) variant: at nProbe = nCells the cell
     // routing provably reproduces brute force, so the plumbing (trainer,
     // assignment, probing, re-rank) is oracled exactly; recall at partial
@@ -1650,6 +1664,47 @@ object SparkEntry {
              FROM s)
        SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 10"""
 
+  private val BitextMarginOracle: String =
+      """WITH z AS (SELECT vec_id, embedding,
+                list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+              FROM embeddings),
+         qz AS (SELECT vec_id,
+                  CASE WHEN ma > 0
+                       THEN list_transform(embedding,
+                              x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma) AS BIGINT))
+                       ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS q
+                FROM z),
+         n AS (SELECT vec_id, q,
+                 CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM qz),
+         src AS (SELECT vec_id AS sid, q AS sq, n2 AS sn FROM n
+                 WHERE vec_id % 2 = 0 AND n2 > 0),
+         tgt AS (SELECT vec_id AS tid, q AS tq, n2 AS tn FROM n
+                 WHERE vec_id % 2 = 1 AND n2 > 0),
+         cosab AS (SELECT sid, tid,
+                     CAST(CAST(list_sum(list_transform(range(1, 65), i -> sq[i] * tq[i])) AS BIGINT) AS DOUBLE)
+                       / sqrt(CAST(sn AS DOUBLE) * CAST(tn AS DOUBLE)) AS qc
+                   FROM src CROSS JOIN tgt),
+         g AS (SELECT sid, tid, qc, CAST(round(qc * 1000000) AS BIGINT) AS qci FROM cosab),
+         fk AS (SELECT * FROM (SELECT sid, tid, qc, qci,
+                  row_number() OVER (PARTITION BY sid ORDER BY qc DESC, tid) AS r FROM g)
+                WHERE r <= 4),
+         bk AS (SELECT * FROM (SELECT sid, tid, qci,
+                  row_number() OVER (PARTITION BY tid ORDER BY qc DESC, sid) AS r FROM g)
+                WHERE r <= 4),
+         px AS (SELECT sid, sum(qci) AS pxs, count(*) AS nx FROM fk GROUP BY sid),
+         py AS (SELECT tid, sum(qci) AS pys, count(*) AS ny FROM bk GROUP BY tid),
+         m AS (SELECT f.sid, f.tid, f.qc,
+                 CAST(f.qci AS DOUBLE) /
+                   greatest((CAST(pxs AS DOUBLE) / nx + CAST(pys AS DOUBLE) / ny) / 2.0,
+                            1.0) AS margin
+               FROM fk f JOIN px USING (sid) JOIN py USING (tid)),
+         best AS (SELECT sid, tid, margin, qc,
+                    row_number() OVER (PARTITION BY sid ORDER BY margin DESC, tid) AS rn
+                  FROM m)
+         SELECT sid AS src_id, tid AS tgt_id, round(margin, 6) AS margin,
+                round(qc, 6) AS qcosine
+         FROM best WHERE rn = 1"""
+
   def oracleSql: Map[String, String] = Map(
     "fuzzy_join_levenshtein" ->
       """SELECT c.c_custkey AS c_custkey, s.s_suppkey AS s_suppkey,
@@ -2006,46 +2061,11 @@ object SparkEntry {
     // top-4 penalties as 1e-6-grid BIGINT sums (order-independent), the
     // ratio margin as one double expression over five integers, argmax
     // per src with ties to the smaller tgt id
-    "embed_bitext_margin" ->
-      """WITH z AS (SELECT vec_id, embedding,
-                list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
-              FROM embeddings),
-         qz AS (SELECT vec_id,
-                  CASE WHEN ma > 0
-                       THEN list_transform(embedding,
-                              x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma) AS BIGINT))
-                       ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS q
-                FROM z),
-         n AS (SELECT vec_id, q,
-                 CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM qz),
-         src AS (SELECT vec_id AS sid, q AS sq, n2 AS sn FROM n
-                 WHERE vec_id % 2 = 0 AND n2 > 0),
-         tgt AS (SELECT vec_id AS tid, q AS tq, n2 AS tn FROM n
-                 WHERE vec_id % 2 = 1 AND n2 > 0),
-         cosab AS (SELECT sid, tid,
-                     CAST(CAST(list_sum(list_transform(range(1, 65), i -> sq[i] * tq[i])) AS BIGINT) AS DOUBLE)
-                       / sqrt(CAST(sn AS DOUBLE) * CAST(tn AS DOUBLE)) AS qc
-                   FROM src CROSS JOIN tgt),
-         g AS (SELECT sid, tid, qc, CAST(round(qc * 1000000) AS BIGINT) AS qci FROM cosab),
-         fk AS (SELECT * FROM (SELECT sid, tid, qc, qci,
-                  row_number() OVER (PARTITION BY sid ORDER BY qc DESC, tid) AS r FROM g)
-                WHERE r <= 4),
-         bk AS (SELECT * FROM (SELECT sid, tid, qci,
-                  row_number() OVER (PARTITION BY tid ORDER BY qc DESC, sid) AS r FROM g)
-                WHERE r <= 4),
-         px AS (SELECT sid, sum(qci) AS pxs, count(*) AS nx FROM fk GROUP BY sid),
-         py AS (SELECT tid, sum(qci) AS pys, count(*) AS ny FROM bk GROUP BY tid),
-         m AS (SELECT f.sid, f.tid, f.qc,
-                 CAST(f.qci AS DOUBLE) /
-                   greatest((CAST(pxs AS DOUBLE) / nx + CAST(pys AS DOUBLE) / ny) / 2.0,
-                            1.0) AS margin
-               FROM fk f JOIN px USING (sid) JOIN py USING (tid)),
-         best AS (SELECT sid, tid, margin, qc,
-                    row_number() OVER (PARTITION BY sid ORDER BY margin DESC, tid) AS rn
-                  FROM m)
-         SELECT sid AS src_id, tid AS tgt_id, round(margin, 6) AS margin,
-                round(qc, 6) AS qcosine
-         FROM best WHERE rn = 1""",
+    "embed_bitext_margin" -> BitextMarginOracle,
+    // the union-rerank arm at nProbe = nCells: both probes are exact,
+    // the union top-k collapses to the exact kNN lists, and the whole
+    // path provably equals the brute arm — ONE oracle, single-sourced
+    "embed_bitext_margin_rerank" -> BitextMarginOracle,
     // sign-LSH with md5-derived INTEGER planes and floor(v * 4096)
     // quantization: every dot product is exact integer arithmetic, so the
     // bucket assignment — and therefore the candidate set and the ranked

@@ -200,6 +200,47 @@ object AnnSearch {
       ivfTopK(q, c, vecCol, idCol, kk, dim, nCells, nProbe,
         int8Rerank = true, excludeSelf = false))
 
+  /** [[bitextMarginMineIvf]] with UNION re-ranking — the mitigation for
+    * the measured margin-inflation failure mode (SCALE.md, round 10):
+    * a partial-probe kNN list that missed close competitors
+    * underestimates the Artetxe penalty mean and pushes pairs over the
+    * margin bar that the exact arm rejects. Here each direction's
+    * penalty list is the top-k BY COSINE of the union of BOTH
+    * directions' retrieved edges incident to the vector — a competitor
+    * found by either probe pattern depresses both sides' penalties, at
+    * the cost of one edge-union + two heap top-k passes over candidate
+    * edges (O(candidates·k), never n²). The margin layer itself is
+    * unchanged ([[bitextMarginMineWith]] over a custom retrieve stage);
+    * at nProbe = nCells both probes are exact, the union's top-k
+    * collapses to the exact kNN list, and the whole path provably
+    * equals [[bitextMarginMine]] — the oracle-checkable configuration.
+    * Pair-level P/R gain at partial probe is measured in
+    * `tools.BitextRecall` (SCALE.md). */
+  def bitextMarginMineIvfRerank(src: DataFrame, tgt: DataFrame, vecCol: String,
+                                idCol: String, k: Int, dim: Int,
+                                nCells: Int = 64, nProbe: Int = 8): DataFrame = {
+    val fwdE = ivfTopK(src, tgt, vecCol, idCol, k, dim, nCells, nProbe,
+      int8Rerank = true, excludeSelf = false)
+      .select(col("query_id"), col("corpus_id"), col("qcosine"))
+    val bwdE = ivfTopK(tgt, src, vecCol, idCol, k, dim, nCells, nProbe,
+      int8Rerank = true, excludeSelf = false)
+      .select(col("corpus_id").as("query_id"), col("query_id").as("corpus_id"),
+        col("qcosine"))
+    // src→tgt-oriented union; the int8 cosine kernel is bitwise
+    // direction-symmetric, so duplicate (s, t) edges carry equal
+    // cosines and the dedup is value-stable
+    val edges = fwdE.unionByName(bwdE)
+      .dropDuplicates("query_id", "corpus_id")
+      .transform(materializeNarrow) // feeds both directions' top-k
+    bitextMarginMineWith(src, tgt, k) { (q, _, kk) =>
+      val oriented =
+        if (q eq src) edges
+        else edges.select(col("corpus_id").as("query_id"),
+          col("query_id").as("corpus_id"), col("qcosine"))
+      rankTopK(oriented, "qcosine", kk).drop("rank")
+    }
+  }
+
   /** The margin layer over a caller-supplied retrieval stage:
     * `retrieve(queries, corpus, k)` must emit
     * (query_id, corpus_id, qcosine) rows — the layer is

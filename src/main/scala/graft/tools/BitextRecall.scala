@@ -39,9 +39,15 @@ object BitextRecall {
       .select(col("src_id"), col("tgt_id").as("tgt_ivf"),
         col("margin").as("margin_ivf"))
       .localCheckpoint()
+    val rr = AnnSearch.bitextMarginMineIvfRerank(src, tgt, "embedding", "vec_id", 4,
+        dim = 64, nCells = cells, nProbe = nProbe)
+      .select(col("src_id"), col("tgt_id").as("tgt_rr"),
+        col("margin").as("margin_rr"))
+      .localCheckpoint()
     val j = brute.join(ivf, Seq("src_id"), "outer")
+      .join(rr, Seq("src_id"), "outer")
       .select(col("src_id"), col("tgt_brute"), col("tgt_ivf"), col("margin"),
-        col("margin_ivf"))
+        col("margin_ivf"), col("tgt_rr"), col("margin_rr"))
       .localCheckpoint()
     val total = j.count()
     require(total > 0, s"no mined pairs at all in $sfDir — empty or " +
@@ -68,21 +74,22 @@ object BitextRecall {
     // mined pair list), not just the retrieval argmax: an IVF pair can
     // clear the bar on an overestimated margin (its own kNN saw fewer
     // competitors), which agreement-over-brute-kept rows never counts.
-    val pairPr = Seq(1.0, 1.05, 1.1, 1.2).map { thr =>
-      val bKept = j.where(col("margin") >= thr && col("tgt_brute").isNotNull)
-      val iKept = j.where(col("margin_ivf") >= thr && col("tgt_ivf").isNotNull)
-      val nB = bKept.count()
-      val nI = iKept.count()
-      val hit = j.where(col("margin") >= thr && col("margin_ivf") >= thr &&
-        col("tgt_brute") === col("tgt_ivf")).count()
-      f""""thr_$thr%.2f":{"brute_pairs":$nB,"ivf_pairs":$nI,""" +
-        f""""precision":${if (nI == 0) 0.0 else hit.toDouble / nI}%.4f,""" +
-        f""""recall":${if (nB == 0) 0.0 else hit.toDouble / nB}%.4f}"""
-    }.mkString(",")
+    def prBands(tgtCol: String, marginCol: String): String =
+      Seq(1.0, 1.05, 1.1, 1.2).map { thr =>
+        val nB = j.where(col("margin") >= thr && col("tgt_brute").isNotNull).count()
+        val nI = j.where(col(marginCol) >= thr && col(tgtCol).isNotNull).count()
+        val hit = j.where(col("margin") >= thr && col(marginCol) >= thr &&
+          col("tgt_brute") === col(tgtCol)).count()
+        f""""thr_$thr%.2f":{"brute_pairs":$nB,"arm_pairs":$nI,""" +
+          f""""precision":${if (nI == 0) 0.0 else hit.toDouble / nI}%.4f,""" +
+          f""""recall":${if (nB == 0) 0.0 else hit.toDouble / nB}%.4f}"""
+      }.mkString(",")
+    val pairPr = prBands("tgt_ivf", "margin_ivf")
+    val pairPrRr = prBands("tgt_rr", "margin_rr")
     println(s"""{"metric":"bitext_ivf_agreement","sf":"$sfDir","srcs":$total,""" +
       f""""agree":$agree,"agree_frac":${agree.toDouble / total}%.4f,""" +
       f""""mean_margin_of_disagreements":$meanDisagreeMargin%.4f,$bands,""" +
-      s""""pair_pr":{$pairPr}}""")
+      s""""pair_pr":{$pairPr},"pair_pr_rerank":{$pairPrRr}}""")
     spark.stop()
   }
 }
