@@ -377,6 +377,38 @@ class AnnSearchSpec extends AnyFunSuite with SparkSpec {
       s"IVF arm can't mine any equal-id pair: ${ivfMined.toSeq}")
   }
 
+  test("bitext union-rerank: equals the brute arm at full probe, and at " +
+    "partial probe its margins can only SHRINK vs the plain IVF arm") {
+    val src = emb.where($"vec_id" % 2 === 0)
+    val tgt = emb.where($"vec_id" % 2 === 1)
+    def tuples(df: org.apache.spark.sql.DataFrame) = df
+      .select($"src_id", $"tgt_id",
+        org.apache.spark.sql.functions.round($"margin", 9).as("m"))
+      .as[(Long, Long, Double)].collect().toSet
+    // full probe: union top-k collapses to the exact kNN lists — the
+    // whole path equals the brute arm (this is why the oracle is shared)
+    val brute = tuples(AnnSearch.bitextMarginMine(src, tgt, "embedding", "vec_id", 4))
+    val full = tuples(AnnSearch.bitextMarginMineIvfRerank(src, tgt, "embedding",
+      "vec_id", 4, dim = 64, nCells = 4, nProbe = 4))
+    assert(brute == full && brute.nonEmpty, s"${brute.size} vs ${full.size}")
+    // partial probe: the union penalty list is a top-k over a SUPERSET
+    // of the plain arm's own-direction list, so each side's penalty mean
+    // can only rise and each pair's margin can only fall — the
+    // margin-inflation mitigation as an invariant, not just a measurement
+    def margins(df: org.apache.spark.sql.DataFrame) = df
+      .select($"src_id", $"tgt_id", $"margin").as[(Long, Long, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    val ivf = margins(AnnSearch.bitextMarginMineIvf(src, tgt, "embedding",
+      "vec_id", 4, dim = 64, nCells = 8, nProbe = 2))
+    val rr = margins(AnnSearch.bitextMarginMineIvfRerank(src, tgt, "embedding",
+      "vec_id", 4, dim = 64, nCells = 8, nProbe = 2))
+    val common = ivf.keySet & rr.keySet
+    assert(common.nonEmpty, "no common mined pairs at partial probe")
+    common.foreach { p =>
+      assert(rr(p) <= ivf(p) + 1e-9, s"pair $p: rerank ${rr(p)} > ivf ${ivf(p)}")
+    }
+  }
+
   test("brute-force top-k is deterministic and correctly ranked") {
     val queries = emb.where($"vec_id" < 5)
     val res = AnnSearch.bruteForceTopK(queries, emb, "embedding", "vec_id", 10)
