@@ -554,6 +554,13 @@ object SparkEntry {
     "curate_sample_exact" -> ((s, dir) =>
       Curation.sampleExactN(t(s, dir, "documents"), "doc_id", 200)
         .select(col("doc_id"), col("sample_rank"))),
+    // per-stratum exact-N quota sample (balanced eval sets): the heap
+    // keyed by the stratum — n entries per stratum of aggregate state,
+    // unbounded stratum cardinality, never a window sort
+    "curate_sample_exact_stratum" -> ((s, dir) =>
+      Curation.sampleExactNPerStratum(t(s, dir, "documents"), "doc_id",
+          "source", 20)
+        .select(col("doc_id"), col("source"), col("sample_rank"))),
     // soft dedup: every copy kept at 1/n weight (duplicated content
     // contributes once in expectation; provenance survives)
     "curate_dup_weights" -> ((s, dir) =>
@@ -1330,6 +1337,14 @@ object SparkEntry {
     // ---- C4-style blocklist gate over multi-word phrases: word-n-gram
     // membership against a broadcast phrase set, one codegen projection;
     // the oracle is GENERATED from the same DemoBlockPhrases list
+    // ---- Unicode-script profile: per-doc character counts over
+    // explicit code-point ranges (NOT \p{script=...}, whose member sets
+    // drift with each engine's Unicode tables), dominant letter script
+    // with alphabetical tie-break. One codegen projection; oracle
+    // GENERATED from the same scriptRanges table, ranges mechanically
+    // translated \uXXXX -> \x{XXXX} for RE2
+    "text_script_profile" -> ((s, dir) =>
+      TextAnalysis.scriptProfile(t(s, dir, "documents"), "text", "doc_id")),
     "text_blocklist" -> ((s, dir) =>
       TextAnalysis.blocklistFlags(t(s, dir, "documents"), "text", "doc_id",
         SparkEntry.DemoBlockPhrases)),
@@ -2609,6 +2624,17 @@ object SparkEntry {
              CAST(row_number() OVER (ORDER BY key, doc_id) AS INT) AS sample_rank
            FROM k ORDER BY key, doc_id LIMIT 200)
          SELECT doc_id, sample_rank FROM top""",
+    // same 52-bit md5 order, partitioned by the stratum
+    "curate_sample_exact_stratum" ->
+      """WITH k AS (SELECT doc_id, source,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS key
+           FROM documents),
+         top AS (SELECT doc_id,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS INT) AS sample_rank
+           FROM k)
+         SELECT d.doc_id, d.source, t.sample_rank
+         FROM documents d JOIN top t USING (doc_id)
+         WHERE t.sample_rank <= 20""",
     "curate_stratified" ->
       """SELECT doc_id, source FROM documents
          WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 <
@@ -3583,6 +3609,9 @@ object SparkEntry {
                 ELSE 'head' END AS bucket
          FROM g CROSS JOIN qs""",
     // generated from the same phrase list as the implementation
+    // generated from the same scriptRanges table as the implementation
+    "text_script_profile" -> TextAnalysis.scriptProfileOracleSql(
+      "documents", "text", "doc_id"),
     "text_blocklist" -> TextAnalysis.blocklistOracleSql(
       "documents", "text", "doc_id", SparkEntry.DemoBlockPhrases),
     // every rule is an integer-count comparison (10*sym <= n_words etc.)

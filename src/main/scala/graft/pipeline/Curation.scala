@@ -70,6 +70,36 @@ object Curation {
     df.join(picked, Seq(idCol))
   }
 
+  /** Per-stratum EXACT-n sample — quota sampling for balanced eval sets
+    * (n docs per language/source regardless of stratum skew): the n
+    * smallest md5 order keys WITHIN each stratum, the [[sampleExactN]]
+    * heap keyed by the stratum column instead of a global constant. One
+    * hash aggregate shuffled on the stratum (each map-side partial holds
+    * at most n fixed-size entries per stratum it sees — never a window
+    * function's per-stratum sort over the corpus), then the id equi-join
+    * re-attach. NULL strata form their own stratum (groupBy keeps them;
+    * the re-attach joins on the id alone, so no null-key join anywhere).
+    * Stratum cardinality is UNBOUNDED — state is n entries per stratum,
+    * not a driver-side table, so a million strata is fine where
+    * [[temperatureSample]]'s rate-table collect must refuse. Emits the
+    * original row plus `sample_rank` (1-based md5 order within the
+    * stratum). */
+  def sampleExactNPerStratum(df: DataFrame, idCol: String, strataCol: String,
+                             n: Int): DataFrame = {
+    require(n > 0, s"n must be positive (got $n)")
+    val key = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val picked = df
+      .select(col(strataCol).as("__st"), col(idCol).cast("long").as(idCol),
+        (-key.cast("double")).as("__negkey"))
+      .groupBy(col("__st"))
+      .agg(graft.fuzzy.vectorFunctions.topk_pairs(col("__negkey"), col(idCol), n)
+        .as("__tk"))
+      .select(posexplode(col("__tk")))
+      .select(col("col.id").as(idCol), (col("pos") + 1).cast("int").as("sample_rank"))
+    df.join(picked, Seq(idCol))
+  }
+
   /** Temperature (α) resampling across strata — the multilingual
     * rebalancing step of XLM-R-style corpus assembly: with stratum
     * shares p_s, the keep rate is `(p_s / p_min)^(α-1)` — the RAREST

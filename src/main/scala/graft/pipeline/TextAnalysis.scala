@@ -1011,4 +1011,88 @@ object TextAnalysis {
   def winnowFingerprints(text: Column, k: Int = 5, window: Int = 4,
                          useMd5: Boolean = false): Column =
     graft.fuzzy.vectorFunctions.winnow_sketch(lower(trim(text)), k, window, useMd5)
+
+  /** Unicode-script character classes by EXPLICIT code-point ranges —
+    * deliberately not `\p{script=...}` properties, whose member sets
+    * depend on each engine's Unicode table version; fixed ranges behave
+    * identically in Java regex and RE2/DuckDB, so the counts replay
+    * bit-for-bit. Ranges cover each script's core block (the crawl-triage
+    * signal), not its full Unicode closure. */
+  private[graft] val scriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-z\\u00C0-\\u024F",
+    "cyrillic" -> "\\u0400-\\u04FF",
+    "greek" -> "\\u0370-\\u03FF",
+    "arabic" -> "\\u0600-\\u06FF",
+    "hebrew" -> "\\u0590-\\u05FF",
+    "devanagari" -> "\\u0900-\\u097F",
+    "cjk" -> "\\u3040-\\u30FF\\u4E00-\\u9FFF",
+    "hangul" -> "\\uAC00-\\uD7AF",
+    "digit" -> "0-9")
+
+  /** Per-document Unicode-script profile — the crawl-triage signal next
+    * to the n-gram [[langId]] (script is cheaper and catches what
+    * marker-word language ID cannot: wrong-script injection inside a
+    * right-language page, mixed-script spam, mislabeled CJK). Counts
+    * characters per script class (explicit code-point ranges, see
+    * [[scriptRanges]]), then the dominant LETTER script (digits
+    * excluded) with ties broken alphabetically, and its share of all
+    * script-classified letters. Documents with no classified letters
+    * report dominant "none" at ratio 0. One codegen projection —
+    * counting is `length(x) - length(regexp_replace(x, cls, ''))`, no
+    * explode, no shuffle, scan-speed at 100 TB. */
+  def scriptProfile(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // NULL text profiles as empty (all-zero counts, dominant "none") —
+    // the engine-wide no-nullable-output convention
+    val txt = coalesce(col(textCol), lit(""))
+    val counts = scriptRanges.map { case (name, ranges) =>
+      name -> (length(txt) -
+        length(regexp_replace(txt, s"[$ranges]", ""))).cast("long")
+    }
+    val letters = counts.filterNot(_._1 == "digit")
+    val total = letters.map(_._2).reduce(_ + _)
+    // deterministic argmax: fold in REVERSE alphabetical order with >=,
+    // so an earlier name wins ties
+    val (n0, c0) = letters.sortBy(_._1).reverse.head
+    val (domName, domCount) = letters.sortBy(_._1).reverse.tail
+      .foldLeft((lit(n0), c0)) { case ((bn, bc), (n, c)) =>
+        (when(c >= bc, lit(n)).otherwise(bn), when(c >= bc, c).otherwise(bc))
+      }
+    df.select(Seq(col(idCol)) ++
+      counts.map { case (n, c) => c.as(s"n_$n") } ++ Seq(
+      total.as("n_script_chars"),
+      when(total === 0, "none").otherwise(domName).as("dominant_script"),
+      when(total === 0, 0.0)
+        .otherwise(round(domCount.cast("double") / total.cast("double"), 6))
+        .as("dominant_ratio")): _*)
+  }
+
+  /** DuckDB replay of [[scriptProfile]], GENERATED from the same
+    * [[scriptRanges]] table — the class definitions cannot drift between
+    * the implementation and the oracle. */
+  def scriptProfileOracleSql(table: String, textCol: String,
+                             idCol: String): String = {
+    // Java regex spells a BMP code point \uXXXX; RE2 (DuckDB) spells it
+    // \x{XXXX} — same ranges, translated mechanically
+    def re(ranges: String): String =
+      "\\\\u([0-9A-Fa-f]{4})".r.replaceAllIn(ranges, m => s"\\\\x{${m.group(1)}}")
+    val cnt = scriptRanges.map { case (name, ranges) =>
+      s"length(coalesce($textCol, '')) - length(regexp_replace(coalesce($textCol, ''), '[${re(ranges)}]', '', 'g')) AS n_$name"
+    }.mkString(",\n                ")
+    val letters = scriptRanges.map(_._1).filterNot(_ == "digit").sorted
+    val total = letters.map("n_" + _).mkString(" + ")
+    val domPairs = letters.map(n => s"(SELECT 'KEY' AS s, n_KEY AS c)".replace("KEY", n))
+    s"""WITH c AS (SELECT $idCol,
+                $cnt
+              FROM $table),
+       t AS (SELECT *, $total AS n_script_chars FROM c),
+       d AS (SELECT $idCol, s AS dominant_script, c AS dom_count,
+               row_number() OVER (PARTITION BY $idCol ORDER BY c DESC, s) AS rn
+             FROM t, LATERAL (${domPairs.mkString(" UNION ALL ")}) AS l(s, c))
+       SELECT t.$idCol, ${scriptRanges.map(r => s"CAST(t.n_${r._1} AS BIGINT) AS n_${r._1}").mkString(", ")},
+              CAST(t.n_script_chars AS BIGINT) AS n_script_chars,
+              CASE WHEN t.n_script_chars = 0 THEN 'none' ELSE d.dominant_script END AS dominant_script,
+              CASE WHEN t.n_script_chars = 0 THEN 0.0
+                   ELSE round(CAST(d.dom_count AS DOUBLE) / t.n_script_chars, 6) END AS dominant_ratio
+       FROM t JOIN d ON t.$idCol = d.$idCol AND d.rn = 1"""
+  }
 }

@@ -134,6 +134,31 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("broadcast-join"), e.getMessage)
   }
 
+  test("sampleExactNPerStratum: exactly n per stratum (all rows when a " +
+    "stratum is smaller), null strata are their own stratum, ranks are " +
+    "the global sampler's order restricted to the stratum") {
+    val d = ((1 to 100).map(i => (i.toLong, "en")) ++
+      (101 to 130).map(i => (i.toLong, "fr")) ++
+      (131 to 133).map(i => (i.toLong, null.asInstanceOf[String])))
+      .toDF("doc_id", "lang")
+    val got = Curation.sampleExactNPerStratum(d, "doc_id", "lang", 10)
+      .collect().map(r => (Option(r.getAs[String]("lang")),
+        r.getAs[Long]("doc_id"), r.getAs[Int]("sample_rank")))
+    val bySt = got.groupBy(_._1)
+    assert(bySt(Some("en")).length == 10 && bySt(Some("fr")).length == 10)
+    // the 3-row null stratum keeps everything, ranked 1..3
+    assert(bySt(None).map(_._3).sorted.toSeq == Seq(1, 2, 3))
+    // within each stratum the ranks are 1..n and follow the same md5
+    // order the global sampler uses
+    bySt.foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+    val enGlobal = Curation.sampleExactN(
+        d.where(col("lang") === "en"), "doc_id", 10)
+      .select("doc_id", "sample_rank").as[(Long, Int)].collect().toSet
+    assert(bySt(Some("en")).map(t => (t._2, t._3)).toSet == enGlobal)
+  }
+
   test("sampleExactN accepts an INT id column (casts to long for the heap)") {
     val d = (1 to 100).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val got = Curation.sampleExactN(d, "doc_id", 10)

@@ -541,6 +541,33 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
 
   import spark.implicits._
 
+  test("scriptProfile: counts per code-point range, dominant letter " +
+    "script with alphabetical tie-break, digits excluded, null/empty " +
+    "-> none") {
+    val docs = Seq(
+      (1L, "hello world"),                       // pure latin
+      (2L, "привет мир"),                        // pure cyrillic
+      (3L, "日本語のテキスト"),                   // cjk (kana + kanji)
+      (4L, "abc привет 123"),                    // mixed; digits not dominant
+      (5L, "42 + 17 = 59"),                      // digits only -> none
+      (6L, null.asInstanceOf[String]),           // null -> none
+      (7L, "ab пр")                              // 2 vs 2 tie -> cyrillic (alphabetical)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.scriptProfile(docs, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("dominant_script"), r.getAs[Double]("dominant_ratio"),
+          r.getAs[Long]("n_latin"), r.getAs[Long]("n_cyrillic"),
+          r.getAs[Long]("n_cjk"), r.getAs[Long]("n_digit")))).toMap
+    assert(got(1L) == (("latin", 1.0, 10L, 0L, 0L, 0L)), s"${got(1L)}")
+    assert(got(2L) == (("cyrillic", 1.0, 0L, 9L, 0L, 0L)), s"${got(2L)}")
+    assert(got(3L)._1 == "cjk" && got(3L)._2 == 1.0 && got(3L)._5 == 8L, s"${got(3L)}")
+    // doc 4: 3 latin vs 6 cyrillic, 3 digits ignored for dominance
+    assert(got(4L)._1 == "cyrillic" && got(4L)._4 == 6L && got(4L)._6 == 3L, s"${got(4L)}")
+    assert(got(5L) == (("none", 0.0, 0L, 0L, 0L, 6L)), s"${got(5L)}")
+    assert(got(6L) == (("none", 0.0, 0L, 0L, 0L, 0L)), s"${got(6L)}")
+    assert(got(7L)._1 == "cyrillic" && got(7L)._2 == 0.5, s"${got(7L)}")
+  }
+
   test("blocklist: multi-word phrases match contiguously only, " +
     "normalization folds case/spacing, counts are exact") {
     val docs = Seq(
