@@ -1337,6 +1337,17 @@ object SparkEntry {
     // ---- C4-style blocklist gate over multi-word phrases: word-n-gram
     // membership against a broadcast phrase set, one codegen projection;
     // the oracle is GENERATED from the same DemoBlockPhrases list
+    // ---- Shannon entropy of the char/token distributions (gibberish /
+    // base64-spill / template detector): per-symbol c*ln(c) terms landed
+    // on the 1e-6 BIGINT grid before the per-doc sum (the LM/BM25 float
+    // discipline), id-spine left join so every doc emits exactly one row
+    "text_entropy" -> ((s, dir) =>
+      TextAnalysis.entropyProfile(t(s, dir, "documents"), "text", "doc_id")),
+    // ---- code-likeness (prose/code routing): bracket/semicolon density
+    // + indented-line structure, exact integer counts, transparent fixed
+    // weights, one codegen projection
+    "text_code_score" -> ((s, dir) =>
+      TextAnalysis.codeScore(t(s, dir, "documents"), "text", "doc_id")),
     // ---- Unicode-script profile: per-doc character counts over
     // explicit code-point ranges (NOT \p{script=...}, whose member sets
     // drift with each engine's Unicode tables), dominant letter script
@@ -3609,6 +3620,11 @@ object SparkEntry {
                 ELSE 'head' END AS bucket
          FROM g CROSS JOIN qs""",
     // generated from the same phrase list as the implementation
+    // same micro-grid entropy terms, same integer sums, same id spine
+    "text_entropy" -> TextAnalysis.entropyProfileOracleSql(
+      "documents", "text", "doc_id"),
+    "text_code_score" -> TextAnalysis.codeScoreOracleSql(
+      "documents", "text", "doc_id"),
     // generated from the same scriptRanges table as the implementation
     "text_script_profile" -> TextAnalysis.scriptProfileOracleSql(
       "documents", "text", "doc_id"),

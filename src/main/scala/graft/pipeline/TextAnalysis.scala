@@ -1012,6 +1012,130 @@ object TextAnalysis {
                          useMd5: Boolean = false): Column =
     graft.fuzzy.vectorFunctions.winnow_sketch(lower(trim(text)), k, window, useMd5)
 
+  /** Per-document Shannon entropy of the character and token
+    * distributions — the gibberish / compression-artifact / template
+    * detector next to [[qualityScore]] (near-zero char entropy = byte
+    * runs and boilerplate; abnormally high = base64/binary spill;
+    * near-zero token entropy = repeated-phrase spam). Both ride the
+    * quantized-exact-sum recipe: H = ln(n) − (Σ c·ln c)/n with each
+    * per-symbol term `round(c·ln(c)·1e6)` landed on the BIGINT grid
+    * BEFORE the per-document sum, so the aggregate is order-independent
+    * and engine-replayable (the BM25/LM float discipline). Two explode +
+    * hash-agg pipelines (chars, whitespace tokens) left-joined back to
+    * the id spine: every input doc emits exactly one row, empty/null
+    * text as (0, 0, 0.0). Entropies are in nats, rounded to 6. */
+  def entropyProfile(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    def half(sym: Column, prefix: String): DataFrame = {
+      val counts = df
+        .select(col(idCol), explode(sym).as("__s"))
+        .where(length(col("__s")) > 0)
+        .groupBy(col(idCol), col("__s"))
+        .agg(count(lit(1)).as("__c"))
+      counts
+        .select(col(idCol), col("__c"),
+          round(col("__c").cast("double") * log(col("__c").cast("double")) * 1e6)
+            .cast("long").as("__t"))
+        .groupBy(col(idCol))
+        .agg(sum(col("__c")).as(s"n_$prefix"),
+          count(lit(1)).as(s"n_distinct_$prefix"),
+          sum(col("__t")).as("__ts"))
+        .select(col(idCol), col(s"n_$prefix"), col(s"n_distinct_$prefix"),
+          round(log(col(s"n_$prefix").cast("double")) -
+            col("__ts").cast("double") / 1e6 / col(s"n_$prefix").cast("double"), 6)
+            .as(s"${prefix}_entropy"))
+    }
+    val chars = half(split(txt, ""), "chars")
+    val toks = half(split(trim(lower(txt)), "\\s+"), "tokens")
+    df.select(col(idCol))
+      .join(chars, Seq(idCol), "left")
+      .join(toks, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_distinct_chars"), lit(0L)).as("n_distinct_chars"),
+        coalesce(col("chars_entropy"), lit(0.0)).as("char_entropy"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_distinct_tokens"), lit(0L)).as("n_distinct_tokens"),
+        coalesce(col("tokens_entropy"), lit(0.0)).as("token_entropy"))
+  }
+
+  /** DuckDB replay of [[entropyProfile]] — same per-symbol micro-grid
+    * terms, same integer sums, same left-join spine. */
+  def entropyProfileOracleSql(table: String, textCol: String,
+                              idCol: String): String =
+    s"""WITH ch AS (SELECT $idCol, unnest(string_split(coalesce($textCol, ''), '')) AS s
+              FROM $table),
+       chc AS (SELECT $idCol, s, count(*) AS c FROM ch WHERE length(s) > 0 GROUP BY 1, 2),
+       che AS (SELECT $idCol, sum(c) AS n_chars, count(*) AS n_distinct_chars,
+                 round(ln(CAST(sum(c) AS DOUBLE)) -
+                   CAST(sum(CAST(round(c * ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)) AS DOUBLE)
+                     / 1000000.0 / sum(c), 6) AS char_entropy
+               FROM chc GROUP BY 1),
+       tk AS (SELECT $idCol, unnest(string_split_regex(trim(lower(coalesce($textCol, ''))), '\\s+')) AS s
+              FROM $table),
+       tkc AS (SELECT $idCol, s, count(*) AS c FROM tk WHERE length(s) > 0 GROUP BY 1, 2),
+       tke AS (SELECT $idCol, sum(c) AS n_tokens, count(*) AS n_distinct_tokens,
+                 round(ln(CAST(sum(c) AS DOUBLE)) -
+                   CAST(sum(CAST(round(c * ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)) AS DOUBLE)
+                     / 1000000.0 / sum(c), 6) AS token_entropy
+               FROM tkc GROUP BY 1)
+       SELECT d.$idCol,
+         CAST(coalesce(che.n_chars, 0) AS BIGINT) AS n_chars,
+         CAST(coalesce(che.n_distinct_chars, 0) AS BIGINT) AS n_distinct_chars,
+         coalesce(che.char_entropy, 0.0) AS char_entropy,
+         CAST(coalesce(tke.n_tokens, 0) AS BIGINT) AS n_tokens,
+         CAST(coalesce(tke.n_distinct_tokens, 0) AS BIGINT) AS n_distinct_tokens,
+         coalesce(tke.token_entropy, 0.0) AS token_entropy
+       FROM $table d LEFT JOIN che ON d.$idCol = che.$idCol
+         LEFT JOIN tke ON d.$idCol = tke.$idCol"""
+
+  /** Code-likeness signal for prose/code routing in a training mix —
+    * the structural counterpart of [[qualityScore]]'s prose heuristics:
+    * code announces itself with bracket/semicolon/assignment density
+    * and indented-line structure long before any tokenizer runs.
+    * Emits the raw integer counts (lines, indented lines, code symbols,
+    * non-space chars), the two ratios, and a [0,1] composite
+    * `0.5·min(1, 5·symbol_ratio) + 0.5·min(1, 3·indent_ratio)` —
+    * transparent fixed weights, every term derived from exact integer
+    * counts so the round-6 doubles replay in any engine. One codegen
+    * projection: no explode, no shuffle, scan-speed at 100 TB. */
+  def codeScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val lines = split(txt, "\n")
+    val nLines = size(lines).cast("long")
+    val nIndent = size(filter(lines, l => l.rlike("^(  |\t)"))).cast("long")
+    val nSym = (length(txt) -
+      length(regexp_replace(txt, "[{}()\\[\\];=]", ""))).cast("long")
+    val nNonspace = length(regexp_replace(txt, "\\s", "")).cast("long")
+    val symRatio = round(nSym.cast("double") /
+      greatest(nNonspace, lit(1L)).cast("double"), 6)
+    val indentRatio = round(nIndent.cast("double") / nLines.cast("double"), 6)
+    df.select(col(idCol), nLines.as("n_lines"), nIndent.as("n_indent_lines"),
+      nSym.as("n_code_symbols"), nNonspace.as("n_nonspace"),
+      symRatio.as("symbol_ratio"), indentRatio.as("indent_ratio"),
+      round(least(lit(1.0), symRatio * 5) * 0.5 +
+        least(lit(1.0), indentRatio * 3) * 0.5, 6).as("code_score"))
+  }
+
+  /** DuckDB replay of [[codeScore]] — same counts, ratios, weights. */
+  def codeScoreOracleSql(table: String, textCol: String, idCol: String): String =
+    s"""WITH c AS (SELECT $idCol,
+             string_split(coalesce($textCol, ''), chr(10)) AS ls,
+             coalesce($textCol, '') AS tx
+           FROM $table),
+       k AS (SELECT $idCol,
+             CAST(len(ls) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(ls, l -> regexp_matches(l, '^(  |\t)'))) AS BIGINT) AS n_indent_lines,
+             CAST(length(tx) - length(regexp_replace(tx, '[{}()\\[\\];=]', '', 'g')) AS BIGINT) AS n_code_symbols,
+             CAST(length(regexp_replace(tx, '\\s', '', 'g')) AS BIGINT) AS n_nonspace
+           FROM c)
+       SELECT $idCol, n_lines, n_indent_lines, n_code_symbols, n_nonspace,
+         round(CAST(n_code_symbols AS DOUBLE) / greatest(n_nonspace, 1), 6) AS symbol_ratio,
+         round(CAST(n_indent_lines AS DOUBLE) / n_lines, 6) AS indent_ratio,
+         round(least(1.0, round(CAST(n_code_symbols AS DOUBLE) / greatest(n_nonspace, 1), 6) * 5) * 0.5 +
+               least(1.0, round(CAST(n_indent_lines AS DOUBLE) / n_lines, 6) * 3) * 0.5, 6) AS code_score
+       FROM k"""
+
   /** Unicode-script character classes by EXPLICIT code-point ranges —
     * deliberately not `\p{script=...}` properties, whose member sets
     * depend on each engine's Unicode table version; fixed ranges behave

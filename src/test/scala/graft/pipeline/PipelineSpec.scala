@@ -541,6 +541,46 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
 
   import spark.implicits._
 
+  test("entropyProfile: hand-computed char/token entropies, every doc " +
+    "emits one row, null/empty -> zeros") {
+    val docs = Seq(
+      (1L, "aabb"),        // char H = ln 2; one token -> token H = 0
+      (2L, "aaaa"),        // char H = 0
+      (3L, "x y x y"),     // token H = ln 2 (x:2, y:2)
+      (4L, ""),            // empty -> all zeros
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.entropyProfile(docs, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chars"), r.getAs[Double]("char_entropy"),
+          r.getAs[Long]("n_tokens"), r.getAs[Double]("token_entropy")))).toMap
+    assert(got.size == 5)
+    val ln2 = BigDecimal(math.log(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L)._1 == 4L && math.abs(got(1L)._2 - ln2) < 2e-6, s"${got(1L)}")
+    assert(got(1L)._3 == 1L && got(1L)._4 == 0.0, s"${got(1L)}")
+    assert(got(2L)._2 == 0.0, s"${got(2L)}")
+    assert(got(3L)._3 == 4L && math.abs(got(3L)._4 - ln2) < 2e-6, s"${got(3L)}")
+    assert(got(4L) == ((0L, 0.0, 0L, 0.0)), s"${got(4L)}")
+    assert(got(5L) == ((0L, 0.0, 0L, 0.0)), s"${got(5L)}")
+  }
+
+  test("codeScore: code-shaped text scores high, prose low, counts exact") {
+    val code = "def f(x) {\n  val y = g(x);\n  return y[0];\n}"
+    val prose = "The committee reviewed the plan and approved it after discussion"
+    val docs = Seq((1L, code), (2L, prose), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.codeScore(docs, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_indent_lines"),
+          r.getAs[Long]("n_code_symbols"), r.getAs[Double]("code_score")))).toMap
+    // code: 4 lines, 2 indented, symbols ( ) { = ( ) ; [ ] ; } = 11
+    assert(got(1L)._1 == 4L && got(1L)._2 == 2L, s"${got(1L)}")
+    assert(got(1L)._3 == 11L, s"${got(1L)}")
+    assert(got(1L)._4 > 0.8, s"code scored ${got(1L)._4}")
+    assert(got(2L)._4 == 0.0, s"prose scored ${got(2L)._4}")
+    assert(got(3L) == ((1L, 0L, 0L, 0.0)), s"${got(3L)}")
+  }
+
   test("scriptProfile: counts per code-point range, dominant letter " +
     "script with alphabetical tie-break, digits excluded, null/empty " +
     "-> none") {
