@@ -283,6 +283,15 @@ object SparkEntry {
         maxBucketPairs = Long.MaxValue, md5IntPlanes = true)
       p.select(col("id_a"), col("id_b"), sround(col("cosine"), 6).as("cosine"))
     }),
+    // SemDeDup (Abbas et al. 2023): cluster-then-prune semantic dedup.
+    // Assignment + keep-rank ride PINNED micro-grid centroids (exact
+    // BIGINT dots — the embed_pca_apply arithmetic); the pair gate is the
+    // dedup_cosine float idiom; keep-low-centroid-similarity policy. Cap
+    // disabled for oracle parity (see dedup_cosine_lsh).
+    "dedup_semantic" -> ((s, dir) =>
+      Dedup.semDedup(t(s, dir, "embeddings"), "embedding", "vec_id",
+        graft.pipeline.DemoModels.SemCentroids, dim = 64, nCells = 8,
+        threshold = 0.35, maxCellPairs = Long.MaxValue)),
 
     // ---- similarity search over `embeddings`
     "ann_cosine_topk" -> ((s, dir) => {
@@ -1966,6 +1975,10 @@ object SparkEntry {
          round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""",
+    // single-sourced replay: the oracle SQL is GENERATED from the same
+    // pinned centroid array the Spark plan consumes
+    "dedup_semantic" -> Dedup.semDedupOracleSql("embeddings", "vec_id", "embedding",
+      graft.pipeline.DemoModels.SemCentroids, 64, 8, 0.35),
     // same integer-quantized bucketing as ann_cosine_lsh; bands = 4 of
     // 4 bits (perBand = planes / bands = 4, mask 15)
     "dedup_cosine_lsh" ->

@@ -1266,4 +1266,153 @@ object Dedup {
         cosineSimilarity(col("__va"), col("__vb")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  // ---------------------------------------------------------- SemDeDup
+
+  /** Unit-normalize each k-means centroid and snap it onto the 1e-6
+    * integer grid (micro units), flattened row-major — the pinned-constant
+    * form [[semDedup]] and its SQL oracle both consume. The PASTED array
+    * is the library artifact (same contract as
+    * [[graft.pipeline.Embeddings.quantizeDirections]], minus the sign
+    * canonicalization: a centroid is a point, not a direction). */
+  def quantizeCentroidsMicro(cents: Array[Array[Double]]): Array[Long] =
+    cents.flatMap { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      val u = if (n == 0) v else v.map(_ / n)
+      u.map(x => math.round(x * 1e6))
+    }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * near-duplicate PRUNING in embedding space. Cluster the corpus with a
+    * coarse quantizer, compare pairs only WITHIN a cluster, and inside
+    * each epsilon-neighborhood keep the example LEAST similar to its
+    * centroid (the paper's keep-low policy: boundary examples carry more
+    * information than prototypical ones).
+    *
+    * Deterministic, oracle-replayable semantics (every arithmetic step is
+    * an idiom already pinned green elsewhere in the repo):
+    *  - assignment: cell = argmax over the PINNED micro-grid centroids of
+    *    the exact BIGINT dot `Σ floor(v_d·4096)·C[cell,d]` (the
+    *    [[graft.fuzzy.VectorKernels.projectQ]] arithmetic) — ties to the
+    *    smaller cell index;
+    *  - keep rank: `ccosq = floor(1e6·dot/sqrt(n2))` with
+    *    `n2 = Σ floor(v_d·4096)²` — exact integers into two IEEE ops, so
+    *    both engines agree bit-for-bit (centroid norms are cell-constant,
+    *    so dividing by them would not change any within-cell comparison);
+    *  - pair gate: exact float cosine >= threshold (same left-to-right
+    *    accumulation as the `dedup_cosine` oracle); zero-norm (n2 = 0)
+    *    rows never pair (cosine undefined) and are always kept;
+    *  - drop rule: a row is dropped iff SOME same-cell row with
+    *    cosine >= threshold ranks strictly below it by (ccosq, id) — i.e.
+    *    each neighborhood keeps its (ccosq, id)-minimum. Pairwise and
+    *    deterministic: no connected components, no iteration.
+    *
+    * Scale shape: assignment is one codegen'd map-side projection
+    * (centroids ride the closure, no join); the quadratic stage is keyed
+    * by cell — at 100 TB, nCells grows with the corpus exactly like the
+    * IVF index (TUNING.md §3), keeping cell populations bounded, and
+    * `maxCellPairs` cap-gates skewed cells with O(drops) driver state
+    * (same [[graft.util.CapMetrics]] machinery as the LSH generators).
+    * Output: one row per input id — (idCol, cell, ccosq, kept). */
+  def semDedup(embeddings: DataFrame, vecCol: String, idCol: String,
+               centroidsMicro: Array[Long], dim: Int, nCells: Int,
+               threshold: Double,
+               maxCellPairs: Long = 4_000_000L,
+               checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    require(centroidsMicro.length == dim * nCells,
+      s"centroids length ${centroidsMicro.length} != dim*nCells = ${dim * nCells}")
+    val dots = graft.fuzzy.vectorFunctions.random_project_int(
+      col(vecCol), centroidsMicro, dim, nCells)
+    val n2Expr = expr(
+      s"aggregate(transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 4096.0D) AS BIGINT)), " +
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x * x)")
+    val base = Materialize(
+      spread(embeddings)
+        .select(col(idCol), col(vecCol), dots.as("__dots"), n2Expr.as("__n2"))
+        .withColumn("cell", array_position(col("__dots"), array_max(col("__dots"))))
+        .withColumn("__dot", element_at(col("__dots"), col("cell").cast("int")))
+        .withColumn("ccosq",
+          when(col("__n2") > 0,
+            floor(lit(1e6) * col("__dot").cast("double") / sqrt(col("__n2").cast("double")))
+              .cast("long"))
+            .otherwise(lit(0L)))
+        .select(col(idCol), col(vecCol), col("cell"), col("ccosq"), col("__n2")),
+      checkpoint)
+
+    // skew guard on the quadratic stage, same contract as the LSH/simhash
+    // generators: degenerate cells drop (counted, logged), never explode
+    val cellStats = base.groupBy(col("cell")).agg(count(lit(1)).as("__n"))
+      .select(lit(0).cast("int").as("__band"), col("cell").as("__ckey"), col("__n"))
+    val overCap = col("__n") * col("__n") > maxCellPairs
+    val pairable = base.where(col("__n2") > 0)
+    val gated = CapMetrics.gate(cellStats, "dedup_semantic", "__band", "__ckey",
+        overCap, col("__n") * col("__n"), checkpoint) match {
+      case Right(blocked) =>
+        if (blocked.isEmpty) pairable
+        else pairable.where(!graft.fuzzy.vectorFunctions.bucket_allowed(
+          lit(0).cast("int"), col("cell"), blocked))
+      case Left(allowed) =>
+        pairable.join(allowed.select(col("__ckey").as("cell")), Seq("cell"))
+    }
+
+    val a = gated.select(col("cell"), col(idCol).as("__ia"),
+      col(vecCol).as("__va"), col("ccosq").as("__ca"))
+    val b = gated.select(col("cell"), col(idCol).as("__ib"),
+      col(vecCol).as("__vb"), col("ccosq").as("__cb"))
+    val losers = a.join(b, Seq("cell"))
+      .where(col("__ia") < col("__ib"))
+      .where(cosineSimilarity(col("__va"), col("__vb")) >= threshold)
+      .select(when(col("__ca") > col("__cb") ||
+            (col("__ca") === col("__cb") && col("__ia") > col("__ib")),
+          col("__ia")).otherwise(col("__ib")).as("__loser"))
+      .distinct()
+
+    base.join(losers, col(idCol) === col("__loser"), "left")
+      .select(col(idCol), col("cell"), col("ccosq"), col("__loser").isNull.as("kept"))
+  }
+
+  /** DuckDB replay of [[semDedup]] — the pinned centroids ride the SQL as
+    * literal VALUES rows (single-sourced from the same array the Spark
+    * plan consumes, so impl and oracle cannot drift). Cap-free: callers
+    * comparing against this oracle must pass `maxCellPairs = Long.MaxValue`
+    * (same contract as the `dedup_cosine_lsh` oracle). */
+  def semDedupOracleSql(table: String, idCol: String, vecCol: String,
+                        centroidsMicro: Array[Long], dim: Int, nCells: Int,
+                        threshold: Double): String = {
+    require(centroidsMicro.length == dim * nCells,
+      s"centroids length ${centroidsMicro.length} != dim*nCells = ${dim * nCells}")
+    val rows = (0 until nCells).map { p =>
+      s"(${(p + 1).toLong}, [${centroidsMicro.slice(p * dim, (p + 1) * dim).mkString("::BIGINT, ")}::BIGINT])"
+    }.mkString(",\n                ")
+    s"""WITH cv(cell, c) AS (VALUES
+                $rows),
+         qn AS (SELECT $idCol,
+                  list_transform(range(1, ${dim + 1}), i -> CAST(floor(CAST($vecCol[i] AS DOUBLE) * 4096.0) AS BIGINT)) AS qv
+                FROM $table),
+         dt AS (SELECT $idCol, cell,
+                  CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> qv[i] * c[i])) AS BIGINT) AS dot
+                FROM qn CROSS JOIN cv),
+         asg AS (SELECT $idCol, cell, dot FROM (
+                   SELECT $idCol, cell, dot,
+                     row_number() OVER (PARTITION BY $idCol ORDER BY dot DESC, cell) AS rn
+                   FROM dt) WHERE rn = 1),
+         nn AS (SELECT $idCol, CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2 FROM qn),
+         cc AS (SELECT a.$idCol, a.cell, nn.n2,
+                  CASE WHEN nn.n2 > 0
+                       THEN CAST(floor(1e6 * CAST(a.dot AS DOUBLE) / sqrt(CAST(nn.n2 AS DOUBLE))) AS BIGINT)
+                       ELSE 0 END AS ccosq
+                FROM asg a JOIN nn ON a.$idCol = nn.$idCol),
+         pr AS (SELECT a.$idCol AS ia, b.$idCol AS ib,
+                  a.ccosq AS ca, b.ccosq AS cb
+                FROM cc a JOIN cc b ON a.cell = b.cell AND a.$idCol < b.$idCol
+                JOIN $table x ON x.$idCol = a.$idCol
+                JOIN $table y ON y.$idCol = b.$idCol
+                WHERE a.n2 > 0 AND b.n2 > 0
+                  AND list_cosine_similarity(x.$vecCol::DOUBLE[], y.$vecCol::DOUBLE[]) >= $threshold),
+         lose AS (SELECT DISTINCT
+                    CASE WHEN ca > cb OR (ca = cb AND ia > ib) THEN ia ELSE ib END AS lid
+                  FROM pr)
+         SELECT c.$idCol, CAST(c.cell AS BIGINT) AS cell, c.ccosq, (lose.lid IS NULL) AS kept
+         FROM cc c LEFT JOIN lose ON c.$idCol = lose.lid"""
+  }
 }

@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SemDeDup ([[Dedup.semDedup]]) invariants that the DuckDB value oracle
+  * (`dedup_semantic`) cannot see on its own: the drop rule's soundness and
+  * completeness recomputed from first principles, the always-keep contract
+  * for zero vectors and supra-unit thresholds, and the cap gate.
+  */
+class SemDedupSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val cents = DemoModels.SemCentroids
+  private val thr = 0.35
+
+  private def run(maxCellPairs: Long = Long.MaxValue) =
+    Dedup.semDedup(spark.read.parquet(s"$dir/embeddings.parquet"),
+      "embedding", "vec_id", cents, dim = 64, nCells = 8,
+      threshold = thr, maxCellPairs = maxCellPairs)
+
+  test("output is one row per input id with cells in range") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val out = run()
+    assert(out.count() === emb.count())
+    assert(out.select("vec_id").distinct().count() === emb.count())
+    assert(out.where(col("cell") < 1 || col("cell") > 8).count() === 0L)
+  }
+
+  test("drop rule is sound and complete against a first-principles recompute") {
+    // Recompute the neighborhood predicate independently: for every row,
+    // does SOME same-cell row with exact cosine >= thr rank strictly below
+    // it by (ccosq, id)? Dropped iff yes — both directions asserted.
+    val out = run()
+    val a = out.join(
+      spark.read.parquet(s"$dir/embeddings.parquet"), Seq("vec_id"))
+    val pairs = a.select(col("cell"), col("vec_id").as("ia"),
+        col("ccosq").as("ca"), col("embedding").as("va"))
+      .join(a.select(col("cell"), col("vec_id").as("ib"),
+        col("ccosq").as("cb"), col("embedding").as("vb")), Seq("cell"))
+      .where(col("ia") =!= col("ib"))
+      .where(Dedup.cosineSimilarity(col("va"), col("vb")) >= thr)
+      // vb ranks strictly below va -> va is dropped by vb
+      .where(col("cb") < col("ca") || (col("cb") === col("ca") && col("ib") < col("ia")))
+      .select(col("ia").as("vec_id")).distinct()
+      .withColumn("expect_dropped", lit(true))
+    val joined = out.join(pairs, Seq("vec_id"), "left")
+    // sound: every expect_dropped row is actually dropped
+    assert(joined.where(col("expect_dropped") && col("kept")).count() === 0L)
+    // complete: no row drops without a qualifying neighbor
+    assert(joined.where(col("expect_dropped").isNull && !col("kept")).count() === 0L)
+    // and the fixture actually exercises both classes
+    assert(joined.where(!col("kept")).count() > 0L)
+  }
+
+  test("threshold above 1 keeps everything") {
+    val out = Dedup.semDedup(spark.read.parquet(s"$dir/embeddings.parquet"),
+      "embedding", "vec_id", cents, dim = 64, nCells = 8,
+      threshold = 1.5, maxCellPairs = Long.MaxValue)
+    assert(out.where(!col("kept")).count() === 0L)
+  }
+
+  test("zero vectors never pair: always kept, ccosq 0") {
+    import spark.implicits._
+    // two identical unit vectors (certain duplicates) + a zero vector
+    val v = (0 until 64).map(i => if (i == 0) 1f else 0f)
+    val z = (0 until 64).map(_ => 0f)
+    val df = Seq((1L, v), (2L, v), (3L, z)).toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(df, "embedding", "vec_id", cents,
+      dim = 64, nCells = 8, threshold = 0.9, maxCellPairs = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(3), r.getLong(2))).toMap
+    assert(out(3L) === ((true, 0L)))
+    // exactly one of the twins drops
+    assert(Seq(out(1L)._1, out(2L)._1).count(identity) === 1)
+  }
+
+  test("cap gate: over-cap cells skip pair generation (everything kept)") {
+    val out = run(maxCellPairs = 1L)
+    assert(out.where(!col("kept")).count() === 0L)
+    // the baseline DOES drop rows, so the gate is what kept them
+    assert(run().where(!col("kept")).count() > 0L)
+  }
+}
