@@ -1269,6 +1269,29 @@ object SparkEntry {
           sround(col("logprob"), 6).as("logprob"),
           sround(col("avg_logprob"), 6).as("avg_logprob"))),
 
+    // ---- Moore-Lewis cross-entropy-difference selection: in-domain LM
+    // fit on the English split, general LM on the whole corpus; exact
+    // integer-grid score sums; OOV-to-domain tokens contribute 0 and
+    // are counted (n_tokens - n_scored), not smoothed
+    "text_moore_lewis" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.mooreLewisScore(docs, "text", "doc_id",
+          docs.where(col("lang") === "en"), "text")
+        .select(col("doc_id"), col("n_tokens"), col("n_scored"),
+          sround(col("score"), 6).as("score"),
+          sround(col("avg_score"), 6).as("avg_score"))
+    }),
+
+    // ---- DSIR importance resampling: hashed unigram+bigram models
+    // (target = the English split), exact integer-grid importance
+    // weights, deterministic Gumbel-top-k selection through the
+    // BoundedTopK heap
+    "curate_dsir" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.dsirSelect(docs, "text", "doc_id",
+        docs.where(col("lang") === "en"), "text", k = 100, buckets = 4096)
+    }),
+
     // ---- learned quality classifier, exported APPLY half: a real
     // L-BFGS fit pinned as 1e-6-grid integer constants (DemoModels,
     // provenance in its scaladoc), applied by a pure codegen scan whose
@@ -3560,6 +3583,68 @@ object SparkEntry {
            round(sum(lp_q) / 1000000.0, 6) AS logprob,
            round(sum(lp_q) / 1000000.0 / count(*), 6) AS avg_logprob
          FROM p JOIN lm ON p.w1 = lm.w1 AND p.w2 = lm.w2 GROUP BY 1""",
+    // Moore-Lewis: two unigram LMs on the 1e-6 ln grid, score = exact
+    // integer sum of (lp_in - lp_gen) over in-domain-vocab tokens; OOV
+    // tokens contribute 0 via the left join's CASE
+    "text_moore_lewis" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents),
+         tok AS (SELECT doc_id, token FROM tk WHERE length(token) > 0),
+         gv AS (SELECT token, count(*) AS freq FROM tok GROUP BY 1),
+         gt AS (SELECT sum(freq) AS total FROM gv),
+         glm AS (SELECT token, CAST(round(ln(freq / total) * 1000000) AS BIGINT) AS lp_g
+                 FROM gv CROSS JOIN gt),
+         itok AS (SELECT token FROM (
+                    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+                    FROM documents WHERE lang = 'en')
+                  WHERE length(token) > 0),
+         iv AS (SELECT token, count(*) AS freq FROM itok GROUP BY 1),
+         it AS (SELECT sum(freq) AS total FROM iv),
+         ilm AS (SELECT token, CAST(round(ln(freq / total) * 1000000) AS BIGINT) AS lp_i
+                 FROM iv CROSS JOIN it),
+         sc AS (SELECT tok.doc_id, count(*) AS n_tokens, count(ilm.lp_i) AS n_scored,
+                  sum(CASE WHEN ilm.lp_i IS NOT NULL THEN ilm.lp_i - glm.lp_g ELSE 0 END) AS sum_q
+                FROM tok JOIN glm USING (token) LEFT JOIN ilm USING (token)
+                GROUP BY 1)
+         SELECT doc_id, n_tokens, n_scored,
+           round(sum_q / 1000000.0, 6) AS score,
+           CASE WHEN n_scored > 0 THEN round(sum_q / 1000000.0 / n_scored, 6)
+                ELSE 0.0 END AS avg_score
+         FROM sc""",
+    // DSIR: hashed (md5 % 4096) unigram+bigram feature slots, add-one
+    // smoothed log-ratios on the 1e-6 grid, exact BIGINT weight sums,
+    // Gumbel key from the doc id's md5 uniform ((b + 0.5)/1e6), top-100
+    // by (key desc, id) — the heap's total order
+    "curate_dsir" ->
+      """WITH t AS (SELECT doc_id, lang,
+                  list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> length(w) > 0) AS w
+                FROM documents),
+         uf AS (SELECT doc_id, lang, 'u:' || unnest(w) AS f FROM t),
+         bf AS (SELECT doc_id, lang,
+                  unnest(list_transform(range(1, len(w)), i -> 'b:' || w[i] || ' ' || w[i+1])) AS f
+                FROM t WHERE len(w) >= 2),
+         feat AS (SELECT doc_id, lang, f FROM uf UNION ALL SELECT doc_id, lang, f FROM bf),
+         fs AS (SELECT doc_id, lang,
+                  ('0x' || substring(md5(f), 1, 15))::BIGINT % 4096 AS slot
+                FROM feat),
+         rc AS (SELECT slot, count(*) AS rc FROM fs GROUP BY 1),
+         tc AS (SELECT slot, count(*) AS tc FROM fs WHERE lang = 'en' GROUP BY 1),
+         tot AS (SELECT (SELECT sum(rc) FROM rc) AS rt, (SELECT sum(tc) FROM tc) AS tt),
+         lr AS (SELECT rc.slot,
+                  CAST(round((ln((COALESCE(tc.tc, 0) + 1) / (tot.tt + 4096))
+                    - ln((rc.rc + 1) / (tot.rt + 4096))) * 1000000) AS BIGINT) AS lr_q
+                FROM rc LEFT JOIN tc ON rc.slot = tc.slot CROSS JOIN tot),
+         sc AS (SELECT fs.doc_id, count(*) AS n_features, sum(lr.lr_q) AS w_q
+                FROM fs JOIN lr ON fs.slot = lr.slot GROUP BY 1),
+         gk AS (SELECT doc_id, n_features, w_q,
+                  w_q + CAST(round(-ln(-ln(
+                    (('0x' || substring(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+                      + 0.5) / 1000000.0)) * 1000000) AS BIGINT) AS key_q
+                FROM sc),
+         rk AS (SELECT doc_id, n_features, w_q,
+                  CAST(row_number() OVER (ORDER BY key_q DESC, doc_id) AS INT) AS rank
+                FROM gk)
+         SELECT doc_id, n_features, round(w_q / 1000000.0, 6) AS weight, rank
+         FROM rk WHERE rank <= 100""",
     // the merge loop replayed with a RECURSIVE CTE: each iteration
     // merges the LEFTMOST occurrence of the LOWEST-rank adjacent pair
     // (min over rank*1000 + position — positions < 1000 by word length)

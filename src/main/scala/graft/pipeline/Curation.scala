@@ -330,6 +330,91 @@ object Curation {
     df.where(md5Bucket(col(keyCol)) < thresh)
   }
 
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): select the k raw-corpus documents whose HASHED
+    * n-gram profile looks most like a target domain, by importance
+    * weights under two bag-of-hashed-ngrams models.
+    *
+    *  1. Features: unigrams (`u:w`) and adjacent bigrams (`b:w1 w2`),
+    *     md5-hashed into `buckets` slots — the fixed-size feature space
+    *     is the paper's trick AND the scale contract: both models are
+    *     `buckets`-row tables no matter the corpus (where
+    *     [[graft.pipeline.TextAnalysis.mooreLewisScore]]'s exact-vocab
+    *     LMs grow with distinct tokens).
+    *  2. Weights: `log p_target(doc) − log p_raw(doc)` under add-one
+    *     smoothed multinomials, per-slot log-ratio snapped to the 1e-6
+    *     BIGINT grid so each doc's weight is an exact integer sum of
+    *     slot counts × ratios (order-independent, oracle-mirrorable).
+    *  3. Resampling: Gumbel-top-k — rank by `weight + Gumbel(0,1)` with
+    *     the Gumbel drawn from the doc id's md5 uniform (deterministic,
+    *     per-row reproducible), which samples k docs WITHOUT replacement
+    *     with probability ∝ exp(weight), the paper's sampled-not-argmax
+    *     step that keeps selection diverse instead of clustering on the
+    *     target mode. Ranking runs through the [[graft.fuzzy.BoundedTopK]]
+    *     heap (map-side partials of k fixed-size entries), never a
+    *     corpus-wide sort.
+    *
+    * Docs with no tokens have no features and drop out (LM-family
+    * contract). Raw-model counts come from `df` itself, so every doc
+    * feature has a raw-count row; slots the target never saw smooth to
+    * `ln(1/(Tt+buckets))`. Emits (idCol, n_features, weight, rank),
+    * rank 1 = first pick. */
+  def dsirSelect(df: DataFrame, textCol: String, idCol: String,
+                 target: DataFrame, targetTextCol: String,
+                 k: Int, buckets: Int = 4096): DataFrame = {
+    require(k > 0 && buckets > 0, s"k and buckets must be positive (got $k, $buckets)")
+    val m = buckets.toLong
+    def md5Long60(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    def featSlots(src: DataFrame, tCol: String, keep: Column*): DataFrame = {
+      val wl = filter(graft.pipeline.TextAnalysis.tokens(col(tCol)),
+        w => length(w) > 0)
+      val bgIdx = when(size(wl) >= 2, sequence(lit(1), size(wl) - 1))
+        .otherwise(array().cast("array<int>"))
+      val uni = src.select(keep :+ explode(wl).as("__w"): _*)
+        .select(keep :+ concat(lit("u:"), col("__w")).as("__f"): _*)
+      val bi = src.select(keep :+ explode(transform(bgIdx, i =>
+          concat(lit("b:"), element_at(wl, i.cast("int")), lit(" "),
+            element_at(wl, (i + 1).cast("int"))))).as("__f"): _*)
+      uni.union(bi).select(keep :+ (md5Long60(col("__f")) % m).as("__slot"): _*)
+    }
+    // localCheckpoint: doc features feed the raw model AND the scoring join
+    val docFeats = graft.util.Materialize(featSlots(df, textCol, col(idCol)),
+      graft.util.CheckpointStrategy.Local)
+    val rawCnt = docFeats.groupBy(col("__slot")).agg(count(lit(1)).as("__rc"))
+    val tgtCnt = featSlots(target, targetTextCol)
+      .groupBy(col("__slot")).agg(count(lit(1)).as("__tc"))
+    val totals = rawCnt.agg(sum(col("__rc")).as("__rt")).crossJoin(
+      tgtCnt.agg(sum(col("__tc")).as("__tt")))
+    // add-one smoothing over the full slot space: denominators are
+    // total + buckets even for slots neither corpus hit
+    val lr = broadcast(rawCnt
+      .join(tgtCnt, Seq("__slot"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("__slot"),
+        round((log((coalesce(col("__tc"), lit(0L)) + 1L) / (col("__tt") + m))
+          - log((col("__rc") + 1L) / (col("__rt") + m))) * 1e6)
+          .cast("long").as("__lr_q")))
+    val scored = docFeats.join(lr, Seq("__slot"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_features"), sum(col("__lr_q")).as("__w_q"))
+      // md5 uniform strictly inside (0,1): (bucket + 0.5) / 1e6
+      .withColumn("__u",
+        (md5Long60(concat(lit("dsir:"), col(idCol).cast("string"))) % 1000000L
+          + lit(0.5)) / 1e6)
+      .withColumn("__key_q",
+        col("__w_q") + round(-log(-log(col("__u"))) * 1e6).cast("long"))
+    val picked = scored
+      .select(col(idCol).cast("long").as(idCol), col("__key_q").cast("double").as("__key"))
+      .groupBy(lit(1).as("__g"))
+      .agg(graft.fuzzy.vectorFunctions.topk_pairs(col("__key"), col(idCol), k).as("__tk"))
+      .select(posexplode(col("__tk")))
+      .select(col("col.id").as(idCol), (col("pos") + 1).cast("int").as("rank"))
+    scored.join(picked, Seq(idCol))
+      .select(col(idCol), col("n_features"),
+        round(col("__w_q") / 1e6, 6).as("weight"), col("rank"))
+  }
+
   /** Winsorize `numCol` within each group: values clamp to the group's
     * [pLo, pHi] exact interpolated percentiles — per-group outlier
     * trimming that keeps row count (unlike a filter). One tiny percentile

@@ -948,6 +948,56 @@ object TextAnalysis {
           .otherwise("head").as("bucket"))
   }
 
+  /** Moore–Lewis cross-entropy-difference selection (Moore & Lewis 2010,
+    * "Intelligent Selection of Language Model Training Data"): score every
+    * document by `log P_in(doc) − log P_gen(doc)` under two unigram MLE
+    * LMs — one fit on an IN-DOMAIN exemplar set, one on the general
+    * corpus itself — and keep the docs that look most like the domain.
+    * The classic cheap data-selection signal this family's perplexity
+    * scores feed into ([[unigramLogProb]] is the `P_gen` half alone).
+    *
+    * Exactness contract (the quantized-exact-sum family): each LM's
+    * per-token `ln(freq/total)` snaps to the 1e-6 BIGINT grid, the
+    * per-document score is the exact integer sum of `lp_in_q − lp_gen_q`
+    * over tokens the in-domain LM knows; tokens OUTSIDE the in-domain
+    * vocabulary contribute 0 and are counted (`n_tokens − n_scored`) —
+    * Moore–Lewis restricts to the shared vocabulary rather than smooth,
+    * so an OOV-heavy doc scores near 0 (ambiguous), not −∞. Docs with no
+    * tokens drop out, like the rest of the LM family.
+    *
+    * Scale shape: two token scans + two hash-agg vocab builds; both LMs
+    * broadcast (vocab-bounded, not corpus-bounded), scoring is one
+    * map-side join + exact partial-aggregated sum — no corpus-wide
+    * shuffle beyond the per-doc hash agg. */
+  def mooreLewisScore(df: DataFrame, textCol: String, idCol: String,
+                      inDomain: DataFrame, inTextCol: String): DataFrame = {
+    // localCheckpoint: `toks` feeds the general vocab AND the scoring join
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .where(length(col("token")) > 0)
+      .transform(mat)
+    def lm(t: DataFrame, lpName: String): DataFrame = {
+      val v = t.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      val tot = v.agg(sum(col("freq")).as("__total"))
+      v.crossJoin(broadcast(tot)).select(col("token"),
+        round(log(col("freq") / col("__total")) * 1e6).cast("long").as(lpName))
+    }
+    val genLm = broadcast(lm(toks, "__lp_gen"))
+    val inLm = broadcast(lm(
+      inDomain.select(explode(tokens(col(inTextCol))).as("token"))
+        .where(length(col("token")) > 0), "__lp_in"))
+    toks.join(genLm, Seq("token"))
+      .join(inLm, Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("__lp_in")).as("n_scored"),
+        sum(when(col("__lp_in").isNotNull, col("__lp_in") - col("__lp_gen"))
+          .otherwise(0L)).as("__sum_q"))
+      .select(col(idCol), col("n_tokens"), col("n_scored"),
+        (col("__sum_q") / 1e6).as("score"),
+        when(col("n_scored") > 0, col("__sum_q") / 1e6 / col("n_scored"))
+          .otherwise(0.0).as("avg_score"))
+  }
+
   def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     // localCheckpoint: `toks` feeds the vocabulary AND the scoring join
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Moore–Lewis ([[TextAnalysis.mooreLewisScore]]) and DSIR
+  * ([[Curation.dsirSelect]]) invariants the DuckDB value oracles cannot
+  * see: that the scores actually SELECT the domain (enrichment), the
+  * OOV/no-smoothing contract, and selection determinism.
+  */
+class SelectionSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+
+  test("moore-lewis: in-domain docs have full vocab coverage and out-rank the rest") {
+    val scored = TextAnalysis.mooreLewisScore(docs, "text", "doc_id",
+        docs.where(col("lang") === "en"), "text")
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    // exemplar docs' tokens ARE the in-domain vocab: nothing OOV
+    assert(scored.where(col("lang") === "en")
+      .where(col("n_scored") =!= col("n_tokens")).count() === 0L)
+    // the signal selects: mean avg_score of en docs beats the others'
+    val Array(enAvg, restAvg) = scored
+      .groupBy((col("lang") === "en").as("g")).agg(avg(col("avg_score")).as("a"))
+      .orderBy(col("g").desc).collect().map(_.getDouble(1))
+    assert(enAvg > restAvg,
+      s"expected en mean avg_score $enAvg > non-en $restAvg")
+  }
+
+  test("moore-lewis: all-OOV docs score 0 with n_scored 0, not -inf") {
+    import spark.implicits._
+    val raw = Seq((1L, "aaa bbb aaa"), (2L, "zzz yyy"), (3L, "aaa zzz"))
+      .toDF("doc_id", "text")
+    val inDom = Seq(Tuple1("aaa bbb")).toDF("text")
+    val out = TextAnalysis.mooreLewisScore(raw, "text", "doc_id", inDom, "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(2L) === ((2L, 0L, 0.0, 0.0)))      // nothing in-domain: neutral
+    assert(out(3L)._2 === 1L)                     // one scoreable token
+    assert(out(1L)._2 === 3L && out(1L)._3 > 0.0) // pure in-domain: positive
+  }
+
+  test("dsir: exact-k deterministic selection, enriched for the target language") {
+    val sel = Curation.dsirSelect(docs, "text", "doc_id",
+      docs.where(col("lang") === "en"), "text", k = 100, buckets = 4096)
+    val rows = sel.collect()
+    assert(rows.length === 100)
+    assert(rows.map(_.getInt(3)).sorted.toSeq === (1 to 100))
+    // enrichment: en share among selected > en share overall
+    val enAll = docs.where(col("lang") === "en").count().toDouble / docs.count()
+    val enSel = sel.join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .where(col("lang") === "en").count().toDouble / 100.0
+    assert(enSel > enAll,
+      s"expected selected en share $enSel > corpus share $enAll")
+    // deterministic: same picks and ranks on a re-run
+    val again = Curation.dsirSelect(docs, "text", "doc_id",
+      docs.where(col("lang") === "en"), "text", k = 100, buckets = 4096)
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(3))).sortBy(_._1).toSeq ===
+      again.map(r => (r.getLong(0), r.getInt(3))).sortBy(_._1).toSeq)
+  }
+
+  test("dsir: feature count is unigrams + adjacent bigrams") {
+    import spark.implicits._
+    val raw = Seq((1L, "a b c"), (2L, "solo")).toDF("doc_id", "text")
+    val out = Curation.dsirSelect(raw, "text", "doc_id", raw, "text",
+      k = 2, buckets = 64).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 5L) // 3 unigrams + 2 bigrams
+    assert(out(2L) === 1L) // 1 unigram, no bigram
+  }
+}
