@@ -1042,6 +1042,24 @@ object SparkEntry {
       Profile.heavyHitters(t(s, dir, "documents"),
         Seq("lang", "source", "n_chars"), k = 5)),
 
+    // ---- mergeable HLL distinct sketch: register build is one map-side
+    // combined hash-agg (≤ 4096 rows per group, shippable per shard);
+    // the merge-then-estimate == estimate-whole contract is spec-pinned.
+    // Every step integer (md5 bucket + leading-zero rank from bin()),
+    // scaled harmonic sum an exact BIGINT — replayed verbatim by DuckDB
+    "profile_hll_distinct" -> ((s, dir) =>
+      Profile.hllDistinct(graft.util.EventTs.loadEvents(s, dir), "user_id",
+        Seq("event_type"), p = 12)),
+
+    // ---- KMV bottom-k sketch pair overlap: per-group sketches are k
+    // 52-bit keys through the BoundedTopK heap; pairwise |A|,|B|,J,|A∪B|,
+    // |A∩B| estimated from the sketches alone (no raw-value join)
+    "profile_kmv_overlap" -> ((s, dir) =>
+      Profile.kmvPairStats(
+        Profile.kmvSketch(graft.util.EventTs.loadEvents(s, dir), "user_id",
+          Seq("event_type"), k = 128),
+        "event_type", k = 128)),
+
     // ---- KEYLESS interval join: error events open 60 s global incident
     // windows; every click inside any window attaches to it. Vanilla
     // Spark plans this as BroadcastNestedLoopJoin (no equi-key); the
@@ -3165,6 +3183,65 @@ object SparkEntry {
          r AS (SELECT *, row_number() OVER (PARTITION BY col_name
                  ORDER BY n_rows DESC, value_s ASC) AS rk FROM c)
          SELECT col_name, value_s, n_rows FROM r WHERE rk <= 5""",
+    // HLL replayed step by step: md5 bucket (3 hex chars, p=12) + 40-bit
+    // suffix, register = 41 - bitlength via bin(), harmonic sum scaled by
+    // 2^41 as exact BIGINT, then the α_m m² 2^41 / S division and the
+    // linear-counting correction as the same single IEEE ops
+    "profile_hll_distinct" ->
+      """WITH h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+                FROM events WHERE user_id IS NOT NULL),
+         b AS (SELECT event_type, ('0x' || substring(hx, 1, 3))::BIGINT AS bucket,
+                 ('0x' || substring(hx, 4, 10))::BIGINT AS suf FROM h),
+         r AS (SELECT event_type, bucket,
+                 max(CASE WHEN suf = 0 THEN 41 ELSE 41 - length(bin(suf)) END) AS register
+               FROM b GROUP BY 1, 2),
+         g AS (SELECT event_type, count(*) AS n_registers,
+                 sum(CAST(power(2, 41 - register) AS BIGINT)) AS st FROM r GROUP BY 1),
+         e AS (SELECT event_type, n_registers,
+                 (4096 - n_registers) * 2199023255552 + st AS s,
+                 4096 - n_registers AS v FROM g),
+         f AS (SELECT event_type, n_registers,
+                 (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 * 2199023255552.0
+                   / CAST(s AS DOUBLE) AS e_raw, v FROM e)
+         SELECT event_type, CAST(n_registers AS BIGINT) AS n_registers,
+           round(CASE WHEN e_raw <= 10240.0 AND v > 0
+                      THEN 4096.0 * ln(4096.0 / CAST(v AS DOUBLE))
+                      ELSE e_raw END, 4) AS estimate
+         FROM f""",
+    // KMV replayed: bottom-128 of the distinct 52-bit keys per group
+    // (row_number over hash), union sketch = first 128 of the merged
+    // distinct lists, J = shared fraction of the union sketch, sizes via
+    // (k-1)·2^52/h_k with the exact-size fallback under k
+    "profile_kmv_overlap" ->
+      """WITH d AS (SELECT DISTINCT event_type,
+                  ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS h
+                FROM events WHERE user_id IS NOT NULL),
+         rk AS (SELECT event_type, h,
+                  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM d),
+         sk AS (SELECT event_type, list(h ORDER BY h) AS sketch FROM rk
+                WHERE rn <= 128 GROUP BY 1),
+         pr AS (SELECT a.event_type AS group_a, b.event_type AS group_b,
+                  a.sketch AS ska, b.sketch AS skb
+                FROM sk a JOIN sk b ON a.event_type < b.event_type),
+         m AS (SELECT *, list_sort(list_distinct(ska || skb)) AS mg FROM pr),
+         u AS (SELECT *, CASE WHEN len(mg) < 128 THEN mg ELSE mg[1:128] END AS uk FROM m),
+         c AS (SELECT *,
+                 len(list_filter(uk, x -> list_contains(ska, x) AND list_contains(skb, x))) AS common,
+                 CASE WHEN len(uk) < 128 THEN len(uk) ELSE 128 END AS denom FROM u),
+         j AS (SELECT group_a, group_b, ska, skb, uk,
+                 CAST(common AS DOUBLE) / CAST(denom AS DOUBLE) AS jr,
+                 CASE WHEN len(uk) < 128 THEN CAST(len(uk) AS DOUBLE)
+                      ELSE 127.0 * 4.503599627370496e15 / CAST(uk[128] AS DOUBLE) END AS ur
+               FROM c)
+         SELECT group_a, group_b,
+           round(CASE WHEN len(ska) < 128 THEN CAST(len(ska) AS DOUBLE)
+                      ELSE 127.0 * 4.503599627370496e15 / CAST(ska[128] AS DOUBLE) END, 4) AS est_a,
+           round(CASE WHEN len(skb) < 128 THEN CAST(len(skb) AS DOUBLE)
+                      ELSE 127.0 * 4.503599627370496e15 / CAST(skb[128] AS DOUBLE) END, 4) AS est_b,
+           round(jr, 6) AS jaccard,
+           round(ur, 4) AS est_union,
+           round(jr * ur, 4) AS est_intersect
+         FROM j""",
     // plain BETWEEN containment join — DuckDB's nested-loop is fine at
     // oracle scale; the Spark side must reproduce it via time tiling
     "events_range_join" ->

@@ -313,4 +313,153 @@ object Profile {
       }: _*)).as("p"))
       .select(col("p.*"))
   }
+
+  // ---------------------------------------------------- HyperLogLog sketch
+
+  /** HLL register width in suffix bits: 10 hex chars of the md5 after the
+    * bucket prefix. 40 bits keeps the scaled harmonic sum (≤ m·2^41)
+    * inside a BIGINT for every supported p, and a 40-bit hash space is
+    * collision-free for any group cardinality this sketch is sized for
+    * (the standard large-range correction is deliberately omitted and
+    * would kick in at ~2^38 distinct). */
+  private val HllW = 40
+
+  /** Per-(group, bucket) HLL registers — the MERGEABLE half of the
+    * sketch (Flajolet et al. 2007). Deterministic and engine-replayable
+    * by construction: the hash is the md5 hex of the value's string
+    * rendering (first p/4 hex chars = bucket, next 10 = a 40-bit
+    * suffix), and the register is the suffix's leading-zero rank
+    * `w − bitlength + 1` computed from `length(bin(h))` — pure integer
+    * ops, no floats anywhere in the register path.
+    *
+    * This is the 100 TB distinct-count shape: one hash-aggregate
+    * (map-side combined max) producing ≤ m rows per group, shippable as
+    * a per-shard parquet and merged with [[hllMerge]] — counting
+    * distinct users per key across shards without ever re-scanning or
+    * shuffling raw values. `p` must be a multiple of 4 (whole hex chars)
+    * in [8, 16]. */
+  def hllRegisters(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                   p: Int = 12): DataFrame = {
+    require(p % 4 == 0 && p >= 8 && p <= 16, s"p must be a multiple of 4 in [8,16] (got $p)")
+    val hx = md5(col(valueCol).cast("string"))
+    val suf = conv(substring(hx, p / 4 + 1, HllW / 4), 16, 10).cast("long")
+    df.where(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+
+        conv(substring(hx, 1, p / 4), 16, 10).cast("long").as("bucket") :+
+        when(suf === 0L, HllW + 1)
+          .otherwise(lit(HllW + 1) - length(bin(suf))).cast("int").as("register"): _*)
+      .groupBy(col("bucket") +: groupCols.map(col): _*)
+      .agg(max(col("register")).as("register"))
+  }
+
+  /** Merge two register frames (same p): per-(group, bucket) max — the
+    * lossless sketch union. Merging shards then estimating equals
+    * estimating the concatenated input EXACTLY (spec-pinned), which is
+    * what makes the sketch safe to precompute per ingest batch. */
+  def hllMerge(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("bucket") +: groupCols.map(col): _*)
+      .agg(max(col("register")).as("register"))
+
+  /** Distinct-count estimate from a register frame: the harmonic-mean
+    * formula `α_m·m²/Σ2^−M_j` with the small-range linear-counting
+    * correction (`E ≤ 2.5m` → `m·ln(m/V)`, V = zero registers).
+    *
+    * Exactness: the harmonic sum is computed SCALED BY 2^(w+1) so every
+    * term `2^(w+1−M_j)` is an exact BIGINT — the sum is
+    * order-independent integer arithmetic (a raw Σ2^−M_j of doubles is
+    * not), and untouched registers contribute `(m − touched)·2^(w+1)`
+    * in closed form. The final α_m·m²·2^(w+1)/S division and the ln of
+    * the correction are single IEEE ops from exact integers, identical
+    * in any engine. Output: group cols + n_registers + estimate
+    * (rounded to 4dp). */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String],
+                  p: Int = 12): DataFrame = {
+    require(p % 4 == 0 && p >= 8 && p <= 16, s"p must be a multiple of 4 in [8,16] (got $p)")
+    val m = 1L << p
+    // α_m for m ≥ 128 (p ≥ 8 guarantees it)
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / m.toDouble)
+    val scale = math.pow(2.0, HllW + 1) // 2^41, exact
+    val grouped = registers
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_registers"),
+        sum(expr(s"CAST(power(2, ${HllW + 1} - register) AS BIGINT)")).as("__s_touched"))
+      .withColumn("__s",
+        (lit(m) - col("n_registers")) * lit(scale.toLong) + col("__s_touched"))
+      .withColumn("__e_raw",
+        alpha * m.toDouble * m.toDouble * lit(scale) / col("__s").cast("double"))
+      .withColumn("__v", lit(m) - col("n_registers"))
+    grouped.select(groupCols.map(col) :+ col("n_registers") :+
+      round(when(col("__e_raw") <= lit(2.5 * m) && col("__v") > 0L,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("__v").cast("double")))
+        .otherwise(col("__e_raw")), 4).as("estimate"): _*)
+  }
+
+  /** One-shot per-group approximate distinct count via the HLL sketch —
+    * [[hllRegisters]] → [[hllEstimate]] fused. */
+  def hllDistinct(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                  p: Int = 12): DataFrame =
+    hllEstimate(hllRegisters(df, valueCol, groupCols, p), groupCols, p)
+
+  // ---------------------------------------------------- KMV (bottom-k) sketch
+
+  /** KMV / bottom-k sketch per group: the k smallest 52-bit md5 keys of
+    * the DISTINCT values, as a sorted array (Bar-Yossef et al. 2002; the
+    * theta-sketch family's exact-arithmetic core). 52 bits so every key
+    * is exact in the heap's double score. Distinct-first (a hash
+    * aggregate) so duplicated values cannot occupy two heap slots.
+    * Output: group cols + `sketch` (array<bigint>, ascending) +
+    * `n_distinct_exact` when the group had < k distinct (the sketch IS
+    * the value set then), else k. */
+  def kmvSketch(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                k: Int): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    val key = conv(substring(md5(col(valueCol).cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    df.where(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ key.as("__h"): _*)
+      .groupBy(groupCols.map(col) :+ col("__h"): _*).agg(count(lit(1)).as("__c"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.fuzzy.vectorFunctions.topk_pairs(
+        -col("__h").cast("double"), col("__h"), k).as("__tk"))
+      .select(groupCols.map(col) :+
+        transform(col("__tk"), e => e.getField("id")).as("sketch"): _*)
+  }
+
+  /** Set-relationship estimates between every unordered PAIR of groups,
+    * from their KMV sketches alone — |A|, |B|, Jaccard, |A∪B|, |A∩B| with
+    * no join over the raw values (the "how much do these two shards'
+    * user sets overlap" question at 100 TB: sketches are k longs per
+    * group, the pairwise stage is a broadcast self-join of a tiny table).
+    *
+    * Estimators (exact integer/rational arithmetic into single IEEE
+    * divisions): per-group distinct `(k−1)·2^52/h_k` when the sketch is
+    * full, else the exact size; union via the combined bottom-k of the
+    * two sketch arrays; Jaccard = |K(k) ∩ A ∩ B| / k over that combined
+    * bottom-k; intersection = J · |A∪B|-estimate. */
+  def kmvPairStats(sketches: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    val two52 = math.pow(2.0, 52) // exact
+    def est(sk: Column): Column =
+      when(size(sk) < k, size(sk).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(two52) /
+          element_at(sk, k).cast("double"))
+    val a = sketches.select(col(groupCol).as("group_a"), col("sketch").as("__ska"))
+    val b = sketches.select(col(groupCol).as("group_b"), col("sketch").as("__skb"))
+    val merged = array_sort(array_union(col("__ska"), col("__skb")))
+    val unionK = when(size(merged) < k, merged).otherwise(slice(merged, 1, k))
+    a.join(b, col("group_a") < col("group_b"))
+      .withColumn("__uk", unionK)
+      .withColumn("__common",
+        size(array_intersect(array_intersect(col("__uk"), col("__ska")), col("__skb"))))
+      .withColumn("__j",
+        col("__common").cast("double") / least(size(col("__uk")), lit(k)).cast("double"))
+      .withColumn("__u", est(col("__uk")))
+      .select(col("group_a"), col("group_b"),
+        round(est(col("__ska")), 4).as("est_a"),
+        round(est(col("__skb")), 4).as("est_b"),
+        round(col("__j"), 6).as("jaccard"),
+        round(col("__u"), 4).as("est_union"),
+        round(col("__j") * col("__u"), 4).as("est_intersect"))
+  }
 }
