@@ -358,46 +358,88 @@ object Curation {
     * contract). Raw-model counts come from `df` itself, so every doc
     * feature has a raw-count row; slots the target never saw smooth to
     * `ln(1/(Tt+buckets))`. Emits (idCol, n_features, weight, rank),
-    * rank 1 = first pick. */
+    * rank 1 = first pick.
+    *
+    * Scale shape: the count pass is one explode into a map-side-combined
+    * hash-agg on `buckets` keys (shuffle volume = partitions × buckets,
+    * never token volume); the fitted log-ratio table — BOUNDED at
+    * `buckets` longs by construction, the documented driver-side-table
+    * exception like [[temperatureSample]]'s rate table — is then
+    * compiled into a LITERAL array, so the scoring pass is a pure
+    * codegen projection (one `aggregate` over each doc's own tokens; no
+    * join, no second shuffle). Measured 3.6× over the join-the-features
+    * formulation at 100× docs (SCALE.md round-10). */
   def dsirSelect(df: DataFrame, textCol: String, idCol: String,
                  target: DataFrame, targetTextCol: String,
                  k: Int, buckets: Int = 4096): DataFrame = {
     require(k > 0 && buckets > 0, s"k and buckets must be positive (got $k, $buckets)")
+    require(buckets <= (1 << 16),
+      s"buckets must be <= 65536 (got $buckets): the fitted ratio table is " +
+        "collected and compiled into the scoring projection")
     val m = buckets.toLong
     def md5Long60(c: Column): Column =
       conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-    def featSlots(src: DataFrame, tCol: String, keep: Column*): DataFrame = {
-      val wl = filter(graft.pipeline.TextAnalysis.tokens(col(tCol)),
+    def wlOf(tCol: String): Column =
+      filter(graft.pipeline.TextAnalysis.tokens(col(tCol)),
         w => length(w) > 0)
-      val bgIdx = when(size(wl) >= 2, sequence(lit(1), size(wl) - 1))
+    def featSlots(src: DataFrame, tCol: String): DataFrame = {
+      // materialize the token array as a column FIRST: lambdas that
+      // reference the raw split expression re-tokenize the text per
+      // ELEMENT (measured 14x on the bigram explode — SCALE.md round-10)
+      val base = src.select(wlOf(tCol).as("__wl"))
+      val wlc = col("__wl")
+      val bgIdx = when(size(wlc) >= 2, sequence(lit(1), size(wlc) - 1))
         .otherwise(array().cast("array<int>"))
-      val uni = src.select(keep :+ explode(wl).as("__w"): _*)
-        .select(keep :+ concat(lit("u:"), col("__w")).as("__f"): _*)
-      val bi = src.select(keep :+ explode(transform(bgIdx, i =>
-          concat(lit("b:"), element_at(wl, i.cast("int")), lit(" "),
-            element_at(wl, (i + 1).cast("int"))))).as("__f"): _*)
-      uni.union(bi).select(keep :+ (md5Long60(col("__f")) % m).as("__slot"): _*)
+      val uni = base.select(explode(wlc).as("__w"))
+        .select(concat(lit("u:"), col("__w")).as("__f"))
+      val bi = base.select(explode(transform(bgIdx, i =>
+          concat(lit("b:"), element_at(wlc, i.cast("int")), lit(" "),
+            element_at(wlc, (i + 1).cast("int"))))).as("__f"))
+      uni.union(bi).select((md5Long60(col("__f")) % m).as("__slot"))
     }
-    // localCheckpoint: doc features feed the raw model AND the scoring join
-    val docFeats = graft.util.Materialize(featSlots(df, textCol, col(idCol)),
-      graft.util.CheckpointStrategy.Local)
-    val rawCnt = docFeats.groupBy(col("__slot")).agg(count(lit(1)).as("__rc"))
+    val rawCnt = featSlots(df, textCol)
+      .groupBy(col("__slot")).agg(count(lit(1)).as("__rc"))
     val tgtCnt = featSlots(target, targetTextCol)
       .groupBy(col("__slot")).agg(count(lit(1)).as("__tc"))
-    val totals = rawCnt.agg(sum(col("__rc")).as("__rt")).crossJoin(
-      tgtCnt.agg(sum(col("__tc")).as("__tt")))
-    // add-one smoothing over the full slot space: denominators are
-    // total + buckets even for slots neither corpus hit
-    val lr = broadcast(rawCnt
-      .join(tgtCnt, Seq("__slot"), "left")
-      .crossJoin(broadcast(totals))
-      .select(col("__slot"),
-        round((log((coalesce(col("__tc"), lit(0L)) + 1L) / (col("__tt") + m))
-          - log((col("__rc") + 1L) / (col("__rt") + m))) * 1e6)
-          .cast("long").as("__lr_q")))
-    val scored = docFeats.join(lr, Seq("__slot"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_features"), sum(col("__lr_q")).as("__w_q"))
+    // fit the two multinomials and collect the BOUNDED ratio table —
+    // ONE job and ONE collect (≤ buckets rows); totals derive from the
+    // same rows driver-side, so the corpus count passes run once, not
+    // once per aggregate. Slots neither corpus hit keep the
+    // all-smoothing constant so the array covers the full space
+    val cnt = rawCnt.join(tgtCnt, Seq("__slot"), "full").collect()
+      .map(r => (r.getLong(0).toInt,
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2)))
+    val rt = cnt.map(_._2).sum
+    val tt = cnt.map(_._3).sum
+    val lrArr = Array.fill(buckets)(
+      math.round((math.log(1.0 / (tt + m)) - math.log(1.0 / (rt + m))) * 1e6))
+    cnt.foreach { case (slot, rc, tc) =>
+      lrArr(slot) = math.round(
+        (math.log((tc + 1L).toDouble / (tt + m)) -
+          math.log((rc + 1L).toDouble / (rt + m))) * 1e6)
+    }
+    val lrLit = lit(lrArr)
+    // scoring: one codegen projection per doc — re-derive the same
+    // feature slots from the doc's own token array (materialized as a
+    // column FIRST, so the lambdas index it O(1) instead of re-splitting
+    // per element) and sum the literal table's entries (exact BIGINT
+    // arithmetic, order-independent)
+    def slotAt(f: Column): Column = md5Long60(f) % m
+    val wlc = col("__wl")
+    val uniSum = aggregate(wlc, lit(0L), (acc, w) =>
+      acc + element_at(lrLit, (slotAt(concat(lit("u:"), w)) + 1L).cast("int")))
+    val bgIdx = when(size(wlc) >= 2, sequence(lit(1), size(wlc) - 1))
+      .otherwise(array().cast("array<int>"))
+    val biSum = aggregate(bgIdx, lit(0L), (acc, i) =>
+      acc + element_at(lrLit, (slotAt(concat(lit("b:"),
+        element_at(wlc, i.cast("int")), lit(" "),
+        element_at(wlc, (i + 1).cast("int")))) + 1L).cast("int")))
+    val scored = df
+      .select(col(idCol), wlOf(textCol).as("__wl"))
+      .where(size(wlc) > 0)
+      .select(col(idCol), (uniSum + biSum).as("__w_q"),
+        (size(wlc) + (size(wlc) - 1)).cast("long").as("n_features"))
       // md5 uniform strictly inside (0,1): (bucket + 0.5) / 1e6
       .withColumn("__u",
         (md5Long60(concat(lit("dsir:"), col(idCol).cast("string"))) % 1000000L
@@ -512,12 +554,15 @@ object Curation {
     * explode + a single map-side-combined hash-agg, the same plan as
     * [[vocabulary]]. */
   def bpePairCounts(df: DataFrame, textCol: String, minCount: Long = 1L): DataFrame = {
-    val toks = split(lower(trim(col(textCol))), "\\s+")
+    // token array materialized as a column first — a lambda referencing
+    // the raw split re-tokenizes per ELEMENT (the dsirSelect 14x trap)
+    val toks = col("__t")
     // guard: Spark's sequence(1, 0) runs DESCENDING instead of empty
     val pairs = when(size(toks) < 2, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(toks) - 1),
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-    df.select(explode(pairs).as("pair"))
+    df.select(split(lower(trim(col(textCol))), "\\s+").as("__t"))
+      .select(explode(pairs).as("pair"))
       .where(length(col("pair")) > 1) // both tokens non-empty
       .groupBy(col("pair"))
       .agg(count(lit(1)).as("freq"))

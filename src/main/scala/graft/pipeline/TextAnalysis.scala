@@ -335,16 +335,23 @@ object TextAnalysis {
                      phrases: Seq[String]): DataFrame = {
     val norm = normalizePhrases(phrases)
     val lens = phraseLengths(norm)
-    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+    // token array and gram array materialize as columns stage by stage:
+    // a slice lambda over the raw split expression would re-tokenize per
+    // gram POSITION (the dsirSelect O(tokens²) trap), and a raw `grams`
+    // expression would build the gram array twice (once per marker_hits)
+    val toks = col("__toks")
     val grams = lens.map { n =>
       when(size(toks) < n, array().cast("array<string>"))
         .otherwise(transform(sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
     }.reduce(concat(_, _))
     df.select(col(idCol),
-        graft.fuzzy.vectorFunctions.marker_hits(grams, norm.toArray)
+        filter(tokens(col(textCol)), t => length(t) > 0).as("__toks"))
+      .select(col(idCol), grams.as("__grams"))
+      .select(col(idCol),
+        graft.fuzzy.vectorFunctions.marker_hits(col("__grams"), norm.toArray)
           .cast("long").as("n_blocked_hits"),
-        graft.fuzzy.vectorFunctions.marker_hits(array_distinct(grams), norm.toArray)
+        graft.fuzzy.vectorFunctions.marker_hits(array_distinct(col("__grams")), norm.toArray)
           .cast("long").as("n_blocked_phrases"))
       .withColumn("blocked", (col("n_blocked_hits") > 0).cast("int"))
   }
@@ -863,7 +870,11 @@ object TextAnalysis {
     * open-vocabulary web corpora). */
   def bigramLogProb(df: DataFrame, textCol: String, idCol: String,
                     broadcastLm: Boolean = true): DataFrame = {
-    val t = tokens(col(textCol))
+    // materialize the token array as a column FIRST: a transform lambda
+    // that references the raw split expression re-tokenizes the text per
+    // ELEMENT — O(tokens²) per doc, measured 14x on the same shape in
+    // dsirSelect (SCALE.md round-10)
+    val t = col("__t")
     // guard: sequence(1, 0) is DESCENDING in Spark — short docs must map
     // to an empty bigram list, not [1, 0]
     val bigramIdx = when(size(t) >= 2, sequence(lit(1), size(t) - 1))
@@ -872,7 +883,8 @@ object TextAnalysis {
     // AND the final scoring join — left lazy, the tokenize+explode runs
     // three times (the same multi-consumer trap pplBuckets had one
     // level up; SCALE.md round-10)
-    val pairs = df.select(col(idCol),
+    val pairs = df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol),
         explode(transform(bigramIdx, i =>
           struct(element_at(t, i.cast("int")).as("w1"),
             element_at(t, (i + 1).cast("int")).as("w2")))).as("bg"))
