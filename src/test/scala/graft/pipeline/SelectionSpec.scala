@@ -62,6 +62,21 @@ class SelectionSpec extends AnyFunSuite with SparkSpec {
       again.map(r => (r.getLong(0), r.getInt(3))).sortBy(_._1).toSeq)
   }
 
+  test("dsir: save/load round-trips the model and scores bit-identically") {
+    val model = Curation.dsirFit(docs, "text",
+      docs.where(col("lang") === "en"), "text", buckets = 4096)
+    val path = java.nio.file.Files.createTempDirectory("dsir_model").toString
+    Curation.saveDsirModel(model, path, spark)
+    val loaded = Curation.loadDsirModel(spark, path)
+    assert(loaded.buckets === model.buckets)
+    assert(loaded.ratiosMicro.toSeq === model.ratiosMicro.toSeq)
+    val a = Curation.dsirScore(docs, "text", "doc_id", model)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1)
+    val b = Curation.dsirScore(docs, "text", "doc_id", loaded)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("dsir: feature count is unigrams + adjacent bigrams") {
     import spark.implicits._
     val raw = Seq((1L, "a b c"), (2L, "solo")).toDF("doc_id", "text")

@@ -64,6 +64,36 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(got.contains((2L, 1L, 1)) && got.contains((3L, 2L, 1)))
   }
 
+  test("dsirScore is stream-native: a fitted model scores a streaming " +
+    "frame unchanged and equals the batch answer") {
+    // the DSIR apply half is a pure projection over a literal ratio
+    // table — same stateless-gate contract as blocklistFlags above, so
+    // a nightly ingest can importance-score documents inline
+    val fitRaw = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"),
+      (3L, "alpha alpha beta")).toDF("doc_id", "text")
+    val fitTgt = Seq(Tuple1("alpha beta")).toDF("text")
+    val model = graft.pipeline.Curation.dsirFit(fitRaw, "text", fitTgt, "text",
+      buckets = 256)
+    val flat = stageMicroBatches(Seq(
+      Seq((10L, "alpha beta new"), (11L, "unrelated words here")).toDF("doc_id", "text"),
+      Seq((12L, "beta gamma"), (13L, "")).toDF("doc_id", "text")))
+    val schema = spark.read.parquet(flat.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(flat.toString)
+    val q = graft.pipeline.Curation.dsirScore(stream, "text", "doc_id", model)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dsir_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("dsir_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    val batch = graft.pipeline.Curation.dsirScore(
+        spark.read.parquet(flat.toString), "text", "doc_id", model)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(got == batch && got.size == 3, s"stream $got vs batch $batch")
+    // the empty doc dropped (no tokens), per the LM-family contract
+    assert(!got.exists(_._1 == 13L))
+  }
+
   test("cross-micro-batch chunk dedup emits each distinct chunk once") {
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:10:00")
