@@ -1060,6 +1060,20 @@ object SparkEntry {
           Seq("event_type"), k = 128),
         "event_type", k = 128)),
 
+    // ---- count-min sketch: token-frequency estimates for a query set
+    // from d x w counters of the whole corpus's token stream — the
+    // mergeable frequency sketch (sum-merge spec-pinned exact); every
+    // arithmetic step integer, replayed verbatim
+    "profile_cms_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def toks(src: org.apache.spark.sql.DataFrame) = src
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .where(length(col("token")) > 0)
+      Profile.cmsLookup(
+        Profile.cmsCounters(toks(docs), "token", d = 4, w = 2048),
+        toks(docs.where(col("doc_id") % 50 === 0)), "token", d = 4, w = 2048)
+    }),
+
     // ---- KEYLESS interval join: error events open 60 s global incident
     // windows; every click inside any window attaches to it. Vanilla
     // Spark plans this as BroadcastNestedLoopJoin (no equi-key); the
@@ -3242,6 +3256,26 @@ object SparkEntry {
            round(ur, 4) AS est_union,
            round(jr * ur, 4) AS est_intersect
          FROM j""",
+    // CMS replayed: d=4 md5 hash rows x w=2048 slots, exact integer
+    // counters, est = min over the query value's d probes (0 via the
+    // left join for never-hit counters)
+    "profile_cms_tokens" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents),
+         t2 AS (SELECT token FROM tok WHERE length(token) > 0),
+         pr AS (SELECT token, CAST(r.i AS INT) AS row,
+                  ('0x' || substring(md5('cms' || r.i || ':' || token), 1, 15))::BIGINT % 2048 AS slot
+                FROM t2 CROSS JOIN range(0, 4) r(i)),
+         c AS (SELECT row, slot, count(*) AS cnt FROM pr GROUP BY 1, 2),
+         q AS (SELECT DISTINCT token FROM (
+                 SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+                 FROM documents WHERE doc_id % 50 = 0)
+               WHERE length(token) > 0),
+         qp AS (SELECT token, CAST(r.i AS INT) AS row,
+                  ('0x' || substring(md5('cms' || r.i || ':' || token), 1, 15))::BIGINT % 2048 AS slot
+                FROM q CROSS JOIN range(0, 4) r(i)),
+         e AS (SELECT qp.token, COALESCE(c.cnt, 0) AS cnt
+               FROM qp LEFT JOIN c ON qp.row = c.row AND qp.slot = c.slot)
+         SELECT token, CAST(min(cnt) AS BIGINT) AS est FROM e GROUP BY 1""",
     // plain BETWEEN containment join — DuckDB's nested-loop is fine at
     // oracle scale; the Spark side must reproduce it via time tiling
     "events_range_join" ->

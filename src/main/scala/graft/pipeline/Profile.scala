@@ -426,6 +426,54 @@ object Profile {
         transform(col("__tk"), e => e.getField("id")).as("sketch"): _*)
   }
 
+  // ---------------------------------------------------- count-min sketch
+
+  /** Count-min sketch counters (Cormode & Muthukrishnan 2005): `d`
+    * independent md5 hash rows × `w` slots, each (row, slot) holding the
+    * exact count of values hashing there. The mergeable frequency
+    * sketch next to [[hllRegisters]] (distinct) and [[kmvSketch]]
+    * (overlap): per-shard counter frames are ≤ d·w rows regardless of
+    * corpus size and merge by SUM ([[cmsMerge]]) — "how often does this
+    * token/URL/user appear, corpus-wide" without keeping the full
+    * value→count table. Pure integer arithmetic end to end, so every
+    * estimate replays exactly in any engine. */
+  def cmsCounters(df: DataFrame, valueCol: String,
+                  d: Int = 4, w: Int = 2048): DataFrame = {
+    require(d >= 1 && d <= 16 && w >= 2, s"need 1 <= d <= 16, w >= 2 (got $d, $w)")
+    df.where(col(valueCol).isNotNull)
+      .select(posexplode(array((0 until d).map(i =>
+        conv(substring(md5(concat(lit(s"cms$i:"), col(valueCol).cast("string"))),
+          1, 15), 16, 10).cast("long") % w): _*)))
+      .select(col("pos").cast("int").as("row"), col("col").as("slot"))
+      .groupBy(col("row"), col("slot")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge counter frames (same d, w): per-(row, slot) sum — lossless,
+    * so shard-merge-then-lookup equals whole-corpus lookup EXACTLY
+    * (spec-pinned). */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("row"), col("slot")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-frequency estimates for the DISTINCT values of `queries`:
+    * `est(v) = min over rows of counter[row, slot_row(v)]` — the classic
+    * one-sided bound (est ≥ true count, overshoot ≤ εN with probability
+    * 1−δ for w = e/ε, d = ln 1/δ). The d probes build as one small
+    * explode over the query set and join the counter frame on
+    * (row, slot) — counters a query never hits default to 0 via the
+    * left join. */
+  def cmsLookup(counters: DataFrame, queries: DataFrame, valueCol: String,
+                d: Int = 4, w: Int = 2048): DataFrame = {
+    require(d >= 1 && d <= 16 && w >= 2, s"need 1 <= d <= 16, w >= 2 (got $d, $w)")
+    queries.where(col(valueCol).isNotNull).select(col(valueCol)).distinct()
+      .select(col(valueCol), posexplode(array((0 until d).map(i =>
+        conv(substring(md5(concat(lit(s"cms$i:"), col(valueCol).cast("string"))),
+          1, 15), 16, 10).cast("long") % w): _*)))
+      .select(col(valueCol), col("pos").cast("int").as("row"), col("col").as("slot"))
+      .join(broadcast(counters), Seq("row", "slot"), "left")
+      .groupBy(col(valueCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   /** Set-relationship estimates between every unordered PAIR of groups,
     * from their KMV sketches alone — |A|, |B|, Jaccard, |A∪B|, |A∩B| with
     * no join over the raw values (the "how much do these two shards'

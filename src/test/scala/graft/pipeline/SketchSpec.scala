@@ -78,6 +78,37 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(sizeA - 300.0) / 300.0 < 0.3)     // k=64: loose but sane
   }
 
+  test("cms: estimates never undercount, and are exact sans collisions") {
+    import spark.implicits._
+    val vals = (Seq.fill(7)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("v")
+    val counters = Profile.cmsCounters(vals, "v", d = 4, w = 2048)
+    val est = Profile.cmsLookup(counters,
+      Seq("a", "b", "c", "never-seen").toDF("v"), "v", d = 4, w = 2048)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 3 values in 2048 slots x 4 rows: no collisions, all exact
+    assert(est === Map("a" -> 7L, "b" -> 3L, "c" -> 1L, "never-seen" -> 0L))
+    // one-sided bound under forced collisions (w = 2): est >= true count
+    val tiny = Profile.cmsLookup(Profile.cmsCounters(vals, "v", d = 2, w = 2),
+      Seq("a", "b", "c").toDF("v"), "v", d = 2, w = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tiny("a") >= 7L && tiny("b") >= 3L && tiny("c") >= 1L)
+  }
+
+  test("cms: merging per-shard counters equals sketching the whole corpus, exactly") {
+    val toks = events.select(col("event_id"),
+      col("event_type").as("v"))
+    val whole = Profile.cmsCounters(toks, "v", d = 4, w = 512)
+    val merged = Profile.cmsMerge(
+      Profile.cmsCounters(toks.where(col("event_id") % 2 === 0), "v", d = 4, w = 512),
+      Profile.cmsCounters(toks.where(col("event_id") % 2 =!= 0), "v", d = 4, w = 512))
+    assert(merged.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq ===
+      whole.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq)
+    // and the counter frame is bounded by d x w
+    assert(whole.count() <= 4L * 512L)
+  }
+
   test("sketch sizes are bounded: <= m registers, <= k keys") {
     val regs = Profile.hllRegisters(events, "user_id", Seq("event_type"), p = 8)
     assert(regs.groupBy("event_type").count()
