@@ -584,6 +584,17 @@ object SparkEntry {
         SparkEntry.DemoTemperatureAlpha)
         .select(col("doc_id"), col("lang"),
           sround(col("keep_rate"), 6).as("keep_rate"))),
+    // ---- UniMax budget allocation: equal shares per language except
+    // epoch-capped small ones (water-filling closed form in exact
+    // integers); each doc's copy count is deterministic in its key.
+    // budget=700 rows / maxEpochs=2 puts fr+de capped and es/zh/en at
+    // the θ share on this corpus — both branches exercised
+    "curate_unimax" -> ((s, dir) =>
+      Curation.unimaxSample(t(s, dir, "documents"), "doc_id", "lang",
+          budget = 700L, maxEpochs = 2)
+        .select(col("doc_id"), col("lang"), col("budget_alloc"),
+          col("n_copies"))),
+
     // ---- composed clean-mix: blocklist gate THEN temperature resampling
     // over the survivors — the rates derive from the FILTERED corpus
     // (the seam a per-stage oracle never sees: filter-then-rate, not
@@ -2722,6 +2733,10 @@ object SparkEntry {
     // blocklist/ADPCM oracles) with a null-safe stratum join
     "curate_temperature_sample" -> Curation.temperatureOracleSql(
       "documents", "doc_id", "lang", SparkEntry.DemoTemperatureAlpha),
+    // single-sourced replay of the water-filling closed form (same
+    // budget/epoch constants the query passes)
+    "curate_unimax" -> Curation.unimaxOracleSql(
+      "documents", "doc_id", "lang", budget = 700L, maxEpochs = 2),
     // COMPOSED oracle: the temperature generator consumes the blocklist
     // generator's survivors as a subquery — both stages single-sourced
     // with their implementations, composed exactly as the query composes

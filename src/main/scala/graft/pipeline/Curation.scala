@@ -176,6 +176,124 @@ object Curation {
        |      CAST(round(r.rate * 1000000) AS BIGINT)""".stripMargin
   }
 
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): distribute a total row `budget` across strata so
+    * every stratum gets an equal share EXCEPT those whose entire corpus
+    * at `maxEpochs` repetitions is smaller — they contribute everything
+    * they have and the freed budget redistributes. The epoch cap is the
+    * paper's fix for temperature sampling's tail-language over-repetition.
+    *
+    * Computed via the water-filling CLOSED FORM rather than the paper's
+    * sequential loop, in EXACT integer arithmetic so the oracle replays
+    * it with window functions: sort strata ascending by capped size
+    * `c = n·maxEpochs` (ties by stratum string, NULL last — DuckDB's
+    * default), stratum i is capped iff
+    * `c_i·(k−i+1) ≤ budget − (cum_i − c_i)` AND every smaller stratum
+    * is capped (the prefix-AND makes the predicate monotone); uncapped
+    * strata get `θ = (budget − Σ capped c) div (#uncapped)` — floor
+    * division, the ≤ #strata remainder rows deliberately unallocated.
+    *
+    * Per-stratum allocation `b` becomes per-row copies: `epochs = b div
+    * n` full copies for everyone, plus one more for rows whose md5
+    * bucket clears `((b mod n)·10⁶) div n` — so expected copies = b/n
+    * and every row's fate is deterministic in its key. Emits every input
+    * row with (`n_copies` — 0 = dropped, `budget_alloc` — the stratum's
+    * b). Same driver-side rate-table shape and cardinality guard as
+    * [[temperatureSample]]. */
+  def unimaxSample(df: DataFrame, keyCol: String, strataCol: String,
+                   budget: Long, maxEpochs: Int,
+                   maxStrata: Int = 1000): DataFrame = {
+    require(budget > 0, s"budget must be positive (got $budget)")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1 (got $maxEpochs)")
+    require(maxStrata >= 1, s"maxStrata must be >= 1 (got $maxStrata)")
+    val rows = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .limit(maxStrata + 1).collect()
+    require(rows.length <= maxStrata,
+      s"unimaxSample: over $maxStrata distinct values in stratum column " +
+        s"'$strataCol' — a driver-side allocation table is for " +
+        "low-cardinality strata (language, source). For high-cardinality " +
+        "strata compute the allocations as a DataFrame and broadcast-join " +
+        "them on the stratum column instead.")
+    require(rows.nonEmpty, "unimaxSample needs a non-empty frame")
+    // ascending by c with DuckDB's tie order (value asc, NULL last)
+    val sorted = rows.map { r =>
+      (Option(r.get(0)).map(_.toString), r.getLong(1), r.getLong(1) * maxEpochs)
+    }.sortWith { case ((sa, _, ca), (sb, _, cb)) =>
+      if (ca != cb) ca < cb
+      else (sa, sb) match {
+        case (Some(a), Some(b)) => a < b
+        case (Some(_), None) => true
+        case _ => false
+      }
+    }
+    val k = sorted.length
+    var cum = 0L
+    var allCapped = true
+    val capped = sorted.zipWithIndex.map { case ((_, _, c), i0) =>
+      cum += c
+      allCapped = allCapped && c * (k - i0) <= budget - (cum - c)
+      allCapped
+    }
+    val p = capped.count(identity)
+    val cumP = sorted.zip(capped).collect { case ((_, _, c), true) => c }.sum
+    val theta = if (p < k) (budget - cumP) / (k - p) else 0L
+    val alloc = sorted.zip(capped).map { case ((s, n, c), isCapped) =>
+      (s, n, if (isCapped) c else theta)
+    }
+    def chain(f: ((Option[String], Long, Long)) => Long): Column =
+      alloc.foldLeft(lit(-1L)) { case (acc, row @ (s, _, _)) =>
+        s match {
+          case Some(v) => when(col(strataCol) === v, f(row)).otherwise(acc)
+          case None => when(col(strataCol).isNull, f(row)).otherwise(acc)
+        }
+      }
+    val epochs = chain { case (_, n, b) => b / n }
+    val thr = chain { case (_, n, b) => (b % n) * 1000000L / n }
+    val bAlloc = chain { case (_, _, b) => b }
+    df.withColumn("budget_alloc", bAlloc)
+      .withColumn("n_copies",
+        epochs + when(md5Bucket(col(keyCol)) < thr, 1L).otherwise(0L))
+  }
+
+  /** DuckDB replay of [[unimaxSample]], GENERATED from the same budget /
+    * epoch cap (single source): the identical closed form — ascending
+    * (c, stratum) order, prefix-AND capped predicate over exact
+    * integers, floor-division θ and per-row copy counts off the same
+    * md5 grid. Null-safe stratum join like [[temperatureOracleSql]]. */
+  def unimaxOracleSql(table: String, keyCol: String, strataCol: String,
+                      budget: Long, maxEpochs: Int): String = {
+    s"""WITH src AS (SELECT * FROM $table AS s0),
+       |cs AS (SELECT $strataCol, count(*) AS n, count(*) * $maxEpochs AS c
+       |       FROM src GROUP BY $strataCol),
+       |srt AS (SELECT $strataCol, n, c,
+       |          row_number() OVER (ORDER BY c, $strataCol) AS i,
+       |          sum(c) OVER (ORDER BY c, $strataCol
+       |            ROWS UNBOUNDED PRECEDING) AS cum,
+       |          count(*) OVER () AS k
+       |        FROM cs),
+       |cap AS (SELECT *,
+       |          min(CASE WHEN c * (k - i + 1) <= $budget - (cum - c)
+       |                   THEN 1 ELSE 0 END)
+       |            OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) = 1 AS capped
+       |        FROM srt),
+       |tot AS (SELECT sum(CASE WHEN capped THEN c ELSE 0 END) AS cump,
+       |          sum(CASE WHEN capped THEN 1 ELSE 0 END) AS p,
+       |          max(k) AS k FROM cap),
+       |al AS (SELECT cap.$strataCol, cap.n,
+       |         CASE WHEN cap.capped THEN cap.c
+       |              ELSE ($budget - tot.cump) // NULLIF(tot.k - tot.p, 0)
+       |         END AS b
+       |       FROM cap CROSS JOIN tot),
+       |r AS (SELECT $strataCol, n, b, b // n AS epochs,
+       |        ((b % n) * 1000000) // n AS thr FROM al)
+       |SELECT d.$keyCol, d.$strataCol, r.b AS budget_alloc,
+       |  CAST(r.epochs + CASE WHEN
+       |    ('0x' || substring(md5(CAST(d.$keyCol AS VARCHAR)), 1, 15))::BIGINT % 1000000 < r.thr
+       |    THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+       |FROM src AS d JOIN r ON d.$strataCol IS NOT DISTINCT FROM r.$strataCol""".stripMargin
+  }
+
   /** Per-stratum deterministic sampling — the quota-mixing step of corpus
     * assembly (e.g. downsample web text, keep all books). `rates` maps
     * stratum value -> keep fraction; anything unlisted keeps

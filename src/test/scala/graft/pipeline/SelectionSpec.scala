@@ -77,6 +77,48 @@ class SelectionSpec extends AnyFunSuite with SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("unimax: allocations respect the budget, the epoch cap, and the equal-share rule") {
+    // 800 rows / 2 epochs on this corpus: four languages' full 2-epoch
+    // corpora fit their fair share (capped), en shares the remainder
+    val out = Curation.unimaxSample(docs, "doc_id", "lang",
+      budget = 800L, maxEpochs = 2)
+    val alloc = out.groupBy("lang").agg(
+        max(col("budget_alloc")).as("b"), count(lit(1)).as("n"),
+        sum(col("n_copies")).as("copies"), max(col("n_copies")).as("maxc"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val totalAlloc = alloc.values.map(_._1).sum
+    // budget conserved up to the floor-division remainder (< #strata)
+    assert(totalAlloc <= 800L && totalAlloc > 800L - alloc.size)
+    alloc.foreach { case (lang, (b, n, copies, maxc)) =>
+      assert(b <= n * 2, s"$lang over the epoch cap")     // c = n * maxEpochs
+      assert(maxc <= 2L, s"$lang rows over maxEpochs copies")
+      // realized copies land in [epochs*n, epochs*n + n] by construction
+      val epochs = b / n
+      assert(copies >= epochs * n && copies <= (epochs + 1) * n, s"$lang copies $copies vs b $b")
+    }
+    // capped strata contribute their whole corpus at the cap; uncapped
+    // strata all share one theta — and both classes exist at this budget
+    val capped = alloc.filter { case (_, (b, n, _, _)) => b == n * 2 }
+    val uncapped = alloc.filter { case (_, (b, n, _, _)) => b != n * 2 }
+    assert(capped.nonEmpty && uncapped.nonEmpty)
+    assert(uncapped.values.map(_._1).toSet.size === 1)
+  }
+
+  test("unimax: a budget above the epoch-capped corpus keeps everything at the cap") {
+    val out = Curation.unimaxSample(docs, "doc_id", "lang",
+      budget = 10000L, maxEpochs = 3)
+    assert(out.where(col("n_copies") =!= 3L).count() === 0L)
+  }
+
+  test("unimax: high-cardinality stratum column fails fast with the guard") {
+    val e = intercept[IllegalArgumentException] {
+      Curation.unimaxSample(docs, "doc_id", "doc_id",
+        budget = 100L, maxEpochs = 1, maxStrata = 10)
+    }
+    assert(e.getMessage.contains("broadcast-join"))
+  }
+
   test("dsir: feature count is unigrams + adjacent bigrams") {
     import spark.implicits._
     val raw = Seq((1L, "a b c"), (2L, "solo")).toDF("doc_id", "text")
