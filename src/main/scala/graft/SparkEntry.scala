@@ -1071,6 +1071,16 @@ object SparkEntry {
           Seq("event_type"), k = 128),
         "event_type", k = 128)),
 
+    // ---- HDR-histogram quantile sketch: p50/p90/p99 of doc length per
+    // language from a mergeable power-of-two/linear-sub-bucket histogram
+    // — pure integer bucketing (bit-length + shifts), window over the
+    // HISTOGRAM, never a corpus sort
+    "profile_hdr_quantiles" -> ((s, dir) =>
+      Profile.hdrQuantiles(
+        Profile.hdrBuckets(t(s, dir, "documents"), "n_chars", Seq("lang"),
+          subBits = 5),
+        Seq("lang"), Seq(500000L, 900000L, 990000L))),
+
     // ---- count-min sketch: token-frequency estimates for a query set
     // from d x w counters of the whole corpus's token stream — the
     // mergeable frequency sketch (sum-merge spec-pinned exact); every
@@ -3271,6 +3281,31 @@ object SparkEntry {
            round(ur, 4) AS est_union,
            round(jr * ur, 4) AS est_intersect
          FROM j""",
+    // HDR replayed: g = max(0, bitlength - subBits - 1) picks the band
+    // AND the shift (e-1-sb == e-sb-1), bucket = g*2^sb + (v >> g); rank
+    // threshold ceil(q*n) as (n*q + 999999) // 1e6; first bucket whose
+    // cumulative count reaches it
+    "profile_hdr_quantiles" ->
+      """WITH h AS (SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents
+                WHERE n_chars IS NOT NULL),
+         b AS (SELECT lang, v,
+                 greatest(0, length(bin(v)) - 6) * 32
+                   + (v >> CAST(greatest(0, length(bin(v)) - 6) AS INT)) AS bucket
+               FROM h),
+         hist AS (SELECT lang, bucket, count(*) AS cnt, min(v) AS lo, max(v) AS hi
+                  FROM b GROUP BY 1, 2),
+         cum AS (SELECT *, sum(cnt) OVER (PARTITION BY lang ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING) AS cm FROM hist),
+         tot AS (SELECT lang, sum(cnt) AS n FROM hist GROUP BY 1),
+         q AS (SELECT unnest([500000, 900000, 990000]) AS q_micro),
+         j AS (SELECT c.lang, c.bucket, c.cm, t.n, q.q_micro,
+                 (t.n * q.q_micro + 999999) // 1000000 AS rnk
+               FROM cum c JOIN tot t USING (lang) CROSS JOIN q),
+         f AS (SELECT lang, q_micro, min(bucket) AS bk FROM j
+               WHERE cm >= rnk GROUP BY 1, 2)
+         SELECT f.lang, CAST(f.q_micro AS BIGINT) AS q_micro,
+           h2.lo AS band_lo, h2.hi AS band_hi, h2.hi AS est
+         FROM f JOIN hist h2 ON f.lang = h2.lang AND f.bk = h2.bucket""",
     // CMS replayed: d=4 md5 hash rows x w=2048 slots, exact integer
     // counters, est = min over the query value's d probes (0 via the
     // left join for never-hit counters)

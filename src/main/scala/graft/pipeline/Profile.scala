@@ -474,6 +474,89 @@ object Profile {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  // ------------------------------------------------ HDR quantile sketch
+
+  /** HDR-histogram quantile sketch (Tene's HdrHistogram bucketing):
+    * non-negative longs land in `(exponent, mantissa)` buckets — the
+    * bit-length of the value picks a power-of-two band, the top
+    * `subBits` bits after the leading one pick a linear sub-bucket — so
+    * the bucket WIDTH tracks the value's magnitude and any quantile
+    * reads back with relative error ≤ 2^−subBits. The mergeable
+    * QUANTILE sketch completing the family ([[hllRegisters]] distinct,
+    * [[kmvSketch]] overlap, [[cmsCounters]] frequency): per-shard
+    * histograms are ≤ 64·2^subBits rows per group, merge by SUM, and
+    * "p99 doc length across 100 TB" never sorts the corpus — where the
+    * exact [[numericQuantiles]] is a sort-based aggregate that cannot
+    * pre-aggregate per shard.
+    *
+    * Bucketing is PURE INTEGER (bit-length via `length(bin())`, shifts
+    * as integer division by a power-of-two literal — no ln at bucket
+    * boundaries), so every engine buckets identically. Negative values
+    * are rejected; quantize signed/fractional columns onto a
+    * non-negative grid first. */
+  def hdrBuckets(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                 subBits: Int = 5): DataFrame = {
+    require(subBits >= 1 && subBits <= 8, s"subBits must be in [1,8] (got $subBits)")
+    // unified index, all integer: with e = bitlength(v) and
+    // shift = max(0, e-1-subBits),
+    //   bucket = max(0, e-subBits-1)·2^subBits + (v >> shift)
+    // — values of ≤ subBits+1 bits (including 0) sit in their own
+    // exact-value bucket (shift 0), wider bands keep the top subBits+1
+    // bits; strictly monotone across bands
+    val sb = subBits
+    val idx = expr(
+      s"""greatest(0L, length(bin(__v)) - $sb - 1) * ${1L << sb}
+         | + shiftright(__v, greatest(0, length(bin(__v)) - 1 - $sb))""".stripMargin)
+    df.where(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ col(valueCol).cast("long").as("__v"): _*)
+      .select(groupCols.map(col) :+ col("__v") :+ idx.as("bucket"): _*)
+      .groupBy(col("bucket") +: groupCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), min(col("__v")).as("lo"), max(col("__v")).as("hi"))
+  }
+
+  /** Merge histogram frames (same subBits): per-(group, bucket) sum of
+    * counts, min/max of the observed bounds — lossless, shard-merge ==
+    * whole spec-pinned exact. */
+  def hdrMerge(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("bucket") +: groupCols.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"), min(col("lo")).as("lo"), max(col("hi")).as("hi"))
+
+  /** Quantile estimates from a histogram frame: for each probability q,
+    * the first bucket (ascending index) whose cumulative count reaches
+    * `ceil(q·n)`, reported as that bucket's observed [lo, hi] band with
+    * `est` = hi (the discrete upper quantile; exact when the bucket
+    * holds one distinct value, ≤ 2^−subBits relative otherwise). The
+    * window runs over the HISTOGRAM (≤ 64·2^subBits rows per group),
+    * never the corpus — the [[graft.pipeline.TextAnalysis.pplBuckets]]
+    * histogram trick. `qMicros` are probabilities on the 1e-6 grid
+    * (500000 = median) so the rank threshold `ceil(q·n)` is exact
+    * integer arithmetic: `(n·qm + 999999) div 1e6`. */
+  def hdrQuantiles(hist: DataFrame, groupCols: Seq[String],
+                   qMicros: Seq[Long]): DataFrame = {
+    require(qMicros.nonEmpty && qMicros.forall(q => q > 0L && q <= 1000000L),
+      s"qMicros must be in (0, 1e6] (got $qMicros)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("__cum", sum(col("cnt")).over(w))
+    val totals = hist.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("cnt")).as("__n"))
+    val qs = qMicros.sorted.map(lit(_))
+    cum.join(totals, groupCols)
+      .select(groupCols.map(col) :+ col("bucket") :+ col("lo") :+ col("hi") :+
+        col("__cum") :+ col("__n") :+
+        explode(array(qs: _*)).as("q_micro"): _*)
+      .withColumn("__rank", expr("(__n * q_micro + 999999L) div 1000000L"))
+      .where(col("__cum") >= col("__rank"))
+      .groupBy(groupCols.map(col) :+ col("q_micro"): _*)
+      .agg(min_by(struct(col("lo"), col("hi")), col("bucket")).as("__band"))
+      .select(groupCols.map(col) :+ col("q_micro") :+
+        col("__band.lo").as("band_lo") :+ col("__band.hi").as("band_hi") :+
+        col("__band.hi").as("est"): _*)
+  }
+
   /** Set-relationship estimates between every unordered PAIR of groups,
     * from their KMV sketches alone — |A|, |B|, Jaccard, |A∪B|, |A∩B| with
     * no join over the raw values (the "how much do these two shards'

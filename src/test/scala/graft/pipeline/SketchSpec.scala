@@ -109,6 +109,42 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
     assert(whole.count() <= 4L * 512L)
   }
 
+  test("hdr: quantile bands bracket the exact percentile within the relative bound") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val got = Profile.hdrQuantiles(
+      Profile.hdrBuckets(docs, "n_chars", Seq("lang"), subBits = 5),
+      Seq("lang"), Seq(500000L, 900000L, 990000L))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val vals = docs.select(col("lang"), col("n_chars"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (l, vs) => l -> vs.map(_._2).sorted }
+    for ((l, sortedVs) <- vals; qm <- Seq(500000L, 900000L, 990000L)) {
+      // exact discrete upper quantile: the ceil(q*n)-th smallest value
+      val rank = ((sortedVs.length * qm + 999999L) / 1000000L).toInt
+      val exact = sortedVs(rank - 1)
+      val (lo, hi) = got((l, qm))
+      assert(lo <= exact && exact <= hi, s"$l q$qm: $exact not in [$lo, $hi]")
+      // band width respects the 2^-subBits relative bound
+      assert(hi - lo <= math.max(1L, lo >> 5), s"$l q$qm band too wide: [$lo, $hi]")
+    }
+  }
+
+  test("hdr: merging per-shard histograms equals sketching the whole corpus, exactly") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val whole = Profile.hdrBuckets(docs, "n_chars", Seq("lang"), subBits = 5)
+    val merged = Profile.hdrMerge(
+      Profile.hdrBuckets(docs.where(col("doc_id") % 2 === 0), "n_chars", Seq("lang"), subBits = 5),
+      Profile.hdrBuckets(docs.where(col("doc_id") % 2 =!= 0), "n_chars", Seq("lang"), subBits = 5),
+      Seq("lang"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._2, t._1)).toSeq
+    assert(canon(merged) === canon(whole))
+    // state bound: buckets per group <= 64 * 2^subBits
+    assert(whole.groupBy("lang").count().where(col("count") > 64L * 32L).count() === 0L)
+  }
+
   test("sketch sizes are bounded: <= m registers, <= k keys") {
     val regs = Profile.hllRegisters(events, "user_id", Seq("event_type"), p = 8)
     assert(regs.groupBy("event_type").count()
