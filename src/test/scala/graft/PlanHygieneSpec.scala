@@ -232,4 +232,56 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
         .exists(l => l.trim.startsWith("Sort ") && l.contains("global=true")),
       s"funnel plan must stay keyed (no global sort / single partition):\n$plan")
   }
+
+  test("dsirScore under a fitted model is a pure projection: no shuffle, no join") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val model = graft.pipeline.Curation.DsirModel(Array.fill(256)(7L), 256)
+    val plan = graft.pipeline.Curation.dsirScore(docs, "text", "doc_id", model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"the DSIR apply half must stay a stateless projection:\n$plan")
+  }
+
+  test("semDedup: cell-keyed pair stage, never a cartesian; assignment join-free") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val plan = graft.pipeline.Dedup.semDedup(emb, "embedding", "vec_id",
+        graft.pipeline.DemoModels.SemCentroids, dim = 64, nCells = 8,
+        threshold = 0.35)
+      .queryExecution.executedPlan.toString
+    // centroids ride the closure as literals: no join anywhere before the
+    // cell-keyed pair join, and no unkeyed pair generation
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"semDedup pair stage must join on the cell key:\n$plan")
+    // the pair stage keys on the cell: either a cell-keyed exchange (real
+    // corpus) or a broadcast equi-join on cell (this tiny fixture — AQE's
+    // correct pick); both carry the cell as a join key in the plan text
+    assert(plan.contains("hashpartitioning(cell") ||
+      plan.linesIterator.exists(l => l.contains("Join") && l.contains("[cell")),
+      s"semDedup pair stage must equi-join on the cell:\n$plan")
+  }
+
+  test("cmsLookup: the d*w-bounded counter frame joins broadcast") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val toks = docs.select(explode(graft.pipeline.TextAnalysis.tokens(col("text")))
+      .as("token")).where(length(col("token")) > 0)
+    val plan = graft.pipeline.Profile.cmsLookup(
+        graft.pipeline.Profile.cmsCounters(toks, "token", d = 4, w = 2048),
+        toks.limit(50), "token", d = 4, w = 2048)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the counter lookup must broadcast the bounded counter frame:\n$plan")
+  }
+
+  test("sketch builds rank nothing: no Window, no global sort in HLL/CMS registers") {
+    val ev = graft.util.EventTs.loadEvents(spark, dir)
+    for (df <- Seq(
+        graft.pipeline.Profile.hllDistinct(ev, "user_id", Seq("event_type"), p = 8),
+        graft.pipeline.Profile.cmsCounters(ev.select(col("event_type").as("v")), "v", 4, 512))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window") && !plan.linesIterator
+          .exists(l => l.trim.startsWith("Sort ") && l.contains("global=true")),
+        s"sketch build must be pure hash aggregation:\n$plan")
+    }
+  }
 }
