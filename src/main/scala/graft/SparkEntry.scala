@@ -584,6 +584,13 @@ object SparkEntry {
         SparkEntry.DemoTemperatureAlpha)
         .select(col("doc_id"), col("lang"),
           sround(col("keep_rate"), 6).as("keep_rate"))),
+    // ---- Efraimidis-Spirakis weighted exact-n sample: probability
+    // proportional to doc length, via the ln(u)/w key through the heap
+    "curate_weighted_sample_exact" -> ((s, dir) =>
+      Curation.weightedSampleExactN(t(s, dir, "documents"), "doc_id",
+          col("n_chars").cast("double"), n = 100)
+        .select(col("doc_id"), col("n_chars"), col("sample_rank"))),
+
     // ---- UniMax budget allocation: equal shares per language except
     // epoch-capped small ones (water-filling closed form in exact
     // integers); each doc's copy count is deterministic in its key.
@@ -2747,6 +2754,20 @@ object SparkEntry {
     // budget/epoch constants the query passes)
     "curate_unimax" -> Curation.unimaxOracleSql(
       "documents", "doc_id", "lang", budget = 700L, maxEpochs = 2),
+    // A-ES replayed: same 1e-6-grid ln(u), same one-division key, rank
+    // = row_number over (key desc, id) — the heap's total order
+    "curate_weighted_sample_exact" ->
+      """WITH w AS (SELECT doc_id, n_chars, CAST(n_chars AS DOUBLE) AS wt
+                FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+         k AS (SELECT doc_id, n_chars, wt,
+                 CAST(round(ln(
+                   (('0x' || substring(md5('aes:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+                     + 0.5) / 1000000.0) * 1000000) AS BIGINT) AS lnu_q
+               FROM w),
+         r AS (SELECT doc_id, n_chars,
+                 CAST(row_number() OVER (ORDER BY CAST(lnu_q AS DOUBLE) / wt DESC, doc_id) AS INT) AS sample_rank
+               FROM k)
+         SELECT doc_id, n_chars, sample_rank FROM r WHERE sample_rank <= 100""",
     // COMPOSED oracle: the temperature generator consumes the blocklist
     // generator's survivors as a subquery — both stages single-sourced
     // with their implementations, composed exactly as the query composes

@@ -70,6 +70,35 @@ object Curation {
     df.join(picked, Seq(idCol))
   }
 
+  /** WEIGHTED exact-n sampling without replacement (Efraimidis &
+    * Spirakis 2006): the n rows with the largest `u^(1/w)` — drawn with
+    * probability proportional to weight at every step, the exact-count
+    * companion to [[weightedHashSample]]'s per-row coin flips and the
+    * general-weights form of [[dsirSelect]]'s Gumbel-top-k. Ranking uses
+    * the equivalent log key `ln(u)/w` (u = the id's md5 uniform,
+    * strictly inside (0,1); ln quantized to the 1e-6 grid first so the
+    * key is ONE IEEE division from exact integers — reproducible in any
+    * engine), through the [[graft.fuzzy.BoundedTopK]] heap: map-side
+    * partials of n fixed-size entries, never a corpus sort. Rows with
+    * NULL or non-positive weight are excluded by contract (their key is
+    * undefined). Emits the original row plus `sample_rank`. */
+  def weightedSampleExactN(df: DataFrame, idCol: String, weight: Column,
+                           n: Int): DataFrame = {
+    require(n > 0, s"n must be positive (got $n)")
+    val u = (conv(substring(md5(concat(lit("aes:"), col(idCol).cast("string"))),
+      1, 15), 16, 10).cast("long") % 1000000L + lit(0.5)) / 1e6
+    val key = round(log(u) * 1e6).cast("long").cast("double") / weight.cast("double")
+    val picked = df
+      .where(weight.isNotNull && weight > 0)
+      .select(col(idCol).cast("long").as(idCol), key.as("__key"))
+      .groupBy(lit(1).as("__g"))
+      .agg(graft.fuzzy.vectorFunctions.topk_pairs(col("__key"), col(idCol), n)
+        .as("__tk"))
+      .select(posexplode(col("__tk")))
+      .select(col("col.id").as(idCol), (col("pos") + 1).cast("int").as("sample_rank"))
+    df.join(picked, Seq(idCol))
+  }
+
   /** Per-stratum EXACT-n sample — quota sampling for balanced eval sets
     * (n docs per language/source regardless of stratum skew): the n
     * smallest md5 order keys WITHIN each stratum, the [[sampleExactN]]

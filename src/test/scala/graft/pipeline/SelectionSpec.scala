@@ -119,6 +119,25 @@ class SelectionSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("broadcast-join"))
   }
 
+  test("weighted exact-n: size-proportional, exact count, weight-gated") {
+    val out = Curation.weightedSampleExactN(docs, "doc_id",
+      col("n_chars").cast("double"), n = 100)
+    assert(out.count() === 100L)
+    assert(out.select("sample_rank").collect().map(_.getInt(0)).sorted.toSeq
+      === (1 to 100))
+    // probability ∝ length: the sample's mean length beats the corpus mean
+    val meanAll = docs.agg(avg(col("n_chars"))).collect()(0).getDouble(0)
+    val meanSel = out.agg(avg(col("n_chars"))).collect()(0).getDouble(0)
+    assert(meanSel > meanAll, s"weighted sample mean $meanSel <= corpus mean $meanAll")
+    // zero/negative/null weights never sampled
+    import spark.implicits._
+    val mixed = Seq((1L, 10.0), (2L, 0.0), (3L, -5.0), (4L, 1.0))
+      .toDF("doc_id", "w")
+    val picked = Curation.weightedSampleExactN(mixed, "doc_id", col("w"), n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(picked === Set(1L, 4L))
+  }
+
   test("dsir: feature count is unigrams + adjacent bigrams") {
     import spark.implicits._
     val raw = Seq((1L, "a b c"), (2L, "solo")).toDF("doc_id", "text")
