@@ -1329,6 +1329,18 @@ object SparkEntry {
           sround(col("logprob"), 6).as("logprob"),
           sround(col("avg_logprob"), 6).as("avg_logprob"))),
 
+    // ---- interpolated Kneser-Ney bigram LM: fit on the even-id train
+    // split, score ALL docs — unseen bigrams smooth through the
+    // continuation distribution; unseen continuations skip + count
+    "text_kn_lp" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.knBigramLogProb(docs, "text", "doc_id",
+          docs.where(col("doc_id") % 2 === 0), "text")
+        .select(col("doc_id"), col("n_bigrams"), col("n_scored"),
+          sround(col("logprob"), 6).as("logprob"),
+          sround(col("avg_logprob"), 6).as("avg_logprob"))
+    }),
+
     // ---- Moore-Lewis cross-entropy-difference selection: in-domain LM
     // fit on the English split, general LM on the whole corpus; exact
     // integer-grid score sums; OOV-to-domain tokens contribute 0 and
@@ -3765,6 +3777,47 @@ object SparkEntry {
            round(sum(lp_q) / 1000000.0, 6) AS logprob,
            round(sum(lp_q) / 1000000.0 / count(*), 6) AS avg_logprob
          FROM p JOIN lm ON p.w1 = lm.w1 AND p.w2 = lm.w2 GROUP BY 1""",
+    // Kneser-Ney replayed: the same integer count tables (bigram,
+    // history + N1+(w1.), continuation N1+(.w2), total distinct
+    // bigrams), the same left-associated IEEE chain for P (doubles via
+    // e-notation — a bare 0.75 would be DECIMAL and change the
+    // arithmetic), ln on the 1e-6 grid, exact integer sums
+    "text_kn_lp" ->
+      """WITH tr AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS w
+                FROM documents WHERE doc_id % 2 = 0),
+         tp AS (SELECT bg.w1 AS w1, bg.w2 AS w2 FROM (
+                  SELECT unnest(list_transform(range(1, len(w)),
+                    i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS bg
+                  FROM tr WHERE len(w) >= 2)),
+         bg AS (SELECT w1, w2, count(*) AS c12 FROM tp GROUP BY 1, 2),
+         h AS (SELECT w1, sum(c12) AS hc, count(*) AS n1w1 FROM bg GROUP BY 1),
+         cn AS (SELECT w2, count(*) AS cont FROM bg GROUP BY 1),
+         tt AS (SELECT count(*) AS tot FROM bg),
+         dq AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+                FROM documents),
+         dp AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+                  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                    i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS bg
+                  FROM dq WHERE len(w) >= 2)),
+         sc AS (SELECT dp.doc_id,
+                  CASE WHEN cn.cont IS NOT NULL THEN
+                    CAST(round(ln(
+                      CASE WHEN h.hc IS NOT NULL THEN
+                        greatest(CAST(COALESCE(bg.c12, 0) AS DOUBLE) - 7.5e-1, 0.0e0) / h.hc
+                          + 7.5e-1 * h.n1w1 / h.hc * (cn.cont / tt.tot)
+                      ELSE cn.cont / tt.tot END) * 1000000) AS BIGINT)
+                  END AS lp_q
+                FROM dp LEFT JOIN bg ON dp.w1 = bg.w1 AND dp.w2 = bg.w2
+                  LEFT JOIN h ON dp.w1 = h.w1
+                  LEFT JOIN cn ON dp.w2 = cn.w2
+                  CROSS JOIN tt)
+         SELECT doc_id, count(*) AS n_bigrams,
+           count(lp_q) AS n_scored,
+           round(sum(COALESCE(lp_q, 0)) / 1000000.0, 6) AS logprob,
+           CASE WHEN count(lp_q) > 0
+                THEN round(sum(COALESCE(lp_q, 0)) / 1000000.0 / count(lp_q), 6)
+                ELSE 0.0e0 END AS avg_logprob
+         FROM sc GROUP BY 1""",
     // Moore-Lewis: two unigram LMs on the 1e-6 ln grid, score = exact
     // integer sum of (lp_in - lp_gen) over in-domain-vocab tokens; OOV
     // tokens contribute 0 via the left join's CASE

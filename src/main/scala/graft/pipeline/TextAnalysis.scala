@@ -908,6 +908,73 @@ object TextAnalysis {
         (col("__sum_q") / 1e6 / col("n_bigrams")).as("avg_logprob"))
   }
 
+  /** Interpolated Kneser–Ney bigram LM scoring (Kneser & Ney 1995;
+    * Chen & Goodman 1999's interpolated form with one fixed discount) —
+    * the principled step up from [[bigramLogProb]]'s self-scored MLE:
+    * the LM fits on a TRAIN corpus and scores held-out documents,
+    * smoothing unseen bigrams with the continuation distribution
+    * instead of dropping them:
+    *
+    *   P(w2|w1) = max(c(w1w2) − d, 0)/c(w1·)
+    *              + d·N1+(w1·)/c(w1·) · (N1+(·w2)/N1+(··))
+    *
+    * with d = 0.75, falling back to the bare continuation probability
+    * when w1 was never seen as a history. Tokens whose w2 was never
+    * seen as a continuation have Pcont = 0 (P would be 0): they are
+    * SKIPPED and counted (`n_oov`), the same
+    * restrict-don't-fabricate contract as [[mooreLewisScore]].
+    *
+    * Exactness: every input to the probability is an exact integer
+    * count; the formula is the same left-associated chain of IEEE ops
+    * in both engines, and per-bigram `ln(P)` snaps to the 1e-6 BIGINT
+    * grid before the exact per-doc sum. All four model tables broadcast
+    * (vocab-bounded); scoring is one map-side join chain + hash agg. */
+  def knBigramLogProb(df: DataFrame, textCol: String, idCol: String,
+                      train: DataFrame, trainTextCol: String): DataFrame = {
+    def bigrams(src: DataFrame, tCol: String, keep: Seq[Column]): DataFrame = {
+      val t = col("__t")
+      val bgIdx = when(size(t) >= 2, sequence(lit(1), size(t) - 1))
+        .otherwise(array().cast("array<int>"))
+      src.select(keep :+ tokens(col(tCol)).as("__t"): _*)
+        .select(keep :+ explode(transform(bgIdx, i =>
+          struct(element_at(t, i.cast("int")).as("w1"),
+            element_at(t, (i + 1).cast("int")).as("w2")))).as("bg"): _*)
+        .select(keep :+ col("bg.w1").as("__w1") :+ col("bg.w2").as("__w2"): _*)
+    }
+    // localCheckpoint: the bigram-count table feeds the history,
+    // continuation and total tables AND the scoring join
+    val bg = bigrams(train, trainTextCol, Seq.empty)
+      .groupBy(col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__c12"))
+      .transform(mat)
+    val hist = broadcast(bg.groupBy(col("__w1"))
+      .agg(sum(col("__c12")).as("__h"), count(lit(1)).as("__n1w1")))
+    val cont = broadcast(bg.groupBy(col("__w2"))
+      .agg(count(lit(1)).as("__cont")))
+    val tot = broadcast(bg.agg(count(lit(1)).as("__tot")))
+    val p =
+      when(col("__h").isNotNull,
+        greatest(col("__c12c") - 0.75, lit(0.0)) / col("__h")
+          + lit(0.75) * col("__n1w1") / col("__h") * (col("__cont") / col("__tot")))
+        .otherwise(col("__cont") / col("__tot"))
+    bigrams(df, textCol, Seq(col(idCol)))
+      .join(broadcast(bg), Seq("__w1", "__w2"), "left")
+      .join(hist, Seq("__w1"), "left")
+      .join(cont, Seq("__w2"), "left")
+      .crossJoin(tot)
+      .withColumn("__c12c", coalesce(col("__c12"), lit(0L)))
+      .withColumn("__lp_q",
+        when(col("__cont").isNotNull, round(log(p) * 1e6).cast("long")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(col("__lp_q")).as("n_scored"),
+        sum(coalesce(col("__lp_q"), lit(0L))).as("__sum_q"))
+      .select(col(idCol), col("n_bigrams"), col("n_scored"),
+        (col("__sum_q") / 1e6).as("logprob"),
+        when(col("n_scored") > 0, col("__sum_q") / 1e6 / col("n_scored"))
+          .otherwise(0.0).as("avg_logprob"))
+  }
+
   /** CCNet-style perplexity bucketing: every document lands in the
     * `head` / `middle` / `tail` third of the corpus's LM-score
     * distribution (Wenzek et al. 2020 — the standard crawl triage where

@@ -138,6 +138,43 @@ class SelectionSpec extends AnyFunSuite with SparkSpec {
     assert(picked === Set(1L, 4L))
   }
 
+  test("kneser-ney: hand-computed probabilities, smoothing, and the OOV contract") {
+    import spark.implicits._
+    // train bigrams: (a,b), (a,c) -> h(a)=2, N1+(a.)=2, cont(b)=cont(c)=1, tot=2
+    val train = Seq(Tuple1("a b"), Tuple1("a c")).toDF("text")
+    val score = Seq(
+      (1L, "a b"),   // seen: P = (1-.75)/2 + .75*2/2*(1/2) = 0.5
+      (2L, "x b"),   // unseen history: P = cont(b)/tot = 0.5
+      (3L, "a z"),   // z never a continuation: skipped, n_oov
+      (4L, "a b c")) // (a,b) seen 0.5; (b,c): b unseen history -> cont(c)/tot = 0.5
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.knBigramLogProb(score, "text", "doc_id", train, "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val ln05 = math.round(math.log(0.5) * 1e6) / 1e6
+    assert(out(1L) === ((1L, 1L, ln05)))
+    assert(out(2L) === ((1L, 1L, ln05)))
+    assert(out(3L) === ((1L, 0L, 0.0)))          // skipped, not -inf
+    assert(out(4L)._2 === 2L && math.abs(out(4L)._3 - 2 * ln05) < 1e-9)
+    // interpolated KN normalizes: P(b|a) + P(c|a) = 1
+  }
+
+  test("kneser-ney on the corpus: train docs fully scored, log-probs non-positive") {
+    val out = TextAnalysis.knBigramLogProb(docs, "text", "doc_id",
+      docs.where(col("doc_id") % 2 === 0), "text")
+    // every train-split bigram is in the LM: nothing skipped there
+    assert(out.where(col("doc_id") % 2 === 0)
+      .where(col("n_scored") =!= col("n_bigrams")).count() === 0L)
+    // probabilities are probabilities
+    assert(out.where(col("avg_logprob") > 0).count() === 0L)
+    // and smoothing scores held-out bigrams the MLE table does not have:
+    // some odd doc scores MORE bigrams than it has exact train matches
+    val mle = TextAnalysis.bigramLogProb(
+      docs.where(col("doc_id") % 2 === 0), "text", "doc_id")
+    assert(out.agg(sum(col("n_scored"))).collect()(0).getLong(0) >
+      mle.agg(sum(col("n_bigrams"))).collect()(0).getLong(0))
+  }
+
   test("dsir: feature count is unigrams + adjacent bigrams") {
     import spark.implicits._
     val raw = Seq((1L, "a b c"), (2L, "solo")).toDF("doc_id", "text")
