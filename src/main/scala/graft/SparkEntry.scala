@@ -292,6 +292,19 @@ object SparkEntry {
       Dedup.semDedup(t(s, dir, "embeddings"), "embedding", "vec_id",
         graft.pipeline.DemoModels.SemCentroids, dim = 64, nCells = 8,
         threshold = 0.35, maxCellPairs = Long.MaxValue)),
+    // nightly semantic dedup: every-10th embedding arrives as the batch,
+    // flagged against the STORED assignment state of the rest — the
+    // minhash_inc cross-side shape on the cell key, corpus wins
+    "dedup_semantic_inc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = Dedup.semDedupState(emb.where(col("vec_id") % 10 =!= 0),
+        "embedding", "vec_id", graft.pipeline.DemoModels.SemCentroids,
+        dim = 64, nCells = 8)
+      Dedup.semDedupIncrementalPairs(emb.where(col("vec_id") % 10 === 0),
+          corpus, "embedding", "vec_id", graft.pipeline.DemoModels.SemCentroids,
+          dim = 64, nCells = 8, threshold = 0.35, maxCellPairs = Long.MaxValue)
+        .select(col("id_a"), col("id_b"), sround(col("cosine"), 6).as("cosine"))
+    }),
 
     // ---- similarity search over `embeddings`
     "ann_cosine_topk" -> ((s, dir) => {
@@ -2074,6 +2087,9 @@ object SparkEntry {
     // pinned centroid array the Spark plan consumes
     "dedup_semantic" -> Dedup.semDedupOracleSql("embeddings", "vec_id", "embedding",
       graft.pipeline.DemoModels.SemCentroids, 64, 8, 0.35),
+    "dedup_semantic_inc" -> Dedup.semDedupIncOracleSql("embeddings", "vec_id",
+      "embedding", graft.pipeline.DemoModels.SemCentroids, 64, 8, 0.35,
+      "vec_id % 10 = 0"),
     // same integer-quantized bucketing as ann_cosine_lsh; bands = 4 of
     // 4 bits (perBand = planes / bands = 4, mask 15)
     "dedup_cosine_lsh" ->

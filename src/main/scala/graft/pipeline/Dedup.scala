@@ -1269,6 +1269,87 @@ object Dedup {
 
   // ---------------------------------------------------------- SemDeDup
 
+  /** Assignment half of [[semDedup]] — one map-side projection against
+    * the pinned centroids (no join: they ride the closure as literals),
+    * emitting `(idCol, vecCol, cell, ccosq, __n2)`. This is ALSO the
+    * STORED STATE of the nightly semantic dedup
+    * ([[semDedupIncrementalPairs]]): append-only by construction
+    * (state(A ∪ B) = state(A) ∪ state(B), disjoint ids), so each night
+    * appends the batch's own rows after flagging — the same maintenance
+    * contract as [[minhashState]]. */
+  def semDedupState(embeddings: DataFrame, vecCol: String, idCol: String,
+                    centroidsMicro: Array[Long], dim: Int, nCells: Int,
+                    checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    require(centroidsMicro.length == dim * nCells,
+      s"centroids length ${centroidsMicro.length} != dim*nCells = ${dim * nCells}")
+    val dots = graft.fuzzy.vectorFunctions.random_project_int(
+      col(vecCol), centroidsMicro, dim, nCells)
+    val n2Expr = expr(
+      s"aggregate(transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 4096.0D) AS BIGINT)), " +
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x * x)")
+    Materialize(
+      spread(embeddings)
+        .select(col(idCol), col(vecCol), dots.as("__dots"), n2Expr.as("__n2"))
+        .withColumn("cell", array_position(col("__dots"), array_max(col("__dots"))))
+        .withColumn("__dot", element_at(col("__dots"), col("cell").cast("int")))
+        .withColumn("ccosq",
+          when(col("__n2") > 0,
+            floor(lit(1e6) * col("__dot").cast("double") / sqrt(col("__n2").cast("double")))
+              .cast("long"))
+            .otherwise(lit(0L)))
+        .select(col(idCol), col(vecCol), col("cell"), col("ccosq"), col("__n2")),
+      checkpoint)
+  }
+
+  /** Nightly semantic near-dup flags: `batch` embeddings vs a STORED
+    * corpus [[semDedupState]] — (id_a from batch, id_b from corpus,
+    * exact cosine >= threshold), ids disjoint by contract, corpus wins
+    * (the [[incrementalDedup]] convention: a batch doc inside some
+    * corpus doc's epsilon-neighborhood is the duplicate). Same
+    * cross-side rule as [[minhashIncrementalPairs]] on the CELL key:
+    * batch rows join ONLY corpus rows of the same cell (cost
+    * Σ nBatch·nCorpus per cell, never Σ n²), the cap gates the cross
+    * product with O(drops) accounting (stage `dedup_semantic_inc`), and
+    * the batch's own assignment pass is the only new compute — the
+    * corpus side reads its stored (cell, vec) rows, no re-assignment. */
+  def semDedupIncrementalPairs(batch: DataFrame, corpusState: DataFrame,
+                               vecCol: String, idCol: String,
+                               centroidsMicro: Array[Long], dim: Int, nCells: Int,
+                               threshold: Double,
+                               maxCellPairs: Long = 4_000_000L,
+                               checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val bState = semDedupState(batch, vecCol, idCol, centroidsMicro,
+      dim, nCells, checkpoint)
+    val stats = bState.select(col("cell"), lit(1L).as("__q"), lit(0L).as("__c"))
+      .unionByName(corpusState.select(col("cell"), lit(0L).as("__q"), lit(1L).as("__c")))
+      .groupBy(col("cell"))
+      .agg(sum(col("__q")).as("__qc"), sum(col("__c")).as("__cc"))
+      .where(col("__qc") > 0 && col("__cc") > 0)
+      .select(lit(0).cast("int").as("__band"), col("cell").as("__ckey"),
+        col("__qc"), col("__cc"))
+    val overCap = col("__qc") * col("__cc") > maxCellPairs
+    val (gb, gc) = CapMetrics.gate(stats, "dedup_semantic_inc", "__band", "__ckey",
+        overCap, col("__qc") * col("__cc"), checkpoint) match {
+      case Right(blocked) =>
+        val keep = (df: DataFrame) =>
+          if (blocked.isEmpty) df
+          else df.where(!graft.fuzzy.vectorFunctions.bucket_allowed(
+            lit(0).cast("int"), col("cell"), blocked))
+        (keep(bState), keep(corpusState))
+      case Left(allowed) =>
+        (bState.join(allowed.select(col("__ckey").as("cell")), Seq("cell")),
+          corpusState)
+    }
+    gb.where(col("__n2") > 0)
+      .select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("__va"))
+      .join(gc.where(col("__n2") > 0)
+        .select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("__vb")),
+        Seq("cell"))
+      .select(col("id_a"), col("id_b"),
+        cosineSimilarity(col("__va"), col("__vb")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   /** Unit-normalize each k-means centroid and snap it onto the 1e-6
     * integer grid (micro units), flattened row-major — the pinned-constant
     * form [[semDedup]] and its SQL oracle both consume. The PASTED array
@@ -1319,25 +1400,8 @@ object Dedup {
                threshold: Double,
                maxCellPairs: Long = 4_000_000L,
                checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
-    require(centroidsMicro.length == dim * nCells,
-      s"centroids length ${centroidsMicro.length} != dim*nCells = ${dim * nCells}")
-    val dots = graft.fuzzy.vectorFunctions.random_project_int(
-      col(vecCol), centroidsMicro, dim, nCells)
-    val n2Expr = expr(
-      s"aggregate(transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 4096.0D) AS BIGINT)), " +
-        "CAST(0 AS BIGINT), (acc, x) -> acc + x * x)")
-    val base = Materialize(
-      spread(embeddings)
-        .select(col(idCol), col(vecCol), dots.as("__dots"), n2Expr.as("__n2"))
-        .withColumn("cell", array_position(col("__dots"), array_max(col("__dots"))))
-        .withColumn("__dot", element_at(col("__dots"), col("cell").cast("int")))
-        .withColumn("ccosq",
-          when(col("__n2") > 0,
-            floor(lit(1e6) * col("__dot").cast("double") / sqrt(col("__n2").cast("double")))
-              .cast("long"))
-            .otherwise(lit(0L)))
-        .select(col(idCol), col(vecCol), col("cell"), col("ccosq"), col("__n2")),
-      checkpoint)
+    val base = semDedupState(embeddings, vecCol, idCol, centroidsMicro,
+      dim, nCells, checkpoint)
 
     // skew guard on the quadratic stage, same contract as the LSH/simhash
     // generators: degenerate cells drop (counted, logged), never explode
@@ -1414,5 +1478,45 @@ object Dedup {
                   FROM pr)
          SELECT c.$idCol, CAST(c.cell AS BIGINT) AS cell, c.ccosq, (lose.lid IS NULL) AS kept
          FROM cc c LEFT JOIN lose ON c.$idCol = lose.lid"""
+  }
+
+  /** DuckDB replay of [[semDedupIncrementalPairs]]: assignment replayed
+    * over the WHOLE table with the same pinned centroids (single-sourced
+    * array), then cross-side pairs only — `batchPred` picks the batch
+    * rows, the corpus is its complement. Cap-free like the
+    * `dedup_semantic` oracle. */
+  def semDedupIncOracleSql(table: String, idCol: String, vecCol: String,
+                           centroidsMicro: Array[Long], dim: Int, nCells: Int,
+                           threshold: Double, batchPred: String): String = {
+    require(centroidsMicro.length == dim * nCells,
+      s"centroids length ${centroidsMicro.length} != dim*nCells = ${dim * nCells}")
+    val rows = (0 until nCells).map { p =>
+      s"(${(p + 1).toLong}, [${centroidsMicro.slice(p * dim, (p + 1) * dim).mkString("::BIGINT, ")}::BIGINT])"
+    }.mkString(",\n                ")
+    s"""WITH cv(cell, c) AS (VALUES
+                $rows),
+         qn AS (SELECT $idCol,
+                  list_transform(range(1, ${dim + 1}), i -> CAST(floor(CAST($vecCol[i] AS DOUBLE) * 4096.0) AS BIGINT)) AS qv
+                FROM $table),
+         dt AS (SELECT $idCol, cell,
+                  CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> qv[i] * c[i])) AS BIGINT) AS dot
+                FROM qn CROSS JOIN cv),
+         asg AS (SELECT $idCol, cell FROM (
+                   SELECT $idCol, cell, dot,
+                     row_number() OVER (PARTITION BY $idCol ORDER BY dot DESC, cell) AS rn
+                   FROM dt) WHERE rn = 1),
+         nn AS (SELECT $idCol, CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2 FROM qn),
+         cc AS (SELECT a.$idCol, a.cell, nn.n2
+                FROM asg a JOIN nn ON a.$idCol = nn.$idCol),
+         bid AS (SELECT $idCol FROM $table WHERE $batchPred)
+         SELECT a.$idCol AS id_a, b.$idCol AS id_b,
+           round(list_cosine_similarity(x.$vecCol::DOUBLE[], y.$vecCol::DOUBLE[]), 6) AS cosine
+         FROM cc a JOIN cc b ON a.cell = b.cell
+         JOIN bid ON a.$idCol = bid.$idCol
+         JOIN $table x ON x.$idCol = a.$idCol
+         JOIN $table y ON y.$idCol = b.$idCol
+         WHERE b.$idCol NOT IN (SELECT $idCol FROM bid)
+           AND a.n2 > 0 AND b.n2 > 0
+           AND list_cosine_similarity(x.$vecCol::DOUBLE[], y.$vecCol::DOUBLE[]) >= $threshold"""
   }
 }

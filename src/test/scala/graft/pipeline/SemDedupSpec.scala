@@ -75,6 +75,40 @@ class SemDedupSpec extends AnyFunSuite with SparkSpec {
     assert(Seq(out(1L)._1, out(2L)._1).count(identity) === 1)
   }
 
+  test("incremental: cross-side pairs only, complete against a first-principles recompute") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val isBatch = col("vec_id") % 10 === 0
+    val corpus = Dedup.semDedupState(emb.where(!isBatch), "embedding", "vec_id",
+      cents, dim = 64, nCells = 8)
+    val got = Dedup.semDedupIncrementalPairs(emb.where(isBatch), corpus,
+        "embedding", "vec_id", cents, dim = 64, nCells = 8,
+        threshold = thr, maxCellPairs = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // sides disjoint: every id_a from the batch, every id_b from the corpus
+    assert(got.forall { case (a, b) => a % 10 == 0 && b % 10 != 0 })
+    // first-principles: same-cell cross-side exact-cosine pairs
+    val whole = Dedup.semDedupState(emb, "embedding", "vec_id", cents, 64, 8)
+    val expect = whole.where(col("__n2") > 0).select(col("cell"),
+        col("vec_id").as("ia"), col("embedding").as("va"))
+      .join(whole.where(col("__n2") > 0).select(col("cell"),
+        col("vec_id").as("ib"), col("embedding").as("vb")), Seq("cell"))
+      .where(col("ia") % 10 === 0 && col("ib") % 10 =!= 0)
+      .where(Dedup.cosineSimilarity(col("va"), col("vb")) >= thr)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expect && got.nonEmpty)
+  }
+
+  test("incremental: the cap gate empties over-cap cells, never explodes them") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val isBatch = col("vec_id") % 10 === 0
+    val corpus = Dedup.semDedupState(emb.where(!isBatch), "embedding", "vec_id",
+      cents, dim = 64, nCells = 8)
+    val gated = Dedup.semDedupIncrementalPairs(emb.where(isBatch), corpus,
+      "embedding", "vec_id", cents, dim = 64, nCells = 8,
+      threshold = thr, maxCellPairs = 1L)
+    assert(gated.count() === 0L)
+  }
+
   test("cap gate: over-cap cells skip pair generation (everything kept)") {
     val out = run(maxCellPairs = 1L)
     assert(out.where(!col("kept")).count() === 0L)
