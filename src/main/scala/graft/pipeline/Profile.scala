@@ -322,7 +322,7 @@ object Profile {
     * collision-free for any group cardinality this sketch is sized for
     * (the standard large-range correction is deliberately omitted and
     * would kick in at ~2^38 distinct). */
-  private val HllW = 40
+  private[graft] val HllW = 40
 
   /** Per-(group, bucket) HLL registers — the MERGEABLE half of the
     * sketch (Flajolet et al. 2007). Deterministic and engine-replayable
@@ -350,6 +350,35 @@ object Profile {
           .otherwise(lit(HllW + 1) - length(bin(suf))).cast("int").as("register"): _*)
       .groupBy(col("bucket") +: groupCols.map(col): _*)
       .agg(max(col("register")).as("register"))
+  }
+
+  /** Scala-side twin of [[hllEstimate]] over a dense register array —
+    * IDENTICAL arithmetic, op for op (exact scaled BIGINT harmonic sum,
+    * then the same IEEE chain), so a streaming state holder
+    * ([[graft.streaming.ProfileStream.hllDistinctStream]]) emits the
+    * same estimate the batch frame would, bit for bit (spec-pinned).
+    * Returns (touched registers, estimate rounded to 4dp). */
+  def hllEstimateLocal(registers: Array[Byte], p: Int): (Long, Double) = {
+    require(p % 4 == 0 && p >= 8 && p <= 16, s"p must be a multiple of 4 in [8,16] (got $p)")
+    val m = 1L << p
+    require(registers.length == m, s"expected $m registers (got ${registers.length})")
+    val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
+    val scale = math.pow(2.0, HllW + 1)
+    var touched = 0L
+    var sTouched = 0L
+    var i = 0
+    while (i < registers.length) {
+      val r = registers(i)
+      if (r > 0) { touched += 1; sTouched += 1L << (HllW + 1 - r) }
+      i += 1
+    }
+    val s = (m - touched) * scale.toLong + sTouched
+    val eRaw = alpha * m.toDouble * m.toDouble * scale / s.toDouble
+    val v = m - touched
+    val est = if (eRaw <= 2.5 * m && v > 0L)
+      m.toDouble * math.log(m.toDouble / v.toDouble)
+    else eRaw
+    (touched, BigDecimal(est).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
   /** Merge two register frames (same p): per-(group, bucket) max — the

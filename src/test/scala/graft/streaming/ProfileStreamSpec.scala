@@ -58,4 +58,40 @@ class ProfileStreamSpec extends AnyFunSuite with SparkSpec {
       .columns.indexOf("n_nulls_new")
     assert(langRow(iNullsNew) == 2L)
   }
+
+  test("streaming HLL monitor: the running estimate after the last batch " +
+    "equals the batch sketch over everything, bit for bit") {
+    val events = graft.util.EventTs.loadEvents(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    // three micro-batches by event_id residue
+    val parts = (0 to 2).map(r => events.where(col("event_id") % 3 === r))
+    val flat = java.nio.file.Files.createTempDirectory("hll_stream")
+    parts.zipWithIndex.foreach { case (df, i) =>
+      val part = java.nio.file.Files.createTempDirectory(s"hll_part$i")
+      df.coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val src = java.nio.file.Files.list(part)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst = flat.resolve(f"$i%02d.parquet")
+      java.nio.file.Files.copy(src, dst)
+      dst.toFile.setLastModified(2000000L + i * 10000L)
+    }
+    val stream = spark.readStream.schema(parts.head.schema)
+      .option("maxFilesPerTrigger", "1").parquet(flat.toString)
+    val q = ProfileStream.hllDistinctStream(stream, "user_id", "event_type", p = 8)
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .format("memory").queryName("hll_mon").start()
+    try q.processAllAvailable() finally q.stop()
+    // memory sink in Update mode appends every emission: the LAST row per
+    // group is the monitor's final running state
+    val last = spark.table("hll_mon").collect()
+      .zipWithIndex
+      .groupBy(_._1.getString(0))
+      .map { case (g, rs) =>
+        val r = rs.maxBy(_._2)._1; g -> (r.getLong(1), r.getDouble(2)) }
+    val batch = Profile.hllDistinct(events, "user_id", Seq("event_type"), p = 8)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(last === batch, s"stream $last vs batch $batch")
+    // and the monitor actually accumulated: a mid-stream emission differs
+    assert(spark.table("hll_mon").count() > batch.size)
+  }
 }
