@@ -1091,6 +1091,15 @@ object SparkEntry {
           Seq("event_type"), k = 128),
         "event_type", k = 128)),
 
+    // ---- MAD robust outliers: per-language doc-length flags off the
+    // median/MAD pair (two tiny percentile aggregates, null-safe group
+    // joins) — the flagging twin of curate_winsorize
+    "profile_mad_outliers" -> ((s, dir) =>
+      Profile.madOutliers(t(s, dir, "documents"), "lang", "n_chars", k = 3.0)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          sround(col("med"), 6).as("med"), sround(col("mad"), 6).as("mad"),
+          col("is_outlier"))),
+
     // ---- HDR-histogram quantile sketch: p50/p90/p99 of doc length per
     // language from a mergeable power-of-two/linear-sub-bucket histogram
     // — pure integer bucketing (bit-length + shifts), window over the
@@ -3330,6 +3339,19 @@ object SparkEntry {
            round(ur, 4) AS est_union,
            round(jr * ur, 4) AS est_intersect
          FROM j""",
+    // MAD replayed: quantile_cont matches Spark's interpolated
+    // percentile (the profile_quantiles parity); null-safe group joins
+    "profile_mad_outliers" ->
+      """WITH m AS (SELECT lang AS grp, quantile_cont(n_chars, 0.5) AS med
+                FROM documents GROUP BY 1),
+         d AS (SELECT d.doc_id, d.lang, d.n_chars, m.med
+               FROM documents d JOIN m ON d.lang IS NOT DISTINCT FROM m.grp),
+         md AS (SELECT lang AS grp, quantile_cont(abs(n_chars - med), 0.5) AS mad
+                FROM d GROUP BY 1)
+         SELECT d.doc_id, d.lang, d.n_chars,
+           round(d.med, 6) AS med, round(md.mad, 6) AS mad,
+           (abs(d.n_chars - d.med) > 3.0 * md.mad) AS is_outlier
+         FROM d JOIN md ON d.lang IS NOT DISTINCT FROM md.grp""",
     // HDR replayed: g = max(0, bitlength - subBits - 1) picks the band
     // AND the shift (e-1-sb == e-sb-1), bucket = g*2^sb + (v >> g); rank
     // threshold ceil(q*n) as (n*q + 999999) // 1e6; first bucket whose

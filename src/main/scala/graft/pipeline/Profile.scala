@@ -503,6 +503,30 @@ object Profile {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  // ------------------------------------------------ robust outliers (MAD)
+
+  /** Median-absolute-deviation outlier flags per group — the robust
+    * companion to z-scores (one wild value corrupts a mean/stddev
+    * threshold; the median/MAD pair shrugs it off) and the FLAGGING twin
+    * of [[graft.pipeline.Curation.winsorize]] (that one clamps, this one
+    * reports). Two tiny percentile aggregates (median, then median of
+    * |x − med|) broadcast back onto the rows; a NULL group is its own
+    * group (null-safe joins, the winsorize contract). `mad = 0`
+    * (a majority-constant group) flags ANY deviation from the median —
+    * strictest consistent reading of the rule. Emits every input row +
+    * (med, mad, is_outlier on `|x − med| > k·mad`). */
+  def madOutliers(df: DataFrame, groupCol: String, numCol: String,
+                  k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    val med = df.groupBy(col(groupCol).as("__grp"))
+      .agg(percentile(col(numCol), lit(0.5)).as("med"))
+    val withMed = df.join(med, col(groupCol) <=> col("__grp")).drop("__grp")
+    val mad = withMed.groupBy(col(groupCol).as("__grp"))
+      .agg(percentile(abs(col(numCol) - col("med")), lit(0.5)).as("mad"))
+    withMed.join(mad, col(groupCol) <=> col("__grp")).drop("__grp")
+      .withColumn("is_outlier", abs(col(numCol) - col("med")) > lit(k) * col("mad"))
+  }
+
   // ------------------------------------------------ HDR quantile sketch
 
   /** HDR-histogram quantile sketch (Tene's HdrHistogram bucketing):

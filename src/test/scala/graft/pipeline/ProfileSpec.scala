@@ -200,4 +200,25 @@ class ProfileSpec extends AnyFunSuite with SparkSpec {
     assert(got(2L) == ((1L, 0.5, 0.5)))
     assert(got(3L) == ((0L, 0.0, 0.0)))
   }
+
+  test("madOutliers: robust to the very outlier a mean/stddev rule drowns in") {
+    import spark.implicits._
+    // group a: nine values near 10 and one wild 1e6 — the wild value is
+    // the ONLY outlier under median/MAD (a z-score rule would let it
+    // drag the threshold up and flag nothing); group b is constant with
+    // one deviant: mad=0 flags any deviation
+    val df = ((1 to 9).map(i => ("a", 100L + i, 8L + (i % 5))).toSeq ++
+      Seq(("a", 110L, 1000000L)) ++
+      (1 to 4).map(i => ("b", 200L + i, 7L)) ++ Seq(("b", 205L, 8L)))
+      .toDF("g", "id", "v")
+    val out = Profile.madOutliers(df, "g", "v", k = 3.0)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("is_outlier")).toMap
+    assert(out(110L) === true)
+    assert((101L to 109L).forall(i => !out(i)))
+    assert(out(205L) === true && (201L to 204L).forall(i => !out(i)))
+    // null group is its own group, not dropped
+    val withNull = Seq((null.asInstanceOf[String], 1L, 5L),
+      (null.asInstanceOf[String], 2L, 5L)).toDF("g", "id", "v")
+    assert(Profile.madOutliers(withNull, "g", "v").count() === 2L)
+  }
 }
