@@ -71,4 +71,33 @@ object AnnStream {
         vecCol, idCol, k, dim, centroids, nProbe), batchId)
     }
   }
+
+  /** Streaming semantic near-dup flagging — the online face of
+    * [[graft.pipeline.Dedup.semDedupIncrementalPairs]]: arriving
+    * embeddings assign to the pinned centroids and flag against the
+    * UNCHANGING stored [[graft.pipeline.Dedup.semDedupState]] on the
+    * cell key (corpus wins; batch/corpus ids disjoint by the batch
+    * operator's contract). The state frame is checkpointed once on the
+    * caller thread; appending accepted batches and restarting on the new
+    * snapshot is the caller's nightly cycle, same as
+    * [[graft.streaming.DocStreams.nearDupWriter]]. Sink contract as
+    * everywhere: consume the frame inside the callback — each
+    * micro-batch's barriers live in a per-batch
+    * [[graft.util.MatchScope]] and are released when the sink
+    * returns. */
+  def semanticNearDupWriter(stream: DataFrame, corpusState: DataFrame,
+                            vecCol: String, idCol: String,
+                            centroidsMicro: Array[Long], dim: Int, nCells: Int,
+                            threshold: Double,
+                            maxCellPairs: Long = 4_000_000L)
+                           (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val statePrepared = corpusState.localCheckpoint()
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.util.MatchScope.withMatchScope {
+        sink(graft.pipeline.Dedup.semDedupIncrementalPairs(batch, statePrepared,
+          vecCol, idCol, centroidsMicro, dim, nCells, threshold, maxCellPairs),
+          batchId)
+      }
+    }
+  }
 }

@@ -115,8 +115,46 @@ object WriterLatency {
         val stream = spark.readStream.schema(batch.schema)
           .option("maxFilesPerTrigger", "1").parquet(flat.toString)
         DocStreams.spanRewriteWriter(stream, census, "text", "doc_id", 3)(record)
+      case "semdedup" =>
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        corpusRows = emb.count()
+        val k = math.max(8, (corpusRows / 1000L).toInt)
+        val cents = Dedup.quantizeCentroidsMicro(
+          AnnSearch.kmeansFit(emb, "embedding", dim = 64, k = k, iters = 4))
+        val state = Dedup.semDedupState(emb, "embedding", "vec_id",
+          cents, 64, k).localCheckpoint()
+        // arriving embeddings: a corpus sample re-keyed past the corpus
+        // id range — every batch vector has an exact corpus twin, so the
+        // cosine verify half does real work
+        val batch = emb.limit(nBatches * perBatch)
+          .select((col("vec_id") + lit(2_000_000_000_000L)).as("vec_id"),
+            col("embedding"))
+        val flat = stage(batch, "vec_id")
+        val stream = spark.readStream.schema(batch.schema)
+          .option("maxFilesPerTrigger", "1").parquet(flat.toString)
+        graft.streaming.AnnStream.semanticNearDupWriter(stream, state,
+          "embedding", "vec_id", cents, 64, k, threshold = 0.35)(record)
+      case "hll" =>
+        // accumulating mapGroupsWithState monitor: no foreachBatch sink —
+        // per-batch cost is the trigger duration alone; result_rows are
+        // the running per-group emissions
+        val ev = graft.util.EventTs.loadEvents(spark, sfDir)
+          .select(col("event_id"), col("event_type"), col("user_id"))
+        corpusRows = ev.count()
+        val batch = ev.limit(nBatches * perBatch)
+        val flat = stage(batch, "event_id")
+        val stream = spark.readStream.schema(batch.schema)
+          .option("maxFilesPerTrigger", "1").parquet(flat.toString)
+        graft.streaming.ProfileStream
+          .hllDistinctStream(stream, "user_id", "event_type", p = 12)
+          .writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+          .foreachBatch { (out: org.apache.spark.sql.Dataset[(String, Long, Double)],
+                           batchId: Long) =>
+            record(out.toDF(), batchId)
+          }
       case other =>
-        sys.error(s"unknown writer '$other' (ivf|neardup|spanrewrite)")
+        sys.error(s"unknown writer '$other' (ivf|neardup|spanrewrite|semdedup|hll)")
     }
     val prepSec = (System.nanoTime() - t0) / 1e9
 

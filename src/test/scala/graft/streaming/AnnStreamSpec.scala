@@ -85,4 +85,45 @@ class AnnStreamSpec extends AnyFunSuite with SparkSpec {
     assert(ivfRows.toSet == batchTopK,
       s"stream ivf ${ivfRows.size} rows vs batch ${batchTopK.size}")
   }
+
+  test("streaming semantic near-dup equals the batch incremental operator " +
+    "across micro-batches") {
+    val cents = graft.pipeline.DemoModels.SemCentroids
+    // corpus = ids not divisible by 10; arriving batch = the rest, split
+    // across two micro-batches (the same split dedup_semantic_inc uses)
+    val state = graft.pipeline.Dedup.semDedupState(
+      emb.where($"vec_id" % 10 =!= 0), "embedding", "vec_id", cents, 64, 8)
+    val batchDocs = emb.where($"vec_id" % 10 === 0)
+      .select($"vec_id", $"embedding")
+    val flat = java.nio.file.Files.createTempDirectory("sem_stream")
+    Seq($"vec_id" % 20 === 0, $"vec_id" % 20 =!= 0).zipWithIndex.foreach {
+      case (p, i) =>
+        val part = java.nio.file.Files.createTempDirectory(s"sem_part$i")
+        batchDocs.where(p).coalesce(1).write.mode("overwrite").parquet(part.toString)
+        val src = java.nio.file.Files.list(part)
+          .filter(_.toString.endsWith(".parquet")).findFirst().get()
+        val dst = flat.resolve(f"$i%02d.parquet")
+        java.nio.file.Files.copy(src, dst)
+        dst.toFile.setLastModified(1000000L + i * 10000L)
+    }
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(flat.toString)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.size
+    val q = AnnStream.semanticNearDupWriter(stream, state, "embedding",
+        "vec_id", cents, 64, 8, threshold = 0.35) { (out, _) =>
+      got.synchronized {
+        got ++= out.select("id_a", "id_b").as[(Long, Long)].collect()
+      }
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    // per-batch MatchScope released every micro-batch's barriers
+    assert(spark.sparkContext.getPersistentRDDs.size <= rddsBefore + 1,
+      "per-batch semantic state leaked")
+    val expect = graft.pipeline.Dedup.semDedupIncrementalPairs(
+        batchDocs, state, "embedding", "vec_id", cents, 64, 8, 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.toSet == expect && expect.nonEmpty,
+      s"stream ${got.size} pairs vs batch ${expect.size}")
+  }
 }
