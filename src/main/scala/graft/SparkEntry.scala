@@ -1091,6 +1091,24 @@ object SparkEntry {
           Seq("event_type"), k = 128),
         "event_type", k = 128)),
 
+    // ---- PSI distribution drift between the two id-parity halves:
+    // categorical over lang, numeric over HDR length buckets; add-one
+    // smoothing over the union key set, contributions on the 1e-9 grid
+    "profile_psi_lang" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Profile.psiCategorical(docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1), "lang")
+        .select(col("lang"), col("n_old"), col("n_new"),
+          sround(col("psi_contrib"), 9).as("psi_contrib"))
+    }),
+    "profile_psi_nchars" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Profile.psiHdr(docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1), "n_chars", subBits = 5)
+        .select(col("bucket"), col("n_old"), col("n_new"),
+          sround(col("psi_contrib"), 9).as("psi_contrib"))
+    }),
+
     // ---- MAD robust outliers: per-language doc-length flags off the
     // median/MAD pair (two tiny percentile aggregates, null-safe group
     // joins) — the flagging twin of curate_winsorize
@@ -3339,6 +3357,43 @@ object SparkEntry {
            round(ur, 4) AS est_union,
            round(jr * ur, 4) AS est_intersect
          FROM j""",
+    // PSI replayed: add-one smoothed probabilities over the union key
+    // set, per-key contribution rounded onto the 1e-9 BIGINT grid with
+    // the same op chain
+    "profile_psi_lang" ->
+      """WITH o AS (SELECT lang, count(*) AS c FROM documents
+                WHERE doc_id % 2 = 0 AND lang IS NOT NULL GROUP BY 1),
+         n AS (SELECT lang, count(*) AS c FROM documents
+               WHERE doc_id % 2 = 1 AND lang IS NOT NULL GROUP BY 1),
+         j AS (SELECT COALESCE(o.lang, n.lang) AS lang,
+                 COALESCE(o.c, 0) AS co, COALESCE(n.c, 0) AS cn
+               FROM o FULL JOIN n ON o.lang = n.lang),
+         t AS (SELECT sum(co) AS no, sum(cn) AS nn, count(*) AS k FROM j)
+         SELECT lang, co AS n_old, cn AS n_new,
+           round(CAST(round(((cn + 1) / (nn + k) - (co + 1) / (no + k))
+             * ln(((cn + 1) / (nn + k)) / ((co + 1) / (no + k))) * 1e9) AS BIGINT)
+             / 1e9, 9) AS psi_contrib
+         FROM j CROSS JOIN t""",
+    "profile_psi_nchars" ->
+      """WITH vo AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+                WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+         vn AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+                WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL),
+         o AS (SELECT greatest(0, length(bin(v)) - 6) * 32
+                 + (v >> CAST(greatest(0, length(bin(v)) - 6) AS INT)) AS bucket,
+                 count(*) AS c FROM vo GROUP BY 1),
+         n AS (SELECT greatest(0, length(bin(v)) - 6) * 32
+                 + (v >> CAST(greatest(0, length(bin(v)) - 6) AS INT)) AS bucket,
+                 count(*) AS c FROM vn GROUP BY 1),
+         j AS (SELECT COALESCE(o.bucket, n.bucket) AS bucket,
+                 COALESCE(o.c, 0) AS co, COALESCE(n.c, 0) AS cn
+               FROM o FULL JOIN n ON o.bucket = n.bucket),
+         t AS (SELECT sum(co) AS no, sum(cn) AS nn, count(*) AS k FROM j)
+         SELECT bucket, co AS n_old, cn AS n_new,
+           round(CAST(round(((cn + 1) / (nn + k) - (co + 1) / (no + k))
+             * ln(((cn + 1) / (nn + k)) / ((co + 1) / (no + k))) * 1e9) AS BIGINT)
+             / 1e9, 9) AS psi_contrib
+         FROM j CROSS JOIN t""",
     // MAD replayed: quantile_cont matches Spark's interpolated
     // percentile (the profile_quantiles parity); null-safe group joins
     "profile_mad_outliers" ->

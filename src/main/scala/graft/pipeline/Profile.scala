@@ -503,6 +503,61 @@ object Profile {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  // --------------------------------------------- PSI distribution drift
+
+  /** Population Stability Index between two count frames — THE standard
+    * production drift score ("did the lang/source/length mix move"),
+    * completing the monitoring family next to [[drift]]'s per-column
+    * counts: `PSI = Σ_buckets (p_new − p_old)·ln(p_new/p_old)`, < 0.1
+    * conventionally stable, > 0.25 shifted.
+    *
+    * Deterministic contract: probabilities are add-one smoothed over the
+    * UNION key set (`p = (c + 1)/(n + k)`), so empty-on-one-side buckets
+    * contribute finitely and both engines see the same rationals; each
+    * bucket's contribution snaps to the 1e-9 BIGINT grid BEFORE summing,
+    * so the total is exact integer arithmetic (a raw double Σ is
+    * order-dependent). Input frames are (keyCols..., cnt) — from a
+    * groupBy count, an [[hdrBuckets]] histogram, or a persisted nightly
+    * profile. Output: one row per union key with both counts and the
+    * grid contribution; sum `psi_contrib` for the index. */
+  def psiFromCounts(oldCounts: DataFrame, newCounts: DataFrame,
+                    keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "psiFromCounts needs at least one key column")
+    val joined = oldCounts.select(keyCols.map(col) :+ col("cnt").as("__co"): _*)
+      .join(newCounts.select(keyCols.map(col) :+ col("cnt").as("__cn"): _*),
+        keyCols, "full_outer")
+      .select(keyCols.map(col) :+ coalesce(col("__co"), lit(0L)).as("__co") :+
+        coalesce(col("__cn"), lit(0L)).as("__cn"): _*)
+    val totals = joined.agg(sum(col("__co")).as("__no"),
+      sum(col("__cn")).as("__nn"), count(lit(1)).as("__k"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("__po", (col("__co") + 1L) / (col("__no") + col("__k")))
+      .withColumn("__pn", (col("__cn") + 1L) / (col("__nn") + col("__k")))
+      .select(keyCols.map(col) :+ col("__co").as("n_old") :+
+        col("__cn").as("n_new") :+
+        (round((col("__pn") - col("__po")) * log(col("__pn") / col("__po")) * 1e9)
+          .cast("long") / 1e9).as("psi_contrib"): _*)
+  }
+
+  /** Categorical PSI: value-count both sides, then [[psiFromCounts]]. */
+  def psiCategorical(oldDf: DataFrame, newDf: DataFrame,
+                     valueCol: String): DataFrame = {
+    def counts(df: DataFrame) = df.where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol)).agg(count(lit(1)).as("cnt"))
+    psiFromCounts(counts(oldDf), counts(newDf), Seq(valueCol))
+  }
+
+  /** Numeric PSI over [[hdrBuckets]] histograms — magnitude-adaptive
+    * buckets with NO corpus sort and no quantile fitting, so the same
+    * bucketing serves any two snapshots (a quantile-bucketed PSI needs
+    * one side to define the edges). */
+  def psiHdr(oldDf: DataFrame, newDf: DataFrame, numCol: String,
+             subBits: Int = 5): DataFrame = {
+    def hist(df: DataFrame) = hdrBuckets(df, numCol, Seq.empty, subBits)
+      .select(col("bucket"), col("cnt"))
+    psiFromCounts(hist(oldDf), hist(newDf), Seq("bucket"))
+  }
+
   // ------------------------------------------------ robust outliers (MAD)
 
   /** Median-absolute-deviation outlier flags per group — the robust

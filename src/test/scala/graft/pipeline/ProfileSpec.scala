@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class ProfileSpec extends AnyFunSuite with SparkSpec {
@@ -199,6 +200,24 @@ class ProfileSpec extends AnyFunSuite with SparkSpec {
     assert(got(1L) == ((2L, 1.0, 1.0)))
     assert(got(2L) == ((1L, 0.5, 0.5)))
     assert(got(3L) == ((0L, 0.0, 0.0)))
+  }
+
+  test("psi: zero on identical distributions, every term non-negative, big on a real shift") {
+    import spark.implicits._
+    val a = (Seq.fill(50)("en") ++ Seq.fill(30)("de") ++ Seq.fill(20)("fr"))
+      .zipWithIndex.map(_.swap).toDF("id", "lang")
+    // identical distribution (itself): every contribution is EXACTLY 0
+    assert(Profile.psiCategorical(a, a, "lang")
+      .where(col("psi_contrib") =!= 0.0).count() === 0L)
+    // PSI terms are non-negative by construction: sign(pn-po) == sign(ln(pn/po))
+    val b = (Seq.fill(10)("en") ++ Seq.fill(30)("de") ++ Seq.fill(60)("zh"))
+      .zipWithIndex.map(_.swap).toDF("id", "lang")
+    val drift = Profile.psiCategorical(a, b, "lang").collect()
+    assert(drift.forall(_.getAs[Double]("psi_contrib") >= 0.0))
+    // a wholesale language swap is far past the 0.25 "shifted" bar
+    assert(drift.map(_.getAs[Double]("psi_contrib")).sum > 0.25)
+    // union key set: zh (new-only) and fr (old-only) both get rows
+    assert(drift.map(_.getAs[String]("lang")).toSet === Set("en", "de", "fr", "zh"))
   }
 
   test("madOutliers: robust to the very outlier a mean/stddev rule drowns in") {
