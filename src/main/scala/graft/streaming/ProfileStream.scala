@@ -37,6 +37,32 @@ object ProfileStream {
     }
   }
 
+  /** Streaming PSI monitor — per micro-batch, the
+    * [[Profile.psiFromCounts]] drift of the batch's `valueCol`
+    * distribution against a STORED baseline count frame (persisted from
+    * the reference corpus's groupBy-count; checkpointed once on the
+    * caller thread). The report is one row per union key plus the
+    * summable `psi_contrib`; the distribution leg of the monitoring
+    * family next to [[driftWriter]] (per-column stats) and
+    * [[ExpectationsStream]] (rule gates). Same sink contract: consume
+    * the frame inside the callback. */
+  def psiWriter(stream: DataFrame, baselineCounts: DataFrame,
+                valueCol: String)
+               (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    import org.apache.spark.sql.functions._
+    val base = baselineCounts.localCheckpoint()
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      MatchScope.withMatchScope {
+        val batchCounts = batch.where(col(valueCol).isNotNull)
+          .groupBy(col(valueCol)).agg(count(lit(1)).as("cnt"))
+        val report = Materialize(
+          Profile.psiFromCounts(base, batchCounts, Seq(valueCol)),
+          CheckpointStrategy.Local)
+        sink(report, batchId)
+      }
+    }
+  }
+
   /** Streaming distinct-count monitor — the online face of
     * [[Profile.hllDistinct]], with GENUINELY accumulating state: the
     * per-group HLL register array (2^p bytes — a register is ≤ w+1 = 41)

@@ -59,6 +59,47 @@ class ProfileStreamSpec extends AnyFunSuite with SparkSpec {
     assert(langRow(iNullsNew) == 2L)
   }
 
+  test("streaming PSI monitor: per-batch reports equal the batch operator, " +
+    "and a distribution flip lights up") {
+    val baselineDf = (Seq.fill(40)("en") ++ Seq.fill(40)("de"))
+      .zipWithIndex.map(_.swap).toDF("id", "lang")
+    val baseCounts = baselineDf.groupBy(col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+    // batch 0 matches the baseline mix; batch 1 is all-zh
+    val b0 = Seq((100L, "en"), (101L, "de")).toDF("id", "lang")
+    val b1 = Seq((102L, "zh"), (103L, "zh")).toDF("id", "lang")
+    val flat = java.nio.file.Files.createTempDirectory("psi_stream")
+    Seq(b0, b1).zipWithIndex.foreach { case (df, i) =>
+      val part = java.nio.file.Files.createTempDirectory(s"psi_part$i")
+      df.coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val src = java.nio.file.Files.list(part)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst = flat.resolve(f"$i%02d.parquet")
+      java.nio.file.Files.copy(src, dst)
+      dst.toFile.setLastModified(3000000L + i * 10000L)
+    }
+    val stream = spark.readStream.schema(b0.schema)
+      .option("maxFilesPerTrigger", "1").parquet(flat.toString)
+    val perBatch = scala.collection.mutable.Map.empty[Long, Map[String, Double]]
+    val q = ProfileStream.psiWriter(stream, baseCounts, "lang") { (report, id) =>
+      perBatch.synchronized {
+        perBatch(id) = report.collect()
+          .map(r => r.getString(0) -> r.getAs[Double]("psi_contrib")).toMap
+      }
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    for ((df, id) <- Seq(b0 -> 0L, b1 -> 1L)) {
+      val expect = graft.pipeline.Profile.psiFromCounts(baseCounts,
+          df.groupBy(col("lang")).agg(count(lit(1)).as("cnt")), Seq("lang"))
+        .collect().map(r => r.getString(0) -> r.getAs[Double]("psi_contrib")).toMap
+      assert(perBatch(id) === expect, s"batch $id")
+    }
+    // the monitor's reason to exist: the flip batch crosses the 0.25 bar,
+    // the in-mix batch stays well under it
+    assert(perBatch(1L).values.sum > 0.25)
+    assert(perBatch(0L).values.sum < 0.1)
+  }
+
   test("streaming HLL monitor: the running estimate after the last batch " +
     "equals the batch sketch over everything, bit for bit") {
     val events = graft.util.EventTs.loadEvents(spark, "/root/testdata/sf0.001")
