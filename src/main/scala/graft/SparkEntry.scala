@@ -1191,6 +1191,15 @@ object SparkEntry {
         docs.where(!evalSide), docs.where(evalSide), "text", "doc_id", 5)
         .select(col("doc_id"), col("n_hits"))
     }),
+    // span-level audit of the same split: which eval doc leaked into
+    // which corpus doc, how many shared 5-grams, earliest token offset
+    "text_contamination_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evalSide = Curation.md5Bucket(col("doc_id")) < 100000L
+      Decontaminate.contaminationSpans(
+        docs.where(!evalSide), docs.where(evalSide), "text", "doc_id", 5)
+        .select(col("doc_id"), col("eval_id"), col("n_matched"), col("first_pos"))
+    }),
     // bloom-prefiltered arm: identical semantics (the bloom only prunes,
     // the exact semi-join decides), so it shares the exact oracle — run
     // at a deliberately coarse fpp so false positives genuinely flow
@@ -3484,6 +3493,29 @@ object SparkEntry {
          ev AS (SELECT DISTINCT g FROM e WHERE bkt < 100000)
          SELECT e.doc_id AS doc_id, count(*) AS n_hits
          FROM e JOIN ev USING (g) WHERE e.bkt >= 100000 GROUP BY 1""",
+    // spans replayed: positioned grams via unnest(recursive) over the
+    // same shingle rule (short docs = whole text at offset 0), first
+    // offset per (doc, gram), then the per-(doc, eval) rollup
+    "text_contamination_spans" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w,
+                ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS bkt
+              FROM documents),
+         pg0 AS (SELECT doc_id, bkt,
+                   CASE WHEN len(w) < 5
+                        THEN [struct_pack(pos := 0, gram := array_to_string(w, ' '))]
+                        ELSE list_transform(range(1, len(w)-3),
+                          i -> struct_pack(pos := CAST(i - 1 AS INT), gram := array_to_string(w[i:i+4], ' ')))
+                   END AS pgs
+                 FROM t),
+         pgf AS (SELECT doc_id, bkt, unnest(pgs, recursive := true) FROM pg0),
+         pgm AS (SELECT doc_id, bkt, gram, min(pos) AS pos FROM pgf GROUP BY 1, 2, 3),
+         s AS (SELECT doc_id, bkt, CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(w)-3), i -> array_to_string(w[i:i+4], ' '))) END AS sh FROM t),
+         evg AS (SELECT doc_id AS eval_id, unnest(sh) AS gram FROM s WHERE bkt < 100000)
+         SELECT c.doc_id, e.eval_id, count(*) AS n_matched,
+           CAST(min(c.pos) AS INT) AS first_pos
+         FROM pgm c JOIN evg e USING (gram)
+         WHERE c.bkt >= 100000 GROUP BY 1, 2""",
     // the bloom arm is exact by construction (prefilter + exact confirm
     // join), so its oracle is literally the exact-path SQL
     "text_decontaminate_bloom" ->

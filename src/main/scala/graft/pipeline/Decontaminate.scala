@@ -74,6 +74,46 @@ object Decontaminate {
         (col("n_hits") / col("n_grams")).as("contaminated_frac"))
   }
 
+  /** Span-level contamination REPORT — not just "is this doc
+    * contaminated" ([[contaminated]]) but WHICH eval document leaked into
+    * it and WHERE: one row per (corpus doc, eval doc) pair sharing at
+    * least one word n-gram, with the shared-gram count and the earliest
+    * token offset of any shared gram. The audit view a decontamination
+    * rollout needs (review the overlap before dropping; attribute a
+    * benchmark regression to the exact eval item).
+    *
+    * Gram semantics mirror the [[graft.fuzzy.WordShingles]] kernel
+    * (distinct per doc; documents shorter than `n` tokens contribute
+    * their whole text as one gram at offset 0), with positions attached:
+    * the corpus side keeps each gram's FIRST token offset. The eval gram
+    * table broadcasts like [[contaminated]]; the corpus side is one
+    * positioned-gram pass (token array materialized as a column first —
+    * the HOF-lambda contract). */
+  def contaminationSpans(corpus: DataFrame, eval: DataFrame, textCol: String,
+                         idCol: String, n: Int,
+                         broadcastEval: Boolean = true): DataFrame = {
+    require(n >= 1, s"n must be >= 1 (got $n)")
+    val w = col("__w")
+    val whole = array(struct(lit(0).cast("int").as("pos"),
+      array_join(w, " ").as("gram")))
+    val many = transform(sequence(lit(1), size(w) - (n - 1)), i =>
+      struct((i - 1).cast("int").as("pos"),
+        concat_ws(" ", slice(w, i, lit(n))).as("gram")))
+    val posGrams = corpus
+      .select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("__w"))
+      .select(col(idCol),
+        explode(when(size(w) < n, whole).otherwise(many)).as("__pg"))
+      .select(col(idCol), col("__pg.pos").as("__pos"), col("__pg.gram").as("__g"))
+      .groupBy(col(idCol), col("__g"))
+      .agg(min(col("__pos")).as("__pos"))
+    val eg = Dedup.wordShingles(eval, textCol, idCol, n)
+      .select(col(idCol).as("eval_id"), col("__shingle").as("__g"))
+    val evalSide = if (broadcastEval) broadcast(eg) else eg
+    posGrams.join(evalSide, Seq("__g"))
+      .groupBy(col(idCol), col("eval_id"))
+      .agg(count(lit(1)).as("n_matched"), min(col("__pos")).as("first_pos"))
+  }
+
   /** [[contaminated]]'s EXACT semantics on a Bloom-prefiltered plan — the
     * scale arm for eval sets too big to broadcast as an exact gram set.
     *

@@ -101,4 +101,27 @@ class DecontaminateSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"the corpus must not shuffle on the gram key:\n$plan")
   }
+
+  test("contaminationSpans: attributes the leak to the eval doc at the exact offset") {
+    // corpus doc 10 embeds eval 100's opening 5-gram starting at token 2;
+    // doc 11 is a 3-token doc equal to eval 101's whole text (short-doc
+    // whole-text gram at offset 0); doc 12 shares words but no 5-gram run
+    val ev = Seq(
+      (100L, "the quick brown fox jumps over a lazy dog"),
+      (101L, "tiny eval snippet")).toDF("id", "text")
+    val corp = Seq(
+      (10L, "well then the quick brown fox jumps right out"),
+      (11L, "tiny eval snippet"),
+      (12L, "the brown dog jumps the fox")).toDF("id", "text")
+    val got = Decontaminate.contaminationSpans(corp, ev, "text", "id", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getInt(3))).toMap
+    assert(got((10L, 100L)) === ((1L, 2)))
+    assert(got((11L, 101L)) === ((1L, 0)))
+    assert(got.keySet === Set((10L, 100L), (11L, 101L)))
+    // and the flag set agrees with contaminated() on the same inputs
+    val flagged = Decontaminate.contaminated(corp, ev, "text", "id", 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got.keySet.map(_._1) === flagged)
+  }
 }
