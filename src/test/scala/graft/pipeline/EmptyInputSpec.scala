@@ -201,4 +201,60 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
     assert(TextAnalysis.oovRate(emptyDocs, "text", "doc_id",
       emptyDocs.select(col("text").as("token"))).count() === 0L)
   }
+
+  test("round-10 selection / LM operators on empty and degenerate input") {
+    val one = Seq((1L, "hello world")).toDF("doc_id", "text")
+    // moore-lewis with an EMPTY in-domain set: every token OOV, scores 0
+    val ml = TextAnalysis.mooreLewisScore(one, "text", "doc_id",
+      emptyDocs, "text").head()
+    assert(ml.getAs[Long]("n_scored") === 0L && ml.getAs[Double]("score") === 0.0)
+    // and an empty corpus scores to an empty frame
+    assert(TextAnalysis.mooreLewisScore(emptyDocs, "text", "doc_id",
+      one, "text").count() === 0L)
+    // KN with an empty train split: no continuations exist, everything
+    // skips (never -inf), one row per doc with bigrams
+    val kn = TextAnalysis.knBigramLogProb(one, "text", "doc_id",
+      emptyDocs, "text").head()
+    assert(kn.getAs[Long]("n_scored") === 0L && kn.getAs[Double]("logprob") === 0.0)
+    // DSIR: empty target is legal (all-smoothing ratios, uniform ~0
+    // weights); empty corpus selects nothing
+    val m = Curation.dsirFit(one, "text", emptyDocs, "text", buckets = 64)
+    assert(Curation.dsirScore(one, "text", "doc_id", m).count() === 1L)
+    assert(Curation.dsirScore(emptyDocs, "text", "doc_id", m).count() === 0L)
+    // unimax on an empty frame fails fast with the documented require
+    intercept[IllegalArgumentException] {
+      Curation.unimaxSample(emptyDocs, "doc_id", "text", 10L, 2)
+    }
+    // weighted exact-n: empty in, empty out
+    assert(Curation.weightedSampleExactN(emptyDocs, "doc_id",
+      lit(1.0), 5).count() === 0L)
+  }
+
+  test("round-10 sketches and monitors on empty input") {
+    val emptyKV = Seq.empty[(String, Long)].toDF("g", "v")
+    assert(Profile.hllRegisters(emptyKV, "v", Seq("g"), p = 8).count() === 0L)
+    assert(Profile.hllDistinct(emptyKV, "v", Seq("g"), p = 8).count() === 0L)
+    assert(Profile.kmvSketch(emptyKV, "v", Seq("g"), k = 8).count() === 0L)
+    assert(Profile.cmsCounters(emptyKV, "v", 4, 64).count() === 0L)
+    // CMS lookup of anything against EMPTY counters: everything 0, no throw
+    val est = Profile.cmsLookup(Profile.cmsCounters(emptyKV, "v", 4, 64),
+      Seq(("g", 1L)).toDF("g", "v"), "v", 4, 64).head()
+    assert(est.getLong(1) === 0L)
+    assert(Profile.hdrBuckets(emptyKV, "v", Seq("g")).count() === 0L)
+    // PSI of empty-vs-empty: no keys, no rows (nothing to drift)
+    assert(Profile.psiCategorical(emptyDocs, emptyDocs, "text").count() === 0L)
+    // PSI of something vs empty: one-sided keys still contribute finitely
+    val oneSide = Profile.psiCategorical(
+      Seq((1L, "en")).toDF("doc_id", "lang"), emptyDocs
+        .select(col("doc_id"), col("text").as("lang")), "lang")
+    assert(oneSide.count() === 1L &&
+      !oneSide.head().getAs[Double]("psi_contrib").isNaN)
+    // semantic dedup on an empty embedding frame: empty, no throw
+    assert(Dedup.semDedup(emptyVecs, "embedding", "vec_id",
+      DemoModels.SemCentroids, 64, 8, 0.35).count() === 0L)
+    // MAD on a single-row group: med = the value, mad = 0, not an outlier
+    val mad = Profile.madOutliers(Seq(("a", 1L, 5L)).toDF("g", "id", "v"),
+      "g", "v").head()
+    assert(mad.getAs[Boolean]("is_outlier") === false)
+  }
 }
