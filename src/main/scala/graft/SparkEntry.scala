@@ -3385,9 +3385,9 @@ object SparkEntry {
          FROM j CROSS JOIN t""",
     "profile_psi_nchars" ->
       """WITH vo AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents
-                WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+                WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL AND n_chars >= 0),
          vn AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents
-                WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL),
+                WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL AND n_chars >= 0),
          o AS (SELECT greatest(0, length(bin(v)) - 6) * 32
                  + (v >> CAST(greatest(0, length(bin(v)) - 6) AS INT)) AS bucket,
                  count(*) AS c FROM vo GROUP BY 1),
@@ -3422,7 +3422,7 @@ object SparkEntry {
     // cumulative count reaches it
     "profile_hdr_quantiles" ->
       """WITH h AS (SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents
-                WHERE n_chars IS NOT NULL),
+                WHERE n_chars IS NOT NULL AND n_chars >= 0),
          b AS (SELECT lang, v,
                  greatest(0, length(bin(v)) - 6) * 32
                    + (v >> CAST(greatest(0, length(bin(v)) - 6) AS INT)) AS bucket

@@ -600,8 +600,10 @@ object Profile {
     * Bucketing is PURE INTEGER (bit-length via `length(bin())`, shifts
     * as integer division by a power-of-two literal — no ln at bucket
     * boundaries), so every engine buckets identically. Negative values
-    * are rejected; quantize signed/fractional columns onto a
-    * non-negative grid first. */
+    * are EXCLUDED (like NULLs) — `bin()` sign-extends them into
+    * meaningless buckets, so quantize signed/fractional columns onto a
+    * non-negative grid first; the exclusion is explicit so the two
+    * engines can never disagree on what a negative hashed to. */
   def hdrBuckets(df: DataFrame, valueCol: String, groupCols: Seq[String],
                  subBits: Int = 5): DataFrame = {
     require(subBits >= 1 && subBits <= 8, s"subBits must be in [1,8] (got $subBits)")
@@ -615,7 +617,7 @@ object Profile {
     val idx = expr(
       s"""greatest(0L, length(bin(__v)) - $sb - 1) * ${1L << sb}
          | + shiftright(__v, greatest(0, length(bin(__v)) - 1 - $sb))""".stripMargin)
-    df.where(col(valueCol).isNotNull)
+    df.where(col(valueCol).isNotNull && col(valueCol) >= 0)
       .select(groupCols.map(col) :+ col(valueCol).cast("long").as("__v"): _*)
       .select(groupCols.map(col) :+ col("__v") :+ idx.as("bucket"): _*)
       .groupBy(col("bucket") +: groupCols.map(col): _*)

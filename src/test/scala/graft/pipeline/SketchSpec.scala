@@ -130,6 +130,14 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("hdr: negative values are excluded, never sign-extended into ghost buckets") {
+    import spark.implicits._
+    val df = Seq(("a", 5L), ("a", -3L), ("a", 0L)).toDF("g", "v")
+    val hist = Profile.hdrBuckets(df, "v", Seq("g"), subBits = 5)
+    assert(hist.agg(sum(col("cnt"))).collect()(0).getLong(0) === 2L)
+    assert(hist.where(col("bucket") < 0).count() === 0L)
+  }
+
   test("hdr: merging per-shard histograms equals sketching the whole corpus, exactly") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val whole = Profile.hdrBuckets(docs, "n_chars", Seq("lang"), subBits = 5)
