@@ -217,7 +217,11 @@ object Curation {
     * sequential loop, in EXACT integer arithmetic so the oracle replays
     * it with window functions: sort strata ascending by capped size
     * `c = n·maxEpochs` (ties by stratum string, NULL last — DuckDB's
-    * default), stratum i is capped iff
+    * default; the string tie-break compares Scala UTF-16 vs the oracle's
+    * binary UTF-8, identical for ASCII strata — size-tied NON-ASCII
+    * strata with supplementary-plane characters could order differently,
+    * a documented limit of the replay, not of the allocation),
+    * stratum i is capped iff
     * `c_i·(k−i+1) ≤ budget − (cum_i − c_i)` AND every smaller stratum
     * is capped (the prefix-AND makes the predicate monotone); uncapped
     * strata get `θ = (budget − Σ capped c) div (#uncapped)` — floor

@@ -518,8 +518,12 @@ object Profile {
     * so the total is exact integer arithmetic (a raw double Σ is
     * order-dependent). Input frames are (keyCols..., cnt) — from a
     * groupBy count, an [[hdrBuckets]] histogram, or a persisted nightly
-    * profile. Output: one row per union key with both counts and the
-    * grid contribution; sum `psi_contrib` for the index. */
+    * profile. NULL keys: exclude or canonicalize them upstream — the
+    * full-outer equi-join keeps each side's NULL rows separate, which
+    * double-counts a "null category" ([[psiCategorical]] filters them;
+    * [[hdrBuckets]] cannot produce them). Output: one row per union key
+    * with both counts and the grid contribution; sum `psi_contrib` for
+    * the index. */
   def psiFromCounts(oldCounts: DataFrame, newCounts: DataFrame,
                     keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "psiFromCounts needs at least one key column")
