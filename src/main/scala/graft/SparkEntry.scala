@@ -247,6 +247,17 @@ object SparkEntry {
       NearDupCluster.dedupByPairs(docs, pairs, "doc_id", maxIterations = 20)
         .select(col("doc_id"))
     }),
+    // label propagation instead of dropping: every doc learns its dup
+    // family's id, size, best length, and the representative's lang
+    "dedup_cluster_labels" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5,
+        maxShinglePairs = Long.MaxValue)
+      NearDupCluster.clusterLabels(docs, pairs, "doc_id", "n_chars",
+          Seq("lang"), maxIterations = 20)
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          col("best_n_chars"), col("rep_lang"))
+    }),
     // quality-aware keep rule: the representative is the LONGEST cluster
     // member (exact integer score), ties to min id
     "dedup_cluster_best" -> ((s, dir) => {
@@ -2082,6 +2093,31 @@ object SparkEntry {
          comp AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a)
          SELECT d.doc_id AS doc_id FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
          WHERE comp.id IS NULL OR comp.comp = d.doc_id""",
+    // same component resolution, then the family rollup + the min-id
+    // representative's label attached to every member
+    "dedup_cluster_labels" ->
+      """WITH RECURSIVE
+         t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+         s AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) END AS sh FROM t),
+         e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         sz AS (SELECT doc_id, len(sh) AS sz FROM s),
+         c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+               FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         p AS (SELECT id_a, id_b FROM c JOIN sz sa ON c.id_a = sa.doc_id JOIN sz sb ON c.id_b = sb.doc_id
+               WHERE common / (sa.sz + sb.sz - common) >= 0.5),
+         edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+         reach(a, b) AS (SELECT a, b FROM edges UNION SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+         comp AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+         cl AS (SELECT d.doc_id, d.lang, d.n_chars,
+                  COALESCE(c2.comp, d.doc_id) AS cluster_id
+                FROM documents d LEFT JOIN comp c2 ON d.doc_id = c2.id),
+         st AS (SELECT cluster_id, count(*) AS cluster_size,
+                  max(n_chars) AS best_n_chars, min(doc_id) AS rep
+                FROM cl GROUP BY 1)
+         SELECT cl.doc_id, cl.cluster_id, st.cluster_size, st.best_n_chars,
+           r.lang AS rep_lang
+         FROM cl JOIN st USING (cluster_id) JOIN documents r ON st.rep = r.doc_id""",
     // same component resolution; representative = arg-max n_chars per
     // component (ties to min id) instead of min id
     "dedup_cluster_best" ->

@@ -101,4 +101,36 @@ object NearDupCluster {
       .where(col("__rk") =!= 1).select(col("id").as(idCol))
     docs.join(drop, Seq(idCol), "left_anti")
   }
+
+  /** Label propagation across near-dup clusters — instead of DROPPING
+    * duplicates, every row learns about its duplicate family: the
+    * cluster id, its size, the family max of `bestCol` (annotate one
+    * copy, every copy inherits — the "label once per family" workflow),
+    * and the representative's (min id's) `labelCols` values. Singleton
+    * rows (unmentioned in `pairs`) are their own family of one.
+    *
+    * Plan shape: the CC labels join back once; family stats are one
+    * hash-agg on the component key; representative labels attach by an
+    * id equi-join (AQE broadcasts the rep side — one row per family).
+    * Emits every input row + (cluster_id, cluster_size,
+    * best_<bestCol>, rep_<labelCol>...). */
+  def clusterLabels(docs: DataFrame, pairs: DataFrame, idCol: String,
+                    bestCol: String, labelCols: Seq[String],
+                    maxIterations: Int = 15,
+                    checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val comps = connectedComponents(pairs, maxIterations = maxIterations,
+      checkpoint = checkpoint)
+    val withComp = docs
+      .join(comps.select(col("id").as(idCol), col("comp")), Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("comp"), col(idCol))).drop("comp")
+    val stats = withComp.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(col(bestCol)).as(s"best_$bestCol"),
+        min(col(idCol)).as("__rep"))
+    val reps = docs.select(col(idCol).as("__rep") +:
+      labelCols.map(c => col(c).as(s"rep_$c")): _*)
+    withComp.join(stats, Seq("cluster_id"))
+      .join(reps, Seq("__rep"))
+      .drop("__rep")
+  }
 }

@@ -70,4 +70,25 @@ class NearDupClusterSpec extends AnyFunSuite with SparkSpec {
     val deduped2 = NearDupCluster.dedupByPairs(deduped, pairs2, "doc_id")
     assert(deduped2.count() == k)
   }
+
+  test("clusterLabels: the family learns its size, best score, and rep label") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "en", 10L), (2L, "de", 50L), (3L, "fr", 30L), // one family
+      (4L, "zh", 7L))                                     // singleton
+      .toDF("doc_id", "lang", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = NearDupCluster.clusterLabels(docs, pairs, "doc_id",
+      "n_chars", Seq("lang"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"),
+          r.getAs[Long]("best_n_chars"), r.getAs[String]("rep_lang")))).toMap
+    // every family member inherits: cluster 1, size 3, best 50 (doc 2's),
+    // rep label = doc 1's lang (min id)
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(got(id) === ((1L, 3L, 50L, "en")), s"doc $id")
+    }
+    // the singleton is its own family of one
+    assert(got(4L) === ((4L, 1L, 7L, "zh")))
+  }
 }
