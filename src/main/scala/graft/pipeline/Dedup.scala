@@ -1301,6 +1301,19 @@ object Dedup {
       checkpoint)
   }
 
+  /** Erasure for the stored semantic state — the [[bm25Forget]] contract
+    * applied here: state rows are per-document and independent (no
+    * cross-document aggregates inside), so forgetting is an exact
+    * anti-join and the result is BIT-IDENTICAL to rebuilding the state
+    * from the retained corpus (spec-pinned). Contrast the SKETCH stores
+    * ([[graft.pipeline.Profile.hllRegisters]]/`cmsCounters`/`kmvSketch`):
+    * those aggregate irreversibly — a sketch cannot forget one value;
+    * erasure there means rebuilding from the retained corpus, which
+    * their flat scale rows price as cheap by design. */
+  def semDedupForget(state: DataFrame, forgetIds: DataFrame,
+                     idCol: String): DataFrame =
+    state.join(forgetIds.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+
   /** Nightly semantic near-dup flags: `batch` embeddings vs a STORED
     * corpus [[semDedupState]] — (id_a from batch, id_b from corpus,
     * exact cosine >= threshold), ids disjoint by contract, corpus wins

@@ -98,6 +98,29 @@ class SemDedupSpec extends AnyFunSuite with SparkSpec {
     assert(got === expect && got.nonEmpty)
   }
 
+  test("forget: erasing state rows equals rebuilding state from the retained corpus") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val isBatch = col("vec_id") % 10 === 0
+    val corpusDocs = emb.where(!isBatch)
+    val state = Dedup.semDedupState(corpusDocs, "embedding", "vec_id", cents, 64, 8)
+    val forget = corpusDocs.where(col("vec_id") % 3 === 0).select("vec_id")
+    val forgotten = Dedup.semDedupForget(state, forget, "vec_id")
+    val rebuilt = Dedup.semDedupState(
+      corpusDocs.join(forget, Seq("vec_id"), "left_anti"),
+      "embedding", "vec_id", cents, 64, 8)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "cell", "ccosq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(canon(forgotten) === canon(rebuilt))
+    // and downstream flags off the forgotten state match the rebuild too
+    val viaForget = Dedup.semDedupIncrementalPairs(emb.where(isBatch), forgotten,
+      "embedding", "vec_id", cents, 64, 8, thr, Long.MaxValue)
+    val viaRebuild = Dedup.semDedupIncrementalPairs(emb.where(isBatch), rebuilt,
+      "embedding", "vec_id", cents, 64, 8, thr, Long.MaxValue)
+    assert(viaForget.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      viaRebuild.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("incremental: the cap gate empties over-cap cells, never explodes them") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val isBatch = col("vec_id") % 10 === 0
