@@ -234,6 +234,40 @@ object Curation {
     * row with (`n_copies` — 0 = dropped, `budget_alloc` — the stratum's
     * b). Same driver-side rate-table shape and cardinality guard as
     * [[temperatureSample]]. */
+  /** The pure allocation math of [[unimaxSample]] — (stratum, n, b) per
+    * stratum from the water-filling closed form, extracted so the
+    * invariants (budget conservation, epoch cap, one θ, monotonicity in
+    * stratum size) are property-testable without a Spark job. EXACTLY
+    * the arithmetic the oracle's window functions replay. */
+  private[pipeline] def unimaxAllocations(
+      counts: Seq[(Option[String], Long)], budget: Long,
+      maxEpochs: Int): Seq[(Option[String], Long, Long)] = {
+    // ascending by c with DuckDB's tie order (value asc, NULL last)
+    val sorted = counts.map { case (s, n) => (s, n, n * maxEpochs) }
+      .sortWith { case ((sa, _, ca), (sb, _, cb)) =>
+        if (ca != cb) ca < cb
+        else (sa, sb) match {
+          case (Some(a), Some(b)) => a < b
+          case (Some(_), None) => true
+          case _ => false
+        }
+      }
+    val k = sorted.length
+    var cum = 0L
+    var allCapped = true
+    val capped = sorted.zipWithIndex.map { case ((_, _, c), i0) =>
+      cum += c
+      allCapped = allCapped && c * (k - i0) <= budget - (cum - c)
+      allCapped
+    }
+    val p = capped.count(identity)
+    val cumP = sorted.zip(capped).collect { case ((_, _, c), true) => c }.sum
+    val theta = if (p < k) (budget - cumP) / (k - p) else 0L
+    sorted.zip(capped).map { case ((s, n, c), isCapped) =>
+      (s, n, if (isCapped) c else theta)
+    }
+  }
+
   def unimaxSample(df: DataFrame, keyCol: String, strataCol: String,
                    budget: Long, maxEpochs: Int,
                    maxStrata: Int = 1000): DataFrame = {
@@ -249,31 +283,9 @@ object Curation {
         "strata compute the allocations as a DataFrame and broadcast-join " +
         "them on the stratum column instead.")
     require(rows.nonEmpty, "unimaxSample needs a non-empty frame")
-    // ascending by c with DuckDB's tie order (value asc, NULL last)
-    val sorted = rows.map { r =>
-      (Option(r.get(0)).map(_.toString), r.getLong(1), r.getLong(1) * maxEpochs)
-    }.sortWith { case ((sa, _, ca), (sb, _, cb)) =>
-      if (ca != cb) ca < cb
-      else (sa, sb) match {
-        case (Some(a), Some(b)) => a < b
-        case (Some(_), None) => true
-        case _ => false
-      }
-    }
-    val k = sorted.length
-    var cum = 0L
-    var allCapped = true
-    val capped = sorted.zipWithIndex.map { case ((_, _, c), i0) =>
-      cum += c
-      allCapped = allCapped && c * (k - i0) <= budget - (cum - c)
-      allCapped
-    }
-    val p = capped.count(identity)
-    val cumP = sorted.zip(capped).collect { case ((_, _, c), true) => c }.sum
-    val theta = if (p < k) (budget - cumP) / (k - p) else 0L
-    val alloc = sorted.zip(capped).map { case ((s, n, c), isCapped) =>
-      (s, n, if (isCapped) c else theta)
-    }
+    val alloc = unimaxAllocations(
+      rows.map(r => Option(r.get(0)).map(_.toString) -> r.getLong(1)),
+      budget, maxEpochs)
     def chain(f: ((Option[String], Long, Long)) => Long): Column =
       alloc.foldLeft(lit(-1L)) { case (acc, row @ (s, _, _)) =>
         s match {

@@ -105,6 +105,37 @@ class SelectionSpec extends AnyFunSuite with SparkSpec {
     assert(uncapped.values.map(_._1).toSet.size === 1)
   }
 
+  test("unimax allocation properties over 2000 random stratum tables") {
+    // seeded generation, the KernelsSpec idiom — no scalatest-scalacheck
+    // bridge needed for a pure function
+    val rnd = new scala.util.Random(1234)
+    (0 until 2000).foreach { trial =>
+      val k = 1 + rnd.nextInt(12)
+      val counts = (0 until k).map(i =>
+        (if (rnd.nextInt(20) == 0) None else Some(s"s$i")) ->
+          (1L + rnd.nextInt(10000)))
+      val epochs = 1 + rnd.nextInt(4)
+      val totalC = counts.map(_._2 * epochs).sum
+      val budget = 1L + (rnd.nextLong(totalC * 2) max 1L)
+      val alloc = Curation.unimaxAllocations(counts, budget, epochs)
+      val bs = alloc.map(_._3)
+      val ctx = s"trial $trial: counts=$counts budget=$budget epochs=$epochs alloc=$alloc"
+      // epoch cap: nobody exceeds their full corpus at maxEpochs
+      alloc.foreach { case (_, n, b) => assert(b <= n * epochs && b >= 0, ctx) }
+      // budget conservation: never overspent; fully spent up to the
+      // floor remainder unless the whole corpus fits
+      assert(bs.sum <= budget, ctx)
+      if (budget <= totalC) assert(bs.sum > budget - k, ctx)
+      else assert(bs.sum === totalC, ctx)
+      // every uncapped stratum shares one theta
+      val uncapped = alloc.filter { case (_, n, b) => b != n * epochs }
+      assert(uncapped.map(_._3).distinct.size <= 1, ctx)
+      // monotone: a stratum with more capped capacity never gets less
+      val byC = alloc.sortBy { case (_, n, _) => n * epochs }.map(_._3)
+      assert(byC.zip(byC.drop(1)).forall { case (a, b) => a <= b }, ctx)
+    }
+  }
+
   test("unimax: a budget above the epoch-capped corpus keeps everything at the cap") {
     val out = Curation.unimaxSample(docs, "doc_id", "lang",
       budget = 10000L, maxEpochs = 3)
