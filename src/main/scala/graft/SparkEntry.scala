@@ -626,6 +626,16 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("budget_alloc"),
           col("n_copies"))),
 
+    // ---- the size-unit UniMax: the same water-filling allocation with
+    // the budget in CHARACTERS (the paper's own accounting) — strata
+    // capacities are char sums, copy counts make each stratum's expected
+    // char total equal its allocation
+    "curate_unimax_chars" -> ((s, dir) =>
+      Curation.unimaxSampleBySize(t(s, dir, "documents"), "doc_id", "lang",
+          "n_chars", budget = 200000L, maxEpochs = 2)
+        .select(col("doc_id"), col("lang"), col("budget_alloc"),
+          col("n_copies"))),
+
     // ---- composed clean-mix: blocklist gate THEN temperature resampling
     // over the survivors — the rates derive from the FILTERED corpus
     // (the seam a per-stage oracle never sees: filter-then-rate, not
@@ -2854,6 +2864,9 @@ object SparkEntry {
     // budget/epoch constants the query passes)
     "curate_unimax" -> Curation.unimaxOracleSql(
       "documents", "doc_id", "lang", budget = 700L, maxEpochs = 2),
+    "curate_unimax_chars" -> Curation.unimaxOracleSql(
+      "documents", "doc_id", "lang", budget = 200000L, maxEpochs = 2,
+      sizeSql = "sum(n_chars)"),
     // A-ES replayed: same 1e-6-grid ln(u), same one-division key, rank
     // = row_number over (key desc, id) — the heap's total order
     "curate_weighted_sample_exact" ->

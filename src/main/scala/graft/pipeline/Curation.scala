@@ -270,11 +270,32 @@ object Curation {
 
   def unimaxSample(df: DataFrame, keyCol: String, strataCol: String,
                    budget: Long, maxEpochs: Int,
-                   maxStrata: Int = 1000): DataFrame = {
+                   maxStrata: Int = 1000): DataFrame =
+    unimaxImpl(df, keyCol, strataCol, count(lit(1)), budget, maxEpochs, maxStrata)
+
+  /** [[unimaxSample]] with the budget in SIZE units (tokens, chars,
+    * bytes) instead of rows — the paper's own accounting: per-stratum
+    * capacity is `Σ sizeCol · maxEpochs`, allocations are size amounts,
+    * and each row's copy count makes the stratum's EXPECTED size equal
+    * its allocation (`epochs = b div S` copies for everyone plus one
+    * more below the `((b mod S)·10⁶) div S` md5 threshold). Rows keep
+    * whole — the budget rounds to document boundaries, which is how a
+    * real pipeline consumes it. A stratum whose sizes sum to 0 allocates
+    * and emits 0 copies. */
+  def unimaxSampleBySize(df: DataFrame, keyCol: String, strataCol: String,
+                         sizeCol: String, budget: Long, maxEpochs: Int,
+                         maxStrata: Int = 1000): DataFrame =
+    unimaxImpl(df, keyCol, strataCol,
+      coalesce(sum(col(sizeCol)), lit(0L)).cast("long"), budget, maxEpochs,
+      maxStrata)
+
+  private def unimaxImpl(df: DataFrame, keyCol: String, strataCol: String,
+                         sizeAgg: Column, budget: Long, maxEpochs: Int,
+                         maxStrata: Int): DataFrame = {
     require(budget > 0, s"budget must be positive (got $budget)")
     require(maxEpochs >= 1, s"maxEpochs must be >= 1 (got $maxEpochs)")
     require(maxStrata >= 1, s"maxStrata must be >= 1 (got $maxStrata)")
-    val rows = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+    val rows = df.groupBy(col(strataCol)).agg(sizeAgg.as("n"))
       .limit(maxStrata + 1).collect()
     require(rows.length <= maxStrata,
       s"unimaxSample: over $maxStrata distinct values in stratum column " +
@@ -293,8 +314,9 @@ object Curation {
           case None => when(col(strataCol).isNull, f(row)).otherwise(acc)
         }
       }
-    val epochs = chain { case (_, n, b) => b / n }
-    val thr = chain { case (_, n, b) => (b % n) * 1000000L / n }
+    // zero-size strata (possible under a size aggregate) allocate nothing
+    val epochs = chain { case (_, n, b) => if (n == 0L) 0L else b / n }
+    val thr = chain { case (_, n, b) => if (n == 0L) 0L else (b % n) * 1000000L / n }
     val bAlloc = chain { case (_, _, b) => b }
     df.withColumn("budget_alloc", bAlloc)
       .withColumn("n_copies",
@@ -307,9 +329,11 @@ object Curation {
     * integers, floor-division θ and per-row copy counts off the same
     * md5 grid. Null-safe stratum join like [[temperatureOracleSql]]. */
   def unimaxOracleSql(table: String, keyCol: String, strataCol: String,
-                      budget: Long, maxEpochs: Int): String = {
+                      budget: Long, maxEpochs: Int,
+                      sizeSql: String = "count(*)"): String = {
     s"""WITH src AS (SELECT * FROM $table AS s0),
-       |cs AS (SELECT $strataCol, count(*) AS n, count(*) * $maxEpochs AS c
+       |cs AS (SELECT $strataCol, COALESCE($sizeSql, 0) AS n,
+       |         COALESCE($sizeSql, 0) * $maxEpochs AS c
        |       FROM src GROUP BY $strataCol),
        |srt AS (SELECT $strataCol, n, c,
        |          row_number() OVER (ORDER BY c, $strataCol) AS i,
@@ -330,8 +354,10 @@ object Curation {
        |              ELSE ($budget - tot.cump) // NULLIF(tot.k - tot.p, 0)
        |         END AS b
        |       FROM cap CROSS JOIN tot),
-       |r AS (SELECT $strataCol, n, b, b // n AS epochs,
-       |        ((b % n) * 1000000) // n AS thr FROM al)
+       |r AS (SELECT $strataCol, n, b,
+       |        CASE WHEN n = 0 THEN 0 ELSE b // n END AS epochs,
+       |        CASE WHEN n = 0 THEN 0 ELSE ((b % n) * 1000000) // n END AS thr
+       |      FROM al)
        |SELECT d.$keyCol, d.$strataCol, r.b AS budget_alloc,
        |  CAST(r.epochs + CASE WHEN
        |    ('0x' || substring(md5(CAST(d.$keyCol AS VARCHAR)), 1, 15))::BIGINT % 1000000 < r.thr

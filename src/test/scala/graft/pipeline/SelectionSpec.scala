@@ -142,6 +142,33 @@ class SelectionSpec extends AnyFunSuite with SparkSpec {
     assert(out.where(col("n_copies") =!= 3L).count() === 0L)
   }
 
+  test("unimax by size: expected char budget lands within one doc of the allocation") {
+    val out = Curation.unimaxSampleBySize(docs, "doc_id", "lang",
+      "n_chars", budget = 200000L, maxEpochs = 2)
+    val perLang = out.groupBy("lang").agg(
+        max(col("budget_alloc")).as("b"), sum(col("n_chars")).as("sz"),
+        sum(col("n_copies") * col("n_chars")).as("got"),
+        max(col("n_copies")).as("maxc"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    perLang.foreach { case (lang, (b, sz, got, maxc)) =>
+      assert(b <= sz * 2, s"$lang over the size epoch cap")
+      assert(maxc <= 2L, s"$lang rows over maxEpochs")
+      // realized chars land within [epochs*sz, epochs*sz + sz] around b
+      val epochs = b / sz
+      assert(got >= epochs * sz && got <= (epochs + 1) * sz,
+        s"$lang realized $got vs alloc $b (sz $sz)")
+    }
+    // zero-size strata allocate and emit nothing (guarded divisions)
+    import spark.implicits._
+    val zs = Seq((1L, "a", 0L), (2L, "a", 0L), (3L, "b", 10L))
+      .toDF("doc_id", "lang", "n_chars")
+    val z = Curation.unimaxSampleBySize(zs, "doc_id", "lang", "n_chars",
+      budget = 100L, maxEpochs = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(z(1L) === 0L && z(2L) === 0L && z(3L) === 2L)
+  }
+
   test("unimax: high-cardinality stratum column fails fast with the guard") {
     val e = intercept[IllegalArgumentException] {
       Curation.unimaxSample(docs, "doc_id", "doc_id",
