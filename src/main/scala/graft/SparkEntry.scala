@@ -928,6 +928,16 @@ object SparkEntry {
     // fixture's sample formula (bytes (id*31 + i*7) mod 256 read as
     // little-endian signed 16-bit) — an endianness or sign mistake in the
     // decode breaks the hash
+    // ---- spectral-energy profile: the first FREQUENCY-domain feature —
+    // exact quantized-DFT basis sums over the first 64 PCM samples, 8
+    // bins per clip; the basis grid is single-sourced with the oracle
+    "multimodal_spectral" -> ((s, dir) =>
+      Multimodal.wavSpectralProfile(
+        Multimodal.encodeWavDemo(t(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "payload", "doc_id", bins = 8, window = 64)
+        .select(col("id").as("doc_id"), col("bin"), col("re_q"), col("im_q"),
+          col("energy"))),
+
     "multimodal_audio_stats" -> ((s, dir) =>
       Multimodal.decodeWavSamples(
         Multimodal.encodeWavDemo(t(s, dir, "documents").select(col("doc_id")), "doc_id"),
@@ -3052,6 +3062,9 @@ object SparkEntry {
     // PCM round trip: data byte i = (id*31 + i*7) mod 256, sample j =
     // little-endian signed 16-bit from bytes (2j, 2j+1); the real decoder
     // must reproduce these exact integer reductions
+    // generated from the same quantized DFT basis the kernel uses
+    "multimodal_spectral" -> Multimodal.wavSpectralOracleSql(
+      "documents", "doc_id", bins = 8, window = 64),
     "multimodal_audio_stats" ->
       """WITH p AS (SELECT doc_id,
                 ((doc_id % 50) + 1) * ((doc_id % 2) + 1) AS n FROM documents),

@@ -222,6 +222,127 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Quantized DFT basis for [[wavSpectralProfile]]: cos/sin of
+    * 2πkn/window on the 1e-6 integer grid, flattened `k·window + n` —
+    * ONE source for the Scala kernel and the generated oracle, so the
+    * basis cannot drift between engines. */
+  def dftTablesMicro(bins: Int, window: Int): (Array[Long], Array[Long]) = {
+    val cos = new Array[Long](bins * window)
+    val sin = new Array[Long](bins * window)
+    var k = 0
+    while (k < bins) {
+      var n = 0
+      while (n < window) {
+        val a = 2.0 * math.Pi * k * n / window
+        cos(k * window + n) = math.round(math.cos(a) * 1e6)
+        sin(k * window + n) = math.round(math.sin(a) * 1e6)
+        n += 1
+      }
+      k += 1
+    }
+    (cos, sin)
+  }
+
+  case class SpectralBin(id: Long, bin: Int, re_q: Long, im_q: Long,
+                         energy: Double)
+
+  /** Spectral-energy profile of 16-bit PCM audio — the first
+    * FREQUENCY-domain feature of the multimodal family (the quality
+    * signals above are all time-domain): an exact quantized DFT over the
+    * first `window` samples, one row per (id, bin) with the EXACT
+    * integer basis sums `re_q = Σ s_n·cos_q[k,n]`, `im_q = −Σ
+    * s_n·sin_q[k,n]` and the derived band energy. Detects silence, pure
+    * tones, DC-stuck clips — the audio analog of the dHash/resize tier.
+    *
+    * Exactness: the basis is the 1e-6-grid [[dftTablesMicro]] (pinned,
+    * single-sourced with the oracle generator); samples are ints, so
+    * every per-bin sum is exact BIGINT arithmetic (|s|·|c_q|·window ≤
+    * 2^45 at window = 256) and only the final energy touches IEEE —
+    * the same two-op chain in both engines. Bounded per row:
+    * `bins·window` multiply-adds regardless of clip length (clips
+    * shorter than the window just stop early). Undecodable / non-16-bit
+    * payloads sentinel as one (id, -1, -1, -1, -1.0) row, the
+    * [[decodeWavSamples]] contract. */
+  def wavSpectralProfile(df: DataFrame, binCol: String, idCol: String,
+                         bins: Int = 8, window: Int = 64): DataFrame = {
+    require(bins >= 1 && window >= 1 && bins <= window,
+      s"need 1 <= bins <= window (got $bins, $window)")
+    val (cosQ, sinQ) = dftTablesMicro(bins, window)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds: Dataset[WavRow] = graft.util.Partitioning.spread(
+      df.select(col(idCol).cast("long").as("id"), col(binCol).as("payload"))).as[WavRow]
+    ds.mapPartitions { it =>
+      it.flatMap { row =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(row.payload))
+          try {
+            val f = in.getFormat
+            val enc = javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            if (f.getEncoding != enc || f.getSampleSizeInBits != 16 ||
+                in.getFrameLength < 0)
+              Seq(SpectralBin(row.id, -1, -1L, -1L, -1.0))
+            else {
+              val pcm = in.readAllBytes()
+              val big = f.isBigEndian
+              val m = math.min(pcm.length / 2, window)
+              (0 until bins).map { k =>
+                var re = 0L; var im = 0L; var j = 0
+                while (j < m) {
+                  val lo = pcm(2 * j + (if (big) 1 else 0)) & 0xff
+                  val hi = pcm(2 * j + (if (big) 0 else 1)) & 0xff
+                  val s = ((hi << 8) | lo).toShort.toLong
+                  re += s * cosQ(k * window + j)
+                  im -= s * sinQ(k * window + j)
+                  j += 1
+                }
+                val rd = re / 1e6; val id2 = im / 1e6
+                // NO decimal rounding: at these magnitudes 4dp is below
+                // the double's ulp and engines' decimal renderings
+                // disagree — the RAW double is bit-identical by
+                // construction (exact ints through the same IEEE chain)
+                SpectralBin(row.id, k, re, im, rd * rd + id2 * id2)
+              }
+            }
+          } finally in.close()
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            Seq(SpectralBin(row.id, -1, -1L, -1L, -1.0))
+        }
+      }
+    }.toDF()
+  }
+
+  /** DuckDB replay of [[wavSpectralProfile]] over the [[encodeWavDemo]]
+    * fixture: samples recomputed from the generator formula, basis =
+    * the SAME [[dftTablesMicro]] grid values as list literals, exact
+    * BIGINT sums, the same two-IEEE-op energy. */
+  def wavSpectralOracleSql(table: String, idCol: String,
+                           bins: Int, window: Int): String = {
+    val (cosQ, sinQ) = dftTablesMicro(bins, window)
+    def lst(a: Array[Long]) = a.mkString("[", ", ", "]::BIGINT[]")
+    s"""WITH p AS (SELECT $idCol,
+                (($idCol % 50) + 1) * (($idCol % 2) + 1) AS n FROM $table),
+         s AS (SELECT $idCol, least(n, $window) AS m,
+                 list_transform(range(0, least(n, $window)), j ->
+                   CASE WHEN (($idCol*31 + (2*j)*7) % 256) + 256 * (($idCol*31 + (2*j+1)*7) % 256) >= 32768
+                        THEN (($idCol*31 + (2*j)*7) % 256) + 256 * (($idCol*31 + (2*j+1)*7) % 256) - 65536
+                        ELSE (($idCol*31 + (2*j)*7) % 256) + 256 * (($idCol*31 + (2*j+1)*7) % 256) END) AS sm
+               FROM p),
+         b AS (SELECT CAST(k.k AS INT) AS bin FROM range(0, $bins) k(k)),
+         c AS (SELECT ${lst(cosQ)} AS cq, ${lst(sinQ)} AS sq),
+         e AS (SELECT s.$idCol, b.bin,
+                 CAST(list_sum(list_transform(range(0, s.m), j ->
+                   sm[j+1] * cq[b.bin * $window + j + 1])) AS BIGINT) AS re_q,
+                 -CAST(list_sum(list_transform(range(0, s.m), j ->
+                   sm[j+1] * sq[b.bin * $window + j + 1])) AS BIGINT) AS im_q
+               FROM s CROSS JOIN b CROSS JOIN c)
+         SELECT $idCol, bin, re_q, im_q,
+           (re_q / 1e6) * (re_q / 1e6) + (im_q / 1e6) * (im_q / 1e6) AS energy
+         FROM e"""
+  }
+
   case class ImgStats(id: Long, n_pixels: Long, sum_r: Long, sum_g: Long,
                       sum_b: Long, max_luma: Long)
 

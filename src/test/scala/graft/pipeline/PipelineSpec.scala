@@ -1296,6 +1296,42 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(g == ((7L, -1L, -1L, -1L, -1L)))
   }
 
+  test("spectral profile: DC reality, pure-tone concentration, silence, sentinel") {
+    // hand-built 16-bit little-endian WAVs: a pure bin-3 cosine, silence
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val data = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, j) =>
+        data(2 * j) = (s & 0xff).toByte; data(2 * j + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val tone = (0 until 64).map(n => math.round(10000.0 * math.cos(2 * math.Pi * 3 * n / 64)).toInt)
+    val df = Seq((1L, wav(tone)), (2L, wav(Seq.fill(64)(0))),
+      (3L, "not audio".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val out = Multimodal.wavSpectralProfile(df, "payload", "doc_id", bins = 8, window = 64)
+      .as[(Long, Int, Long, Long, Double)].collect()
+    val byKey = out.map(t => (t._1, t._2) -> t).toMap
+    // DC bin of any real signal: im_q exactly 0 (sin(0) = 0 on the grid)
+    assert(byKey((1L, 0))._4 === 0L)
+    // the pure bin-3 tone concentrates: its band energy dominates every
+    // other bin by orders of magnitude
+    val energies = (0 until 8).map(k => byKey((1L, k))._5)
+    assert(energies(3) > 100.0 * (energies.patch(3, Nil, 1).max max 1e-9),
+      s"tone not concentrated: $energies")
+    // silence: every sum exactly zero
+    (0 until 8).foreach { k =>
+      assert(byKey((2L, k)) === ((2L, k, 0L, 0L, 0.0)))
+    }
+    // garbage payloads sentinel, never throw
+    assert(byKey((3L, -1)) === ((3L, -1, -1L, -1L, -1.0)))
+  }
+
   test("raw-frame decode: sampling, stride strip, bottom-up orientation") {
     val ids = Seq(5L, 14L, 91L).toDF("doc_id")
     val avis = Multimodal.encodeAviFramesDemo(ids, "doc_id")
