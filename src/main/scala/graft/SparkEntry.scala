@@ -3351,7 +3351,7 @@ object SparkEntry {
       """WITH a AS (SELECT quantile_cont(n_chars, [0.25, 0.5, 0.9, 0.99]) AS qc,
                 quantile_cont(doc_id, [0.25, 0.5, 0.9, 0.99]) AS qd
               FROM documents),
-         b AS (SELECT i, ([0.25, 0.5, 0.9, 0.99])[i] AS p FROM range(1, 5) t(i))
+         b AS (SELECT i, CAST(([0.25, 0.5, 0.9, 0.99])[i] AS DOUBLE) AS p FROM range(1, 5) t(i))
          SELECT 'n_chars' AS col_name, round(b.p, 6) AS p, round(a.qc[i], 6) AS q FROM a, b
          UNION ALL
          SELECT 'doc_id', round(b.p, 6), round(a.qd[i], 6) FROM a, b""",

@@ -358,7 +358,7 @@ object Curation {
        |        CASE WHEN n = 0 THEN 0 ELSE b // n END AS epochs,
        |        CASE WHEN n = 0 THEN 0 ELSE ((b % n) * 1000000) // n END AS thr
        |      FROM al)
-       |SELECT d.$keyCol, d.$strataCol, r.b AS budget_alloc,
+       |SELECT d.$keyCol, d.$strataCol, CAST(r.b AS BIGINT) AS budget_alloc,
        |  CAST(r.epochs + CASE WHEN
        |    ('0x' || substring(md5(CAST(d.$keyCol AS VARCHAR)), 1, 15))::BIGINT % 1000000 < r.thr
        |    THEN 1 ELSE 0 END AS BIGINT) AS n_copies

@@ -173,7 +173,7 @@ object Embeddings {
          qn AS (SELECT $idCol,
                   list_transform(range(1, ${dim + 1}), i -> CAST(floor($vecCol[i]::DOUBLE * 4096) AS BIGINT)) AS qv
                 FROM $table)
-         SELECT $idCol, p + 1 AS $outDimName,
+         SELECT $idCol, CAST(p + 1 AS BIGINT) AS $outDimName,
                 CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> qv[i] * pc[i])) AS BIGINT) AS component
          FROM qn CROSS JOIN pv"""
   }

@@ -437,9 +437,10 @@ object Profile {
     * theta-sketch family's exact-arithmetic core). 52 bits so every key
     * is exact in the heap's double score. Distinct-first (a hash
     * aggregate) so duplicated values cannot occupy two heap slots.
-    * Output: group cols + `sketch` (array<bigint>, ascending) +
-    * `n_distinct_exact` when the group had < k distinct (the sketch IS
-    * the value set then), else k. */
+    * Output: group cols + `sketch` (array<bigint>, ascending). When a
+    * group had < k distinct values the sketch IS the value set —
+    * `size(sketch) < k` detects that case and `size(sketch)` is then the
+    * exact distinct count. */
   def kmvSketch(df: DataFrame, valueCol: String, groupCols: Seq[String],
                 k: Int): DataFrame = {
     require(k > 0, s"k must be positive (got $k)")

@@ -1235,7 +1235,10 @@ object TextAnalysis {
     val nIndent = size(filter(lines, l => l.rlike("^(  |\t)"))).cast("long")
     val nSym = (length(txt) -
       length(regexp_replace(txt, "[{}()\\[\\];=]", ""))).cast("long")
-    val nNonspace = length(regexp_replace(txt, "\\s", "")).cast("long")
+    // Explicit whitespace class (NOT \s): Java's \s includes \x0B but
+    // RE2's does not — spell the set identically here and in the oracle
+    // so a vertical tab cannot drift n_nonspace (scriptRanges discipline).
+    val nNonspace = length(regexp_replace(txt, "[ \\t\\n\\x0B\\f\\r]", "")).cast("long")
     val symRatio = round(nSym.cast("double") /
       greatest(nNonspace, lit(1L)).cast("double"), 6)
     val indentRatio = round(nIndent.cast("double") / nLines.cast("double"), 6)
@@ -1256,7 +1259,7 @@ object TextAnalysis {
              CAST(len(ls) AS BIGINT) AS n_lines,
              CAST(len(list_filter(ls, l -> regexp_matches(l, '^(  |\t)'))) AS BIGINT) AS n_indent_lines,
              CAST(length(tx) - length(regexp_replace(tx, '[{}()\\[\\];=]', '', 'g')) AS BIGINT) AS n_code_symbols,
-             CAST(length(regexp_replace(tx, '\\s', '', 'g')) AS BIGINT) AS n_nonspace
+             CAST(length(regexp_replace(tx, '[ \\t\\n\\x0B\\f\\r]', '', 'g')) AS BIGINT) AS n_nonspace
            FROM c)
        SELECT $idCol, n_lines, n_indent_lines, n_code_symbols, n_nonspace,
          round(CAST(n_code_symbols AS DOUBLE) / greatest(n_nonspace, 1), 6) AS symbol_ratio,
