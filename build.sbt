@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The bench suite compiles thousands of generated whole-stage-codegen
+  // methods; the JVM default 240 MB code cache fills mid-suite and
+  // flushing then evicts warmup-compiled kernels, which re-run
+  // interpreted (the r11 "76 s fuzzy_exact_1g4 beside a healthy probe"
+  // anomaly — see Bench.codeCacheMb and SCALE.md "first-query latency").
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_GRAFT_CODECACHE", "1g")}",
 )

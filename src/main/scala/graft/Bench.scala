@@ -46,7 +46,8 @@ object Bench {
     * cannot back those claims. Anything else that runs once is annotated
     * in the JSON output (`single_shot`). */
   val AlwaysFullIterations: Set[String] =
-    Set("fuzzy_annf_3g_exact", "fuzzy_auto_225m", "fuzzy_annf_3g_auto")
+    Set("fuzzy_annf_3g_exact", "fuzzy_auto_225m", "fuzzy_annf_3g_auto",
+      "fuzzy_exact_1g4")
 
   /** Single levenshtein mapping like the baseline workload. Threshold 90 on
     * the 18-char synthetic names means "differ in at most one character" —
@@ -382,7 +383,7 @@ object Bench {
         else first +: (2 to Iterations).map(_ => once())
       val best = samples.min
       System.err.println(
-        f"[bench] $name%-24s min $best%8.2f s  rows=$rows  samples=${samples.map(v => f"$v%.2f").mkString("[", ",", "]")}  probes=${probes.map(v => f"$v%.3f").mkString("[", ",", "]")}")
+        f"[bench] $name%-24s min $best%8.2f s  rows=$rows  samples=${samples.map(v => f"$v%.2f").mkString("[", ",", "]")}  probes=${probes.map(v => f"$v%.3f").mkString("[", ",", "]")}  cc=${codeCacheMb}MB")
       (name, best, samples, probes.toSeq)
     }
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
@@ -400,6 +401,25 @@ object Bench {
     val cal = calibration(spark)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$ss,"calibrations":$cals,"probe_healthy_sec":$ProbeHealthySec,"iterations":$Iterations,"single_shot":$singleShot,"calibration":$cal,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Current JIT code-cache occupancy in MB, summed over the JDK 17
+    * segmented CodeHeap pools. Logged on every query row: the r9-r11
+    * cold-first-sample anomaly (fuzzy_exact_1g4 76 s in r11 beside a
+    * HEALTHY interleaved probe) is code-cache flushing — the suite's
+    * ~181 queries compile thousands of generated whole-stage-codegen
+    * methods, the default 240 MB reservation fills mid-suite, and
+    * UseCodeCacheFlushing evicts the coldest nmethods: exactly the
+    * kernels a query compiled during its warmup pass ~20 min earlier.
+    * The probe loop runs every few seconds so it stays hot and reads
+    * healthy while the evicted query re-runs interpreted. Fix:
+    * -XX:ReservedCodeCacheSize=1g in build.sbt (env-overridable via
+    * SPARK_GRAFT_CODECACHE for A/B). */
+  def codeCacheMb: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith("CodeHeap"))
+      .map(_.getUsage.getUsed).sum >> 20
   }
 
   /** Reference cost of one [[probeOnce]] on this host when healthy

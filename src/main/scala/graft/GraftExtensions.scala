@@ -32,6 +32,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL clients write `levenshtein_dist(a, b) <= t`; the optimizer
     // rewrites it to the banded early-exit kernel the matcher uses
     ext.injectOptimizerRule(_ => graft.plans.BoundedDistanceRewrite)
+    // the full fuzzy-join planner as a table-valued function:
+    // SELECT * FROM fuzzy_match('l','r','lc','rc',70.0,'levenshtein')
+    ext.injectTableFunction((
+      FunctionIdentifier(graft.plans.FuzzyMatchTable.Name),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        graft.plans.FuzzyMatchTable.Name),
+      graft.plans.FuzzyMatchTable.build))
   }
 }
 

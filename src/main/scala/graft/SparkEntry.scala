@@ -73,6 +73,20 @@ object SparkEntry {
       res.select(col("c_custkey"), col("s_suppkey"),
         sround(col("c_name_vs_s_name_levenshtein"), 6).as("score"))
     }),
+    // same join as fuzzy_join_levenshtein but through the pure-SQL surface:
+    // the fuzzy_match TVF (plans/FuzzyMatchTable, injected by
+    // GraftExtensions) — shares that query's oracle verbatim, so a
+    // mismatch between the Scala and SQL front doors would show as a
+    // hash diff between the two rows
+    "fuzzy_join_sql" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("fuzzy_sql_customer")
+      t(s, dir, "supplier").createOrReplaceTempView("fuzzy_sql_supplier")
+      s.sql(
+        """SELECT c_custkey, s_suppkey,
+                  round(c_name_vs_s_name_levenshtein, 6) AS score
+           FROM fuzzy_match('fuzzy_sql_customer', 'fuzzy_sql_supplier',
+                            'c_name', 's_name', 70.0, 'levenshtein')""")
+    }),
     "fuzzy_join_damerau" -> ((s, dir) => {
       val res = FuzzyMatcher.matchDfs(
         t(s, dir, "customer"), t(s, dir, "supplier"),
@@ -1530,8 +1544,15 @@ object SparkEntry {
     // ---- code-likeness (prose/code routing): bracket/semicolon density
     // + indented-line structure, exact integer counts, transparent fixed
     // weights, one codegen projection
+    // corpus + one synthetic vertical-tab row: proves the engine/oracle
+    // explicit-whitespace-class agreement ([ \t\n\x0B\f\r], NOT \s — RE2's
+    // \s excludes \x0B) AT the oracle, not just in a spec
     "text_code_score" -> ((s, dir) =>
-      TextAnalysis.codeScore(t(s, dir, "documents"), "text", "doc_id")),
+      TextAnalysis.codeScore(
+        t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .unionAll(s.range(1).select(lit(-11L).as("doc_id"),
+            lit("x=1;\u000By=2;").as("text"))),
+        "text", "doc_id")),
     // ---- Unicode-script profile: per-doc character counts over
     // explicit code-point ranges (NOT \p{script=...}, whose member sets
     // drift with each engine's Unicode tables), dominant letter script
@@ -1915,12 +1936,18 @@ object SparkEntry {
                 round(qc, 6) AS qcosine
          FROM best WHERE rn = 1"""
 
+  // shared verbatim by fuzzy_join_levenshtein (Scala front door) and
+  // fuzzy_join_sql (fuzzy_match TVF front door): identical semantics,
+  // one oracle
+  private val levenshteinJoinOracle =
+    """SELECT c.c_custkey AS c_custkey, s.s_suppkey AS s_suppkey,
+       round(1.0 - levenshtein(lower(c.c_name), lower(s.s_name)) / greatest(length(c.c_name), length(s.s_name)), 6) AS score
+       FROM customer c CROSS JOIN supplier s
+       WHERE levenshtein(lower(c.c_name), lower(s.s_name)) / greatest(length(c.c_name), length(s.s_name)) <= 0.3"""
+
   def oracleSql: Map[String, String] = Map(
-    "fuzzy_join_levenshtein" ->
-      """SELECT c.c_custkey AS c_custkey, s.s_suppkey AS s_suppkey,
-         round(1.0 - levenshtein(lower(c.c_name), lower(s.s_name)) / greatest(length(c.c_name), length(s.s_name)), 6) AS score
-         FROM customer c CROSS JOIN supplier s
-         WHERE levenshtein(lower(c.c_name), lower(s.s_name)) / greatest(length(c.c_name), length(s.s_name)) <= 0.3""",
+    "fuzzy_join_levenshtein" -> levenshteinJoinOracle,
+    "fuzzy_join_sql" -> levenshteinJoinOracle,
     // same substring + fixed-position-deletion corpus as the bench's
     // 1.4e9-pair forced-exact row, at the verify scale factor
     "fuzzy_join_bench1g" ->
@@ -4144,7 +4171,10 @@ object SparkEntry {
     "text_entropy" -> TextAnalysis.entropyProfileOracleSql(
       "documents", "text", "doc_id"),
     "text_code_score" -> TextAnalysis.codeScoreOracleSql(
-      "documents", "text", "doc_id"),
+      "(SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT CAST(-11 AS BIGINT) AS doc_id, " +
+        "'x=1;' || chr(11) || 'y=2;' AS text) vtu",
+      "text", "doc_id"),
     // generated from the same scriptRanges table as the implementation
     "text_script_profile" -> TextAnalysis.scriptProfileOracleSql(
       "documents", "text", "doc_id"),

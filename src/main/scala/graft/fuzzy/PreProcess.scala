@@ -90,6 +90,13 @@ object PreProcess {
     if (runStats) {
       leftLen = l.count()
       rightLen = r.count()
+      // Empty side: stats/ordering/dedup are skipped, but — deliberate
+      // deviation from pre_process.py:309-310, which returns before the
+      // renames — the rename + naming steps below STILL run, so the
+      // output schema is identical for empty and non-empty inputs.
+      // SURVEY §8 deviation 5 has the full rationale (polars auto-suffixes
+      // colliding names at join time; Spark would emit duplicate columns
+      // that fail on parquet write).
       if (leftLen > 0 && rightLen > 0) {
         ms = fillPercUnique(l, r, ms, leftLen, rightLen)
         ms = orderMaps(ms)

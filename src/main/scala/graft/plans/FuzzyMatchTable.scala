@@ -1,0 +1,93 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.fuzzy.{FuzzyAlgorithm, FuzzyMapping, FuzzyMatcher}
+
+/** Pure-SQL front door for the full fuzzy-join planner — the reference
+  * library's headline operation (`matcher.py:661-722` is `fuzzy_match_dfs`,
+  * the function a pl-fuzzy-frame-match user actually calls). The 12 scalar
+  * kernels were already SQL-registered via [[graft.GraftExtensions]]; this
+  * table-valued function exposes the PLANNER (preprocessing, uniqueness
+  * ordering, strategy pick, multi-pass fold, final assembly) so a Thrift /
+  * Spark Connect / notebook-SQL client can run the end-to-end join with no
+  * Scala:
+  *
+  * {{{
+  *   SELECT * FROM fuzzy_match(
+  *     'left_view', 'right_view',
+  *     'c_name', 's_name', 70.0, 'levenshtein'
+  *     [, 'city', 'city', 80.0, 'jaro_winkler', ...])   -- more mappings
+  * }}}
+  *
+  * Arguments must be foldable literals: two table/view names resolvable in
+  * the session catalog, then one or more (left_col, right_col, threshold,
+  * algorithm) quadruples — the same shape as the reference's
+  * `list[FuzzyMapping]`. The builder resolves the names with
+  * `spark.table(...)` and returns the matcher's ANALYZED logical plan, so
+  * the enclosing query composes normally (projections/filters on top get
+  * optimized into the plan by Catalyst like any subquery).
+  *
+  * Eagerness note: `matchDfs` runs its preprocessing (uniqueness stats,
+  * strategy pick — a few small jobs) when called, which here means at
+  * ANALYSIS time of the enclosing SQL statement. That is the same
+  * eagerness a Scala caller observes; it is the operator's documented
+  * contract, not a TVF quirk.
+  */
+object FuzzyMatchTable {
+
+  val Name = "fuzzy_match"
+
+  private val usage =
+    "fuzzy_match('left_table', 'right_table', then 1+ mapping quadruples: " +
+      "'left_col', 'right_col', threshold(0-100), " +
+      s"'algo' in {${FuzzyAlgorithm.all.map(_.name).mkString(", ")}})"
+
+  private def lit(e: Expression, what: String): Any = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"fuzzy_match: $what must be a literal, got '${e.sql}'. Usage: $usage")
+    e.eval()
+  }
+
+  private def str(e: Expression, what: String): String = lit(e, what) match {
+    case s: UTF8String => s.toString
+    case s: String => s
+    case other =>
+      throw new IllegalArgumentException(
+        s"fuzzy_match: $what must be a string literal, got '$other'. Usage: $usage")
+  }
+
+  private def dbl(e: Expression, what: String): Double = lit(e, what) match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case i: Int => i.toDouble
+    case l: Long => l.toDouble
+    case d: java.math.BigDecimal => d.doubleValue()
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case other =>
+      throw new IllegalArgumentException(
+        s"fuzzy_match: $what must be a numeric literal, got '$other'. Usage: $usage")
+  }
+
+  /** TVF builder registered by [[graft.GraftExtensions]]. */
+  def build(args: Seq[Expression]): LogicalPlan = {
+    if (args.length < 6 || (args.length - 2) % 4 != 0)
+      throw new IllegalArgumentException(
+        s"fuzzy_match: got ${args.length} arguments. Usage: $usage")
+    val spark = SparkSession.active
+    val left = spark.table(str(args(0), "left table name"))
+    val right = spark.table(str(args(1), "right table name"))
+    val maps = args.drop(2).grouped(4).zipWithIndex.map { case (g, i) =>
+      FuzzyMapping(
+        leftCol = str(g(0), s"mapping $i left column"),
+        rightCol = str(g(1), s"mapping $i right column"),
+        thresholdScore = dbl(g(2), s"mapping $i threshold"),
+        fuzzyType = FuzzyAlgorithm.fromName(str(g(3), s"mapping $i algorithm")))
+    }.toSeq
+    FuzzyMatcher.matchDfs(left, right, maps).queryExecution.analyzed
+  }
+}

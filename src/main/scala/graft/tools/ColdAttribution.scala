@@ -35,7 +35,10 @@ object ColdAttribution {
 
   def main(args: Array[String]): Unit = {
     val query = args(0)
-    val iters = if (args.length > 1) args(1).toInt else 3
+    // `[iters]` and `[warm]` are both optional in either order: only a
+    // purely-numeric arg is the iteration count.
+    val iters = args.lift(1).filter(a => a.nonEmpty && a.forall(_.isDigit))
+      .map(_.toInt).getOrElse(3)
     val warm = args.contains("warm")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -60,7 +63,12 @@ object ColdAttribution {
       }
     })
 
-    val fn = graft.Bench.benchQueries(sfDir)(query)
+    val fn = graft.Bench.benchQueries(sfDir).getOrElse(query, {
+      val names = graft.Bench.benchQueries(sfDir).keys.toSeq.sorted.mkString(", ")
+      println(s"[cold] unknown query '$query'. Available: $names")
+      spark.stop()
+      sys.exit(2)
+    })
     if (warm) {
       println(s"[cold] warmup pass at sf0.001 for $query")
       try graft.Bench.benchQueries("/root/testdata/sf0.001")(query)(spark).count()
@@ -79,10 +87,18 @@ object ColdAttribution {
       val dt = (System.nanoTime() - t0) / 1e9
       val (jit1, gc1) = (jitMs, gcMs)
       println(f"[cold] sample $i: $dt%8.2f s  rows=$rows  jit+${jit1 - jit0}%6d ms  gc+${gc1 - gc0}%5d ms")
+      // Listener events are delivered async; give the bus a moment so the
+      // slowest job's onJobEnd (the one this tool exists to attribute)
+      // has landed before the snapshot.
+      Thread.sleep(300)
       val mine = jobs.synchronized(jobs.drop(mark).toVector)
       mine.sortBy(j => -(j.end - j.start)).foreach { j =>
-        val d = if (j.end < 0) -1.0 else (j.end - j.start) / 1e3
-        if (d > 0.2) println(f"[cold]   job ${j.id}%4d ${d}%8.2f s  ${j.site}")
+        if (j.end < 0)
+          println(f"[cold]   job ${j.id}%4d   no end event  ${j.site}")
+        else {
+          val d = (j.end - j.start) / 1e3
+          if (d > 0.2) println(f"[cold]   job ${j.id}%4d ${d}%8.2f s  ${j.site}")
+        }
       }
     }
     spark.stop()

@@ -41,6 +41,51 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(rows == Seq((1L, 11L, 0.9), (1L, 12L, 0.9), (2L, 20L, 0.3)), s"got $rows")
   }
 
+  test("fuzzy_match TVF runs the full planner from pure SQL") {
+    val fresh = spark.newSession()
+    import fresh.implicits._
+    Seq(("apple inc", 1L), ("micro soft", 2L), ("zzz corp", 3L))
+      .toDF("lname", "lid").createOrReplaceTempView("fm_left")
+    Seq(("apple incx", 10L), ("microsoft", 20L))
+      .toDF("rname", "rid").createOrReplaceTempView("fm_right")
+    val viaSql = fresh.sql(
+      """SELECT lid, rid, round(lname_vs_rname_levenshtein, 6) AS score
+         FROM fuzzy_match('fm_left', 'fm_right', 'lname', 'rname', 70.0, 'levenshtein')
+         ORDER BY lid, rid""").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val viaScala = graft.fuzzy.FuzzyMatcher.matchDfs(
+        fresh.table("fm_left"), fresh.table("fm_right"),
+        Seq(graft.fuzzy.FuzzyMapping("lname", "rname", 70.0,
+          graft.fuzzy.FuzzyAlgorithm.Levenshtein)))
+      .selectExpr("lid", "rid", "round(lname_vs_rname_levenshtein, 6) AS score")
+      .orderBy("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaSql.nonEmpty, "SQL front door returned no matches")
+    assert(viaSql == viaScala, s"SQL=$viaSql Scala=$viaScala")
+    // composes like any subquery: projection + filter on top
+    val filtered = fresh.sql(
+      """SELECT count(*) FROM fuzzy_match('fm_left', 'fm_right',
+           'lname', 'rname', 70.0, 'levenshtein')
+         WHERE lname_vs_rname_levenshtein >= 0.9""").head().getLong(0)
+    assert(filtered <= viaSql.size)
+  }
+
+  test("fuzzy_match TVF rejects malformed argument lists") {
+    val fresh = spark.newSession()
+    fresh.range(1).selectExpr("'a' AS c").createOrReplaceTempView("fm_bad")
+    val e1 = intercept[Exception] {
+      fresh.sql("SELECT * FROM fuzzy_match('fm_bad', 'fm_bad', 'c')").collect()
+    }
+    assert(e1.getMessage.contains("fuzzy_match"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      fresh.sql(
+        "SELECT * FROM fuzzy_match('fm_bad', 'fm_bad', 'c', 'c', 80.0, 'nope')")
+        .collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("unknown fuzzy algorithm"),
+      e2.getMessage)
+  }
+
   test("every builder-listed function resolves in a fresh session") {
     val names = GraftExtensions.builders.map(_._1)
     assert(names.size == names.toSet.size, "duplicate function names in the surface")

@@ -122,6 +122,24 @@ class FuzzyMatcherSpec extends AnyFunSuite with SparkSpec {
     assert(result.columns.length == 10)
   }
 
+  test("empty input with colliding columns keeps renames + naming (SURVEY §8 deviation 5)") {
+    // reference (pre_process.py:309-310) would return unrenamed right
+    // columns + constructor-default score names here; we pin the
+    // Spark-side choice: schema identical to the non-empty case
+    val left = Seq((1, "acme corp")).toDF("id", "name")
+    val right = Seq((10, "acme corp.")).toDF("id", "name")
+    val maps = Seq(FuzzyMapping("name", "name", thresholdScore = 80.0))
+    val full = FuzzyMatcher.matchDfs(left, right, maps)
+    val empty = FuzzyMatcher.matchDfs(left.limit(0), right, maps)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == full.columns.toSeq,
+      s"empty=${empty.columns.toSeq} full=${full.columns.toSeq}")
+    assert(empty.columns.count(_ == "id") == 1 && empty.columns.contains("id_right"),
+      "right-side rename must apply on empty inputs (no duplicate names)")
+    assert(empty.columns.contains("name_vs_name_right_levenshtein"),
+      "preprocessing score name must apply on empty inputs")
+  }
+
   test("null keys are dropped from matching") {
     val left = Seq((1, Option("Apple Inc."), "x", "Tim Cook"), (2, Option.empty[String], "y", "Nobody"))
       .toDF("id", "company_name", "address", "contact")

@@ -567,7 +567,11 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
   test("codeScore: code-shaped text scores high, prose low, counts exact") {
     val code = "def f(x) {\n  val y = g(x);\n  return y[0];\n}"
     val prose = "The committee reviewed the plan and approved it after discussion"
-    val docs = Seq((1L, code), (2L, prose), (3L, null.asInstanceOf[String]))
+    // \x0B doc: the explicit whitespace class treats vertical tab as
+    // whitespace (Java-\s semantics, spelled out so RE2/DuckDB agrees)
+    val vtab = "x=1;\u000By=2;"
+    val docs = Seq((1L, code), (2L, prose), (3L, null.asInstanceOf[String]),
+        (4L, vtab))
       .toDF("doc_id", "text")
     val got = TextAnalysis.codeScore(docs, "text", "doc_id")
       .collect().map(r => r.getAs[Long]("doc_id") ->
@@ -579,6 +583,13 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(got(1L)._4 > 0.8, s"code scored ${got(1L)._4}")
     assert(got(2L)._4 == 0.0, s"prose scored ${got(2L)._4}")
     assert(got(3L) == ((1L, 0L, 0L, 0.0)), s"${got(3L)}")
+    // \x0B is whitespace: 1 line (no \n), 4 symbols (= ; = ;), and the
+    // vertical tab must NOT count toward n_nonspace (8, not 9); sym_ratio
+    // 4/8 caps the symbol term -> score 0.5
+    assert(got(4L) == ((1L, 0L, 4L, 0.5)), s"${got(4L)}")
+    val nonspace4 = TextAnalysis.codeScore(docs, "text", "doc_id")
+      .where($"doc_id" === 4L).head().getAs[Long]("n_nonspace")
+    assert(nonspace4 == 8L, s"\\x0B counted as non-space: $nonspace4")
   }
 
   test("scriptProfile: counts per code-point range, dominant letter " +
