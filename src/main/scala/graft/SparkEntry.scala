@@ -1029,6 +1029,36 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("frame_index"), col("width"),
           col("height"), col("n_pixels"))),
 
+    // ---- composed multimodal curation (VERDICT r11 stretch item): one
+    // seam-tested decode → quality-gate → perceptual-near-dup → keep
+    // pipeline, oracled as a COMPOSITION (each stage had per-stage oracles;
+    // this pins the seams). The image fixture is keyed by doc_id % 97 —
+    // the same image recrawled under many doc_ids — so all pixel work
+    // (decode, gate stats, dHash) runs on the 97-row DISTINCT side and
+    // broadcasts back; the full-corpus side is only a key join + a
+    // hash-bucket group-by. That shape is the 100 TB contract: decode
+    // cost ∝ distinct assets, never ∝ corpus rows. Images smaller than
+    // the 9×8 dHash grid are dropped as un-curatable (sentinel n_pixels
+    // = -1); gate max_luma >= 34 splits the fixture 28/39 (measured).
+    "multimodal_curate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 97).as("img_key"))
+      val images = Multimodal.encodePngDemo(
+        docs.select(col("img_key")).distinct(), "img_key", maxW = 24, maxH = 20)
+      val quality = Multimodal.decodeImagePixels(images, "payload", "img_key")
+        .where(col("max_luma") >= 34)
+        .select(col("id").as("img_key"))
+      val hashes = Multimodal.imageDHash(images, "payload", "img_key")
+        .where(col("n_pixels") =!= -1L)
+        .select(col("id").as("img_key"),
+          expr("lpad(hex(dhash), 16, '0')").as("dhash_hex"))
+      docs.join(quality, "img_key").join(hashes, "img_key")
+        .groupBy(col("dhash_hex"))
+        .agg(min(col("doc_id")).as("keep_doc_id"),
+          count(lit(1)).as("n_in_bucket"))
+        .select(col("keep_doc_id"), col("dhash_hex"), col("n_in_bucket"))
+    }),
+
     // ---- as-of join over events: each click attaches the most recent
     // view by the same user at or before the click. Views dedup to one
     // row per (user, ts) first (max event_id) — the determinism contract.
@@ -3157,6 +3187,46 @@ object SparkEntry {
          UNION ALL
          SELECT doc_id, '0000000000000000' AS dhash_hex, CAST(-1 AS BIGINT) AS n_pixels
          FROM p WHERE w < 9 OR h < 8""",
+    // full composition replay: distinct img_key fixture (doc_id % 97),
+    // max-luma gate over the whole raster, the dhash grid replay (same
+    // CTEs as multimodal_dhash, keyed by img_key), then keep-min per
+    // hash bucket over the joined corpus
+    "multimodal_curate" ->
+      """WITH d AS (SELECT doc_id, doc_id % 97 AS k FROM documents),
+         ks AS (SELECT DISTINCT k FROM d),
+         p AS (SELECT k, (k % 24) + 1 AS w, (k % 20) + 1 AS h FROM ks),
+         fx AS (SELECT k, h, unnest(range(0, w)) AS x FROM p),
+         fy AS (SELECT k, x, unnest(range(0, h)) AS y FROM fx),
+         vv AS (SELECT k, (k*31 + x*7 + y*131) % 16777216 AS v FROM fy),
+         gate AS (SELECT k FROM vv GROUP BY k
+                  HAVING max((299*(v//65536) + 587*((v//256)%256) + 114*(v%256))//1000) >= 34),
+         v2 AS (SELECT * FROM p WHERE w >= 9 AND h >= 8),
+         px AS (SELECT k, w, h, x.x, y.y FROM v2,
+                LATERAL (SELECT unnest(range(0, w)) AS x) x,
+                LATERAL (SELECT unnest(range(0, h)) AS y) y),
+         lum AS (SELECT k,
+                   least((x * 9) // w, 8) AS c, least((y * 8) // h, 7) AS r,
+                   (299 * (((k*31 + x*7 + y*131) % 16777216) // 65536)
+                    + 587 * ((((k*31 + x*7 + y*131) % 16777216) // 256) % 256)
+                    + 114 * (((k*31 + x*7 + y*131) % 16777216) % 256)) // 1000 AS l
+                 FROM px),
+         cells AS (SELECT k, r, c, sum(l) AS s, count(*) AS n
+                   FROM lum GROUP BY k, r, c),
+         bits AS (SELECT a.k, (a.r * 8 + a.c) AS bk,
+                    CASE WHEN a.s * b.n < b.s * a.n THEN 1 ELSE 0 END AS bit
+                  FROM cells a JOIN cells b
+                    ON a.k = b.k AND a.r = b.r AND b.c = a.c + 1),
+         hsh AS (SELECT k,
+                   sum(CASE WHEN bit = 1 THEN (1::UBIGINT << bk::INT)
+                       ELSE 0::UBIGINT END)::UBIGINT AS dh
+                 FROM bits GROUP BY k),
+         ok AS (SELECT v2.k, lpad(hex(coalesce(dh, 0::UBIGINT)), 16, '0') AS dhash_hex
+                FROM v2 LEFT JOIN hsh ON v2.k = hsh.k),
+         survivors AS (SELECT d.doc_id, ok.dhash_hex
+                       FROM d JOIN gate ON d.k = gate.k JOIN ok ON d.k = ok.k)
+         SELECT CAST(min(doc_id) AS BIGINT) AS keep_doc_id, dhash_hex,
+           CAST(count(*) AS BIGINT) AS n_in_bucket
+         FROM survivors GROUP BY dhash_hex""",
     // FULL resize replay: the ÷2 area-average from the PNG fixture
     // formula — 4-pixel block sums, integer-division channel means,
     // resized-raster stats; empty results (source < factor) keep their
