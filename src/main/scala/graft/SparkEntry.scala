@@ -135,6 +135,21 @@ object SparkEntry {
         sround(col("c_name_vs_c_name_right_levenshtein"), 6).as("score_name"),
         sround(col("c_mktsegment_vs_c_mktsegment_right_jaro_winkler"), 6).as("score_seg"))
     }),
+    // multi-mapping join through the SQL TVF (mapping ORDER differs from
+    // the Scala twin on purpose: preprocessing's uniqueness reorder must
+    // make the fold order-insensitive); shares fuzzy_join_multi's oracle
+    // verbatim, plus exercises the trailing strategy-option pairs
+    "fuzzy_join_multi_sql" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("fuzzy_sql_customer2")
+      s.sql(
+        """SELECT c_custkey, c_custkey_right,
+                  round(c_name_vs_c_name_right_levenshtein, 6) AS score_name,
+                  round(c_mktsegment_vs_c_mktsegment_right_jaro_winkler, 6) AS score_seg
+           FROM fuzzy_match('fuzzy_sql_customer2', 'fuzzy_sql_customer2',
+                            'c_mktsegment', 'c_mktsegment', 80.0, 'jaro_winkler',
+                            'c_name', 'c_name', 80.0, 'levenshtein',
+                            'use_approx', false)""")
+    }),
     // ---- fuzzy self-dedup: matchDfs(df, df) minus identity pairs
     "fuzzy_self_dedup" -> ((s, dir) => {
       val res = FuzzyMatcher.matchDfs(
@@ -1966,6 +1981,17 @@ object SparkEntry {
                 round(qc, 6) AS qcosine
          FROM best WHERE rn = 1"""
 
+  // shared verbatim by fuzzy_join_multi (Scala front door) and
+  // fuzzy_join_multi_sql (fuzzy_match TVF, mappings listed in the
+  // OPPOSITE order): identical semantics, one oracle
+  private val multiJoinOracle =
+    """SELECT a.c_custkey AS c_custkey, b.c_custkey AS c_custkey_right,
+       round(1.0 - levenshtein(lower(a.c_name), lower(b.c_name)) / greatest(length(a.c_name), length(b.c_name)), 6) AS score_name,
+       round(jaro_winkler_similarity(lower(a.c_mktsegment), lower(b.c_mktsegment)), 6) AS score_seg
+       FROM customer a CROSS JOIN customer b
+       WHERE levenshtein(lower(a.c_name), lower(b.c_name)) / greatest(length(a.c_name), length(b.c_name)) <= 0.2
+         AND 1.0 - jaro_winkler_similarity(lower(a.c_mktsegment), lower(b.c_mktsegment)) <= 0.2"""
+
   // shared verbatim by fuzzy_join_levenshtein (Scala front door) and
   // fuzzy_join_sql (fuzzy_match TVF front door): identical semantics,
   // one oracle
@@ -2041,13 +2067,8 @@ object SparkEntry {
          SELECT c_custkey, s_suppkey,
            round(1.0 - (la + lb - 2.0*lcs) / (la + lb), 6) AS score
          FROM rec WHERE (la + lb - 2.0*lcs) / (la + lb) <= 0.3""",
-    "fuzzy_join_multi" ->
-      """SELECT a.c_custkey AS c_custkey, b.c_custkey AS c_custkey_right,
-         round(1.0 - levenshtein(lower(a.c_name), lower(b.c_name)) / greatest(length(a.c_name), length(b.c_name)), 6) AS score_name,
-         round(jaro_winkler_similarity(lower(a.c_mktsegment), lower(b.c_mktsegment)), 6) AS score_seg
-         FROM customer a CROSS JOIN customer b
-         WHERE levenshtein(lower(a.c_name), lower(b.c_name)) / greatest(length(a.c_name), length(b.c_name)) <= 0.2
-           AND 1.0 - jaro_winkler_similarity(lower(a.c_mktsegment), lower(b.c_mktsegment)) <= 0.2""",
+    "fuzzy_join_multi" -> multiJoinOracle,
+    "fuzzy_join_multi_sql" -> multiJoinOracle,
     "fuzzy_self_dedup" ->
       """SELECT a.c_custkey AS c_custkey, b.c_custkey AS c_custkey_right,
          round(1.0 - levenshtein(lower(a.c_name), lower(b.c_name)) / greatest(length(a.c_name), length(b.c_name)), 6) AS score

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.fuzzy.{FuzzyAlgorithm, FuzzyMapping, FuzzyMatcher}
+import graft.fuzzy.{FuzzyAlgorithm, FuzzyMapping, FuzzyMatcher, MatchOptions}
 
 /** Pure-SQL front door for the full fuzzy-join planner — the reference
   * library's headline operation (`matcher.py:661-722` is `fuzzy_match_dfs`,
@@ -26,10 +26,22 @@ import graft.fuzzy.{FuzzyAlgorithm, FuzzyMapping, FuzzyMatcher}
   * Arguments must be foldable literals: two table/view names resolvable in
   * the session catalog, then one or more (left_col, right_col, threshold,
   * algorithm) quadruples — the same shape as the reference's
-  * `list[FuzzyMapping]`. The builder resolves the names with
-  * `spark.table(...)` and returns the matcher's ANALYZED logical plan, so
-  * the enclosing query composes normally (projections/filters on top get
-  * optimized into the plan by Catalyst like any subquery).
+  * `list[FuzzyMapping]` — then optionally the reference front door's three
+  * strategy knobs as trailing ('name', value) pairs, mirroring
+  * `fuzzy_match_dfs`' keyword arguments (matcher.py:661-668):
+  *
+  *   'use_approx',  true|false   — force LSH / force exact (omit = auto),
+  *   'top_n',       int          — top-N per record on the approx path,
+  *   'cross_over',  long         — cartesian size where auto flips to LSH.
+  *
+  * Quadruple-vs-option disambiguation: parsing consumes quadruples until
+  * the next argument is one of the option keys (a LEFT COLUMN literally
+  * named `use_approx`/`top_n`/`cross_over` would need a different alias —
+  * documented, not silent: the arity check still rejects the mix).
+  * The builder resolves the names with `spark.table(...)` and returns the
+  * matcher's ANALYZED logical plan, so the enclosing query composes
+  * normally (projections/filters on top get optimized into the plan by
+  * Catalyst like any subquery).
   *
   * Eagerness note: `matchDfs` runs its preprocessing (uniqueness stats,
   * strategy pick — a few small jobs) when called, which here means at
@@ -44,7 +56,11 @@ object FuzzyMatchTable {
   private val usage =
     "fuzzy_match('left_table', 'right_table', then 1+ mapping quadruples: " +
       "'left_col', 'right_col', threshold(0-100), " +
-      s"'algo' in {${FuzzyAlgorithm.all.map(_.name).mkString(", ")}})"
+      s"'algo' in {${FuzzyAlgorithm.all.map(_.name).mkString(", ")}}, " +
+      "then optional ('use_approx', bool | 'top_n', int | 'cross_over', " +
+      "long) pairs)"
+
+  private val OptionKeys = Set("use_approx", "top_n", "cross_over")
 
   private def lit(e: Expression, what: String): Any = {
     if (!e.foldable)
@@ -75,19 +91,51 @@ object FuzzyMatchTable {
 
   /** TVF builder registered by [[graft.GraftExtensions]]. */
   def build(args: Seq[Expression]): LogicalPlan = {
-    if (args.length < 6 || (args.length - 2) % 4 != 0)
+    if (args.length < 6)
       throw new IllegalArgumentException(
         s"fuzzy_match: got ${args.length} arguments. Usage: $usage")
     val spark = SparkSession.active
     val left = spark.table(str(args(0), "left table name"))
     val right = spark.table(str(args(1), "right table name"))
-    val maps = args.drop(2).grouped(4).zipWithIndex.map { case (g, i) =>
+
+    // consume mapping quadruples until an option key (or the end)
+    val rest = args.drop(2)
+    val isKey: Expression => Boolean = e =>
+      e.foldable && (e.eval() match {
+        case s: UTF8String => OptionKeys.contains(s.toString)
+        case _ => false
+      })
+    val nQuadArgs = {
+      var i = 0
+      while (i + 4 <= rest.length && !isKey(rest(i))) i += 4
+      i
+    }
+    if (nQuadArgs == 0 || (rest.length - nQuadArgs) % 2 != 0)
+      throw new IllegalArgumentException(
+        s"fuzzy_match: got ${args.length} arguments (" +
+          s"${nQuadArgs / 4} mappings + ${rest.length - nQuadArgs} trailing). " +
+          s"Usage: $usage")
+    val maps = rest.take(nQuadArgs).grouped(4).zipWithIndex.map { case (g, i) =>
       FuzzyMapping(
         leftCol = str(g(0), s"mapping $i left column"),
         rightCol = str(g(1), s"mapping $i right column"),
         thresholdScore = dbl(g(2), s"mapping $i threshold"),
         fuzzyType = FuzzyAlgorithm.fromName(str(g(3), s"mapping $i algorithm")))
     }.toSeq
-    FuzzyMatcher.matchDfs(left, right, maps).queryExecution.analyzed
+
+    val opts = rest.drop(nQuadArgs).grouped(2).foldLeft(MatchOptions()) {
+      case (o, Seq(k, v)) => str(k, "option name") match {
+        case "use_approx" => lit(v, "use_approx value") match {
+          case b: Boolean => o.copy(useApproxNearestNeighbor = Some(b))
+          case other => throw new IllegalArgumentException(
+            s"fuzzy_match: use_approx must be a boolean literal, got '$other'")
+        }
+        case "top_n" => o.copy(topNForNewMatches = dbl(v, "top_n value").toInt)
+        case "cross_over" => o.copy(crossOverForApprox = dbl(v, "cross_over value"))
+        case other => throw new IllegalArgumentException(
+          s"fuzzy_match: unknown option '$other'. Usage: $usage")
+      }
+    }
+    FuzzyMatcher.matchDfs(left, right, maps, opts).queryExecution.analyzed
   }
 }

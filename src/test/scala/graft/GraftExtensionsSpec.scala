@@ -70,6 +70,31 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(filtered <= viaSql.size)
   }
 
+  test("fuzzy_match TVF accepts the reference front door's strategy options") {
+    val fresh = spark.newSession()
+    import fresh.implicits._
+    Seq(("apple inc", 1L), ("micro soft", 2L))
+      .toDF("lname", "lid").createOrReplaceTempView("fmo_left")
+    Seq(("apple incx", 10L), ("microsoft", 20L))
+      .toDF("rname", "rid").createOrReplaceTempView("fmo_right")
+    def run(optsSql: String) = fresh.sql(
+      s"""SELECT lid, rid, round(lname_vs_rname_levenshtein, 6) AS score
+          FROM fuzzy_match('fmo_left', 'fmo_right',
+                           'lname', 'rname', 70.0, 'levenshtein' $optsSql)
+          ORDER BY lid, rid""").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val auto = run("")
+    // forced exact and forced approx agree on matches (the approx path
+    // bails to exact on a degenerate tiny corpus — same rows either way)
+    assert(run(", 'use_approx', false") == auto)
+    assert(run(", 'use_approx', true, 'top_n', 100") == auto)
+    assert(run(", 'cross_over', 1000000") == auto)
+    val e = intercept[Exception] {
+      run(", 'nonsense_option', 1")
+    }
+    assert(e.getMessage.contains("fuzzy_match"), e.getMessage)
+  }
+
   test("fuzzy_match TVF rejects malformed argument lists") {
     val fresh = spark.newSession()
     fresh.range(1).selectExpr("'a' AS c").createOrReplaceTempView("fm_bad")
