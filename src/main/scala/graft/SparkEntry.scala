@@ -456,6 +456,23 @@ object SparkEntry {
       res.select(col("query_id"), col("corpus_id"),
         sround(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
     }),
+    // right-to-be-forgotten on the stored vector index: forget-list
+    // postings dropped by ONE broadcast anti-join (no derived stats to
+    // correct, unlike bm25Forget); full probe over the surviving
+    // postings provably equals brute force over the KEPT corpus, so the
+    // oracle is the exhaustive scan plus the forget filter
+    "ann_ivf_forget" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = AnnSearch.kmeansFit(emb, "embedding", dim = 64, k = 8, iters = 2)
+      val flat = AnnSearch.normalizeCentroids(cents)
+      val posts = AnnSearch.ivfPostings(emb, "embedding", "vec_id", 64, flat)
+      val kept = AnnSearch.ivfForgetPostings(posts,
+        emb.where(col("vec_id") % 7 === 0).select(col("vec_id")), "vec_id")
+      val res = AnnSearch.ivfTopKFromPostings(emb.where(col("vec_id") < 10),
+        kept, "embedding", "vec_id", 10, dim = 64, flat, nProbe = 8)
+      res.select(col("query_id"), col("corpus_id"),
+        sround(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+    }),
     // metadata-filtered exact search: predicate pushed into the corpus
     // scan BEFORE scoring — pre-filter semantics, no recall loss
     "ann_cosine_filtered" -> ((s, dir) => {
@@ -1549,6 +1566,23 @@ object SparkEntry {
           sround(col("score"), 6).as("score"), col("rank"))
     }),
 
+    // incremental append on the stored index: build on doc_id % 13 != 0,
+    // fold in the % 13 == 0 batch against the stored postings (no
+    // old-corpus re-tokenize), search — must equal a full-corpus build,
+    // so it shares text_bm25's oracle verbatim
+    "text_bm25_append" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qs = docs.where(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(split(trim(lower(col("text"))), "\\s+"), 1, 5)).as("qtext"))
+      val ix = TextAnalysis.bm25Append(
+        TextAnalysis.bm25Index(docs.where(col("doc_id") % 13 =!= 0), "text", "doc_id"),
+        docs.where(col("doc_id") % 13 === 0), "text")
+      TextAnalysis.bm25TopKWithIndex(ix, qs, "qtext", "query_id", k = 10)
+        .select(col("query_id"), col("doc_id"),
+          sround(col("score"), 6).as("score"), col("rank"))
+    }),
+
     // decremental forget on the stored index: build on the full corpus,
     // forget doc_id % 13 == 0, search — must equal a kept-corpus rebuild,
     // which is what the oracle computes
@@ -1980,6 +2014,35 @@ object SparkEntry {
          SELECT sid AS src_id, tid AS tgt_id, round(margin, 6) AS margin,
                 round(qc, 6) AS qcosine
          FROM best WHERE rn = 1"""
+
+  // shared verbatim by text_bm25 (one-shot), text_bm25_stored (the
+  // token-bucketed stored index: storage layout must be invisible to
+  // the ranking) and text_bm25_append (ungated append == unioned
+  // rebuild): one BM25 oracle
+  private val bm25FullOracle =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+         tok AS (SELECT doc_id, unnest(w) AS tk FROM t),
+         tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok WHERE length(tk) > 0 GROUP BY 1, 2),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         st AS (SELECT count(*) AS nd, sum(dl) AS tt FROM dl),
+         df AS (SELECT tk, count(*) AS df FROM tf GROUP BY 1),
+         q AS (SELECT doc_id AS query_id, unnest(list_distinct(w[1:5])) AS qtk FROM t WHERE doc_id % 50 = 0),
+         sc AS (SELECT q.query_id, tf.doc_id,
+                  CAST(round(ln((nd - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                    * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * ((CAST(dl.dl AS DOUBLE) * CAST(st.nd AS DOUBLE)) / CAST(st.tt AS DOUBLE))))
+                    * 1000000.0) AS BIGINT) AS c
+                FROM q JOIN tf ON q.qtk = tf.tk
+                  JOIN dl ON tf.doc_id = dl.doc_id
+                  JOIN df ON tf.tk = df.tk
+                  CROSS JOIN st
+                WHERE length(q.qtk) > 0),
+         agg AS (SELECT query_id, doc_id, sum(c) AS sq FROM sc GROUP BY 1, 2),
+         rk AS (SELECT query_id, doc_id, sq,
+                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sq DESC, doc_id) AS INT) AS rank
+                FROM agg)
+         SELECT query_id, doc_id, round(sq / 1000000.0, 6) AS score, rank
+         FROM rk WHERE rank <= 10"""
 
   // shared verbatim by fuzzy_join_multi (Scala front door) and
   // fuzzy_join_multi_sql (fuzzy_match TVF, mappings listed in the
@@ -2525,6 +2588,19 @@ object SparkEntry {
          s AS (SELECT query_id, c.vec_id AS corpus_id,
                  list_cosine_similarity(qv::DOUBLE[], c.embedding::DOUBLE[]) AS cos
                FROM q CROSS JOIN embeddings c WHERE c.vec_id != query_id),
+         r AS (SELECT query_id, corpus_id, cos,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+               FROM s)
+         SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 10""",
+    // surviving postings == kept corpus, full probe == brute force: the
+    // forget oracle is the exhaustive scan with the forget filter added
+    "ann_ivf_forget" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                WHERE vec_id < 10),
+         s AS (SELECT query_id, c.vec_id AS corpus_id,
+                 list_cosine_similarity(qv::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+               FROM q CROSS JOIN embeddings c
+               WHERE c.vec_id != query_id AND c.vec_id % 7 != 0),
          r AS (SELECT query_id, corpus_id, cos,
                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
                FROM s)
@@ -3988,56 +4064,14 @@ object SparkEntry {
     // (the quantized-exact-sum family), dl/avgdl as (dl*N)/Σdl from exact
     // integers, rank = row_number over (micro score desc, doc_id asc) —
     // the same total order as the BoundedTopK heap
-    "text_bm25" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
-         tok AS (SELECT doc_id, unnest(w) AS tk FROM t),
-         tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok WHERE length(tk) > 0 GROUP BY 1, 2),
-         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
-         st AS (SELECT count(*) AS nd, sum(dl) AS tt FROM dl),
-         df AS (SELECT tk, count(*) AS df FROM tf GROUP BY 1),
-         q AS (SELECT doc_id AS query_id, unnest(list_distinct(w[1:5])) AS qtk FROM t WHERE doc_id % 50 = 0),
-         sc AS (SELECT q.query_id, tf.doc_id,
-                  CAST(round(ln((nd - df.df + 0.5) / (df.df + 0.5) + 1.0)
-                    * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
-                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * ((CAST(dl.dl AS DOUBLE) * CAST(st.nd AS DOUBLE)) / CAST(st.tt AS DOUBLE))))
-                    * 1000000.0) AS BIGINT) AS c
-                FROM q JOIN tf ON q.qtk = tf.tk
-                  JOIN dl ON tf.doc_id = dl.doc_id
-                  JOIN df ON tf.tk = df.tk
-                  CROSS JOIN st
-                WHERE length(q.qtk) > 0),
-         agg AS (SELECT query_id, doc_id, sum(c) AS sq FROM sc GROUP BY 1, 2),
-         rk AS (SELECT query_id, doc_id, sq,
-                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sq DESC, doc_id) AS INT) AS rank
-                FROM agg)
-         SELECT query_id, doc_id, round(sq / 1000000.0, 6) AS score, rank
-         FROM rk WHERE rank <= 10""",
+    "text_bm25" -> bm25FullOracle,
     // storage layout must be invisible to the ranking: the bucketed
     // stored path shares text_bm25's oracle verbatim
-    "text_bm25_stored" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
-         tok AS (SELECT doc_id, unnest(w) AS tk FROM t),
-         tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok WHERE length(tk) > 0 GROUP BY 1, 2),
-         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
-         st AS (SELECT count(*) AS nd, sum(dl) AS tt FROM dl),
-         df AS (SELECT tk, count(*) AS df FROM tf GROUP BY 1),
-         q AS (SELECT doc_id AS query_id, unnest(list_distinct(w[1:5])) AS qtk FROM t WHERE doc_id % 50 = 0),
-         sc AS (SELECT q.query_id, tf.doc_id,
-                  CAST(round(ln((nd - df.df + 0.5) / (df.df + 0.5) + 1.0)
-                    * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
-                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * ((CAST(dl.dl AS DOUBLE) * CAST(st.nd AS DOUBLE)) / CAST(st.tt AS DOUBLE))))
-                    * 1000000.0) AS BIGINT) AS c
-                FROM q JOIN tf ON q.qtk = tf.tk
-                  JOIN dl ON tf.doc_id = dl.doc_id
-                  JOIN df ON tf.tk = df.tk
-                  CROSS JOIN st
-                WHERE length(q.qtk) > 0),
-         agg AS (SELECT query_id, doc_id, sum(c) AS sq FROM sc GROUP BY 1, 2),
-         rk AS (SELECT query_id, doc_id, sq,
-                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sq DESC, doc_id) AS INT) AS rank
-                FROM agg)
-         SELECT query_id, doc_id, round(sq / 1000000.0, 6) AS score, rank
-         FROM rk WHERE rank <= 10""",
+    "text_bm25_stored" -> bm25FullOracle,
+    // base (%13!=0) + appended batch (%13==0) covers the whole corpus and
+    // the ungated append is exactly a unioned rebuild, so the append path
+    // shares the full-corpus oracle verbatim too
+    "text_bm25_append" -> bm25FullOracle,
     // the oracle IS the kept-corpus rebuild: decremental maintenance must
     // be indistinguishable from it (queries keep the full query set —
     // forgotten docs may still ask, they just can't be found)

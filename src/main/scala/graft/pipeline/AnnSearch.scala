@@ -733,6 +733,25 @@ object AnnSearch {
                         dim: Int, centroids: Array[Double]): DataFrame =
     postings.unionByName(ivfPostings(batch, vecCol, idCol, dim, centroids))
 
+  /** Right-to-be-forgotten for the stored vector index — the ANN leg of
+    * the forget cascade next to [[graft.pipeline.TextAnalysis.bm25Forget]]
+    * and [[graft.pipeline.Dedup.semDedupForget]]: drop the forgotten ids'
+    * postings rows. Unlike BM25 there is NO derived statistic to correct —
+    * under a frozen quantizer each postings row is an independent
+    * (id, cell, vector) fact — so one broadcast anti-join IS the whole
+    * operation, and the result equals [[ivfPostings]] of the kept corpus
+    * exactly (spec-pinned). The corpus never shuffles; on the
+    * cell-partitioned stored form ([[savePostings]]) a rewrite touches
+    * only partitions that actually contain forgotten rows. Re-fitting
+    * the quantizer after heavy forgetting is a deliberate separate event
+    * (same policy as [[ivfAppendPostings]] re-fit on drift). */
+  def ivfForgetPostings(postings: DataFrame, forgetIds: DataFrame,
+                        idCol: String = "corpus_id"): DataFrame = {
+    val fids = org.apache.spark.sql.functions.broadcast(
+      forgetIds.select(col(idCol).as("corpus_id")).distinct())
+    postings.join(fids, Seq("corpus_id"), "left_anti")
+  }
+
   /** Persist postings CELL-PARTITIONED (`.../cell=N/` parquet dirs): a
     * probe that touches nProbe cells then reads ONLY those directories —
     * partition pruning does the index lookup at the storage layer, which

@@ -617,6 +617,48 @@ object TextAnalysis {
       math.max(ix.totalTokens - remRow.getLong(1), 1L), ix.k1, ix.b)
   }
 
+  /** Incremental index maintenance — the append twin of [[bm25Forget]]
+    * (the nightly-ingest shape, like [[AnnSearch.ivfAppendPostings]] for
+    * the vector index): fold a new-document batch into a stored index
+    * without re-tokenizing the old corpus. The batch half costs
+    * O(batch postings); the df-correction rewrite costs O(postings of
+    * tokens the batch touches) — old rows of untouched tokens pass
+    * through unchanged. Exactly equals [[bm25Index]] over the unioned
+    * corpus for the default UNGATED build (spec-pinned + oracled). A
+    * maxDf-gated index cannot append decrementally for the same reason
+    * it cannot forget: the batch can push a token over the gate whose
+    * old postings should then drop, and the gate decision cannot be
+    * replayed from the index alone — gated indexes rebuild (TUNING.md).
+    * Batch ids must be disjoint from the indexed ids (id collision
+    * double-counts df — same contract as ivfAppendPostings). */
+  def bm25Append(ix: Bm25Index, batch: DataFrame, textCol: String,
+                 materialize: Boolean = true): Bm25Index = {
+    // raw checkpoints: stored-index lifetime, same as the build barriers
+    val (tf, dl, newDf, nNew, totNew) =
+      bm25Corpus(batch, textCol, ix.idCol, Long.MaxValue, _.localCheckpoint())
+    // per-token df delta — bounded by the batch vocabulary, broadcast
+    val addPerToken = broadcast(newDf.select(col("token"), col("df").as("__adf")))
+    val oldCorrected = ix.postings.join(addPerToken, Seq("token"), "left")
+      .withColumn("df", col("df") + coalesce(col("__adf"), lit(0L)))
+      .drop("__adf")
+    // new rows carry batch df + old df for tokens the index already has
+    val oldPerToken = ix.postings.select(col("token"), col("df").as("__odf"))
+      .distinct()
+    val newRows = tf.join(dl, Seq(ix.idCol))
+      .join(newDf, Seq("token"))
+      .join(oldPerToken, Seq("token"), "left")
+      .withColumn("df", col("df") + coalesce(col("__odf"), lit(0L)))
+      .drop("__odf")
+    val joined = oldCorrected.unionByName(newRows)
+    val postings = if (materialize) joined.localCheckpoint() else joined
+    // bm25Corpus clamps an empty corpus's totTok to 1 (a finiteness
+    // guard for the BUILD path); as an append DELTA that phantom token
+    // would shift every lenNorm — a token-less batch adds zero
+    val totAdd = if (nNew == 0) 0L else totNew
+    Bm25Index(postings, ix.idCol, ix.nDocs + nNew,
+      ix.totalTokens + totAdd, ix.k1, ix.b)
+  }
+
   /** Query terms: one row per (query id, distinct non-empty token). */
   private def bm25QueryTerms(queries: DataFrame, queryTextCol: String,
                              queryIdCol: String): DataFrame =

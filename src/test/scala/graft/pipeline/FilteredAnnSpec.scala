@@ -84,6 +84,33 @@ class FilteredAnnSpec extends AnyFunSuite with SparkSpec {
     assert(noisy.toSeq == Seq((5L, 1L, 0L)), s"got ${noisy.toSeq}")
   }
 
+  test("ivfForgetPostings equals a kept-corpus rebuild exactly, and the " +
+    "forgotten ids never surface in a search") {
+    val cents = AnnSearch.kmeansFit(emb, "embedding", dim = 64, k = 4, iters = 2)
+    val flat = AnnSearch.normalizeCentroids(cents)
+    val posts = AnnSearch.ivfPostings(emb, "embedding", "vec_id", 64, flat)
+    val forgetDf = emb.where(col("vec_id") % 5 === 2).select("vec_id")
+    val forgotten = forgetDf.as[Long].collect().toSet
+    assert(forgotten.nonEmpty)
+    // postings-level contract: anti-join == assign-only-the-kept-rows
+    // (frozen quantizer => surviving cells identical)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("corpus_id"), col("__cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val viaForget = AnnSearch.ivfForgetPostings(posts, forgetDf, "vec_id")
+    val viaRebuild = AnnSearch.ivfPostings(
+      emb.where(col("vec_id") % 5 =!= 2), "embedding", "vec_id", 64, flat)
+    assert(key(viaForget) == key(viaRebuild))
+    // search-level contract: no forgotten id in any result at full probe
+    val got = AnnSearch.ivfTopKFromPostings(emb.where(col("vec_id") < 5),
+      viaForget, "embedding", "vec_id", 5, 64, flat, nProbe = 4)
+      .select("corpus_id").as[Long].collect()
+    assert(got.nonEmpty && got.forall(id => !forgotten.contains(id)))
+    // empty forget list is the identity
+    assert(key(AnnSearch.ivfForgetPostings(posts, forgetDf.limit(0), "vec_id"))
+      == key(posts))
+  }
+
   test("partial-probe filtered recall: results are a subset of the exact " +
     "filtered ranking's candidate pool and never violate the predicate") {
     val cents = AnnSearch.kmeansFit(emb, "embedding", dim = 64, k = 4, iters = 2)

@@ -794,6 +794,41 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(results(decremented) == results(rebuilt))
   }
 
+  test("bm25Append equals a fresh index built on the unioned corpus") {
+    val base = Seq(
+      (1L, "cat dog cat"), (2L, "cat bird"), (3L, "fish fish fish"))
+      .toDF("doc_id", "text")
+    // batch shares tokens with the base (df correction on old rows),
+    // brings a new token (swan: no old df to add), and a new doc for an
+    // old token (fish: new row gets old df added)
+    val batch = Seq((4L, "dog dog swan"), (5L, "cat fish"))
+      .toDF("doc_id", "text")
+    val qs = Seq((1L, "cat dog"), (2L, "fish swan")).toDF("query_id", "qtext")
+
+    val appended = TextAnalysis.bm25Append(
+      TextAnalysis.bm25Index(base, "text", "doc_id"), batch, "text")
+    val rebuilt = TextAnalysis.bm25Index(
+      base.unionByName(batch), "text", "doc_id")
+
+    assert(appended.nDocs == rebuilt.nDocs &&
+      appended.totalTokens == rebuilt.totalTokens)
+    val ap = appended.postings.select("doc_id", "token", "tf", "dl", "df")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    val rp = rebuilt.postings.select("doc_id", "token", "tf", "dl", "df")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(ap == rp, s"postings diverge: ${ap.diff(rp)} / ${rp.diff(ap)}")
+    def results(ix: TextAnalysis.Bm25Index) =
+      TextAnalysis.bm25TopKWithIndex(ix, qs, "qtext", "query_id", k = 5)
+        .select("query_id", "doc_id", "score", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    assert(results(appended) == results(rebuilt))
+    // empty batch is the identity
+    val idIx = TextAnalysis.bm25Append(
+      TextAnalysis.bm25Index(base, "text", "doc_id"), batch.limit(0), "text")
+    assert(idIx.nDocs == 3L && results(idIx) == results(
+      TextAnalysis.bm25Index(base, "text", "doc_id")))
+  }
+
   test("sessionization: gap starts a new session, ties break on event id") {
     val M = 60L * 1000000 // one minute in micros
     val ev = Seq(
