@@ -44,4 +44,34 @@ object RetrievalStream {
       sink(TextAnalysis.bm25TopKStored(index, batch, queryTextCol,
         queryIdCol, k), batchId)
     }
+
+  /** INDEX MAINTENANCE on ingest — the write-side twin of the two
+    * search writers above: each micro-batch of arriving DOCUMENTS folds
+    * into the running [[TextAnalysis.Bm25Index]] via
+    * [[TextAnalysis.bm25Append]], so the index the search writers serve
+    * is only ever one trigger behind the corpus. State is the index
+    * itself: `bm25Append` materializes each generation's postings with
+    * a raw `localCheckpoint`, so lineage is CUT at every fold — N
+    * batches cost N×O(batch + touched-token correction), never a
+    * re-execution chain back to batch 0 (the same bounded-lineage
+    * contract as the build barriers; RetrievalStreamSpec folds a
+    * two-batch stream and pins the result equal to one batch-API build
+    * over the union, scores and all). `onUpdate` receives each new
+    * index generation (publish it to a serving thread, or
+    * [[TextAnalysis.saveBm25Index]] it for crash recovery — the stream
+    * checkpoint replays unacknowledged source batches, and a REPLAYED
+    * append violates the disjoint-ids contract, so persist the index
+    * and its high-water batchId together and skip already-folded
+    * batches on restart). Ungated indexes only, like every decremental
+    * mutation (TUNING.md §3e). */
+  def bm25AppendWriter(docStream: DataFrame, initial: TextAnalysis.Bm25Index,
+                       textCol: String)
+                      (onUpdate: (TextAnalysis.Bm25Index, Long) => Unit): DataStreamWriter[Row] = {
+    val state = new java.util.concurrent.atomic.AtomicReference(initial)
+    docStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val next = TextAnalysis.bm25Append(state.get(), batch, textCol)
+      state.set(next)
+      onUpdate(next, batchId)
+    }
+  }
 }

@@ -53,6 +53,50 @@ class RetrievalStreamSpec extends AnyFunSuite with SparkSpec {
       s"stream bm25 ${rows.size} rows vs batch ${batch.size}")
   }
 
+  test("bm25AppendWriter: a two-batch document stream folds into the " +
+    "index one batch-API build over the union would produce") {
+    val base = docs.where($"doc_id" % 3 === 0)
+    val arriving = docs.where($"doc_id" % 3 =!= 0)
+      .select($"doc_id", $"text")
+    // two pinned-order file batches of arriving documents
+    val flat = java.nio.file.Files.createTempDirectory("bm25_append_stream")
+    Seq($"doc_id" % 3 === 1, $"doc_id" % 3 === 2).zipWithIndex.foreach { case (p, i) =>
+      val part = java.nio.file.Files.createTempDirectory(s"bm25_ap$i")
+      arriving.where(p).coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val src = java.nio.file.Files.list(part)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst = flat.resolve(f"$i%02d.parquet")
+      java.nio.file.Files.copy(src, dst)
+      dst.toFile.setLastModified(1000000L + i * 10000L)
+    }
+    val stream = spark.readStream.schema(arriving.schema)
+      .option("maxFilesPerTrigger", "1").parquet(flat.toString)
+
+    val gens = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    @volatile var last: TextAnalysis.Bm25Index =
+      TextAnalysis.bm25Index(base, "text", "doc_id")
+    val q = RetrievalStream.bm25AppendWriter(stream, last, "text") {
+      (ix, batchId) =>
+        gens.synchronized { gens += ((batchId, ix.nDocs)) }
+        last = ix
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+
+    assert(gens.size == 2, s"expected 2 generations, got $gens")
+    // monotone growth across generations
+    assert(gens.map(_._2).toSeq == gens.map(_._2).toSeq.sorted)
+    // final generation == one batch build over the whole corpus
+    val rebuilt = TextAnalysis.bm25Index(docs, "text", "doc_id")
+    assert(last.nDocs == rebuilt.nDocs &&
+      last.totalTokens == rebuilt.totalTokens)
+    val ap = last.postings.select("doc_id", "token", "tf", "dl", "df")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    val rp = rebuilt.postings.select("doc_id", "token", "tf", "dl", "df")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(ap == rp, s"postings diverge after streaming folds: " +
+      s"${ap.diff(rp).take(3)} / ${rp.diff(ap).take(3)}")
+  }
+
   test("saved index reloads and searches identically") {
     val dir = java.nio.file.Files.createTempDirectory("bm25_ix").toString
     val queries = docs.where($"doc_id" % 10 === 0)
