@@ -72,6 +72,35 @@ object AnnStream {
     }
   }
 
+  /** INDEX MAINTENANCE on ingest — the vector twin of
+    * [[RetrievalStream.bm25AppendWriter]]: each micro-batch of arriving
+    * embeddings assigns to the FROZEN quantizer and unions onto the
+    * running postings ([[AnnSearch.ivfAppendPostings]] per trigger).
+    * The union is lazy, so each generation is `localCheckpoint`ed here —
+    * without the barrier N batches would stack a re-executed union
+    * lineage back to batch 0; with it every fold costs O(batch)
+    * assignment plus the copy of a bounded postings frame. `onUpdate`
+    * receives each generation (hand it to [[ivfTopKWriter]]'s nightly
+    * refresh, or [[AnnSearch.savePostings]] it with the high-water
+    * batchId — a restart replays unacknowledged source batches and a
+    * replayed append duplicates rows, same recovery contract as the
+    * BM25 writer). Re-fit on drift stays a deliberate separate event
+    * ([[AnnSearch.fitIndex]] + full rebuild), exactly as in the batch
+    * lifecycle. */
+  def ivfAppendWriter(embStream: DataFrame, initial: DataFrame,
+                      vecCol: String, idCol: String, dim: Int,
+                      centroids: Array[Double])
+                     (onUpdate: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val state = new java.util.concurrent.atomic.AtomicReference(
+      initial.localCheckpoint())
+    embStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val next = AnnSearch.ivfAppendPostings(state.get(), batch,
+        vecCol, idCol, dim, centroids).localCheckpoint()
+      state.set(next)
+      onUpdate(next, batchId)
+    }
+  }
+
   /** Streaming semantic near-dup flagging — the online face of
     * [[graft.pipeline.Dedup.semDedupIncrementalPairs]]: arriving
     * embeddings assign to the pinned centroids and flag against the

@@ -126,4 +126,44 @@ class AnnStreamSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSet == expect && expect.nonEmpty,
       s"stream ${got.size} pairs vs batch ${expect.size}")
   }
+
+  test("ivfAppendWriter: a two-batch embedding stream folds into the " +
+    "postings a one-shot assignment over the union would produce") {
+    import graft.pipeline.AnnSearch
+    val cents = AnnSearch.kmeansFit(emb, "embedding", dim = 64, k = 4, iters = 2)
+    val flat = AnnSearch.normalizeCentroids(cents)
+    val base = emb.where($"vec_id" % 3 === 0)
+    val arriving = emb.where($"vec_id" % 3 =!= 0).select($"vec_id", $"embedding")
+
+    val dir = java.nio.file.Files.createTempDirectory("ivf_append_stream")
+    Seq($"vec_id" % 3 === 1, $"vec_id" % 3 === 2).zipWithIndex.foreach { case (p, i) =>
+      val part = java.nio.file.Files.createTempDirectory(s"ivf_ap$i")
+      arriving.where(p).coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val src = java.nio.file.Files.list(part)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst = dir.resolve(f"$i%02d.parquet")
+      java.nio.file.Files.copy(src, dst)
+      dst.toFile.setLastModified(1000000L + i * 10000L)
+    }
+    val stream = spark.readStream.schema(arriving.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+
+    val gens = scala.collection.mutable.ArrayBuffer.empty[Long]
+    @volatile var last: org.apache.spark.sql.DataFrame = null
+    val q = AnnStream.ivfAppendWriter(stream,
+      AnnSearch.ivfPostings(base, "embedding", "vec_id", 64, flat),
+      "embedding", "vec_id", 64, flat) { (posts, batchId) =>
+      gens.synchronized { gens += batchId }
+      last = posts
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+
+    assert(gens.size == 2, s"expected 2 generations, got $gens")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("corpus_id"), col("__cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val rebuilt = AnnSearch.ivfPostings(emb, "embedding", "vec_id", 64, flat)
+    assert(key(last) == key(rebuilt),
+      "streamed folds must equal a one-shot assignment over the union")
+  }
 }
