@@ -27,10 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // The bench suite compiles thousands of generated whole-stage-codegen
-  // methods; the JVM default 240 MB code cache fills mid-suite and
-  // flushing then evicts warmup-compiled kernels, which re-run
-  // interpreted (the r11 "76 s fuzzy_exact_1g4 beside a healthy probe"
-  // anomaly — see Bench.codeCacheMb and SCALE.md "first-query latency").
+  // Defensive headroom for generated-code-heavy suites: a full JIT code
+  // cache silently disables compilation. Measured occupancy here is only
+  // ~104 MB of the 240 MB default (eviction was investigated for the r11
+  // cold-sample anomaly and REFUTED — Bench.codeCacheMb, SCALE.md
+  // "Cold-first-sample anomaly"), so this is insurance, not a fix;
+  // reserve != commit, the headroom costs address space only.
   s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_GRAFT_CODECACHE", "1g")}",
 )

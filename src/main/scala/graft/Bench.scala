@@ -404,17 +404,19 @@ object Bench {
   }
 
   /** Current JIT code-cache occupancy in MB, summed over the JDK 17
-    * segmented CodeHeap pools. Logged on every query row: the r9-r11
-    * cold-first-sample anomaly (fuzzy_exact_1g4 76 s in r11 beside a
-    * HEALTHY interleaved probe) is code-cache flushing — the suite's
-    * ~181 queries compile thousands of generated whole-stage-codegen
-    * methods, the default 240 MB reservation fills mid-suite, and
-    * UseCodeCacheFlushing evicts the coldest nmethods: exactly the
-    * kernels a query compiled during its warmup pass ~20 min earlier.
-    * The probe loop runs every few seconds so it stays hot and reads
-    * healthy while the evicted query re-runs interpreted. Fix:
-    * -XX:ReservedCodeCacheSize=1g in build.sbt (env-overridable via
-    * SPARK_GRAFT_CODECACHE for A/B). */
+    * segmented CodeHeap pools, logged on every query row. Added while
+    * investigating the r9-r11 cold-first-sample anomaly (fuzzy_exact_1g4
+    * 76 s in r11 beside a HEALTHY interleaved probe): the hypothesis was
+    * cache-flushing eviction of warmup-compiled kernels, and this
+    * instrumentation REFUTED it — a full suite at an explicit 240 MB
+    * ceiling peaked at 104 MB, no eviction pressure (SCALE.md
+    * "Cold-first-sample anomaly", finding 2; the anomaly's actual
+    * attribution is JIT warmup + a post-probe contention transient on a
+    * then-1-shot row). The log line stays because the failure mode is
+    * real for generated-code-heavy JVMs in general: if occupancy ever
+    * pins at the ceiling next to a slow row, eviction names itself.
+    * ReservedCodeCacheSize=1g in build.sbt is defensive headroom
+    * (reserve ≠ commit; SPARK_GRAFT_CODECACHE overrides for A/B). */
   def codeCacheMb: Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala

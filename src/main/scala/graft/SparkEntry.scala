@@ -1072,24 +1072,11 @@ object SparkEntry {
     // cost ∝ distinct assets, never ∝ corpus rows. Images smaller than
     // the 9×8 dHash grid are dropped as un-curatable (sentinel n_pixels
     // = -1); gate max_luma >= 34 splits the fixture 28/39 (measured).
-    "multimodal_curate" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), (col("doc_id") % 97).as("img_key"))
-      val images = Multimodal.encodePngDemo(
-        docs.select(col("img_key")).distinct(), "img_key", maxW = 24, maxH = 20)
-      val quality = Multimodal.decodeImagePixels(images, "payload", "img_key")
-        .where(col("max_luma") >= 34)
-        .select(col("id").as("img_key"))
-      val hashes = Multimodal.imageDHash(images, "payload", "img_key")
-        .where(col("n_pixels") =!= -1L)
-        .select(col("id").as("img_key"),
-          expr("lpad(hex(dhash), 16, '0')").as("dhash_hex"))
-      docs.join(quality, "img_key").join(hashes, "img_key")
-        .groupBy(col("dhash_hex"))
-        .agg(min(col("doc_id")).as("keep_doc_id"),
-          count(lit(1)).as("n_in_bucket"))
-        .select(col("keep_doc_id"), col("dhash_hex"), col("n_in_bucket"))
-    }),
+    "multimodal_curate" -> ((s, dir) =>
+      Multimodal.curateByDHash(
+        t(s, dir, "documents")
+          .select(col("doc_id"), (col("doc_id") % 97).as("img_key")),
+        "doc_id", "img_key")),
 
     // ---- as-of join over events: each click attaches the most recent
     // view by the same user at or before the click. Views dedup to one

@@ -928,6 +928,34 @@ object Multimodal {
     * than the grid (w < 9 or h < 8) or undecodable sentinel with
     * n_pixels = -1. Everything after the codec is integer arithmetic,
     * so the oracle replays grid, comparisons and hash exactly. */
+  /** Composed curation pipeline over an image-keyed corpus: encode the
+    * DISTINCT `imgKeyCol` fixture, decode → max-luma quality gate →
+    * [[imageDHash]] (images under the 9×8 grid drop as un-curatable),
+    * then keep-min `idCol` per perceptual-hash bucket. All pixel work
+    * rides the distinct-asset side and broadcasts onto the corpus —
+    * decode cost ∝ distinct assets, never ∝ corpus rows (measured FLAT
+    * across 1×/10×/100× tiers, SCALE.md). Single-sourced on purpose:
+    * the `multimodal_curate` query, its ScaleBench twin, and the
+    * plan-hygiene spec all call THIS, so the pinned plan is the
+    * production plan. */
+  def curateByDHash(docs: DataFrame, idCol: String, imgKeyCol: String,
+                    maxW: Int = 24, maxH: Int = 20,
+                    minMaxLuma: Long = 34): DataFrame = {
+    val images = encodePngDemo(docs.select(col(imgKeyCol)).distinct(),
+      imgKeyCol, maxW, maxH)
+    val quality = decodeImagePixels(images, "payload", imgKeyCol)
+      .where(col("max_luma") >= minMaxLuma)
+      .select(col("id").as(imgKeyCol))
+    val hashes = imageDHash(images, "payload", imgKeyCol)
+      .where(col("n_pixels") =!= -1L)
+      .select(col("id").as(imgKeyCol),
+        expr("lpad(hex(dhash), 16, '0')").as("dhash_hex"))
+    docs.join(quality, imgKeyCol).join(hashes, imgKeyCol)
+      .groupBy(col("dhash_hex"))
+      .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("n_in_bucket"))
+      .select(col("keep_doc_id"), col("dhash_hex"), col("n_in_bucket"))
+  }
+
   def imageDHash(df: DataFrame, binCol: String, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -630,7 +630,17 @@ object TextAnalysis {
     * old postings should then drop, and the gate decision cannot be
     * replayed from the index alone — gated indexes rebuild (TUNING.md).
     * Batch ids must be disjoint from the indexed ids (id collision
-    * double-counts df — same contract as ivfAppendPostings). */
+    * double-counts df — same contract as ivfAppendPostings).
+    *
+    * Cost caveat (same trap [[bm25Forget]] documents): the COMPUTE is
+    * O(batch + touched-token postings), but the default
+    * `materialize = true` re-checkpoints the ENTIRE corrected frame —
+    * O(index) per append (measured at sf10: 5.0 s fold vs 6.7 s full
+    * rebuild on a corpus where the batch touches every token —
+    * SCALE.md). Pass `materialize = false` for a one-shot search over
+    * the appended view; keep the default when the index serves many
+    * searches or further folds (the streaming writer's per-trigger
+    * lineage cut depends on it). */
   def bm25Append(ix: Bm25Index, batch: DataFrame, textCol: String,
                  materialize: Boolean = true): Bm25Index = {
     // raw checkpoints: stored-index lifetime, same as the build barriers
@@ -641,8 +651,13 @@ object TextAnalysis {
     val oldCorrected = ix.postings.join(addPerToken, Seq("token"), "left")
       .withColumn("df", col("df") + coalesce(col("__adf"), lit(0L)))
       .drop("__adf")
-    // new rows carry batch df + old df for tokens the index already has
-    val oldPerToken = ix.postings.select(col("token"), col("df").as("__odf"))
+    // new rows carry batch df + old df for tokens the index already has;
+    // restrict to BATCH-TOUCHED tokens before the distinct (broadcast
+    // semi-join) so the dedup shuffles touched-token postings, never the
+    // whole index — the claimed O(touched) cost, not O(index)
+    val oldPerToken = ix.postings
+      .join(broadcast(newDf.select(col("token"))), Seq("token"), "left_semi")
+      .select(col("token"), col("df").as("__odf"))
       .distinct()
     val newRows = tf.join(dl, Seq(ix.idCol))
       .join(newDf, Seq("token"))
@@ -653,10 +668,14 @@ object TextAnalysis {
     val postings = if (materialize) joined.localCheckpoint() else joined
     // bm25Corpus clamps an empty corpus's totTok to 1 (a finiteness
     // guard for the BUILD path); as an append DELTA that phantom token
-    // would shift every lenNorm — a token-less batch adds zero
+    // would shift every lenNorm — a token-less batch adds zero, and an
+    // EMPTY BASE index carries the same clamp in ix.totalTokens, so a
+    // from-scratch bootstrap re-derives the scalar from the batch alone
+    // (matching what a rebuild over the union would compute)
     val totAdd = if (nNew == 0) 0L else totNew
-    Bm25Index(postings, ix.idCol, ix.nDocs + nNew,
-      ix.totalTokens + totAdd, ix.k1, ix.b)
+    val newTotal = if (ix.nDocs == 0) math.max(totAdd, 1L)
+                   else ix.totalTokens + totAdd
+    Bm25Index(postings, ix.idCol, ix.nDocs + nNew, newTotal, ix.k1, ix.b)
   }
 
   /** Query terms: one row per (query id, distinct non-empty token). */

@@ -35,9 +35,14 @@ import graft.fuzzy.{FuzzyAlgorithm, FuzzyMapping, FuzzyMatcher, MatchOptions}
   *   'cross_over',  long         — cartesian size where auto flips to LSH.
   *
   * Quadruple-vs-option disambiguation: parsing consumes quadruples until
-  * the next argument is one of the option keys (a LEFT COLUMN literally
-  * named `use_approx`/`top_n`/`cross_over` would need a different alias —
-  * documented, not silent: the arity check still rejects the mix).
+  * the next argument is one of the option keys. A LEFT COLUMN literally
+  * named `use_approx`/`top_n`/`cross_over` therefore cannot start a
+  * quadruple — alias such a column before calling. The mix still always
+  * ERRORS rather than mis-parsing silently: either the trailing
+  * remainder is odd (arity rejection) or the would-be column name is
+  * consumed as an option key whose value fails validation (a
+  * "use_approx must be a boolean literal, got '<right_col>'"-style
+  * message — misdirected wording, but a hard error).
   * The builder resolves the names with `spark.table(...)` and returns the
   * matcher's ANALYZED logical plan, so the enclosing query composes
   * normally (projections/filters on top get optimized into the plan by

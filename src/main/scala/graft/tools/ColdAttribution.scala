@@ -35,9 +35,9 @@ object ColdAttribution {
 
   def main(args: Array[String]): Unit = {
     val query = args(0)
-    // `[iters]` and `[warm]` are both optional in either order: only a
-    // purely-numeric arg is the iteration count.
-    val iters = args.lift(1).filter(a => a.nonEmpty && a.forall(_.isDigit))
+    // `[iters]` and `[warm]` are both optional in either order: the
+    // first purely-numeric trailing arg is the iteration count.
+    val iters = args.drop(1).find(a => a.nonEmpty && a.forall(_.isDigit))
       .map(_.toInt).getOrElse(3)
     val warm = args.contains("warm")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -275,24 +275,15 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
 
   test("composed multimodal curation: pixel work on the distinct side, " +
     "corpus joins broadcast, no cartesian") {
-    // same shape as SparkEntry's multimodal_curate: decode/gate/dHash run
-    // on the distinct img_key side (bounded), the corpus side only joins
-    // by key — at 100 TB the decode cost must be ∝ distinct assets
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), (col("doc_id") % 97).as("img_key"))
-    val images = graft.pipeline.Multimodal.encodePngDemo(
-      docs.select(col("img_key")).distinct(), "img_key", maxW = 24, maxH = 20)
-    val quality = graft.pipeline.Multimodal
-      .decodeImagePixels(images, "payload", "img_key")
-      .where(col("max_luma") >= 34).select(col("id").as("img_key"))
-    val hashes = graft.pipeline.Multimodal
-      .imageDHash(images, "payload", "img_key")
-      .where(col("n_pixels") =!= -1L)
-      .select(col("id").as("img_key"),
-        expr("lpad(hex(dhash), 16, '0')").as("dhash_hex"))
-    val out = docs.join(quality, "img_key").join(hashes, "img_key")
-      .groupBy(col("dhash_hex"))
-      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_in_bucket"))
+    // the EXACT production pipeline (Multimodal.curateByDHash is the
+    // single source for the query, the ScaleBench twin, and this spec):
+    // decode/gate/dHash run on the distinct img_key side (bounded), the
+    // corpus side only joins by key — at 100 TB the decode cost must be
+    // ∝ distinct assets
+    val out = graft.pipeline.Multimodal.curateByDHash(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), (col("doc_id") % 97).as("img_key")),
+      "doc_id", "img_key")
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"distinct-image side must broadcast onto the corpus:\n$plan")

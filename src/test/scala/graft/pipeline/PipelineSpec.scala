@@ -827,6 +827,16 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       TextAnalysis.bm25Index(base, "text", "doc_id"), batch.limit(0), "text")
     assert(idIx.nDocs == 3L && results(idIx) == results(
       TextAnalysis.bm25Index(base, "text", "doc_id")))
+    // empty BASE bootstrap (streaming from-scratch start): the empty
+    // build's totTok clamp must not leak into the appended scalars
+    val bootIx = TextAnalysis.bm25Append(
+      TextAnalysis.bm25Index(base.limit(0), "text", "doc_id"), base, "text")
+    val baseIx = TextAnalysis.bm25Index(base, "text", "doc_id")
+    assert(bootIx.nDocs == baseIx.nDocs &&
+      bootIx.totalTokens == baseIx.totalTokens,
+      s"bootstrap scalars ${bootIx.nDocs}/${bootIx.totalTokens} vs " +
+        s"build ${baseIx.nDocs}/${baseIx.totalTokens}")
+    assert(results(bootIx) == results(baseIx))
   }
 
   test("sessionization: gap starts a new session, ties break on event id") {
