@@ -111,6 +111,36 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
       e2.getMessage)
   }
 
+  test("fuzzy_match TVF: every malformed call fails with a diagnostic, " +
+    "never a MatchError or silent mis-parse") {
+    val fresh = spark.newSession()
+    fresh.range(1).selectExpr("'a' AS c", "1 AS n").createOrReplaceTempView("fm_fz")
+    val calls = Seq(
+      "fuzzy_match(NULL, 'fm_fz', 'c', 'c', 80.0, 'levenshtein')",     // null table
+      "fuzzy_match('fm_fz', 'fm_fz', 'c', 'c', rand(), 'levenshtein')",// non-foldable
+      "fuzzy_match('fm_fz', 'fm_fz', 'c', 'c', 'eighty', 'levenshtein')", // non-numeric threshold
+      "fuzzy_match('fm_fz', 'fm_fz', 'c', 'c', 80.0, 42)",             // numeric algo
+      "fuzzy_match('fm_fz', 'fm_fz', 'c', 'c', 80.0, 'levenshtein', 'top_n')", // dangling option key
+      "fuzzy_match('fm_fz', 'fm_fz', 'c', 'c', 80.0, 'levenshtein', 'use_approx', 'yes')", // non-bool option
+      "fuzzy_match('fm_fz', 'fm_fz', 'c', 'c', 80.0, 'levenshtein', 'top_n', 'many')", // non-numeric option
+      "fuzzy_match('fm_fz')",                                           // too few args
+      "fuzzy_match('no_such_view_xyz', 'fm_fz', 'c', 'c', 80.0, 'levenshtein')", // unknown table
+      "fuzzy_match('fm_fz', 'fm_fz', array(1), 'c', 80.0, 'levenshtein')") // array col name
+    calls.foreach { callSql =>
+      val e = intercept[Throwable] {
+        fresh.sql(s"SELECT * FROM $callSql").collect()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+      assert(!chain(e).exists(_.isInstanceOf[MatchError]),
+        s"MatchError escaped the TVF parser for: $callSql\n$e")
+      assert(chain(e).exists(t => Option(t.getMessage).exists(m =>
+          m.contains("fuzzy_match") || m.contains("Unknown fuzzy algorithm") ||
+            m.contains("TABLE_OR_VIEW_NOT_FOUND"))),
+        s"no diagnostic for: $callSql\ngot: ${e.getMessage}")
+    }
+  }
+
   test("every builder-listed function resolves in a fresh session") {
     val names = GraftExtensions.builders.map(_._1)
     assert(names.size == names.toSet.size, "duplicate function names in the surface")
