@@ -120,4 +120,40 @@ class ConcurrentMatchSpec extends AnyFunSuite with SparkSpec {
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- baselineRdds
     assert(leaked.isEmpty, s"MatchScope leaked persisted RDDs: $leaked")
   }
+
+  test("concurrent fuzzy_match TVF callers get independent, correct plans") {
+    // the SQL front door plans at ANALYSIS time (the TVF builder runs
+    // matchDfs, jobs and all, inside resolution) — four driver threads
+    // issuing fuzzy_match SQL concurrently must each resolve their own
+    // views and produce exactly the serial answer
+    import spark.implicits._
+    val pool = Executors.newFixedThreadPool(4)
+    try {
+      val barrier = new CyclicBarrier(4)
+      val results = (0 until 4).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Set[(Long, Long)]] {
+          override def call(): Set[(Long, Long)] = {
+            // views registered on the SHARED session (the long-running
+            // driver pattern); names are per-thread
+            val vals = (0 until 50).map(v => (v.toLong + i * 1000, f"name$i%d_$v%02d"))
+            vals.toDF("lid", "k").createOrReplaceTempView(s"cfm_l_$i")
+            vals.map { case (id, v) => (id + 100, v) }
+              .toDF("rid", "g").createOrReplaceTempView(s"cfm_r_$i")
+            barrier.await(60, TimeUnit.SECONDS)
+            spark.sql(
+              s"""SELECT lid, rid FROM fuzzy_match('cfm_l_$i', 'cfm_r_$i',
+                    'k', 'g', 95.0, 'levenshtein')""")
+              .as[(Long, Long)].collect().toSet
+          }
+        })
+      }
+      results.zipWithIndex.foreach { case (f, i) =>
+        val got = f.get(120, TimeUnit.SECONDS)
+        // threshold 95 on distinct 2-digit suffixes: only exact-value
+        // pairs survive -> exactly the 50 (id, id+100) self matches
+        val want = (0 until 50).map(v => (v.toLong + i * 1000, v.toLong + i * 1000 + 100)).toSet
+        assert(got == want, s"thread $i: ${got.size} pairs, diff ${got.diff(want).take(3)}")
+      }
+    } finally pool.shutdownNow()
+  }
 }
