@@ -536,9 +536,9 @@ object TextAnalysis {
     * `localCheckpoint` so the returned postings' lineage survives the
     * building scope even with `materialize = false` (a lazy index over
     * scope-released tf/dl barriers would die at scope close). */
-  private def bm25Corpus(corpus: DataFrame, textCol: String, idCol: String,
-                         maxDf: Long,
-                         barrier: DataFrame => DataFrame = mat)
+  private[pipeline] def bm25Corpus(corpus: DataFrame, textCol: String, idCol: String,
+                                   maxDf: Long,
+                                   barrier: DataFrame => DataFrame = mat)
       : (DataFrame, DataFrame, DataFrame, Long, Long) = {
     val tf = corpus
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))

@@ -74,30 +74,54 @@ object AnnStream {
 
   /** INDEX MAINTENANCE on ingest — the vector twin of
     * [[RetrievalStream.bm25AppendWriter]]: each micro-batch of arriving
-    * embeddings assigns to the FROZEN quantizer and unions onto the
-    * running postings ([[AnnSearch.ivfAppendPostings]] per trigger).
-    * The union is lazy, so each generation is `localCheckpoint`ed here —
-    * without the barrier N batches would stack a re-executed union
-    * lineage back to batch 0; with it every fold costs O(batch)
-    * assignment plus the copy of a bounded postings frame. `onUpdate`
-    * receives each generation (hand it to [[ivfTopKWriter]]'s nightly
-    * refresh, or [[AnnSearch.savePostings]] it with the high-water
-    * batchId — a restart replays unacknowledged source batches and a
-    * replayed append duplicates rows, same recovery contract as the
-    * BM25 writer). Re-fit on drift stays a deliberate separate event
+    * embeddings assigns to the FROZEN quantizer and lands as one
+    * O(batch) checkpointed delta segment in a
+    * [[graft.pipeline.IvfSegmentState]]; the served postings are the
+    * lazy union of base + ≤ compactEvery deltas, segments fold into a
+    * new base every `compactEvery` triggers, and superseded segments
+    * are explicitly released one trigger later — bounded resident
+    * blocks on an unbounded stream, never a full-postings copy per
+    * trigger (IndexSegmentsSpec pins both; AnnStreamSpec pins the
+    * result equal to a one-shot assignment over the union). `onUpdate`
+    * receives each generation as a lazy view — valid until one trigger
+    * after the next compaction (the serving-swap grace; see
+    * [[graft.pipeline.IndexSegments]]); hand it to [[ivfTopKWriter]]'s
+    * nightly refresh. For crash recovery use
+    * [[ivfAppendWriterRecoverable]] — a bare restart replays
+    * unacknowledged source batches and a replayed append duplicates
+    * rows. Re-fit on drift stays a deliberate separate event
     * ([[AnnSearch.fitIndex]] + full rebuild), exactly as in the batch
     * lifecycle. */
   def ivfAppendWriter(embStream: DataFrame, initial: DataFrame,
                       vecCol: String, idCol: String, dim: Int,
-                      centroids: Array[Double])
+                      centroids: Array[Double], compactEvery: Int = 16)
                      (onUpdate: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
-    val state = new java.util.concurrent.atomic.AtomicReference(
-      initial.localCheckpoint())
+    val state = new graft.pipeline.IvfSegmentState(initial, vecCol, idCol,
+      dim, centroids, compactEvery)
     embStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val next = AnnSearch.ivfAppendPostings(state.get(), batch,
-        vecCol, idCol, dim, centroids).localCheckpoint()
-      state.set(next)
-      onUpdate(next, batchId)
+      onUpdate(state.fold(batch), batchId)
+    }
+  }
+
+  /** CRASH-RECOVERABLE [[ivfAppendWriter]]: segments live as
+    * batchId-keyed parquet directories under `indexPath`
+    * ([[graft.pipeline.DurableIvfSegmentState]]) — the fold survives JVM
+    * death, and a replayed batch after restart is recognized by
+    * `batchId <= highWater` and skipped, so no postings row ever
+    * duplicates (RecoverableWriterSpec). `initial` bootstraps an empty
+    * store and is not evaluated on reopen. Same `checkpointLocation`
+    * across restarts, as with any stateful sink. */
+  def ivfAppendWriterRecoverable(embStream: DataFrame, indexPath: String,
+                                 vecCol: String, idCol: String, dim: Int,
+                                 centroids: Array[Double],
+                                 initial: => DataFrame,
+                                 compactEvery: Int = 16)
+                                (onUpdate: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val state = graft.pipeline.DurableIvfSegmentState.openOrCreate(
+      embStream.sparkSession, indexPath, vecCol, idCol, dim, centroids,
+      initial, compactEvery)
+    embStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      onUpdate(state.fold(batch, batchId), batchId)
     }
   }
 

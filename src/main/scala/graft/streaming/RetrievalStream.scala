@@ -47,31 +47,55 @@ object RetrievalStream {
 
   /** INDEX MAINTENANCE on ingest — the write-side twin of the two
     * search writers above: each micro-batch of arriving DOCUMENTS folds
-    * into the running [[TextAnalysis.Bm25Index]] via
-    * [[TextAnalysis.bm25Append]], so the index the search writers serve
-    * is only ever one trigger behind the corpus. State is the index
-    * itself: `bm25Append` materializes each generation's postings with
-    * a raw `localCheckpoint`, so lineage is CUT at every fold — N
-    * batches cost N×O(batch + touched-token correction), never a
-    * re-execution chain back to batch 0 (the same bounded-lineage
-    * contract as the build barriers; RetrievalStreamSpec folds a
-    * two-batch stream and pins the result equal to one batch-API build
+    * into the running index, so the index the search writers serve is
+    * only ever one trigger behind the corpus. State is a
+    * [[graft.pipeline.Bm25SegmentState]] (base + bounded delta
+    * segments): each trigger checkpoints ONE O(batch) delta — never the
+    * O(index) full-frame re-materialization the flat
+    * [[TextAnalysis.bm25Append]] pays — segments fold into a new base
+    * every `compactEvery` triggers (the amortized O(index)/compactEvery
+    * step), and superseded segments are explicitly released one trigger
+    * later ([[graft.util.Materialize.release]]), so resident
+    * checkpointed blocks stay bounded forever on an unbounded stream
+    * (IndexSegmentsSpec pins the bound across thousands of folds;
+    * RetrievalStreamSpec pins the result equal to one batch-API build
     * over the union, scores and all). `onUpdate` receives each new
-    * index generation (publish it to a serving thread, or
-    * [[TextAnalysis.saveBm25Index]] it for crash recovery — the stream
-    * checkpoint replays unacknowledged source batches, and a REPLAYED
-    * append violates the disjoint-ids contract, so persist the index
-    * and its high-water batchId together and skip already-folded
-    * batches on restart). Ungated indexes only, like every decremental
-    * mutation (TUNING.md §3e). */
+    * generation as a lazy index view — valid until one trigger after
+    * the next compaction supersedes its segments (the serving-swap
+    * grace; see [[graft.pipeline.IndexSegments]]). For crash recovery
+    * use [[bm25AppendWriterRecoverable]] — a bare restart of THIS
+    * writer replays unacknowledged source batches, and a replayed
+    * append violates the disjoint-ids contract. Ungated indexes only,
+    * like every incremental mutation (TUNING.md §3e). */
   def bm25AppendWriter(docStream: DataFrame, initial: TextAnalysis.Bm25Index,
-                       textCol: String)
+                       textCol: String, compactEvery: Int = 16)
                       (onUpdate: (TextAnalysis.Bm25Index, Long) => Unit): DataStreamWriter[Row] = {
-    val state = new java.util.concurrent.atomic.AtomicReference(initial)
+    val state = new graft.pipeline.Bm25SegmentState(initial, textCol, compactEvery)
     docStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val next = TextAnalysis.bm25Append(state.get(), batch, textCol)
-      state.set(next)
-      onUpdate(next, batchId)
+      onUpdate(state.fold(batch), batchId)
+    }
+  }
+
+  /** CRASH-RECOVERABLE [[bm25AppendWriter]]: segments live as
+    * batchId-keyed parquet directories under `indexPath`
+    * ([[graft.pipeline.DurableBm25SegmentState]]), so the fold survives
+    * JVM death AND a restart from the stream checkpoint is idempotent —
+    * a replayed batch (one whose foreachBatch ran but whose stream
+    * commit didn't) is recognized by `batchId <= highWater` and skipped
+    * instead of double-counted (RecoverableWriterSpec kills a stream
+    * mid-fold and pins the restarted result equal to a clean one-shot
+    * build, scores and all). `initial` bootstraps an EMPTY store and is
+    * not evaluated on reopen. The caller must set the SAME
+    * `checkpointLocation` across restarts, as with any stateful sink. */
+  def bm25AppendWriterRecoverable(docStream: DataFrame, indexPath: String,
+                                  textCol: String,
+                                  initial: => TextAnalysis.Bm25Index,
+                                  compactEvery: Int = 16)
+                                 (onUpdate: (TextAnalysis.Bm25Index, Long) => Unit): DataStreamWriter[Row] = {
+    val state = graft.pipeline.DurableBm25SegmentState.openOrCreate(
+      docStream.sparkSession, indexPath, textCol, initial, compactEvery)
+    docStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      onUpdate(state.fold(batch, batchId), batchId)
     }
   }
 }

@@ -72,6 +72,33 @@ object Materialize {
     MatchScope.register(out)
     out
   }
+
+  /** Release one barrier's storage NOW: checkpointed blocks unpersist
+    * (blocking) and reliable checkpoint files are deleted. This is the
+    * single-frame form of what [[MatchScope.close]] does for a whole
+    * scope — for callers that manage barrier lifetimes explicitly, such
+    * as the segmented index-append writers
+    * ([[graft.streaming.RetrievalStream.bm25AppendWriter]] /
+    * [[graft.streaming.AnnStream.ivfAppendWriter]]) releasing a
+    * superseded generation's segments instead of leaving executor
+    * blocks to driver GC + ContextCleaner. Safe on a never-materialized
+    * frame (falls through to a no-op `unpersist`); reading a RELEASED
+    * frame recomputes from dead blocks and fails — release only after
+    * every consumer of the barrier is done. */
+  def release(df: DataFrame): Unit = df.queryExecution.logical match {
+    case l: LogicalRDD =>
+      // checkpoint()/localCheckpoint() both wrap the materialized RDD in a
+      // LogicalRDD; the RDD carries the blocks and (if reliable) the files
+      l.rdd.getCheckpointFile.foreach { f =>
+        val p = new Path(f)
+        val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+      }
+      l.rdd.unpersist(blocking = true)
+    case _ =>
+      // Persist strategy: the plan is unchanged, CacheManager owns the blocks
+      df.unpersist(blocking = true)
+  }
 }
 
 /** Tracks every barrier [[Materialize]] creates while the scope is active
@@ -100,20 +127,7 @@ final class MatchScope private[util] () extends AutoCloseable {
     frames.clear()
   }
 
-  private def release(df: DataFrame): Unit = df.queryExecution.logical match {
-    case l: LogicalRDD =>
-      // checkpoint()/localCheckpoint() both wrap the materialized RDD in a
-      // LogicalRDD; the RDD carries the blocks and (if reliable) the files
-      l.rdd.getCheckpointFile.foreach { f =>
-        val p = new Path(f)
-        val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-        fs.delete(p, true)
-      }
-      l.rdd.unpersist(blocking = true)
-    case _ =>
-      // Persist strategy: the plan is unchanged, CacheManager owns the blocks
-      df.unpersist(blocking = true)
-  }
+  private def release(df: DataFrame): Unit = Materialize.release(df)
 }
 
 object MatchScope {
