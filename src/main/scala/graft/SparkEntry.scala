@@ -1078,6 +1078,38 @@ object SparkEntry {
           .select(col("doc_id"), (col("doc_id") % 97).as("img_key")),
         "doc_id", "img_key")),
 
+    // ---- hamming-radius pair generation over a PRECOMPUTED hash column
+    // (Dedup.hashPairs): the pigeonhole blocking + bit_count(xor) verify,
+    // previously simhash-only, applied to the perceptual image dHash —
+    // pairs of distinct assets whose 64-bit dHashes differ in <= 8 bits.
+    // Cap disabled (Long.MaxValue): the oracle brute-forces all valid
+    // asset pairs, so parity must not depend on bucket caps.
+    "multimodal_dhash_pairs" -> ((s, dir) => {
+      val keys = t(s, dir, "documents")
+        .select((col("doc_id") % 97).as("img_key")).distinct()
+      val hashed = Multimodal.imageDHash(
+        Multimodal.encodePngDemo(keys, "img_key", maxW = 24, maxH = 20),
+        "payload", "img_key")
+        .where(col("n_pixels") =!= -1L)
+        .select(col("id").as("img_key"), col("dhash"))
+      Dedup.hashPairs(hashed, col("dhash"), "img_key", maxHamming = 8,
+          maxBucketPairs = Long.MaxValue)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+    }),
+
+    // ---- perceptual-CLUSTER curation (hamming <= 2 instead of exact hash
+    // equality): re-encoded/resized copies whose dHash moved a few bits
+    // land in their original's bucket, and chains merge TRANSITIVELY via
+    // connected components — at r=2 the fixture contains a 3-asset cluster
+    // {37,58,87} where 37~58 is > 2 bits apart but both are <= 2 from 87,
+    // so the output pins the closure, not just the pair list. Oracle
+    // replays dHash + gate + brute-force pairs + a recursive-CTE reach.
+    "multimodal_curate_hamming" -> ((s, dir) =>
+      Multimodal.curateByDHash(
+        t(s, dir, "documents")
+          .select(col("doc_id"), (col("doc_id") % 97).as("img_key")),
+        "doc_id", "img_key", maxHamming = 2)),
+
     // ---- as-of join over events: each click attaches the most recent
     // view by the same user at or before the click. Views dedup to one
     // row per (user, ts) first (max event_id) — the determinism contract.
@@ -3311,6 +3343,90 @@ object SparkEntry {
          SELECT CAST(min(doc_id) AS BIGINT) AS keep_doc_id, dhash_hex,
            CAST(count(*) AS BIGINT) AS n_in_bucket
          FROM survivors GROUP BY dhash_hex""",
+    // dHash replay per distinct asset key (same CTEs as multimodal_dhash,
+    // keyed by doc_id % 97), then BRUTE-FORCE hamming pairs — the Spark
+    // side's pigeonhole blocking is exact when uncapped (same convention
+    // as dedup_simhash)
+    "multimodal_dhash_pairs" ->
+      """WITH ks AS (SELECT DISTINCT doc_id % 97 AS k FROM documents),
+         p AS (SELECT k, (k % 24) + 1 AS w, (k % 20) + 1 AS h FROM ks),
+         v AS (SELECT * FROM p WHERE w >= 9 AND h >= 8),
+         px AS (SELECT k, w, h, x.x, y.y FROM v,
+                LATERAL (SELECT unnest(range(0, w)) AS x) x,
+                LATERAL (SELECT unnest(range(0, h)) AS y) y),
+         lum AS (SELECT k,
+                   least((x * 9) // w, 8) AS c, least((y * 8) // h, 7) AS r,
+                   (299 * (((k*31 + x*7 + y*131) % 16777216) // 65536)
+                    + 587 * ((((k*31 + x*7 + y*131) % 16777216) // 256) % 256)
+                    + 114 * (((k*31 + x*7 + y*131) % 16777216) % 256)) // 1000 AS l
+                 FROM px),
+         cells AS (SELECT k, r, c, sum(l) AS s, count(*) AS n
+                   FROM lum GROUP BY k, r, c),
+         bits AS (SELECT a.k, (a.r * 8 + a.c) AS bk,
+                    CASE WHEN a.s * b.n < b.s * a.n THEN 1 ELSE 0 END AS bit
+                  FROM cells a JOIN cells b
+                    ON a.k = b.k AND a.r = b.r AND b.c = a.c + 1),
+         hsh AS (SELECT k,
+                   sum(CASE WHEN bit = 1 THEN (1::UBIGINT << bk::INT)
+                       ELSE 0::UBIGINT END)::UBIGINT AS dh
+                 FROM bits GROUP BY k),
+         hh AS (SELECT v.k, coalesce(dh, 0::UBIGINT) AS dh
+                FROM v LEFT JOIN hsh ON v.k = hsh.k)
+         SELECT CAST(a.k AS BIGINT) AS id_a, CAST(b.k AS BIGINT) AS id_b,
+           CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
+         FROM hh a JOIN hh b ON a.k < b.k
+         WHERE bit_count(xor(a.dh, b.dh)) <= 8""",
+    // curate replay with perceptual CLUSTERS: the multimodal_curate CTEs
+    // (fixture, gate, dHash), then brute-force hamming <= 2 pairs over the
+    // surviving assets and a recursive-CTE transitive closure (min
+    // reachable key = cluster id, its hash = the output bucket hash)
+    "multimodal_curate_hamming" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, doc_id % 97 AS k FROM documents),
+         ks AS (SELECT DISTINCT k FROM d),
+         p AS (SELECT k, (k % 24) + 1 AS w, (k % 20) + 1 AS h FROM ks),
+         fx AS (SELECT k, h, unnest(range(0, w)) AS x FROM p),
+         fy AS (SELECT k, x, unnest(range(0, h)) AS y FROM fx),
+         vv AS (SELECT k, (k*31 + x*7 + y*131) % 16777216 AS v FROM fy),
+         gate AS (SELECT k FROM vv GROUP BY k
+                  HAVING max((299*(v//65536) + 587*((v//256)%256) + 114*(v%256))//1000) >= 34),
+         v2 AS (SELECT * FROM p WHERE w >= 9 AND h >= 8),
+         px AS (SELECT k, w, h, x.x, y.y FROM v2,
+                LATERAL (SELECT unnest(range(0, w)) AS x) x,
+                LATERAL (SELECT unnest(range(0, h)) AS y) y),
+         lum AS (SELECT k,
+                   least((x * 9) // w, 8) AS c, least((y * 8) // h, 7) AS r,
+                   (299 * (((k*31 + x*7 + y*131) % 16777216) // 65536)
+                    + 587 * ((((k*31 + x*7 + y*131) % 16777216) // 256) % 256)
+                    + 114 * (((k*31 + x*7 + y*131) % 16777216) % 256)) // 1000 AS l
+                 FROM px),
+         cells AS (SELECT k, r, c, sum(l) AS s, count(*) AS n
+                   FROM lum GROUP BY k, r, c),
+         bits AS (SELECT a.k, (a.r * 8 + a.c) AS bk,
+                    CASE WHEN a.s * b.n < b.s * a.n THEN 1 ELSE 0 END AS bit
+                  FROM cells a JOIN cells b
+                    ON a.k = b.k AND a.r = b.r AND b.c = a.c + 1),
+         hsh AS (SELECT k,
+                   sum(CASE WHEN bit = 1 THEN (1::UBIGINT << bk::INT)
+                       ELSE 0::UBIGINT END)::UBIGINT AS dh
+                 FROM bits GROUP BY k),
+         sa AS (SELECT v2.k, coalesce(dh, 0::UBIGINT) AS dh,
+                  lpad(hex(coalesce(dh, 0::UBIGINT)), 16, '0') AS dhash_hex
+                FROM v2 LEFT JOIN hsh ON v2.k = hsh.k
+                WHERE v2.k IN (SELECT k FROM gate)),
+         prs AS (SELECT a.k AS ka, b.k AS kb FROM sa a JOIN sa b ON a.k < b.k
+                 WHERE bit_count(xor(a.dh, b.dh)) <= 2),
+         edges AS (SELECT ka AS ea, kb AS eb FROM prs
+                   UNION SELECT kb, ka FROM prs),
+         reach(k, r) AS (SELECT k, k FROM sa
+                         UNION SELECT e.eb, reach.r FROM reach
+                               JOIN edges e ON e.ea = reach.k),
+         comp AS (SELECT k, min(r) AS cid FROM reach GROUP BY k),
+         survivors AS (SELECT d.doc_id, comp.cid FROM d JOIN comp ON d.k = comp.k),
+         reph AS (SELECT k AS cid, dhash_hex FROM sa)
+         SELECT CAST(min(s.doc_id) AS BIGINT) AS keep_doc_id, r.dhash_hex,
+           CAST(count(*) AS BIGINT) AS n_in_bucket
+         FROM survivors s JOIN reph r ON s.cid = r.cid
+         GROUP BY s.cid, r.dhash_hex""",
     // FULL resize replay: the ÷2 area-average from the PNG fixture
     // formula — 4-pixel block sums, integer-division channel means,
     // resized-raster stats; empty results (source < factor) keep their

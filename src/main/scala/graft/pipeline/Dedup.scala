@@ -1081,28 +1081,46 @@ object Dedup {
     graft.fuzzy.vectorFunctions.simhash64(split(lower(trim(textCol)), "\\s+"), useMd5)
 
   /** SimHash near-duplicate pairs with Hamming distance <= maxHamming.
+    * Thin text-specific front of [[hashPairs]]: compute [[simhash64]],
+    * then pigeonhole-block and verify on the 64-bit hash column. */
+  def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3,
+                   maxBucketPairs: Long = 4_000_000L,
+                   checkpoint: CheckpointStrategy = CheckpointStrategy.Local,
+                   useMd5: Boolean = false): DataFrame =
+    hashPairs(docs, simhash64(col(textCol), useMd5), idCol, maxHamming,
+      maxBucketPairs, checkpoint, metricName = "dedup_simhash")
+
+  /** Hamming-radius pair generation over ANY precomputed (or computable)
+    * 64-bit hash column — SimHash, perceptual image dHash
+    * ([[graft.pipeline.Multimodal.imageDHash]]), or any other
+    * locality-preserving 64-bit fingerprint. Emits (id_a, id_b, hamming)
+    * with id_a < id_b and hamming <= maxHamming.
     *
     * Blocking: split the 64-bit hash into (maxHamming + 1) chunks — by
     * pigeonhole any pair within the Hamming budget agrees on at least one
     * full chunk, so the join key (chunk index, chunk value) finds all of
     * them without a cartesian. Verification is `bit_count(xor) <=
-    * maxHamming`, codegen'd. */
-  def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3,
-                   maxBucketPairs: Long = 4_000_000L,
-                   checkpoint: CheckpointStrategy = CheckpointStrategy.Local,
-                   useMd5: Boolean = false): DataFrame = {
+    * maxHamming`, codegen'd. Per-bucket caps + drop accounting
+    * ([[graft.util.CapMetrics]], logged under `metricName`) guard
+    * mass-duplicate skew — run [[exactDedup]] first when identical hashes
+    * are expected in bulk. */
+  def hashPairs(df: DataFrame, hashCol: Column, idCol: String,
+                maxHamming: Int = 3,
+                maxBucketPairs: Long = 4_000_000L,
+                checkpoint: CheckpointStrategy = CheckpointStrategy.Local,
+                metricName: String = "dedup_hamming"): DataFrame = {
     // chunks > 64 would make chunkBits = 0 (empty join keys -> cartesian);
     // pigeonhole needs maxHamming + 1 NON-EMPTY chunks. Remainder bits not
     // covered by any chunk are harmless: completeness only needs the <=
     // maxHamming differing bits spread over maxHamming + 1 disjoint chunks.
     require(maxHamming >= 0 && maxHamming <= 31,
-      s"maxHamming must be in [0, 31] (got $maxHamming) — 64-bit simhash " +
+      s"maxHamming must be in [0, 31] (got $maxHamming) — 64-bit hash " +
         "pigeonhole blocking needs maxHamming + 1 chunks of >= 2 bits")
     val chunks = maxHamming + 1
     val chunkBits = 64 / chunks
     val hashed = Materialize(
-      spread(docs).select(col(idCol), simhash64(col(textCol), useMd5).as("__simhash")),
+      spread(df).select(col(idCol), hashCol.cast("long").as("__simhash")),
       checkpoint)
 
     val chunked = hashed.select(
@@ -1118,7 +1136,7 @@ object Dedup {
     // counted and logged (CapMetrics.gate)
     val bucketStats = chunked.groupBy(col("__chunk"), col("__ckey")).agg(count(lit(1)).as("__n"))
     val overCap = col("__n") * col("__n") > maxBucketPairs
-    val gated = CapMetrics.gate(bucketStats, "dedup_simhash", "__chunk", "__ckey",
+    val gated = CapMetrics.gate(bucketStats, metricName, "__chunk", "__ckey",
         overCap, col("__n") * col("__n"), checkpoint) match {
       case Right(blocked) =>
         if (blocked.isEmpty) chunked

@@ -3,6 +3,8 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
+import graft.util.{CheckpointStrategy, Materialize}
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata.
   *
@@ -915,6 +917,85 @@ object Multimodal {
 
   case class DHashStats(id: Long, dhash: Long, n_pixels: Long)
 
+  /** Composed curation pipeline over an image-keyed corpus: encode the
+    * DISTINCT `imgKeyCol` fixture (materialized ONCE — the quality gate
+    * and the hash branch both read the same encoded frame, bounded at
+    * distinct-asset cardinality), then [[curateByDHashImages]]. All
+    * pixel work rides the distinct-asset side and broadcasts onto the
+    * corpus — decode cost ∝ distinct assets, never ∝ corpus rows
+    * (measured FLAT across 1×/10×/100× tiers, SCALE.md).
+    * Single-sourced on purpose: the `multimodal_curate` /
+    * `multimodal_curate_hamming` queries, the ScaleBench twin, and the
+    * plan-hygiene spec all call THIS, so the pinned plan is the
+    * production plan. */
+  def curateByDHash(docs: DataFrame, idCol: String, imgKeyCol: String,
+                    maxW: Int = 24, maxH: Int = 20,
+                    minMaxLuma: Long = 34, maxHamming: Int = 0,
+                    checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val images = Materialize(
+      encodePngDemo(docs.select(col(imgKeyCol)).distinct(), imgKeyCol, maxW, maxH),
+      checkpoint)
+    curateByDHashImages(docs, idCol, imgKeyCol, images, "payload",
+      minMaxLuma, maxHamming, checkpoint)
+  }
+
+  /** Core of [[curateByDHash]], taking the caller's OWN image bytes (one
+    * row per distinct `imgKeyCol`, payload in `payloadCol`) — the entry
+    * point a real corpus uses, where assets are crawled bytes rather
+    * than a fixture. decode → max-luma quality gate → [[imageDHash]]
+    * (images under the 9×8 grid drop as un-curatable), then keep-min
+    * `idCol` per perceptual bucket.
+    *
+    * `maxHamming` picks the bucket rule:
+    *  - 0 (default): EXACT hash equality — one hash-aggregate, no pair
+    *    stage at all.
+    *  - > 0: perceptual CLUSTERS at hamming <= maxHamming:
+    *    [[Dedup.hashPairs]] pigeonhole blocking over the asset hashes
+    *    (pair work ∝ distinct assets, capped + drop-accounted), then
+    *    [[NearDupCluster.connectedComponents]] — so a re-encoded /
+    *    resized copy (the dHash spec pins lossy JPEG re-encodes within
+    *    8 bits) lands in its original's bucket even though the hashes
+    *    differ, and A~B~C chains merge transitively. `dhash_hex` in the
+    *    output is the cluster representative's (min asset key's) hash.
+    *
+    * Output: (keep_doc_id, dhash_hex, n_in_bucket) either way. */
+  def curateByDHashImages(docs: DataFrame, idCol: String, imgKeyCol: String,
+                          images: DataFrame, payloadCol: String,
+                          minMaxLuma: Long = 34, maxHamming: Int = 0,
+                          checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val quality = decodeImagePixels(images, payloadCol, imgKeyCol)
+      .where(col("max_luma") >= minMaxLuma)
+      .select(col("id").as(imgKeyCol))
+    val hashes = imageDHash(images, payloadCol, imgKeyCol)
+      .where(col("n_pixels") =!= -1L)
+      .select(col("id").as(imgKeyCol), col("dhash"),
+        expr("lpad(hex(dhash), 16, '0')").as("dhash_hex"))
+    if (maxHamming == 0) {
+      docs.join(quality, imgKeyCol).join(hashes.drop("dhash"), imgKeyCol)
+        .groupBy(col("dhash_hex"))
+        .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("n_in_bucket"))
+        .select(col("keep_doc_id"), col("dhash_hex"), col("n_in_bucket"))
+    } else {
+      // cluster the SURVIVING assets (gate ∩ valid hash) at hamming <=
+      // maxHamming; everything here is bounded by distinct-asset
+      // cardinality, so the corpus-sized side never sees pair work
+      val assets = Materialize(quality.join(hashes, Seq(imgKeyCol)), checkpoint)
+      val pairs = Dedup.hashPairs(assets, col("dhash"), imgKeyCol, maxHamming,
+        checkpoint = checkpoint, metricName = "multimodal_dhash")
+      val comps = NearDupCluster.connectedComponents(pairs, checkpoint = checkpoint)
+        .withColumnRenamed("id", imgKeyCol)
+      // singleton assets (no near pair) are their own cluster
+      val labeled = assets.join(comps, Seq(imgKeyCol), "left")
+        .select(col(imgKeyCol), coalesce(col("comp"), col(imgKeyCol)).as("__comp"))
+      val repHash = assets.select(col(imgKeyCol).as("__comp"), col("dhash_hex"))
+      docs.join(labeled, imgKeyCol)
+        .groupBy(col("__comp"))
+        .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("n_in_bucket"))
+        .join(repHash, Seq("__comp"))
+        .select(col("keep_doc_id"), col("dhash_hex"), col("n_in_bucket"))
+    }
+  }
+
   /** Perceptual image hash (difference hash / dHash): decode, reduce to
     * a 9×8 grid of integer luminance block sums (block boundaries
     * `floor(c·w/9)` / `floor(r·h/8)` — exact integers any engine
@@ -923,39 +1004,11 @@ object Multimodal {
     * (`sumA·cntB < sumB·cntA`) so unequal block sizes never pass
     * through a rounded division. The raw-byte image near-dup primitive:
     * hamming distance between dhashes survives re-encode/resize/light
-    * edits, and the pair generation reuses the 64-bit simhash blocking
-    * machinery unchanged ([[Dedup.simhashPairs]] shape). Images smaller
+    * edits, and the pair generation reuses the 64-bit pigeonhole
+    * blocking machinery unchanged ([[Dedup.hashPairs]]). Images smaller
     * than the grid (w < 9 or h < 8) or undecodable sentinel with
     * n_pixels = -1. Everything after the codec is integer arithmetic,
     * so the oracle replays grid, comparisons and hash exactly. */
-  /** Composed curation pipeline over an image-keyed corpus: encode the
-    * DISTINCT `imgKeyCol` fixture, decode → max-luma quality gate →
-    * [[imageDHash]] (images under the 9×8 grid drop as un-curatable),
-    * then keep-min `idCol` per perceptual-hash bucket. All pixel work
-    * rides the distinct-asset side and broadcasts onto the corpus —
-    * decode cost ∝ distinct assets, never ∝ corpus rows (measured FLAT
-    * across 1×/10×/100× tiers, SCALE.md). Single-sourced on purpose:
-    * the `multimodal_curate` query, its ScaleBench twin, and the
-    * plan-hygiene spec all call THIS, so the pinned plan is the
-    * production plan. */
-  def curateByDHash(docs: DataFrame, idCol: String, imgKeyCol: String,
-                    maxW: Int = 24, maxH: Int = 20,
-                    minMaxLuma: Long = 34): DataFrame = {
-    val images = encodePngDemo(docs.select(col(imgKeyCol)).distinct(),
-      imgKeyCol, maxW, maxH)
-    val quality = decodeImagePixels(images, "payload", imgKeyCol)
-      .where(col("max_luma") >= minMaxLuma)
-      .select(col("id").as(imgKeyCol))
-    val hashes = imageDHash(images, "payload", imgKeyCol)
-      .where(col("n_pixels") =!= -1L)
-      .select(col("id").as(imgKeyCol),
-        expr("lpad(hex(dhash), 16, '0')").as("dhash_hex"))
-    docs.join(quality, imgKeyCol).join(hashes, imgKeyCol)
-      .groupBy(col("dhash_hex"))
-      .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("n_in_bucket"))
-      .select(col("keep_doc_id"), col("dhash_hex"), col("n_in_bucket"))
-  }
-
   def imageDHash(df: DataFrame, binCol: String, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

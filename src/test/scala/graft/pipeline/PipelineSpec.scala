@@ -1599,6 +1599,69 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       s"different images implausibly close: ${hamming(h(10L), h(12L))}")
   }
 
+  test("hashPairs: hamming-radius pairs over a precomputed 64-bit hash " +
+    "column, including the top (uncovered-remainder) bit") {
+    val df = Seq((1L, 0L), (2L, 3L), (3L, 0xFFL), (4L, Long.MinValue))
+      .toDF("id", "h")
+    val got = Dedup.hashPairs(df, col("h"), "id", maxHamming = 2)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("hamming"))).toSet
+    // hamming(0, 3) = 2; hamming(0, 1<<63) = 1 — bit 63 lies outside the
+    // 3 x 21-bit pigeonhole chunks, so this pins the remainder-bit
+    // completeness argument; every other pair differs by > 2 bits
+    assert(got == Set((1L, 2L, 2), (1L, 4L, 1)), got.toString)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.hashPairs(df, col("h"), "id", maxHamming = 32)
+    }
+    assert(e.getMessage.contains("maxHamming"), e.getMessage)
+  }
+
+  test("curateByDHashImages: hamming clustering catches a near-duplicate " +
+    "copy (re-encode / light edit) that exact hash equality misses") {
+    def png(g: (Int, Int) => Int, w: Int = 36, h: Int = 32): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = g(x, y); img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // the recrawl case: the same texture with a brightened band — a
+    // deterministic stand-in for a lossy re-encode (this JDK's
+    // default-quality JPEG round trip happens to keep the dHash
+    // bit-identical, which exact equality already handles; the dHash
+    // spec above pins lossy re-encodes within 8 bits, so the edit's
+    // hamming-4 copy is inside the same contract)
+    def tex(x: Int, y: Int): Int = ((x * 37 + y * 11) % 200) + 20
+    val texture = png(tex)
+    val edited = png((x, y) => if (x < 4) math.min(tex(x, y) + 35, 255) else tex(x, y))
+    val other = png((x, y) => ((x * 5 + (31 - y) * 29) % 200) + 20)
+    val images = Seq((10L, texture), (11L, edited), (12L, other))
+      .toDF("img_key", "payload")
+    // pin the premise: 0 < hamming(texture, edited) <= 8, unrelated far
+    val h = Multimodal.imageDHash(images, "payload", "img_key")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("dhash")).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(10L), h(11L)) > 0 && hamming(h(10L), h(11L)) <= 8,
+      s"edit premise: ${hamming(h(10L), h(11L))} bits")
+    assert(hamming(h(10L), h(12L)) > 8, s"unrelated: ${hamming(h(10L), h(12L))}")
+
+    val docs = Seq((100L, 10L), (101L, 10L), (102L, 11L), (103L, 12L))
+      .toDF("doc_id", "img_key")
+    def run(r: Int) = Multimodal.curateByDHashImages(
+        docs, "doc_id", "img_key", images, "payload", maxHamming = r)
+      .collect().map(x => (x.getAs[Long]("keep_doc_id"),
+        x.getAs[Long]("n_in_bucket"))).toSet
+    // exact equality: the edited copy's hash differs by a few bits, so
+    // it survives as its own bucket — the miss the hamming mode closes
+    assert(run(0) == Set((100L, 2L), (102L, 1L), (103L, 1L)), run(0).toString)
+    // hamming <= 8: the near-dup copy joins its original's cluster; the
+    // unrelated image does not
+    assert(run(8) == Set((100L, 3L), (103L, 1L)), run(8).toString)
+  }
+
   test("IMA ADPCM: hand-computed nibble steps, clamp engagement, " +
     "per-block state reseed, and malformed sentinels") {
     // published-algorithm spot values from state (pred=0, index=0, step=7):
