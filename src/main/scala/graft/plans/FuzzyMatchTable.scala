@@ -32,17 +32,35 @@ import graft.fuzzy.{FuzzyAlgorithm, FuzzyMapping, FuzzyMatcher, MatchOptions}
   *
   *   'use_approx',  true|false   — force LSH / force exact (omit = auto),
   *   'top_n',       int          — top-N per record on the approx path,
-  *   'cross_over',  long         — cartesian size where auto flips to LSH.
+  *   'cross_over',  long         — cartesian size where auto flips to LSH,
+  *   'checkpoint_dir', 'path'    — fault-tolerant barriers: materialize
+  *                                 multi-pass intermediates as reliable
+  *                                 checkpoints under the caller-owned
+  *                                 directory ([[graft.util
+  *                                 .CheckpointStrategy.Reliable]]) instead
+  *                                 of executor-local blocks — the
+  *                                 reference front door's `temp_dir`
+  *                                 (matcher.py:580-658) for SQL clients,
+  *                                 and the difference between a
+  *                                 restartable nightly job and one that
+  *                                 recomputes on any executor loss.
+  *                                 Lifecycle: files live under the given
+  *                                 dir for the app lifetime unless the
+  *                                 calling thread wraps the statement in
+  *                                 [[graft.util.MatchScope.withMatchScope]]
+  *                                 (files release on scope close) or
+  *                                 simply deletes the dir after reading
+  *                                 the result (the reference's context-
+  *                                 manager contract).
   *
   * Quadruple-vs-option disambiguation: parsing consumes quadruples until
   * the next argument is one of the option keys. A LEFT COLUMN literally
-  * named `use_approx`/`top_n`/`cross_over` therefore cannot start a
-  * quadruple — alias such a column before calling. The mix still always
-  * ERRORS rather than mis-parsing silently: either the trailing
-  * remainder is odd (arity rejection) or the would-be column name is
-  * consumed as an option key whose value fails validation (a
-  * "use_approx must be a boolean literal, got '<right_col>'"-style
-  * message — misdirected wording, but a hard error).
+  * named like an option key therefore cannot start a quadruple — alias
+  * such a column before calling. The mix still always ERRORS rather than
+  * mis-parsing silently: either the trailing remainder is odd (arity
+  * rejection) or the would-be column name is consumed as an option key
+  * whose value fails validation with a message explaining the
+  * quadruple-vs-option ambiguity.
   * The builder resolves the names with `spark.table(...)` and returns the
   * matcher's ANALYZED logical plan, so the enclosing query composes
   * normally (projections/filters on top get optimized into the plan by
@@ -63,9 +81,22 @@ object FuzzyMatchTable {
       "'left_col', 'right_col', threshold(0-100), " +
       s"'algo' in {${FuzzyAlgorithm.all.map(_.name).mkString(", ")}}, " +
       "then optional ('use_approx', bool | 'top_n', int | 'cross_over', " +
-      "long) pairs)"
+      "long | 'checkpoint_dir', 'path') pairs)"
 
-  private val OptionKeys = Set("use_approx", "top_n", "cross_over")
+  private val OptionKeys = Set("use_approx", "top_n", "cross_over", "checkpoint_dir")
+
+  /** The collision case: a left column named like an option key ended the
+    * quadruple run, so what follows is parsed as option pairs and the
+    * "value" is really the intended right column. Always a hard error —
+    * this wording explains the ambiguity instead of misdirecting. */
+  private def ambiguity(key: String, got: Any, expected: String): Nothing =
+    throw new IllegalArgumentException(
+      s"fuzzy_match: option '$key' expects $expected, got '$got'. If " +
+        s"'$key' was meant as a mapping's LEFT COLUMN, note that a column " +
+        "literally named like an option key cannot start a quadruple " +
+        s"(parsing switches to option pairs at the first of " +
+        s"${OptionKeys.toSeq.sorted.mkString("'", "'/'", "'")}) — alias " +
+        s"the column before calling. Usage: $usage")
 
   private def lit(e: Expression, what: String): Any = {
     if (!e.foldable)
@@ -80,6 +111,19 @@ object FuzzyMatchTable {
     case other =>
       throw new IllegalArgumentException(
         s"fuzzy_match: $what must be a string literal, got '$other'. Usage: $usage")
+  }
+
+  /** Numeric value of a foldable option argument, None if non-numeric —
+    * lets the caller emit the quadruple-vs-option ambiguity message
+    * instead of [[dbl]]'s generic one. */
+  private def numeric(e: Expression): Option[Double] = lit(e, "option value") match {
+    case d: Double => Some(d)
+    case f: Float => Some(f.toDouble)
+    case i: Int => Some(i.toDouble)
+    case l: Long => Some(l.toDouble)
+    case d: java.math.BigDecimal => Some(d.doubleValue())
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+    case _ => None
   }
 
   private def dbl(e: Expression, what: String): Double = lit(e, what) match {
@@ -132,11 +176,23 @@ object FuzzyMatchTable {
       case (o, Seq(k, v)) => str(k, "option name") match {
         case "use_approx" => lit(v, "use_approx value") match {
           case b: Boolean => o.copy(useApproxNearestNeighbor = Some(b))
-          case other => throw new IllegalArgumentException(
-            s"fuzzy_match: use_approx must be a boolean literal, got '$other'")
+          case other => ambiguity("use_approx", other, "a boolean literal")
         }
-        case "top_n" => o.copy(topNForNewMatches = dbl(v, "top_n value").toInt)
-        case "cross_over" => o.copy(crossOverForApprox = dbl(v, "cross_over value"))
+        case "top_n" => numeric(v) match {
+          case Some(n) => o.copy(topNForNewMatches = n.toInt)
+          case None => ambiguity("top_n", lit(v, "top_n value"), "an integer literal")
+        }
+        case "cross_over" => numeric(v) match {
+          case Some(n) => o.copy(crossOverForApprox = n)
+          case None =>
+            ambiguity("cross_over", lit(v, "cross_over value"), "a numeric literal")
+        }
+        case "checkpoint_dir" => lit(v, "checkpoint_dir value") match {
+          case s: UTF8String if s.toString.nonEmpty =>
+            o.copy(checkpoint = graft.util.CheckpointStrategy.Reliable(s.toString))
+          case other => ambiguity("checkpoint_dir", other,
+            "a non-empty string literal (an HDFS-compatible directory)")
+        }
         case other => throw new IllegalArgumentException(
           s"fuzzy_match: unknown option '$other'. Usage: $usage")
       }

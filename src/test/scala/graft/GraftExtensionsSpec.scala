@@ -95,6 +95,49 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("fuzzy_match"), e.getMessage)
   }
 
+  test("fuzzy_match TVF: checkpoint_dir gives a pure-SQL client reliable " +
+    "barriers (files under the caller's dir, released by MatchScope)") {
+    val fresh = spark.newSession()
+    import fresh.implicits._
+    Seq(("apple inc", 1L), ("micro soft", 2L))
+      .toDF("lname", "lid").createOrReplaceTempView("fmc_left")
+    Seq(("apple incx", 10L), ("microsoft", 20L))
+      .toDF("rname", "rid").createOrReplaceTempView("fmc_right")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tvf_ckpt").toFile
+    try {
+      def files() = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(dir)
+      }
+      val baseline = fresh.sql(
+        """SELECT lid, rid FROM fuzzy_match('fmc_left', 'fmc_right',
+             'lname', 'rname', 70.0, 'levenshtein') ORDER BY lid, rid""")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val inScope = graft.util.MatchScope.withMatchScope {
+        val rows = fresh.sql(
+          s"""SELECT lid, rid FROM fuzzy_match('fmc_left', 'fmc_right',
+                'lname', 'rname', 70.0, 'levenshtein',
+                'checkpoint_dir', '${dir.getAbsolutePath}') ORDER BY lid, rid""")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        // reliable barriers materialized under the CALLER'S directory
+        assert(files().nonEmpty,
+          s"no checkpoint files under ${dir.getAbsolutePath}")
+        rows
+      }
+      assert(inScope == baseline, s"reliable=$inScope local=$baseline")
+      // the scope released the checkpoint files on close (the lifecycle
+      // contract shared with the Scala front door's withTempMatchDir)
+      assert(files().isEmpty, s"leaked checkpoint files: ${files()}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("fuzzy_match TVF rejects malformed argument lists") {
     val fresh = spark.newSession()
     fresh.range(1).selectExpr("'a' AS c").createOrReplaceTempView("fm_bad")
@@ -123,6 +166,9 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
       "fuzzy_match('fm_fz', 'fm_fz', 'c', 'c', 80.0, 'levenshtein', 'top_n')", // dangling option key
       "fuzzy_match('fm_fz', 'fm_fz', 'c', 'c', 80.0, 'levenshtein', 'use_approx', 'yes')", // non-bool option
       "fuzzy_match('fm_fz', 'fm_fz', 'c', 'c', 80.0, 'levenshtein', 'top_n', 'many')", // non-numeric option
+      "fuzzy_match('fm_fz', 'fm_fz', 'c', 'c', 80.0, 'levenshtein', 'checkpoint_dir', 42)", // non-string dir
+      "fuzzy_match('fm_fz', 'fm_fz', 'c', 'c', 80.0, 'levenshtein', 'checkpoint_dir', '')", // empty dir
+      "fuzzy_match('fm_fz', 'fm_fz', 'cross_over', 'c', 80.0, 'levenshtein')", // option-key column collision
       "fuzzy_match('fm_fz')",                                           // too few args
       "fuzzy_match('no_such_view_xyz', 'fm_fz', 'c', 'c', 80.0, 'levenshtein')", // unknown table
       "fuzzy_match('fm_fz', 'fm_fz', array(1), 'c', 80.0, 'levenshtein')") // array col name
@@ -139,6 +185,27 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
             m.contains("TABLE_OR_VIEW_NOT_FOUND"))),
         s"no diagnostic for: $callSql\ngot: ${e.getMessage}")
     }
+  }
+
+  test("fuzzy_match TVF: the option-key column collision error explains " +
+    "the quadruple-vs-option ambiguity instead of misdirecting") {
+    val fresh = spark.newSession()
+    fresh.range(1).selectExpr("'a' AS use_approx", "'b' AS c")
+      .createOrReplaceTempView("fm_amb")
+    // a second mapping whose LEFT COLUMN is literally 'use_approx': the
+    // parser stops quadruple consumption there and reads ('use_approx',
+    // '<right_col>') as an option pair — must hard-error with the
+    // aliasing hint, never silently mis-parse
+    val e = intercept[Exception] {
+      fresh.sql(
+        """SELECT * FROM fuzzy_match('fm_amb', 'fm_amb',
+             'c', 'c', 80.0, 'levenshtein',
+             'use_approx', 'c', 80.0, 'levenshtein')""").collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    val msg = chain(e).flatMap(t => Option(t.getMessage)).mkString("\n")
+    assert(msg.contains("use_approx") && msg.contains("alias"), msg)
   }
 
   test("every builder-listed function resolves in a fresh session") {
