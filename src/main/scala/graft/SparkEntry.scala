@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{array, coalesce, col, concat, concat_ws, count, encode, explode, expr, get_json_object, length, lit, lower, max, min, posexplode, round => sround, slice, split, substring, sum, trim, when}
+import org.apache.spark.sql.functions.{array, coalesce, col, concat, concat_ws, count, encode, explode, expr, get_json_object, length, lit, lower, max, min, posexplode, round => sround, slice, split, substring, sum, transform, trim, when}
 
 import graft.fuzzy.{FuzzyAlgorithm, FuzzyMapping, FuzzyMatcher, MatchOptions}
 import graft.pipeline.{AnnSearch, AsofJoin, Curation, Decontaminate, Dedup, Multimodal, NearDupCluster, Profile, QualityModel, RangeJoin, Sessionize, TextAnalysis}
@@ -473,6 +473,39 @@ object SparkEntry {
       res.select(col("query_id"), col("corpus_id"),
         sround(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
     }),
+    // drift-triggered refit, the full monitor -> refit -> gate -> swap
+    // cycle (AnnSearch.refitOnDrift): the corpus is re-encoded with a
+    // planted covariate shift (+0.25 on every component — EXACT float
+    // arithmetic both engines reproduce bit-for-bit, so the drift is
+    // ~2.0 at ANY scale factor, decisively over tau=1.0 yet never
+    // flaky). The monitor trips, the index refits on the new corpus,
+    // and the full-probe gate provably scores recall 1.0 (full probe ==
+    // brute force), so the swap is accepted and the served result
+    // equals brute force over the SHIFTED corpus. The oracle REPLAYS
+    // the decision: it computes the quantized-integer drift, and emits
+    // the shifted-corpus ranking when it exceeds tau, the old-corpus
+    // ranking otherwise — so a monitor, threshold, or swap-plumbing bug
+    // all surface as a hash diff.
+    "ann_drift_refit" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val shifted = emb.withColumn("embedding",
+        transform(col("embedding"), v => v + lit(0.25f)))
+      val servingFlat = AnnSearch.normalizeCentroids(
+        AnnSearch.kmeansFit(emb, "embedding", dim = 64, k = 8, iters = 2))
+      val servingPosts = AnnSearch.ivfPostings(emb, "embedding", "vec_id", 64, servingFlat)
+      val out = AnnSearch.refitOnDrift(servingFlat, servingPosts,
+        emb, shifted, "embedding", "vec_id", dim = 64, nCells = 8, iters = 2,
+        groupCols = Seq("label"), driftTau = 1.0,
+        gateQueries = shifted.where(col("vec_id") < 10), gateK = 10,
+        gateNProbe = 8, minMeanRecall = 0.99)
+      AnnSearch.ivfTopKFromPostings(shifted.where(col("vec_id") < 10),
+          out.postings, "embedding", "vec_id", 10, dim = 64, out.centroids, nProbe = 8)
+        .select(col("query_id"), col("corpus_id"),
+          sround(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+        .withColumn("l2_move", sround(lit(out.l2Move), 6))
+        .withColumn("swapped", lit(out.swapped))
+    }),
+
     // metadata-filtered exact search: predicate pushed into the corpus
     // scan BEFORE scoring — pre-filter semantics, no recall loss
     "ann_cosine_filtered" -> ((s, dir) => {
@@ -2624,6 +2657,56 @@ object SparkEntry {
                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
                FROM s)
          SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 10""",
+    // drift-refit POLICY replay: the shifted corpus (exact float +0.25,
+    // CAST(double + 0.25 AS FLOAT) == IEEE float add), the
+    // quantized-integer centroid drift (embed_drift's CTEs over old vs
+    // shifted), and the served ranking CHOSEN BY the computed decision —
+    // shifted-corpus brute force when max l2_move > tau (the full-probe
+    // gate passes by construction: full probe == brute force => recall
+    // 1.0), old-corpus brute force otherwise
+    "ann_drift_refit" ->
+      """WITH sh AS (SELECT vec_id, label,
+                list_transform(embedding,
+                  v -> CAST(CAST(v AS DOUBLE) + 0.25 AS FLOAT)) AS embedding
+              FROM embeddings),
+         o AS (SELECT label, i AS dim,
+                 sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) / 1000000.0 / count(*) AS co
+               FROM (SELECT label, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS i FROM embeddings)
+               GROUP BY 1, 2),
+         n AS (SELECT label, i AS dim,
+                 sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) / 1000000.0 / count(*) AS cn
+               FROM (SELECT label, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS i FROM sh)
+               GROUP BY 1, 2),
+         mv AS (SELECT o.label,
+                  round(sqrt(CAST(sum(CAST(round((cn - co) * 1000000) AS BIGINT)
+                    * CAST(round((cn - co) * 1000000) AS BIGINT)) AS DOUBLE)) / 1000000.0, 6) AS l2
+                FROM o JOIN n ON o.label = n.label AND o.dim = n.dim GROUP BY o.label),
+         dm AS (SELECT max(l2) AS dm FROM mv),
+         qn AS (SELECT vec_id AS query_id, embedding AS qv FROM sh WHERE vec_id < 10),
+         sn AS (SELECT query_id, c.vec_id AS corpus_id,
+                  list_cosine_similarity(qv::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+                FROM qn CROSS JOIN sh c WHERE c.vec_id != query_id),
+         rn AS (SELECT query_id, corpus_id, cos,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+                FROM sn),
+         qo AS (SELECT vec_id AS query_id, embedding AS qv FROM sh WHERE vec_id < 10),
+         so AS (SELECT query_id, c.vec_id AS corpus_id,
+                  list_cosine_similarity(qo.qv::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+                FROM qo CROSS JOIN embeddings c WHERE c.vec_id != query_id),
+         ro AS (SELECT query_id, corpus_id, cos,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+                FROM so),
+         pick AS (SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
+                  FROM rn WHERE rank <= 10 AND (SELECT dm FROM dm) > 1.0
+                  UNION ALL
+                  SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
+                  FROM ro WHERE rank <= 10 AND (SELECT dm FROM dm) <= 1.0)
+         SELECT query_id, corpus_id, cosine, CAST(rank AS BIGINT) AS rank,
+           round((SELECT dm FROM dm), 6) AS l2_move,
+           (SELECT dm FROM dm) > 1.0 AS swapped
+         FROM pick""",
     // full probe + full rerank make IVF-PQ provably exhaustive, so the
     // oracle is the same brute-force cosine top-k as ann_ivf_append
     "ann_cosine_ivfpq" ->

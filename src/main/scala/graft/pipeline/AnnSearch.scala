@@ -752,6 +752,67 @@ object AnnSearch {
     postings.join(fids, Seq("corpus_id"), "left_anti")
   }
 
+  /** Outcome of one [[refitOnDrift]] evaluation. `centroids`/`postings`
+    * are the state to SERVE after the cycle: the refit state when the
+    * swap was accepted, the caller's current state otherwise.
+    * `gateRecall` is -1.0 when the monitor did not trip (the gate never
+    * ran). */
+  final case class DriftRefitOutcome(
+      l2Move: Double, drifted: Boolean, gateRecall: Double, swapped: Boolean,
+      centroids: Array[Double], postings: DataFrame)
+
+  /** The "re-fit on drift is a deliberate separate event" policy
+    * ([[ivfAppendPostings]]/[[ivfForgetPostings]] scaladoc), wired into
+    * one monitored cycle: drift monitor → refit + postings rebuild →
+    * ranking-quality gate → swap-or-keep.
+    *
+    *  1. MONITOR: [[Embeddings.centroidDrift]] between the corpus the
+    *     serving quantizer was fitted on (`oldCorpus`) and the current
+    *     corpus (`newCorpus`), grouped by `groupCols`; the trigger is
+    *     max `l2_move` > `driftTau`. Exact quantized-integer arithmetic,
+    *     one scan per side.
+    *  2. REFIT (only when tripped): [[kmeansFit]] + [[ivfPostings]] on
+    *     `newCorpus` — the full rebuild the append/forget scaladocs
+    *     defer to, run at most once per monitor trip instead of per
+    *     batch.
+    *  3. GATE: the refit index must EARN the swap — [[evalRanking]] of
+    *     its `gateNProbe`-probe search against the exact
+    *     [[bruteForceTopK]] truth on `gateQueries`; mean recall@k below
+    *     `minMeanRecall` keeps the serving state (a refit that chased a
+    *     drifted corpus into degenerate cells must not replace a working
+    *     index).
+    *
+    * Scale: the monitor is two centroid scans; the gate costs k·|gate
+    * queries| — both tiny next to the rebuild they guard. The rebuild
+    * itself is the documented fit-once cost ([[fitIndex]], SCALE.md
+    * "IVF fit cost at sf10"). Nothing here runs per-batch: call this
+    * from the nightly/weekly maintenance job, keep
+    * [[ivfAppendPostings]] on the ingest path. */
+  def refitOnDrift(servingCentroids: Array[Double], servingPostings: DataFrame,
+                   oldCorpus: DataFrame, newCorpus: DataFrame,
+                   vecCol: String, idCol: String, dim: Int, nCells: Int,
+                   iters: Int, groupCols: Seq[String], driftTau: Double,
+                   gateQueries: DataFrame, gateK: Int, gateNProbe: Int,
+                   minMeanRecall: Double, seed: Long = 42L): DriftRefitOutcome = {
+    val drift = Embeddings.centroidDrift(oldCorpus, newCorpus, groupCols, vecCol)
+      .agg(coalesce(max(col("l2_move")), lit(0.0)).as("m")).head().getDouble(0)
+    if (drift <= driftTau)
+      return DriftRefitOutcome(drift, drifted = false, gateRecall = -1.0,
+        swapped = false, servingCentroids, servingPostings)
+    val flat = normFlat(kmeansFit(newCorpus, vecCol, dim, nCells, iters, seed))
+    val posts = ivfPostings(newCorpus, vecCol, idCol, dim, flat)
+    val result = ivfTopKFromPostings(gateQueries, posts, vecCol, idCol,
+      gateK, dim, flat, gateNProbe)
+    val truth = bruteForceTopK(gateQueries, newCorpus, vecCol, idCol, gateK)
+    val recall = evalRanking(result, truth, gateK)
+      .agg(coalesce(avg(col("recall")), lit(0.0)).as("r")).head().getDouble(0)
+    if (recall >= minMeanRecall)
+      DriftRefitOutcome(drift, drifted = true, recall, swapped = true, flat, posts)
+    else
+      DriftRefitOutcome(drift, drifted = true, recall, swapped = false,
+        servingCentroids, servingPostings)
+  }
+
   /** Persist postings CELL-PARTITIONED (`.../cell=N/` parquet dirs): a
     * probe that touches nProbe cells then reads ONLY those directories —
     * partition pruning does the index lookup at the storage layer, which

@@ -179,6 +179,61 @@ class IvfSpec extends AnyFunSuite with SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("refitOnDrift: no drift keeps the serving state untouched; real " +
+    "drift refits; a refit that fails the ranking gate is rejected") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val servingFlat = AnnSearch.normalizeCentroids(
+      AnnSearch.kmeansFit(emb, "embedding", dim = 64, k = 8, iters = 2))
+    val servingPosts = AnnSearch.ivfPostings(emb, "embedding", "vec_id", 64, servingFlat)
+    val gate = emb.where(col("vec_id") < 10)
+
+    // arm 1 — monitor quiet (old == new): nothing runs, state unchanged
+    val same = AnnSearch.refitOnDrift(servingFlat, servingPosts, emb, emb,
+      "embedding", "vec_id", dim = 64, nCells = 8, iters = 2,
+      groupCols = Seq("label"), driftTau = 1.0,
+      gateQueries = gate, gateK = 10, gateNProbe = 8, minMeanRecall = 0.99)
+    assert(!same.drifted && !same.swapped && same.l2Move == 0.0)
+    assert(same.gateRecall == -1.0, "gate must not run when the monitor is quiet")
+    assert(same.centroids eq servingFlat, "serving centroids must be returned as-is")
+    assert(same.postings eq servingPosts, "serving postings must be returned as-is")
+
+    // planted covariate shift: exact float +0.25 per component (the
+    // oracled ann_drift_refit fixture) -> per-label drift ~2.0
+    val shifted = emb.withColumn("embedding",
+      transform(col("embedding"), v => v + lit(0.25f)))
+    val shiftedGate = shifted.where(col("vec_id") < 10)
+
+    // arm 2 — drift + full-probe gate: refit accepted, served result over
+    // the NEW corpus equals brute force over it
+    val ok = AnnSearch.refitOnDrift(servingFlat, servingPosts, emb, shifted,
+      "embedding", "vec_id", dim = 64, nCells = 8, iters = 2,
+      groupCols = Seq("label"), driftTau = 1.0,
+      gateQueries = shiftedGate, gateK = 10, gateNProbe = 8, minMeanRecall = 0.99)
+    assert(ok.drifted && ok.swapped && ok.l2Move > 1.9 && ok.l2Move < 2.1,
+      s"drift=${ok.l2Move}")
+    assert(ok.gateRecall == 1.0, s"full probe must gate at exactly 1.0: ${ok.gateRecall}")
+    val served = AnnSearch.ivfTopKFromPostings(shiftedGate, ok.postings,
+        "embedding", "vec_id", 10, 64, ok.centroids, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = AnnSearch.bruteForceTopK(shiftedGate, shifted,
+        "embedding", "vec_id", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served == brute)
+
+    // arm 3 — drift but the refit cannot EARN the swap: a 1-cell probe
+    // against an impossible recall bar keeps the old serving state
+    val rejected = AnnSearch.refitOnDrift(servingFlat, servingPosts, emb, shifted,
+      "embedding", "vec_id", dim = 64, nCells = 8, iters = 2,
+      groupCols = Seq("label"), driftTau = 1.0,
+      gateQueries = shiftedGate, gateK = 10, gateNProbe = 1, minMeanRecall = 0.99)
+    assert(rejected.drifted && !rejected.swapped,
+      s"recall=${rejected.gateRecall} must be below the 0.99 bar")
+    assert(rejected.gateRecall >= 0.0 && rejected.gateRecall < 0.99)
+    assert(rejected.centroids eq servingFlat)
+    assert(rejected.postings eq servingPosts)
+  }
+
   test("nearestCells degrades gracefully on all-NaN query vectors") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     val dim = 4
