@@ -793,14 +793,27 @@ object AnnSearch {
                    vecCol: String, idCol: String, dim: Int, nCells: Int,
                    iters: Int, groupCols: Seq[String], driftTau: Double,
                    gateQueries: DataFrame, gateK: Int, gateNProbe: Int,
-                   minMeanRecall: Double, seed: Long = 42L): DriftRefitOutcome = {
+                   minMeanRecall: Double, seed: Long = 42L,
+                   checkpoint: graft.util.CheckpointStrategy =
+                     graft.util.CheckpointStrategy.Local): DriftRefitOutcome = {
     val drift = Embeddings.centroidDrift(oldCorpus, newCorpus, groupCols, vecCol)
       .agg(coalesce(max(col("l2_move")), lit(0.0)).as("m")).head().getDouble(0)
     if (drift <= driftTau)
       return DriftRefitOutcome(drift, drifted = false, gateRecall = -1.0,
         swapped = false, servingCentroids, servingPostings)
+    // an empty gate set would score avg(recall) = 0 and reject EVERY
+    // refit forever — the one failure mode worse than no monitor. Hard
+    // error instead (the check costs one limit-1 scan, once per trip).
+    require(!gateQueries.isEmpty,
+      "refitOnDrift: gateQueries is empty — the ranking gate cannot " +
+        "score the refit index, and scoring it 0 would reject every " +
+        "swap silently. Pass a non-empty gate query sample.")
     val flat = normFlat(kmeansFit(newCorpus, vecCol, dim, nCells, iters, seed))
-    val posts = ivfPostings(newCorpus, vecCol, idCol, dim, flat)
+    // barrier: the gate search AND every post-swap consumer read these
+    // postings — without it the full-corpus cell assignment recomputes
+    // per consumer (the single most expensive step of the cycle)
+    val posts = graft.util.Materialize(
+      ivfPostings(newCorpus, vecCol, idCol, dim, flat), checkpoint)
     val result = ivfTopKFromPostings(gateQueries, posts, vecCol, idCol,
       gateK, dim, flat, gateNProbe)
     val truth = bruteForceTopK(gateQueries, newCorpus, vecCol, idCol, gateK)

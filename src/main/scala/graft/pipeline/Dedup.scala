@@ -1117,6 +1117,16 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming <= 31,
       s"maxHamming must be in [0, 31] (got $maxHamming) — 64-bit hash " +
         "pigeonhole blocking needs maxHamming + 1 chunks of >= 2 bits")
+    // integral only: a silent cast('long') over e.g. a HEX-STRING hash
+    // column would null every key and return ZERO pairs with no error —
+    // the wrong-answer mode for "no near-duplicates found"
+    val hashType = df.select(hashCol).schema.head.dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(hashType),
+      s"hashPairs needs an integral hash column, got $hashType — pass " +
+        "the raw 64-bit hash (e.g. imageDHash's `dhash`), not its hex form")
     val chunks = maxHamming + 1
     val chunkBits = 64 / chunks
     val hashed = Materialize(

@@ -22,9 +22,11 @@ import org.apache.spark.sql.functions._
   *   epoch=E/base/...            compacted through base.meta.high_water
   *   epoch=E/delta_<batchId>/... one O(batch) segment per folded trigger
   * }}}
-  * Each directory is immutable once written; parquet's commit protocol
-  * writes `_SUCCESS` last and the segment's `meta` table is written
-  * last of all, so `meta/_SUCCESS` marks a COMPLETE segment. Compaction
+  * Each directory is immutable once written; the segment's `meta` table
+  * is written after the data files, and the engine's OWN
+  * `_graft_commit` marker after meta — so the marker means COMPLETE
+  * regardless of whether the deployment disabled parquet `_SUCCESS`
+  * files (see [[isComplete]]). Compaction
   * writes `epoch=E+1/base` from the current view, then deletes epoch E
   * — one trigger later (the same serving-swap grace as the in-memory
   * states). Every crash window is covered at open():
@@ -49,10 +51,23 @@ object DurableIndex {
     (fs, fs.makeQualified(p))
   }
 
-  /** A segment directory is complete iff its meta table committed —
-    * meta is written LAST, so this covers rows/df/postings too. */
+  /** A segment directory is complete iff its OWN commit marker exists —
+    * written by [[commit]] strictly after the meta table, which is
+    * itself written last of the data files. The engine's own marker
+    * (not parquet's `_SUCCESS`) on purpose: deployments commonly
+    * disable success files
+    * (`mapreduce.fileoutputcommitter.marksuccessfuljobs=false`), and a
+    * completeness probe that silently returns false for every
+    * fully-written epoch would make [[resolve]] wipe a healthy store.
+    * Legacy stores written before the marker existed are recognized by
+    * their `meta/_SUCCESS`. */
   private[pipeline] def isComplete(fs: FileSystem, segDir: Path): Boolean =
-    fs.exists(new Path(segDir, "meta/_SUCCESS"))
+    fs.exists(new Path(segDir, "_graft_commit")) ||
+      fs.exists(new Path(segDir, "meta/_SUCCESS"))
+
+  /** Mark `segDir` complete (write LAST, after every data file). */
+  private[pipeline] def commit(fs: FileSystem, segDir: Path): Unit =
+    fs.create(new Path(segDir, "_graft_commit"), true).close()
 
   private[pipeline] def listDirs(fs: FileSystem, dir: Path, prefix: String): Seq[Path] =
     if (!fs.exists(dir)) Seq.empty
@@ -116,8 +131,9 @@ final class DurableBm25SegmentState private (
         m.getAs[Long]("n_docs"), m.getAs[Long]("total_tokens")))
   }
 
-  /** Write one segment dir: rows, df, then meta LAST (its _SUCCESS is
-    * the completeness marker). Returns the parquet-backed reload. */
+  /** Write one segment dir: rows, df, meta, then the commit marker LAST
+    * ([[DurableIndex.commit]] — the completeness probe [[DurableIndex
+    * .isComplete]] reads). Returns the parquet-backed reload. */
   private def writeSegment(dir: Path, seg: Bm25Segment, batchId: Long): Bm25Segment = {
     seg.rows.write.mode("overwrite").parquet(new Path(dir, "rows").toString)
     seg.df.write.mode("overwrite").parquet(new Path(dir, "df").toString)
@@ -125,11 +141,13 @@ final class DurableBm25SegmentState private (
     Seq((idCol, seg.nDocs, seg.totalTokens, k1, b, batchId))
       .toDF("id_col", "n_docs", "total_tokens", "k1", "b", "batch_id")
       .coalesce(1).write.mode("overwrite").parquet(new Path(dir, "meta").toString)
+    DurableIndex.commit(fs, dir)
     loadSegment(dir)._2
   }
 
-  private def init(initial: => TextAnalysis.Bm25Index): Unit =
-    DurableIndex.resolve(fs, root) match {
+  private[pipeline] def init(resolved: Option[(Path, Seq[Path])],
+                             initial: => TextAnalysis.Bm25Index): Unit =
+    resolved match {
       case Some((live, deltaDirs)) =>
         epoch = DurableIndex.epochId(live)
         val (hw, seg) = loadSegment(new Path(live, "base"))
@@ -193,11 +211,15 @@ object DurableBm25SegmentState {
                    initial: => TextAnalysis.Bm25Index,
                    compactEvery: Int = 16): DurableBm25SegmentState = {
     val (fs, root) = DurableIndex.qualified(spark, path)
+    // resolve ONCE (it lists the store and sweeps crash debris) and hand
+    // the result to init — a second resolve would re-list the whole
+    // store, a real cost on object stores
+    val resolved = DurableIndex.resolve(fs, root)
     // evaluated at most once, shared between the param probe and init
     lazy val boot = initial
     // idCol/k1/b: from the live store's base meta when present, else
     // from the bootstrap index
-    val (idCol, k1, b) = DurableIndex.resolve(fs, root) match {
+    val (idCol, k1, b) = resolved match {
       case Some((live, _)) =>
         val m = spark.read.parquet(new Path(live, "base/meta").toString).head()
         (m.getAs[String]("id_col"), m.getAs[Double]("k1"), m.getAs[Double]("b"))
@@ -205,7 +227,7 @@ object DurableBm25SegmentState {
         (boot.idCol, boot.k1, boot.b)
     }
     val st = new DurableBm25SegmentState(spark, fs, root, textCol, idCol, k1, b, compactEvery)
-    st.init(boot)
+    st.init(resolved, boot)
     st
   }
 }
@@ -236,21 +258,42 @@ final class DurableIvfSegmentState private (
       spark.read.parquet(new Path(dir, "postings").toString))
   }
 
+  /** Quantizer identity — [[java.util.Arrays.hashCode]] over the
+    * flattened centroids (spec-defined over doubleToLongBits, so stable
+    * across JVMs). Persisted in every segment meta and REQUIRED to match
+    * on reopen: postings cells are only meaningful under the quantizer
+    * that assigned them, and reopening a store with different centroids
+    * (e.g. after a [[AnnSearch.refitOnDrift]] swap, against the
+    * pre-refit store path) would silently mix two quantizers' cell
+    * spaces — wrong-cell probing, unbounded recall loss, no error. */
+  private val centroidHash: Int = java.util.Arrays.hashCode(centroids)
+
   private def writeSegment(dir: Path, postings: DataFrame, batchId: Long): DataFrame = {
     postings.write.mode("overwrite").parquet(new Path(dir, "postings").toString)
     import spark.implicits._
-    Seq((batchId, dim)).toDF("batch_id", "dim")
+    Seq((batchId, dim, centroidHash)).toDF("batch_id", "dim", "centroid_hash")
       .coalesce(1).write.mode("overwrite").parquet(new Path(dir, "meta").toString)
+    DurableIndex.commit(fs, dir)
     loadSegment(dir)._2
   }
 
-  private def init(initial: => DataFrame): Unit =
-    DurableIndex.resolve(fs, root) match {
+  private[pipeline] def init(resolved: Option[(Path, Seq[Path])],
+                             initial: => DataFrame): Unit =
+    resolved match {
       case Some((live, deltaDirs)) =>
         epoch = DurableIndex.epochId(live)
         val base = new Path(live, "base")
-        baseHighWater = spark.read.parquet(new Path(base, "meta").toString)
-          .head().getAs[Long]("batch_id")
+        val m = spark.read.parquet(new Path(base, "meta").toString).head()
+        if (m.schema.fieldNames.contains("centroid_hash"))
+          require(m.getAs[Int]("dim") == dim &&
+              m.getAs[Int]("centroid_hash") == centroidHash,
+            s"durable IVF store at $root was written under a DIFFERENT " +
+              s"quantizer (stored dim=${m.getAs[Int]("dim")}, " +
+              s"hash=${m.getAs[Int]("centroid_hash")}; caller dim=$dim, " +
+              s"hash=$centroidHash). After a quantizer refit, rebuild " +
+              "into a NEW store path — existing postings' cell " +
+              "assignments are only valid under the centroids that made them")
+        baseHighWater = m.getAs[Long]("batch_id")
         basePostings = spark.read.parquet(new Path(base, "postings").toString)
         deltas = deltaDirs.map(loadSegment).toVector
       case None =>
@@ -294,7 +337,7 @@ object DurableIvfSegmentState {
     val (fs, root) = DurableIndex.qualified(spark, path)
     val st = new DurableIvfSegmentState(spark, fs, root, vecCol, idCol, dim,
       centroids, compactEvery)
-    st.init(initial)
+    st.init(DurableIndex.resolve(fs, root), initial)
     st
   }
 }

@@ -931,12 +931,13 @@ object Multimodal {
   def curateByDHash(docs: DataFrame, idCol: String, imgKeyCol: String,
                     maxW: Int = 24, maxH: Int = 20,
                     minMaxLuma: Long = 34, maxHamming: Int = 0,
-                    checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+                    checkpoint: CheckpointStrategy = CheckpointStrategy.Local,
+                    maxBucketPairs: Long = 4_000_000L): DataFrame = {
     val images = Materialize(
       encodePngDemo(docs.select(col(imgKeyCol)).distinct(), imgKeyCol, maxW, maxH),
       checkpoint)
     curateByDHashImages(docs, idCol, imgKeyCol, images, "payload",
-      minMaxLuma, maxHamming, checkpoint)
+      minMaxLuma, maxHamming, checkpoint, maxBucketPairs)
   }
 
   /** Core of [[curateByDHash]], taking the caller's OWN image bytes (one
@@ -962,7 +963,13 @@ object Multimodal {
   def curateByDHashImages(docs: DataFrame, idCol: String, imgKeyCol: String,
                           images: DataFrame, payloadCol: String,
                           minMaxLuma: Long = 34, maxHamming: Int = 0,
-                          checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+                          checkpoint: CheckpointStrategy = CheckpointStrategy.Local,
+                          // forwarded to Dedup.hashPairs — mass
+                          // near-duplicate asset sets can overflow one
+                          // pigeonhole bucket; drops are CapMetrics-logged,
+                          // raise (or Long.MaxValue) to trade work for
+                          // cluster completeness
+                          maxBucketPairs: Long = 4_000_000L): DataFrame = {
     val quality = decodeImagePixels(images, payloadCol, imgKeyCol)
       .where(col("max_luma") >= minMaxLuma)
       .select(col("id").as(imgKeyCol))
@@ -981,7 +988,7 @@ object Multimodal {
       // cardinality, so the corpus-sized side never sees pair work
       val assets = Materialize(quality.join(hashes, Seq(imgKeyCol)), checkpoint)
       val pairs = Dedup.hashPairs(assets, col("dhash"), imgKeyCol, maxHamming,
-        checkpoint = checkpoint, metricName = "multimodal_dhash")
+        maxBucketPairs, checkpoint = checkpoint, metricName = "multimodal_dhash")
       val comps = NearDupCluster.connectedComponents(pairs, checkpoint = checkpoint)
         .withColumnRenamed("id", imgKeyCol)
       // singleton assets (no near pair) are their own cluster

@@ -232,6 +232,17 @@ class IvfSpec extends AnyFunSuite with SparkSpec {
     assert(rejected.gateRecall >= 0.0 && rejected.gateRecall < 0.99)
     assert(rejected.centroids eq servingFlat)
     assert(rejected.postings eq servingPosts)
+
+    // arm 4 — an EMPTY gate set would score 0 and reject every refit
+    // forever; must hard-error instead of silently keeping a stale index
+    val e = intercept[IllegalArgumentException] {
+      AnnSearch.refitOnDrift(servingFlat, servingPosts, emb, shifted,
+        "embedding", "vec_id", dim = 64, nCells = 8, iters = 2,
+        groupCols = Seq("label"), driftTau = 1.0,
+        gateQueries = shiftedGate.where(col("vec_id") < 0),
+        gateK = 10, gateNProbe = 8, minMeanRecall = 0.99)
+    }
+    assert(e.getMessage.contains("gateQueries"), e.getMessage)
   }
 
   test("nearestCells degrades gracefully on all-NaN query vectors") {

@@ -1614,6 +1614,13 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       Dedup.hashPairs(df, col("h"), "id", maxHamming = 32)
     }
     assert(e.getMessage.contains("maxHamming"), e.getMessage)
+    // a hex-STRING hash column would cast('long') to all-null keys and
+    // return zero pairs with no error — must be rejected up front
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.hashPairs(df.withColumn("hx", expr("lpad(hex(h), 16, '0')")),
+        col("hx"), "id", maxHamming = 2)
+    }
+    assert(e2.getMessage.contains("integral"), e2.getMessage)
   }
 
   test("curateByDHashImages: hamming clustering catches a near-duplicate " +

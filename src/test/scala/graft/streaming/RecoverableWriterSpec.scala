@@ -181,4 +181,48 @@ class RecoverableWriterSpec extends AnyFunSuite with SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "epoch=0/delta_7")),
       "an uncommitted delta must be swept at open")
   }
+
+  test("durable store guards: completeness survives disabled _SUCCESS " +
+    "files, and reopening under a different quantizer is a hard error") {
+    val cents = AnnSearch.normalizeCentroids(
+      AnnSearch.kmeansFit(emb, "embedding", dim = 64, k = 4, iters = 1))
+    val ixPath = java.nio.file.Files.createTempDirectory("rec_guard_ix").toString
+    val b0 = emb.where($"vec_id" % 3 === 0).select($"vec_id", $"embedding")
+    val st = DurableIvfSegmentState.openOrCreate(spark, ixPath,
+      "embedding", "vec_id", 64, cents,
+      AnnSearch.ivfPostings(b0.limit(0), "embedding", "vec_id", 64, cents))
+    st.fold(b0, 0L)
+    val n = st.view.count()
+
+    // many deployments disable parquet _SUCCESS files
+    // (mapreduce.fileoutputcommitter.marksuccessfuljobs=false); the
+    // store's completeness probe must NOT depend on them, or resolve()
+    // would classify every healthy epoch incomplete and wipe the store.
+    // Simulate: delete every _SUCCESS under the store, reopen.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(ixPath))
+    val it = fs.listFiles(root, true)
+    val toDelete = Iterator.continually(it).takeWhile(_.hasNext)
+      .map(_.next().getPath).filter(_.getName == "_SUCCESS").toList
+    assert(toDelete.nonEmpty, "expected parquet _SUCCESS files to exist")
+    toDelete.foreach(fs.delete(_, false))
+    val reopened = DurableIvfSegmentState.openOrCreate(spark, ixPath,
+      "embedding", "vec_id", 64, cents,
+      sys.error("store exists — bootstrap must not run (store was wiped?)"))
+    assert(reopened.highWater == 0L && reopened.view.count() == n,
+      "store must survive _SUCCESS-less deployments intact")
+
+    // postings cells are only meaningful under the quantizer that
+    // assigned them: reopening with different centroids must fail loudly
+    // instead of silently mixing two cell spaces
+    val otherCents = AnnSearch.normalizeCentroids(
+      AnnSearch.kmeansFit(emb, "embedding", dim = 64, k = 4, iters = 2, seed = 7L))
+    val e = intercept[IllegalArgumentException] {
+      DurableIvfSegmentState.openOrCreate(spark, ixPath,
+        "embedding", "vec_id", 64, otherCents,
+        sys.error("must fail before bootstrap"))
+    }
+    assert(e.getMessage.contains("DIFFERENT"), e.getMessage)
+  }
 }

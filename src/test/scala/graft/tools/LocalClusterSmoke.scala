@@ -88,7 +88,9 @@ object LocalClusterSmoke {
     val paths: Seq[(String, SparkSession => DataFrame)] = Seq(
       "exact_fuzzy" -> (s => graft.SparkEntry.queries("fuzzy_join_levenshtein")(s, sfDir)),
       "exact_fuzzy_reliable" -> (s => {
-        val dir = ckptBase.resolve(s.sparkContext.master.take(5).filter(_.isLetter))
+        // per-master subdir ("localcluster" vs "local") so the two runs'
+        // reliable-checkpoint files never share a directory
+        val dir = ckptBase.resolve(s.sparkContext.master.filter(_.isLetter))
         FuzzyMatcher.matchDfs(
             s.read.parquet(s"$sfDir/customer.parquet"),
             s.read.parquet(s"$sfDir/supplier.parquet"),
