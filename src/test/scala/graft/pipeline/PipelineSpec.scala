@@ -1623,6 +1623,38 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(e2.getMessage.contains("integral"), e2.getMessage)
   }
 
+  test("hashPairs completeness property: blocked pairs equal brute force " +
+    "over clustered random hashes at every radius") {
+    // seeded corpus with PLANTED near-pairs: 40 base hashes, each with 4
+    // perturbed copies at 1..12 flipped bits (uniform random longs alone
+    // almost never land within hamming 12 of each other, so they would
+    // test nothing); brute force over all 200 is the ground truth
+    val rnd = new scala.util.Random(1234L)
+    val hashes = (0 until 40).flatMap { i =>
+      val base = rnd.nextLong()
+      (base, i * 5L) +: (1 to 4).map { j =>
+        val flips = 1 + rnd.nextInt(12)
+        val perturbed = (1 to flips).foldLeft(base)((h, _) => h ^ (1L << rnd.nextInt(64)))
+        (perturbed, i * 5L + j)
+      }
+    }
+    val df = hashes.map { case (h, id) => (id, h) }.toDF("id", "h")
+    val byId = hashes.map { case (h, id) => id -> h }.toMap
+    for (r <- Seq(0, 1, 3, 8, 12)) {
+      val expected = (for {
+        a <- byId.keys; b <- byId.keys if a < b
+        d = java.lang.Long.bitCount(byId(a) ^ byId(b)) if d <= r
+      } yield (a, b, d)).toSet
+      val got = Dedup.hashPairs(df, col("h"), "id", maxHamming = r)
+        .collect().map(x => (x.getAs[Long]("id_a"), x.getAs[Long]("id_b"),
+          x.getAs[Int]("hamming"))).toSet
+      assert(got == expected,
+        s"r=$r: got ${got.size} pairs, expected ${expected.size}; " +
+          s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+      if (r >= 3) assert(expected.nonEmpty, s"fixture degenerate at r=$r")
+    }
+  }
+
   test("curateByDHashImages: hamming clustering catches a near-duplicate " +
     "copy (re-encode / light edit) that exact hash equality misses") {
     def png(g: (Int, Int) => Int, w: Int = 36, h: Int = 32): Array[Byte] = {
