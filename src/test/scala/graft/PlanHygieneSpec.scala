@@ -291,6 +291,24 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"curation composition must stay equi-keyed:\n$plan")
     assert(out.count() > 0)
+
+    // hamming-cluster mode: the pair generation + connected components
+    // run BEFORE this plan (driver-materialized on the bounded asset
+    // side), so the served plan must keep the same shape — equi-keyed,
+    // asset side broadcast, no pair stage anywhere near the corpus
+    val ham = graft.pipeline.Multimodal.curateByDHash(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), (col("doc_id") % 97).as("img_key")),
+      "doc_id", "img_key", maxHamming = 2)
+    val hamPlan = ham.queryExecution.executedPlan.toString
+    assert(hamPlan.contains("BroadcastHashJoin"),
+      s"cluster labels must broadcast onto the corpus:\n$hamPlan")
+    assert(!hamPlan.contains("CartesianProduct") &&
+      !hamPlan.contains("BroadcastNestedLoopJoin"),
+      s"hamming curation must stay equi-keyed:\n$hamPlan")
+    val nHam = ham.count()
+    assert(nHam > 0 && nHam <= out.count(),
+      s"clusters ($nHam) can only merge exact buckets (${out.count()})")
   }
 
   test("sketch builds rank nothing: no Window, no global sort in HLL/CMS registers") {
