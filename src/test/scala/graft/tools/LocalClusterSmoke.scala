@@ -110,6 +110,24 @@ object LocalClusterSmoke {
             round(col("c_name_vs_s_name_levenshtein"), 6).as("score"))),
       "ivf_from_postings" -> (s => graft.SparkEntry.queries("ann_cosine_ivf")(s, sfDir)),
       "bm25_stored" -> (s => graft.SparkEntry.queries("text_bm25_stored")(s, sfDir)),
+      // the durable segmented store: bootstrap, two O(batch) folds, serve
+      // the merged view — segment parquet written by executor processes,
+      // meta + commit markers resolved by the driver, postings cells
+      // assigned in executor JVMs
+      "durable_ivf_folds" -> (s => {
+        import graft.pipeline.{AnnSearch, DurableIvfSegmentState}
+        val emb = s.read.parquet(s"$sfDir/embeddings.parquet")
+        val cents = AnnSearch.normalizeCentroids(
+          AnnSearch.kmeansFit(emb, "embedding", dim = 64, k = 4, iters = 1))
+        val path = java.nio.file.Files.createTempDirectory("smoke_divf").toString
+        val st = DurableIvfSegmentState.openOrCreate(s, path,
+          "embedding", "vec_id", 64, cents,
+          AnnSearch.ivfPostings(emb.where(col("vec_id") % 3 === 0),
+            "embedding", "vec_id", 64, cents))
+        st.fold(emb.where(col("vec_id") % 3 === 1).select(col("vec_id"), col("embedding")), 0L)
+        st.fold(emb.where(col("vec_id") % 3 === 2).select(col("vec_id"), col("embedding")), 1L)
+        st.view.select(col("corpus_id"), col("__cell"))
+      }),
     )
 
     def runAll(master: String): (Map[String, (Long, Long)], Int) = {
