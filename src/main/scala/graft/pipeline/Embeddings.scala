@@ -198,11 +198,24 @@ object Embeddings {
     * dim squared deltas, not one square), far above any normalized
     * embedding at the 1e6 default. */
   def centroidDrift(oldDf: DataFrame, newDf: DataFrame, groupCols: Seq[String],
-                    vecCol: String, quantScale: Double = 1e6): DataFrame = {
+                    vecCol: String, quantScale: Double = 1e6): DataFrame =
+    driftFromCentroids(centroids(oldDf, groupCols, vecCol, quantScale),
+      centroids(newDf, groupCols, vecCol, quantScale), groupCols, quantScale)
+
+  /** The drift tail of [[centroidDrift]] over PRECOMPUTED [[centroids]]
+    * frames — for callers that maintain the centroid aggregates
+    * incrementally instead of owning both raw snapshots (the streaming
+    * monitor [[graft.streaming.AnnStream.centroidDriftWriter]] folds
+    * per-batch quantized sums and re-derives the new-side frame each
+    * trigger). Both inputs must be [[centroids]]-shaped:
+    * (groupCols..., dim, n_vectors, centroid). */
+  def driftFromCentroids(oldCents: DataFrame, newCents: DataFrame,
+                         groupCols: Seq[String],
+                         quantScale: Double = 1e6): DataFrame = {
     val key = groupCols :+ "dim"
-    val o = centroids(oldDf, groupCols, vecCol, quantScale)
+    val o = oldCents
       .withColumnRenamed("centroid", "__co").withColumnRenamed("n_vectors", "n_old")
-    val n = centroids(newDf, groupCols, vecCol, quantScale)
+    val n = newCents
       .withColumnRenamed("centroid", "__cn").withColumnRenamed("n_vectors", "n_new")
     o.join(n, key)
       .withColumn("__dq", round((col("__cn") - col("__co")) * quantScale).cast("long"))
@@ -215,7 +228,18 @@ object Embeddings {
   }
 
   def centroids(df: DataFrame, groupCols: Seq[String], vecCol: String,
-                quantScale: Double = 1e6): DataFrame = {
+                quantScale: Double = 1e6): DataFrame =
+    centroidsFromAggregates(centroidAggregates(df, groupCols, vecCol, quantScale),
+      quantScale)
+
+  /** The mergeable half of [[centroids]]: (groupCols..., dim, n_vectors,
+    * __sum) with `__sum` the EXACT quantized-long component sum —
+    * aggregates from disjoint slices merge by plain addition into the
+    * whole's aggregate (no float order anywhere), which is what the
+    * streaming drift monitor folds per micro-batch. */
+  private[graft] def centroidAggregates(df: DataFrame, groupCols: Seq[String],
+                                        vecCol: String,
+                                        quantScale: Double = 1e6): DataFrame = {
     require(groupCols.nonEmpty, "centroids needs at least one group column")
     val g = groupCols.map(col)
     df.select(g :+ posexplode(col(vecCol)): _*)
@@ -224,7 +248,11 @@ object Embeddings {
         round(col("col").cast("double") * quantScale).cast("long").as("__q")): _*)
       .groupBy(g :+ col("dim"): _*)
       .agg(count(lit(1)).as("n_vectors"), sum(col("__q")).as("__sum"))
-      .withColumn("centroid", col("__sum") / lit(quantScale) / col("n_vectors"))
-      .drop("__sum")
   }
+
+  /** Finish [[centroidAggregates]] into the [[centroids]] shape. */
+  private[graft] def centroidsFromAggregates(agg: DataFrame,
+                                             quantScale: Double = 1e6): DataFrame =
+    agg.withColumn("centroid", col("__sum") / lit(quantScale) / col("n_vectors"))
+      .drop("__sum")
 }

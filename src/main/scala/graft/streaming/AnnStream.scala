@@ -138,6 +138,66 @@ object AnnStream {
     * micro-batch's barriers live in a per-batch
     * [[graft.util.MatchScope]] and are released when the sink
     * returns. */
+  /** DRIFT MONITOR on ingest — the streaming half of the refit-on-drift
+    * policy ([[graft.pipeline.AnnSearch.refitOnDrift]]): each
+    * micro-batch folds its quantized centroid aggregates
+    * ([[graft.pipeline.Embeddings.centroidAggregates]]) into bounded
+    * driver state (groups × dims longs; EXACT integer merge, so the
+    * accumulated state equals one batch aggregate over every row seen),
+    * and each trigger emits the exact
+    * [[graft.pipeline.Embeddings.centroidDrift]] of the accumulated
+    * stream corpus against the FROZEN `baseline` — the corpus the
+    * serving quantizer was fitted on. Per-trigger cost: one O(batch)
+    * aggregate + a groups×dims-row join; nothing rescans. When a
+    * group's `l2_move` crosses your tau, schedule
+    * [[graft.pipeline.AnnSearch.refitOnDrift]] from the maintenance
+    * job — the refit stays a deliberate separate event, exactly as in
+    * the batch lifecycle (this writer is the trigger, never the
+    * rebuild). State is exceeded-capacity-guarded: more than
+    * `maxGroupDims` accumulated (group, dim) aggregate rows is a hard
+    * error, not silent truncation (a drift monitor that silently drops
+    * groups reports "no drift" for exactly the groups that changed).
+    * AnnStreamSpec pins stream == batch: the drift emitted after N
+    * batches equals `centroidDrift(baseline, union of the N batches)`
+    * bit-for-bit. */
+  def centroidDriftWriter(embStream: DataFrame, baseline: DataFrame,
+                          groupCols: Seq[String], vecCol: String,
+                          quantScale: Double = 1e6,
+                          maxGroupDims: Int = 1_000_000)
+                         (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    import graft.pipeline.Embeddings
+    val spark = baseline.sparkSession
+    val baseCents = Embeddings.centroids(baseline, groupCols, vecCol, quantScale)
+      .localCheckpoint()
+    // aggregate-row schema fixed up front (from the baseline's shape) so
+    // an empty first batch still emits a well-typed (empty) drift frame
+    val aggSchema = Embeddings.centroidAggregates(
+      baseline.limit(0), groupCols, vecCol, quantScale).schema
+    val keyLen = groupCols.length + 1 // group values + dim
+    val state = scala.collection.mutable.HashMap.empty[Seq[Any], (Long, Long)]
+    embStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val rows = Embeddings.centroidAggregates(batch, groupCols, vecCol, quantScale)
+        .limit(maxGroupDims + 1).collect()
+      require(rows.length <= maxGroupDims && state.size <= maxGroupDims,
+        s"centroidDriftWriter: accumulated (group, dim) aggregates exceed " +
+          s"maxGroupDims=$maxGroupDims — a silently truncated monitor would " +
+          "report no drift for the dropped groups; raise the cap or coarsen " +
+          "the grouping")
+      rows.foreach { r =>
+        val k = (0 until keyLen).map(r.get)
+        val (n0, s0) = state.getOrElse(k, (0L, 0L))
+        state(k) = (n0 + r.getAs[Long]("n_vectors"), s0 + r.getAs[Long]("__sum"))
+      }
+      val accRows = state.toSeq.map { case (k, (n, s)) =>
+        Row.fromSeq(k ++ Seq(n, s)) }
+      val acc = Embeddings.centroidsFromAggregates(
+        spark.createDataFrame(spark.sparkContext.parallelize(accRows, 1), aggSchema),
+        quantScale)
+      sink(Embeddings.driftFromCentroids(baseCents, acc, groupCols, quantScale),
+        batchId)
+    }
+  }
+
   def semanticNearDupWriter(stream: DataFrame, corpusState: DataFrame,
                             vecCol: String, idCol: String,
                             centroidsMicro: Array[Long], dim: Int, nCells: Int,

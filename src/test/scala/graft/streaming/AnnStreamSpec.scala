@@ -166,4 +166,51 @@ class AnnStreamSpec extends AnyFunSuite with SparkSpec {
     assert(key(last) == key(rebuilt),
       "streamed folds must equal a one-shot assignment over the union")
   }
+
+  test("centroidDriftWriter: accumulated stream drift equals batch " +
+    "centroidDrift over the union, bit-for-bit, at every trigger") {
+    import graft.pipeline.Embeddings
+    val baseline = emb.where($"vec_id" % 2 === 0)
+    // three single-file micro-batches of "new" vectors
+    val incoming = emb.where($"vec_id" % 2 === 1)
+      .select($"label", $"vec_id", $"embedding")
+    val preds = Seq($"vec_id" % 3 === 0, $"vec_id" % 3 === 1, $"vec_id" % 3 === 2)
+    val flatDir = java.nio.file.Files.createTempDirectory("drift_stream")
+    preds.zipWithIndex.foreach { case (p, i) =>
+      val part = java.nio.file.Files.createTempDirectory(s"drift_part$i")
+      incoming.where(p).coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val src = java.nio.file.Files.list(part)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst = flatDir.resolve(f"$i%02d.parquet")
+      java.nio.file.Files.copy(src, dst)
+      dst.toFile.setLastModified(1000000L + i * 10000L)
+    }
+    val stream = spark.readStream.schema(incoming.schema)
+      .option("maxFilesPerTrigger", "1").parquet(flatDir.toString)
+
+    def driftSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("label", "n_old", "n_new", "n_dims", "l2_move")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val perTrigger = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Set[(Long, Long, Long, Long, Double)])]
+    val q = AnnStream.centroidDriftWriter(stream, baseline,
+        Seq("label"), "embedding") { (out, batchId) =>
+      perTrigger.synchronized { perTrigger += ((batchId, driftSet(out))) }
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+
+    assert(perTrigger.size == 3, s"expected 3 triggers, got ${perTrigger.size}")
+    // EVERY trigger's emitted drift equals the batch operator over the
+    // union of all batches seen so far — exact quantized-integer
+    // arithmetic on both sides, so equality is bit-for-bit
+    val sorted = perTrigger.sortBy(_._1)
+    preds.indices.foreach { i =>
+      val seenSoFar = incoming.where(preds.take(i + 1).reduce(_ || _))
+      val batchDrift = driftSet(
+        Embeddings.centroidDrift(baseline, seenSoFar, Seq("label"), "embedding"))
+      assert(sorted(i)._2 == batchDrift,
+        s"trigger $i drift diverged from batch over the first ${i + 1} batches")
+      assert(batchDrift.nonEmpty)
+    }
+  }
 }
