@@ -1130,6 +1130,29 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
     }),
 
+    // ---- INCREMENTAL hamming pairs (hashPairsAgainst — the nightly /
+    // streaming batch-vs-corpus shape): a "re-crawl batch" (every 5th
+    // asset key) matched against the full stored asset hashes at hamming
+    // <= 8. Self pairs (same key both sides) are dropped; orientation is
+    // batch-side (id_a always the batch row), so (a,b) and (b,a) both
+    // appear when both keys are in the batch — the oracle replays exactly
+    // that asymmetry. Cap disabled like every oracled blocking entry.
+    "multimodal_dhash_pairs_incr" -> ((s, dir) => {
+      val keys = t(s, dir, "documents")
+        .select((col("doc_id") % 97).as("img_key")).distinct()
+      def hashed(k: DataFrame) = Multimodal.imageDHash(
+        Multimodal.encodePngDemo(k, "img_key", maxW = 24, maxH = 20),
+        "payload", "img_key")
+        .where(col("n_pixels") =!= -1L)
+        .select(col("id").as("img_key"), col("dhash"))
+      val corpus = hashed(keys)
+      val batch = hashed(keys.where(col("img_key") % 5 === 0))
+      Dedup.hashPairsAgainst(batch, col("dhash"), "img_key",
+          corpus, col("dhash"), "img_key",
+          maxHamming = 8, maxBucketPairs = Long.MaxValue)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+    }),
+
     // ---- perceptual-CLUSTER curation (hamming <= 2 instead of exact hash
     // equality): re-encoded/resized copies whose dHash moved a few bits
     // land in their original's bucket, and chains merge TRANSITIVELY via
@@ -3458,6 +3481,38 @@ object SparkEntry {
          SELECT CAST(a.k AS BIGINT) AS id_a, CAST(b.k AS BIGINT) AS id_b,
            CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
          FROM hh a JOIN hh b ON a.k < b.k
+         WHERE bit_count(xor(a.dh, b.dh)) <= 8""",
+    // incremental (batch vs corpus) replay: same dHash CTEs, but the pair
+    // join is batch-side oriented (a restricted to the %5 batch, a != b,
+    // NOT a < b — both orientations appear when both keys are batched)
+    "multimodal_dhash_pairs_incr" ->
+      """WITH ks AS (SELECT DISTINCT doc_id % 97 AS k FROM documents),
+         p AS (SELECT k, (k % 24) + 1 AS w, (k % 20) + 1 AS h FROM ks),
+         v AS (SELECT * FROM p WHERE w >= 9 AND h >= 8),
+         px AS (SELECT k, w, h, x.x, y.y FROM v,
+                LATERAL (SELECT unnest(range(0, w)) AS x) x,
+                LATERAL (SELECT unnest(range(0, h)) AS y) y),
+         lum AS (SELECT k,
+                   least((x * 9) // w, 8) AS c, least((y * 8) // h, 7) AS r,
+                   (299 * (((k*31 + x*7 + y*131) % 16777216) // 65536)
+                    + 587 * ((((k*31 + x*7 + y*131) % 16777216) // 256) % 256)
+                    + 114 * (((k*31 + x*7 + y*131) % 16777216) % 256)) // 1000 AS l
+                 FROM px),
+         cells AS (SELECT k, r, c, sum(l) AS s, count(*) AS n
+                   FROM lum GROUP BY k, r, c),
+         bits AS (SELECT a.k, (a.r * 8 + a.c) AS bk,
+                    CASE WHEN a.s * b.n < b.s * a.n THEN 1 ELSE 0 END AS bit
+                  FROM cells a JOIN cells b
+                    ON a.k = b.k AND a.r = b.r AND b.c = a.c + 1),
+         hsh AS (SELECT k,
+                   sum(CASE WHEN bit = 1 THEN (1::UBIGINT << bk::INT)
+                       ELSE 0::UBIGINT END)::UBIGINT AS dh
+                 FROM bits GROUP BY k),
+         hh AS (SELECT v.k, coalesce(dh, 0::UBIGINT) AS dh
+                FROM v LEFT JOIN hsh ON v.k = hsh.k)
+         SELECT CAST(a.k AS BIGINT) AS id_a, CAST(b.k AS BIGINT) AS id_b,
+           CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
+         FROM hh a JOIN hh b ON a.k % 5 = 0 AND a.k != b.k
          WHERE bit_count(xor(a.dh, b.dh)) <= 8""",
     // curate replay with perceptual CLUSTERS: the multimodal_curate CTEs
     // (fixture, gate, dHash), then brute-force hamming <= 2 pairs over the

@@ -1117,29 +1117,13 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming <= 31,
       s"maxHamming must be in [0, 31] (got $maxHamming) — 64-bit hash " +
         "pigeonhole blocking needs maxHamming + 1 chunks of >= 2 bits")
-    // integral only: a silent cast('long') over e.g. a HEX-STRING hash
-    // column would null every key and return ZERO pairs with no error —
-    // the wrong-answer mode for "no near-duplicates found"
-    val hashType = df.select(hashCol).schema.head.dataType
-    require(Seq(org.apache.spark.sql.types.ByteType,
-        org.apache.spark.sql.types.ShortType,
-        org.apache.spark.sql.types.IntegerType,
-        org.apache.spark.sql.types.LongType).contains(hashType),
-      s"hashPairs needs an integral hash column, got $hashType — pass " +
-        "the raw 64-bit hash (e.g. imageDHash's `dhash`), not its hex form")
+    requireIntegralHash(df, hashCol)
     val chunks = maxHamming + 1
     val chunkBits = 64 / chunks
     val hashed = Materialize(
       spread(df).select(col(idCol), hashCol.cast("long").as("__simhash")),
       checkpoint)
-
-    val chunked = hashed.select(
-      col(idCol), col("__simhash"),
-      posexplode(transform(sequence(lit(0), lit(chunks - 1)),
-        c => call_function("shiftright", col("__simhash"), c.cast("int") * chunkBits)
-          .bitwiseAND(lit((1L << chunkBits) - 1)))))
-      .withColumnRenamed("pos", "__chunk")
-      .withColumnRenamed("col", "__ckey")
+    val chunked = hashChunks(hashed, idCol, chunks, chunkBits)
 
     // skew guard (mass-duplicate corpora put millions of docs in one
     // chunk bucket; run exactDedup first when that is expected); drops are
@@ -1161,6 +1145,88 @@ object Dedup {
         col("a.__chunk") === col("b.__chunk") && col("a.__ckey") === col("b.__ckey") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        bit_count(col("a.__simhash").bitwiseXOR(col("b.__simhash"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Integral-type guard shared by the hamming pair generators: a silent
+    * cast('long') over e.g. a HEX-STRING hash column would null every key
+    * and return ZERO pairs with no error — the wrong-answer mode for
+    * "no near-duplicates found". */
+  private def requireIntegralHash(df: DataFrame, hashCol: Column): Unit = {
+    val hashType = df.select(hashCol).schema.head.dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(hashType),
+      s"hash pair generation needs an integral hash column, got $hashType — " +
+        "pass the raw 64-bit hash (e.g. imageDHash's `dhash`), not its hex form")
+  }
+
+  /** Pigeonhole chunk explode shared by the hamming pair generators:
+    * (id, __simhash) -> one row per (chunk index, chunk value). */
+  private def hashChunks(hashed: DataFrame, idCol: String,
+                         chunks: Int, chunkBits: Int): DataFrame =
+    hashed.select(
+      col(idCol), col("__simhash"),
+      posexplode(transform(sequence(lit(0), lit(chunks - 1)),
+        c => call_function("shiftright", col("__simhash"), c.cast("int") * chunkBits)
+          .bitwiseAND(lit((1L << chunkBits) - 1)))))
+      .withColumnRenamed("pos", "__chunk")
+      .withColumnRenamed("col", "__ckey")
+
+  /** Cross-side hamming pairs — the INCREMENTAL form of [[hashPairs]]
+    * (new batch vs stored corpus, the nightly-ingest / streaming shape
+    * next to [[minhashIncrementalPairs]]): emits (id_a from `batch`,
+    * id_b from `corpus`, hamming) for every cross pair within
+    * `maxHamming` bits. Same pigeonhole blocking, but the bucket join is
+    * batch-chunk × corpus-chunk — work is O(batch × colliding corpus),
+    * never corpus². Pairs whose two ids are equal (re-ingest of an
+    * already-stored row) are dropped; ids otherwise need no
+    * relationship, and when a row appears on BOTH sides its pairs
+    * appear in batch-side orientation only (id_a is always the batch
+    * row). Bucket caps gate on the per-bucket CROSS product
+    * (batchCount × corpusCount), drop-accounted under `metricName`;
+    * only the batch side is filtered (dropping one side of a bucket
+    * kills its pairs). */
+  def hashPairsAgainst(batch: DataFrame, batchHash: Column, batchIdCol: String,
+                       corpus: DataFrame, corpusHash: Column, corpusIdCol: String,
+                       maxHamming: Int = 3,
+                       maxBucketPairs: Long = 4_000_000L,
+                       checkpoint: CheckpointStrategy = CheckpointStrategy.Local,
+                       metricName: String = "dedup_hamming_incr"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming must be in [0, 31] (got $maxHamming) — 64-bit hash " +
+        "pigeonhole blocking needs maxHamming + 1 chunks of >= 2 bits")
+    requireIntegralHash(batch, batchHash)
+    requireIntegralHash(corpus, corpusHash)
+    val chunks = maxHamming + 1
+    val chunkBits = 64 / chunks
+    val chunkedA = hashChunks(Materialize(
+      spread(batch).select(col(batchIdCol).as("id_a"),
+        batchHash.cast("long").as("__simhash")), checkpoint), "id_a", chunks, chunkBits)
+    val chunkedB = hashChunks(Materialize(
+      spread(corpus).select(col(corpusIdCol).as("id_b"),
+        corpusHash.cast("long").as("__simhash")), checkpoint), "id_b", chunks, chunkBits)
+
+    val statsA = chunkedA.groupBy(col("__chunk"), col("__ckey")).agg(count(lit(1)).as("__na"))
+    val statsB = chunkedB.groupBy(col("__chunk"), col("__ckey")).agg(count(lit(1)).as("__nb"))
+    val bucketStats = statsA.join(statsB, Seq("__chunk", "__ckey"))
+    val overCap = col("__na") * col("__nb") > maxBucketPairs
+    val gatedA = CapMetrics.gate(bucketStats, metricName, "__chunk", "__ckey",
+        overCap, col("__na") * col("__nb"), checkpoint) match {
+      case Right(blocked) =>
+        if (blocked.isEmpty) chunkedA
+        else chunkedA.where(!graft.fuzzy.vectorFunctions.bucket_allowed(
+          col("__chunk"), col("__ckey"), blocked))
+      case Left(allowed) => chunkedA.join(allowed, Seq("__chunk", "__ckey"))
+    }
+
+    gatedA.as("a").join(chunkedB.as("b"),
+        col("a.__chunk") === col("b.__chunk") && col("a.__ckey") === col("b.__ckey") &&
+          !(col("a.id_a") <=> col("b.id_b")))
+      .select(col("a.id_a"), col("b.id_b"),
         bit_count(col("a.__simhash").bitwiseXOR(col("b.__simhash"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")

@@ -107,4 +107,37 @@ object DocStreams {
       }
     }
   }
+
+  /** Streaming hamming near-dup flagging over a PRECOMPUTED 64-bit hash
+    * column — the online face of
+    * [[graft.pipeline.Dedup.hashPairsAgainst]]: arriving rows (carrying
+    * a SimHash / perceptual dHash computed upstream) match against the
+    * UNCHANGING stored corpus hashes at hamming <= `maxHamming`
+    * (pigeonhole blocking, batch-chunk × corpus-chunk — per-trigger work
+    * is O(batch × colliding corpus)). The re-encoded-recrawl detector on
+    * ingest: a lossy re-encode of a stored asset lands within a few bits
+    * of its original's dHash and flags here before it enters the corpus.
+    * Appending accepted batch hashes to the store and restarting on the
+    * new snapshot is the caller's nightly cycle, same contract as
+    * [[nearDupWriter]]. Emits (id_a = batch row, id_b = corpus row,
+    * hamming) per trigger; per-batch barriers live in a MatchScope and
+    * release when the sink returns. */
+  def hammingNearDupWriter(stream: DataFrame, corpusHashes: DataFrame,
+                           streamHashCol: String, streamIdCol: String,
+                           corpusHashCol: String, corpusIdCol: String,
+                           maxHamming: Int = 3,
+                           maxBucketPairs: Long = 4_000_000L)
+                          (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val statePrepared = corpusHashes
+      .select(col(corpusIdCol), col(corpusHashCol)).localCheckpoint()
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.util.MatchScope.withMatchScope {
+        sink(graft.pipeline.Dedup.hashPairsAgainst(
+          batch, col(streamHashCol), streamIdCol,
+          statePrepared, col(corpusHashCol), corpusIdCol,
+          maxHamming, maxBucketPairs), batchId)
+      }
+    }
+  }
 }

@@ -1653,6 +1653,26 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
           s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
       if (r >= 3) assert(expected.nonEmpty, s"fixture degenerate at r=$r")
     }
+
+    // incremental form over the same fixture: batch = every 3rd id vs the
+    // full corpus — batch-side orientation (id_a from batch), self pairs
+    // excluded, both orientations when both ids are batched
+    val batchIds = byId.keys.filter(_ % 3 == 0).toSet
+    for (r <- Seq(3, 8)) {
+      val expectedX = (for {
+        a <- batchIds; b <- byId.keys if a != b
+        d = java.lang.Long.bitCount(byId(a) ^ byId(b)) if d <= r
+      } yield (a, b, d)).toSet
+      val gotX = Dedup.hashPairsAgainst(
+          df.where(col("id") % 3 === 0), col("h"), "id", df, col("h"), "id",
+          maxHamming = r)
+        .collect().map(x => (x.getAs[Long]("id_a"), x.getAs[Long]("id_b"),
+          x.getAs[Int]("hamming"))).toSet
+      assert(gotX == expectedX,
+        s"incremental r=$r: got ${gotX.size}, expected ${expectedX.size}; " +
+          s"missing=${(expectedX -- gotX).take(3)} extra=${(gotX -- expectedX).take(3)}")
+      assert(expectedX.nonEmpty)
+    }
   }
 
   test("curateByDHashImages: hamming clustering catches a near-duplicate " +

@@ -175,6 +175,44 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(batch.map(p => (p._1, p._2)) == Set((1L, 100L), (2L, 100L)), s"got $batch")
   }
 
+  test("streaming hamming near-dup flags arriving hashes against the " +
+    "stored corpus hashes, micro-batch split invisible") {
+    // corpus of stored 64-bit perceptual hashes; arriving rows carry a
+    // precomputed hash (dHash/simhash computed upstream)
+    val corpus = Seq((100L, 0x00FFL), (101L, 0x0F0F0F0F0F0F0F0FL))
+      .toDF("asset_id", "h64")
+    // batch 1: a 2-bit re-encode of corpus 100; batch 2: an exact copy of
+    // 100 and an unrelated hash
+    val b1 = Seq((1L, 0x00FCL)).toDF("doc_id", "h64")
+    val b2 = Seq((2L, 0x00FFL), (3L, -1L)).toDF("doc_id", "h64")
+    val flat = stageMicroBatches(Seq(b1, b2))
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(flat.toString)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val writer = DocStreams.hammingNearDupWriter(stream, corpus,
+        "h64", "doc_id", "h64", "asset_id", maxHamming = 3) { (out, _) =>
+      rows.synchronized {
+        rows ++= out.select("id_a", "id_b", "hamming")
+          .as[(Long, Long, Int)].collect()
+      }
+    }
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.size
+    val q = writer.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.sparkContext.getPersistentRDDs.size <= rddsBefore,
+      "micro-batch barriers leaked past their scope")
+
+    val batch = graft.pipeline.Dedup.hashPairsAgainst(
+        b1.unionByName(b2), col("h64"), "doc_id",
+        corpus, col("h64"), "asset_id", maxHamming = 3)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(rows.toSet == batch, s"stream ${rows.toSet} vs batch $batch")
+    // re-encode and exact copy flag against asset 100; the novel hash
+    // flags nothing
+    assert(batch == Set((1L, 100L, 2), (2L, 100L, 0)), s"got $batch")
+  }
+
   test("streaming span rewrite cuts corpus passages from arriving docs, " +
     "micro-batch split invisible") {
     val corpus = Seq((100L, "alpha beta gamma delta end")).toDF("doc_id", "text")
