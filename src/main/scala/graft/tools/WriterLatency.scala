@@ -153,8 +153,39 @@ object WriterLatency {
                            batchId: Long) =>
             record(out.toDF(), batchId)
           }
+      case "hamming" =>
+        // stored perceptual/simhash 64-bit hashes; arriving rows carry a
+        // precomputed hash. Corpus = simhash of every document (integral
+        // column, the production shape); batch = a corpus sample re-keyed
+        // past the id range so every batch row has an exact twin (the
+        // verify half does real work)
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        corpusRows = docs.count()
+        val corpusHashes = docs.select(col("doc_id").as("asset_id"),
+          Dedup.simhash64(col("text")).as("h64")).localCheckpoint()
+        val batch = corpusHashes.limit(nBatches * perBatch)
+          .select((col("asset_id") + lit(2_000_000_000_000L)).as("doc_id"),
+            col("h64"))
+        val flat = stage(batch, "doc_id")
+        val stream = spark.readStream.schema(batch.schema)
+          .option("maxFilesPerTrigger", "1").parquet(flat.toString)
+        DocStreams.hammingNearDupWriter(stream, corpusHashes,
+          "h64", "doc_id", "h64", "asset_id", maxHamming = 3)(record)
+      case "driftmon" =>
+        // bounded-state drift monitor: baseline = the corpus; arriving
+        // batches fold their centroid aggregates and emit the running
+        // drift — per-trigger cost must track BATCH size (one O(batch)
+        // aggregate + a groups×dims join), not rows seen so far
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        corpusRows = emb.count()
+        val batch = emb.limit(nBatches * perBatch)
+          .select(col("label"), col("vec_id"), col("embedding"))
+        val flat = stage(batch, "vec_id")
+        val stream = spark.readStream.schema(batch.schema)
+          .option("maxFilesPerTrigger", "1").parquet(flat.toString)
+        AnnStream.centroidDriftWriter(stream, emb, Seq("label"), "embedding")(record)
       case other =>
-        sys.error(s"unknown writer '$other' (ivf|neardup|spanrewrite|semdedup|hll)")
+        sys.error(s"unknown writer '$other' (ivf|neardup|spanrewrite|semdedup|hll|hamming|driftmon)")
     }
     val prepSec = (System.nanoTime() - t0) / 1e9
 

@@ -230,6 +230,36 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
       lit(1.0), 5).count() === 0L)
   }
 
+  test("round-13 hamming / curate / drift operators on empty and " +
+    "degenerate input") {
+    val emptyHashes = Seq.empty[(Long, Long)].toDF("id", "h")
+    // self-join form: empty input, zero pairs, correct shape
+    val hp = Dedup.hashPairs(emptyHashes, col("h"), "id", maxHamming = 3)
+    assert(hp.columns.toSeq == Seq("id_a", "id_b", "hamming") && hp.count() === 0L)
+    // incremental form: empty batch vs non-empty corpus, and the reverse
+    val corpus = Seq((100L, 0xFFL)).toDF("id", "h")
+    assert(Dedup.hashPairsAgainst(emptyHashes, col("h"), "id",
+      corpus, col("h"), "id", maxHamming = 3).count() === 0L)
+    assert(Dedup.hashPairsAgainst(corpus, col("h"), "id",
+      emptyHashes, col("h"), "id", maxHamming = 3).count() === 0L)
+    // a single row can never pair with itself (self-pair exclusion)
+    assert(Dedup.hashPairsAgainst(corpus, col("h"), "id",
+      corpus, col("h"), "id", maxHamming = 3).count() === 0L)
+
+    // curate: an empty corpus yields zero buckets in both modes
+    val emptyKeyed = Seq.empty[(Long, Long)].toDF("doc_id", "img_key")
+    assert(graft.pipeline.Multimodal.curateByDHash(
+      emptyKeyed, "doc_id", "img_key").count() === 0L)
+    assert(graft.pipeline.Multimodal.curateByDHash(
+      emptyKeyed, "doc_id", "img_key", maxHamming = 2).count() === 0L)
+
+    // drift tail: disjoint group sets -> inner join drops everything
+    // (documented: Profile.drift is the appear/disappear tool)
+    val a = Seq((0L, Seq(1.0f, 2.0f))).toDF("label", "embedding")
+    val b = Seq((1L, Seq(1.0f, 2.0f))).toDF("label", "embedding")
+    assert(Embeddings.centroidDrift(a, b, Seq("label"), "embedding").count() === 0L)
+  }
+
   test("round-10 sketches and monitors on empty input") {
     val emptyKV = Seq.empty[(String, Long)].toDF("g", "v")
     assert(Profile.hllRegisters(emptyKV, "v", Seq("g"), p = 8).count() === 0L)
