@@ -53,6 +53,22 @@ class CapMetricsSpec extends AnyFunSuite with SparkSpec {
     val capped = CapMetrics.lastMetrics("dedup_simhash").get
     assert(capped.totalBuckets > 0)
     assert(capped.droppedBuckets > 0)
+
+    // incremental form: the cross-product cap gates and accounts under
+    // its own stage name; a hot bucket (the 20 identical base docs on
+    // both sides = 400 candidate pairs per chunk bucket) must be dropped
+    // and counted, and dropping the batch side must kill its pairs
+    val batch = docs.where(org.apache.spark.sql.functions.col("doc_id") < 30)
+    Dedup.hashPairsAgainst(
+      batch.select(org.apache.spark.sql.functions.col("doc_id"),
+        Dedup.simhash64(org.apache.spark.sql.functions.col("text")).as("h")),
+      org.apache.spark.sql.functions.col("h"), "doc_id",
+      hashed, org.apache.spark.sql.functions.col("h"), "doc_id",
+      maxHamming = 8, maxBucketPairs = 4L).count()
+    val cappedX = CapMetrics.lastMetrics("dedup_hamming_incr")
+      .getOrElse(fail("no cap metrics recorded for dedup_hamming_incr"))
+    assert(cappedX.totalBuckets > 0)
+    assert(cappedX.droppedBuckets > 0)
   }
 
   test("gate key encoding distinguishes (band, key) pairs beyond band 31") {
