@@ -1167,14 +1167,20 @@ object Dedup {
   /** Pigeonhole chunk explode shared by the hamming pair generators:
     * (id, __simhash) -> one row per (chunk index, chunk value). */
   private def hashChunks(hashed: DataFrame, idCol: String,
-                         chunks: Int, chunkBits: Int): DataFrame =
+                         chunks: Int, chunkBits: Int): DataFrame = {
+    // maxHamming = 0 => ONE 64-bit chunk, whose mask must be -1L: the
+    // naive (1L << 64) - 1 is ZERO on the JVM (shift counts are mod 64),
+    // which would put every hash in one bucket — a silent
+    // cartesian-with-verify (correct output, quadratic work)
+    val mask = if (chunkBits >= 64) -1L else (1L << chunkBits) - 1
     hashed.select(
       col(idCol), col("__simhash"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)),
         c => call_function("shiftright", col("__simhash"), c.cast("int") * chunkBits)
-          .bitwiseAND(lit((1L << chunkBits) - 1)))))
+          .bitwiseAND(lit(mask)))))
       .withColumnRenamed("pos", "__chunk")
       .withColumnRenamed("col", "__ckey")
+  }
 
   /** Cross-side hamming pairs — the INCREMENTAL form of [[hashPairs]]
     * (new batch vs stored corpus, the nightly-ingest / streaming shape

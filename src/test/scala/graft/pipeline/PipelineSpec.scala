@@ -1652,6 +1652,15 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
         s"r=$r: got ${got.size} pairs, expected ${expected.size}; " +
           s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
       if (r >= 3) assert(expected.nonEmpty, s"fixture degenerate at r=$r")
+      // r = 0 must BLOCK on the full 64-bit hash (one bucket per distinct
+      // hash), not collapse every row into one bucket — the (1L << 64) - 1
+      // == 0 JVM shift trap would make it a silent cartesian-with-verify
+      if (r == 0) {
+        val r0Buckets = graft.util.CapMetrics.lastMetrics("dedup_hamming")
+          .getOrElse(fail("no cap metrics for dedup_hamming")).totalBuckets
+        assert(r0Buckets > 100,
+          s"r=0 blocking must bucket per distinct hash, got $r0Buckets buckets")
+      }
     }
 
     // incremental form over the same fixture: batch = every 3rd id vs the
