@@ -1140,13 +1140,14 @@ object SparkEntry {
     "multimodal_dhash_pairs_incr" -> ((s, dir) => {
       val keys = t(s, dir, "documents")
         .select((col("doc_id") % 97).as("img_key")).distinct()
-      def hashed(k: DataFrame) = Multimodal.imageDHash(
-        Multimodal.encodePngDemo(k, "img_key", maxW = 24, maxH = 20),
+      val corpus = Multimodal.imageDHash(
+        Multimodal.encodePngDemo(keys, "img_key", maxW = 24, maxH = 20),
         "payload", "img_key")
         .where(col("n_pixels") =!= -1L)
         .select(col("id").as("img_key"), col("dhash"))
-      val corpus = hashed(keys)
-      val batch = hashed(keys.where(col("img_key") % 5 === 0))
+      // the batch is a FILTER of the hashed corpus (dHash is
+      // deterministic per key) — no second decode pass
+      val batch = corpus.where(col("img_key") % 5 === 0)
       Dedup.hashPairsAgainst(batch, col("dhash"), "img_key",
           corpus, col("dhash"), "img_key",
           maxHamming = 8, maxBucketPairs = Long.MaxValue)

@@ -1201,24 +1201,56 @@ object Dedup {
                        maxHamming: Int = 3,
                        maxBucketPairs: Long = 4_000_000L,
                        checkpoint: CheckpointStrategy = CheckpointStrategy.Local,
-                       metricName: String = "dedup_hamming_incr"): DataFrame = {
+                       metricName: String = "dedup_hamming_incr"): DataFrame =
+    hashPairsAgainstState(batch, batchHash, batchIdCol,
+      hammingState(corpus, corpusHash, corpusIdCol, maxHamming, checkpoint),
+      maxBucketPairs, checkpoint, metricName)
+
+  /** Prepared corpus side for [[hashPairsAgainstState]]: chunk-exploded
+    * hashes and their per-bucket counts, both materialized ONCE. Build
+    * this once per corpus snapshot (nightly, or at streaming-writer
+    * construction) — re-deriving it per batch would pay two corpus-wide
+    * passes on every call, which is exactly the O(corpus)-per-trigger
+    * cost the incremental form exists to avoid. */
+  final case class HammingState private[Dedup] (
+      chunked: DataFrame, stats: DataFrame, maxHamming: Int)
+
+  def hammingState(corpus: DataFrame, corpusHash: Column, corpusIdCol: String,
+                   maxHamming: Int = 3,
+                   checkpoint: CheckpointStrategy = CheckpointStrategy.Local): HammingState = {
     require(maxHamming >= 0 && maxHamming <= 31,
       s"maxHamming must be in [0, 31] (got $maxHamming) — 64-bit hash " +
         "pigeonhole blocking needs maxHamming + 1 chunks of >= 2 bits")
-    requireIntegralHash(batch, batchHash)
     requireIntegralHash(corpus, corpusHash)
     val chunks = maxHamming + 1
-    val chunkBits = 64 / chunks
+    val chunkedB = Materialize(hashChunks(
+      spread(corpus).select(col(corpusIdCol).as("id_b"),
+        corpusHash.cast("long").as("__simhash")), "id_b", chunks, 64 / chunks),
+      checkpoint)
+    val statsB = Materialize(
+      chunkedB.groupBy(col("__chunk"), col("__ckey")).agg(count(lit(1)).as("__nb")),
+      checkpoint)
+    HammingState(chunkedB, statsB, maxHamming)
+  }
+
+  /** [[hashPairsAgainst]] over a PREPARED corpus state — per call, only
+    * the batch side is chunked and counted; the bucket gate joins the
+    * batch's (tiny) stats against the precomputed corpus stats. */
+  def hashPairsAgainstState(batch: DataFrame, batchHash: Column, batchIdCol: String,
+                            state: HammingState,
+                            maxBucketPairs: Long = 4_000_000L,
+                            checkpoint: CheckpointStrategy = CheckpointStrategy.Local,
+                            metricName: String = "dedup_hamming_incr"): DataFrame = {
+    requireIntegralHash(batch, batchHash)
+    val maxHamming = state.maxHamming
+    val chunks = maxHamming + 1
     val chunkedA = hashChunks(Materialize(
       spread(batch).select(col(batchIdCol).as("id_a"),
-        batchHash.cast("long").as("__simhash")), checkpoint), "id_a", chunks, chunkBits)
-    val chunkedB = hashChunks(Materialize(
-      spread(corpus).select(col(corpusIdCol).as("id_b"),
-        corpusHash.cast("long").as("__simhash")), checkpoint), "id_b", chunks, chunkBits)
+        batchHash.cast("long").as("__simhash")), checkpoint),
+      "id_a", chunks, 64 / chunks)
 
     val statsA = chunkedA.groupBy(col("__chunk"), col("__ckey")).agg(count(lit(1)).as("__na"))
-    val statsB = chunkedB.groupBy(col("__chunk"), col("__ckey")).agg(count(lit(1)).as("__nb"))
-    val bucketStats = statsA.join(statsB, Seq("__chunk", "__ckey"))
+    val bucketStats = statsA.join(state.stats, Seq("__chunk", "__ckey"))
     val overCap = col("__na") * col("__nb") > maxBucketPairs
     val gatedA = CapMetrics.gate(bucketStats, metricName, "__chunk", "__ckey",
         overCap, col("__na") * col("__nb"), checkpoint) match {
@@ -1229,7 +1261,7 @@ object Dedup {
       case Left(allowed) => chunkedA.join(allowed, Seq("__chunk", "__ckey"))
     }
 
-    gatedA.as("a").join(chunkedB.as("b"),
+    gatedA.as("a").join(state.chunked.as("b"),
         col("a.__chunk") === col("b.__chunk") && col("a.__ckey") === col("b.__ckey") &&
           !(col("a.id_a") <=> col("b.id_b")))
       .select(col("a.id_a"), col("b.id_b"),

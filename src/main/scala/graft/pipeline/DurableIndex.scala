@@ -45,7 +45,7 @@ import org.apache.spark.sql.functions._
   * Reliable-checkpoint analogue for index state). */
 object DurableIndex {
 
-  private[pipeline] def qualified(spark: SparkSession, path: String): (FileSystem, Path) = {
+  private[graft] def qualified(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     (fs, fs.makeQualified(p))
@@ -61,15 +61,15 @@ object DurableIndex {
     * fully-written epoch would make [[resolve]] wipe a healthy store.
     * Legacy stores written before the marker existed are recognized by
     * their `meta/_SUCCESS`. */
-  private[pipeline] def isComplete(fs: FileSystem, segDir: Path): Boolean =
+  private[graft] def isComplete(fs: FileSystem, segDir: Path): Boolean =
     fs.exists(new Path(segDir, "_graft_commit")) ||
       fs.exists(new Path(segDir, "meta/_SUCCESS"))
 
   /** Mark `segDir` complete (write LAST, after every data file). */
-  private[pipeline] def commit(fs: FileSystem, segDir: Path): Unit =
+  private[graft] def commit(fs: FileSystem, segDir: Path): Unit =
     fs.create(new Path(segDir, "_graft_commit"), true).close()
 
-  private[pipeline] def listDirs(fs: FileSystem, dir: Path, prefix: String): Seq[Path] =
+  private[graft] def listDirs(fs: FileSystem, dir: Path, prefix: String): Seq[Path] =
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq.filter(_.isDirectory)
       .map(_.getPath).filter(_.getName.startsWith(prefix))

@@ -159,13 +159,80 @@ object AnnStream {
     * groups reports "no drift" for exactly the groups that changed).
     * AnnStreamSpec pins stream == batch: the drift emitted after N
     * batches equals `centroidDrift(baseline, union of the N batches)`
-    * bit-for-bit. */
+    * bit-for-bit. Replayed batches (same source checkpoint, in-JVM
+    * restart) are skipped by a high-water check — but THIS variant's
+    * state lives in driver memory only, so a PROCESS restart starts the
+    * accumulation over; on a checkpointed production stream use
+    * [[centroidDriftWriterRecoverable]], which persists the bounded
+    * aggregate state per batch and reloads it on open. */
+  /** Shared accumulator behind the drift writers: the (group..., dim) ->
+    * (n, quantized sum) map, its replay high-water, and the capacity
+    * guard. Replays (batchId <= highWater) are skipped, so an in-JVM
+    * writer restart over the same source checkpoint never double-folds;
+    * the capacity check runs AFTER the fold so the documented bound is
+    * enforced on the state that actually exists (at most one batch of
+    * overshoot is resident when it fires). */
+  private final class DriftAccumulator(keyLen: Int, maxGroupDims: Int) {
+    val state = scala.collection.mutable.HashMap.empty[Seq[Any], (Long, Long)]
+    var highWater: Long = -1L
+    /** @return true if the batch was folded, false for a replay */
+    def fold(rows: Array[Row], batchId: Long): Boolean = {
+      if (batchId <= highWater) return false
+      rows.foreach { r =>
+        val k = (0 until keyLen).map(r.get)
+        val (n0, s0) = state.getOrElse(k, (0L, 0L))
+        state(k) = (n0 + r.getAs[Long]("n_vectors"), s0 + r.getAs[Long]("__sum"))
+      }
+      highWater = batchId
+      require(state.size <= maxGroupDims,
+        s"centroidDriftWriter: accumulated (group, dim) aggregates " +
+          s"(${state.size}) exceed maxGroupDims=$maxGroupDims — a silently " +
+          "truncated monitor would report no drift for the dropped groups; " +
+          "raise the cap or coarsen the grouping")
+      true
+    }
+    def accRows: Seq[Row] = state.toSeq.map { case (k, (n, s)) =>
+      Row.fromSeq(k ++ Seq(n, s)) }
+  }
+
   def centroidDriftWriter(embStream: DataFrame, baseline: DataFrame,
                           groupCols: Seq[String], vecCol: String,
                           quantScale: Double = 1e6,
                           maxGroupDims: Int = 1_000_000)
-                         (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
-    import graft.pipeline.Embeddings
+                         (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    driftWriterImpl(embStream, baseline, groupCols, vecCol, quantScale,
+      maxGroupDims, persistTo = None)(sink)
+
+  /** CRASH-RECOVERABLE [[centroidDriftWriter]]: the accumulated
+    * aggregates persist under `statePath` keyed by micro-batch id
+    * (`state_<batchId>/agg` parquet + the engine's commit marker,
+    * [[graft.pipeline.DurableIndex.commit]]), so the monitor survives
+    * JVM death — on restart the highest complete state reloads,
+    * replayed batches are skipped by the high-water check, and the
+    * emitted drift still covers EVERY row the stream ever delivered.
+    * The plain [[centroidDriftWriter]] keeps its state in driver memory
+    * only: correct across in-JVM restarts (same high-water skip) but a
+    * process restart starts the accumulation over, which on a
+    * checkpointed production stream silently shrinks the monitored
+    * corpus — use this variant there. Per-trigger durable cost is one
+    * groups×dims parquet write (the whole state is bounded by
+    * `maxGroupDims` rows; superseded state dirs are deleted after the
+    * new one commits). */
+  def centroidDriftWriterRecoverable(embStream: DataFrame, baseline: DataFrame,
+                                     groupCols: Seq[String], vecCol: String,
+                                     statePath: String,
+                                     quantScale: Double = 1e6,
+                                     maxGroupDims: Int = 1_000_000)
+                                    (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    driftWriterImpl(embStream, baseline, groupCols, vecCol, quantScale,
+      maxGroupDims, persistTo = Some(statePath))(sink)
+
+  private def driftWriterImpl(embStream: DataFrame, baseline: DataFrame,
+                              groupCols: Seq[String], vecCol: String,
+                              quantScale: Double, maxGroupDims: Int,
+                              persistTo: Option[String])
+                             (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    import graft.pipeline.{DurableIndex, Embeddings}
     val spark = baseline.sparkSession
     val baseCents = Embeddings.centroids(baseline, groupCols, vecCol, quantScale)
       .localCheckpoint()
@@ -173,27 +240,48 @@ object AnnStream {
     // an empty first batch still emits a well-typed (empty) drift frame
     val aggSchema = Embeddings.centroidAggregates(
       baseline.limit(0), groupCols, vecCol, quantScale).schema
-    val keyLen = groupCols.length + 1 // group values + dim
-    val state = scala.collection.mutable.HashMap.empty[Seq[Any], (Long, Long)]
+    val acc = new DriftAccumulator(groupCols.length + 1, maxGroupDims)
+
+    val store = persistTo.map { path =>
+      val (fs, root) = DurableIndex.qualified(spark, path)
+      // resolve: keep the highest COMPLETE state dir, sweep crash debris
+      val dirs = DurableIndex.listDirs(fs, root, "state_")
+      val complete = dirs.filter(DurableIndex.isComplete(fs, _))
+      dirs.filterNot(complete.contains).foreach(fs.delete(_, true))
+      if (complete.nonEmpty) {
+        val live = complete.maxBy(_.getName.stripPrefix("state_").toLong)
+        complete.filterNot(_ == live).foreach(fs.delete(_, true))
+        acc.highWater = live.getName.stripPrefix("state_").toLong
+        spark.read.parquet(
+            new org.apache.hadoop.fs.Path(live, "agg").toString)
+          .collect().foreach { r =>
+            acc.state((0 until groupCols.length + 1).map(r.get)) =
+              (r.getAs[Long]("n_vectors"), r.getAs[Long]("__sum"))
+          }
+      }
+      (fs, root)
+    }
+
     embStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val rows = Embeddings.centroidAggregates(batch, groupCols, vecCol, quantScale)
         .limit(maxGroupDims + 1).collect()
-      require(rows.length <= maxGroupDims && state.size <= maxGroupDims,
-        s"centroidDriftWriter: accumulated (group, dim) aggregates exceed " +
-          s"maxGroupDims=$maxGroupDims — a silently truncated monitor would " +
-          "report no drift for the dropped groups; raise the cap or coarsen " +
-          "the grouping")
-      rows.foreach { r =>
-        val k = (0 until keyLen).map(r.get)
-        val (n0, s0) = state.getOrElse(k, (0L, 0L))
-        state(k) = (n0 + r.getAs[Long]("n_vectors"), s0 + r.getAs[Long]("__sum"))
+      val folded = acc.fold(rows, batchId)
+      if (folded) store.foreach { case (fs, root) =>
+        val dir = new org.apache.hadoop.fs.Path(root, s"state_$batchId")
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(acc.accRows, 1), aggSchema)
+          .write.mode("overwrite")
+          .parquet(new org.apache.hadoop.fs.Path(dir, "agg").toString)
+        DurableIndex.commit(fs, dir)
+        // superseded states deleted only after the new one committed
+        DurableIndex.listDirs(fs, root, "state_")
+          .filterNot(_ == dir).foreach(fs.delete(_, true))
       }
-      val accRows = state.toSeq.map { case (k, (n, s)) =>
-        Row.fromSeq(k ++ Seq(n, s)) }
-      val acc = Embeddings.centroidsFromAggregates(
-        spark.createDataFrame(spark.sparkContext.parallelize(accRows, 1), aggSchema),
+      val accDf = Embeddings.centroidsFromAggregates(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(acc.accRows, 1), aggSchema),
         quantScale)
-      sink(Embeddings.driftFromCentroids(baseCents, acc, groupCols, quantScale),
+      sink(Embeddings.driftFromCentroids(baseCents, accDf, groupCols, quantScale),
         batchId)
     }
   }

@@ -129,14 +129,19 @@ object DocStreams {
                            maxBucketPairs: Long = 4_000_000L)
                           (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val statePrepared = corpusHashes
-      .select(col(corpusIdCol), col(corpusHashCol)).localCheckpoint()
+    // the chunk-exploded corpus + its bucket stats materialize ONCE here
+    // on the caller thread (outside any per-batch scope) — per trigger
+    // only the batch side is chunked and counted, keeping the documented
+    // O(batch × colliding corpus) per-trigger cost honest (re-deriving
+    // the corpus state per batch would be two corpus-wide passes per
+    // trigger)
+    val state = graft.pipeline.Dedup.hammingState(
+      corpusHashes, col(corpusHashCol), corpusIdCol, maxHamming)
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       graft.util.MatchScope.withMatchScope {
-        sink(graft.pipeline.Dedup.hashPairsAgainst(
-          batch, col(streamHashCol), streamIdCol,
-          statePrepared, col(corpusHashCol), corpusIdCol,
-          maxHamming, maxBucketPairs), batchId)
+        sink(graft.pipeline.Dedup.hashPairsAgainstState(
+          batch, col(streamHashCol), streamIdCol, state, maxBucketPairs),
+          batchId)
       }
     }
   }

@@ -213,4 +213,57 @@ class AnnStreamSpec extends AnyFunSuite with SparkSpec {
       assert(batchDrift.nonEmpty)
     }
   }
+
+  test("centroidDriftWriterRecoverable: a process restart reloads the " +
+    "accumulated state — final drift covers every row ever delivered") {
+    import graft.pipeline.Embeddings
+    val baseline = emb.where($"vec_id" % 2 === 0)
+    val incoming = emb.where($"vec_id" % 2 === 1)
+      .select($"label", $"vec_id", $"embedding")
+    val preds = Seq($"vec_id" % 3 === 0, $"vec_id" % 3 === 1, $"vec_id" % 3 === 2)
+    val flatDir = java.nio.file.Files.createTempDirectory("driftrec_stream")
+    def stageBatch(i: Int): Unit = {
+      val part = java.nio.file.Files.createTempDirectory(s"driftrec_part$i")
+      incoming.where(preds(i)).coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val src = java.nio.file.Files.list(part)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst = flatDir.resolve(f"$i%02d.parquet")
+      java.nio.file.Files.copy(src, dst)
+      dst.toFile.setLastModified(1000000L + i * 10000L)
+    }
+    val statePath = java.nio.file.Files.createTempDirectory("driftrec_state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("driftrec_ckpt").toString
+    def stream = spark.readStream.schema(incoming.schema)
+      .option("maxFilesPerTrigger", "1").parquet(flatDir.toString)
+    def driftSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("label", "n_old", "n_new", "n_dims", "l2_move")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Set[(Long, Long, Long, Long, Double)])]
+    def run(): Unit = {
+      // a FRESH writer each time — the in-memory accumulator starts
+      // empty, as after a process restart; only statePath + the stream
+      // checkpoint survive
+      val q = AnnStream.centroidDriftWriterRecoverable(stream, baseline,
+          Seq("label"), "embedding", statePath) { (out, batchId) =>
+        emitted.synchronized { emitted += ((batchId, driftSet(out))) }
+      }.option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    stageBatch(0); stageBatch(1)
+    run()
+    assert(emitted.size == 2, s"expected 2 triggers, got ${emitted.size}")
+    // "restart": new writer object, same statePath + checkpoint
+    stageBatch(2)
+    run()
+    val last = emitted.sortBy(_._1).last._2
+    val expected = driftSet(Embeddings.centroidDrift(baseline,
+      incoming, Seq("label"), "embedding"))
+    assert(last == expected,
+      "post-restart drift must cover all three batches, not just the third")
+    // exactly one live state dir remains (superseded ones deleted)
+    val dirs = new java.io.File(statePath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("state_"))
+    assert(dirs.length == 1, s"expected 1 live state dir, got ${dirs.toSeq}")
+  }
 }
