@@ -1242,15 +1242,22 @@ object Dedup {
                             checkpoint: CheckpointStrategy = CheckpointStrategy.Local,
                             metricName: String = "dedup_hamming_incr"): DataFrame = {
     requireIntegralHash(batch, batchHash)
-    val maxHamming = state.maxHamming
-    val chunks = maxHamming + 1
+    val chunks = state.maxHamming + 1
     val chunkedA = hashChunks(Materialize(
       spread(batch).select(col(batchIdCol).as("id_a"),
         batchHash.cast("long").as("__simhash")), checkpoint),
       "id_a", chunks, 64 / chunks)
+    hashPairsAgainstChunked(chunkedA, state.chunked, state.stats,
+      state.maxHamming, maxBucketPairs, checkpoint, metricName)
+  }
 
+  private def hashPairsAgainstChunked(chunkedA: DataFrame,
+                                      corpusChunked: DataFrame, corpusStats: DataFrame,
+                                      maxHamming: Int, maxBucketPairs: Long,
+                                      checkpoint: CheckpointStrategy,
+                                      metricName: String): DataFrame = {
     val statsA = chunkedA.groupBy(col("__chunk"), col("__ckey")).agg(count(lit(1)).as("__na"))
-    val bucketStats = statsA.join(state.stats, Seq("__chunk", "__ckey"))
+    val bucketStats = statsA.join(corpusStats, Seq("__chunk", "__ckey"))
     val overCap = col("__na") * col("__nb") > maxBucketPairs
     val gatedA = CapMetrics.gate(bucketStats, metricName, "__chunk", "__ckey",
         overCap, col("__na") * col("__nb"), checkpoint) match {
@@ -1261,13 +1268,95 @@ object Dedup {
       case Left(allowed) => chunkedA.join(allowed, Seq("__chunk", "__ckey"))
     }
 
-    gatedA.as("a").join(state.chunked.as("b"),
+    gatedA.as("a").join(corpusChunked.as("b"),
         col("a.__chunk") === col("b.__chunk") && col("a.__ckey") === col("b.__ckey") &&
           !(col("a.id_a") <=> col("b.id_b")))
       .select(col("a.id_a"), col("b.id_b"),
         bit_count(col("a.__simhash").bitwiseXOR(col("b.__simhash"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Bucket expression shared by the stored hamming state's writer and
+    * its query-time pruning — MUST stay identical on both sides. */
+  private def hammingBucket(nBuckets: Int): Column =
+    pmod(xxhash64(col("__chunk"), col("__ckey")), lit(nBuckets.toLong))
+
+  /** Persist a hamming corpus state BUCKET-PARTITIONED
+    * (`.../bucket=N/` parquet dirs for both the chunk-exploded hashes
+    * and their per-bucket stats): at query time the batch's chunk keys
+    * hash to a bounded set of buckets (≤ batch × (maxHamming + 1),
+    * capped at `nBuckets`), and the stored frames are read WITH a bucket
+    * filter — partition pruning skips every other directory, so
+    * per-trigger corpus I/O is proportional to the buckets the batch
+    * actually touches, not the store (the
+    * [[graft.pipeline.TextAnalysis.saveBm25Index]] token-bucket trick
+    * applied to hamming blocking; the in-memory [[hammingState]] scans
+    * its whole checkpointed corpus per call, which at a 10⁸-hash store
+    * is gigabytes per trigger). */
+  def saveHammingState(corpus: DataFrame, corpusHash: Column, corpusIdCol: String,
+                       path: String, maxHamming: Int = 3,
+                       nBuckets: Int = 64): Unit = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming must be in [0, 31] (got $maxHamming)")
+    require(nBuckets >= 1, s"nBuckets must be >= 1 (got $nBuckets)")
+    requireIntegralHash(corpus, corpusHash)
+    val chunks = maxHamming + 1
+    val chunked = hashChunks(
+      spread(corpus).select(col(corpusIdCol).as("id_b"),
+        corpusHash.cast("long").as("__simhash")), "id_b", chunks, 64 / chunks)
+      .withColumn("bucket", hammingBucket(nBuckets))
+    // one shuffle task per bucket -> ONE file per bucket directory (the
+    // saveBm25Index recipe — without it every task spills a sliver into
+    // every bucket)
+    chunked.repartition(nBuckets, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/chunked")
+    chunked.groupBy(col("bucket"), col("__chunk"), col("__ckey"))
+      .agg(count(lit(1)).as("__nb"))
+      .repartition(nBuckets, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/stats")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((maxHamming, nBuckets)).toDF("max_hamming", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** A stored hamming corpus state ([[saveHammingState]] layout). */
+  final case class StoredHammingState(chunked: DataFrame, stats: DataFrame,
+                                      maxHamming: Int, nBuckets: Int)
+
+  def loadHammingState(spark: org.apache.spark.sql.SparkSession,
+                       path: String): StoredHammingState = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    StoredHammingState(
+      spark.read.parquet(s"$path/chunked"),
+      spark.read.parquet(s"$path/stats"),
+      m.getAs[Int]("max_hamming"), m.getAs[Int]("n_buckets"))
+  }
+
+  /** [[hashPairsAgainstState]] against a STORED state: the batch's
+    * distinct bucket values (≤ min(batch × chunks, nBuckets), collected
+    * — bounded by `nBuckets`) become a partition filter on both stored
+    * frames, so the corpus-side scan reads ONLY the touched
+    * `bucket=N/` directories (pruning spec-asserted). */
+  def hashPairsAgainstStored(batch: DataFrame, batchHash: Column, batchIdCol: String,
+                             stored: StoredHammingState,
+                             maxBucketPairs: Long = 4_000_000L,
+                             checkpoint: CheckpointStrategy = CheckpointStrategy.Local,
+                             metricName: String = "dedup_hamming_incr"): DataFrame = {
+    requireIntegralHash(batch, batchHash)
+    val chunks = stored.maxHamming + 1
+    val chunkedA = hashChunks(Materialize(
+      spread(batch).select(col(batchIdCol).as("id_a"),
+        batchHash.cast("long").as("__simhash")), checkpoint),
+      "id_a", chunks, 64 / chunks)
+    val touched = chunkedA.select(hammingBucket(stored.nBuckets).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).map(b => b: Any)
+    hashPairsAgainstChunked(chunkedA,
+      stored.chunked.where(col("bucket").isin(touched: _*)).drop("bucket"),
+      stored.stats.where(col("bucket").isin(touched: _*)).drop("bucket"),
+      stored.maxHamming, maxBucketPairs, checkpoint, metricName)
   }
 
   // -------------------------------------------------------- embeddings

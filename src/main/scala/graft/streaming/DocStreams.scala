@@ -145,4 +145,30 @@ object DocStreams {
       }
     }
   }
+
+  /** [[hammingNearDupWriter]] against a STORED bucket-partitioned state
+    * ([[graft.pipeline.Dedup.saveHammingState]]) — the corpus-scale
+    * form: each micro-batch's chunk keys prune the corpus scan to the
+    * `bucket=N/` directories they actually touch, so per-trigger corpus
+    * I/O is proportional to the touched buckets rather than the store
+    * (the in-memory writer scans its whole checkpointed corpus per
+    * trigger — fine at 10⁵ hashes, gigabytes per trigger at 10⁸).
+    * Refreshing the store (append accepted batches, rewrite touched
+    * buckets) and restarting on the new snapshot is the caller's
+    * nightly cycle. */
+  def hammingNearDupWriterStored(stream: DataFrame, statePath: String,
+                                 streamHashCol: String, streamIdCol: String,
+                                 maxBucketPairs: Long = 4_000_000L)
+                                (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val stored = graft.pipeline.Dedup.loadHammingState(
+      stream.sparkSession, statePath)
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.util.MatchScope.withMatchScope {
+        sink(graft.pipeline.Dedup.hashPairsAgainstStored(
+          batch, col(streamHashCol), streamIdCol, stored, maxBucketPairs),
+          batchId)
+      }
+    }
+  }
 }

@@ -171,6 +171,25 @@ object WriterLatency {
           .option("maxFilesPerTrigger", "1").parquet(flat.toString)
         DocStreams.hammingNearDupWriter(stream, corpusHashes,
           "h64", "doc_id", "h64", "asset_id", maxHamming = 3)(record)
+      case "hammingstored" =>
+        // the bucket-partitioned stored form of "hamming": per-trigger
+        // corpus I/O prunes to the batch's touched buckets
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        corpusRows = docs.count()
+        val corpusHashes = docs.select(col("doc_id").as("asset_id"),
+          Dedup.simhash64(col("text")).as("h64"))
+        val statePath = java.nio.file.Files
+          .createTempDirectory("wlat_hamstore").toString
+        Dedup.saveHammingState(corpusHashes, col("h64"), "asset_id",
+          statePath, maxHamming = 3, nBuckets = 64)
+        val batch = corpusHashes.limit(nBatches * perBatch)
+          .select((col("asset_id") + lit(2_000_000_000_000L)).as("doc_id"),
+            col("h64"))
+        val flat = stage(batch, "doc_id")
+        val stream = spark.readStream.schema(batch.schema)
+          .option("maxFilesPerTrigger", "1").parquet(flat.toString)
+        DocStreams.hammingNearDupWriterStored(stream, statePath,
+          "h64", "doc_id", maxBucketPairs = 4_000_000L)(record)
       case "driftmon" =>
         // bounded-state drift monitor: baseline = the corpus; arriving
         // batches fold their centroid aggregates and emit the running
@@ -185,7 +204,7 @@ object WriterLatency {
           .option("maxFilesPerTrigger", "1").parquet(flat.toString)
         AnnStream.centroidDriftWriter(stream, emb, Seq("label"), "embedding")(record)
       case other =>
-        sys.error(s"unknown writer '$other' (ivf|neardup|spanrewrite|semdedup|hll|hamming|driftmon)")
+        sys.error(s"unknown writer '$other' (ivf|neardup|spanrewrite|semdedup|hll|hamming|hammingstored|driftmon)")
     }
     val prepSec = (System.nanoTime() - t0) / 1e9
 

@@ -1684,6 +1684,56 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("stored hamming state: identical answer, PRUNED corpus scan " +
+    "(PartitionFilters with a strict bucket subset)") {
+    // same planted-near-pair generator as the completeness property test
+    val rnd = new scala.util.Random(99L)
+    val hashes = (0 until 40).flatMap { i =>
+      val base = rnd.nextLong()
+      (base, i * 5L) +: (1 to 4).map { j =>
+        val flips = 1 + rnd.nextInt(6)
+        val p = (1 to flips).foldLeft(base)((h, _) => h ^ (1L << rnd.nextInt(64)))
+        (p, i * 5L + j)
+      }
+    }
+    val corpus = hashes.map { case (h, id) => (id, h) }.toDF("id", "h")
+    val dir = java.nio.file.Files.createTempDirectory("ham_store").toString
+    Dedup.saveHammingState(corpus, col("h"), "id", dir, maxHamming = 3, nBuckets = 16)
+    val stored = Dedup.loadHammingState(spark, dir)
+    assert(stored.maxHamming == 3 && stored.nBuckets == 16)
+
+    val batch = corpus.where(col("id") % 3 === 0)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_a", "id_b", "hamming")
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("hamming"))).toSet
+    val inline = pairSet(Dedup.hashPairsAgainst(batch, col("h"), "id",
+      corpus, col("h"), "id", maxHamming = 3))
+    val viaStored = Dedup.hashPairsAgainstStored(batch, col("h"), "id", stored)
+    assert(pairSet(viaStored) == inline && inline.nonEmpty,
+      s"stored=${pairSet(viaStored).size} inline=${inline.size}")
+    // the corpus scan must carry the bucket partition filter — the
+    // storage layer does the blocking lookup (the saveBm25Index contract)
+    val plan = viaStored.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      (plan.contains("bucket#") || plan.contains("cast(bucket")),
+      s"bucket filter did not reach partition pruning:\n$plan")
+    // strict subset: a single-row batch touches at most chunks (4) of
+    // the 16 bucket directories
+    val one = corpus.limit(1)
+    val oneStored = Dedup.hashPairsAgainstStored(one, col("h"), "id", stored)
+    oneStored.count()
+    val full = spark.read.parquet(s"$dir/chunked").count()
+    val touched = one.select(col("h")).collect().head.getLong(0)
+    val oneBuckets = (0 until 4).map { c =>
+      val ckey = (touched >>> (c * 16)) & 0xFFFFL
+      spark.read.parquet(s"$dir/chunked")
+        .where(col("__chunk") === c && col("__ckey") === ckey).count()
+    }.sum
+    assert(oneBuckets > 0 && oneBuckets < full / 2,
+      s"one row's chunk keys cover $oneBuckets of $full chunk rows — not a subset")
+  }
+
   test("curateByDHashImages: hamming clustering catches a near-duplicate " +
     "copy (re-encode / light edit) that exact hash equality misses") {
     def png(g: (Int, Int) => Int, w: Int = 36, h: Int = 32): Array[Byte] = {
