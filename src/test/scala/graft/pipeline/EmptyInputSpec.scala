@@ -245,6 +245,13 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
     // a single row can never pair with itself (self-pair exclusion)
     assert(Dedup.hashPairsAgainst(corpus, col("h"), "id",
       corpus, col("h"), "id", maxHamming = 3).count() === 0L)
+    // stored form: an empty batch touches zero buckets (isin() over an
+    // empty list must yield an empty result, not throw)
+    val storeDir = java.nio.file.Files.createTempDirectory("empty_hamstore").toString
+    Dedup.saveHammingState(corpus, col("h"), "id", storeDir,
+      maxHamming = 3, nBuckets = 4)
+    assert(Dedup.hashPairsAgainstStored(emptyHashes, col("h"), "id",
+      Dedup.loadHammingState(spark, storeDir)).count() === 0L)
 
     // curate: an empty corpus yields zero buckets in both modes
     val emptyKeyed = Seq.empty[(Long, Long)].toDF("doc_id", "img_key")
