@@ -1236,20 +1236,27 @@ object Dedup {
   /** [[hashPairsAgainst]] over a PREPARED corpus state — per call, only
     * the batch side is chunked and counted; the bucket gate joins the
     * batch's (tiny) stats against the precomputed corpus stats. */
+  /** Batch-side prologue shared by the state/stored incremental forms:
+    * integral check, materialize, pigeonhole chunk explode. */
+  private def chunkBatch(batch: DataFrame, batchHash: Column, batchIdCol: String,
+                         maxHamming: Int, checkpoint: CheckpointStrategy): DataFrame = {
+    requireIntegralHash(batch, batchHash)
+    val chunks = maxHamming + 1
+    hashChunks(Materialize(
+      spread(batch).select(col(batchIdCol).as("id_a"),
+        batchHash.cast("long").as("__simhash")), checkpoint),
+      "id_a", chunks, 64 / chunks)
+  }
+
   def hashPairsAgainstState(batch: DataFrame, batchHash: Column, batchIdCol: String,
                             state: HammingState,
                             maxBucketPairs: Long = 4_000_000L,
                             checkpoint: CheckpointStrategy = CheckpointStrategy.Local,
-                            metricName: String = "dedup_hamming_incr"): DataFrame = {
-    requireIntegralHash(batch, batchHash)
-    val chunks = state.maxHamming + 1
-    val chunkedA = hashChunks(Materialize(
-      spread(batch).select(col(batchIdCol).as("id_a"),
-        batchHash.cast("long").as("__simhash")), checkpoint),
-      "id_a", chunks, 64 / chunks)
-    hashPairsAgainstChunked(chunkedA, state.chunked, state.stats,
+                            metricName: String = "dedup_hamming_incr"): DataFrame =
+    hashPairsAgainstChunked(
+      chunkBatch(batch, batchHash, batchIdCol, state.maxHamming, checkpoint),
+      state.chunked, state.stats,
       state.maxHamming, maxBucketPairs, checkpoint, metricName)
-  }
 
   private def hashPairsAgainstChunked(chunkedA: DataFrame,
                                       corpusChunked: DataFrame, corpusStats: DataFrame,
@@ -1301,26 +1308,45 @@ object Dedup {
       s"maxHamming must be in [0, 31] (got $maxHamming)")
     require(nBuckets >= 1, s"nBuckets must be >= 1 (got $nBuckets)")
     requireIntegralHash(corpus, corpusHash)
+    val spark = corpus.sparkSession
+    // a refresh is NOT atomic (three table overwrites) — invalidate the
+    // store's commit marker first, re-commit LAST: a crash mid-refresh
+    // leaves a store load refuses loudly instead of one that silently
+    // mixes old stats with new chunks
+    val (fs, root) = DurableIndex.qualified(spark, path)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_graft_commit"), false)
     val chunks = maxHamming + 1
     val chunked = hashChunks(
       spread(corpus).select(col(corpusIdCol).as("id_b"),
         corpusHash.cast("long").as("__simhash")), "id_b", chunks, 64 / chunks)
       .withColumn("bucket", hammingBucket(nBuckets))
+    // partitioned writes of an EMPTY frame emit no schema-bearing files;
+    // persist the schema separately so an empty store stays loadable
+    chunked.limit(0).write.mode("overwrite").parquet(s"$path/schema")
     // one shuffle task per bucket -> ONE file per bucket directory (the
     // saveBm25Index recipe — without it every task spills a sliver into
     // every bucket)
     chunked.repartition(nBuckets, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/chunked")
-    chunked.groupBy(col("bucket"), col("__chunk"), col("__ckey"))
+    // stats derive from the WRITTEN chunked parquet — deriving them from
+    // the lazy plan would execute the full corpus lineage (incl. the
+    // caller's hash expression) a second time
+    spark.read.schema(chunkedSchema(spark, path))
+      .parquet(s"$path/chunked")
+      .groupBy(col("bucket"), col("__chunk"), col("__ckey"))
       .agg(count(lit(1)).as("__nb"))
       .repartition(nBuckets, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/stats")
-    val spark = corpus.sparkSession
     import spark.implicits._
     Seq((maxHamming, nBuckets)).toDF("max_hamming", "n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    DurableIndex.commit(fs, root)
   }
+
+  private def chunkedSchema(spark: org.apache.spark.sql.SparkSession,
+                            path: String): org.apache.spark.sql.types.StructType =
+    spark.read.parquet(s"$path/schema").schema
 
   /** A stored hamming corpus state ([[saveHammingState]] layout). */
   final case class StoredHammingState(chunked: DataFrame, stats: DataFrame,
@@ -1328,10 +1354,19 @@ object Dedup {
 
   def loadHammingState(spark: org.apache.spark.sql.SparkSession,
                        path: String): StoredHammingState = {
+    val (fs, root) = DurableIndex.qualified(spark, path)
+    require(fs.exists(new org.apache.hadoop.fs.Path(root, "_graft_commit")),
+      s"hamming state at $path is incomplete (a save/refresh died " +
+        "mid-write) — its tables may mix generations; re-run saveHammingState")
     val m = spark.read.parquet(s"$path/meta").head()
+    val sch = chunkedSchema(spark, path)
+    val statsSchema = org.apache.spark.sql.types.StructType(
+      sch.filter(f => f.name == "__chunk" || f.name == "__ckey" || f.name == "bucket") :+
+        org.apache.spark.sql.types.StructField("__nb",
+          org.apache.spark.sql.types.LongType, nullable = false))
     StoredHammingState(
-      spark.read.parquet(s"$path/chunked"),
-      spark.read.parquet(s"$path/stats"),
+      spark.read.schema(sch).parquet(s"$path/chunked"),
+      spark.read.schema(statsSchema).parquet(s"$path/stats"),
       m.getAs[Int]("max_hamming"), m.getAs[Int]("n_buckets"))
   }
 
@@ -1345,12 +1380,8 @@ object Dedup {
                              maxBucketPairs: Long = 4_000_000L,
                              checkpoint: CheckpointStrategy = CheckpointStrategy.Local,
                              metricName: String = "dedup_hamming_incr"): DataFrame = {
-    requireIntegralHash(batch, batchHash)
-    val chunks = stored.maxHamming + 1
-    val chunkedA = hashChunks(Materialize(
-      spread(batch).select(col(batchIdCol).as("id_a"),
-        batchHash.cast("long").as("__simhash")), checkpoint),
-      "id_a", chunks, 64 / chunks)
+    val chunkedA = chunkBatch(batch, batchHash, batchIdCol,
+      stored.maxHamming, checkpoint)
     val touched = chunkedA.select(hammingBucket(stored.nBuckets).as("bucket"))
       .distinct().collect().map(_.getLong(0)).map(b => b: Any)
     hashPairsAgainstChunked(chunkedA,

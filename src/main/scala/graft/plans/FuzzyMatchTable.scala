@@ -196,6 +196,10 @@ object FuzzyMatchTable {
         case other => throw new IllegalArgumentException(
           s"fuzzy_match: unknown option '$other'. Usage: $usage")
       }
+      // unreachable: the remainder was validated even above, so grouped(2)
+      // never yields a 1-element tail — but the match must be total
+      case (_, odd) => throw new IllegalStateException(
+        s"fuzzy_match: internal option-pair grouping error on $odd")
     }
     FuzzyMatcher.matchDfs(left, right, maps, opts).queryExecution.analyzed
   }

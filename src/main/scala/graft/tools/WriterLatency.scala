@@ -176,8 +176,10 @@ object WriterLatency {
         // corpus I/O prunes to the batch's touched buckets
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         corpusRows = docs.count()
+        // checkpoint like the in-memory case: simhash64 over all text
+        // must run once, not once per downstream consumer
         val corpusHashes = docs.select(col("doc_id").as("asset_id"),
-          Dedup.simhash64(col("text")).as("h64"))
+          Dedup.simhash64(col("text")).as("h64")).localCheckpoint()
         val statePath = java.nio.file.Files
           .createTempDirectory("wlat_hamstore").toString
         Dedup.saveHammingState(corpusHashes, col("h64"), "asset_id",

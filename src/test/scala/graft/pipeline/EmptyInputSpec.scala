@@ -252,6 +252,14 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
       maxHamming = 3, nBuckets = 4)
     assert(Dedup.hashPairsAgainstStored(emptyHashes, col("h"), "id",
       Dedup.loadHammingState(spark, storeDir)).count() === 0L)
+    // a store saved from an EMPTY corpus must stay loadable (partitioned
+    // writes of empty frames emit no schema-bearing files — the schema
+    // table covers it) and searchable
+    val emptyStore = java.nio.file.Files.createTempDirectory("empty_hamstore2").toString
+    Dedup.saveHammingState(emptyHashes, col("h"), "id", emptyStore,
+      maxHamming = 3, nBuckets = 4)
+    assert(Dedup.hashPairsAgainstStored(corpus, col("h"), "id",
+      Dedup.loadHammingState(spark, emptyStore)).count() === 0L)
 
     // curate: an empty corpus yields zero buckets in both modes
     val emptyKeyed = Seq.empty[(Long, Long)].toDF("doc_id", "img_key")

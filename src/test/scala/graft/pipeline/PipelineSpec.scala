@@ -1712,11 +1712,13 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     val viaStored = Dedup.hashPairsAgainstStored(batch, col("h"), "id", stored)
     assert(pairSet(viaStored) == inline && inline.nonEmpty,
       s"stored=${pairSet(viaStored).size} inline=${inline.size}")
-    // the corpus scan must carry the bucket partition filter — the
-    // storage layer does the blocking lookup (the saveBm25Index contract)
+    // the corpus scan must carry the bucket filter INSIDE the
+    // PartitionFilters list — "plan contains PartitionFilters" alone is
+    // vacuous (FileSourceScanExec always prints the key, even empty),
+    // and a bucket filter that regressed to a post-scan data filter
+    // would still mention bucket# elsewhere in the plan
     val plan = viaStored.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") &&
-      (plan.contains("bucket#") || plan.contains("cast(bucket")),
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
       s"bucket filter did not reach partition pruning:\n$plan")
     // strict subset: a single-row batch touches at most chunks (4) of
     // the 16 bucket directories
@@ -1732,6 +1734,23 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }.sum
     assert(oneBuckets > 0 && oneBuckets < full / 2,
       s"one row's chunk keys cover $oneBuckets of $full chunk rows — not a subset")
+
+    // crash-window guard: a refresh that died mid-write leaves the
+    // commit marker absent, and load must refuse loudly (mixed-
+    // generation chunks/stats silently miss pairs otherwise)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(
+      fs.makeQualified(new org.apache.hadoop.fs.Path(dir)), "_graft_commit")
+    assert(fs.delete(marker, false), "expected a commit marker to delete")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.loadHammingState(spark, dir)
+    }
+    assert(e.getMessage.contains("incomplete"), e.getMessage)
+    // a re-run of the save restores loadability
+    Dedup.saveHammingState(corpus, col("h"), "id", dir, maxHamming = 3, nBuckets = 16)
+    assert(pairSet(Dedup.hashPairsAgainstStored(batch, col("h"), "id",
+      Dedup.loadHammingState(spark, dir))) == inline)
   }
 
   test("curateByDHashImages: hamming clustering catches a near-duplicate " +
