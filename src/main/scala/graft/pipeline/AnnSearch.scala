@@ -770,7 +770,12 @@ object AnnSearch {
     *     serving quantizer was fitted on (`oldCorpus`) and the current
     *     corpus (`newCorpus`), grouped by `groupCols`; the trigger is
     *     max `l2_move` > `driftTau`. Exact quantized-integer arithmetic,
-    *     one scan per side.
+    *     one scan per side. LIMITATION: the drift join is INNER on the
+    *     group key, so a group present in only one snapshot — e.g. a
+    *     brand-new dominant language, arguably maximal drift — emits no
+    *     `l2_move` row and cannot trip the monitor; pair this with
+    *     [[graft.pipeline.Profile.drift]] on the group column to catch
+    *     appear/disappear, or refit unconditionally on a schedule.
     *  2. REFIT (only when tripped): [[kmeansFit]] + [[ivfPostings]] on
     *     `newCorpus` — the full rebuild the append/forget scaladocs
     *     defer to, run at most once per monitor trip instead of per
@@ -821,9 +826,14 @@ object AnnSearch {
       .agg(coalesce(avg(col("recall")), lit(0.0)).as("r")).head().getDouble(0)
     if (recall >= minMeanRecall)
       DriftRefitOutcome(drift, drifted = true, recall, swapped = true, flat, posts)
-    else
+    else {
+      // the rejected refit's postings barrier has no consumer after the
+      // gate — release it now, or repeated rejected cycles in a
+      // long-lived driver accumulate checkpoint blocks until GC
+      graft.util.Materialize.release(posts)
       DriftRefitOutcome(drift, drifted = true, recall, swapped = false,
         servingCentroids, servingPostings)
+    }
   }
 
   /** Persist postings CELL-PARTITIONED (`.../cell=N/` parquet dirs): a

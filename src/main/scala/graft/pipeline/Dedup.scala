@@ -1300,7 +1300,19 @@ object Dedup {
     * [[graft.pipeline.TextAnalysis.saveBm25Index]] token-bucket trick
     * applied to hamming blocking; the in-memory [[hammingState]] scans
     * its whole checkpointed corpus per call, which at a 10⁸-hash store
-    * is gigabytes per trigger). */
+    * is gigabytes per trigger).
+    *
+    * A refresh is GENERATION-FLIPPED, never in-place: each save writes a
+    * fresh immutable `gen=G/` subdirectory (chunked + stats + meta +
+    * commit marker, the [[DurableIndex]] epoch scheme) and
+    * [[loadHammingState]] resolves the highest committed generation —
+    * so a reader that resolved gen G-1 before a concurrent refresh keeps
+    * scanning its own consistent generation instead of mixing old stats
+    * with new chunks mid-trigger. The superseded generation is kept as a
+    * one-save grace window for exactly those in-flight readers and
+    * deleted by the NEXT save; long-lived stream writers
+    * ([[graft.streaming.DocStreams.hammingNearDupWriterStored]]) should
+    * still re-load after a refresh to see the new corpus. */
   def saveHammingState(corpus: DataFrame, corpusHash: Column, corpusIdCol: String,
                        path: String, maxHamming: Int = 3,
                        nBuckets: Int = 64): Unit = {
@@ -1309,12 +1321,11 @@ object Dedup {
     require(nBuckets >= 1, s"nBuckets must be >= 1 (got $nBuckets)")
     requireIntegralHash(corpus, corpusHash)
     val spark = corpus.sparkSession
-    // a refresh is NOT atomic (three table overwrites) — invalidate the
-    // store's commit marker first, re-commit LAST: a crash mid-refresh
-    // leaves a store load refuses loudly instead of one that silently
-    // mixes old stats with new chunks
     val (fs, root) = DurableIndex.qualified(spark, path)
-    fs.delete(new org.apache.hadoop.fs.Path(root, "_graft_commit"), false)
+    val prevLive = liveHammingGen(fs, root).map(_.getName)
+    val gen = DurableIndex.listDirs(fs, root, "gen=")
+      .map(_.getName.stripPrefix("gen=").toLong).foldLeft(-1L)(math.max) + 1
+    val genPath = s"$path/gen=$gen"
     val chunks = maxHamming + 1
     val chunked = hashChunks(
       spread(corpus).select(col(corpusIdCol).as("id_b"),
@@ -1322,26 +1333,45 @@ object Dedup {
       .withColumn("bucket", hammingBucket(nBuckets))
     // partitioned writes of an EMPTY frame emit no schema-bearing files;
     // persist the schema separately so an empty store stays loadable
-    chunked.limit(0).write.mode("overwrite").parquet(s"$path/schema")
+    chunked.limit(0).write.mode("overwrite").parquet(s"$genPath/schema")
     // one shuffle task per bucket -> ONE file per bucket directory (the
     // saveBm25Index recipe — without it every task spills a sliver into
     // every bucket)
     chunked.repartition(nBuckets, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/chunked")
+      .parquet(s"$genPath/chunked")
     // stats derive from the WRITTEN chunked parquet — deriving them from
     // the lazy plan would execute the full corpus lineage (incl. the
     // caller's hash expression) a second time
-    spark.read.schema(chunkedSchema(spark, path))
-      .parquet(s"$path/chunked")
+    spark.read.schema(chunkedSchema(spark, genPath))
+      .parquet(s"$genPath/chunked")
       .groupBy(col("bucket"), col("__chunk"), col("__ckey"))
       .agg(count(lit(1)).as("__nb"))
       .repartition(nBuckets, col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/stats")
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$genPath/stats")
     import spark.implicits._
     Seq((maxHamming, nBuckets)).toDF("max_hamming", "n_buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    DurableIndex.commit(fs, root)
+      .coalesce(1).write.mode("overwrite").parquet(s"$genPath/meta")
+    // commit marker LAST — a crash anywhere above leaves an uncommitted
+    // gen dir that load ignores and the next save garbage-collects
+    DurableIndex.commit(fs, new org.apache.hadoop.fs.Path(root, s"gen=$gen"))
+    // keep the immediately-superseded live generation (grace for readers
+    // mid-scan on it); everything else — older grace dirs, crashed
+    // uncommitted writes — goes now
+    DurableIndex.listDirs(fs, root, "gen=").foreach { g =>
+      if (g.getName != s"gen=$gen" && !prevLive.contains(g.getName))
+        fs.delete(g, true)
+    }
+  }
+
+  /** Highest committed `gen=G/` under a [[saveHammingState]] store. */
+  private def liveHammingGen(fs: org.apache.hadoop.fs.FileSystem,
+                             root: org.apache.hadoop.fs.Path
+                            ): Option[org.apache.hadoop.fs.Path] = {
+    val committed = DurableIndex.listDirs(fs, root, "gen=")
+      .filter(g => fs.exists(new org.apache.hadoop.fs.Path(g, "_graft_commit")))
+    if (committed.isEmpty) None
+    else Some(committed.maxBy(_.getName.stripPrefix("gen=").toLong))
   }
 
   private def chunkedSchema(spark: org.apache.spark.sql.SparkSession,
@@ -1355,18 +1385,19 @@ object Dedup {
   def loadHammingState(spark: org.apache.spark.sql.SparkSession,
                        path: String): StoredHammingState = {
     val (fs, root) = DurableIndex.qualified(spark, path)
-    require(fs.exists(new org.apache.hadoop.fs.Path(root, "_graft_commit")),
-      s"hamming state at $path is incomplete (a save/refresh died " +
-        "mid-write) — its tables may mix generations; re-run saveHammingState")
-    val m = spark.read.parquet(s"$path/meta").head()
-    val sch = chunkedSchema(spark, path)
+    val live = liveHammingGen(fs, root).getOrElse(throw new IllegalArgumentException(
+      s"hamming state at $path has no committed generation (never saved, " +
+        "or every save/refresh died mid-write) — run saveHammingState"))
+    val genPath = s"$path/${live.getName}"
+    val m = spark.read.parquet(s"$genPath/meta").head()
+    val sch = chunkedSchema(spark, genPath)
     val statsSchema = org.apache.spark.sql.types.StructType(
       sch.filter(f => f.name == "__chunk" || f.name == "__ckey" || f.name == "bucket") :+
         org.apache.spark.sql.types.StructField("__nb",
           org.apache.spark.sql.types.LongType, nullable = false))
     StoredHammingState(
-      spark.read.schema(sch).parquet(s"$path/chunked"),
-      spark.read.schema(statsSchema).parquet(s"$path/stats"),
+      spark.read.schema(sch).parquet(s"$genPath/chunked"),
+      spark.read.schema(statsSchema).parquet(s"$genPath/stats"),
       m.getAs[Int]("max_hamming"), m.getAs[Int]("n_buckets"))
   }
 

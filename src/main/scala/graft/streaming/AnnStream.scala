@@ -172,7 +172,8 @@ object AnnStream {
     * the capacity check runs AFTER the fold so the documented bound is
     * enforced on the state that actually exists (at most one batch of
     * overshoot is resident when it fires). */
-  private final class DriftAccumulator(keyLen: Int, maxGroupDims: Int) {
+  private final class DriftAccumulator(keyLen: Int, maxGroupDims: Int,
+                                       writerName: String) {
     val state = scala.collection.mutable.HashMap.empty[Seq[Any], (Long, Long)]
     var highWater: Long = -1L
     /** @return true if the batch was folded, false for a replay */
@@ -185,7 +186,7 @@ object AnnStream {
       }
       highWater = batchId
       require(state.size <= maxGroupDims,
-        s"centroidDriftWriter: accumulated (group, dim) aggregates " +
+        s"$writerName: accumulated (group, dim) aggregates " +
           s"(${state.size}) exceed maxGroupDims=$maxGroupDims — a silently " +
           "truncated monitor would report no drift for the dropped groups; " +
           "raise the cap or coarsen the grouping")
@@ -240,7 +241,9 @@ object AnnStream {
     // an empty first batch still emits a well-typed (empty) drift frame
     val aggSchema = Embeddings.centroidAggregates(
       baseline.limit(0), groupCols, vecCol, quantScale).schema
-    val acc = new DriftAccumulator(groupCols.length + 1, maxGroupDims)
+    val acc = new DriftAccumulator(groupCols.length + 1, maxGroupDims,
+      if (persistTo.isDefined) "centroidDriftWriterRecoverable"
+      else "centroidDriftWriter")
 
     val store = persistTo.map { path =>
       val (fs, root) = DurableIndex.qualified(spark, path)

@@ -1725,32 +1725,50 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     val one = corpus.limit(1)
     val oneStored = Dedup.hashPairsAgainstStored(one, col("h"), "id", stored)
     oneStored.count()
-    val full = spark.read.parquet(s"$dir/chunked").count()
+    val full = spark.read.parquet(s"$dir/gen=0/chunked").count()
     val touched = one.select(col("h")).collect().head.getLong(0)
     val oneBuckets = (0 until 4).map { c =>
       val ckey = (touched >>> (c * 16)) & 0xFFFFL
-      spark.read.parquet(s"$dir/chunked")
+      spark.read.parquet(s"$dir/gen=0/chunked")
         .where(col("__chunk") === c && col("__ckey") === ckey).count()
     }.sum
     assert(oneBuckets > 0 && oneBuckets < full / 2,
       s"one row's chunk keys cover $oneBuckets of $full chunk rows — not a subset")
 
-    // crash-window guard: a refresh that died mid-write leaves the
-    // commit marker absent, and load must refuse loudly (mixed-
-    // generation chunks/stats silently miss pairs otherwise)
+    // crash-window guard: a refresh that died mid-write leaves an
+    // UNCOMMITTED generation; load must refuse when no committed
+    // generation exists (a store mixing generations silently misses
+    // pairs otherwise)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(
-      fs.makeQualified(new org.apache.hadoop.fs.Path(dir)), "_graft_commit")
+      fs.makeQualified(new org.apache.hadoop.fs.Path(dir)), "gen=0/_graft_commit")
     assert(fs.delete(marker, false), "expected a commit marker to delete")
     val e = intercept[IllegalArgumentException] {
       Dedup.loadHammingState(spark, dir)
     }
-    assert(e.getMessage.contains("incomplete"), e.getMessage)
-    // a re-run of the save restores loadability
+    assert(e.getMessage.contains("no committed generation"), e.getMessage)
+    // a re-run of the save restores loadability under a FRESH generation
+    // (in-place refresh would let a concurrent reader mix generations)
     Dedup.saveHammingState(corpus, col("h"), "id", dir, maxHamming = 3, nBuckets = 16)
     assert(pairSet(Dedup.hashPairsAgainstStored(batch, col("h"), "id",
       Dedup.loadHammingState(spark, dir))) == inline)
+    val gens = fs.listStatus(fs.makeQualified(new org.apache.hadoop.fs.Path(dir)))
+      .map(_.getPath.getName).filter(_.startsWith("gen=")).sorted
+    assert(gens.last != "gen=0", s"refresh did not flip generations: ${gens.toSeq}")
+
+    // generation grace: a reader that resolved the PREVIOUS live gen
+    // before a refresh keeps a consistent view (the superseded dir is
+    // kept for one save), and the refreshed store still answers
+    val before = Dedup.loadHammingState(spark, dir)
+    Dedup.saveHammingState(corpus.where(col("id") < 100), col("h"), "id", dir,
+      maxHamming = 3, nBuckets = 16)
+    assert(pairSet(Dedup.hashPairsAgainstStored(batch, col("h"), "id", before))
+      == inline, "in-flight reader on the superseded generation broke mid-refresh")
+    val after = Dedup.loadHammingState(spark, dir)
+    assert(pairSet(Dedup.hashPairsAgainstStored(batch, col("h"), "id", after))
+      == pairSet(Dedup.hashPairsAgainst(batch, col("h"), "id",
+        corpus.where(col("id") < 100), col("h"), "id", maxHamming = 3)))
   }
 
   test("curateByDHashImages: hamming clustering catches a near-duplicate " +
