@@ -506,6 +506,35 @@ object SparkEntry {
         .withColumn("swapped", lit(out.swapped))
     }),
 
+    // the same monitored cycle for the PQ codebook (refitPqOnDrift):
+    // drift trips -> refit codebook + atomic re-encode -> exhaustive
+    // gate (full rerank == brute force, recall 1.0) -> swap; the served
+    // search then runs over the swapped (codebook, codes) pair against
+    // the corpus those codes encode. Decision-replay oracle shared with
+    // ann_drift_refit.
+    "ann_drift_refit_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val shifted = emb.withColumn("embedding",
+        transform(col("embedding"), v => v + lit(0.25f)))
+      val servingCb = AnnSearch.pqFitCodebook(emb, "embedding", dim = 64,
+        m = 8, ksub = 16, iters = 2)
+      val servingCodes = AnnSearch.pqEncodeCorpus(emb, "embedding", "vec_id",
+        64, servingCb, 8, 16)
+      val out = AnnSearch.refitPqOnDrift(servingCb, servingCodes, emb, shifted,
+        "embedding", "vec_id", dim = 64, m = 8, ksub = 16, iters = 2,
+        groupCols = Seq("label"), driftTau = 1.0,
+        gateQueries = shifted.where(col("vec_id") < 10), gateK = 10,
+        gateRerank = 1000000, minMeanRecall = 0.99)
+      val served = if (out.swapped) shifted else emb
+      AnnSearch.pqTopKFromCodes(shifted.where(col("vec_id") < 10), out.codes,
+          served, "embedding", "vec_id", 10, dim = 64, out.codebook,
+          m = 8, ksub = 16, rerank = 1000000)
+        .select(col("query_id"), col("corpus_id"),
+          sround(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+        .withColumn("l2_move", sround(lit(out.l2Move), 6))
+        .withColumn("swapped", lit(out.swapped))
+    }),
+
     // metadata-filtered exact search: predicate pushed into the corpus
     // scan BEFORE scoring — pre-filter semantics, no recall loss
     "ann_cosine_filtered" -> ((s, dir) => {
@@ -2140,6 +2169,57 @@ object SparkEntry {
        FROM customer c CROSS JOIN supplier s
        WHERE levenshtein(lower(c.c_name), lower(s.s_name)) / greatest(length(c.c_name), length(s.s_name)) <= 0.3"""
 
+  /** Drift-refit POLICY replay shared by ann_drift_refit (IVF) and
+    * ann_drift_refit_pq (PQ): both arms' served searches are provably
+    * exhaustive in the oracled configuration (full probe / full rerank
+    * == brute force), so the SQL replays the DECISION — quantized-
+    * integer centroid drift over old vs shifted, shifted-corpus brute
+    * force when max l2_move > tau (the exhaustive gate passes by
+    * construction), old-corpus brute force otherwise. */
+  private val driftRefitDecisionOracle: String =
+    """WITH sh AS (SELECT vec_id, label,
+                list_transform(embedding,
+                  v -> CAST(CAST(v AS DOUBLE) + 0.25 AS FLOAT)) AS embedding
+              FROM embeddings),
+         o AS (SELECT label, i AS dim,
+                 sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) / 1000000.0 / count(*) AS co
+               FROM (SELECT label, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS i FROM embeddings)
+               GROUP BY 1, 2),
+         n AS (SELECT label, i AS dim,
+                 sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) / 1000000.0 / count(*) AS cn
+               FROM (SELECT label, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS i FROM sh)
+               GROUP BY 1, 2),
+         mv AS (SELECT o.label,
+                  round(sqrt(CAST(sum(CAST(round((cn - co) * 1000000) AS BIGINT)
+                    * CAST(round((cn - co) * 1000000) AS BIGINT)) AS DOUBLE)) / 1000000.0, 6) AS l2
+                FROM o JOIN n ON o.label = n.label AND o.dim = n.dim GROUP BY o.label),
+         dm AS (SELECT max(l2) AS dm FROM mv),
+         qn AS (SELECT vec_id AS query_id, embedding AS qv FROM sh WHERE vec_id < 10),
+         sn AS (SELECT query_id, c.vec_id AS corpus_id,
+                  list_cosine_similarity(qv::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+                FROM qn CROSS JOIN sh c WHERE c.vec_id != query_id),
+         rn AS (SELECT query_id, corpus_id, cos,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+                FROM sn),
+         qo AS (SELECT vec_id AS query_id, embedding AS qv FROM sh WHERE vec_id < 10),
+         so AS (SELECT query_id, c.vec_id AS corpus_id,
+                  list_cosine_similarity(qo.qv::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+                FROM qo CROSS JOIN embeddings c WHERE c.vec_id != query_id),
+         ro AS (SELECT query_id, corpus_id, cos,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+                FROM so),
+         pick AS (SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
+                  FROM rn WHERE rank <= 10 AND (SELECT dm FROM dm) > 1.0
+                  UNION ALL
+                  SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
+                  FROM ro WHERE rank <= 10 AND (SELECT dm FROM dm) <= 1.0)
+         SELECT query_id, corpus_id, cosine, CAST(rank AS BIGINT) AS rank,
+           round((SELECT dm FROM dm), 6) AS l2_move,
+           (SELECT dm FROM dm) > 1.0 AS swapped
+         FROM pick"""
+
   def oracleSql: Map[String, String] = Map(
     "fuzzy_join_levenshtein" -> levenshteinJoinOracle,
     "fuzzy_join_sql" -> levenshteinJoinOracle,
@@ -2688,49 +2768,11 @@ object SparkEntry {
     // shifted-corpus brute force when max l2_move > tau (the full-probe
     // gate passes by construction: full probe == brute force => recall
     // 1.0), old-corpus brute force otherwise
-    "ann_drift_refit" ->
-      """WITH sh AS (SELECT vec_id, label,
-                list_transform(embedding,
-                  v -> CAST(CAST(v AS DOUBLE) + 0.25 AS FLOAT)) AS embedding
-              FROM embeddings),
-         o AS (SELECT label, i AS dim,
-                 sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) / 1000000.0 / count(*) AS co
-               FROM (SELECT label, unnest(embedding) AS v,
-                       generate_subscripts(embedding, 1) AS i FROM embeddings)
-               GROUP BY 1, 2),
-         n AS (SELECT label, i AS dim,
-                 sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) / 1000000.0 / count(*) AS cn
-               FROM (SELECT label, unnest(embedding) AS v,
-                       generate_subscripts(embedding, 1) AS i FROM sh)
-               GROUP BY 1, 2),
-         mv AS (SELECT o.label,
-                  round(sqrt(CAST(sum(CAST(round((cn - co) * 1000000) AS BIGINT)
-                    * CAST(round((cn - co) * 1000000) AS BIGINT)) AS DOUBLE)) / 1000000.0, 6) AS l2
-                FROM o JOIN n ON o.label = n.label AND o.dim = n.dim GROUP BY o.label),
-         dm AS (SELECT max(l2) AS dm FROM mv),
-         qn AS (SELECT vec_id AS query_id, embedding AS qv FROM sh WHERE vec_id < 10),
-         sn AS (SELECT query_id, c.vec_id AS corpus_id,
-                  list_cosine_similarity(qv::DOUBLE[], c.embedding::DOUBLE[]) AS cos
-                FROM qn CROSS JOIN sh c WHERE c.vec_id != query_id),
-         rn AS (SELECT query_id, corpus_id, cos,
-                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
-                FROM sn),
-         qo AS (SELECT vec_id AS query_id, embedding AS qv FROM sh WHERE vec_id < 10),
-         so AS (SELECT query_id, c.vec_id AS corpus_id,
-                  list_cosine_similarity(qo.qv::DOUBLE[], c.embedding::DOUBLE[]) AS cos
-                FROM qo CROSS JOIN embeddings c WHERE c.vec_id != query_id),
-         ro AS (SELECT query_id, corpus_id, cos,
-                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
-                FROM so),
-         pick AS (SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
-                  FROM rn WHERE rank <= 10 AND (SELECT dm FROM dm) > 1.0
-                  UNION ALL
-                  SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
-                  FROM ro WHERE rank <= 10 AND (SELECT dm FROM dm) <= 1.0)
-         SELECT query_id, corpus_id, cosine, CAST(rank AS BIGINT) AS rank,
-           round((SELECT dm FROM dm), 6) AS l2_move,
-           (SELECT dm FROM dm) > 1.0 AS swapped
-         FROM pick""",
+    "ann_drift_refit" -> driftRefitDecisionOracle,
+    // same decision replay for the PQ codebook cycle: full-rerank
+    // pqTopKFromCodes == brute force over whichever corpus the served
+    // codes encode, so the swap decision is the only degree of freedom
+    "ann_drift_refit_pq" -> driftRefitDecisionOracle,
     // full probe + full rerank make IVF-PQ provably exhaustive, so the
     // oracle is the same brute-force cosine top-k as ann_ivf_append
     "ann_cosine_ivfpq" ->

@@ -370,17 +370,45 @@ object AnnSearch {
   def pqTopK(queries: DataFrame, corpus: DataFrame,
              vecCol: String, idCol: String, k: Int, dim: Int,
              codebook: Array[Double], m: Int = 8, ksub: Int = 16,
-             rerank: Int = 40): DataFrame = {
-    import graft.fuzzy.vectorFunctions.{pq_adc, pq_encode, pq_lut}
+             rerank: Int = 40): DataFrame =
+    pqTopKFromCodes(queries,
+      materializeNarrow(pqEncodeCorpus(corpus, vecCol, idCol, dim, codebook, m, ksub)),
+      corpus, vecCol, idCol, k, dim, codebook, m, ksub, rerank)
+
+  /** Encode a corpus under a float PQ codebook: (corpus_id, __codes) —
+    * the persistent corpus-side state of a PQ index (m small ints per
+    * row vs dim floats), produced once per corpus version and served by
+    * [[pqTopKFromCodes]]. The encode is one codegen'd projection — no
+    * shuffle; persist/checkpoint the result (the [[pqTopK]] convenience
+    * wrapper does a narrow materialize). */
+  def pqEncodeCorpus(corpus: DataFrame, vecCol: String, idCol: String,
+                     dim: Int, codebook: Array[Double],
+                     m: Int = 8, ksub: Int = 16): DataFrame = {
+    import graft.fuzzy.vectorFunctions.pq_encode
+    require(dim % m == 0, s"dim ($dim) must be divisible by m ($m)")
+    require(codebook.length == m * ksub * (dim / m),
+      s"codebook length ${codebook.length} != m*ksub*dsub = ${m * ksub * (dim / m)}")
+    spread(corpus).select(col(idCol).as("corpus_id"),
+      pq_encode(col(vecCol), codebook, m, ksub, dim).as("__codes"))
+  }
+
+  /** PQ top-k over PRECOMPUTED codes ([[pqEncodeCorpus]] of the same
+    * `codebook` — mixing generations is a silent-recall-loss bug, which
+    * is exactly what [[refitPqOnDrift]]'s atomic (codebook, codes) swap
+    * exists to prevent). `corpus` must be the corpus the codes encode;
+    * it is touched only to re-attach the shortlist's exact vectors. */
+  def pqTopKFromCodes(queries: DataFrame, codes: DataFrame, corpus: DataFrame,
+                      vecCol: String, idCol: String, k: Int, dim: Int,
+                      codebook: Array[Double], m: Int = 8, ksub: Int = 16,
+                      rerank: Int = 40): DataFrame = {
+    import graft.fuzzy.vectorFunctions.{pq_adc, pq_lut}
     require(dim % m == 0, s"dim ($dim) must be divisible by m ($m)")
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     require(codebook.length == m * ksub * (dim / m),
       s"codebook length ${codebook.length} != m*ksub*dsub = ${m * ksub * (dim / m)}")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       pq_lut(col(vecCol), codebook, m, ksub, dim).as("__lut"))
-    val cs = materializeNarrow(spread(corpus).select(col(idCol).as("corpus_id"),
-      pq_encode(col(vecCol), codebook, m, ksub, dim).as("__codes")))
-    pqSearch(q, cs, corpus, vecCol, idCol, k, rerank,
+    pqSearch(q, codes, corpus, vecCol, idCol, k, rerank,
       pq_adc(col("__codes"), col("__lut"), ksub))
   }
 
@@ -833,6 +861,79 @@ object AnnSearch {
       graft.util.Materialize.release(posts)
       DriftRefitOutcome(drift, drifted = true, recall, swapped = false,
         servingCentroids, servingPostings)
+    }
+  }
+
+  /** Outcome of one [[refitPqOnDrift]] evaluation: `codebook`/`codes`
+    * are the PQ state to SERVE after the cycle (via
+    * [[pqTopKFromCodes]]) — the refit pair when the swap was accepted,
+    * the caller's serving pair otherwise. The two always travel
+    * together: codes are meaningless under any other generation's
+    * codebook. `gateRecall` is -1.0 when the monitor did not trip. */
+  final case class PqDriftRefitOutcome(
+      l2Move: Double, drifted: Boolean, gateRecall: Double, swapped: Boolean,
+      codebook: Array[Double], codes: DataFrame)
+
+  /** [[refitOnDrift]] for the PQ families: a served codebook drifts
+    * SILENTLY — reconstruction error grows as the corpus moves away from
+    * the subspace centroids it was trained on, ADC ordering degrades,
+    * and nothing in the search path errors — so the quantized arms need
+    * the same monitor → refit → gate → swap-or-keep cycle the IVF
+    * quantizer has.
+    *
+    *  1. MONITOR: [[Embeddings.centroidDrift]] between the codebook's
+    *     training corpus and the current one; trigger is max `l2_move`
+    *     > `driftTau`. Same inner-join appear/disappear limitation as
+    *     [[refitOnDrift]] — pair with [[graft.pipeline.Profile.drift]].
+    *  2. REFIT (only when tripped): [[pqFitCodebook]] on `newCorpus` +
+    *     [[pqEncodeCorpus]] of the full corpus under the new codebook —
+    *     codebook and codes swap ATOMICALLY (an old-codebook LUT against
+    *     new-codebook codes scores garbage, silently).
+    *  3. GATE: [[evalRanking]] of the refit state's `gateRerank`
+    *     shortlist search against exact [[bruteForceTopK]] truth on
+    *     `gateQueries`; mean recall@k below `minMeanRecall` keeps the
+    *     serving pair (and releases the rejected encode's barrier).
+    *
+    * Cost mirrors [[refitOnDrift]]: two centroid scans for the monitor;
+    * refit is m sampled subspace k-means fits + one full-corpus encode
+    * projection (the documented fit-once cost), run per monitor trip,
+    * never per batch. For IVF-PQ ([[ivfPqTopK]]) run this cycle for the
+    * codebook and [[refitOnDrift]] for the coarse quantizer — their
+    * monitors share the same drift frame. */
+  def refitPqOnDrift(servingCodebook: Array[Double], servingCodes: DataFrame,
+                     oldCorpus: DataFrame, newCorpus: DataFrame,
+                     vecCol: String, idCol: String, dim: Int,
+                     m: Int, ksub: Int, iters: Int,
+                     groupCols: Seq[String], driftTau: Double,
+                     gateQueries: DataFrame, gateK: Int, gateRerank: Int,
+                     minMeanRecall: Double, seed: Long = 42L,
+                     checkpoint: graft.util.CheckpointStrategy =
+                       graft.util.CheckpointStrategy.Local): PqDriftRefitOutcome = {
+    val drift = Embeddings.centroidDrift(oldCorpus, newCorpus, groupCols, vecCol)
+      .agg(coalesce(max(col("l2_move")), lit(0.0)).as("m")).head().getDouble(0)
+    if (drift <= driftTau)
+      return PqDriftRefitOutcome(drift, drifted = false, gateRecall = -1.0,
+        swapped = false, servingCodebook, servingCodes)
+    require(!gateQueries.isEmpty,
+      "refitPqOnDrift: gateQueries is empty — the ranking gate cannot " +
+        "score the refit codebook, and scoring it 0 would reject every " +
+        "swap silently. Pass a non-empty gate query sample.")
+    val cb = pqFitCodebook(newCorpus, vecCol, dim, m, ksub, iters, seed)
+    // barrier: the gate search AND every post-swap consumer read these
+    // codes — without it the full-corpus encode recomputes per consumer
+    val codes = graft.util.Materialize(
+      pqEncodeCorpus(newCorpus, vecCol, idCol, dim, cb, m, ksub), checkpoint)
+    val result = pqTopKFromCodes(gateQueries, codes, newCorpus, vecCol, idCol,
+      gateK, dim, cb, m, ksub, gateRerank)
+    val truth = bruteForceTopK(gateQueries, newCorpus, vecCol, idCol, gateK)
+    val recall = evalRanking(result, truth, gateK)
+      .agg(coalesce(avg(col("recall")), lit(0.0)).as("r")).head().getDouble(0)
+    if (recall >= minMeanRecall)
+      PqDriftRefitOutcome(drift, drifted = true, recall, swapped = true, cb, codes)
+    else {
+      graft.util.Materialize.release(codes)
+      PqDriftRefitOutcome(drift, drifted = true, recall, swapped = false,
+        servingCodebook, servingCodes)
     }
   }
 

@@ -158,4 +158,74 @@ class PqSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getAs[Array[Byte]](0).map(_ & 0xff))
     assert(codes.forall(c => c.length == 8 && c.forall(j => j >= 0 && j < 16)))
   }
+
+  test("refitPqOnDrift: quiet monitor keeps the serving pair untouched; " +
+    "real drift refits atomically; a gate-rejected refit is kept out") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val servingCb = AnnSearch.pqFitCodebook(emb, "embedding", dim = 64,
+      m = 8, ksub = 16, iters = 2)
+    val servingCodes = AnnSearch.pqEncodeCorpus(emb, "embedding", "vec_id",
+      64, servingCb, 8, 16)
+    val gate = emb.where(col("vec_id") < 10)
+
+    // arm 1 — monitor quiet (old == new): no fit, no encode, no gate
+    val same = AnnSearch.refitPqOnDrift(servingCb, servingCodes, emb, emb,
+      "embedding", "vec_id", dim = 64, m = 8, ksub = 16, iters = 2,
+      groupCols = Seq("label"), driftTau = 1.0,
+      gateQueries = gate, gateK = 10, gateRerank = 1000000, minMeanRecall = 0.99)
+    assert(!same.drifted && !same.swapped && same.l2Move == 0.0)
+    assert(same.gateRecall == -1.0, "gate must not run when the monitor is quiet")
+    assert(same.codebook eq servingCb, "serving codebook must be returned as-is")
+    assert(same.codes eq servingCodes, "serving codes must be returned as-is")
+
+    // planted covariate shift: exact float +0.25 per component (the
+    // oracled ann_drift_refit_pq fixture) -> per-label drift ~2.0
+    val shifted = emb.withColumn("embedding",
+      transform(col("embedding"), v => v + lit(0.25f)))
+    val shiftedGate = shifted.where(col("vec_id") < 10)
+
+    // arm 2 — drift + exhaustive gate: refit accepted; the served state
+    // (new codebook + new-corpus codes, swapped atomically) at full
+    // rerank equals brute force over the new corpus
+    val ok = AnnSearch.refitPqOnDrift(servingCb, servingCodes, emb, shifted,
+      "embedding", "vec_id", dim = 64, m = 8, ksub = 16, iters = 2,
+      groupCols = Seq("label"), driftTau = 1.0,
+      gateQueries = shiftedGate, gateK = 10, gateRerank = 1000000,
+      minMeanRecall = 0.99)
+    assert(ok.drifted && ok.swapped && ok.l2Move > 1.9 && ok.l2Move < 2.1,
+      s"drift=${ok.l2Move}")
+    assert(ok.gateRecall == 1.0, s"full rerank must gate at exactly 1.0: ${ok.gateRecall}")
+    assert(!(ok.codebook eq servingCb) && !(ok.codes eq servingCodes),
+      "swap must serve the refit pair, not the old one")
+    val served = AnnSearch.pqTopKFromCodes(shiftedGate, ok.codes, shifted,
+        "embedding", "vec_id", 10, 64, ok.codebook, 8, 16, rerank = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = AnnSearch.bruteForceTopK(shiftedGate, shifted,
+        "embedding", "vec_id", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served == brute)
+
+    // arm 3 — drift but the refit cannot EARN the swap (recall bar above
+    // what any index can score): serving pair kept, refit discarded
+    val rejected = AnnSearch.refitPqOnDrift(servingCb, servingCodes, emb, shifted,
+      "embedding", "vec_id", dim = 64, m = 8, ksub = 16, iters = 2,
+      groupCols = Seq("label"), driftTau = 1.0,
+      gateQueries = shiftedGate, gateK = 10, gateRerank = 1000000,
+      minMeanRecall = 1.01)
+    assert(rejected.drifted && !rejected.swapped)
+    assert(rejected.gateRecall >= 0.0 && rejected.gateRecall <= 1.0)
+    assert(rejected.codebook eq servingCb)
+    assert(rejected.codes eq servingCodes)
+
+    // arm 4 — empty gate set must hard-error (a 0-scored gate would
+    // reject every refit forever, silently)
+    val e = intercept[IllegalArgumentException] {
+      AnnSearch.refitPqOnDrift(servingCb, servingCodes, emb, shifted,
+        "embedding", "vec_id", dim = 64, m = 8, ksub = 16, iters = 2,
+        groupCols = Seq("label"), driftTau = 1.0,
+        gateQueries = shiftedGate.where(col("vec_id") < 0),
+        gateK = 10, gateRerank = 1000000, minMeanRecall = 0.99)
+    }
+    assert(e.getMessage.contains("gateQueries"), e.getMessage)
+  }
 }
