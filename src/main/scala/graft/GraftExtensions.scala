@@ -39,6 +39,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftExtensions].getName,
         graft.plans.FuzzyMatchTable.Name),
       graft.plans.FuzzyMatchTable.build))
+    // perceptual image curation (decode -> gate -> dHash -> hamming
+    // cluster -> keep-min) as a table-valued function:
+    // SELECT * FROM curate_dhash('docs','imgs','doc_id','k','payload',
+    //                            'max_hamming', 2)
+    ext.injectTableFunction((
+      FunctionIdentifier(graft.plans.CurateDHashTable.Name),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        graft.plans.CurateDHashTable.Name),
+      graft.plans.CurateDHashTable.build))
   }
 }
 

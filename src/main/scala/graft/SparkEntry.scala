@@ -1196,6 +1196,27 @@ object SparkEntry {
           .select(col("doc_id"), (col("doc_id") % 97).as("img_key")),
         "doc_id", "img_key", maxHamming = 2)),
 
+    // the same curation THROUGH THE SQL FRONT DOOR (curate_dhash TVF,
+    // plans/CurateDHashTable, injected by GraftExtensions) — shares the
+    // Scala path's oracle verbatim, so a pure-SQL client provably gets
+    // the identical decode -> gate -> dHash -> cluster -> keep-min
+    // result. Only the demo-image ENCODE stays Scala-side (it is the
+    // fixture, not the operator): the images view carries raw bytes
+    // exactly as a crawled corpus would.
+    "multimodal_curate_hamming_sql" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 97).as("img_key"))
+      docs.createOrReplaceTempView("curate_sql_docs")
+      Multimodal.encodePngDemo(docs.select(col("img_key")).distinct(),
+          "img_key", 24, 20)
+        .createOrReplaceTempView("curate_sql_images")
+      s.sql(
+        """SELECT keep_doc_id, dhash_hex, n_in_bucket
+           FROM curate_dhash('curate_sql_docs', 'curate_sql_images',
+                             'doc_id', 'img_key', 'payload',
+                             'max_hamming', 2)""")
+    }),
+
     // ---- as-of join over events: each click attaches the most recent
     // view by the same user at or before the click. Views dedup to one
     // row per (user, ts) first (max event_id) — the determinism contract.
@@ -2219,6 +2240,57 @@ object SparkEntry {
            round((SELECT dm FROM dm), 6) AS l2_move,
            (SELECT dm FROM dm) > 1.0 AS swapped
          FROM pick"""
+
+  /** Perceptual hamming-cluster curation replay, shared by the Scala
+    * path (multimodal_curate_hamming) and the curate_dhash TVF
+    * (multimodal_curate_hamming_sql). */
+  private val curateHammingOracle: String =
+    """WITH RECURSIVE d AS (SELECT doc_id, doc_id % 97 AS k FROM documents),
+         ks AS (SELECT DISTINCT k FROM d),
+         p AS (SELECT k, (k % 24) + 1 AS w, (k % 20) + 1 AS h FROM ks),
+         fx AS (SELECT k, h, unnest(range(0, w)) AS x FROM p),
+         fy AS (SELECT k, x, unnest(range(0, h)) AS y FROM fx),
+         vv AS (SELECT k, (k*31 + x*7 + y*131) % 16777216 AS v FROM fy),
+         gate AS (SELECT k FROM vv GROUP BY k
+                  HAVING max((299*(v//65536) + 587*((v//256)%256) + 114*(v%256))//1000) >= 34),
+         v2 AS (SELECT * FROM p WHERE w >= 9 AND h >= 8),
+         px AS (SELECT k, w, h, x.x, y.y FROM v2,
+                LATERAL (SELECT unnest(range(0, w)) AS x) x,
+                LATERAL (SELECT unnest(range(0, h)) AS y) y),
+         lum AS (SELECT k,
+                   least((x * 9) // w, 8) AS c, least((y * 8) // h, 7) AS r,
+                   (299 * (((k*31 + x*7 + y*131) % 16777216) // 65536)
+                    + 587 * ((((k*31 + x*7 + y*131) % 16777216) // 256) % 256)
+                    + 114 * (((k*31 + x*7 + y*131) % 16777216) % 256)) // 1000 AS l
+                 FROM px),
+         cells AS (SELECT k, r, c, sum(l) AS s, count(*) AS n
+                   FROM lum GROUP BY k, r, c),
+         bits AS (SELECT a.k, (a.r * 8 + a.c) AS bk,
+                    CASE WHEN a.s * b.n < b.s * a.n THEN 1 ELSE 0 END AS bit
+                  FROM cells a JOIN cells b
+                    ON a.k = b.k AND a.r = b.r AND b.c = a.c + 1),
+         hsh AS (SELECT k,
+                   sum(CASE WHEN bit = 1 THEN (1::UBIGINT << bk::INT)
+                       ELSE 0::UBIGINT END)::UBIGINT AS dh
+                 FROM bits GROUP BY k),
+         sa AS (SELECT v2.k, coalesce(dh, 0::UBIGINT) AS dh,
+                  lpad(hex(coalesce(dh, 0::UBIGINT)), 16, '0') AS dhash_hex
+                FROM v2 LEFT JOIN hsh ON v2.k = hsh.k
+                WHERE v2.k IN (SELECT k FROM gate)),
+         prs AS (SELECT a.k AS ka, b.k AS kb FROM sa a JOIN sa b ON a.k < b.k
+                 WHERE bit_count(xor(a.dh, b.dh)) <= 2),
+         edges AS (SELECT ka AS ea, kb AS eb FROM prs
+                   UNION SELECT kb, ka FROM prs),
+         reach(k, r) AS (SELECT k, k FROM sa
+                         UNION SELECT e.eb, reach.r FROM reach
+                               JOIN edges e ON e.ea = reach.k),
+         comp AS (SELECT k, min(r) AS cid FROM reach GROUP BY k),
+         survivors AS (SELECT d.doc_id, comp.cid FROM d JOIN comp ON d.k = comp.k),
+         reph AS (SELECT k AS cid, dhash_hex FROM sa)
+         SELECT CAST(min(s.doc_id) AS BIGINT) AS keep_doc_id, r.dhash_hex,
+           CAST(count(*) AS BIGINT) AS n_in_bucket
+         FROM survivors s JOIN reph r ON s.cid = r.cid
+         GROUP BY s.cid, r.dhash_hex"""
 
   def oracleSql: Map[String, String] = Map(
     "fuzzy_join_levenshtein" -> levenshteinJoinOracle,
@@ -3561,53 +3633,8 @@ object SparkEntry {
     // (fixture, gate, dHash), then brute-force hamming <= 2 pairs over the
     // surviving assets and a recursive-CTE transitive closure (min
     // reachable key = cluster id, its hash = the output bucket hash)
-    "multimodal_curate_hamming" ->
-      """WITH RECURSIVE d AS (SELECT doc_id, doc_id % 97 AS k FROM documents),
-         ks AS (SELECT DISTINCT k FROM d),
-         p AS (SELECT k, (k % 24) + 1 AS w, (k % 20) + 1 AS h FROM ks),
-         fx AS (SELECT k, h, unnest(range(0, w)) AS x FROM p),
-         fy AS (SELECT k, x, unnest(range(0, h)) AS y FROM fx),
-         vv AS (SELECT k, (k*31 + x*7 + y*131) % 16777216 AS v FROM fy),
-         gate AS (SELECT k FROM vv GROUP BY k
-                  HAVING max((299*(v//65536) + 587*((v//256)%256) + 114*(v%256))//1000) >= 34),
-         v2 AS (SELECT * FROM p WHERE w >= 9 AND h >= 8),
-         px AS (SELECT k, w, h, x.x, y.y FROM v2,
-                LATERAL (SELECT unnest(range(0, w)) AS x) x,
-                LATERAL (SELECT unnest(range(0, h)) AS y) y),
-         lum AS (SELECT k,
-                   least((x * 9) // w, 8) AS c, least((y * 8) // h, 7) AS r,
-                   (299 * (((k*31 + x*7 + y*131) % 16777216) // 65536)
-                    + 587 * ((((k*31 + x*7 + y*131) % 16777216) // 256) % 256)
-                    + 114 * (((k*31 + x*7 + y*131) % 16777216) % 256)) // 1000 AS l
-                 FROM px),
-         cells AS (SELECT k, r, c, sum(l) AS s, count(*) AS n
-                   FROM lum GROUP BY k, r, c),
-         bits AS (SELECT a.k, (a.r * 8 + a.c) AS bk,
-                    CASE WHEN a.s * b.n < b.s * a.n THEN 1 ELSE 0 END AS bit
-                  FROM cells a JOIN cells b
-                    ON a.k = b.k AND a.r = b.r AND b.c = a.c + 1),
-         hsh AS (SELECT k,
-                   sum(CASE WHEN bit = 1 THEN (1::UBIGINT << bk::INT)
-                       ELSE 0::UBIGINT END)::UBIGINT AS dh
-                 FROM bits GROUP BY k),
-         sa AS (SELECT v2.k, coalesce(dh, 0::UBIGINT) AS dh,
-                  lpad(hex(coalesce(dh, 0::UBIGINT)), 16, '0') AS dhash_hex
-                FROM v2 LEFT JOIN hsh ON v2.k = hsh.k
-                WHERE v2.k IN (SELECT k FROM gate)),
-         prs AS (SELECT a.k AS ka, b.k AS kb FROM sa a JOIN sa b ON a.k < b.k
-                 WHERE bit_count(xor(a.dh, b.dh)) <= 2),
-         edges AS (SELECT ka AS ea, kb AS eb FROM prs
-                   UNION SELECT kb, ka FROM prs),
-         reach(k, r) AS (SELECT k, k FROM sa
-                         UNION SELECT e.eb, reach.r FROM reach
-                               JOIN edges e ON e.ea = reach.k),
-         comp AS (SELECT k, min(r) AS cid FROM reach GROUP BY k),
-         survivors AS (SELECT d.doc_id, comp.cid FROM d JOIN comp ON d.k = comp.k),
-         reph AS (SELECT k AS cid, dhash_hex FROM sa)
-         SELECT CAST(min(s.doc_id) AS BIGINT) AS keep_doc_id, r.dhash_hex,
-           CAST(count(*) AS BIGINT) AS n_in_bucket
-         FROM survivors s JOIN reph r ON s.cid = r.cid
-         GROUP BY s.cid, r.dhash_hex""",
+    "multimodal_curate_hamming" -> curateHammingOracle,
+    "multimodal_curate_hamming_sql" -> curateHammingOracle,
     // FULL resize replay: the ÷2 area-average from the PNG fixture
     // formula — 4-pixel block sums, integer-division channel means,
     // resized-raster stats; empty results (source < factor) keep their

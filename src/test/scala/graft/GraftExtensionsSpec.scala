@@ -216,4 +216,59 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     val missing = names.filterNot(n => fresh.catalog.functionExists(n))
     assert(missing.isEmpty, s"functions not injected into a fresh session: $missing")
   }
+
+  test("curate_dhash TVF: SQL path equals the Scala operator, options " +
+    "parse, malformed calls fail with diagnostics") {
+    import org.apache.spark.sql.functions._
+    val fresh = spark.newSession()
+    val docs = fresh.range(0, 120).select(col("id").as("doc_id"),
+      (col("id") % 97).as("img_key"))
+    docs.createOrReplaceTempView("cd_docs")
+    graft.pipeline.Multimodal.encodePngDemo(
+        docs.select(col("img_key")).distinct(), "img_key", 24, 20)
+      .createOrReplaceTempView("cd_images")
+
+    def run(sql: String) = fresh.sql(sql).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+    // exact (default) and hamming-cluster forms both equal the Scala path
+    val images = fresh.table("cd_images")
+    for (h <- Seq(0, 2)) {
+      val viaSql = run(s"""SELECT keep_doc_id, dhash_hex, n_in_bucket
+        FROM curate_dhash('cd_docs', 'cd_images', 'doc_id', 'img_key',
+                          'payload', 'max_hamming', $h)""")
+      val viaScala = graft.pipeline.Multimodal.curateByDHashImages(
+          fresh.table("cd_docs"), "doc_id", "img_key", images, "payload",
+          maxHamming = h)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(viaSql == viaScala && viaSql.nonEmpty, s"max_hamming=$h")
+    }
+
+    // a tighter quality gate must shrink (or keep) the curated set
+    val gated = run("""SELECT keep_doc_id, dhash_hex, n_in_bucket
+      FROM curate_dhash('cd_docs', 'cd_images', 'doc_id', 'img_key',
+                        'payload', 'min_max_luma', 255)""")
+    val open = run("""SELECT keep_doc_id, dhash_hex, n_in_bucket
+      FROM curate_dhash('cd_docs', 'cd_images', 'doc_id', 'img_key',
+                        'payload', 'min_max_luma', 0)""")
+    assert(gated.size <= open.size)
+
+    // malformed calls: arity, unknown option, out-of-range max_hamming,
+    // non-literal option value — each a diagnostic, never a mis-parse
+    for ((sql, frag) <- Seq(
+      ("SELECT * FROM curate_dhash('cd_docs', 'cd_images', 'doc_id')",
+        "Usage"),
+      ("SELECT * FROM curate_dhash('cd_docs', 'cd_images', 'doc_id', " +
+        "'img_key', 'payload', 'bogus_opt', 1)", "unknown option"),
+      ("SELECT * FROM curate_dhash('cd_docs', 'cd_images', 'doc_id', " +
+        "'img_key', 'payload', 'max_hamming', 40)", "max_hamming"),
+      ("SELECT * FROM curate_dhash('cd_docs', 'cd_images', 'doc_id', " +
+        "'img_key', 'payload', 'max_hamming', 'two')", "integer"))) {
+      val e = intercept[Exception] { fresh.sql(sql).collect() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains(frag)), s"$sql -> ${msgs(e)}")
+    }
+  }
 }
