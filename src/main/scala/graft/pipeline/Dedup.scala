@@ -18,6 +18,9 @@ import graft.util.Partitioning.spread
   */
 object Dedup {
 
+  // `logger`, not `log`: functions._ exports a log() Column builder
+  private val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
   // --------------------------------------------------------------- exact
 
   /** Exact dedup: one surviving row id per distinct text (min id), plus the
@@ -1308,21 +1311,33 @@ object Dedup {
     * [[loadHammingState]] resolves the highest committed generation —
     * so a reader that resolved gen G-1 before a concurrent refresh keeps
     * scanning its own consistent generation instead of mixing old stats
-    * with new chunks mid-trigger. The superseded generation is kept as a
-    * one-save grace window for exactly those in-flight readers and
-    * deleted by the NEXT save; long-lived stream writers
+    * with new chunks mid-trigger. The `graceGens` most recent superseded
+    * COMMITTED generations are kept as the grace window for exactly those
+    * in-flight readers (default 1 = single-writer/nightly shape: a reader
+    * survives one refresh mid-scan); a multi-reader serving deployment
+    * whose readers may lag several refreshes behind sizes `graceGens` to
+    * its slowest reader — a reader pinned PAST the window gets loud task
+    * failures on deleted files, never silently-wrong pairs (the data it
+    * was scanning is gone, not mutated). Long-lived stream writers
     * ([[graft.streaming.DocStreams.hammingNearDupWriterStored]]) should
-    * still re-load after a refresh to see the new corpus. */
+    * still re-load after a refresh to see the new corpus. Every deleted
+    * generation path is WARN-logged so a failed lagging reader is
+    * attributable from the writer's log alone. */
   def saveHammingState(corpus: DataFrame, corpusHash: Column, corpusIdCol: String,
                        path: String, maxHamming: Int = 3,
-                       nBuckets: Int = 64): Unit = {
+                       nBuckets: Int = 64, graceGens: Int = 1): Unit = {
     require(maxHamming >= 0 && maxHamming <= 31,
       s"maxHamming must be in [0, 31] (got $maxHamming)")
     require(nBuckets >= 1, s"nBuckets must be >= 1 (got $nBuckets)")
+    require(graceGens >= 0, s"graceGens must be >= 0 (got $graceGens)")
     requireIntegralHash(corpus, corpusHash)
     val spark = corpus.sparkSession
     val (fs, root) = DurableIndex.qualified(spark, path)
-    val prevLive = liveHammingGen(fs, root).map(_.getName)
+    // the graceGens most recently committed generations survive this save
+    val grace = DurableIndex.listDirs(fs, root, "gen=")
+      .filter(g => fs.exists(new org.apache.hadoop.fs.Path(g, "_graft_commit")))
+      .sortBy(-_.getName.stripPrefix("gen=").toLong)
+      .take(graceGens).map(_.getName).toSet
     val gen = DurableIndex.listDirs(fs, root, "gen=")
       .map(_.getName.stripPrefix("gen=").toLong).foldLeft(-1L)(math.max) + 1
     val genPath = s"$path/gen=$gen"
@@ -1355,12 +1370,25 @@ object Dedup {
     // commit marker LAST — a crash anywhere above leaves an uncommitted
     // gen dir that load ignores and the next save garbage-collects
     DurableIndex.commit(fs, new org.apache.hadoop.fs.Path(root, s"gen=$gen"))
-    // keep the immediately-superseded live generation (grace for readers
-    // mid-scan on it); everything else — older grace dirs, crashed
-    // uncommitted writes — goes now
+    // keep the `graceGens` most recently superseded committed generations
+    // (grace for readers mid-scan on them); everything else — older grace
+    // dirs, crashed uncommitted writes — goes now, each deletion logged so
+    // a lagging reader's task failure is attributable to this save
     DurableIndex.listDirs(fs, root, "gen=").foreach { g =>
-      if (g.getName != s"gen=$gen" && !prevLive.contains(g.getName))
+      if (g.getName != s"gen=$gen" && !grace.contains(g.getName)) {
+        logger.warn(s"saveHammingState: deleting superseded generation $g " +
+          s"(live=gen=$gen, grace=${grace.toSeq.sorted.mkString(",")})")
         fs.delete(g, true)
+      }
+    }
+    // pre-generation stores (the original root-level chunked/stats/meta
+    // layout) are superseded by this save too — remove the legacy dirs
+    // and root commit marker so they never shadow the gen= scheme
+    val legacy = Seq("schema", "chunked", "stats", "meta", "_graft_commit")
+      .map(n => new org.apache.hadoop.fs.Path(root, n)).filter(fs.exists)
+    legacy.foreach { p =>
+      logger.warn(s"saveHammingState: deleting legacy pre-generation store dir $p")
+      fs.delete(p, true)
     }
   }
 
@@ -1385,9 +1413,20 @@ object Dedup {
   def loadHammingState(spark: org.apache.spark.sql.SparkSession,
                        path: String): StoredHammingState = {
     val (fs, root) = DurableIndex.qualified(spark, path)
-    val live = liveHammingGen(fs, root).getOrElse(throw new IllegalArgumentException(
-      s"hamming state at $path has no committed generation (never saved, " +
-        "or every save/refresh died mid-write) — run saveHammingState"))
+    val live = liveHammingGen(fs, root).getOrElse {
+      // a store written by the pre-generation code has its commit marker
+      // and chunked/ at the ROOT — name that case explicitly instead of
+      // claiming the store was never saved
+      if (fs.exists(new org.apache.hadoop.fs.Path(root, "_graft_commit")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(root, "chunked")))
+        throw new IllegalArgumentException(
+          s"hamming state at $path uses the legacy root-level layout " +
+            "(pre-generation-flip format) — re-run saveHammingState on the " +
+            "corpus to migrate it to the gen=G/ scheme")
+      throw new IllegalArgumentException(
+        s"hamming state at $path has no committed generation (never saved, " +
+          "or every save/refresh died mid-write) — run saveHammingState")
+    }
     val genPath = s"$path/${live.getName}"
     val m = spark.read.parquet(s"$genPath/meta").head()
     val sch = chunkedSchema(spark, genPath)

@@ -25,19 +25,23 @@ import graft.util.Materialize
   *  - every compactEvery deltas the segments fold into one base segment
   *    (the only O(index) step — amortized 1/compactEvery per trigger);
   *  - superseded segments are EXPLICITLY released
-  *    ([[Materialize.release]]) one trigger after the compaction that
-  *    replaced them, so live checkpointed-RDD count is bounded by
-  *    ~2·(compactEvery+1) forever ([[graft.pipeline]] IndexSegmentsSpec
-  *    pins this across thousands of folds, negative-tested against the
-  *    flat-append shape).
+  *    ([[Materialize.release]]) `graceTriggers` triggers after the
+  *    compaction that replaced them (default 1), so live
+  *    checkpointed-RDD count is bounded by
+  *    ~2·(compactEvery+1)·(graceTriggers+1) forever ([[graft.pipeline]]
+  *    IndexSegmentsSpec pins this across thousands of folds,
+  *    negative-tested against the flat-append shape).
   *
   * Generation validity contract: the frame/index a fold returns stays
-  * readable until ONE TRIGGER AFTER the first compaction that supersedes
-  * its segments — a serving thread gets a full trigger interval to adopt
-  * the newer generation before the old one's blocks die. Holding
-  * generations longer than that is the one thing the old GC-based
-  * retention allowed that this does not (and is exactly the unbounded-
-  * memory behavior it existed to remove).
+  * readable until `graceTriggers` TRIGGERS AFTER the first compaction
+  * that supersedes its segments — a serving thread gets that many full
+  * trigger intervals to adopt the newer generation before the old one's
+  * blocks die (size `graceTriggers` to the slowest reader in a
+  * multi-reader deployment; a reader holding a generation PAST the
+  * window fails loudly on released blocks, never silently-wrong).
+  * Holding generations longer than that is the one thing the old
+  * GC-based retention allowed that this does not (and is exactly the
+  * unbounded-memory behavior it existed to remove).
   */
 object IndexSegments {
 
@@ -143,24 +147,34 @@ object IndexSegments {
   * the state (foreachBatch already does), [[view]] may be read
   * concurrently. */
 final class Bm25SegmentState(initial: TextAnalysis.Bm25Index, textCol: String,
-                             compactEvery: Int = 16) {
+                             compactEvery: Int = 16,
+                             graceTriggers: Int = 1) {
   require(compactEvery >= 1, s"compactEvery must be >= 1 (got $compactEvery)")
+  require(graceTriggers >= 1, s"graceTriggers must be >= 1 (got $graceTriggers)")
   import IndexSegments._
 
   private var segs: Vector[Bm25Segment] = Vector(bm25SegmentFromIndex(initial))
-  private var deferred: Vector[Bm25Segment] = Vector.empty
+  /** Superseded generations awaiting release: (foldNumberSuperseded, segs).
+    * A generation superseded at fold N is released at fold
+    * N + `graceTriggers` — a serving thread gets `graceTriggers` full
+    * trigger intervals to adopt a newer generation; a view held LONGER
+    * fails loudly on released blocks, never silently-wrong. */
+  private var deferred: Vector[(Long, Vector[Bm25Segment])] = Vector.empty
+  private var folds: Long = 0L
 
-  /** Fold one document batch: release the generation superseded by the
-    * PREVIOUS fold's compaction (the one-trigger grace), checkpoint one
-    * O(batch) delta, compact if `compactEvery` deltas have accumulated.
-    * Returns the new generation's index view. */
+  /** Fold one document batch: release generations superseded
+    * `graceTriggers` folds ago, checkpoint one O(batch) delta, compact
+    * if `compactEvery` deltas have accumulated. Returns the new
+    * generation's index view. */
   def fold(batch: DataFrame): TextAnalysis.Bm25Index = synchronized {
-    deferred.foreach(releaseBm25)
-    deferred = Vector.empty
+    folds += 1
+    val (expired, kept) = deferred.partition(_._1 + graceTriggers <= folds)
+    expired.foreach(_._2.foreach(releaseBm25))
+    deferred = kept
     segs = segs :+ bm25Segment(batch, textCol, initial.idCol)
     if (segs.size > compactEvery) {
       val compacted = bm25Compact(segs)
-      deferred = segs
+      deferred = deferred :+ (folds -> segs)
       segs = Vector(compacted)
     }
     view
@@ -173,15 +187,16 @@ final class Bm25SegmentState(initial: TextAnalysis.Bm25Index, textCol: String,
   def segmentCount: Int = synchronized(segs.size)
 
   /** Checkpointed frames currently held (live + deferred-release) —
-    * bounded by 2·(compactEvery+2) by construction. */
-  def barrierCount: Int = synchronized(2 * (segs.size + deferred.size))
+    * bounded by 2·(compactEvery+1)·(graceTriggers+1) by construction. */
+  def barrierCount: Int = synchronized(
+    2 * (segs.size + deferred.map(_._2.size).sum))
 
   /** Release everything (end of stream). The last generation's view dies
     * with it — callers that keep serving after the stream stops simply
     * don't close, and hold the documented O(index + compactEvery·batch)
     * bounded footprint instead. */
   def close(): Unit = synchronized {
-    (deferred ++ segs).foreach(releaseBm25)
+    (deferred.flatMap(_._2) ++ segs).foreach(releaseBm25)
     deferred = Vector.empty
     segs = Vector.empty
   }
@@ -194,24 +209,29 @@ final class Bm25SegmentState(initial: TextAnalysis.Bm25Index, textCol: String,
   * view is their union, compaction is one union-checkpoint. */
 final class IvfSegmentState(initial: DataFrame, vecCol: String, idCol: String,
                             dim: Int, centroids: Array[Double],
-                            compactEvery: Int = 16) {
+                            compactEvery: Int = 16,
+                            graceTriggers: Int = 1) {
   require(compactEvery >= 1, s"compactEvery must be >= 1 (got $compactEvery)")
+  require(graceTriggers >= 1, s"graceTriggers must be >= 1 (got $graceTriggers)")
 
   private var segs: Vector[DataFrame] = Vector(initial.localCheckpoint())
-  private var deferred: Vector[DataFrame] = Vector.empty
+  private var deferred: Vector[(Long, Vector[DataFrame])] = Vector.empty
+  private var folds: Long = 0L
 
   /** Fold one embedding batch: O(batch) assignment + checkpoint; compact
-    * every `compactEvery` deltas; one-trigger deferred release, exactly
-    * as [[Bm25SegmentState.fold]]. Returns the new generation's postings
-    * view. */
+    * every `compactEvery` deltas; `graceTriggers`-fold deferred release,
+    * exactly as [[Bm25SegmentState.fold]]. Returns the new generation's
+    * postings view. */
   def fold(batch: DataFrame): DataFrame = synchronized {
-    deferred.foreach(Materialize.release)
-    deferred = Vector.empty
+    folds += 1
+    val (expired, kept) = deferred.partition(_._1 + graceTriggers <= folds)
+    expired.foreach(_._2.foreach(Materialize.release))
+    deferred = kept
     segs = segs :+ AnnSearch.ivfPostings(batch, vecCol, idCol, dim, centroids)
       .localCheckpoint()
     if (segs.size > compactEvery) {
       val compacted = segs.reduce(_.unionByName(_)).localCheckpoint()
-      deferred = segs
+      deferred = deferred :+ (folds -> segs)
       segs = Vector(compacted)
     }
     view
@@ -222,10 +242,11 @@ final class IvfSegmentState(initial: DataFrame, vecCol: String, idCol: String,
   def segmentCount: Int = synchronized(segs.size)
 
   /** Checkpointed frames currently held (live + deferred-release). */
-  def barrierCount: Int = synchronized(segs.size + deferred.size)
+  def barrierCount: Int = synchronized(
+    segs.size + deferred.map(_._2.size).sum)
 
   def close(): Unit = synchronized {
-    (deferred ++ segs).foreach(Materialize.release)
+    (deferred.flatMap(_._2) ++ segs).foreach(Materialize.release)
     deferred = Vector.empty
     segs = Vector.empty
   }

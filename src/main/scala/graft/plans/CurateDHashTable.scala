@@ -58,7 +58,10 @@ object CurateDHashTable {
   }
 
   private def long(e: Expression, what: String): Long = lit(e, what) match {
-    case n: Number => n.longValue()
+    // accept only exactly-integral numerics: `curate_dhash(..., 'max_hamming',
+    // 2.9)` must fail like every other malformed argument here, not silently
+    // truncate to 2 via Number.longValue()
+    case n: Number if n.doubleValue() == n.longValue() => n.longValue()
     case other => bad(s"$what must be an integer literal", other)
   }
 

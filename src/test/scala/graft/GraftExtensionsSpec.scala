@@ -263,7 +263,12 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
       ("SELECT * FROM curate_dhash('cd_docs', 'cd_images', 'doc_id', " +
         "'img_key', 'payload', 'max_hamming', 40)", "max_hamming"),
       ("SELECT * FROM curate_dhash('cd_docs', 'cd_images', 'doc_id', " +
-        "'img_key', 'payload', 'max_hamming', 'two')", "integer"))) {
+        "'img_key', 'payload', 'max_hamming', 'two')", "integer"),
+      // a fractional numeric must fail loudly, never silently truncate
+      // (2.9 running as max_hamming=2 would be a mis-parse, not an error)
+      ("SELECT * FROM curate_dhash('cd_docs', 'cd_images', 'doc_id', " +
+        "'img_key', 'payload', 'max_hamming', cast(2.9 as double))",
+        "integer"))) {
       val e = intercept[Exception] { fresh.sql(sql).collect() }
       def msgs(t: Throwable): Seq[String] =
         if (t == null) Seq.empty

@@ -73,6 +73,31 @@ class IndexSegmentsSpec extends AnyFunSuite with SparkSpec {
     state.close()
   }
 
+  test("graceTriggers=2: a superseded generation survives TWO folds " +
+    "after its compaction, then fails loudly once released") {
+    val cents = AnnSearch.normalizeCentroids(
+      AnnSearch.kmeansFit(emb, "embedding", dim = 64, k = 4, iters = 1))
+    val batches = (1 to 4).map(i =>
+      emb.where($"vec_id" % 5 === i).select($"vec_id", $"embedding"))
+    val state = new IvfSegmentState(
+      AnnSearch.ivfPostings(emb.where($"vec_id" % 5 === 0), "embedding",
+        "vec_id", 64, cents),
+      "embedding", "vec_id", 64, cents, compactEvery = 2, graceTriggers = 2)
+    val gen1 = state.fold(batches(0)) // segs: base+d1
+    state.fold(batches(1)) // fold 2: compaction — gen1's segments deferred
+    val gen3 = state.fold(batches(2)) // fold 3: within the 2-fold grace
+    // the widened grace: gen1 is still readable one fold LATER than the
+    // default-1 window (the previous test pins that default releases here)
+    assert(gen1.count() > 0, "graceTriggers=2 should keep the superseded " +
+      "generation readable two folds past its compaction")
+    state.fold(batches(3)) // fold 4: 2 + graceTriggers <= 4 — released now
+    val e = intercept[Exception] { gen1.count() }
+    assert(e.getMessage != null, s"expected dead-block failure, got $e")
+    // the generation superseded by fold 4's compaction is still serving
+    assert(gen3.count() > 0)
+    state.close()
+  }
+
   test("resident checkpointed RDDs stay BOUNDED across many folds " +
     "(negative-tested against the flat-append shape)") {
     val sc = spark.sparkContext

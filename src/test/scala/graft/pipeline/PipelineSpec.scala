@@ -1769,6 +1769,56 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(pairSet(Dedup.hashPairsAgainstStored(batch, col("h"), "id", after))
       == pairSet(Dedup.hashPairsAgainst(batch, col("h"), "id",
         corpus.where(col("id") < 100), col("h"), "id", maxHamming = 3)))
+
+    // graceGens=2: a reader pinned TWO generations back survives two
+    // refreshes; at the default graceGens=1 the same lag fails LOUDLY
+    // (deleted files -> task failure), never silently-wrong
+    Dedup.saveHammingState(corpus, col("h"), "id", dir, maxHamming = 3,
+      nBuckets = 16)
+    val pinned = Dedup.loadHammingState(spark, dir)
+    Dedup.saveHammingState(corpus, col("h"), "id", dir, maxHamming = 3,
+      nBuckets = 16, graceGens = 2)
+    Dedup.saveHammingState(corpus, col("h"), "id", dir, maxHamming = 3,
+      nBuckets = 16, graceGens = 2)
+    assert(pairSet(Dedup.hashPairsAgainstStored(batch, col("h"), "id", pinned))
+      == inline,
+      "a reader two generations back must survive refreshes at graceGens=2")
+    val pinned1 = Dedup.loadHammingState(spark, dir)
+    Dedup.saveHammingState(corpus, col("h"), "id", dir, maxHamming = 3,
+      nBuckets = 16) // graceGens=1: keeps only pinned1's gen...
+    Dedup.saveHammingState(corpus, col("h"), "id", dir, maxHamming = 3,
+      nBuckets = 16) // ...and this save deletes it
+    val lagging = intercept[Exception] {
+      Dedup.hashPairsAgainstStored(batch, col("h"), "id", pinned1).count()
+    }
+    assert(lagging.getMessage != null,
+      s"expected a loud deleted-generation failure, got $lagging")
+  }
+
+  test("loadHammingState names the legacy root-level layout explicitly, " +
+    "and a save migrates it to the gen= scheme") {
+    val dir = java.nio.file.Files.createTempDirectory("ham_legacy").toString
+    val corpus = Seq((1L, 7L), (2L, 7L ^ 3L)).toDF("id", "h")
+    // fabricate the pre-generation layout: root-level chunked/ + commit
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(dir))
+    corpus.write.mode("overwrite").parquet(s"$dir/chunked")
+    fs.create(new org.apache.hadoop.fs.Path(root, "_graft_commit"), true).close()
+    val e = intercept[IllegalArgumentException] {
+      Dedup.loadHammingState(spark, dir)
+    }
+    assert(e.getMessage.contains("legacy"), e.getMessage)
+    // the migration path the error names: re-save, which must also GC the
+    // legacy dirs so they never shadow the gen= scheme
+    Dedup.saveHammingState(corpus, col("h"), "id", dir, maxHamming = 3,
+      nBuckets = 4)
+    val stored = Dedup.loadHammingState(spark, dir)
+    assert(Dedup.hashPairsAgainstStored(corpus, col("h"), "id", stored)
+      .count() == 2L) // (1,2) and (2,1) at hamming 2
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "chunked")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(root, "_graft_commit")),
+      "legacy root-level layout must be cleaned up by the migrating save")
   }
 
   test("curateByDHashImages: hamming clustering catches a near-duplicate " +

@@ -77,21 +77,22 @@ object ExecutorKillSmoke {
     (row.getLong(0), row.getLong(1))
   }
 
-  /** PIDs of live CoarseGrainedExecutorBackend JVMs (scanned from /proc
-    * — the executor processes local-cluster forked). */
-  private def executorPids(): Seq[Long] = {
-    val self = ProcessHandle.current().pid()
-    new java.io.File("/proc").listFiles().toSeq
-      .filter(f => f.getName.forall(_.isDigit))
-      .map(_.getName.toLong)
-      .filter(_ != self)
-      .filter { pid =>
+  /** PIDs of live CoarseGrainedExecutorBackend JVMs belonging to THIS
+    * run: candidates come from `ProcessHandle.current().descendants()`
+    * (local-cluster's workers and executors are forked under this JVM),
+    * never from a bare /proc sweep — on a shared host a cmdline-only
+    * match could SIGKILL an executor of an unrelated Spark app. */
+  private[tools] def executorPids(): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    ProcessHandle.current().descendants().iterator().asScala
+      .filter { h =>
         try {
           val cmd = new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get(s"/proc/$pid/cmdline")), "UTF-8")
+            java.nio.file.Paths.get(s"/proc/${h.pid()}/cmdline")), "UTF-8")
           cmd.contains("CoarseGrainedExecutorBackend")
         } catch { case _: Exception => false }
       }
+      .map(_.pid()).toSeq
   }
 
   def main(args: Array[String]): Unit = {
