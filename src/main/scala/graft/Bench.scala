@@ -26,12 +26,19 @@ import graft.pipeline.{AnnSearch, Dedup}
   * sf0.001; the reported number is the MIN (run-to-run variance at sf0.1 on
   * this machine is +-40%, so single-shot numbers cannot support any
   * optimization claim). All samples are emitted alongside, each paired
-  * 1:1 with an interleaved [[probeOnce]] calibration reading
-  * (`"calibrations"` in the JSON) — r8 proved the single end-of-run
-  * probe misses transient mid-run contention, so every sample carries
-  * the host throughput of its own window and a cross-round swing is
-  * attributable from the BENCH JSON alone (sample elevated AND probe
-  * elevated ⇒ host; sample elevated, probe healthy ⇒ code).
+  * 1:1 with an interleaved probe PAIR — [[probeOnce]] (CPU-bound) and
+  * [[ioProbeOnce]] (I/O-bound) — so every sample carries the host
+  * throughput of its own window on both axes and a cross-round swing is
+  * attributable from the record alone (sample elevated AND a probe
+  * elevated ⇒ host; sample elevated, probes healthy ⇒ code or a
+  * whole-window degradation, which the cross-round family backstop
+  * flags). Samples are probe-GATED against gates relative to the run's
+  * best readings (floored at the idle calibration), a contaminated row
+  * is re-run once against its committed family min, and the record is
+  * written three ways (full detail line, BENCH_LOCAL.json after every
+  * row, compact mins line last) so no truncation or mid-run kill can
+  * lose it. SCALE.md "Bench self-certification" carries the
+  * calibration sweeps and the dd-contention separation test.
   */
 object Bench {
 
@@ -44,6 +51,26 @@ object Bench {
     * contaminated window probed 0.26-1.22, every one past the gate;
     * every healthy r12/r13 probe was <= 0.155). */
   val ProbeGateSec = 0.20
+
+  /** I/O probe gate (seconds for [[ioProbeOnce]]'s 64 MB parquet
+    * write+read): the CPU probe is register-bound and was proven BLIND
+    * to the r14 contamination (healthy 0.107-0.118 probes beside 3.3x
+    * sample inflation on unchanged code — VERDICT r14); this second
+    * reading exercises the filesystem + page cache + memory-bandwidth
+    * path the queries actually share. Healthy band measured on this
+    * host (idle, PSI~0, 24-reading sweep): min 0.58, p50 0.72,
+    * p90 0.93 — wider-tailed than the CPU probe because it includes
+    * real writeback; the gate sits at ~1.8x the idle p50 so the idle
+    * tail passes and contention (measured 2x+ under dd — SCALE.md
+    * "Bench self-certification") does not. */
+  val IoProbeGateSec = 1.30
+
+  /** A row whose healthy-window min exceeds its committed trailing
+    * family min by this factor triggers ONE automatic same-process
+    * re-run before the row is recorded (and is flagged `over_family`
+    * if still above after the re-run) — the cross-round backstop for
+    * contamination BOTH probes miss. */
+  val FamilyRerunFactor = 1.5
 
   /** Sick-probe backoff schedule (seconds) — escalating waits so a
     * transient (another round's verify run, a GC storm) passes without
@@ -122,11 +149,24 @@ object Bench {
     * join operator, not test-data construction. */
   private val annfCache =
     scala.collection.mutable.Map.empty[String, (DataFrame, DataFrame)]
+  /** Fixture cardinalities observed this run, emitted in the bench JSON:
+    * the annf rows' cost is linear in these (LSH) or their product
+    * (exact), and the driver REGENERATES testdata each round — a
+    * cross-round wall-time trend on "unchanged" code is only
+    * interpretable next to the fixture sizes it actually ran against
+    * (VERDICT r14 item 3: fuzzy_annf_3g_exact's +31% creep since r12). */
+  private[graft] val fixtureStats =
+    scala.collection.mutable.SortedMap.empty[String, Long]
   private def annfValues(s: SparkSession, sfDir: String): (DataFrame, DataFrame) =
     annfCache.getOrElseUpdate(sfDir, {
       val left = docValues(s, sfDir, 1 to 271 by 10, 30, "name").localCheckpoint()
       val right = injectTypo(docValues(s, sfDir, 1 to 211 by 30, 30, "src"), "src", "name_t")
         .localCheckpoint()
+      val (nl, nr) = (left.count(), right.count())
+      fixtureStats ++= Seq("annf_left" -> nl, "annf_right" -> nr,
+        "annf_cartesian" -> nl * nr)
+      System.err.println(s"[bench] annf fixture @$sfDir: left=$nl right=$nr " +
+        s"cartesian=${nl * nr}")
       (left, right)
     })
 
@@ -145,6 +185,11 @@ object Bench {
         .select(concat(substring(col("src"), 1, 6), substring(col("src"), 8, 11))
           .as("name_t"))
         .distinct().localCheckpoint()
+      val (nl, nr) = (left.count(), right.count())
+      fixtureStats ++= Seq("names_left" -> nl, "names_right" -> nr,
+        "names_cartesian" -> nl * nr)
+      System.err.println(s"[bench] names fixture @$sfDir: left=$nl right=$nr " +
+        s"cartesian=${nl * nr}")
       (left, right)
     })
 
@@ -346,6 +391,71 @@ object Bench {
     }
   }
 
+  /** One pre-sample host reading: CPU-bound probe + I/O-bound probe,
+    * with the health verdict taken AT PROBE TIME against the run's
+    * effective gates. A window is healthy only when BOTH axes pass —
+    * r14 proved a CPU-only reading passes I/O/page-cache/memory-
+    * bandwidth contamination as healthy. */
+  final case class ProbeReading(cpu: Double, io: Double, healthy: Boolean) {
+    override def toString: String = f"cpu=$cpu%.3f io=$io%.3f"
+  }
+
+  /** Within-run gates are RELATIVE to the run's best probe readings so
+    * far (floored at the absolute idle-calibrated gates): this host's
+    * throughput drifts 2-3.5x between windows with zero in-guest load
+    * (SCALE.md — VM neighbor contention is invisible to every local
+    * metric), so an absolute gate either back-off-deadlocks on a slow
+    * day (the whole idle band sits past it) or waves contamination
+    * through on a fast one. The layered design: the relative gate
+    * catches TRANSIENT within-run contention; the cross-round family
+    * check ([[FamilyRerunFactor]]) catches a WHOLE-RUN-degraded window
+    * the relative gate is blind to by construction. */
+  val CpuGateSlack = 1.75
+  val IoGateSlack = 1.8
+
+  private final case class RowResult(name: String, best: Double, rows: Long,
+                                     samples: Seq[Double],
+                                     probes: Seq[ProbeReading],
+                                     discarded: Seq[ProbeReading],
+                                     familyRerun: Boolean, overFamily: Boolean)
+
+  /** Trailing healthy-window minimum per row, committed as
+    * `bench_family.json` so each round can check its samples against the
+    * family BEFORE recording them (VERDICT r14 item 1b). Format:
+    * `{"row": [min_r15, min_r14, ...]}` — newest first, last
+    * [[FamilyHistoryLen]] rounds; the check threshold is
+    * [[FamilyRerunFactor]] x the HISTORY MINIMUM, so one contaminated
+    * round can never raise the bar, and a real regression ages in after
+    * the window rolls. Only applied/updated at the driver's sf0.1. */
+  val FamilyHistoryLen = 5
+  private def familyPath: String =
+    sys.env.getOrElse("SPARK_GRAFT_FAMILY", "/root/repo/bench_family.json")
+
+  private[graft] def loadFamily(): Map[String, Seq[Double]] = {
+    val f = new java.io.File(familyPath)
+    if (!f.exists()) Map.empty
+    else try {
+      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      // minimal parser for the flat {"k":[1.0,2.0],...} shape we write
+      """"([^"]+)"\s*:\s*\[([0-9eE+.,\- ]*)\]""".r.findAllMatchIn(txt).map { m =>
+        m.group(1) -> m.group(2).split(",").toSeq.map(_.trim)
+          .filter(_.nonEmpty).map(_.toDouble)
+      }.toMap
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] family file unreadable, ignoring: $e")
+        Map.empty
+    }
+  }
+
+  private def saveFamily(hist: Map[String, Seq[Double]]): Unit = {
+    val txt = hist.toSeq.sortBy(_._1).map { case (k, vs) =>
+      "\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]")
+    }.mkString("{\n", ",\n", "\n}\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(familyPath),
+      txt.getBytes("UTF-8"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -374,43 +484,123 @@ object Bench {
     // dev filter: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run (the
     // driver never sets it, so round numbers always cover every row)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    // JIT the interleaved probe itself so query 1's probe isn't
-    // measuring codegen compilation
-    probeOnce(spark); probeOnce(spark)
+    // JIT the interleaved probes themselves so query 1's probe isn't
+    // measuring codegen compilation (the io probe also creates its
+    // file), then seed the run's best-readings floor from two
+    // post-JIT pairs — the relative gates need a baseline before the
+    // first gated sample
+    probeOnce(spark); ioProbeOnce(spark)
+    var minCpu = Double.MaxValue
+    var minIo = Double.MaxValue
+    def cpuGate: Double = math.max(ProbeGateSec, CpuGateSlack * minCpu)
+    def ioGate: Double = math.max(IoProbeGateSec, IoGateSlack * minIo)
+    def takeProbe(): ProbeReading = {
+      val c = probeOnce(spark)
+      val o = ioProbeOnce(spark)
+      minCpu = math.min(minCpu, c)
+      minIo = math.min(minIo, o)
+      ProbeReading(c, o, c <= cpuGate && o <= ioGate)
+    }
+    takeProbe(); takeProbe()
 
-    val results = benchQueries(sfDir).toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    // family thresholds only bind at the driver's scale factor — the
+    // committed history is sf0.1 numbers
+    val familyApplies = sfDir.contains("sf0.1")
+    val family: Map[String, Double] =
+      if (familyApplies) loadFamily().collect {
+        case (k, vs) if vs.nonEmpty => k -> vs.min }
+      else Map.empty
+    val backoffSec = new java.util.concurrent.atomic.AtomicLong(0L)
+
+    def arr(vs: Seq[Double]): String =
+      vs.map(v => f"$v%.3f").mkString("[", ",", "]")
+    def obj(parts: Seq[(String, String)]): String =
+      parts.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def names(ns: Seq[String]): String =
+      ns.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+    val acc = scala.collection.mutable.ArrayBuffer.empty[RowResult]
+
+    /** The full self-describing record over `results` — rewritten to
+      * BENCH_LOCAL.json after EVERY row, so a mid-run kill (driver
+      * timeout, OOM) still leaves every completed row's samples on
+      * disk instead of losing the whole run. */
+    def buildDetail(results: Seq[RowResult], cal: String): String = obj(Seq(
+      "metric" -> "\"total\"",
+      "value" -> f"${results.map(_.best).sum}%.3f", "unit" -> "\"sec\"",
+      "queries" -> obj(results.map(r => r.name -> f"${r.best}%.3f")),
+      "samples" -> obj(results.map(r => r.name -> arr(r.samples))),
+      "calibrations" -> obj(results.map(r => r.name -> arr(r.probes.map(_.cpu)))),
+      "io_calibrations" -> obj(results.map(r => r.name -> arr(r.probes.map(_.io)))),
+      "discarded_probes" -> obj(results.map(r =>
+        r.name -> arr(r.discarded.flatMap(p => Seq(p.cpu, p.io))))),
+      "rows" -> obj(results.map(r => r.name -> r.rows.toString)),
+      "sick_min_rows" -> names(results.collect {
+        case r if r.probes.forall(!_.healthy) => r.name }),
+      "single_shot" -> names(results.collect {
+        case r if r.samples.size == 1 => r.name }),
+      "over_family" -> names(results.collect { case r if r.overFamily => r.name }),
+      "family_reruns" -> names(results.collect { case r if r.familyRerun => r.name }),
+      "backoff_sec" -> backoffSec.get.toString,
+      "probe_healthy_sec" -> ProbeHealthySec.toString,
+      "probe_gate_floor_sec" -> ProbeGateSec.toString,
+      "io_probe_healthy_sec" -> IoProbeHealthySec.toString,
+      "io_probe_gate_floor_sec" -> IoProbeGateSec.toString,
+      "cpu_gate_effective" -> f"$cpuGate%.3f",
+      "io_gate_effective" -> f"$ioGate%.3f",
+      "probe_min_cpu" -> f"$minCpu%.3f",
+      "probe_min_io" -> f"$minIo%.3f",
+      "iterations" -> Iterations.toString,
+      "reduced_iterations" -> obj(ReducedIterations.toSeq.sortBy(_._1)
+        .map { case (k, v) => k -> v.toString }),
+      "fixtures" -> obj(fixtureStats.toSeq.map { case (k, v) => k -> v.toString }),
+      "calibration" -> cal,
+      "sf" -> ("\"" + sfDir + "\"")))
+
+    def writeDetail(detail: String): Unit =
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
+        (detail + "\n").getBytes("UTF-8"))
+      catch { case e: Exception =>
+        System.err.println(s"[bench] could not write BENCH_LOCAL.json: $e") }
+
+    // per-row runner, shared by the sf0.1 suite and the sf1.0 headline
+    // rows; itersOverride=Some(1) = deliberate single shot (sf1 tier:
+    // the effects under test are 10x/100x, far above sample noise)
+    def runRow(name: String, fn: SparkSession => DataFrame,
+               itersOverride: Option[Int]): RowResult = {
       var rows = -1L
-      val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
-      val discarded = scala.collection.mutable.ArrayBuffer.empty[Double]
-      // interleaved calibration: ONE probe immediately before EVERY
-      // sample, emitted 1:1 with the samples — r8 proved a single
-      // end-of-run probe misses transient mid-run contention (its
-      // healthy 0.289 sat beside five 3-5x-elevated rows), so each
-      // sample carries the host throughput of ITS OWN window and a
-      // swing is attributable from the BENCH JSON alone.
-      // PROBE-GATED (r14): a sample whose pre-probe reads sick (above
-      // [[ProbeGateSec]]) is NOT taken — the probe is recorded under
-      // `discarded_probes`, the harness backs off, and the sample
-      // retries under a fresh probe, up to [[MaxProbeRetries]] waits.
-      // r11 and r13 each burned a full round adjudicating minimums
-      // taken under contaminated windows of UNCHANGED code; gating at
-      // the probe converts that from a judge adjudication into a
-      // non-event. If the host never comes back healthy the sample runs
-      // anyway under the sick probe (recorded 1:1 in `calibrations`, so
-      // the row is self-describing) — a bench that can deadlock on a
-      // busy host is worse than a contaminated row.
+      val probes = scala.collection.mutable.ArrayBuffer.empty[ProbeReading]
+      val discarded = scala.collection.mutable.ArrayBuffer.empty[ProbeReading]
+      // interleaved calibration: ONE probe pair (CPU + I/O) immediately
+      // before EVERY sample, emitted 1:1 with the samples — r8 proved a
+      // single end-of-run probe misses transient mid-run contention, and
+      // r14 proved a CPU-only probe misses I/O / page-cache / memory-
+      // bandwidth contention entirely (healthy 0.11 probes beside 3.3x
+      // sample inflation on unchanged code). Each sample carries BOTH
+      // readings of its own window, so a swing is attributable from the
+      // BENCH JSON alone (sample elevated AND a probe elevated => host;
+      // sample elevated, both probes healthy => code or the family
+      // backstop below).
+      // PROBE-GATED: a sample whose pre-probe pair reads sick on EITHER
+      // axis is NOT taken — the pair is recorded under
+      // `discarded_probes`, the harness backs off (total seconds in
+      // `backoff_sec`), and the sample retries under fresh probes, up to
+      // [[MaxProbeRetries]] waits. If the host never comes back healthy
+      // the sample runs anyway under the sick probes (recorded 1:1) — a
+      // bench that can deadlock on a busy host is worse than a
+      // contaminated row.
       def once(): Double = {
-        var probe = probeOnce(spark)
+        var probe = takeProbe()
         var waits = 0
-        while (probe > ProbeGateSec && waits < MaxProbeRetries) {
+        while (!probe.healthy && waits < MaxProbeRetries) {
           discarded += probe
           System.err.println(
-            f"[bench] $name: probe $probe%.3f s > gate $ProbeGateSec%.3f s — host loaded, backing off ${ProbeBackoffSec(waits)}%d s (${waits + 1}/$MaxProbeRetries)")
+            f"[bench] $name: probe $probe > gate (cpu $cpuGate%.2f / io $ioGate%.2f) — host loaded, backing off ${ProbeBackoffSec(waits)}%d s (${waits + 1}/$MaxProbeRetries)")
           Thread.sleep(ProbeBackoffSec(waits) * 1000L)
+          backoffSec.addAndGet(ProbeBackoffSec(waits))
           waits += 1
-          probe = probeOnce(spark)
+          probe = takeProbe()
         }
         probes += probe
         val t0 = System.nanoTime()
@@ -428,45 +618,127 @@ object Bench {
       // magnitude and the 3x wall-clock would dominate the whole suite);
       // everything else gets the full min-of-N against run-to-run noise
       val first = once()
-      val samples =
-        if (first > SlowQueryCutoffSec && !AlwaysFullIterations.contains(name)) Seq(first)
-        else first +: (2 to iterationsFor(name)).map(_ => once())
-      // the reported min must never be a sick-probe artifact when a
-      // healthy-probe sample exists: min over healthy-window samples
-      // first, all samples only when the whole row ran loaded (then the
-      // 1:1 calibrations say so)
-      val healthy = samples.zip(probes).collect {
-        case (s, p) if p <= ProbeGateSec => s }
-      val best = if (healthy.nonEmpty) healthy.min else samples.min
+      var samples =
+        if (itersOverride.contains(1)) Vector(first)
+        else if (first > SlowQueryCutoffSec && !AlwaysFullIterations.contains(name))
+          Vector(first)
+        else first +: (2 to itersOverride.getOrElse(iterationsFor(name)))
+          .map(_ => once()).toVector
+      def healthyMin: Option[Double] = {
+        val h = samples.zip(probes).collect { case (s, p) if p.healthy => s }
+        if (h.nonEmpty) Some(h.min) else None
+      }
+      // cross-round family backstop (VERDICT r14 item 1b): a healthy-
+      // window min that still sits >1.5x its committed trailing family
+      // min gets ONE automatic same-process re-run before the row is
+      // recorded — the defense against whatever contamination BOTH
+      // probes miss. Still above after the re-run => flagged
+      // `over_family` (a real regression also lands here; the flag says
+      // "adjudicate me", never silently records a 3x min as routine).
+      val fam = family.get(name)
+      val needsRerun = fam.exists(f =>
+        healthyMin.getOrElse(samples.min) > FamilyRerunFactor * f)
+      if (needsRerun) {
+        System.err.println(
+          f"[bench] $name: min ${healthyMin.getOrElse(samples.min)}%.2f s > " +
+            f"$FamilyRerunFactor%.1fx family ${fam.get}%.2f s — automatic re-run")
+        samples = samples :+ once()
+      }
+      val best = healthyMin.getOrElse(samples.min)
+      val overFamily = fam.exists(f => best > FamilyRerunFactor * f)
       System.err.println(
-        f"[bench] $name%-24s min $best%8.2f s  rows=$rows  samples=${samples.map(v => f"$v%.2f").mkString("[", ",", "]")}  probes=${probes.map(v => f"$v%.3f").mkString("[", ",", "]")}  discarded=${discarded.size}  cc=${codeCacheMb}MB")
-      (name, best, samples, probes.toSeq, discarded.toSeq)
+        f"[bench] $name%-24s min $best%8.2f s  rows=$rows  samples=${samples.map(v => f"$v%.2f").mkString("[", ",", "]")}  probes=${probes.map(p => f"${p.cpu}%.3f/${p.io}%.3f").mkString("[", ",", "]")}  discarded=${discarded.size}${if (overFamily) "  OVER-FAMILY" else ""}  cc=${codeCacheMb}MB")
+      val rr = RowResult(name, best, rows, samples, probes.toSeq,
+        discarded.toSeq, needsRerun, overFamily)
+      acc += rr
+      writeDetail(buildDetail(acc.toSeq, "null"))
+      rr
     }
-    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val ss = results.map { case (k, _, sm, _, _) =>
-      "\"" + k + "\":" + sm.map(v => f"$v%.3f").mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val cals = results.map { case (k, _, _, pr, _) =>
-      "\"" + k + "\":" + pr.map(v => f"$v%.3f").mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    // probes the gate rejected (sample NOT taken under them) — a non-empty
-    // list is the harness defending the round from a loaded host
-    val disc = results.map { case (k, _, _, _, dp) =>
-      "\"" + k + "\":" + dp.map(v => f"$v%.3f").mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    // queries that ran once because their first sample exceeded the
-    // slow-query cutoff — their numbers are 1-shot-by-budget, not min-of-N
-    val singleShot = results.collect { case (k, _, sm, _, _) if sm.size == 1 => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    // rows whose reported min was taken under a sick probe because the
-    // host NEVER probed healthy within the retry budget — weak by
-    // construction, flagged by the harness itself
-    val sickMin = results.collect { case (k, _, sm, pr, _)
-      if sm.zip(pr).forall(_._2 > ProbeGateSec) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+
+    val mainResults = benchQueries(sfDir).toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) => runRow(name, fn, None) }
+
+    // ---- sf1.0 headline fuzzy rows (VERDICT r14 item 7): the 10x-scale
+    // trend of the three headline claims, tracked per round instead of
+    // spot-checked — the forced-exact control, auto's planner pick on
+    // the LSH-hostile corpus at 2.25e10 pairs, and the forced-LSH row on
+    // the ANN-friendly corpus (3.2e11 cartesian). Single shot each (the
+    // effects under test are 10x/100x). Runs only at the driver's sf0.1
+    // (the sf1 corpus is 10 cipher replicas of it — graft.tools.ScaleGen)
+    // and regenerates the corpus when the driver's testdata is newer.
+    // SPARK_GRAFT_BENCH_SF1=0 skips (dev loops).
+    val sf1Rows = Seq("sf1_exact_8g" -> "fuzzy_exact_8g",
+      "sf1_auto_22g" -> "fuzzy_auto_22g",
+      "sf1_annf_lsh" -> "fuzzy_annf_32g_lsh")
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val sf1Results =
+      if (!familyApplies || sf1Rows.isEmpty ||
+        sys.env.get("SPARK_GRAFT_BENCH_SF1").contains("0")) Seq.empty
+      else try {
+        val sf1Dir = "/tmp/graft_sf1"
+        val src = new java.io.File(s"$sfDir/documents.parquet")
+        val dst = new java.io.File(s"$sf1Dir/documents.parquet")
+        if (!dst.exists() || dst.lastModified() < src.lastModified()) {
+          System.err.println(s"[bench] regenerating $sf1Dir from $sfDir (stale or missing)")
+          graft.tools.ScaleGen.generate(spark, sfDir, sf1Dir, 10)
+        }
+        val sf1 = ScaleBench.queries(sf1Dir).toMap
+        sf1Rows.map { case (name, key) => runRow(name, sf1(key), Some(1)) }
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[bench] sf1 tier skipped: $e")
+          Seq.empty
+      }
+    val results = mainResults ++ sf1Results
+
+    val qs = obj(results.map(r => r.name -> f"${r.best}%.3f"))
+    val total = results.map(_.best).sum
+    val singleShot = names(results.collect {
+      case r if r.samples.size == 1 => r.name })
+    val sickMin = names(results.collect {
+      case r if r.probes.forall(!_.healthy) => r.name })
+    val overFamily = names(results.collect { case r if r.overFamily => r.name })
+    val familyReruns = names(results.collect { case r if r.familyRerun => r.name })
     val cal = calibration(spark)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$ss,"calibrations":$cals,"discarded_probes":$disc,"sick_min_rows":$sickMin,"probe_healthy_sec":$ProbeHealthySec,"probe_gate_sec":$ProbeGateSec,"iterations":$Iterations,"single_shot":$singleShot,"calibration":$cal,"sf":"$sfDir"}""")
+
+    // ---- detail record: everything, written to a committed file AND
+    // printed first — the driver's capture keeps only the LAST 2000
+    // stdout chars, which r14 proved loses the leading rows of a single
+    // giant line, so the giant line goes first (sacrificial) and to disk
+    val detail = buildDetail(results, cal)
+    writeDetail(detail)
+    println(detail)
+
+    // update the committed family history: prepend this round's min for
+    // rows that produced at least one fully-healthy sample (a sick-only
+    // row must not poison the family), keep the trailing window
+    if (familyApplies) try {
+      val prev = loadFamily()
+      val updated = results.foldLeft(prev) { (acc, r) =>
+        if (r.probes.exists(_.healthy))
+          acc.updated(r.name,
+            (r.best +: acc.getOrElse(r.name, Seq.empty)).take(FamilyHistoryLen))
+        else acc
+      }
+      saveFamily(updated)
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not update family file: $e") }
+
+    // ---- compact record LAST: mins + flags only, sized well under the
+    // 2000-char tail capture so every round's record survives truncation
+    // and parses (full samples/probes live in BENCH_LOCAL.json)
+    println(obj(Seq(
+      "metric" -> "\"total\"", "value" -> f"$total%.3f", "unit" -> "\"sec\"",
+      "queries" -> qs,
+      "sick_min_rows" -> sickMin, "single_shot" -> singleShot,
+      "over_family" -> overFamily, "family_reruns" -> familyReruns,
+      "backoff_sec" -> backoffSec.get.toString,
+      "gates" -> f""""$cpuGate%.2f/$ioGate%.2f"""",
+      "fixtures" -> obj(fixtureStats.toSeq.map { case (k, v) => k -> v.toString }),
+      "calibration" -> cal,
+      "detail" -> "\"BENCH_LOCAL.json\"",
+      "sf" -> ("\"" + sfDir + "\""))))
     spark.stop()
   }
 
@@ -509,6 +781,31 @@ object Bench {
     val t0 = System.nanoTime()
     spark.range(n)
       .select(max(org.apache.spark.sql.functions.xxhash64(col("id")))).head()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Reference cost of one [[ioProbeOnce]] on this host when healthy
+    * (idle-host 24-reading sweep p50 = 0.72 s — SCALE.md "Bench
+    * self-certification"); emitted in the JSON so a reader can ratio
+    * each io probe against it without external context. */
+  val IoProbeHealthySec = 0.72
+
+  /** ONE-SHOT fixed-work I/O probe: overwrite a ~64 MB two-long-column
+    * parquet under /tmp (8 files, the bench queries' own write path:
+    * fs allocation + page-cache dirtying + parquet encode), then read
+    * it back with an aggregate. The CPU component is deliberately tiny
+    * (xxhash64 over 8M rows ~ 1.6% of [[probeOnce]]'s work), so an
+    * elevated reading beside a healthy CPU probe isolates the
+    * I/O/memory axis — exactly the r14 contamination the CPU probe
+    * was proven blind to. One shot, not min-of-N, for the same reason
+    * as [[probeOnce]]: it measures the contention of its OWN instant. */
+  def ioProbeOnce(spark: SparkSession, n: Long = 8_000_000L): Double = {
+    val dir = s"/tmp/graft_bench_ioprobe_${ProcessHandle.current().pid()}"
+    val t0 = System.nanoTime()
+    spark.range(0L, n, 1L, 8)
+      .select(col("id"), org.apache.spark.sql.functions.xxhash64(col("id")).as("h"))
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).select(max(col("h"))).head()
     (System.nanoTime() - t0) / 1e9
   }
 

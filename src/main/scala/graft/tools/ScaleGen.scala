@@ -79,7 +79,14 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    generate(spark, src, out, replicas)
+    spark.stop()
+  }
 
+  /** Session-preserving body of [[main]] — callable from a live session
+    * (the bench's sf1 tier regenerates a stale corpus in-process). */
+  def generate(spark: SparkSession, src: String, out: String,
+               replicas: Int): Unit = {
     val customer = spark.read.parquet(s"$src/customer.parquet")
     replicate(customer, replicas) { r =>
       customer.select(
@@ -118,6 +125,5 @@ object ScaleGen {
       println(s"[scalegen] $t: " +
         spark.read.parquet(s"$out/$t.parquet").count() + " rows")
     }
-    spark.stop()
   }
 }

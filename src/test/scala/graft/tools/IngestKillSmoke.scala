@@ -1,0 +1,237 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerExecutorRemoved}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Executor-loss exercise for the STREAMING INGEST writers (VERDICT r14
+  * item 5): [[ExecutorKillSmoke]] kills an executor under the batch
+  * fuzzy joins, [[StreamCrashSmoke]] kills the DRIVER under the
+  * recoverable writers — the untested square of the matrix is an
+  * EXECUTOR dying mid-trigger inside a writer's fold, where Spark task
+  * retry interleaves with the writer's durable/idempotent state
+  * machinery ([[graft.pipeline.DurableIvfSegmentState]] batchId
+  * high-water skips, the stored hamming state's touched-bucket reads).
+  *
+  * Arms, both on `local-cluster[2,4,2048]` (executors in separate JVMs):
+  *  - `hamming` — [[graft.streaming.DocStreams.hammingNearDupWriterStored]]
+  *    over a saved hamming store, idempotent per-batchId overwrite sink;
+  *  - `ivf` — [[graft.streaming.AnnStream.ivfAppendWriterRecoverable]]
+  *    folding embedding batches into a durable segmented index.
+  *
+  * A killer thread SIGKILLs one executor JVM (descendants of this
+  * process only) the moment a trigger has an active stage; the stream
+  * must then drain to completion (standalone relaunches the executor,
+  * lost tasks re-run) and the final output/index must fingerprint equal
+  * to the clean un-killed computation.
+  *
+  * Launch:
+  * {{{
+  *   SPARK_HOME=/opt/spark sbt -batch \
+  *     "Test/runMain graft.tools.IngestKillSmoke /root/testdata/sf0.01"
+  * }}}
+  */
+object IngestKillSmoke {
+
+  private def session(): SparkSession = {
+    val cp = Seq("target/scala-2.13/classes", "target/scala-2.13/test-classes")
+      .map(p => new java.io.File(p).getAbsolutePath).mkString(":")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+    val s = SparkSession.builder().master("local-cluster[2,4,2048]")
+      .appName("graft-ingestkill")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.executor.extraClassPath", cp)
+      .config("spark.executor.extraJavaOptions", addOpens)
+      .config("spark.executor.memory", "1536m")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def fingerprint(df: DataFrame): (Long, Long) = {
+    val cols = df.columns.sorted.toSeq.map(c => col(c).cast("string"))
+    val row = df.select(
+      count(lit(1)).as("n"),
+      coalesce(sum(pmod(xxhash64(concat_ws("|", cols: _*)), lit(1000000007L))),
+        lit(0L)).as("h")).head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  private def docs(s: SparkSession, sfDir: String): DataFrame =
+    s.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"), col("text"))
+  private def emb(s: SparkSession, sfDir: String): DataFrame =
+    s.read.parquet(s"$sfDir/embeddings.parquet")
+
+  /** Arriving hash rows with guaranteed hamming<=3 partners in the
+    * stored corpus (the StreamCrashSmoke fixture recipe). */
+  private def hammingBatch(s: SparkSession, sfDir: String, mod: Long,
+                           flip: Long): DataFrame =
+    docs(s, sfDir).where(col("doc_id") % 3 === mod)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        xxhash64(col("text")).bitwiseXOR(lit(flip)).as("h64"))
+
+  /** One pinned-order parquet file per micro-batch under a flat dir. */
+  private def stage(batches: Seq[DataFrame], dir: java.nio.file.Path): Unit = {
+    java.nio.file.Files.createDirectories(dir)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val part = java.nio.file.Files.createTempDirectory(s"ingest_stage$i")
+      b.coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val src = java.nio.file.Files.list(part)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst = dir.resolve(f"$i%02d.parquet")
+      java.nio.file.Files.copy(src, dst)
+      dst.toFile.setLastModified(1000000L + i * 10000L)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val work = java.nio.file.Files.createTempDirectory("graft_ingest_kill")
+    val spark = session()
+    val removed = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onExecutorRemoved(e: SparkListenerExecutorRemoved): Unit = {
+        removed.incrementAndGet()
+        println(s"[ingestkill] executor removed: ${e.executorId} (${e.reason})")
+      }
+    })
+
+    // ---- fixtures (built BEFORE any killer is armed)
+    val d = docs(spark, sfDir)
+    val e = emb(spark, sfDir)
+    val hb = Seq(hammingBatch(spark, sfDir, 1L, 1L),
+      hammingBatch(spark, sfDir, 2L, (1L << 5) | (1L << 37)),
+      hammingBatch(spark, sfDir, 0L, 1L << 63))
+    stage(hb, work.resolve("in_hamming"))
+    graft.pipeline.Dedup.saveHammingState(
+      d.select(col("doc_id").as("asset_id"), xxhash64(col("text")).as("h64")),
+      col("h64"), "asset_id", s"$work/state_hamming", maxHamming = 3)
+    val embBatches = (1 to 3).map(i =>
+      e.where(col("vec_id") % 4 === i).select(col("vec_id"), col("embedding")))
+    stage(embBatches, work.resolve("in_ivf"))
+    val cents = graft.pipeline.AnnSearch.normalizeCentroids(
+      graft.pipeline.AnnSearch.kmeansFit(
+        e.where(col("vec_id") % 4 === 0), "embedding", dim = 64, k = 4, iters = 1))
+
+    // clean expectations (no kill): the batch operators over the same data
+    val cleanHamming = {
+      val stored = graft.pipeline.Dedup.loadHammingState(spark, s"$work/state_hamming")
+      fingerprint(hb.map(b => graft.pipeline.Dedup.hashPairsAgainstStored(
+          b, col("h64"), "doc_id", stored)
+        .select(col("id_a"), col("id_b"), col("hamming"))).reduce(_ unionByName _))
+    }
+    val cleanIvf = fingerprint(graft.pipeline.AnnSearch.ivfPostings(
+        e, "embedding", "vec_id", 64, cents)
+      .select(col("corpus_id"), col("__cell")))
+    println(s"[ingestkill] clean hamming=$cleanHamming ivf=$cleanIvf")
+
+    /** Arm a killer that SIGKILLs one executor as soon as a stage is
+      * active, run `body`, and report (killedPid, removal events seen). */
+    def withKill[T](name: String)(body: => T): (T, Long) = {
+      val before = removed.get()
+      val killedPid = new AtomicLong(-1L)
+      val killer = new Thread(() => {
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (killedPid.get() == -1L && System.nanoTime() < deadline) {
+          if (spark.sparkContext.statusTracker.getActiveStageIds.nonEmpty) {
+            ExecutorKillSmoke.executorPids().headOption.foreach { pid =>
+              ProcessHandle.of(pid).ifPresent { h =>
+                if (h.destroyForcibly()) {
+                  killedPid.set(pid)
+                  println(s"[ingestkill] $name: SIGKILLed executor pid=$pid mid-trigger")
+                }
+              }
+            }
+          }
+          Thread.sleep(20)
+        }
+      }, s"killer-$name")
+      killer.setDaemon(true)
+      killer.start()
+      val out = body
+      killer.join(5000)
+      val evDeadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (removed.get() == before && killedPid.get() != -1L &&
+        System.nanoTime() < evDeadline) Thread.sleep(100)
+      (out, killedPid.get())
+    }
+
+    var failed = false
+
+    // ---- arm 1: stored-hamming writer, executor killed mid-trigger
+    {
+      val schema = hb.head.schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/in_hamming")
+      val writer = graft.streaming.DocStreams.hammingNearDupWriterStored(
+        stream, s"$work/state_hamming", "h64", "doc_id") { (pairs, batchId) =>
+        pairs.select(col("id_a"), col("id_b"), col("hamming"))
+          .write.mode("overwrite").parquet(s"$work/out_hamming/batch=$batchId")
+      }.option("checkpointLocation", s"$work/ckpt_hamming")
+      val (_, pid) = withKill("hamming") {
+        val q = writer.start()
+        q.processAllAvailable(); q.stop()
+      }
+      val fp = fingerprint(spark.read.parquet(s"$work/out_hamming")
+        .select(col("id_a"), col("id_b"), col("hamming")))
+      if (pid == -1L) {
+        println("[ingestkill] FAIL hamming: no executor was killed (stream too fast?)")
+        failed = true
+      } else if (fp != cleanHamming) {
+        println(s"[ingestkill] FAIL hamming: got $fp, clean was $cleanHamming")
+        failed = true
+      } else
+        println(s"[ingestkill] PASS hamming: killed pid=$pid mid-trigger, " +
+          s"stream drained to the clean fingerprint $fp")
+    }
+
+    // ---- arm 2: durable IVF append writer, executor killed mid-fold
+    {
+      val stream = spark.readStream
+        .schema(e.select(col("vec_id"), col("embedding")).schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/in_ivf")
+      @volatile var view: DataFrame = null
+      val writer = graft.streaming.AnnStream.ivfAppendWriterRecoverable(
+        stream, s"$work/ix_ivf", "embedding", "vec_id", 64, cents,
+        graft.pipeline.AnnSearch.ivfPostings(
+          e.where(col("vec_id") % 4 === 0), "embedding", "vec_id", 64, cents),
+        compactEvery = 2) { (v, _) => view = v }
+        .option("checkpointLocation", s"$work/ckpt_ivf")
+      val (_, pid) = withKill("ivf") {
+        val q = writer.start()
+        q.processAllAvailable(); q.stop()
+      }
+      val fp = fingerprint(view.select(col("corpus_id"), col("__cell")))
+      if (pid == -1L) {
+        println("[ingestkill] FAIL ivf: no executor was killed (stream too fast?)")
+        failed = true
+      } else if (fp != cleanIvf) {
+        println(s"[ingestkill] FAIL ivf: got $fp, clean was $cleanIvf")
+        failed = true
+      } else
+        println(s"[ingestkill] PASS ivf: killed pid=$pid mid-fold, durable " +
+          s"index converged to the clean fingerprint $fp")
+    }
+
+    if (removed.get() == 0) {
+      println("[ingestkill] FAIL: no executor-removed event was ever observed")
+      failed = true
+    }
+    spark.stop()
+    if (failed) sys.exit(1)
+    println("[ingestkill] ingest writers survived executor loss mid-trigger " +
+      "with identical results")
+  }
+}
