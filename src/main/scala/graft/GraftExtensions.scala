@@ -48,6 +48,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftExtensions].getName,
         graft.plans.CurateDHashTable.Name),
       graft.plans.CurateDHashTable.build))
+    // embedding top-k retrieval (brute / IVF-pruned) as a table-valued
+    // function: SELECT * FROM ann_topk('q','c','embedding','vec_id',10)
+    ext.injectTableFunction((
+      FunctionIdentifier(graft.plans.AnnTopKTable.Name),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        graft.plans.AnnTopKTable.Name),
+      graft.plans.AnnTopKTable.build))
   }
 }
 

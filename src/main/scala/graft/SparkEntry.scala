@@ -354,6 +354,19 @@ object SparkEntry {
       res.select(col("query_id"), col("corpus_id"),
         sround(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
     }),
+    // the same brute-force retrieval through the ann_topk SQL TVF front
+    // door (plans/AnnTopKTable) — pure-SQL clients get the identical
+    // plan, so the two queries share one oracle verbatim
+    "ann_topk_sql" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      emb.where(col("vec_id") < 10).createOrReplaceTempView("ann_sql_queries")
+      emb.createOrReplaceTempView("ann_sql_corpus")
+      s.sql(
+        """SELECT query_id, corpus_id, round(cosine, 6) AS cosine,
+                  CAST(rank AS BIGINT) AS rank
+           FROM ann_topk('ann_sql_queries', 'ann_sql_corpus',
+                         'embedding', 'vec_id', 10)""")
+    }),
     // int8-quantized variant: per-vector symmetric quantization (exact
     // floor arithmetic) + integer dot products — the 4x-compressed corpus
     // path, fully oracled because every step is exact integer or
@@ -2182,6 +2195,17 @@ object SparkEntry {
          AND 1.0 - jaro_winkler_similarity(lower(a.c_mktsegment), lower(b.c_mktsegment)) <= 0.2"""
 
   // shared verbatim by fuzzy_join_levenshtein (Scala front door) and
+  // ann_cosine_topk and its ann_topk-TVF twin share this oracle
+  private val bruteTopKOracle =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+       s AS (SELECT query_id, c.vec_id AS corpus_id,
+                    list_cosine_similarity(qv::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+             FROM q CROSS JOIN embeddings c WHERE c.vec_id != query_id),
+       r AS (SELECT query_id, corpus_id, cos,
+                    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+             FROM s)
+       SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 10"""
+
   // fuzzy_join_sql (fuzzy_match TVF front door): identical semantics,
   // one oracle
   private val levenshteinJoinOracle =
@@ -2599,15 +2623,9 @@ object SparkEntry {
     // force (pre-filter is exact; the IVF run probes all cells)
     "ann_cosine_filtered" -> filteredAnnOracle,
     "ann_filtered_ivf" -> filteredAnnOracle,
-    "ann_cosine_topk" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-         s AS (SELECT query_id, c.vec_id AS corpus_id,
-                      list_cosine_similarity(qv::DOUBLE[], c.embedding::DOUBLE[]) AS cos
-               FROM q CROSS JOIN embeddings c WHERE c.vec_id != query_id),
-         r AS (SELECT query_id, corpus_id, cos,
-                      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
-               FROM s)
-         SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 10""",
+    "ann_cosine_topk" -> bruteTopKOracle,
+    // the ann_topk TVF front door: identical semantics, one oracle
+    "ann_topk_sql" -> bruteTopKOracle,
     // full-probe IVF + int8 re-rank provably equals the brute-force int8
     // search (a corpus row lives in exactly one cell), so the same
     // exact-integer SQL is its oracle

@@ -41,6 +41,55 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(rows == Seq((1L, 11L, 0.9), (1L, 12L, 0.9), (2L, 20L, 0.3)), s"got $rows")
   }
 
+  test("ann_topk TVF: brute mode equals the Scala path, ivf full-probe " +
+    "equals brute, malformed args are diagnostics") {
+    val fresh = spark.newSession()
+    val emb = fresh.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.where(org.apache.spark.sql.functions.col("vec_id") < 5)
+      .createOrReplaceTempView("at_queries")
+    emb.createOrReplaceTempView("at_corpus")
+
+    def rows(sql: String) = fresh.sql(sql).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6), r.getInt(3))).toSet
+
+    val viaSql = rows(
+      """SELECT query_id, corpus_id, cosine, rank
+         FROM ann_topk('at_queries', 'at_corpus', 'embedding', 'vec_id', 7)""")
+    val viaScala = graft.pipeline.AnnSearch.bruteForceTopK(
+        fresh.table("at_queries"), fresh.table("at_corpus"),
+        "embedding", "vec_id", 7)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"),
+        math.round(r.getAs[Double]("cosine") * 1e6), r.getAs[Int]("rank"))).toSet
+    assert(viaSql == viaScala && viaSql.nonEmpty)
+
+    // IVF with every cell probed is provably exact (a corpus row lives in
+    // exactly one cell), so it must reproduce brute from pure SQL too
+    val viaIvf = rows(
+      """SELECT query_id, corpus_id, cosine, rank
+         FROM ann_topk('at_queries', 'at_corpus', 'embedding', 'vec_id', 7,
+                       'mode', 'ivf', 'n_cells', 4, 'n_probe', 4)""")
+    assert(viaIvf == viaScala)
+
+    for ((sql, frag) <- Seq(
+      ("SELECT * FROM ann_topk('at_queries', 'at_corpus', 'embedding')",
+        "Usage"),
+      ("SELECT * FROM ann_topk('at_queries', 'at_corpus', 'embedding', " +
+        "'vec_id', 5, 'bogus', 1)", "unknown option"),
+      ("SELECT * FROM ann_topk('at_queries', 'at_corpus', 'embedding', " +
+        "'vec_id', 5, 'mode', 'fancy')", "mode"),
+      ("SELECT * FROM ann_topk('at_queries', 'at_corpus', 'embedding', " +
+        "'vec_id', cast(2.5 as double))", "integer"),
+      ("SELECT * FROM ann_topk('at_queries', 'at_corpus', 'embedding', " +
+        "'vec_id', 0)", "k must be >= 1"))) {
+      val e = intercept[Exception] { fresh.sql(sql).collect() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains(frag)), s"$sql -> ${msgs(e)}")
+    }
+  }
+
   test("fuzzy_match TVF runs the full planner from pure SQL") {
     val fresh = spark.newSession()
     import fresh.implicits._
