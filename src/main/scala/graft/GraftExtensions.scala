@@ -55,6 +55,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftExtensions].getName,
         graft.plans.AnnTopKTable.Name),
       graft.plans.AnnTopKTable.build))
+    // near-duplicate pair generation (simhash / minhash LSH / ngram
+    // jaccard): SELECT * FROM dedup_pairs('docs','text','doc_id', ...)
+    ext.injectTableFunction((
+      FunctionIdentifier(graft.plans.DedupPairsTable.Name),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        graft.plans.DedupPairsTable.Name),
+      graft.plans.DedupPairsTable.build))
+    // BM25 lexical retrieval:
+    // SELECT * FROM bm25_topk('corpus','qs','text','doc_id','qtext','qid',10)
+    ext.injectTableFunction((
+      FunctionIdentifier(graft.plans.Bm25TopKTable.Name),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        graft.plans.Bm25TopKTable.Name),
+      graft.plans.Bm25TopKTable.build))
   }
 }
 

@@ -255,6 +255,17 @@ object SparkEntry {
       Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 8,
           maxBucketPairs = Long.MaxValue, useMd5 = true)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
+    // the same simhash pair generation through the dedup_pairs SQL TVF
+    // front door (plans/DedupPairsTable) — pure-SQL clients get the
+    // identical plan, so the two queries share one oracle verbatim
+    "dedup_simhash_sql" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("dedup_sql_docs")
+      s.sql(
+        s"""SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+            FROM dedup_pairs('dedup_sql_docs', 'text', 'doc_id',
+                             'max_hamming', 8, 'use_md5', true,
+                             'max_bucket_pairs', ${Long.MaxValue}L)""")
+    }),
     // dedup-config rollout gate: micro P/R/F1 of the cheap simhash
     // detector against the exact-jaccard ground truth — both pair
     // pipelines are themselves oracled entries, so this oracles the EVAL
@@ -1684,6 +1695,20 @@ object SparkEntry {
         .select(col("query_id"), col("doc_id"),
           sround(col("score"), 6).as("score"), col("rank"))
     }),
+    // the same one-shot BM25 search through the bm25_topk SQL TVF front
+    // door (plans/Bm25TopKTable) — shares text_bm25's oracle verbatim
+    "text_bm25_sql" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.createOrReplaceTempView("bm25_sql_corpus")
+      docs.where(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(split(trim(lower(col("text"))), "\\s+"), 1, 5)).as("qtext"))
+        .createOrReplaceTempView("bm25_sql_queries")
+      s.sql(
+        """SELECT query_id, doc_id, round(score, 6) AS score, rank
+           FROM bm25_topk('bm25_sql_corpus', 'bm25_sql_queries',
+                          'text', 'doc_id', 'qtext', 'query_id', 10)""")
+    }),
 
     // the TOKEN-BUCKETED stored-index lifecycle end-to-end: build, save
     // under bucket=pmod(xxhash64(token),64)/ partitions, reload, search
@@ -2195,6 +2220,19 @@ object SparkEntry {
          AND 1.0 - jaro_winkler_similarity(lower(a.c_mktsegment), lower(b.c_mktsegment)) <= 0.2"""
 
   // shared verbatim by fuzzy_join_levenshtein (Scala front door) and
+  // dedup_simhash and its dedup_pairs-TVF twin share this oracle
+  private val simhashPairsOracle =
+    """WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok FROM documents),
+       h AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 16))::UBIGINT AS th FROM t),
+       b AS (SELECT doc_id, bit, sum(CASE WHEN (th >> bit::INT) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+             FROM h, range(64) r(bit) GROUP BY doc_id, bit),
+       s AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN (1::UBIGINT << bit::INT) ELSE 0::UBIGINT END)::UBIGINT AS sh
+             FROM b GROUP BY doc_id)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+       FROM s a JOIN s b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.sh, b.sh)) <= 8"""
+
   // ann_cosine_topk and its ann_topk-TVF twin share this oracle
   private val bruteTopKOracle =
     """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
@@ -2447,17 +2485,9 @@ object SparkEntry {
          WHERE common / (sa.sz + sb.sz - common) >= 0.5""",
     // MD5-token simhash recomputed bit-for-bit, then brute-force hamming
     // pairs (the Spark side's pigeonhole blocking is exact when uncapped)
-    "dedup_simhash" ->
-      """WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok FROM documents),
-         h AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 16))::UBIGINT AS th FROM t),
-         b AS (SELECT doc_id, bit, sum(CASE WHEN (th >> bit::INT) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-               FROM h, range(64) r(bit) GROUP BY doc_id, bit),
-         s AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN (1::UBIGINT << bit::INT) ELSE 0::UBIGINT END)::UBIGINT AS sh
-               FROM b GROUP BY doc_id)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
-         FROM s a JOIN s b ON a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.sh, b.sh)) <= 8""",
+    "dedup_simhash" -> simhashPairsOracle,
+    // the dedup_pairs TVF front door: identical semantics, one oracle
+    "dedup_simhash_sql" -> simhashPairsOracle,
     // predicted = the simhash CTE family, truth = the jaccard family
     // (both individually oracled above); the eval row checks the exact
     // integer counts and the three rounded micro ratios
@@ -4394,6 +4424,8 @@ object SparkEntry {
     // integers, rank = row_number over (micro score desc, doc_id asc) —
     // the same total order as the BoundedTopK heap
     "text_bm25" -> bm25FullOracle,
+    // the bm25_topk TVF front door: identical semantics, one oracle
+    "text_bm25_sql" -> bm25FullOracle,
     // storage layout must be invisible to the ranking: the bucketed
     // stored path shares text_bm25's oracle verbatim
     "text_bm25_stored" -> bm25FullOracle,

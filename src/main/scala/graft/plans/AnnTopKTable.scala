@@ -3,7 +3,6 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.unsafe.types.UTF8String
 
 import graft.pipeline.AnnSearch
 
@@ -44,73 +43,42 @@ object AnnTopKTable {
       "then optional ('mode', 'brute'|'ivf' | 'dim', int | 'n_cells', int " +
       "| 'n_probe', int | 'exclude_self', bool) pairs)"
 
-  private def bad(what: String, got: Any): Nothing =
-    throw new IllegalArgumentException(
-      s"$Name: $what, got '$got'. Usage: $usage")
-
-  private def lit(e: Expression, what: String): Any = {
-    if (!e.foldable) bad(s"$what must be a literal", e.sql)
-    e.eval()
-  }
-
-  private def str(e: Expression, what: String): String = lit(e, what) match {
-    case s: UTF8String => s.toString
-    case other => bad(s"$what must be a string literal", other)
-  }
-
-  private def int(e: Expression, what: String): Int = lit(e, what) match {
-    case n: Number if n.doubleValue() == n.longValue() &&
-      n.longValue() >= Int.MinValue && n.longValue() <= Int.MaxValue =>
-      n.intValue()
-    case other => bad(s"$what must be an integer literal", other)
-  }
-
-  private def bool(e: Expression, what: String): Boolean = lit(e, what) match {
-    case b: java.lang.Boolean => b.booleanValue()
-    case other => bad(s"$what must be a boolean literal", other)
-  }
+  private val A = new TvfArgs(Name, usage)
 
   /** TVF builder registered by [[graft.GraftExtensions]]. */
   def build(args: Seq[Expression]): LogicalPlan = {
-    if (args.length < 5 || (args.length - 5) % 2 != 0)
-      throw new IllegalArgumentException(
-        s"$Name: got ${args.length} arguments. Usage: $usage")
+    A.arity(args, 5)
     val spark = SparkSession.active
-    val queries = spark.table(str(args(0), "queries table name"))
-    val corpus = spark.table(str(args(1), "corpus table name"))
-    val vecCol = str(args(2), "vector column")
-    val idCol = str(args(3), "id column")
-    val k = int(args(4), "k")
-    if (k < 1) bad("k must be >= 1", k)
+    val queries = spark.table(A.str(args(0), "queries table name"))
+    val corpus = spark.table(A.str(args(1), "corpus table name"))
+    val vecCol = A.str(args(2), "vector column")
+    val idCol = A.str(args(3), "id column")
+    val k = A.int(args(4), "k")
+    if (k < 1) A.bad("k must be >= 1", k)
 
     var mode = "brute"
     var dim = 64
     var nCells = 64
     var nProbe = 8
     var excludeSelf = true
-    args.drop(5).grouped(2).foreach {
-      case Seq(kk, v) => str(kk, "option name") match {
-        case "mode" => str(v, "mode value") match {
-          case m @ ("brute" | "ivf") => mode = m
-          case other => bad("mode must be 'brute' or 'ivf'", other)
-        }
-        case "dim" => dim = int(v, "dim value")
-        case "n_cells" => nCells = int(v, "n_cells value")
-        case "n_probe" => nProbe = int(v, "n_probe value")
-        case "exclude_self" => excludeSelf = bool(v, "exclude_self value")
-        case other => bad("unknown option", other)
+    A.options(args, 5) { (kk, v) => kk match {
+      case "mode" => A.str(v, "mode value") match {
+        case m @ ("brute" | "ivf") => mode = m
+        case other => A.bad("mode must be 'brute' or 'ivf'", other)
       }
-      case odd => throw new IllegalStateException(
-        s"$Name: internal option-pair grouping error on $odd")
-    }
+      case "dim" => dim = A.int(v, "dim value")
+      case "n_cells" => nCells = A.int(v, "n_cells value")
+      case "n_probe" => nProbe = A.int(v, "n_probe value")
+      case "exclude_self" => excludeSelf = A.bool(v, "exclude_self value")
+      case other => A.bad("unknown option", other)
+    }}
     val result = mode match {
       case "brute" =>
-        val raw = AnnSearch.bruteForceTopK(queries, corpus, vecCol, idCol, k)
         // bruteForceTopK always excludes self-pairs; the knob exists on
         // the ivf arm, so reject a contradictory ask rather than ignore it
         if (!excludeSelf)
-          bad("exclude_self=false is only supported with mode 'ivf'", false)
-        raw
+          A.bad("exclude_self=false is only supported with mode 'ivf'", false)
+        AnnSearch.bruteForceTopK(queries, corpus, vecCol, idCol, k)
       case _ =>
         AnnSearch.ivfTopK(queries, corpus, vecCol, idCol, k, dim,
           nCells = nCells, nProbe = nProbe, excludeSelf = excludeSelf)

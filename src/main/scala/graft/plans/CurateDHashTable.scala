@@ -3,7 +3,6 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.unsafe.types.UTF8String
 
 import graft.pipeline.Multimodal
 
@@ -43,63 +42,37 @@ object CurateDHashTable {
       "'payload_col', then optional ('min_max_luma', int | 'max_hamming', " +
       "int | 'max_bucket_pairs', long | 'checkpoint_dir', 'path') pairs)"
 
-  private def bad(what: String, got: Any): Nothing =
-    throw new IllegalArgumentException(
-      s"curate_dhash: $what, got '$got'. Usage: $usage")
-
-  private def lit(e: Expression, what: String): Any = {
-    if (!e.foldable) bad(s"$what must be a literal", e.sql)
-    e.eval()
-  }
-
-  private def str(e: Expression, what: String): String = lit(e, what) match {
-    case s: UTF8String => s.toString
-    case other => bad(s"$what must be a string literal", other)
-  }
-
-  private def long(e: Expression, what: String): Long = lit(e, what) match {
-    // accept only exactly-integral numerics: `curate_dhash(..., 'max_hamming',
-    // 2.9)` must fail like every other malformed argument here, not silently
-    // truncate to 2 via Number.longValue()
-    case n: Number if n.doubleValue() == n.longValue() => n.longValue()
-    case other => bad(s"$what must be an integer literal", other)
-  }
+  private val A = new TvfArgs(Name, usage)
 
   /** TVF builder registered by [[graft.GraftExtensions]]. */
   def build(args: Seq[Expression]): LogicalPlan = {
-    if (args.length < 5 || (args.length - 5) % 2 != 0)
-      throw new IllegalArgumentException(
-        s"curate_dhash: got ${args.length} arguments. Usage: $usage")
+    A.arity(args, 5)
     val spark = SparkSession.active
-    val docs = spark.table(str(args(0), "docs table name"))
-    val images = spark.table(str(args(1), "images table name"))
-    val idCol = str(args(2), "id column")
-    val imgKeyCol = str(args(3), "image key column")
-    val payloadCol = str(args(4), "payload column")
+    val docs = spark.table(A.str(args(0), "docs table name"))
+    val images = spark.table(A.str(args(1), "images table name"))
+    val idCol = A.str(args(2), "id column")
+    val imgKeyCol = A.str(args(3), "image key column")
+    val payloadCol = A.str(args(4), "payload column")
 
     var minMaxLuma = 34L
     var maxHamming = 0
     var maxBucketPairs = 4_000_000L
     var checkpoint: graft.util.CheckpointStrategy =
       graft.util.CheckpointStrategy.Local
-    args.drop(5).grouped(2).foreach {
-      case Seq(k, v) => str(k, "option name") match {
-        case "min_max_luma" => minMaxLuma = long(v, "min_max_luma value")
-        case "max_hamming" =>
-          val h = long(v, "max_hamming value")
-          if (h < 0 || h > 31) bad("max_hamming must be in [0, 31]", h)
-          maxHamming = h.toInt
-        case "max_bucket_pairs" => maxBucketPairs = long(v, "max_bucket_pairs value")
-        case "checkpoint_dir" => str(v, "checkpoint_dir value") match {
-          case d if d.nonEmpty =>
-            checkpoint = graft.util.CheckpointStrategy.Reliable(d)
-          case other => bad("checkpoint_dir must be a non-empty directory", other)
-        }
-        case other => bad("unknown option", other)
+    A.options(args, 5) { (k, v) => k match {
+      case "min_max_luma" => minMaxLuma = A.long(v, "min_max_luma value")
+      case "max_hamming" =>
+        maxHamming = A.int(v, "max_hamming value")
+        if (maxHamming < 0 || maxHamming > 31)
+          A.bad("max_hamming must be in [0, 31]", maxHamming)
+      case "max_bucket_pairs" => maxBucketPairs = A.long(v, "max_bucket_pairs value")
+      case "checkpoint_dir" => A.str(v, "checkpoint_dir value") match {
+        case d if d.nonEmpty =>
+          checkpoint = graft.util.CheckpointStrategy.Reliable(d)
+        case other => A.bad("checkpoint_dir must be a non-empty directory", other)
       }
-      case odd => throw new IllegalStateException(
-        s"curate_dhash: internal option-pair grouping error on $odd")
-    }
+      case other => A.bad("unknown option", other)
+    }}
     Multimodal.curateByDHashImages(docs, idCol, imgKeyCol, images, payloadCol,
       minMaxLuma, maxHamming, checkpoint, maxBucketPairs)
       .queryExecution.analyzed

@@ -1,0 +1,103 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+import graft.pipeline.Dedup
+import graft.util.CheckpointStrategy
+
+/** Pure-SQL front door for near-duplicate PAIR GENERATION — the dedup
+  * pillar of the pipeline ([[graft.pipeline.Dedup]]), previously
+  * reachable only from Scala. Registered by [[graft.GraftExtensions]]:
+  *
+  * {{{
+  *   SELECT * FROM dedup_pairs(
+  *     'docs_view', 'text', 'doc_id'
+  *     [, 'method', 'simhash' | 'minhash' | 'ngram'   -- default simhash
+  *      -- simhash:  (id_a, id_b, hamming)
+  *      , 'max_hamming', 3,  'use_md5', false
+  *      -- minhash:  (id_a, id_b, est_jaccard)
+  *      , 'shingle_len', 3, 'num_bands', 16, 'rows_per_band', 4
+  *      , 'threshold', 0.7
+  *      -- ngram:    (id_a, id_b, jaccard)
+  *      , 'ngram_n', 3, 'threshold', 0.5
+  *      -- shared
+  *      , 'max_bucket_pairs', N       -- blocking cap (CapMetrics-logged)
+  *      , 'checkpoint_dir', '/p'])    -- reliable barriers (cluster jobs)
+  * }}}
+  *
+  * All three methods are the BLOCKED (never all-pairs) operators: simhash
+  * pigeonhole chunks, minhash banded LSH, ngram shared-shingle join —
+  * each with an observable per-bucket cap. Arguments must be foldable
+  * literals; the table name resolves in the session catalog. Same
+  * analysis-time eagerness note as the sibling TVFs: the operators
+  * materialize their blocking frames while the statement analyzes. */
+object DedupPairsTable {
+
+  val Name = "dedup_pairs"
+
+  private val usage =
+    "dedup_pairs('docs_table', 'text_col', 'id_col', then optional " +
+      "('method', 'simhash'|'minhash'|'ngram' | 'max_hamming', int | " +
+      "'use_md5', bool | 'shingle_len', int | 'num_bands', int | " +
+      "'rows_per_band', int | 'threshold', double | 'ngram_n', int | " +
+      "'max_bucket_pairs', long | 'checkpoint_dir', 'path') pairs)"
+
+  private val A = new TvfArgs(Name, usage)
+
+  /** TVF builder registered by [[graft.GraftExtensions]]. */
+  def build(args: Seq[Expression]): LogicalPlan = {
+    A.arity(args, 3)
+    val spark = SparkSession.active
+    val docs = spark.table(A.str(args(0), "docs table name"))
+    val textCol = A.str(args(1), "text column")
+    val idCol = A.str(args(2), "id column")
+
+    var method = "simhash"
+    var maxHamming = 3
+    var useMd5 = false
+    var shingleLen = 3
+    var numBands = 16
+    var rowsPerBand = 4
+    var threshold = Option.empty[Double]
+    var ngramN = 3
+    var maxBucketPairs = 4_000_000L
+    var checkpoint: CheckpointStrategy = CheckpointStrategy.Local
+    A.options(args, 3) { (k, v) => k match {
+      case "method" => A.str(v, "method value") match {
+        case m @ ("simhash" | "minhash" | "ngram") => method = m
+        case other => A.bad("method must be 'simhash', 'minhash' or 'ngram'", other)
+      }
+      case "max_hamming" =>
+        maxHamming = A.int(v, "max_hamming value")
+        if (maxHamming < 0 || maxHamming > 31)
+          A.bad("max_hamming must be in [0, 31]", maxHamming)
+      case "use_md5" => useMd5 = A.bool(v, "use_md5 value")
+      case "shingle_len" => shingleLen = A.int(v, "shingle_len value")
+      case "num_bands" => numBands = A.int(v, "num_bands value")
+      case "rows_per_band" => rowsPerBand = A.int(v, "rows_per_band value")
+      case "threshold" => threshold = Some(A.dbl(v, "threshold value"))
+      case "ngram_n" => ngramN = A.int(v, "ngram_n value")
+      case "max_bucket_pairs" => maxBucketPairs = A.long(v, "max_bucket_pairs value")
+      case "checkpoint_dir" => A.str(v, "checkpoint_dir value") match {
+        case d if d.nonEmpty => checkpoint = CheckpointStrategy.Reliable(d)
+        case other => A.bad("checkpoint_dir must be a non-empty directory", other)
+      }
+      case other => A.bad("unknown option", other)
+    }}
+
+    val result = method match {
+      case "simhash" =>
+        Dedup.simhashPairs(docs, textCol, idCol, maxHamming,
+          maxBucketPairs, checkpoint, useMd5)
+      case "minhash" =>
+        Dedup.minhashLshPairs(docs, textCol, idCol, shingleLen, numBands,
+          rowsPerBand, threshold.getOrElse(0.7), maxBucketPairs, checkpoint)
+      case _ =>
+        Dedup.ngramJaccardPairs(docs, textCol, idCol, ngramN,
+          threshold.getOrElse(0.5), checkpoint, maxBucketPairs)
+    }
+    result.queryExecution.analyzed
+  }
+}

@@ -90,6 +90,97 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("dedup_pairs TVF: all three methods equal their Scala operators, " +
+    "malformed args are diagnostics") {
+    val fresh = spark.newSession()
+    fresh.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("dp_docs")
+    val docs = fresh.table("dp_docs")
+
+    def rows(sql: String) = fresh.sql(sql).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def scalaPairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+
+    val viaSim = rows("""SELECT id_a, id_b FROM dedup_pairs(
+      'dp_docs', 'text', 'doc_id', 'max_hamming', 8, 'use_md5', true)""")
+    assert(viaSim == scalaPairs(graft.pipeline.Dedup.simhashPairs(
+      docs, "text", "doc_id", maxHamming = 8, useMd5 = true)) && viaSim.nonEmpty)
+
+    val viaMin = rows("""SELECT id_a, id_b FROM dedup_pairs(
+      'dp_docs', 'text', 'doc_id', 'method', 'minhash', 'threshold', 0.4)""")
+    assert(viaMin == scalaPairs(graft.pipeline.Dedup.minhashLshPairs(
+      docs, "text", "doc_id", threshold = 0.4)))
+
+    val viaNgram = rows("""SELECT id_a, id_b FROM dedup_pairs(
+      'dp_docs', 'text', 'doc_id', 'method', 'ngram', 'threshold', 0.5)""")
+    assert(viaNgram == scalaPairs(graft.pipeline.Dedup.ngramJaccardPairs(
+      docs, "text", "doc_id", 3, 0.5)))
+
+    for ((sql, frag) <- Seq(
+      ("SELECT * FROM dedup_pairs('dp_docs', 'text')", "Usage"),
+      ("SELECT * FROM dedup_pairs('dp_docs', 'text', 'doc_id', 'bogus', 1)",
+        "unknown option"),
+      ("SELECT * FROM dedup_pairs('dp_docs', 'text', 'doc_id', " +
+        "'method', 'md5')", "method"),
+      ("SELECT * FROM dedup_pairs('dp_docs', 'text', 'doc_id', " +
+        "'max_hamming', cast(2.5 as double))", "integer"))) {
+      val e = intercept[Exception] { fresh.sql(sql).collect() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains(frag)), s"$sql -> ${msgs(e)}")
+    }
+  }
+
+  test("bm25_topk TVF equals the Scala search, options parse, malformed " +
+    "args are diagnostics") {
+    val fresh = spark.newSession()
+    import org.apache.spark.sql.functions.{col, concat_ws, expr}
+    val docs = fresh.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    docs.createOrReplaceTempView("bt_corpus")
+    docs.where(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("query_id"),
+        expr("concat_ws(' ', slice(split(trim(lower(text)), '\\\\s+'), 1, 5))").as("qtext"))
+      .createOrReplaceTempView("bt_queries")
+
+    def rows(sql: String) = fresh.sql(sql).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6), r.getInt(3))).toSet
+    val viaSql = rows(
+      """SELECT query_id, doc_id, score, rank
+         FROM bm25_topk('bt_corpus', 'bt_queries',
+                        'text', 'doc_id', 'qtext', 'query_id', 5)""")
+    val viaScala = graft.pipeline.TextAnalysis.bm25TopK(
+        fresh.table("bt_corpus"), "text", "doc_id",
+        fresh.table("bt_queries"), "qtext", "query_id", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        math.round(r.getAs[Double]("score") * 1e6), r.getAs[Int]("rank"))).toSet
+    assert(viaSql == viaScala && viaSql.nonEmpty)
+
+    // k1/b options reach the scorer: a different shape must change scores
+    val flat = rows(
+      """SELECT query_id, doc_id, score, rank
+         FROM bm25_topk('bt_corpus', 'bt_queries',
+                        'text', 'doc_id', 'qtext', 'query_id', 5,
+                        'k1', 0.1, 'b', 0.0)""")
+    assert(flat.map(t => (t._1, t._2)).nonEmpty && flat != viaSql)
+
+    for ((sql, frag) <- Seq(
+      ("SELECT * FROM bm25_topk('bt_corpus', 'bt_queries', 'text')", "Usage"),
+      ("SELECT * FROM bm25_topk('bt_corpus', 'bt_queries', 'text', " +
+        "'doc_id', 'qtext', 'query_id', 5, 'bogus', 1)", "unknown option"),
+      ("SELECT * FROM bm25_topk('bt_corpus', 'bt_queries', 'text', " +
+        "'doc_id', 'qtext', 'query_id', 0)", "k must be >= 1"))) {
+      val e = intercept[Exception] { fresh.sql(sql).collect() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains(frag)), s"$sql -> ${msgs(e)}")
+    }
+  }
+
   test("fuzzy_match TVF runs the full planner from pure SQL") {
     val fresh = spark.newSession()
     import fresh.implicits._
