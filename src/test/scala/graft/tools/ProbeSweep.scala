@@ -10,11 +10,42 @@ import org.apache.spark.sql.SparkSession
   * a parallel verify run) to confirm the gates actually separate the
   * two regimes (SCALE.md "Bench self-certification").
   *
-  * Launch: sbt "Test/runMain graft.tools.ProbeSweep [n=20]"
+  * Launch: sbt "Test/runMain graft.tools.ProbeSweep [n=20] [load]"
+  *
+  * With the `load` argument the sweep forks its own synthetic I/O
+  * contention (4 dd-style writer loops against /tmp, alive for the
+  * sweep's duration) so the separation test is reproducible with one
+  * command: healthy-band readings without `load`, gate-exceeding io
+  * readings with it.
   */
 object ProbeSweep {
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toInt).getOrElse(20)
+    val n = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(20)
+    val withLoad = args.contains("load")
+    val loaders =
+      if (!withLoad) Seq.empty
+      else (1 to 4).map { i =>
+        val t = new Thread(() => {
+          val buf = new Array[Byte](1 << 20)
+          java.util.Arrays.fill(buf, 0x5a.toByte)
+          val p = java.nio.file.Paths.get(s"/tmp/graft_sweep_load_$i")
+          while (!Thread.currentThread().isInterrupted) {
+            try {
+              val ch = java.nio.channels.FileChannel.open(p,
+                java.nio.file.StandardOpenOption.CREATE,
+                java.nio.file.StandardOpenOption.WRITE,
+                java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+              try {
+                (1 to 512).foreach(_ => ch.write(java.nio.ByteBuffer.wrap(buf)))
+                ch.force(true) // the fdatasync that makes the load real
+              } finally ch.close()
+            } catch { case _: java.nio.channels.ClosedByInterruptException => }
+          }
+          java.nio.file.Files.deleteIfExists(p)
+        }, s"sweep-loader-$i")
+        t.setDaemon(true); t.start(); t
+      }
+    if (withLoad) println(s"[sweep] synthetic I/O load: 4 x 512MB fsync'd writer loops")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
@@ -38,6 +69,12 @@ object ProbeSweep {
       f"p90=${pct(cs, 0.9)}%.3f max=${cs.max}%.3f")
     println(f"[sweep] io  min=${os.min}%.3f p50=${pct(os, 0.5)}%.3f " +
       f"p90=${pct(os, 0.9)}%.3f max=${os.max}%.3f")
+    if (withLoad) {
+      val over = os.count(_ > graft.Bench.IoProbeGateSec)
+      println(s"[sweep] io readings over the ${graft.Bench.IoProbeGateSec} " +
+        s"gate floor under load: $over/$n")
+      loaders.foreach(_.interrupt())
+    }
     spark.stop()
   }
 }
