@@ -69,6 +69,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftExtensions].getName,
         graft.plans.Bm25TopKTable.Name),
       graft.plans.Bm25TopKTable.build))
+    // batch-vs-SAVED-hamming-store near-dup pairs (partition-pruned):
+    // SELECT * FROM hamming_pairs_stored('batch','h64','id','/store')
+    ext.injectTableFunction((
+      FunctionIdentifier(graft.plans.HammingPairsStoredTable.Name),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        graft.plans.HammingPairsStoredTable.Name),
+      graft.plans.HammingPairsStoredTable.build))
   }
 }
 

@@ -1206,6 +1206,31 @@ object SparkEntry {
           maxHamming = 8, maxBucketPairs = Long.MaxValue)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
     }),
+    // the same batch-vs-corpus pairs through the STORED form's SQL front
+    // door (plans/HammingPairsStoredTable): the corpus is SAVED as the
+    // bucket-partitioned generation-flipped store, then the batch queries
+    // it from pure SQL with partition-pruned reads — output identical to
+    // the in-memory form, so the two queries share one oracle verbatim
+    "multimodal_dhash_pairs_stored_sql" -> ((s, dir) => {
+      val keys = t(s, dir, "documents")
+        .select((col("doc_id") % 97).as("img_key")).distinct()
+      val corpus = Multimodal.imageDHash(
+        Multimodal.encodePngDemo(keys, "img_key", maxW = 24, maxH = 20),
+        "payload", "img_key")
+        .where(col("n_pixels") =!= -1L)
+        .select(col("id").as("img_key"), col("dhash"))
+      val store = "/tmp/graft_sql_hamming_store_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Dedup.saveHammingState(corpus, col("dhash"), "img_key", store,
+        maxHamming = 8, nBuckets = 16)
+      corpus.where(col("img_key") % 5 === 0)
+        .createOrReplaceTempView("hps_sql_batch")
+      s.sql(
+        s"""SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+            FROM hamming_pairs_stored('hps_sql_batch', 'dhash', 'img_key',
+                                      '$store',
+                                      'max_bucket_pairs', ${Long.MaxValue}L)""")
+    }),
 
     // ---- perceptual-CLUSTER curation (hamming <= 2 instead of exact hash
     // equality): re-encoded/resized copies whose dHash moved a few bits
@@ -2353,6 +2378,38 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_in_bucket
          FROM survivors s JOIN reph r ON s.cid = r.cid
          GROUP BY s.cid, r.dhash_hex"""
+
+  // multimodal_dhash_pairs_incr and its hamming_pairs_stored-TVF
+  // twin share this oracle
+  private val dhashPairsIncrOracle =
+      """WITH ks AS (SELECT DISTINCT doc_id % 97 AS k FROM documents),
+         p AS (SELECT k, (k % 24) + 1 AS w, (k % 20) + 1 AS h FROM ks),
+         v AS (SELECT * FROM p WHERE w >= 9 AND h >= 8),
+         px AS (SELECT k, w, h, x.x, y.y FROM v,
+                LATERAL (SELECT unnest(range(0, w)) AS x) x,
+                LATERAL (SELECT unnest(range(0, h)) AS y) y),
+         lum AS (SELECT k,
+                   least((x * 9) // w, 8) AS c, least((y * 8) // h, 7) AS r,
+                   (299 * (((k*31 + x*7 + y*131) % 16777216) // 65536)
+                    + 587 * ((((k*31 + x*7 + y*131) % 16777216) // 256) % 256)
+                    + 114 * (((k*31 + x*7 + y*131) % 16777216) % 256)) // 1000 AS l
+                 FROM px),
+         cells AS (SELECT k, r, c, sum(l) AS s, count(*) AS n
+                   FROM lum GROUP BY k, r, c),
+         bits AS (SELECT a.k, (a.r * 8 + a.c) AS bk,
+                    CASE WHEN a.s * b.n < b.s * a.n THEN 1 ELSE 0 END AS bit
+                  FROM cells a JOIN cells b
+                    ON a.k = b.k AND a.r = b.r AND b.c = a.c + 1),
+         hsh AS (SELECT k,
+                   sum(CASE WHEN bit = 1 THEN (1::UBIGINT << bk::INT)
+                       ELSE 0::UBIGINT END)::UBIGINT AS dh
+                 FROM bits GROUP BY k),
+         hh AS (SELECT v.k, coalesce(dh, 0::UBIGINT) AS dh
+                FROM v LEFT JOIN hsh ON v.k = hsh.k)
+         SELECT CAST(a.k AS BIGINT) AS id_a, CAST(b.k AS BIGINT) AS id_b,
+           CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
+         FROM hh a JOIN hh b ON a.k % 5 = 0 AND a.k != b.k
+         WHERE bit_count(xor(a.dh, b.dh)) <= 8"""
 
   def oracleSql: Map[String, String] = Map(
     "fuzzy_join_levenshtein" -> levenshteinJoinOracle,
@@ -3648,35 +3705,9 @@ object SparkEntry {
     // incremental (batch vs corpus) replay: same dHash CTEs, but the pair
     // join is batch-side oriented (a restricted to the %5 batch, a != b,
     // NOT a < b — both orientations appear when both keys are batched)
-    "multimodal_dhash_pairs_incr" ->
-      """WITH ks AS (SELECT DISTINCT doc_id % 97 AS k FROM documents),
-         p AS (SELECT k, (k % 24) + 1 AS w, (k % 20) + 1 AS h FROM ks),
-         v AS (SELECT * FROM p WHERE w >= 9 AND h >= 8),
-         px AS (SELECT k, w, h, x.x, y.y FROM v,
-                LATERAL (SELECT unnest(range(0, w)) AS x) x,
-                LATERAL (SELECT unnest(range(0, h)) AS y) y),
-         lum AS (SELECT k,
-                   least((x * 9) // w, 8) AS c, least((y * 8) // h, 7) AS r,
-                   (299 * (((k*31 + x*7 + y*131) % 16777216) // 65536)
-                    + 587 * ((((k*31 + x*7 + y*131) % 16777216) // 256) % 256)
-                    + 114 * (((k*31 + x*7 + y*131) % 16777216) % 256)) // 1000 AS l
-                 FROM px),
-         cells AS (SELECT k, r, c, sum(l) AS s, count(*) AS n
-                   FROM lum GROUP BY k, r, c),
-         bits AS (SELECT a.k, (a.r * 8 + a.c) AS bk,
-                    CASE WHEN a.s * b.n < b.s * a.n THEN 1 ELSE 0 END AS bit
-                  FROM cells a JOIN cells b
-                    ON a.k = b.k AND a.r = b.r AND b.c = a.c + 1),
-         hsh AS (SELECT k,
-                   sum(CASE WHEN bit = 1 THEN (1::UBIGINT << bk::INT)
-                       ELSE 0::UBIGINT END)::UBIGINT AS dh
-                 FROM bits GROUP BY k),
-         hh AS (SELECT v.k, coalesce(dh, 0::UBIGINT) AS dh
-                FROM v LEFT JOIN hsh ON v.k = hsh.k)
-         SELECT CAST(a.k AS BIGINT) AS id_a, CAST(b.k AS BIGINT) AS id_b,
-           CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
-         FROM hh a JOIN hh b ON a.k % 5 = 0 AND a.k != b.k
-         WHERE bit_count(xor(a.dh, b.dh)) <= 8""",
+    "multimodal_dhash_pairs_incr" -> dhashPairsIncrOracle,
+    // the stored-form SQL TVF front door: identical semantics, one oracle
+    "multimodal_dhash_pairs_stored_sql" -> dhashPairsIncrOracle,
     // curate replay with perceptual CLUSTERS: the multimodal_curate CTEs
     // (fixture, gate, dHash), then brute-force hamming <= 2 pairs over the
     // surviving assets and a recursive-CTE transitive closure (min

@@ -133,6 +133,46 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("hamming_pairs_stored TVF: SQL path equals the Scala stored reader, " +
+    "never-saved store and malformed args are diagnostics") {
+    val fresh = spark.newSession()
+    import fresh.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7L)
+    val corpus = (0 until 60).flatMap { i =>
+      val base = rnd.nextLong()
+      Seq((i * 3L, base), (i * 3L + 1, base ^ 3L), (i * 3L + 2, rnd.nextLong()))
+    }.toDF("id", "h")
+    val store = java.nio.file.Files.createTempDirectory("hps_tvf").toString
+    graft.pipeline.Dedup.saveHammingState(corpus, col("h"), "id", store,
+      maxHamming = 3, nBuckets = 8)
+    corpus.where(col("id") % 4 === 0).createOrReplaceTempView("hps_batch")
+
+    val viaSql = fresh.sql(
+      s"""SELECT id_a, id_b, hamming
+          FROM hamming_pairs_stored('hps_batch', 'h', 'id', '$store')""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaScala = graft.pipeline.Dedup.hashPairsAgainstStored(
+        fresh.table("hps_batch"), col("h"), "id",
+        graft.pipeline.Dedup.loadHammingState(fresh, store))
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(viaSql == viaScala && viaSql.nonEmpty)
+
+    for ((sql, frag) <- Seq(
+      ("SELECT * FROM hamming_pairs_stored('hps_batch', 'h')", "Usage"),
+      (s"SELECT * FROM hamming_pairs_stored('hps_batch', 'h', 'id', " +
+        s"'$store', 'bogus', 1)", "unknown option"),
+      ("SELECT * FROM hamming_pairs_stored('hps_batch', 'h', 'id', " +
+        "'/tmp/hps_tvf_never_saved')", "no committed generation"))) {
+      val e = intercept[Exception] { fresh.sql(sql).collect() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains(frag)), s"$sql -> ${msgs(e)}")
+    }
+  }
+
   test("bm25_topk TVF equals the Scala search, options parse, malformed " +
     "args are diagnostics") {
     val fresh = spark.newSession()
