@@ -76,6 +76,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftExtensions].getName,
         graft.plans.HammingPairsStoredTable.Name),
       graft.plans.HammingPairsStoredTable.build))
+    // batch-vs-SAVED-minhash-store near-dup flags (partition-pruned):
+    // SELECT * FROM minhash_pairs_stored('batch','text','doc_id','/store')
+    ext.injectTableFunction((
+      FunctionIdentifier(graft.plans.MinhashPairsStoredTable.Name),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        graft.plans.MinhashPairsStoredTable.Name),
+      graft.plans.MinhashPairsStoredTable.build))
   }
 }
 

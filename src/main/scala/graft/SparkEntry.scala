@@ -1550,6 +1550,48 @@ object SparkEntry {
           maxBucketPairs = Long.MaxValue)
         .select(col("id_a"), col("id_b"), sround(col("jaccard"), 6).as("jaccard"))
     }),
+    // the same nightly flags through the STORED minhash state
+    // (saveMinhashState: band-bucket-partitioned signatures + id-bucketed
+    // shingle sets, both reads partition-pruned to the batch's touched
+    // buckets) — output identical to the in-memory form, one oracle
+    "dedup_minhash_inc_stored" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bkt = Curation.md5Bucket(col("doc_id"))
+      val batch = docs.where(bkt < 100000L).select(col("doc_id"), col("text"))
+      val corpus = docs.where(bkt >= 100000L).select(col("doc_id"), col("text"))
+        .unionByName(docs.where(bkt < 50000L)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      val store = "/tmp/graft_sql_minhash_store_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Dedup.saveMinhashState(corpus, "text", "doc_id", store, shingleLen = 3,
+        numBands = 24, rowsPerBand = 1, nBuckets = 16)
+      Dedup.minhashPairsAgainstStored(batch, "text", "doc_id",
+          Dedup.loadMinhashState(s, store), threshold = 0.5,
+          maxBucketPairs = Long.MaxValue)
+        .select(col("id_a"), col("id_b"), sround(col("jaccard"), 6).as("jaccard"))
+    }),
+    // the stored form's SQL front door (plans/MinhashPairsStoredTable):
+    // a pure-SQL client flags a batch against the saved store. The save
+    // re-runs unconditionally (generation-flipped) so a stale /tmp store
+    // from an earlier corpus version can never shadow this run's data.
+    "dedup_minhash_stored_sql" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bkt = Curation.md5Bucket(col("doc_id"))
+      val batch = docs.where(bkt < 100000L).select(col("doc_id"), col("text"))
+      val corpus = docs.where(bkt >= 100000L).select(col("doc_id"), col("text"))
+        .unionByName(docs.where(bkt < 50000L)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      val store = "/tmp/graft_sql_minhash_store_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Dedup.saveMinhashState(corpus, "text", "doc_id", store, shingleLen = 3,
+        numBands = 24, rowsPerBand = 1, nBuckets = 16)
+      batch.createOrReplaceTempView("mps_sql_batch")
+      s.sql(
+        s"""SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+            FROM minhash_pairs_stored('mps_sql_batch', 'text', 'doc_id',
+                                      '$store', 'threshold', 0.5,
+                                      'max_bucket_pairs', ${Long.MaxValue}L)""")
+    }),
     "dedup_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val bkt = Curation.md5Bucket(col("doc_id"))
@@ -2378,6 +2420,30 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_in_bucket
          FROM survivors s JOIN reph r ON s.cid = r.cid
          GROUP BY s.cid, r.dhash_hex"""
+
+  // dedup_minhash_inc and its stored-state twin share this oracle
+  private val minhashIncOracle =
+      """WITH d AS (SELECT doc_id, text,
+                ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS bkt
+              FROM documents),
+         ba AS (SELECT doc_id, text FROM d WHERE bkt < 100000),
+         co AS (SELECT doc_id, text FROM d WHERE bkt >= 100000
+                UNION ALL SELECT doc_id + 10000000, text FROM d WHERE bkt < 50000),
+         ta AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM ba),
+         tc AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM co),
+         sa AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) END AS sh FROM ta),
+         sc AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) END AS sh FROM tc),
+         ea AS (SELECT doc_id, unnest(sh) AS g FROM sa),
+         ec AS (SELECT doc_id, unnest(sh) AS g FROM sc),
+         za AS (SELECT doc_id, len(sh) AS sz FROM sa),
+         zc AS (SELECT doc_id, len(sh) AS sz FROM sc),
+         c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+               FROM ea a JOIN ec b ON a.g = b.g GROUP BY 1, 2)
+         SELECT id_a, id_b, round(common / (x.sz + y.sz - common), 6) AS jaccard
+         FROM c JOIN za x ON c.id_a = x.doc_id JOIN zc y ON c.id_b = y.doc_id
+         WHERE common / (x.sz + y.sz - common) >= 0.5"""
 
   // multimodal_dhash_pairs_incr and its hamming_pairs_stored-TVF
   // twin share this oracle
@@ -4262,28 +4328,11 @@ object SparkEntry {
     // exact cross-side shingle jaccard >= 0.5 over the same batch/corpus
     // split (the 24x1-band candidate stage has ~full recall there, like
     // dedup_minhash_lsh's oracle rationale)
-    "dedup_minhash_inc" ->
-      """WITH d AS (SELECT doc_id, text,
-                ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS bkt
-              FROM documents),
-         ba AS (SELECT doc_id, text FROM d WHERE bkt < 100000),
-         co AS (SELECT doc_id, text FROM d WHERE bkt >= 100000
-                UNION ALL SELECT doc_id + 10000000, text FROM d WHERE bkt < 50000),
-         ta AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM ba),
-         tc AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM co),
-         sa AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-                ELSE list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) END AS sh FROM ta),
-         sc AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-                ELSE list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) END AS sh FROM tc),
-         ea AS (SELECT doc_id, unnest(sh) AS g FROM sa),
-         ec AS (SELECT doc_id, unnest(sh) AS g FROM sc),
-         za AS (SELECT doc_id, len(sh) AS sz FROM sa),
-         zc AS (SELECT doc_id, len(sh) AS sz FROM sc),
-         c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-               FROM ea a JOIN ec b ON a.g = b.g GROUP BY 1, 2)
-         SELECT id_a, id_b, round(common / (x.sz + y.sz - common), 6) AS jaccard
-         FROM c JOIN za x ON c.id_a = x.doc_id JOIN zc y ON c.id_b = y.doc_id
-         WHERE common / (x.sz + y.sz - common) >= 0.5""",
+    "dedup_minhash_inc" -> minhashIncOracle,
+    // the stored (bucket-partitioned) form: identical semantics, one oracle
+    "dedup_minhash_inc_stored" -> minhashIncOracle,
+    // the stored form's minhash_pairs_stored TVF front door: same oracle
+    "dedup_minhash_stored_sql" -> minhashIncOracle,
     "dedup_incremental" ->
       """WITH d AS (SELECT doc_id, text,
                 ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS bkt

@@ -954,6 +954,174 @@ object Dedup {
       corpusState.select(col(idCol), col("__hset")), idCol, threshold)
   }
 
+  /** Band-bucket expression shared by the stored minhash state's writer
+    * and its query-time pruning — MUST stay identical on both sides. */
+  private def minhashBandBucket(nBuckets: Int): Column =
+    pmod(xxhash64(col("__band"), col("__bucket")), lit(nBuckets.toLong))
+
+  /** Id-bucket expression for the stored state's shingle-set table. */
+  private def minhashIdBucket(id: Column, nBuckets: Int): Column =
+    pmod(xxhash64(id), lit(nBuckets.toLong))
+
+  /** Persist a MinHash corpus state BUCKET-PARTITIONED — the
+    * [[saveHammingState]] treatment applied to the text near-dup
+    * workhorse. [[minhashState]] + [[minhashIncrementalPairs]] already
+    * avoid re-reading corpus TEXT per trigger, but the state frame
+    * itself (signatures + shingle sets) is scanned WHOLE on every batch;
+    * at a 10⁸-document store that is the dominant per-trigger cost. This
+    * layout makes both reads partition-pruned:
+    *
+    *  - `banded/bucket=N/` — one row per (doc, band): (id, __band,
+    *    __bucket), bucket = hash(band, bucketKey) mod nBuckets. Banding
+    *    (numBands × rowsPerBand) is FIXED AT SAVE TIME (it defines the
+    *    layout), unlike the query-time knob of the in-memory form.
+    *  - `stats/bucket=N/` — per-(band, bucketKey) corpus row counts, so
+    *    the cap gate prices a batch without scanning banded rows.
+    *  - `hsets/hbucket=M/` — (id, __hset) keyed by hash(id) mod
+    *    nBuckets: the exact-jaccard verify reads ONLY the hset
+    *    partitions of the candidate corpus ids.
+    *
+    * Refreshes are generation-flipped with the same `graceGens` contract
+    * as the hamming store ([[saveHammingState]] scaladoc). */
+  def saveMinhashState(corpus: DataFrame, textCol: String, idCol: String,
+                       path: String, shingleLen: Int = 3,
+                       numBands: Int = 16, rowsPerBand: Int = 4,
+                       nBuckets: Int = 64, graceGens: Int = 1): Unit = {
+    require(shingleLen >= 1, s"shingleLen must be >= 1 (got $shingleLen)")
+    require(numBands >= 1 && rowsPerBand >= 1,
+      s"numBands/rowsPerBand must be >= 1 (got $numBands/$rowsPerBand)")
+    require(nBuckets >= 1, s"nBuckets must be >= 1 (got $nBuckets)")
+    val spark = corpus.sparkSession
+    writeGenerationFlipped(spark, path, graceGens, "saveMinhashState") { genPath =>
+      val k = numBands * rowsPerBand
+      val state = minhashState(corpus, textCol, idCol, shingleLen, k)
+      val banded = state.select(col(idCol).as("id"),
+          posexplode(graft.fuzzy.vectorFunctions.lsh_band_keys(
+            col("__sig"), numBands, rowsPerBand)))
+        .withColumnRenamed("pos", "__band")
+        .withColumnRenamed("col", "__bucket")
+        .withColumn("bucket", minhashBandBucket(nBuckets))
+      banded.limit(0).write.mode("overwrite").parquet(s"$genPath/schema_banded")
+      banded.repartition(nBuckets, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$genPath/banded")
+      // stats derive from the WRITTEN banded parquet (one column-pruned
+      // scan) — never from the lazy plan, which would re-run the corpus
+      // shingle/signature lineage a second time
+      spark.read.schema(storedSchema(spark, s"$genPath/schema_banded"))
+        .parquet(s"$genPath/banded")
+        .groupBy(col("bucket"), col("__band"), col("__bucket"))
+        .agg(count(lit(1)).as("__cc"))
+        .repartition(nBuckets, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$genPath/stats")
+      val hsets = state.select(col(idCol).as("id"), col("__hset"))
+        .withColumn("hbucket", minhashIdBucket(col("id"), nBuckets))
+      hsets.limit(0).write.mode("overwrite").parquet(s"$genPath/schema_hsets")
+      hsets.repartition(nBuckets, col("hbucket"))
+        .write.mode("overwrite").partitionBy("hbucket")
+        .parquet(s"$genPath/hsets")
+      import spark.implicits._
+      Seq((shingleLen, numBands, rowsPerBand, nBuckets))
+        .toDF("shingle_len", "num_bands", "rows_per_band", "n_buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$genPath/meta")
+    }
+  }
+
+  private def storedSchema(spark: org.apache.spark.sql.SparkSession,
+                           schemaPath: String): org.apache.spark.sql.types.StructType =
+    spark.read.parquet(schemaPath).schema
+
+  /** A stored MinHash corpus state ([[saveMinhashState]] layout). */
+  final case class StoredMinhashState(banded: DataFrame, stats: DataFrame,
+                                      hsets: DataFrame, shingleLen: Int,
+                                      numBands: Int, rowsPerBand: Int,
+                                      nBuckets: Int)
+
+  def loadMinhashState(spark: org.apache.spark.sql.SparkSession,
+                       path: String): StoredMinhashState = {
+    val (fs, root) = DurableIndex.qualified(spark, path)
+    val live = liveHammingGen(fs, root).getOrElse(throw new IllegalArgumentException(
+      s"minhash state at $path has no committed generation (never saved, " +
+        "or every save/refresh died mid-write) — run saveMinhashState"))
+    val genPath = s"$path/${live.getName}"
+    val m = spark.read.parquet(s"$genPath/meta").head()
+    StoredMinhashState(
+      spark.read.schema(storedSchema(spark, s"$genPath/schema_banded"))
+        .parquet(s"$genPath/banded"),
+      spark.read.schema(org.apache.spark.sql.types.StructType(
+          storedSchema(spark, s"$genPath/schema_banded")
+            .filter(f => Seq("__band", "__bucket", "bucket").contains(f.name)) :+
+            org.apache.spark.sql.types.StructField("__cc",
+              org.apache.spark.sql.types.LongType, nullable = false)))
+        .parquet(s"$genPath/stats"),
+      spark.read.schema(storedSchema(spark, s"$genPath/schema_hsets"))
+        .parquet(s"$genPath/hsets"),
+      m.getAs[Int]("shingle_len"), m.getAs[Int]("num_bands"),
+      m.getAs[Int]("rows_per_band"), m.getAs[Int]("n_buckets"))
+  }
+
+  /** [[minhashIncrementalPairs]] against a STORED state: per-trigger
+    * corpus I/O is proportional to the buckets the batch touches, not
+    * the store. Two pruned reads:
+    *  1. the batch's band keys hash to ≤ min(batch × numBands, nBuckets)
+    *     `bucket=N/` directories — banded rows AND stats read WITH that
+    *     partition filter;
+    *  2. the surviving candidate pairs' corpus ids hash to ≤ nBuckets
+    *     `hbucket=M/` directories — the exact-jaccard verify reads only
+    *     those (candidates are materialized first, so the touched-id
+    *     list is a bounded collect over a computed frame, the
+    *     [[hashPairsAgainstStored]] trick twice).
+    * Output and semantics identical to the in-memory form on the same
+    * banding (spec-pinned; the oracled twin shares dedup_minhash_inc's
+    * oracle verbatim). Batch/corpus ids disjoint by the same contract. */
+  def minhashPairsAgainstStored(batch: DataFrame, textCol: String, idCol: String,
+                                stored: StoredMinhashState,
+                                threshold: Double = 0.7,
+                                maxBucketPairs: Long = 4_000_000L,
+                                checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val k = stored.numBands * stored.rowsPerBand
+    val bState = Materialize(
+      minhashState(batch, textCol, idCol, stored.shingleLen, k), checkpoint)
+    val bb = bState.select(col(idCol),
+        posexplode(graft.fuzzy.vectorFunctions.lsh_band_keys(
+          col("__sig"), stored.numBands, stored.rowsPerBand)))
+      .withColumnRenamed("pos", "__band")
+      .withColumnRenamed("col", "__bucket")
+    // pruned read 1: only the batch's touched band-bucket directories
+    val touched = bb.select(minhashBandBucket(stored.nBuckets).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).map(b => b: Any)
+    val cb = stored.banded.where(col("bucket").isin(touched: _*)).drop("bucket")
+    val cStats = stored.stats.where(col("bucket").isin(touched: _*)).drop("bucket")
+    // cap gate priced from batch counts x STORED corpus counts — no
+    // banded-row scan needed to decide; only both-side buckets survive
+    val bStats = bb.groupBy(col("__band"), col("__bucket"))
+      .agg(count(lit(1)).as("__qc"))
+    val bucketStats = bStats.join(cStats, Seq("__band", "__bucket"))
+    val overCap = col("__qc") * col("__cc") > maxBucketPairs
+    val gatedBb = CapMetrics.gate(bucketStats, "dedup_minhash_stored",
+        "__band", "__bucket", overCap, col("__qc") * col("__cc"),
+        checkpoint) match {
+      case Right(blocked) =>
+        if (blocked.isEmpty) bb
+        else bb.where(!graft.fuzzy.vectorFunctions.bucket_allowed(
+          col("__band"), col("__bucket"), blocked))
+      case Left(allowed) => bb.join(allowed, Seq("__band", "__bucket"))
+    }
+    val pairs = Materialize(gatedBb.as("a").join(cb.as("b"),
+        col("a.__band") === col("b.__band") &&
+          col("a.__bucket") === col("b.__bucket"))
+      .select(col(s"a.$idCol").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b"), checkpoint)
+    // pruned read 2: only the candidate corpus ids' hset directories
+    val touchedH = pairs.select(
+        minhashIdBucket(col("id_b"), stored.nBuckets).as("hbucket"))
+      .distinct().collect().map(_.getLong(0)).map(b => b: Any)
+    val cHsets = stored.hsets.where(col("hbucket").isin(touchedH: _*))
+      .select(col("id").as(idCol), col("__hset"))
+    verifyJaccardSided(pairs,
+      bState.select(col(idCol), col("__hset")), cHsets, idCol, threshold)
+  }
+
   // ------------------------------------------------------------- minhash
 
   /** MinHash signature column: for each of k hash functions, the minimum
@@ -1332,58 +1500,38 @@ object Dedup {
     require(graceGens >= 0, s"graceGens must be >= 0 (got $graceGens)")
     requireIntegralHash(corpus, corpusHash)
     val spark = corpus.sparkSession
-    val (fs, root) = DurableIndex.qualified(spark, path)
-    // the graceGens most recently committed generations survive this save
-    val grace = DurableIndex.listDirs(fs, root, "gen=")
-      .filter(g => fs.exists(new org.apache.hadoop.fs.Path(g, "_graft_commit")))
-      .sortBy(-_.getName.stripPrefix("gen=").toLong)
-      .take(graceGens).map(_.getName).toSet
-    val gen = DurableIndex.listDirs(fs, root, "gen=")
-      .map(_.getName.stripPrefix("gen=").toLong).foldLeft(-1L)(math.max) + 1
-    val genPath = s"$path/gen=$gen"
-    val chunks = maxHamming + 1
-    val chunked = hashChunks(
-      spread(corpus).select(col(corpusIdCol).as("id_b"),
-        corpusHash.cast("long").as("__simhash")), "id_b", chunks, 64 / chunks)
-      .withColumn("bucket", hammingBucket(nBuckets))
-    // partitioned writes of an EMPTY frame emit no schema-bearing files;
-    // persist the schema separately so an empty store stays loadable
-    chunked.limit(0).write.mode("overwrite").parquet(s"$genPath/schema")
-    // one shuffle task per bucket -> ONE file per bucket directory (the
-    // saveBm25Index recipe — without it every task spills a sliver into
-    // every bucket)
-    chunked.repartition(nBuckets, col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$genPath/chunked")
-    // stats derive from the WRITTEN chunked parquet — deriving them from
-    // the lazy plan would execute the full corpus lineage (incl. the
-    // caller's hash expression) a second time
-    spark.read.schema(chunkedSchema(spark, genPath))
-      .parquet(s"$genPath/chunked")
-      .groupBy(col("bucket"), col("__chunk"), col("__ckey"))
-      .agg(count(lit(1)).as("__nb"))
-      .repartition(nBuckets, col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$genPath/stats")
-    import spark.implicits._
-    Seq((maxHamming, nBuckets)).toDF("max_hamming", "n_buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$genPath/meta")
-    // commit marker LAST — a crash anywhere above leaves an uncommitted
-    // gen dir that load ignores and the next save garbage-collects
-    DurableIndex.commit(fs, new org.apache.hadoop.fs.Path(root, s"gen=$gen"))
-    // keep the `graceGens` most recently superseded committed generations
-    // (grace for readers mid-scan on them); everything else — older grace
-    // dirs, crashed uncommitted writes — goes now, each deletion logged so
-    // a lagging reader's task failure is attributable to this save
-    DurableIndex.listDirs(fs, root, "gen=").foreach { g =>
-      if (g.getName != s"gen=$gen" && !grace.contains(g.getName)) {
-        logger.warn(s"saveHammingState: deleting superseded generation $g " +
-          s"(live=gen=$gen, grace=${grace.toSeq.sorted.mkString(",")})")
-        fs.delete(g, true)
-      }
+    writeGenerationFlipped(spark, path, graceGens, "saveHammingState") { genPath =>
+      val chunks = maxHamming + 1
+      val chunked = hashChunks(
+        spread(corpus).select(col(corpusIdCol).as("id_b"),
+          corpusHash.cast("long").as("__simhash")), "id_b", chunks, 64 / chunks)
+        .withColumn("bucket", hammingBucket(nBuckets))
+      // partitioned writes of an EMPTY frame emit no schema-bearing files;
+      // persist the schema separately so an empty store stays loadable
+      chunked.limit(0).write.mode("overwrite").parquet(s"$genPath/schema")
+      // one shuffle task per bucket -> ONE file per bucket directory (the
+      // saveBm25Index recipe — without it every task spills a sliver into
+      // every bucket)
+      chunked.repartition(nBuckets, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$genPath/chunked")
+      // stats derive from the WRITTEN chunked parquet — deriving them from
+      // the lazy plan would execute the full corpus lineage (incl. the
+      // caller's hash expression) a second time
+      spark.read.schema(chunkedSchema(spark, genPath))
+        .parquet(s"$genPath/chunked")
+        .groupBy(col("bucket"), col("__chunk"), col("__ckey"))
+        .agg(count(lit(1)).as("__nb"))
+        .repartition(nBuckets, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$genPath/stats")
+      import spark.implicits._
+      Seq((maxHamming, nBuckets)).toDF("max_hamming", "n_buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$genPath/meta")
     }
     // pre-generation stores (the original root-level chunked/stats/meta
     // layout) are superseded by this save too — remove the legacy dirs
     // and root commit marker so they never shadow the gen= scheme
+    val (fs, root) = DurableIndex.qualified(spark, path)
     val legacy = Seq("schema", "chunked", "stats", "meta", "_graft_commit")
       .map(n => new org.apache.hadoop.fs.Path(root, n)).filter(fs.exists)
     legacy.foreach { p =>
@@ -1392,7 +1540,39 @@ object Dedup {
     }
   }
 
-  /** Highest committed `gen=G/` under a [[saveHammingState]] store. */
+  /** Generation-flip write harness shared by the stored dedup states
+    * ([[saveHammingState]], [[saveMinhashState]]): write a fresh
+    * immutable `gen=G/` via `writeGen`, commit it LAST (a crash anywhere
+    * inside `writeGen` leaves an uncommitted dir that load ignores and
+    * the next save garbage-collects), then delete every generation
+    * except the new one and the `graceGens` most recently superseded
+    * COMMITTED ones — each deletion WARN-logged so a lagging reader's
+    * task failure is attributable to this save. */
+  private def writeGenerationFlipped(spark: org.apache.spark.sql.SparkSession,
+                                     path: String, graceGens: Int,
+                                     writer: String)
+                                    (writeGen: String => Unit): Unit = {
+    require(graceGens >= 0, s"graceGens must be >= 0 (got $graceGens)")
+    val (fs, root) = DurableIndex.qualified(spark, path)
+    // the graceGens most recently committed generations survive this save
+    val grace = DurableIndex.listDirs(fs, root, "gen=")
+      .filter(g => fs.exists(new org.apache.hadoop.fs.Path(g, "_graft_commit")))
+      .sortBy(-_.getName.stripPrefix("gen=").toLong)
+      .take(graceGens).map(_.getName).toSet
+    val gen = DurableIndex.listDirs(fs, root, "gen=")
+      .map(_.getName.stripPrefix("gen=").toLong).foldLeft(-1L)(math.max) + 1
+    writeGen(s"$path/gen=$gen")
+    DurableIndex.commit(fs, new org.apache.hadoop.fs.Path(root, s"gen=$gen"))
+    DurableIndex.listDirs(fs, root, "gen=").foreach { g =>
+      if (g.getName != s"gen=$gen" && !grace.contains(g.getName)) {
+        logger.warn(s"$writer: deleting superseded generation $g " +
+          s"(live=gen=$gen, grace=${grace.toSeq.sorted.mkString(",")})")
+        fs.delete(g, true)
+      }
+    }
+  }
+
+  /** Highest committed `gen=G/` under a generation-flipped store. */
   private def liveHammingGen(fs: org.apache.hadoop.fs.FileSystem,
                              root: org.apache.hadoop.fs.Path
                             ): Option[org.apache.hadoop.fs.Path] = {

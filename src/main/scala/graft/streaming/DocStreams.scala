@@ -171,4 +171,30 @@ object DocStreams {
       }
     }
   }
+
+  /** Streaming near-dup flagging against a SAVED MinHash store
+    * ([[graft.pipeline.Dedup.saveMinhashState]]) — the text-shingle twin
+    * of [[hammingNearDupWriterStored]], same contract end to end: the
+    * store resolves to its highest committed generation ONCE at writer
+    * construction (re-open the writer after a nightly refresh to adopt
+    * the new corpus), per-trigger corpus I/O prunes to the batch's
+    * touched band/hset buckets, each micro-batch's barriers live in a
+    * per-batch [[graft.util.MatchScope]], and an idempotent sink
+    * (overwrite per batchId) makes at-least-once replay converge. */
+  def minhashNearDupWriterStored(stream: DataFrame, statePath: String,
+                                 textCol: String, idCol: String,
+                                 threshold: Double = 0.7,
+                                 maxBucketPairs: Long = 4_000_000L)
+                                (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val stored = graft.pipeline.Dedup.loadMinhashState(
+      stream.sparkSession, statePath)
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.util.MatchScope.withMatchScope {
+        sink(graft.pipeline.Dedup.minhashPairsAgainstStored(
+          batch, textCol, idCol, stored, threshold, maxBucketPairs),
+          batchId)
+      }
+    }
+  }
 }

@@ -173,6 +173,46 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("minhash_pairs_stored TVF: SQL path equals the Scala stored reader, " +
+    "malformed args are diagnostics") {
+    val fresh = spark.newSession()
+    import org.apache.spark.sql.functions.col
+    val docs = fresh.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val batch = docs.where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+    val store = java.nio.file.Files.createTempDirectory("mps_tvf").toString
+    graft.pipeline.Dedup.saveMinhashState(docs, "text", "doc_id", store,
+      shingleLen = 3, numBands = 16, rowsPerBand = 1, nBuckets = 8)
+    batch.createOrReplaceTempView("mps_batch")
+
+    val viaSql = fresh.sql(
+      s"""SELECT id_a, id_b, jaccard
+          FROM minhash_pairs_stored('mps_batch', 'text', 'doc_id', '$store',
+                                    'threshold', 0.5)""")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val viaScala = graft.pipeline.Dedup.minhashPairsAgainstStored(
+        batch, "text", "doc_id",
+        graft.pipeline.Dedup.loadMinhashState(fresh, store), threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        math.round(r.getAs[Double]("jaccard") * 1e9))).toSet
+    assert(viaSql == viaScala && viaSql.nonEmpty)
+
+    for ((sql, frag) <- Seq(
+      ("SELECT * FROM minhash_pairs_stored('mps_batch', 'text')", "Usage"),
+      (s"SELECT * FROM minhash_pairs_stored('mps_batch', 'text', 'doc_id', " +
+        s"'$store', 'bogus', 1)", "unknown option"),
+      ("SELECT * FROM minhash_pairs_stored('mps_batch', 'text', 'doc_id', " +
+        "'/tmp/mps_tvf_never_saved')", "no committed generation"))) {
+      val e = intercept[Exception] { fresh.sql(sql).collect() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains(frag)), s"$sql -> ${msgs(e)}")
+    }
+  }
+
   test("bm25_topk TVF equals the Scala search, options parse, malformed " +
     "args are diagnostics") {
     val fresh = spark.newSession()

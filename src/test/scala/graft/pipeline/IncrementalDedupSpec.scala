@@ -82,6 +82,73 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkSpec {
     assert(whole === parts)
   }
 
+  test("stored minhash state: identical answer to the in-memory form, " +
+    "PRUNED banded and hset scans, generation-flipped refresh") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val corpusDf = docs
+    val batchDf = docs.where($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    val dir = java.nio.file.Files.createTempDirectory("mh_store").toString
+    Dedup.saveMinhashState(corpusDf, "text", "doc_id", dir, shingleLen = 3,
+      numBands = 16, rowsPerBand = 1, nBuckets = 16)
+    val stored = Dedup.loadMinhashState(spark, dir)
+    assert(stored.shingleLen == 3 && stored.numBands == 16 &&
+      stored.rowsPerBand == 1 && stored.nBuckets == 16)
+
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_a", "id_b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val viaStored = Dedup.minhashPairsAgainstStored(batchDf, "text", "doc_id",
+      stored, threshold = 0.5, maxBucketPairs = Long.MaxValue)
+    val inMemory = pairSet(Dedup.minhashIncrementalPairs(batchDf,
+      Dedup.minhashState(corpusDf, "text", "doc_id", shingleLen = 3, k = 16),
+      "text", "doc_id", shingleLen = 3, numBands = 16, rowsPerBand = 1,
+      threshold = 0.5, maxBucketPairs = Long.MaxValue))
+    assert(pairSet(viaStored) == inMemory && inMemory.nonEmpty,
+      s"stored=${pairSet(viaStored).size} inMemory=${inMemory.size}")
+
+    // both stored reads must carry their bucket filter INSIDE the
+    // PartitionFilters list (same non-vacuous assertion as the hamming
+    // store spec): banded/stats prune on `bucket`, hsets on `hbucket`
+    val plan = viaStored.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"band-bucket filter did not reach partition pruning:\n$plan")
+    assert("PartitionFilters: \\[[^\\]]*hbucket".r.findFirstIn(plan).isDefined,
+      s"hset-bucket filter did not reach partition pruning:\n$plan")
+
+    // a refresh flips generations (shared writeGenerationFlipped harness
+    // — grace/crash behavior is pinned by the hamming store spec)
+    Dedup.saveMinhashState(corpusDf, "text", "doc_id", dir, shingleLen = 3,
+      numBands = 16, rowsPerBand = 1, nBuckets = 16)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val gens = fs.listStatus(fs.makeQualified(new org.apache.hadoop.fs.Path(dir)))
+      .map(_.getPath.getName).filter(_.startsWith("gen=")).sorted
+    assert(gens.contains("gen=1") && gens.contains("gen=0"),
+      s"refresh did not flip generations with grace: ${gens.toSeq}")
+    assert(pairSet(Dedup.minhashPairsAgainstStored(batchDf, "text", "doc_id",
+      Dedup.loadMinhashState(spark, dir), threshold = 0.5,
+      maxBucketPairs = Long.MaxValue)) == inMemory)
+
+    // empty batch: zero pairs, no touched buckets, no failure
+    assert(Dedup.minhashPairsAgainstStored(batchDf.limit(0), "text", "doc_id",
+      stored, threshold = 0.5).count() == 0L)
+  }
+
+  test("stored minhash: capped buckets only remove pairs, never invent them") {
+    val dir = java.nio.file.Files.createTempDirectory("mh_store_cap").toString
+    Dedup.saveMinhashState(corpus, "text", "doc_id", dir, shingleLen = 3,
+      numBands = 24, rowsPerBand = 1, nBuckets = 8)
+    val stored = Dedup.loadMinhashState(spark, dir)
+    def at(cap: Long) = Dedup.minhashPairsAgainstStored(batch, "text", "doc_id",
+        stored, threshold = 0.5, maxBucketPairs = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = at(Long.MaxValue)
+    assert(full.nonEmpty && at(1L).subsetOf(full))
+  }
+
   test("minhash incremental: capped buckets only remove pairs, never invent them") {
     val state = Dedup.minhashState(corpus, "text", "doc_id", shingleLen = 3, k = 24)
     def at(cap: Long) = Dedup.minhashIncrementalPairs(batch, state, "text", "doc_id",
