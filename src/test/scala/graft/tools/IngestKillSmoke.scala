@@ -15,11 +15,15 @@ import org.apache.spark.sql.functions._
   * machinery ([[graft.pipeline.DurableIvfSegmentState]] batchId
   * high-water skips, the stored hamming state's touched-bucket reads).
   *
-  * Arms, both on `local-cluster[2,4,2048]` (executors in separate JVMs):
+  * Arms, all on `local-cluster[2,4,2048]` (executors in separate JVMs):
   *  - `hamming` — [[graft.streaming.DocStreams.hammingNearDupWriterStored]]
   *    over a saved hamming store, idempotent per-batchId overwrite sink;
   *  - `ivf` — [[graft.streaming.AnnStream.ivfAppendWriterRecoverable]]
-  *    folding embedding batches into a durable segmented index.
+  *    folding embedding batches into a durable segmented index;
+  *  - `minhash` — [[graft.streaming.DocStreams.minhashNearDupWriterStored]]
+  *    over a saved MinHash store (its pruned reads collect the touched
+  *    bucket lists mid-trigger, so a task retry interleaves with TWO
+  *    driver-side collects per batch — the shape the other arms lack).
   *
   * A killer thread SIGKILLs one executor JVM (descendants of this
   * process only) the moment a trigger has an active stage; the stream
@@ -121,6 +125,15 @@ object IngestKillSmoke {
     val embBatches = (1 to 3).map(i =>
       e.where(col("vec_id") % 4 === i).select(col("vec_id"), col("embedding")))
     stage(embBatches, work.resolve("in_ivf"))
+    // minhash arm: corpus = all docs; batches are re-keyed doc subsets
+    // (same text -> guaranteed jaccard-1.0 partners in the store)
+    val mhBatches = (0 until 3).map(i =>
+      d.where(col("doc_id") % 3 === i)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+    stage(mhBatches, work.resolve("in_minhash"))
+    graft.pipeline.Dedup.saveMinhashState(d, "text", "doc_id",
+      s"$work/state_minhash", shingleLen = 3, numBands = 16, rowsPerBand = 1,
+      nBuckets = 8)
     val cents = graft.pipeline.AnnSearch.normalizeCentroids(
       graft.pipeline.AnnSearch.kmeansFit(
         e.where(col("vec_id") % 4 === 0), "embedding", dim = 64, k = 4, iters = 1))
@@ -135,7 +148,17 @@ object IngestKillSmoke {
     val cleanIvf = fingerprint(graft.pipeline.AnnSearch.ivfPostings(
         e, "embedding", "vec_id", 64, cents)
       .select(col("corpus_id"), col("__cell")))
-    println(s"[ingestkill] clean hamming=$cleanHamming ivf=$cleanIvf")
+    val cleanMinhash = {
+      val stored = graft.pipeline.Dedup.loadMinhashState(spark, s"$work/state_minhash")
+      fingerprint(mhBatches.map(b =>
+        graft.pipeline.Dedup.minhashPairsAgainstStored(b, "text", "doc_id",
+            stored, threshold = 0.5, maxBucketPairs = Long.MaxValue)
+          .select(col("id_a"), col("id_b"),
+            org.apache.spark.sql.functions.round(col("jaccard"), 9).as("j")))
+        .reduce(_ unionByName _))
+    }
+    println(s"[ingestkill] clean hamming=$cleanHamming ivf=$cleanIvf " +
+      s"minhash=$cleanMinhash")
 
     /** Arm a killer that SIGKILLs one executor as soon as a stage is
       * active, run `body`, and report (killedPid, removal events seen). */
@@ -223,6 +246,36 @@ object IngestKillSmoke {
       } else
         println(s"[ingestkill] PASS ivf: killed pid=$pid mid-fold, durable " +
           s"index converged to the clean fingerprint $fp")
+    }
+
+    // ---- arm 3: stored-minhash writer, executor killed mid-trigger
+    // (two bounded driver collects per batch interleave with task retry)
+    {
+      val schema = mhBatches.head.schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/in_minhash")
+      val writer = graft.streaming.DocStreams.minhashNearDupWriterStored(
+        stream, s"$work/state_minhash", "text", "doc_id",
+        threshold = 0.5, maxBucketPairs = Long.MaxValue) { (pairs, batchId) =>
+        pairs.select(col("id_a"), col("id_b"),
+            org.apache.spark.sql.functions.round(col("jaccard"), 9).as("j"))
+          .write.mode("overwrite").parquet(s"$work/out_minhash/batch=$batchId")
+      }.option("checkpointLocation", s"$work/ckpt_minhash")
+      val (_, pid) = withKill("minhash") {
+        val q = writer.start()
+        q.processAllAvailable(); q.stop()
+      }
+      val fp = fingerprint(spark.read.parquet(s"$work/out_minhash")
+        .select(col("id_a"), col("id_b"), col("j")))
+      if (pid == -1L) {
+        println("[ingestkill] FAIL minhash: no executor was killed (stream too fast?)")
+        failed = true
+      } else if (fp != cleanMinhash) {
+        println(s"[ingestkill] FAIL minhash: got $fp, clean was $cleanMinhash")
+        failed = true
+      } else
+        println(s"[ingestkill] PASS minhash: killed pid=$pid mid-trigger, " +
+          s"stream drained to the clean fingerprint $fp")
     }
 
     if (removed.get() == 0) {
