@@ -417,7 +417,13 @@ object Bench {
                                      samples: Seq[Double],
                                      probes: Seq[ProbeReading],
                                      discarded: Seq[ProbeReading],
-                                     familyRerun: Boolean, overFamily: Boolean)
+                                     familyRerun: Boolean, overFamily: Boolean,
+                                     sampleOk: Seq[Boolean]) {
+    /** One sample both healthy-windowed AND successful — the bar for
+      * entering the committed family history. */
+    def familyEligible: Boolean =
+      samples.indices.exists(i => sampleOk(i) && probes(i).healthy)
+  }
 
   /** Trailing healthy-window minimum per row, committed as
     * `bench_family.json` so each round can check its samples against the
@@ -541,6 +547,8 @@ object Bench {
         case r if r.samples.size == 1 => r.name }),
       "over_family" -> names(results.collect { case r if r.overFamily => r.name }),
       "family_reruns" -> names(results.collect { case r if r.familyRerun => r.name }),
+      "failed_rows" -> names(results.collect {
+        case r if !r.sampleOk.forall(identity) => r.name }),
       "backoff_sec" -> backoffSec.get.toString,
       "probe_healthy_sec" -> ProbeHealthySec.toString,
       "probe_gate_floor_sec" -> ProbeGateSec.toString,
@@ -572,6 +580,11 @@ object Bench {
       var rows = -1L
       val probes = scala.collection.mutable.ArrayBuffer.empty[ProbeReading]
       val discarded = scala.collection.mutable.ArrayBuffer.empty[ProbeReading]
+      // per-sample success, 1:1 with samples: a FAILED query returns in
+      // near-zero wall time, and that bogus ~0.01 s must never become the
+      // row's min or poison the family history (the family threshold is
+      // the history MINIMUM — one poisoned entry flags every later round)
+      val sampleOk = scala.collection.mutable.ArrayBuffer.empty[Boolean]
       // interleaved calibration: ONE probe pair (CPU + I/O) immediately
       // before EVERY sample, emitted 1:1 with the samples — r8 proved a
       // single end-of-run probe misses transient mid-run contention, and
@@ -604,13 +617,15 @@ object Bench {
         }
         probes += probe
         val t0 = System.nanoTime()
-        rows = try withHeapAggConf(spark, HeapAggQueries.contains(name)) {
+        val got = try Some(withHeapAggConf(spark, HeapAggQueries.contains(name)) {
           fn(spark).count()
-        } catch {
+        }) catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            -1L
+            None
         }
+        got.foreach(rows = _)
+        sampleOk += got.isDefined
         (System.nanoTime() - t0) / 1e9
       }
       // adaptive iteration budget: a query whose first sample exceeds the
@@ -624,9 +639,17 @@ object Bench {
           Vector(first)
         else first +: (2 to itersOverride.getOrElse(iterationsFor(name)))
           .map(_ => once()).toVector
+      // ranked fallbacks, never a failed sample's wall time when any
+      // successful one exists: healthy+ok > ok > all (all-failed rows
+      // land in `failed_rows` and are excluded from the family update)
+      def okMin: Option[Double] = {
+        val ok = samples.zip(sampleOk).collect { case (s, true) => s }
+        if (ok.nonEmpty) Some(ok.min) else None
+      }
       def healthyMin: Option[Double] = {
-        val h = samples.zip(probes).collect { case (s, p) if p.healthy => s }
-        if (h.nonEmpty) Some(h.min) else None
+        val h = samples.zip(probes).zip(sampleOk).collect {
+          case ((s, p), ok) if p.healthy && ok => s }
+        if (h.nonEmpty) Some(h.min) else okMin
       }
       // cross-round family backstop (VERDICT r14 item 1b): a healthy-
       // window min that still sits >1.5x its committed trailing family
@@ -649,7 +672,7 @@ object Bench {
       System.err.println(
         f"[bench] $name%-24s min $best%8.2f s  rows=$rows  samples=${samples.map(v => f"$v%.2f").mkString("[", ",", "]")}  probes=${probes.map(p => f"${p.cpu}%.3f/${p.io}%.3f").mkString("[", ",", "]")}  discarded=${discarded.size}${if (overFamily) "  OVER-FAMILY" else ""}  cc=${codeCacheMb}MB")
       val rr = RowResult(name, best, rows, samples, probes.toSeq,
-        discarded.toSeq, needsRerun, overFamily)
+        discarded.toSeq, needsRerun, overFamily, sampleOk.toSeq)
       acc += rr
       writeDetail(buildDetail(acc.toSeq, "null"))
       rr
@@ -716,7 +739,10 @@ object Bench {
     if (familyApplies) try {
       val prev = loadFamily()
       val updated = results.foldLeft(prev) { (acc, r) =>
-        if (r.probes.exists(_.healthy))
+        // only a min taken from a healthy-window SUCCESSFUL sample may
+        // enter the history (a failed query's near-zero wall time would
+        // poison the minimum-based threshold for FamilyHistoryLen rounds)
+        if (r.familyEligible)
           acc.updated(r.name,
             (r.best +: acc.getOrElse(r.name, Seq.empty)).take(FamilyHistoryLen))
         else acc
@@ -733,12 +759,15 @@ object Bench {
       "queries" -> qs,
       "sick_min_rows" -> sickMin, "single_shot" -> singleShot,
       "over_family" -> overFamily, "family_reruns" -> familyReruns,
+      "failed_rows" -> names(results.collect {
+        case r if !r.sampleOk.forall(identity) => r.name }),
       "backoff_sec" -> backoffSec.get.toString,
       "gates" -> f""""$cpuGate%.2f/$ioGate%.2f"""",
       "fixtures" -> obj(fixtureStats.toSeq.map { case (k, v) => k -> v.toString }),
       "calibration" -> cal,
       "detail" -> "\"BENCH_LOCAL.json\"",
       "sf" -> ("\"" + sfDir + "\""))))
+    ioProbeCleanup()
     spark.stop()
   }
 
@@ -799,8 +828,22 @@ object Bench {
     * I/O/memory axis — exactly the r14 contamination the CPU probe
     * was proven blind to. One shot, not min-of-N, for the same reason
     * as [[probeOnce]]: it measures the contention of its OWN instant. */
+  private def ioProbeDir: String =
+    s"/tmp/graft_bench_ioprobe_${ProcessHandle.current().pid()}"
+
+  /** Remove the io probe's ~64 MB staging dir — PID-named, so every
+    * fresh JVM would otherwise orphan one per run. Called at the end of
+    * [[main]] and by ProbeSweep. */
+  def ioProbeCleanup(): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(ioProbeDir))
+  }
+
   def ioProbeOnce(spark: SparkSession, n: Long = 8_000_000L): Double = {
-    val dir = s"/tmp/graft_bench_ioprobe_${ProcessHandle.current().pid()}"
+    val dir = ioProbeDir
     val t0 = System.nanoTime()
     spark.range(0L, n, 1L, 8)
       .select(col("id"), org.apache.spark.sql.functions.xxhash64(col("id")).as("h"))

@@ -56,6 +56,8 @@ object AnnJoin {
                                 leftCol: String, rightCol: String,
                                 opts: MatchOptions, reversedThreshold: Double,
                                 totalValues: Long, cartesian: Double): Option[DataFrame] = {
+    require(opts.lshNumBands >= 1 && opts.lshNumBands < 131,
+      s"lshNumBands must be in [1, 130] (got ${opts.lshNumBands})")
     val n = opts.lshNgramSize
 
     if (cartesian <= opts.lshExactFallbackCartesianCap && opts.lshExactFallbackCartesianCap > 0) {
@@ -110,6 +112,10 @@ object AnnJoin {
                  leftCol: String, rightCol: String,
                  opts: MatchOptions, reversedThreshold: Double = 1.0,
                  totalValues: Long = -1L): DataFrame = {
+    // CapMetrics' blocked-key encoding is key*131+band — band counts
+    // past 130 would alias distinct buckets (silent recall loss)
+    require(opts.lshNumBands >= 1 && opts.lshNumBands < 131,
+      s"lshNumBands must be in [1, 130] (got ${opts.lshNumBands})")
     val total =
       if (totalValues > 0) totalValues
       else leftValues.count() + rightValues.count()

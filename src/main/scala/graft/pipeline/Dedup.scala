@@ -913,6 +913,7 @@ object Dedup {
                               threshold: Double = 0.7,
                               maxBucketPairs: Long = 4_000_000L,
                               checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    requireBandCount(numBands)
     val k = numBands * rowsPerBand
     // one pass over the batch text feeds banding AND verify
     val bState = Materialize(minhashState(batch, textCol, idCol, shingleLen, k),
@@ -988,14 +989,25 @@ object Dedup {
                        numBands: Int = 16, rowsPerBand: Int = 4,
                        nBuckets: Int = 64, graceGens: Int = 1): Unit = {
     require(shingleLen >= 1, s"shingleLen must be >= 1 (got $shingleLen)")
-    require(numBands >= 1 && rowsPerBand >= 1,
-      s"numBands/rowsPerBand must be >= 1 (got $numBands/$rowsPerBand)")
+    requireBandCount(numBands)
+    require(rowsPerBand >= 1, s"rowsPerBand must be >= 1 (got $rowsPerBand)")
     require(nBuckets >= 1, s"nBuckets must be >= 1 (got $nBuckets)")
     val spark = corpus.sparkSession
     writeGenerationFlipped(spark, path, graceGens, "saveMinhashState") { genPath =>
       val k = numBands * rowsPerBand
-      val state = minhashState(corpus, textCol, idCol, shingleLen, k)
-      val banded = state.select(col(idCol).as("id"),
+      // ONE execution of the corpus shingle/signature lineage: the
+      // combined (id, sig, hset) state is staged to parquet first, and
+      // banded, stats AND hsets all derive from the WRITTEN file — the
+      // stats-from-written-chunked recipe applied to the whole save
+      // (deriving banded and hsets from the lazy plan would run the
+      // dominant shingle/minhash pass over the corpus twice)
+      val stagePath = s"$genPath/state_raw"
+      minhashState(corpus, textCol, idCol, shingleLen, k)
+        .select(col(idCol).as("id"), col("__sig"), col("__hset"))
+        .write.mode("overwrite").parquet(stagePath)
+      // unpartitioned writes keep their schema even when empty
+      val state = spark.read.parquet(stagePath)
+      val banded = state.select(col("id"),
           posexplode(graft.fuzzy.vectorFunctions.lsh_band_keys(
             col("__sig"), numBands, rowsPerBand)))
         .withColumnRenamed("pos", "__band")
@@ -1005,16 +1017,13 @@ object Dedup {
       banded.repartition(nBuckets, col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$genPath/banded")
-      // stats derive from the WRITTEN banded parquet (one column-pruned
-      // scan) — never from the lazy plan, which would re-run the corpus
-      // shingle/signature lineage a second time
       spark.read.schema(storedSchema(spark, s"$genPath/schema_banded"))
         .parquet(s"$genPath/banded")
         .groupBy(col("bucket"), col("__band"), col("__bucket"))
         .agg(count(lit(1)).as("__cc"))
         .repartition(nBuckets, col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$genPath/stats")
-      val hsets = state.select(col(idCol).as("id"), col("__hset"))
+      val hsets = state.select(col("id"), col("__hset"))
         .withColumn("hbucket", minhashIdBucket(col("id"), nBuckets))
       hsets.limit(0).write.mode("overwrite").parquet(s"$genPath/schema_hsets")
       hsets.repartition(nBuckets, col("hbucket"))
@@ -1024,6 +1033,9 @@ object Dedup {
       Seq((shingleLen, numBands, rowsPerBand, nBuckets))
         .toDF("shingle_len", "num_bands", "rows_per_band", "n_buckets")
         .coalesce(1).write.mode("overwrite").parquet(s"$genPath/meta")
+      // the staging table is not part of the layout — gone before commit
+      val (fs, _) = DurableIndex.qualified(spark, path)
+      fs.delete(fs.makeQualified(new org.apache.hadoop.fs.Path(stagePath)), true)
     }
   }
 
@@ -1165,6 +1177,7 @@ object Dedup {
                       shingleLen: Int, numBands: Int, rowsPerBand: Int,
                       maxBucketPairs: Long,
                       checkpoint: CheckpointStrategy): (DataFrame, DataFrame) = {
+    requireBandCount(numBands)
     val k = numBands * rowsPerBand
     val shingles =
       graft.fuzzy.vectorFunctions.word_shingles(lower(trim(col(textCol))), shingleLen)
@@ -1454,6 +1467,16 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** [[graft.util.CapMetrics.gate]]'s driver-side blocked-key encoding
+    * is `key * 131 + band`: a band count ≥ 131 would alias distinct
+    * (band, key) pairs and a healthy bucket could be silently dropped
+    * with no accounting — enforce the encoding's hard bound at every
+    * banded entry point (the validated range in production is ≤ 64). */
+  private[pipeline] def requireBandCount(numBands: Int): Unit =
+    require(numBands >= 1 && numBands < 131,
+      s"numBands must be in [1, 130] (got $numBands): the bucket-cap " +
+        "blocked-key encoding (key*131+band) aliases band counts past 130")
 
   /** Bucket expression shared by the stored hamming state's writer and
     * its query-time pruning — MUST stay identical on both sides. */

@@ -61,19 +61,27 @@ object AnnTopKTable {
     var nCells = 64
     var nProbe = 8
     var excludeSelf = true
+    val ivfOnlySet = scala.collection.mutable.ListBuffer.empty[String]
     A.options(args, 5) { (kk, v) => kk match {
       case "mode" => A.str(v, "mode value") match {
         case m @ ("brute" | "ivf") => mode = m
         case other => A.bad("mode must be 'brute' or 'ivf'", other)
       }
-      case "dim" => dim = A.int(v, "dim value")
-      case "n_cells" => nCells = A.int(v, "n_cells value")
-      case "n_probe" => nProbe = A.int(v, "n_probe value")
+      case "dim" => dim = A.int(v, "dim value"); ivfOnlySet += "dim"
+      case "n_cells" => nCells = A.int(v, "n_cells value"); ivfOnlySet += "n_cells"
+      case "n_probe" => nProbe = A.int(v, "n_probe value"); ivfOnlySet += "n_probe"
       case "exclude_self" => excludeSelf = A.bool(v, "exclude_self value")
       case other => A.bad("unknown option", other)
     }}
     val result = mode match {
       case "brute" =>
+        // the IVF-only knobs must never be SILENTLY ignored — a caller
+        // passing n_probe without 'mode','ivf' believes they benchmarked
+        // IVF pruning while running an exact scan; same loud treatment
+        // as the contradictory exclude_self=false below
+        if (ivfOnlySet.nonEmpty)
+          A.bad(s"option(s) ${ivfOnlySet.mkString(", ")} only apply with " +
+            "mode 'ivf' (add 'mode', 'ivf' or drop them)", mode)
         // bruteForceTopK always excludes self-pairs; the knob exists on
         // the ivf arm, so reject a contradictory ask rather than ignore it
         if (!excludeSelf)

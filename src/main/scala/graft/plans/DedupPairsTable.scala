@@ -75,7 +75,12 @@ object DedupPairsTable {
           A.bad("max_hamming must be in [0, 31]", maxHamming)
       case "use_md5" => useMd5 = A.bool(v, "use_md5 value")
       case "shingle_len" => shingleLen = A.int(v, "shingle_len value")
-      case "num_bands" => numBands = A.int(v, "num_bands value")
+      case "num_bands" =>
+        numBands = A.int(v, "num_bands value")
+        // CapMetrics' blocked-key encoding (key*131+band) aliases band
+        // counts past 130 — reject here with the TVF's own diagnostic
+        if (numBands < 1 || numBands > 130)
+          A.bad("num_bands must be in [1, 130]", numBands)
       case "rows_per_band" => rowsPerBand = A.int(v, "rows_per_band value")
       case "threshold" => threshold = Some(A.dbl(v, "threshold value"))
       case "ngram_n" => ngramN = A.int(v, "ngram_n value")

@@ -8,6 +8,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * `registerAll` do not survive `newSession()`, injected ones do). */
 class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
 
+  /** Messages down the cause chain (depth-bounded: a cyclic cause chain
+    * must not loop the assertion helper forever). */
+  private def msgs(t: Throwable, depth: Int = 16): Seq[String] =
+    if (t == null || depth == 0) Seq.empty
+    else Option(t.getMessage).toSeq ++ msgs(t.getCause, depth - 1)
+
   test("fresh session sees kernels + sketch functions without registerAll") {
     val fresh = spark.newSession()
     val row = fresh.sql(
@@ -83,9 +89,6 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
       ("SELECT * FROM ann_topk('at_queries', 'at_corpus', 'embedding', " +
         "'vec_id', 0)", "k must be >= 1"))) {
       val e = intercept[Exception] { fresh.sql(sql).collect() }
-      def msgs(t: Throwable): Seq[String] =
-        if (t == null) Seq.empty
-        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
       assert(msgs(e).exists(_.contains(frag)), s"$sql -> ${msgs(e)}")
     }
   }
@@ -126,9 +129,6 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
       ("SELECT * FROM dedup_pairs('dp_docs', 'text', 'doc_id', " +
         "'max_hamming', cast(2.5 as double))", "integer"))) {
       val e = intercept[Exception] { fresh.sql(sql).collect() }
-      def msgs(t: Throwable): Seq[String] =
-        if (t == null) Seq.empty
-        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
       assert(msgs(e).exists(_.contains(frag)), s"$sql -> ${msgs(e)}")
     }
   }
@@ -166,9 +166,6 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
       ("SELECT * FROM hamming_pairs_stored('hps_batch', 'h', 'id', " +
         "'/tmp/hps_tvf_never_saved')", "no committed generation"))) {
       val e = intercept[Exception] { fresh.sql(sql).collect() }
-      def msgs(t: Throwable): Seq[String] =
-        if (t == null) Seq.empty
-        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
       assert(msgs(e).exists(_.contains(frag)), s"$sql -> ${msgs(e)}")
     }
   }
@@ -206,9 +203,6 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
       ("SELECT * FROM minhash_pairs_stored('mps_batch', 'text', 'doc_id', " +
         "'/tmp/mps_tvf_never_saved')", "no committed generation"))) {
       val e = intercept[Exception] { fresh.sql(sql).collect() }
-      def msgs(t: Throwable): Seq[String] =
-        if (t == null) Seq.empty
-        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
       assert(msgs(e).exists(_.contains(frag)), s"$sql -> ${msgs(e)}")
     }
   }
@@ -254,9 +248,6 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
       ("SELECT * FROM bm25_topk('bt_corpus', 'bt_queries', 'text', " +
         "'doc_id', 'qtext', 'query_id', 0)", "k must be >= 1"))) {
       val e = intercept[Exception] { fresh.sql(sql).collect() }
-      def msgs(t: Throwable): Seq[String] =
-        if (t == null) Seq.empty
-        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
       assert(msgs(e).exists(_.contains(frag)), s"$sql -> ${msgs(e)}")
     }
   }
@@ -490,9 +481,6 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
         "'img_key', 'payload', 'max_hamming', cast(2.9 as double))",
         "integer"))) {
       val e = intercept[Exception] { fresh.sql(sql).collect() }
-      def msgs(t: Throwable): Seq[String] =
-        if (t == null) Seq.empty
-        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
       assert(msgs(e).exists(_.contains(frag)), s"$sql -> ${msgs(e)}")
     }
   }

@@ -100,8 +100,24 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkSpec {
       .select("id_a", "id_b", "jaccard")
       .collect().map(r => (r.getLong(0), r.getLong(1),
         math.round(r.getDouble(2) * 1e9))).toSet
-    val viaStored = Dedup.minhashPairsAgainstStored(batchDf, "text", "doc_id",
-      stored, threshold = 0.5, maxBucketPairs = Long.MaxValue)
+    // the banded/stats reads execute inside the operator's EAGER
+    // candidate materialization, so they never appear in the returned
+    // frame's plan — capture every plan executed during the call via a
+    // QueryExecutionListener and assert the pruning there
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val viaStored =
+      try Dedup.minhashPairsAgainstStored(batchDf, "text", "doc_id",
+        stored, threshold = 0.5, maxBucketPairs = Long.MaxValue)
+      finally ()
     val inMemory = pairSet(Dedup.minhashIncrementalPairs(batchDf,
       Dedup.minhashState(corpusDf, "text", "doc_id", shingleLen = 3, k = 16),
       "text", "doc_id", shingleLen = 3, numBands = 16, rowsPerBand = 1,
@@ -112,9 +128,21 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkSpec {
     // both stored reads must carry their bucket filter INSIDE the
     // PartitionFilters list (same non-vacuous assertion as the hamming
     // store spec): banded/stats prune on `bucket`, hsets on `hbucket`
+    // (?<!h)bucket: 'hbucket' contains the substring 'bucket', so an
+    // unanchored pattern would let the hsets scan satisfy BOTH asserts
+    // and a lost banded/stats pushdown would ship undetected. Listener
+    // callbacks are async — poll briefly for the materialization plan.
+    val bandPrune = "PartitionFilters: \\[[^\\]]*(?<!h)bucket".r
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    import scala.jdk.CollectionConverters._
+    while (!plans.asScala.exists(p => bandPrune.findFirstIn(p).isDefined) &&
+      System.nanoTime() < deadline) Thread.sleep(50)
+    spark.listenerManager.unregister(listener)
+    assert(plans.asScala.exists(p => bandPrune.findFirstIn(p).isDefined),
+      "band-bucket filter did not reach partition pruning in any plan " +
+        s"executed during the call:\n${plans.asScala.mkString("\n---\n")}")
+    // the hsets scan IS in the returned frame's plan (verify join side)
     val plan = viaStored.queryExecution.executedPlan.toString
-    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
-      s"band-bucket filter did not reach partition pruning:\n$plan")
     assert("PartitionFilters: \\[[^\\]]*hbucket".r.findFirstIn(plan).isDefined,
       s"hset-bucket filter did not reach partition pruning:\n$plan")
 

@@ -75,6 +75,7 @@ object ProbeSweep {
         s"gate floor under load: $over/$n")
       loaders.foreach(_.interrupt())
     }
+    graft.Bench.ioProbeCleanup()
     spark.stop()
   }
 }
