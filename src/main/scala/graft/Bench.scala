@@ -565,12 +565,18 @@ object Bench {
       "calibration" -> cal,
       "sf" -> ("\"" + sfDir + "\"")))
 
+    // only a FULL run at the driver's scale factor may write the
+    // committed record — a filtered dev loop or an sf0.001 sanity run
+    // must never clobber the round's 24-row sf0.1 record in the repo
+    val detailPath =
+      if (only.isEmpty && familyApplies) "/root/repo/BENCH_LOCAL.json"
+      else "/tmp/graft_bench_local_dev.json"
     def writeDetail(detail: String): Unit =
       try java.nio.file.Files.write(
-        java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
+        java.nio.file.Paths.get(detailPath),
         (detail + "\n").getBytes("UTF-8"))
       catch { case e: Exception =>
-        System.err.println(s"[bench] could not write BENCH_LOCAL.json: $e") }
+        System.err.println(s"[bench] could not write $detailPath: $e") }
 
     // per-row runner, shared by the sf0.1 suite and the sf1.0 headline
     // rows; itersOverride=Some(1) = deliberate single shot (sf1 tier:
@@ -765,7 +771,7 @@ object Bench {
       "gates" -> f""""$cpuGate%.2f/$ioGate%.2f"""",
       "fixtures" -> obj(fixtureStats.toSeq.map { case (k, v) => k -> v.toString }),
       "calibration" -> cal,
-      "detail" -> "\"BENCH_LOCAL.json\"",
+      "detail" -> ("\"" + detailPath + "\""),
       "sf" -> ("\"" + sfDir + "\""))))
     ioProbeCleanup()
     spark.stop()
