@@ -83,6 +83,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftExtensions].getName,
         graft.plans.MinhashPairsStoredTable.Name),
       graft.plans.MinhashPairsStoredTable.build))
+    // batch-vs-SAVED-semdedup-store semantic near-dup pairs (cell-pruned):
+    // SELECT * FROM semdedup_pairs_stored('batch','embedding','vec_id',
+    //                                     '/store', 0.85)
+    ext.injectTableFunction((
+      FunctionIdentifier(graft.plans.SemDedupPairsStoredTable.Name),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        graft.plans.SemDedupPairsStoredTable.Name),
+      graft.plans.SemDedupPairsStoredTable.build))
   }
 }
 

@@ -356,6 +356,40 @@ object SparkEntry {
           dim = 64, nCells = 8, threshold = 0.35, maxCellPairs = Long.MaxValue)
         .select(col("id_a"), col("id_b"), sround(col("cosine"), 6).as("cosine"))
     }),
+    // the same nightly flags through the STORED SemDeDup state
+    // (saveSemDedupState: cell-partitioned vectors + per-cell stats, the
+    // corpus vector scan pruned to the batch's touched cells; centroids
+    // ride the store's metadata) — output identical to the in-memory
+    // form, one oracle. The save re-runs unconditionally (generation-
+    // flipped) so a stale /tmp store can never shadow this run's data.
+    "dedup_semantic_inc_stored" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val store = "/tmp/graft_sql_semdedup_store_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Dedup.saveSemDedupState(emb.where(col("vec_id") % 10 =!= 0),
+        "embedding", "vec_id", store, graft.pipeline.DemoModels.SemCentroids,
+        dim = 64, nCells = 8)
+      Dedup.semDedupPairsAgainstStored(emb.where(col("vec_id") % 10 === 0),
+          "embedding", "vec_id", Dedup.loadSemDedupState(s, store),
+          threshold = 0.35, maxCellPairs = Long.MaxValue)
+        .select(col("id_a"), col("id_b"), sround(col("cosine"), 6).as("cosine"))
+    }),
+    // the stored form's SQL front door (plans/SemDedupPairsStoredTable):
+    // a pure-SQL client flags a batch against the saved store
+    "dedup_semantic_stored_sql" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val store = "/tmp/graft_sql_semdedup_store_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Dedup.saveSemDedupState(emb.where(col("vec_id") % 10 =!= 0),
+        "embedding", "vec_id", store, graft.pipeline.DemoModels.SemCentroids,
+        dim = 64, nCells = 8)
+      emb.where(col("vec_id") % 10 === 0).createOrReplaceTempView("sdps_sql_batch")
+      s.sql(
+        s"""SELECT id_a, id_b, round(cosine, 6) AS cosine
+            FROM semdedup_pairs_stored('sdps_sql_batch', 'embedding', 'vec_id',
+                                       '$store', 0.35,
+                                       'max_cell_pairs', ${Long.MaxValue}L)""")
+    }),
 
     // ---- similarity search over `embeddings`
     "ann_cosine_topk" -> ((s, dir) => {
@@ -2421,6 +2455,11 @@ object SparkEntry {
          FROM survivors s JOIN reph r ON s.cid = r.cid
          GROUP BY s.cid, r.dhash_hex"""
 
+  // dedup_semantic_inc and its stored-state/TVF twins share this oracle
+  private val semDedupIncOracle = Dedup.semDedupIncOracleSql("embeddings",
+    "vec_id", "embedding", graft.pipeline.DemoModels.SemCentroids, 64, 8, 0.35,
+    "vec_id % 10 = 0")
+
   // dedup_minhash_inc and its stored-state twin share this oracle
   private val minhashIncOracle =
       """WITH d AS (SELECT doc_id, text,
@@ -2725,9 +2764,11 @@ object SparkEntry {
     // pinned centroid array the Spark plan consumes
     "dedup_semantic" -> Dedup.semDedupOracleSql("embeddings", "vec_id", "embedding",
       graft.pipeline.DemoModels.SemCentroids, 64, 8, 0.35),
-    "dedup_semantic_inc" -> Dedup.semDedupIncOracleSql("embeddings", "vec_id",
-      "embedding", graft.pipeline.DemoModels.SemCentroids, 64, 8, 0.35,
-      "vec_id % 10 = 0"),
+    "dedup_semantic_inc" -> semDedupIncOracle,
+    // the stored SemDeDup state and its semdedup_pairs_stored TVF front
+    // door flag the same batch against the same corpus: one oracle
+    "dedup_semantic_inc_stored" -> semDedupIncOracle,
+    "dedup_semantic_stored_sql" -> semDedupIncOracle,
     // same integer-quantized bucketing as ann_cosine_lsh; bands = 4 of
     // 4 bits (perBand = planes / bands = 4, mask 15)
     "dedup_cosine_lsh" ->

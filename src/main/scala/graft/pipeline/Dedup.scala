@@ -1804,7 +1804,16 @@ object Dedup {
     * contract as [[minhashState]]. */
   def semDedupState(embeddings: DataFrame, vecCol: String, idCol: String,
                     centroidsMicro: Array[Long], dim: Int, nCells: Int,
-                    checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+                    checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame =
+    Materialize(semDedupAssign(embeddings, vecCol, idCol, centroidsMicro,
+      dim, nCells), checkpoint)
+
+  /** The LAZY assignment plan behind [[semDedupState]] — split out so
+    * [[saveSemDedupState]] can write it straight to its partitioned
+    * layout (materializing first would run the projection twice). */
+  private def semDedupAssign(embeddings: DataFrame, vecCol: String, idCol: String,
+                             centroidsMicro: Array[Long], dim: Int,
+                             nCells: Int): DataFrame = {
     require(centroidsMicro.length == dim * nCells,
       s"centroids length ${centroidsMicro.length} != dim*nCells = ${dim * nCells}")
     val dots = graft.fuzzy.vectorFunctions.random_project_int(
@@ -1812,18 +1821,16 @@ object Dedup {
     val n2Expr = expr(
       s"aggregate(transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 4096.0D) AS BIGINT)), " +
         "CAST(0 AS BIGINT), (acc, x) -> acc + x * x)")
-    Materialize(
-      spread(embeddings)
-        .select(col(idCol), col(vecCol), dots.as("__dots"), n2Expr.as("__n2"))
-        .withColumn("cell", array_position(col("__dots"), array_max(col("__dots"))))
-        .withColumn("__dot", element_at(col("__dots"), col("cell").cast("int")))
-        .withColumn("ccosq",
-          when(col("__n2") > 0,
-            floor(lit(1e6) * col("__dot").cast("double") / sqrt(col("__n2").cast("double")))
-              .cast("long"))
-            .otherwise(lit(0L)))
-        .select(col(idCol), col(vecCol), col("cell"), col("ccosq"), col("__n2")),
-      checkpoint)
+    spread(embeddings)
+      .select(col(idCol), col(vecCol), dots.as("__dots"), n2Expr.as("__n2"))
+      .withColumn("cell", array_position(col("__dots"), array_max(col("__dots"))))
+      .withColumn("__dot", element_at(col("__dots"), col("cell").cast("int")))
+      .withColumn("ccosq",
+        when(col("__n2") > 0,
+          floor(lit(1e6) * col("__dot").cast("double") / sqrt(col("__n2").cast("double")))
+            .cast("long"))
+          .otherwise(lit(0L)))
+      .select(col(idCol), col(vecCol), col("cell"), col("ccosq"), col("__n2"))
   }
 
   /** Erasure for the stored semantic state — the [[bm25Forget]] contract
@@ -1882,6 +1889,129 @@ object Dedup {
       .select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("__va"))
       .join(gc.where(col("__n2") > 0)
         .select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("__vb")),
+        Seq("cell"))
+      .select(col("id_a"), col("id_b"),
+        cosineSimilarity(col("__va"), col("__vb")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /** Persist a SemDeDup corpus state CELL-PARTITIONED — the
+    * [[saveHammingState]]/[[saveMinhashState]] treatment applied to the
+    * embedding near-dup pillar. [[semDedupIncrementalPairs]] against an
+    * in-memory [[semDedupState]] already skips corpus re-assignment, but
+    * the state frame (id, VECTOR, cell) is scanned whole per trigger —
+    * at a 10⁸-document store the vectors dominate that read. This layout
+    * prunes it to the batch's touched cells:
+    *
+    *  - `state/cell=N/` — (id, vec, ccosq, n2) partitioned by the
+    *    ASSIGNED CELL itself: partition pruning IS the inverted file,
+    *    the [[AnnSearch]] postings layout. No hash-bucket layer — the
+    *    cell key is already bounded by `nCells`, fixed at save time
+    *    together with the centroids that define it.
+    *  - `stats/` — per-cell row counts (≤ nCells rows, unpartitioned):
+    *    the cap gate prices a batch without touching any state row.
+    *  - `meta/` — dim, nCells AND the pinned micro-grid centroids, so
+    *    query-time assignment can never drift from the saved layout.
+    *
+    * Refreshes are generation-flipped with the same `graceGens` contract
+    * as the other stores ([[saveHammingState]] scaladoc). Erasure:
+    * [[semDedupForget]] is exact on the loaded frame; re-saving the
+    * retained corpus is the durable form. */
+  def saveSemDedupState(corpus: DataFrame, vecCol: String, idCol: String,
+                        path: String, centroidsMicro: Array[Long],
+                        dim: Int, nCells: Int, graceGens: Int = 1): Unit = {
+    require(centroidsMicro.length == dim * nCells,
+      s"centroids length ${centroidsMicro.length} != dim*nCells = ${dim * nCells}")
+    val spark = corpus.sparkSession
+    writeGenerationFlipped(spark, path, graceGens, "saveSemDedupState") { genPath =>
+      val assigned = semDedupAssign(corpus, vecCol, idCol, centroidsMicro,
+          dim, nCells)
+        .select(col(idCol).as("id"), col(vecCol).as("vec"),
+          col("cell"), col("ccosq"), col("__n2").as("n2"))
+      // partitioned writes of an EMPTY frame emit no schema-bearing
+      // files; persist the schema separately so an empty store loads
+      assigned.limit(0).write.mode("overwrite").parquet(s"$genPath/schema_state")
+      // one shuffle task per cell -> ONE file per cell directory (the
+      // saveBm25Index recipe); the assignment lineage runs exactly once
+      assigned.repartition(nCells, col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$genPath/state")
+      // stats derive from the WRITTEN state (a lazy derivation would run
+      // the assignment projection over the corpus a second time)
+      spark.read.schema(storedSchema(spark, s"$genPath/schema_state"))
+        .parquet(s"$genPath/state")
+        .groupBy(col("cell")).agg(count(lit(1)).as("__cc"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$genPath/stats")
+      import spark.implicits._
+      Seq((dim, nCells, centroidsMicro.toSeq))
+        .toDF("dim", "n_cells", "centroids_micro")
+        .coalesce(1).write.mode("overwrite").parquet(s"$genPath/meta")
+    }
+  }
+
+  /** A stored SemDeDup corpus state ([[saveSemDedupState]] layout). */
+  final case class StoredSemDedupState(state: DataFrame, stats: DataFrame,
+                                       centroidsMicro: Array[Long],
+                                       dim: Int, nCells: Int)
+
+  def loadSemDedupState(spark: org.apache.spark.sql.SparkSession,
+                        path: String): StoredSemDedupState = {
+    val (fs, root) = DurableIndex.qualified(spark, path)
+    val live = liveHammingGen(fs, root).getOrElse(throw new IllegalArgumentException(
+      s"semdedup state at $path has no committed generation (never saved, " +
+        "or every save/refresh died mid-write) — run saveSemDedupState"))
+    val genPath = s"$path/${live.getName}"
+    val m = spark.read.parquet(s"$genPath/meta").head()
+    StoredSemDedupState(
+      spark.read.schema(storedSchema(spark, s"$genPath/schema_state"))
+        .parquet(s"$genPath/state"),
+      spark.read.parquet(s"$genPath/stats"),
+      m.getAs[scala.collection.Seq[Long]]("centroids_micro").toArray,
+      m.getAs[Int]("dim"), m.getAs[Int]("n_cells"))
+  }
+
+  /** [[semDedupIncrementalPairs]] against a STORED state: per-trigger
+    * corpus I/O is proportional to the CELLS the batch touches, not the
+    * store. The batch's distinct assigned cells (bounded collect —
+    * ≤ min(batch, nCells) values) become a partition filter on the
+    * stored state, so the corpus-side vector scan reads ONLY the touched
+    * `cell=N/` directories (pruning spec-asserted), and the cap gate is
+    * priced from batch counts × the store's per-cell stats without
+    * touching a single state row. Output and semantics identical to the
+    * in-memory form on the same centroids (spec-pinned; the oracled twin
+    * shares `dedup_semantic_inc`'s oracle verbatim). Batch/corpus ids
+    * disjoint by the same contract. */
+  def semDedupPairsAgainstStored(batch: DataFrame, vecCol: String, idCol: String,
+                                 stored: StoredSemDedupState, threshold: Double,
+                                 maxCellPairs: Long = 4_000_000L,
+                                 checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val bState = semDedupState(batch, vecCol, idCol, stored.centroidsMicro,
+      stored.dim, stored.nCells, checkpoint)
+    // pruned read: only the batch's touched cell directories
+    val touched = bState.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).map(c => c: Any)
+    val cState = stored.state.where(col("cell").isin(touched: _*))
+    val cStats = stored.stats.where(col("cell").isin(touched: _*))
+    // cap gate priced from batch counts x STORED per-cell counts — no
+    // state-row scan needed to decide; only both-side cells survive
+    val bStats = bState.groupBy(col("cell")).agg(count(lit(1)).as("__qc"))
+    val stats = bStats.join(cStats, Seq("cell"))
+      .select(lit(0).cast("int").as("__band"), col("cell").as("__ckey"),
+        col("__qc"), col("__cc"))
+    val overCap = col("__qc") * col("__cc") > maxCellPairs
+    val gatedB = CapMetrics.gate(stats, "dedup_semantic_stored", "__band", "__ckey",
+        overCap, col("__qc") * col("__cc"), checkpoint) match {
+      case Right(blocked) =>
+        if (blocked.isEmpty) bState
+        else bState.where(!graft.fuzzy.vectorFunctions.bucket_allowed(
+          lit(0).cast("int"), col("cell"), blocked))
+      case Left(allowed) =>
+        bState.join(allowed.select(col("__ckey").as("cell")), Seq("cell"))
+    }
+    gatedB.where(col("__n2") > 0)
+      .select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("__va"))
+      .join(cState.where(col("n2") > 0)
+        .select(col("cell"), col("id").as("id_b"), col("vec").as("__vb")),
         Seq("cell"))
       .select(col("id_a"), col("id_b"),
         cosineSimilarity(col("__va"), col("__vb")).as("cosine"))

@@ -304,4 +304,28 @@ object AnnStream {
       }
     }
   }
+
+  /** [[semanticNearDupWriter]] against a SAVED
+    * [[graft.pipeline.Dedup.saveSemDedupState]] store: per-trigger corpus
+    * I/O reads only the batch's touched `cell=N/` directories instead of
+    * localCheckpoint-ing the whole state frame into executor memory —
+    * the production shape when the corpus outgrows the cache (the
+    * [[graft.streaming.DocStreams.minhashNearDupWriterStored]] contract:
+    * the store handle resolves its live generation at writer BUILD time;
+    * after a nightly refresh, restart the writer to pick up the new
+    * generation). Centroids/dim/nCells come from the store's metadata. */
+  def semanticNearDupWriterStored(stream: DataFrame, statePath: String,
+                                  vecCol: String, idCol: String,
+                                  threshold: Double,
+                                  maxCellPairs: Long = 4_000_000L)
+                                 (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val stored = graft.pipeline.Dedup.loadSemDedupState(
+      stream.sparkSession, statePath)
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.util.MatchScope.withMatchScope {
+        sink(graft.pipeline.Dedup.semDedupPairsAgainstStored(
+          batch, vecCol, idCol, stored, threshold, maxCellPairs), batchId)
+      }
+    }
+  }
 }

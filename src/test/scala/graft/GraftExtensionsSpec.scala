@@ -207,6 +207,45 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("semdedup_pairs_stored TVF: SQL path equals the Scala stored reader, " +
+    "malformed args are diagnostics") {
+    val fresh = spark.newSession()
+    import org.apache.spark.sql.functions.col
+    val emb = fresh.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = graft.pipeline.DemoModels.SemCentroids
+    val store = java.nio.file.Files.createTempDirectory("sdps_tvf").toString
+    graft.pipeline.Dedup.saveSemDedupState(emb.where(col("vec_id") % 10 =!= 0),
+      "embedding", "vec_id", store, cents, dim = 64, nCells = 8)
+    emb.where(col("vec_id") % 10 === 0).createOrReplaceTempView("sdps_batch")
+
+    val viaSql = fresh.sql(
+      s"""SELECT id_a, id_b, cosine
+          FROM semdedup_pairs_stored('sdps_batch', 'embedding', 'vec_id',
+                                     '$store', 0.35)""")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val viaScala = graft.pipeline.Dedup.semDedupPairsAgainstStored(
+        fresh.table("sdps_batch"), "embedding", "vec_id",
+        graft.pipeline.Dedup.loadSemDedupState(fresh, store), threshold = 0.35)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        math.round(r.getAs[Double]("cosine") * 1e9))).toSet
+    assert(viaSql == viaScala && viaSql.nonEmpty)
+
+    for ((sql, frag) <- Seq(
+      ("SELECT * FROM semdedup_pairs_stored('sdps_batch', 'embedding')", "Usage"),
+      (s"SELECT * FROM semdedup_pairs_stored('sdps_batch', 'embedding', " +
+        s"'vec_id', '$store', 0.35, 'bogus', 1)", "unknown option"),
+      (s"SELECT * FROM semdedup_pairs_stored('sdps_batch', 'embedding', " +
+        s"'vec_id', '$store', 0.35, 'max_cell_pairs', 2.9)",
+        "must be an integer literal"),
+      ("SELECT * FROM semdedup_pairs_stored('sdps_batch', 'embedding', " +
+        "'vec_id', '/tmp/sdps_tvf_never_saved', 0.35)",
+        "no committed generation"))) {
+      val e = intercept[Exception] { fresh.sql(sql).collect() }
+      assert(msgs(e).exists(_.contains(frag)), s"$sql -> ${msgs(e)}")
+    }
+  }
+
   test("bm25_topk TVF equals the Scala search, options parse, malformed " +
     "args are diagnostics") {
     val fresh = spark.newSession()

@@ -138,4 +138,87 @@ class SemDedupSpec extends AnyFunSuite with SparkSpec {
     // the baseline DOES drop rows, so the gate is what kept them
     assert(run().where(!col("kept")).count() > 0L)
   }
+
+  test("stored semdedup state: identical answer to the in-memory form, " +
+    "CELL-PRUNED vector scan, generation-flipped refresh") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val isBatch = col("vec_id") % 10 === 0
+    val store = java.nio.file.Files.createTempDirectory("sem_store").toString
+    Dedup.saveSemDedupState(emb.where(!isBatch), "embedding", "vec_id",
+      store, cents, dim = 64, nCells = 8)
+    val stored = Dedup.loadSemDedupState(spark, store)
+    assert(stored.dim == 64 && stored.nCells == 8 &&
+      stored.centroidsMicro.toSeq == cents.toSeq,
+      "store metadata must round-trip the pinned centroids exactly")
+
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_a", "id_b", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val viaStored = Dedup.semDedupPairsAgainstStored(emb.where(isBatch),
+      "embedding", "vec_id", stored, threshold = thr,
+      maxCellPairs = Long.MaxValue)
+    val inMemory = pairSet(Dedup.semDedupIncrementalPairs(emb.where(isBatch),
+      Dedup.semDedupState(emb.where(!isBatch), "embedding", "vec_id",
+        cents, 64, 8),
+      "embedding", "vec_id", cents, 64, 8, thr, Long.MaxValue))
+    assert(pairSet(viaStored) == inMemory && inMemory.nonEmpty,
+      s"stored=${pairSet(viaStored).size} inMemory=${inMemory.size}")
+
+    // the stored vector scan is on the RETURNED frame's join side, so its
+    // cell filter must appear in the scan's PartitionFilters (the pruning
+    // IS the inverted file — a residual row filter would read every cell)
+    val plan = viaStored.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"cell filter did not reach partition pruning:\n$plan")
+
+    // a refresh flips generations (shared writeGenerationFlipped harness —
+    // grace/crash behavior is pinned by the hamming store spec)
+    Dedup.saveSemDedupState(emb.where(!isBatch), "embedding", "vec_id",
+      store, cents, dim = 64, nCells = 8)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val gens = fs.listStatus(fs.makeQualified(new org.apache.hadoop.fs.Path(store)))
+      .map(_.getPath.getName).filter(_.startsWith("gen=")).sorted
+    assert(gens.contains("gen=1") && gens.contains("gen=0"),
+      s"refresh did not flip generations with grace: ${gens.toSeq}")
+    assert(pairSet(Dedup.semDedupPairsAgainstStored(emb.where(isBatch),
+      "embedding", "vec_id", Dedup.loadSemDedupState(spark, store),
+      threshold = thr, maxCellPairs = Long.MaxValue)) == inMemory)
+
+    // empty batch: zero pairs, no touched cells, no failure
+    assert(Dedup.semDedupPairsAgainstStored(emb.where(isBatch).limit(0),
+      "embedding", "vec_id", stored, threshold = thr).count() === 0L)
+
+    // a never-saved path names the writer to run, loudly
+    val e = intercept[IllegalArgumentException] {
+      Dedup.loadSemDedupState(spark,
+        java.nio.file.Files.createTempDirectory("sem_none").toString)
+    }
+    assert(e.getMessage.contains("saveSemDedupState"))
+  }
+
+  test("stored semdedup: an EMPTY corpus saves, loads, and answers empty") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val store = java.nio.file.Files.createTempDirectory("sem_empty").toString
+    Dedup.saveSemDedupState(emb.limit(0), "embedding", "vec_id",
+      store, cents, dim = 64, nCells = 8)
+    val stored = Dedup.loadSemDedupState(spark, store)
+    assert(Dedup.semDedupPairsAgainstStored(emb.where(col("vec_id") % 10 === 0),
+      "embedding", "vec_id", stored, threshold = thr).count() === 0L)
+  }
+
+  test("stored semdedup: capped cells only remove pairs, never invent them") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val isBatch = col("vec_id") % 10 === 0
+    val store = java.nio.file.Files.createTempDirectory("sem_cap").toString
+    Dedup.saveSemDedupState(emb.where(!isBatch), "embedding", "vec_id",
+      store, cents, dim = 64, nCells = 8)
+    val stored = Dedup.loadSemDedupState(spark, store)
+    def at(cap: Long) = Dedup.semDedupPairsAgainstStored(emb.where(isBatch),
+        "embedding", "vec_id", stored, threshold = thr, maxCellPairs = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = at(Long.MaxValue)
+    assert(full.nonEmpty && at(1L).subsetOf(full))
+  }
 }

@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
   *  - `minhash` — [[graft.streaming.DocStreams.minhashNearDupWriterStored]]
   *    over a saved MinHash store (its pruned reads collect the touched
   *    bucket lists mid-trigger, so a task retry interleaves with TWO
-  *    driver-side collects per batch — the shape the other arms lack).
+  *    driver-side collects per batch — the shape the other arms lack);
+  *  - `semdedup` — [[graft.streaming.AnnStream.semanticNearDupWriterStored]]
+  *    over a saved SemDeDup store (one touched-cell collect per batch,
+  *    the pruned corpus vector read joining a retried assignment stage).
   *
   * A killer thread SIGKILLs one executor JVM (descendants of this
   * process only) the moment a trigger has an active stage; the stream
@@ -31,9 +34,13 @@ import org.apache.spark.sql.functions._
   * lost tasks re-run) and the final output/index must fingerprint equal
   * to the clean un-killed computation.
   *
-  * Launch:
+  * Launch (SPARK_SCALA_VERSION matters: the in-process Worker launches
+  * executor JVMs through Spark's command builder WITHOUT
+  * load-spark-env.sh, and on a release layout the builder's scala-
+  * version probe throws "Cannot find any build directories" unless the
+  * env var pins it):
   * {{{
-  *   SPARK_HOME=/opt/spark sbt -batch \
+  *   SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 sbt -batch \
   *     "Test/runMain graft.tools.IngestKillSmoke /root/testdata/sf0.01"
   * }}}
   */
@@ -137,6 +144,15 @@ object IngestKillSmoke {
     val cents = graft.pipeline.AnnSearch.normalizeCentroids(
       graft.pipeline.AnnSearch.kmeansFit(
         e.where(col("vec_id") % 4 === 0), "embedding", dim = 64, k = 4, iters = 1))
+    // semdedup arm: corpus = all embeddings; batches are re-keyed subsets
+    // (same vectors -> guaranteed cosine-1.0 partners in the store)
+    val sdBatches = (0 until 3).map(i =>
+      e.where(col("vec_id") % 3 === i)
+        .select((col("vec_id") + 300000L).as("vec_id"), col("embedding")))
+    stage(sdBatches, work.resolve("in_semdedup"))
+    graft.pipeline.Dedup.saveSemDedupState(e, "embedding", "vec_id",
+      s"$work/state_semdedup", graft.pipeline.DemoModels.SemCentroids,
+      dim = 64, nCells = 8)
 
     // clean expectations (no kill): the batch operators over the same data
     val cleanHamming = {
@@ -157,8 +173,17 @@ object IngestKillSmoke {
             org.apache.spark.sql.functions.round(col("jaccard"), 9).as("j")))
         .reduce(_ unionByName _))
     }
+    val cleanSemdedup = {
+      val stored = graft.pipeline.Dedup.loadSemDedupState(spark, s"$work/state_semdedup")
+      fingerprint(sdBatches.map(b =>
+        graft.pipeline.Dedup.semDedupPairsAgainstStored(b, "embedding", "vec_id",
+            stored, threshold = 0.85, maxCellPairs = Long.MaxValue)
+          .select(col("id_a"), col("id_b"),
+            org.apache.spark.sql.functions.round(col("cosine"), 9).as("c")))
+        .reduce(_ unionByName _))
+    }
     println(s"[ingestkill] clean hamming=$cleanHamming ivf=$cleanIvf " +
-      s"minhash=$cleanMinhash")
+      s"minhash=$cleanMinhash semdedup=$cleanSemdedup")
 
     /** Arm a killer that SIGKILLs one executor as soon as a stage is
       * active, run `body`, and report (killedPid, removal events seen). */
@@ -275,6 +300,36 @@ object IngestKillSmoke {
         failed = true
       } else
         println(s"[ingestkill] PASS minhash: killed pid=$pid mid-trigger, " +
+          s"stream drained to the clean fingerprint $fp")
+    }
+
+    // ---- arm 4: stored-semdedup writer, executor killed mid-trigger
+    // (the pruned cell read joins a retried batch-assignment stage)
+    {
+      val schema = sdBatches.head.schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/in_semdedup")
+      val writer = graft.streaming.AnnStream.semanticNearDupWriterStored(
+        stream, s"$work/state_semdedup", "embedding", "vec_id",
+        threshold = 0.85, maxCellPairs = Long.MaxValue) { (pairs, batchId) =>
+        pairs.select(col("id_a"), col("id_b"),
+            org.apache.spark.sql.functions.round(col("cosine"), 9).as("c"))
+          .write.mode("overwrite").parquet(s"$work/out_semdedup/batch=$batchId")
+      }.option("checkpointLocation", s"$work/ckpt_semdedup")
+      val (_, pid) = withKill("semdedup") {
+        val q = writer.start()
+        q.processAllAvailable(); q.stop()
+      }
+      val fp = fingerprint(spark.read.parquet(s"$work/out_semdedup")
+        .select(col("id_a"), col("id_b"), col("c")))
+      if (pid == -1L) {
+        println("[ingestkill] FAIL semdedup: no executor was killed (stream too fast?)")
+        failed = true
+      } else if (fp != cleanSemdedup) {
+        println(s"[ingestkill] FAIL semdedup: got $fp, clean was $cleanSemdedup")
+        failed = true
+      } else
+        println(s"[ingestkill] PASS semdedup: killed pid=$pid mid-trigger, " +
           s"stream drained to the clean fingerprint $fp")
     }
 
