@@ -1664,6 +1664,18 @@ object SparkEntry {
       Dedup.winnowOverlapPairs(t(s, dir, "documents"), "text", "doc_id",
         k = 5, window = 4, minShared = 50L,
         maxFingerprintPairs = Long.MaxValue, useMd5 = true)),
+    // the same lifted-passage pairs through the dedup_pairs TVF's winnow
+    // method — pure-SQL clients get the identical plan, one oracle
+    "dedup_winnow_sql" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("dwp_sql_docs")
+      s.sql(
+        s"""SELECT id_a, id_b, n_shared
+            FROM dedup_pairs('dwp_sql_docs', 'text', 'doc_id',
+                             'method', 'winnow', 'winnow_k', 5,
+                             'winnow_window', 4, 'min_shared', 50,
+                             'use_md5', true,
+                             'max_bucket_pairs', ${Long.MaxValue}L)""")
+    }),
 
     // ---- winnow pairs -> connected components -> keep-one: the
     // lifted-passage dedup pipeline end to end (pair generator and
@@ -2459,6 +2471,21 @@ object SparkEntry {
   private val semDedupIncOracle = Dedup.semDedupIncOracleSql("embeddings",
     "vec_id", "embedding", graft.pipeline.DemoModels.SemCentroids, 64, 8, 0.35,
     "vec_id % 10 = 0")
+
+  // dedup_winnow and its dedup_pairs-TVF twin share this oracle
+  private val winnowPairsOracle =
+    """WITH p AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+       g AS (SELECT doc_id,
+               list_transform(range(0, greatest(length(t) - 5 + 1, 1)),
+                 i -> ('0x' || substring(md5(substring(t, i::INT + 1, 5)), 1, 15))::BIGINT) AS hs
+             FROM p),
+       f AS (SELECT doc_id,
+               unnest(list_distinct(list_transform(range(0, greatest(len(hs) - 4 + 1, 1)),
+                 w -> list_min(hs[w::INT + 1 : w::INT + 4])))) AS fp
+             FROM g)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+       FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       GROUP BY 1, 2 HAVING count(*) >= 50"""
 
   // dedup_minhash_inc and its stored-state twin share this oracle
   private val minhashIncOracle =
@@ -4451,19 +4478,9 @@ object SparkEntry {
          SELECT d.doc_id AS doc_id FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
          WHERE comp.id IS NULL OR comp.comp = d.doc_id""",
     // the text_winnow sketch construction, self-joined on the fingerprint
-    "dedup_winnow" ->
-      """WITH p AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
-         g AS (SELECT doc_id,
-                 list_transform(range(0, greatest(length(t) - 5 + 1, 1)),
-                   i -> ('0x' || substring(md5(substring(t, i::INT + 1, 5)), 1, 15))::BIGINT) AS hs
-               FROM p),
-         f AS (SELECT doc_id,
-                 unnest(list_distinct(list_transform(range(0, greatest(len(hs) - 4 + 1, 1)),
-                   w -> list_min(hs[w::INT + 1 : w::INT + 4])))) AS fp
-               FROM g)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
-         FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
-         GROUP BY 1, 2 HAVING count(*) >= 50""",
+    "dedup_winnow" -> winnowPairsOracle,
+    // the dedup_pairs TVF's winnow method runs the same operator: one oracle
+    "dedup_winnow_sql" -> winnowPairsOracle,
     // top-100 boundary ties break on the token string in both engines;
     // counts are exact ints so the ratio divides identically
     "text_oov" ->

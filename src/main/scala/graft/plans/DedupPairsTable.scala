@@ -14,7 +14,7 @@ import graft.util.CheckpointStrategy
   * {{{
   *   SELECT * FROM dedup_pairs(
   *     'docs_view', 'text', 'doc_id'
-  *     [, 'method', 'simhash' | 'minhash' | 'ngram'   -- default simhash
+  *     [, 'method', 'simhash' | 'minhash' | 'ngram' | 'winnow'  -- default simhash
   *      -- simhash:  (id_a, id_b, hamming)
   *      , 'max_hamming', 3,  'use_md5', false
   *      -- minhash:  (id_a, id_b, est_jaccard)
@@ -22,26 +22,30 @@ import graft.util.CheckpointStrategy
   *      , 'threshold', 0.7
   *      -- ngram:    (id_a, id_b, jaccard)
   *      , 'ngram_n', 3, 'threshold', 0.5
+  *      -- winnow:   (id_a, id_b, n_shared) — lifted-passage overlap
+  *      , 'winnow_k', 5, 'winnow_window', 4, 'min_shared', 8, 'use_md5', false
   *      -- shared
   *      , 'max_bucket_pairs', N       -- blocking cap (CapMetrics-logged)
   *      , 'checkpoint_dir', '/p'])    -- reliable barriers (cluster jobs)
   * }}}
   *
-  * All three methods are the BLOCKED (never all-pairs) operators: simhash
-  * pigeonhole chunks, minhash banded LSH, ngram shared-shingle join —
-  * each with an observable per-bucket cap. Arguments must be foldable
-  * literals; the table name resolves in the session catalog. Same
-  * analysis-time eagerness note as the sibling TVFs: the operators
-  * materialize their blocking frames while the statement analyzes. */
+  * All four methods are the BLOCKED (never all-pairs) operators: simhash
+  * pigeonhole chunks, minhash banded LSH, ngram shared-shingle join,
+  * winnow shared-fingerprint join — each with an observable per-bucket
+  * cap. Arguments must be foldable literals; the table name resolves in
+  * the session catalog. Same analysis-time eagerness note as the sibling
+  * TVFs: the operators materialize their blocking frames while the
+  * statement analyzes. */
 object DedupPairsTable {
 
   val Name = "dedup_pairs"
 
   private val usage =
     "dedup_pairs('docs_table', 'text_col', 'id_col', then optional " +
-      "('method', 'simhash'|'minhash'|'ngram' | 'max_hamming', int | " +
+      "('method', 'simhash'|'minhash'|'ngram'|'winnow' | 'max_hamming', int | " +
       "'use_md5', bool | 'shingle_len', int | 'num_bands', int | " +
       "'rows_per_band', int | 'threshold', double | 'ngram_n', int | " +
+      "'winnow_k', int | 'winnow_window', int | 'min_shared', long | " +
       "'max_bucket_pairs', long | 'checkpoint_dir', 'path') pairs)"
 
   private val A = new TvfArgs(Name, usage)
@@ -62,12 +66,16 @@ object DedupPairsTable {
     var rowsPerBand = 4
     var threshold = Option.empty[Double]
     var ngramN = 3
+    var winnowK = 5
+    var winnowWindow = 4
+    var minShared = 8L
     var maxBucketPairs = 4_000_000L
     var checkpoint: CheckpointStrategy = CheckpointStrategy.Local
     A.options(args, 3) { (k, v) => k match {
       case "method" => A.str(v, "method value") match {
-        case m @ ("simhash" | "minhash" | "ngram") => method = m
-        case other => A.bad("method must be 'simhash', 'minhash' or 'ngram'", other)
+        case m @ ("simhash" | "minhash" | "ngram" | "winnow") => method = m
+        case other =>
+          A.bad("method must be 'simhash', 'minhash', 'ngram' or 'winnow'", other)
       }
       case "max_hamming" =>
         maxHamming = A.int(v, "max_hamming value")
@@ -84,6 +92,9 @@ object DedupPairsTable {
       case "rows_per_band" => rowsPerBand = A.int(v, "rows_per_band value")
       case "threshold" => threshold = Some(A.dbl(v, "threshold value"))
       case "ngram_n" => ngramN = A.int(v, "ngram_n value")
+      case "winnow_k" => winnowK = A.int(v, "winnow_k value")
+      case "winnow_window" => winnowWindow = A.int(v, "winnow_window value")
+      case "min_shared" => minShared = A.long(v, "min_shared value")
       case "max_bucket_pairs" => maxBucketPairs = A.long(v, "max_bucket_pairs value")
       case "checkpoint_dir" => A.str(v, "checkpoint_dir value") match {
         case d if d.nonEmpty => checkpoint = CheckpointStrategy.Reliable(d)
@@ -99,6 +110,10 @@ object DedupPairsTable {
       case "minhash" =>
         Dedup.minhashLshPairs(docs, textCol, idCol, shingleLen, numBands,
           rowsPerBand, threshold.getOrElse(0.7), maxBucketPairs, checkpoint)
+      case "winnow" =>
+        Dedup.winnowOverlapPairs(docs, textCol, idCol, winnowK, winnowWindow,
+          minShared, maxFingerprintPairs = maxBucketPairs, useMd5 = useMd5,
+          checkpoint = checkpoint)
       case _ =>
         Dedup.ngramJaccardPairs(docs, textCol, idCol, ngramN,
           threshold.getOrElse(0.5), checkpoint, maxBucketPairs)

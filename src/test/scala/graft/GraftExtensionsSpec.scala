@@ -93,7 +93,7 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("dedup_pairs TVF: all three methods equal their Scala operators, " +
+  test("dedup_pairs TVF: all four methods equal their Scala operators, " +
     "malformed args are diagnostics") {
     val fresh = spark.newSession()
     fresh.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -119,6 +119,13 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
       'dp_docs', 'text', 'doc_id', 'method', 'ngram', 'threshold', 0.5)""")
     assert(viaNgram == scalaPairs(graft.pipeline.Dedup.ngramJaccardPairs(
       docs, "text", "doc_id", 3, 0.5)))
+
+    val viaWin = rows("""SELECT id_a, id_b FROM dedup_pairs(
+      'dp_docs', 'text', 'doc_id', 'method', 'winnow',
+      'min_shared', 50, 'use_md5', true)""")
+    assert(viaWin == scalaPairs(graft.pipeline.Dedup.winnowOverlapPairs(
+      docs, "text", "doc_id", k = 5, window = 4, minShared = 50L,
+      useMd5 = true)) && viaWin.nonEmpty)
 
     for ((sql, frag) <- Seq(
       ("SELECT * FROM dedup_pairs('dp_docs', 'text')", "Usage"),
