@@ -91,6 +91,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftExtensions].getName,
         graft.plans.SemDedupPairsStoredTable.Name),
       graft.plans.SemDedupPairsStoredTable.build))
+    // batch-vs-SAVED-winnow-store lifted-passage flags (bucket-pruned):
+    // SELECT * FROM winnow_pairs_stored('batch','text','doc_id','/store')
+    ext.injectTableFunction((
+      FunctionIdentifier(graft.plans.WinnowPairsStoredTable.Name),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        graft.plans.WinnowPairsStoredTable.Name),
+      graft.plans.WinnowPairsStoredTable.build))
   }
 }
 

@@ -1676,6 +1676,59 @@ object SparkEntry {
                              'use_md5', true,
                              'max_bucket_pairs', ${Long.MaxValue}L)""")
     }),
+    // nightly lifted-passage check: the batch flags against the STORED
+    // winnow fingerprint state of the corpus — cross-side pairs only, no
+    // corpus text read (the minhash_inc shape on the fingerprint key)
+    "dedup_winnow_inc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bkt = Curation.md5Bucket(col("doc_id"))
+      val batch = docs.where(bkt < 100000L).select(col("doc_id"), col("text"))
+      val corpus = docs.where(bkt >= 100000L).select(col("doc_id"), col("text"))
+        .unionByName(docs.where(bkt < 50000L)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      Dedup.winnowCrossPairs(batch,
+        Dedup.winnowState(corpus, "text", "doc_id", k = 5, window = 4,
+          useMd5 = true),
+        "text", "doc_id", k = 5, window = 4, minShared = 50L,
+        maxFingerprintPairs = Long.MaxValue, useMd5 = true)
+    }),
+    // the same nightly flags through the STORED winnow state
+    // (saveWinnowState: fingerprint-bucketed rows + per-fp stats, both
+    // reads pruned to the batch's touched buckets) — one oracle
+    "dedup_winnow_inc_stored" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bkt = Curation.md5Bucket(col("doc_id"))
+      val batch = docs.where(bkt < 100000L).select(col("doc_id"), col("text"))
+      val corpus = docs.where(bkt >= 100000L).select(col("doc_id"), col("text"))
+        .unionByName(docs.where(bkt < 50000L)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      val store = "/tmp/graft_sql_winnow_store_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Dedup.saveWinnowState(corpus, "text", "doc_id", store, k = 5,
+        window = 4, useMd5 = true, nBuckets = 16)
+      Dedup.winnowPairsAgainstStored(batch, "text", "doc_id",
+        Dedup.loadWinnowState(s, store), minShared = 50L,
+        maxFingerprintPairs = Long.MaxValue)
+    }),
+    // the stored form's SQL front door (plans/WinnowPairsStoredTable)
+    "dedup_winnow_stored_sql" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bkt = Curation.md5Bucket(col("doc_id"))
+      val batch = docs.where(bkt < 100000L).select(col("doc_id"), col("text"))
+      val corpus = docs.where(bkt >= 100000L).select(col("doc_id"), col("text"))
+        .unionByName(docs.where(bkt < 50000L)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      val store = "/tmp/graft_sql_winnow_store_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Dedup.saveWinnowState(corpus, "text", "doc_id", store, k = 5,
+        window = 4, useMd5 = true, nBuckets = 16)
+      batch.createOrReplaceTempView("wps_sql_batch")
+      s.sql(
+        s"""SELECT id_a, id_b, n_shared
+            FROM winnow_pairs_stored('wps_sql_batch', 'text', 'doc_id',
+                                     '$store', 'min_shared', 50,
+                                     'max_fingerprint_pairs', ${Long.MaxValue}L)""")
+    }),
 
     // ---- winnow pairs -> connected components -> keep-one: the
     // lifted-passage dedup pipeline end to end (pair generator and
@@ -2471,6 +2524,36 @@ object SparkEntry {
   private val semDedupIncOracle = Dedup.semDedupIncOracleSql("embeddings",
     "vec_id", "embedding", graft.pipeline.DemoModels.SemCentroids, 64, 8, 0.35,
     "vec_id % 10 = 0")
+
+  // dedup_winnow_inc and its stored-state/TVF twins share this oracle:
+  // the winnow sketch replayed over both sides of the batch/corpus
+  // split, cross-side shared-fingerprint counts only
+  private val winnowCrossOracle =
+    """WITH d AS (SELECT doc_id, text,
+              ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS bkt
+            FROM documents),
+       ba AS (SELECT doc_id, lower(trim(text)) AS t FROM d WHERE bkt < 100000),
+       co AS (SELECT doc_id, lower(trim(text)) AS t FROM d WHERE bkt >= 100000
+              UNION ALL SELECT doc_id + 10000000, lower(trim(text)) FROM d WHERE bkt < 50000),
+       gb AS (SELECT doc_id,
+                list_transform(range(0, greatest(length(t) - 5 + 1, 1)),
+                  i -> ('0x' || substring(md5(substring(t, i::INT + 1, 5)), 1, 15))::BIGINT) AS hs
+              FROM ba),
+       gc AS (SELECT doc_id,
+                list_transform(range(0, greatest(length(t) - 5 + 1, 1)),
+                  i -> ('0x' || substring(md5(substring(t, i::INT + 1, 5)), 1, 15))::BIGINT) AS hs
+              FROM co),
+       fb AS (SELECT doc_id,
+                unnest(list_distinct(list_transform(range(0, greatest(len(hs) - 4 + 1, 1)),
+                  w -> list_min(hs[w::INT + 1 : w::INT + 4])))) AS fp
+              FROM gb),
+       fc AS (SELECT doc_id,
+                unnest(list_distinct(list_transform(range(0, greatest(len(hs) - 4 + 1, 1)),
+                  w -> list_min(hs[w::INT + 1 : w::INT + 4])))) AS fp
+              FROM gc)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+       FROM fb a JOIN fc b ON a.fp = b.fp
+       GROUP BY 1, 2 HAVING count(*) >= 50"""
 
   // dedup_winnow and its dedup_pairs-TVF twin share this oracle
   private val winnowPairsOracle =
@@ -4481,6 +4564,10 @@ object SparkEntry {
     "dedup_winnow" -> winnowPairsOracle,
     // the dedup_pairs TVF's winnow method runs the same operator: one oracle
     "dedup_winnow_sql" -> winnowPairsOracle,
+    // the nightly winnow check and its stored-state/TVF twins: one oracle
+    "dedup_winnow_inc" -> winnowCrossOracle,
+    "dedup_winnow_inc_stored" -> winnowCrossOracle,
+    "dedup_winnow_stored_sql" -> winnowCrossOracle,
     // top-100 boundary ties break on the token string in both engines;
     // counts are exact ints so the ratio divides identically
     "text_oov" ->

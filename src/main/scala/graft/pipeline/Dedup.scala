@@ -798,16 +798,192 @@ object Dedup {
                          checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
     // materialize once: the df-gate aggregate and both self-join sides
     // would otherwise each rebuild the k-gram + window-min sketch
-    val exploded = Materialize(
-      spread(docs).select(col(idCol),
-        explode(TextAnalysis.winnowFingerprints(col(textCol), k, window, useMd5))
-          .as("__sh")),
-      checkpoint)
+    val exploded = winnowState(docs, textCol, idCol, k, window, useMd5, checkpoint)
     val gated = gateHotShingles(exploded, "dedup_winnow", maxFingerprintPairs,
       maxDriverHotFingerprints)
     gated.as("a").join(gated.as("b"),
         col("a.__sh") === col("b.__sh") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /** The winnow corpus STATE: one (idCol, `__sh`) row per distinct
+    * window-minimum fingerprint of each document — what
+    * [[winnowOverlapPairs]] explodes internally, exposed as the stored
+    * frame of the nightly lifted-passage check ([[winnowCrossPairs]]).
+    * Append-only by construction (per-document rows, no cross-document
+    * aggregates) — the [[minhashState]] maintenance contract: append
+    * accepted batches' own rows after flagging, and erasure is an exact
+    * anti-join on idCol. */
+  def winnowState(docs: DataFrame, textCol: String, idCol: String,
+                  k: Int = 5, window: Int = 4, useMd5: Boolean = false,
+                  checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame =
+    Materialize(
+      spread(docs).select(col(idCol),
+        explode(TextAnalysis.winnowFingerprints(col(textCol), k, window, useMd5))
+          .as("__sh")),
+      checkpoint)
+
+  /** Nightly lifted-passage flags: `batch` documents vs a STORED corpus
+    * [[winnowState]] — (id_a from batch, id_b from corpus, n_shared >=
+    * minShared), ids disjoint by contract, NO corpus text read. The
+    * [[ngramJaccardCrossPairs]] cross-side rule on the fingerprint key:
+    * batch fingerprint rows join ONLY corpus rows of the same
+    * fingerprint (cost Σ dfBatch·dfCorpus per fingerprint, never Σ df²)
+    * and [[gateHotShinglesCross]] caps the cross product with O(drops)
+    * accounting (stage `dedup_winnow_cross`). `k`/`window`/`useMd5` must
+    * match the state's construction. */
+  def winnowCrossPairs(batch: DataFrame, corpusState: DataFrame,
+                       textCol: String, idCol: String,
+                       k: Int = 5, window: Int = 4, minShared: Long = 8L,
+                       maxFingerprintPairs: Long = 4_000_000L,
+                       maxDriverHotFingerprints: Int = 1_000_000,
+                       useMd5: Boolean = false,
+                       checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val eB = winnowState(batch, textCol, idCol, k, window, useMd5, checkpoint)
+    val (gB, gC) = gateHotShinglesCross(eB, corpusState, "dedup_winnow_cross",
+      maxFingerprintPairs, maxDriverHotFingerprints)
+    gB.as("a").join(gC.as("b"), col("a.__sh") === col("b.__sh"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /** Fingerprint-bucket expression shared by the stored winnow state's
+    * writer and its query-time pruning — MUST stay identical. */
+  private def winnowFpBucket(nBuckets: Int): Column =
+    pmod(xxhash64(col("__sh")), lit(nBuckets.toLong))
+
+  /** Persist a winnow corpus state FINGERPRINT-BUCKETED — the
+    * [[saveMinhashState]] treatment applied to the lifted-passage
+    * detector, completing the stored-state trio's fourth member:
+    * [[winnowCrossPairs]] already never reads corpus text, but its state
+    * frame is scanned whole per trigger. Layout under the shared
+    * generation-flip harness ([[saveHammingState]] graceGens contract):
+    *
+    *  - `fps/bucket=N/` — (id, __sh), bucket = hash(__sh) mod nBuckets:
+    *    a batch's fingerprints touch ≤ min(batch sketch, nBuckets)
+    *    directories, and the shared-fingerprint join reads only those.
+    *  - `stats/bucket=N/` — per-fingerprint corpus document frequency,
+    *    so the cross-side hot gate prices a batch from the stats table
+    *    alone (no fps-row scan to decide).
+    *  - `meta/` — k, window, useMd5, nBuckets: the sketch parameters ARE
+    *    the layout; thresholds stay query-time knobs. */
+  def saveWinnowState(corpus: DataFrame, textCol: String, idCol: String,
+                      path: String, k: Int = 5, window: Int = 4,
+                      useMd5: Boolean = false,
+                      nBuckets: Int = 64, graceGens: Int = 1): Unit = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(window >= 1, s"window must be >= 1 (got $window)")
+    require(nBuckets >= 1, s"nBuckets must be >= 1 (got $nBuckets)")
+    val spark = corpus.sparkSession
+    writeGenerationFlipped(spark, path, graceGens, "saveWinnowState") { genPath =>
+      // ONE execution of the corpus sketch lineage: fps staged to
+      // parquet, stats derive from the WRITTEN file
+      val fps = spread(corpus).select(col(idCol).as("id"),
+          explode(TextAnalysis.winnowFingerprints(col(textCol), k, window, useMd5))
+            .as("__sh"))
+        .withColumn("bucket", winnowFpBucket(nBuckets))
+      fps.limit(0).write.mode("overwrite").parquet(s"$genPath/schema_fps")
+      fps.repartition(nBuckets, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$genPath/fps")
+      spark.read.schema(storedSchema(spark, s"$genPath/schema_fps"))
+        .parquet(s"$genPath/fps")
+        .groupBy(col("bucket"), col("__sh"))
+        .agg(count(lit(1)).as("__dfr"))
+        .repartition(nBuckets, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$genPath/stats")
+      import spark.implicits._
+      Seq((k, window, useMd5, nBuckets))
+        .toDF("k", "window", "use_md5", "n_buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$genPath/meta")
+    }
+  }
+
+  /** A stored winnow corpus state ([[saveWinnowState]] layout). */
+  final case class StoredWinnowState(fps: DataFrame, stats: DataFrame,
+                                     k: Int, window: Int, useMd5: Boolean,
+                                     nBuckets: Int)
+
+  def loadWinnowState(spark: org.apache.spark.sql.SparkSession,
+                      path: String): StoredWinnowState = {
+    val (fs, root) = DurableIndex.qualified(spark, path)
+    val live = liveHammingGen(fs, root).getOrElse(throw new IllegalArgumentException(
+      s"winnow state at $path has no committed generation (never saved, " +
+        "or every save/refresh died mid-write) — run saveWinnowState"))
+    val genPath = s"$path/${live.getName}"
+    val m = spark.read.parquet(s"$genPath/meta").head()
+    val sch = storedSchema(spark, s"$genPath/schema_fps")
+    val statsSchema = org.apache.spark.sql.types.StructType(
+      sch.filter(f => f.name == "__sh" || f.name == "bucket") :+
+        org.apache.spark.sql.types.StructField("__dfr",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    StoredWinnowState(
+      spark.read.schema(sch).parquet(s"$genPath/fps"),
+      spark.read.schema(statsSchema).parquet(s"$genPath/stats"),
+      m.getAs[Int]("k"), m.getAs[Int]("window"),
+      m.getAs[Boolean]("use_md5"), m.getAs[Int]("n_buckets"))
+  }
+
+  /** [[winnowCrossPairs]] against a STORED state: per-trigger corpus I/O
+    * is proportional to the fingerprint buckets the batch touches, not
+    * the store. The batch's distinct fingerprint buckets (bounded
+    * collect — ≤ nBuckets values) become a partition filter on both
+    * stored frames; the cross-side hot gate is priced from batch
+    * frequencies × the store's stats with no fps-row scan, and hot
+    * fingerprints are filtered from BOTH sides (driver-bounded NOT-IN
+    * when small, anti-join otherwise — the [[gateHotShinglesCross]]
+    * escalation). Output identical to the in-memory form on the same
+    * sketch parameters (spec-pinned; the oracled twin shares
+    * `dedup_winnow_inc`'s oracle verbatim). */
+  def winnowPairsAgainstStored(batch: DataFrame, textCol: String, idCol: String,
+                               stored: StoredWinnowState, minShared: Long = 8L,
+                               maxFingerprintPairs: Long = 4_000_000L,
+                               maxDriverHotFingerprints: Int = 1_000_000,
+                               checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val eB = winnowState(batch, textCol, idCol, stored.k, stored.window,
+      stored.useMd5, checkpoint)
+    // pruned read 1: only the batch's touched fingerprint buckets
+    val touched = eB.select(winnowFpBucket(stored.nBuckets).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).map(b => b: Any)
+    val cFps = stored.fps.where(col("bucket").isin(touched: _*)).drop("bucket")
+    val cStats = stored.stats.where(col("bucket").isin(touched: _*)).drop("bucket")
+    // cross gate priced from batch dfs x STORED corpus dfs
+    val (gB, gC) =
+      if (maxFingerprintPairs == Long.MaxValue) (eB, cFps)
+      else {
+        val bDf = eB.groupBy(col("__sh")).agg(count(lit(1)).as("__dfl"))
+        val joint = bDf.join(cStats, Seq("__sh"))
+        val pairsEst = col("__dfl").cast("double") * col("__dfr").cast("double")
+        val overCap = pairsEst > maxFingerprintPairs.toDouble
+        val row = joint.agg(
+          count(lit(1)).as("total"),
+          sum(when(overCap, 1L).otherwise(0L)).as("dropped"),
+          sum(when(overCap, pairsEst).otherwise(lit(0.0))).as("dropped_pairs")).head()
+        val total = if (row.isNullAt(0)) 0L else row.getLong(0)
+        val dropped = if (row.isNullAt(1)) 0L else row.getLong(1)
+        val droppedPairs =
+          if (row.isNullAt(2)) 0L
+          else math.min(row.getDouble(2), Long.MaxValue.toDouble).toLong
+        CapMetrics.record("dedup_winnow_stored",
+          CapMetrics.CapStats(dropped, total, droppedPairs))
+        if (dropped == 0L) (eB, cFps)
+        else if (dropped <= maxDriverHotFingerprints) {
+          val hot = joint.where(overCap).select(col("__sh")).collect().map(_.getLong(0))
+          java.util.Arrays.sort(hot)
+          val keep = (e: DataFrame) =>
+            e.where(!graft.fuzzy.vectorFunctions.long_in(col("__sh"), hot))
+          (keep(eB), keep(cFps))
+        } else {
+          val hotFrame = joint.where(overCap).select(col("__sh"))
+          (eB.join(hotFrame, Seq("__sh"), "left_anti"),
+            cFps.join(hotFrame, Seq("__sh"), "left_anti"))
+        }
+      }
+    gB.as("a").join(gC.as("b"), col("a.__sh") === col("b.__sh"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }

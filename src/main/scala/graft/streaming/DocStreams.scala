@@ -197,4 +197,29 @@ object DocStreams {
       }
     }
   }
+
+  /** [[minhashNearDupWriterStored]]'s lifted-passage sibling: each
+    * micro-batch flags its documents against a SAVED
+    * [[graft.pipeline.Dedup.saveWinnowState]] store
+    * ([[graft.pipeline.Dedup.winnowPairsAgainstStored]]) — per-trigger
+    * corpus I/O prunes to the batch's touched fingerprint buckets, the
+    * store handle resolves its live generation at writer build time
+    * (re-open after a nightly refresh), and the same per-batch
+    * [[graft.util.MatchScope]] / idempotent-sink contract applies. */
+  def winnowNearDupWriterStored(stream: DataFrame, statePath: String,
+                                textCol: String, idCol: String,
+                                minShared: Long = 8L,
+                                maxFingerprintPairs: Long = 4_000_000L)
+                               (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val stored = graft.pipeline.Dedup.loadWinnowState(
+      stream.sparkSession, statePath)
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.util.MatchScope.withMatchScope {
+        sink(graft.pipeline.Dedup.winnowPairsAgainstStored(
+          batch, textCol, idCol, stored, minShared, maxFingerprintPairs),
+          batchId)
+      }
+    }
+  }
 }

@@ -214,6 +214,44 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("winnow_pairs_stored TVF: SQL path equals the Scala stored reader, " +
+    "malformed args are diagnostics") {
+    val fresh = spark.newSession()
+    import org.apache.spark.sql.functions.col
+    val docs = fresh.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val batch = docs.where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+    val store = java.nio.file.Files.createTempDirectory("wps_tvf").toString
+    graft.pipeline.Dedup.saveWinnowState(docs, "text", "doc_id", store,
+      k = 5, window = 4, nBuckets = 8)
+    batch.createOrReplaceTempView("wps_batch")
+
+    val viaSql = fresh.sql(
+      s"""SELECT id_a, id_b, n_shared
+          FROM winnow_pairs_stored('wps_batch', 'text', 'doc_id', '$store',
+                                   'min_shared', 10)""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaScala = graft.pipeline.Dedup.winnowPairsAgainstStored(
+        batch, "text", "doc_id",
+        graft.pipeline.Dedup.loadWinnowState(fresh, store), minShared = 10L)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("n_shared"))).toSet
+    assert(viaSql == viaScala && viaSql.nonEmpty)
+
+    for ((sql, frag) <- Seq(
+      ("SELECT * FROM winnow_pairs_stored('wps_batch', 'text')", "Usage"),
+      (s"SELECT * FROM winnow_pairs_stored('wps_batch', 'text', 'doc_id', " +
+        s"'$store', 'bogus', 1)", "unknown option"),
+      (s"SELECT * FROM winnow_pairs_stored('wps_batch', 'text', 'doc_id', " +
+        s"'$store', 'min_shared', 2.9)", "must be an integer literal"),
+      ("SELECT * FROM winnow_pairs_stored('wps_batch', 'text', 'doc_id', " +
+        "'/tmp/wps_tvf_never_saved')", "no committed generation"))) {
+      val e = intercept[Exception] { fresh.sql(sql).collect() }
+      assert(msgs(e).exists(_.contains(frag)), s"$sql -> ${msgs(e)}")
+    }
+  }
+
   test("semdedup_pairs_stored TVF: SQL path equals the Scala stored reader, " +
     "malformed args are diagnostics") {
     val fresh = spark.newSession()

@@ -187,4 +187,116 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkSpec {
     val capped = at(1L) // every multi-pair bucket over budget
     assert(capped.subsetOf(full))
   }
+
+  test("winnow cross pairs equal the cross-side slice of the self-join operator") {
+    // ground truth: run the whole-corpus operator on the union and keep
+    // only batch-x-corpus rows (ids disjoint: batch < 100, corpus >= 100)
+    val union = batch.unionByName(corpus)
+    val whole = Dedup.winnowOverlapPairs(union, "text", "doc_id",
+        k = 3, window = 4, minShared = 1L, maxFingerprintPairs = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expect = whole.collect { case (a, b, n) if a < 100L && b >= 100L => (a, b, n) }
+    val got = Dedup.winnowCrossPairs(batch,
+        Dedup.winnowState(corpus, "text", "doc_id", k = 3, window = 4),
+        "text", "doc_id", k = 3, window = 4, minShared = 1L,
+        maxFingerprintPairs = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expect && got.nonEmpty)
+    // cross-side only: batch 2/5 (identical text) never pair each other
+    assert(got.forall { case (a, b, _) => a < 100L && b >= 100L })
+  }
+
+  test("stored winnow state: identical answer to the in-memory form, " +
+    "PRUNED fps and stats scans, generation-flipped refresh") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val corpusDf = docs
+    val batchDf = docs.where($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    val dir = java.nio.file.Files.createTempDirectory("wn_store").toString
+    Dedup.saveWinnowState(corpusDf, "text", "doc_id", dir, k = 5,
+      window = 4, useMd5 = false, nBuckets = 16)
+    val stored = Dedup.loadWinnowState(spark, dir)
+    assert(stored.k == 5 && stored.window == 4 && !stored.useMd5 &&
+      stored.nBuckets == 16)
+
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_a", "id_b", "n_shared")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the gate's stats read executes inside the call (driver aggregate);
+    // capture it via a QueryExecutionListener like the minhash spec
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    // real cap (default) so the cross gate actually prices from stats
+    val viaStored = Dedup.winnowPairsAgainstStored(batchDf, "text", "doc_id",
+      stored, minShared = 10L)
+    val inMemory = pairSet(Dedup.winnowCrossPairs(batchDf,
+      Dedup.winnowState(corpusDf, "text", "doc_id", k = 5, window = 4),
+      "text", "doc_id", k = 5, window = 4, minShared = 10L))
+    assert(pairSet(viaStored) == inMemory && inMemory.nonEmpty,
+      s"stored=${pairSet(viaStored).size} inMemory=${inMemory.size}")
+
+    // the stats scan (executed during the gate) must prune on bucket:
+    // look for a plan that reads the /stats path WITH a bucket
+    // PartitionFilters entry — path-anchored so the fps scan can't
+    // satisfy this assert. Listener callbacks are async: poll briefly.
+    import scala.jdk.CollectionConverters._
+    def statsPruned = plans.asScala.exists(p =>
+      p.contains("/stats") &&
+        "PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p).isDefined)
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (!statsPruned && System.nanoTime() < deadline) Thread.sleep(50)
+    spark.listenerManager.unregister(listener)
+    assert(statsPruned,
+      "stats bucket filter did not reach partition pruning in any plan " +
+        s"executed during the call:\n${plans.asScala.mkString("\n---\n")}")
+    // the fps scan IS in the returned frame's plan (join side)
+    val plan = viaStored.queryExecution.executedPlan.toString
+    assert(plan.contains("/fps") &&
+      "PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"fps bucket filter did not reach partition pruning:\n$plan")
+
+    // a refresh flips generations (shared writeGenerationFlipped harness)
+    Dedup.saveWinnowState(corpusDf, "text", "doc_id", dir, k = 5,
+      window = 4, useMd5 = false, nBuckets = 16)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val gens = fs.listStatus(fs.makeQualified(new org.apache.hadoop.fs.Path(dir)))
+      .map(_.getPath.getName).filter(_.startsWith("gen=")).sorted
+    assert(gens.contains("gen=1") && gens.contains("gen=0"),
+      s"refresh did not flip generations with grace: ${gens.toSeq}")
+    assert(pairSet(Dedup.winnowPairsAgainstStored(batchDf, "text", "doc_id",
+      Dedup.loadWinnowState(spark, dir), minShared = 10L)) == inMemory)
+
+    // empty batch: zero pairs, no touched buckets, no failure
+    assert(Dedup.winnowPairsAgainstStored(batchDf.limit(0), "text", "doc_id",
+      stored, minShared = 10L).count() == 0L)
+
+    // a never-saved path names the writer to run, loudly
+    val e = intercept[IllegalArgumentException] {
+      Dedup.loadWinnowState(spark,
+        java.nio.file.Files.createTempDirectory("wn_none").toString)
+    }
+    assert(e.getMessage.contains("saveWinnowState"))
+  }
+
+  test("stored winnow: capped fingerprints only remove pairs, never invent them") {
+    val dir = java.nio.file.Files.createTempDirectory("wn_store_cap").toString
+    Dedup.saveWinnowState(corpus, "text", "doc_id", dir, k = 3, window = 4,
+      nBuckets = 8)
+    val stored = Dedup.loadWinnowState(spark, dir)
+    def at(cap: Long) = Dedup.winnowPairsAgainstStored(batch, "text", "doc_id",
+        stored, minShared = 1L, maxFingerprintPairs = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = at(Long.MaxValue)
+    assert(full.nonEmpty && at(1L).subsetOf(full))
+  }
 }

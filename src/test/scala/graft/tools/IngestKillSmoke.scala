@@ -26,7 +26,10 @@ import org.apache.spark.sql.functions._
   *    driver-side collects per batch — the shape the other arms lack);
   *  - `semdedup` — [[graft.streaming.AnnStream.semanticNearDupWriterStored]]
   *    over a saved SemDeDup store (one touched-cell collect per batch,
-  *    the pruned corpus vector read joining a retried assignment stage).
+  *    the pruned corpus vector read joining a retried assignment stage);
+  *  - `winnow` — [[graft.streaming.DocStreams.winnowNearDupWriterStored]]
+  *    over a saved winnow store (touched-bucket collect + the cross hot
+  *    gate's driver aggregate both mid-trigger).
   *
   * A killer thread SIGKILLs one executor JVM (descendants of this
   * process only) the moment a trigger has an active stage; the stream
@@ -153,6 +156,14 @@ object IngestKillSmoke {
     graft.pipeline.Dedup.saveSemDedupState(e, "embedding", "vec_id",
       s"$work/state_semdedup", graft.pipeline.DemoModels.SemCentroids,
       dim = 64, nCells = 8)
+    // winnow arm: corpus = all docs; batches re-keyed doc subsets
+    // (same text -> every fingerprint shared with the stored partner)
+    val wnBatches = (0 until 3).map(i =>
+      d.where(col("doc_id") % 3 === i)
+        .select((col("doc_id") + 400000L).as("doc_id"), col("text")))
+    stage(wnBatches, work.resolve("in_winnow"))
+    graft.pipeline.Dedup.saveWinnowState(d, "text", "doc_id",
+      s"$work/state_winnow", k = 5, window = 4, useMd5 = false, nBuckets = 8)
 
     // clean expectations (no kill): the batch operators over the same data
     val cleanHamming = {
@@ -182,8 +193,14 @@ object IngestKillSmoke {
             org.apache.spark.sql.functions.round(col("cosine"), 9).as("c")))
         .reduce(_ unionByName _))
     }
+    val cleanWinnow = {
+      val stored = graft.pipeline.Dedup.loadWinnowState(spark, s"$work/state_winnow")
+      fingerprint(wnBatches.map(b =>
+        graft.pipeline.Dedup.winnowPairsAgainstStored(b, "text", "doc_id",
+          stored, minShared = 10L)).reduce(_ unionByName _))
+    }
     println(s"[ingestkill] clean hamming=$cleanHamming ivf=$cleanIvf " +
-      s"minhash=$cleanMinhash semdedup=$cleanSemdedup")
+      s"minhash=$cleanMinhash semdedup=$cleanSemdedup winnow=$cleanWinnow")
 
     /** Arm a killer that SIGKILLs one executor as soon as a stage is
       * active, run `body`, and report (killedPid, removal events seen). */
@@ -330,6 +347,34 @@ object IngestKillSmoke {
         failed = true
       } else
         println(s"[ingestkill] PASS semdedup: killed pid=$pid mid-trigger, " +
+          s"stream drained to the clean fingerprint $fp")
+    }
+
+    // ---- arm 5: stored-winnow writer, executor killed mid-trigger
+    // (touched-bucket collect + gate driver aggregate interleave retry)
+    {
+      val schema = wnBatches.head.schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/in_winnow")
+      val writer = graft.streaming.DocStreams.winnowNearDupWriterStored(
+        stream, s"$work/state_winnow", "text", "doc_id",
+        minShared = 10L) { (pairs, batchId) =>
+        pairs.write.mode("overwrite").parquet(s"$work/out_winnow/batch=$batchId")
+      }.option("checkpointLocation", s"$work/ckpt_winnow")
+      val (_, pid) = withKill("winnow") {
+        val q = writer.start()
+        q.processAllAvailable(); q.stop()
+      }
+      val fp = fingerprint(spark.read.parquet(s"$work/out_winnow")
+        .select(col("id_a"), col("id_b"), col("n_shared")))
+      if (pid == -1L) {
+        println("[ingestkill] FAIL winnow: no executor was killed (stream too fast?)")
+        failed = true
+      } else if (fp != cleanWinnow) {
+        println(s"[ingestkill] FAIL winnow: got $fp, clean was $cleanWinnow")
+        failed = true
+      } else
+        println(s"[ingestkill] PASS winnow: killed pid=$pid mid-trigger, " +
           s"stream drained to the clean fingerprint $fp")
     }
 
