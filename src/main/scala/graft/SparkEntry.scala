@@ -231,6 +231,21 @@ object SparkEntry {
         maxShinglePairs = Long.MaxValue)
       p.select(col("id_a"), col("id_b"), sround(col("containment"), 6).as("containment"))
     }),
+    // nightly containment check: the batch's asymmetric-overlap pairs
+    // against the corpus — cross-side blocking only (the decontamination
+    // shape: a quoted passage scores 1.0 where jaccard dilutes to ~0)
+    "dedup_containment_inc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bkt = Curation.md5Bucket(col("doc_id"))
+      val batch = docs.where(bkt < 100000L).select(col("doc_id"), col("text"))
+      val corpus = docs.where(bkt >= 100000L).select(col("doc_id"), col("text"))
+        .unionByName(docs.where(bkt < 50000L)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      Dedup.containmentCrossPairs(batch, corpus, "text", "doc_id", 3, 0.6,
+          maxShinglePairs = Long.MaxValue)
+        .select(col("id_a"), col("id_b"),
+          sround(col("containment"), 6).as("containment"))
+    }),
     // MinHash LSH candidates + exact shingle-jaccard verify: the candidate
     // generation is sub-quadratic LSH, the verify makes the output ground
     // truth -> oracled against the same SQL family as dedup_ngram_jaccard.
@@ -2740,6 +2755,30 @@ object SparkEntry {
          SELECT id_a, id_b, round(common / least(sa.sz, sb.sz), 6) AS containment
          FROM c JOIN sz sa ON c.id_a = sa.doc_id JOIN sz sb ON c.id_b = sb.doc_id
          WHERE common / least(sa.sz, sb.sz) >= 0.6""",
+    // the cross-side containment twin: same shingle construction over
+    // the batch/corpus split, batch-x-corpus pairs only
+    "dedup_containment_inc" ->
+      """WITH d AS (SELECT doc_id, text,
+              ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS bkt
+            FROM documents),
+         ba AS (SELECT doc_id, text FROM d WHERE bkt < 100000),
+         co AS (SELECT doc_id, text FROM d WHERE bkt >= 100000
+                UNION ALL SELECT doc_id + 10000000, text FROM d WHERE bkt < 50000),
+         ta AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM ba),
+         tc AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM co),
+         sa AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) END AS sh FROM ta),
+         sc AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) END AS sh FROM tc),
+         ea AS (SELECT doc_id, unnest(sh) AS g FROM sa),
+         ec AS (SELECT doc_id, unnest(sh) AS g FROM sc),
+         za AS (SELECT doc_id, len(sh) AS sz FROM sa),
+         zc AS (SELECT doc_id, len(sh) AS sz FROM sc),
+         c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+               FROM ea a JOIN ec b ON a.g = b.g GROUP BY 1, 2)
+         SELECT id_a, id_b, round(common / least(za.sz, zc.sz), 6) AS containment
+         FROM c JOIN za ON c.id_a = za.doc_id JOIN zc ON c.id_b = zc.doc_id
+         WHERE common / least(za.sz, zc.sz) >= 0.6""",
     // ground truth for the LSH-candidates + exact-verify pipeline: identical
     // shingle construction, threshold 0.5 (recall of the candidate stage is
     // ~1 for the high-jaccard near-dups this detects; the AnnJoin/Dedup

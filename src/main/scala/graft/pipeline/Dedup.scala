@@ -702,6 +702,35 @@ object Dedup {
       (common, sa, sb) => common / least(sa, sb), threshold)
   }
 
+  /** Exact n-gram CONTAINMENT pairs ACROSS two frames — (id_a from
+    * `left`, id_b from `right`, containment = |A∩B| / min(|A|,|B|) >=
+    * threshold), id spaces disjoint by contract. The decontamination /
+    * nightly-quote shape: a benchmark passage or boilerplate block
+    * quoted verbatim inside an arriving document scores 1.0 here while
+    * its jaccard is ≈ |A|/|B| — see [[containmentPairs]] for why banded
+    * LSH is NOT the escape hatch for this signal. Plan shape is
+    * [[ngramJaccardCrossPairs]]: cross-side shared-shingle blocking
+    * (cost Σ dfL·dfR per shingle, never Σ df²), the cross hot gate
+    * (stage `dedup_containment_cross`), exact scoring of survivors. */
+  def containmentCrossPairs(left: DataFrame, right: DataFrame,
+                            textCol: String, idCol: String,
+                            n: Int, threshold: Double,
+                            checkpoint: CheckpointStrategy = CheckpointStrategy.Local,
+                            maxShinglePairs: Long = 4_000_000L,
+                            maxDriverHotShingles: Int = 1_000_000): DataFrame = {
+    val setsL = shingleSets(left, textCol, idCol, n, checkpoint)
+    val setsR = shingleSets(right, textCol, idCol, n, checkpoint)
+    val eL = setsL.select(col(idCol), explode(col("__hset")).as("__sh"))
+    val eR = setsR.select(col(idCol), explode(col("__hset")).as("__sh"))
+    val (gL, gR) = gateHotShinglesCross(eL, eR, "dedup_containment_cross",
+      maxShinglePairs, maxDriverHotShingles)
+    val pairs = gL.as("a").join(gR.as("b"), col("a.__sh") === col("b.__sh"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    verifyScoredSided(pairs, setsL, setsR, idCol, "containment",
+      (common, sa, sb) => common / least(sa, sb), threshold)
+  }
+
   /** Exact n-gram Jaccard near-duplicate pairs ACROSS two frames —
     * (id_a from `left`, id_b from `right`, jaccard >= threshold), id
     * spaces disjoint by contract. The blocking join pairs left shingle

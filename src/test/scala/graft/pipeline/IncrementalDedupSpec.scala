@@ -188,6 +188,37 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkSpec {
     assert(capped.subsetOf(full))
   }
 
+  test("containment cross pairs equal the cross-side slice of the self-join " +
+    "operator, and catch the asymmetric quote jaccard misses") {
+    import spark.implicits._
+    val quoted = corpus.unionByName(Seq(
+      // corpus doc 103 embeds batch doc 6's full text inside much more:
+      // containment 1.0, jaccard diluted far below any useful threshold
+      (103L, "prefix filler words here the quick brown fox jumps over the " +
+        "lazy dog and then a very long suffix of unrelated filler content " +
+        "that keeps the jaccard of this pair tiny indeed")).toDF("doc_id", "text"))
+    val qBatch = batch.unionByName(
+      Seq((6L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text"))
+    val whole = Dedup.containmentPairs(qBatch.unionByName(quoted),
+        "text", "doc_id", 3, 0.9, maxShinglePairs = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val expect = whole.collect { case (a, b, c) if a < 100L && b >= 100L => (a, b, c) }
+    val got = Dedup.containmentCrossPairs(qBatch, quoted, "text", "doc_id",
+        3, 0.9, maxShinglePairs = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    assert(got === expect && got.nonEmpty)
+    // the quote pair survives the 0.9 bar cross-side...
+    assert(got.exists { case (a, b, _) => a == 6L && b == 103L })
+    // ...while its jaccard is nowhere near it (the signal this op exists for)
+    val j = Dedup.ngramJaccardCrossPairs(qBatch, quoted, "text", "doc_id",
+        3, 0.0001, maxShinglePairs = Long.MaxValue)
+      .where($"id_a" === 6L && $"id_b" === 103L)
+      .select("jaccard").collect()
+    assert(j.nonEmpty && j.head.getDouble(0) < 0.5)
+  }
+
   test("winnow cross pairs equal the cross-side slice of the self-join operator") {
     // ground truth: run the whole-corpus operator on the union and keep
     // only batch-x-corpus rows (ids disjoint: batch < 100, corpus >= 100)
