@@ -718,17 +718,36 @@ object Dedup {
                             checkpoint: CheckpointStrategy = CheckpointStrategy.Local,
                             maxShinglePairs: Long = 4_000_000L,
                             maxDriverHotShingles: Int = 1_000_000): DataFrame = {
+    val (pairs, setsL, setsR) = crossBlockedCandidates(left, right, textCol,
+      idCol, n, "dedup_containment_cross", checkpoint, maxShinglePairs,
+      maxDriverHotShingles)
+    verifyScoredSided(pairs, setsL, setsR, idCol, "containment",
+      (common, sa, sb) => common / least(sa, sb), threshold)
+  }
+
+  /** Shared cross-side blocking scaffold of [[ngramJaccardCrossPairs]]
+    * and [[containmentCrossPairs]] — shingle sets per side, exploded
+    * rows, the cross hot gate, the shared-shingle join, pair dedup.
+    * Factored for the same reason as [[verifyScoredSided]]: the two
+    * cross operators must share one blocking plan or they drift.
+    * Returns (candidate id pairs, left sets, right sets). */
+  private def crossBlockedCandidates(left: DataFrame, right: DataFrame,
+                                     textCol: String, idCol: String,
+                                     n: Int, stage: String,
+                                     checkpoint: CheckpointStrategy,
+                                     maxShinglePairs: Long,
+                                     maxDriverHotShingles: Int
+                                    ): (DataFrame, DataFrame, DataFrame) = {
     val setsL = shingleSets(left, textCol, idCol, n, checkpoint)
     val setsR = shingleSets(right, textCol, idCol, n, checkpoint)
     val eL = setsL.select(col(idCol), explode(col("__hset")).as("__sh"))
     val eR = setsR.select(col(idCol), explode(col("__hset")).as("__sh"))
-    val (gL, gR) = gateHotShinglesCross(eL, eR, "dedup_containment_cross",
+    val (gL, gR) = gateHotShinglesCross(eL, eR, stage,
       maxShinglePairs, maxDriverHotShingles)
     val pairs = gL.as("a").join(gR.as("b"), col("a.__sh") === col("b.__sh"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    verifyScoredSided(pairs, setsL, setsR, idCol, "containment",
-      (common, sa, sb) => common / least(sa, sb), threshold)
+    (pairs, setsL, setsR)
   }
 
   /** Exact n-gram Jaccard near-duplicate pairs ACROSS two frames —
@@ -750,15 +769,9 @@ object Dedup {
                              checkpoint: CheckpointStrategy = CheckpointStrategy.Local,
                              maxShinglePairs: Long = 4_000_000L,
                              maxDriverHotShingles: Int = 1_000_000): DataFrame = {
-    val setsL = shingleSets(left, textCol, idCol, n, checkpoint)
-    val setsR = shingleSets(right, textCol, idCol, n, checkpoint)
-    val eL = setsL.select(col(idCol), explode(col("__hset")).as("__sh"))
-    val eR = setsR.select(col(idCol), explode(col("__hset")).as("__sh"))
-    val (gL, gR) = gateHotShinglesCross(eL, eR, "dedup_ngram_cross",
-      maxShinglePairs, maxDriverHotShingles)
-    val pairs = gL.as("a").join(gR.as("b"), col("a.__sh") === col("b.__sh"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val (pairs, setsL, setsR) = crossBlockedCandidates(left, right, textCol,
+      idCol, n, "dedup_ngram_cross", checkpoint, maxShinglePairs,
+      maxDriverHotShingles)
     verifyJaccardSided(pairs, setsL, setsR, idCol, threshold)
   }
 
@@ -767,13 +780,18 @@ object Dedup {
     * reducer key, so shingles over the pair budget are dropped from pair
     * generation on BOTH sides (scores of survivors stay exact). One
     * joined df-stats aggregate; hot set inlines as a sorted-array NOT-IN
-    * codegen filter when it fits on the driver, else anti-joins. */
+    * codegen filter when it fits on the driver, else anti-joins.
+    * `dfRPre` supplies a PRECOMPUTED right-side (`__sh`, `__dfr`) frame —
+    * the stored-state query paths price the gate from their store's
+    * stats table instead of rescanning the right rows. */
   private def gateHotShinglesCross(eL: DataFrame, eR: DataFrame, stage: String,
                                    maxShinglePairs: Long,
-                                   maxDriverHot: Int): (DataFrame, DataFrame) = {
+                                   maxDriverHot: Int,
+                                   dfRPre: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     if (maxShinglePairs == Long.MaxValue) return (eL, eR)
     val dfL = eL.groupBy(col("__sh")).agg(count(lit(1)).as("__dfl"))
-    val dfR = eR.groupBy(col("__sh")).agg(count(lit(1)).as("__dfr"))
+    val dfR = dfRPre.getOrElse(
+      eR.groupBy(col("__sh")).agg(count(lit(1)).as("__dfr")))
     // inner join: a shingle on one side only makes no pairs (the blocking
     // join skips it for free) and cannot be hot
     val joint = dfL.join(dfR, Seq("__sh"))
@@ -979,38 +997,10 @@ object Dedup {
       .distinct().collect().map(_.getLong(0)).map(b => b: Any)
     val cFps = stored.fps.where(col("bucket").isin(touched: _*)).drop("bucket")
     val cStats = stored.stats.where(col("bucket").isin(touched: _*)).drop("bucket")
-    // cross gate priced from batch dfs x STORED corpus dfs
-    val (gB, gC) =
-      if (maxFingerprintPairs == Long.MaxValue) (eB, cFps)
-      else {
-        val bDf = eB.groupBy(col("__sh")).agg(count(lit(1)).as("__dfl"))
-        val joint = bDf.join(cStats, Seq("__sh"))
-        val pairsEst = col("__dfl").cast("double") * col("__dfr").cast("double")
-        val overCap = pairsEst > maxFingerprintPairs.toDouble
-        val row = joint.agg(
-          count(lit(1)).as("total"),
-          sum(when(overCap, 1L).otherwise(0L)).as("dropped"),
-          sum(when(overCap, pairsEst).otherwise(lit(0.0))).as("dropped_pairs")).head()
-        val total = if (row.isNullAt(0)) 0L else row.getLong(0)
-        val dropped = if (row.isNullAt(1)) 0L else row.getLong(1)
-        val droppedPairs =
-          if (row.isNullAt(2)) 0L
-          else math.min(row.getDouble(2), Long.MaxValue.toDouble).toLong
-        CapMetrics.record("dedup_winnow_stored",
-          CapMetrics.CapStats(dropped, total, droppedPairs))
-        if (dropped == 0L) (eB, cFps)
-        else if (dropped <= maxDriverHotFingerprints) {
-          val hot = joint.where(overCap).select(col("__sh")).collect().map(_.getLong(0))
-          java.util.Arrays.sort(hot)
-          val keep = (e: DataFrame) =>
-            e.where(!graft.fuzzy.vectorFunctions.long_in(col("__sh"), hot))
-          (keep(eB), keep(cFps))
-        } else {
-          val hotFrame = joint.where(overCap).select(col("__sh"))
-          (eB.join(hotFrame, Seq("__sh"), "left_anti"),
-            cFps.join(hotFrame, Seq("__sh"), "left_anti"))
-        }
-      }
+    // the shared cross gate, priced from batch dfs x the STORE's stats
+    // table (dfRPre) — no fps-row scan to decide
+    val (gB, gC) = gateHotShinglesCross(eB, cFps, "dedup_winnow_stored",
+      maxFingerprintPairs, maxDriverHotFingerprints, dfRPre = Some(cStats))
     gB.as("a").join(gC.as("b"), col("a.__sh") === col("b.__sh"))
       .groupBy(col(s"a.$idCol").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))

@@ -40,10 +40,11 @@ object SemDedupStoreSweep {
   /** [[ScaleGen.signFlip]] (private there) with the replica index as a
     * COLUMN, so any replica count is one explode instead of an N-way
     * union: flips a deterministic, replica-dependent sign pattern onto
-    * the vector (replica 0 keeps the base pattern of all-+1 because
-    * (i+1)·1 % 101 is never even-and-zero consistently — the identity
-    * of replica 0 is irrelevant here, only cross-replica decorrelation
-    * matters). */
+    * the vector. Unlike ScaleGen, replica 0 is ALSO sign-flipped here
+    * (no r==0 special case — half its dimensions negate), so no replica
+    * equals the raw sf0.1 vectors; only cross-replica decorrelation
+    * matters for the sweep, and within-replica cosine structure is
+    * preserved exactly. */
   private def signFlip(vec: Column, r: Column): Column =
     transform(vec, (x, i) =>
       x * when((((i + 1) * (r + 1)) % 101 % 2) === 0, lit(-1.0f)).otherwise(lit(1.0f)))
@@ -87,11 +88,12 @@ object SemDedupStoreSweep {
         AnnSearch.kmeansFit(corpus, "embedding", dim = 64, k = nCells,
           iters = 2)))
 
-      // in-memory baseline: state build (checkpointed, as a nightly job
-      // holds it) + incremental query scanning the WHOLE state per call
+      // in-memory baseline: state build (semDedupState materializes
+      // internally — a chained localCheckpoint would double-pay the
+      // build and inflate memBuildSec) + incremental query scanning the
+      // WHOLE state per call
       val (mem, memBuildSec) = timed(Dedup.semDedupState(
-        corpus, "embedding", "vec_id", cents, dim = 64, nCells = nCells)
-        .localCheckpoint())
+        corpus, "embedding", "vec_id", cents, dim = 64, nCells = nCells))
       for (n <- batchSizes) {
         val runs = (1 to 3).map { _ =>
           timed(Dedup.semDedupIncrementalPairs(batches(n), mem,
