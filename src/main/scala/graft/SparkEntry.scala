@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{array, coalesce, col, concat, concat_ws, count, encode, explode, expr, get_json_object, length, lit, lower, max, min, posexplode, round => sround, slice, split, substring, sum, transform, trim, when}
+import org.apache.spark.sql.functions.{array, coalesce, col, concat, concat_ws, count, decode, encode, explode, expr, get_json_object, length, lit, lower, lpad, max, min, posexplode, round => sround, slice, split, substring, sum, transform, trim, when}
 
 import graft.fuzzy.{FuzzyAlgorithm, FuzzyMapping, FuzzyMatcher, MatchOptions}
 import graft.pipeline.{AnnSearch, AsofJoin, Curation, Decontaminate, Dedup, Multimodal, NearDupCluster, Profile, QualityModel, RangeJoin, Sessionize, TextAnalysis}
@@ -1641,6 +1641,23 @@ object SparkEntry {
                                       '$store', 'threshold', 0.5,
                                       'max_bucket_pairs', ${Long.MaxValue}L)""")
     }),
+    // ---- file-format connectors (graft.sources): the pipeline's ingest
+    // and export ends. Round-trip through REAL files on disk — the
+    // oracle sees only the decoded content, so these pin end-to-end
+    // byte fidelity of the connectors against the raw table.
+    "source_tfrecord_roundtrip" -> ((s, dir) => {
+      val out = "/tmp/graft_src_tfrecord_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      t(s, dir, "documents")
+        .select(encode(concat(lpad(col("doc_id").cast("string"), 20, "0"),
+          col("text")), "UTF-8").as("record"))
+        .write.format("tfrecord").mode("overwrite").save(out)
+      s.read.format("tfrecord").load(out)
+        .select(decode(col("record"), "UTF-8").as("s"))
+        .select(substring(col("s"), 1, 20).cast("long").as("doc_id"),
+          expr("substr(s, 21)").as("text"))
+    }),
+    "source_warc_roundtrip" -> ((s, dir) => warcRoundtrip(s, dir, gz = false)),
+    "source_warc_gz" -> ((s, dir) => warcRoundtrip(s, dir, gz = true)),
     "dedup_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val bkt = Curation.md5Bucket(col("doc_id"))
@@ -2535,10 +2552,41 @@ object SparkEntry {
          FROM survivors s JOIN reph r ON s.cid = r.cid
          GROUP BY s.cid, r.dhash_hex"""
 
+  /** Export `documents` as real WARC files (plain or gzip member-per-
+    * partition), read them back through the warc DataSource, recover
+    * (doc_id, text, content_length). Shared by the two `source_warc_*`
+    * queries — they differ only in the compression arm. The export dir
+    * is wiped first so stale task files from an earlier corpus version
+    * can never double the read. */
+  private def warcRoundtrip(s: SparkSession, dir: String, gz: Boolean): DataFrame = {
+    val out = "/tmp/graft_src_warc_" + (if (gz) "gz_" else "") +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    val p = new org.apache.hadoop.fs.Path(out)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    graft.sources.Warc.write(t(s, dir, "documents").select(
+      concat(lit("urn:doc:"), col("doc_id")).as("record_id"),
+      lit("resource").as("warc_type"),
+      concat(lit("https://example.com/"), col("doc_id")).as("target_uri"),
+      lit("2026-01-01T00:00:00Z").as("date"),
+      lit("text/plain").as("content_type"),
+      encode(col("text"), "UTF-8").as("payload")), out, gzip = gz)
+    s.read.format("warc").load(out)
+      .select(expr("CAST(substr(record_id, 9) AS BIGINT)").as("doc_id"),
+        decode(col("payload"), "UTF-8").as("text"),
+        col("content_length"))
+  }
+
   // dedup_semantic_inc and its stored-state/TVF twins share this oracle
   private val semDedupIncOracle = Dedup.semDedupIncOracleSql("embeddings",
     "vec_id", "embedding", graft.pipeline.DemoModels.SemCentroids, 64, 8, 0.35,
     "vec_id % 10 = 0")
+
+  // the two source_warc_* queries (plain / gzip) share this oracle:
+  // content_length is the UTF-8 byte length the connector framed
+  private val warcRoundtripOracle =
+    """SELECT doc_id, text,
+       CAST(octet_length(encode(text)) AS BIGINT) AS content_length
+       FROM documents"""
 
   // dedup_winnow_inc and its stored-state/TVF twins share this oracle:
   // the winnow sketch replayed over both sides of the batch/corpus
@@ -4603,6 +4651,11 @@ object SparkEntry {
     "dedup_winnow" -> winnowPairsOracle,
     // the dedup_pairs TVF's winnow method runs the same operator: one oracle
     "dedup_winnow_sql" -> winnowPairsOracle,
+    // file-format connectors: the oracle reads the raw table; the query
+    // round-trips it through real TFRecord / WARC files on disk
+    "source_tfrecord_roundtrip" -> "SELECT doc_id, text FROM documents",
+    "source_warc_roundtrip" -> warcRoundtripOracle,
+    "source_warc_gz" -> warcRoundtripOracle,
     // the nightly winnow check and its stored-state/TVF twins: one oracle
     "dedup_winnow_inc" -> winnowCrossOracle,
     "dedup_winnow_inc_stored" -> winnowCrossOracle,

@@ -1,0 +1,155 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The two file-format connectors ([[TfRecordSource]], [[WarcSource]]):
+  * byte-exact round trips, corruption detection, gzip member handling,
+  * payload pruning, and overwrite semantics — the format-level
+  * invariants the DuckDB value oracles (which compare decoded CONTENT)
+  * cannot see. */
+class SourcesSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("tfrecord: round trip is byte-exact, including empty records") {
+    val dir = tmp("tfr_rt")
+    val recs = Seq(Array[Byte](), Array[Byte](1, 2, 3), Array.fill[Byte](70000)(42),
+      "snowman ☃".getBytes("UTF-8"))
+    recs.toDF("record").repartition(2)
+      .write.format("tfrecord").mode("append").save(dir)
+    val back = spark.read.format("tfrecord").load(dir)
+      .collect().map(_.getAs[Array[Byte]]("record").toSeq).sortBy(_.length)
+    assert(back.toSeq == recs.map(_.toSeq).sortBy(_.length))
+    // _SUCCESS published on commit
+    assert(new java.io.File(dir, "_SUCCESS").exists())
+  }
+
+  test("tfrecord: overwrite truncates prior data files; append accumulates") {
+    val dir = tmp("tfr_ow")
+    Seq(Array[Byte](1)).toDF("record").write.format("tfrecord")
+      .mode("append").save(dir)
+    Seq(Array[Byte](2)).toDF("record").write.format("tfrecord")
+      .mode("append").save(dir)
+    assert(spark.read.format("tfrecord").load(dir).count() == 2)
+    Seq(Array[Byte](3)).toDF("record").write.format("tfrecord")
+      .mode("overwrite").save(dir)
+    val back = spark.read.format("tfrecord").load(dir).collect()
+      .map(_.getAs[Array[Byte]]("record").toSeq)
+    assert(back.toSeq == Seq(Seq(3.toByte)))
+  }
+
+  test("tfrecord: a flipped payload byte is a loud crc error, not bad data") {
+    val dir = tmp("tfr_crc")
+    Seq("hello world".getBytes("UTF-8")).toDF("record")
+      .coalesce(1).write.format("tfrecord").mode("append").save(dir)
+    val f = new java.io.File(dir).listFiles()
+      .find(f => f.getName.endsWith(".tfrecord")).get
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    bytes(12 + 3) = (bytes(12 + 3) ^ 0x01).toByte // inside the payload
+    java.nio.file.Files.write(f.toPath, bytes)
+    // the local FS wrote a Hadoop .crc sidecar that would catch this
+    // corruption one layer down — remove it so the test exercises the
+    // FORMAT's own crc (object stores have no sidecar layer)
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("tfrecord").load(dir).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("corrupt data crc")))
+  }
+
+  test("tfrecord sink rejects a malformed input frame loudly") {
+    // two columns: Spark's own DSv2 schema validation fires first
+    // (arity mismatch against the table's single `record` column)
+    val e = intercept[Exception] {
+      Seq(("a", 1)).toDF("s", "i").write.format("tfrecord")
+        .mode("append").save(tmp("tfr_schema"))
+    }
+    assert(e.getMessage.contains("record") || e.getMessage.contains("BINARY"),
+      s"not a schema diagnostic: ${e.getMessage}")
+  }
+
+  private def warcFrame = spark.range(0, 50).select(
+    concat(lit("urn:doc:"), col("id")).as("record_id"),
+    lit("resource").as("warc_type"),
+    concat(lit("https://example.com/"), col("id")).as("target_uri"),
+    lit("2026-01-01T00:00:00Z").as("date"),
+    lit("text/plain").as("content_type"),
+    encode(concat(lit("payload body "), col("id")), "UTF-8").as("payload"))
+
+  test("warc: round trip preserves headers and payload bytes, plain and gzip") {
+    for (gz <- Seq(false, true)) {
+      val dir = tmp(s"warc_rt_$gz")
+      Warc.write(warcFrame.repartition(3), dir, gzip = gz)
+      val back = spark.read.format("warc").load(dir)
+      assert(back.count() == 50)
+      val r = back.where(col("record_id") === "urn:doc:7").collect().head
+      assert(r.getAs[String]("warc_type") == "resource")
+      assert(r.getAs[String]("target_uri") == "https://example.com/7")
+      assert(r.getAs[String]("content_type") == "text/plain")
+      assert(new String(r.getAs[Array[Byte]]("payload"), "UTF-8") == "payload body 7")
+      assert(r.getAs[Long]("content_length") == "payload body 7".length.toLong)
+    }
+  }
+
+  test("warc: multi-member gzip (the Common Crawl record-per-member layout)") {
+    val dir = tmp("warc_members")
+    // two single-record gzip files concatenated byte-wise into ONE .warc.gz
+    val a = tmp("warc_m_a"); val b = tmp("warc_m_b")
+    Warc.write(warcFrame.where(col("record_id") === "urn:doc:1").coalesce(1), a, gzip = true)
+    Warc.write(warcFrame.where(col("record_id") === "urn:doc:2").coalesce(1), b, gzip = true)
+    def only(d: String) = new java.io.File(d).listFiles()
+      .find(_.getName.endsWith(".warc.gz")).get.toPath
+    val joined = java.nio.file.Files.readAllBytes(only(a)) ++
+      java.nio.file.Files.readAllBytes(only(b))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "members.warc.gz"), joined)
+    val back = spark.read.format("warc").load(dir)
+    assert(back.select("record_id").as[String].collect().sorted.toSeq ==
+      Seq("urn:doc:1", "urn:doc:2"))
+  }
+
+  test("warc: payload pruning reaches the scan (a header census never " +
+    "materializes bodies)") {
+    val dir = tmp("warc_prune")
+    Warc.write(warcFrame, dir)
+    val q = spark.read.format("warc").load(dir)
+      .groupBy("warc_type").agg(sum("content_length").as("bytes"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("WarcScan") && plan.contains("cols="))
+    assert(!"cols=[^)]*payload".r.findFirstIn(plan).isDefined,
+      s"payload survived pruning:\n$plan")
+    assert(q.collect().head.getAs[Long]("bytes") ==
+      (0 until 50).map(i => s"payload body $i".length).sum.toLong)
+    // and the full read still returns payloads
+    val full = spark.read.format("warc").load(dir)
+    assert(full.queryExecution.executedPlan.toString.contains("payload"))
+  }
+
+  test("warc: malformed framing is a loud error naming the file") {
+    val dir = tmp("warc_bad")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "bad.warc"),
+      "NOT-A-WARC\r\n\r\n".getBytes("US-ASCII"))
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("warc").load(dir).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null &&
+      m.contains("expected WARC/ version line") && m.contains("bad.warc")))
+  }
+
+  test("warc: one input partition per file (the format's parallelism contract)") {
+    val dir = tmp("warc_parts")
+    Warc.write(warcFrame.repartition(4), dir)
+    val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".warc"))
+    assert(files == 4)
+    val parts = spark.read.format("warc").load(dir).rdd.getNumPartitions
+    assert(parts == files)
+  }
+}
