@@ -142,6 +142,9 @@ private[sources] class WarcPartitionReader(part: WarcFilePartition,
   }
   private var ordinal = 0L
   private var row: InternalRow = _
+  // reused across records: a per-record allocation here costs ~64 KB x
+  // rows of churn and made the PRUNED scan slower than the full one
+  private val skipBuf = new Array[Byte](1 << 16)
 
   /** One CRLF-terminated header line; None at clean EOF before a record. */
   private def readLine(atRecordStart: Boolean): Option[String] = {
@@ -178,6 +181,13 @@ private[sources] class WarcPartitionReader(part: WarcFilePartition,
         var contentLength = -1L
         var line = readLine(atRecordStart = false).getOrElse(bad("eof in headers"))
         while (line.nonEmpty) {
+          // spec-legal header folding: continuation lines start with
+          // SP/HTAB and extend the previous value
+          var next = readLine(atRecordStart = false).getOrElse(bad("eof in headers"))
+          while (next.nonEmpty && (next.charAt(0) == ' ' || next.charAt(0) == '\t')) {
+            line = line + " " + next.trim
+            next = readLine(atRecordStart = false).getOrElse(bad("eof in headers"))
+          }
           val i = line.indexOf(':')
           if (i <= 0) bad(s"malformed header '$line'")
           val name = line.substring(0, i).trim.toLowerCase
@@ -194,7 +204,7 @@ private[sources] class WarcPartitionReader(part: WarcFilePartition,
               }
             case _ => () // per spec: readers skip headers they don't know
           }
-          line = readLine(atRecordStart = false).getOrElse(bad("eof in headers"))
+          line = next
         }
         if (contentLength < 0) bad("missing Content-Length")
         val payload: Array[Byte] =
@@ -213,9 +223,9 @@ private[sources] class WarcPartitionReader(part: WarcFilePartition,
           } else {
             // pruned: stream past the bytes without materializing them
             var remaining = contentLength
-            val buf = new Array[Byte](1 << 16)
             while (remaining > 0) {
-              val n = in.read(buf, 0, math.min(remaining, buf.length.toLong).toInt)
+              val n = in.read(skipBuf, 0,
+                math.min(remaining, skipBuf.length.toLong).toInt)
               if (n < 0) bad("eof in payload")
               remaining -= n
             }

@@ -1,0 +1,92 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Throughput pricing for the two file-format connectors
+  * ([[graft.sources.WarcSource]], [[graft.sources.TfRecordSource]]) —
+  * the SCALE.md row behind the "one task per file feeds a cluster
+  * evenly" claim. Builds a ~2 GB synthetic corpus (sf0.1 documents,
+  * payloads inflated ×`repeatText`, replicated ×`replicas`, one file
+  * per partition), then times: WARC export (plain + gzip), full WARC
+  * read, a header census on the PRUNED read (payload never
+  * materialized), TFRecord export, and TFRecord read-back. One JSON
+  * line per op with bytes, seconds, MB/s.
+  *
+  * Usage: runMain graft.tools.SourcesBench [replicas=100] [repeatText=8]
+  */
+object SourcesBench {
+  def main(args: Array[String]): Unit = {
+    val replicas = args.headOption.map(_.toInt).getOrElse(100)
+    val repeatText = args.lift(1).map(_.toInt).getOrElse(8)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs
+      .withColumn("r", explode(sequence(lit(0), lit(replicas - 1))))
+      .select((col("doc_id") + col("r") * 10_000_000L).as("doc_id"),
+        concat_ws(" ", (0 until repeatText).map(_ => col("text")): _*).as("text"))
+      .repartition(32).localCheckpoint()
+    val rows = corpus.count()
+    val payloadBytes = corpus.agg(sum(length(col("text")))).head().getLong(0)
+    System.err.println(s"[srcbench] rows=$rows payload_bytes=$payloadBytes")
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def emit(op: String, sec: Double, bytes: Long, extra: String = ""): Unit =
+      println(f"""{"op":"$op","rows":$rows,"bytes":$bytes,"sec":$sec%.2f,""" +
+        f""""mb_per_sec":${bytes / 1e6 / sec}%.0f$extra}""")
+    def dirBytes(d: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+    }
+
+    val warcFrame = corpus.select(
+      concat(lit("urn:doc:"), col("doc_id")).as("record_id"),
+      lit("resource").as("warc_type"),
+      concat(lit("https://example.com/"), col("doc_id")).as("target_uri"),
+      lit("2026-01-01T00:00:00Z").as("date"),
+      lit("text/plain").as("content_type"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+    for (gz <- Seq(false, true)) {
+      val dir = java.nio.file.Files.createTempDirectory(s"srcb_warc_$gz").toString
+      val (_, wSec) = timed(graft.sources.Warc.write(warcFrame, dir, gzip = gz))
+      val onDisk = dirBytes(dir)
+      emit(if (gz) "warc_write_gz" else "warc_write", wSec, payloadBytes,
+        s""","disk_bytes":$onDisk""")
+      val (n1, rSec) = timed(
+        spark.read.format("warc").load(dir).where(length(col("payload")) > 0).count())
+      require(n1 == rows, s"read $n1 != $rows")
+      emit(if (gz) "warc_read_gz" else "warc_read", rSec, payloadBytes)
+      val (n2, cSec) = timed(
+        spark.read.format("warc").load(dir)
+          .groupBy(col("warc_type")).agg(sum(col("content_length"))).count())
+      require(n2 == 1L)
+      emit(if (gz) "warc_census_gz" else "warc_census", cSec, payloadBytes)
+    }
+
+    val tfDir = java.nio.file.Files.createTempDirectory("srcb_tfr").toString
+    val (_, twSec) = timed(
+      corpus.select(encode(col("text"), "UTF-8").as("record"))
+        .write.format("tfrecord").mode("overwrite").save(tfDir))
+    emit("tfrecord_write", twSec, payloadBytes,
+      s""","disk_bytes":${dirBytes(tfDir)}""")
+    val (n3, trSec) = timed(
+      spark.read.format("tfrecord").load(tfDir)
+        .where(length(col("record")) > 0).count())
+    require(n3 == rows, s"read $n3 != $rows")
+    emit("tfrecord_read", trSec, payloadBytes)
+
+    spark.stop()
+  }
+}

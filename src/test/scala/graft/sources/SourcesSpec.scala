@@ -131,6 +131,23 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(full.queryExecution.executedPlan.toString.contains("payload"))
   }
 
+  test("warc: spec-legal folded headers (continuation lines) parse") {
+    val dir = tmp("warc_fold")
+    val body = "abc".getBytes("US-ASCII")
+    val rec = ("WARC/1.1\r\n" +
+      "WARC-Record-ID: urn:doc:9\r\n" +
+      "WARC-Type: resource\r\n" +
+      "WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+      "WARC-Target-URI: https://example.com/a\r\n" +
+      "\t/very/long/path\r\n" +                         // folded continuation
+      s"Content-Length: ${body.length}\r\n" +
+      "\r\n").getBytes("US-ASCII") ++ body ++ "\r\n\r\n".getBytes("US-ASCII")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "fold.warc"), rec)
+    val r = spark.read.format("warc").load(dir).collect().head
+    assert(r.getAs[String]("target_uri") == "https://example.com/a /very/long/path")
+    assert(new String(r.getAs[Array[Byte]]("payload"), "US-ASCII") == "abc")
+  }
+
   test("warc: malformed framing is a loud error naming the file") {
     val dir = tmp("warc_bad")
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "bad.warc"),
