@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -87,7 +88,8 @@ private[sources] class WarcTable(props: Map[String, String])
   override def name(): String = s"warc:${WarcSource.pathOf(props)}"
   override def schema(): StructType = WarcSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(WarcSource.pathOf(props))
@@ -120,6 +122,79 @@ private[sources] class WarcScan(path: String, required: StructType)
     val cols = required.fieldNames
     (partition: InputPartition) =>
       new WarcPartitionReader(partition.asInstanceOf[WarcFilePartition], cols)
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new WarcMicroBatchStream(path, required)
+}
+
+/** Streaming face of the warc source — `spark.readStream.format("warc")`
+  * over a LANDING DIRECTORY, so crawl segments flow straight into the
+  * streaming near-dup writers without a staging hop.
+  *
+  * Offset contract: files must land with LEXICOGRAPHICALLY INCREASING
+  * names and be immutable once visible (the crawler-segment convention —
+  * write to a dotfile or another directory, then rename into place; `_`
+  * and `.` prefixed names are invisible to the listing). The offset IS
+  * the highest file name processed, so Spark's checkpoint alone
+  * reconstructs any batch: restart-safe, no source-side state files. A
+  * file sorting at or below the committed watermark is never picked up
+  * — that is the documented trade for a stateless, replayable offset
+  * (Spark's own FileStreamSource instead persists a seen-files log). */
+private[sources] class WarcMicroBatchStream(path: String, required: StructType)
+  extends MicroBatchStream {
+
+  private def files(): Seq[(String, Long)] = {
+    val p = new Path(path)
+    WarcSource.listDataFiles(p.getFileSystem(new Configuration()), p)
+      .sortBy { case (f, _) => new Path(f).getName }
+  }
+
+  override def initialOffset(): Offset = WarcOffset("")
+
+  override def latestOffset(): Offset = {
+    val fs = files()
+    WarcOffset(if (fs.isEmpty) "" else new Path(fs.last._1).getName)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    WarcOffset(WarcOffset.parse(json))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[WarcOffset].lastFile
+    val hi = end.asInstanceOf[WarcOffset].lastFile
+    files()
+      .filter { case (f, _) =>
+        val n = new Path(f).getName
+        n > lo && n <= hi
+      }
+      .map { case (f, len) => WarcFilePartition(f, len): InputPartition }
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val cols = required.fieldNames
+    (partition: InputPartition) =>
+      new WarcPartitionReader(partition.asInstanceOf[WarcFilePartition], cols)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] case class WarcOffset(lastFile: String) extends Offset {
+  // file names never contain quotes/backslashes worth escaping here, but
+  // escape anyway so the offset log is always valid JSON
+  override def json(): String =
+    s"""{"last":"${lastFile.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
+}
+
+private[sources] object WarcOffset {
+  private val P = """\{"last":"(.*)"\}""".r
+  def parse(json: String): String = json match {
+    case P(v) => v.replace("\\\"", "\"").replace("\\\\", "\\")
+    case other => throw new IllegalArgumentException(
+      s"warc: unparseable stream offset '$other'")
   }
 }
 

@@ -161,6 +161,55 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
       m.contains("expected WARC/ version line") && m.contains("bad.warc")))
   }
 
+  test("warc streaming: lexicographic landing-dir ingest, checkpoint " +
+    "restart skips processed files") {
+    val land = tmp("warc_stream")
+    val ckpt = tmp("warc_stream_ckpt")
+
+    // stage a wave under a controlled, increasing file name
+    def wave(n: Int, ids: Seq[Int]): Unit = {
+      val src = tmp(s"warc_wave$n")
+      Warc.write(warcFrame.where(col("record_id")
+        .isin(ids.map(i => s"urn:doc:$i"): _*)).coalesce(1), src)
+      val f = new java.io.File(src).listFiles().find(_.getName.endsWith(".warc")).get
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(land, f"wave$n%02d.warc"))
+    }
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    def run(): Unit = {
+      val q = spark.readStream.format("warc").load(land)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized {
+            seen ++= b.select("record_id").collect().map(_.getString(0))
+          }
+          ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+    }
+
+    wave(1, Seq(1, 2))
+    run()
+    assert(seen.sorted.toSeq == Seq("urn:doc:1", "urn:doc:2"))
+    wave(2, Seq(3))
+    run() // restart from the checkpoint: wave1 is behind the offset
+    assert(seen.sorted.toSeq == Seq("urn:doc:1", "urn:doc:2", "urn:doc:3"))
+    // payload pruning holds on the streaming scan too: a census stream
+    // never materializes bodies (same reader, cols from the scan builder)
+    val counts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q2 = spark.readStream.format("warc").load(land)
+      .groupBy("warc_type").count()
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", tmp("warc_stream_ckpt2"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        counts.synchronized { counts ++= b.collect().map(_.getAs[Long]("count")) }
+        ()
+      }.start()
+    q2.processAllAvailable(); q2.stop()
+    assert(counts.lastOption.contains(3L))
+  }
+
   test("warc: one input partition per file (the format's parallelism contract)") {
     val dir = tmp("warc_parts")
     Warc.write(warcFrame.repartition(4), dir)
