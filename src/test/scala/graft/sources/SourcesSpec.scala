@@ -210,6 +210,64 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(counts.lastOption.contains(3L))
   }
 
+  test("end to end: warc landing stream -> stored-minhash dedup -> " +
+    "tfrecord training shards") {
+    import graft.pipeline.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // the accumulated corpus, saved once as the stored near-dup state
+    val store = tmp("e2e_minhash_store")
+    Dedup.saveMinhashState(docs, "text", "doc_id", store,
+      shingleLen = 3, numBands = 24, rowsPerBand = 1, nBuckets = 8)
+
+    // arriving crawl: re-keyed corpus docs (exact dups, must be dropped)
+    // plus three novel docs (must survive into the shards)
+    val novel = Seq(
+      (9000001L, "completely novel arrival text one with enough words to shingle"),
+      (9000002L, "another genuinely new document body that matches nothing stored"),
+      (9000003L, "third unseen arrival paragraph with original content entirely"))
+    val arriving = docs.where(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(novel.toDF("doc_id", "text"))
+    val land = tmp("e2e_landing")
+    val src = tmp("e2e_wave")
+    Warc.write(arriving.coalesce(1).select(
+      concat(lit("urn:doc:"), col("doc_id")).as("record_id"),
+      lit("resource").as("warc_type"),
+      concat(lit("https://example.com/"), col("doc_id")).as("target_uri"),
+      lit("2026-01-01T00:00:00Z").as("date"),
+      lit("text/plain").as("content_type"),
+      encode(col("text"), "UTF-8").as("payload")), src)
+    val f = new java.io.File(src).listFiles().find(_.getName.endsWith(".warc")).get
+    java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(land, "wave00.warc"))
+
+    val shards = tmp("e2e_shards")
+    val stored = Dedup.loadMinhashState(spark, store)
+    val q = spark.readStream.format("warc").load(land)
+      .writeStream.option("checkpointLocation", tmp("e2e_ckpt"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.util.MatchScope.withMatchScope {
+          val batchDocs = b.select(
+            expr("CAST(substr(record_id, 9) AS BIGINT)").as("doc_id"),
+            decode(col("payload"), "UTF-8").as("text")).localCheckpoint()
+          val dupIds = Dedup.minhashPairsAgainstStored(batchDocs, "text",
+              "doc_id", stored, threshold = 0.5, maxBucketPairs = Long.MaxValue)
+            .select(col("id_a").as("doc_id")).distinct()
+          batchDocs.join(dupIds, Seq("doc_id"), "left_anti")
+            .select(encode(col("text"), "UTF-8").as("record"))
+            .write.format("tfrecord").mode("append").save(shards)
+        }
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+
+    val shipped = spark.read.format("tfrecord").load(shards)
+      .select(decode(col("record"), "UTF-8").as("text"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(shipped == novel.map(_._2).sorted,
+      s"shards hold ${shipped.size} docs; expected the ${novel.size} novel ones")
+  }
+
   test("warc: one input partition per file (the format's parallelism contract)") {
     val dir = tmp("warc_parts")
     Warc.write(warcFrame.repartition(4), dir)
