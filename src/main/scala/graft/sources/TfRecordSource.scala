@@ -4,8 +4,7 @@ import java.util.zip.CRC32C
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
@@ -15,6 +14,7 @@ import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterF
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
 
 /** TFRecord [[TableProvider]] — the training-shard EXPORT (and re-read)
   * format, so the curate → pack → shard pipeline ends in files a
@@ -89,71 +89,61 @@ object TfRecordSource {
   private[sources] def readLeInt(b: Array[Byte]): Int =
     (b(0) & 0xff) | ((b(1) & 0xff) << 8) | ((b(2) & 0xff) << 16) | ((b(3) & 0xff) << 24)
 
-  private[sources] def pathOf(props: Map[String, String]): String =
-    props.getOrElse("path", throw new IllegalArgumentException(
-      "tfrecord source requires a path (.load(path) / .save(path))"))
-
-  /** Data files under `dir` (non-recursive, no _-prefixed side files). */
-  private[sources] def listDataFiles(fs: FileSystem, dir: Path): Seq[(String, Long)] = {
-    if (!fs.exists(dir)) return Seq.empty
-    val st = fs.getFileStatus(dir)
-    if (st.isFile) return Seq((st.getPath.toString, st.getLen))
-    fs.listStatus(dir).toSeq
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-        !s.getPath.getName.startsWith("."))
-      .sortBy(_.getPath.getName)
-      .map(s => (s.getPath.toString, s.getLen))
-  }
 }
 
 private[sources] class TfRecordTable(props: Map[String, String])
   extends Table with SupportsRead with SupportsWrite {
 
-  override def name(): String = s"tfrecord:${TfRecordSource.pathOf(props)}"
+  override def name(): String = s"tfrecord:${SourceFiles.pathOf(props, "tfrecord")}"
   override def schema(): StructType = TfRecordSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new TfRecordScan(TfRecordSource.pathOf(props))
+    () => new TfRecordScan(SourceFiles.pathOf(props, "tfrecord"))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val s = info.schema()
     require(s.length == 1 && s.head.dataType == BinaryType,
       s"tfrecord sink expects exactly one BINARY column, got ${s.simpleString}")
-    new TfRecordWriteBuilder(TfRecordSource.pathOf(props), truncate = false)
+    new TfRecordWriteBuilder(SourceFiles.pathOf(props, "tfrecord"), truncate = false)
   }
 }
 
 private[sources] class TfRecordScan(path: String) extends Scan with Batch {
+  // captured at scan construction (driver): the session's Hadoop conf
+  private val conf = SourceFiles.hadoopConf()
+
   override def readSchema(): StructType = TfRecordSource.Schema
   override def description(): String = s"TfRecordScan($path)"
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
-    TfRecordSource.listDataFiles(fs, p)
+    SourceFiles.listDataFiles(SourceFiles.fs(p, conf.value), p)
       .map { case (f, len) => TfRecordFilePartition(f, len): InputPartition }
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val c = conf
     (partition: InputPartition) =>
-      new TfRecordPartitionReader(partition.asInstanceOf[TfRecordFilePartition])
+      new TfRecordPartitionReader(partition.asInstanceOf[TfRecordFilePartition], c)
+  }
 }
 
 private[sources] case class TfRecordFilePartition(file: String, length: Long)
   extends InputPartition
 
-private[sources] class TfRecordPartitionReader(part: TfRecordFilePartition)
+private[sources] class TfRecordPartitionReader(part: TfRecordFilePartition,
+                                               conf: SerializableConfiguration)
   extends PartitionReader[InternalRow] {
 
   private val in = {
     val p = new Path(part.file)
     new java.io.DataInputStream(new java.io.BufferedInputStream(
-      p.getFileSystem(new Configuration()).open(p), 1 << 16))
+      SourceFiles.fs(p, conf.value).open(p), 1 << 16))
   }
   private var offset = 0L
   private var current: Array[Byte] = _
@@ -200,18 +190,20 @@ private[sources] class TfRecordWriteBuilder(path: String, truncate: Boolean)
 private[sources] class TfRecordBatchWrite(path: String, truncate: Boolean)
   extends BatchWrite {
 
+  private val conf = SourceFiles.hadoopConf()
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new TfRecordWriterFactory(path, java.util.UUID.randomUUID().toString)
+    new TfRecordWriterFactory(path, java.util.UUID.randomUUID().toString, conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
-    val fs = dir.getFileSystem(new Configuration())
+    val fs = SourceFiles.fs(dir, conf.value)
     if (truncate) {
       // overwrite semantics: drop every pre-existing data file that this
       // write did not produce (task files carry this write's uuid)
       val mine = messages.collect { case TfRecordCommit(f) =>
         new Path(f).getName }.toSet
-      TfRecordSource.listDataFiles(fs, dir).foreach { case (f, _) =>
+      SourceFiles.listDataFiles(fs, dir).foreach { case (f, _) =>
         val n = new Path(f).getName
         if (!mine.contains(n)) fs.delete(new Path(f), false)
       }
@@ -222,30 +214,38 @@ private[sources] class TfRecordBatchWrite(path: String, truncate: Boolean)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
-    val fs = dir.getFileSystem(new Configuration())
+    val fs = SourceFiles.fs(dir, conf.value)
     messages.collect { case TfRecordCommit(f) => fs.delete(new Path(f), false) }
   }
 }
 
 private[sources] case class TfRecordCommit(file: String) extends WriterCommitMessage
 
-private[sources] class TfRecordWriterFactory(path: String, writeId: String)
+private[sources] class TfRecordWriterFactory(path: String, writeId: String,
+                                             conf: SerializableConfiguration)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new TfRecordDataWriter(path, writeId, partitionId, taskId)
+    new TfRecordDataWriter(path, writeId, partitionId, taskId, conf)
 }
 
 private[sources] class TfRecordDataWriter(path: String, writeId: String,
-                                          partitionId: Int, taskId: Long)
+                                          partitionId: Int, taskId: Long,
+                                          conf: SerializableConfiguration)
   extends DataWriter[InternalRow] {
 
   private val file = new Path(path,
     f"part-$partitionId%05d-$writeId-t$taskId.tfrecord")
-  private val fs = file.getFileSystem(new Configuration())
+  private val fs = SourceFiles.fs(file, conf.value)
   private val out = new java.io.BufferedOutputStream(fs.create(file, true), 1 << 16)
+  private var written = 0L
 
   override def write(record: InternalRow): Unit = {
+    if (record.isNullAt(0))
+      throw new java.io.IOException(
+        s"tfrecord: null record value at row $written of $file — a null " +
+          "cannot be framed; filter or coalesce the column first")
     val data = record.getBinary(0)
+    written += 1
     val lenBytes = TfRecordSource.leLong(data.length.toLong)
     out.write(lenBytes)
     out.write(TfRecordSource.leInt(TfRecordSource.maskedCrc(lenBytes)))

@@ -2,8 +2,7 @@ package graft.sources
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -15,6 +14,7 @@ import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** WARC (ISO 28500 / Common Crawl) [[TableProvider]] — the crawl INGEST
   * format, so a 100 TB web-corpus pipeline starts inside this library:
@@ -23,16 +23,19 @@ import org.apache.spark.unsafe.types.UTF8String
   *   spark.read.format("warc").load("/crawl/segments")
   *     // (record_id, warc_type, target_uri, date, content_type,
   *     //  content_length, payload BINARY)
+  *   spark.readStream.format("warc").load("/crawl/landing")   // streaming
   * }}}
   *
   * Implemented from the public spec, from scratch: records are a
-  * `WARC/1.x` version line, CRLF-separated named headers, an empty
-  * line, exactly `Content-Length` payload bytes, and a CRLF CRLF
-  * separator. Unknown headers are skipped; malformed framing is a loud
-  * error naming file and record ordinal. `.gz` files are decompressed
-  * with multi-member gzip (Common Crawl's record-per-member layout and
-  * whole-file gzip both work — java.util.zip reads concatenated
-  * members transparently).
+  * `WARC/1.x` version line, CRLF-separated named headers (UTF-8 values,
+  * spec-legal folded continuation lines), an empty line, exactly
+  * `Content-Length` payload bytes, and a CRLF CRLF separator. Unknown
+  * headers are skipped; malformed framing is a loud error naming file
+  * and record ordinal. `.gz` files are decompressed with multi-member
+  * gzip (Common Crawl's record-per-member layout and whole-file gzip
+  * both work — java.util.zip reads concatenated members transparently).
+  * Filesystems resolve from the SESSION's Hadoop configuration
+  * (spark.hadoop.* object-store credentials reach the reader).
   *
   * Scale shape: ONE TASK PER FILE — mid-file splits cannot re-align on
   * either framing (gzip members are not discoverable without reading;
@@ -66,33 +69,37 @@ object WarcSource {
     StructField("content_length", LongType, nullable = false),
     StructField("payload", BinaryType, nullable = true)))
 
-  private[sources] def pathOf(props: Map[String, String]): String =
-    props.getOrElse("path", throw new IllegalArgumentException(
-      "warc source requires a path (.load(path))"))
-
-  private[sources] def listDataFiles(fs: FileSystem, dir: Path): Seq[(String, Long)] = {
-    if (!fs.exists(dir)) return Seq.empty
-    val st = fs.getFileStatus(dir)
-    if (st.isFile) return Seq((st.getPath.toString, st.getLen))
-    fs.listStatus(dir).toSeq
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-        !s.getPath.getName.startsWith("."))
-      .sortBy(_.getPath.getName)
-      .map(s => (s.getPath.toString, s.getLen))
+  // column ordinals shared by the reader's precomputed projection
+  private[sources] val ColRecordId = 0
+  private[sources] val ColWarcType = 1
+  private[sources] val ColTargetUri = 2
+  private[sources] val ColDate = 3
+  private[sources] val ColContentType = 4
+  private[sources] val ColContentLength = 5
+  private[sources] val ColPayload = 6
+  private[sources] def ordinalOf(name: String): Int = name match {
+    case "record_id" => ColRecordId
+    case "warc_type" => ColWarcType
+    case "target_uri" => ColTargetUri
+    case "date" => ColDate
+    case "content_type" => ColContentType
+    case "content_length" => ColContentLength
+    case "payload" => ColPayload
+    case other => throw new IllegalStateException(s"unknown warc column $other")
   }
 }
 
 private[sources] class WarcTable(props: Map[String, String])
   extends Table with SupportsRead {
 
-  override def name(): String = s"warc:${WarcSource.pathOf(props)}"
+  override def name(): String = s"warc:${SourceFiles.pathOf(props, "warc")}"
   override def schema(): StructType = WarcSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarcScanBuilder(WarcSource.pathOf(props))
+    new WarcScanBuilder(SourceFiles.pathOf(props, "warc"))
 }
 
 private[sources] class WarcScanBuilder(path: String)
@@ -105,6 +112,9 @@ private[sources] class WarcScanBuilder(path: String)
 
 private[sources] class WarcScan(path: String, required: StructType)
   extends Scan with Batch {
+  // captured at scan construction (driver): the session's Hadoop conf
+  private val conf = SourceFiles.hadoopConf()
+
   override def readSchema(): StructType = required
   override def description(): String =
     s"WarcScan($path, cols=${required.fieldNames.mkString(",")})"
@@ -112,20 +122,20 @@ private[sources] class WarcScan(path: String, required: StructType)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
-    WarcSource.listDataFiles(fs, p)
+    SourceFiles.listDataFiles(SourceFiles.fs(p, conf.value), p)
       .map { case (f, len) => WarcFilePartition(f, len): InputPartition }
       .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val cols = required.fieldNames
+    val c = conf
     (partition: InputPartition) =>
-      new WarcPartitionReader(partition.asInstanceOf[WarcFilePartition], cols)
+      new WarcPartitionReader(partition.asInstanceOf[WarcFilePartition], cols, c)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new WarcMicroBatchStream(path, required)
+    new WarcMicroBatchStream(path, required, conf)
 }
 
 /** Streaming face of the warc source — `spark.readStream.format("warc")`
@@ -141,13 +151,14 @@ private[sources] class WarcScan(path: String, required: StructType)
   * file sorting at or below the committed watermark is never picked up
   * — that is the documented trade for a stateless, replayable offset
   * (Spark's own FileStreamSource instead persists a seen-files log). */
-private[sources] class WarcMicroBatchStream(path: String, required: StructType)
+private[sources] class WarcMicroBatchStream(path: String, required: StructType,
+                                            conf: SerializableConfiguration)
   extends MicroBatchStream {
 
+  // listDataFiles sorts by file name — that order IS the offset contract
   private def files(): Seq[(String, Long)] = {
     val p = new Path(path)
-    WarcSource.listDataFiles(p.getFileSystem(new Configuration()), p)
-      .sortBy { case (f, _) => new Path(f).getName }
+    SourceFiles.listDataFiles(SourceFiles.fs(p, conf.value), p)
   }
 
   override def initialOffset(): Offset = WarcOffset("")
@@ -174,8 +185,9 @@ private[sources] class WarcMicroBatchStream(path: String, required: StructType)
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val cols = required.fieldNames
+    val c = conf
     (partition: InputPartition) =>
-      new WarcPartitionReader(partition.asInstanceOf[WarcFilePartition], cols)
+      new WarcPartitionReader(partition.asInstanceOf[WarcFilePartition], cols, c)
   }
 
   override def commit(end: Offset): Unit = ()
@@ -202,13 +214,21 @@ private[sources] case class WarcFilePartition(file: String, length: Long)
   extends InputPartition
 
 private[sources] class WarcPartitionReader(part: WarcFilePartition,
-                                           cols: Array[String])
+                                           cols: Array[String],
+                                           conf: SerializableConfiguration)
   extends PartitionReader[InternalRow] {
 
-  private val needPayload = cols.contains("payload")
+  import WarcSource._
+
+  // precomputed projection: required-column ordinals, resolved once (a
+  // per-record string match over the column names showed up in the
+  // 500k-record pricing run)
+  private val colOrdinals: Array[Int] = cols.map(ordinalOf)
+  private val needPayload = colOrdinals.contains(ColPayload)
+
   private val in: java.io.InputStream = {
     val p = new Path(part.file)
-    val raw = p.getFileSystem(new Configuration()).open(p)
+    val raw = SourceFiles.fs(p, conf.value).open(p)
     val buffered = new java.io.BufferedInputStream(raw, 1 << 16)
     if (part.file.endsWith(".gz"))
       new java.io.BufferedInputStream(
@@ -220,17 +240,21 @@ private[sources] class WarcPartitionReader(part: WarcFilePartition,
   // reused across records: a per-record allocation here costs ~64 KB x
   // rows of churn and made the PRUNED scan slower than the full one
   private val skipBuf = new Array[Byte](1 << 16)
+  private val lineBuf = new java.io.ByteArrayOutputStream(128)
 
-  /** One CRLF-terminated header line; None at clean EOF before a record. */
+  /** One CRLF-terminated header line decoded as UTF-8 (the spec's header
+    * encoding — a per-byte toChar would mojibake non-ASCII URIs); None
+    * at clean EOF before a record. */
   private def readLine(atRecordStart: Boolean): Option[String] = {
-    val sb = new java.lang.StringBuilder(96)
+    lineBuf.reset()
     var c = in.read()
     if (c < 0 && atRecordStart) return None
     while (c >= 0 && c != '\n') {
-      if (c != '\r') sb.append(c.toChar)
+      if (c != '\r') lineBuf.write(c)
       c = in.read()
     }
-    if (c < 0 && sb.length() == 0 && atRecordStart) None else Some(sb.toString)
+    if (c < 0 && lineBuf.size() == 0 && atRecordStart) None
+    else Some(lineBuf.toString("UTF-8"))
   }
 
   private def bad(what: String): Nothing =
@@ -307,15 +331,19 @@ private[sources] class WarcPartitionReader(part: WarcFilePartition,
             null
           }
         ordinal += 1
-        val values: Array[Any] = cols.map {
-          case "record_id" => if (recordId == null) null else UTF8String.fromString(recordId)
-          case "warc_type" => if (warcType == null) null else UTF8String.fromString(warcType)
-          case "target_uri" => if (targetUri == null) null else UTF8String.fromString(targetUri)
-          case "date" => if (date == null) null else UTF8String.fromString(date)
-          case "content_type" => if (contentType == null) null else UTF8String.fromString(contentType)
-          case "content_length" => contentLength
-          case "payload" => payload
-          case other => throw new IllegalStateException(s"unknown column $other")
+        val values = new Array[Any](colOrdinals.length)
+        var vi = 0
+        while (vi < colOrdinals.length) {
+          values(vi) = colOrdinals(vi) match {
+            case ColRecordId => if (recordId == null) null else UTF8String.fromString(recordId)
+            case ColWarcType => if (warcType == null) null else UTF8String.fromString(warcType)
+            case ColTargetUri => if (targetUri == null) null else UTF8String.fromString(targetUri)
+            case ColDate => if (date == null) null else UTF8String.fromString(date)
+            case ColContentType => if (contentType == null) null else UTF8String.fromString(contentType)
+            case ColContentLength => contentLength
+            case ColPayload => payload
+          }
+          vi += 1
         }
         row = new GenericInternalRow(values)
         true
@@ -331,11 +359,15 @@ private[sources] class WarcPartitionReader(part: WarcFilePartition,
   * partition of `df`, the fixture/export half of [[WarcSource]] (reading
   * is the DataSource; corpora are normally written by crawlers, so the
   * writer is a library function rather than a full sink). Expected
-  * columns: `record_id`, `warc_type`, `target_uri`, `date`,
-  * `content_type` (strings; null target/content-type headers are
-  * omitted) and `payload` (binary). Task files are uniquely named so
-  * retries never collide; rows land in the file of whatever partition
-  * they live in — partition the frame first to control shard sizes. */
+  * columns: `record_id`, `warc_type`, `date` (non-null strings),
+  * `target_uri`, `content_type` (strings, null = header omitted) and
+  * `payload` (binary). Header values must be CR/LF-free (validated — a
+  * newline in a value would inject headers and corrupt the framing).
+  * Tasks write to a dot-prefixed temp name (invisible to the readers'
+  * listing) and rename into place on success; a failed task deletes its
+  * temp file, so retries leave no partial files behind. Rows land in
+  * the file of whatever partition they live in — partition the frame
+  * first to control shard sizes. */
 object Warc {
   def write(df: DataFrame, dir: String, gzip: Boolean = false): Unit = {
     val cols = Seq("record_id", "warc_type", "target_uri", "date",
@@ -343,36 +375,52 @@ object Warc {
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"Warc.write: missing columns $missing")
     val ordered = df.selectExpr(cols: _*)
+    val conf = SourceFiles.hadoopConf()
     ordered.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.hasNext) {
         val tc = org.apache.spark.TaskContext.get()
         val name = f"part-${tc.partitionId()}%05d-a${tc.taskAttemptId()}" +
           (if (gzip) ".warc.gz" else ".warc")
-        val p = new Path(dir, name)
-        val fs = p.getFileSystem(new Configuration())
-        val raw = fs.create(p, true)
+        val tmp = new Path(dir, s".$name.inprogress")
+        val fin = new Path(dir, name)
+        val fs = SourceFiles.fs(tmp, conf.value)
+        val raw = fs.create(tmp, true)
         val out = new java.io.BufferedOutputStream(
           if (gzip) new java.util.zip.GZIPOutputStream(raw, 1 << 16) else raw,
           1 << 16)
         val crlf = "\r\n".getBytes("US-ASCII")
         def header(n: String, v: String): Unit = {
+          if (v == null) throw new IllegalArgumentException(
+            s"Warc.write: null value for required header $n")
+          if (v.indexOf('\r') >= 0 || v.indexOf('\n') >= 0)
+            throw new IllegalArgumentException(
+              s"Warc.write: CR/LF in header $n value '$v' would corrupt framing")
           out.write(s"$n: $v".getBytes("UTF-8")); out.write(crlf)
         }
-        rows.foreach { r =>
-          val payload = Option(r.getAs[Array[Byte]]("payload"))
-            .getOrElse(Array.emptyByteArray)
-          out.write("WARC/1.0".getBytes("US-ASCII")); out.write(crlf)
-          header("WARC-Record-ID", r.getAs[String]("record_id"))
-          header("WARC-Type", r.getAs[String]("warc_type"))
-          header("WARC-Date", r.getAs[String]("date"))
-          Option(r.getAs[String]("target_uri")).foreach(header("WARC-Target-URI", _))
-          Option(r.getAs[String]("content_type")).foreach(header("Content-Type", _))
-          header("Content-Length", payload.length.toString)
-          out.write(crlf)
-          out.write(payload)
-          out.write(crlf); out.write(crlf)
+        try {
+          rows.foreach { r =>
+            val payload = Option(r.getAs[Array[Byte]]("payload"))
+              .getOrElse(Array.emptyByteArray)
+            out.write("WARC/1.0".getBytes("US-ASCII")); out.write(crlf)
+            header("WARC-Record-ID", r.getAs[String]("record_id"))
+            header("WARC-Type", r.getAs[String]("warc_type"))
+            header("WARC-Date", r.getAs[String]("date"))
+            Option(r.getAs[String]("target_uri")).foreach(header("WARC-Target-URI", _))
+            Option(r.getAs[String]("content_type")).foreach(header("Content-Type", _))
+            header("Content-Length", payload.length.toString)
+            out.write(crlf)
+            out.write(payload)
+            out.write(crlf); out.write(crlf)
+          }
+          out.close()
+          if (!fs.rename(tmp, fin)) throw new java.io.IOException(
+            s"Warc.write: rename $tmp -> $fin failed")
+        } catch {
+          case t: Throwable =>
+            try { out.close() } catch { case _: Throwable => () }
+            try { fs.delete(tmp, false) } catch { case _: Throwable => () }
+            throw t
         }
-        out.close()
       }
     }
   }

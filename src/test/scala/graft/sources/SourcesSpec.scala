@@ -131,6 +131,49 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(full.queryExecution.executedPlan.toString.contains("payload"))
   }
 
+  test("warc: non-ASCII header values round-trip as UTF-8 (no mojibake)") {
+    val dir = tmp("warc_utf8")
+    val uri = "https://example.com/café/日本語"
+    Warc.write(warcFrame.limit(1).withColumn("target_uri", lit(uri)), dir)
+    val r = spark.read.format("warc").load(dir).collect().head
+    assert(r.getAs[String]("target_uri") == uri)
+  }
+
+  test("warc write: CR/LF in a header value and null required headers " +
+    "are loud errors, never corrupted framing") {
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    val e1 = intercept[Exception] {
+      Warc.write(warcFrame.limit(1)
+        .withColumn("target_uri", lit("x\r\nContent-Length: 0")), tmp("warc_inj"))
+    }
+    assert(msgs(e1).exists(m => m != null && m.contains("CR/LF in header")))
+    val e2 = intercept[Exception] {
+      Warc.write(warcFrame.limit(1)
+        .withColumn("record_id", lit(null).cast("string")), tmp("warc_nullid"))
+    }
+    assert(msgs(e2).exists(m => m != null && m.contains("null value for required header")))
+    // a failed task leaves NO visible partial file behind
+    assert(!new java.io.File(tmp("warc_inj")).listFiles().exists(
+      _.getName.endsWith(".warc")))
+  }
+
+  test("tfrecord sink: a null record value is a loud error, never a " +
+    "silently-skipped or corrupt frame") {
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    val e = intercept[Exception] {
+      spark.range(2).select(
+          when(col("id") === 0, encode(lit("x"), "UTF-8")).as("record"))
+        .coalesce(1).write.format("tfrecord").mode("append").save(tmp("tfr_null"))
+    }
+    // Spark's plan-level non-nullable assert fires first (the table
+    // schema declares `record` non-nullable); the writer's own check
+    // ("null record value") is the backstop for paths that bypass it
+    assert(msgs(e).exists(m => m != null &&
+      (m.contains("NOT_NULL_ASSERT_VIOLATION") || m.contains("null record value"))))
+  }
+
   test("warc: spec-legal folded headers (continuation lines) parse") {
     val dir = tmp("warc_fold")
     val body = "abc".getBytes("US-ASCII")
