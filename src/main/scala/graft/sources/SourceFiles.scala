@@ -40,4 +40,56 @@ private[sources] object SourceFiles {
       .sortBy(_.getPath.getName)
       .map(s => (s.getPath.toString, s.getLen))
   }
+
+  private def visible(p: Path): Boolean =
+    !p.getName.startsWith("_") && !p.getName.startsWith(".")
+
+  /** Recursive variant for nested corpus layouts (Common Crawl's
+    * `segments/N/warc/....warc.gz`), sorted by FULL PATH. Hidden
+    * (`_`/`.`) files and directories are invisible at every level. */
+  def listDataFilesRecursive(fs: FileSystem, dir: Path): Seq[(String, Long)] = {
+    if (!fs.exists(dir)) return Seq.empty
+    val st = fs.getFileStatus(dir)
+    if (st.isFile) return Seq((st.getPath.toString, st.getLen))
+    val out = Seq.newBuilder[(String, Long)]
+    def walk(d: Path): Unit =
+      fs.listStatus(d).foreach { s =>
+        if (visible(s.getPath)) {
+          if (s.isFile) out += ((s.getPath.toString, s.getLen))
+          else walk(s.getPath)
+        }
+      }
+    walk(dir)
+    out.result().sortBy(_._1)
+  }
+
+  /** Batch-scan listing with LOUD diagnostics for the two silent-zero
+    * traps: a missing path, and a nested layout read without
+    * `recursive` (pointing `format("warc")` at a Common Crawl root
+    * would otherwise return an empty frame and look like clean data). */
+  def listForBatch(fs: FileSystem, dir: Path, recursive: Boolean,
+                   format: String): Seq[(String, Long)] = {
+    if (!fs.exists(dir)) throw new IllegalArgumentException(
+      s"$format source: path does not exist: $dir")
+    val files =
+      if (recursive) listDataFilesRecursive(fs, dir)
+      else listDataFiles(fs, dir)
+    if (files.isEmpty && !recursive && !fs.getFileStatus(dir).isFile) {
+      val subdirs = fs.listStatus(dir).count(s => s.isDirectory && visible(s.getPath))
+      if (subdirs > 0) throw new IllegalArgumentException(
+        s"$format source: $dir holds no data files but $subdirs " +
+          "subdirectories — a nested corpus layout needs " +
+          ".option(\"recursive\", \"true\")")
+    }
+    files
+  }
+
+  def recursiveOpt(props: Map[String, String], format: String): Boolean =
+    props.get("recursive") match {
+      case None => false
+      case Some(v) if v.equalsIgnoreCase("true") => true
+      case Some(v) if v.equalsIgnoreCase("false") => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"$format source: recursive must be 'true' or 'false', got '$other'")
+    }
 }

@@ -101,7 +101,8 @@ private[sources] class TfRecordTable(props: Map[String, String])
       TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new TfRecordScan(SourceFiles.pathOf(props, "tfrecord"))
+    () => new TfRecordScan(SourceFiles.pathOf(props, "tfrecord"),
+      SourceFiles.recursiveOpt(props, "tfrecord"))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val s = info.schema()
@@ -111,7 +112,8 @@ private[sources] class TfRecordTable(props: Map[String, String])
   }
 }
 
-private[sources] class TfRecordScan(path: String) extends Scan with Batch {
+private[sources] class TfRecordScan(path: String, recursive: Boolean)
+  extends Scan with Batch {
   // captured at scan construction (driver): the session's Hadoop conf
   private val conf = SourceFiles.hadoopConf()
 
@@ -121,7 +123,8 @@ private[sources] class TfRecordScan(path: String) extends Scan with Batch {
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
-    SourceFiles.listDataFiles(SourceFiles.fs(p, conf.value), p)
+    SourceFiles.listForBatch(SourceFiles.fs(p, conf.value), p, recursive,
+        "tfrecord")
       .map { case (f, len) => TfRecordFilePartition(f, len): InputPartition }
       .toArray
   }

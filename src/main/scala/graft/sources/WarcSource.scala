@@ -99,18 +99,20 @@ private[sources] class WarcTable(props: Map[String, String])
       TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarcScanBuilder(SourceFiles.pathOf(props, "warc"))
+    new WarcScanBuilder(SourceFiles.pathOf(props, "warc"),
+      SourceFiles.recursiveOpt(props, "warc"))
 }
 
-private[sources] class WarcScanBuilder(path: String)
+private[sources] class WarcScanBuilder(path: String, recursive: Boolean)
   extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = WarcSource.Schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new WarcScan(path, required)
+  override def build(): Scan = new WarcScan(path, required, recursive)
 }
 
-private[sources] class WarcScan(path: String, required: StructType)
+private[sources] class WarcScan(path: String, required: StructType,
+                                recursive: Boolean)
   extends Scan with Batch {
   // captured at scan construction (driver): the session's Hadoop conf
   private val conf = SourceFiles.hadoopConf()
@@ -122,7 +124,7 @@ private[sources] class WarcScan(path: String, required: StructType)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
-    SourceFiles.listDataFiles(SourceFiles.fs(p, conf.value), p)
+    SourceFiles.listForBatch(SourceFiles.fs(p, conf.value), p, recursive, "warc")
       .map { case (f, len) => WarcFilePartition(f, len): InputPartition }
       .toArray
   }
@@ -134,8 +136,15 @@ private[sources] class WarcScan(path: String, required: StructType)
       new WarcPartitionReader(partition.asInstanceOf[WarcFilePartition], cols, c)
   }
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // the stream's offset is the highest processed FILE NAME; recursive
+    // listings have no unique-name guarantee, so the landing dir must be
+    // flat — reject rather than silently mis-order
+    if (recursive) throw new IllegalArgumentException(
+      "warc streaming does not support recursive listings: the offset " +
+        "contract orders by file name in a FLAT landing directory")
     new WarcMicroBatchStream(path, required, conf)
+  }
 }
 
 /** Streaming face of the warc source — `spark.readStream.format("warc")`

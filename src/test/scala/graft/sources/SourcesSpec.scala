@@ -311,6 +311,40 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
       s"shards hold ${shipped.size} docs; expected the ${novel.size} novel ones")
   }
 
+  test("nested layouts: silent-zero traps are loud, recursive reads them") {
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    // a Common Crawl-ish nested layout: root/segA/warc/*.warc
+    val root = tmp("warc_nested")
+    val seg = java.nio.file.Paths.get(root, "segA", "warc")
+    java.nio.file.Files.createDirectories(seg)
+    val src = tmp("warc_nested_src")
+    Warc.write(warcFrame.limit(5).coalesce(1), src)
+    val f = new java.io.File(src).listFiles().find(_.getName.endsWith(".warc")).get
+    java.nio.file.Files.copy(f.toPath, seg.resolve("seg.warc"))
+    // flat read of the root: NOT silently empty
+    val e1 = intercept[Exception] {
+      spark.read.format("warc").load(root).count()
+    }
+    assert(msgs(e1).exists(m => m != null && m.contains("recursive")))
+    // recursive read finds the nested file
+    assert(spark.read.format("warc").option("recursive", "true")
+      .load(root).count() == 5)
+    // a missing path is loud too (was a silent empty frame)
+    val e2 = intercept[Exception] {
+      spark.read.format("warc").load(s"$root/does_not_exist").count()
+    }
+    assert(msgs(e2).exists(m => m != null && m.contains("does not exist")))
+    // the stream rejects recursive: its offset orders flat file names
+    val e3 = intercept[Exception] {
+      spark.readStream.format("warc").option("recursive", "true").load(root)
+        .writeStream.option("checkpointLocation", tmp("warc_nested_ckpt"))
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .start().processAllAvailable()
+    }
+    assert(msgs(e3).exists(m => m != null && m.contains("FLAT landing directory")))
+  }
+
   test("warc: one input partition per file (the format's parallelism contract)") {
     val dir = tmp("warc_parts")
     Warc.write(warcFrame.repartition(4), dir)
