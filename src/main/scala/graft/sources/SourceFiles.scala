@@ -41,6 +41,19 @@ private[sources] object SourceFiles {
       .map(s => (s.getPath.toString, s.getLen))
   }
 
+  /** [[listDataFiles]] plus each file's modification time — the warc
+    * stream's late-file diagnostic needs to distinguish "landed before
+    * this run started" from "producer violated the offset contract". */
+  def listDataFilesWithMtime(fs: FileSystem, dir: Path): Seq[(String, Long, Long)] = {
+    if (!fs.exists(dir)) return Seq.empty
+    val st = fs.getFileStatus(dir)
+    if (st.isFile) return Seq((st.getPath.toString, st.getLen, st.getModificationTime))
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && visible(s.getPath))
+      .sortBy(_.getPath.getName)
+      .map(s => (s.getPath.toString, s.getLen, s.getModificationTime))
+  }
+
   private def visible(p: Path): Boolean =
     !p.getName.startsWith("_") && !p.getName.startsWith(".")
 

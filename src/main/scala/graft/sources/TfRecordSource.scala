@@ -37,11 +37,13 @@ import org.apache.spark.util.SerializableConfiguration
   * so mid-file splits cannot re-align — file-level parallelism is the
   * format's contract; size shards accordingly, e.g. the `curate_shard`
   * operator's output partitioning), one file per task on write under
-  * the normal Spark task-retry contract (task files are
-  * uniquely-suffixed; the driver commit publishes a `_SUCCESS` marker,
-  * readers of uncommitted directories see whatever tasks completed —
-  * same semantics as Spark's file sources without a commit protocol
-  * coordinator). `mode("overwrite")` truncates the directory at commit.
+  * the normal Spark task-retry contract: tasks stream into invisible
+  * `.`-prefixed temp files and rename on task commit, the driver commit
+  * deletes any orphan of this write (a task that renamed but whose
+  * commit message was lost to an executor death) and publishes a
+  * `_SUCCESS` marker. Readers of uncommitted directories see whatever
+  * tasks committed — same semantics as Spark's file sources.
+  * `mode("overwrite")` truncates the directory at commit.
   */
 class TfRecordSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "tfrecord"
@@ -194,22 +196,25 @@ private[sources] class TfRecordBatchWrite(path: String, truncate: Boolean)
   extends BatchWrite {
 
   private val conf = SourceFiles.hadoopConf()
+  private val writeId = java.util.UUID.randomUUID().toString
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new TfRecordWriterFactory(path, java.util.UUID.randomUUID().toString, conf)
+    new TfRecordWriterFactory(path, writeId, conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
     val fs = SourceFiles.fs(dir, conf.value)
-    if (truncate) {
-      // overwrite semantics: drop every pre-existing data file that this
-      // write did not produce (task files carry this write's uuid)
-      val mine = messages.collect { case TfRecordCommit(f) =>
-        new Path(f).getName }.toSet
-      SourceFiles.listDataFiles(fs, dir).foreach { case (f, _) =>
-        val n = new Path(f).getName
-        if (!mine.contains(n)) fs.delete(new Path(f), false)
-      }
+    val mine = messages.collect { case TfRecordCommit(f) =>
+      new Path(f).getName }.toSet
+    SourceFiles.listDataFiles(fs, dir).foreach { case (f, _) =>
+      val n = new Path(f).getName
+      // truncate: drop every pre-existing data file this write did not
+      // produce. Append: still drop ORPHANS of this write (uuid in the
+      // name, absent from the commit messages) — an executor killed
+      // after its task-local rename but before the commit message lands
+      // must not leave a duplicate shard behind a _SUCCESS marker.
+      if (!mine.contains(n) && (truncate || n.contains(writeId)))
+        fs.delete(new Path(f), false)
     }
     fs.mkdirs(dir)
     fs.create(new Path(dir, "_SUCCESS"), true).close()
@@ -236,10 +241,15 @@ private[sources] class TfRecordDataWriter(path: String, writeId: String,
                                           conf: SerializableConfiguration)
   extends DataWriter[InternalRow] {
 
+  // tasks stream into a '.'-prefixed temp name (invisible to
+  // listDataFiles) and rename on task commit: an executor killed
+  // mid-write (abort never runs) leaves only an invisible temp behind,
+  // never a truncated data file a later read would choke on
   private val file = new Path(path,
     f"part-$partitionId%05d-$writeId-t$taskId.tfrecord")
+  private val tmp = new Path(path, s".${file.getName}.inprogress")
   private val fs = SourceFiles.fs(file, conf.value)
-  private val out = new java.io.BufferedOutputStream(fs.create(file, true), 1 << 16)
+  private val out = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
   private var written = 0L
 
   override def write(record: InternalRow): Unit = {
@@ -258,11 +268,16 @@ private[sources] class TfRecordDataWriter(path: String, writeId: String,
 
   override def commit(): WriterCommitMessage = {
     out.close()
+    if (!fs.rename(tmp, file)) throw new java.io.IOException(
+      s"tfrecord: rename $tmp -> $file failed")
     TfRecordCommit(file.toString)
   }
 
   override def abort(): Unit = {
-    out.close()
+    // close() flushes and can itself throw (broken stream, disk full) —
+    // the deletes must still run so no partial file survives the abort
+    try out.close() catch { case _: Throwable => () }
+    fs.delete(tmp, false)
     fs.delete(file, false)
   }
 

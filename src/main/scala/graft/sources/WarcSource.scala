@@ -159,10 +159,22 @@ private[sources] class WarcScan(path: String, required: StructType,
   * reconstructs any batch: restart-safe, no source-side state files. A
   * file sorting at or below the committed watermark is never picked up
   * — that is the documented trade for a stateless, replayable offset
-  * (Spark's own FileStreamSource instead persists a seen-files log). */
+  * (Spark's own FileStreamSource instead persists a seen-files log),
+  * and a producer violating it gets a loud per-file warning (see
+  * `warnLateFiles`) instead of silent data loss. */
 private[sources] class WarcMicroBatchStream(path: String, required: StructType,
                                             conf: SerializableConfiguration)
   extends MicroBatchStream {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private val startedAtMs = System.currentTimeMillis()
+  // highest file name this RUN has committed — feeds the late-file
+  // diagnostic only (the authoritative watermark lives in Spark's offset
+  // log; on restart this re-arms from the first commit)
+  @volatile private var committedWatermark: String = ""
+  // one warning per offending file, not one per trigger (a misconfigured
+  // producer would otherwise flood the log every ~second)
+  private val warnedLate = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   // listDataFiles sorts by file name — that order IS the offset contract
   private def files(): Seq[(String, Long)] = {
@@ -170,9 +182,35 @@ private[sources] class WarcMicroBatchStream(path: String, required: StructType,
     SourceFiles.listDataFiles(SourceFiles.fs(p, conf.value), p)
   }
 
+  /** The offset contract drops any file whose name sorts at or below the
+    * committed watermark — correct for monotonic producers, silent data
+    * loss for a misconfigured one (clock-named file landing late, a
+    * backfill into a live landing dir). This makes that loss LOUD: any
+    * listed file at/below the watermark that was MODIFIED after this
+    * stream started cannot have been processed by this run and gets a
+    * named warning. Pre-existing files a restarted stream already
+    * processed (mtime before start) stay quiet. */
+  private def warnLateFiles(): Unit = {
+    val wm = committedWatermark
+    if (wm.isEmpty) return
+    val p = new Path(path)
+    SourceFiles.listDataFilesWithMtime(SourceFiles.fs(p, conf.value), p)
+      .foreach { case (f, _, mtime) =>
+        val n = new Path(f).getName
+        if (n <= wm && mtime > startedAtMs && warnedLate.add(n))
+          log.warn(s"[graft.warc] landing file $n sorts at/below the " +
+            s"committed watermark '$wm' but appeared after this stream " +
+            "started — it will NEVER be ingested. The warc stream's " +
+            "offset contract requires lexicographically increasing, " +
+            "immutable file names; rename the file above the watermark " +
+            "or replay it through a fresh landing directory.")
+      }
+  }
+
   override def initialOffset(): Offset = WarcOffset("")
 
   override def latestOffset(): Offset = {
+    warnLateFiles()
     val fs = files()
     WarcOffset(if (fs.isEmpty) "" else new Path(fs.last._1).getName)
   }
@@ -199,7 +237,10 @@ private[sources] class WarcMicroBatchStream(path: String, required: StructType,
       new WarcPartitionReader(partition.asInstanceOf[WarcFilePartition], cols, c)
   }
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit = {
+    val wm = end.asInstanceOf[WarcOffset].lastFile
+    if (wm > committedWatermark) committedWatermark = wm
+  }
   override def stop(): Unit = ()
 }
 
@@ -374,9 +415,13 @@ private[sources] class WarcPartitionReader(part: WarcFilePartition,
   * newline in a value would inject headers and corrupt the framing).
   * Tasks write to a dot-prefixed temp name (invisible to the readers'
   * listing) and rename into place on success; a failed task deletes its
-  * temp file, so retries leave no partial files behind. Rows land in
-  * the file of whatever partition they live in — partition the frame
-  * first to control shard sizes. */
+  * temp file, so retries leave no partial files behind, and the final
+  * name is attempt-free so first-rename-wins arbitrates duplicate
+  * attempts (speculation / zombie tasks) instead of publishing both.
+  * Corollary: point each job at a FRESH directory — a pre-existing
+  * `part-N` file reads as "another attempt already published" and wins.
+  * Rows land in the file of whatever partition they live in — partition
+  * the frame first to control shard sizes. */
 object Warc {
   def write(df: DataFrame, dir: String, gzip: Boolean = false): Unit = {
     val cols = Seq("record_id", "warc_type", "target_uri", "date",
@@ -388,9 +433,15 @@ object Warc {
     ordered.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.hasNext) {
         val tc = org.apache.spark.TaskContext.get()
-        val name = f"part-${tc.partitionId()}%05d-a${tc.taskAttemptId()}" +
+        // the FINAL name carries no attempt id — first-rename-wins is the
+        // output-commit arbitration: with speculative execution (or a
+        // zombie attempt finishing after a retry) the loser's rename onto
+        // an existing destination fails, and since every attempt of a
+        // partition writes identical bytes, the loser just discards its
+        // temp instead of silently doubling the partition's records
+        val name = f"part-${tc.partitionId()}%05d" +
           (if (gzip) ".warc.gz" else ".warc")
-        val tmp = new Path(dir, s".$name.inprogress")
+        val tmp = new Path(dir, s".$name.a${tc.taskAttemptId()}.inprogress")
         val fin = new Path(dir, name)
         val fs = SourceFiles.fs(tmp, conf.value)
         val raw = fs.create(tmp, true)
@@ -422,8 +473,11 @@ object Warc {
             out.write(crlf); out.write(crlf)
           }
           out.close()
-          if (!fs.rename(tmp, fin)) throw new java.io.IOException(
-            s"Warc.write: rename $tmp -> $fin failed")
+          if (!fs.rename(tmp, fin)) {
+            if (fs.exists(fin)) { fs.delete(tmp, false); () } // lost the race: benign
+            else throw new java.io.IOException(
+              s"Warc.write: rename $tmp -> $fin failed")
+          }
         } catch {
           case t: Throwable =>
             try { out.close() } catch { case _: Throwable => () }

@@ -353,4 +353,48 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     val parts = spark.read.format("warc").load(dir).rdd.getNumPartitions
     assert(parts == files)
   }
+
+  test("tfrecord writer: uncommitted output is an invisible temp file; " +
+    "commit renames, abort (even with a broken stream) leaves nothing") {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    // committed task: temp invisible while open, final visible after
+    val d1 = tmp("tfr_dw_commit")
+    val w1 = new TfRecordDataWriter(d1, "w1", 0, 7L, conf)
+    w1.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](Array[Byte](1, 2, 3))))
+    val mid = new java.io.File(d1).listFiles().map(_.getName)
+    assert(mid.forall(_.startsWith(".")), s"mid-write files visible: ${mid.toSeq}")
+    w1.commit()
+    val after = new java.io.File(d1).listFiles().map(_.getName)
+    assert(after.exists(n => n.endsWith(".tfrecord") && !n.startsWith(".")))
+    assert(!after.exists(_.endsWith(".inprogress")))
+    // aborted task: close() throwing must not skip the temp delete
+    val d2 = tmp("tfr_dw_abort")
+    val w2 = new TfRecordDataWriter(d2, "w2", 0, 8L, conf)
+    w2.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](Array[Byte](9))))
+    // sabotage the stream underneath so close()'s flush throws
+    new java.io.File(d2).listFiles().foreach(_.delete())
+    new java.io.File(d2).delete()
+    w2.abort() // must not throw, and must not resurrect a partial file
+    assert(!new java.io.File(d2).exists() ||
+      new java.io.File(d2).listFiles().isEmpty)
+  }
+
+  test("warc write: attempt-free final names (first-rename-wins " +
+    "arbitration for duplicate attempts)") {
+    val dir = tmp("warc_arb")
+    // local-FS Hadoop .crc sidecars are not part of the contract
+    def visible() = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(n => n.startsWith(".")).sorted.toSeq
+    Warc.write(warcFrame.repartition(2), dir)
+    assert(visible() == Seq("part-00000.warc", "part-00001.warc"))
+    // a zombie attempt renaming onto an already-published partition file
+    // must lose quietly: simulate by re-running the same write into the
+    // same dir — every rename hits an existing final and is discarded
+    Warc.write(warcFrame.repartition(2), dir)
+    assert(visible() == Seq("part-00000.warc", "part-00001.warc"))
+    assert(spark.read.format("warc").load(dir).count() == warcFrame.count())
+  }
 }
