@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain output goes STRAIGHT to stdout instead of through
+// sbt's logger: the round driver parses the bench harness's final stdout
+// line as bare JSON, and the logger's "[info] " prefix broke that parse
+// four rounds running (VERDICT r12-r15). showSuccess drops the trailing
+// "[success] Total time..." banner for the same reason — with both set,
+// the last stdout line of `sbt "runMain graft.Bench"` is the compact
+// JSON record itself. Exit codes (what `sbt test` gates on) unchanged.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
