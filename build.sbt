@@ -20,6 +20,9 @@ run / fork := true
 // JSON record itself. Exit codes (what `sbt test` gates on) unchanged.
 outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, which the unused-key
+// lint cannot see
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

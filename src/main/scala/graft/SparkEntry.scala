@@ -246,6 +246,38 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"),
           sround(col("containment"), 6).as("containment"))
     }),
+    // the same nightly flags through the STORED containment state
+    // (saveContainmentState: shingle-bucketed rows + per-shingle stats +
+    // id-bucketed hsets, all three reads pruned to the batch's touched
+    // buckets) — shares dedup_containment_inc's oracle verbatim
+    "dedup_containment_inc_stored" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bkt = Curation.md5Bucket(col("doc_id"))
+      val batch = docs.where(bkt < 100000L).select(col("doc_id"), col("text"))
+      val corpus = docs.where(bkt >= 100000L).select(col("doc_id"), col("text"))
+        .unionByName(docs.where(bkt < 50000L)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      val store = "/tmp/graft_sql_containment_store_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Dedup.saveContainmentState(corpus, "text", "doc_id", store, n = 3,
+        nBuckets = 16)
+      Dedup.containmentPairsAgainstStored(batch, "text", "doc_id",
+          Dedup.loadContainmentState(s, store), threshold = 0.6,
+          maxShinglePairs = Long.MaxValue)
+        .select(col("id_a"), col("id_b"),
+          sround(col("containment"), 6).as("containment"))
+    }),
+    // the self-join containment family's SQL front door (dedup_pairs
+    // TVF, method 'containment') — shares dedup_containment's oracle
+    "dedup_containment_sql" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("dcp_sql_docs")
+      s.sql(
+        s"""SELECT id_a, id_b, round(containment, 6) AS containment
+            FROM dedup_pairs('dcp_sql_docs', 'text', 'doc_id',
+                             'method', 'containment', 'ngram_n', 3,
+                             'threshold', 0.6,
+                             'max_bucket_pairs', ${Long.MaxValue}L)""")
+    }),
     // MinHash LSH candidates + exact shingle-jaccard verify: the candidate
     // generation is sub-quadratic LSH, the verify makes the output ground
     // truth -> oracled against the same SQL family as dedup_ngram_jaccard.
@@ -1658,6 +1690,48 @@ object SparkEntry {
     }),
     "source_warc_roundtrip" -> ((s, dir) => warcRoundtrip(s, dir, gz = false)),
     "source_warc_gz" -> ((s, dir) => warcRoundtrip(s, dir, gz = true)),
+    // the HTTP layer inside response records: documents re-framed as
+    // real HTTP/1.1 messages (status/reason/Content-Type varying by
+    // doc_id, every third document chunked-transfer-coded), written as
+    // WARC response records, split back by the reader's http_* columns.
+    // The oracle rebuilds the same raw head in SQL and re-parses status
+    // and content-type out of it with string ops; body equality pins the
+    // chunk decoder (concatenated chunks must restore the exact text).
+    "source_warc_http" -> ((s, dir) => {
+      val warcDir = httpWarcFixture(s, dir, "http", col("text"))
+      // no null filter: a record that failed the HTTP split surfaces as
+      // a null-vs-value mismatch against the oracle instead of hiding
+      s.read.format("warc").load(warcDir)
+        .select(expr("CAST(substr(record_id, 9) AS BIGINT)").as("doc_id"),
+          col("http_status"),
+          col("http_content_type"),
+          decode(col("http_body"), "UTF-8").as("body"))
+    }),
+    // WET-style text extraction: the connector-to-TextAnalysis seam as
+    // one lazy plan — warc response records (every third one chunked) ->
+    // http_body -> markup strip -> normalize (hashed) -> language id ->
+    // Gopher quality flags. The oracle rebuilds the page wrap in SQL and
+    // replays each stage with the families' existing SQL mirrors (the
+    // langId arm is GENERATED from the same marker table via
+    // langIdOracleSqlOver, so it cannot drift).
+    "warc_to_text" -> ((s, dir) => {
+      val page = concat(lit("<p class=\"x\">"), col("text"),
+        lit("</p> &amp;gt; <b>bold</b> &lt;tag&gt; a&#39;b &quot;q&quot;"))
+      val warcDir = httpWarcFixture(s, dir, "wet", page)
+      // one scan of the warc files feeds both downstream consumers
+      val cleaned = graft.util.Materialize(
+        s.read.format("warc").load(warcDir)
+          .select(expr("CAST(substr(record_id, 9) AS BIGINT)").as("doc_id"),
+            TextAnalysis.stripMarkup(decode(col("http_body"), "UTF-8")).as("clean")),
+        graft.util.CheckpointStrategy.Local)
+      val lang = cleaned.select(col("doc_id"),
+        TextAnalysis.langId(col("clean")).as("lang_pred"),
+        org.apache.spark.sql.functions.md5(
+          encode(TextAnalysis.normalizeText(col("clean")), "UTF-8")).as("norm_md5"))
+      val flags = TextAnalysis.gopherFlags(cleaned, "clean", "doc_id")
+        .select(col("doc_id"), col("n_words"), col("pass"))
+      lang.join(flags, Seq("doc_id"))
+    }),
     "dedup_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val bkt = Curation.md5Bucket(col("doc_id"))
@@ -2576,6 +2650,147 @@ object SparkEntry {
         col("content_length"))
   }
 
+  /** Export `documents` as WARC `response` records whose payloads are
+    * real HTTP/1.1 messages over `body` (a STRING column): status and
+    * reason (200/301/404) and Content-Type (text/html vs text/plain)
+    * vary by doc_id, and every third document's body is
+    * chunked-transfer-coded — 64-CHAR chunks whose hex sizes are the
+    * chunk's OCTET length, so multibyte text frames correctly. Returns
+    * the export dir (wiped first). Shared by `source_warc_http` and
+    * `warc_to_text` (distinct `tag`s keep their fixtures apart). */
+  private def httpWarcFixture(s: SparkSession, dir: String, tag: String,
+                              body: org.apache.spark.sql.Column): String = {
+    val out = s"/tmp/graft_src_warc_${tag}_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val p = new org.apache.hadoop.fs.Path(out)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val docs = t(s, dir, "documents").withColumn("__body", body)
+    val statusLine = expr(
+      "CASE WHEN doc_id % 3 = 1 THEN 'HTTP/1.1 301 Moved Permanently' " +
+        "WHEN doc_id % 3 = 2 THEN 'HTTP/1.1 404 Not Found' " +
+        "ELSE 'HTTP/1.1 200 OK' END")
+    val ctype = expr("CASE WHEN doc_id % 2 = 0 THEN " +
+      "'text/html; charset=utf-8' ELSE 'text/plain' END")
+    val chunkedBody = expr(
+      """concat(array_join(transform(
+           sequence(0, CAST(ceil(char_length(__body) / 64.0) AS INT) - 1),
+           i -> concat(lower(hex(octet_length(substring(__body, i * 64 + 1, 64)))),
+                       '\r\n', substring(__body, i * 64 + 1, 64), '\r\n')), ''),
+         '0\r\n\r\n')""")
+    val payloadStr = concat(statusLine, lit("\r\nContent-Type: "), ctype, lit("\r\n"),
+      when(expr("doc_id % 3 = 0 AND char_length(__body) > 0"),
+        concat(lit("Transfer-Encoding: chunked\r\n\r\n"), chunkedBody))
+        .otherwise(concat(lit("Content-Length: "),
+          expr("CAST(octet_length(__body) AS STRING)"),
+          lit("\r\n\r\n"), col("__body"))))
+    graft.sources.Warc.write(docs.select(
+      concat(lit("urn:doc:"), col("doc_id")).as("record_id"),
+      lit("response").as("warc_type"),
+      concat(lit("https://example.com/"), col("doc_id")).as("target_uri"),
+      lit("2026-01-01T00:00:00Z").as("date"),
+      lit("application/http; msgtype=response").as("content_type"),
+      encode(payloadStr, "UTF-8").as("payload")), out)
+    out
+  }
+
+  // source_warc_http: the oracle rebuilds the raw HTTP head with the
+  // same doc_id-derived variation and RE-PARSES status and content-type
+  // out of it with string ops; body = text pins the chunk decoder
+  // (concatenated chunks must restore the exact document)
+  private val warcHttpOracle =
+    """WITH raw AS (SELECT doc_id, text,
+         CASE WHEN doc_id % 3 = 1 THEN 'HTTP/1.1 301 Moved Permanently'
+              WHEN doc_id % 3 = 2 THEN 'HTTP/1.1 404 Not Found'
+              ELSE 'HTTP/1.1 200 OK' END || chr(13) || chr(10) ||
+         'Content-Type: ' ||
+         CASE WHEN doc_id % 2 = 0 THEN 'text/html; charset=utf-8'
+              ELSE 'text/plain' END || chr(13) || chr(10) AS head
+       FROM documents)
+       SELECT doc_id,
+         CAST(split_part(head, ' ', 2) AS INTEGER) AS http_status,
+         split_part(split_part(head, 'Content-Type: ', 2), chr(13), 1)
+           AS http_content_type,
+         text AS body
+       FROM raw"""
+
+  // dedup_containment and its dedup_pairs-TVF twin share this oracle
+  private val containmentPairsOracle =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+       s AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) END AS sh FROM t),
+       e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+       sz AS (SELECT doc_id, len(sh) AS sz FROM s),
+       c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+             FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       SELECT id_a, id_b, round(common / least(sa.sz, sb.sz), 6) AS containment
+       FROM c JOIN sz sa ON c.id_a = sa.doc_id JOIN sz sb ON c.id_b = sb.doc_id
+       WHERE common / least(sa.sz, sb.sz) >= 0.6"""
+
+  // dedup_containment_inc and its stored-state twin share this oracle
+  private val containmentIncOracle =
+    """WITH d AS (SELECT doc_id, text,
+            ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS bkt
+          FROM documents),
+       ba AS (SELECT doc_id, text FROM d WHERE bkt < 100000),
+       co AS (SELECT doc_id, text FROM d WHERE bkt >= 100000
+              UNION ALL SELECT doc_id + 10000000, text FROM d WHERE bkt < 50000),
+       ta AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM ba),
+       tc AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM co),
+       sa AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) END AS sh FROM ta),
+       sc AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) END AS sh FROM tc),
+       ea AS (SELECT doc_id, unnest(sh) AS g FROM sa),
+       ec AS (SELECT doc_id, unnest(sh) AS g FROM sc),
+       za AS (SELECT doc_id, len(sh) AS sz FROM sa),
+       zc AS (SELECT doc_id, len(sh) AS sz FROM sc),
+       c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+             FROM ea a JOIN ec b ON a.g = b.g GROUP BY 1, 2)
+       SELECT id_a, id_b, round(common / least(za.sz, zc.sz), 6) AS containment
+       FROM c JOIN za ON c.id_a = za.doc_id JOIN zc ON c.id_b = zc.doc_id
+       WHERE common / least(za.sz, zc.sz) >= 0.6"""
+
+  // warc_to_text: page wrap rebuilt in SQL, then every stage replayed
+  // with its family's existing mirror — strip (text_strip_markup's
+  // expression), normalize (text_clean's), langId (generated from the
+  // marker table over the derived `cl` CTE), Gopher (text_gopher_rules'
+  // integer-threshold arithmetic over the STRIPPED text)
+  private val warcToTextOracle = {
+    val langSql = TextAnalysis.langIdOracleSqlOver("cl", "clean")
+    s"""WITH raw AS (SELECT doc_id,
+         '<p class="x">' || text || '</p> &amp;gt; <b>bold</b> &lt;tag&gt; a&#39;b &quot;q&quot;' AS page
+       FROM documents),
+       cl AS (SELECT doc_id, trim(regexp_replace(
+           replace(replace(replace(replace(replace(
+             regexp_replace(page, '<[^>]*>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+           '\\s+', ' ', 'g')) AS clean FROM raw),
+       nrm AS (SELECT doc_id, md5(lower(trim(regexp_replace(
+           regexp_replace(clean, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+           '\\s+', ' ', 'g')))) AS norm_md5 FROM cl),
+       lang AS ($langSql),
+       gw AS (SELECT doc_id,
+           list_filter(string_split_regex(trim(clean), '\\s+'), x -> len(x) > 0) AS words,
+           string_split(clean, chr(10)) AS lines,
+           len(regexp_extract_all(clean, '#')) + len(regexp_extract_all(clean, '\\.\\.\\.'))
+             + len(regexp_extract_all(clean, '…')) AS sym
+         FROM cl),
+       gc AS (SELECT doc_id, len(words) AS nw, len(lines) AS nl, sym,
+           COALESCE(CAST(list_sum(list_transform(words, x -> len(x))) AS BIGINT), 0) AS chars,
+           len(list_filter(lines, l -> regexp_matches(trim(l), '^[-•*]'))) AS bul,
+           len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$$'))) AS ell,
+           len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+           len(list_intersect(list_distinct(list_transform(words, x -> lower(x))),
+             ['the','be','to','of','and','that','have','with'])) AS sw
+         FROM gw),
+       gf AS (SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+           CAST(CASE WHEN nw >= 50 AND nw <= 100000 AND chars >= nw * 3 AND chars <= nw * 10
+                      AND sym * 10 <= nw AND bul * 10 <= nl * 9 AND ell * 10 <= nl * 3
+                      AND alpha * 5 >= nw * 4 AND sw >= 2 THEN 1 ELSE 0 END AS BIGINT) AS pass
+         FROM gc)
+       SELECT cl.doc_id AS doc_id, lang.lang_pred, nrm.norm_md5, gf.n_words, gf.pass
+       FROM cl JOIN lang USING (doc_id) JOIN nrm USING (doc_id) JOIN gf USING (doc_id)"""
+  }
+
   // dedup_semantic_inc and its stored-state/TVF twins share this oracle
   private val semDedupIncOracle = Dedup.semDedupIncOracleSql("embeddings",
     "vec_id", "embedding", graft.pipeline.DemoModels.SemCentroids, 64, 8, 0.35,
@@ -2792,41 +3007,14 @@ object SparkEntry {
          WHERE common / (sa.sz + sb.sz - common) >= 0.5""",
     // identical shingle family; score divides by the SMALLER set instead of
     // the union, so subset inclusions surface at high thresholds
-    "dedup_containment" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
-         s AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-                ELSE list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) END AS sh FROM t),
-         e AS (SELECT doc_id, unnest(sh) AS g FROM s),
-         sz AS (SELECT doc_id, len(sh) AS sz FROM s),
-         c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-               FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
-         SELECT id_a, id_b, round(common / least(sa.sz, sb.sz), 6) AS containment
-         FROM c JOIN sz sa ON c.id_a = sa.doc_id JOIN sz sb ON c.id_b = sb.doc_id
-         WHERE common / least(sa.sz, sb.sz) >= 0.6""",
+    "dedup_containment" -> containmentPairsOracle,
+    // the TVF twin shares it verbatim
+    "dedup_containment_sql" -> containmentPairsOracle,
     // the cross-side containment twin: same shingle construction over
-    // the batch/corpus split, batch-x-corpus pairs only
-    "dedup_containment_inc" ->
-      """WITH d AS (SELECT doc_id, text,
-              ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS bkt
-            FROM documents),
-         ba AS (SELECT doc_id, text FROM d WHERE bkt < 100000),
-         co AS (SELECT doc_id, text FROM d WHERE bkt >= 100000
-                UNION ALL SELECT doc_id + 10000000, text FROM d WHERE bkt < 50000),
-         ta AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM ba),
-         tc AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM co),
-         sa AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-                ELSE list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) END AS sh FROM ta),
-         sc AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-                ELSE list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) END AS sh FROM tc),
-         ea AS (SELECT doc_id, unnest(sh) AS g FROM sa),
-         ec AS (SELECT doc_id, unnest(sh) AS g FROM sc),
-         za AS (SELECT doc_id, len(sh) AS sz FROM sa),
-         zc AS (SELECT doc_id, len(sh) AS sz FROM sc),
-         c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-               FROM ea a JOIN ec b ON a.g = b.g GROUP BY 1, 2)
-         SELECT id_a, id_b, round(common / least(za.sz, zc.sz), 6) AS containment
-         FROM c JOIN za ON c.id_a = za.doc_id JOIN zc ON c.id_b = zc.doc_id
-         WHERE common / least(za.sz, zc.sz) >= 0.6""",
+    // the batch/corpus split, batch-x-corpus pairs only; the
+    // stored-state twin shares it verbatim
+    "dedup_containment_inc" -> containmentIncOracle,
+    "dedup_containment_inc_stored" -> containmentIncOracle,
     // ground truth for the LSH-candidates + exact-verify pipeline: identical
     // shingle construction, threshold 0.5 (recall of the candidate stage is
     // ~1 for the high-jaccard near-dups this detects; the AnnJoin/Dedup
@@ -4656,6 +4844,8 @@ object SparkEntry {
     "source_tfrecord_roundtrip" -> "SELECT doc_id, text FROM documents",
     "source_warc_roundtrip" -> warcRoundtripOracle,
     "source_warc_gz" -> warcRoundtripOracle,
+    "source_warc_http" -> warcHttpOracle,
+    "warc_to_text" -> warcToTextOracle,
     // the nightly winnow check and its stored-state/TVF twins: one oracle
     "dedup_winnow_inc" -> winnowCrossOracle,
     "dedup_winnow_inc_stored" -> winnowCrossOracle,

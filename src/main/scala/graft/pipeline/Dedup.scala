@@ -725,6 +725,137 @@ object Dedup {
       (common, sa, sb) => common / least(sa, sb), threshold)
   }
 
+  /** Persist a containment corpus state — the [[saveMinhashState]] /
+    * [[saveWinnowState]] treatment for the quote/subset-inclusion
+    * detector, so the nightly [[containmentCrossPairs]] check reads
+    * neither corpus text nor whole state per trigger. Containment's
+    * blocking key is the raw SHINGLE (banding is structurally wrong
+    * here — band collision probability follows jaccard, and the
+    * asymmetric pairs this family exists for have jaccard ≈ |A|/|B|),
+    * so the layout marries the winnow store's fingerprint-bucketed
+    * blocking half with the minhash store's id-bucketed verify half:
+    *
+    *  - `shingles/bucket=N/` — (id, __sh), bucket = hash(__sh) mod
+    *    nBuckets: the batch's shingles touch ≤ min(batch shingles,
+    *    nBuckets) directories, and the shared-shingle join reads only
+    *    those.
+    *  - `stats/bucket=N/` — per-shingle corpus document frequency, so
+    *    the cross hot gate prices a batch from stats alone.
+    *  - `hsets/hbucket=M/` — (id, __hset) keyed by hash(id) mod
+    *    nBuckets: the exact containment verify reads only the
+    *    candidate corpus ids' partitions.
+    *  - `meta/` — n (shingle length), nBuckets: the sketch parameter IS
+    *    the layout; threshold stays a query-time knob.
+    *
+    * Refreshes are generation-flipped with the shared `graceGens`
+    * contract ([[saveHammingState]] scaladoc). */
+  def saveContainmentState(corpus: DataFrame, textCol: String, idCol: String,
+                           path: String, n: Int = 3,
+                           nBuckets: Int = 64, graceGens: Int = 1): Unit = {
+    require(n >= 1, s"n must be >= 1 (got $n)")
+    require(nBuckets >= 1, s"nBuckets must be >= 1 (got $nBuckets)")
+    val spark = corpus.sparkSession
+    writeGenerationFlipped(spark, path, graceGens, "saveContainmentState") { genPath =>
+      // ONE execution of the corpus shingle lineage: (id, __hset) staged
+      // to parquet, shingles/stats/hsets all derive from the WRITTEN file
+      val stagePath = s"$genPath/state_raw"
+      shingleSets(corpus, textCol, idCol, n, CheckpointStrategy.Local)
+        .select(col(idCol).as("id"), col("__hset"))
+        .write.mode("overwrite").parquet(stagePath)
+      val state = spark.read.parquet(stagePath)
+      val sh = state.select(col("id"), explode(col("__hset")).as("__sh"))
+        .withColumn("bucket", winnowFpBucket(nBuckets))
+      sh.limit(0).write.mode("overwrite").parquet(s"$genPath/schema_shingles")
+      sh.repartition(nBuckets, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$genPath/shingles")
+      spark.read.schema(storedSchema(spark, s"$genPath/schema_shingles"))
+        .parquet(s"$genPath/shingles")
+        .groupBy(col("bucket"), col("__sh"))
+        .agg(count(lit(1)).as("__dfr"))
+        .repartition(nBuckets, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$genPath/stats")
+      val hsets = state.withColumn("hbucket", minhashIdBucket(col("id"), nBuckets))
+      hsets.limit(0).write.mode("overwrite").parquet(s"$genPath/schema_hsets")
+      hsets.repartition(nBuckets, col("hbucket"))
+        .write.mode("overwrite").partitionBy("hbucket")
+        .parquet(s"$genPath/hsets")
+      import spark.implicits._
+      Seq((n, nBuckets)).toDF("n", "n_buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$genPath/meta")
+      val (fs, _) = DurableIndex.qualified(spark, path)
+      fs.delete(fs.makeQualified(new org.apache.hadoop.fs.Path(stagePath)), true)
+    }
+  }
+
+  /** A stored containment corpus state ([[saveContainmentState]] layout). */
+  final case class StoredContainmentState(shingles: DataFrame, stats: DataFrame,
+                                          hsets: DataFrame, n: Int, nBuckets: Int)
+
+  def loadContainmentState(spark: org.apache.spark.sql.SparkSession,
+                           path: String): StoredContainmentState = {
+    val (fs, root) = DurableIndex.qualified(spark, path)
+    val live = liveHammingGen(fs, root).getOrElse(throw new IllegalArgumentException(
+      s"containment state at $path has no committed generation (never " +
+        "saved, or every save/refresh died mid-write) — run saveContainmentState"))
+    val genPath = s"$path/${live.getName}"
+    val m = spark.read.parquet(s"$genPath/meta").head()
+    val shSchema = storedSchema(spark, s"$genPath/schema_shingles")
+    val statsSchema = org.apache.spark.sql.types.StructType(
+      shSchema.filter(f => f.name == "__sh" || f.name == "bucket") :+
+        org.apache.spark.sql.types.StructField("__dfr",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    StoredContainmentState(
+      spark.read.schema(shSchema).parquet(s"$genPath/shingles"),
+      spark.read.schema(statsSchema).parquet(s"$genPath/stats"),
+      spark.read.schema(storedSchema(spark, s"$genPath/schema_hsets"))
+        .parquet(s"$genPath/hsets"),
+      m.getAs[Int]("n"), m.getAs[Int]("n_buckets"))
+  }
+
+  /** [[containmentCrossPairs]] against a STORED state: per-trigger
+    * corpus I/O is proportional to the shingle buckets the batch
+    * touches, not the store. Three pruned reads, the
+    * [[minhashPairsAgainstStored]] recipe on the shingle key:
+    *  1. the batch's distinct shingle buckets (bounded collect, ≤
+    *     nBuckets values) partition-filter the `shingles/` read;
+    *  2. the same filter prices the cross hot gate from the `stats/`
+    *     table alone (dfRPre — no shingle-row scan to decide);
+    *  3. the surviving candidate pairs' corpus ids partition-filter the
+    *     `hsets/` read for the exact containment verify.
+    * Output identical to the in-memory form on the same n (spec-pinned;
+    * the oracled twin shares `dedup_containment_inc`'s oracle
+    * verbatim). Batch/corpus ids disjoint by the same contract. */
+  def containmentPairsAgainstStored(batch: DataFrame, textCol: String, idCol: String,
+                                    stored: StoredContainmentState,
+                                    threshold: Double = 0.6,
+                                    maxShinglePairs: Long = 4_000_000L,
+                                    maxDriverHotShingles: Int = 1_000_000,
+                                    checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val bSets = shingleSets(batch, textCol, idCol, stored.n, checkpoint)
+    val eB = bSets.select(col(idCol), explode(col("__hset")).as("__sh"))
+    // pruned read 1: only the batch's touched shingle buckets
+    val touched = eB.select(winnowFpBucket(stored.nBuckets).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).map(b => b: Any)
+    val cSh = stored.shingles.where(col("bucket").isin(touched: _*)).drop("bucket")
+    val cStats = stored.stats.where(col("bucket").isin(touched: _*)).drop("bucket")
+    // pruned read 2: the cross gate priced from batch dfs x stored stats
+    val (gB, gC) = gateHotShinglesCross(eB, cSh, "dedup_containment_stored",
+      maxShinglePairs, maxDriverHotShingles, dfRPre = Some(cStats))
+    val pairs = Materialize(gB.as("a").join(gC.as("b"),
+        col("a.__sh") === col("b.__sh"))
+      .select(col(s"a.$idCol").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b"), checkpoint)
+    // pruned read 3: only the candidate corpus ids' hset partitions
+    val touchedH = pairs.select(
+        minhashIdBucket(col("id_b"), stored.nBuckets).as("hbucket"))
+      .distinct().collect().map(_.getLong(0)).map(b => b: Any)
+    val cHsets = stored.hsets.where(col("hbucket").isin(touchedH: _*))
+      .select(col("id").as(idCol), col("__hset"))
+    verifyScoredSided(pairs, bSets, cHsets, idCol, "containment",
+      (common, sa, sb) => common / least(sa, sb), threshold)
+  }
+
   /** Shared cross-side blocking scaffold of [[ngramJaccardCrossPairs]]
     * and [[containmentCrossPairs]] — shingle sets per side, exploded
     * rows, the cross hot gate, the shared-shingle join, pair dedup.

@@ -298,7 +298,13 @@ object TextAnalysis {
          FROM b"""
   }
 
-  def langIdOracleSql: String = {
+  def langIdOracleSql: String = langIdOracleSqlOver("documents", "text")
+
+  /** [[langIdOracleSql]] retargeted at any relation/text column — the
+    * composed-pipeline oracles (e.g. `warc_to_text`) run the same
+    * generated marker SQL over a derived CTE instead of `documents`,
+    * so the mirror still cannot drift from [[langMarkers]]. */
+  def langIdOracleSqlOver(relation: String, textCol: String): String = {
     val langs = langMarkers.map(_._1)
     val hitCols = langMarkers.map { case (lang, ms) =>
       val lst = ms.map(m => s"'$m'").mkString(",")
@@ -306,7 +312,7 @@ object TextAnalysis {
     }.mkString(",\n           ")
     val best = langs.map("h_" + _).mkString("greatest(", ", ", ")")
     val cases = langs.init.map(l => s"WHEN h_$l = $best THEN '$l'").mkString("\n           ")
-    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower($textCol)), '\\s+') AS w FROM $relation),
          h AS (SELECT doc_id,
            $hitCols
          FROM t)

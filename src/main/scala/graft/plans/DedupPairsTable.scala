@@ -14,7 +14,7 @@ import graft.util.CheckpointStrategy
   * {{{
   *   SELECT * FROM dedup_pairs(
   *     'docs_view', 'text', 'doc_id'
-  *     [, 'method', 'simhash' | 'minhash' | 'ngram' | 'winnow'  -- default simhash
+  *     [, 'method', 'simhash' | 'minhash' | 'ngram' | 'winnow' | 'containment'  -- default simhash
   *      -- simhash:  (id_a, id_b, hamming)
   *      , 'max_hamming', 3,  'use_md5', false
   *      -- minhash:  (id_a, id_b, est_jaccard)
@@ -22,6 +22,9 @@ import graft.util.CheckpointStrategy
   *      , 'threshold', 0.7
   *      -- ngram:    (id_a, id_b, jaccard)
   *      , 'ngram_n', 3, 'threshold', 0.5
+  *      -- containment: (id_a, id_b, containment) — |A∩B|/min(|A|,|B|),
+  *      --   the quote/subset-inclusion signal jaccard misses
+  *      , 'ngram_n', 3, 'threshold', 0.6
   *      -- winnow:   (id_a, id_b, n_shared) — lifted-passage overlap
   *      , 'winnow_k', 5, 'winnow_window', 4, 'min_shared', 8, 'use_md5', false
   *      -- shared
@@ -42,7 +45,7 @@ object DedupPairsTable {
 
   private val usage =
     "dedup_pairs('docs_table', 'text_col', 'id_col', then optional " +
-      "('method', 'simhash'|'minhash'|'ngram'|'winnow' | 'max_hamming', int | " +
+      "('method', 'simhash'|'minhash'|'ngram'|'winnow'|'containment' | 'max_hamming', int | " +
       "'use_md5', bool | 'shingle_len', int | 'num_bands', int | " +
       "'rows_per_band', int | 'threshold', double | 'ngram_n', int | " +
       "'winnow_k', int | 'winnow_window', int | 'min_shared', long | " +
@@ -73,9 +76,10 @@ object DedupPairsTable {
     var checkpoint: CheckpointStrategy = CheckpointStrategy.Local
     A.options(args, 3) { (k, v) => k match {
       case "method" => A.str(v, "method value") match {
-        case m @ ("simhash" | "minhash" | "ngram" | "winnow") => method = m
+        case m @ ("simhash" | "minhash" | "ngram" | "winnow" | "containment") => method = m
         case other =>
-          A.bad("method must be 'simhash', 'minhash', 'ngram' or 'winnow'", other)
+          A.bad("method must be 'simhash', 'minhash', 'ngram', 'winnow' " +
+            "or 'containment'", other)
       }
       case "max_hamming" =>
         maxHamming = A.int(v, "max_hamming value")
@@ -114,6 +118,9 @@ object DedupPairsTable {
         Dedup.winnowOverlapPairs(docs, textCol, idCol, winnowK, winnowWindow,
           minShared, maxFingerprintPairs = maxBucketPairs, useMd5 = useMd5,
           checkpoint = checkpoint)
+      case "containment" =>
+        Dedup.containmentPairs(docs, textCol, idCol, ngramN,
+          threshold.getOrElse(0.6), checkpoint, maxBucketPairs)
       case _ =>
         Dedup.ngramJaccardPairs(docs, textCol, idCol, ngramN,
           threshold.getOrElse(0.5), checkpoint, maxBucketPairs)

@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
@@ -22,9 +22,21 @@ import org.apache.spark.util.SerializableConfiguration
   * {{{
   *   spark.read.format("warc").load("/crawl/segments")
   *     // (record_id, warc_type, target_uri, date, content_type,
-  *     //  content_length, payload BINARY)
+  *     //  content_length, payload BINARY,
+  *     //  http_status INT, http_content_type, http_body BINARY)
   *   spark.readStream.format("warc").load("/crawl/landing")   // streaming
   * }}}
+  *
+  * The three `http_*` columns split the HTTP response message inside
+  * `response`-record payloads ([[HttpPayload]]): status, the HTTP
+  * Content-Type header, and the body with headers stripped, chunked
+  * transfer coding decoded and gzip content coding decompressed
+  * (`.option("http_gunzip", "false")` keeps gzip bodies raw). They are
+  * computed only when the projection requires them, null for non-HTTP
+  * records, and null-with-a-counted-warning for malformed messages —
+  * the first thing every Common Crawl user does is text extraction,
+  * and without this split they get status line + headers glued to the
+  * HTML.
   *
   * Implemented from the public spec, from scratch: records are a
   * `WARC/1.x` version line, CRLF-separated named headers (UTF-8 values,
@@ -67,7 +79,14 @@ object WarcSource {
     StructField("date", StringType, nullable = true),
     StructField("content_type", StringType, nullable = true),
     StructField("content_length", LongType, nullable = false),
-    StructField("payload", BinaryType, nullable = true)))
+    StructField("payload", BinaryType, nullable = true),
+    // the HTTP layer inside `response` payloads ([[HttpPayload]]): null
+    // for non-HTTP records and for malformed messages (counted, loud at
+    // reader close — never a crash). Parsed only when one of the three
+    // is actually required, so non-HTTP workloads pay nothing.
+    StructField("http_status", IntegerType, nullable = true),
+    StructField("http_content_type", StringType, nullable = true),
+    StructField("http_body", BinaryType, nullable = true)))
 
   // column ordinals shared by the reader's precomputed projection
   private[sources] val ColRecordId = 0
@@ -77,6 +96,9 @@ object WarcSource {
   private[sources] val ColContentType = 4
   private[sources] val ColContentLength = 5
   private[sources] val ColPayload = 6
+  private[sources] val ColHttpStatus = 7
+  private[sources] val ColHttpContentType = 8
+  private[sources] val ColHttpBody = 9
   private[sources] def ordinalOf(name: String): Int = name match {
     case "record_id" => ColRecordId
     case "warc_type" => ColWarcType
@@ -85,8 +107,22 @@ object WarcSource {
     case "content_type" => ColContentType
     case "content_length" => ColContentLength
     case "payload" => ColPayload
+    case "http_status" => ColHttpStatus
+    case "http_content_type" => ColHttpContentType
+    case "http_body" => ColHttpBody
     case other => throw new IllegalStateException(s"unknown warc column $other")
   }
+
+  /** `http_gunzip` option (default true): decode `Content-Encoding:
+    * gzip` bodies when splitting the HTTP layer. */
+  private[sources] def httpGunzipOpt(props: Map[String, String]): Boolean =
+    props.get("http_gunzip") match {
+      case None => true
+      case Some(v) if v.equalsIgnoreCase("true") => true
+      case Some(v) if v.equalsIgnoreCase("false") => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"warc source: http_gunzip must be 'true' or 'false', got '$other'")
+    }
 }
 
 private[sources] class WarcTable(props: Map[String, String])
@@ -100,19 +136,21 @@ private[sources] class WarcTable(props: Map[String, String])
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(SourceFiles.pathOf(props, "warc"),
-      SourceFiles.recursiveOpt(props, "warc"))
+      SourceFiles.recursiveOpt(props, "warc"),
+      WarcSource.httpGunzipOpt(props))
 }
 
-private[sources] class WarcScanBuilder(path: String, recursive: Boolean)
+private[sources] class WarcScanBuilder(path: String, recursive: Boolean,
+                                       httpGunzip: Boolean)
   extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = WarcSource.Schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new WarcScan(path, required, recursive)
+  override def build(): Scan = new WarcScan(path, required, recursive, httpGunzip)
 }
 
 private[sources] class WarcScan(path: String, required: StructType,
-                                recursive: Boolean)
+                                recursive: Boolean, httpGunzip: Boolean)
   extends Scan with Batch {
   // captured at scan construction (driver): the session's Hadoop conf
   private val conf = SourceFiles.hadoopConf()
@@ -132,8 +170,9 @@ private[sources] class WarcScan(path: String, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val cols = required.fieldNames
     val c = conf
+    val gz = httpGunzip
     (partition: InputPartition) =>
-      new WarcPartitionReader(partition.asInstanceOf[WarcFilePartition], cols, c)
+      new WarcPartitionReader(partition.asInstanceOf[WarcFilePartition], cols, c, gz)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
@@ -143,7 +182,7 @@ private[sources] class WarcScan(path: String, required: StructType,
     if (recursive) throw new IllegalArgumentException(
       "warc streaming does not support recursive listings: the offset " +
         "contract orders by file name in a FLAT landing directory")
-    new WarcMicroBatchStream(path, required, conf)
+    new WarcMicroBatchStream(path, required, conf, httpGunzip)
   }
 }
 
@@ -163,7 +202,8 @@ private[sources] class WarcScan(path: String, required: StructType,
   * and a producer violating it gets a loud per-file warning (see
   * `warnLateFiles`) instead of silent data loss. */
 private[sources] class WarcMicroBatchStream(path: String, required: StructType,
-                                            conf: SerializableConfiguration)
+                                            conf: SerializableConfiguration,
+                                            httpGunzip: Boolean)
   extends MicroBatchStream {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
@@ -233,8 +273,9 @@ private[sources] class WarcMicroBatchStream(path: String, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val cols = required.fieldNames
     val c = conf
+    val gz = httpGunzip
     (partition: InputPartition) =>
-      new WarcPartitionReader(partition.asInstanceOf[WarcFilePartition], cols, c)
+      new WarcPartitionReader(partition.asInstanceOf[WarcFilePartition], cols, c, gz)
   }
 
   override def commit(end: Offset): Unit = {
@@ -265,7 +306,8 @@ private[sources] case class WarcFilePartition(file: String, length: Long)
 
 private[sources] class WarcPartitionReader(part: WarcFilePartition,
                                            cols: Array[String],
-                                           conf: SerializableConfiguration)
+                                           conf: SerializableConfiguration,
+                                           httpGunzip: Boolean)
   extends PartitionReader[InternalRow] {
 
   import WarcSource._
@@ -274,7 +316,14 @@ private[sources] class WarcPartitionReader(part: WarcFilePartition,
   // per-record string match over the column names showed up in the
   // 500k-record pricing run)
   private val colOrdinals: Array[Int] = cols.map(ordinalOf)
-  private val needPayload = colOrdinals.contains(ColPayload)
+  private val needHttp = colOrdinals.exists(o =>
+    o == ColHttpStatus || o == ColHttpContentType || o == ColHttpBody)
+  // the HTTP split needs the payload bytes even when `payload` itself is
+  // pruned out; a query touching neither still streams past them
+  private val needPayload = colOrdinals.contains(ColPayload) || needHttp
+  // malformed-HTTP records: null columns + ONE loud line at close(),
+  // never a crash — a broken server response costs one row's columns
+  private var malformedHttp = 0L
 
   private val in: java.io.InputStream = {
     val p = new Path(part.file)
@@ -381,6 +430,14 @@ private[sources] class WarcPartitionReader(part: WarcFilePartition,
             null
           }
         ordinal += 1
+        // the HTTP layer: split only records announcing an HTTP response
+        // and only when the projection asks for it
+        val http: HttpPayload.Parsed =
+          if (needHttp && HttpPayload.isHttpResponse(contentType)) {
+            val p = HttpPayload.parse(payload, httpGunzip)
+            if (!p.ok) malformedHttp += 1
+            p
+          } else HttpPayload.Parsed(ok = false, -1, null, null)
         val values = new Array[Any](colOrdinals.length)
         var vi = 0
         while (vi < colOrdinals.length) {
@@ -392,6 +449,12 @@ private[sources] class WarcPartitionReader(part: WarcFilePartition,
             case ColContentType => if (contentType == null) null else UTF8String.fromString(contentType)
             case ColContentLength => contentLength
             case ColPayload => payload
+            case ColHttpStatus => if (http.ok) http.status else null
+            case ColHttpContentType =>
+              if (http.ok && http.contentType != null)
+                UTF8String.fromString(http.contentType)
+              else null
+            case ColHttpBody => if (http.ok) http.body else null
           }
           vi += 1
         }
@@ -402,7 +465,14 @@ private[sources] class WarcPartitionReader(part: WarcFilePartition,
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = in.close()
+  override def close(): Unit = {
+    if (malformedHttp > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"[graft.warc] ${part.file}: $malformedHttp record(s) announced " +
+          "an HTTP response payload that did not parse (bad status line, " +
+          "chunk framing, or gzip body) — their http_* columns are null")
+    in.close()
+  }
 }
 
 /** WARC EXPORT helper — writes one `.warc` (or `.warc.gz`) file per

@@ -75,6 +75,39 @@ object SourcesBench {
       emit(if (gz) "warc_census_gz" else "warc_census", cSec, payloadBytes)
     }
 
+    // the HTTP layer: the same corpus re-framed as response records
+    // (every third chunked at 4 KB, server-style), split back by the
+    // reader's http_* columns — prices status/header parsing + chunk
+    // decoding against the raw payload read above
+    val httpDir = java.nio.file.Files.createTempDirectory("srcb_warc_http").toString
+    val httpFrame = corpus.select(
+      concat(lit("urn:doc:"), col("doc_id")).as("record_id"),
+      lit("response").as("warc_type"),
+      concat(lit("https://example.com/"), col("doc_id")).as("target_uri"),
+      lit("2026-01-01T00:00:00Z").as("date"),
+      lit("application/http; msgtype=response").as("content_type"),
+      expr(
+        """encode(concat('HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n',
+             CASE WHEN doc_id % 3 = 0 AND char_length(text) > 0
+               THEN concat('Transfer-Encoding: chunked\r\n\r\n',
+                 array_join(transform(
+                   sequence(0, CAST(ceil(char_length(text) / 4096.0) AS INT) - 1),
+                   i -> concat(lower(hex(octet_length(substring(text, i * 4096 + 1, 4096)))),
+                               '\r\n', substring(text, i * 4096 + 1, 4096), '\r\n')), ''),
+                 '0\r\n\r\n')
+               ELSE concat('Content-Length: ', CAST(octet_length(text) AS STRING),
+                 '\r\n\r\n', text)
+             END), 'UTF-8')""").as("payload"))
+    val (_, hwSec) = timed(graft.sources.Warc.write(httpFrame, httpDir))
+    emit("warc_http_write", hwSec, payloadBytes,
+      s""","disk_bytes":${dirBytes(httpDir)}""")
+    val (bodyBytes, hSec) = timed(
+      spark.read.format("warc").load(httpDir)
+        .agg(sum(length(col("http_body")))).head().getLong(0))
+    require(bodyBytes == payloadBytes,
+      s"http bodies $bodyBytes != payload $payloadBytes")
+    emit("warc_http_split", hSec, payloadBytes)
+
     val tfDir = java.nio.file.Files.createTempDirectory("srcb_tfr").toString
     val (_, twSec) = timed(
       corpus.select(encode(col("text"), "UTF-8").as("record"))

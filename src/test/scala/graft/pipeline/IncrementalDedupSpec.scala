@@ -219,6 +219,105 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkSpec {
     assert(j.nonEmpty && j.head.getDouble(0) < 0.5)
   }
 
+  test("stored containment state: identical answer to the in-memory form, " +
+    "PRUNED shingles/stats/hsets scans, generation-flipped refresh") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val corpusDf = docs
+    val batchDf = docs.where($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    val dir = java.nio.file.Files.createTempDirectory("ct_store").toString
+    Dedup.saveContainmentState(corpusDf, "text", "doc_id", dir, n = 3,
+      nBuckets = 16)
+    val stored = Dedup.loadContainmentState(spark, dir)
+    assert(stored.n == 3 && stored.nBuckets == 16)
+
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_a", "id_b", "containment")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    // the gate's stats read executes inside the call (driver aggregate);
+    // capture via a QueryExecutionListener like the winnow/minhash specs
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    // real cap (default) so the cross gate actually prices from stats
+    val viaStored = Dedup.containmentPairsAgainstStored(batchDf, "text",
+      "doc_id", stored, threshold = 0.5)
+    val inMemory = pairSet(Dedup.containmentCrossPairs(batchDf, corpusDf,
+      "text", "doc_id", 3, 0.5))
+    assert(pairSet(viaStored) == inMemory && inMemory.nonEmpty,
+      s"stored=${pairSet(viaStored).size} inMemory=${inMemory.size}")
+
+    // stats scan AND shingles scan execute INSIDE the call (the gate's
+    // driver aggregate; the materialized pairs frame for the touched-id
+    // collect) — both prunes must appear in listener-captured plans,
+    // path-anchored so one scan can't satisfy the other's assert
+    import scala.jdk.CollectionConverters._
+    def pruned(path: String, part: String, extra: Seq[String] = Nil) =
+      (plans.asScala.toSeq ++ extra).exists(p =>
+        p.contains(path) &&
+          s"PartitionFilters: \\[[^\\]]*$part".r.findFirstIn(p).isDefined)
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (!(pruned("/stats", "bucket") && pruned("/shingles", "bucket")) &&
+      System.nanoTime() < deadline) Thread.sleep(50)
+    spark.listenerManager.unregister(listener)
+    assert(pruned("/stats", "bucket"),
+      "stats bucket filter did not reach partition pruning in any plan " +
+        s"executed during the call:\n${plans.asScala.mkString("\n---\n")}")
+    assert(pruned("/shingles", "bucket"),
+      "shingles bucket filter did not reach partition pruning in any plan " +
+        s"executed during the call:\n${plans.asScala.mkString("\n---\n")}")
+    // the hsets verify scan IS in the returned frame's plan (join side)
+    val plan = viaStored.queryExecution.executedPlan.toString
+    assert(pruned("/hsets", "hbucket", Seq(plan)),
+      s"hsets hbucket filter did not reach partition pruning:\n$plan")
+
+    // a refresh flips generations (shared writeGenerationFlipped harness)
+    Dedup.saveContainmentState(corpusDf, "text", "doc_id", dir, n = 3,
+      nBuckets = 16)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val gens = fs.listStatus(fs.makeQualified(new org.apache.hadoop.fs.Path(dir)))
+      .map(_.getPath.getName).filter(_.startsWith("gen=")).sorted
+    assert(gens.contains("gen=1") && gens.contains("gen=0"),
+      s"refresh did not flip generations with grace: ${gens.toSeq}")
+    assert(pairSet(Dedup.containmentPairsAgainstStored(batchDf, "text",
+      "doc_id", Dedup.loadContainmentState(spark, dir),
+      threshold = 0.5)) == inMemory)
+
+    // empty batch: zero pairs, no touched buckets, no failure
+    assert(Dedup.containmentPairsAgainstStored(batchDf.limit(0), "text",
+      "doc_id", stored, threshold = 0.5).count() == 0L)
+
+    // a never-saved path names the writer to run, loudly
+    val e = intercept[IllegalArgumentException] {
+      Dedup.loadContainmentState(spark,
+        java.nio.file.Files.createTempDirectory("ct_none").toString)
+    }
+    assert(e.getMessage.contains("saveContainmentState"))
+  }
+
+  test("stored containment: capped shingles only remove pairs, never invent them") {
+    val dir = java.nio.file.Files.createTempDirectory("ct_store_cap").toString
+    Dedup.saveContainmentState(corpus, "text", "doc_id", dir, n = 3, nBuckets = 8)
+    val stored = Dedup.loadContainmentState(spark, dir)
+    def at(cap: Long) = Dedup.containmentPairsAgainstStored(batch, "text",
+        "doc_id", stored, threshold = 0.1, maxShinglePairs = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = at(Long.MaxValue)
+    val capped = at(1L)
+    assert(full.nonEmpty && capped.subsetOf(full),
+      s"capped=$capped full=$full")
+  }
+
   test("winnow cross pairs equal the cross-side slice of the self-join operator") {
     // ground truth: run the whole-corpus operator on the union and keep
     // only batch-x-corpus rows (ids disjoint: batch < 100, corpus >= 100)

@@ -1,0 +1,196 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The HTTP layer inside WARC `response` payloads ([[HttpPayload]] +
+  * the `http_status`/`http_content_type`/`http_body` columns of
+  * [[WarcSource]]): message splitting, chunked transfer decoding
+  * (extensions, trailers), gzip content decoding and its off switch,
+  * the malformed-never-crashes contract, and non-response gating —
+  * framing-level behavior the DuckDB oracle (which compares decoded
+  * content) cannot see. */
+class HttpWarcSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def ascii(s: String) = s.getBytes("ISO-8859-1")
+
+  private def gzip(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(b); g.close()
+    bos.toByteArray
+  }
+
+  /** body chunked at `n` bytes with an extension on the first chunk and
+    * a trailer header after the terminator — the full RFC 9112 shape. */
+  private def chunk(body: Array[Byte], n: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    var first = true
+    while (i < body.length) {
+      val len = math.min(n, body.length - i)
+      val ext = if (first) ";x=\"quoted\"" else ""
+      out.write(ascii(f"$len%x$ext\r\n"))
+      out.write(body, i, len)
+      out.write(ascii("\r\n"))
+      i += len
+      first = false
+    }
+    out.write(ascii("0\r\nX-Trailer: ignored\r\n\r\n"))
+    out.toByteArray
+  }
+
+  private def msg(head: String, body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(ascii(head))
+    out.write(body)
+    out.toByteArray
+  }
+
+  test("parse: identity body, status and content-type split out") {
+    val body = "<html>hello &amp; world</html>".getBytes("UTF-8")
+    val p = HttpPayload.parse(msg(
+      "HTTP/1.1 200 OK\r\nServer: x\r\nContent-Type: text/html; charset=UTF-8\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n", body), gunzip = true)
+    assert(p.ok && p.status == 200)
+    assert(p.contentType == "text/html; charset=UTF-8")
+    assert(p.body.toSeq == body.toSeq)
+  }
+
+  test("parse: multi-word reason phrases and folded headers") {
+    val p = HttpPayload.parse(msg(
+      "HTTP/1.0 301 Moved Permanently\r\nContent-Type: text/plain;\r\n" +
+        " charset=latin-1\r\n\r\n", ascii("moved")), gunzip = true)
+    assert(p.ok && p.status == 301)
+    assert(p.contentType == "text/plain; charset=latin-1")
+    assert(new String(p.body, "ISO-8859-1") == "moved")
+  }
+
+  test("parse: chunked transfer coding with extensions and trailers") {
+    val body = ("0123456789" * 41 + "tail").getBytes("UTF-8") // 414 bytes
+    for (sz <- Seq(1, 7, 64, 1000)) {
+      val p = HttpPayload.parse(msg(
+        "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n",
+        chunk(body, sz)), gunzip = true)
+      assert(p.ok, s"chunk size $sz")
+      assert(p.body.toSeq == body.toSeq, s"chunk size $sz")
+    }
+  }
+
+  test("parse: gzip content coding decodes; http_gunzip=false keeps raw bytes") {
+    val body = "compressed page content".getBytes("UTF-8")
+    val raw = gzip(body)
+    val m = msg("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n" +
+      "Content-Type: text/html\r\n\r\n", raw)
+    val dec = HttpPayload.parse(m, gunzip = true)
+    assert(dec.ok && dec.body.toSeq == body.toSeq)
+    val kept = HttpPayload.parse(m, gunzip = false)
+    assert(kept.ok && kept.body.toSeq == raw.toSeq)
+  }
+
+  test("parse: chunked THEN gzip content coding composes") {
+    val body = "chunked and gzipped".getBytes("UTF-8")
+    val p = HttpPayload.parse(msg(
+      "HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n" +
+        "Transfer-Encoding: chunked\r\n\r\n", chunk(gzip(body), 5)),
+      gunzip = true)
+    assert(p.ok && p.body.toSeq == body.toSeq)
+  }
+
+  test("parse: malformed messages report not-ok, never throw") {
+    val bad = Seq(
+      "no HTTP at all".getBytes("UTF-8"), // no CRLF CRLF, no status
+      msg("HTTP/1.1 20 OK\r\n\r\n", ascii("x")), // 2-digit status
+      msg("ICY 200 OK\r\n\r\n", ascii("x")), // not an HTTP/ version
+      msg("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n",
+        ascii("zz\r\nnot hex\r\n0\r\n\r\n")), // bad chunk size
+      msg("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n",
+        ascii("ff\r\ntoo short")), // chunk overruns payload
+      msg("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n",
+        ascii("not gzip bytes"))) // corrupt gzip body
+    bad.foreach { b =>
+      val p = HttpPayload.parse(b, gunzip = true)
+      assert(!p.ok, new String(b.take(30), "ISO-8859-1"))
+    }
+  }
+
+  test("isHttpResponse gates on the WARC Content-Type, not the payload") {
+    assert(HttpPayload.isHttpResponse("application/http; msgtype=response"))
+    assert(HttpPayload.isHttpResponse("application/http;msgtype=response"))
+    assert(HttpPayload.isHttpResponse("application/http")) // no msgtype: assume response
+    assert(!HttpPayload.isHttpResponse("application/http; msgtype=request"))
+    assert(!HttpPayload.isHttpResponse("text/plain"))
+    assert(!HttpPayload.isHttpResponse(null))
+  }
+
+  /** a tiny crawl: responses (one chunked, one gzipped, one broken), a
+    * request capture, and a plain resource record */
+  private def crawlDir(): String = {
+    val dir = tmp("warc_http")
+    val rows = Seq(
+      ("urn:r:0", "response", "application/http; msgtype=response",
+        msg("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+          "Content-Length: 12\r\n\r\n", ascii("<p>plain</p>"))),
+      ("urn:r:1", "response", "application/http; msgtype=response",
+        msg("HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n" +
+          "Transfer-Encoding: chunked\r\n\r\n", chunk(ascii("gone away"), 4))),
+      ("urn:r:2", "response", "application/http; msgtype=response",
+        msg("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+          "Content-Encoding: gzip\r\n\r\n", gzip(ascii("<p>zipped</p>")))),
+      ("urn:r:3", "response", "application/http; msgtype=response",
+        ascii("HTTP/1.1 garbage status line\r\n\r\nbody")),
+      ("urn:r:4", "request", "application/http; msgtype=request",
+        ascii("GET / HTTP/1.1\r\nHost: example.com\r\n\r\n")),
+      ("urn:r:5", "resource", "text/plain", ascii("not http at all")))
+    rows.toDF("record_id", "warc_type", "content_type", "payload")
+      .withColumn("target_uri", concat(lit("https://x.example/"), col("record_id")))
+      .withColumn("date", lit("2026-01-01T00:00:00Z"))
+      .coalesce(1)
+      .transform(df => { Warc.write(df, dir); df })
+    dir
+  }
+
+  test("warc read: http_* columns split responses, null everything else") {
+    val got = spark.read.format("warc").load(crawlDir())
+      .select("record_id", "http_status", "http_content_type", "http_body")
+      .collect().map(r => r.getAs[String]("record_id") ->
+        ((Option(r.get(1)), Option(r.getAs[String]("http_content_type")),
+          Option(r.getAs[Array[Byte]]("http_body")).map(new String(_, "UTF-8")))))
+      .toMap
+    assert(got("urn:r:0") == ((Some(200), Some("text/html; charset=utf-8"), Some("<p>plain</p>"))))
+    assert(got("urn:r:1") == ((Some(404), Some("text/plain"), Some("gone away"))))
+    assert(got("urn:r:2") == ((Some(200), Some("text/html"), Some("<p>zipped</p>"))))
+    assert(got("urn:r:3") == ((None, None, None))) // malformed: nulls, no crash
+    assert(got("urn:r:4") == ((None, None, None))) // request capture
+    assert(got("urn:r:5") == ((None, None, None))) // not http
+  }
+
+  test("warc read: http_gunzip=false surfaces the raw gzip body") {
+    val r = spark.read.format("warc").option("http_gunzip", "false")
+      .load(crawlDir())
+      .where(col("record_id") === "urn:r:2")
+      .select("http_body").collect().head.getAs[Array[Byte]](0)
+    assert(r.length >= 2 && (r(0) & 0xff) == 0x1f && (r(1) & 0xff) == 0x8b,
+      "expected raw gzip magic")
+  }
+
+  test("warc read: a projection without http_* columns never parses http " +
+    "(and one with only http_body works with payload pruned out)") {
+    val dir = crawlDir()
+    // only metadata: the pruned reader path (payload skipped) still works
+    // with broken-http records present — proof no parsing happened
+    val metaCount = spark.read.format("warc").load(dir)
+      .select("record_id", "content_length").count()
+    assert(metaCount == 6)
+    // only http_body: payload is pruned from the output but the split
+    // still has the bytes it needs
+    val bodies = spark.read.format("warc").load(dir)
+      .select("http_body").where(col("http_body").isNotNull).count()
+    assert(bodies == 3)
+  }
+}
