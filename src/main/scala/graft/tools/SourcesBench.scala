@@ -75,6 +75,28 @@ object SourcesBench {
       emit(if (gz) "warc_census_gz" else "warc_census", cSec, payloadBytes)
     }
 
+    // intra-file parallelism A/B (VERDICT r15 item 7): the same corpus
+    // as ONE giant member-per-record .warc.gz — unsplit read (the old
+    // one-task bound) vs member-boundary range split across 32 tasks
+    val giantDir = java.nio.file.Files.createTempDirectory("srcb_warc_giant").toString
+    val (_, gwSec) = timed(graft.sources.Warc.write(
+      warcFrame.coalesce(1), giantDir, gzip = true, memberPerRecord = true))
+    val gLen = dirBytes(giantDir)
+    emit("warc_giant_write_mpr", gwSec, payloadBytes,
+      s""","disk_bytes":$gLen""")
+    val (n1t, oneSec) = timed(
+      spark.read.format("warc").option("split_size", "0").load(giantDir)
+        .where(length(col("payload")) > 0).count())
+    require(n1t == rows, s"unsplit giant read $n1t != $rows")
+    emit("warc_giant_read_1task", oneSec, payloadBytes)
+    val splitDf = spark.read.format("warc")
+      .option("split_size", math.max(gLen / 32, 1L).toString).load(giantDir)
+    System.err.println(s"[srcbench] giant split ranges: ${splitDf.rdd.getNumPartitions}")
+    val (nsp, splSec) = timed(splitDf.where(length(col("payload")) > 0).count())
+    require(nsp == rows, s"split giant read $nsp != $rows")
+    emit("warc_giant_read_split", splSec, payloadBytes,
+      s""","ranges":${splitDf.rdd.getNumPartitions}""")
+
     // the HTTP layer: the same corpus re-framed as response records
     // (every third chunked at 4 KB, server-style), split back by the
     // reader's http_* columns — prices status/header parsing + chunk

@@ -354,6 +354,61 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(parts == files)
   }
 
+  test("warc gz split: a member-per-record file range-splits at probed " +
+    "boundaries with content identical to the unsplit read") {
+    val dir = tmp("warc_split")
+    // 400 records as ONE .warc.gz with one gzip member per record
+    val frame = spark.range(0, 400).select(
+      concat(lit("urn:doc:"), col("id")).as("record_id"),
+      lit("resource").as("warc_type"),
+      concat(lit("https://example.com/"), col("id")).as("target_uri"),
+      lit("2026-01-01T00:00:00Z").as("date"),
+      lit("text/plain").as("content_type"),
+      encode(concat(lit("body of record number "), col("id"),
+        lit(" with some padding text to compress")), "UTF-8").as("payload"))
+    Warc.write(frame.coalesce(1), dir, gzip = true, memberPerRecord = true)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz"))
+    assert(files.length == 1)
+    val fileLen = files.head.length()
+
+    def read(splitSize: Long) = spark.read.format("warc")
+      .option("split_size", splitSize.toString).load(dir)
+    // split roughly in 8: every range re-aligns on a member boundary
+    val split = read(fileLen / 8)
+    assert(split.rdd.getNumPartitions > 4,
+      s"expected >4 ranges, got ${split.rdd.getNumPartitions}")
+    val unsplit = read(0)
+    assert(unsplit.rdd.getNumPartitions == 1)
+    def content(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("record_id"), decode(col("payload"), "UTF-8").as("t"),
+        col("content_length"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(content(split) == content(unsplit) && content(split).size == 400)
+    // counts agree too (no dropped or doubled boundary records)
+    assert(split.count() == 400)
+  }
+
+  test("warc gz split: whole-file gzip has no interior boundaries and " +
+    "stays one partition (graceful degrade, not corruption)") {
+    val dir = tmp("warc_nosplit")
+    Warc.write(warcFrame.coalesce(1), dir, gzip = true) // single member
+    val len = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".warc.gz")).get.length()
+    val df = spark.read.format("warc")
+      .option("split_size", (len / 4).toString).load(dir)
+    assert(df.rdd.getNumPartitions == 1)
+    assert(df.count() == warcFrame.count())
+  }
+
+  test("warc write: memberPerRecord without gzip is rejected loudly") {
+    val e = intercept[Exception] {
+      Warc.write(warcFrame, tmp("warc_mpr"), gzip = false, memberPerRecord = true)
+    }
+    assert(e.getMessage.contains("memberPerRecord"))
+  }
+
   test("tfrecord writer: uncommitted output is an invisible temp file; " +
     "commit renames, abort (even with a broken stream) leaves nothing") {
     val conf = new org.apache.spark.util.SerializableConfiguration(
