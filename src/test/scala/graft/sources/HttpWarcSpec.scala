@@ -179,6 +179,27 @@ class HttpWarcSpec extends AnyFunSuite with SparkSpec {
       "expected raw gzip magic")
   }
 
+  test("warc streaming: http_* columns flow through the micro-batch reader") {
+    val src = crawlDir()
+    val land = tmp("warc_http_land")
+    val f = new java.io.File(src).listFiles().find(_.getName.endsWith(".warc")).get
+    java.nio.file.Files.copy(f.toPath,
+      java.nio.file.Paths.get(land, "wave00.warc"))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String)]()
+    val q = spark.readStream.format("warc").load(land)
+      .select(col("http_status"), decode(col("http_body"), "UTF-8").as("t"))
+      .where(col("http_status").isNotNull)
+      .writeStream.option("checkpointLocation", tmp("warc_http_ckpt"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => seen.add((r.getInt(0), r.getString(1))))
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSet ==
+      Set((200, "<p>plain</p>"), (404, "gone away"), (200, "<p>zipped</p>")))
+  }
+
   test("warc read: a projection without http_* columns never parses http " +
     "(and one with only http_body works with payload pruned out)") {
     val dir = crawlDir()
