@@ -27,7 +27,10 @@ private[sources] object HttpPayload {
     * surfacing if the body bytes cannot be trusted. */
   final case class Parsed(ok: Boolean, status: Int, contentType: String,
                           body: Array[Byte])
-  private val Malformed = Parsed(ok = false, -1, null, null)
+  /** Shared not-ok instance — also the reader's per-record placeholder
+    * for non-HTTP records (a fresh allocation there is per-record GC
+    * churn on the scan hot path). */
+  val Malformed: Parsed = Parsed(ok = false, -1, null, null)
 
   /** True when a WARC record's Content-Type announces an HTTP RESPONSE
     * payload (`application/http` with no msgtype, or msgtype=response —
@@ -63,9 +66,12 @@ private[sources] object HttpPayload {
     if (lines.isEmpty || !lines(0).startsWith("HTTP/")) return Malformed
     val sp1 = lines(0).indexOf(' ')
     if (sp1 < 0 || sp1 + 4 > lines(0).length) return Malformed
-    val statusStr = lines(0).substring(sp1 + 1,
-      math.min(sp1 + 4, lines(0).length))
-    if (statusStr.length != 3 || !statusStr.forall(_.isDigit)) return Malformed
+    val statusStr = lines(0).substring(sp1 + 1, sp1 + 4)
+    // RFC 9112: exactly 3DIGIT, then SP + reason (or end of line) — a
+    // longer token like '2001' must not truncate-parse as a real 200
+    if (!statusStr.forall(_.isDigit)) return Malformed
+    if (sp1 + 4 < lines(0).length && lines(0).charAt(sp1 + 4) != ' ')
+      return Malformed
     val status = statusStr.toInt
 
     var contentType: String = null

@@ -29,17 +29,11 @@ private[sources] object SourceFiles {
 
   /** Data files under `dir`, sorted by FILE NAME (load-bearing: the warc
     * stream's offset is the highest processed name) — non-recursive,
-    * `_`/`.`-prefixed side files invisible. */
-  def listDataFiles(fs: FileSystem, dir: Path): Seq[(String, Long)] = {
-    if (!fs.exists(dir)) return Seq.empty
-    val st = fs.getFileStatus(dir)
-    if (st.isFile) return Seq((st.getPath.toString, st.getLen))
-    fs.listStatus(dir).toSeq
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-        !s.getPath.getName.startsWith("."))
-      .sortBy(_.getPath.getName)
-      .map(s => (s.getPath.toString, s.getLen))
-  }
+    * `_`/`.`-prefixed side files invisible. Delegates to the mtime
+    * variant so the two can never diverge on the visibility/sort
+    * contract. */
+  def listDataFiles(fs: FileSystem, dir: Path): Seq[(String, Long)] =
+    listDataFilesWithMtime(fs, dir).map { case (f, len, _) => (f, len) }
 
   /** [[listDataFiles]] plus each file's modification time — the warc
     * stream's late-file diagnostic needs to distinguish "landed before

@@ -193,11 +193,17 @@ private[sources] class WarcScan(path: String, required: StructType,
         val fp = new Path(f)
         if (f.endsWith(".gz") && splitSize > 0 && len > splitSize) {
           // giant member-per-record segments split at probed member
-          // boundaries; layouts with no interior boundary (whole-file
-          // gzip) find none and stay one range
+          // boundaries; a layout with no interior boundary (whole-file
+          // gzip) finds none and keeps the UNSPLIT reader — not a
+          // one-range member walk, whose stricter framing would reject
+          // files with trailing non-gzip bytes that GZIPInputStream
+          // (and therefore every previous read of the same file)
+          // silently treats as EOF
           val bounds = WarcSplit.probeBoundaries(
             SourceFiles.fs(fp, conf.value), fp, len, splitSize)
-          ((0L +: bounds) :+ len).distinct.sorted.sliding(2).collect {
+          if (bounds.isEmpty)
+            Seq(WarcFilePartition(f, len, 0L, len): InputPartition)
+          else ((0L +: bounds) :+ len).distinct.sorted.sliding(2).collect {
             case Seq(s, e) if e > s =>
               WarcFilePartition(f, len, s, e, split = true): InputPartition
           }.toSeq
@@ -251,9 +257,12 @@ private[sources] class WarcMicroBatchStream(path: String, required: StructType,
   // diagnostic only (the authoritative watermark lives in Spark's offset
   // log; on restart this re-arms from the first commit)
   @volatile private var committedWatermark: String = ""
-  // one warning per offending file, not one per trigger (a misconfigured
-  // producer would otherwise flood the log every ~second)
-  private val warnedLate = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // every file name any listing of this run has seen: a file is LATE
+  // only if it is ALREADY at/below the watermark the first time it
+  // appears — judging previously-seen names against the CURRENT
+  // watermark would false-flag every normally-ingested file one trigger
+  // after its batch commits
+  private val seenFiles = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   // listDataFiles sorts by file name — that order IS the offset contract
   private def files(): Seq[(String, Long)] = {
@@ -264,34 +273,36 @@ private[sources] class WarcMicroBatchStream(path: String, required: StructType,
   /** The offset contract drops any file whose name sorts at or below the
     * committed watermark — correct for monotonic producers, silent data
     * loss for a misconfigured one (clock-named file landing late, a
-    * backfill into a live landing dir). This makes that loss LOUD: any
-    * listed file at/below the watermark that was MODIFIED after this
-    * stream started cannot have been processed by this run and gets a
-    * named warning. Pre-existing files a restarted stream already
-    * processed (mtime before start) stay quiet. */
-  private def warnLateFiles(): Unit = {
+    * backfill into a live landing dir). This makes that loss LOUD: a
+    * file whose FIRST appearance in a listing is already at/below the
+    * then-committed watermark, and that was modified after this stream
+    * started, cannot ever be planned and gets one named warning.
+    * Pre-existing files a restarted stream already processed (mtime
+    * before start) stay quiet. */
+  private def warnLateFiles(listing: Seq[(String, Long, Long)]): Unit = {
     val wm = committedWatermark
-    if (wm.isEmpty) return
-    val p = new Path(path)
-    SourceFiles.listDataFilesWithMtime(SourceFiles.fs(p, conf.value), p)
-      .foreach { case (f, _, mtime) =>
-        val n = new Path(f).getName
-        if (n <= wm && mtime > startedAtMs && warnedLate.add(n))
-          log.warn(s"[graft.warc] landing file $n sorts at/below the " +
-            s"committed watermark '$wm' but appeared after this stream " +
-            "started — it will NEVER be ingested. The warc stream's " +
-            "offset contract requires lexicographically increasing, " +
-            "immutable file names; rename the file above the watermark " +
-            "or replay it through a fresh landing directory.")
-      }
+    listing.foreach { case (f, _, mtime) =>
+      val n = new Path(f).getName
+      if (seenFiles.add(n) && wm.nonEmpty && n <= wm && mtime > startedAtMs)
+        log.warn(s"[graft.warc] landing file $n sorts at/below the " +
+          s"committed watermark '$wm' but appeared after this stream " +
+          "started — it will NEVER be ingested. The warc stream's " +
+          "offset contract requires lexicographically increasing, " +
+          "immutable file names; rename the file above the watermark " +
+          "or replay it through a fresh landing directory.")
+    }
   }
 
   override def initialOffset(): Offset = WarcOffset("")
 
   override def latestOffset(): Offset = {
-    warnLateFiles()
-    val fs = files()
-    WarcOffset(if (fs.isEmpty) "" else new Path(fs.last._1).getName)
+    // ONE listing serves both the offset and the late-file diagnostic —
+    // a second LIST per trigger is real money on an object store
+    val p = new Path(path)
+    val listing = SourceFiles.listDataFilesWithMtime(
+      SourceFiles.fs(p, conf.value), p)
+    warnLateFiles(listing)
+    WarcOffset(if (listing.isEmpty) "" else new Path(listing.last._1).getName)
   }
 
   override def deserializeOffset(json: String): Offset =
@@ -489,7 +500,7 @@ private[sources] class WarcPartitionReader(part: WarcFilePartition,
             val p = HttpPayload.parse(payload, httpGunzip)
             if (!p.ok) malformedHttp += 1
             p
-          } else HttpPayload.Parsed(ok = false, -1, null, null)
+          } else HttpPayload.Malformed // shared instance: no per-record alloc
         val values = new Array[Any](colOrdinals.length)
         var vi = 0
         while (vi < colOrdinals.length) {
@@ -538,12 +549,14 @@ private[sources] class WarcPartitionReader(part: WarcFilePartition,
   * Tasks write to a dot-prefixed temp name (invisible to the readers'
   * listing) and rename into place on success; a failed task deletes its
   * temp file, so retries leave no partial files behind, and the final
-  * name is attempt-free so first-rename-wins arbitrates duplicate
-  * attempts (speculation / zombie tasks) instead of publishing both.
-  * Corollary: point each job at a FRESH directory — a pre-existing
-  * `part-N` file reads as "another attempt already published" and wins.
-  * Rows land in the file of whatever partition they live in — partition
-  * the frame first to control shard sizes. */
+  * name is attempt-free so first-publish-wins arbitrates duplicate
+  * attempts (speculation / zombie tasks) instead of publishing both —
+  * a destination that already exists when a task STARTS is a stale
+  * file from an earlier job and fails loudly (each job needs a fresh
+  * directory); one that appears while the task runs is a sibling
+  * attempt and loses quietly. Rows land in the file of whatever
+  * partition they live in — partition the frame first to control
+  * shard sizes. */
 object Warc {
   /** `memberPerRecord` (with `gzip`) emits ONE GZIP MEMBER PER RECORD —
     * the Common Crawl segment layout, and the layout that makes a giant
@@ -559,6 +572,25 @@ object Warc {
     require(missing.isEmpty, s"Warc.write: missing columns $missing")
     val ordered = df.selectExpr(cols: _*)
     val conf = SourceFiles.hadoopConf()
+    // DRIVER-side freshness gate, once per job: pre-existing part files
+    // are STALE output of an earlier job — proceeding would silently keep
+    // the old data (rename-onto-existing loses on HDFS/s3a) or silently
+    // replace it (local rename overwrites). Inside the job, by contrast,
+    // an existing destination can only be a sibling/zombie attempt of
+    // the same partition and is a benign skip — the split belongs here,
+    // where the two cases are actually distinguishable.
+    locally {
+      val dirPath = new Path(dir)
+      val stale = SourceFiles.listDataFiles(
+          SourceFiles.fs(dirPath, conf.value), dirPath)
+        .map { case (f, _) => new Path(f).getName }
+        .filter(n => n.startsWith("part-") &&
+          (n.endsWith(".warc") || n.endsWith(".warc.gz")))
+      if (stale.nonEmpty) throw new IllegalArgumentException(
+        s"Warc.write: output directory $dir is not fresh — it already " +
+          s"holds ${stale.size} part file(s) from an earlier job (e.g. " +
+          s"${stale.head}); each write job needs its own directory")
+    }
     ordered.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.hasNext) {
         val tc = org.apache.spark.TaskContext.get()
@@ -573,6 +605,13 @@ object Warc {
         val tmp = new Path(dir, s".$name.a${tc.taskAttemptId()}.inprogress")
         val fin = new Path(dir, name)
         val fs = SourceFiles.fs(tmp, conf.value)
+        // the driver's freshness gate ran before the job, so a
+        // destination existing NOW is a previous/sibling attempt of THIS
+        // partition that already published — this attempt has nothing to
+        // add (identical record set) and skips without writing (plain
+        // conditional: a `return` in a Spark closure throws
+        // NonLocalReturnControl on the executor)
+        if (!fs.exists(fin)) {
         val raw = fs.create(tmp, true)
         val base = new java.io.BufferedOutputStream(raw, 1 << 16)
         val out = new java.io.BufferedOutputStream(
@@ -643,8 +682,15 @@ object Warc {
             } else record(out, r)
           }
           out.close()
-          if (!fs.rename(tmp, fin)) {
-            if (fs.exists(fin)) { fs.delete(tmp, false); () } // lost the race: benign
+          // a destination appearing NOW (it did not exist at task start)
+          // is a sibling attempt that won — benign on every filesystem,
+          // including local ones whose rename overwrites instead of
+          // failing (check-then-skip keeps first-wins there too, modulo
+          // an unavoidable tiny window; both attempts carry the same
+          // record set either way)
+          if (fs.exists(fin)) { fs.delete(tmp, false); () }
+          else if (!fs.rename(tmp, fin)) {
+            if (fs.exists(fin)) { fs.delete(tmp, false); () } // raced: benign
             else throw new java.io.IOException(
               s"Warc.write: rename $tmp -> $fin failed")
           }
@@ -656,6 +702,7 @@ object Warc {
         } finally {
           if (deflater != null) deflater.end() // native zlib resource
         }
+        } // fin-exists skip (duplicate attempt already published)
       }
     }
   }

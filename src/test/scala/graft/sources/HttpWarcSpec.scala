@@ -106,6 +106,8 @@ class HttpWarcSpec extends AnyFunSuite with SparkSpec {
     val bad = Seq(
       "no HTTP at all".getBytes("UTF-8"), // no CRLF CRLF, no status
       msg("HTTP/1.1 20 OK\r\n\r\n", ascii("x")), // 2-digit status
+      msg("HTTP/1.1 2001 OK\r\n\r\n", ascii("x")), // 4-digit: not a 200
+      msg("HTTP/1.1 20x OK\r\n\r\n", ascii("x")), // non-digit in status
       msg("ICY 200 OK\r\n\r\n", ascii("x")), // not an HTTP/ version
       msg("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n",
         ascii("zz\r\nnot hex\r\n0\r\n\r\n")), // bad chunk size

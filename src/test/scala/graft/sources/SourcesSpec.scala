@@ -402,6 +402,26 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(df.count() == warcFrame.count())
   }
 
+  test("warc gz split: a big whole-file gzip with trailing non-gzip bytes " +
+    "still reads (no-boundary fallback keeps the tolerant unsplit path)") {
+    val dir = tmp("warc_trailing")
+    Warc.write(warcFrame.coalesce(1), dir, gzip = true) // single member
+    val f = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".warc.gz")).get
+    // archiver-style padding after the gzip stream
+    val fos = new java.io.FileOutputStream(f, true)
+    fos.write(new Array[Byte](512)); fos.close()
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    // force the split path decision (len > split_size) — no interior
+    // boundary exists, so the read must fall back to the unsplit reader
+    // that treats trailing garbage as EOF (the pre-split behavior)
+    val df = spark.read.format("warc")
+      .option("split_size", (f.length() / 4).toString).load(dir)
+    assert(df.rdd.getNumPartitions == 1)
+    assert(df.count() == warcFrame.count())
+  }
+
   test("warc write: memberPerRecord without gzip is rejected loudly") {
     val e = intercept[Exception] {
       Warc.write(warcFrame, tmp("warc_mpr"), gzip = false, memberPerRecord = true)
@@ -437,19 +457,30 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
       new java.io.File(d2).listFiles().isEmpty)
   }
 
-  test("warc write: attempt-free final names (first-rename-wins " +
-    "arbitration for duplicate attempts)") {
+  test("warc write: attempt-free final names; a stale destination is a " +
+    "loud not-fresh error, never a silent drop or overwrite") {
     val dir = tmp("warc_arb")
     // local-FS Hadoop .crc sidecars are not part of the contract
     def visible() = new java.io.File(dir).listFiles().map(_.getName)
       .filterNot(n => n.startsWith(".")).sorted.toSeq
     Warc.write(warcFrame.repartition(2), dir)
     assert(visible() == Seq("part-00000.warc", "part-00001.warc"))
-    // a zombie attempt renaming onto an already-published partition file
-    // must lose quietly: simulate by re-running the same write into the
-    // same dir — every rename hits an existing final and is discarded
-    Warc.write(warcFrame.repartition(2), dir)
+    // a SECOND JOB into the same directory would collide with the first
+    // job's published files — that must fail loudly at task start (the
+    // old behavior silently kept the stale data), and the published
+    // files must survive untouched
+    val before = visible().map(n =>
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, n)).toSeq)
+    val e = intercept[IllegalArgumentException] {
+      Warc.write(warcFrame.repartition(2), dir)
+    }
+    assert(e.getMessage.contains("not fresh"))
     assert(visible() == Seq("part-00000.warc", "part-00001.warc"))
+    val after = visible().map(n =>
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, n)).toSeq)
+    assert(after == before, "published files must be byte-identical")
     assert(spark.read.format("warc").load(dir).count() == warcFrame.count())
   }
 }
