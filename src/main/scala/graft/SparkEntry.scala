@@ -1718,19 +1718,20 @@ object SparkEntry {
       val page = concat(lit("<p class=\"x\">"), col("text"),
         lit("</p> &amp;gt; <b>bold</b> &lt;tag&gt; a&#39;b &quot;q&quot;"))
       val warcDir = httpWarcFixture(s, dir, "wet", page)
-      // one scan of the warc files feeds both downstream consumers
-      val cleaned = graft.util.Materialize(
-        s.read.format("warc").load(warcDir)
-          .select(expr("CAST(substr(record_id, 9) AS BIGINT)").as("doc_id"),
-            TextAnalysis.stripMarkup(decode(col("http_body"), "UTF-8")).as("clean")),
-        graft.util.CheckpointStrategy.Local)
-      val lang = cleaned.select(col("doc_id"),
-        TextAnalysis.langId(col("clean")).as("lang_pred"),
-        org.apache.spark.sql.functions.md5(
-          encode(TextAnalysis.normalizeText(col("clean")), "UTF-8")).as("norm_md5"))
-      val flags = TextAnalysis.gopherFlags(cleaned, "clean", "doc_id")
-        .select(col("doc_id"), col("n_words"), col("pass"))
-      lang.join(flags, Seq("doc_id"))
+      // ONE pass, no shuffle: warc scan -> strip -> (langId, normalize,
+      // gopher flags) as a single row-wise projection — the plan a 100 TB
+      // extraction job needs (scan speed, no self-join by id)
+      val enriched = s.read.format("warc").load(warcDir)
+        .select(expr("CAST(substr(record_id, 9) AS BIGINT)").as("doc_id"),
+          TextAnalysis.stripMarkup(decode(col("http_body"), "UTF-8")).as("clean"))
+        .select(col("doc_id"), col("clean"),
+          TextAnalysis.langId(col("clean")).as("lang_pred"),
+          org.apache.spark.sql.functions.md5(
+            encode(TextAnalysis.normalizeText(col("clean")), "UTF-8")).as("norm_md5"))
+      TextAnalysis.gopherFlags(enriched, "clean", "doc_id",
+          keep = Seq("lang_pred", "norm_md5"))
+        .select(col("doc_id"), col("lang_pred"), col("norm_md5"),
+          col("n_words"), col("pass"))
     }),
     "dedup_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents")

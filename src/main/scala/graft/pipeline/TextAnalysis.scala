@@ -82,7 +82,8 @@ object TextAnalysis {
     * no float division to disagree about. One codegen'd projection per
     * document, no shuffle: at 100 TB this runs at scan speed next to the
     * other text filters. */
-  def gopherFlags(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def gopherFlags(df: DataFrame, textCol: String, idCol: String,
+                  keep: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val words = filter(split(trim(t), "\\s+"), w => length(w) > 0)
     val lines = split(t, "\n")
@@ -106,11 +107,14 @@ object TextAnalysis {
     val r5 = flag(ellipsis * 10L <= nLines * 3L)
     val r6 = flag(alpha * 5L >= nWords * 4L)
     val r7 = flag(stops >= 2)
-    df.select(col(idCol), nWords.as("n_words"),
+    // `keep` passes caller columns through the projection so composed
+    // pipelines (e.g. warc_to_text: langId + normalize + flags) stay ONE
+    // row-wise select instead of self-joining two projections by id
+    df.select((col(idCol) +: keep.map(col)) ++ Seq(nWords.as("n_words"),
       r1.as("r_word_count"), r2.as("r_mean_word_len"), r3.as("r_symbol_ratio"),
       r4.as("r_bullet_lines"), r5.as("r_ellipsis_lines"), r6.as("r_alpha_words"),
       r7.as("r_stopwords"),
-      (r1 * r2 * r3 * r4 * r5 * r6 * r7).as("pass"))
+      (r1 * r2 * r3 * r4 * r5 * r6 * r7).as("pass")): _*)
   }
 
   /** Feature-hashed linear text classifier (the fastText/Vowpal "hashing
