@@ -1707,6 +1707,18 @@ object SparkEntry {
           col("http_content_type"),
           decode(col("http_body"), "UTF-8").as("body"))
     }),
+    // the full header map: element_at over http_headers recovers the
+    // doc-derived X-Doc-Parity value, the ", "-combined repeated
+    // Content-Language field, and the HTTP Content-Type — the oracle
+    // recomputes all three from doc_id
+    "source_warc_http_headers" -> ((s, dir) => {
+      val warcDir = httpWarcFixture(s, dir, "http", col("text"))
+      s.read.format("warc").load(warcDir)
+        .select(expr("CAST(substr(record_id, 9) AS BIGINT)").as("doc_id"),
+          expr("element_at(http_headers, 'x-doc-parity')").as("parity"),
+          expr("element_at(http_headers, 'content-language')").as("lang"),
+          expr("element_at(http_headers, 'content-type')").as("ctype"))
+    }),
     // WET-style text extraction: the connector-to-TextAnalysis seam as
     // one lazy plan — warc response records (every third one chunked) ->
     // http_body -> markup strip -> normalize (hashed) -> language id ->
@@ -2678,6 +2690,10 @@ object SparkEntry {
                        '\r\n', substring(__body, i * 64 + 1, 64), '\r\n')), ''),
          '0\r\n\r\n')""")
     val payloadStr = concat(statusLine, lit("\r\nContent-Type: "), ctype, lit("\r\n"),
+      // extra headers exercise the http_headers map: a doc-derived value
+      // and a REPEATED field (RFC 9110 ", "-combine on read)
+      lit("X-Doc-Parity: "), expr("CAST(doc_id % 2 AS STRING)"),
+      lit("\r\nContent-Language: en\r\nContent-Language: mul\r\n"),
       when(expr("doc_id % 3 = 0 AND char_length(__body) > 0"),
         concat(lit("Transfer-Encoding: chunked\r\n\r\n"), chunkedBody))
         .otherwise(concat(lit("Content-Length: "),
@@ -4846,6 +4862,13 @@ object SparkEntry {
     "source_warc_roundtrip" -> warcRoundtripOracle,
     "source_warc_gz" -> warcRoundtripOracle,
     "source_warc_http" -> warcHttpOracle,
+    "source_warc_http_headers" ->
+      """SELECT doc_id,
+         CAST(doc_id % 2 AS VARCHAR) AS parity,
+         'en, mul' AS lang,
+         CASE WHEN doc_id % 2 = 0 THEN 'text/html; charset=utf-8'
+              ELSE 'text/plain' END AS ctype
+         FROM documents""",
     "warc_to_text" -> warcToTextOracle,
     // the nightly winnow check and its stored-state/TVF twins: one oracle
     "dedup_winnow_inc" -> winnowCrossOracle,

@@ -24,9 +24,14 @@ private[sources] object HttpPayload {
     * (the caller nulls the http_* columns and bumps its counter). A
     * well-formed message with an undecodable body (bad chunk framing,
     * corrupt gzip) also reports ok=false — status alone is not worth
-    * surfacing if the body bytes cannot be trusted. */
+    * surfacing if the body bytes cannot be trusted. `headers` is null
+    * unless the caller asked for header collection (the reader requests
+    * it only when the `http_headers` column is in the projection):
+    * lowercased names in arrival order, repeated fields combined with
+    * ", " (RFC 9110 list semantics). */
   final case class Parsed(ok: Boolean, status: Int, contentType: String,
-                          body: Array[Byte])
+                          body: Array[Byte],
+                          headers: Seq[(String, String)] = null)
   /** Shared not-ok instance — also the reader's per-record placeholder
     * for non-HTTP records (a fresh allocation there is per-record GC
     * churn on the scan hot path). */
@@ -54,8 +59,12 @@ private[sources] object HttpPayload {
   /** Split and decode one HTTP response message.
     * @param gunzip decode a `Content-Encoding: gzip` body (the reader's
     *               `http_gunzip` option; identity/unknown codings pass
-    *               the bytes through untouched either way) */
-  def parse(payload: Array[Byte], gunzip: Boolean): Parsed = {
+    *               the bytes through untouched either way)
+    * @param collectHeaders also return the full header list (skipped by
+    *               default — it allocates per record, and only the
+    *               `http_headers` column needs it) */
+  def parse(payload: Array[Byte], gunzip: Boolean,
+            collectHeaders: Boolean = false): Parsed = {
     if (payload == null) return Malformed
     val sep = indexOfCrlfCrlf(payload)
     if (sep < 0) return Malformed
@@ -77,6 +86,9 @@ private[sources] object HttpPayload {
     var contentType: String = null
     var chunked = false
     var gzipped = false
+    // arrival-ordered, lowercased names; repeats combine with ", "
+    val collected =
+      if (collectHeaders) new java.util.LinkedHashMap[String, String]() else null
     var i = 1
     while (i < lines.length) {
       var line = lines(i)
@@ -90,6 +102,8 @@ private[sources] object HttpPayload {
       if (c > 0) {
         val name = line.substring(0, c).trim.toLowerCase
         val value = line.substring(c + 1).trim
+        if (collected != null)
+          collected.merge(name, value, (a: String, b: String) => a + ", " + b)
         name match {
           case "content-type" => contentType = value
           // per RFC 9112 chunked must be the FINAL coding; matching the
@@ -115,7 +129,13 @@ private[sources] object HttpPayload {
       if (gzipped && gunzip)
         try gunzipAll(rawBody) catch { case _: Exception => return Malformed }
       else rawBody
-    Parsed(ok = true, status, contentType, body)
+    val headers =
+      if (collected == null) null
+      else {
+        import scala.jdk.CollectionConverters._
+        collected.entrySet().asScala.map(e => (e.getKey, e.getValue)).toSeq
+      }
+    Parsed(ok = true, status, contentType, body, headers)
   }
 
   /** Chunked transfer coding: `hexsize[;ext] CRLF data CRLF`, terminated

@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, MapType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
@@ -23,20 +23,24 @@ import org.apache.spark.util.SerializableConfiguration
   *   spark.read.format("warc").load("/crawl/segments")
   *     // (record_id, warc_type, target_uri, date, content_type,
   *     //  content_length, payload BINARY,
-  *     //  http_status INT, http_content_type, http_body BINARY)
+  *     //  http_status INT, http_content_type, http_body BINARY,
+  *     //  http_headers MAP<STRING,STRING>)
   *   spark.readStream.format("warc").load("/crawl/landing")   // streaming
   * }}}
   *
-  * The three `http_*` columns split the HTTP response message inside
+  * The `http_*` columns split the HTTP response message inside
   * `response`-record payloads ([[HttpPayload]]): status, the HTTP
-  * Content-Type header, and the body with headers stripped, chunked
+  * Content-Type header, the body with headers stripped, chunked
   * transfer coding decoded and gzip content coding decompressed
-  * (`.option("http_gunzip", "false")` keeps gzip bodies raw). They are
-  * computed only when the projection requires them, null for non-HTTP
-  * records, and null-with-a-counted-warning for malformed messages —
-  * the first thing every Common Crawl user does is text extraction,
-  * and without this split they get status line + headers glued to the
-  * HTML.
+  * (`.option("http_gunzip", "false")` keeps gzip bodies raw), and the
+  * full header map (lowercased names, repeated fields ", "-combined
+  * per RFC 9110 — the crawl-filtering keys: content-language,
+  * last-modified, x-robots-tag). They are computed only when the
+  * projection requires them (the map's per-record allocation only when
+  * `http_headers` itself is selected), null for non-HTTP records, and
+  * null-with-a-counted-warning for malformed messages — the first
+  * thing every Common Crawl user does is text extraction, and without
+  * this split they get status line + headers glued to the HTML.
   *
   * Implemented from the public spec, from scratch: records are a
   * `WARC/1.x` version line, CRLF-separated named headers (UTF-8 values,
@@ -90,7 +94,11 @@ object WarcSource {
     // is actually required, so non-HTTP workloads pay nothing.
     StructField("http_status", IntegerType, nullable = true),
     StructField("http_content_type", StringType, nullable = true),
-    StructField("http_body", BinaryType, nullable = true)))
+    StructField("http_body", BinaryType, nullable = true),
+    // the full header list (lowercased names, repeats ", "-combined per
+    // RFC 9110) — the crawl-filtering columns users grep for next:
+    // content-language, last-modified, x-robots-tag
+    StructField("http_headers", MapType(StringType, StringType), nullable = true)))
 
   // column ordinals shared by the reader's precomputed projection
   private[sources] val ColRecordId = 0
@@ -103,6 +111,7 @@ object WarcSource {
   private[sources] val ColHttpStatus = 7
   private[sources] val ColHttpContentType = 8
   private[sources] val ColHttpBody = 9
+  private[sources] val ColHttpHeaders = 10
   private[sources] def ordinalOf(name: String): Int = name match {
     case "record_id" => ColRecordId
     case "warc_type" => ColWarcType
@@ -114,6 +123,7 @@ object WarcSource {
     case "http_status" => ColHttpStatus
     case "http_content_type" => ColHttpContentType
     case "http_body" => ColHttpBody
+    case "http_headers" => ColHttpHeaders
     case other => throw new IllegalStateException(s"unknown warc column $other")
   }
 
@@ -369,7 +379,8 @@ private[sources] class WarcPartitionReader(part: WarcFilePartition,
   // per-record string match over the column names showed up in the
   // 500k-record pricing run)
   private val colOrdinals: Array[Int] = cols.map(ordinalOf)
-  private val needHttp = colOrdinals.exists(o =>
+  private val needHttpHeaders = colOrdinals.contains(ColHttpHeaders)
+  private val needHttp = needHttpHeaders || colOrdinals.exists(o =>
     o == ColHttpStatus || o == ColHttpContentType || o == ColHttpBody)
   // the HTTP split needs the payload bytes even when `payload` itself is
   // pruned out; a query touching neither still streams past them
@@ -497,7 +508,7 @@ private[sources] class WarcPartitionReader(part: WarcFilePartition,
         // and only when the projection asks for it
         val http: HttpPayload.Parsed =
           if (needHttp && HttpPayload.isHttpResponse(contentType)) {
-            val p = HttpPayload.parse(payload, httpGunzip)
+            val p = HttpPayload.parse(payload, httpGunzip, needHttpHeaders)
             if (!p.ok) malformedHttp += 1
             p
           } else HttpPayload.Malformed // shared instance: no per-record alloc
@@ -518,6 +529,14 @@ private[sources] class WarcPartitionReader(part: WarcFilePartition,
                 UTF8String.fromString(http.contentType)
               else null
             case ColHttpBody => if (http.ok) http.body else null
+            case ColHttpHeaders =>
+              if (http.ok && http.headers != null)
+                new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+                  new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                    http.headers.map(h => UTF8String.fromString(h._1): Any).toArray),
+                  new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                    http.headers.map(h => UTF8String.fromString(h._2): Any).toArray))
+              else null
           }
           vi += 1
         }

@@ -137,6 +137,7 @@ class HttpWarcSpec extends AnyFunSuite with SparkSpec {
     val rows = Seq(
       ("urn:r:0", "response", "application/http; msgtype=response",
         msg("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+          "X-Tag: one\r\nX-Tag: two\r\nLast-Modified: yesterday\r\n" +
           "Content-Length: 12\r\n\r\n", ascii("<p>plain</p>"))),
       ("urn:r:1", "response", "application/http; msgtype=response",
         msg("HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n" +
@@ -179,6 +180,23 @@ class HttpWarcSpec extends AnyFunSuite with SparkSpec {
       .select("http_body").collect().head.getAs[Array[Byte]](0)
     assert(r.length >= 2 && (r(0) & 0xff) == 0x1f && (r(1) & 0xff) == 0x8b,
       "expected raw gzip magic")
+  }
+
+  test("warc read: http_headers map — lowercased names, repeats combined " +
+    "with ', ', null for non-responses and malformed") {
+    val got = spark.read.format("warc").load(crawlDir())
+      .select("record_id", "http_headers")
+      .collect().map(r => r.getAs[String]("record_id") ->
+        Option(r.getAs[Map[String, String]]("http_headers"))).toMap
+    val h0 = got("urn:r:0").get
+    assert(h0("content-type") == "text/html; charset=utf-8")
+    assert(h0("x-tag") == "one, two") // repeated field: RFC 9110 combine
+    assert(h0("last-modified") == "yesterday")
+    assert(h0("content-length") == "12")
+    assert(got("urn:r:1").get("transfer-encoding") == "chunked")
+    assert(got("urn:r:3").isEmpty) // malformed
+    assert(got("urn:r:4").isEmpty) // request capture
+    assert(got("urn:r:5").isEmpty) // not http
   }
 
   test("warc streaming: http_* columns flow through the micro-batch reader") {
