@@ -21,7 +21,10 @@ object Explain {
       "events_asof", "text_decontaminate", "dedup_incremental", "curate_chunks",
       "ann_cosine_int8", "dedup_chunk_exact", "corpus_rollup", "events_pivot",
       "curate_batches", "ann_radius_lsh", "curate_shard", "curate_interleave",
-      "text_ngram_freq", "dedup_boilerplate")
+      "text_ngram_freq", "dedup_boilerplate",
+      // round-16 surface: the warc HTTP split must stay a pruned
+      // single-scan, and warc_to_text a zero-exchange scan -> project
+      "source_warc_http", "warc_to_text")
     names.foreach { name =>
       println(s"\n================ $name ================")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
