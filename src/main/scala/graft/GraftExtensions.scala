@@ -103,5 +103,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   private[graft] def builders: Seq[(String, Seq[Expression] => Expression)] =
-    graft.fuzzy.functions.sqlBuilders ++ graft.fuzzy.vectorFunctions.sqlBuilders
+    graft.fuzzy.functions.sqlBuilders ++ graft.fuzzy.vectorFunctions.sqlBuilders ++
+      graft.sources.HttpText.sqlBuilders
 }

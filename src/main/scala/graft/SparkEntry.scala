@@ -1719,6 +1719,29 @@ object SparkEntry {
           expr("element_at(http_headers, 'content-language')").as("lang"),
           expr("element_at(http_headers, 'content-type')").as("ctype"))
     }),
+    // charset-aware text decode over a MIXED-CHARSET crawl fixture
+    // ([[charsetWarcFixture]]): six arms per doc_id%6 — declared utf-8,
+    // declared iso-8859-1 with cp1252 bytes, UTF-8 BOM, <meta
+    // charset=windows-1252>, UTF-16LE BOM, unknown-charset fallback. The
+    // oracle rebuilds the expected text from doc_id; each arm's marker
+    // only decodes correctly under the RIGHT charset
+    "source_warc_http_text" -> ((s, dir) => {
+      val warcDir = charsetWarcFixture(s, dir)
+      s.read.format("warc").load(warcDir)
+        .select(expr("CAST(substr(record_id, 9) AS BIGINT)").as("doc_id"),
+          graft.sources.HttpText.decode(
+            col("http_body"), col("http_content_type")).as("http_text"))
+    }),
+    // the same decode through the SQL front door (http_text registered by
+    // GraftExtensions) — pure-SQL clients share the oracle verbatim
+    "source_warc_http_text_sql" -> ((s, dir) => {
+      val warcDir = charsetWarcFixture(s, dir)
+      s.read.format("warc").load(warcDir)
+        .createOrReplaceTempView("warc_charset_sql")
+      s.sql("""SELECT CAST(substr(record_id, 9) AS BIGINT) AS doc_id,
+        http_text(http_body, http_content_type) AS http_text
+        FROM warc_charset_sql""")
+    }),
     // WET-style text extraction: the connector-to-TextAnalysis seam as
     // one lazy plan — warc response records (every third one chunked) ->
     // http_body -> markup strip -> normalize (hashed) -> language id ->
@@ -1735,7 +1758,12 @@ object SparkEntry {
       // extraction job needs (scan speed, no self-join by id)
       val enriched = s.read.format("warc").load(warcDir)
         .select(expr("CAST(substr(record_id, 9) AS BIGINT)").as("doc_id"),
-          TextAnalysis.stripMarkup(decode(col("http_body"), "UTF-8")).as("clean"))
+          // charset-aware decode (VERDICT r16 item 1): the fixture's pages
+          // are UTF-8 (declared for even docs, default for odd), so the
+          // oracle is unchanged — but a real crawl's legacy-charset pages
+          // now decode by their declared charset instead of mojibaking
+          TextAnalysis.stripMarkup(graft.sources.HttpText.decode(
+            col("http_body"), col("http_content_type"))).as("clean"))
         .select(col("doc_id"), col("clean"),
           TextAnalysis.langId(col("clean")).as("lang_pred"),
           org.apache.spark.sql.functions.md5(
@@ -2707,6 +2735,97 @@ object SparkEntry {
       lit("application/http; msgtype=response").as("content_type"),
       encode(payloadStr, "UTF-8").as("payload")), out)
     out
+  }
+
+  /** Charset arms of the mixed-charset HTTP fixture (index = doc_id % 6):
+    * the marker appended to each document's text contains characters only
+    * the RIGHT charset recovers, so the oracle comparison pins the whole
+    * sniffing ladder — transport charset, latin-1→cp1252 superset mapping
+    * (€ is 0x80, curly quotes 0x93/0x94: cp1252-only bytes), BOM consumption
+    * (UTF-8 and UTF-16LE), `<meta charset>` prescan, unknown-name fallback. */
+  private[graft] val CharsetMarks: Array[String] = Array(
+    " — café",                       // 0: charset=utf-8 declared
+    " “déjà vu €”",   // 1: declared iso-8859-1, bytes cp1252
+    " BOMé",                              // 2: UTF-8 BOM, nothing declared
+    " méta",                              // 3: <meta charset="windows-1252">
+    " utf16世界",                      // 4: UTF-16LE BOM
+    " fallback")                               // 5: charset=x-unknown-999 → UTF-8
+  private[graft] val CharsetMetaPrefix =
+    "<head><meta charset=\"windows-1252\"></head>"
+
+  /** One HTTP/1.1 response payload for [[charsetWarcFixture]]: body text =
+    * (meta prefix for arm 3) + document text + arm marker, ENCODED in the
+    * arm's charset, framed with Content-Length over the byte count. */
+  private[graft] def charsetHttpPayload(docId: Long, text: String): Array[Byte] = {
+    val arm = (docId % 6).toInt
+    val bodyText =
+      (if (arm == 3) CharsetMetaPrefix else "") + text + CharsetMarks(arm)
+    val bodyBytes: Array[Byte] = arm match {
+      case 0 | 5 => bodyText.getBytes("UTF-8")
+      case 1 | 3 => bodyText.getBytes("windows-1252")
+      case 2 =>
+        val b = bodyText.getBytes("UTF-8")
+        val out = new Array[Byte](b.length + 3)
+        out(0) = 0xef.toByte; out(1) = 0xbb.toByte; out(2) = 0xbf.toByte
+        System.arraycopy(b, 0, out, 3, b.length); out
+      case _ =>
+        val b = bodyText.getBytes("UTF-16LE")
+        val out = new Array[Byte](b.length + 2)
+        out(0) = 0xff.toByte; out(1) = 0xfe.toByte
+        System.arraycopy(b, 0, out, 2, b.length); out
+    }
+    val ctype = arm match {
+      case 0 => "text/html; charset=utf-8"
+      case 1 => "text/html; charset=iso-8859-1"
+      case 5 => "text/html; charset=x-unknown-999"
+      case _ => "text/html"
+    }
+    val head = s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n" +
+      s"Content-Length: ${bodyBytes.length}\r\n\r\n"
+    val hb = head.getBytes("ISO-8859-1")
+    val out = new Array[Byte](hb.length + bodyBytes.length)
+    System.arraycopy(hb, 0, out, 0, hb.length)
+    System.arraycopy(bodyBytes, 0, out, hb.length, bodyBytes.length)
+    out
+  }
+
+  /** Export `documents` as WARC response records over the six charset arms
+    * of [[charsetHttpPayload]] — the fixture behind `source_warc_http_text`.
+    * Returns the export dir (wiped first). */
+  private def charsetWarcFixture(s: SparkSession, dir: String): String = {
+    val out = "/tmp/graft_src_warc_charset_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val p = new org.apache.hadoop.fs.Path(out)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    // fixture-side UDF by necessity: builtins cannot ENCODE cp1252/UTF-16
+    // (Spark's encode() whitelists the standard charsets); the query under
+    // test only DECODES, through the codegen'd http_text expression
+    val payload = org.apache.spark.sql.functions.udf(
+      (docId: Long, text: String) => charsetHttpPayload(docId, text))
+    graft.sources.Warc.write(t(s, dir, "documents").select(
+      concat(lit("urn:doc:"), col("doc_id")).as("record_id"),
+      lit("response").as("warc_type"),
+      concat(lit("https://example.com/"), col("doc_id")).as("target_uri"),
+      lit("2026-01-01T00:00:00Z").as("date"),
+      lit("application/http; msgtype=response").as("content_type"),
+      payload(col("doc_id"), col("text")).as("payload")), out)
+    out
+  }
+
+  // source_warc_http_text and its SQL twin share this oracle, GENERATED
+  // from the same marker table the fixture encodes — only the right
+  // charset ladder (transport param, cp1252 superset, BOM consumption,
+  // meta prescan, unknown fallback) reproduces these strings
+  private val warcHttpTextOracle = {
+    def sq(s: String) = s.replace("'", "''")
+    s"""SELECT doc_id,
+       CASE CAST(doc_id % 6 AS INTEGER)
+         WHEN 0 THEN text || '${sq(CharsetMarks(0))}'
+         WHEN 1 THEN text || '${sq(CharsetMarks(1))}'
+         WHEN 2 THEN text || '${sq(CharsetMarks(2))}'
+         WHEN 3 THEN '${sq(CharsetMetaPrefix)}' || text || '${sq(CharsetMarks(3))}'
+         WHEN 4 THEN text || '${sq(CharsetMarks(4))}'
+         ELSE text || '${sq(CharsetMarks(5))}' END AS http_text
+       FROM documents"""
   }
 
   // source_warc_http: the oracle rebuilds the raw HTTP head with the
@@ -4862,6 +4981,9 @@ object SparkEntry {
     "source_warc_roundtrip" -> warcRoundtripOracle,
     "source_warc_gz" -> warcRoundtripOracle,
     "source_warc_http" -> warcHttpOracle,
+    // the charset-sniffing decode and its SQL twin: one generated oracle
+    "source_warc_http_text" -> warcHttpTextOracle,
+    "source_warc_http_text_sql" -> warcHttpTextOracle,
     "source_warc_http_headers" ->
       """SELECT doc_id,
          CAST(doc_id % 2 AS VARCHAR) AS parity,

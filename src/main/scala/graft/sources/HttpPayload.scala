@@ -40,10 +40,16 @@ private[sources] object HttpPayload {
   /** True when a WARC record's Content-Type announces an HTTP RESPONSE
     * payload (`application/http` with no msgtype, or msgtype=response —
     * request captures must not be parsed as responses). */
+  private val MsgTypeRequest = java.util.regex.Pattern.compile(
+    """msgtype\s*=\s*"?\s*request""", java.util.regex.Pattern.CASE_INSENSITIVE)
+
   def isHttpResponse(warcContentType: String): Boolean = {
     if (warcContentType == null) return false
     val ct = warcContentType.toLowerCase
-    ct.contains("application/http") && !ct.contains("msgtype=request")
+    // regex, not substring: writers emit the parameter with whitespace
+    // or quotes ('msgtype = request', msgtype="request") — an exact
+    // substring match would mis-gate those as responses
+    ct.contains("application/http") && !MsgTypeRequest.matcher(ct).find()
   }
 
   private def indexOfCrlfCrlf(b: Array[Byte]): Int = {

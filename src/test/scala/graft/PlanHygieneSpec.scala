@@ -311,6 +311,41 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
       s"clusters ($nHam) can only merge exact buckets (${out.count()})")
   }
 
+  /** The warc-scan invariants verified by hand in the r16 judging session,
+    * pinned into the suite (VERDICT r16 item 2): a regression — say, a
+    * refactor re-introducing the pre-r16 self-join formulation — must fail
+    * `sbt test`, not wait for a human to run graft.Explain. */
+  private def warcScanCols(plan: String): Set[String] = {
+    val scanLines = plan.linesIterator.filter(_.contains("BatchScan")).toSeq
+    assert(scanLines.size == 1,
+      s"expected exactly ONE warc BatchScan, got ${scanLines.size}:\n$plan")
+    val m = """cols=([A-Za-z0-9_,]+)""".r.findFirstMatchIn(scanLines.head)
+    assert(m.isDefined, s"warc scan carries no cols= pruning list:\n$plan")
+    m.get.group(1).split(',').toSet
+  }
+
+  test("warc http split: single scan pruned to the 4 projected columns, " +
+    "zero exchanges (r16 plan invariant)") {
+    val plan = graft.SparkEntry.queries("source_warc_http")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"the http split must stay a pure scan -> project:\n$plan")
+    assert(warcScanCols(plan) ==
+      Set("record_id", "http_status", "http_content_type", "http_body"),
+      s"warc scan not pruned to the projected http columns:\n$plan")
+  }
+
+  test("warc_to_text: zero exchanges/joins, single scan pruned past the " +
+    "payload (r16 plan invariant)") {
+    val plan = graft.SparkEntry.queries("warc_to_text")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"warc_to_text must stay ONE scan-side projection pipeline:\n$plan")
+    val cols = warcScanCols(plan)
+    assert(cols("record_id") && cols("http_body") && !cols("payload"),
+      s"warc_to_text scan must read the http body, never the raw payload:\n$plan")
+  }
+
   test("sketch builds rank nothing: no Window, no global sort in HLL/CMS registers") {
     val ev = graft.util.EventTs.loadEvents(spark, dir)
     for (df <- Seq(

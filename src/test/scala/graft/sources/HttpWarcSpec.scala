@@ -234,4 +234,102 @@ class HttpWarcSpec extends AnyFunSuite with SparkSpec {
       .select("http_body").where(col("http_body").isNotNull).count()
     assert(bodies == 3)
   }
+
+  test("isHttpResponse: whitespace/quoted msgtype parameters still gate " +
+    "request captures") {
+    assert(!HttpPayload.isHttpResponse("application/http; msgtype = request"))
+    assert(!HttpPayload.isHttpResponse("application/http; msgtype=\"request\""))
+    assert(!HttpPayload.isHttpResponse("application/http; MsgType=Request"))
+    assert(HttpPayload.isHttpResponse("application/http; msgtype=\"response\""))
+  }
+
+  // ---- the charset decode ladder (HttpText): BOM > Content-Type charset
+  // > <meta charset> prescan > UTF-8, latin-1 family as cp1252, lossy
+  // replace, never a throw
+
+  private def dec(bytes: Array[Byte], ct: String): String = {
+    val u = HttpText.decodeKernel(bytes,
+      if (ct == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(ct))
+    if (u == null) null else u.toString
+  }
+
+  test("http_text: transport charset parameter decides; quotes and " +
+    "whitespace around the name are tolerated") {
+    assert(dec("héllo".getBytes("UTF-8"), "text/html; charset=utf-8") == "héllo")
+    assert(dec("héllo".getBytes("UTF-8"), "text/html; charset=\"UTF-8\"") == "héllo")
+    assert(dec("héllo".getBytes("UTF-8"), "text/html; charset = utf-8") == "héllo")
+  }
+
+  test("http_text: declared latin-1 family decodes as windows-1252 — the " +
+    "0x80-0x9f bytes real pages carry are cp1252, not C1 controls") {
+    // € = 0x80, left/right curly quotes = 0x93/0x94 in cp1252
+    val b = Array[Byte](0x80.toByte, ' ', 0x93.toByte, 'x', 0x94.toByte)
+    assert(dec(b, "text/html; charset=iso-8859-1") == "€ “x”")
+    assert(dec(b, "text/html; charset=latin1") == "€ “x”")
+    assert(dec(b, "text/plain; charset=US-ASCII") == "€ “x”")
+    assert(dec(b, "text/html; charset=windows-1252") == "€ “x”")
+  }
+
+  test("http_text: a BOM wins over a WRONG declared charset and is consumed") {
+    val utf8 = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+      "déjà".getBytes("UTF-8")
+    assert(dec(utf8, "text/html; charset=iso-8859-1") == "déjà")
+    val utf16le = Array[Byte](0xff.toByte, 0xfe.toByte) ++ "déjà".getBytes("UTF-16LE")
+    assert(dec(utf16le, "text/html; charset=utf-8") == "déjà")
+    val utf16be = Array[Byte](0xfe.toByte, 0xff.toByte) ++ "déjà".getBytes("UTF-16BE")
+    assert(dec(utf16be, null) == "déjà")
+  }
+
+  test("http_text: <meta charset> prescan decides when the header is " +
+    "silent — but only within the first 1024 bytes") {
+    val near = ("<head><meta charset='windows-1252'></head>é body")
+      .getBytes("windows-1252")
+    assert(dec(near, "text/html") == "<head><meta charset='windows-1252'></head>é body")
+    val far = (" " * 1100 +
+      "<meta charset=\"windows-1252\">").getBytes("ISO-8859-1") ++
+      Array[Byte](0xe9.toByte) // lone 0xe9 is malformed UTF-8
+    // declaration out of the prescan window -> default UTF-8, lossy replace
+    assert(dec(far, "text/html").endsWith("�"))
+    // http-equiv form: charset= inside the content attribute
+    val equiv = ("<meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=windows-1252\">déjà €")
+      .getBytes("windows-1252")
+    assert(dec(equiv, null).endsWith("déjà €"))
+  }
+
+  test("http_text: unknown charsets and malformed bytes fall back to " +
+    "UTF-8 with replacement, never a throw") {
+    assert(dec("plain".getBytes("UTF-8"), "text/html; charset=x-unknown-999") == "plain")
+    val broken = Array[Byte]('a', 0xc3.toByte) // truncated UTF-8 sequence
+    assert(dec(broken, null) == "a�")
+    assert(dec(Array.empty[Byte], "text/html") == "")
+  }
+
+  test("http_text: an extended-JVM charset (Shift_JIS) declared in the " +
+    "header decodes when the runtime has it") {
+    assume(java.nio.charset.Charset.isSupported("Shift_JIS"))
+    val b = "東京タワー".getBytes("Shift_JIS")
+    assert(dec(b, "text/html; charset=Shift_JIS") == "東京タワー")
+    assert(dec(b, "text/html; charset=shift_jis") == "東京タワー")
+  }
+
+  test("http_text expression: null body -> null, null content type still " +
+    "decodes; works from DataFrame and SQL (codegen path)") {
+    val rows = Seq(
+      (0L, "héllo €".getBytes("windows-1252"), "text/html; charset=iso-8859-1"),
+      (1L, null, "text/html"),
+      (2L, "plain".getBytes("UTF-8"), null))
+    val df = rows.toDF("id", "body", "ct")
+    val got = df.select(col("id"),
+        HttpText.decode(col("body"), col("ct")).as("t"))
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("t"))).toMap
+    assert(got(0L).contains("héllo €"))
+    assert(got(1L).isEmpty)
+    assert(got(2L).contains("plain"))
+    df.createOrReplaceTempView("http_text_spec")
+    val sql = spark.sql(
+      "SELECT id, http_text(body, ct) AS t FROM http_text_spec")
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("t"))).toMap
+    assert(sql == got)
+  }
 }
