@@ -72,6 +72,20 @@ object Bench {
     * contamination BOTH probes miss. */
   val FamilyRerunFactor = 1.5
 
+  /** Absolute-delta floor under the family gate (VERDICT r16 item 5):
+    * the ratio alone is twitchy for sub-second rows, where 200 ms of
+    * scheduler noise is 40% of the runtime — three rounds running it
+    * false-flagged an unchanged sub-second row (ann_topk_embeddings
+    * r15, dedup_chunk_docs + decontaminate_docs r16), training readers
+    * to ignore the one flag that matters. A row is over-family only
+    * when BOTH hold: min > [[FamilyRerunFactor]] x family min AND
+    * min - family min > this floor. */
+  val FamilyAbsFloorSec = 0.5
+
+  private def overFamilyGate(best: Double, familyMin: Double): Boolean =
+    best > FamilyRerunFactor * familyMin &&
+      best - familyMin > FamilyAbsFloorSec
+
   /** Sick-probe backoff schedule (seconds) — escalating waits so a
     * transient (another round's verify run, a GC storm) passes without
     * burning the whole budget, while a persistently loaded host exhausts
@@ -673,7 +687,7 @@ object Bench {
       // "adjudicate me", never silently records a 3x min as routine).
       val fam = family.get(name)
       val needsRerun = fam.exists(f =>
-        healthyMin.getOrElse(samples.min) > FamilyRerunFactor * f)
+        overFamilyGate(healthyMin.getOrElse(samples.min), f))
       if (needsRerun) {
         System.err.println(
           f"[bench] $name: min ${healthyMin.getOrElse(samples.min)}%.2f s > " +
@@ -681,7 +695,7 @@ object Bench {
         samples = samples :+ once()
       }
       val best = healthyMin.getOrElse(samples.min)
-      val overFamily = fam.exists(f => best > FamilyRerunFactor * f)
+      val overFamily = fam.exists(f => overFamilyGate(best, f))
       System.err.println(
         f"[bench] $name%-24s min $best%8.2f s  rows=$rows  samples=${samples.map(v => f"$v%.2f").mkString("[", ",", "]")}  probes=${probes.map(p => f"${p.cpu}%.3f/${p.io}%.3f").mkString("[", ",", "]")}  discarded=${discarded.size}${if (overFamily) "  OVER-FAMILY" else ""}  cc=${codeCacheMb}MB")
       val rr = RowResult(name, best, rows, samples, probes.toSeq,
@@ -704,10 +718,11 @@ object Bench {
     // (the sf1 corpus is 10 cipher replicas of it — graft.tools.ScaleGen)
     // and regenerates the corpus when the driver's testdata is newer.
     // SPARK_GRAFT_BENCH_SF1=0 skips (dev loops).
-    // sf1_annf_lsh is min-of-2 (VERDICT r15 item 5: its first recorded
-    // round needed a family re-run, and at 30-40 s a second sample is
-    // affordable); the two 40-150 s rows stay deliberate single shots
-    val sf1Rows = Seq(("sf1_exact_8g", "fuzzy_exact_8g", 1),
+    // sf1_annf_lsh is min-of-2 (VERDICT r15 item 5), and sf1_exact_8g
+    // joined it in r17 (VERDICT r16 item 6: single-shot rows are what
+    // poisoned r13/r14, and ~45 s/sample makes a second affordable);
+    // the ~120 s sf1_auto_22g row stays the one deliberate single shot
+    val sf1Rows = Seq(("sf1_exact_8g", "fuzzy_exact_8g", 2),
       ("sf1_auto_22g", "fuzzy_auto_22g", 1),
       ("sf1_annf_lsh", "fuzzy_annf_32g_lsh", 2))
       .filter { case (name, _, _) => only.forall(_.contains(name)) }
@@ -784,7 +799,9 @@ object Bench {
         case r if !r.sampleOk.forall(identity) => r.name }),
       "backoff_sec" -> backoffSec.get.toString,
       "sf1_gen_sec" -> f"$sf1GenSec%.1f",
-      "gates" -> f""""$cpuGate%.2f/$ioGate%.2f"""",
+      // probe gates + the family rule (ratio AND absolute floor, r17)
+      "gates" -> (f""""$cpuGate%.2f/$ioGate%.2f/""" +
+        f"""fam>${FamilyRerunFactor}%.1fx+${FamilyAbsFloorSec}%.1fs""""),
       "fixtures" -> obj(fixtureStats.toSeq.map { case (k, v) => k -> v.toString }),
       "calibration" -> cal,
       "detail" -> ("\"" + detailPath + "\""),

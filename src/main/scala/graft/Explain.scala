@@ -24,7 +24,10 @@ object Explain {
       "text_ngram_freq", "dedup_boilerplate",
       // round-16 surface: the warc HTTP split must stay a pruned
       // single-scan, and warc_to_text a zero-exchange scan -> project
-      "source_warc_http", "warc_to_text")
+      // (both now also pinned in PlanHygieneSpec); round-17: the charset
+      // decode and outlink extraction share the same shape
+      "source_warc_http", "warc_to_text", "source_warc_http_text",
+      "warc_links")
     names.foreach { name =>
       println(s"\n================ $name ================")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

@@ -1773,6 +1773,34 @@ object SparkEntry {
         .select(col("doc_id"), col("lang_pred"), col("norm_md5"),
           col("n_words"), col("pass"))
     }),
+    // outlink extraction (VERDICT r16 stretch 7): href/src values from
+    // the decoded HTTP body, absolute http(s) only, normalized (scheme/
+    // authority lowercase, default port strip, fragment drop) and
+    // per-doc deduped — scan -> project -> explode, zero exchanges. The
+    // fixture's links exercise every normalization arm: uppercase
+    // scheme+host, :80 and :443 strips, a KEPT non-default port, a
+    // fragment whose drop makes two raw links one, and skipped
+    // relative/mailto links
+    "warc_links" -> ((s, dir) => {
+      val warcDir = httpWarcFixture(s, dir, "links", linksPage)
+      s.read.format("warc").load(warcDir)
+        .select(expr("CAST(substr(record_id, 9) AS BIGINT)").as("doc_id"),
+          explode(TextAnalysis.outlinks(graft.sources.HttpText.decode(
+            col("http_body"), col("http_content_type")))).as("link"))
+    }),
+    // the URL-graph rollup one step up: links per target domain — the
+    // domain-frequency signal a crawl-curation pipeline ranks on
+    "warc_link_domains" -> ((s, dir) => {
+      val warcDir = httpWarcFixture(s, dir, "links", linksPage)
+      s.read.format("warc").load(warcDir)
+        .select(expr("CAST(substr(record_id, 9) AS BIGINT)").as("doc_id"),
+          explode(TextAnalysis.outlinks(graft.sources.HttpText.decode(
+            col("http_body"), col("http_content_type")))).as("link"))
+        .groupBy(org.apache.spark.sql.functions.regexp_extract(
+          col("link"), "^https?://([^/:?]+)", 1).as("domain"))
+        .agg(count(lit(1)).as("n_links"),
+          org.apache.spark.sql.functions.countDistinct(col("doc_id")).as("n_docs"))
+    }),
     "dedup_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val bkt = Curation.md5Bucket(col("doc_id"))
@@ -2810,6 +2838,56 @@ object SparkEntry {
       payload(col("doc_id"), col("text")).as("payload")), out)
     out
   }
+
+  /** The link-bearing page behind `warc_links` — each doc carries three
+    * normalizable absolute links (uppercase scheme+host with :80, a :443
+    * CDN link, a kept non-default :8443 port), one duplicate that only
+    * the fragment drop unifies, and relative/mailto links the filter
+    * must skip. */
+  private def linksPage: org.apache.spark.sql.Column = concat(
+    lit("<html><body><a href=\"HTTP://Example.COM:80/path/"), col("doc_id"),
+    lit("?q=1#frag\">x</a> <img src='https://CDN.example.com:443/img/"),
+    col("doc_id"),
+    lit(".png'/> <a href=\"https://other.example.com:8443/keep?id="),
+    col("doc_id"),
+    lit("#s\">y</a> <a href=\"/relative/skip\">z</a> " +
+      "<a href=\"mailto:a@b.c\">m</a> <a href=\"HTTP://Example.COM:80/path/"),
+    col("doc_id"), lit("?q=1\">dup</a> "), col("text"), lit("</body></html>"))
+
+  // warc_links: the page rebuilt in SQL, then the SAME extraction and
+  // normalization chain replayed with DuckDB's RE2 mirrors of the
+  // Java-regex ∩ RE2 common-subset patterns
+  private val warcLinksExtractSql =
+    """WITH raw AS (SELECT doc_id,
+         '<html><body><a href="HTTP://Example.COM:80/path/' || doc_id ||
+         '?q=1#frag">x</a> <img src=''https://CDN.example.com:443/img/' ||
+         doc_id || '.png''/> <a href="https://other.example.com:8443/keep?id=' ||
+         doc_id || '#s">y</a> <a href="/relative/skip">z</a> ' ||
+         '<a href="mailto:a@b.c">m</a> <a href="HTTP://Example.COM:80/path/' ||
+         doc_id || '?q=1">dup</a> ' || text || '</body></html>' AS page
+       FROM documents),
+       ex AS (SELECT doc_id, list_distinct(list_transform(
+           list_filter(
+             regexp_extract_all(page,
+               '(?i)\b(?:href|src)\s*=\s*["'']([^"'']+)["'']', 1),
+             u -> regexp_matches(u, '(?i)^https?://')),
+           u -> regexp_replace(regexp_replace(
+             lower(regexp_extract(split_part(u, '#', 1),
+               '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1)) ||
+             regexp_replace(split_part(u, '#', 1),
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', ''),
+             '^(http://[^/:?]*):80($|[/?])', '\1\2'),
+             '^(https://[^/:?]*):443($|[/?])', '\1\2'))) AS links
+         FROM raw)"""
+
+  private val warcLinksOracle = warcLinksExtractSql +
+    " SELECT doc_id, unnest(links) AS link FROM ex"
+
+  private val warcLinkDomainsOracle = warcLinksExtractSql +
+    """, l AS (SELECT doc_id, unnest(links) AS link FROM ex)
+       SELECT regexp_extract(link, '^https?://([^/:?]+)', 1) AS domain,
+         count(*) AS n_links, count(DISTINCT doc_id) AS n_docs
+       FROM l GROUP BY 1"""
 
   // source_warc_http_text and its SQL twin share this oracle, GENERATED
   // from the same marker table the fixture encodes — only the right
@@ -4992,6 +5070,10 @@ object SparkEntry {
               ELSE 'text/plain' END AS ctype
          FROM documents""",
     "warc_to_text" -> warcToTextOracle,
+    // outlink extraction + the domain rollup: the oracle replays the
+    // same extraction/normalization regex chain over the rebuilt page
+    "warc_links" -> warcLinksOracle,
+    "warc_link_domains" -> warcLinkDomainsOracle,
     // the nightly winnow check and its stored-state/TVF twins: one oracle
     "dedup_winnow_inc" -> winnowCrossOracle,
     "dedup_winnow_inc_stored" -> winnowCrossOracle,

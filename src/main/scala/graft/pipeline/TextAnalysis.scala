@@ -907,6 +907,39 @@ object TextAnalysis {
     trim(regexp_replace(amp, "\\s+", " "))
   }
 
+  /** Outlink extraction for crawl curation: `href`/`src` attribute values
+    * in the page markup, kept when absolute http(s), each normalized
+    * ([[normalizeUrl]]) and de-duplicated within the document — the
+    * projection the URL-graph signals (link dedup, domain frequency,
+    * PageRank-ish weighting) start from. A pure codegen
+    * regexp/transform chain in the Java-regex ∩ RE2 common subset like
+    * [[stripMarkup]]; at crawl scale the scan IS the plan. Quoted
+    * attribute values only, relative URLs skipped (resolution needs the
+    * base URI and belongs to a real extractor upstream) — the same
+    * mostly-well-formed posture as stripMarkup. */
+  def outlinks(html: Column): Column =
+    array_distinct(transform(
+      filter(
+        regexp_extract_all(html,
+          lit("(?i)\\b(?:href|src)\\s*=\\s*[\"']([^\"']+)[\"']"), lit(1)),
+        u => u.rlike("(?i)^https?://")),
+      u => normalizeUrl(u)))
+
+  /** URL normalization for link-graph keys: scheme and authority
+    * lowercase (case-insensitive per RFC 3986), default port strip
+    * (`:80` http, `:443` https), fragment drop (never sent to the
+    * server); path and query case preserved (case-SENSITIVE per spec). */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = substring_index(url, "#", 1)
+    val schemeAuth =
+      lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", "")
+    val joined = concat(schemeAuth, rest)
+    regexp_replace(
+      regexp_replace(joined, "^(http://[^/:?]*):80($|[/?])", "$1$2"),
+      "^(https://[^/:?]*):443($|[/?])", "$1$2")
+  }
+
   /** Canonical text normalization for ingest: control characters strip,
     * all whitespace runs collapse to single spaces, edges trim, and
     * (optionally) lowercase — the projection every downstream tokenizer

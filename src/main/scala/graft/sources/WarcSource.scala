@@ -59,10 +59,11 @@ import org.apache.spark.util.SerializableConfiguration
   * industry-standard layout (~1 GB segment files) feeds a
   * 1000-executor cluster evenly. The EXCEPTION is the record-per-member
   * `.warc.gz` layout (Common Crawl's), whose gzip member boundaries ARE
-  * re-alignment points: batch reads range-split such files larger than
-  * `split_size` (default 512 MiB, 0 disables) at probed member
-  * boundaries ([[WarcSplit]]), so one 50 GB segment no longer bounds a
-  * stage at one core. Column pruning is pushed into the reader: a query
+  * re-alignment points: batch AND streaming reads range-split such files
+  * larger than `split_size` (default 512 MiB, 0 disables) at probed
+  * member boundaries ([[WarcSplit]], probed concurrently on a bounded
+  * driver pool), so one 50 GB segment no longer bounds a stage — or a
+  * trigger — at one core. Column pruning is pushed into the reader: a query
   * that never touches `payload` (e.g. a header census) still streams
   * the bytes but never materializes them on the heap — at crawl scale
   * that is the difference between a metadata scan and an OOM.
@@ -144,6 +145,59 @@ object WarcSource {
     * bounds a stage at one core. Only the record-per-member layout has
     * interior boundaries; other layouts degrade to one task per file. */
   private[sources] val DefaultSplitSize: Long = 512L << 20
+
+  /** Bounded driver-side pool for plan-time boundary probing: hundreds
+    * of giant segments probed serially was minutes of driver wall before
+    * the first task launched (one 4 MB positional read per split point);
+    * Hadoop FS clients are thread-safe, so files probe concurrently. */
+  private[sources] val ProbeParallelism = 8
+
+  /** Shared batch/streaming partition planner: range-split oversize
+    * `.warc.gz` files at probed member boundaries ([[WarcSplit]]), one
+    * partition per file otherwise. A probed file with no interior
+    * boundary (whole-file gzip) keeps the UNSPLIT reader — not a
+    * one-range member walk, whose stricter framing would reject files
+    * with trailing non-gzip bytes that GZIPInputStream (and therefore
+    * every previous read of the same file) silently treats as EOF. */
+  private[graft] def planPartitions(conf: org.apache.hadoop.conf.Configuration,
+      files: Seq[(String, Long)], splitSize: Long): Array[InputPartition] = {
+    val probed: Map[String, Seq[Long]] = {
+      val targets = files.filter { case (f, len) =>
+        f.endsWith(".gz") && splitSize > 0 && len > splitSize }
+      if (targets.isEmpty) Map.empty
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(ProbeParallelism, targets.size))
+        try {
+          import scala.jdk.CollectionConverters._
+          val tasks: Seq[java.util.concurrent.Callable[(String, Seq[Long])]] =
+            targets.map { case (f, len) =>
+              () => {
+                val fp = new Path(f)
+                f -> WarcSplit.probeBoundaries(
+                  SourceFiles.fs(fp, conf), fp, len, splitSize)
+              }
+            }
+          pool.invokeAll(tasks.asJava).asScala.map { fut =>
+            try fut.get()
+            catch { // keep probe failures as loud as the serial path's
+              case e: java.util.concurrent.ExecutionException => throw e.getCause
+            }
+          }.toMap
+        } finally pool.shutdown()
+      }
+    }
+    files.flatMap { case (f, len) =>
+      probed.get(f) match {
+        case Some(bounds) if bounds.nonEmpty =>
+          ((0L +: bounds) :+ len).distinct.sorted.sliding(2).collect {
+            case Seq(s, e) if e > s =>
+              WarcFilePartition(f, len, s, e, split = true): InputPartition
+          }.toSeq
+        case _ => Seq(WarcFilePartition(f, len, 0L, len): InputPartition)
+      }
+    }.toArray
+  }
   private[sources] def splitSizeOpt(props: Map[String, String]): Long =
     props.get("split_size") match {
       case None => DefaultSplitSize
@@ -198,28 +252,9 @@ private[sources] class WarcScan(path: String, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
-    SourceFiles.listForBatch(SourceFiles.fs(p, conf.value), p, recursive, "warc")
-      .flatMap { case (f, len) =>
-        val fp = new Path(f)
-        if (f.endsWith(".gz") && splitSize > 0 && len > splitSize) {
-          // giant member-per-record segments split at probed member
-          // boundaries; a layout with no interior boundary (whole-file
-          // gzip) finds none and keeps the UNSPLIT reader — not a
-          // one-range member walk, whose stricter framing would reject
-          // files with trailing non-gzip bytes that GZIPInputStream
-          // (and therefore every previous read of the same file)
-          // silently treats as EOF
-          val bounds = WarcSplit.probeBoundaries(
-            SourceFiles.fs(fp, conf.value), fp, len, splitSize)
-          if (bounds.isEmpty)
-            Seq(WarcFilePartition(f, len, 0L, len): InputPartition)
-          else ((0L +: bounds) :+ len).distinct.sorted.sliding(2).collect {
-            case Seq(s, e) if e > s =>
-              WarcFilePartition(f, len, s, e, split = true): InputPartition
-          }.toSeq
-        } else Seq(WarcFilePartition(f, len, 0L, len): InputPartition)
-      }
-      .toArray
+    WarcSource.planPartitions(conf.value,
+      SourceFiles.listForBatch(SourceFiles.fs(p, conf.value), p, recursive, "warc"),
+      splitSize)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -237,7 +272,7 @@ private[sources] class WarcScan(path: String, required: StructType,
     if (recursive) throw new IllegalArgumentException(
       "warc streaming does not support recursive listings: the offset " +
         "contract orders by file name in a FLAT landing directory")
-    new WarcMicroBatchStream(path, required, conf, httpGunzip)
+    new WarcMicroBatchStream(path, required, conf, httpGunzip, splitSize)
   }
 }
 
@@ -258,7 +293,8 @@ private[sources] class WarcScan(path: String, required: StructType,
   * `warnLateFiles`) instead of silent data loss. */
 private[sources] class WarcMicroBatchStream(path: String, required: StructType,
                                             conf: SerializableConfiguration,
-                                            httpGunzip: Boolean)
+                                            httpGunzip: Boolean,
+                                            splitSize: Long)
   extends MicroBatchStream {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
@@ -267,12 +303,28 @@ private[sources] class WarcMicroBatchStream(path: String, required: StructType,
   // diagnostic only (the authoritative watermark lives in Spark's offset
   // log; on restart this re-arms from the first commit)
   @volatile private var committedWatermark: String = ""
-  // every file name any listing of this run has seen: a file is LATE
-  // only if it is ALREADY at/below the watermark the first time it
-  // appears — judging previously-seen names against the CURRENT
-  // watermark would false-flag every normally-ingested file one trigger
-  // after its batch commits
-  private val seenFiles = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // Late-file diagnostic state — ALL BOUNDED (an earlier design kept
+  // every file name ever listed, which on a long-running stream over an
+  // accumulating landing dir retained the whole history on the driver
+  // heap forever, solely for this diagnostic):
+  //  - pendingSeen: names seen while still ABOVE the committed watermark
+  //    (bounded by the landing backlog; evicted as commits pass them)
+  //  - commitLog: ascending (watermark, commitTimeMs) ring — answers
+  //    "when did the watermark first cover name n". Capped; names older
+  //    than the retained log judge against the OLDEST retained entry's
+  //    time, which can only UNDER-warn (a later bound), never false-warn
+  //  - warnedNames: bounded LRU dedup so a late file warns once
+  private val pendingSeen =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val commitLog =
+    scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+  private val CommitLogCap = 4096
+  private val warnedNames = java.util.Collections.newSetFromMap(
+    new java.util.LinkedHashMap[String, java.lang.Boolean](64, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
+        size() > 8192
+    })
 
   // listDataFiles sorts by file name — that order IS the offset contract
   private def files(): Seq[(String, Long)] = {
@@ -284,24 +336,38 @@ private[sources] class WarcMicroBatchStream(path: String, required: StructType,
     * committed watermark — correct for monotonic producers, silent data
     * loss for a misconfigured one (clock-named file landing late, a
     * backfill into a live landing dir). This makes that loss LOUD: a
-    * file whose FIRST appearance in a listing is already at/below the
-    * then-committed watermark, and that was modified after this stream
-    * started, cannot ever be planned and gets one named warning.
+    * name at/below the watermark that was never seen pending, whose
+    * mtime postdates the COMMIT that first covered it (and this stream's
+    * start), can never be planned and gets one named warning.
     * Pre-existing files a restarted stream already processed (mtime
-    * before start) stay quiet. */
+    * before start) stay quiet, as do files this run ingested normally
+    * (their mtime predates their own batch's commit). */
   private def warnLateFiles(listing: Seq[(String, Long, Long)]): Unit = {
     val wm = committedWatermark
     listing.foreach { case (f, _, mtime) =>
       val n = new Path(f).getName
-      if (seenFiles.add(n) && wm.nonEmpty && n <= wm && mtime > startedAtMs)
-        log.warn(s"[graft.warc] landing file $n sorts at/below the " +
-          s"committed watermark '$wm' but appeared after this stream " +
-          "started — it will NEVER be ingested. The warc stream's " +
-          "offset contract requires lexicographically increasing, " +
-          "immutable file names; rename the file above the watermark " +
-          "or replay it through a fresh landing directory.")
+      if (wm.isEmpty || n > wm) pendingSeen.add(n)
+      else if (!pendingSeen.contains(n) && mtime > startedAtMs) {
+        val coveredAt = commitLog.synchronized { commitLog.find(_._1 >= n) }
+        if (coveredAt.exists(mtime > _._2) &&
+          warnedNames.synchronized(warnedNames.add(n)))
+          log.warn(s"[graft.warc] landing file $n sorts at/below the " +
+            s"committed watermark '$wm' but appeared after the commit " +
+            "that covered it — it will NEVER be ingested. The warc " +
+            "stream's offset contract requires lexicographically " +
+            "increasing, immutable file names; rename the file above " +
+            "the watermark or replay it through a fresh landing directory.")
+      }
     }
   }
+
+  // test hooks: the late-file diagnostic's only production output is a
+  // log line, so its state transitions are asserted directly
+  private[sources] def exposeWarnLate(listing: Seq[(String, Long, Long)]): Unit =
+    warnLateFiles(listing)
+  private[sources] def pendingSeenSize: Int = pendingSeen.size()
+  private[sources] def warnedCount: Int =
+    warnedNames.synchronized(warnedNames.size())
 
   override def initialOffset(): Offset = WarcOffset("")
 
@@ -321,13 +387,13 @@ private[sources] class WarcMicroBatchStream(path: String, required: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[WarcOffset].lastFile
     val hi = end.asInstanceOf[WarcOffset].lastFile
-    files()
-      .filter { case (f, _) =>
+    // same range-splitting as the batch face: one 50 GB member-per-record
+    // segment landing in the stream must not bound a trigger at one core
+    WarcSource.planPartitions(conf.value,
+      files().filter { case (f, _) =>
         val n = new Path(f).getName
         n > lo && n <= hi
-      }
-      .map { case (f, len) => WarcFilePartition(f, len): InputPartition }
-      .toArray
+      }, splitSize)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -340,7 +406,17 @@ private[sources] class WarcMicroBatchStream(path: String, required: StructType,
 
   override def commit(end: Offset): Unit = {
     val wm = end.asInstanceOf[WarcOffset].lastFile
-    if (wm > committedWatermark) committedWatermark = wm
+    if (wm > committedWatermark) {
+      committedWatermark = wm
+      commitLog.synchronized {
+        commitLog += ((wm, System.currentTimeMillis()))
+        if (commitLog.size > CommitLogCap)
+          commitLog.remove(0, commitLog.size - CommitLogCap)
+      }
+      // names now covered by the watermark leave the pending set — the
+      // bound that keeps the diagnostic's memory at backlog size
+      pendingSeen.removeIf(n => n <= wm)
+    }
   }
   override def stop(): Unit = ()
 }

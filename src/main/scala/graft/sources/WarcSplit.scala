@@ -29,7 +29,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * member loop over a raw Inflater with exact raw-offset accounting,
   * verifying each member's CRC32 + ISIZE trailer (same
   * loud-on-corruption posture as the tfrecord reader). */
-private[sources] object WarcSplit {
+private[graft] object WarcSplit {
 
   /** Validated member boundaries near each multiple of `splitSize` in
     * `[1, len)`, sorted ascending. Driver-side cost: one positional
@@ -127,8 +127,14 @@ private[sources] final class GzipMemberStream(raw: java.io.InputStream,
     if (absConsumed >= endOffset) return false
     val m1 = readByte()
     if (m1 < 0) return false
+    // a non-gzip first byte at a member boundary is trailing non-gzip
+    // content (archiver padding), which GZIPInputStream — and therefore
+    // every unsplit read of the same file — treats as EOF; match that
+    // instead of failing the last range of a split read. A matching
+    // first byte with a corrupt rest stays LOUD (corruption, not padding).
+    if (m1 != 0x1f) return false
     val m2 = readByte(); val cm = readByte(); val flg = readByte()
-    if (m1 != 0x1f || m2 != 0x8b) bad(f"bad gzip member magic $m1%02x${math.max(m2, 0)}%02x")
+    if (m2 != 0x8b) bad(f"bad gzip member magic $m1%02x${math.max(m2, 0)}%02x")
     if (cm != 8) bad(s"unsupported gzip compression method $cm")
     if (flg < 0) bad("eof in gzip member header")
     var i = 0
@@ -183,6 +189,9 @@ private[sources] final class GzipMemberStream(raw: java.io.InputStream,
   }
 
   override def read(b: Array[Byte], off: Int, len: Int): Int = {
+    // InputStream contract: len == 0 returns 0 (inflate() would also
+    // produce 0, which the loop below reads as a stall)
+    if (len == 0) return 0
     if (done) return -1
     if (!inMember && !startMember()) { done = true; return -1 }
     var produced = 0

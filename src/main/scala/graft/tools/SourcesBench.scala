@@ -97,6 +97,35 @@ object SourcesBench {
     emit("warc_giant_read_split", splSec, payloadBytes,
       s""","ranges":${splitDf.rdd.getNumPartitions}""")
 
+    // plan-time boundary probing A/B (VERDICT r16 item 4): a batch of 8
+    // giant member-per-record files (hard links — the probe only reads).
+    // Serial = the pre-r17 planner's file-at-a-time loop; parallel = the
+    // shared planner's bounded pool. The probe is one 4 MB positional
+    // read per split point, so the win is I/O-wait overlap.
+    val multiDir = java.nio.file.Files.createTempDirectory("srcb_warc_multi").toString
+    val giantFile = new java.io.File(giantDir).listFiles()
+      .find(_.getName.endsWith(".warc.gz")).get
+    for (i <- 0 until 8)
+      java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(multiDir, f"seg$i%02d.warc.gz"), giantFile.toPath)
+    val mConf = new org.apache.hadoop.conf.Configuration()
+    val mFiles = new java.io.File(multiDir).listFiles().sortBy(_.getName)
+      .map(f => (f.getPath, f.length())).toSeq
+    val probeSplit = math.max(gLen / 32, 1L)
+    val (serialBounds, serSec) = timed(mFiles.map { case (f, len) =>
+      val fp = new org.apache.hadoop.fs.Path(f)
+      graft.sources.WarcSplit.probeBoundaries(
+        fp.getFileSystem(mConf), fp, len, probeSplit).size
+    }.sum)
+    emit("warc_probe_serial", serSec, 8 * gLen,
+      s""","files":8,"bounds":$serialBounds""")
+    val (parParts, parSec) = timed(graft.sources.WarcSource.planPartitions(
+      mConf, mFiles, probeSplit).length)
+    emit("warc_probe_parallel", parSec, 8 * gLen,
+      s""","files":8,"ranges":$parParts,"speedup":${(serSec / parSec).round}""")
+    require(parParts == serialBounds + 8,
+      s"parallel planner ranges $parParts != serial bounds $serialBounds + 8 files")
+
     // the HTTP layer: the same corpus re-framed as response records
     // (every third chunked at 4 KB, server-style), split back by the
     // reader's http_* columns — prices status/header parsing + chunk

@@ -346,6 +346,24 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
       s"warc_to_text scan must read the http body, never the raw payload:\n$plan")
   }
 
+  test("warc_links: extraction is scan -> project -> explode, zero " +
+    "exchanges; the domain rollup's only exchange is its aggregation") {
+    val plan = graft.SparkEntry.queries("warc_links")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"outlink extraction must not shuffle:\n$plan")
+    val rollup = graft.SparkEntry.queries("warc_link_domains")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // two keyed exchanges are the distributed count-distinct shape
+    // (partial by (domain, doc_id), merge by domain) — what must NOT
+    // appear is a join or a single-partition collapse
+    val exchangeLines = rollup.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchangeLines.size <= 2 &&
+      exchangeLines.forall(_.contains("hashpartitioning")) &&
+      !rollup.contains("SinglePartition") && !rollup.contains("Join"),
+      s"domain rollup must stay keyed partial aggregation:\n$rollup")
+  }
+
   test("sketch builds rank nothing: no Window, no global sort in HLL/CMS registers") {
     val ev = graft.util.EventTs.loadEvents(spark, dir)
     for (df <- Seq(

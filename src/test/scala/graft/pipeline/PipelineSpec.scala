@@ -722,6 +722,36 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       "inner"), s"got $out")
   }
 
+  test("outlinks + normalizeUrl: extraction filter and every " +
+    "normalization arm") {
+    val d = Seq(
+      // uppercase scheme/host lowered, :80 stripped, path case kept,
+      // fragment dropped -> equal to the dup link -> ONE output
+      "<a href=\"HTTP://Ex.COM:80/Path?Q=1#f\">a</a>" +
+        "<a href='http://ex.com/Path?Q=1'>dup</a>",
+      // :443 stripped on https; NON-default port kept
+      "<img src=\"https://CDN.Ex.com:443/i.png\"/>" +
+        "<a href=\"https://ex.com:8443/k\">b</a>",
+      // relative, mailto, unquoted-attribute and javascript links skipped
+      "<a href=\"/rel\">r</a><a href=mailto:a@b.c>m</a>" +
+        "<a href=\"javascript:void(0)\">j</a>",
+      // :80 on https and :443 on http are NOT default -> kept
+      "<a href=\"https://ex.com:80/x\">s</a><a href=\"http://ex.com:443/y\">t</a>")
+      .toDF("html")
+    val out = d.select(TextAnalysis.outlinks($"html")).as[Seq[String]]
+      .collect().toSeq
+    assert(out == Seq(
+      Seq("http://ex.com/Path?Q=1"),
+      Seq("https://cdn.ex.com/i.png", "https://ex.com:8443/k"),
+      Seq.empty,
+      Seq("https://ex.com:80/x", "http://ex.com:443/y")), s"got $out")
+    // bare-host edge: the port strip works with no path at all
+    val bare = Seq("http://EX.com:80", "https://ex.com:443", "http://ex.com:8080")
+      .toDF("u").select(TextAnalysis.normalizeUrl($"u")).as[String].collect().toSeq
+    assert(bare == Seq("http://ex.com", "https://ex.com", "http://ex.com:8080"),
+      s"got $bare")
+  }
+
   test("bm25TopK against hand-computed scores") {
     val corpus = Seq(
       (1L, "cat dog cat"),        // tf(cat)=2, dl=3

@@ -422,6 +422,129 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(df.count() == warcFrame.count())
   }
 
+  test("warc gz split: the STREAMING face range-splits an oversize " +
+    "member-per-record landing file (r16 item 3), byte-identical results") {
+    val land = tmp("warc_stream_split")
+    val src = tmp("warc_stream_split_src")
+    val frame = spark.range(0, 300).select(
+      concat(lit("urn:doc:"), col("id")).as("record_id"),
+      lit("resource").as("warc_type"),
+      concat(lit("https://example.com/"), col("id")).as("target_uri"),
+      lit("2026-01-01T00:00:00Z").as("date"),
+      lit("text/plain").as("content_type"),
+      encode(concat(lit("streamed record number "), col("id"),
+        lit(" with some padding text to compress")), "UTF-8").as("payload"))
+    Warc.write(frame.coalesce(1), src, gzip = true, memberPerRecord = true)
+    val f = new java.io.File(src).listFiles()
+      .find(_.getName.endsWith(".warc.gz")).get
+    java.nio.file.Files.copy(f.toPath,
+      java.nio.file.Paths.get(land, "wave00.warc.gz"))
+
+    // the planner itself: the planned batch must hold >1 range partition
+    val stream = new WarcScan(land, WarcSource.Schema, recursive = false,
+      httpGunzip = true, splitSize = f.length() / 6)
+      .toMicroBatchStream(tmp("warc_ss_ckpt0"))
+    val parts = stream.planInputPartitions(
+      WarcOffset(""), WarcOffset("wave00.warc.gz"))
+    assert(parts.length > 3,
+      s"streaming face planned ${parts.length} partition(s) for an " +
+        "oversize member-per-record file — expected range splits")
+    assert(parts.forall(_.asInstanceOf[WarcFilePartition].split))
+
+    // end to end through a real query: identical content to the batch read
+    val got = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val q = spark.readStream.format("warc")
+      .option("split_size", (f.length() / 6).toString).load(land)
+      .select(col("record_id"), decode(col("payload"), "UTF-8").as("t"))
+      .writeStream.option("checkpointLocation", tmp("warc_ss_ckpt"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= b.collect().map(r => (r.getString(0), r.getString(1)))
+        }
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    val batch = spark.read.format("warc").load(land)
+      .select(col("record_id"), decode(col("payload"), "UTF-8").as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.sortBy(_._1).toSeq == batch.sortBy(_._1).toSeq)
+    assert(got.size == 300)
+  }
+
+  test("warc gz split: a member-per-record file with trailing non-gzip " +
+    "bytes reads them as EOF (GZIPInputStream semantics), split or not") {
+    val dir = tmp("warc_member_trailing")
+    val frame = spark.range(0, 200).select(
+      concat(lit("urn:doc:"), col("id")).as("record_id"),
+      lit("resource").as("warc_type"),
+      concat(lit("https://example.com/"), col("id")).as("target_uri"),
+      lit("2026-01-01T00:00:00Z").as("date"),
+      lit("text/plain").as("content_type"),
+      encode(concat(lit("record "), col("id"),
+        lit(" padded with compressible filler text")), "UTF-8").as("payload"))
+    Warc.write(frame.coalesce(1), dir, gzip = true, memberPerRecord = true)
+    val f = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".warc.gz")).get
+    // archiver-style zero padding after the last member
+    val fos = new java.io.FileOutputStream(f, true)
+    fos.write(new Array[Byte](256)); fos.close()
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    val split = spark.read.format("warc")
+      .option("split_size", (f.length() / 5).toString).load(dir)
+    assert(split.rdd.getNumPartitions > 2)
+    assert(split.count() == 200) // last range EOFs at the padding, loudly-not
+    val unsplit = spark.read.format("warc").option("split_size", "0").load(dir)
+    assert(unsplit.count() == 200)
+  }
+
+  test("warc gz split: GzipMemberStream honors the len=0 InputStream " +
+    "contract") {
+    val dir = tmp("warc_len0")
+    Warc.write(warcFrame.coalesce(1), dir, gzip = true, memberPerRecord = true)
+    val f = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".warc.gz")).get
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val raw = fs.open(new org.apache.hadoop.fs.Path(f.getPath))
+    val ms = new GzipMemberStream(raw, 0L, f.length(), f.getPath)
+    try {
+      val buf = new Array[Byte](64)
+      assert(ms.read(buf, 0, 0) == 0) // zero-length read returns 0, no stall
+      assert(ms.read(buf, 0, 64) > 0) // and the stream still decodes after
+    } finally ms.close()
+  }
+
+  test("warc streaming: late-file diagnostic warns once and its state " +
+    "stays bounded by the backlog") {
+    val stream = new WarcScan(tmp("warc_late"), WarcSource.Schema,
+      recursive = false, httpGunzip = true, splitSize = 0)
+      .toMicroBatchStream(tmp("warc_late_ckpt"))
+      .asInstanceOf[WarcMicroBatchStream]
+    Thread.sleep(5) // so t0 strictly postdates the stream's start
+    val t0 = System.currentTimeMillis()
+    // normal life cycle: listed pending, then committed strictly later
+    stream.exposeWarnLate(Seq(("/land/wave01.warc", 1L, t0)))
+    Thread.sleep(30)
+    stream.commit(WarcOffset("wave01.warc"))
+    // the pending set is EVICTED at commit (the bound under test)
+    assert(stream.pendingSeenSize == 0)
+    // the same file re-listed after its commit: quiet (its mtime predates
+    // the covering commit — the normal-ingest signature)
+    stream.exposeWarnLate(Seq(("/land/wave01.warc", 1L, t0)))
+    assert(stream.warnedCount == 0)
+    // a file landing BELOW the watermark after the covering commit: late
+    val lateMtime = System.currentTimeMillis() + 5000
+    stream.exposeWarnLate(Seq(("/land/wave00.warc", 1L, lateMtime)))
+    assert(stream.warnedCount == 1)
+    // re-listed every trigger: still ONE warning
+    stream.exposeWarnLate(Seq(("/land/wave00.warc", 1L, lateMtime)))
+    assert(stream.warnedCount == 1)
+    // pre-start files stay quiet even below the watermark
+    stream.exposeWarnLate(Seq(("/land/wave00a.warc", 1L, t0 - 60000)))
+    assert(stream.warnedCount == 1)
+  }
+
   test("warc write: memberPerRecord without gzip is rejected loudly") {
     val e = intercept[Exception] {
       Warc.write(warcFrame, tmp("warc_mpr"), gzip = false, memberPerRecord = true)
