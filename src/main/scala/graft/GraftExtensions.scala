@@ -104,5 +104,5 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   private[graft] def builders: Seq[(String, Seq[Expression] => Expression)] =
     graft.fuzzy.functions.sqlBuilders ++ graft.fuzzy.vectorFunctions.sqlBuilders ++
-      graft.sources.HttpText.sqlBuilders
+      graft.sources.HttpText.sqlBuilders ++ graft.pipeline.UrlResolve.sqlBuilders
 }

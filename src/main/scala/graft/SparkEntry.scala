@@ -1788,6 +1788,25 @@ object SparkEntry {
           explode(TextAnalysis.outlinks(graft.sources.HttpText.decode(
             col("http_body"), col("http_content_type")))).as("link"))
     }),
+    // the RESOLVED variant: real pages carry mostly relative links, so
+    // every quoted href/src resolves against the page's own target_uri
+    // (RFC 3986 §5, spec-pinned against the RFC's own §5.4 vectors in
+    // UrlResolveSpec) before the http(s) filter + normalization. The
+    // fixture's arms cover sibling/parent/rooted/query-only/protocol-
+    // relative references and dot-segment collapse; the oracle
+    // reconstructs the expected resolutions from doc_id (the resolution
+    // algorithm itself is not SQL-replayable — the RFC vectors pin it)
+    "warc_links_resolved" -> ((s, dir) => {
+      val base = concat(lit("https://example.com/a/"), col("doc_id"),
+        lit("/page.html"))
+      val warcDir = httpWarcFixture(s, dir, "rlinks", resolvedLinksPage, base)
+      s.read.format("warc").load(warcDir)
+        .select(expr("CAST(substr(record_id, 9) AS BIGINT)").as("doc_id"),
+          explode(TextAnalysis.outlinksResolved(
+            graft.sources.HttpText.decode(
+              col("http_body"), col("http_content_type")),
+            col("target_uri"))).as("link"))
+    }),
     // the URL-graph rollup one step up: links per target domain — the
     // domain-frequency signal a crawl-curation pipeline ranks on
     "warc_link_domains" -> ((s, dir) => {
@@ -2728,7 +2747,8 @@ object SparkEntry {
     * the export dir (wiped first). Shared by `source_warc_http` and
     * `warc_to_text` (distinct `tag`s keep their fixtures apart). */
   private def httpWarcFixture(s: SparkSession, dir: String, tag: String,
-                              body: org.apache.spark.sql.Column): String = {
+                              body: org.apache.spark.sql.Column,
+                              targetUri: org.apache.spark.sql.Column = null): String = {
     val out = s"/tmp/graft_src_warc_${tag}_" + dir.replaceAll("[^A-Za-z0-9]", "_")
     val p = new org.apache.hadoop.fs.Path(out)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
@@ -2758,7 +2778,9 @@ object SparkEntry {
     graft.sources.Warc.write(docs.select(
       concat(lit("urn:doc:"), col("doc_id")).as("record_id"),
       lit("response").as("warc_type"),
-      concat(lit("https://example.com/"), col("doc_id")).as("target_uri"),
+      Option(targetUri)
+        .getOrElse(concat(lit("https://example.com/"), col("doc_id")))
+        .as("target_uri"),
       lit("2026-01-01T00:00:00Z").as("date"),
       lit("application/http; msgtype=response").as("content_type"),
       encode(payloadStr, "UTF-8").as("payload")), out)
@@ -2853,6 +2875,34 @@ object SparkEntry {
     lit("#s\">y</a> <a href=\"/relative/skip\">z</a> " +
       "<a href=\"mailto:a@b.c\">m</a> <a href=\"HTTP://Example.COM:80/path/"),
     col("doc_id"), lit("?q=1\">dup</a> "), col("text"), lit("</body></html>"))
+
+  /** The relative-link page behind `warc_links_resolved`: sibling,
+    * parent, rooted, query-only, protocol-relative and dot-segment
+    * references that only a real RFC 3986 resolver maps to the right
+    * absolute URLs, plus skipped mailto. */
+  private def resolvedLinksPage: org.apache.spark.sql.Column = concat(
+    lit("<html><a href=\"img"), col("doc_id"),
+    lit(".png\">i</a> <a href=\"../up.html\">u</a> <a href=\"/rooted?x="),
+    col("doc_id"),
+    lit("\">r</a> <a href=\"?q=2\">q</a> <img src='//cdn.example.com/c"),
+    col("doc_id"),
+    lit(".js'/> <a href=\"./x/.././sib.html\">s</a> " +
+      "<a href=\"mailto:a@b.c\">m</a> "),
+    col("text"), lit("</html>"))
+
+  // warc_links_resolved: expected resolutions reconstructed from doc_id
+  // (see the query comment; resolution itself is pinned by the RFC
+  // vectors, this pins the PLUMBING — base from target_uri, filter,
+  // normalize, dedup, explode)
+  private val warcLinksResolvedOracle =
+    """SELECT doc_id, unnest([
+         'https://example.com/a/' || doc_id || '/img' || doc_id || '.png',
+         'https://example.com/a/up.html',
+         'https://example.com/rooted?x=' || doc_id,
+         'https://example.com/a/' || doc_id || '/page.html?q=2',
+         'https://cdn.example.com/c' || doc_id || '.js',
+         'https://example.com/a/' || doc_id || '/sib.html']) AS link
+       FROM documents"""
 
   // warc_links: the page rebuilt in SQL, then the SAME extraction and
   // normalization chain replayed with DuckDB's RE2 mirrors of the
@@ -5073,6 +5123,7 @@ object SparkEntry {
     // outlink extraction + the domain rollup: the oracle replays the
     // same extraction/normalization regex chain over the rebuilt page
     "warc_links" -> warcLinksOracle,
+    "warc_links_resolved" -> warcLinksResolvedOracle,
     "warc_link_domains" -> warcLinkDomainsOracle,
     // the nightly winnow check and its stored-state/TVF twins: one oracle
     "dedup_winnow_inc" -> winnowCrossOracle,

@@ -925,6 +925,23 @@ object TextAnalysis {
         u => u.rlike("(?i)^https?://")),
       u => normalizeUrl(u)))
 
+  /** [[outlinks]] with RFC 3986 reference resolution against the page's
+    * own URI ([[UrlResolve]]): real pages carry mostly RELATIVE links
+    * (`img.png`, `../up`, `/rooted`, `?q=`, `//host/x`), which the
+    * absolute-only extractor must skip — this resolves every quoted
+    * href/src against `baseUri` first, then applies the same
+    * http(s)-filter + [[normalizeUrl]] + per-doc dedup. Still one
+    * codegen'd scan-side projection. */
+  def outlinksResolved(html: Column, baseUri: Column): Column =
+    array_distinct(transform(
+      filter(
+        transform(
+          regexp_extract_all(html,
+            lit("(?i)\\b(?:href|src)\\s*=\\s*[\"']([^\"']+)[\"']"), lit(1)),
+          u => UrlResolve.resolve(baseUri, u)),
+        u => u.isNotNull && u.rlike("(?i)^https?://")),
+      u => normalizeUrl(u)))
+
   /** URL normalization for link-graph keys: scheme and authority
     * lowercase (case-insensitive per RFC 3986), default port strip
     * (`:80` http, `:443` https), fragment drop (never sent to the
