@@ -1820,6 +1820,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_links"),
           org.apache.spark.sql.functions.countDistinct(col("doc_id")).as("n_docs"))
     }),
+    // PageRank-ish authority weighting over the URL graph (the step
+    // after outlink extraction): simplified PageRank, 8 fixed
+    // iterations, damping 85/100, EXACT fixed-point arithmetic so the
+    // oracle replays the identical loop as 8 unrolled CTEs. The edge
+    // list is a doc-derived 211-node digraph (the operator is generic
+    // over any (src, dst) frame — warc_link_domains feeds it in
+    // production)
+    "graph_pagerank" -> ((s, dir) =>
+      graft.pipeline.WebGraph.pageRank(
+        t(s, dir, "documents").select(
+          expr("doc_id % 211").as("src"),
+          expr("(doc_id * 31 + 7) % 211").as("dst")),
+        "src", "dst", iterations = 8)),
     "dedup_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val bkt = Curation.md5Bucket(col("doc_id"))
@@ -5125,6 +5138,11 @@ object SparkEntry {
     "warc_links" -> warcLinksOracle,
     "warc_links_resolved" -> warcLinksResolvedOracle,
     "warc_link_domains" -> warcLinkDomainsOracle,
+    // the oracle is GENERATED from the same constants and unrolls the
+    // same fixed-point iteration loop — it cannot drift from the operator
+    "graph_pagerank" -> graft.pipeline.WebGraph.pageRankOracleSql(
+      "SELECT doc_id % 211 AS src, (doc_id * 31 + 7) % 211 AS dst FROM documents",
+      iterations = 8),
     // the nightly winnow check and its stored-state/TVF twins: one oracle
     "dedup_winnow_inc" -> winnowCrossOracle,
     "dedup_winnow_inc_stored" -> winnowCrossOracle,
