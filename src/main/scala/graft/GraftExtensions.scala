@@ -104,5 +104,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   private[graft] def builders: Seq[(String, Seq[Expression] => Expression)] =
     graft.fuzzy.functions.sqlBuilders ++ graft.fuzzy.vectorFunctions.sqlBuilders ++
-      graft.sources.HttpText.sqlBuilders ++ graft.pipeline.UrlResolve.sqlBuilders
+      graft.sources.HttpText.sqlBuilders ++ graft.pipeline.UrlResolve.sqlBuilders ++
+      graft.pipeline.Robots.sqlBuilders
 }

@@ -1820,6 +1820,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_links"),
           org.apache.spark.sql.functions.countDistinct(col("doc_id")).as("n_docs"))
     }),
+    // robots.txt compliance gate (RFC 9309): group selection by longest
+    // product-token prefix with * fallback, longest-pattern rule
+    // precedence with allow-on-tie, */$ patterns — the filter a
+    // responsible crawl corpus applies before keeping a page. The
+    // matching algorithm is pinned by RobotsSpec's RFC vectors; this
+    // oracle pins the PLUMBING over doc-derived rules and path arms
+    // (expected verdicts reconstructed from doc_id)
+    "curate_robots" -> ((s, dir) => {
+      val txt = concat(
+        lit("User-agent: graftbot\nDisallow: /private"), col("doc_id"),
+        lit("/\nAllow: /private"), col("doc_id"),
+        lit("/ok\nDisallow: *.bin$\n\nUser-agent: *\nDisallow: /\n"))
+      val path = expr("CASE CAST(doc_id % 4 AS INT) " +
+        "WHEN 0 THEN concat('/private', doc_id, '/secret.html') " +
+        "WHEN 1 THEN concat('/private', doc_id, '/ok/page') " +
+        "WHEN 2 THEN concat('/data', doc_id, '.bin') " +
+        "ELSE concat('/public/', doc_id) END")
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.pipeline.Robots.allowed(txt, lit("GraftBot"), path)
+          .as("allowed"),
+        // an unlisted crawler falls to the * group's Disallow: /
+        graft.pipeline.Robots.allowed(txt, lit("strangerbot"), path)
+          .as("allowed_other"))
+    }),
     // PageRank-ish authority weighting over the URL graph (the step
     // after outlink extraction): simplified PageRank, 8 fixed
     // iterations, damping 85/100, EXACT fixed-point arithmetic so the
@@ -5138,6 +5162,17 @@ object SparkEntry {
     "warc_links" -> warcLinksOracle,
     "warc_links_resolved" -> warcLinksResolvedOracle,
     "warc_link_domains" -> warcLinkDomainsOracle,
+    // verdicts by path arm: the private dir (disallowed), its allowed
+    // /ok subtree (longer Allow wins), the $-anchored *.bin rule, and an
+    // unmatched public path; the * group disallows everything for the
+    // unlisted crawler
+    "curate_robots" ->
+      """SELECT doc_id,
+         CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN false WHEN 1 THEN true
+           WHEN 2 THEN false ELSE true END AS allowed,
+         false AS allowed_other
+         FROM documents""",
     // the oracle is GENERATED from the same constants and unrolls the
     // same fixed-point iteration loop — it cannot drift from the operator
     "graph_pagerank" -> graft.pipeline.WebGraph.pageRankOracleSql(

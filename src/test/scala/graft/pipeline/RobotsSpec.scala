@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Robots]] against RFC 9309's rules: group selection (longest
+  * product-token prefix, `*` fallback, same-token merge), rule
+  * precedence (longest pattern, tie → allow), wildcard/anchor patterns,
+  * empty-rule no-ops, and the expression/SQL layer. */
+class RobotsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val Txt =
+    """# a comment line
+      |User-agent: GraftBot-News
+      |Disallow: /news-private/
+      |
+      |User-agent: graftbot
+      |User-agent: otherbot
+      |Disallow: /private/
+      |Allow: /private/ok
+      |Disallow: *.gif$
+      |Allow: /p
+      |Disallow: /p
+      |Disallow:
+      |
+      |User-agent: *
+      |Disallow: /all/
+      |""".stripMargin
+
+  private def ok(agent: String, path: String, txt: String = Txt) =
+    Robots.isAllowedStr(txt, agent, path)
+
+  test("group selection: longest product-token prefix wins; the * group " +
+    "is ignored once a specific group matches") {
+    // GraftBot matches 'graftbot' (prefix, case-insensitive), NOT the
+    // longer 'graftbot-news' (not a prefix of this token)
+    assert(!ok("GraftBot", "/private/x"))
+    assert(ok("GraftBot", "/private/ok/y")) // longer Allow wins
+    assert(ok("GraftBot", "/all/x")) // * group not consulted
+    // the news crawler selects ONLY its most specific group
+    assert(!ok("GraftBot-News", "/news-private/x"))
+    assert(ok("GraftBot-News", "/private/x"))
+    // unknown crawler falls back to *
+    assert(!ok("randombot", "/all/x"))
+    assert(ok("randombot", "/private/x"))
+    // a listed sibling token shares the group
+    assert(!ok("OtherBot", "/private/x"))
+  }
+
+  test("rule precedence: longest pattern wins, tie goes to allow, empty " +
+    "patterns are no-ops") {
+    assert(ok("graftbot", "/p")) // Allow:/p vs Disallow:/p tie -> allow
+    assert(ok("graftbot", "/q")) // empty Disallow: is not 'disallow all'
+  }
+
+  test("patterns: * spans any run, $ anchors the end, prefix otherwise") {
+    assert(!ok("graftbot", "/img/cat.gif"))
+    assert(ok("graftbot", "/img/cat.gif?cached=1")) // $ anchor: no match
+    assert(!ok("graftbot", "/a/b/deep.gif"))
+    val t2 = "User-agent: *\nDisallow: /exact$\nDisallow: /pre*fix\n"
+    assert(!ok("any", "/exact", t2))
+    assert(ok("any", "/exactly", t2)) // anchored: only the exact path
+    assert(!ok("any", "/pre/mid/fix-and-more", t2)) // * spans, then prefix
+    assert(ok("any", "/prefi", t2)) // the 'fix' segment never completes
+  }
+
+  test("same-token groups merge; no robots.txt or no match means allowed") {
+    val merged = "User-agent: bot\nDisallow: /a/\n\n" +
+      "User-agent: bot\nDisallow: /b/\n"
+    assert(!ok("bot", "/a/x", merged) && !ok("bot", "/b/x", merged))
+    assert(ok("bot", "/c/x", merged))
+    assert(Robots.isAllowed(null, // no robots.txt served -> allow-all
+      org.apache.spark.unsafe.types.UTF8String.fromString("bot"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("/anything")))
+  }
+
+  test("expression layer: null txt allows, null agent/path null; " +
+    "DataFrame codegen and SQL registration agree") {
+    val rows = Seq(
+      (0L, Txt, "graftbot", "/private/x"),
+      (1L, null, "bot", "/x"),
+      (2L, Txt, null, "/x"),
+      (3L, Txt, "graftbot", null))
+      .toDF("id", "txt", "agent", "path")
+    val df = rows.select(col("id"),
+        Robots.allowed(col("txt"), col("agent"), col("path")).as("a"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getBoolean(1)))).toMap
+    assert(df == Map(0L -> Some(false), 1L -> Some(true), 2L -> None, 3L -> None))
+    rows.createOrReplaceTempView("robots_spec")
+    val sql = spark.sql(
+      "SELECT id, robots_allowed(txt, agent, path) AS a FROM robots_spec")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getBoolean(1)))).toMap
+    assert(sql == df)
+  }
+}
