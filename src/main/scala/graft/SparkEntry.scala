@@ -1820,6 +1820,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_links"),
           org.apache.spark.sql.functions.countDistinct(col("doc_id")).as("n_docs"))
     }),
+    // frontier canonicalization: extraction + normalization + tracking-
+    // param strip + post-strip dedup — the URL-dedup key pipeline. The
+    // fixture's arms: params surviving around stripped ones (order
+    // kept), all-params-stripped (the '?' goes too), an untouched
+    // query, and two raw links that UNIFY only after the strip. The
+    // oracle replays the identical chain with the SQL mirrors
+    "warc_frontier" -> ((s, dir) => {
+      val warcDir = httpWarcFixture(s, dir, "frontier", frontierPage)
+      s.read.format("warc").load(warcDir)
+        .select(expr("CAST(substr(record_id, 9) AS BIGINT)").as("doc_id"),
+          explode(org.apache.spark.sql.functions.array_distinct(
+            transform(
+              TextAnalysis.outlinks(graft.sources.HttpText.decode(
+                col("http_body"), col("http_content_type"))),
+              u => TextAnalysis.stripTrackingParams(u)))).as("link"))
+    }),
     // robots.txt compliance gate (RFC 9309): group selection by longest
     // product-token prefix with * fallback, longest-pattern rule
     // precedence with allow-on-tie, */$ patterns — the filter a
@@ -2941,34 +2957,74 @@ object SparkEntry {
          'https://example.com/a/' || doc_id || '/sib.html']) AS link
        FROM documents"""
 
-  // warc_links: the page rebuilt in SQL, then the SAME extraction and
-  // normalization chain replayed with DuckDB's RE2 mirrors of the
-  // Java-regex ∩ RE2 common-subset patterns
-  private val warcLinksExtractSql =
-    """WITH raw AS (SELECT doc_id,
-         '<html><body><a href="HTTP://Example.COM:80/path/' || doc_id ||
-         '?q=1#frag">x</a> <img src=''https://CDN.example.com:443/img/' ||
-         doc_id || '.png''/> <a href="https://other.example.com:8443/keep?id=' ||
-         doc_id || '#s">y</a> <a href="/relative/skip">z</a> ' ||
-         '<a href="mailto:a@b.c">m</a> <a href="HTTP://Example.COM:80/path/' ||
-         doc_id || '?q=1">dup</a> ' || text || '</body></html>' AS page
-       FROM documents),
+  // the SQL mirror of the extraction + normalization chain (outlinks):
+  // DuckDB RE2 twins of the Java-regex ∩ RE2 common-subset patterns,
+  // parameterized on the rebuilt page so every link query's oracle
+  // REPLAYS the same chain over its own fixture
+  private def linkExtractCtes(pageSql: String): String =
+    s"""WITH raw AS (SELECT doc_id, $pageSql AS page FROM documents),
        ex AS (SELECT doc_id, list_distinct(list_transform(
            list_filter(
              regexp_extract_all(page,
-               '(?i)\b(?:href|src)\s*=\s*["'']([^"'']+)["'']', 1),
+               '(?i)\\b(?:href|src)\\s*=\\s*["'']([^"'']+)["'']', 1),
              u -> regexp_matches(u, '(?i)^https?://')),
            u -> regexp_replace(regexp_replace(
              lower(regexp_extract(split_part(u, '#', 1),
                '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1)) ||
              regexp_replace(split_part(u, '#', 1),
                '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', ''),
-             '^(http://[^/:?]*):80($|[/?])', '\1\2'),
-             '^(https://[^/:?]*):443($|[/?])', '\1\2'))) AS links
+             '^(http://[^/:?]*):80($$|[/?])', '\\1\\2'),
+             '^(https://[^/:?]*):443($$|[/?])', '\\1\\2'))) AS links
          FROM raw)"""
+
+  // warc_links: the page rebuilt in SQL, then the SAME extraction and
+  // normalization chain replayed
+  private val warcLinksExtractSql = linkExtractCtes(
+    """'<html><body><a href="HTTP://Example.COM:80/path/' || doc_id ||
+       '?q=1#frag">x</a> <img src=''https://CDN.example.com:443/img/' ||
+       doc_id || '.png''/> <a href="https://other.example.com:8443/keep?id=' ||
+       doc_id || '#s">y</a> <a href="/relative/skip">z</a> ' ||
+       '<a href="mailto:a@b.c">m</a> <a href="HTTP://Example.COM:80/path/' ||
+       doc_id || '?q=1">dup</a> ' || text || '</body></html>'""")
 
   private val warcLinksOracle = warcLinksExtractSql +
     " SELECT doc_id, unnest(links) AS link FROM ex"
+
+  /** The tracking-param page behind `warc_frontier`: params surviving
+    * around stripped ones, an all-stripped query, an untouched query,
+    * and two links that unify only post-strip. Absolute links, so the
+    * oracle replays the WHOLE chain. */
+  private def frontierPage: org.apache.spark.sql.Column = concat(
+    lit("<html><a href=\"https://Example.COM/track"), col("doc_id"),
+    lit(".html?utm_source=x&id="), col("doc_id"),
+    lit("&fbclid=z\">a</a> <a href=\"https://example.com/all"), col("doc_id"),
+    lit(".html?utm_campaign=c&gclid=g\">b</a> " +
+      "<a href=\"https://example.com/keep.html?a=1&b="), col("doc_id"),
+    lit("\">c</a> <a href=\"https://example.com/track"), col("doc_id"),
+    lit(".html?id="), col("doc_id"),
+    lit("&utm_medium=m\">d</a> <a href=\"/rel\">r</a> "),
+    col("text"), lit("</html>"))
+
+  // warc_frontier: the same extraction chain, then the strip replayed
+  // with DuckDB list functions (filter params, keep order, drop the '?'
+  // when nothing survives), then the post-strip dedup
+  private val warcFrontierOracle = linkExtractCtes(
+    """'<html><a href="https://Example.COM/track' || doc_id ||
+       '.html?utm_source=x&id=' || doc_id ||
+       '&fbclid=z">a</a> <a href="https://example.com/all' || doc_id ||
+       '.html?utm_campaign=c&gclid=g">b</a> <a href="https://example.com/keep.html?a=1&b=' ||
+       doc_id || '">c</a> <a href="https://example.com/track' || doc_id ||
+       '.html?id=' || doc_id ||
+       '&utm_medium=m">d</a> <a href="/rel">r</a> ' || text || '</html>'""") +
+    """, st AS (SELECT doc_id, list_distinct(list_transform(links, u ->
+         CASE WHEN strpos(u, '?') = 0 THEN u
+              WHEN len(list_filter(string_split(substr(u, strpos(u, '?') + 1), '&'),
+                     p -> NOT regexp_matches(p, '(?i)^(utm_[a-z0-9_]*|gclid|fbclid|msclkid)='))) > 0
+                THEN split_part(u, '?', 1) || '?' ||
+                  array_to_string(list_filter(string_split(substr(u, strpos(u, '?') + 1), '&'),
+                    p -> NOT regexp_matches(p, '(?i)^(utm_[a-z0-9_]*|gclid|fbclid|msclkid)=')), '&')
+              ELSE split_part(u, '?', 1) END)) AS links FROM ex)
+       SELECT doc_id, unnest(links) AS link FROM st"""
 
   private val warcLinkDomainsOracle = warcLinksExtractSql +
     """, l AS (SELECT doc_id, unnest(links) AS link FROM ex)
@@ -5160,6 +5216,7 @@ object SparkEntry {
     // outlink extraction + the domain rollup: the oracle replays the
     // same extraction/normalization regex chain over the rebuilt page
     "warc_links" -> warcLinksOracle,
+    "warc_frontier" -> warcFrontierOracle,
     "warc_links_resolved" -> warcLinksResolvedOracle,
     "warc_link_domains" -> warcLinkDomainsOracle,
     // verdicts by path arm: the private dir (disallowed), its allowed

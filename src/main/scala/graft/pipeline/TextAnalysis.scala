@@ -942,6 +942,25 @@ object TextAnalysis {
         u => u.isNotNull && u.rlike("(?i)^https?://")),
       u => normalizeUrl(u)))
 
+  /** Tracking-parameter strip for URL canonicalization: drops the
+    * analytics params that make one page look like many
+    * (`utm_*`, `gclid`, `fbclid`, `msclkid` — the standard
+    * cross-pipeline blocklist), preserving the order of everything
+    * else and the `?` only while params remain. Run AFTER
+    * [[normalizeUrl]] (fragment already gone); pure codegen
+    * split/filter/join in the Java-regex ∩ RE2 common subset. URL
+    * dedup and frontier keys collapse once these are gone. */
+  def stripTrackingParams(url: Column): Column = {
+    val base = substring_index(url, "?", 1)
+    val query = url.substr(length(base) + 2, length(url))
+    val kept = filter(split(query, "&"),
+      p => !p.rlike("(?i)^(utm_[a-z0-9_]*|gclid|fbclid|msclkid)="))
+    when(!url.contains("?"), url)
+      .otherwise(when(size(kept) > 0,
+        concat(base, lit("?"), array_join(kept, "&")))
+        .otherwise(base))
+  }
+
   /** URL normalization for link-graph keys: scheme and authority
     * lowercase (case-insensitive per RFC 3986), default port strip
     * (`:80` http, `:443` https), fragment drop (never sent to the

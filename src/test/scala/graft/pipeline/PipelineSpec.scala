@@ -752,6 +752,27 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       s"got $bare")
   }
 
+  test("stripTrackingParams: blocklist params drop, order and '?' " +
+    "semantics hold") {
+    val d = Seq(
+      "https://x.com/p?utm_source=a&id=7&fbclid=b",  // survivors keep order
+      "https://x.com/p?utm_campaign=c&gclid=g",      // all stripped: no '?'
+      "https://x.com/p?a=1&b=2",                     // untouched
+      "https://x.com/p",                             // no query at all
+      "https://x.com/p?UTM_Source=a&x=1",            // case-insensitive
+      "https://x.com/p?utmost=keep&gclid=g")         // utm_ prefix only
+      .toDF("u")
+    val out = d.select(TextAnalysis.stripTrackingParams($"u")).as[String]
+      .collect().toSeq
+    assert(out == Seq(
+      "https://x.com/p?id=7",
+      "https://x.com/p",
+      "https://x.com/p?a=1&b=2",
+      "https://x.com/p",
+      "https://x.com/p?x=1",
+      "https://x.com/p?utmost=keep"), s"got $out")
+  }
+
   test("bm25TopK against hand-computed scores") {
     val corpus = Seq(
       (1L, "cat dog cat"),        // tf(cat)=2, dl=3
