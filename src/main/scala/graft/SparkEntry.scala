@@ -1845,7 +1845,9 @@ object SparkEntry {
     // (expected verdicts reconstructed from doc_id)
     "curate_robots" -> ((s, dir) => {
       val txt = concat(
-        lit("User-agent: graftbot\nDisallow: /private"), col("doc_id"),
+        lit("Sitemap: https://example.com/sm"), col("doc_id"),
+        lit(".xml\nUser-agent: graftbot\nCrawl-delay: 2.5\nDisallow: /private"),
+        col("doc_id"),
         lit("/\nAllow: /private"), col("doc_id"),
         lit("/ok\nDisallow: *.bin$\n\nUser-agent: *\nDisallow: /\n"))
       val path = expr("CASE CAST(doc_id % 4 AS INT) " +
@@ -1858,7 +1860,16 @@ object SparkEntry {
           .as("allowed"),
         // an unlisted crawler falls to the * group's Disallow: /
         graft.pipeline.Robots.allowed(txt, lit("strangerbot"), path)
-          .as("allowed_other"))
+          .as("allowed_other"),
+        // group-scoped crawl-delay; the * group declares none -> -1
+        // sentinel (the oracle compare treats NaN != NaN, nulls avoided)
+        coalesce(graft.pipeline.Robots.crawlDelay(txt, lit("GraftBot")),
+          lit(-1.0)).as("delay"),
+        coalesce(graft.pipeline.Robots.crawlDelay(txt, lit("strangerbot")),
+          lit(-1.0)).as("delay_other"),
+        // file-wide sitemap list (not group-scoped per spec)
+        org.apache.spark.sql.functions.element_at(
+          graft.pipeline.Robots.sitemaps(txt), 1).as("sitemap"))
     }),
     // PageRank-ish authority weighting over the URL graph (the step
     // after outlink extraction): simplified PageRank, 8 fixed
@@ -5228,7 +5239,10 @@ object SparkEntry {
          CASE CAST(doc_id % 4 AS INTEGER)
            WHEN 0 THEN false WHEN 1 THEN true
            WHEN 2 THEN false ELSE true END AS allowed,
-         false AS allowed_other
+         false AS allowed_other,
+         CAST(2.5 AS DOUBLE) AS delay,
+         CAST(-1.0 AS DOUBLE) AS delay_other,
+         'https://example.com/sm' || doc_id || '.xml' AS sitemap
          FROM documents""",
     // the oracle is GENERATED from the same constants and unrolls the
     // same fixed-point iteration loop — it cannot drift from the operator

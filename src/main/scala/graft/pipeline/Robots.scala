@@ -47,8 +47,41 @@ object Robots {
       GraftSql.expression(agent), GraftSql.expression(path)))
 
   private[graft] def sqlBuilders: Seq[(String, Seq[Expression] => Expression)] =
-    Seq("robots_allowed" ->
-      (exprs => RobotsAllowed(exprs(0), exprs(1), exprs(2))))
+    Seq(
+      "robots_allowed" ->
+        (exprs => RobotsAllowed(exprs(0), exprs(1), exprs(2))),
+      "robots_crawl_delay" ->
+        (exprs => RobotsCrawlDelay(exprs(0), exprs(1))))
+
+  /** `Sitemap:` URLs of the robots.txt, in file order (RFC 9309 §2.3 —
+    * sitemaps are NOT group-scoped; they apply file-wide). Pure Column
+    * chain (no kernel needed): line split, case-insensitive key match,
+    * value trim. */
+  def sitemaps(robotsTxt: Column): Column = {
+    import org.apache.spark.sql.functions._
+    transform(
+      filter(split(robotsTxt, "\r?\n"),
+        l => l.rlike("(?i)^\\s*sitemap\\s*:")),
+      l => trim(regexp_replace(l, "(?i)^\\s*sitemap\\s*:", "")))
+  }
+
+  /** The selected group's `Crawl-delay` seconds for `agent` (a de-facto
+    * extension outside RFC 9309, honored by most large crawlers), null
+    * when the group declares none or the value is not a number. Group
+    * selection is the same longest-prefix/`*` rule as [[allowed]]. */
+  def crawlDelay(robotsTxt: Column, agent: Column): Column =
+    GraftSql.column(RobotsCrawlDelay(
+      GraftSql.expression(robotsTxt), GraftSql.expression(agent)))
+
+  /** Kernel for [[crawlDelay]]: first parseable crawl-delay of the
+    * selected group(s); null boxed as java.lang.Double for the
+    * expression layer. */
+  def crawlDelayKernel(txt: UTF8String, agent: UTF8String): java.lang.Double = {
+    if (txt == null) return null
+    val delays = selectGroups(parseGroups(txt.toString), agent.toString)
+      .flatMap(_.delays)
+    if (delays.isEmpty) null else java.lang.Double.valueOf(delays.head)
+  }
 
   /** Codegen entry (static forwarder). `txt` may be null (allow-all). */
   def isAllowed(txt: UTF8String, agent: UTF8String, path: UTF8String): Boolean = {
@@ -76,16 +109,16 @@ object Robots {
     bestAllow
   }
 
-  /** The combined (pattern, isAllow) rules of the group(s) selected for
-    * `agent`: longest-prefix product-token match, `*` fallback. */
-  private[pipeline] def rulesFor(txt: String,
-                                 agent: String): Array[(String, Boolean)] = {
-    val agentLc = agent.toLowerCase
-    // one pass: collect (uaValuesOfGroup, rules) per group
-    val groups = scala.collection.mutable.ArrayBuffer
-      .empty[(List[String], scala.collection.mutable.ArrayBuffer[(String, Boolean)])]
-    var currentUas: List[String] = Nil
-    var currentRules: scala.collection.mutable.ArrayBuffer[(String, Boolean)] = null
+  /** One parsed group: its user-agent values (lowercased), its
+    * allow/disallow rules in order, its crawl-delays in order. */
+  private final class Group(var uas: List[String]) {
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+    val delays = scala.collection.mutable.ArrayBuffer.empty[Double]
+  }
+
+  private def parseGroups(txt: String): Seq[Group] = {
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
+    var current: Group = null
     var collectingUas = false
     txt.split("\r?\n", -1).foreach { raw =>
       val noComment = { val h = raw.indexOf('#'); if (h >= 0) raw.substring(0, h) else raw }
@@ -97,42 +130,51 @@ object Robots {
         key match {
           case "user-agent" =>
             if (!collectingUas) { // a new group starts
-              currentUas = Nil
-              currentRules = scala.collection.mutable.ArrayBuffer.empty
-              groups += ((Nil, currentRules)) // uas patched when the run ends
+              current = new Group(Nil)
+              groups += current
               collectingUas = true
             }
-            currentUas = value.toLowerCase :: currentUas
-            groups(groups.length - 1) = ((currentUas, currentRules))
-          case "allow" | "disallow" if currentRules != null =>
+            current.uas = value.toLowerCase :: current.uas
+          case "allow" | "disallow" if current != null =>
             collectingUas = false
-            currentRules += ((value, key == "allow"))
+            current.rules += ((value, key == "allow"))
+          case "crawl-delay" if current != null =>
+            collectingUas = false
+            try current.delays += value.toDouble
+            catch { case _: NumberFormatException => () } // unparseable: skip
           case _ =>
-            // Sitemap/Crawl-delay/unknown: skipped, and per spec they do
-            // NOT end the user-agent line run of a group being opened
+            // Sitemap/unknown: skipped, and per spec they do NOT end the
+            // user-agent line run of a group being opened
             ()
         }
       }
     }
-    // longest product-token prefix wins; '*' only if nothing matches
-    var bestSpecificity = -1
-    groups.foreach { case (uas, _) =>
-      uas.foreach { ua =>
-        if (ua != "*" && agentLc.startsWith(ua) && ua.length > bestSpecificity)
-          bestSpecificity = ua.length
-      }
-    }
-    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
-    groups.foreach { case (uas, rules) =>
-      val selected =
-        if (bestSpecificity >= 0)
-          uas.exists(ua => ua != "*" && ua.length == bestSpecificity &&
-            agentLc.startsWith(ua))
-        else uas.contains("*")
-      if (selected) out ++= rules
-    }
-    out.toArray
+    groups.toSeq
   }
+
+  /** Longest product-token prefix wins; `*` groups only if nothing
+    * matches (RFC 9309 §2.2.1); all groups with the winning token
+    * combine (§2.2.2). */
+  private def selectGroups(groups: Seq[Group], agent: String): Seq[Group] = {
+    val agentLc = agent.toLowerCase
+    var bestSpecificity = -1
+    groups.foreach(_.uas.foreach { ua =>
+      if (ua != "*" && agentLc.startsWith(ua) && ua.length > bestSpecificity)
+        bestSpecificity = ua.length
+    })
+    groups.filter { g =>
+      if (bestSpecificity >= 0)
+        g.uas.exists(ua => ua != "*" && ua.length == bestSpecificity &&
+          agentLc.startsWith(ua))
+      else g.uas.contains("*")
+    }
+  }
+
+  /** The combined (pattern, isAllow) rules of the group(s) selected for
+    * `agent`. */
+  private[pipeline] def rulesFor(txt: String,
+                                 agent: String): Array[(String, Boolean)] =
+    selectGroups(parseGroups(txt), agent).flatMap(_.rules).toArray
 
   /** §2.2.3 path pattern: ordered `*`-separated segments, first anchored
     * at the path start, optional trailing `$` end anchor. */
@@ -153,6 +195,55 @@ object Robots {
     }
     if (anchored) pos == path.length else true
   }
+}
+
+/** `robots_crawl_delay(txt STRING, agent STRING) -> DOUBLE` — see
+  * [[Robots.crawlDelay]]. Null when no delay is declared for the
+  * selected group, when the txt is null, or when the agent is null. */
+case class RobotsCrawlDelay(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType.isInstanceOf[StringType] &&
+      right.dataType.isInstanceOf[StringType])
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string) arguments")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "robots_crawl_delay"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val agent = right.eval(input)
+    if (agent == null) null
+    else Robots.crawlDelayKernel(left.eval(input).asInstanceOf[UTF8String],
+      agent.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val txtGen = left.genCode(ctx)
+    val agentGen = right.genCode(ctx)
+    val boxed = ctx.freshName("delay")
+    ev.copy(code = code"""
+      ${agentGen.code}
+      boolean ${ev.isNull} = ${agentGen.isNull};
+      double ${ev.value} = -1.0;
+      if (!${ev.isNull}) {
+        ${txtGen.code}
+        java.lang.Double $boxed = graft.pipeline.Robots.crawlDelayKernel(
+          ${txtGen.isNull} ? null : ${txtGen.value}, ${agentGen.value});
+        ${ev.isNull} = $boxed == null;
+        if (!${ev.isNull}) { ${ev.value} = $boxed.doubleValue(); }
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `robots_allowed(txt STRING, agent STRING, path STRING) -> BOOLEAN` —

@@ -76,6 +76,23 @@ class RobotsSpec extends AnyFunSuite with SparkSpec {
       org.apache.spark.unsafe.types.UTF8String.fromString("/anything")))
   }
 
+  test("sitemaps are file-wide; crawl-delay is group-scoped with " +
+    "longest-prefix selection, unparseable values skipped") {
+    val t = "Sitemap: https://a/s1.xml\nUser-agent: graftbot\n" +
+      "Crawl-delay: 2.5\nDisallow: /x\nSitemap: https://a/s2.xml\n\n" +
+      "User-agent: *\nCrawl-delay: oops\nDisallow: /y\n"
+    val row = Seq(t).toDF("txt").select(
+      Robots.sitemaps(col("txt")).as("sm"),
+      Robots.crawlDelay(col("txt"), lit("GraftBot-Images")).as("d1"),
+      Robots.crawlDelay(col("txt"), lit("randombot")).as("d2"),
+      Robots.crawlDelay(lit(null).cast("string"), lit("x")).as("d3"))
+      .collect().head
+    assert(row.getSeq[String](0) == Seq("https://a/s1.xml", "https://a/s2.xml"))
+    assert(row.getDouble(1) == 2.5) // prefix-selected graftbot group
+    assert(row.isNullAt(2)) // * group's delay is unparseable -> none
+    assert(row.isNullAt(3)) // no robots.txt -> no delay
+  }
+
   test("expression layer: null txt allows, null agent/path null; " +
     "DataFrame codegen and SQL registration agree") {
     val rows = Seq(
