@@ -98,6 +98,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftExtensions].getName,
         graft.plans.WinnowPairsStoredTable.Name),
       graft.plans.WinnowPairsStoredTable.build))
+    // URL-graph authority weighting:
+    // SELECT * FROM pagerank('edges','src','dst','iterations',8)
+    ext.injectTableFunction((
+      FunctionIdentifier(graft.plans.PageRankTable.Name),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        graft.plans.PageRankTable.Name),
+      graft.plans.PageRankTable.build))
   }
 }
 

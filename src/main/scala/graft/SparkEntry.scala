@@ -1884,6 +1884,16 @@ object SparkEntry {
           expr("doc_id % 211").as("src"),
           expr("(doc_id * 31 + 7) % 211").as("dst")),
         "src", "dst", iterations = 8)),
+    // the same walk through the pagerank TVF — pure-SQL clients share
+    // the generated oracle verbatim
+    "graph_pagerank_sql" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+          expr("doc_id % 211").as("src"),
+          expr("(doc_id * 31 + 7) % 211").as("dst"))
+        .createOrReplaceTempView("pagerank_edges_sql")
+      s.sql(
+        "SELECT * FROM pagerank('pagerank_edges_sql','src','dst','iterations',8)")
+    }),
     "dedup_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val bkt = Curation.md5Bucket(col("doc_id"))
@@ -5247,6 +5257,9 @@ object SparkEntry {
     // the oracle is GENERATED from the same constants and unrolls the
     // same fixed-point iteration loop — it cannot drift from the operator
     "graph_pagerank" -> graft.pipeline.WebGraph.pageRankOracleSql(
+      "SELECT doc_id % 211 AS src, (doc_id * 31 + 7) % 211 AS dst FROM documents",
+      iterations = 8),
+    "graph_pagerank_sql" -> graft.pipeline.WebGraph.pageRankOracleSql(
       "SELECT doc_id % 211 AS src, (doc_id * 31 + 7) % 211 AS dst FROM documents",
       iterations = 8),
     // the nightly winnow check and its stored-state/TVF twins: one oracle
