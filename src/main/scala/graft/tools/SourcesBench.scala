@@ -158,6 +158,17 @@ object SourcesBench {
     require(bodyBytes == payloadBytes,
       s"http bodies $bodyBytes != payload $payloadBytes")
     emit("warc_http_split", hSec, payloadBytes)
+    // round-17: charset-sniffing text decode priced on top of the split
+    // (this corpus is ASCII under a declared charset, so the row prices
+    // the LADDER — param parse, BOM/meta checks — plus the String
+    // decode, not exotic charsets; chars==bytes pins correctness)
+    val (textChars, htSec) = timed(
+      spark.read.format("warc").load(httpDir)
+        .agg(sum(length(graft.sources.HttpText.decode(
+          col("http_body"), col("http_content_type"))))).head().getLong(0))
+    require(textChars == payloadBytes,
+      s"decoded chars $textChars != payload bytes $payloadBytes")
+    emit("warc_http_text", htSec, payloadBytes)
 
     val tfDir = java.nio.file.Files.createTempDirectory("srcb_tfr").toString
     val (_, twSec) = timed(

@@ -568,4 +568,30 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
       assert(msgs(e).exists(_.contains(frag)), s"$sql -> ${msgs(e)}")
     }
   }
+
+  test("pagerank TVF equals the Scala walk, malformed args are diagnostics") {
+    val fresh = spark.newSession()
+    import org.apache.spark.sql.functions.{col, expr}
+    fresh.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(expr("doc_id % 17").as("src"), expr("(doc_id * 5 + 3) % 17").as("dst"))
+      .createOrReplaceTempView("pr_edges")
+    val viaSql = fresh.sql(
+      "SELECT * FROM pagerank('pr_edges', 'src', 'dst', 'iterations', 3)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaScala = graft.pipeline.WebGraph.pageRank(
+        fresh.table("pr_edges"), "src", "dst", iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSql == viaScala && viaSql.nonEmpty)
+    for ((sql, frag) <- Seq(
+      ("SELECT * FROM pagerank('pr_edges', 'src')", "arguments"),
+      ("SELECT * FROM pagerank('pr_edges', 'src', 'dst', 'iterations', 0)",
+        "iterations"),
+      ("SELECT * FROM pagerank('pr_edges', 'src', 'dst', 'bogus', 1)",
+        "unknown option"),
+      ("SELECT * FROM pagerank('pr_edges', 'src', 'dst', 'scale', 2.9)",
+        "integer"))) {
+      val e = intercept[Exception] { fresh.sql(sql).collect() }
+      assert(msgs(e).exists(_.contains(frag)), s"$sql -> ${msgs(e)}")
+    }
+  }
 }
