@@ -346,6 +346,17 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
       s"warc_to_text scan must read the http body, never the raw payload:\n$plan")
   }
 
+  test("source_warc_http_text: the charset decode is one pruned scan + " +
+    "projection, zero exchanges (the 100 TB extraction shape)") {
+    val plan = graft.SparkEntry.queries("source_warc_http_text")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"http_text must stay a scan-side projection:\n$plan")
+    val cols = warcScanCols(plan)
+    assert(cols == Set("record_id", "http_content_type", "http_body"),
+      s"charset decode scan not pruned to its three columns:\n$plan")
+  }
+
   test("warc_links: extraction is scan -> project -> explode, zero " +
     "exchanges; the domain rollup's only exchange is its aggregation") {
     val plan = graft.SparkEntry.queries("warc_links")(spark, dir)
