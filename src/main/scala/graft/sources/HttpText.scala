@@ -77,8 +77,14 @@ object HttpText {
       """<meta[^>]{0,200}?charset\s*=\s*["']?\s*([A-Za-z0-9._:\-]+)""",
       java.util.regex.Pattern.CASE_INSENSITIVE)
 
-  /** windows-1252 decodes any byte and supersets latin-1; resolved once. */
-  private val Cp1252: Charset = Charset.forName("windows-1252")
+  /** windows-1252 decodes any byte and supersets latin-1; resolved once.
+    * Guarded: cp1252 ships with every full JDK but is not among the six
+    * charsets java.base GUARANTEES — a trimmed runtime without it must
+    * degrade to true latin-1, not fail this object's initializer (which
+    * would poison every http_text call). */
+  private val Cp1252: Charset =
+    if (Charset.isSupported("windows-1252")) Charset.forName("windows-1252")
+    else StandardCharsets.ISO_8859_1
 
   /** Charset-name resolution: latin-1 family → windows-1252 (browser
     * behavior — the 0x80-0x9f range is cp1252 in the wild), anything
