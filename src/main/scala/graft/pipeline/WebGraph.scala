@@ -61,6 +61,7 @@ object WebGraph {
     // exact integer order pinned for the oracle: (scale*15/100)/n
     val base = scale * 15 / 100 / n
     var ranks = nodes.select(col("node"), lit(scale / n).as("rank"))
+    var prev: org.apache.spark.sql.DataFrame = null
     var i = 0
     while (i < iterations) {
       val contribs = eDeg.join(ranks, eDeg("src") === ranks("node"))
@@ -72,6 +73,11 @@ object WebGraph {
             s"$base + (85 * coalesce(cin, CAST(0 AS BIGINT))) div 100")
             .cast("long").as("rank")),
         graft.util.CheckpointStrategy.Local)
+      // iteration i's ranks feed ONLY iteration i+1, which has now
+      // materialized — release eagerly instead of retaining all K
+      // node-sized intermediates for the scope/app lifetime
+      if (prev != null) graft.util.Materialize.release(prev)
+      prev = ranks
       i += 1
     }
     ranks

@@ -348,7 +348,19 @@ private[sources] class WarcMicroBatchStream(path: String, required: StructType,
       val n = new Path(f).getName
       if (wm.isEmpty || n > wm) pendingSeen.add(n)
       else if (!pendingSeen.contains(n) && mtime > startedAtMs) {
-        val coveredAt = commitLog.synchronized { commitLog.find(_._1 >= n) }
+        // binary search (entries ascend by watermark): an accumulating
+        // landing dir re-lists every processed file every trigger, so
+        // this lookup runs listing-size times per trigger — a linear
+        // scan over the ring would be O(listing x ring) per trigger
+        val coveredAt = commitLog.synchronized {
+          var lo = 0
+          var hi = commitLog.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (commitLog(mid)._1 >= n) hi = mid else lo = mid + 1
+          }
+          if (lo < commitLog.length) Some(commitLog(lo)) else None
+        }
         if (coveredAt.exists(mtime > _._2) &&
           warnedNames.synchronized(warnedNames.add(n)))
           log.warn(s"[graft.warc] landing file $n sorts at/below the " +
