@@ -3,17 +3,22 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.util.{CheckpointStrategy, Materialize}
+
 /** URL-graph weighting for crawl curation — the step after
   * [[TextAnalysis.outlinks]]: given the extracted link edges, rank
   * domains/pages by PageRank so the curation pipeline can weight (or
   * cut) by authority. This is the simplified PageRank (the public
   * formulation every Spark tutorial and the original paper's power
   * iteration use): fixed iteration count, damping 0.85, dangling-node
-  * mass DROPPED rather than redistributed (documented choice — at
-  * crawl scale the dangling set is huge and redistribution costs an
-  * extra global aggregate per iteration for a constant shift that
-  * rarely changes curation decisions; callers who need the conserved
-  * variant can add the dangling sum back per iteration).
+  * mass DROPPED by default rather than redistributed (at crawl scale
+  * the dangling set is huge and redistribution costs an extra global
+  * aggregate per iteration for a constant shift that rarely changes
+  * curation decisions). `danglingRedistribute = true` buys the
+  * conserved variant — each iteration adds the dangling nodes' per-node
+  * mass share back before damping, at the priced cost of one extra
+  * keyed aggregate per iteration — for callers comparing rank
+  * magnitudes ACROSS graphs with different dangling fractions.
   *
   * EXACT integer arithmetic: ranks live on a fixed-point grid
   * (`scale` = total initial mass, default 1e12), per-edge
@@ -26,74 +31,122 @@ import org.apache.spark.sql.functions._
   * Scale shape: the edge frame materializes once with its out-degrees
   * attached; each iteration is ONE keyed shuffle join (edges ⋈ ranks
   * on src) + ONE keyed aggregation (contributions by dst) + a left
-  * join back to the node set, with ranks localCheckpointed per
-  * iteration (flat lineage, AQE-sized shuffles). At the 100 TB tier,
-  * bucket the edge table by `src` ([[graft.util.BucketedTables]]) and
-  * the per-iteration join stops shuffling the edge side entirely.
+  * join back to the node set, with ranks barrier'd per iteration
+  * (flat lineage, AQE-sized shuffles) under the caller's
+  * [[graft.util.CheckpointStrategy]] — `Local` (default) for
+  * single-job speed, `Reliable(dir)` when a lost executor at the
+  * 100 TB tier must not recompute iterations, `Persist` to keep
+  * lineage. Intermediates release eagerly: iteration i's ranks are
+  * freed once iteration i+1 materializes, and the graph-sized inputs
+  * (edges, nodes, out-degrees) are freed after the loop — only the
+  * returned ranks frame retains storage. At the 100 TB tier, bucket
+  * the edge table by `src` ([[graft.util.BucketedTables]]) and the
+  * per-iteration join stops shuffling the edge side entirely.
   */
 object WebGraph {
 
   /** PageRank over `edges` (self-loops and duplicate edges dropped).
     * Returns `(node, rank)` — LONG fixed-point ranks summing to ≤
-    * `scale` (dangling mass decays). Damping is fixed at 85/100 so the
+    * `scale` (exactly `scale` up to truncation remainders when
+    * `danglingRedistribute` is on; decaying by the dangling fraction
+    * per iteration when off). Damping is fixed at 85/100 so the
     * integer arithmetic is unambiguous on both engines. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int = 8,
-               scale: Long = 1000000000000L): DataFrame = {
+               scale: Long = 1000000000000L,
+               strategy: CheckpointStrategy = CheckpointStrategy.Local,
+               danglingRedistribute: Boolean = false): DataFrame = {
     require(iterations >= 1, s"pageRank: iterations must be >= 1, got $iterations")
-    require(scale > 0, s"pageRank: scale must be positive, got $scale")
-    val e = graft.util.Materialize(
+    // upper bound: the damping products (85 * cin, cin <= scale) and the
+    // base product (scale * 15) must stay inside Long — past it the Spark
+    // side would silently wrap while the oracle's HUGEINT intermediates
+    // would not, a divergence instead of a loud error (ADVICE r17)
+    require(scale >= 1 && scale <= Long.MaxValue / 100,
+      s"pageRank: scale must be in [1, ${Long.MaxValue / 100}] " +
+        s"(the 85x damping product must not overflow Long), got $scale")
+    val e = Materialize(
       edges.select(col(srcCol).cast("long").as("src"),
           col(dstCol).cast("long").as("dst"))
         .where(col("src") =!= col("dst")).distinct(),
-      graft.util.CheckpointStrategy.Local)
-    val nodes = graft.util.Materialize(
+      strategy)
+    val nodes = Materialize(
       e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node"))).distinct(),
-      graft.util.CheckpointStrategy.Local)
+      strategy)
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
     // out-degrees attached to the edges ONCE — the per-iteration join
     // then carries (src, dst, outdeg) against the current ranks
-    val eDeg = graft.util.Materialize(
+    val eDeg = Materialize(
       e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src"),
-      graft.util.CheckpointStrategy.Local)
+      strategy)
+    // nodes with no out-edge: their mass either decays (default) or is
+    // shared back per iteration (conserved arm)
+    val dangling = if (danglingRedistribute)
+      Materialize(nodes.join(e.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_anti"), strategy)
+    else null
     // exact integer order pinned for the oracle: (scale*15/100)/n
     val base = scale * 15 / 100 / n
     var ranks = nodes.select(col("node"), lit(scale / n).as("rank"))
     var prev: org.apache.spark.sql.DataFrame = null
     var i = 0
     while (i < iterations) {
+      // conserved arm: the dangling nodes' total mass, shared per node
+      // (truncating, same order as the oracle's `//`) — a bounded driver
+      // read of ONE long, priced as the extra per-iteration aggregate
+      val dShare = if (danglingRedistribute)
+        ranks.join(dangling, Seq("node"))
+          .agg(coalesce(sum(col("rank")), lit(0L)).as("d"))
+          .collect()(0).getLong(0) / n
+      else 0L
       val contribs = eDeg.join(ranks, eDeg("src") === ranks("node"))
         .select(eDeg("dst").as("node"), expr("rank div outdeg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("cin"))
-      ranks = graft.util.Materialize(
+      ranks = Materialize(
         nodes.join(contribs, Seq("node"), "left")
           .select(col("node"), expr(
-            s"$base + (85 * coalesce(cin, CAST(0 AS BIGINT))) div 100")
+            s"$base + (85 * (coalesce(cin, CAST(0 AS BIGINT)) + $dShare)) div 100")
             .cast("long").as("rank")),
-        graft.util.CheckpointStrategy.Local)
+        strategy)
       // iteration i's ranks feed ONLY iteration i+1, which has now
       // materialized — release eagerly instead of retaining all K
       // node-sized intermediates for the scope/app lifetime
-      if (prev != null) graft.util.Materialize.release(prev)
+      if (prev != null) Materialize.release(prev)
       prev = ranks
       i += 1
     }
+    // the returned ranks frame is itself a barrier and no longer depends
+    // on the graph-sized inputs — release them too (ADVICE r17: leaking
+    // them retained three graph-sized cached RDDs per CALL for the app
+    // lifetime, including every `SELECT * FROM pagerank(...)` statement)
+    Materialize.release(eDeg)
+    if (dangling != null) Materialize.release(dangling)
+    Materialize.release(nodes)
+    Materialize.release(e)
     ranks
   }
 
   /** The DuckDB mirror of [[pageRank]], GENERATED with the same
     * constants and the same fixed-point arithmetic order: the fixed
     * iteration loop unrolls into chained CTEs (`r0..rK`), each step the
-    * same join-aggregate-join as the Spark iteration. `edgesSql` must
-    * select `src` and `dst`. */
+    * same join-aggregate-join as the Spark iteration (plus, under
+    * `danglingRedistribute`, the same dangling-mass aggregate `d1..dK`).
+    * `edgesSql` must select `src` and `dst`. */
   def pageRankOracleSql(edgesSql: String, iterations: Int,
-                        scale: Long = 1000000000000L): String = {
+                        scale: Long = 1000000000000L,
+                        danglingRedistribute: Boolean = false): String = {
     val steps = (1 to iterations).map { i =>
-      s"""r$i AS (SELECT n.node,
+      val dCte = if (danglingRedistribute)
+        s"""d$i AS (SELECT CAST(COALESCE(SUM(rank), 0)
+           // (SELECT cnt FROM ncnt) AS BIGINT) AS ds
+           FROM r${i - 1} WHERE node NOT IN (SELECT src FROM dg)),
+           """
+      else ""
+      val dTerm = if (danglingRedistribute) s" + (SELECT ds FROM d$i)" else ""
+      s"""${dCte}r$i AS (SELECT n.node,
          CAST((SELECT ($scale * 15 // 100) // cnt FROM ncnt)
-           + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
+           + (85 * (COALESCE(c.s, 0)$dTerm)) // 100 AS BIGINT) AS rank
          FROM nodes n LEFT JOIN (
            SELECT e.dst AS node,
              CAST(SUM(p.rank // dg.outdeg) AS BIGINT) AS s

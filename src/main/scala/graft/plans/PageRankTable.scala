@@ -17,7 +17,9 @@ import graft.pipeline.WebGraph
   *     'edges_view',        -- rows carrying (src_col, dst_col)
   *     'src', 'dst'
   *     [, 'iterations', 8   -- fixed power-iteration count
-  *      , 'scale', 1000000000000])  -- fixed-point grid (total mass)
+  *      , 'scale', 1000000000000  -- fixed-point grid (total mass)
+  *      , 'checkpoint_dir', '/jobs/pr'  -- Reliable iteration barriers
+  *      , 'dangling', 'redistribute'])  -- conserved-mass variant
   * }}}
   *
   * Output is the operator's documented `(node, rank)` — LONG
@@ -33,7 +35,8 @@ object PageRankTable {
 
   private val usage =
     "pagerank('edges_table', 'src_col', 'dst_col', then optional " +
-      "('iterations', int | 'scale', long) pairs)"
+      "('iterations', int | 'scale', long | 'checkpoint_dir', string | " +
+      "'dangling', 'redistribute'|'drop') pairs)"
 
   private val A = new TvfArgs(Name, usage)
 
@@ -46,16 +49,32 @@ object PageRankTable {
     val dstCol = A.str(args(2), "dst column")
     var iterations = 8
     var scale = 1000000000000L
+    var strategy: graft.util.CheckpointStrategy =
+      graft.util.CheckpointStrategy.Local
+    var dangling = false
     A.options(args, 3) { (k, v) => k match {
       case "iterations" =>
         iterations = A.int(v, "iterations value")
         if (iterations < 1) A.bad("iterations must be >= 1", iterations)
       case "scale" =>
         scale = A.long(v, "scale value")
-        if (scale < 1) A.bad("scale must be >= 1", scale)
+        // same bound the operator enforces — fail at ANALYSIS time with
+        // the TVF's usage string instead of inside the iteration loop
+        if (scale < 1 || scale > Long.MaxValue / 100)
+          A.bad(s"scale must be in [1, ${Long.MaxValue / 100}]", scale)
+      case "checkpoint_dir" =>
+        strategy = graft.util.CheckpointStrategy.Reliable(
+          A.str(v, "checkpoint_dir value"))
+      case "dangling" =>
+        A.str(v, "dangling value") match {
+          case "redistribute" => dangling = true
+          case "drop" => dangling = false
+          case other => A.bad("dangling must be 'redistribute' or 'drop'", other)
+        }
       case other => A.bad("unknown option", other)
     }}
-    WebGraph.pageRank(edges, srcCol, dstCol, iterations, scale)
+    WebGraph.pageRank(edges, srcCol, dstCol, iterations, scale,
+        strategy, dangling)
       .queryExecution.analyzed
   }
 }

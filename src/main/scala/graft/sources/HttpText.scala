@@ -22,8 +22,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Resolution order (the WHATWG encoding-sniffing convention, which is
   * what the public WET extractors implement):
-  *   1. byte-order mark (UTF-8 / UTF-16LE/BE / UTF-32LE/BE) — decisive,
-  *      and consumed (the text never starts with a BOM);
+  *   1. byte-order mark (UTF-8 / UTF-16LE/BE; UTF-32 deliberately
+  *      excluded, matching WHATWG — its LE mark is a valid UTF-16LE
+  *      prefix) — decisive, and consumed (the text never starts with a
+  *      BOM);
   *   2. the `charset=` parameter of the transport Content-Type;
   *   3. a `<meta charset=...>` or `<meta http-equiv ... charset=...>`
   *      declaration within the first 1024 body bytes;
@@ -106,18 +108,16 @@ object HttpText {
     * string with a leading BOM. `ct` may be null. */
   def decodeKernel(body: Array[Byte], ct: UTF8String): UTF8String = {
     val n = body.length
-    // 1. BOM — decisive and consumed. UTF-32LE before UTF-16LE: the
-    // 32-bit mark FF FE 00 00 prefix-collides with the 16-bit FF FE.
+    // 1. BOM — decisive and consumed. UTF-8 and UTF-16 only: WHATWG's
+    // BOM sniff deliberately EXCLUDES UTF-32, because the 32-bit LE mark
+    // FF FE 00 00 is also a valid UTF-16LE prefix (BOM + U+0000) — a
+    // UTF-32 arm here misdecoded exactly those UTF-16LE bodies
+    // (ADVICE r17; UTF-32 on the web is effectively extinct, and a
+    // UTF-32 body without a transport charset now falls through the
+    // same lossy-replace default as any other undeclared binary).
     if (n >= 3 && body(0) == 0xef.toByte && body(1) == 0xbb.toByte &&
       body(2) == 0xbf.toByte)
       return utf8(new String(body, 3, n - 3, StandardCharsets.UTF_8))
-    if (n >= 4 && body(0) == 0xff.toByte && body(1) == 0xfe.toByte &&
-      body(2) == 0 && body(3) == 0 && Charset.isSupported("UTF-32LE"))
-      return utf8(new String(body, 4, n - 4, Charset.forName("UTF-32LE")))
-    if (n >= 4 && body(0) == 0 && body(1) == 0 &&
-      body(2) == 0xfe.toByte && body(3) == 0xff.toByte &&
-      Charset.isSupported("UTF-32BE"))
-      return utf8(new String(body, 4, n - 4, Charset.forName("UTF-32BE")))
     if (n >= 2 && body(0) == 0xff.toByte && body(1) == 0xfe.toByte)
       return utf8(new String(body, 2, n - 2, StandardCharsets.UTF_16LE))
     if (n >= 2 && body(0) == 0xfe.toByte && body(1) == 0xff.toByte)

@@ -487,7 +487,8 @@ private[sources] class WarcPartitionReader(part: WarcFilePartition,
       // byte-at-a-time decompressed reads)
       raw.seek(part.start)
       new java.io.BufferedInputStream(
-        new GzipMemberStream(raw, part.start, part.end, part.file), 1 << 16)
+        new GzipMemberStream(raw, part.start, part.end, part.file,
+          part.length), 1 << 16)
     } else {
       val buffered = new java.io.BufferedInputStream(raw, 1 << 16)
       if (part.file.endsWith(".gz"))

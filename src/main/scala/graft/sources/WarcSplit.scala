@@ -87,8 +87,14 @@ private[graft] object WarcSplit {
 private[sources] final class GzipMemberStream(raw: java.io.InputStream,
                                               startOffset: Long,
                                               endOffset: Long,
-                                              file: String)
+                                              file: String,
+                                              fileLength: Long)
   extends java.io.InputStream {
+
+  /** Legacy shape for unsplit whole-file reads: the range IS the file,
+    * so its end is the file tail. */
+  def this(raw: java.io.InputStream, startOffset: Long, endOffset: Long,
+           file: String) = this(raw, startOffset, endOffset, file, endOffset)
 
   private val inf = new java.util.zip.Inflater(true)
   private val inBuf = new Array[Byte](1 << 16)
@@ -130,9 +136,17 @@ private[sources] final class GzipMemberStream(raw: java.io.InputStream,
     // a non-gzip first byte at a member boundary is trailing non-gzip
     // content (archiver padding), which GZIPInputStream — and therefore
     // every unsplit read of the same file — treats as EOF; match that
-    // instead of failing the last range of a split read. A matching
-    // first byte with a corrupt rest stays LOUD (corruption, not padding).
-    if (m1 != 0x1f) return false
+    // instead of failing the last range of a split read. The padding
+    // rationale only holds at the FILE tail: an interior range hitting a
+    // non-gzip byte before its end offset is mid-file corruption whose
+    // silent-EOF would truncate the range's remaining records, so that
+    // path stays LOUD (ADVICE r17). A matching first byte with a corrupt
+    // rest is always loud (corruption, not padding).
+    if (m1 != 0x1f) {
+      if (endOffset >= fileLength) return false
+      bad(f"non-gzip byte $m1%02x at a member boundary inside an " +
+        "interior split range (mid-file corruption, not tail padding)")
+    }
     val m2 = readByte(); val cm = readByte(); val flg = readByte()
     if (m2 != 0x8b) bad(f"bad gzip member magic $m1%02x${math.max(m2, 0)}%02x")
     if (cm != 8) bad(s"unsupported gzip compression method $cm")

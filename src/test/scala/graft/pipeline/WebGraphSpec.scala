@@ -48,4 +48,69 @@ class WebGraphSpec extends AnyFunSuite with SparkSpec {
     val clean = Seq((1L, 2L), (2L, 1L))
     assert(ranks(withJunk, 2, 1000000L) == ranks(clean, 2, 1000000L))
   }
+
+  test("danglingRedistribute conserves total mass (up to truncation) and " +
+    "matches the hand-computed shares") {
+    // A(1) -> B(2), B dangling. n=2, scale=1000000, init=500000, base=75000
+    // iter1: D=500000, dShare=250000
+    //   A = 75000 + 85*250000/100          = 287500
+    //   B = 75000 + 85*(500000+250000)/100 = 712500   (sum = scale)
+    // iter2: D=712500, dShare=356250
+    //   A = 75000 + 85*356250/100          = 75000 + 302812 = 377812
+    //   B = 75000 + 85*(287500+356250)/100 = 75000 + 547187 = 622187
+    val r = WebGraph.pageRank(Seq((1L, 2L)).toDF("src", "dst"), "src", "dst",
+        iterations = 2, scale = 1000000L, danglingRedistribute = true)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 377812L, 2L -> 622187L), s"got $r")
+    // versus the dropped-mass arm, which decays A to its base share
+    assert(ranks(Seq((1L, 2L)), 2, 1000000L) == Map(1L -> 75000L, 2L -> 138750L))
+  }
+
+  test("scale above Long.MaxValue/100 is rejected loudly (overflow guard)") {
+    val e = intercept[IllegalArgumentException] {
+      WebGraph.pageRank(Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"),
+        "src", "dst", iterations = 1, scale = Long.MaxValue / 100 + 1)
+    }
+    assert(e.getMessage.contains("scale"), e.getMessage)
+  }
+
+  test("CheckpointStrategy threads through: Reliable leaves ONLY the final " +
+    "ranks' checkpoint files under the caller's dir, same values as Local") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pr_ckpt").toFile
+    try {
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+      val rel = WebGraph.pageRank(edges, "src", "dst", iterations = 3,
+          scale = 1000000L,
+          strategy = graft.util.CheckpointStrategy.Reliable(dir.getAbsolutePath))
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      val loc = ranks(Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)), 3, 1000000L)
+      assert(rel == loc, s"Reliable $rel != Local $loc")
+      // e/nodes/eDeg and every superseded iteration released their files;
+      // only the returned ranks frame still owns a checkpoint
+      def rddDirs(f: java.io.File): Seq[java.io.File] =
+        if (f.getName.startsWith("rdd-")) Seq(f)
+        else Option(f.listFiles()).toSeq.flatten.flatMap(rddDirs)
+      val left = rddDirs(dir)
+      assert(left.size == 1,
+        s"expected exactly the final ranks' rdd dir, got: $left")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
+  test("no graph-sized intermediates are retained after the call " +
+    "(ADVICE r17: e/nodes/eDeg released, only the result holds blocks)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = WebGraph.pageRank(
+      Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst"),
+      "src", "dst", iterations = 4, scale = 1000000L)
+    val added = sc.getPersistentRDDs.keySet -- before
+    assert(added.size == 1,
+      s"pageRank must retain exactly the returned ranks' blocks, got $added")
+    graft.util.Materialize.release(out)
+  }
 }

@@ -280,6 +280,15 @@ class HttpWarcSpec extends AnyFunSuite with SparkSpec {
     assert(dec(utf16be, null) == "déjà")
   }
 
+  test("http_text: UTF-16LE content starting with U+0000 decodes as " +
+    "UTF-16LE — the sniff has no UTF-32 arm to steal the FF FE prefix " +
+    "(WHATWG convention, ADVICE r17)") {
+    // bytes: FF FE (BOM) 00 00 (U+0000) 61 00 ('a') — a UTF-32LE sniff
+    // would read FF FE 00 00 as its BOM and decode garbage
+    val b = Array[Byte](0xff.toByte, 0xfe.toByte, 0, 0, 0x61, 0)
+    assert(dec(b, null) == "\u0000a")
+  }
+
   test("http_text: <meta charset> prescan decides when the header is " +
     "silent — but only within the first 1024 bytes") {
     val near = ("<head><meta charset='windows-1252'></head>é body")

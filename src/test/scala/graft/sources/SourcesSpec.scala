@@ -498,6 +498,32 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(unsplit.count() == 200)
   }
 
+  test("warc gz split: non-gzip bytes at a member boundary are silent EOF " +
+    "only at the FILE tail — an interior range fails loudly (ADVICE r17)") {
+    def member(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("UTF-8")); g.close()
+      bos.toByteArray
+    }
+    val m1 = member("WARC/1.0 first")
+    val bytes = m1 ++ new Array[Byte](64) ++ member("WARC/1.0 second")
+    def readAll(endOffset: Long, fileLength: Long): String = {
+      val ms = new GzipMemberStream(
+        new java.io.ByteArrayInputStream(bytes), 0L, endOffset, "mem",
+        fileLength)
+      try new String(ms.readAllBytes(), "UTF-8") finally ms.close()
+    }
+    // tail range (end == file length): padding-as-EOF, first member only
+    assert(readAll(m1.length + 64, m1.length + 64) == "WARC/1.0 first")
+    // interior range (the file continues past endOffset): the same bytes
+    // are mid-file corruption and must not silently truncate the range
+    val e = intercept[java.io.IOException] {
+      readAll(m1.length + 64, bytes.length.toLong + 4096)
+    }
+    assert(e.getMessage.contains("interior"), e.getMessage)
+  }
+
   test("warc gz split: GzipMemberStream honors the len=0 InputStream " +
     "contract") {
     val dir = tmp("warc_len0")
