@@ -2938,8 +2938,10 @@ object SparkEntry {
   /** The link-bearing page behind `warc_links` — each doc carries three
     * normalizable absolute links (uppercase scheme+host with :80, a :443
     * CDN link, a kept non-default :8443 port), one duplicate that only
-    * the fragment drop unifies, and relative/mailto links the filter
-    * must skip. */
+    * the fragment drop unifies, relative/mailto links the filter must
+    * skip, and (r17 item 2) legacy UNQUOTED attribute arms: an absolute
+    * `href=URL` that must extract and normalize, and an unquoted
+    * relative the filter must skip. */
   private def linksPage: org.apache.spark.sql.Column = concat(
     lit("<html><body><a href=\"HTTP://Example.COM:80/path/"), col("doc_id"),
     lit("?q=1#frag\">x</a> <img src='https://CDN.example.com:443/img/"),
@@ -2948,7 +2950,10 @@ object SparkEntry {
     col("doc_id"),
     lit("#s\">y</a> <a href=\"/relative/skip\">z</a> " +
       "<a href=\"mailto:a@b.c\">m</a> <a href=\"HTTP://Example.COM:80/path/"),
-    col("doc_id"), lit("?q=1\">dup</a> "), col("text"), lit("</body></html>"))
+    col("doc_id"),
+    lit("?q=1\">dup</a> <a href=HTTP://Example.COM:80/unq/"), col("doc_id"),
+    lit("?u=1>uq</a> <a href=/rel/unq>ru</a> "),
+    col("text"), lit("</body></html>"))
 
   /** The relative-link page behind `warc_links_resolved`: sibling,
     * parent, rooted, query-only, protocol-relative and dot-segment
@@ -2961,7 +2966,8 @@ object SparkEntry {
     lit("\">r</a> <a href=\"?q=2\">q</a> <img src='//cdn.example.com/c"),
     col("doc_id"),
     lit(".js'/> <a href=\"./x/.././sib.html\">s</a> " +
-      "<a href=\"mailto:a@b.c\">m</a> "),
+      "<a href=\"mailto:a@b.c\">m</a> <a href=unq"),
+    col("doc_id"), lit(".html>u2</a> "),
     col("text"), lit("</html>"))
 
   // warc_links_resolved: expected resolutions reconstructed from doc_id
@@ -2975,7 +2981,8 @@ object SparkEntry {
          'https://example.com/rooted?x=' || doc_id,
          'https://example.com/a/' || doc_id || '/page.html?q=2',
          'https://cdn.example.com/c' || doc_id || '.js',
-         'https://example.com/a/' || doc_id || '/sib.html']) AS link
+         'https://example.com/a/' || doc_id || '/sib.html',
+         'https://example.com/a/' || doc_id || '/unq' || doc_id || '.html']) AS link
        FROM documents"""
 
   // the SQL mirror of the extraction + normalization chain (outlinks):
@@ -2987,7 +2994,9 @@ object SparkEntry {
        ex AS (SELECT doc_id, list_distinct(list_transform(
            list_filter(
              regexp_extract_all(page,
-               '(?i)\\b(?:href|src)\\s*=\\s*["'']([^"'']+)["'']', 1),
+               '(?i)\\b(?:href|src)\\s*=\\s*["'']([^"'']+)["'']', 1) ||
+             regexp_extract_all(page,
+               '(?i)\\b(?:href|src)\\s*=\\s*([^\\s"''<>`]+)', 1),
              u -> regexp_matches(u, '(?i)^https?://')),
            u -> regexp_replace(regexp_replace(
              lower(regexp_extract(split_part(u, '#', 1),
@@ -3006,7 +3015,9 @@ object SparkEntry {
        doc_id || '.png''/> <a href="https://other.example.com:8443/keep?id=' ||
        doc_id || '#s">y</a> <a href="/relative/skip">z</a> ' ||
        '<a href="mailto:a@b.c">m</a> <a href="HTTP://Example.COM:80/path/' ||
-       doc_id || '?q=1">dup</a> ' || text || '</body></html>'""")
+       doc_id || '?q=1">dup</a> <a href=HTTP://Example.COM:80/unq/' ||
+       doc_id || '?u=1>uq</a> <a href=/rel/unq>ru</a> ' ||
+       text || '</body></html>'""")
 
   private val warcLinksOracle = warcLinksExtractSql +
     " SELECT doc_id, unnest(links) AS link FROM ex"

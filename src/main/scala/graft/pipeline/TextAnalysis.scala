@@ -907,37 +907,50 @@ object TextAnalysis {
     trim(regexp_replace(amp, "\\s+", " "))
   }
 
+  /** Raw `href`/`src` attribute values, quoted or unquoted, in document
+    * order (quoted matches first, then unquoted — the split is invisible
+    * downstream because every consumer dedups). The unquoted arm
+    * (VERDICT r17 item 2 — legacy HTML's `href=/page` is common in old
+    * crawl strata and was silently dropped) terminates at whitespace,
+    * `>`, a quote, or a backtick, the HTML5 unquoted-value alphabet; it
+    * cannot double-capture a quoted value because the quote itself is
+    * excluded from the first character. Both patterns live in the
+    * Java-regex ∩ RE2 common subset so the DuckDB oracles replay them
+    * verbatim. */
+  private def attrUrlCandidates(html: Column): Column =
+    concat(
+      regexp_extract_all(html,
+        lit("(?i)\\b(?:href|src)\\s*=\\s*[\"']([^\"']+)[\"']"), lit(1)),
+      regexp_extract_all(html,
+        lit("(?i)\\b(?:href|src)\\s*=\\s*([^\\s\"'<>`]+)"), lit(1)))
+
   /** Outlink extraction for crawl curation: `href`/`src` attribute values
-    * in the page markup, kept when absolute http(s), each normalized
-    * ([[normalizeUrl]]) and de-duplicated within the document — the
-    * projection the URL-graph signals (link dedup, domain frequency,
-    * PageRank-ish weighting) start from. A pure codegen
-    * regexp/transform chain in the Java-regex ∩ RE2 common subset like
-    * [[stripMarkup]]; at crawl scale the scan IS the plan. Quoted
-    * attribute values only, relative URLs skipped (resolution needs the
-    * base URI and belongs to a real extractor upstream) — the same
-    * mostly-well-formed posture as stripMarkup. */
+    * in the page markup (quoted or unquoted), kept when absolute
+    * http(s), each normalized ([[normalizeUrl]]) and de-duplicated
+    * within the document — the projection the URL-graph signals (link
+    * dedup, domain frequency, PageRank-ish weighting) start from. A pure
+    * codegen regexp/transform chain in the Java-regex ∩ RE2 common
+    * subset like [[stripMarkup]]; at crawl scale the scan IS the plan.
+    * Relative URLs skipped (resolution needs the base URI —
+    * [[outlinksResolved]] is that variant) — the same mostly-well-formed
+    * posture as stripMarkup. */
   def outlinks(html: Column): Column =
     array_distinct(transform(
-      filter(
-        regexp_extract_all(html,
-          lit("(?i)\\b(?:href|src)\\s*=\\s*[\"']([^\"']+)[\"']"), lit(1)),
+      filter(attrUrlCandidates(html),
         u => u.rlike("(?i)^https?://")),
       u => normalizeUrl(u)))
 
   /** [[outlinks]] with RFC 3986 reference resolution against the page's
     * own URI ([[UrlResolve]]): real pages carry mostly RELATIVE links
     * (`img.png`, `../up`, `/rooted`, `?q=`, `//host/x`), which the
-    * absolute-only extractor must skip — this resolves every quoted
-    * href/src against `baseUri` first, then applies the same
+    * absolute-only extractor must skip — this resolves every quoted or
+    * unquoted href/src against `baseUri` first, then applies the same
     * http(s)-filter + [[normalizeUrl]] + per-doc dedup. Still one
     * codegen'd scan-side projection. */
   def outlinksResolved(html: Column, baseUri: Column): Column =
     array_distinct(transform(
       filter(
-        transform(
-          regexp_extract_all(html,
-            lit("(?i)\\b(?:href|src)\\s*=\\s*[\"']([^\"']+)[\"']"), lit(1)),
+        transform(attrUrlCandidates(html),
           u => UrlResolve.resolve(baseUri, u)),
         u => u.isNotNull && u.rlike("(?i)^https?://")),
       u => normalizeUrl(u)))

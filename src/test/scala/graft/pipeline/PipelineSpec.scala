@@ -732,11 +732,14 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       // :443 stripped on https; NON-default port kept
       "<img src=\"https://CDN.Ex.com:443/i.png\"/>" +
         "<a href=\"https://ex.com:8443/k\">b</a>",
-      // relative, mailto, unquoted-attribute and javascript links skipped
+      // relative, mailto (quoted OR unquoted) and javascript links skipped
       "<a href=\"/rel\">r</a><a href=mailto:a@b.c>m</a>" +
         "<a href=\"javascript:void(0)\">j</a>",
       // :80 on https and :443 on http are NOT default -> kept
-      "<a href=\"https://ex.com:80/x\">s</a><a href=\"http://ex.com:443/y\">t</a>")
+      "<a href=\"https://ex.com:80/x\">s</a><a href=\"http://ex.com:443/y\">t</a>",
+      // legacy UNQUOTED attribute values extract too (r17 item 2): value
+      // ends at whitespace or '>'; unquoted relative still filtered
+      "<a href=http://EX.com:80/unq?x=1 class=z>u</a><img src=/rel/skip>")
       .toDF("html")
     val out = d.select(TextAnalysis.outlinks($"html")).as[Seq[String]]
       .collect().toSeq
@@ -744,7 +747,8 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       Seq("http://ex.com/Path?Q=1"),
       Seq("https://cdn.ex.com/i.png", "https://ex.com:8443/k"),
       Seq.empty,
-      Seq("https://ex.com:80/x", "http://ex.com:443/y")), s"got $out")
+      Seq("https://ex.com:80/x", "http://ex.com:443/y"),
+      Seq("http://ex.com/unq?x=1")), s"got $out")
     // bare-host edge: the port strip works with no path at all
     val bare = Seq("http://EX.com:80", "https://ex.com:443", "http://ex.com:8080")
       .toDF("u").select(TextAnalysis.normalizeUrl($"u")).as[String].collect().toSeq

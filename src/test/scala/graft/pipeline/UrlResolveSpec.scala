@@ -117,7 +117,8 @@ class UrlResolveSpec extends AnyFunSuite with SparkSpec {
       "<a href=\"./here/.././sib.html\">s</a>" +
       "<a href=\"HTTP://Ex.COM:80/abs#f\">a</a>" +
       "<a href=\"mailto:x@y.z\">m</a><a href=\"#frag\">f</a>" +
-      "<a href=\"img.png#other\">dup</a>"
+      "<a href=\"img.png#other\">dup</a>" +
+      "<a href=unq.html>uq</a>" // unquoted relative resolves too (r17 item 2)
     val out = Seq(("https://example.com/a/7/page.html", page))
       .toDF("base", "html")
       .select(TextAnalysis.outlinksResolved($"html", $"base"))
@@ -130,6 +131,7 @@ class UrlResolveSpec extends AnyFunSuite with SparkSpec {
       "https://cdn.example.com/c.js",
       "https://example.com/a/7/sib.html",
       "http://ex.com/abs",
-      "https://example.com/a/7/page.html"), s"got $out")
+      "https://example.com/a/7/page.html",
+      "https://example.com/a/7/unq.html"), s"got $out")
   }
 }
