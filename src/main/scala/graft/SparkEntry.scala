@@ -1871,6 +1871,35 @@ object SparkEntry {
         org.apache.spark.sql.functions.element_at(
           graft.pipeline.Robots.sitemaps(txt), 1).as("sitemap"))
     }),
+    // the domain-granular robots gate (VERDICT r17 item 1): the
+    // production shape — many paths per domain, each domain's robots.txt
+    // parsed ONCE (robots_rules on the deduplicated domain side of a
+    // broadcast join) and the pre-parsed rules walked per page. The
+    // fixture spreads the documents over 5 domains (one serving no
+    // robots.txt -> allow-all) with the same four path arms as
+    // curate_robots; the matching algorithm is pinned by RobotsSpec's
+    // RFC vectors + the gate==per-row-expression differential spec, so
+    // this oracle pins the PLUMBING (dedup, broadcast join, null-rules
+    // allow-all, verdict per (domain, path) arm)
+    "curate_robots_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val domain = concat(lit("d"), expr("CAST(doc_id % 5 AS STRING)"))
+      val pages = docs.select(col("doc_id"), domain.as("domain"),
+        expr("CASE CAST(doc_id % 4 AS INT) " +
+          "WHEN 0 THEN concat('/private/', doc_id, '/secret.html') " +
+          "WHEN 1 THEN concat('/private/ok/', doc_id) " +
+          "WHEN 2 THEN concat('/data', doc_id, '.bin') " +
+          "ELSE concat('/public/', doc_id) END").as("path"))
+      // many fetches of the same domain's robots.txt -> the gate dedups;
+      // domain d4 serves none (absent from the frame entirely)
+      val robots = docs.where(expr("doc_id % 5 < 4")).select(
+        domain.as("domain"),
+        lit("User-agent: graftbot\nDisallow: /private/\n" +
+          "Allow: /private/ok/\nDisallow: *.bin$\n\n" +
+          "User-agent: *\nDisallow: /").as("robots_txt"))
+      Curation.robotsGate(pages, robots, "GraftBot")
+        .select(col("doc_id"), col("domain"), col("allowed"))
+    }),
     // PageRank-ish authority weighting over the URL graph (the step
     // after outlink extraction): simplified PageRank, 8 fixed
     // iterations, damping 85/100, EXACT fixed-point arithmetic so the
@@ -5264,6 +5293,16 @@ object SparkEntry {
          CAST(2.5 AS DOUBLE) AS delay,
          CAST(-1.0 AS DOUBLE) AS delay_other,
          'https://example.com/sm' || doc_id || '.xml' AS sitemap
+         FROM documents""",
+    // verdicts by (domain, path) arm: the no-robots domain allows all;
+    // elsewhere the same truth table as curate_robots (disallowed
+    // /private/ subtree, its longer-Allow /private/ok/ carve-out, the
+    // $-anchored *.bin rule, unmatched public paths)
+    "curate_robots_gate" ->
+      """SELECT doc_id, 'd' || CAST(doc_id % 5 AS VARCHAR) AS domain,
+         CASE WHEN doc_id % 5 = 4 THEN true
+              WHEN doc_id % 4 IN (1, 3) THEN true
+              ELSE false END AS allowed
          FROM documents""",
     // the oracle is GENERATED from the same constants and unrolls the
     // same fixed-point iteration loop — it cannot drift from the operator

@@ -1167,4 +1167,40 @@ object Curation {
         name -> df.join(fids.withColumnRenamed(idCol, fk), Seq(fk), "left_anti")
       })
   }
+
+  /** Domain-granular robots.txt compliance gate (VERDICT r17 item 1) —
+    * the production shape of [[Robots.allowed]]: a crawl stream carries
+    * MILLIONS of paths per domain, and the per-row expression re-parses
+    * the same robots.txt for every one of them. This gate parses each
+    * domain's robots.txt ONCE — [[Robots.rules]] runs on the
+    * deduplicated `(domain, robots_txt)` side — and joins the
+    * pre-parsed `(pattern, allow)` rule arrays back to the page
+    * stream, where [[Robots.rulesAllowed]] is just the RFC 9309
+    * longest-pattern walk (no parse, no group selection) per row.
+    *
+    * Returns `pages` with an `allowed` BOOLEAN column appended. Pages
+    * whose domain has no robots row are allowed (RFC 9309 §2.3.1:
+    * unreachable/absent robots.txt = allow-all) — the left-join miss
+    * yields a null rule array, which the walk treats as allow-all.
+    *
+    * Scale: the robots side dedups to one row per domain (a rule array
+    * of a few hundred bytes), so even a full-web crawl's ~1e8 domains
+    * broadcast in low GBs; `broadcastRobots = false` falls back to a
+    * domain-keyed shuffle join for robots frames past broadcast size
+    * (the page stream then shuffles on domain — co-locate by bucketing
+    * pages on `domainCol` to keep that one-sided). */
+  def robotsGate(pages: DataFrame, robots: DataFrame, agent: String,
+                 domainCol: String = "domain", pathCol: String = "path",
+                 robotsTxtCol: String = "robots_txt",
+                 broadcastRobots: Boolean = true): DataFrame = {
+    val rulesCol = "__robots_rules"
+    val parsed = robots
+      .dropDuplicates(domainCol)
+      .select(col(domainCol),
+        Robots.rules(col(robotsTxtCol), lit(agent)).as(rulesCol))
+    val dim = if (broadcastRobots) broadcast(parsed) else parsed
+    pages.join(dim, Seq(domainCol), "left")
+      .withColumn("allowed", Robots.rulesAllowed(col(rulesCol), col(pathCol)))
+      .drop(rulesCol)
+  }
 }

@@ -35,8 +35,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * The kernel is an object method (static forwarder) callable from
   * whole-stage codegen. Parsing happens per evaluation — right for the
   * gate-per-(page,robots) projection shape; when one domain's
-  * robots.txt gates millions of paths, parse once per domain on the
-  * distinct-domain side and broadcast-join the verdicts back instead. */
+  * robots.txt gates millions of paths, use
+  * [[Curation.robotsGate]] (built on [[rules]] + [[rulesAllowed]]):
+  * it parses once per domain on the distinct-domain side and
+  * broadcast-joins the pre-parsed rules back to the page stream. */
 object Robots {
 
   /** Column API: is `path` fetchable for `agent` under `robotsTxt`?
@@ -51,7 +53,74 @@ object Robots {
       "robots_allowed" ->
         (exprs => RobotsAllowed(exprs(0), exprs(1), exprs(2))),
       "robots_crawl_delay" ->
-        (exprs => RobotsCrawlDelay(exprs(0), exprs(1))))
+        (exprs => RobotsCrawlDelay(exprs(0), exprs(1))),
+      "robots_rules" ->
+        (exprs => RobotsRules(exprs(0), exprs(1))),
+      "robots_rules_allowed" ->
+        (exprs => RobotsRulesAllowed(exprs(0), exprs(1))))
+
+  /** The parse-once half of the domain-granular gate
+    * ([[Curation.robotsGate]]): the selected group's combined
+    * `(pattern, allow)` rules for `agent`, as an
+    * `ARRAY<STRUCT<pattern STRING, allow BOOLEAN>>`. Evaluate this on
+    * the DISTINCT-DOMAIN side and join the rules back to the page
+    * stream — parsing happens once per domain instead of once per page.
+    * Null txt or agent → null (for the gate shape, a missing robots.txt
+    * surfaces as a null RULES array after the left join, which
+    * [[rulesAllowed]] treats as allow-all per RFC 9309 §2.3.1). */
+  def rules(robotsTxt: Column, agent: Column): Column =
+    GraftSql.column(RobotsRules(GraftSql.expression(robotsTxt),
+      GraftSql.expression(agent)))
+
+  /** The per-page half of the domain-granular gate: the same
+    * longest-pattern / allow-on-tie walk as [[allowed]], over
+    * PRE-PARSED rules — no text parse per row. Null rules = allow-all
+    * (no robots.txt served for the domain); null path → null. */
+  def rulesAllowed(rules: Column, path: Column): Column =
+    GraftSql.column(RobotsRulesAllowed(GraftSql.expression(rules),
+      GraftSql.expression(path)))
+
+  /** Kernel for [[rules]]: parse + group-select once, emit the combined
+    * rule list as Catalyst array-of-struct data. */
+  def rulesKernel(txt: UTF8String, agent: UTF8String):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val rs = rulesFor(txt.toString, agent.toString)
+    val rows = new Array[Any](rs.length)
+    var i = 0
+    while (i < rs.length) {
+      rows(i) = org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(rs(i)._1), rs(i)._2)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  /** Kernel for [[rulesAllowed]]: the RFC 9309 §2.2.2 most-specific-
+    * match walk over a pre-parsed rule array ([[rulesKernel]]'s
+    * layout). `rules` may be null = allow-all. */
+  def rulesAllowedKernel(
+      rules: org.apache.spark.sql.catalyst.util.ArrayData,
+      path: UTF8String): Boolean = {
+    if (rules == null) return true
+    val p = path.toString
+    var bestLen = -1
+    var bestAllow = true
+    var i = 0
+    val n = rules.numElements()
+    while (i < n) {
+      val row = rules.getStruct(i, 2)
+      val pat = row.getUTF8String(0).toString
+      val allow = row.getBoolean(1)
+      if (pat.nonEmpty && patternMatches(pat, p)) {
+        if (pat.length > bestLen || (pat.length == bestLen && allow)) {
+          bestLen = pat.length
+          bestAllow = allow
+        }
+      }
+      i += 1
+    }
+    bestAllow
+  }
 
   /** `Sitemap:` URLs of the robots.txt, in file order (RFC 9309 §2.3 —
     * sitemaps are NOT group-scoped; they apply file-wide). Pure Column
@@ -294,4 +363,106 @@ case class RobotsAllowed(first: Expression, second: Expression,
       newFirst: Expression, newSecond: Expression,
       newThird: Expression): Expression =
     copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** `robots_rules(txt STRING, agent STRING) ->
+  * ARRAY<STRUCT<pattern STRING, allow BOOLEAN>>` — see [[Robots.rules]].
+  * Standard null-in-null-out (the gate's allow-all arm lives in
+  * [[RobotsRulesAllowed]]'s null-RULES handling, not here). */
+case class RobotsRules(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType.isInstanceOf[StringType] &&
+      right.dataType.isInstanceOf[StringType])
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string) arguments")
+
+  override def dataType: DataType = RobotsRules.RulesType
+  override def nullable: Boolean = true
+  override def prettyName: String = "robots_rules"
+
+  override protected def nullSafeEval(txt: Any, agent: Any): Any =
+    Robots.rulesKernel(txt.asInstanceOf[UTF8String],
+      agent.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (txt, agent) =>
+      s"graft.pipeline.Robots.rulesKernel($txt, $agent)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object RobotsRules {
+  /** The rule-array layout shared by [[RobotsRules]] (producer) and
+    * [[RobotsRulesAllowed]] (consumer). */
+  val RulesType: org.apache.spark.sql.types.ArrayType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pattern", StringType,
+          nullable = false),
+        org.apache.spark.sql.types.StructField("allow", BooleanType,
+          nullable = false))),
+      containsNull = false)
+}
+
+/** `robots_rules_allowed(rules ARRAY<STRUCT<pattern,allow>>, path STRING)
+  * -> BOOLEAN` — see [[Robots.rulesAllowed]]. Asymmetric nulls
+  * (hand-rolled eval/codegen like robots_allowed): null RULES = the
+  * domain served no robots.txt = allow-all (RFC 9309 §2.3.1); null path
+  * → null. */
+case class RobotsRulesAllowed(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val rulesOk = left.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        s: org.apache.spark.sql.types.StructType, _) =>
+        s.length == 2 && s(0).dataType.isInstanceOf[StringType] &&
+          s(1).dataType == BooleanType
+      case _ => false
+    }
+    if (rulesOk && right.dataType.isInstanceOf[StringType])
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<struct<pattern:string,allow:boolean>>, " +
+          "string) arguments")
+  }
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "robots_rules_allowed"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val path = right.eval(input)
+    if (path == null) null
+    else Robots.rulesAllowedKernel(
+      left.eval(input)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      path.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val rulesGen = left.genCode(ctx)
+    val pathGen = right.genCode(ctx)
+    ev.copy(code = code"""
+      ${pathGen.code}
+      boolean ${ev.isNull} = ${pathGen.isNull};
+      boolean ${ev.value} = false;
+      if (!${ev.isNull}) {
+        ${rulesGen.code}
+        ${ev.value} = graft.pipeline.Robots.rulesAllowedKernel(
+          ${rulesGen.isNull} ? null : ${rulesGen.value}, ${pathGen.value});
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

@@ -357,6 +357,58 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
       s"charset decode scan not pruned to its three columns:\n$plan")
   }
 
+  test("robotsGate: the robots.txt parse (robots_rules) runs ONCE, on the " +
+    "distinct-domain BUILD side of a broadcast join — never per page row " +
+    "(the r17 domain-granular gate invariant)") {
+    // parquet-backed, domain-VARYING robots text so the parse cannot
+    // constant-fold away (the SparkEntry fixture's literal text folds —
+    // asserted separately below)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val domain = expr("concat('d', CAST(doc_id % 7 AS STRING))")
+    val pages = docs.select(col("doc_id"), domain.as("domain"),
+      concat(lit("/p/"), col("doc_id")).as("path"))
+    val robots = docs.select(domain.as("domain"),
+      concat(lit("User-agent: *\nDisallow: /p/"), col("doc_id"))
+        .as("robots_txt"))
+    val qe = graft.pipeline.Curation.robotsGate(pages, robots, "bot")
+      .queryExecution
+    val phys = qe.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"),
+      s"the robots side must broadcast:\n$phys")
+    // the parse site collapses into the domain-dedup aggregate's result
+    // projection (the physical toString hides result exprs, so pin the
+    // optimized logical plan): exactly ONE "robots_rules(" — the pattern
+    // cannot match the per-row walk, which renders "robots_rules_allowed("
+    val opt = qe.optimizedPlan.toString
+    val count = opt.sliding("robots_rules(".length)
+      .count(_ == "robots_rules(")
+    assert(count == 1, s"expected ONE robots_rules parse site, got $count:\n$opt")
+    // ...and that one site lives on the AGGREGATE (once per distinct
+    // domain, the join's build side), never in the page-stream projection
+    val parseLine = opt.linesIterator.find(_.contains("robots_rules(")).get
+    assert(parseLine.contains("Aggregate"),
+      s"robots_rules must evaluate in the domain-dedup aggregate:\n$opt")
+    // the per-page walk runs above the join on the page stream
+    val walkAt = opt.indexOf("robots_rules_allowed(")
+    val joinAt = opt.indexOf("Join LeftOuter")
+    assert(walkAt >= 0 && joinAt > walkAt,
+      s"the pre-parsed walk must sit above the join on the page stream:\n$opt")
+  }
+
+  test("curate_robots_gate: the fixture's LITERAL robots text " +
+    "constant-folds — zero runtime parses, pre-parsed rules broadcast") {
+    val plan = graft.SparkEntry.queries("curate_robots_gate")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the robots side must broadcast:\n$plan")
+    val parses = plan.sliding("robots_rules(".length)
+      .count(_ == "robots_rules(")
+    assert(parses == 0,
+      s"a literal robots.txt must fold at plan time, got $parses parse sites:\n$plan")
+    assert(plan.contains("robots_rules_allowed("),
+      s"the per-page walk must still run over the folded rules:\n$plan")
+  }
+
   test("warc_links: extraction is scan -> project -> explode, zero " +
     "exchanges; the domain rollup's only exchange is its aggregation") {
     val plan = graft.SparkEntry.queries("warc_links")(spark, dir)

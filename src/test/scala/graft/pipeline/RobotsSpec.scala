@@ -113,4 +113,67 @@ class RobotsSpec extends AnyFunSuite with SparkSpec {
         (if (r.isNullAt(1)) None else Some(r.getBoolean(1)))).toMap
     assert(sql == df)
   }
+
+  test("robots_rules + robots_rules_allowed: the parse-once halves compose " +
+    "to the same verdicts as robots_allowed, from Scala and SQL; a null " +
+    "rule array allows, a null path is null") {
+    val rows = Seq(
+      (0L, Txt, "/private/x"), (1L, Txt, "/private/ok2"),
+      (2L, Txt, "/all/y"), (3L, Txt, "/img.gif"), (4L, Txt, "/p"),
+      (5L, null, "/anything"), (6L, Txt, null))
+      .toDF("id", "txt", "path")
+    val composed = rows.select(col("id"),
+        Robots.rulesAllowed(
+          when(col("txt").isNotNull, Robots.rules(col("txt"), lit("graftbot"))),
+          col("path")).as("a"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getBoolean(1)))).toMap
+    val reference = rows.select(col("id"),
+        Robots.allowed(col("txt"), lit("graftbot"), col("path")).as("a"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getBoolean(1)))).toMap
+    assert(composed == reference, s"composed $composed != $reference")
+    rows.createOrReplaceTempView("robots_rules_spec")
+    val sql = spark.sql(
+      """SELECT id, robots_rules_allowed(
+           CASE WHEN txt IS NOT NULL THEN robots_rules(txt, 'graftbot') END,
+           path) AS a FROM robots_rules_spec""")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getBoolean(1)))).toMap
+    assert(sql == composed)
+  }
+
+  test("robotsGate: domain-granular verdicts are IDENTICAL to the per-row " +
+    "expression over a many-paths-per-domain frame; domains with no " +
+    "robots row allow everything") {
+    val rnd = new scala.util.Random(42)
+    val txts = Array(Txt,
+      "User-agent: *\nDisallow: /\nAllow: /pub",
+      "User-agent: graftbot\nDisallow: *.bin$\nAllow: /a*z\nDisallow: /a/",
+      "User-agent: other\nDisallow: /x")
+    val domains = (0 until 12).map(d => s"d$d.example")
+    // d10/d11 serve no robots.txt; three duplicate fetches per domain
+    // exercise the gate's dedup
+    val robots = domains.take(10).flatMap { d =>
+      Seq.fill(3)((d, txts(math.abs(d.hashCode) % txts.length)))
+    }.toDF("domain", "robots_txt")
+    val paths = Seq("/private/x", "/private/ok/y", "/a/middle/z", "/pub/1",
+      "/img.bin", "/img.gif", "/x", "/", "/news-private/a", "/all/b")
+    val pages = (0 until 2000).map { i =>
+      (i.toLong, domains(rnd.nextInt(domains.length)),
+        paths(rnd.nextInt(paths.length)))
+    }.toDF("id", "domain", "path")
+    val gate = Curation.robotsGate(pages, robots, "graftbot")
+      .select(col("id"), col("allowed"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val perRow = pages
+      .join(broadcast(robots.dropDuplicates("domain")), Seq("domain"), "left")
+      .select(col("id"),
+        Robots.allowed(col("robots_txt"), lit("graftbot"), col("path"))
+          .as("allowed"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(gate.size == 2000 && gate == perRow)
+    // both verdict polarities actually occur
+    assert(gate.values.exists(identity) && gate.values.exists(!_))
+  }
 }
