@@ -1836,6 +1836,70 @@ object SparkEntry {
                 col("http_body"), col("http_content_type"))),
               u => TextAnalysis.stripTrackingParams(u)))).as("link"))
     }),
+    // per-domain frontier politeness schedule (VERDICT r17 stretch 8):
+    // the composed query a crawl scheduler runs — outlink extraction ->
+    // domain rollup (distinct URL counts) -> join each domain's
+    // robots.txt crawl-delay (group-scoped: the cdn domain's selected
+    // group declares none -> the 1s default, NOT the * group's 9) ->
+    // estimated drain seconds. Pure composition of existing operators;
+    // the oracle replays the extraction chain and reconstructs the
+    // domain-derived delays
+    "curate_frontier_schedule" -> ((s, dir) => {
+      val warcDir = httpWarcFixture(s, dir, "links", linksPage)
+      val links = s.read.format("warc").load(warcDir)
+        .select(expr("CAST(substr(record_id, 9) AS BIGINT)").as("doc_id"),
+          explode(TextAnalysis.outlinks(graft.sources.HttpText.decode(
+            col("http_body"), col("http_content_type")))).as("link"))
+      val byDomain = links.groupBy(
+          org.apache.spark.sql.functions.regexp_extract(col("link"),
+            "^https?://([^/:?]+)", 1).as("domain"))
+        .agg(org.apache.spark.sql.functions.countDistinct(col("link"))
+          .as("n_urls"))
+      val robots = byDomain.select(col("domain"),
+        when(col("domain").startsWith("cdn"),
+          lit("User-agent: graftbot\nDisallow: /private/\n\n" +
+            "User-agent: *\nCrawl-delay: 9"))
+          .otherwise(concat(lit("User-agent: graftbot\nCrawl-delay: "),
+            (length(col("domain")) % 7).cast("string"))).as("robots_txt"))
+      val delay = coalesce(
+        graft.pipeline.Robots.crawlDelay(col("robots_txt"), lit("GraftBot")),
+        lit(1.0))
+      byDomain.join(robots, Seq("domain"))
+        .select(col("domain"), col("n_urls"), delay.as("delay_sec"),
+          (col("n_urls").cast("double") * delay).as("est_sec"))
+    }),
+    // sitemap parsing (sitemaps.org): <urlset>/<sitemapindex> entries ->
+    // (loc, lastmod) rows — the hop after Robots.sitemaps in the robots
+    // -> sitemaps -> frontier discovery chain. The fixture's arms: a
+    // urlset with an entity-escaped URL + lastmod, a lastmod-less entry,
+    // a non-http loc the filter drops, a sitemapindex child with
+    // whitespace-padded loc, and a newline-formatted urlset. The oracle
+    // REPLAYS the same block/loc/lastmod regex chain and entity decode
+    "curate_sitemaps" -> ((s, dir) => {
+      val d = col("doc_id").cast("string")
+      val arm0 = concat(
+        lit("<?xml version=\"1.0\"?><urlset " +
+          "xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+          "<url><loc>https://ex.com/"), d,
+        lit("?a=1&amp;b=2</loc><lastmod>2026-01-0"),
+        expr("CAST(doc_id % 9 + 1 AS STRING)"),
+        lit("</lastmod></url><url><loc>https://ex.com/plain/"), d,
+        lit("</loc></url><url><loc>ftp://ex.com/skip</loc></url></urlset>"))
+      val arm1 = concat(
+        lit("<sitemapindex><sitemap><loc>\n https://ex.com/maps/"), d,
+        lit(".xml \n</loc><lastmod>2025-12-31</lastmod></sitemap>" +
+          "</sitemapindex>"))
+      val arm2 = concat(lit("<urlset><url>\n<loc>\nhttps://ex.com/ws/"), d,
+        lit("\n</loc>\n</url></urlset>"))
+      t(s, dir, "documents").select(col("doc_id"),
+          when(expr("doc_id % 3 = 0"), arm0)
+            .when(expr("doc_id % 3 = 1"), arm1)
+            .otherwise(arm2).as("xml"))
+        .select(col("doc_id"),
+          explode(TextAnalysis.sitemapEntries(col("xml"))).as("e"))
+        .select(col("doc_id"), col("e.loc").as("loc"),
+          col("e.lastmod").as("lastmod"))
+    }),
     // robots.txt compliance gate (RFC 9309): group selection by longest
     // product-token prefix with * fallback, longest-pattern rule
     // precedence with allow-on-tie, */$ patterns — the filter a
@@ -5280,6 +5344,49 @@ object SparkEntry {
     "warc_frontier" -> warcFrontierOracle,
     "warc_links_resolved" -> warcLinksResolvedOracle,
     "warc_link_domains" -> warcLinkDomainsOracle,
+    // the same extraction chain, domain rollup, and the domain-derived
+    // delays reconstructed (len%7; the cdn domain's selected group
+    // declares none -> the 1s default)
+    "curate_frontier_schedule" -> (warcLinksExtractSql +
+      """, l AS (SELECT doc_id, unnest(links) AS link FROM ex),
+         d AS (SELECT regexp_extract(link, '^https?://([^/:?]+)', 1) AS domain,
+                 count(DISTINCT link) AS n_urls FROM l GROUP BY 1)
+         SELECT domain, n_urls,
+           CASE WHEN domain LIKE 'cdn%' THEN CAST(1.0 AS DOUBLE)
+                ELSE CAST(length(domain) % 7 AS DOUBLE) END AS delay_sec,
+           n_urls * CASE WHEN domain LIKE 'cdn%' THEN CAST(1.0 AS DOUBLE)
+                ELSE CAST(length(domain) % 7 AS DOUBLE) END AS est_sec
+         FROM d"""),
+    // the sitemap fixture rebuilt in SQL, then the SAME block extraction,
+    // loc/lastmod regexes, trim, entity decode and http(s) filter
+    "curate_sitemaps" ->
+      """WITH raw AS (SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INTEGER)
+             WHEN 0 THEN '<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"><url><loc>https://ex.com/'
+               || doc_id || '?a=1&amp;b=2</loc><lastmod>2026-01-0'
+               || CAST(doc_id % 9 + 1 AS VARCHAR)
+               || '</lastmod></url><url><loc>https://ex.com/plain/' || doc_id
+               || '</loc></url><url><loc>ftp://ex.com/skip</loc></url></urlset>'
+             WHEN 1 THEN '<sitemapindex><sitemap><loc>' || chr(10)
+               || ' https://ex.com/maps/' || doc_id || '.xml ' || chr(10)
+               || '</loc><lastmod>2025-12-31</lastmod></sitemap></sitemapindex>'
+             ELSE '<urlset><url>' || chr(10) || '<loc>' || chr(10)
+               || 'https://ex.com/ws/' || doc_id || chr(10) || '</loc>'
+               || chr(10) || '</url></urlset>'
+           END AS xml FROM documents),
+         b AS (SELECT doc_id, unnest(regexp_extract_all(xml,
+             '(?is)<(?:url|sitemap)\b[^>]*>(.*?)</(?:url|sitemap)\s*>', 1)) AS blk
+           FROM raw),
+         e AS (SELECT doc_id,
+             replace(replace(replace(replace(replace(
+               regexp_extract(blk, '(?is)<loc\s*>\s*([^<]*?)\s*</loc', 1),
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&apos;', ''''), '&amp;', '&') AS loc,
+             regexp_extract(blk, '(?is)<lastmod\s*>\s*([^<]*?)\s*</lastmod', 1)
+               AS lastmod
+           FROM b)
+         SELECT doc_id, loc, lastmod FROM e
+         WHERE regexp_matches(loc, '(?i)^https?://')""",
     // verdicts by path arm: the private dir (disallowed), its allowed
     // /ok subtree (longer Allow wins), the $-anchored *.bin rule, and an
     // unmatched public path; the * group disallows everything for the

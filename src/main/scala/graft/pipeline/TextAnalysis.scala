@@ -974,6 +974,49 @@ object TextAnalysis {
         .otherwise(base))
   }
 
+  /** XML sitemap parsing (sitemaps.org protocol) — the hop after
+    * [[Robots.sitemaps]] surfaces the `Sitemap:` URLs: given a fetched
+    * sitemap body, extract its `<url>`/`<sitemap>` entries as
+    * `ARRAY<STRUCT<loc STRING, lastmod STRING>>` (lastmod = '' when the
+    * entry declares none), completing the robots → sitemaps → frontier
+    * discovery chain real crawls use. Handles both `<urlset>` leaves
+    * and `<sitemapindex>` indices (the block regex accepts either
+    * element, so an index's child-sitemap URLs surface the same way).
+    * `<loc>` values are trimmed and XML-entity-decoded (the five
+    * predefined entities the protocol requires URLs to escape) and
+    * non-http(s) locs are dropped. A pure codegen regexp/transform
+    * chain in the Java-regex ∩ RE2 common subset — lazy block
+    * quantifier included — so the DuckDB oracle replays it verbatim;
+    * at crawl scale the scan IS the plan. */
+  def sitemapEntries(xml: Column): Column =
+    filter(
+      transform(
+        regexp_extract_all(xml,
+          lit("(?is)<(?:url|sitemap)\\b[^>]*>(.*?)</(?:url|sitemap)\\s*>"),
+          lit(1)),
+        // \s-bounded lazy capture, NOT trim(): SQL trim strips spaces
+        // only, and sitemap locs are routinely newline-padded
+        b => struct(
+          xmlUnescape(regexp_extract(b,
+            "(?is)<loc\\s*>\\s*([^<]*?)\\s*</loc", 1)).as("loc"),
+          regexp_extract(b,
+            "(?is)<lastmod\\s*>\\s*([^<]*?)\\s*</lastmod", 1).as("lastmod"))),
+      e => e.getField("loc").rlike("(?i)^https?://"))
+
+  /** Just the URLs of [[sitemapEntries]] — the frontier-feed projection. */
+  def sitemapUrls(xml: Column): Column =
+    transform(sitemapEntries(xml), _.getField("loc"))
+
+  /** The five predefined XML entities, `&amp;` last (so `&amp;lt;`
+    * decodes to the literal `&lt;`, not `<` — standard decode order). */
+  private def xmlUnescape(s: Column): Column = {
+    val lt = regexp_replace(s, "&lt;", "<")
+    val gt = regexp_replace(lt, "&gt;", ">")
+    val quot = regexp_replace(gt, "&quot;", "\"")
+    val apos = regexp_replace(quot, "&apos;", "'")
+    regexp_replace(apos, "&amp;", "&")
+  }
+
   /** URL normalization for link-graph keys: scheme and authority
     * lowercase (case-insensitive per RFC 3986), default port strip
     * (`:80` http, `:443` https), fragment drop (never sent to the

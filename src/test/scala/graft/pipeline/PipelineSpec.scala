@@ -756,6 +756,29 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       s"got $bare")
   }
 
+  test("sitemapEntries: urlset + sitemapindex blocks, entity decode, " +
+    "optional lastmod, whitespace trim, non-http locs filtered") {
+    val urlset = "<?xml version=\"1.0\"?><urlset " +
+      "xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+      "<url><loc>https://ex.com/a?x=1&amp;y=&quot;2&quot;</loc>" +
+      "<lastmod> 2026-01-02 </lastmod></url>" +
+      "<url>\n<loc>\n https://ex.com/b \n</loc>\n</url>" +
+      "<url><loc>ftp://ex.com/no</loc></url></urlset>"
+    val index = "<sitemapindex><sitemap><loc>HTTPS://ex.com/m1.xml</loc>" +
+      "<lastmod>2025-12-31</lastmod></sitemap></sitemapindex>"
+    val out = Seq(urlset, index).toDF("x")
+      .select(TextAnalysis.sitemapEntries($"x"))
+      .as[Seq[(String, String)]].collect().toSeq
+    assert(out == Seq(
+      Seq(("https://ex.com/a?x=1&y=\"2\"", "2026-01-02"),
+        ("https://ex.com/b", "")),
+      Seq(("HTTPS://ex.com/m1.xml", "2025-12-31"))), s"got $out")
+    val urls = Seq(urlset).toDF("x")
+      .select(TextAnalysis.sitemapUrls($"x")).as[Seq[String]].collect().head
+    assert(urls == Seq("https://ex.com/a?x=1&y=\"2\"", "https://ex.com/b"),
+      s"got $urls")
+  }
+
   test("stripTrackingParams: blocklist params drop, order and '?' " +
     "semantics hold") {
     val d = Seq(
