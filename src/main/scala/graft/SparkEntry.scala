@@ -1987,6 +1987,19 @@ object SparkEntry {
       s.sql(
         "SELECT * FROM pagerank('pagerank_edges_sql','src','dst','iterations',8)")
     }),
+    // the conserved-mass arm (VERDICT r17 stretch 7) over a graph that's
+    // ~half dangling (dst residues 97..210 never emit), through the
+    // TVF's dangling option — each iteration's dangling sum is shared
+    // back on the same fixed-point grid, and the generated oracle
+    // unrolls the same d1..dK aggregates beside the rank CTEs
+    "graph_pagerank_conserved" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+          expr("doc_id % 97").as("src"),
+          expr("(doc_id * 13 + 5) % 211").as("dst"))
+        .createOrReplaceTempView("pagerank_conserved_edges")
+      s.sql("SELECT * FROM pagerank('pagerank_conserved_edges'," +
+        "'src','dst','iterations',6,'dangling','redistribute')")
+    }),
     "dedup_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val bkt = Curation.md5Bucket(col("doc_id"))
@@ -5419,6 +5432,9 @@ object SparkEntry {
     "graph_pagerank_sql" -> graft.pipeline.WebGraph.pageRankOracleSql(
       "SELECT doc_id % 211 AS src, (doc_id * 31 + 7) % 211 AS dst FROM documents",
       iterations = 8),
+    "graph_pagerank_conserved" -> graft.pipeline.WebGraph.pageRankOracleSql(
+      "SELECT doc_id % 97 AS src, (doc_id * 13 + 5) % 211 AS dst FROM documents",
+      iterations = 6, danglingRedistribute = true),
     // the nightly winnow check and its stored-state/TVF twins: one oracle
     "dedup_winnow_inc" -> winnowCrossOracle,
     "dedup_winnow_inc_stored" -> winnowCrossOracle,
