@@ -86,6 +86,29 @@ object Bench {
     best > FamilyRerunFactor * familyMin &&
       best - familyMin > FamilyAbsFloorSec
 
+  /** Adjudication rule for the committed family history (VERDICT r17
+    * item 5): the min-based GATE is immune to one contaminated round's
+    * entry, but any mean-based reading of the history is not (r17's
+    * environment-attributed 82.2 s sat beside a 41.3 family min). At
+    * save time, entries that are over-family RELATIVE TO THEIR OWN
+    * LIST'S MIN move out of the row's list into a sibling
+    * `~adjudicated_<row>` annotation list — raw values preserved with a
+    * machine-readable marker, never silently dropped. Gate semantics
+    * are unchanged (such entries could never lower the min). Two
+    * deliberate consequences: (a) pre-improvement history moves out
+    * after a genuine speedup (right for mean-readers — those values are
+    * not comparable baseline mass either), and (b) a GENUINE sustained
+    * regression now screams EVERY round instead of aging in after the
+    * window rolled: its values keep adjudicating out, so the old min
+    * never leaves. Accepting a new normal is a deliberate act (fix the
+    * code or prune the row's family list in the same commit that
+    * explains why), not a side effect of five quiet rounds. */
+  val AdjudicatedPrefix = "~adjudicated_"
+
+  private[graft] def splitAdjudicated(vs: Seq[Double]): (Seq[Double], Seq[Double]) =
+    if (vs.isEmpty) (vs, Seq.empty)
+    else { val m = vs.min; vs.partition(v => !overFamilyGate(v, m)) }
+
   /** Sick-probe backoff schedule (seconds) — escalating waits so a
     * transient (another round's verify run, a GC storm) passes without
     * burning the whole budget, while a persistently loaded host exhausts
@@ -771,10 +794,14 @@ object Bench {
 
     // update the committed family history: prepend this round's min for
     // rows that produced at least one fully-healthy sample (a sick-only
-    // row must not poison the family), keep the trailing window
+    // row must not poison the family), keep the trailing window, then
+    // move entries that are over-family vs their own list's min into
+    // ~adjudicated_<row> annotation lists (r17 item 5: the min-based
+    // gate never read them, but a mean-based reading would)
+    var adjudicatedRows: List[String] = Nil
     if (familyApplies) try {
       val prev = loadFamily()
-      val updated = results.foldLeft(prev) { (acc, r) =>
+      val appended = results.foldLeft(prev) { (acc, r) =>
         // only a min taken from a healthy-window SUCCESSFUL sample may
         // enter the history (a failed query's near-zero wall time would
         // poison the minimum-based threshold for FamilyHistoryLen rounds)
@@ -782,6 +809,19 @@ object Bench {
           acc.updated(r.name,
             (r.best +: acc.getOrElse(r.name, Seq.empty)).take(FamilyHistoryLen))
         else acc
+      }
+      val updated = appended.foldLeft(appended) { case (acc, (k, vs)) =>
+        if (k.startsWith(AdjudicatedPrefix)) acc
+        else {
+          val (kept, adjudicated) = splitAdjudicated(vs)
+          if (adjudicated.isEmpty) acc
+          else {
+            adjudicatedRows ::= k
+            acc.updated(k, kept).updated(AdjudicatedPrefix + k,
+              (adjudicated ++ acc.getOrElse(AdjudicatedPrefix + k, Seq.empty))
+                .take(FamilyHistoryLen))
+          }
+        }
       }
       saveFamily(updated)
     } catch { case e: Exception =>
@@ -795,6 +835,9 @@ object Bench {
       "queries" -> qs,
       "sick_min_rows" -> sickMin, "single_shot" -> singleShot,
       "over_family" -> overFamily, "family_reruns" -> familyReruns,
+      // rows whose history entries moved to ~adjudicated_<row> this run
+      // (the r17-item-5 annotation rule; raw values stay in the file)
+      "family_adjudicated" -> names(adjudicatedRows.sorted),
       "failed_rows" -> names(results.collect {
         case r if !r.sampleOk.forall(identity) => r.name }),
       "backoff_sec" -> backoffSec.get.toString,
