@@ -1964,6 +1964,33 @@ object SparkEntry {
       Curation.robotsGate(pages, robots, "GraftBot")
         .select(col("doc_id"), col("domain"), col("allowed"))
     }),
+    // the same gate composed in PURE SQL from the registered halves
+    // (robots_rules on the grouped domain side, robots_rules_allowed on
+    // the page stream) — a Thrift/Connect client needs no driver code;
+    // shares curate_robots_gate's oracle verbatim
+    "curate_robots_gate_sql" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val domain = concat(lit("d"), expr("CAST(doc_id % 5 AS STRING)"))
+      docs.select(col("doc_id"), domain.as("domain"),
+          expr("CASE CAST(doc_id % 4 AS INT) " +
+            "WHEN 0 THEN concat('/private/', doc_id, '/secret.html') " +
+            "WHEN 1 THEN concat('/private/ok/', doc_id) " +
+            "WHEN 2 THEN concat('/data', doc_id, '.bin') " +
+            "ELSE concat('/public/', doc_id) END").as("path"))
+        .createOrReplaceTempView("robots_gate_pages_sql")
+      docs.where(expr("doc_id % 5 < 4")).select(domain.as("domain"),
+          lit("User-agent: graftbot\nDisallow: /private/\n" +
+            "Allow: /private/ok/\nDisallow: *.bin$\n\n" +
+            "User-agent: *\nDisallow: /").as("robots_txt"))
+        .createOrReplaceTempView("robots_gate_robots_sql")
+      s.sql("""SELECT /*+ BROADCAST(r) */ p.doc_id, p.domain,
+          robots_rules_allowed(r.rules, p.path) AS allowed
+        FROM robots_gate_pages_sql p
+        LEFT JOIN (SELECT domain,
+            robots_rules(first(robots_txt), 'GraftBot') AS rules
+          FROM robots_gate_robots_sql GROUP BY domain) r
+        USING (domain)""")
+    }),
     // PageRank-ish authority weighting over the URL graph (the step
     // after outlink extraction): simplified PageRank, 8 fixed
     // iterations, damping 85/100, EXACT fixed-point arithmetic so the
@@ -3075,6 +3102,18 @@ object SparkEntry {
       "<a href=\"mailto:a@b.c\">m</a> <a href=unq"),
     col("doc_id"), lit(".html>u2</a> "),
     col("text"), lit("</html>"))
+
+  /** Verdicts by (domain, path) arm, shared by the Scala robots gate and
+    * its pure-SQL composition: the no-robots domain (d4) allows all;
+    * elsewhere the same truth table as curate_robots (disallowed
+    * /private/ subtree, its longer-Allow /private/ok/ carve-out, the
+    * $-anchored *.bin rule, unmatched public paths). */
+  private val robotsGateOracle =
+    """SELECT doc_id, 'd' || CAST(doc_id % 5 AS VARCHAR) AS domain,
+       CASE WHEN doc_id % 5 = 4 THEN true
+            WHEN doc_id % 4 IN (1, 3) THEN true
+            ELSE false END AS allowed
+       FROM documents"""
 
   // warc_links_resolved: expected resolutions reconstructed from doc_id
   // (see the query comment; resolution itself is pinned by the RFC
@@ -5414,16 +5453,8 @@ object SparkEntry {
          CAST(-1.0 AS DOUBLE) AS delay_other,
          'https://example.com/sm' || doc_id || '.xml' AS sitemap
          FROM documents""",
-    // verdicts by (domain, path) arm: the no-robots domain allows all;
-    // elsewhere the same truth table as curate_robots (disallowed
-    // /private/ subtree, its longer-Allow /private/ok/ carve-out, the
-    // $-anchored *.bin rule, unmatched public paths)
-    "curate_robots_gate" ->
-      """SELECT doc_id, 'd' || CAST(doc_id % 5 AS VARCHAR) AS domain,
-         CASE WHEN doc_id % 5 = 4 THEN true
-              WHEN doc_id % 4 IN (1, 3) THEN true
-              ELSE false END AS allowed
-         FROM documents""",
+    "curate_robots_gate" -> robotsGateOracle,
+    "curate_robots_gate_sql" -> robotsGateOracle,
     // the oracle is GENERATED from the same constants and unrolls the
     // same fixed-point iteration loop — it cannot drift from the operator
     "graph_pagerank" -> graft.pipeline.WebGraph.pageRankOracleSql(
