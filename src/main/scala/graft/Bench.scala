@@ -109,6 +109,35 @@ object Bench {
     if (vs.isEmpty) (vs, Seq.empty)
     else { val m = vs.min; vs.partition(v => !overFamilyGate(v, m)) }
 
+  /** The whole family-history update: prepend each row's new min
+    * UNTRIMMED, adjudicate, THEN window-trim the kept list — in that
+    * order, or a full list's over-family newcomer would evict the
+    * oldest entry (often the protected min) via take() before
+    * [[splitAdjudicated]] ever saw it, aging the regression in after
+    * one round and dropping the evicted value unannotated. Returns the
+    * updated history and the rows that adjudicated entries this pass. */
+  private[graft] def updateFamilyHistory(
+      prev: Map[String, Seq[Double]],
+      mins: Seq[(String, Double)]): (Map[String, Seq[Double]], List[String]) = {
+    var adjudicatedRows: List[String] = Nil
+    val appended = mins.foldLeft(prev) { case (acc, (name, best)) =>
+      acc.updated(name, best +: acc.getOrElse(name, Seq.empty))
+    }
+    val updated = appended.foldLeft(appended) { case (acc, (k, vs)) =>
+      if (k.startsWith(AdjudicatedPrefix)) acc
+      else {
+        val (kept, adjudicated) = splitAdjudicated(vs)
+        if (adjudicated.nonEmpty) adjudicatedRows ::= k
+        val trimmed = acc.updated(k, kept.take(FamilyHistoryLen))
+        if (adjudicated.isEmpty) trimmed
+        else trimmed.updated(AdjudicatedPrefix + k,
+          (adjudicated ++ acc.getOrElse(AdjudicatedPrefix + k, Seq.empty))
+            .take(FamilyHistoryLen))
+      }
+    }
+    (updated, adjudicatedRows)
+  }
+
   /** Sick-probe backoff schedule (seconds) — escalating waits so a
     * transient (another round's verify run, a GC storm) passes without
     * burning the whole budget, while a persistently loaded host exhausts
@@ -801,28 +830,12 @@ object Bench {
     var adjudicatedRows: List[String] = Nil
     if (familyApplies) try {
       val prev = loadFamily()
-      val appended = results.foldLeft(prev) { (acc, r) =>
-        // only a min taken from a healthy-window SUCCESSFUL sample may
-        // enter the history (a failed query's near-zero wall time would
-        // poison the minimum-based threshold for FamilyHistoryLen rounds)
-        if (r.familyEligible)
-          acc.updated(r.name,
-            (r.best +: acc.getOrElse(r.name, Seq.empty)).take(FamilyHistoryLen))
-        else acc
-      }
-      val updated = appended.foldLeft(appended) { case (acc, (k, vs)) =>
-        if (k.startsWith(AdjudicatedPrefix)) acc
-        else {
-          val (kept, adjudicated) = splitAdjudicated(vs)
-          if (adjudicated.isEmpty) acc
-          else {
-            adjudicatedRows ::= k
-            acc.updated(k, kept).updated(AdjudicatedPrefix + k,
-              (adjudicated ++ acc.getOrElse(AdjudicatedPrefix + k, Seq.empty))
-                .take(FamilyHistoryLen))
-          }
-        }
-      }
+      // only a min taken from a healthy-window SUCCESSFUL sample may
+      // enter the history (a failed query's near-zero wall time would
+      // poison the minimum-based threshold for FamilyHistoryLen rounds)
+      val (updated, adjRows) = updateFamilyHistory(prev,
+        results.collect { case r if r.familyEligible => r.name -> r.best })
+      adjudicatedRows = adjRows
       saveFamily(updated)
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not update family file: $e") }

@@ -1987,7 +1987,7 @@ object SparkEntry {
           robots_rules_allowed(r.rules, p.path) AS allowed
         FROM robots_gate_pages_sql p
         LEFT JOIN (SELECT domain,
-            robots_rules(first(robots_txt), 'GraftBot') AS rules
+            robots_rules(max(robots_txt), 'GraftBot') AS rules
           FROM robots_gate_robots_sql GROUP BY domain) r
         USING (domain)""")
     }),
@@ -3141,7 +3141,7 @@ object SparkEntry {
              regexp_extract_all(page,
                '(?i)\\b(?:href|src)\\s*=\\s*["'']([^"'']+)["'']', 1) ||
              regexp_extract_all(page,
-               '(?i)\\b(?:href|src)\\s*=\\s*([^\\s"''<>`]+)', 1),
+               '(?i)\\b(?:href|src)[\\s\\x0B]*=[\\s\\x0B]*([^\\s\\x0B"''<>`]+)', 1),
              u -> regexp_matches(u, '(?i)^https?://')),
            u -> regexp_replace(regexp_replace(
              lower(regexp_extract(split_part(u, '#', 1),
@@ -5427,14 +5427,16 @@ object SparkEntry {
                || chr(10) || '</url></urlset>'
            END AS xml FROM documents),
          b AS (SELECT doc_id, unnest(regexp_extract_all(xml,
-             '(?is)<(?:url|sitemap)\b[^>]*>(.*?)</(?:url|sitemap)\s*>', 1)) AS blk
+             '(?is)<(?:url|sitemap)\b[^>]*>(.*?)</(?:url|sitemap)[\s\x0B]*>', 1)) AS blk
            FROM raw),
          e AS (SELECT doc_id,
              replace(replace(replace(replace(replace(
-               regexp_extract(blk, '(?is)<loc\s*>\s*([^<]*?)\s*</loc', 1),
+               regexp_extract(blk,
+                 '(?is)<loc[\s\x0B]*>[\s\x0B]*([^<]*?)[\s\x0B]*</loc', 1),
                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                '&apos;', ''''), '&amp;', '&') AS loc,
-             regexp_extract(blk, '(?is)<lastmod\s*>\s*([^<]*?)\s*</lastmod', 1)
+             regexp_extract(blk,
+               '(?is)<lastmod[\s\x0B]*>[\s\x0B]*([^<]*?)[\s\x0B]*</lastmod', 1)
                AS lastmod
            FROM b)
          SELECT doc_id, loc, lastmod FROM e

@@ -1188,16 +1188,22 @@ object Curation {
     * broadcast in low GBs; `broadcastRobots = false` falls back to a
     * domain-keyed shuffle join for robots frames past broadcast size
     * (the page stream then shuffles on domain — co-locate by bucketing
-    * pages on `domainCol` to keep that one-sided). */
+    * pages on `domainCol` to keep that one-sided).
+    *
+    * Feed ONE canonical fetch per domain. If the frame carries several
+    * DIFFERENT texts for a domain (stale + re-fetch), the gate picks the
+    * lexicographic max — an arbitrary but DETERMINISTIC choice, so the
+    * same input always yields the same verdicts (an unordered "first"
+    * would flip verdicts run to run under shuffle nondeterminism);
+    * resolve multi-fetch frames upstream (e.g. latest by fetch time). */
   def robotsGate(pages: DataFrame, robots: DataFrame, agent: String,
                  domainCol: String = "domain", pathCol: String = "path",
                  robotsTxtCol: String = "robots_txt",
                  broadcastRobots: Boolean = true): DataFrame = {
     val rulesCol = "__robots_rules"
     val parsed = robots
-      .dropDuplicates(domainCol)
-      .select(col(domainCol),
-        Robots.rules(col(robotsTxtCol), lit(agent)).as(rulesCol))
+      .groupBy(col(domainCol))
+      .agg(Robots.rules(max(col(robotsTxtCol)), lit(agent)).as(rulesCol))
     val dim = if (broadcastRobots) broadcast(parsed) else parsed
     pages.join(dim, Seq(domainCol), "left")
       .withColumn("allowed", Robots.rulesAllowed(col(rulesCol), col(pathCol)))

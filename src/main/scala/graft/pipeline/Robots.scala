@@ -97,7 +97,11 @@ object Robots {
 
   /** Kernel for [[rulesAllowed]]: the RFC 9309 §2.2.2 most-specific-
     * match walk over a pre-parsed rule array ([[rulesKernel]]'s
-    * layout). `rules` may be null = allow-all. */
+    * layout). `rules` may be null = allow-all. [[rulesKernel]] never
+    * emits null elements or fields, but the SQL registration accepts
+    * any `ARRAY<STRUCT<string, boolean>>` a user hand-builds — null
+    * elements and null-fielded rules are skipped like empty-pattern
+    * rules (§2.2.2 no-ops), never an executor NPE. */
   def rulesAllowedKernel(
       rules: org.apache.spark.sql.catalyst.util.ArrayData,
       path: UTF8String): Boolean = {
@@ -108,13 +112,15 @@ object Robots {
     var i = 0
     val n = rules.numElements()
     while (i < n) {
-      val row = rules.getStruct(i, 2)
-      val pat = row.getUTF8String(0).toString
-      val allow = row.getBoolean(1)
-      if (pat.nonEmpty && patternMatches(pat, p)) {
-        if (pat.length > bestLen || (pat.length == bestLen && allow)) {
-          bestLen = pat.length
-          bestAllow = allow
+      val row = if (rules.isNullAt(i)) null else rules.getStruct(i, 2)
+      if (row != null && !row.isNullAt(0) && !row.isNullAt(1)) {
+        val pat = row.getUTF8String(0).toString
+        val allow = row.getBoolean(1)
+        if (pat.nonEmpty && patternMatches(pat, p)) {
+          if (pat.length > bestLen || (pat.length == bestLen && allow)) {
+            bestLen = pat.length
+            bestAllow = allow
+          }
         }
       }
       i += 1

@@ -917,12 +917,18 @@ object TextAnalysis {
     * excluded from the first character. Both patterns live in the
     * Java-regex ∩ RE2 common subset so the DuckDB oracles replay them
     * verbatim. */
+  // the unquoted arm writes [\s\x0B] instead of bare \s: Java's \s
+  // includes vertical tab, RE2's (the DuckDB oracle's) does not, and a
+  // bare-\s capture class would make the two engines capture DIFFERENT
+  // text around a \x0B byte in real crawl data; the union class means
+  // the same set on both
   private def attrUrlCandidates(html: Column): Column =
     concat(
       regexp_extract_all(html,
         lit("(?i)\\b(?:href|src)\\s*=\\s*[\"']([^\"']+)[\"']"), lit(1)),
       regexp_extract_all(html,
-        lit("(?i)\\b(?:href|src)\\s*=\\s*([^\\s\"'<>`]+)"), lit(1)))
+        lit("(?i)\\b(?:href|src)[\\s\\x0B]*=[\\s\\x0B]*([^\\s\\x0B\"'<>`]+)"),
+        lit(1)))
 
   /** Outlink extraction for crawl curation: `href`/`src` attribute values
     * in the page markup (quoted or unquoted), kept when absolute
@@ -992,15 +998,19 @@ object TextAnalysis {
     filter(
       transform(
         regexp_extract_all(xml,
-          lit("(?is)<(?:url|sitemap)\\b[^>]*>(.*?)</(?:url|sitemap)\\s*>"),
+          lit("(?is)<(?:url|sitemap)\\b[^>]*>(.*?)</(?:url|sitemap)[\\s\\x0B]*>"),
           lit(1)),
-        // \s-bounded lazy capture, NOT trim(): SQL trim strips spaces
-        // only, and sitemap locs are routinely newline-padded
+        // whitespace-bounded lazy captures, NOT trim(): SQL trim strips
+        // spaces only, and sitemap locs are routinely newline-padded.
+        // [\s\x0B] rather than bare \s so Java and RE2 (the oracle) mean
+        // the same character set — Java's \s includes vertical tab
         b => struct(
           xmlUnescape(regexp_extract(b,
-            "(?is)<loc\\s*>\\s*([^<]*?)\\s*</loc", 1)).as("loc"),
+            "(?is)<loc[\\s\\x0B]*>[\\s\\x0B]*([^<]*?)[\\s\\x0B]*</loc", 1))
+            .as("loc"),
           regexp_extract(b,
-            "(?is)<lastmod\\s*>\\s*([^<]*?)\\s*</lastmod", 1).as("lastmod"))),
+            "(?is)<lastmod[\\s\\x0B]*>[\\s\\x0B]*([^<]*?)[\\s\\x0B]*</lastmod",
+            1).as("lastmod"))),
       e => e.getField("loc").rlike("(?i)^https?://"))
 
   /** Just the URLs of [[sitemapEntries]] — the frontier-feed projection. */

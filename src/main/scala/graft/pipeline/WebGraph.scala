@@ -64,67 +64,78 @@ object WebGraph {
     require(scale >= 1 && scale <= Long.MaxValue / 100,
       s"pageRank: scale must be in [1, ${Long.MaxValue / 100}] " +
         s"(the 85x damping product must not overflow Long), got $scale")
-    val e = Materialize(
-      edges.select(col(srcCol).cast("long").as("src"),
-          col(dstCol).cast("long").as("dst"))
-        .where(col("src") =!= col("dst")).distinct(),
-      strategy)
-    val nodes = Materialize(
-      e.select(col("src").as("node"))
-        .unionByName(e.select(col("dst").as("node"))).distinct(),
-      strategy)
-    val n = nodes.count()
-    require(n > 0, "pageRank: empty graph")
-    // out-degrees attached to the edges ONCE — the per-iteration join
-    // then carries (src, dst, outdeg) against the current ranks
-    val eDeg = Materialize(
-      e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src"),
-      strategy)
-    // nodes with no out-edge: their mass either decays (default) or is
-    // shared back per iteration (conserved arm)
-    val dangling = if (danglingRedistribute)
-      Materialize(nodes.join(e.select(col("src").as("node")).distinct(),
-        Seq("node"), "left_anti"), strategy)
-    else null
-    // exact integer order pinned for the oracle: (scale*15/100)/n
-    val base = scale * 15 / 100 / n
-    var ranks = nodes.select(col("node"), lit(scale / n).as("rank"))
-    var prev: org.apache.spark.sql.DataFrame = null
-    var i = 0
-    while (i < iterations) {
-      // conserved arm: the dangling nodes' total mass, shared per node
-      // (truncating, same order as the oracle's `//`) — a bounded driver
-      // read of ONE long, priced as the extra per-iteration aggregate
-      val dShare = if (danglingRedistribute)
-        ranks.join(dangling, Seq("node"))
-          .agg(coalesce(sum(col("rank")), lit(0L)).as("d"))
-          .collect()(0).getLong(0) / n
-      else 0L
-      val contribs = eDeg.join(ranks, eDeg("src") === ranks("node"))
-        .select(eDeg("dst").as("node"), expr("rank div outdeg").as("c"))
-        .groupBy("node").agg(sum(col("c")).as("cin"))
-      ranks = Materialize(
-        nodes.join(contribs, Seq("node"), "left")
-          .select(col("node"), expr(
-            s"$base + (85 * (coalesce(cin, CAST(0 AS BIGINT)) + $dShare)) div 100")
-            .cast("long").as("rank")),
-        strategy)
-      // iteration i's ranks feed ONLY iteration i+1, which has now
-      // materialized — release eagerly instead of retaining all K
-      // node-sized intermediates for the scope/app lifetime
-      if (prev != null) Materialize.release(prev)
-      prev = ranks
-      i += 1
+    // every live barrier registers here: the happy path releases all but
+    // the returned ranks (ADVICE r17 — leaking them retained graph-sized
+    // cached RDDs per CALL for the app lifetime, including every
+    // `SELECT * FROM pagerank(...)` statement), and the catch-all below
+    // releases them on ANY failure too (the empty-graph require, a task
+    // failure mid-iteration) so an aborted call cannot leak either
+    val live = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def mat(df: DataFrame): DataFrame = {
+      val m = Materialize(df, strategy); live += m; m
     }
-    // the returned ranks frame is itself a barrier and no longer depends
-    // on the graph-sized inputs — release them too (ADVICE r17: leaking
-    // them retained three graph-sized cached RDDs per CALL for the app
-    // lifetime, including every `SELECT * FROM pagerank(...)` statement)
-    Materialize.release(eDeg)
-    if (dangling != null) Materialize.release(dangling)
-    Materialize.release(nodes)
-    Materialize.release(e)
-    ranks
+    def release(df: DataFrame): Unit = { live -= df; Materialize.release(df) }
+    try {
+      val e = mat(
+        edges.select(col(srcCol).cast("long").as("src"),
+            col(dstCol).cast("long").as("dst"))
+          .where(col("src") =!= col("dst")).distinct())
+      val nodes = mat(
+        e.select(col("src").as("node"))
+          .unionByName(e.select(col("dst").as("node"))).distinct())
+      val n = nodes.count()
+      require(n > 0, "pageRank: empty graph")
+      // out-degrees attached to the edges ONCE — the per-iteration join
+      // then carries (src, dst, outdeg) against the current ranks
+      val eDeg = mat(
+        e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src"))
+      // nodes with no out-edge: their mass either decays (default) or is
+      // shared back per iteration (conserved arm)
+      val dangling = if (danglingRedistribute)
+        mat(nodes.join(e.select(col("src").as("node")).distinct(),
+          Seq("node"), "left_anti"))
+      else null
+      // exact integer order pinned for the oracle: (scale*15/100)/n
+      val base = scale * 15 / 100 / n
+      var ranks = nodes.select(col("node"), lit(scale / n).as("rank"))
+      var prev: org.apache.spark.sql.DataFrame = null
+      var i = 0
+      while (i < iterations) {
+        // conserved arm: the dangling nodes' total mass, shared per node
+        // (truncating, same order as the oracle's `//`) — a bounded driver
+        // read of ONE long, priced as the extra per-iteration aggregate
+        val dShare = if (danglingRedistribute)
+          ranks.join(dangling, Seq("node"))
+            .agg(coalesce(sum(col("rank")), lit(0L)).as("d"))
+            .collect()(0).getLong(0) / n
+        else 0L
+        val contribs = eDeg.join(ranks, eDeg("src") === ranks("node"))
+          .select(eDeg("dst").as("node"), expr("rank div outdeg").as("c"))
+          .groupBy("node").agg(sum(col("c")).as("cin"))
+        ranks = mat(
+          nodes.join(contribs, Seq("node"), "left")
+            .select(col("node"), expr(
+              s"$base + (85 * (coalesce(cin, CAST(0 AS BIGINT)) + $dShare)) div 100")
+              .cast("long").as("rank")))
+        // iteration i's ranks feed ONLY iteration i+1, which has now
+        // materialized — release eagerly instead of retaining all K
+        // node-sized intermediates for the scope/app lifetime
+        if (prev != null) release(prev)
+        prev = ranks
+        i += 1
+      }
+      // the returned ranks frame is itself a barrier and no longer
+      // depends on the graph-sized inputs — release everything else
+      live.filter(_ ne ranks).toList.foreach(release)
+      ranks
+    } catch {
+      case t: Throwable =>
+        live.toList.foreach { f =>
+          try Materialize.release(f)
+          catch { case r: Throwable => t.addSuppressed(r) }
+        }
+        throw t
+    }
   }
 
   /** The DuckDB mirror of [[pageRank]], GENERATED with the same

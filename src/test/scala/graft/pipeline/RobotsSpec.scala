@@ -143,6 +143,19 @@ class RobotsSpec extends AnyFunSuite with SparkSpec {
     assert(sql == composed)
   }
 
+  test("robots_rules_allowed: hand-built arrays with null elements or " +
+    "null fields skip them as rule no-ops — never an executor NPE") {
+    val got = spark.sql(
+      """SELECT robots_rules_allowed(array(
+           named_struct('pattern', CAST(NULL AS STRING), 'allow', true),
+           CAST(NULL AS STRUCT<pattern: STRING, allow: BOOLEAN>),
+           named_struct('pattern', '/x', 'allow', false),
+           named_struct('pattern', '/x/ok', 'allow',
+             CAST(NULL AS BOOLEAN))), '/x/ok') AS a""").collect()
+    // the null-fielded rules are no-ops; the one valid rule disallows
+    assert(got.length == 1 && !got(0).getBoolean(0))
+  }
+
   test("robotsGate: domain-granular verdicts are IDENTICAL to the per-row " +
     "expression over a many-paths-per-domain frame; domains with no " +
     "robots row allow everything") {

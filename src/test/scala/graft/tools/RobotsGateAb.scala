@@ -31,7 +31,7 @@ object RobotsGateAb {
         s"Disallow: *.tmp$$\nCrawl-delay: ${g % 9}\nAllow: /g$g/pub"
     }.mkString("", "\n\n", "\n\nUser-agent: *\nDisallow: /blocked/\nAllow: /\n")
 
-    // ~7M paths (sf0.1 lineitem keys) over 64 domains
+    // sf0.1 lineitem keys (~600k paths; ~7M at sf1) over 64 domains
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey"))
     val pages = li.select(
