@@ -395,6 +395,20 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
       s"the pre-parsed walk must sit above the join on the page stream:\n$opt")
   }
 
+  test("curate_sitemaps: sitemap parsing is ONE pruned scan -> project -> " +
+    "explode, zero exchanges (the 100 TB extraction shape)") {
+    val plan = graft.SparkEntry.queries("curate_sitemaps")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"sitemap extraction must not shuffle:\n$plan")
+    assert(plan.contains("Generate"),
+      s"entries must explode scan-side:\n$plan")
+    val scans = plan.linesIterator.count(_.contains("FileScan"))
+    assert(scans == 1, s"expected ONE documents scan, got $scans:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"documents scan must prune to doc_id (the fixture derives from it):\n$plan")
+  }
+
   test("curate_robots_gate: the fixture's LITERAL robots text " +
     "constant-folds — zero runtime parses, pre-parsed rules broadcast") {
     val plan = graft.SparkEntry.queries("curate_robots_gate")(spark, dir)

@@ -220,6 +220,44 @@ class HttpWarcSpec extends AnyFunSuite with SparkSpec {
       Set((200, "<p>plain</p>"), (404, "gone away"), (200, "<p>zipped</p>")))
   }
 
+  test("warc streaming: the full frontier extraction chain (http_text -> " +
+    "outlinks -> strip tracking params -> explode) runs stateless on the " +
+    "micro-batch reader, identical to the batch read") {
+    import graft.pipeline.TextAnalysis
+    val src = tmp("warc_frontier_src")
+    val page = "<html><a href=\"https://Ex.COM/a?utm_source=x&id=1\">a</a> " +
+      "<a href=HTTP://ex.com:80/unq>u</a> <a href=\"/rel\">r</a></html>"
+    Seq(("urn:f:0", "response", "application/http; msgtype=response",
+        msg("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n",
+          page.getBytes("UTF-8"))))
+      .toDF("record_id", "warc_type", "content_type", "payload")
+      .withColumn("target_uri", lit("https://ex.com/f0"))
+      .withColumn("date", lit("2026-01-01T00:00:00Z"))
+      .coalesce(1).transform(df => { Warc.write(df, src); df })
+    val land = tmp("warc_frontier_land")
+    val f = new java.io.File(src).listFiles().find(_.getName.endsWith(".warc")).get
+    java.nio.file.Files.copy(f.toPath,
+      java.nio.file.Paths.get(land, "wave00.warc"))
+    def chain(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(org.apache.spark.sql.functions.transform(
+        TextAnalysis.outlinks(HttpText.decode(
+          col("http_body"), col("http_content_type"))),
+        u => TextAnalysis.stripTrackingParams(u))).as("link"))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = chain(spark.readStream.format("warc").load(land))
+      .writeStream.option("checkpointLocation", tmp("warc_frontier_ckpt"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => seen.add(r.getString(0)))
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    import scala.jdk.CollectionConverters._
+    val batch = chain(spark.read.format("warc").load(land))
+      .collect().map(_.getString(0)).toSet
+    assert(seen.asScala.toSet == batch &&
+      batch == Set("https://ex.com/a?id=1", "http://ex.com/unq"), s"got $batch")
+  }
+
   test("warc read: a projection without http_* columns never parses http " +
     "(and one with only http_body works with payload pruned out)") {
     val dir = crawlDir()
