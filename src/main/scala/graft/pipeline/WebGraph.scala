@@ -39,9 +39,14 @@ import graft.util.{CheckpointStrategy, Materialize}
   * lineage. Intermediates release eagerly: iteration i's ranks are
   * freed once iteration i+1 materializes, and the graph-sized inputs
   * (edges, nodes, out-degrees) are freed after the loop — only the
-  * returned ranks frame retains storage. At the 100 TB tier, bucket
-  * the edge table by `src` ([[graft.util.BucketedTables]]) and the
-  * per-iteration join stops shuffling the edge side entirely.
+  * returned ranks frame retains storage. The edge side never
+  * RE-shuffles across iterations: the eDeg barrier carries the
+  * hash-partitioning of the join that built it, so each iteration
+  * exchanges only the node-sized ranks (measured: exactly 2 exchanges
+  * per iteration — ranks + the contribution aggregate — at 4.8M edges,
+  * SCALE.md round-18). At the 100 TB tier, bucket the EDGE TABLE by
+  * `src` ([[graft.util.BucketedTables]]) to also make the one-time
+  * e/eDeg build exchange-free.
   */
 object WebGraph {
 
