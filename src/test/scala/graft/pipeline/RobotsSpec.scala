@@ -188,5 +188,12 @@ class RobotsSpec extends AnyFunSuite with SparkSpec {
     assert(gate.size == 2000 && gate == perRow)
     // both verdict polarities actually occur
     assert(gate.values.exists(identity) && gate.values.exists(!_))
+    // the past-broadcast-size arm: a domain-keyed shuffle join, same
+    // verdicts bit-for-bit
+    val shuffled = Curation.robotsGate(pages, robots, "graftbot",
+        broadcastRobots = false)
+      .select(col("id"), col("allowed"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(shuffled == gate)
   }
 }
