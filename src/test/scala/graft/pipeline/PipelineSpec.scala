@@ -756,6 +756,61 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       s"got $bare")
   }
 
+  test("property: outlinks roundtrip — random URLs embedded quoted or " +
+    "unquoted among noise extract exactly, in quoted-then-unquoted order") {
+    val rnd = new scala.util.Random(7L)
+    def seg() =
+      Array.fill(1 + rnd.nextInt(6))(('a' + rnd.nextInt(26)).toChar).mkString
+    val rows = (0 until 200).map { i =>
+      // pre-normalized form (lowercase, no default port, no fragment) so
+      // normalizeUrl is the identity and the roundtrip is exact
+      val urls = (0 until 1 + rnd.nextInt(4)).map(j =>
+        s"https://${seg()}.com/${seg()}?x=$j")
+      val html = urls.zipWithIndex.map { case (u, j) =>
+        if (j % 2 == 0) s"""<a href="$u">q</a>""" else s"<img src=$u >"
+      }.mkString(s"<html>${seg()} ", " ", s" ${seg()}</html>")
+      // extraction order: quoted matches in doc order, then unquoted
+      val want = (urls.zipWithIndex.collect { case (u, j) if j % 2 == 0 => u }
+        ++ urls.zipWithIndex.collect { case (u, j) if j % 2 == 1 => u }).distinct
+      (i.toLong, html, want)
+    }
+    val got = rows.map(r => (r._1, r._2)).toDF("id", "html")
+      .select($"id", TextAnalysis.outlinks($"html").as("u"))
+      .as[(Long, Seq[String])].collect().toMap
+    rows.foreach { case (id, _, want) =>
+      assert(got(id) == want, s"id $id: got ${got(id)}, want $want")
+    }
+  }
+
+  test("property: sitemapEntries roundtrip — random entity-escaped, " +
+    "whitespace-padded locs decode back exactly, lastmod optional") {
+    val rnd = new scala.util.Random(11L)
+    val urlChars = "abAB12&<>\"'"
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;").replace("'", "&apos;")
+    val pads = Seq("", " ", "\n", "\n  ", "\t")
+    val rows = (0 until 200).map { i =>
+      val entries = (0 until 1 + rnd.nextInt(4)).map { j =>
+        val raw = s"https://ex.com/" + Array.fill(1 + rnd.nextInt(8))(
+          urlChars(rnd.nextInt(urlChars.length))).mkString + s"/$j"
+        val lm = if (rnd.nextBoolean()) s"2026-0${1 + rnd.nextInt(9)}-01" else ""
+        val lmXml = if (lm.isEmpty) ""
+          else s"<lastmod>${pads(rnd.nextInt(pads.length))}$lm</lastmod>"
+        val xml = s"<url><loc>${pads(rnd.nextInt(pads.length))}${esc(raw)}" +
+          s"${pads(rnd.nextInt(pads.length))}</loc>$lmXml</url>"
+        ((raw, lm), xml)
+      }
+      (i.toLong, s"<urlset>${entries.map(_._2).mkString}</urlset>",
+        entries.map(_._1))
+    }
+    val got = rows.map(r => (r._1, r._2)).toDF("id", "xml")
+      .select($"id", TextAnalysis.sitemapEntries($"xml").as("e"))
+      .as[(Long, Seq[(String, String)])].collect().toMap
+    rows.foreach { case (id, _, want) =>
+      assert(got(id) == want, s"id $id: got ${got(id)}, want $want")
+    }
+  }
+
   test("sitemapEntries: urlset + sitemapindex blocks, entity decode, " +
     "optional lastmod, whitespace trim, non-http locs filtered") {
     val urlset = "<?xml version=\"1.0\"?><urlset " +
