@@ -1900,6 +1900,27 @@ object SparkEntry {
         .select(col("doc_id"), col("e.loc").as("loc"),
           col("e.lastmod").as("lastmod"))
     }),
+    // frontier loop closure: newly discovered URLs = the canonicalized
+    // frontier ANTI-joined against the already-visited set (broadcast —
+    // in production the visited side is the crawl log, bucketed by URL).
+    // The fixture's visited set is exactly the post-strip 'track' links,
+    // so every doc contributes its other two canonical links
+    "curate_frontier_new" -> ((s, dir) => {
+      val warcDir = httpWarcFixture(s, dir, "frontier", frontierPage)
+      val frontier = s.read.format("warc").load(warcDir)
+        .select(expr("CAST(substr(record_id, 9) AS BIGINT)").as("doc_id"),
+          explode(org.apache.spark.sql.functions.array_distinct(
+            transform(
+              TextAnalysis.outlinks(graft.sources.HttpText.decode(
+                col("http_body"), col("http_content_type"))),
+              u => TextAnalysis.stripTrackingParams(u)))).as("link"))
+      val visited = t(s, dir, "documents").select(
+        concat(lit("https://example.com/track"), col("doc_id"),
+          lit(".html?id="), col("doc_id")).as("link"))
+      frontier.join(org.apache.spark.sql.functions.broadcast(visited),
+        Seq("link"), "left_anti")
+        .select(col("doc_id"), col("link"))
+    }),
     // robots.txt compliance gate (RFC 9309): group selection by longest
     // product-token prefix with * fallback, longest-pattern rule
     // precedence with allow-on-tie, */$ patterns — the filter a
@@ -3202,6 +3223,15 @@ object SparkEntry {
                     p -> NOT regexp_matches(p, '(?i)^(utm_[a-z0-9_]*|gclid|fbclid|msclkid)=')), '&')
               ELSE split_part(u, '?', 1) END)) AS links FROM ex)
        SELECT doc_id, unnest(links) AS link FROM st"""
+
+  // the frontier oracle wrapped as a subquery, anti-filtered by the
+  // reconstructed visited set — the same loop-closure the Spark query
+  // expresses as a broadcast left_anti join
+  private def warcFrontierNewOracle =
+    s"""SELECT f.doc_id, f.link FROM ($warcFrontierOracle) f
+       WHERE f.link NOT IN (
+         SELECT 'https://example.com/track' || doc_id || '.html?id=' || doc_id
+         FROM documents)"""
 
   private val warcLinkDomainsOracle = warcLinksExtractSql +
     """, l AS (SELECT doc_id, unnest(links) AS link FROM ex)
@@ -5394,6 +5424,7 @@ object SparkEntry {
     // same extraction/normalization regex chain over the rebuilt page
     "warc_links" -> warcLinksOracle,
     "warc_frontier" -> warcFrontierOracle,
+    "curate_frontier_new" -> warcFrontierNewOracle,
     "warc_links_resolved" -> warcLinksResolvedOracle,
     "warc_link_domains" -> warcLinkDomainsOracle,
     // the same extraction chain, domain rollup, and the domain-derived
