@@ -1900,6 +1900,36 @@ object SparkEntry {
         .select(col("doc_id"), col("e.loc").as("loc"),
           col("e.lastmod").as("lastmod"))
     }),
+    // nofollow-aware outlink extraction: frontier/PageRank edges must
+    // respect the per-anchor rel=nofollow opt-out. The fixture's arms:
+    // a plain followed link, rel="nofollow", unquoted rel=nofollow,
+    // nofollow inside a rel token LIST, an unquoted href on a followed
+    // anchor, and an <img> (outside follow scope by design). The oracle
+    // REPLAYS the same anchor-filter + href + normalization chain
+    "warc_links_follow" -> ((s, dir) => {
+      val warcDir = httpWarcFixture(s, dir, "flinks", followLinksPage)
+      s.read.format("warc").load(warcDir)
+        .select(expr("CAST(substr(record_id, 9) AS BIGINT)").as("doc_id"),
+          explode(TextAnalysis.outlinksFollow(graft.sources.HttpText.decode(
+            col("http_body"), col("http_content_type")))).as("link"))
+    }),
+    // page-level robots directives (<meta name=robots>): the HTML side
+    // of the compliance gate. Arms: noindex+nofollow, nofollow-only
+    // single-quoted, NOINDEX uppercase-unquoted-name, and a decoy pair
+    // (description meta with 'noindex' in its content + name="robotsx")
+    // that must NOT gate. Replay oracle
+    "curate_robots_meta" -> ((s, dir) => {
+      val page = expr("""CASE CAST(doc_id % 4 AS INT)
+        WHEN 0 THEN '<html><head><meta name="robots" content="noindex, nofollow"></head><body>x</body></html>'
+        WHEN 1 THEN concat('<meta charset=utf-8><meta name=', chr(39), 'robots', chr(39), ' content=', chr(39), 'nofollow', chr(39), '>')
+        WHEN 2 THEN '<META NAME=ROBOTS CONTENT="NOINDEX">'
+        ELSE '<meta name="description" content="noindex decoy"><meta name="robotsx" content="noindex">'
+        END""")
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.robotsMeta(page).as("m"))
+        .select(col("doc_id"), col("m.noindex").as("noindex"),
+          col("m.nofollow").as("nofollow"))
+    }),
     // frontier loop closure: newly discovered URLs = the canonicalized
     // frontier ANTI-joined against the already-visited set (broadcast —
     // in production the visited side is the crawl log, bucketed by URL).
@@ -3187,6 +3217,86 @@ object SparkEntry {
 
   private val warcLinksOracle = warcLinksExtractSql +
     " SELECT doc_id, unnest(links) AS link FROM ex"
+
+  /** The anchor page behind `warc_links_follow`: followed, nofollow'd
+    * (quoted, unquoted, token-list), unquoted-href-followed, and an img
+    * outside the anchor scope. */
+  private def followLinksPage: org.apache.spark.sql.Column = concat(
+    lit("<html><a href=\"https://ex.com/keep"), col("doc_id"),
+    lit("\">k</a> <a rel=\"nofollow\" href=\"https://ex.com/nf"),
+    col("doc_id"),
+    lit("\">n</a> <a href=\"https://ex.com/nf2"), col("doc_id"),
+    lit("\" rel=nofollow>n2</a> " +
+      "<a rel=\"external nofollow\" href=\"https://ex.com/nf3"), col("doc_id"),
+    lit("\">n3</a> <a href=https://ex.com/unq"), col("doc_id"),
+    lit(" rel=\"me\">u</a> <img src=\"https://ex.com/img"), col("doc_id"),
+    lit(".png\"> "), col("text"), lit("</html>"))
+
+  /** The normalizeUrl chain as DuckDB SQL over expression `u` — shared
+    * by every link-oracle replay. */
+  private def normalizeUrlSql(u: String): String =
+    s"""regexp_replace(regexp_replace(
+       lower(regexp_extract(split_part($u, '#', 1),
+         '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1)) ||
+       regexp_replace(split_part($u, '#', 1),
+         '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', ''),
+       '^(http://[^/:?]*):80($$|[/?])', '\\1\\2'),
+       '^(https://[^/:?]*):443($$|[/?])', '\\1\\2')"""
+
+  // warc_links_follow: the page rebuilt in SQL, then the SAME
+  // anchor-scope filter, nofollow token test, quoted-else-unquoted href
+  // extraction, http(s) filter and normalization
+  private def warcLinksFollowOracle =
+    s"""WITH raw AS (SELECT doc_id,
+         '<html><a href="https://ex.com/keep' || doc_id ||
+         '">k</a> <a rel="nofollow" href="https://ex.com/nf' || doc_id ||
+         '">n</a> <a href="https://ex.com/nf2' || doc_id ||
+         '" rel=nofollow>n2</a> <a rel="external nofollow" href="https://ex.com/nf3'
+         || doc_id || '">n3</a> <a href=https://ex.com/unq' || doc_id ||
+         ' rel="me">u</a> <img src="https://ex.com/img' || doc_id ||
+         '.png"> ' || text || '</html>' AS page FROM documents),
+       a AS (SELECT doc_id, list_filter(
+           regexp_extract_all(page, '(?is)<a\\b[^>]*>', 0),
+           t -> NOT regexp_matches(t,
+             '(?i)\\brel[\\s\\x0B]*=[\\s\\x0B]*["'']?[^"''>]*\\bnofollow\\b'))
+           AS tags FROM raw),
+       h AS (SELECT doc_id, list_distinct(list_transform(
+           list_filter(
+             list_transform(tags, t ->
+               CASE WHEN len(regexp_extract(t,
+                   '(?i)\\bhref\\s*=\\s*["'']([^"'']*)["'']', 1)) > 0
+                 THEN regexp_extract(t,
+                   '(?i)\\bhref\\s*=\\s*["'']([^"'']*)["'']', 1)
+                 ELSE regexp_extract(t,
+                   '(?i)\\bhref[\\s\\x0B]*=[\\s\\x0B]*([^\\s\\x0B"''<>`]+)', 1)
+               END),
+             u -> regexp_matches(u, '(?i)^https?://')),
+           u -> ${normalizeUrlSql("u")})) AS links FROM a)
+       SELECT doc_id, unnest(links) AS link FROM h"""
+
+  // curate_robots_meta: the page rebuilt in SQL, the SAME name-robots
+  // meta filter and content token tests
+  private val robotsMetaOracle =
+    """WITH raw AS (SELECT doc_id,
+         CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN '<html><head><meta name="robots" content="noindex, nofollow"></head><body>x</body></html>'
+           WHEN 1 THEN '<meta charset=utf-8><meta name=' || chr(39) || 'robots' || chr(39) || ' content=' || chr(39) || 'nofollow' || chr(39) || '>'
+           WHEN 2 THEN '<META NAME=ROBOTS CONTENT="NOINDEX">'
+           ELSE '<meta name="description" content="noindex decoy"><meta name="robotsx" content="noindex">'
+         END AS page FROM documents),
+       m AS (SELECT doc_id, list_filter(
+           regexp_extract_all(page, '(?is)<meta\b[^>]*>', 0),
+           t -> regexp_matches(t,
+             '(?i)\bname[\s\x0B]*=[\s\x0B]*["'']?robots\b')) AS metas
+         FROM raw)
+       SELECT doc_id,
+         len(list_filter(metas, t -> regexp_matches(t,
+           '(?i)\bcontent[\s\x0B]*=[\s\x0B]*["'']?[^"''>]*\bnoindex\b'))) > 0
+           AS noindex,
+         len(list_filter(metas, t -> regexp_matches(t,
+           '(?i)\bcontent[\s\x0B]*=[\s\x0B]*["'']?[^"''>]*\bnofollow\b'))) > 0
+           AS nofollow
+       FROM m"""
 
   /** The tracking-param page behind `warc_frontier`: params surviving
     * around stripped ones, an all-stripped query, an untouched query,
@@ -5425,6 +5535,8 @@ object SparkEntry {
     "warc_links" -> warcLinksOracle,
     "warc_frontier" -> warcFrontierOracle,
     "curate_frontier_new" -> warcFrontierNewOracle,
+    "warc_links_follow" -> warcLinksFollowOracle,
+    "curate_robots_meta" -> robotsMetaOracle,
     "warc_links_resolved" -> warcLinksResolvedOracle,
     "warc_link_domains" -> warcLinkDomainsOracle,
     // the same extraction chain, domain rollup, and the domain-derived

@@ -756,6 +756,30 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       s"got $bare")
   }
 
+  test("robotsMeta + outlinksFollow: meta directives gate with token " +
+    "boundaries; nofollow anchors drop from the followed set") {
+    val rows = Seq(
+      (0L, "<meta name=\"robots\" content=\"noindex,nofollow\">" +
+        "<a href=\"https://ex.com/a\">x</a>"),
+      (1L, "<META NAME=ROBOTS CONTENT=\"NOFOLLOW\">" +
+        "<a rel=\"external nofollow\" href=\"https://ex.com/a\">x</a>" +
+        "<a href=https://ex.com/b rel=\"me\">y</a>"),
+      // decoys: robotsx name, noindex inside a NON-robots meta, and a
+      // rel value merely CONTAINING the letters (nofollowed != nofollow)
+      (3L, "<meta name=\"robotsx\" content=\"noindex\">" +
+        "<meta name=\"description\" content=\"noindex nofollow\">" +
+        "<a rel=\"nofollowed\" href=\"https://ex.com/c\">z</a>"))
+      .toDF("id", "html")
+    val got = rows.select($"id",
+        TextAnalysis.robotsMeta($"html").as("m"),
+        TextAnalysis.outlinksFollow($"html").as("f"))
+      .as[(Long, (Boolean, Boolean), Seq[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(0L) == (((true, true), Seq("https://ex.com/a"))), got(0L))
+    assert(got(1L) == (((false, true), Seq("https://ex.com/b"))), got(1L))
+    assert(got(3L) == (((false, false), Seq("https://ex.com/c"))), got(3L))
+  }
+
   test("property: outlinks roundtrip — random URLs embedded quoted or " +
     "unquoted among noise extract exactly, in quoted-then-unquoted order") {
     val rnd = new scala.util.Random(7L)
