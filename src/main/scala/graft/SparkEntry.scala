@@ -2065,6 +2065,20 @@ object SparkEntry {
       s.sql(
         "SELECT * FROM pagerank('pagerank_edges_sql','src','dst','iterations',8)")
     }),
+    // the string-keyed front door: the production link graph is keyed
+    // by domain STRINGS — pageRankKeys builds the dense-id dictionary
+    // (sorted distinct keys + zipWithIndex), walks, and maps back. The
+    // oracle generates the same dictionary + walk; rank values are
+    // id-assignment-invariant (PageRank is graph-isomorphic), so the
+    // mapping only has to be a bijection on each engine
+    "graph_pagerank_keys" -> ((s, dir) =>
+      graft.pipeline.WebGraph.pageRankKeys(
+        t(s, dir, "documents").select(
+          concat(lit("d"), expr("CAST(doc_id % 89 AS STRING)"),
+            lit(".example")).as("src"),
+          concat(lit("d"), expr("CAST((doc_id * 31 + 7) % 89 AS STRING)"),
+            lit(".example")).as("dst")),
+        "src", "dst", iterations = 6)),
     // the conserved-mass arm (VERDICT r17 stretch 7) over a graph that's
     // ~half dangling (dst residues 97..210 never emit), through the
     // TVF's dangling option — each iteration's dangling sum is shared
@@ -5611,6 +5625,11 @@ object SparkEntry {
     "graph_pagerank_conserved" -> graft.pipeline.WebGraph.pageRankOracleSql(
       "SELECT doc_id % 97 AS src, (doc_id * 13 + 5) % 211 AS dst FROM documents",
       iterations = 6, danglingRedistribute = true),
+    "graph_pagerank_keys" -> graft.pipeline.WebGraph.pageRankKeysOracleSql(
+      "SELECT 'd' || CAST(doc_id % 89 AS VARCHAR) || '.example' AS src, " +
+        "'d' || CAST((doc_id * 31 + 7) % 89 AS VARCHAR) || '.example' AS dst " +
+        "FROM documents",
+      iterations = 6),
     // the nightly winnow check and its stored-state/TVF twins: one oracle
     "dedup_winnow_inc" -> winnowCrossOracle,
     "dedup_winnow_inc_stored" -> winnowCrossOracle,

@@ -143,6 +143,79 @@ object WebGraph {
     }
   }
 
+  /** String-keyed front door for [[pageRank]] — the production link
+    * graph is keyed by domain/URL STRINGS (`warc_link_domains` feeds
+    * it), and the LONG walk needs a dictionary. This builds one:
+    * distinct node keys, sorted, dense ids via `zipWithIndex` (keeps
+    * the sort's full parallelism — a global `dense_rank()` window would
+    * single-partition; the id values themselves are irrelevant to the
+    * ranks, PageRank being graph-isomorphic, so any bijection works as
+    * long as it is consistent within the run), edges mapped through two
+    * keyed joins, the exact fixed-point walk, keys joined back. Returns
+    * `(node_key STRING, rank LONG)`. Null-keyed edge endpoints drop
+    * (they cannot name a node). The dictionary and the intermediate
+    * ranks release before return — only the returned frame retains
+    * storage, as with [[pageRank]]. */
+  def pageRankKeys(edges: DataFrame, srcCol: String, dstCol: String,
+                   iterations: Int = 8,
+                   scale: Long = 1000000000000L,
+                   strategy: CheckpointStrategy = CheckpointStrategy.Local,
+                   danglingRedistribute: Boolean = false): DataFrame = {
+    val spark = edges.sparkSession
+    val keys = edges.select(col(srcCol).cast("string").as("key"))
+      .unionByName(edges.select(col(dstCol).cast("string").as("key")))
+      .where(col("key").isNotNull)
+      .distinct().sort("key")
+    val dictRdd = keys.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(r.getString(0), i)
+    }
+    val dictSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("nid",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val dict = Materialize(
+      spark.createDataFrame(dictRdd, dictSchema), strategy)
+    try {
+      val idEdges = edges
+        .select(col(srcCol).cast("string").as("sk"),
+          col(dstCol).cast("string").as("dk"))
+        .join(dict.select(col("key").as("sk"), col("nid").as("src")), "sk")
+        .join(dict.select(col("key").as("dk"), col("nid").as("dst")), "dk")
+        .select(col("src"), col("dst"))
+      val ranks = pageRank(idEdges, "src", "dst", iterations, scale,
+        strategy, danglingRedistribute)
+      try
+        Materialize(
+          ranks.join(dict, ranks("node") === dict("nid"))
+            .select(dict("key").as("node_key"), ranks("rank")),
+          strategy)
+      finally Materialize.release(ranks)
+    } finally Materialize.release(dict)
+  }
+
+  /** The DuckDB mirror of [[pageRankKeys]]: the same dictionary
+    * (row_number over sorted distinct keys — the id VALUES don't affect
+    * ranks, only the bijection's consistency), the generated LONG walk
+    * over mapped edges, keys joined back. */
+  def pageRankKeysOracleSql(edgesSql: String, iterations: Int,
+                            scale: Long = 1000000000000L,
+                            danglingRedistribute: Boolean = false): String = {
+    val inner = pageRankOracleSql(
+      s"""SELECT s.nid AS src, d.nid AS dst
+         FROM ($edgesSql) ed
+         JOIN dict s ON s.key = CAST(ed.src AS VARCHAR)
+         JOIN dict d ON d.key = CAST(ed.dst AS VARCHAR)""",
+      iterations, scale, danglingRedistribute)
+    s"""WITH dict AS (SELECT key,
+         CAST(row_number() OVER (ORDER BY key) - 1 AS BIGINT) AS nid
+       FROM (SELECT CAST(src AS VARCHAR) AS key FROM ($edgesSql)
+             UNION SELECT CAST(dst AS VARCHAR) FROM ($edgesSql)) ks
+       WHERE key IS NOT NULL)
+       SELECT d.key AS node_key, g.rank FROM ($inner) g
+       JOIN dict d ON d.nid = g.node"""
+  }
+
   /** The DuckDB mirror of [[pageRank]], GENERATED with the same
     * constants and the same fixed-point arithmetic order: the fixed
     * iteration loop unrolls into chained CTEs (`r0..rK`), each step the
