@@ -112,5 +112,5 @@ object GraftExtensions {
   private[graft] def builders: Seq[(String, Seq[Expression] => Expression)] =
     graft.fuzzy.functions.sqlBuilders ++ graft.fuzzy.vectorFunctions.sqlBuilders ++
       graft.sources.HttpText.sqlBuilders ++ graft.pipeline.UrlResolve.sqlBuilders ++
-      graft.pipeline.Robots.sqlBuilders
+      graft.pipeline.Robots.sqlBuilders ++ graft.pipeline.HtmlAttr.sqlBuilders
 }

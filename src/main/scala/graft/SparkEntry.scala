@@ -1914,16 +1914,21 @@ object SparkEntry {
             col("http_body"), col("http_content_type")))).as("link"))
     }),
     // page-level robots directives (<meta name=robots>): the HTML side
-    // of the compliance gate. Arms: noindex+nofollow, nofollow-only
-    // single-quoted, NOINDEX uppercase-unquoted-name, and a decoy pair
-    // (description meta with 'noindex' in its content + name="robotsx")
-    // that must NOT gate. Replay oracle
+    // of the compliance gate, attribute values read with the html_attr
+    // WALK. Arms: noindex+nofollow, nofollow-only single-quoted,
+    // NOINDEX uppercase-unquoted-name, a decoy trio that must NOT gate
+    // (description meta with 'noindex' in its content, name="robotsx",
+    // and — the review's adversarial vector — 'name=robots noindex'
+    // inside another attribute's quoted VALUE), and content="none"
+    // (= noindex,nofollow by convention). Reconstruction oracle; the
+    // walk is pinned by HtmlAttrSpec's vectors
     "curate_robots_meta" -> ((s, dir) => {
-      val page = expr("""CASE CAST(doc_id % 4 AS INT)
+      val page = expr("""CASE CAST(doc_id % 5 AS INT)
         WHEN 0 THEN '<html><head><meta name="robots" content="noindex, nofollow"></head><body>x</body></html>'
         WHEN 1 THEN concat('<meta charset=utf-8><meta name=', chr(39), 'robots', chr(39), ' content=', chr(39), 'nofollow', chr(39), '>')
         WHEN 2 THEN '<META NAME=ROBOTS CONTENT="NOINDEX">'
-        ELSE '<meta name="description" content="noindex decoy"><meta name="robotsx" content="noindex">'
+        WHEN 3 THEN '<meta name="description" content="noindex decoy"><meta name="robotsx" content="noindex"><meta content="see name=robots noindex docs">'
+        ELSE '<meta name="robots" content="none">'
         END""")
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.robotsMeta(page).as("m"))
@@ -3208,13 +3213,7 @@ object SparkEntry {
              regexp_extract_all(page,
                '(?i)\\b(?:href|src)[\\s\\x0B]*=[\\s\\x0B]*([^\\s\\x0B"''<>`]+)', 1),
              u -> regexp_matches(u, '(?i)^https?://')),
-           u -> regexp_replace(regexp_replace(
-             lower(regexp_extract(split_part(u, '#', 1),
-               '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1)) ||
-             regexp_replace(split_part(u, '#', 1),
-               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', ''),
-             '^(http://[^/:?]*):80($$|[/?])', '\\1\\2'),
-             '^(https://[^/:?]*):443($$|[/?])', '\\1\\2'))) AS links
+           u -> ${normalizeUrlSql("u")})) AS links
          FROM raw)"""
 
   // warc_links: the page rebuilt in SQL, then the SAME extraction and
@@ -3233,8 +3232,11 @@ object SparkEntry {
     " SELECT doc_id, unnest(links) AS link FROM ex"
 
   /** The anchor page behind `warc_links_follow`: followed, nofollow'd
-    * (quoted, unquoted, token-list), unquoted-href-followed, and an img
-    * outside the anchor scope. */
+    * (quoted, unquoted, token-list), unquoted-href-followed, an img
+    * outside the anchor scope, and the two ADVERSARIAL arms the
+    * attribute walk exists for — `rel=nofollow` INSIDE the href value
+    * (must stay followed) and an unquoted non-nofollow rel beside an
+    * href containing the letters 'nofollow' (must stay followed). */
   private def followLinksPage: org.apache.spark.sql.Column = concat(
     lit("<html><a href=\"https://ex.com/keep"), col("doc_id"),
     lit("\">k</a> <a rel=\"nofollow\" href=\"https://ex.com/nf"),
@@ -3244,7 +3246,10 @@ object SparkEntry {
       "<a rel=\"external nofollow\" href=\"https://ex.com/nf3"), col("doc_id"),
     lit("\">n3</a> <a href=https://ex.com/unq"), col("doc_id"),
     lit(" rel=\"me\">u</a> <img src=\"https://ex.com/img"), col("doc_id"),
-    lit(".png\"> "), col("text"), lit("</html>"))
+    lit(".png\"> <a href=\"https://ex.com/q"), col("doc_id"),
+    lit("?rel=nofollow\">adv1</a> <a rel=me href=https://ex.com/adv"),
+    col("doc_id"),
+    lit("-nofollow>adv2</a> "), col("text"), lit("</html>"))
 
   /** The normalizeUrl chain as DuckDB SQL over expression `u` — shared
     * by every link-oracle replay. */
@@ -3257,60 +3262,32 @@ object SparkEntry {
        '^(http://[^/:?]*):80($$|[/?])', '\\1\\2'),
        '^(https://[^/:?]*):443($$|[/?])', '\\1\\2')"""
 
-  // warc_links_follow: the page rebuilt in SQL, then the SAME
-  // anchor-scope filter, nofollow token test, quoted-else-unquoted href
-  // extraction, http(s) filter and normalization
-  private def warcLinksFollowOracle =
-    s"""WITH raw AS (SELECT doc_id,
-         '<html><a href="https://ex.com/keep' || doc_id ||
-         '">k</a> <a rel="nofollow" href="https://ex.com/nf' || doc_id ||
-         '">n</a> <a href="https://ex.com/nf2' || doc_id ||
-         '" rel=nofollow>n2</a> <a rel="external nofollow" href="https://ex.com/nf3'
-         || doc_id || '">n3</a> <a href=https://ex.com/unq' || doc_id ||
-         ' rel="me">u</a> <img src="https://ex.com/img' || doc_id ||
-         '.png"> ' || text || '</html>' AS page FROM documents),
-       a AS (SELECT doc_id, list_filter(
-           regexp_extract_all(page, '(?is)<a\\b[^>]*>', 0),
-           t -> NOT regexp_matches(t,
-             '(?i)\\brel[\\s\\x0B]*=[\\s\\x0B]*["'']?[^"''>]*\\bnofollow\\b'))
-           AS tags FROM raw),
-       h AS (SELECT doc_id, list_distinct(list_transform(
-           list_filter(
-             list_transform(tags, t ->
-               CASE WHEN len(regexp_extract(t,
-                   '(?i)\\bhref\\s*=\\s*["'']([^"'']*)["'']', 1)) > 0
-                 THEN regexp_extract(t,
-                   '(?i)\\bhref\\s*=\\s*["'']([^"'']*)["'']', 1)
-                 ELSE regexp_extract(t,
-                   '(?i)\\bhref[\\s\\x0B]*=[\\s\\x0B]*([^\\s\\x0B"''<>`]+)', 1)
-               END),
-             u -> regexp_matches(u, '(?i)^https?://')),
-           u -> ${normalizeUrlSql("u")})) AS links FROM a)
-       SELECT doc_id, unnest(links) AS link FROM h"""
+  // warc_links_follow: RECONSTRUCTION oracle — the attribute-walk
+  // semantics ([[graft.pipeline.HtmlAttr]]) are not SQL-replayable (a
+  // regex replay would share the exact false-match modes the walk
+  // exists to fix), so HtmlAttrSpec's adversarial vectors pin the
+  // algorithm and this pins the plumbing: anchors-only scope, nofollow
+  // drop, href walk, filter, normalization, dedup, explode
+  private val warcLinksFollowOracle =
+    """SELECT doc_id, unnest([
+         'https://ex.com/keep' || doc_id,
+         'https://ex.com/unq' || doc_id,
+         'https://ex.com/q' || doc_id || '?rel=nofollow',
+         'https://ex.com/adv' || doc_id || '-nofollow']) AS link
+       FROM documents"""
 
-  // curate_robots_meta: the page rebuilt in SQL, the SAME name-robots
-  // meta filter and content token tests
+  // curate_robots_meta: reconstruction oracle (same rationale), arms:
+  // noindex+nofollow / nofollow-only / unquoted NOINDEX / decoys incl.
+  // name=robots inside another attribute's VALUE (never gates) / none
   private val robotsMetaOracle =
-    """WITH raw AS (SELECT doc_id,
-         CASE CAST(doc_id % 4 AS INTEGER)
-           WHEN 0 THEN '<html><head><meta name="robots" content="noindex, nofollow"></head><body>x</body></html>'
-           WHEN 1 THEN '<meta charset=utf-8><meta name=' || chr(39) || 'robots' || chr(39) || ' content=' || chr(39) || 'nofollow' || chr(39) || '>'
-           WHEN 2 THEN '<META NAME=ROBOTS CONTENT="NOINDEX">'
-           ELSE '<meta name="description" content="noindex decoy"><meta name="robotsx" content="noindex">'
-         END AS page FROM documents),
-       m AS (SELECT doc_id, list_filter(
-           regexp_extract_all(page, '(?is)<meta\b[^>]*>', 0),
-           t -> regexp_matches(t,
-             '(?i)\bname[\s\x0B]*=[\s\x0B]*["'']?robots\b')) AS metas
-         FROM raw)
-       SELECT doc_id,
-         len(list_filter(metas, t -> regexp_matches(t,
-           '(?i)\bcontent[\s\x0B]*=[\s\x0B]*["'']?[^"''>]*\bnoindex\b'))) > 0
-           AS noindex,
-         len(list_filter(metas, t -> regexp_matches(t,
-           '(?i)\bcontent[\s\x0B]*=[\s\x0B]*["'']?[^"''>]*\bnofollow\b'))) > 0
-           AS nofollow
-       FROM m"""
+    """SELECT doc_id,
+       CASE CAST(doc_id % 5 AS INTEGER)
+         WHEN 0 THEN true WHEN 2 THEN true WHEN 4 THEN true
+         ELSE false END AS noindex,
+       CASE CAST(doc_id % 5 AS INTEGER)
+         WHEN 0 THEN true WHEN 1 THEN true WHEN 4 THEN true
+         ELSE false END AS nofollow
+       FROM documents"""
 
   /** The tracking-param page behind `warc_frontier`: params surviving
     * around stripped ones, an all-stripped query, an untouched query,

@@ -983,43 +983,45 @@ object TextAnalysis {
   /** Page-level robots directives — the HTML side of the compliance
     * story next to the robots.txt gate ([[Curation.robotsGate]]):
     * `<meta name="robots" content="noindex, nofollow">` as a
-    * `STRUCT<noindex BOOLEAN, nofollow BOOLEAN>`. Case-insensitive,
-    * quoted or unquoted attribute values, token-boundary matching (a
-    * `name="robotsx"` decoy does not gate). The transport-layer
-    * `X-Robots-Tag` equivalent composes directly from the warc
-    * reader's `http_headers` map (`element_at(http_headers,
-    * 'x-robots-tag')` + the same token test). Pure codegen regexp
-    * chain in the Java-regex ∩ RE2 common subset. */
+    * `STRUCT<noindex BOOLEAN, nofollow BOOLEAN>`. Tags are cut with a
+    * regex, but attribute READING is the [[HtmlAttr]] walk — a
+    * `name=robots` substring inside some other attribute's quoted value
+    * can never select a tag, and content token tests run on the actual
+    * content VALUE only (round-18 review findings; the pure-regex form
+    * had both false-gate modes). Token-boundary matching (a
+    * `name="robotsx"` decoy does not gate), and the `none` directive
+    * means noindex+nofollow per the robots-meta convention. The
+    * transport-layer `X-Robots-Tag` equivalent composes directly from
+    * the warc reader's `http_headers` map (`element_at(http_headers,
+    * 'x-robots-tag')` + the same token test). */
   def robotsMeta(html: Column): Column = {
     val metas = filter(
       regexp_extract_all(html, lit("(?is)<meta\\b[^>]*>"), lit(0)),
-      m => m.rlike("(?i)\\bname[\\s\\x0B]*=[\\s\\x0B]*[\"']?robots\\b"))
+      m => lower(trim(HtmlAttr.attr(m, lit("name")))) === "robots")
     def directive(token: String): Column =
-      exists(metas, m => m.rlike(
-        "(?i)\\bcontent[\\s\\x0B]*=[\\s\\x0B]*[\"']?[^\"'>]*\\b" + token + "\\b"))
+      exists(metas, m =>
+        coalesce(lower(HtmlAttr.attr(m, lit("content")))
+          .rlike("\\b(?:" + token + "|none)\\b"), lit(false)))
     struct(directive("noindex").as("noindex"),
       directive("nofollow").as("nofollow"))
   }
 
-  /** [[outlinks]] restricted to FOLLOWED anchors: `<a>` tags without a
-    * `rel` containing the `nofollow` token (the per-link opt-out that
-    * frontier building and PageRank edges must respect; `src` resources
-    * are not hyperlink endorsements and are out of scope here — use
-    * [[outlinks]] for asset fetching). Same quoted/unquoted href
-    * handling, http(s) filter, normalization, per-doc dedup. */
+  /** [[outlinks]] restricted to FOLLOWED anchors: `<a>` tags whose
+    * `rel` attribute VALUE (read with the [[HtmlAttr]] walk — never
+    * matched inside other attributes' values) lacks the `nofollow`
+    * token — the per-link opt-out that frontier building and PageRank
+    * edges must respect; `src` resources are not hyperlink endorsements
+    * and are out of scope here — use [[outlinks]] for asset fetching.
+    * Hrefs read with the same walk (quoted or unquoted), then the usual
+    * http(s) filter, normalization, per-doc dedup. */
   def outlinksFollow(html: Column): Column = {
     val anchors = filter(
       regexp_extract_all(html, lit("(?is)<a\\b[^>]*>"), lit(0)),
-      a => !a.rlike(
-        "(?i)\\brel[\\s\\x0B]*=[\\s\\x0B]*[\"']?[^\"'>]*\\bnofollow\\b"))
-    val hrefs = transform(anchors, a => {
-      val q = regexp_extract(a, "(?i)\\bhref\\s*=\\s*[\"']([^\"']*)[\"']", 1)
-      val u = regexp_extract(a,
-        "(?i)\\bhref[\\s\\x0B]*=[\\s\\x0B]*([^\\s\\x0B\"'<>`]+)", 1)
-      when(length(q) > 0, q).otherwise(u)
-    })
+      a => !coalesce(lower(HtmlAttr.attr(a, lit("rel")))
+        .rlike("\\bnofollow\\b"), lit(false)))
+    val hrefs = transform(anchors, a => HtmlAttr.attr(a, lit("href")))
     array_distinct(transform(
-      filter(hrefs, u => u.rlike("(?i)^https?://")),
+      filter(hrefs, u => u.isNotNull && u.rlike("(?i)^https?://")),
       u => normalizeUrl(u)))
   }
 

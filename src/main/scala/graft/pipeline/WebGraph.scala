@@ -162,20 +162,30 @@ object WebGraph {
                    strategy: CheckpointStrategy = CheckpointStrategy.Local,
                    danglingRedistribute: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
-    val keys = edges.select(col(srcCol).cast("string").as("key"))
-      .unionByName(edges.select(col(dstCol).cast("string").as("key")))
-      .where(col("key").isNotNull)
-      .distinct().sort("key")
-    val dictRdd = keys.rdd.zipWithIndex.map { case (r, i) =>
-      org.apache.spark.sql.Row(r.getString(0), i)
-    }
-    val dictSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("key",
-        org.apache.spark.sql.types.StringType, nullable = false),
-      org.apache.spark.sql.types.StructField("nid",
-        org.apache.spark.sql.types.LongType, nullable = false)))
-    val dict = Materialize(
-      spark.createDataFrame(dictRdd, dictSchema), strategy)
+    // the sorted key set materializes FIRST: zipWithIndex runs an eager
+    // offset-counting job and the dict materialization runs another —
+    // without the barrier that is two full passes over the
+    // union→distinct→sort lineage, and (worse) job 1's offsets would
+    // apply to job 2's recomputation of a possibly-nondeterministic
+    // input (round-18 review finding)
+    val keys = Materialize(
+      edges.select(col(srcCol).cast("string").as("key"))
+        .unionByName(edges.select(col(dstCol).cast("string").as("key")))
+        .where(col("key").isNotNull)
+        .distinct().sort("key"),
+      strategy)
+    val dict =
+      try {
+        val dictRdd = keys.rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(r.getString(0), i)
+        }
+        val dictSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("key",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("nid",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        Materialize(spark.createDataFrame(dictRdd, dictSchema), strategy)
+      } finally Materialize.release(keys)
     try {
       val idEdges = edges
         .select(col(srcCol).cast("string").as("sk"),

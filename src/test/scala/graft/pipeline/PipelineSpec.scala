@@ -757,7 +757,8 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("robotsMeta + outlinksFollow: meta directives gate with token " +
-    "boundaries; nofollow anchors drop from the followed set") {
+    "boundaries; nofollow anchors drop from the followed set; the " +
+    "attribute walk ignores attribute-looking text inside values") {
     val rows = Seq(
       (0L, "<meta name=\"robots\" content=\"noindex,nofollow\">" +
         "<a href=\"https://ex.com/a\">x</a>"),
@@ -768,7 +769,17 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       // rel value merely CONTAINING the letters (nofollowed != nofollow)
       (3L, "<meta name=\"robotsx\" content=\"noindex\">" +
         "<meta name=\"description\" content=\"noindex nofollow\">" +
-        "<a rel=\"nofollowed\" href=\"https://ex.com/c\">z</a>"))
+        "<a rel=\"nofollowed\" href=\"https://ex.com/c\">z</a>"),
+      // 'none' directive = noindex,nofollow by convention
+      (4L, "<meta name=\"robots\" content=\"none\">" +
+        "<a href=\"https://ex.com/d\">w</a>"),
+      // the review's adversarial modes: rel= inside the href VALUE
+      // stays followed; 'name=robots noindex' inside another
+      // attribute's value never gates; unquoted rel never scans into
+      // the neighboring href
+      (5L, "<meta content=\"see name=robots noindex docs\">" +
+        "<a href=\"https://ex.com/e?rel=nofollow\">v</a>" +
+        "<a rel=me href=https://ex.com/f-nofollow>u</a>"))
       .toDF("id", "html")
     val got = rows.select($"id",
         TextAnalysis.robotsMeta($"html").as("m"),
@@ -778,6 +789,10 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(got(0L) == (((true, true), Seq("https://ex.com/a"))), got(0L))
     assert(got(1L) == (((false, true), Seq("https://ex.com/b"))), got(1L))
     assert(got(3L) == (((false, false), Seq("https://ex.com/c"))), got(3L))
+    assert(got(4L) == (((true, true), Seq("https://ex.com/d"))), got(4L))
+    assert(got(5L) == (((false, false),
+      Seq("https://ex.com/e?rel=nofollow", "https://ex.com/f-nofollow"))),
+      got(5L))
   }
 
   test("property: outlinks roundtrip — random URLs embedded quoted or " +
