@@ -1900,6 +1900,45 @@ object SparkEntry {
         .select(col("doc_id"), col("e.loc").as("loc"),
           col("e.lastmod").as("lastmod"))
     }),
+    // rel=canonical extraction: the page-identity signal URL-level dedup
+    // collapses on. Arms: absolute canonical (uppercase host + fragment
+    // the normalization must fix), RELATIVE canonical (resolved against
+    // the page URI), and no-canonical with two decoys (a stylesheet link
+    // and 'rel=canonical' inside an href VALUE — the attribute walk must
+    // ignore it) falling back to self. Reconstruction oracle (the walk
+    // is pinned by HtmlAttrSpec)
+    "warc_canonical" -> ((s, dir) => {
+      val page = expr("""CASE CAST(doc_id % 3 AS INT)
+        WHEN 0 THEN concat('<html><head><link rel="canonical" href="HTTPS://Example.COM/c', doc_id, '#frag"></head><body>x</body></html>')
+        WHEN 1 THEN concat('<head><link rel=stylesheet href=/s.css><link rel=canonical href=/canon/', doc_id, '></head>')
+        ELSE '<head><link rel="stylesheet" href="/s.css"><link href="/x?rel=canonical"></head>'
+        END""")
+      val warcDir = httpWarcFixture(s, dir, "canon", page)
+      s.read.format("warc").load(warcDir)
+        .select(expr("CAST(substr(record_id, 9) AS BIGINT)").as("doc_id"),
+          coalesce(
+            TextAnalysis.canonicalUrl(graft.sources.HttpText.decode(
+              col("http_body"), col("http_content_type")), col("target_uri")),
+            TextAnalysis.normalizeUrl(col("target_uri"))).as("canonical"))
+    }),
+    // redirect following: 3xx responses' Location headers (exposed by
+    // the warc reader's http_headers map) resolve against the request
+    // URI and normalize — the frontier must chase these or lose every
+    // moved page. Relative and absolute Location arms; reconstruction
+    // oracle (resolution pinned by the RFC 3986 vectors)
+    "warc_redirects" -> ((s, dir) => {
+      val loc = expr("CASE WHEN doc_id % 2 = 0 THEN concat('/moved/', doc_id) " +
+        "ELSE concat('https://other.example.com/m', doc_id) END")
+      val warcDir = httpWarcFixture(s, dir, "redir", col("text"), null,
+        when(expr("doc_id % 3 = 1"),
+          concat(lit("Location: "), loc, lit("\r\n"))).otherwise(lit("")))
+      s.read.format("warc").load(warcDir)
+        .where(col("http_status").between(300, 399))
+        .select(expr("CAST(substr(record_id, 9) AS BIGINT)").as("doc_id"),
+          TextAnalysis.normalizeUrl(graft.pipeline.UrlResolve.resolve(
+            col("target_uri"),
+            expr("element_at(http_headers, 'location')"))).as("redirect_to"))
+    }),
     // nofollow-aware outlink extraction: frontier/PageRank edges must
     // respect the per-anchor rel=nofollow opt-out. The fixture's arms:
     // a plain followed link, rel="nofollow", unquoted rel=nofollow,
@@ -3025,7 +3064,9 @@ object SparkEntry {
     * `warc_to_text` (distinct `tag`s keep their fixtures apart). */
   private def httpWarcFixture(s: SparkSession, dir: String, tag: String,
                               body: org.apache.spark.sql.Column,
-                              targetUri: org.apache.spark.sql.Column = null): String = {
+                              targetUri: org.apache.spark.sql.Column = null,
+                              // each value must end with CRLF; null = none
+                              extraHeaders: org.apache.spark.sql.Column = null): String = {
     val out = s"/tmp/graft_src_warc_${tag}_" + dir.replaceAll("[^A-Za-z0-9]", "_")
     val p = new org.apache.hadoop.fs.Path(out)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
@@ -3047,6 +3088,7 @@ object SparkEntry {
       // and a REPEATED field (RFC 9110 ", "-combine on read)
       lit("X-Doc-Parity: "), expr("CAST(doc_id % 2 AS STRING)"),
       lit("\r\nContent-Language: en\r\nContent-Language: mul\r\n"),
+      Option(extraHeaders).getOrElse(lit("")),
       when(expr("doc_id % 3 = 0 AND char_length(__body) > 0"),
         concat(lit("Transfer-Encoding: chunked\r\n\r\n"), chunkedBody))
         .otherwise(concat(lit("Content-Length: "),
@@ -5528,6 +5570,23 @@ object SparkEntry {
     "curate_frontier_new" -> warcFrontierNewOracle,
     "warc_links_follow" -> warcLinksFollowOracle,
     "curate_robots_meta" -> robotsMetaOracle,
+    // canonical by arm: normalized absolute / resolved relative / self
+    "warc_canonical" ->
+      """SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN 'https://example.com/c' || doc_id
+           WHEN 1 THEN 'https://example.com/canon/' || doc_id
+           ELSE 'https://example.com/' || doc_id
+         END AS canonical
+         FROM documents""",
+    // redirect targets by parity arm, 3xx rows only (doc_id % 3 = 1)
+    "warc_redirects" ->
+      """SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+           THEN 'https://example.com/moved/' || doc_id
+           ELSE 'https://other.example.com/m' || doc_id
+         END AS redirect_to
+         FROM documents WHERE doc_id % 3 = 1""",
     "warc_links_resolved" -> warcLinksResolvedOracle,
     "warc_link_domains" -> warcLinkDomainsOracle,
     // the same extraction chain, domain rollup, and the domain-derived

@@ -1025,6 +1025,27 @@ object TextAnalysis {
       u => normalizeUrl(u)))
   }
 
+  /** `rel=canonical` extraction — THE page-identity signal for URL-level
+    * dedup: mirrors, tracking-param variants and session-id clones all
+    * declare one canonical URL, and collapsing on it dedups what content
+    * hashing then confirms. Reads `<link>` tags with the [[HtmlAttr]]
+    * walk (a `rel=canonical` inside some other attribute's value never
+    * matches), takes the FIRST canonical link (browser behavior),
+    * resolves it against the page URI (canonicals are often relative),
+    * filters to http(s), and normalizes. Null when the page declares no
+    * canonical — callers typically `coalesce` to the page's own
+    * normalized URI (no canonical = self). */
+  def canonicalUrl(html: Column, baseUri: Column): Column = {
+    val canon = filter(
+      regexp_extract_all(html, lit("(?is)<link\\b[^>]*>"), lit(0)),
+      l => coalesce(lower(HtmlAttr.attr(l, lit("rel")))
+        .rlike("\\bcanonical\\b"), lit(false)))
+    val resolved = UrlResolve.resolve(baseUri,
+      HtmlAttr.attr(get(canon, lit(0)), lit("href")))
+    when(resolved.isNotNull && resolved.rlike("(?i)^https?://"),
+      normalizeUrl(resolved))
+  }
+
   /** XML sitemap parsing (sitemaps.org protocol) — the hop after
     * [[Robots.sitemaps]] surfaces the `Sitemap:` URLs: given a fetched
     * sitemap body, extract its `<url>`/`<sitemap>` entries as
