@@ -409,6 +409,46 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
       s"documents scan must prune to doc_id (the fixture derives from it):\n$plan")
   }
 
+  test("one-pass WAT-shape extraction: decode + canonical + robots meta + " +
+    "followed links + langId compose into ONE pruned warc scan with zero " +
+    "exchanges (the 100 TB metadata-extraction plan)") {
+    import graft.pipeline.TextAnalysis
+    val warcDir = java.nio.file.Files.createTempDirectory("wat_plan").toString
+    val page = concat(
+      lit("<html><head><link rel=\"canonical\" href=\"/c\">" +
+        "<meta name=\"robots\" content=\"nofollow\"></head>" +
+        "<a href=\"https://ex.com/a\">x</a> hello world</html>"))
+    val payload = concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: "),
+      expr("CAST(octet_length(__b) AS STRING)"), lit("\r\n\r\n"), col("__b"))
+    graft.sources.Warc.write(
+      spark.read.parquet(s"$dir/documents.parquet").limit(64)
+        .withColumn("__b", page)
+        .select(concat(lit("urn:doc:"), col("doc_id")).as("record_id"),
+          lit("response").as("warc_type"),
+          concat(lit("https://ex.com/p"), col("doc_id")).as("target_uri"),
+          lit("2026-01-01T00:00:00Z").as("date"),
+          lit("application/http; msgtype=response").as("content_type"),
+          encode(payload, "UTF-8").as("payload")),
+      warcDir)
+    val text = graft.sources.HttpText.decode(
+      col("http_body"), col("http_content_type"))
+    val onePass = spark.read.format("warc").load(warcDir)
+      .select(col("record_id"),
+        coalesce(TextAnalysis.canonicalUrl(text, col("target_uri")),
+          TextAnalysis.normalizeUrl(col("target_uri"))).as("canonical"),
+        TextAnalysis.robotsMeta(text).as("robots"),
+        TextAnalysis.outlinksFollow(text).as("links"),
+        TextAnalysis.langId(TextAnalysis.stripMarkup(text)).as("lang"))
+    val plan = onePass.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"the WAT projection must not shuffle:\n$plan")
+    val cols = warcScanCols(plan)
+    assert(cols("http_body") && !cols("payload"),
+      s"the combined scan must read the http body, never the raw payload:\n$plan")
+    assert(onePass.count() == 64)
+  }
+
   test("curate_robots_gate: the fixture's LITERAL robots text " +
     "constant-folds — zero runtime parses, pre-parsed rules broadcast") {
     val plan = graft.SparkEntry.queries("curate_robots_gate")(spark, dir)
