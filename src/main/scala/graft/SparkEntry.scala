@@ -1955,18 +1955,20 @@ object SparkEntry {
     // page-level robots directives (<meta name=robots>): the HTML side
     // of the compliance gate, attribute values read with the html_attr
     // WALK. Arms: noindex+nofollow, nofollow-only single-quoted,
-    // NOINDEX uppercase-unquoted-name, a decoy trio that must NOT gate
-    // (description meta with 'noindex' in its content, name="robotsx",
-    // and — the review's adversarial vector — 'name=robots noindex'
-    // inside another attribute's quoted VALUE), and content="none"
-    // (= noindex,nofollow by convention). Reconstruction oracle; the
-    // walk is pinned by HtmlAttrSpec's vectors
+    // NOINDEX uppercase-unquoted-name, a decoy QUARTET that must NOT
+    // gate (description meta with 'noindex' in its content,
+    // name="robotsx", 'name=robots noindex' inside another attribute's
+    // quoted VALUE, and a robots meta whose only 'none' is inside the
+    // max-image-preview:none directive value — token compare, never
+    // substring), and content="none" (= noindex,nofollow by
+    // convention). Reconstruction oracle; the walk is pinned by
+    // HtmlAttrSpec's vectors
     "curate_robots_meta" -> ((s, dir) => {
       val page = expr("""CASE CAST(doc_id % 5 AS INT)
         WHEN 0 THEN '<html><head><meta name="robots" content="noindex, nofollow"></head><body>x</body></html>'
         WHEN 1 THEN concat('<meta charset=utf-8><meta name=', chr(39), 'robots', chr(39), ' content=', chr(39), 'nofollow', chr(39), '>')
         WHEN 2 THEN '<META NAME=ROBOTS CONTENT="NOINDEX">'
-        WHEN 3 THEN '<meta name="description" content="noindex decoy"><meta name="robotsx" content="noindex"><meta content="see name=robots noindex docs">'
+        WHEN 3 THEN '<meta name="description" content="noindex decoy"><meta name="robotsx" content="noindex"><meta content="see name=robots noindex docs"><meta name="robots" content="max-image-preview:none, max-snippet:20">'
         ELSE '<meta name="robots" content="none">'
         END""")
       t(s, dir, "documents")

@@ -46,10 +46,15 @@ object HtmlAttr {
     c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u000B'
 
   /** Codegen entry: attribute walk over the tag text. May return null
-    * (attribute absent) — callers hand-roll the post-call null check. */
+    * (attribute absent) — callers hand-roll the post-call null check.
+    * Allocation-light (third-review finding): attribute names compare
+    * via regionMatches (no per-attribute substring), values extract only
+    * for the matching attribute; the miss path allocates just the one
+    * decoded tag string. */
   def attrKernel(tag: UTF8String, name: UTF8String): UTF8String = {
     val s = tag.toString
     val want = name.toString
+    val wl = want.length
     val n = s.length
     var i = 0
     // skip "<tagname" (everything up to the first whitespace or '>')
@@ -61,26 +66,29 @@ object HtmlAttr {
       val nameStart = i
       while (i < n && !isWs(s.charAt(i)) && s.charAt(i) != '=' &&
         s.charAt(i) != '>' && s.charAt(i) != '/') i += 1
-      val attrName = s.substring(nameStart, i)
+      val matched = (i - nameStart) == wl &&
+        s.regionMatches(true, nameStart, want, 0, wl)
       while (i < n && isWs(s.charAt(i))) i += 1
-      var value = ""
+      var valueStart = -1
+      var valueEnd = -1
       if (i < n && s.charAt(i) == '=') {
         i += 1
         while (i < n && isWs(s.charAt(i))) i += 1
         if (i < n && (s.charAt(i) == '"' || s.charAt(i) == '\'')) {
           val q = s.charAt(i)
           i += 1
-          val valueStart = i
+          valueStart = i
           while (i < n && s.charAt(i) != q) i += 1
-          value = s.substring(valueStart, i)
+          valueEnd = i
           if (i < n) i += 1 // consume the closing quote
         } else {
-          val valueStart = i
+          valueStart = i
           while (i < n && !isWs(s.charAt(i)) && s.charAt(i) != '>') i += 1
-          value = s.substring(valueStart, i)
+          valueEnd = i
         }
       }
-      if (attrName.equalsIgnoreCase(want)) return UTF8String.fromString(value)
+      if (matched) return UTF8String.fromString(
+        if (valueStart < 0) "" else s.substring(valueStart, valueEnd))
     }
     null
   }

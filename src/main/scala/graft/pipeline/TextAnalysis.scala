@@ -998,10 +998,15 @@ object TextAnalysis {
     val metas = filter(
       regexp_extract_all(html, lit("(?is)<meta\\b[^>]*>"), lit(0)),
       m => lower(trim(HtmlAttr.attr(m, lit("name")))) === "robots")
+    // directives are COMMA-SEPARATED tokens (the robots-meta grammar):
+    // exact token compare, never substring — 'none' inside
+    // 'max-image-preview:none' is a different directive's VALUE and
+    // must not gate (round-18 third-review finding)
     def directive(token: String): Column =
-      exists(metas, m =>
-        coalesce(lower(HtmlAttr.attr(m, lit("content")))
-          .rlike("\\b(?:" + token + "|none)\\b"), lit(false)))
+      exists(metas, m => coalesce(
+        exists(split(lower(HtmlAttr.attr(m, lit("content"))), ","),
+          t => trim(t) === token || trim(t) === "none"),
+        lit(false)))
     struct(directive("noindex").as("noindex"),
       directive("nofollow").as("nofollow"))
   }

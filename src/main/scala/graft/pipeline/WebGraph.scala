@@ -174,6 +174,13 @@ object WebGraph {
         .where(col("key").isNotNull)
         .distinct().sort("key"),
       strategy)
+    // under Persist the dict frame's LINEAGE still reads keys (persist
+    // truncates nothing), so an early keys release would let a later
+    // executor loss recompute dict partitions through the uncached —
+    // possibly nondeterministic — key lineage with job-1 zipWithIndex
+    // offsets (third-review finding): keys must outlive dict there.
+    // Local/Reliable truncate, so the early release stays.
+    val keysEarlyRelease = strategy != CheckpointStrategy.Persist
     val dict =
       try {
         val dictRdd = keys.rdd.zipWithIndex.map { case (r, i) =>
@@ -185,7 +192,7 @@ object WebGraph {
           org.apache.spark.sql.types.StructField("nid",
             org.apache.spark.sql.types.LongType, nullable = false)))
         Materialize(spark.createDataFrame(dictRdd, dictSchema), strategy)
-      } finally Materialize.release(keys)
+      } finally if (keysEarlyRelease) Materialize.release(keys)
     try {
       val idEdges = edges
         .select(col(srcCol).cast("string").as("sk"),
@@ -201,7 +208,10 @@ object WebGraph {
             .select(dict("key").as("node_key"), ranks("rank")),
           strategy)
       finally Materialize.release(ranks)
-    } finally Materialize.release(dict)
+    } finally {
+      Materialize.release(dict)
+      if (!keysEarlyRelease) Materialize.release(keys)
+    }
   }
 
   /** The DuckDB mirror of [[pageRankKeys]]: the same dictionary

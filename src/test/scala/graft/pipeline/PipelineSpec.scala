@@ -765,10 +765,13 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       (1L, "<META NAME=ROBOTS CONTENT=\"NOFOLLOW\">" +
         "<a rel=\"external nofollow\" href=\"https://ex.com/a\">x</a>" +
         "<a href=https://ex.com/b rel=\"me\">y</a>"),
-      // decoys: robotsx name, noindex inside a NON-robots meta, and a
-      // rel value merely CONTAINING the letters (nofollowed != nofollow)
+      // decoys: robotsx name, noindex inside a NON-robots meta, a rel
+      // value merely CONTAINING the letters (nofollowed != nofollow),
+      // and 'none' as a directive VALUE (max-image-preview:none), not
+      // a standalone token
       (3L, "<meta name=\"robotsx\" content=\"noindex\">" +
         "<meta name=\"description\" content=\"noindex nofollow\">" +
+        "<meta name=\"robots\" content=\"max-image-preview:none\">" +
         "<a rel=\"nofollowed\" href=\"https://ex.com/c\">z</a>"),
       // 'none' directive = noindex,nofollow by convention
       (4L, "<meta name=\"robots\" content=\"none\">" +

@@ -104,22 +104,28 @@ class WebGraphSpec extends AnyFunSuite with SparkSpec {
   test("pageRankKeys: string-keyed walk matches the LONG walk through a " +
     "manual dictionary; null endpoints drop; no retained intermediates") {
     val sc = spark.sparkContext
+    // the LONG-walk comparison runs FIRST: the ranks() helper leaks its
+    // materialized result by design (test-scoped), so it must precede
+    // the retained-blocks snapshot or it counts against pageRankKeys
+    val long = ranks(Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 2L)),
+      3, 1000000L)
     val before = sc.getPersistentRDDs.keySet
     val edges = Seq(("a.com", "b.com"), ("b.com", "c.com"), ("c.com", "a.com"),
       ("a.com", "c.com"), (null, "a.com"), ("b.com", null))
       .toDF("src", "dst")
-    val keyed = WebGraph.pageRankKeys(edges, "src", "dst", iterations = 3,
-        scale = 1000000L)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // the same graph through the LONG walk with a hand dictionary
-    // (a=0, b=1, c=2)
-    val long = ranks(Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 2L)),
-      3, 1000000L)
+    // hold the frame reference: the returned barrier must stay REACHABLE
+    // through the retained-blocks assertion, or a GC + async
+    // ContextCleaner unpersist can race it to added.size == 0
+    val out = WebGraph.pageRankKeys(edges, "src", "dst", iterations = 3,
+      scale = 1000000L)
+    val keyed = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(keyed == Map("a.com" -> long(0L), "b.com" -> long(1L),
       "c.com" -> long(2L)), s"got $keyed vs $long")
-    val added = sc.getPersistentRDDs.keySet -- before
-    assert(added.size == 1,
-      s"pageRankKeys must retain exactly the returned frame, got $added")
+    val addedMap = sc.getPersistentRDDs.filterNot { case (id, _) => before(id) }
+    assert(addedMap.size == 1,
+      "pageRankKeys must retain exactly the returned frame, got " +
+        addedMap.map { case (id, r) => s"$id=$r" }.mkString("; "))
+    graft.util.Materialize.release(out)
   }
 
   test("no graph-sized intermediates are retained after the call " +
