@@ -225,16 +225,42 @@ object FuzzyMatcher {
     val withLower = candidates
       .withColumn(ll, if (candidates.columns.contains(ll)) col(ll) else lower(col(leftCol)))
       .withColumn(rl, if (candidates.columns.contains(rl)) col(rl) else lower(col(rightCol)))
-    val dist: Column =
+    val kernel: Column =
       functions.fuzzy_dist_bounded(col(ll), col(rl), algo, reversedThreshold)
+    // Mask pre-gate (levenshtein only): when the candidate frame carries
+    // per-value char masks + lengths (projected once per distinct value by
+    // exactCandidates), pairs provably beyond the threshold short-circuit
+    // on xor + popcount instead of entering the DP kernel —
+    // bitCount(maskA ^ maskB) <= 2 * distance (VectorKernels.charMask), so
+    // bitCount > 2k => distance > k. Mask 0 (non-ASCII/empty) disables the
+    // gate for that pair; the kernel result is unchanged either way, the
+    // gate only replaces a subset of over-threshold results with 2.0 —
+    // indistinguishable under the `<= reversedThreshold` filter.
+    val lm = maskName(leftCol)
+    val rm = maskName(rightCol)
+    val lLen = lenName(leftCol)
+    val rLen = lenName(rightCol)
+    val canGate = algo == FuzzyAlgorithm.Levenshtein &&
+      Seq(lm, rm, lLen, rLen).forall(withLower.columns.contains)
+    val dist: Column =
+      if (!canGate) kernel
+      else {
+        val kPair = floor(lit(reversedThreshold) *
+          greatest(col(lLen), col(rLen))).cast("long")
+        when(col(lm) =!= 0L && col(rm) =!= 0L &&
+          bit_count(col(lm).bitwiseXOR(col(rm))) > lit(2L) * kPair, lit(2.0))
+          .otherwise(kernel)
+      }
     withLower
       .withColumn("s", dist)
       .where(col("s") <= reversedThreshold)
       .withColumn("s", lit(1.0) - col("s"))
-      .drop(ll, rl)
+      .drop(ll, rl, lm, rm, lLen, rLen)
   }
 
   private[fuzzy] def lowerName(c: String): String = s"__lower__$c"
+  private[fuzzy] def maskName(c: String): String = s"__mask__$c"
+  private[fuzzy] def lenName(c: String): String = s"__len__$c"
 
   /** Candidate value pairs for a fresh pass: strategy pick by distinct-value
     * cartesian estimate (cross_join_no_existing_fuzzy_results,
@@ -279,8 +305,17 @@ object FuzzyMatcher {
         if (leftVals.queryExecution.toRdd.getNumPartitions < parallelism)
           leftVals.repartition(parallelism)
         else leftVals
-      val lProj = lSpread.withColumn(lowerName(lCol), lower(col(lCol)))
-      val rProj = rightVals.withColumn(lowerName(rCol), lower(col(rCol)))
+      // Per-value mask + length columns feed scoreValuePairs' pre-gate:
+      // 12 bytes per DISTINCT value buys a 3-instruction per-PAIR filter
+      // in front of the DP kernel (see scoreValuePairs).
+      def proj(vals: DataFrame, c: String): DataFrame = {
+        val lo = lowerName(c)
+        vals.withColumn(lo, lower(col(c)))
+          .withColumn(maskName(c), vectorFunctions.char_mask(col(lo)))
+          .withColumn(lenName(c), length(col(lo)).cast("long"))
+      }
+      val lProj = proj(lSpread, lCol)
+      val rProj = proj(rightVals, rCol)
       if (rCount <= opts.broadcastDistinctLimit) lProj.crossJoin(broadcast(rProj))
       else lProj.crossJoin(rProj)
     }

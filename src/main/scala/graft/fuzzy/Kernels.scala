@@ -135,9 +135,25 @@ object Kernels {
     math.min(prev(m), inf)
   }
 
-  /** Banded levenshtein directly over ASCII bytes of UTF8Strings — no
+  /** Bounded levenshtein directly over ASCII bytes of UTF8Strings — no
     * String allocation per pair (the scoring loop runs hundreds of millions
-    * of times per join at sf0.1). Caller must ensure both are pure ASCII. */
+    * of times per join at sf0.1). Caller must ensure both are pure ASCII.
+    *
+    * Exact when the distance is <= k, returns k+1 otherwise. After common
+    * prefix/suffix stripping:
+    *   - k <= 1 resolves in O(1): with both end characters differing (strip
+    *     maximality), distance 1 is possible only for a 1x1 remainder (one
+    *     substitution) or an empty side (one indel) — any other shape needs
+    *     >= 2 edits because one edit cannot repair two distinct mismatch
+    *     sites;
+    *   - otherwise the Landau-Vishkin / Ukkonen diagonal DP runs O(k^2)
+    *     cells (+ match slides), NOT the O(k*n) banded matrix: f(e, dg) is
+    *     the furthest row reached on diagonal dg with e edits, and only
+    *     diagonals within k-e of the target diagonal can still finish in
+    *     budget. The previous banded two-row DP paid a full-width
+    *     Arrays.fill + arraycopy per row (~2(m+1) memory ops against
+    *     2k+1 useful cells) — at the bench's k=1..3 that overhead was
+    *     ~5x the real work (OPTIMIZATION_r19.md, kernel A/B). */
   def levBoundedAscii(a: UTF8String, b: UTF8String, k: Int): Int = {
     var aStart = 0
     var aEnd = a.numBytes
@@ -154,39 +170,50 @@ object Kernels {
     if (math.abs(n - m) > k) return k + 1
     if (n == 0) return m
     if (m == 0) return n
-    val inf = k + 1
-    val prev = new Array[Int](m + 1)
-    val cur = new Array[Int](m + 1)
-    java.util.Arrays.fill(prev, inf)
-    var j = 0
-    val kEff = math.min(k, math.max(n, m))
-    while (j <= math.min(m, kEff)) { prev(j) = j; j += 1 }
-    var i = 1
-    while (i <= n) {
-      java.util.Arrays.fill(cur, inf)
-      val lo = math.max(1, i - kEff)
-      val hi = math.min(m, i + kEff)
-      if (lo == 1 && i <= kEff) cur(0) = i
-      var rowMin = if (lo == 1 && i <= kEff) i else inf
-      val ca = a.getByte(aStart + i - 1)
-      j = lo
-      while (j <= hi) {
-        val cost = if (ca == b.getByte(bStart + j - 1)) 0 else 1
-        var v = prev(j - 1) + cost
-        val del = prev(j) + 1
-        if (del < v) v = del
-        val ins = cur(j - 1) + 1
-        if (ins < v) v = ins
-        if (v > inf) v = inf
-        cur(j) = v
-        if (v < rowMin) rowMin = v
-        j += 1
+    // here n, m >= 1, first and last remaining bytes both differ
+    if (k <= 0) return k + 1
+    if (k == 1) return if (n == 1 && m == 1) 1 else 2
+    // Landau-Vishkin diagonal DP. reach(e, dg) = furthest i (bytes of a
+    // consumed) on diagonal dg = j - i using exactly e edits, after sliding
+    // over matches. Distance = first e with reach(e, m-n) == n.
+    val dgStar = m - n
+    val off = k + 1
+    val NEG = Int.MinValue / 4
+    var prev = new Array[Int](2 * k + 3)
+    var cur = new Array[Int](2 * k + 3)
+    java.util.Arrays.fill(prev, NEG)
+    java.util.Arrays.fill(cur, NEG)
+    prev(off) = 0 // e=0 seed: strip maximality => zero-length initial slide
+    var e = 1
+    while (e <= k) {
+      val rem = k - e
+      var dg = math.max(-e, dgStar - rem)
+      val hi = math.min(e, dgStar + rem)
+      while (dg <= hi) {
+        val idx = off + dg
+        var i = prev(idx) + 1 // substitution advances the same diagonal
+        val ins = prev(idx - 1) // insert a b-byte: diag dg-1 -> dg, i fixed
+        if (ins > i) i = ins
+        val del = prev(idx + 1) + 1 // delete an a-byte: diag dg+1 -> dg
+        if (del > i) i = del
+        val iMax = if (n < m - dg) n else m - dg
+        if (i > iMax) i = iMax
+        if (i < 0) cur(idx) = NEG
+        else {
+          var aa = aStart + i
+          var bb = bStart + i + dg
+          while (aa < aEnd && bb < bEnd && a.getByte(aa) == b.getByte(bb)) {
+            aa += 1; bb += 1; i += 1
+          }
+          cur(idx) = i
+          if (dg == dgStar && i >= n) return e
+        }
+        dg += 1
       }
-      if (rowMin >= inf) return inf
-      System.arraycopy(cur, 0, prev, 0, m + 1)
-      i += 1
+      val t = prev; prev = cur; cur = t
+      e += 1
     }
-    math.min(prev(m), inf)
+    k + 1
   }
 
   /** Thresholded distance: exact normalized distance when it is <=
@@ -198,8 +225,9 @@ object Kernels {
     if (id == 0) {
       val la = a.numBytes
       val lb = b.numBytes
-      // ASCII iff byte count == char count (UTF8String.numChars is cheap)
-      if (a.numChars == la && b.numChars == lb) {
+      // isFullAscii is a word-wise high-bit scan — cheaper than the old
+      // numChars walk (which decodes UTF-8 lengths byte by byte)
+      if (a.isFullAscii && b.isFullAscii) {
         val mx = math.max(la, lb)
         if (mx == 0) return 0.0
         val k = (maxDist * mx).toInt

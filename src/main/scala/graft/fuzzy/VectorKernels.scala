@@ -664,6 +664,26 @@ object VectorKernels {
     bits
   }
 
+  /** 64-bit character-set mask of an ASCII string: bit `byte & 63` set for
+    * every byte present; 0 for non-ASCII strings (gate disabled) and for
+    * the empty string. One unit edit (insert/delete/substitute) changes the
+    * character SET by at most one removal plus one addition, and any
+    * projection onto bits can only shrink a symmetric difference, so
+    * `bitCount(maskA ^ maskB) <= 2 * levenshtein(a, b)` — a sound
+    * 3-instruction pre-filter in front of the bounded-distance kernel
+    * (KernelsSpec pins the bound as a property). */
+  def charMask(s: UTF8String): Long = {
+    if (!s.isFullAscii) return 0L
+    var m = 0L
+    var i = 0
+    val n = s.numBytes
+    while (i < n) {
+      m |= 1L << (s.getByte(i) & 63)
+      i += 1
+    }
+    m
+  }
+
   /** Character n-grams of a string (duplicates kept; a string shorter than
     * n collapses to itself, so the gram set is never empty). */
   def charNgrams(s: UTF8String, n: Int): ArrayData = {

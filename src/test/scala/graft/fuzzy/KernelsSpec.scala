@@ -174,6 +174,62 @@ class KernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("levBoundedAscii (diagonal DP) == levenshtein for every cutoff (property)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(19)
+    def word(maxLen: Int, alpha: Int): String = {
+      val len = rnd.nextInt(maxLen)
+      (0 until len).map(_ => ('a' + rnd.nextInt(alpha)).toChar).mkString
+    }
+    (0 until 4000).foreach { _ =>
+      // two regimes: short words over a tiny alphabet (dense edit space,
+      // stresses every transition) and long diverse words (stresses the
+      // window restriction + slides — the bench corpus shape)
+      val (a, b) =
+        if (rnd.nextBoolean()) (word(8, 3), word(8, 3))
+        else (word(40, 26), word(40, 26))
+      val full = Kernels.levenshtein(a, b)
+      val ua = UTF8String.fromString(a)
+      val ub = UTF8String.fromString(b)
+      for (k <- 0 to math.max(a.length, b.length) + 1) {
+        val got = Kernels.levBoundedAscii(ua, ub, k)
+        if (full <= k) assert(got == full, s"'$a' vs '$b' k=$k: $got != $full")
+        else assert(got == k + 1, s"'$a' vs '$b' k=$k: expected ${k + 1}, got $got")
+      }
+    }
+    // typo-shaped pairs (single deletion at a random position) — exactly
+    // the annf bench fixture recipe; distance must come back as 1
+    (0 until 500).foreach { _ =>
+      val a = word(30, 26) + "xy"
+      val pos = rnd.nextInt(a.length)
+      val b = a.substring(0, pos) + a.substring(pos + 1)
+      for (k <- 1 to 4)
+        assert(Kernels.levBoundedAscii(
+          UTF8String.fromString(a), UTF8String.fromString(b), k) == 1,
+          s"deletion pair '$a' vs '$b' k=$k")
+    }
+  }
+
+  test("charMask bound: bitCount(maskA ^ maskB) <= 2 * levenshtein (property)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(23)
+    // wide alphabet so masks actually differ; digits/punct/space included
+    val chars = "abcdefghijklmnopqrstuvwxyz0123456789 #.-!"
+    def w(): String = (0 until rnd.nextInt(35))
+      .map(_ => chars(rnd.nextInt(chars.length))).mkString
+    (0 until 4000).foreach { _ =>
+      val (a, b) = (w(), w())
+      val ma = VectorKernels.charMask(UTF8String.fromString(a))
+      val mb = VectorKernels.charMask(UTF8String.fromString(b))
+      val lev = Kernels.levenshtein(a, b)
+      assert(java.lang.Long.bitCount(ma ^ mb) <= 2 * lev,
+        s"mask bound violated on '$a' vs '$b': ${java.lang.Long.bitCount(ma ^ mb)} > 2*$lev")
+    }
+    // non-ASCII disables the gate (mask 0)
+    assert(VectorKernels.charMask(UTF8String.fromString("café")) == 0L)
+    assert(VectorKernels.charMask(UTF8String.fromString("")) == 0L)
+  }
+
   test("non-ASCII strings take the generic path and stay correct") {
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
     // "café" vs "cafe": one substitution over 4 chars
