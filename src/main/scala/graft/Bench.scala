@@ -436,7 +436,11 @@ object Bench {
     * collect_set buffers) is back in force for every other row. */
   private val HeapAggQueries = Set("ann_ivf_embeddings",
     "ann_ivf_fit_embeddings", "ann_topk_embeddings", "ann_int8_embeddings",
-    "ann_pq_embeddings", "text_bm25_docs")
+    "ann_pq_embeddings", "text_bm25_docs",
+    // the LSH candidate top-N runs through BoundedTopK as of r19
+    // (AnnJoin ranked step — Window/row_number replaced by the heap
+    // aggregate), so the same per-query conf scoping applies
+    "fuzzy_annf_3g_lsh", "fuzzy_annf_3g_auto", "sf1_annf_lsh")
   private val FallbackConf =
     "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
 

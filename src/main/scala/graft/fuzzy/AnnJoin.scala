@@ -1,7 +1,6 @@
 package graft.fuzzy
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.slf4j.LoggerFactory
 
@@ -360,12 +359,20 @@ object AnnJoin {
       .where(col("__jaccard_dist") <= adaptiveGate)
       .select(col("__lvid"), col("__rvid"), col("__jaccard_dist"))
 
-    val w = Window.partitionBy(col("__lvid"))
-      .orderBy(col("__jaccard_dist").asc, col("__rvid").asc)
+    // Top-N via the BoundedTopK heap aggregate, NOT a row_number window:
+    // the window shuffles AND SORTS every gated pair per left value, while
+    // the TypedImperativeAggregate partial-aggregates k*16-byte heaps
+    // map-side before the exchange (the same swap that took IVF search
+    // 56 -> 24.5 s at sf10 — SCALE.md). Order is identical: keep the k
+    // best under (jaccard asc, rvid asc) == (score desc, id asc) with
+    // score = -jaccard, so the surviving (lvid, rvid) SET is exactly the
+    // window's `row_number <= k` set.
     val ranked = gated
-      .withColumn("__rnk", row_number().over(w))
-      .where(col("__rnk") <= opts.topNForNewMatches)
-      .select(col("__lvid"), col("__rvid"))
+      .groupBy(col("__lvid"))
+      .agg(vectorFunctions.topk_pairs(negate(col("__jaccard_dist")), col("__rvid"),
+        opts.topNForNewMatches).as("__top"))
+      .select(col("__lvid"), explode(col("__top")).as("__e"))
+      .select(col("__lvid"), col("__e.id").as("__rvid"))
 
     Some(attach(attach(ranked, lMap, "__lvid"), rMap, "__rvid")
       .select(col(leftCol), col(lLow), col(rightCol), col(rLow)))

@@ -13,8 +13,15 @@ import org.apache.spark.sql.types._
 /** Fixed-capacity binary heap of (score, id) pairs keeping the k BEST under
   * the total order (score desc, id asc) — the aggregation buffer of
   * [[BoundedTopK]]. The root is the WORST kept entry, so insertion beyond
-  * capacity is an O(log k) evict-or-drop and memory is a hard
+  * capacity is an O(log k) evict-or-drop and memory is hard-capped at
   * `k * 16` bytes regardless of input volume.
+  *
+  * Backing arrays GROW LAZILY (start at 8, double up to k): memory per
+  * group is proportional to the entries actually held, not to k. With a
+  * large k (e.g. the LSH candidate top-N, k=500) an eager 8 KB per group
+  * multiplied by millions of groups held concurrently in an
+  * ObjectHashAggregate map was a measured executor OOM at the sf1 tier —
+  * most groups hold a handful of candidates and now pay tens of bytes.
   *
   * The (score, id) comparator is a strict total order over distinct ids, so
   * the surviving set — and the sorted order [[BoundedTopK.eval]] emits — is
@@ -23,8 +30,14 @@ import org.apache.spark.sql.types._
   */
 final class TopKHeap(val k: Int) {
   var size: Int = 0
-  val scores: Array[Double] = new Array[Double](k)
-  val ids: Array[Long] = new Array[Long](k)
+  var scores: Array[Double] = new Array[Double](math.min(k, 8))
+  var ids: Array[Long] = new Array[Long](math.min(k, 8))
+
+  private def grow(): Unit = {
+    val cap = math.min(k, math.max(scores.length * 2, 8))
+    scores = java.util.Arrays.copyOf(scores, cap)
+    ids = java.util.Arrays.copyOf(ids, cap)
+  }
 
   // "entry i is worse than entry j" under (score desc, id asc) ranking
   @inline private def worse(si: Double, ii: Long, sj: Double, ij: Long): Boolean =
@@ -37,6 +50,7 @@ final class TopKHeap(val k: Int) {
 
   def insert(s: Double, id: Long): Unit = {
     if (size < k) {
+      if (size == scores.length) grow()
       var i = size
       scores(i) = s; ids(i) = id; size += 1
       var cont = true
