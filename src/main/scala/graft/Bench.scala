@@ -582,9 +582,13 @@ object Bench {
     // family thresholds only bind at the driver's scale factor — the
     // committed history is sf0.1 numbers
     val familyApplies = sfDir.contains("sf0.1")
+    // ~adjudicated_<row> annotation lists are excluded: lookups are by row
+    // name so they were inert, but any future iteration over this map must
+    // never treat an annotation list as a real row (ADVICE r18)
     val family: Map[String, Double] =
       if (familyApplies) loadFamily().collect {
-        case (k, vs) if vs.nonEmpty => k -> vs.min }
+        case (k, vs) if vs.nonEmpty && !k.startsWith(AdjudicatedPrefix) =>
+          k -> vs.min }
       else Map.empty
     val backoffSec = new java.util.concurrent.atomic.AtomicLong(0L)
     // sf1 corpus generation wall time (0.0 = already fresh) — declared

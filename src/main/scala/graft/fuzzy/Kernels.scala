@@ -154,16 +154,63 @@ object Kernels {
     *     Arrays.fill + arraycopy per row (~2(m+1) memory ops against
     *     2k+1 useful cells) — at the bench's k=1..3 that overhead was
     *     ~5x the real work (OPTIMIZATION_r19.md, kernel A/B). */
+  /** Word-wise stripping is safe only on little-endian platforms with
+    * unaligned access (every deployment target; the byte loop remains the
+    * fallback). The first/last differing BYTE inside an 8-byte window is
+    * trailing/leading-zero-count of the xor, divided by 8. */
+  private val wordWise: Boolean =
+    java.nio.ByteOrder.nativeOrder() == java.nio.ByteOrder.LITTLE_ENDIAN &&
+      org.apache.spark.unsafe.Platform.unaligned()
+
   def levBoundedAscii(a: UTF8String, b: UTF8String, k: Int): Int = {
     var aStart = 0
     var aEnd = a.numBytes
     var bStart = 0
     var bEnd = b.numBytes
-    while (aStart < aEnd && bStart < bEnd && a.getByte(aStart) == b.getByte(bStart)) {
-      aStart += 1; bStart += 1
-    }
-    while (aEnd > aStart && bEnd > bStart && a.getByte(aEnd - 1) == b.getByte(bEnd - 1)) {
-      aEnd -= 1; bEnd -= 1
+    // Common prefix/suffix stripping, 8 bytes at a time: corpora with a
+    // shared prefix (e.g. "Customer#000...") made the byte-wise strip the
+    // dominant per-pair cost AFTER the r19 diagonal kernel (GateShapeAb:
+    // ~60% of the surviving-pair cost on the 225M-pair names row).
+    if (wordWise) {
+      val baseA = a.getBaseObject
+      val offA = a.getBaseOffset
+      val baseB = b.getBaseObject
+      val offB = b.getBaseOffset
+      var cont = true
+      while (cont && aStart + 8 <= aEnd && bStart + 8 <= bEnd) {
+        val x = org.apache.spark.unsafe.Platform.getLong(baseA, offA + aStart) ^
+          org.apache.spark.unsafe.Platform.getLong(baseB, offB + bStart)
+        if (x == 0L) { aStart += 8; bStart += 8 }
+        else {
+          val common = java.lang.Long.numberOfTrailingZeros(x) >> 3
+          aStart += common; bStart += common
+          cont = false
+        }
+      }
+      while (aStart < aEnd && bStart < bEnd && a.getByte(aStart) == b.getByte(bStart)) {
+        aStart += 1; bStart += 1
+      }
+      cont = true
+      while (cont && aEnd - aStart >= 8 && bEnd - bStart >= 8) {
+        val x = org.apache.spark.unsafe.Platform.getLong(baseA, offA + aEnd - 8) ^
+          org.apache.spark.unsafe.Platform.getLong(baseB, offB + bEnd - 8)
+        if (x == 0L) { aEnd -= 8; bEnd -= 8 }
+        else {
+          val common = java.lang.Long.numberOfLeadingZeros(x) >> 3
+          aEnd -= common; bEnd -= common
+          cont = false
+        }
+      }
+      while (aEnd > aStart && bEnd > bStart && a.getByte(aEnd - 1) == b.getByte(bEnd - 1)) {
+        aEnd -= 1; bEnd -= 1
+      }
+    } else {
+      while (aStart < aEnd && bStart < bEnd && a.getByte(aStart) == b.getByte(bStart)) {
+        aStart += 1; bStart += 1
+      }
+      while (aEnd > aStart && bEnd > bStart && a.getByte(aEnd - 1) == b.getByte(bEnd - 1)) {
+        aEnd -= 1; bEnd -= 1
+      }
     }
     val n = aEnd - aStart
     val m = bEnd - bStart

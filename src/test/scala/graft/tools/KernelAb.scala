@@ -118,6 +118,12 @@ object KernelAb {
     bench("names 18ch (k=1)", 1, n18a, n18b)
     val (n30a, n30b) = corpus(30, 200000)
     bench("annf 30ch (k=3)", 3, n30a, n30b)
+    // shared-prefix corpus (customer-name shape): the strip, not the DP,
+    // dominates here — the word-wise strip targets exactly this
+    def digits(n: Int): String = (0 until n).map(_ => ('0' + rnd.nextInt(10)).toChar).mkString
+    val ca = Array.fill(200000)("customer#" + digits(9)).map(UTF8String.fromString)
+    val cb = Array.fill(200000)("customer#" + digits(9)).map(UTF8String.fromString)
+    bench("customer 18ch (k=1)", 1, ca, cb)
     // the mask gate's effect estimate: fraction of random pairs the
     // xor+popcount pre-filter would skip at each shape
     def maskStats(name: String, k: Int, la: Array[UTF8String], lb: Array[UTF8String]): Unit = {
