@@ -238,28 +238,37 @@ object FuzzyMatcher {
     // indistinguishable under the `<= reversedThreshold` filter.
     val lm = maskName(leftCol)
     val rm = maskName(rightCol)
+    val lm2 = mask2Name(leftCol)
+    val rm2 = mask2Name(rightCol)
     val lLen = lenName(leftCol)
     val rLen = lenName(rightCol)
     val canGate = algo == FuzzyAlgorithm.Levenshtein &&
-      Seq(lm, rm, lLen, rLen).forall(withLower.columns.contains)
+      Seq(lm, rm, lm2, rm2, lLen, rLen).forall(withLower.columns.contains)
     val dist: Column =
       if (!canGate) kernel
       else {
         val kPair = floor(lit(reversedThreshold) *
           greatest(col(lLen), col(rLen))).cast("long")
-        when(col(lm) =!= 0L && col(rm) =!= 0L &&
-          bit_count(col(lm).bitwiseXOR(col(rm))) > lit(2L) * kPair, lit(2.0))
-          .otherwise(kernel)
+        // unigram bound: one edit moves the char SET by <= 2; bigram
+        // bound: one edit touches <= 2 bigrams (remove <= 2, add <= 2).
+        // Either bound exceeded => distance > k, skip the kernel.
+        val pruned =
+          (col(lm) =!= 0L && col(rm) =!= 0L &&
+            bit_count(col(lm).bitwiseXOR(col(rm))) > lit(2L) * kPair) ||
+          (col(lm2) =!= 0L && col(rm2) =!= 0L &&
+            bit_count(col(lm2).bitwiseXOR(col(rm2))) > lit(4L) * kPair)
+        when(pruned, lit(2.0)).otherwise(kernel)
       }
     withLower
       .withColumn("s", dist)
       .where(col("s") <= reversedThreshold)
       .withColumn("s", lit(1.0) - col("s"))
-      .drop(ll, rl, lm, rm, lLen, rLen)
+      .drop(ll, rl, lm, rm, lm2, rm2, lLen, rLen)
   }
 
   private[fuzzy] def lowerName(c: String): String = s"__lower__$c"
   private[fuzzy] def maskName(c: String): String = s"__mask__$c"
+  private[fuzzy] def mask2Name(c: String): String = s"__mask2__$c"
   private[fuzzy] def lenName(c: String): String = s"__len__$c"
 
   /** Candidate value pairs for a fresh pass: strategy pick by distinct-value
@@ -312,6 +321,7 @@ object FuzzyMatcher {
         val lo = lowerName(c)
         vals.withColumn(lo, lower(col(c)))
           .withColumn(maskName(c), vectorFunctions.char_mask(col(lo)))
+          .withColumn(mask2Name(c), vectorFunctions.bigram_mask(col(lo)))
           .withColumn(lenName(c), length(col(lo)).cast("long"))
       }
       val lProj = proj(lSpread, lCol)

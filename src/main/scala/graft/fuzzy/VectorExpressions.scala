@@ -400,6 +400,18 @@ case class CharMask(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Bigram-set companion of [[CharMask]] (see [[VectorKernels.bigramMask]]):
+  * bound is `4 * distance`, separation on running text is much sharper. */
+case class BigramMask(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bigram_mask"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.bigramMask(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.fuzzy.VectorKernels.bigramMask($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "char_ngrams"
@@ -604,6 +616,7 @@ object vectorFunctions {
   def sign_lsh_bits_int(vec: Column, planes: Array[Long], dim: Int): Column =
     c(SignLshBitsInt(x(vec), planes, dim))
   def char_mask(text: Column): Column = c(CharMask(x(text)))
+  def bigram_mask(text: Column): Column = c(BigramMask(x(text)))
   def char_ngrams(text: Column, n: Int): Column = c(CharNgrams(x(text), n))
   def word_shingles(text: Column, n: Int): Column = c(WordShingles(x(text), n))
   def hashed_shingle_set(text: Column, n: Int): Column = c(HashedShingleSet(x(text), n))

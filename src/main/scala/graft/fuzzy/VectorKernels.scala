@@ -684,6 +684,32 @@ object VectorKernels {
     m
   }
 
+  /** 64-bit BIGRAM-set mask of an ASCII string: bit
+    * `(b(i)*31 + b(i+1)) & 63` set for every adjacent byte pair; 0 for
+    * non-ASCII strings and strings shorter than 2 (gate disabled). One
+    * unit edit touches at most the two bigrams overlapping the edit
+    * position: it removes <= 2 and adds <= 2, so
+    * `bitCount(maskA ^ maskB) <= 4 * levenshtein(a, b)` (projection onto
+    * bits only shrinks a symmetric difference — same argument as
+    * [[charMask]], property-pinned in KernelsSpec). On running text the
+    * bigram set separates unrelated values far better than the unigram
+    * set (measured on the annf corpus: 98.3% of pairs pruned at k=3 vs
+    * 81.7% unigram — OPTIMIZATION_r19.md). */
+  def bigramMask(s: UTF8String): Long = {
+    val n = s.numBytes
+    if (n < 2 || !s.isFullAscii) return 0L
+    var m = 0L
+    var prev = s.getByte(0).toInt
+    var i = 1
+    while (i < n) {
+      val c = s.getByte(i).toInt
+      m |= 1L << ((prev * 31 + c) & 63)
+      prev = c
+      i += 1
+    }
+    m
+  }
+
   /** Character n-grams of a string (duplicates kept; a string shorter than
     * n collapses to itself, so the gram set is never empty). */
   def charNgrams(s: UTF8String, n: Int): ArrayData = {

@@ -230,6 +230,39 @@ class KernelsSpec extends AnyFunSuite {
     assert(VectorKernels.charMask(UTF8String.fromString("")) == 0L)
   }
 
+  test("bigramMask bound: bitCount(maskA ^ maskB) <= 4 * levenshtein (property)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(29)
+    val chars = "abcdefghijklmnopqrstuvwxyz0123456789 #.-!"
+    def w(maxLen: Int): String = (0 until rnd.nextInt(maxLen))
+      .map(_ => chars(rnd.nextInt(chars.length))).mkString
+    (0 until 4000).foreach { _ =>
+      val (a, b) = (w(35), w(35))
+      val ma = VectorKernels.bigramMask(UTF8String.fromString(a))
+      val mb = VectorKernels.bigramMask(UTF8String.fromString(b))
+      val lev = Kernels.levenshtein(a, b)
+      // strings shorter than 2 carry mask 0 (gate off); the bound must
+      // still hold whenever both masks are live
+      if (ma != 0L && mb != 0L)
+        assert(java.lang.Long.bitCount(ma ^ mb) <= 4 * lev,
+          s"bigram bound violated on '$a' vs '$b': ${java.lang.Long.bitCount(ma ^ mb)} > 4*$lev")
+    }
+    // typo-shaped pairs (one deletion) stay comfortably inside the k=3 gate
+    (0 until 1000).foreach { _ =>
+      val a = w(30) + "xy"
+      val p = rnd.nextInt(a.length)
+      val b = a.substring(0, p) + a.substring(p + 1)
+      val ma = VectorKernels.bigramMask(UTF8String.fromString(a))
+      val mb = VectorKernels.bigramMask(UTF8String.fromString(b))
+      if (ma != 0L && mb != 0L)
+        assert(java.lang.Long.bitCount(ma ^ mb) <= 4,
+          s"deletion pair '$a' vs '$b' bigram xor too wide")
+    }
+    assert(VectorKernels.bigramMask(UTF8String.fromString("café")) == 0L)
+    assert(VectorKernels.bigramMask(UTF8String.fromString("x")) == 0L)
+    assert(VectorKernels.bigramMask(UTF8String.fromString("")) == 0L)
+  }
+
   test("non-ASCII strings take the generic path and stay correct") {
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
     // "café" vs "cafe": one substitution over 4 chars
