@@ -38,7 +38,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 12g default (was 8g): a full 24-row bench run accumulates localCheckpoint
+  // blocks across rows (released asynchronously by the ContextCleaner), and
+  // one observed sf1-tier sample failed its ~128 MB broadcast build under
+  // that pressure at 8g ("Not enough memory to build and broadcast",
+  // GCLocker retry warnings). The box has 128 GiB; 12g keeps the forked
+  // JVM comfortably clear while SPARK_DRIVER_MEM still overrides.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
   // Defensive headroom for generated-code-heavy suites: a full JIT code
   // cache silently disables compilation. Measured occupancy here is only
   // ~104 MB of the 240 MB default (eviction was investigated for the r11

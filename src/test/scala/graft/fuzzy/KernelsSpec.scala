@@ -210,6 +210,29 @@ class KernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("levBoundedAscii exhaustive: every {a,b}-string pair to length 5, every k") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val alpha = "ab"
+    val all: Seq[String] = (0 to 5).flatMap { n =>
+      (0 until math.pow(alpha.length, n).toInt).map { x =>
+        var v = x
+        (0 until n).map { _ =>
+          val c = alpha(v % alpha.length); v /= alpha.length; c
+        }.mkString
+      }
+    }
+    for (a <- all; b <- all) {
+      val full = Kernels.levenshtein(a, b)
+      val ua = UTF8String.fromString(a)
+      val ub = UTF8String.fromString(b)
+      for (k <- 0 to 7) {
+        val got = Kernels.levBoundedAscii(ua, ub, k)
+        val want = if (full <= k) full else k + 1
+        assert(got == want, s"'$a' vs '$b' k=$k: got $got want $want")
+      }
+    }
+  }
+
   test("charMask bound: bitCount(maskA ^ maskB) <= 2 * levenshtein (property)") {
     import org.apache.spark.unsafe.types.UTF8String
     val rnd = new scala.util.Random(23)
