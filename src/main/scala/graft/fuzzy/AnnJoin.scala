@@ -40,6 +40,33 @@ import graft.util.CapMetrics
   */
 object AnnJoin {
 
+  /** The LSH top-N ranks through the BoundedTopK TypedImperativeAggregate
+    * (ObjectHashAggregate). Its default sort-based fallback threshold (128
+    * groups per partition) would demote the heap aggregate to exactly the
+    * per-partition sort it exists to avoid (measured 56.0 -> 24.5 s on IVF
+    * search at sf10 — SCALE.md). The conf is scoped around the execution
+    * that contains the aggregate and restored afterwards, so the session
+    * default (the memory safety valve for unbounded collect_list/set
+    * buffers) stays in force everywhere else. Engine-owned since r20: a
+    * production caller running the LSH path bare gets the same treatment
+    * the bench rows used to configure by hand (VERDICT r19 item 4). */
+  private val FallbackConf =
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+
+  private[fuzzy] def withTopKHeapConf[T](
+      spark: org.apache.spark.sql.SparkSession, scoped: Boolean)(body: => T): T = {
+    if (!scoped) body
+    else {
+      val prev = spark.conf.getOption(FallbackConf)
+      spark.conf.set(FallbackConf, "4194304")
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set(FallbackConf, v)
+        case None => spark.conf.unset(FallbackConf)
+      }
+    }
+  }
+
   /** Candidate generation with degenerate-input detection. Returns None
     * when the corpus is LSH-hostile and the cartesian is within
     * `lshExactFallbackCartesianCap` — the caller should run the exact
@@ -59,12 +86,16 @@ object AnnJoin {
       s"lshNumBands must be in [1, 130] (got ${opts.lshNumBands})")
     val n = opts.lshNgramSize
 
-    if (cartesian <= opts.lshExactFallbackCartesianCap && opts.lshExactFallbackCartesianCap > 0) {
-      // ONE Spark action: collect the ≤`lshProbeSampleSize` sampled values
-      // (a few hundred KB) and run the whole probe — stop-gram estimation
-      // and per-value kept-gram counts — in plain Scala on the driver.
-      // Cluster-side aggregation would cost three jobs plus a barrier for
-      // work that is microseconds at this size.
+    val probeApplies =
+      cartesian <= opts.lshExactFallbackCartesianCap && opts.lshExactFallbackCartesianCap > 0
+
+    // ONE Spark action: collect the ≤`lshProbeSampleSize` sampled values
+    // (a few hundred KB) and run the whole probe — stop-gram estimation
+    // and per-value kept-gram counts — in plain Scala on the driver.
+    // Cluster-side aggregation would cost three jobs plus a barrier for
+    // work that is microseconds at this size. Returns true when the corpus
+    // is too degenerate for LSH.
+    def probeDegenerate(): Boolean = {
       val frac = math.min(1.0, opts.lshProbeSampleSize.toDouble / math.max(totalValues, 1L))
       val sampled: Array[String] = leftValues.select(col(leftCol).as("__v"))
         .unionByName(rightValues.select(col(rightCol).as("__v")))
@@ -72,21 +103,36 @@ object AnnJoin {
         .limit(2 * opts.lshProbeSampleSize)
         .collect().map(_.getString(0)).filter(_ != null).map(_.toLowerCase)
       val nSample = sampled.length
-      if (nSample > 0) {
-        def gramsOf(v: String): Set[String] =
-          if (v.length < n) Set(v)
-          else (0 to v.length - n).map(i => v.substring(i, i + n)).toSet
-        val gramSets = sampled.map(gramsOf)
-        val docFreq = new java.util.HashMap[String, Int]()
-        gramSets.foreach(_.foreach(g => docFreq.merge(g, 1, Integer.sum)))
-        val stopBar = opts.lshStopGramFraction * nSample
-        val ok = gramSets.count { gs =>
-          gs.count(g => docFreq.get(g) <= stopBar) >= opts.lshMinKeptGrams
-        }
-        val degenerateFraction = 1.0 - ok.toDouble / nSample
-        if (degenerateFraction > opts.lshDegenerateFraction) return None
+      if (nSample == 0) return false
+      def gramsOf(v: String): Set[String] =
+        if (v.length < n) Set(v)
+        else (0 to v.length - n).map(i => v.substring(i, i + n)).toSet
+      val gramSets = sampled.map(gramsOf)
+      val docFreq = new java.util.HashMap[String, Int]()
+      gramSets.foreach(_.foreach(g => docFreq.merge(g, 1, Integer.sum)))
+      val stopBar = opts.lshStopGramFraction * nSample
+      val ok = gramSets.count { gs =>
+        gs.count(g => docFreq.get(g) <= stopBar) >= opts.lshMinKeptGrams
       }
+      1.0 - ok.toDouble / nSample > opts.lshDegenerateFraction
     }
+
+    // The probe collect and the stop-gram estimation job are independent
+    // reads of the same value frames — overlap them (guide §2.6). When the
+    // probe bails, the stop-gram sample job ran for nothing, but it was
+    // concurrent with the probe and is sample-bounded (O(lshProbeSampleSize)
+    // regardless of corpus size), so the bail case pays ~nothing while the
+    // proceed case saves the whole serial stop-gram latency.
+    val (isDegenerate, stopGrams) =
+      if (probeApplies)
+        graft.util.Par.run2(
+          probeDegenerate(),
+          estimateStopGrams(leftValues, rightValues, leftCol, rightCol, opts, totalValues))
+      else
+        (false, estimateStopGrams(leftValues, rightValues, leftCol, rightCol,
+          opts, totalValues))
+    if (isDegenerate) return None
+
     // Second, RUNTIME degeneracy gate (auto mode only): the sampled probe
     // cannot see MIXTURE degeneracy — K internally-degenerate sub-corpora
     // (multiple crawls, cipher-distinct sources) dilute every global gram
@@ -94,12 +140,9 @@ object AnnJoin {
     // banded bucket statistics the cap aggregates anyway give the exact
     // planned volume; if LSH is not actually pruning, fall back to exact.
     val bailBudget =
-      if (cartesian <= opts.lshExactFallbackCartesianCap &&
-        opts.lshExactFallbackCartesianCap > 0 && opts.lshCandidateFractionForExact > 0)
+      if (probeApplies && opts.lshCandidateFractionForExact > 0)
         Some(opts.lshCandidateFractionForExact * cartesian)
       else None
-    val stopGrams = estimateStopGrams(leftValues, rightValues, leftCol, rightCol,
-      opts, totalValues)
     buildOrBail(leftValues, rightValues, leftCol, rightCol, opts, reversedThreshold,
       stopGrams, totalValues, bailVolume = bailBudget)
   }
@@ -211,9 +254,12 @@ object AnnJoin {
     // With string payloads this was a recompute-over-checkpoint call — the
     // exploded band rows were too wide to store; at 24 bytes/row the
     // checkpoint is bands x values x 24 B and saves a full second
-    // kept-grams + minhash pass over every value.
-    val lb = graft.util.Materialize(bandedIds(leftValues, leftCol, "__lvid"), opts.checkpoint)
-    val rb = graft.util.Materialize(bandedIds(rightValues, rightCol, "__rvid"), opts.checkpoint)
+    // kept-grams + minhash pass over every value. The two sides' banding
+    // jobs are independent — submitted concurrently (guide §2.6), same
+    // barriers either way.
+    val (lb, rb) = graft.util.Par.run2(
+      graft.util.Materialize(bandedIds(leftValues, leftCol, "__lvid"), opts.checkpoint),
+      graft.util.Materialize(bandedIds(rightValues, rightCol, "__rvid"), opts.checkpoint))
 
     // Shuffle-partition advisory (SCALE.md round-9 A/B): the band join and
     // the pair distinct shuffle ~bands x values rows; partitions sized to
@@ -262,8 +308,13 @@ object AnnJoin {
       .agg(sum(col("__l")).as("__lc"), sum(col("__r")).as("__rc"))
       .where(col("__lc") > 0 && col("__rc") > 0)
     val overCap = col("__lc") * col("__rc") > opts.lshMaxBucketPairs
+    // estBuckets = the band-row count, an upper bound on distinct
+    // (band, key) buckets: past ~500k buckets CapMetrics accounts
+    // cluster-side instead of collecting every healthy bucket to the
+    // driver (the former single largest candidate-generation stage).
     val (gatePredicate, capStats) = CapMetrics.gateWithStats(bucketStats, "fuzzy_lsh",
-      "__band", "__bkey", overCap, col("__lc") * col("__rc"), opts.checkpoint)
+      "__band", "__bkey", overCap, col("__lc") * col("__rc"), opts.checkpoint,
+      estBuckets = sys.env.get("GRAFT_AB_OLDGATE").map(_ => -1L).getOrElse(estBandRows))
 
     // Volume bail (auto mode): plan on THIS gate call's returned stats —
     // `lastMetrics("fuzzy_lsh")` is a global keyed by stage name, so under

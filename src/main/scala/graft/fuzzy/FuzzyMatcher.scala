@@ -54,8 +54,12 @@ object FuzzyMatcher {
     val outputOrder: Seq[String] =
       plan.left.columns.toSeq ++ plan.right.columns.toSeq ++ plan.maps.map(_.resolvedOutputName)
 
-    val leftIdx = addIndexColumn(plan.left, LeftIdx, opts.checkpoint)
-    val rightIdx = addIndexColumn(plan.right, RightIdx, opts.checkpoint)
+    // The two index materializations are independent jobs — run them
+    // concurrently (guide §2.6); ids stay per-side deterministic because
+    // each side's checkpoint freezes its own assignment exactly as before.
+    val (leftIdx, rightIdx) = graft.util.Par.run2(
+      addIndexColumn(plan.left, LeftIdx, opts.checkpoint),
+      addIndexColumn(plan.right, RightIdx, opts.checkpoint))
 
     val matchFrames = performAllFuzzyMatches(leftIdx, rightIdx, plan.maps, opts)
     // single mapping: no combine join needed (matcher.py:642-647)
@@ -115,7 +119,7 @@ object FuzzyMatcher {
     val rightIdx = addIndexColumn(rRenamed, RightIdx, opts.checkpoint)
     val (len, stats) =
       if (opts.runPreprocess)
-        (rightIdx.count(), PreProcess.approxUniqueness(rightIdx, ms.map(_.rightCol)))
+        PreProcess.statScan(rightIdx, ms.map(_.rightCol))
       else (-1L, Map.empty[String, Long])
     PreparedRight(rightIdx, len, stats, renames, leftCols.toVector, ms, opts)
   }
@@ -133,9 +137,10 @@ object FuzzyMatcher {
     var ms = prepared.maps
     var rightIdx = prepared.rightIdx
     if (opts.runPreprocess) {
-      val leftLen = l.count()
+      // one fused count+HLL scan over the batch (PreProcess.statScan) —
+      // the per-batch planning cost is a single small job
+      val (leftLen, leftStats) = PreProcess.statScan(l, ms.map(_.leftCol))
       if (leftLen > 0 && prepared.rightLen > 0) {
-        val leftStats = PreProcess.approxUniqueness(l, ms.map(_.leftCol))
         ms = PreProcess.fillPercUniqueFromStats(leftStats, prepared.rightDistinct,
           ms, leftLen, prepared.rightLen)
         ms = PreProcess.orderMaps(ms)
@@ -273,15 +278,64 @@ object FuzzyMatcher {
 
   /** Candidate value pairs for a fresh pass: strategy pick by distinct-value
     * cartesian estimate (cross_join_no_existing_fuzzy_results,
-    * matcher.py:241-340). */
+    * matcher.py:241-340). Legacy candidate-frame surface (tests/tools);
+    * the matcher itself goes through [[freshScoredValuePairs]], which can
+    * fuse candidate generation and scoring into the [[LevSweep]] form. */
   def freshCandidates(leftIdxDf: DataFrame, rightIdxDf: DataFrame,
                       leftCol: String, rightCol: String,
-                      opts: MatchOptions, reversedThreshold: Double = 1.0): DataFrame = {
+                      opts: MatchOptions, reversedThreshold: Double = 1.0): DataFrame =
+    planFreshPairs(leftIdxDf, rightIdxDf, leftCol, rightCol, opts,
+      reversedThreshold, sweepFor = None)._1 match {
+      case Left(candidates) => candidates
+      case Right(_) => throw new IllegalStateException(
+        "unreachable: sweep disabled")
+    }
+
+  /** Fresh-pass scored value pairs `(leftCol, rightCol, s)`, post-threshold:
+    * the strategy pick of [[freshCandidates]] plus scoring, fused into the
+    * [[LevSweep]] broadcast sweep when the pass is an exact levenshtein
+    * cross join with a broadcast-sized side (identical pair set and scores
+    * — see LevSweep's equivalence note). Returns the scored frame and
+    * whether the LSH candidate path (and so its BoundedTopK ranking) is in
+    * the plan, so the caller can scope the ObjectHashAggregate fallback
+    * conf around the pass's materialization. */
+  def freshScoredValuePairs(
+      leftIdxDf: DataFrame, rightIdxDf: DataFrame, fuzzyMap: FuzzyMapping,
+      opts: MatchOptions): (DataFrame, Boolean) = {
+    val (planned, usedLsh) = planFreshPairs(leftIdxDf, rightIdxDf,
+      fuzzyMap.leftCol, fuzzyMap.rightCol, opts,
+      fuzzyMap.reversedThresholdScore, sweepFor = Some(fuzzyMap.fuzzyType))
+    planned match {
+      case Right(scored) => (scored, usedLsh)
+      case Left(candidates) =>
+        (scoreValuePairs(candidates, fuzzyMap.leftCol, fuzzyMap.rightCol,
+          fuzzyMap.fuzzyType, fuzzyMap.reversedThresholdScore), usedLsh)
+    }
+  }
+
+  /** Shared fresh-pass planner. Returns `Left(candidates)` (to be scored by
+    * [[scoreValuePairs]]) or `Right(scored)` (the fused sweep), plus a flag
+    * for "the LSH candidate pipeline is in the plan". `sweepFor` carries
+    * the pass algorithm when fusion is allowed; None preserves the
+    * candidate-frame contract of [[freshCandidates]]. */
+  private def planFreshPairs(leftIdxDf: DataFrame, rightIdxDf: DataFrame,
+                      leftCol: String, rightCol: String,
+                      opts: MatchOptions, reversedThreshold: Double,
+                      sweepFor: Option[FuzzyAlgorithm]): (Either[DataFrame, DataFrame], Boolean) = {
     // Checkpointed: each value frame is consumed twice (count + join).
-    var leftVals = graft.util.Materialize(distinctValues(leftIdxDf, leftCol), opts.checkpoint)
-    var rightVals = graft.util.Materialize(distinctValues(rightIdxDf, rightCol), opts.checkpoint)
-    var lCount = leftVals.count()
-    var rCount = rightVals.count()
+    // The two sides' materialize+count chains are independent — run them
+    // concurrently (guide §2.6): same barriers, same counts, half the
+    // serial fixed-cost floor of the four driver actions.
+    def valsOf(df: DataFrame, c: String): (DataFrame, Long) = {
+      val v = graft.util.Materialize(distinctValues(df, c), opts.checkpoint)
+      (v, v.count())
+    }
+    val ((lv0, lc0), (rv0, rc0)) = graft.util.Par.run2(
+      valsOf(leftIdxDf, leftCol), valsOf(rightIdxDf, rightCol))
+    var leftVals = lv0
+    var rightVals = rv0
+    var lCount = lc0
+    var rCount = rc0
     var lCol = leftCol
     var rCol = rightCol
 
@@ -330,31 +384,45 @@ object FuzzyMatcher {
       else lProj.crossJoin(rProj)
     }
 
-    val useApprox = opts.useApproxNearestNeighbor.getOrElse(cartesian > opts.crossOverForApprox)
     val stats = f"$lCol x $rCol: $lCount x $rCount distinct values (cartesian $cartesian%.3g)"
+
+    // Exact-path result: the fused LevSweep when the pass algorithm is
+    // levenshtein and the small side is broadcast-sized (the same condition
+    // under which exactCandidates would broadcast it); the BNLJ candidate
+    // frame otherwise. Same pair set and scores either way.
+    def exactEither(how: String): Either[DataFrame, DataFrame] =
+      if (sweepFor.contains(FuzzyAlgorithm.Levenshtein) &&
+          rCount <= opts.broadcastDistinctLimit) {
+        log.info(s"[graft.pass] $stats -> exact broadcast sweep ($how)")
+        Right(SweepScore.sweepScoredPairs(leftVals, rightVals, lCol, rCol,
+          reversedThreshold))
+      } else {
+        log.info(s"[graft.pass] $stats -> exact cross join ($how)")
+        Left(exactCandidates())
+      }
+
+    val useApprox = opts.useApproxNearestNeighbor.getOrElse(cartesian > opts.crossOverForApprox)
     if (useApprox) {
       // The degeneracy fallback applies to AUTO mode only: a user-forced LSH
       // join (Some(true)) must never silently become an exact cross join of
       // up to hardCartesianCap pairs.
       if (opts.useApproxNearestNeighbor.contains(true)) {
         log.info(s"[graft.pass] $stats -> LSH candidates (user-forced)")
-        AnnJoin.candidates(leftVals, rightVals, lCol, rCol, opts,
-          reversedThreshold, lCount + rCount)
+        (Left(AnnJoin.candidates(leftVals, rightVals, lCol, rCol, opts,
+          reversedThreshold, lCount + rCount)), true)
       } else
         AnnJoin.candidatesOrExactFallback(leftVals, rightVals, lCol, rCol, opts,
             reversedThreshold, lCount + rCount, cartesian) match {
           case Some(cands) =>
             log.info(s"[graft.pass] $stats -> LSH candidates (auto)")
-            cands
+            (Left(cands), true)
           case None =>
-            log.info(s"[graft.pass] $stats -> exact cross join " +
-              "(auto: corpus is LSH-hostile, cartesian within the fallback cap)")
-            exactCandidates()
+            (exactEither("auto: corpus is LSH-hostile, cartesian within " +
+              "the fallback cap"), false)
         }
     } else {
-      log.info(s"[graft.pass] $stats -> exact cross join" +
-        (if (opts.useApproxNearestNeighbor.isEmpty) " (auto: below crossover)" else " (user-forced)"))
-      exactCandidates()
+      (exactEither(if (opts.useApproxNearestNeighbor.isEmpty) "auto: below crossover"
+        else "user-forced"), false)
     }
   }
 
@@ -366,7 +434,7 @@ object FuzzyMatcher {
                           opts: MatchOptions): DataFrame = {
     val leftCol = fuzzyMap.leftCol
     val rightCol = fuzzyMap.rightCol
-    val matched = existing match {
+    val (matched, usedLsh) = existing match {
       case Some(ex) =>
         // Pass >= 2 (cross_join_filter_existing_fuzzy_results,
         // matcher.py:188-238): attach values to the surviving pairs, score
@@ -378,27 +446,33 @@ object FuzzyMatcher {
         val distinctPairs = pairs.select(col(leftCol), col(rightCol)).distinct()
         val scored = scoreValuePairs(distinctPairs, leftCol, rightCol,
           fuzzyMap.fuzzyType, fuzzyMap.reversedThresholdScore)
-        pairs.join(scored, Seq(leftCol, rightCol))
-          .select(col("s"), col(LeftIdx), col(RightIdx))
+        (pairs.join(scored, Seq(leftCol, rightCol))
+          .select(col("s"), col(LeftIdx), col(RightIdx)), false)
       case None =>
-        // Fresh pass: candidates over distinct values, score, then expand
-        // to row pairs by joining each side back on its value.
-        val candidates = freshCandidates(leftIdxDf, rightIdxDf, leftCol, rightCol, opts,
-          fuzzyMap.reversedThresholdScore)
-        val scored = scoreValuePairs(candidates, leftCol, rightCol,
-          fuzzyMap.fuzzyType, fuzzyMap.reversedThresholdScore)
-        scored
+        // Fresh pass: scored distinct value pairs (strategy pick + scoring,
+        // fused where possible), then expand to row pairs by joining each
+        // side back on its value.
+        val (scored, lsh) = freshScoredValuePairs(leftIdxDf, rightIdxDf,
+          fuzzyMap, opts)
+        (scored
           .join(leftIdxDf.select(col(LeftIdx), col(leftCol)), Seq(leftCol))
           .join(rightIdxDf.select(col(RightIdx), col(rightCol)), Seq(rightCol))
-          .select(col("s"), col(LeftIdx), col(RightIdx))
+          .select(col("s"), col(LeftIdx), col(RightIdx)), lsh)
     }
     // No dropDuplicates needed (reference: .unique(), matcher.py:501-504):
     // every shape above yields each (leftIdx, rightIdx) at most once —
     // candidates are distinct value pairs and ids are unique per row.
     // Checkpointed: consumed by the next pass, the combine AND the assembly.
-    val out = graft.util.Materialize(
-      matched.withColumnRenamed("s", fuzzyMap.resolvedOutputName),
-      opts.checkpoint)
+    // An LSH pass ranks through BoundedTopK (ObjectHashAggregate): scope
+    // the sort-based-fallback threshold around the pass materialization so
+    // the heap aggregate is not demoted to a per-partition sort at 128
+    // groups — engine-owned now, instead of a bench-harness conf
+    // (VERDICT r19 item 4).
+    val out = AnnJoin.withTopKHeapConf(leftIdxDf.sparkSession, usedLsh) {
+      graft.util.Materialize(
+        matched.withColumnRenamed("s", fuzzyMap.resolvedOutputName),
+        opts.checkpoint)
+    }
     // counting the materialized barrier is a metadata-cheap job and gives
     // the per-pass diagnostics the reference logs throughout matcher.py
     log.info(s"[graft.pass] ${fuzzyMap.leftCol} -> ${fuzzyMap.rightCol} " +

@@ -1,7 +1,7 @@
 package graft.fuzzy
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{approx_count_distinct, col}
+import org.apache.spark.sql.functions.{approx_count_distinct, col, count, lit}
 import org.slf4j.LoggerFactory
 
 /** Driver-side planning statistics + heuristics.
@@ -35,6 +35,20 @@ object PreProcess {
     val distinctCols = cols.distinct
     val row = df.select(distinctCols.map(c => approx_count_distinct(col(c)).as(c)): _*).head()
     distinctCols.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
+  }
+
+  /** Fused planning-stats scan: exact row count + approx distinct per
+    * mapping column in ONE aggregate job (the count rides the HLL scan
+    * instead of a second pass over the side — guide §1.2: don't pay two
+    * passes for values one pass produces). Same numbers as
+    * `df.count()` + [[approxUniqueness]]. */
+  def statScan(df: DataFrame, cols: Seq[String]): (Long, Map[String, Long]) = {
+    val distinctCols = cols.distinct
+    val aggs = count(lit(1)).as("__n") +:
+      distinctCols.map(c => approx_count_distinct(col(c)).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    (row.getLong(0),
+      distinctCols.zipWithIndex.map { case (c, i) => c -> row.getLong(i + 1) }.toMap)
   }
 
   /** Combined uniqueness score — exact formula from pre_process.py:45,
@@ -88,8 +102,14 @@ object PreProcess {
     var leftLen = -1L
     var rightLen = -1L
     if (runStats) {
-      leftLen = l.count()
-      rightLen = r.count()
+      // Both sides' fused count+HLL scans run CONCURRENTLY (guide §2.6):
+      // they are independent jobs, and serializing them only added their
+      // fixed scheduling latencies. Values are identical to the serial
+      // count() + approxUniqueness() pair.
+      val ((ll, lStats), (rl, rStats)) = graft.util.Par.run2(
+        statScan(l, maps.map(_.leftCol)), statScan(r, maps.map(_.rightCol)))
+      leftLen = ll
+      rightLen = rl
       // Empty side: stats/ordering/dedup are skipped, but — deliberate
       // deviation from pre_process.py:309-310, which returns before the
       // renames — the rename + naming steps below STILL run, so the
@@ -98,7 +118,7 @@ object PreProcess {
       // colliding names at join time; Spark would emit duplicate columns
       // that fail on parquet write).
       if (leftLen > 0 && rightLen > 0) {
-        ms = fillPercUnique(l, r, ms, leftLen, rightLen)
+        ms = fillPercUniqueFromStats(lStats, rStats, ms, leftLen, rightLen)
         ms = orderMaps(ms)
         reportOnOrder(ms)
         val rate = uniquenessRate(ms)

@@ -201,6 +201,13 @@ object FuzzyMatchTable {
       case (_, odd) => throw new IllegalStateException(
         s"fuzzy_match: internal option-pair grouping error on $odd")
     }
-    FuzzyMatcher.matchDfs(left, right, maps, opts).queryExecution.analyzed
+    // Serial orchestration: this builder runs inside the analyzer's
+    // SessionCatalog-synchronized TVF resolution, so the matcher's
+    // concurrent-action helpers must stay on THIS thread — a helper
+    // thread's own analysis would deadlock on the catalog monitor
+    // (graft.util.Par.serial scaladoc has the thread-dump shape).
+    graft.util.Par.serial {
+      FuzzyMatcher.matchDfs(left, right, maps, opts).queryExecution.analyzed
+    }
   }
 }

@@ -98,24 +98,29 @@ object CapMetrics {
     * one join's decision could read another join's volume. */
   def gateWithStats(bucketStats: DataFrame, stage: String, bandCol: String, keyCol: String,
            overCap: Column, pairs: Column, checkpoint: CheckpointStrategy,
-           maxDriverBuckets: Int = 2_000_000): (Either[DataFrame, Array[Long]], CapStats) = {
+           maxDriverBuckets: Int = 2_000_000,
+           estBuckets: Long = -1L): (Either[DataFrame, Array[Long]], CapStats) = {
+    // `estBuckets` is the caller's upper bound on the bucket count (e.g.
+    // band-row count). Past this bar the small-regime collect below would
+    // ship every healthy bucket to the driver just to count it — measured
+    // as the single largest LSH candidate-generation stage at sf0.1
+    // (~1.6M collected rows). Account cluster-side instead and ship only
+    // the dropped keys: three small jobs over a materialized stats frame
+    // beat one multi-second full-bucket collect well before a million
+    // buckets, and driver memory stays O(drops).
+    val DriverCollectBucketBar = 500_000L
+    if (estBuckets > DriverCollectBucketBar) {
+      return clusterSideGate(bucketStats, stage, bandCol, keyCol, overCap,
+        pairs, checkpoint, maxDriverBuckets)
+    }
     val rows = bucketStats.select(col(bandCol).cast("int").as("__b"), col(keyCol).as("__k"),
         overCap.as("__over"), pairs.cast("long").as("__p"))
       .limit(maxDriverBuckets + 1).collect()
     if (rows.length > maxDriverBuckets) {
-      // Too many buckets to ship; account cluster-side, then ship only the
-      // dropped keys (the scale regime — see the scaladoc on [[gate]]).
-      val (stats, s) = accountBucketCapWithStats(bucketStats, stage, overCap, pairs, checkpoint)
-      if (s.droppedBuckets <= maxDriverBuckets) {
-        // hash on the driver: key * 131 wraps on overflow by design, and
-        // Spark-side long arithmetic would throw under ANSI instead
-        val blocked = stats.where(overCap)
-          .select(col(bandCol).cast("int").as("__b"), col(keyCol).as("__k"))
-          .collect().map(r => r.getLong(1) * 131L + r.getInt(0))
-        java.util.Arrays.sort(blocked)
-        (Right(blocked), s)
-      } else
-        (Left(stats.where(!overCap).select(col(bandCol), col(keyCol))), s)
+      // Too many buckets to ship (the scale regime — see the scaladoc on
+      // [[gate]]).
+      clusterSideGate(bucketStats, stage, bandCol, keyCol, overCap, pairs,
+        checkpoint, maxDriverBuckets)
     } else {
       var dropped = 0L
       var droppedPairs = 0L
@@ -133,6 +138,26 @@ object CapMetrics {
       java.util.Arrays.sort(sorted)
       (Right(sorted), s)
     }
+  }
+
+  /** Cluster-side accounting regime of [[gateWithStats]]: materialize the
+    * stats, account drops with one 4-scalar aggregate, ship only the
+    * dropped keys (or, pathologically, return the allowed frame). */
+  private def clusterSideGate(bucketStats: DataFrame, stage: String,
+           bandCol: String, keyCol: String, overCap: Column, pairs: Column,
+           checkpoint: CheckpointStrategy,
+           maxDriverBuckets: Int): (Either[DataFrame, Array[Long]], CapStats) = {
+    val (stats, s) = accountBucketCapWithStats(bucketStats, stage, overCap, pairs, checkpoint)
+    if (s.droppedBuckets <= maxDriverBuckets) {
+      // hash on the driver: key * 131 wraps on overflow by design, and
+      // Spark-side long arithmetic would throw under ANSI instead
+      val blocked = stats.where(overCap)
+        .select(col(bandCol).cast("int").as("__b"), col(keyCol).as("__k"))
+        .collect().map(r => r.getLong(1) * 131L + r.getInt(0))
+      java.util.Arrays.sort(blocked)
+      (Right(blocked), s)
+    } else
+      (Left(stats.where(!overCap).select(col(bandCol), col(keyCol))), s)
   }
 
   /** As [[accountBucketCap]], additionally returning the accounted numbers

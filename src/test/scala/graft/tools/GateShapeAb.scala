@@ -46,6 +46,20 @@ object GateShapeAb {
       t(s"v_kern#$rep") { base.where(kern <= 0.1).count() }
       t(s"v_both#$rep") { base.where(when(gate, lit(2.0)).otherwise(kern) <= 0.1).count() }
     }
+    // r20: the broadcast sweep replacing the BNLJ shape — same corpus, same
+    // gates + kernel, iteration over flat length-sorted arrays instead of
+    // the codegen'd join loop. v_both is its direct baseline; survivor
+    // parity with the BNLJ + filter(<=0.1) shape is asserted.
+    val bnljSurvivors = base
+      .where(when(gate, lit(2.0)).otherwise(kern) <= 0.1).count()
+    for (rep <- 1 to 2) {
+      t(s"v_sweep#$rep") {
+        val n = graft.fuzzy.SweepScore.sweepScoredPairs(
+          l.select(col("a")), r.select(col("b")), "a", "b", 0.1).count()
+        assert(n == bnljSurvivors, s"sweep=$n bnlj=$bnljSurvivors")
+        n
+      }
+    }
     spark.stop()
   }
 }

@@ -50,11 +50,14 @@ object PlanDump {
     // sides -> cross join -> bounded kernel (+ mask gate after r19) ----
     val l = c.select(col("c_name"))
     val r = c.select(col("c_name").as("r_name"))
-    val cands = FuzzyMatcher.freshCandidates(l, r, "c_name", "r_name",
-      MatchOptions(useApproxNearestNeighbor = Some(false)), 0.1)
+    // the path the matcher actually takes since r20: the fused broadcast
+    // sweep (freshScoredValuePairs) — before-plans show the BNLJ shape it
+    // replaced (freshCandidates + scoreValuePairs)
     dump("scoring_join_exact",
-      FuzzyMatcher.scoreValuePairs(cands, "c_name", "r_name",
-        FuzzyAlgorithm.Levenshtein, 0.1))
+      FuzzyMatcher.freshScoredValuePairs(l, r,
+        graft.fuzzy.FuzzyMapping("c_name", "r_name", 90.0,
+          FuzzyAlgorithm.Levenshtein),
+        MatchOptions(useApproxNearestNeighbor = Some(false)))._1)
 
     // ---- the LSH candidate pipeline core (band join -> dedup -> jaccard
     // gate -> topN) + its scored verify join ----
